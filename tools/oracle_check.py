@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Dev-only differential harness (mirrors the driver's t2 gate).
+
+Runs DuckDB on each oracle_sql.json entry against the same parquet
+tables and compares with the Spark result parquet written by
+graft.Verify. Columns are sorted by name (driver semantics), rows are
+compared exactly after a stable sort. NOT part of the shipped library —
+pure local tooling (the library itself is Scala-only).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        g = got.reset_index(drop=True)
+        e = exp.reset_index(drop=True)
+        # normalize dtypes for comparison (e.g. int32 vs int64, date objects)
+        mism = []
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            try:
+                if str(gv.dtype).startswith(("int", "uint", "Int")) or \
+                   str(ev.dtype).startswith(("int", "uint", "Int")):
+                    eq = gv.astype("int64").equals(ev.astype("int64"))
+                elif gv.dtype == object or ev.dtype == object:
+                    eq = gv.astype(str).equals(ev.astype(str))
+                elif str(gv.dtype).startswith("float"):
+                    eq = gv.astype("float64").equals(ev.astype("float64"))
+                else:
+                    eq = gv.equals(ev)
+            except Exception:  # noqa: BLE001
+                eq = False
+            if not eq:
+                mism.append(c)
+        if mism:
+            print(f"FAIL {name}: value mismatch in {mism}")
+            for c in mism[:2]:
+                diff = (g[c] != e[c])
+                try:
+                    idx = diff[diff].index[:3]
+                    for i in idx:
+                        print(f"   row {i}: spark={g[c][i]!r} duckdb={e[c][i]!r}")
+                except Exception:  # noqa: BLE001
+                    pass
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
