@@ -1,0 +1,230 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table: the reference's
+  * ingest normalization (F1/F2: maintain_database.py:470-473) and
+  * running counts (W1: maintain_database.py:462-481), plus the
+  * training-data-pipeline extensions (token counting, quality scoring,
+  * language-ID, fingerprinting). Everything is built from codegen'd
+  * `functions._` — no UDFs in these paths, so whole-stage codegen spans
+  * the full pipeline.
+  */
+object TextAnalysis {
+
+  /** F1+F2+W1: the reference's exact normalization chain — lower →
+    * strip greedy bracketed `\[.*\]|\{.*\}` stage directions → strip
+    * `[^\w\s]` — then word counts and the per-source running
+    * cum_word_count window (maintain_database.py:462-481). The greedy
+    * bracket regex is load-bearing reference behavior: `a [x] b [y] c`
+    * → `a  c` (see FIXTURES.md §2). */
+  def qNormalizeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("text_formatted",
+        regexp_replace(regexp_replace(lower($"text"), "\\[.*\\]|\\{.*\\}", ""), "[^\\w\\s]", ""))
+      .withColumn("word_count",
+        when(trim($"text_formatted") === "", 0)
+          .otherwise(size(split(trim($"text_formatted"), "\\s+"))))
+      .withColumn("cum_word_count", sum($"word_count").over(w))
+      .select($"doc_id", $"source", $"text_formatted", $"word_count", $"cum_word_count")
+      .orderBy($"doc_id")
+  }
+
+  val qNormalizeDocsSql: String =
+    """WITH t AS (
+         SELECT doc_id, source,
+           regexp_replace(regexp_replace(lower(text), '\[.*\]|\{.*\}', '', 'g'), '[^\w\s]', '', 'g') AS text_formatted
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, text_formatted,
+           CASE WHEN trim(text_formatted) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text_formatted), '\s+')) END AS word_count
+         FROM t)
+       SELECT doc_id, source, text_formatted, word_count,
+         SUM(word_count) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_word_count
+       FROM c ORDER BY doc_id"""
+
+  /** A12: token counting — whitespace proxy plus a BPE-ish regex
+    * segmentation (letters / digits / single symbol), the two counters
+    * the reference records (embed_transcripts_to_vector_db.py:53-74). */
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens",
+        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .select($"doc_id", $"ws_tokens", $"bpe_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val qTokenCountsSql: String =
+    """SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  private val StopWords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality scoring: stopword ratio, average word length, punctuation
+    * count, and a weighted quality score — the length/punct/stopword
+    * heuristics of a pretraining-data quality filter. All ratios are
+    * int/int or int/literal IEEE divisions so the oracle bit-matches. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim($"text"), "\\s+"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("stop_cnt",
+        size(expr(s"filter(words, t -> t IN ($stopList))")))
+      .withColumn("punct_cnt",
+        length($"text") - length(regexp_replace($"text", "[^\\w\\s]", "")))
+      .withColumn("stop_ratio", $"stop_cnt".cast("double") / $"n_words")
+      .withColumn("avg_word_len",
+        length(regexp_replace(trim($"text"), "\\s+", "")).cast("double") / $"n_words")
+      .withColumn("quality",
+        $"stop_ratio" * 0.4 + least(lit(1.0), $"n_words".cast("double") / 50) * 0.6)
+      .select($"doc_id", $"n_words", $"punct_cnt", $"stop_ratio", $"avg_word_len", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val qQualityScoreSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+         SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, len(words) AS n_words,
+           len(list_filter(words, t -> t IN ($stopList))) AS stop_cnt,
+           len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_cnt,
+           len(regexp_replace(trim(text), '\\s+', '', 'g')) AS squashed_len
+         FROM w)
+       SELECT doc_id, n_words, punct_cnt,
+         CAST(stop_cnt AS DOUBLE) / n_words AS stop_ratio,
+         CAST(squashed_len AS DOUBLE) / n_words AS avg_word_len,
+         (CAST(stop_cnt AS DOUBLE) / n_words) * 0.4
+           + LEAST(1.0, CAST(n_words AS DOUBLE) / 50) * 0.6 AS quality
+       FROM c ORDER BY doc_id"""
+  }
+
+  /** Language-ID via character-bigram profiles (the classic n-gram
+    * heuristic): build each language's top-50 bigram profile from
+    * training docs (doc_id % 5 != 0), score held-out docs by distinct
+    * profile hits, predict argmax (ties → lang asc). The profile is a
+    * ~250-row broadcast; the explode is 2× text bytes — linear, no
+    * wide shuffle, scale-safe. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", lower($"text").as("t"))
+    val bigrams = docs
+      .withColumn("bg", explode(expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))")))
+    val profile = bigrams.filter($"doc_id" % 5 =!= 0)
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"bg")))
+      .filter($"rnk" <= 50)
+      .select($"lang".as("profile_lang"), $"bg")
+    val testBg = bigrams.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"lang", $"bg").distinct()
+    val scores = testBg.join(broadcast(profile), Seq("bg"))
+      .groupBy($"doc_id", $"lang", $"profile_lang")
+      .agg(count(lit(1)).as("score"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"profile_lang")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"profile_lang".as("predicted_lang"), $"lang".as("actual_lang"),
+              when($"profile_lang" === $"lang", 1).otherwise(0).as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val qLangIdSql: String =
+    """WITH docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       bigrams AS (
+         SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t)-1), i -> substr(t, CAST(i AS INT), 2))) AS bg
+         FROM docs),
+       profile AS (
+         SELECT lang AS profile_lang, bg FROM (
+           SELECT lang, bg, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg) AS rnk
+           FROM bigrams WHERE doc_id % 5 != 0 GROUP BY lang, bg) t
+         WHERE rnk <= 50),
+       test_bg AS (
+         SELECT DISTINCT doc_id, lang, bg FROM bigrams WHERE doc_id % 5 = 0),
+       scores AS (
+         SELECT doc_id, lang, profile_lang, COUNT(*) AS score
+         FROM test_bg JOIN profile USING (bg)
+         GROUP BY doc_id, lang, profile_lang)
+       SELECT doc_id, profile_lang AS predicted_lang, lang AS actual_lang,
+         CASE WHEN profile_lang = lang THEN 1 ELSE 0 END AS correct
+       FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+         FROM scores) t
+       WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Word-frequency top-k: explode → groupBy → TakeOrdered. Map-side
+    * combine keeps the shuffle at #distinct-words. */
+  def qWordFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+      .limit(20)
+  }
+
+  val qWordFreqSql: String =
+    """SELECT word, COUNT(*) AS cnt FROM (
+         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         FROM documents) t
+       WHERE word != '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""
+
+  /** Document fingerprinting: polynomial rolling hash over the byte
+    * sequence (mod 1e9+7), the dedup-key primitive. A pure fold kept in
+    * codegen'd higher-order functions — identical left-to-right order
+    * in both engines, so the int result is exact. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("fp", expr(
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> (acc*31 + x) % 1000000007)"))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_normalize_docs" -> qNormalizeDocs,
+    "q22_token_counts" -> qTokenCounts,
+    "q23_quality_score" -> qQualityScore,
+    "q24_lang_id" -> qLangId,
+    "q25_word_freq" -> qWordFreq,
+    "q26_doc_fingerprint" -> qFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q21_normalize_docs" -> qNormalizeDocsSql,
+    "q22_token_counts" -> qTokenCountsSql,
+    "q23_quality_score" -> qQualityScoreSql,
+    "q24_lang_id" -> qLangIdSql,
+    "q25_word_freq" -> qWordFreqSql,
+    "q26_doc_fingerprint" -> qFingerprintSql)
+}
