@@ -9,14 +9,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    graft.islands.Islands.qIslandTimeRanges(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
-      graft.vector.Similarity.queries
+      graft.vector.Similarity.queries ++
+      graft.islands.Islands.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
-      graft.vector.Similarity.oracles
+      graft.vector.Similarity.oracles ++
+      graft.islands.Islands.oracles
 }
