@@ -17,7 +17,11 @@ object SparkEntry {
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
       graft.vector.Similarity.queries ++
-      graft.islands.Islands.queries
+      graft.islands.Islands.queries ++
+      graft.chunk.Chunkers.queries ++
+      graft.survey.Survey.queries ++
+      graft.events.EventOps.queries ++
+      graft.score.NgramLm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +30,9 @@ object SparkEntry {
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.vector.Similarity.oracles ++
-      graft.islands.Islands.oracles
+      graft.islands.Islands.oracles ++
+      graft.chunk.Chunkers.oracles ++
+      graft.survey.Survey.oracles ++
+      graft.events.EventOps.oracles ++
+      graft.score.NgramLm.oracles
 }

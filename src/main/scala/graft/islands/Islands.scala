@@ -96,24 +96,50 @@ object Islands {
          FROM convd)"""
   }
 
-  /** W8 as relational gaps-and-islands: flag runs ≥ threshold, segment
-    * ids from boundary cumsum, keep runs with end-start ≥ minLen. */
+  /** W8 as relational gaps-and-islands over an exploded array column:
+    * flag positions ≥ threshold, derive run ids from a boundary cumsum,
+    * keep runs with end − start ≥ minLen. Generic over the grouping
+    * key; one shuffle on `idCol`. Exactly IslandMath.findIslands
+    * (above-threshold mode) — IslandsSpec cross-checks the two forms. */
+  def islandsFromArray(df: DataFrame, idCol: String, arrCol: String,
+                       threshold: Double, minLen: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), posexplode(col(arrCol)).as(Seq("pos", "v")))
+      .withColumn("flag", col("v") >= threshold)
+      .withColumn("boundary",
+        when(lag(col("flag"), 1).over(wOrd).isNull ||
+          lag(col("flag"), 1).over(wOrd) =!= col("flag"), 1).otherwise(0))
+      .withColumn("seg", sum(col("boundary")).over(wRun))
+      .filter(col("flag"))
+      .groupBy(col(idCol), col("seg"))
+      .agg(min(col("pos")).as("start_idx"), max(col("pos")).as("end_idx"))
+      .filter(col("end_idx") - col("start_idx") >= minLen)
+      .select(col(idCol), col("start_idx"), col("end_idx"))
+  }
+
+  /** W10/J12: map 1-based word ranges to time ranges against a segment
+    * table — interval-overlap join (equi on the id + range predicate),
+    * then the reference's first-overlap/last-overlap pad rule
+    * (build_islands_from_scores.py:145-167): start of the first
+    * overlapping segment − pad clamped at 0; end of the LAST
+    * overlapping segment (max_by start, not max end) + pad. */
+  def timeRanges(islands: DataFrame, segments: DataFrame, idCol: String,
+                 padSec: Double): DataFrame =
+    islands.join(segments,
+        islands(idCol) === segments(s"seg_$idCol") &&
+          segments("seg_end_word") >= islands("word_start") &&
+          segments("seg_start_word") <= islands("word_end"))
+      .groupBy(islands(idCol), col("start_idx"), col("end_idx"),
+        col("word_start"), col("word_end"))
+      .agg(
+        greatest(lit(0.0), min(col("seg_start")) - padSec).as("time_start_sec"),
+        (max_by(col("seg_start") + col("seg_duration"), col("seg_start")) + padSec)
+          .as("time_end_sec"))
+
   def qEmbeddingIslands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wOrd = Window.partitionBy($"vec_id").orderBy($"pos")
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    smoothed(s, dir)
-      .select($"vec_id", posexplode($"smoothed").as(Seq("pos", "v")))
-      .withColumn("flag", $"v" >= Threshold)
-      .withColumn("boundary",
-        when(lag($"flag", 1).over(wOrd).isNull || lag($"flag", 1).over(wOrd) =!= $"flag", 1)
-          .otherwise(0))
-      .withColumn("seg", sum($"boundary").over(wRun))
-      .filter($"flag")
-      .groupBy($"vec_id", $"seg")
-      .agg(min($"pos").as("start_idx"), max($"pos").as("end_idx"))
-      .filter($"end_idx" - $"start_idx" >= MinLen)
-      .select($"vec_id", $"start_idx", $"end_idx")
+    islandsFromArray(smoothed(s, dir), "vec_id", "smoothed", Threshold, MinLen)
       .orderBy($"vec_id", $"start_idx")
   }
 
@@ -157,14 +183,7 @@ object Islands {
         ($"seg_idx" * 10.0).as("seg_start"),
         lit(10.0).as("seg_duration"))
     val vecs = smoothed(s, dir).select($"vec_id".as("raw_vec_id"), $"vec")
-    islands
-      .join(segments,
-        $"vec_id" === $"seg_vec_id" &&
-          $"seg_end_word" >= $"word_start" && $"seg_start_word" <= $"word_end")
-      .groupBy($"vec_id", $"start_idx", $"end_idx", $"word_start", $"word_end")
-      .agg(
-        greatest(lit(0.0), min($"seg_start") - PadSec).as("time_start_sec"),
-        (max_by($"seg_start" + $"seg_duration", $"seg_start") + PadSec).as("time_end_sec"))
+    timeRanges(islands, segments, "vec_id", PadSec)
       .join(vecs, $"vec_id" === $"raw_vec_id")
       .withColumn("avg_score", expr(
         "aggregate(slice(vec, start_idx + 1, end_idx - start_idx + 1), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")

@@ -1,0 +1,156 @@
+package graft.score
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** N-gram language-model scoring (SURVEY.md §2.5 W3-W5): tokenize,
+  * left-pad with n−1 "<s>" symbols, build (word, context) items, score
+  * each item with an n-gram MLE model
+  * (client/async_processing_client.py:163-179).
+  *
+  * The reference ships ~9,511 pickled NLTK models as BYTEA blobs and
+  * runs a pure-Python scoring loop it calls "pathologically slow"
+  * (ROADMAP.md:55-61). Here the model is a JVM hash-map scored via a
+  * broadcast — one ship per executor replaces the reference's
+  * LRU-with-affinity machinery (client:334-361, server:91-112) — and
+  * the same math is ALSO expressed relationally (count tables + joins)
+  * so the DuckDB oracle can replay it. NgramLmSpec cross-checks the
+  * two forms.
+  */
+object NgramLm {
+
+  val N = 4
+  val Pad = "<s>"
+
+  /** The reference's model interface: probability of word given an
+    * (n−1)-token context (client:177-179). */
+  trait LmModel extends Serializable {
+    def score(word: String, context: Seq[String]): Double
+  }
+
+  /** FakeModel analogue for tests (test_support.py:85-90). */
+  final case class ConstLm(p: Double) extends LmModel {
+    def score(word: String, context: Seq[String]): Double = p
+  }
+
+  /** MLE: count(context ++ word) / count(context), 0 when the context
+    * (or continuation) is unseen. */
+  final case class MleLm(n: Int,
+                         grams: Map[Seq[String], Long],
+                         contexts: Map[Seq[String], Long]) extends LmModel {
+    def score(word: String, context: Seq[String]): Double = {
+      val c = contexts.getOrElse(context, 0L)
+      if (c == 0L) 0.0
+      else grams.getOrElse(context :+ word, 0L).toDouble / c
+    }
+  }
+
+  def tokenize(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** Left-pad with n−1 sentinels (client:163-165). */
+  def pad(tokens: Array[String], n: Int = N): Array[String] =
+    Array.fill(n - 1)(Pad) ++ tokens
+
+  /** (word, context) items for every position past the padding
+    * (client:168-174). */
+  def items(tokens: Array[String], n: Int = N): Seq[(String, Seq[String])] = {
+    val padded = pad(tokens, n)
+    (n - 1 until padded.length).map(i => (padded(i), padded.slice(i - n + 1, i).toSeq))
+  }
+
+  /** Train an MLE model from a token corpus. */
+  def train(corpus: Iterable[Array[String]], n: Int = N): MleLm = {
+    val grams = scala.collection.mutable.Map.empty[Seq[String], Long]
+    val ctxs = scala.collection.mutable.Map.empty[Seq[String], Long]
+    corpus.foreach { tokens =>
+      items(tokens, n).foreach { case (w, ctx) =>
+        grams.updateWith(ctx :+ w)(c => Some(c.getOrElse(0L) + 1))
+        ctxs.updateWith(ctx)(c => Some(c.getOrElse(0L) + 1))
+      }
+    }
+    MleLm(n, grams.toMap, ctxs.toMap)
+  }
+
+  /** W5: score a text column against a broadcast model → per-word score
+    * array. The broadcast deserializes once per executor — the Spark
+    * replacement for the reference's model-major scheduling and
+    * per-client LRU. */
+  def scoreColumn(df: DataFrame, textCol: String, model: Broadcast[LmModel]): DataFrame = {
+    val scoreUdf = udf { text: String =>
+      items(tokenize(text)).map { case (w, ctx) => model.value.score(w, ctx) }
+    }
+    df.withColumn("score", scoreUdf(col(textCol)))
+  }
+
+  /** The relational form of train+score: 4-gram/3-gram count tables
+    * from the src0 training corpus, items from src1 docs, probability
+    * via two left joins (gram hit / context total), per-doc mean. At
+    * 100 TB the count tables shuffle on the gram key with map-side
+    * combine, and scoring is two broadcast (or shuffled) hash joins —
+    * no Python loop, no model blobs. */
+  def qNgramScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def itemsDf(src: String): DataFrame =
+      Tables.documents(s, dir)
+        .filter($"source" === src)
+        .withColumn("padded", expr(
+          s"concat(array_repeat('$Pad', ${N - 1}), split(trim(text), '\\\\s+'))"))
+        .select($"doc_id", explode(expr(
+          s"transform(sequence($N, size(padded)), i -> struct(" +
+            "element_at(padded, i-3) as c1, element_at(padded, i-2) as c2, " +
+            "element_at(padded, i-1) as c3, element_at(padded, i) as w))")).as("it"))
+        .select($"doc_id", $"it.c1", $"it.c2", $"it.c3", $"it.w")
+    val train = itemsDf("src0")
+    val grams4 = train.groupBy($"c1", $"c2", $"c3", $"w").agg(count(lit(1)).as("c4"))
+    val grams3 = train.groupBy($"c1", $"c2", $"c3").agg(count(lit(1)).as("c3n"))
+    itemsDf("src1")
+      .join(grams4, Seq("c1", "c2", "c3", "w"), "left")
+      .join(grams3, Seq("c1", "c2", "c3"), "left")
+      .withColumn("p",
+        when($"c3n".isNull || $"c3n" === 0, 0.0)
+          .otherwise(coalesce($"c4", lit(0L)).cast("double") / $"c3n"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_items"),
+           (sum($"p") / count(lit(1))).as("mean_p"))
+      .select($"doc_id", $"n_items",
+        $"mean_p".cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
+      .orderBy($"doc_id")
+  }
+
+  val qNgramScoreSql: String =
+    s"""WITH it AS (
+         SELECT doc_id, source,
+           unnest(list_transform(generate_series($N, len(padded)), i -> struct_pack(
+             c1 := padded[i-3], c2 := padded[i-2], c3 := padded[i-1], w := padded[i]))) AS item
+         FROM (SELECT doc_id, source,
+                 list_concat(['$Pad', '$Pad', '$Pad'],
+                   regexp_split_to_array(trim(text), '\\s+')) AS padded
+               FROM documents WHERE source IN ('src0', 'src1')) t),
+       flat AS (
+         SELECT doc_id, source, item.c1 AS c1, item.c2 AS c2, item.c3 AS c3, item.w AS w
+         FROM it),
+       grams4 AS (
+         SELECT c1, c2, c3, w, COUNT(*) AS c4 FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3, w),
+       grams3 AS (
+         SELECT c1, c2, c3, COUNT(*) AS c3n FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3)
+       SELECT f.doc_id, COUNT(*) AS n_items,
+         CAST(CAST(SUM(CASE WHEN g3.c3n IS NULL OR g3.c3n = 0 THEN 0.0
+                       ELSE CAST(COALESCE(g4.c4, 0) AS DOUBLE) / g3.c3n END)
+              / COUNT(*) AS DECIMAL(12,6)) AS VARCHAR) AS mean_p
+       FROM flat f
+       LEFT JOIN grams4 g4 ON f.c1 = g4.c1 AND f.c2 = g4.c2 AND f.c3 = g4.c3 AND f.w = g4.w
+       LEFT JOIN grams3 g3 ON f.c1 = g3.c1 AND f.c2 = g3.c2 AND f.c3 = g3.c3
+       WHERE f.source = 'src1'
+       GROUP BY f.doc_id ORDER BY f.doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_ngram_score" -> qNgramScore)
+
+  val oracles: Map[String, String] = Map(
+    "q46_ngram_score" -> qNgramScoreSql)
+}

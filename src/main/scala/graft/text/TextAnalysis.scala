@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -15,6 +15,17 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
+  /** F1 (maintain_database.py:470-472): lower → strip greedy bracketed
+    * stage directions → strip non-word/space. The greedy `\[.*\]` is
+    * load-bearing: `a [x] b [y] c` → `a  c`. */
+  def textFormatted(c: Column): Column =
+    regexp_replace(regexp_replace(lower(c), "\\[.*\\]|\\{.*\\}", ""), "[^\\w\\s]", "")
+
+  /** F2 (maintain_database.py:473): whitespace word count with
+    * empty → 0 guard. */
+  def wordCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
+
   /** F1+F2+W1: the reference's exact normalization chain — lower →
     * strip greedy bracketed `\[.*\]|\{.*\}` stage directions → strip
     * `[^\w\s]` — then word counts and the per-source running
@@ -26,11 +37,8 @@ object TextAnalysis {
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
-      .withColumn("text_formatted",
-        regexp_replace(regexp_replace(lower($"text"), "\\[.*\\]|\\{.*\\}", ""), "[^\\w\\s]", ""))
-      .withColumn("word_count",
-        when(trim($"text_formatted") === "", 0)
-          .otherwise(size(split(trim($"text_formatted"), "\\s+"))))
+      .withColumn("text_formatted", textFormatted($"text"))
+      .withColumn("word_count", wordCount($"text_formatted"))
       .withColumn("cum_word_count", sum($"word_count").over(w))
       .select($"doc_id", $"source", $"text_formatted", $"word_count", $"cum_word_count")
       .orderBy($"doc_id")

@@ -90,7 +90,7 @@ object Similarity {
   /** IVF approximate top-k: coarse centroids = every 50th vector
     * (deterministic stand-in for k-means — the partition/probe plumbing
     * is the point), assign every vector to its nearest centroid
-    * (broadcast), then search only the nprobe=3 nearest buckets per
+    * (broadcast), then search only the nprobe nearest buckets per
     * query. At 100 TB: centroid assignment is one linear pass, buckets
     * become partition keys (partition pruning on probe), and the
     * per-query candidate set drops from N to ~3N/k. Rows-only query;
@@ -108,14 +108,16 @@ object Similarity {
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id")))
       .filter($"crn" === 1)
       .select($"vec_id", $"vec", $"norm", $"centroid_id".as("bucket"))
-    // probe: 3 nearest centroids per query
+    // probe: 5 nearest centroids per query (uniform random vectors have
+    // no cluster structure, so recall ~ fraction of buckets scanned;
+    // clustered real embeddings need far fewer probes)
     val queries = emb.filter($"vec_id" < 20)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"norm".as("qnorm"))
     val probes = queries.join(broadcast(centroids), lit(true))
       .withColumn("csim", dot("qvec", "cvec") / ($"qnorm" * $"cnorm"))
       .withColumn("crn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"csim".desc, $"centroid_id")))
-      .filter($"crn" <= 3)
+      .filter($"crn" <= 5)
       .select($"query_id", $"qvec", $"qnorm", $"centroid_id".as("bucket"))
     probes.join(assigned, Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")

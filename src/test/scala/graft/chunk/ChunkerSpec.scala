@@ -1,0 +1,112 @@
+package graft.chunk
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md §5: word-window and token-budget chunker semantics
+  * (embed_transcripts_8values.py:61-73,
+  * embed_transcripts_to_vector_db.py:265-360). */
+class ChunkerSpec extends AnyFunSuite {
+
+  private def words(n: Int, prefix: String = "w"): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("word window: 500 words, size 200, overlap 40 -> starts 0,160,320") {
+    val chunks = Chunkers.chunkWords(words(500), 200, 40)
+    assert(chunks.length == 3)
+    assert(chunks(0).startsWith("w0 ") && chunks(0).split(" ").length == 200)
+    assert(chunks(1).startsWith("w160 ") && chunks(1).split(" ").length == 200)
+    assert(chunks(2).startsWith("w320 ") && chunks(2).split(" ").length == 180)
+  }
+
+  test("word window: stops once a chunk reaches the end") {
+    // 200 words exactly: one chunk, no empty trailing chunk
+    assert(Chunkers.chunkWords(words(200), 200, 40).length == 1)
+    assert(Chunkers.chunkWords("", 200, 40).isEmpty)
+  }
+
+  test("split_oversized: 800-token segment splits into <= 700-token parts") {
+    val parts = Chunkers.splitOversized(words(800), 700)
+    assert(parts.length == 2)
+    assert(parts.forall(p => Chunkers.countTokens(p) <= 700))
+    assert(parts.map(Chunkers.countTokens).sum == 800)
+  }
+
+  test("split_oversized: within budget -> unchanged") {
+    val t = words(100)
+    assert(Chunkers.splitOversized(t, 700) == Seq(t))
+  }
+
+  test("greedy pack: segments accumulate until max_tokens") {
+    val segs = (0 until 6).map(i => Chunkers.Segment(i * 10.0, 10.0, words(300, s"s${i}_")))
+    val chunks = Chunkers.buildChunksSimple(segs, 400, 700)
+    // 300+300 = 600 fits, +300 would exceed 700 -> chunks of 2 segments
+    assert(chunks.length == 3)
+    assert(chunks.forall(_.tokenCount == 600))
+    assert(chunks.head.startTime == 0.0 && chunks.head.endTime == 20.0)
+    assert(chunks.head.segmentCount == 2)
+  }
+
+  test("undersized tail merges into previous when merged <= max") {
+    val segs = Seq(
+      Chunkers.Segment(0.0, 10.0, words(400, "a")),
+      Chunkers.Segment(10.0, 10.0, words(100, "b")))
+    // greedy: 400+100=500 <= 700 so they pack together already
+    val packed = Chunkers.buildChunksSimple(segs, 400, 700)
+    assert(packed.length == 1 && packed.head.tokenCount == 500)
+    // force a split then a merge: 650 + 100 -> two buffers, tail 100 < min 400,
+    // merged 750 > 700 so it stays separate
+    val segs2 = Seq(
+      Chunkers.Segment(0.0, 10.0, words(650, "a")),
+      Chunkers.Segment(10.0, 10.0, words(100, "b")))
+    val chunks2 = Chunkers.buildChunksSimple(segs2, 400, 700)
+    assert(chunks2.length == 2)
+    // and a mergeable case: 500 + 100 packed greedily -> single chunk anyway;
+    // use max 550 so greedy splits, then merged 600 > 550 stays; with max 650
+    // greedy packs 500+100 directly. Exercise the merge loop explicitly:
+    val segs3 = Seq(
+      Chunkers.Segment(0.0, 5.0, words(500, "a")),
+      Chunkers.Segment(5.0, 5.0, words(140, "b")),
+      Chunkers.Segment(10.0, 5.0, words(100, "c")))
+    // max 600: [a(500), b? 500+140=640 > 600 -> emit a] [b(140), c? 140+100=240 fits]
+    // tail chunk 240 < min 400 -> merge with previous? 500+240=740 > 600 -> stays
+    val chunks3 = Chunkers.buildChunksSimple(segs3, 400, 600)
+    assert(chunks3.length == 2)
+    assert(chunks3(0).tokenCount == 500 && chunks3(1).tokenCount == 240)
+    // max 800, min 300: greedy packs 500+140 = 640, +100 = 740 fits too -> 1 chunk
+    val chunks4 = Chunkers.buildChunksSimple(segs3, 300, 800)
+    assert(chunks4.length == 1 && chunks4.head.tokenCount == 740)
+  }
+
+  test("greedy packs an undersized trailing segment directly") {
+    val segs = Seq(
+      Chunkers.Segment(0.0, 5.0, words(300, "a")),
+      Chunkers.Segment(5.0, 5.0, words(50, "b")))
+    val merged = Chunkers.buildChunksSimple(segs, 100, 400)
+    assert(merged.length == 1)
+    assert(merged.head.tokenCount == 350)
+    assert(merged.head.startTime == 0.0 && merged.head.endTime == 10.0)
+    assert(merged.head.segmentCount == 2)
+  }
+
+  test("merge loop fires with a non-additive counter (real-BPE shape)") {
+    // Whitespace counting is additive, so the forward-merge loop can
+    // only fire with a counter (like a real BPE) where the merged text
+    // re-counts differently than the greedy trial did. Discount
+    // counter: strings containing both a0 and c0 count 200 fewer.
+    def counter(discount: Int): String => Int = t =>
+      Chunkers.countTokens(t) -
+        (if (t.contains("a0 ") && t.contains("c0")) discount else 0)
+    val segs = Seq(
+      Chunkers.Segment(0.0, 5.0, words(300, "a")),
+      Chunkers.Segment(5.0, 5.0, words(200, "b")),
+      Chunkers.Segment(10.0, 5.0, words(100, "c")))
+    // greedy under max 450: emit a(300); then b+c pack to 300 < min 350
+    // merged a+b+c = 600-200 = 400 <= 450 -> merge fires
+    val merged = Chunkers.buildChunksSimple(segs, 350, 450, counter(200))
+    assert(merged.length == 1 && merged.head.segmentCount == 3)
+    assert(merged.head.endTime == 15.0)
+    // with only a 100 discount the merged text counts 500 > 450 -> stays
+    val split = Chunkers.buildChunksSimple(segs, 350, 450, counter(100))
+    assert(split.length == 2)
+  }
+}

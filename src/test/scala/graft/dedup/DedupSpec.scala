@@ -1,0 +1,52 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+/** MinHash-LSH candidates vs brute-force jaccard ground truth. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingleSets(): Map[Long, Set[String]] =
+    graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").collect().map { r =>
+        val words = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        val sh = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("LSH candidates with est >= 0.5 are true near-dups (no false positives)") {
+    val sets = shingleSets()
+    val pairs = Dedup.qMinHashLsh(spark, Sf0001).collect()
+    assert(pairs.nonEmpty, "expected planted near-dup pairs in testdata")
+    pairs.foreach { r =>
+      val j = jaccard(sets(r.getAs[Long]("d1")), sets(r.getAs[Long]("d2")))
+      assert(j >= 0.3, s"pair (${r.get(0)}, ${r.get(1)}) est=${r.get(2)} true=$j")
+    }
+  }
+
+  test("LSH recall: every pair with true jaccard >= 0.8 is found") {
+    val sets = shingleSets()
+    val truth = for {
+      (d1, s1) <- sets.toSeq; (d2, s2) <- sets.toSeq
+      if d1 < d2 && jaccard(s1, s2) >= 0.8
+    } yield (d1, d2)
+    val found = Dedup.qMinHashLsh(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(truth.nonEmpty)
+    truth.foreach(p => assert(found.contains(p), s"missed true near-dup $p"))
+  }
+
+  test("SimHash near-dup pairs overlap the jaccard near-dups") {
+    val sets = shingleSets()
+    val sim = Dedup.qSimHash(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(sim.nonEmpty)
+    // hamming <= 6 of 64 bits should be dominated by genuinely similar docs
+    val js = sim.map { case (a, b) => jaccard(sets(a), sets(b)) }
+    assert(js.max >= 0.8)
+  }
+}
