@@ -77,27 +77,54 @@ object Chunkers {
                          endTime: Double, wordCount: Int, tokenCount: Int,
                          segmentCount: Int)
 
-  def countTokens(text: String): Int = {
-    val t = text.trim
-    if (t.isEmpty) 0 else t.split("\\s+").length
+  /** Pluggable token counter (the reference's count_tokens callable,
+    * embed_transcripts_to_vector_db.py:53-74). Counters that are
+    * ADDITIVE over single-space joins (count(a⧺" "⧺b) = count(a) +
+    * count(b), like whitespace counting) unlock the O(L) running-sum
+    * chunking path; plain `String => Int` lambdas (a real BPE is not
+    * additive) take the reference-exact re-count path. */
+  trait TokenCounter extends (String => Int) {
+    def additive: Boolean = false
+  }
+
+  /** Whitespace-token counter — additive over space joins. */
+  object WhitespaceCounter extends TokenCounter {
+    override val additive = true
+    def apply(text: String): Int = {
+      val t = text.trim
+      if (t.isEmpty) 0 else t.split("\\s+").length
+    }
+  }
+
+  def countTokens(text: String): Int = WhitespaceCounter(text)
+
+  private def isAdditive(counter: String => Int): Boolean = counter match {
+    case t: TokenCounter => t.additive
+    case _ => false
   }
 
   /** split_oversized_text (embed_transcripts_to_vector_db.py:265-283).
-    * The token counter is pluggable like the reference's
-    * count_tokens callable (whitespace proxy or a real BPE). */
+    * For additive counters the per-word running sum reproduces the
+    * reference's re-count-the-joined-buffer loop in O(L) instead of
+    * O(L²); non-additive counters keep the reference's exact
+    * arithmetic. */
   def splitOversized(text: String, maxTokens: Int,
-                     countTokens: String => Int = countTokens): Seq[String] = {
+                     countTokens: String => Int = WhitespaceCounter): Seq[String] = {
     if (countTokens(text) <= maxTokens) return Seq(text)
     val words = text.split("\\s+").filter(_.nonEmpty)
     if (words.isEmpty) return Seq.empty
+    val fast = isAdditive(countTokens)
     val parts = Seq.newBuilder[String]
     var buf = Vector.empty[String]
+    var bufTok = 0
     for (w <- words) {
       buf :+= w
-      if (countTokens(buf.mkString(" ")) >= maxTokens && buf.length > 1) {
+      bufTok = if (fast) bufTok + countTokens(w) else countTokens(buf.mkString(" "))
+      if (bufTok >= maxTokens && buf.length > 1) {
         buf = buf.dropRight(1)
         parts += buf.mkString(" ")
         buf = Vector(w)
+        bufTok = countTokens(w)
       }
     }
     if (buf.nonEmpty) parts += buf.mkString(" ")
@@ -105,46 +132,59 @@ object Chunkers {
   }
 
   /** build_chunks_simple (embed_transcripts_to_vector_db.py:286-360):
-    * greedy pack + forward merge of undersized chunks. */
+    * greedy pack + forward merge of undersized chunks. With an additive
+    * counter, token counts accumulate per appended segment (one
+    * countTokens call each) instead of re-concatenating and re-counting
+    * the whole buffer — O(total length) per group instead of O(L²) per
+    * chunk; non-additive counters re-count joined text exactly like the
+    * reference. */
   def buildChunksSimple(segments: Seq[Segment], minTokens: Int, maxTokens: Int,
-                        countTokens: String => Int = countTokens): Seq[Chunk] = {
+                        countTokens: String => Int = WhitespaceCounter): Seq[Chunk] = {
     val expanded = segments.flatMap { seg =>
       splitOversized(seg.text.trim, maxTokens, countTokens).map(p => seg.copy(text = p))
     }
     if (expanded.isEmpty) return Seq.empty
-    final case class Buf(text: String, startTime: Double, endTime: Double, segs: Int)
+    val fast = isAdditive(countTokens)
+    final case class Buf(text: String, tok: Int, startTime: Double, endTime: Double, segs: Int)
     var chunks = Vector.empty[Buf]
     var buf = Vector.empty[Segment]
+    var bufTok = 0
     def emit(): Unit = if (buf.nonEmpty) {
       val text = buf.map(_.text).mkString(" ")
-      chunks :+= Buf(text, buf.head.start, buf.last.start + buf.last.duration, buf.length)
+      chunks :+= Buf(text, if (fast) bufTok else countTokens(text),
+        buf.head.start, buf.last.start + buf.last.duration, buf.length)
       buf = Vector.empty
+      bufTok = 0
     }
     for (seg <- expanded) {
-      if (buf.isEmpty) buf :+= seg
+      val segTok = countTokens(seg.text)
+      if (buf.isEmpty) { buf :+= seg; bufTok = segTok }
       else {
-        val trial = buf.map(_.text).mkString(" ") + " " + seg.text
-        if (countTokens(trial) <= maxTokens) buf :+= seg
-        else { emit(); buf :+= seg }
+        val trialTok =
+          if (fast) bufTok + segTok
+          else countTokens(buf.map(_.text).mkString(" ") + " " + seg.text)
+        if (trialTok <= maxTokens) { buf :+= seg; bufTok = trialTok }
+        else { emit(); buf :+= seg; bufTok = segTok }
       }
     }
     emit()
     var i = 0
     while (i < chunks.length - 1 && {
       val next = chunks(i + 1)
-      if (countTokens(next.text) < minTokens) {
-        val merged = chunks(i).text + " " + next.text
-        if (countTokens(merged) <= maxTokens) {
+      if (next.tok < minTokens) {
+        val mergedText = chunks(i).text + " " + next.text
+        val mergedTok = if (fast) chunks(i).tok + next.tok else countTokens(mergedText)
+        if (mergedTok <= maxTokens) {
           chunks = chunks.updated(i,
-            Buf(merged, chunks(i).startTime, next.endTime, chunks(i).segs + next.segs))
+            Buf(mergedText, mergedTok,
+              chunks(i).startTime, next.endTime, chunks(i).segs + next.segs))
             .patch(i + 1, Nil, 1)
           true
         } else { i += 1; true }
       } else false
     }) {}
     chunks.zipWithIndex.map { case (c, idx) =>
-      Chunk(idx, c.text, c.startTime, c.endTime,
-        countTokens(c.text), countTokens(c.text), c.segs)
+      Chunk(idx, c.text, c.startTime, c.endTime, c.tok, c.tok, c.segs)
     }
   }
 

@@ -9,6 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst prune columns down to the parquet scan.
   */
 object Tables {
+  /** Session configuration every graft entry point needs. Applied by
+    * Bench/Verify/test builders — NOT by readers (readers stay
+    * side-effect free so a flag never silently leaks into unrelated
+    * reads in a shared session). */
+  val sessionConf: Map[String, String] = Map(
+    // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it
+    // without the legacy flag (read as raw int64 nanos instead).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
   def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")
   def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
@@ -17,15 +27,15 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read the raw int64 nanos and truncate to a
-    * microsecond timestamp (matching DuckDB's ns→us cast semantics).
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is set
+    * in the session (see [[Sessions.configure]] — builders set it; this
+    * reader is side-effect free). The raw int64 nanos are truncated to
+    * a microsecond timestamp (matching DuckDB's ns→us cast semantics).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 }

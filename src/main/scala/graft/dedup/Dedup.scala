@@ -25,13 +25,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact dedup summary: hash-groupBy on full text. At scale this is
-    * one shuffle keyed on a 128-bit text hash (not the text itself) —
-    * here the summary counts stand in for the keep-min-id rewrite. */
+  /** Exact dedup summary: hash-groupBy keyed on md5(text) — the
+    * shuffle carries a 32-char digest, not the document body, which is
+    * the difference between shuffling ~32 B/doc and ~100 KB/doc at
+    * 100 TB. md5 is identical across engines so the oracle replays the
+    * same groups. Outer integer SUMs are CAST in the oracle (DuckDB
+    * SUM(BIGINT) → HUGEINT → pandas float64). */
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val perText = docs.groupBy($"text").agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+    val perText = docs.groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
     perText.agg(
       sum($"n").as("n_docs"),
       count(lit(1)).as("n_distinct_texts"),
@@ -39,10 +43,10 @@ object Dedup {
   }
 
   val qDedupExactSql: String =
-    """SELECT SUM(n) AS n_docs, COUNT(*) AS n_distinct_texts,
-       SUM(n) - COUNT(*) AS n_exact_dups
-       FROM (SELECT text, COUNT(*) AS n, MIN(doc_id) AS keep_id
-             FROM documents GROUP BY text) t"""
+    """SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct_texts,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dups
+       FROM (SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+             FROM documents GROUP BY md5(text)) t"""
 
   /** N-gram Jaccard near-dup pairs: distinct 3-shingles, self-join on
     * shingle (scoped to same `source` to bound the candidate space —
@@ -85,13 +89,18 @@ object Dedup {
        WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05
        ORDER BY d1, d2"""
 
-  // --- MinHash + LSH (rows-only: signature constants aren't portable
-  // --- to the SQL oracle; correctness is asserted in DedupSpec against
-  // --- brute-force jaccard) -------------------------------------------
+  // --- MinHash + LSH -------------------------------------------------
+  // All hashes are PORTABLE polynomial folds (the q26 fingerprint
+  // primitive) instead of engine-specific murmur/xxhash, so the DuckDB
+  // oracle replays the exact signatures and q29/q30 carry real
+  // hash-compare rows rather than rows-only checks.
 
   private val NumHashes = 32
   private val BandRows = 4 // 8 bands × 4 rows
   private val MersennePrime = 2147483647L // 2^31-1
+  private val PolyMod1 = 1000000007L
+  private val PolyMod2 = 998244353L
+
   /** Deterministic LCG-derived (a,b) coefficient pairs. */
   private[dedup] val hashCoeffs: Seq[(Long, Long)] = {
     var x = 42L
@@ -99,13 +108,25 @@ object Dedup {
     Seq.fill(NumHashes)(((next() % (MersennePrime - 1)) + 1, next() % MersennePrime))
   }
 
-  /** MinHash signatures: shingle → 32-bit hash → per-permutation min.
-    * One groupBy per doc; the 32 mins are computed as 32 agg columns
-    * (map-side combined, no wide shuffle). */
+  /** Portable per-char polynomial fold, Spark side. Every intermediate
+    * stays < 2^35 so DuckDB BIGINT (which errors on overflow, unlike
+    * Java wrap-around) computes the identical value. */
+  private def polyHashExpr(col: String, base: Long, mod: Long): String =
+    s"aggregate(transform(split($col, ''), c -> ascii(c)), 0L, (acc, x) -> (acc*$base + x) % $mod)"
+
+  /** The same fold, DuckDB side. */
+  private def polyHashSql(col: String, base: Long, mod: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*$base + x) % $mod)"""
+
+  /** MinHash signatures: shingle → portable 31-bit poly hash →
+    * per-permutation min. One groupBy per doc; the 32 mins are computed
+    * as 32 agg columns (map-side combined, no wide shuffle). */
   def minHashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
-      .withColumn("h", (hash($"shingle").cast("long") + lit(2147483648L)) % MersennePrime)
+      .withColumn("h", expr(polyHashExpr("shingle", 31, PolyMod1)))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((($"h" * a + b) % MersennePrime)).as(s"m$i")
     }
@@ -117,12 +138,16 @@ object Dedup {
   /** LSH candidate pairs → verified by estimated jaccard (fraction of
     * equal signature slots) ≥ 0.5. Banding keeps the self-join keyed on
     * (band, band-hash) buckets — the canonical linear-ish scale path
-    * for 100 TB dedup, vs the quadratic shingle self-join. */
+    * for 100 TB dedup, vs the quadratic shingle self-join. The band key
+    * is a poly fold of the 4 slot values (portable, oracle replays it:
+    * banding is part of the SEMANTICS — an est≥0.5 pair sharing no
+    * band is correctly absent). */
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = minHashSignatures(s, dir)
     val banded = sigs.select($"doc_id", $"sig",
-        explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band, hash(slice(sig, b*$BandRows + 1, $BandRows)) as bkey))")).as("bb"))
+        explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band, " +
+          s"aggregate(slice(sig, b*$BandRows + 1, $BandRows), 0L, (acc, x) -> (acc*31 + x) % $PolyMod1) as bkey))")).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bkey")
     val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"sig".as("sig1"))
     val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"sig".as("sig2"))
@@ -136,34 +161,110 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  /** SimHash (64-bit): per-word xxhash64, bit-majority vote weighted by
-    * term frequency, assembled with bit_or of single-bit masks. Emits
-    * near-dup pairs at hamming ≤ 6 (at scale: band the 64 bits into
-    * 4×16-bit keys and join on any-band-equal instead of the full
-    * cross). */
+  val qMinHashLshSql: String = {
+    val minCols = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h*$a + $b) % $MersennePrime) AS m$i"
+    }.mkString(",\n           ")
+    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(words)-2),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+              FROM w WHERE len(words) >= 3),
+       hh AS (SELECT doc_id, ${polyHashSql("shingle", 31, PolyMod1)} AS h FROM sh),
+       mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM hh GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM mins),
+       bands AS (
+         SELECT doc_id, sig, b,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             sig[CAST(b*$BandRows + 1 AS INT) : CAST(b*$BandRows + $BandRows AS INT)]),
+             (acc, x) -> (acc*31 + x) % $PolyMod1) AS bkey
+         FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes / BandRows - 1})) AS b) g),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       est AS (
+         SELECT d1, d2,
+           CAST(len(list_filter(generate_series(1, $NumHashes),
+             i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE) / $NumHashes AS est_jaccard
+         FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2)
+       SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
+  }
+
+  private val SimBits = 60      // 60-bit simhash from two poly folds
+  private val SimBandBits = 6   // 10 bands × 6 bits
+  private val SimBands = SimBits / SimBandBits
+  private val SimHamMax = 6     // ≤ 6 differing bits
+
+  /** SimHash (60-bit portable): per-word poly-hash pair combined into
+    * one 60-bit value, bit-majority vote weighted by term frequency.
+    * Near-dup pairs at hamming ≤ $SimHamMax found via BANDED join —
+    * 10 bands of 6 bits; ≤6 differing bits can dirty at most 6 bands,
+    * so every qualifying pair shares ≥4 exact bands (pigeonhole): the
+    * bucketed join is EXACTLY equivalent to the all-pairs scan the
+    * oracle runs, with candidate volume ~Σ bucket² instead of N². */
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      .withColumn("wh", xxhash64($"word"))
+      .withColumn("wh",
+        expr(polyHashExpr("word", 31, PolyMod1)) * lit(2147483648L) +
+          expr(polyHashExpr("word", 131, PolyMod2)))
     val bits = words.select($"doc_id", $"tf", $"wh",
-        explode(expr("sequence(0, 63)")).as("j"))
+        explode(expr(s"sequence(0, ${SimBits - 1})")).as("j"))
       .withColumn("contrib",
         when(expr("(wh >> j) & 1") === 1, $"tf").otherwise(-$"tf"))
       .groupBy($"doc_id", $"j").agg(sum($"contrib").as("v"))
     val sigs = bits
       .groupBy($"doc_id")
       .agg(expr("bit_or(CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END)").as("simhash"))
-    val a = sigs.select($"doc_id".as("d1"), $"simhash".as("h1"))
-    val b = sigs.select($"doc_id".as("d2"), $"simhash".as("h2"))
-    a.join(b, $"d1" < $"d2")
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .filter($"hamming" <= 6)
+    val banded = sigs.select($"doc_id", $"simhash",
+        explode(expr(s"transform(sequence(0, ${SimBands - 1}), b -> struct(b as band, " +
+          s"shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1} as bkey))")).as("bb"))
+      .select($"doc_id", $"simhash", $"bb.band", $"bb.bkey")
+    val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"simhash".as("h1"))
+    val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"simhash".as("h2"))
+    a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
+      .select($"d1", $"d2", $"h1", $"h2").distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
+      .filter($"hamming" <= SimHamMax)
       .select($"d1", $"d2", $"hamming")
       .orderBy($"d1", $"d2")
   }
+
+  /** Oracle: all-pairs hamming scan (the oracle needn't be fast; the
+    * banded Spark plan is provably equivalent for hamming ≤ 6). */
+  val qSimHashSql: String =
+    s"""WITH words AS (
+         SELECT doc_id, word, COUNT(*) AS tf FROM (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents) t
+         WHERE word != '' GROUP BY doc_id, word),
+       wh AS (
+         SELECT doc_id, tf,
+           ${polyHashSql("word", 31, PolyMod1)} * 2147483648 +
+           ${polyHashSql("word", 131, PolyMod2)} AS wh
+         FROM words),
+       bits AS (
+         SELECT doc_id, j,
+           SUM(CASE WHEN (wh >> CAST(j AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS v
+         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, ${SimBits - 1})) AS j) g
+         GROUP BY doc_id, j),
+       sigs AS (
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax
+       ORDER BY d1, d2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> qDedupExact,
@@ -173,5 +274,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
-    "q28_jaccard_neardup" -> qJaccardNearDupSql)
+    "q28_jaccard_neardup" -> qJaccardNearDupSql,
+    "q29_minhash_lsh" -> qMinHashLshSql,
+    "q30_simhash_neardup" -> qSimHashSql)
 }

@@ -46,8 +46,8 @@ object EventOps {
                FROM t) x),
        sess AS (
          SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM flagged)
        SELECT user_id, session_id, COUNT(*) AS n_events,
          MIN(event_id) AS first_event, MAX(event_id) AS last_event

@@ -351,19 +351,22 @@ object Relational {
        ORDER BY o_orderpriority"""
 
   /** F3: JSON field extraction (channel_snippet->>'title',
-    * dashboard.py:164). regexp_extract has identical semantics in Spark
-    * (Java regex) and DuckDB (RE2) for this pattern. */
+    * dashboard.py:164) — the real JSON-path operator on both sides
+    * (get_json_object ↔ DuckDB json_extract_string), not a regex.
+    * The outer SUM is CAST in the oracle because DuckDB SUM(BIGINT)
+    * returns HUGEINT (→ pandas float64, breaking the hash compare). */
   def q18JsonExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .groupBy($"event_type")
       .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
 
   val q18Sql: String =
-    """SELECT event_type, SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+    """SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** F4+A-class: per-day event rollup (timestamp → date bucketing). */

@@ -1,6 +1,6 @@
 package graft.survey
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 
 /** Port of the reference's LLM answer parsing
   * (run_8values_survey.py:218-262): pull a JSON object out of the raw
@@ -36,7 +36,12 @@ object AnswerParser {
 
   private val jsonObj = "(?s)\\{.*\\}".r
   private val bareDigit = "\\b([1-5])\\b".r
+  // FAIL_ON_TRAILING_TOKENS matches Python json.loads, which rejects
+  // trailing content (run_8values_survey.py:228-233): a greedy `{.*}`
+  // capture spanning TWO json objects must fall through to the
+  // label-scan path, exactly like the reference.
   private val mapper = new ObjectMapper()
+    .enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
   private def matchLabel(text: String): Option[(Int, Double)] = {
     val key = norm(text)

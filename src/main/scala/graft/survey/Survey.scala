@@ -52,10 +52,12 @@ object Survey {
   def axisScores(responses: DataFrame, questions: DataFrame): DataFrame = {
     val s = responses.sparkSession
     import s.implicits._
-    val totalQ = questions.count()
+    // total question count and per-axis |effect| sums are one broadcast
+    // aggregate — no driver-side action during plan construction.
     val maxes = questions.agg(
       sum(abs($"effect_econ")).as("max_econ"), sum(abs($"effect_dipl")).as("max_dipl"),
-      sum(abs($"effect_govt")).as("max_govt"), sum(abs($"effect_scty")).as("max_scty"))
+      sum(abs($"effect_govt")).as("max_govt"), sum(abs($"effect_scty")).as("max_scty"),
+      count(lit(1)).as("total_q"))
     def pct(raw: String, mx: String) =
       when(col(mx) === 0, 50.0).otherwise(
         (lit(100.0) * (col(mx).cast("double") + col(raw))) / (lit(2.0) * col(mx).cast("double")))
@@ -73,7 +75,7 @@ object Survey {
         pct("raw_dipl", "max_dipl").as("pct_dipl"),
         pct("raw_govt", "max_govt").as("pct_govt"),
         pct("raw_scty", "max_scty").as("pct_scty"),
-        (lit(totalQ) - $"n_failed").as("n_answered"),
+        ($"total_q" - $"n_failed").as("n_answered"),
         $"n_failed")
   }
 
@@ -103,14 +105,15 @@ object Survey {
        resp AS (
          SELECT user_id, question_id, multiplier FROM (
            SELECT user_id, event_id % $NumQuestions AS question_id,
-             CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.5
-               WHEN 'view' THEN 0.0 WHEN 'signup' THEN -0.5 ELSE NULL END AS multiplier,
+             CAST(CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.5
+               WHEN 'view' THEN 0.0 WHEN 'signup' THEN -0.5 ELSE NULL END AS DOUBLE) AS multiplier,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_id % $NumQuestions
                                 ORDER BY event_id) AS rn
            FROM events) t WHERE rn = 1),
        maxes AS (
          SELECT SUM(ABS(effect_econ)) AS max_econ, SUM(ABS(effect_dipl)) AS max_dipl,
-           SUM(ABS(effect_govt)) AS max_govt, SUM(ABS(effect_scty)) AS max_scty
+           SUM(ABS(effect_govt)) AS max_govt, SUM(ABS(effect_scty)) AS max_scty,
+           COUNT(*) AS total_q
          FROM q),
        raws AS (
          SELECT user_id,
@@ -125,7 +128,8 @@ object Survey {
          CASE WHEN max_dipl = 0 THEN 50.0 ELSE (100.0 * (CAST(max_dipl AS DOUBLE) + raw_dipl)) / (2.0 * CAST(max_dipl AS DOUBLE)) END AS pct_dipl,
          CASE WHEN max_govt = 0 THEN 50.0 ELSE (100.0 * (CAST(max_govt AS DOUBLE) + raw_govt)) / (2.0 * CAST(max_govt AS DOUBLE)) END AS pct_govt,
          CASE WHEN max_scty = 0 THEN 50.0 ELSE (100.0 * (CAST(max_scty AS DOUBLE) + raw_scty)) / (2.0 * CAST(max_scty AS DOUBLE)) END AS pct_scty,
-         $NumQuestions - n_failed AS n_answered, n_failed
+         CAST(total_q - n_failed AS BIGINT) AS n_answered,
+         CAST(n_failed AS BIGINT) AS n_failed
        FROM raws CROSS JOIN maxes ORDER BY user_id"""
 
   /** Run seeding (run_8values_survey.py:468-504): runs = subjects ×

@@ -55,8 +55,8 @@ object TextAnalysis {
                 ELSE len(regexp_split_to_array(trim(text_formatted), '\s+')) END AS word_count
          FROM t)
        SELECT doc_id, source, text_formatted, word_count,
-         SUM(word_count) OVER (PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_word_count
+         CAST(SUM(word_count) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_word_count
        FROM c ORDER BY doc_id"""
 
   /** A12: token counting — whitespace proxy plus a BPE-ish regex
