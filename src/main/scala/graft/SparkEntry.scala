@@ -21,7 +21,10 @@ object SparkEntry {
       graft.chunk.Chunkers.queries ++
       graft.survey.Survey.queries ++
       graft.events.EventOps.queries ++
-      graft.score.NgramLm.queries
+      graft.score.NgramLm.queries ++
+      graft.queries.Lifecycle.queries ++
+      graft.service.ServiceOps.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +37,8 @@ object SparkEntry {
       graft.chunk.Chunkers.oracles ++
       graft.survey.Survey.oracles ++
       graft.events.EventOps.oracles ++
-      graft.score.NgramLm.oracles
+      graft.score.NgramLm.oracles ++
+      graft.queries.Lifecycle.oracles ++
+      graft.service.ServiceOps.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

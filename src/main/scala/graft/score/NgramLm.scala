@@ -77,13 +77,89 @@ object NgramLm {
   /** W5: score a text column against a broadcast model → per-word score
     * array. The broadcast deserializes once per executor — the Spark
     * replacement for the reference's model-major scheduling and
-    * per-client LRU. */
-  def scoreColumn(df: DataFrame, textCol: String, model: Broadcast[LmModel]): DataFrame = {
+    * per-client LRU. The tokenizer is pluggable: the reference scores
+    * RAW text through NLTK word_tokenize (client:163-165), so the
+    * raw-text path should pass [[graft.text.Treebank.tokenize]];
+    * normalized (punctuation-stripped) text uses the whitespace
+    * default, where the two are equivalent. */
+  def scoreColumn(df: DataFrame, textCol: String, model: Broadcast[LmModel],
+                  tokenizer: String => Array[String] = tokenize): DataFrame = {
     val scoreUdf = udf { text: String =>
-      items(tokenize(text)).map { case (w, ctx) => model.value.score(w, ctx) }
+      items(tokenizer(text)).map { case (w, ctx) => model.value.score(w, ctx) }
     }
     df.withColumn("score", scoreUdf(col(textCol)))
   }
+
+  /** W2: ordered transcript assembly — one text per source, segments
+    * ordered by doc_id and joined with single spaces
+    * (client/async_processing_client.py:251-260,
+    * embed_transcripts_8values.py:116-122). sort_array over collected
+    * (key, text) structs gives a deterministic in-group order without
+    * relying on partition order; the groupBy is one shuffle of the
+    * text bytes keyed by source. */
+  def assembleBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)"))
+        .as("full_text"))
+  }
+
+  /** W2+W5 end-to-end (the reference's flagship hot loop,
+    * client:251-260 → 163-179): assemble per-source ordered text, train
+    * an MLE 4-gram model on src0's assembled corpus, broadcast it, and
+    * score every other source's assembled transcript — emitting item
+    * count and mean probability. The model ships once per executor;
+    * scoring is a narrow per-row pass. The oracle replays the identical
+    * math relationally (count tables + joins), which NgramLmSpec also
+    * cross-checks in-JVM. */
+  def qLmBroadcastScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assembled = assembleBySource(s, dir)
+    // Model build: one driver-side fetch of the single training source —
+    // the Spark analogue of loading one pickled model blob (S8,
+    // client:263-287) — then one broadcast per job.
+    val trainText = assembled.filter($"source" === "src0")
+      .select($"full_text").as[String].collect().headOption.getOrElse("")
+    val bc = s.sparkContext.broadcast(train(Seq(tokenize(trainText))): LmModel)
+    scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
+      .select($"source", size($"score").as("n_items"),
+        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
+      .orderBy($"source")
+  }
+
+  val qLmBroadcastScoreSql: String =
+    s"""WITH assembled AS (
+         SELECT source, string_agg(text, ' ' ORDER BY doc_id) AS full_text
+         FROM documents GROUP BY source),
+       it AS (
+         SELECT source,
+           unnest(list_transform(generate_series($N, len(padded)), i -> struct_pack(
+             c1 := padded[i-3], c2 := padded[i-2], c3 := padded[i-1], w := padded[i]))) AS item
+         FROM (SELECT source,
+                 list_concat(['$Pad', '$Pad', '$Pad'],
+                   regexp_split_to_array(trim(full_text), '\\s+')) AS padded
+               FROM assembled) t),
+       flat AS (
+         SELECT source, item.c1 AS c1, item.c2 AS c2, item.c3 AS c3, item.w AS w
+         FROM it),
+       grams4 AS (
+         SELECT c1, c2, c3, w, COUNT(*) AS c4 FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3, w),
+       grams3 AS (
+         SELECT c1, c2, c3, COUNT(*) AS c3n FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3)
+       SELECT f.source, COUNT(*) AS n_items,
+         CAST(CAST(SUM(CASE WHEN g3.c3n IS NULL OR g3.c3n = 0 THEN 0.0
+                       ELSE CAST(COALESCE(g4.c4, 0) AS DOUBLE) / g3.c3n END)
+              / COUNT(*) AS DECIMAL(12,6)) AS VARCHAR) AS mean_p
+       FROM flat f
+       LEFT JOIN grams4 g4 ON f.c1 = g4.c1 AND f.c2 = g4.c2 AND f.c3 = g4.c3 AND f.w = g4.w
+       LEFT JOIN grams3 g3 ON f.c1 = g3.c1 AND f.c2 = g3.c2 AND f.c3 = g3.c3
+       WHERE f.source != 'src0'
+       GROUP BY f.source ORDER BY f.source"""
 
   /** The relational form of train+score: 4-gram/3-gram count tables
     * from the src0 training corpus, items from src1 docs, probability
@@ -149,8 +225,10 @@ object NgramLm {
        GROUP BY f.doc_id ORDER BY f.doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_ngram_score" -> qNgramScore)
+    "q46_ngram_score" -> qNgramScore,
+    "q47_lm_broadcast_score" -> qLmBroadcastScore)
 
   val oracles: Map[String, String] = Map(
-    "q46_ngram_score" -> qNgramScoreSql)
+    "q46_ngram_score" -> qNgramScoreSql,
+    "q47_lm_broadcast_score" -> qLmBroadcastScoreSql)
 }

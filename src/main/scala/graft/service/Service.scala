@@ -1,0 +1,235 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.survey.{AnswerParser, Survey}
+
+/** External-service map operators (SURVEY.md §2.1 S15/S16): the
+  * reference's Ollama embedding pool
+  * (embed_transcripts_to_vector_db.py:91-237 — multi-host, probe,
+  * round-robin failover, one worker thread per host) and chat source
+  * (run_8values_survey.py:155-186 — temperature, 300 s timeout, ≤5
+  * retries then failed=true).
+  *
+  * On Spark the pool collapses into `mapPartitions`: one client per
+  * partition (connection reuse), batches inside the partition,
+  * parallelism = task count instead of host threads, retries in-map,
+  * idempotency from the upsert keys downstream (Sinks). The HTTP
+  * transport is behind a trait with a DETERMINISTIC FAKE standing in
+  * for the network call (the reference's own tests do exactly this —
+  * test_support.py FakeModel/FakePool) so the Spark-side plumbing —
+  * schema, batching, retry, partitioning — is real and oracle-checkable
+  * while the container has no model server.
+  */
+object ServiceOps {
+
+  /** S15: text → embedding vector. */
+  trait Embedder extends Serializable {
+    def embed(texts: Seq[String]): Seq[Array[Double]]
+  }
+
+  /** S16: chat completion. */
+  trait ChatClient extends Serializable {
+    def chat(model: String, system: String, user: String, temperature: Double): String
+  }
+
+  /** Portable polynomial fold (the q26 fingerprint primitive) — the
+    * seed for every deterministic fake, replayable in DuckDB. */
+  def polyFold(t: String): Long =
+    t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+
+  /** Deterministic fake embedder: dim rational components derived from
+    * the text fingerprint. Exact in IEEE double on both engines
+    * (integers < 2^53, one division). */
+  final class DeterministicEmbedder(dim: Int) extends Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
+      val fp = polyFold(t)
+      Array.tabulate(dim)(j => ((fp * (j + 1) + j) % 1000003L).toDouble / 1000003.0)
+    }
+  }
+
+  /** Retry wrapper — the in-map retry/timeout discipline of the
+    * reference pool (probe + failover + bounded retries). Injectable
+    * failures are exercised in ServiceSpec. */
+  final class RetryingEmbedder(inner: Embedder, maxRetries: Int) extends Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Double]] = {
+      var attempt = 0
+      while (true) {
+        try return inner.embed(texts)
+        catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      }
+      sys.error("unreachable")
+    }
+  }
+
+  /** Deterministic fake chat: answers the 5-option Likert scale by
+    * prompt fingerprint; fp % 6 == 5 returns unparseable garbage (the
+    * failed-answer path, run_8values_survey.py:426). */
+  final class DeterministicChatClient extends ChatClient {
+    def chat(model: String, system: String, user: String, temperature: Double): String = {
+      val fp = polyFold(user)
+      (fp % 6) match {
+        case 0 => """{"answer":"Strongly Agree","confidence":0.9,"reason":"stub"}"""
+        case 1 => """{"answer":"Agree","confidence":0.8,"reason":"stub"}"""
+        case 2 => """{"answer":"Neutral/Unsure","confidence":0.7,"reason":"stub"}"""
+        case 3 => """{"answer":"Disagree","confidence":0.8,"reason":"stub"}"""
+        case 4 => """{"answer":"Strongly Disagree","confidence":0.9,"reason":"stub"}"""
+        case _ => "no parseable answer here !!"
+      }
+    }
+  }
+
+  /** The mapPartitions embedding operator: one Embedder per partition
+    * (connection reuse), fixed-size batches inside the partition (the
+    * reference's page-of-50, embed_transcripts_to_vector_db.py:488). */
+  def embedPairs(ds: Dataset[(Long, String)], mk: () => Embedder,
+                 batchSize: Int = 32): Dataset[(Long, Array[Double])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val emb = mk()
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(_._1).zip(emb.embed(batch.map(_._2)))
+      }
+    }
+  }
+
+  /** The mapPartitions chat operator: one client per partition, one
+    * call per row (the reference claims one run at a time; parallelism
+    * across partitions replaces the worker fleet). */
+  def chatColumn(ds: Dataset[(String, String)], mk: () => ChatClient,
+                 model: String, temperature: Double): Dataset[(String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val client = mk()
+      it.map { case (key, prompt) => (key, client.chat(model, "", prompt, temperature)) }
+    }
+  }
+
+  /** S15 end-to-end: embed every document through the partition-pooled
+    * operator (retry wrapper included) and emit three vector
+    * components. The oracle replays the fingerprint arithmetic — so
+    * this checks batching/partition plumbing delivers exactly one
+    * vector per row, in schema. */
+  def qFakeEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+    embedPairs(docs, () => new RetryingEmbedder(new DeterministicEmbedder(8), 3))
+      .toDF("doc_id", "vec")
+      .select($"doc_id",
+        element_at($"vec", 1).as("e0"),
+        element_at($"vec", 4).as("e3"),
+        element_at($"vec", 8).as("e7"))
+      .orderBy($"doc_id")
+  }
+
+  val qFakeEmbedSql: String =
+    """WITH fp AS (
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+         FROM documents)
+       SELECT doc_id,
+         CAST((fp * 1 + 0) % 1000003 AS DOUBLE) / 1000003.0 AS e0,
+         CAST((fp * 4 + 3) % 1000003 AS DOUBLE) / 1000003.0 AS e3,
+         CAST((fp * 8 + 7) % 1000003 AS DOUBLE) / 1000003.0 AS e7
+       FROM fp ORDER BY doc_id"""
+
+  /** §3.3 survey pipeline end-to-end (S16+F9+A9/A10): seed runs =
+    * subjects × model lineup, ask 70 templated questions through the
+    * chat operator, parse with AnswerParser (JSON path + garbage →
+    * failed), score with the axis aggregate. The oracle recomputes the
+    * whole chain from the fingerprint arithmetic — ground truth by
+    * construction, checking chat plumbing, parser, and scoring
+    * together. */
+  def qSurveyPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val questions = Tables.part(s, dir).filter($"p_partkey" <= Survey.NumQuestions)
+      .select(($"p_partkey" % Survey.NumQuestions).as("question_id"),
+        lower($"p_name").as("qt"))
+    val subjects = Tables.documents(s, dir).select($"source").distinct()
+    val models = Seq("llm_a", "llm_b").toDF("llm_model")
+    val runs = subjects.crossJoin(broadcast(models))
+      .withColumn("run_id", concat($"source", lit("|"), $"llm_model"))
+    val prompts = runs.crossJoin(broadcast(questions))
+      .withColumn("prompt", concat(lit("I strongly believe that "), $"qt"))
+    val answered = chatColumn(
+      prompts.select(concat($"run_id", lit("#"), $"question_id").as("key"), $"prompt")
+        .as[(String, String)],
+      () => new DeterministicChatClient(), "stub-model", 0.0)
+      .toDF("key", "raw")
+    val parseUdf = udf { raw: String =>
+      AnswerParser.parse(raw).multiplier // None = failed -> null
+    }
+    val responses = answered
+      .withColumn("run_id", substring_index($"key", "#", 1))
+      .withColumn("question_id", substring_index($"key", "#", -1).cast("long"))
+      .withColumn("multiplier", parseUdf($"raw"))
+      .select($"run_id", $"question_id", $"multiplier")
+    Survey.axisScores(responses, Survey.questionDim(s))
+      .orderBy($"run_id")
+  }
+
+  val qSurveyPipelineSql: String = {
+    val qDim =
+      s"""SELECT i AS question_id,
+          (i * 7) % 21 - 10 AS effect_econ, (i * 11) % 21 - 10 AS effect_dipl,
+          (i * 13) % 21 - 10 AS effect_govt, (i * 17) % 21 - 10 AS effect_scty
+          FROM (SELECT unnest(generate_series(0, ${Survey.NumQuestions - 1})) AS i) g"""
+    s"""WITH qd AS ($qDim),
+       questions AS (
+         SELECT p_partkey % ${Survey.NumQuestions} AS question_id, lower(p_name) AS qt
+         FROM part WHERE p_partkey <= ${Survey.NumQuestions}),
+       runs AS (
+         SELECT source || '|' || llm_model AS run_id
+         FROM (SELECT DISTINCT source FROM documents) s
+         CROSS JOIN (SELECT unnest(['llm_a', 'llm_b']) AS llm_model) m),
+       answers AS (
+         SELECT r.run_id, q.question_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split('I strongly believe that ' || q.qt, ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc*31 + x) % 1000000007) % 6 AS opt
+         FROM runs r CROSS JOIN questions q),
+       resp AS (
+         SELECT run_id, question_id,
+           CAST(CASE opt WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.0
+             WHEN 3 THEN -0.5 WHEN 4 THEN -1.0 ELSE NULL END AS DOUBLE) AS multiplier
+         FROM answers),
+       maxes AS (
+         SELECT SUM(ABS(effect_econ)) AS max_econ, SUM(ABS(effect_dipl)) AS max_dipl,
+           SUM(ABS(effect_govt)) AS max_govt, SUM(ABS(effect_scty)) AS max_scty,
+           COUNT(*) AS total_q
+         FROM qd),
+       raws AS (
+         SELECT run_id,
+           SUM(effect_econ * COALESCE(multiplier, 0.0)) AS raw_econ,
+           SUM(effect_dipl * COALESCE(multiplier, 0.0)) AS raw_dipl,
+           SUM(effect_govt * COALESCE(multiplier, 0.0)) AS raw_govt,
+           SUM(effect_scty * COALESCE(multiplier, 0.0)) AS raw_scty,
+           SUM(CASE WHEN multiplier IS NULL THEN 1 ELSE 0 END) AS n_failed
+         FROM resp JOIN qd USING (question_id) GROUP BY run_id)
+       SELECT run_id,
+         CASE WHEN max_econ = 0 THEN 50.0 ELSE (100.0 * (CAST(max_econ AS DOUBLE) + raw_econ)) / (2.0 * CAST(max_econ AS DOUBLE)) END AS pct_econ,
+         CASE WHEN max_dipl = 0 THEN 50.0 ELSE (100.0 * (CAST(max_dipl AS DOUBLE) + raw_dipl)) / (2.0 * CAST(max_dipl AS DOUBLE)) END AS pct_dipl,
+         CASE WHEN max_govt = 0 THEN 50.0 ELSE (100.0 * (CAST(max_govt AS DOUBLE) + raw_govt)) / (2.0 * CAST(max_govt AS DOUBLE)) END AS pct_govt,
+         CASE WHEN max_scty = 0 THEN 50.0 ELSE (100.0 * (CAST(max_scty AS DOUBLE) + raw_scty)) / (2.0 * CAST(max_scty AS DOUBLE)) END AS pct_scty,
+         CAST(total_q - n_failed AS BIGINT) AS n_answered,
+         CAST(n_failed AS BIGINT) AS n_failed
+       FROM raws CROSS JOIN maxes ORDER BY run_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_fake_embed" -> qFakeEmbed,
+    "q51_survey_pipeline" -> qSurveyPipeline)
+
+  val oracles: Map[String, String] = Map(
+    "q50_fake_embed" -> qFakeEmbedSql,
+    "q51_survey_pipeline" -> qSurveyPipelineSql)
+}

@@ -43,6 +43,15 @@ class AnswerParserSpec extends AnyFunSuite {
     assert(p.optionId.contains(4))
   }
 
+  test("two JSON objects: greedy capture spans both -> label scan, like json.loads") {
+    // The greedy {.*} regex captures both objects; json.loads rejects
+    // trailing tokens, so the reference falls through to the raw-text
+    // label scan (longest-first) — Jackson must do the same
+    // (FAIL_ON_TRAILING_TOKENS), not silently parse the first object.
+    val p = parse("""{"answer":"Agree"} {"answer":"Strongly Disagree"}""")
+    assert(p.optionId.contains(5))
+  }
+
   test("JSON answer field wins over labels elsewhere in raw") {
     val p = parse("""Agree? no. {"answer":"Strongly Disagree"}""")
     assert(p.optionId.contains(5))
