@@ -40,6 +40,16 @@ class DedupSpec extends SparkSpec {
     truth.foreach(p => assert(found.contains(p), s"missed true near-dup $p"))
   }
 
+  test("SimHash banded join == kernel all-pairs scan (pigeonhole equivalence)") {
+    val sigs = Dedup.simHashSignatures(spark, Sf0001)
+    val banded = Dedup.simHashBandedPairs(sigs).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+    val kernel = Dedup.qSimHash(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+    assert(kernel.nonEmpty)
+    assert(banded == kernel)
+  }
+
   test("SimHash near-dup pairs overlap the jaccard near-dups") {
     val sets = shingleSets()
     val sim = Dedup.qSimHash(spark, Sf0001).collect()
