@@ -50,6 +50,41 @@ object NgramLm {
   def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  // ---- S8: model blob load + broadcast ------------------------------
+  // The reference stores ~9,511 pickled NLTK models as BYTEA and
+  // unpickles on the client (sql/schema.sql:85-96,
+  // client/async_processing_client.py:263-287). JVM models round-trip
+  // through java serialization into a BinaryType column; the blob is
+  // fetched ONCE on the driver and broadcast — one ship per executor
+  // replaces the reference's per-client LRU + server affinity.
+
+  def serializeModel(model: LmModel): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(model); oos.close()
+    bos.toByteArray
+  }
+
+  def deserializeModel(bytes: Array[Byte]): LmModel = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[LmModel] finally ois.close()
+  }
+
+  /** The model_table shape: (model_key, model_data BYTEA). */
+  def modelTable(s: SparkSession, models: Seq[(String, LmModel)]): DataFrame = {
+    import s.implicits._
+    models.map { case (k, m) => (k, serializeModel(m)) }.toDF("model_key", "model_data")
+  }
+
+  /** Driver-side blob fetch + deserialize (the SELECT … WHERE id = ANY
+    * shape, client:263-287) — returns the model ready to broadcast. */
+  def loadModel(modelTable: DataFrame, key: String): LmModel = {
+    import modelTable.sparkSession.implicits._
+    val bytes = modelTable.filter($"model_key" === key)
+      .select($"model_data").as[Array[Byte]].head()
+    deserializeModel(bytes)
+  }
+
   /** Left-pad with n−1 sentinels (client:163-165). */
   def pad(tokens: Array[String], n: Int = N): Array[String] =
     Array.fill(n - 1)(Pad) ++ tokens

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the reference's incremental patterns
+  * (SURVEY.md §2.10). The reference has no streaming engine — its
+  * incrementality is high-water-mark ingest
+  * (maintain_database.py:289-308), derived pending work (anti-joins),
+  * and late-data dedup on (vid, start)
+  * (maintain_database.py:456-481). These are their streaming
+  * equivalents, declared `readStream`-agnostic: each takes a streaming
+  * (or batch — the plans are identical) DataFrame and returns the
+  * transformed frame; callers pick the sink/trigger.
+  *
+  * Scale notes: every operator keys state by a bounded entity
+  * (user/day/segment key) and carries a watermark so state is evicted —
+  * the properties that keep a 1000-executor streaming job's state store
+  * from growing without bound.
+  */
+object StreamOps {
+
+  /** Watermarked per-day rollup — the streaming form of the q19 daily
+    * aggregate and of the reference's nightly maintenance counts. Late
+    * events beyond 1 day are dropped; closed windows finalize and
+    * evict. */
+  def dailyEventCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "1 day").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"day.start".as("day"), $"event_type", $"n_events")
+  }
+
+  /** Session windows with a 30-minute inactivity gap — the streaming
+    * form of q42's gaps-and-islands sessionization, using the native
+    * session_window (merging window state per user, watermark-evicted). */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("session"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session.start".as("session_start"), $"n_events")
+  }
+
+  /** Late-data segment dedup — the reference drops duplicate transcript
+    * lines by checking existing `start` values before insert
+    * (maintain_database.py:456-481); in streaming that is
+    * watermark-bounded drop-duplicates on the natural key. */
+  def dedupSegments(segments: DataFrame): DataFrame =
+    segments
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("vid_id", "start")
+}

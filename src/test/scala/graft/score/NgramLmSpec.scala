@@ -46,6 +46,26 @@ class NgramLmSpec extends SparkSpec {
     assert(lm.score("d", Seq("x", "y", "z")) == 0.0)
   }
 
+  test("S8: model blob round-trip through a BinaryType table scores identically") {
+    import spark.implicits._
+    val corpus = Seq(NgramLm.tokenize("a b c d e"), NgramLm.tokenize("a b c f g"))
+    val direct = NgramLm.train(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("models").resolve("model_table").toString
+    NgramLm.modelTable(spark, Seq("m1" -> direct)).write.parquet(dir)
+    val loaded = NgramLm.loadModel(spark.read.parquet(dir), "m1")
+    val testItems = NgramLm.items(NgramLm.tokenize("a b c d g z"))
+    testItems.foreach { case (w, ctx) =>
+      assert(loaded.score(w, ctx) == direct.score(w, ctx), s"($w, $ctx)")
+    }
+    // and through the broadcast scorer
+    val bc = spark.sparkContext.broadcast(loaded)
+    val scored = NgramLm.scoreColumn(Seq((1L, "a b c d")).toDF("id", "text"), "text", bc)
+      .select($"score").head().getSeq[Double](0)
+    assert(scored.length == 4)
+    assert(scored == NgramLm.items(NgramLm.tokenize("a b c d"))
+      .map { case (w, ctx) => direct.score(w, ctx) })
+  }
+
   test("broadcast scorer matches the relational q46 means") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+final case class Evt(user_id: Long, ts: Timestamp, event_type: String, vid_id: Long, start: Double)
+
+/** Streaming operators driven through MemoryStream: windowed rollup,
+  * session windows, watermark dedup. */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("dailyEventCounts: per-day, per-type counts over a stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val q = StreamOps.dailyEventCounts(ms.toDF())
+      .writeStream.format("memory").queryName("daily").outputMode("complete").start()
+    ms.addData(
+      Evt(1, t("01:00"), "click", 1, 0), Evt(1, t("02:00"), "click", 1, 0),
+      Evt(2, t("03:00"), "view", 1, 0))
+    q.processAllAvailable()
+    ms.addData(Evt(3, t("04:00"), "click", 1, 0))
+    q.processAllAvailable()
+    val rows = spark.table("daily").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toMap
+    q.stop()
+    assert(rows == Map("click" -> 3L, "view" -> 1L))
+  }
+
+  test("sessionCounts: 30-min gap splits a user's events into sessions") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val q = StreamOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    ms.addData(
+      Evt(1, t("01:00"), "a", 1, 0), Evt(1, t("01:10"), "b", 1, 0), // session 1
+      Evt(1, t("03:00"), "c", 1, 0),                                // session 2
+      Evt(2, t("01:05"), "d", 1, 0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(rows == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+  }
+
+  test("dedupSegments: duplicate (vid_id, start) within watermark dropped") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val q = StreamOps.dedupSegments(ms.toDF())
+      .writeStream.format("memory").queryName("segs").outputMode("append").start()
+    ms.addData(
+      Evt(1, t("01:00"), "seg", 10, 0.0),
+      Evt(1, t("01:01"), "seg", 10, 0.0), // dup key (10, 0.0)
+      Evt(1, t("01:02"), "seg", 10, 5.0))
+    q.processAllAvailable()
+    val n = spark.table("segs").count()
+    q.stop()
+    assert(n == 2)
+  }
+}
