@@ -48,6 +48,31 @@ object Dedup {
        FROM (SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
              FROM documents GROUP BY md5(text)) t"""
 
+  /** The keep-min-id rewrite itself: every doc in a duplicate group
+    * mapped to its group's kept (minimum) doc_id — the actual dedup
+    * output a training pipeline consumes (drop rows where doc_id !=
+    * keep_id). One shuffle keyed on the digest; the join back is on
+    * the same key so AQE coalesces it into the same exchange. */
+  def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("h", md5($"text"))
+    val groups = docs.groupBy($"h")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+      .filter($"group_size" > 1)
+    docs.join(groups, Seq("h"))
+      .select($"doc_id", $"keep_id", $"group_size",
+        ($"doc_id" === $"keep_id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupKeepSql: String =
+    """WITH g AS (
+         SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+         FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)
+       SELECT d.doc_id, g.keep_id, g.group_size, d.doc_id = g.keep_id AS kept
+       FROM documents d JOIN g ON md5(d.text) = g.h
+       ORDER BY d.doc_id"""
+
   /** N-gram Jaccard near-dup pairs: distinct 3-shingles, self-join on
     * shingle (scoped to same `source` to bound the candidate space —
     * at 100 TB you run qMinHashLsh first and use this only to verify
@@ -315,11 +340,13 @@ object Dedup {
     "q27_dedup_exact" -> qDedupExact,
     "q28_jaccard_neardup" -> qJaccardNearDup,
     "q29_minhash_lsh" -> qMinHashLsh,
-    "q30_simhash_neardup" -> qSimHash)
+    "q30_simhash_neardup" -> qSimHash,
+    "q52_dedup_keep" -> qDedupKeep)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
     "q28_jaccard_neardup" -> qJaccardNearDupSql,
     "q29_minhash_lsh" -> qMinHashLshSql,
-    "q30_simhash_neardup" -> qSimHashSql)
+    "q30_simhash_neardup" -> qSimHashSql,
+    "q52_dedup_keep" -> qDedupKeepSql)
 }

@@ -19,10 +19,13 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** dot(a,b) as a sequential left fold — deterministic summation
-    * order. */
+  /** dot(a,b) — the native codegen'd [[graft.expr.DotProduct]]
+    * expression (sequential left-to-right fold, same IEEE order as the
+    * HOF `aggregate(zip_with(...))` form it replaces, without the
+    * CodegenFallback + per-pair allocation). Queries call
+    * [[graft.expr.VectorExpressions.register]] first. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+    expr(s"graft_dot($a, $b)")
 
   private def withDoubleVec(df: DataFrame, in: String, out: String): DataFrame =
     df.withColumn(out, expr(s"transform($in, x -> cast(x as double))"))
@@ -64,6 +67,7 @@ object Similarity {
     * groupBy(query).agg(min_by-style top-k) or the IVF variant below. */
   def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expr.VectorExpressions.register(s)
     val emb = withDoubleVec(Tables.embeddings(s, dir), "embedding", "vec")
       .withColumn("norm", sqrt(dot("vec", "vec")))
     val queries = emb.filter($"vec_id" < 20)
@@ -156,6 +160,7 @@ object Similarity {
     * SimilaritySpec. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expr.VectorExpressions.register(s)
     val vecs = prepped(s, dir)
     val cents = s.sparkContext.broadcast(
       vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))

@@ -1,0 +1,50 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Native graft_dot ≡ the HOF fold it replaces, bit-for-bit, plus
+  * codegen/null behavior. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hof =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  test("graft_dot matches the HOF fold exactly on random vectors") {
+    VectorExpressions.register(spark)
+    val rnd = new Random(7)
+    val rows = (1 to 200).map { i =>
+      (i, Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", expr("graft_dot(a, b)"))
+      .withColumn("fold", expr(hof))
+    val bad = df.filter($"native" =!= $"fold").count()
+    assert(bad == 0, "IEEE summation order must be identical")
+  }
+
+  test("graft_dot survives whole-stage codegen (no interpreter fallback crash)") {
+    VectorExpressions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .filter(expr("graft_dot(a, b)") > 0)
+    assert(df.count() == 1)
+    assert(df.select(expr("graft_dot(a, b)")).head().getDouble(0) == 32.0)
+  }
+
+  test("null array -> null result") {
+    VectorExpressions.register(spark)
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).head().isNullAt(0))
+  }
+
+  test("float arrays cast to double arrays then dot") {
+    VectorExpressions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, Sf0001)
+    val v = emb.select(
+      expr("graft_dot(cast(embedding as array<double>), cast(embedding as array<double>))")
+        .as("nn")).head().getDouble(0)
+    assert(v > 0.0)
+  }
+}
