@@ -226,13 +226,54 @@ object Lifecycle {
           JOIN nation n ON c_nationkey = n_nationkey
           WHERE n_name = 'GERMANY' AND o.o_orderkey = l.l_orderkey)) AS n_lineitems"""
 
+  /** F10/F11/F13/F15: the string/presentation operators — YouTube URL
+    * builder with timestamp (build_islands_from_scores.py:237-241),
+    * handle normalization (dashboard.py:250 lstrip('@').strip()),
+    * compact number display (dashboard.py:437-448 1.2M/34K), and
+    * {{PLACEHOLDER}} prompt templating (run_8values_survey.py:118-148).
+    * All codegen'd builtins. */
+  def qStringFormats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("watch_url",
+        concat(lit("https://www.youtube.com/watch?v="), $"source",
+          lit("&t="), $"doc_id".cast("string"), lit("s")))
+      .withColumn("handle", concat(lit("  @@"), $"source", lit(" ")))
+      .withColumn("handle_norm", regexp_replace(trim($"handle"), "^@+", ""))
+      .withColumn("compact_chars", expr(
+        """CASE WHEN n_chars >= 1000000
+             THEN CAST(CAST(round(n_chars / 1000000.0, 1) AS DECIMAL(10,1)) AS STRING) || 'M'
+           WHEN n_chars >= 1000
+             THEN CAST(CAST(round(n_chars / 1000.0, 1) AS DECIMAL(10,1)) AS STRING) || 'K'
+           ELSE CAST(n_chars AS STRING) END"""))
+      .withColumn("prompt", expr(
+        "replace(replace('Context: {{CONTEXT}}\nStatement: {{STATEMENT}}', " +
+          "'{{CONTEXT}}', substring(text, 1, 40)), '{{STATEMENT}}', source)"))
+      .select($"doc_id", $"watch_url", $"handle_norm", $"compact_chars", $"prompt")
+      .orderBy($"doc_id")
+  }
+
+  val qStringFormatsSql: String =
+    """SELECT doc_id,
+       'https://www.youtube.com/watch?v=' || source || '&t=' || CAST(doc_id AS VARCHAR) || 's' AS watch_url,
+       regexp_replace(trim('  @@' || source || ' '), '^@+', '') AS handle_norm,
+       CASE WHEN n_chars >= 1000000
+            THEN CAST(CAST(round(n_chars / 1000000.0, 1) AS DECIMAL(10,1)) AS VARCHAR) || 'M'
+            WHEN n_chars >= 1000
+            THEN CAST(CAST(round(n_chars / 1000.0, 1) AS DECIMAL(10,1)) AS VARCHAR) || 'K'
+            ELSE CAST(n_chars AS VARCHAR) END AS compact_chars,
+       replace(replace('Context: {{CONTEXT}}' || chr(10) || 'Statement: {{STATEMENT}}',
+         '{{CONTEXT}}', substring(text, 1, 40)), '{{STATEMENT}}', source) AS prompt
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_upsert_merge" -> qUpsertMerge,
     "q49_pending_empty_scores" -> qPendingWithEmptyScores,
     "q53_staleness_diff" -> qStalenessDiff,
     "q54_approx_counts" -> qApproxCounts,
     "q55_vtt_timestamps" -> qVttTimestamps,
-    "q56_fixture_dump" -> qFixtureDump)
+    "q56_fixture_dump" -> qFixtureDump,
+    "q59_string_formats" -> qStringFormats)
 
   val oracles: Map[String, String] = Map(
     "q48_upsert_merge" -> qUpsertMergeSql,
@@ -240,5 +281,6 @@ object Lifecycle {
     "q53_staleness_diff" -> qStalenessDiffSql,
     "q54_approx_counts" -> qApproxCountsSql,
     "q55_vtt_timestamps" -> qVttTimestampsSql,
-    "q56_fixture_dump" -> qFixtureDumpSql)
+    "q56_fixture_dump" -> qFixtureDumpSql,
+    "q59_string_formats" -> qStringFormatsSql)
 }
