@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming forms of the reference's incremental patterns
   * (SURVEY.md §2.10). The reference has no streaming engine — its
@@ -55,4 +57,29 @@ object StreamOps {
     segments
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("vid_id", "start")
+
+  final case class HighWater(channel: String, max_publish: Timestamp)
+
+  /** Custom keyed state via mapGroupsWithState: the per-channel
+    * publish-time high-water mark that drives incremental ingest
+    * (maintain_database.py:289-308 MAX(publishtime) GROUP BY channel) —
+    * here maintained continuously instead of recomputed per nightly
+    * cycle. State is one timestamp per channel: bounded by channel
+    * cardinality, the dimension the reference also keys on. Run with
+    * OutputMode.Update. */
+  def channelHighWater(events: Dataset[(String, Timestamp)]): Dataset[HighWater] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Timestamp, HighWater](GroupStateTimeout.NoTimeout) {
+        (channel: String, rows: Iterator[(String, Timestamp)], state: GroupState[Timestamp]) =>
+          val incoming = rows.map(_._2).maxBy(_.getTime)
+          val hw = state.getOption match {
+            case Some(prev) if prev.getTime >= incoming.getTime => prev
+            case _ => incoming
+          }
+          state.update(hw)
+          HighWater(channel, hw)
+      }
+  }
 }

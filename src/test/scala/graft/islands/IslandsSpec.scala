@@ -24,6 +24,20 @@ class IslandsSpec extends SparkSpec {
     assert(relational == scalar)
   }
 
+  test("find_islands SQL generator == relational form on sf0.001") {
+    graft.expr.FindIslandsGenerator.register(spark)
+    Islands.smoothed(spark, Sf0001).select($"vec_id", $"smoothed")
+      .createOrReplaceTempView("sm_gen_test")
+    val viaSql = spark.sql(
+      s"""SELECT vec_id, i.start_idx, i.end_idx
+          FROM sm_gen_test LATERAL VIEW find_islands(smoothed, ${Islands.Threshold}D, ${Islands.MinLen}) i""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val relational = Islands.qEmbeddingIslands(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaSql.nonEmpty)
+    assert(viaSql == relational)
+  }
+
   test("UDF smoothing == IslandMath.smooth bit-for-bit on sf0.001") {
     val kernel = IslandMath.gaussianKernel(Islands.SmoothSize, Islands.Sigma)
     Islands.smoothed(spark, Sf0001).select($"vec", $"smoothed").collect().foreach { r =>

@@ -47,6 +47,22 @@ class StreamSpec extends SparkSpec {
     assert(rows == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
   }
 
+  test("channelHighWater: custom state advances, never regresses") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val q = StreamOps.channelHighWater(ms.toDS())
+      .writeStream.format("memory").queryName("hw").outputMode("update").start()
+    ms.addData(("chA", t("02:00")), ("chA", t("01:00")), ("chB", t("03:00")))
+    q.processAllAvailable()
+    ms.addData(("chA", t("01:30"))) // late, below the mark -> no regression
+    q.processAllAvailable()
+    val last = spark.table("hw").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Timestamp]("max_publish")))
+      .groupBy(_._1).view.mapValues(_.map(_._2.getTime).max).toMap
+    q.stop()
+    assert(last == Map("chA" -> t("02:00").getTime, "chB" -> t("03:00").getTime))
+  }
+
   test("dedupSegments: duplicate (vid_id, start) within watermark dropped") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Evt]
