@@ -133,11 +133,14 @@ object Dedup {
     Seq.fill(NumHashes)(((next() % (MersennePrime - 1)) + 1, next() % MersennePrime))
   }
 
-  /** Portable per-char polynomial fold, Spark side. Every intermediate
-    * stays < 2^35 so DuckDB BIGINT (which errors on overflow, unlike
-    * Java wrap-around) computes the identical value. */
+  /** Portable per-char polynomial fold, Spark side — the native
+    * codegen'd [[graft.expr.PolyHash]] (the HOF
+    * aggregate/transform/split form is CodegenFallback and allocates a
+    * per-char array per value). Every intermediate stays < 2^35 so
+    * DuckDB BIGINT (which errors on overflow, unlike Java wrap-around)
+    * computes the identical value. */
   private def polyHashExpr(col: String, base: Long, mod: Long): String =
-    s"aggregate(transform(split($col, ''), c -> ascii(c)), 0L, (acc, x) -> (acc*$base + x) % $mod)"
+    s"graft_polyhash($col, ${base}L, ${mod}L)"
 
   /** The same fold, DuckDB side. */
   private def polyHashSql(col: String, base: Long, mod: Long): String =
@@ -150,6 +153,7 @@ object Dedup {
     * as 32 agg columns (map-side combined, no wide shuffle). */
   def minHashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expr.VectorExpressions.register(s)
     val sh = shingles(s, dir)
       .withColumn("h", expr(polyHashExpr("shingle", 31, PolyMod1)))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -232,6 +236,7 @@ object Dedup {
     * (doc, word) × 60 rows. */
   def simHashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expr.VectorExpressions.register(s)
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -62,15 +62,77 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Portable polynomial string hash `graft_polyhash(str, base, mod)` —
+  * the codegen'd form of the q26 fingerprint fold
+  * (`aggregate(transform(split(s,''), c -> ascii(c)), 0L,
+  * (acc,x) -> (acc*base + x) % mod)`), which is CodegenFallback and
+  * re-walks a per-char array per row. Identical arithmetic (left fold
+  * over character code points, every intermediate < 2^35 so the DuckDB
+  * BIGINT oracle replays it exactly); one fused loop over the string.
+  * This is the seed hash for MinHash signatures, SimHash word hashes,
+  * and the deterministic embedder. */
+case class PolyHash(str: Expression, base: Expression, mod: Expression)
+  extends TernaryExpression with Serializable {
+
+  override def first: Expression = str
+  override def second: Expression = base
+  override def third: Expression = mod
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (str.dataType, base.dataType, mod.dataType) match {
+      case (StringType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, b, m) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_polyhash requires (string, bigint, bigint), got ($s, $b, $m)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def nullSafeEval(s: Any, b: Any, m: Any): Any = {
+    val t = s.toString
+    val bb = b.asInstanceOf[Long]
+    val mm = m.asInstanceOf[Long]
+    var acc = 0L
+    var i = 0
+    while (i < t.length) { acc = (acc * bb + t.charAt(i)) % mm; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, b, m) => {
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $t = $s.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $t.length(); $i++) {
+         |  $acc = ($acc * $b + $t.charAt($i)) % $m;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+                                                 newSecond: Expression,
+                                                 newThird: Expression): Expression =
+    copy(str = newFirst, base = newSecond, mod = newThird)
+}
+
 object VectorExpressions {
-  /** Idempotent per-session registration of the `graft_dot` SQL
-    * function. */
-  def register(s: SparkSession): Unit =
+  private def reg(s: SparkSession, name: String, arity: Int,
+                  mk: Seq[Expression] => Expression): Unit =
     s.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotProduct].getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot takes exactly 2 arguments")
-        DotProduct(children.head, children(1))
+        require(children.length == arity, s"$name takes exactly $arity arguments")
+        mk(children)
       })
+
+  /** Idempotent per-session registration of the graft SQL functions. */
+  def register(s: SparkSession): Unit = {
+    reg(s, "graft_dot", 2, c => DotProduct(c.head, c(1)))
+    reg(s, "graft_polyhash", 3, c => PolyHash(c.head, c(1), c(2)))
+  }
 }

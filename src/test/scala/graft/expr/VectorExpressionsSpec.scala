@@ -39,6 +39,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(expr("graft_dot(a, b)")).head().isNullAt(0))
   }
 
+  test("graft_polyhash matches the HOF char fold exactly") {
+    VectorExpressions.register(spark)
+    val rnd = new Random(11)
+    val texts = (1 to 100).map(_ =>
+      (1 to rnd.nextInt(30) + 1).map(_ => (' ' + rnd.nextInt(94)).toChar).mkString)
+    val df = texts.toDF("t")
+      .withColumn("native", expr("graft_polyhash(t, 31L, 1000000007L)"))
+      .withColumn("fold", expr(
+        "aggregate(transform(split(t, ''), c -> ascii(c)), 0L, (acc, x) -> (acc*31 + x) % 1000000007)"))
+    assert(df.filter($"native" =!= $"fold").count() == 0)
+  }
+
   test("float arrays cast to double arrays then dot") {
     VectorExpressions.register(spark)
     val emb = graft.core.Tables.embeddings(spark, Sf0001)
