@@ -186,6 +186,40 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** q33 oracle: the IVF pipeline is fully deterministic (fixed
+    * centroids = k lowest ids, argmax assignment, nprobe probe list,
+    * exact in-bucket ranking), so DuckDB replays it end-to-end. Rank
+    * output only — sims are compared through ORDER BY, same as q31. */
+  val qAnnIvfSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
+       assign AS (
+         SELECT vec_id, cid AS bucket FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, cid AS bucket FROM (
+           SELECT q.vec_id AS query_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+           FROM emb q CROSS JOIN cents c WHERE q.vec_id < 20) t
+         WHERE rn <= $IvfNProbe),
+       cand AS (
+         SELECT p.query_id, a.vec_id,
+           list_cosine_similarity(qe.v, ae.v) AS sim
+         FROM probes p JOIN assign a USING (bucket)
+         JOIN emb qe ON qe.vec_id = p.query_id
+         JOIN emb ae ON ae.vec_id = a.vec_id
+         WHERE a.vec_id != p.query_id)
+       SELECT query_id, rank, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         FROM cand) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> qCosineTopK,
     "q32_embed_neardup" -> qEmbedNearDup,
@@ -193,5 +227,6 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
-    "q32_embed_neardup" -> qEmbedNearDupSql)
+    "q32_embed_neardup" -> qEmbedNearDupSql,
+    "q33_ann_ivf" -> qAnnIvfSql)
 }
