@@ -195,9 +195,12 @@ object Chunkers {
 
   /** W12 over the testdata: each `source` is a "video", its documents
     * (ordered by doc_id) are the segments (start = doc_id, duration 1),
-    * budget 40-70 whitespace tokens. Rows-only query (sequential fold
-    * isn't SQL-expressible); semantics are pinned by ChunkerSpec
-    * against FIXTURES.md §5. */
+    * budget 40-70 whitespace tokens. The whole operator is a left fold
+    * per source (the reference's merge loop stops at the first
+    * well-sized successor, so it folds too) — which makes it
+    * SQL-expressible after all: the DuckDB oracle replays split →
+    * greedy pack → prefix merge with two recursive CTEs. ChunkerSpec
+    * additionally pins the scalar semantics on FIXTURES.md §5. */
   def qTokenBudgetChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val segs: Dataset[DocSegment] = Tables.documents(s, dir)
@@ -214,10 +217,96 @@ object Chunkers {
       .orderBy($"source", $"chunk_index")
   }
 
+  /** q37 oracle: the fold replayed in SQL. `pack` simulates the greedy
+    * accumulator (budget 70) step-by-step over the expanded parts;
+    * `mrg` simulates the forward-merge state machine, emitting a
+    * finished chunk per step (NULL while merging) plus each source's
+    * final open chunk. `MATERIALIZED` hints stop DuckDB re-evaluating
+    * the regex-split CTEs at every recursion step (95 s → 0.8 s at
+    * sf0.01). Oversized segments split into 69-word parts (the
+    * reference's pop-at-max loop yields exactly that for a whitespace
+    * counter). */
+  val qTokenBudgetChunksSql: String =
+    """WITH RECURSIVE
+       docs AS MATERIALIZED (
+         SELECT source, doc_id, trim(text) AS t,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+         FROM documents),
+       parts AS MATERIALIZED (
+         SELECT source, doc_id, 1 AS part_idx, n AS tc FROM docs WHERE n > 0 AND n <= 70
+         UNION ALL
+         SELECT source, doc_id, CAST(g AS INT) AS part_idx,
+           CASE WHEN g * 69 <= n THEN 69 ELSE n - (CAST(g AS INT) - 1) * 69 END AS tc
+         FROM (SELECT source, doc_id, n,
+                 unnest(generate_series(1, CAST(ceil(n / 69.0) AS BIGINT))) AS g
+               FROM docs WHERE n > 70) t),
+       seq AS MATERIALIZED (
+         SELECT source, doc_id, part_idx, tc,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id, part_idx) AS rn
+         FROM parts),
+       pack AS (
+         SELECT source, rn, tc AS acc, 0 AS chunk_id FROM seq WHERE rn = 1
+         UNION ALL
+         SELECT s.source, s.rn,
+           CASE WHEN p.acc + s.tc <= 70 THEN p.acc + s.tc ELSE s.tc END,
+           CASE WHEN p.acc + s.tc <= 70 THEN p.chunk_id ELSE p.chunk_id + 1 END
+         FROM pack p JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1),
+       chunks0 AS MATERIALIZED (
+         SELECT p.source, p.chunk_id,
+           CAST(SUM(s.tc) AS INT) AS tok,
+           CAST(MIN(s.doc_id) AS DOUBLE) AS st,
+           CAST(MAX(s.doc_id) + 1 AS DOUBLE) AS en,
+           CAST(COUNT(*) AS INT) AS segs
+         FROM pack p JOIN seq s ON s.source = p.source AND s.rn = p.rn
+         GROUP BY p.source, p.chunk_id),
+       ord AS MATERIALIZED (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY chunk_id) AS INT) AS k
+         FROM chunks0),
+       mrg AS (
+         SELECT source, k, tok AS open_tok, st AS open_st, en AS open_en, segs AS open_segs,
+           FALSE AS stopped,
+           CAST(NULL AS INT) AS emit_tok, CAST(NULL AS DOUBLE) AS emit_st,
+           CAST(NULL AS DOUBLE) AS emit_en, CAST(NULL AS INT) AS emit_segs
+         FROM ord WHERE k = 1
+         UNION ALL
+         SELECT o.source, o.k,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN m.open_tok + o.tok ELSE o.tok END,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN m.open_st ELSE o.st END,
+           o.en,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN m.open_segs + o.segs ELSE o.segs END,
+           m.stopped OR o.tok >= 40,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN NULL ELSE m.open_tok END,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN NULL ELSE m.open_st END,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN NULL ELSE m.open_en END,
+           CASE WHEN NOT m.stopped AND o.tok < 40 AND m.open_tok + o.tok <= 70
+                THEN NULL ELSE m.open_segs END
+         FROM mrg m JOIN ord o ON o.source = m.source AND o.k = m.k + 1),
+       final_chunks AS (
+         SELECT source, k, 0 AS fin, emit_tok AS tok, emit_st AS st, emit_en AS en, emit_segs AS segs
+         FROM mrg WHERE emit_tok IS NOT NULL
+         UNION ALL
+         SELECT m.source, m.k, 1 AS fin, m.open_tok, m.open_st, m.open_en, m.open_segs
+         FROM mrg m JOIN (SELECT source, MAX(k) AS mk FROM mrg GROUP BY source) x
+           ON m.source = x.source AND m.k = x.mk)
+       SELECT source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, fin) - 1 AS INT) AS chunk_index,
+         tok AS token_count, tok AS word_count, segs AS n_segments,
+         st AS start_time, en AS end_time
+       FROM final_chunks
+       ORDER BY source, chunk_index"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
     "q37_token_budget_chunks" -> qTokenBudgetChunks)
 
   val oracles: Map[String, String] = Map(
-    "q36_word_chunks" -> qWordChunksSql)
+    "q36_word_chunks" -> qWordChunksSql,
+    "q37_token_budget_chunks" -> qTokenBudgetChunksSql)
 }
