@@ -17,7 +17,10 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it
     // without the legacy flag (read as raw int64 nanos instead).
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // graft_dot / graft_polyhash / find_islands + the HOF dot-product
+    // rewrite rule, installed at session build (see GraftExtensions).
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
   def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")

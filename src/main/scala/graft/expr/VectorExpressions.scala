@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * left-to-right IEEE summation order (oracle-stable), no per-row
   * allocation. Registered as SQL function `graft_dot` so both the
   * DataFrame and SQL surfaces reach it.
+  *
+  * Strictness matches the HOF chain exactly — `zip_with` pads the
+  * shorter array with nulls and `null*y`/`acc+null` poison the fold —
+  * so unequal lengths or a null element yield NULL here too. That
+  * equivalence is what lets [[DotProductRewrite]] substitute this
+  * expression for the HOF form unconditionally.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with Serializable {
@@ -30,15 +36,21 @@ case class DotProduct(left: Expression, right: Expression)
           s"graft_dot requires (array<double>, array<double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -48,12 +60,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
