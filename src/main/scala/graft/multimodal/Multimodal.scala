@@ -105,11 +105,120 @@ object Multimodal {
          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
        FROM documents ORDER BY doc_id"""
 
+  /** Frame sampling (builder brief: "frame-sample" over video columns):
+    * 8 evenly spaced fixed-length byte slices per payload — the stride
+    * arithmetic of a keyframe sampler, with the codec stubbed exactly
+    * like [[decodeBatch]]. All codegen'd builtins on the BINARY column
+    * (substring/md5 operate on bytes; no UDF, payload never shuffles —
+    * the explode emits 16-byte digests, not frames). The oracle replays
+    * byte arithmetic on the text because the fixture is pure ASCII
+    * (byte offset == codepoint offset, verified in the spec); on real
+    * media lakes both sides address raw bytes. */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    binaryDocs(s, dir)
+      .withColumn("byte_len", length($"payload"))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, 7), i -> struct(i AS frame_idx,
+             md5(substring(payload,
+               1 + i * CAST(floor(greatest(byte_len - 16, 0) / 7) AS INT),
+               16)) AS frame_digest))""")).as("f"))
+      .select($"doc_id", $"f.frame_idx", $"f.frame_digest")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val qFrameSampleSql: String =
+    """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       md5(substring(text,
+         1 + CAST(i AS INT) * CAST(floor(GREATEST(octet_length(encode(text)) - 16, 0) / 7) AS INT),
+         16)) AS frame_digest
+       FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g
+       ORDER BY doc_id, frame_idx"""
+
+  private val PhashBits = 60     // stay clear of the BIGINT sign bit
+  private val PhashBandBits = 6  // 10 bands × 6 bits
+  private val PhashHamMax = 6    // ≤6 dirty bands -> ≥4 shared (pigeonhole)
+
+  /** Perceptual (block-hash style) near-dup over binary payloads: 60
+    * byte blocks per payload, bit j = parity of block j's digest, pairs
+    * at hamming ≤ 6. Payloads differing in a few localized bytes
+    * collide on most bits (the locality a block hash buys); a content
+    * shift (prepend/reflow) scrambles every block, while a short
+    * appended tail beyond the 60·stride window leaves the signature
+    * unchanged — both by design, as in image block hashes (a footer
+    * chunk doesn't change the picture).
+    * The pair stage is the banded equi-join (10×6-bit bands): hamming
+    * ≤ 6 dirties ≤ 6 bands, so qualifying pairs share ≥ 4 exact bands —
+    * provably equivalent to the all-pairs scan (the oracle's form), at
+    * Σ bucket² candidate cost. The 100 TB shape: signatures are 8
+    * bytes/doc, payloads never join. */
+  /** (doc_id, phash) signatures from a (doc_id, payload) frame. */
+  def phashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val odd = "('1','3','5','7','9','b','d','f')"
+    docs
+      .withColumn("byte_len", length($"payload"))
+      .withColumn("stride", expr("greatest(CAST(floor(byte_len / 60) AS INT), 1)"))
+      .select($"doc_id", expr(
+        s"""aggregate(transform(sequence(0, ${PhashBits - 1}), j ->
+              CASE WHEN substring(md5(substring(payload, 1 + j * stride, stride)), 1, 1)
+                   IN $odd THEN shiftleft(1L, j) ELSE 0L END),
+            0L, (acc, x) -> acc + x)""").as("phash"))
+  }
+
+  /** Banded pair join over (doc_id, phash) — exact for hamming ≤
+    * [[PhashHamMax]] by the pigeonhole argument above. */
+  def phashPairs(bits: DataFrame): DataFrame = {
+    val s = bits.sparkSession
+    import s.implicits._
+    val banded = bits.select($"doc_id", $"phash", explode(expr(
+        s"""transform(sequence(0, ${PhashBits / PhashBandBits - 1}), b ->
+              struct(b AS band,
+                shiftright(phash, b * $PhashBandBits) & ${(1 << PhashBandBits) - 1} AS bkey))"""))
+        .as("bb"))
+      .select($"doc_id", $"phash", $"bb.band", $"bb.bkey")
+    val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"phash".as("p1"))
+    val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"phash".as("p2"))
+    a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
+      .withColumn("hamming", expr("CAST(bit_count(p1 ^ p2) AS INT)"))
+      .filter($"hamming" <= PhashHamMax)
+      .select($"d1", $"d2", $"hamming").distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  def qPhashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashSignatures(
+      binaryDocs(s, dir).select(col("doc_id"), col("payload"))))
+
+  val qPhashNearDupSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, text,
+           GREATEST(CAST(floor(octet_length(encode(text)) / 60) AS INT), 1) AS stride
+         FROM documents),
+       bits AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, ${PhashBits - 1}), j ->
+             CASE WHEN substring(md5(substring(text, 1 + CAST(j AS INT) * stride, stride)), 1, 1)
+                  IN ('1','3','5','7','9','b','d','f')
+                  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS phash
+         FROM d)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax
+       ORDER BY d1, d2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_binary_meta" -> qBinaryMeta,
-    "q58_media_decode" -> qMediaDecode)
+    "q58_media_decode" -> qMediaDecode,
+    "q60_frame_sample" -> qFrameSample,
+    "q61_phash_neardup" -> qPhashNearDup)
 
   val oracles: Map[String, String] = Map(
     "q57_binary_meta" -> qBinaryMetaSql,
-    "q58_media_decode" -> qMediaDecodeSql)
+    "q58_media_decode" -> qMediaDecodeSql,
+    "q60_frame_sample" -> qFrameSampleSql,
+    "q61_phash_neardup" -> qPhashNearDupSql)
 }

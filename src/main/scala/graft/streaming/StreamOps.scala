@@ -58,6 +58,53 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("vid_id", "start")
 
+  final case class ScoreRow(vec_id: Long, score: Array[Double])
+  final case class IslandRow(vec_id: Long, start_idx: Int, end_idx: Int)
+
+  /** Streaming islands — the flagship pipeline on a stream of freshly
+    * scored pairs (the reference's island_worker consumes pairs as the
+    * scoring fleet lands them, island_worker.py:72-99; here the same
+    * rebuild runs per micro-batch). Smoothing + run-length segmentation
+    * are stateless per row (the full score array arrives as one row),
+    * so the operator needs no streaming state at all: append-mode
+    * flatMap, unbounded-safe by construction. Pair-level idempotence on
+    * re-delivery comes from the S12 replace-partition sink discipline
+    * ([[graft.sink.Sinks.replacePartitions]]), exactly as the
+    * reference's delete-then-insert does it. */
+  def islandsStream(scores: Dataset[ScoreRow], threshold: Double,
+                    size: Int = 10, sigma: Double = 5.0,
+                    minLen: Int = 8): Dataset[IslandRow] = {
+    val s = scores.sparkSession
+    import s.implicits._
+    val kernel = graft.islands.IslandMath.gaussianKernel(size, sigma)
+    scores.flatMap { r =>
+      val sm = graft.islands.IslandMath.smooth(r.score, kernel, size)
+      graft.islands.IslandMath.findIslands(sm, threshold, minLen)
+        .map { case (st, en) => IslandRow(r.vec_id, st, en) }
+    }
+  }
+
+  /** Stream-static pending work — J4/J11 ("pending = inputs anti-join
+    * outputs", SURVEY §2.10) with the input side streaming: each
+    * micro-batch of newly ingested vids crosses the model dimension and
+    * anti-joins the score lake on the P4 contract
+    * (client/async_processing_client.py:238-246): only a REAL
+    * (`size(score) > 0`) row retires a pair — an empty score row means
+    * "scored but unusable" and the pair stays pending for the
+    * delete-then-insert re-score, exactly like batch q49. The models
+    * dim broadcasts; the anti-join probes the static lake per batch —
+    * the restartable-by-construction incremental operator, now
+    * continuous. */
+  def pendingPairsStream(vids: DataFrame, models: DataFrame,
+                         scores: DataFrame): DataFrame = {
+    val s = vids.sparkSession
+    import s.implicits._
+    vids.select($"vid_id").join(broadcast(models.select($"model_id")))
+      .join(scores.filter(size($"score") > 0)
+          .select($"vid_id", $"model_id").distinct(),
+        Seq("vid_id", "model_id"), "left_anti")
+  }
+
   final case class HighWater(channel: String, max_publish: Timestamp)
 
   /** Custom keyed state via mapGroupsWithState: the per-channel

@@ -36,6 +36,49 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1).width == 64 && metas(1).n_frames == 1)
   }
 
+  test("fixture is pure ASCII (byte offset == codepoint offset for the oracle)") {
+    val n = Multimodal.binaryDocs(spark, Sf0001)
+      .filter(length($"payload") =!= length($"text")).count()
+    assert(n == 0L)
+  }
+
+  test("frame sample: 8 digests per doc, stride arithmetic deterministic") {
+    val df = Multimodal.qFrameSample(spark, Sf0001)
+    val perDoc = df.groupBy($"doc_id").count().select(countDistinct($"count")).head().getLong(0)
+    assert(perDoc == 1L) // every doc yields exactly the same frame count
+    val one = df.filter($"doc_id" === df.select(min($"doc_id")).head().getLong(0)).collect()
+    assert(one.length == 8)
+    assert(one.map(_.getAs[String]("frame_digest")).forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("phash: dup/near-dup/length-shift semantics; banded join == brute force") {
+    import Multimodal._
+    val base = ("the quick brown fox jumps over the lazy dog " * 14).trim // 615 chars
+    val nearDup = base.updated(100, 'X').updated(101, 'Y') // 2 bytes, 1 block
+    val shifted = "extra head " + base // content shift scrambles blocks
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, nearDup), (4L, shifted)
+    ).toDF("doc_id", "text").withColumn("payload", encode($"text", "utf-8"))
+      .select($"doc_id", $"payload").repartition(2)
+    val bits = phashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bits(1L) == bits(2L)) // exact dup -> identical signature
+    val nearHam = java.lang.Long.bitCount(bits(1L) ^ bits(3L))
+    assert(nearHam >= 1 && nearHam <= 2) // localized edit dirties ≤2 blocks
+    assert(java.lang.Long.bitCount(bits(1L) ^ bits(4L)) > 6) // shift scrambles
+    val got = qPhashPairsOf(docs)
+    // brute force ground truth over the 4 signatures
+    val want = (for {
+      (d1, p1) <- bits; (d2, p2) <- bits if d1 < d2
+      h = java.lang.Long.bitCount(p1 ^ p2) if h <= 6
+    } yield (d1, d2, h)).toSet
+    assert(got == want && want.contains((1L, 2L, 0)))
+  }
+
+  private def qPhashPairsOf(docs: org.apache.spark.sql.DataFrame) =
+    Multimodal.phashPairs(Multimodal.phashSignatures(docs)).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+
   test("decodeMedia: one meta per row through partitioned batches") {
     val media = Multimodal.binaryDocs(spark, Sf0001)
       .select($"doc_id", $"payload").as[Multimodal.MediaRow].repartition(5)

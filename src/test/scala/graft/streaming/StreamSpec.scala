@@ -63,6 +63,47 @@ class StreamSpec extends SparkSpec {
     assert(last == Map("chA" -> t("02:00").getTime, "chB" -> t("03:00").getTime))
   }
 
+  test("islandsStream: flagship islands pipeline over a score stream") {
+    implicit val ctx = spark.sqlContext
+    import graft.islands.IslandMath
+    val ms = MemoryStream[StreamOps.ScoreRow]
+    // small kernel (size 1) so the fixture stays readable; threshold on
+    // the smoothed values, min_len 2
+    val q = StreamOps.islandsStream(ms.toDS(), threshold = 0.5, size = 1,
+        sigma = 5.0, minLen = 2)
+      .writeStream.format("memory").queryName("isl").outputMode("append").start()
+    val arr = Array(0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+    ms.addData(StreamOps.ScoreRow(7L, arr))
+    q.processAllAvailable()
+    val got = spark.table("isl").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("start_idx"), r.getAs[Int]("end_idx")))
+      .toSet
+    q.stop()
+    // ground truth = the batch math on the same array
+    val sm = IslandMath.smooth(arr, IslandMath.gaussianKernel(1, 5.0), 1)
+    val want = IslandMath.findIslands(sm, 0.5, 2).map { case (s, e) => (7L, s, e) }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("pendingPairsStream: empty-score rows stay pending (P4 contract)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val models = Seq(10L, 11L).toDF("model_id")
+    val scores = Seq(
+      (1L, 10L, Seq(0.5)),      // real -> retired
+      (2L, 10L, Seq.empty[Double]) // empty -> still pending
+    ).toDF("vid_id", "model_id", "score")
+    val q = StreamOps.pendingPairsStream(ms.toDF().withColumnRenamed("value", "vid_id"),
+        models, scores)
+      .writeStream.format("memory").queryName("pending").outputMode("append").start()
+    ms.addData(1L, 2L)
+    q.processAllAvailable()
+    val got = spark.table("pending").collect()
+      .map(r => (r.getAs[Long]("vid_id"), r.getAs[Long]("model_id"))).toSet
+    q.stop()
+    assert(got == Set((1L, 11L), (2L, 10L), (2L, 11L)))
+  }
+
   test("dedupSegments: duplicate (vid_id, start) within watermark dropped") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Evt]
