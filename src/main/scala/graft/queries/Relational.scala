@@ -167,15 +167,25 @@ object Relational {
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   /** J2: left-outer join + per-dim aggregate (channels⟕videos with
-    * counts, dashboard.py:162-176). */
+    * counts, dashboard.py:162-176). Shape is aggregate-THEN-join: the
+    * fact side reduces to one row per dimension key first (map-side
+    * combined, the only shuffle is #nations rows), and the left join
+    * attaches it to the dim with the tiny agg as the broadcast build
+    * side. The join-then-aggregate form can't broadcast at all — a
+    * left-outer join only supports a build-right broadcast, and the
+    * preserved dim side is the small one — so it degrades to shuffling
+    * the whole fact table through the join. */
   def q08NationCustomerStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val n = broadcast(Tables.nation(s, dir))
-    n.join(Tables.customer(s, dir), $"n_nationkey" === $"c_nationkey", "left")
-      .groupBy($"n_nationkey", $"n_name")
-      .agg(count($"c_custkey").as("n_customers"),
-           coalesce(sum(dec($"c_acctbal")), lit(0).cast(DecimalType(18, 2)))
-             .cast("double").as("total_acctbal"))
+    val perNation = Tables.customer(s, dir)
+      .groupBy($"c_nationkey")
+      .agg(count($"c_custkey").as("cnt"), sum(dec($"c_acctbal")).as("bal"))
+    Tables.nation(s, dir)
+      .join(broadcast(perNation), $"n_nationkey" === $"c_nationkey", "left")
+      .select($"n_nationkey", $"n_name",
+        coalesce($"cnt", lit(0L)).as("n_customers"),
+        coalesce($"bal", lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("total_acctbal"))
       .orderBy($"n_nationkey")
   }
 
