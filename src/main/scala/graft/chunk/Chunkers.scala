@@ -225,7 +225,10 @@ object Chunkers {
     * the regex-split CTEs at every recursion step (95 s → 0.8 s at
     * sf0.01). Oversized segments split into 69-word parts (the
     * reference's pop-at-max loop yields exactly that for a whitespace
-    * counter). */
+    * counter); empty/whitespace-only documents stay as zero-token
+    * segments (n <= 70 keeps n = 0), matching splitOversized's
+    * early-return — they extend n_segments and time bounds without
+    * consuming budget. */
   val qTokenBudgetChunksSql: String =
     """WITH RECURSIVE
        docs AS MATERIALIZED (
@@ -234,7 +237,7 @@ object Chunkers {
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
          FROM documents),
        parts AS MATERIALIZED (
-         SELECT source, doc_id, 1 AS part_idx, n AS tc FROM docs WHERE n > 0 AND n <= 70
+         SELECT source, doc_id, 1 AS part_idx, n AS tc FROM docs WHERE n <= 70
          UNION ALL
          SELECT source, doc_id, CAST(g AS INT) AS part_idx,
            CASE WHEN g * 69 <= n THEN 69 ELSE n - (CAST(g AS INT) - 1) * 69 END AS tc

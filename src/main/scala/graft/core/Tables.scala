@@ -31,9 +31,10 @@ object Tables {
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
     * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is set
-    * in the session (see [[Sessions.configure]] — builders set it; this
-    * reader is side-effect free). The raw int64 nanos are truncated to
-    * a microsecond timestamp (matching DuckDB's ns→us cast semantics).
+    * in the session (apply [[sessionConf]] to the session builder, as
+    * Bench/Verify/Plans and the test base do; this reader stays
+    * side-effect free). The raw int64 nanos are truncated to a
+    * microsecond timestamp (matching DuckDB's ns→us cast semantics).
     */
   def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")

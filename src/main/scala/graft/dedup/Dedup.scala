@@ -241,8 +241,11 @@ object Dedup {
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      // h2 < 2^30 fills bits 0-29, so h1 must start at bit 30 — a 2^31
+      // multiplier would leave bit 30 structurally zero (a dead vote
+      // that biases hamming distances and doubles band-5 collisions).
       .withColumn("wh",
-        expr(polyHashExpr("word", 31, PolyMod1)) * lit(2147483648L) +
+        expr(polyHashExpr("word", 31, PolyMod1)) * lit(1073741824L) +
           expr(polyHashExpr("word", 131, PolyMod2)))
     // 60 bit-vote agg columns (map-side combined): one shuffle of
     // #docs × 60 ints — NOT an explode to (doc, word) × 60 rows.
@@ -263,23 +266,8 @@ object Dedup {
     * ~Σ bucket² per band. Use when signatures are spread (real-world
     * corpora where near-dups are rare). DedupSpec pins equivalence
     * with the kernel form. */
-  def simHashBandedPairs(sigs: DataFrame): DataFrame = {
-    val s = sigs.sparkSession
-    import s.implicits._
-    val banded = sigs.select($"doc_id", $"simhash",
-        explode(expr(s"transform(sequence(0, ${SimBands - 1}), b -> struct(b as band, " +
-          s"shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1} as bkey))")).as("bb"))
-      .select($"doc_id", $"simhash", $"bb.band", $"bb.bkey")
-    val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"simhash".as("h1"))
-    val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"simhash".as("h2"))
-    // hamming filter BEFORE the distinct: candidates sharing k bands
-    // appear k times, so the cheap two-long bit_count prunes the
-    // duplicate-heavy stream ahead of the dedup shuffle.
-    a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
-      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
-      .filter($"hamming" <= SimHamMax)
-      .select($"d1", $"d2", $"hamming").distinct()
-  }
+  def simHashBandedPairs(sigs: DataFrame): DataFrame =
+    Hamming.bandedPairs(sigs, "simhash", SimBits, SimBandBits, SimHamMax)
 
   /** q30: near-dup pairs at hamming ≤ 6. Plan choice is data-driven and
     * measured: the testdata's shared small vocabulary makes signatures
@@ -294,10 +282,16 @@ object Dedup {
     * 100 TB: block the broadcast side; or band when dup-rate is low. */
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = simHashSignatures(s, dir).as[(Long, Long)]
-    val block = s.sparkContext.broadcast(sigs.collect())
-    sigs.flatMap { case (id1, h1) =>
+    // One signature-pipeline pass: the probe side is spark.range over
+    // the collected broadcast (a second sigs.flatMap would re-run the
+    // whole explode + 60-column aggregation just to stream 8-byte rows
+    // the executors already hold).
+    val block = s.sparkContext.broadcast(
+      simHashSignatures(s, dir).as[(Long, Long)].collect())
+    val n = block.value.length
+    s.range(n.toLong).as[Long].flatMap { i =>
       val arr = block.value
+      val (id1, h1) = arr(i.toInt)
       val out = Seq.newBuilder[(Long, Long, Int)]
       var k = 0
       while (k < arr.length) {
@@ -323,7 +317,7 @@ object Dedup {
          WHERE word != '' GROUP BY doc_id, word),
        wh AS (
          SELECT doc_id, tf,
-           ${polyHashSql("word", 31, PolyMod1)} * 2147483648 +
+           ${polyHashSql("word", 31, PolyMod1)} * 1073741824 +
            ${polyHashSql("word", 131, PolyMod2)} AS wh
          FROM words),
        bits AS (

@@ -105,13 +105,22 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
 
+  // The fold steps over CODE POINTS, not UTF-16 code units: both the
+  // HOF form (split(s,'') never splits inside a surrogate pair; ascii
+  // returns the code point) and DuckDB's ascii() see one step per code
+  // point, so charAt iteration would diverge on non-BMP text (emoji in
+  // a transcript) — two surrogate-half steps instead of one.
   override def nullSafeEval(s: Any, b: Any, m: Any): Any = {
     val t = s.toString
     val bb = b.asInstanceOf[Long]
     val mm = m.asInstanceOf[Long]
     var acc = 0L
     var i = 0
-    while (i < t.length) { acc = (acc * bb + t.charAt(i)) % mm; i += 1 }
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      acc = (acc * bb + cp) % mm
+      i += Character.charCount(cp)
+    }
     acc
   }
 
@@ -119,12 +128,16 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
     nullSafeCodeGen(ctx, ev, (s, b, m) => {
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |java.lang.String $t = $s.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $t.length(); $i++) {
-         |  $acc = ($acc * $b + $t.charAt($i)) % $m;
+         |int $i = 0;
+         |while ($i < $t.length()) {
+         |  int $cp = $t.codePointAt($i);
+         |  $acc = ($acc * $b + $cp) % $m;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -168,22 +168,13 @@ object Multimodal {
   }
 
   /** Banded pair join over (doc_id, phash) — exact for hamming ≤
-    * [[PhashHamMax]] by the pigeonhole argument above. */
+    * [[PhashHamMax]] by the pigeonhole argument in
+    * [[graft.dedup.Hamming.bandedPairs]] (shared with SimHash q30). */
   def phashPairs(bits: DataFrame): DataFrame = {
     val s = bits.sparkSession
     import s.implicits._
-    val banded = bits.select($"doc_id", $"phash", explode(expr(
-        s"""transform(sequence(0, ${PhashBits / PhashBandBits - 1}), b ->
-              struct(b AS band,
-                shiftright(phash, b * $PhashBandBits) & ${(1 << PhashBandBits) - 1} AS bkey))"""))
-        .as("bb"))
-      .select($"doc_id", $"phash", $"bb.band", $"bb.bkey")
-    val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"phash".as("p1"))
-    val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"phash".as("p2"))
-    a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
-      .withColumn("hamming", expr("CAST(bit_count(p1 ^ p2) AS INT)"))
-      .filter($"hamming" <= PhashHamMax)
-      .select($"d1", $"d2", $"hamming").distinct()
+    graft.dedup.Hamming
+      .bandedPairs(bits, "phash", PhashBits, PhashBandBits, PhashHamMax)
       .orderBy($"d1", $"d2")
   }
 

@@ -75,10 +75,18 @@ object Sinks {
     val staging = new Path(lakeDir + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     val old = new Path(lakeDir + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
-    fs.delete(old, true)
+    // Hadoop FileSystem signals failure by RETURNING FALSE, not
+    // throwing — an unchecked rename here would silently leave the old
+    // lake in place (or nest staging inside it) while reporting
+    // success, then delete the only backup. Fail loudly instead; the
+    // staged copy survives for manual recovery.
+    def mustDo(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"upsertParquet: $what failed (staged data preserved at $staging)")
+    if (fs.exists(old)) mustDo(fs.delete(old, true), s"delete $old")
+    if (fs.exists(target)) mustDo(fs.rename(target, old), s"rename $target -> $old")
+    mustDo(fs.rename(staging, target), s"rename $staging -> $target")
+    if (fs.exists(old)) mustDo(fs.delete(old, true), s"delete $old")
   }
 
   /** S10: batched write — batching/commit-unit logic is native to the

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,19 +41,38 @@ object CsvTranscripts {
     StructField("duration", DoubleType)))
 
   /** Header-only validation pass: one row per file with its header
-    * column set and an `ok` verdict. `wholetext` reads each file as a
-    * single row (per-video transcript CSVs are tiny), so "the header"
-    * is deterministically the first line — no reliance on shuffle
-    * order. Set equality is checked both ways (extra AND missing
-    * columns reject). */
+    * column set and an `ok` verdict. Genuinely header-only IO: the file
+    * list distributes over tasks and each task opens its files and
+    * reads just the first line (a buffered read pulls one block, not
+    * the file) — no `wholetext` materialization of full payloads, no
+    * double read of the folder's bytes, no unsplittable giant records.
+    * Set equality is checked both ways (extra AND missing columns
+    * reject). */
   def validateHeaders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.option("wholetext", "true").text(s"$dir/*.csv")
-      .select(input_file_name().as("file"),
-        split(split(col("value"), "\r?\n").getItem(0), ",").as("columns"))
-      .withColumn("ok",
-        size(array_except($"columns", typedlit(RequiredColumns.toSeq))) === 0 &&
-          size(array_except(typedlit(RequiredColumns.toSeq), $"columns")) === 0)
+    val hadoopConf = s.sparkContext.hadoopConfiguration
+    val pattern = new Path(s"$dir/*.csv")
+    val fs = pattern.getFileSystem(hadoopConf)
+    val files = Option(fs.globStatus(pattern)).getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val required = RequiredColumns
+    val parts = math.min(math.max(1, files.length / 256 + 1), 1024)
+    s.createDataset(s.sparkContext.parallelize(files, parts).mapPartitions { it =>
+      val conf = serConf.value
+      it.map { f =>
+        val p = new Path(f)
+        val in = p.getFileSystem(conf).open(p)
+        val header =
+          try {
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+            Option(r.readLine()).getOrElse("")
+          } finally in.close()
+        val cols = header.split(",", -1).toSeq
+        (f, cols, cols.toSet == required)
+      }
+    }).toDF("file", "columns", "ok")
   }
 
   /** Full ingest of every valid per-video CSV under `dir`: returns the
@@ -65,13 +85,19 @@ object CsvTranscripts {
     * are in the reference). */
   def ingest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bad = validateHeaders(s, dir).filter(!$"ok").select($"file")
+    // anti-join on the basename: globStatus ("file:/...") and
+    // input_file_name ("file:///...") render the same path with
+    // different scheme spellings, and per-video file names are unique
+    // within the drop folder by construction (<vid_id>.csv).
+    val bad = validateHeaders(s, dir).filter(!$"ok")
+      .select(regexp_extract($"file", "([^/]+)$", 1).as("fname"))
     val raw = s.read
       .option("header", "true")
       .schema(schema)
       .csv(s"$dir/*.csv")
       .withColumn("file", input_file_name())
-    val good = raw.join(broadcast(bad), Seq("file"), "left_anti")
+      .withColumn("fname", regexp_extract($"file", "([^/]+)$", 1))
+    val good = raw.join(broadcast(bad), Seq("fname"), "left_anti").drop("fname")
     val byVid = good
       .withColumn("vid_id", regexp_extract($"file", "([^/]+)\\.csv$", 1))
       .drop("file")

@@ -113,11 +113,16 @@ object Similarity {
     * right operator is qMinHashLsh/qAnnIvf instead. */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecs = prepped(s, dir)
-    // Broadcast block: the candidate side. One block here; tile at scale.
-    val block = s.sparkContext.broadcast(vecs.collect())
-    val pairs = vecs.flatMap { a =>
+    // Broadcast block: the candidate side. One block here; tile at
+    // scale. The probe side is spark.range over the SAME broadcast —
+    // one upstream pass total (a second vecs.flatMap would re-run the
+    // whole scan+deserialize+norm pipeline just to stream rows the
+    // executors already hold).
+    val block = s.sparkContext.broadcast(prepped(s, dir).collect())
+    val n = block.value.length
+    val pairs = s.range(n.toLong).as[Long].flatMap { i =>
       val arr = block.value
+      val a = arr(i.toInt)
       val out = Seq.newBuilder[(Long, Long, Double)]
       var k = 0
       while (k < arr.length) {

@@ -46,6 +46,18 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.head.segmentCount == 2)
   }
 
+  test("empty segment stays as a zero-token segment (extends bounds, not budget)") {
+    val segs = Seq(
+      Chunkers.Segment(0.0, 1.0, "a b"),
+      Chunkers.Segment(1.0, 1.0, "   "), // whitespace-only -> 0 tokens
+      Chunkers.Segment(2.0, 1.0, "c"))
+    val chunks = Chunkers.buildChunksSimple(segs, 0, 70)
+    assert(chunks.length == 1)
+    assert(chunks.head.tokenCount == 3)     // "" adds no tokens
+    assert(chunks.head.segmentCount == 3)   // but IS a segment
+    assert(chunks.head.endTime == 3.0)      // and extends the time range
+  }
+
   test("undersized tail merges into previous when merged <= max") {
     val segs = Seq(
       Chunkers.Segment(0.0, 10.0, words(400, "a")),

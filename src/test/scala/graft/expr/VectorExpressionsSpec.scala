@@ -51,6 +51,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter($"native" =!= $"fold").count() == 0)
   }
 
+  test("graft_polyhash folds code points, not UTF-16 units (non-BMP parity)") {
+    VectorExpressions.register(spark)
+    // emoji = one fold step with the code point (0x1F600), exactly as
+    // split('')/ascii sees it — not two surrogate-half steps
+    val df = Seq("a😀b", "😀", "héllo ✓ 🎉").toDF("t")
+      .withColumn("native", expr("graft_polyhash(t, 31L, 1000000007L)"))
+      .withColumn("fold", expr(
+        "aggregate(transform(split(t, ''), c -> ascii(c)), 0L, (acc, x) -> (acc*31 + x) % 1000000007)"))
+    assert(df.filter($"native" =!= $"fold").count() == 0)
+    // and the exact value for the single-emoji case: one step = cp % mod
+    val one = df.filter($"t" === "😀").select($"native").head().getLong(0)
+    assert(one == 0x1F600L)
+  }
+
   test("float arrays cast to double arrays then dot") {
     VectorExpressions.register(spark)
     val emb = graft.core.Tables.embeddings(spark, Sf0001)
