@@ -64,7 +64,15 @@ object Plans {
       """The §3.3 survey DAG end-to-end: dimension crosses stay broadcast, chat
         |calls run in mapPartitions (one client per partition — the fleet
         |collapse), parsing is a scalar UDF, and axis scoring is one shuffled
-        |groupBy on the run key followed by a 1-row broadcast of the maxes.""".stripMargin)
+        |groupBy on the run key followed by a 1-row broadcast of the maxes.""".stripMargin,
+    "q61_phash_neardup" ->
+      """Block-hash perceptual near-dup over binary payloads. Band geometry is
+        |chosen for scale, not convenience: exact recall at hamming ≤ k needs
+        |> k bands, so the hamming ≤ 3 cutoff (the standard for 64-bit
+        |fingerprints, Manku et al.) buys 4 bands × 15 bits = 32k buckets per
+        |band — candidate volume Σ bucket² stays sub-quadratic where narrow
+        |6-bit bands would saturate 64 buckets into all-pairs. Signatures are
+        |8 bytes/doc; payload bytes never reach the join.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")

@@ -136,23 +136,37 @@ object Multimodal {
        ORDER BY doc_id, frame_idx"""
 
   private val PhashBits = 60     // stay clear of the BIGINT sign bit
-  private val PhashBandBits = 6  // 10 bands × 6 bits
-  private val PhashHamMax = 6    // ≤6 dirty bands -> ≥4 shared (pigeonhole)
+  private val PhashBandBits = 15 // 4 bands × 15 bits -> 32k buckets/band
+  private val PhashHamMax = 3    // ≤3 dirty bands -> ≥1 shared (pigeonhole)
 
   /** Perceptual (block-hash style) near-dup over binary payloads: 60
     * byte blocks per payload, bit j = parity of block j's digest, pairs
-    * at hamming ≤ 6. Payloads differing in a few localized bytes
+    * at hamming ≤ 3 (the standard near-dup cutoff for 64-bit
+    * fingerprints, after Manku et al.'s simhash dedup — and the cutoff
+    * that keeps banding sub-quadratic: exact recall at hamming ≤ k
+    * needs > k bands, so a small k buys WIDE bands — 4 bands × 15 bits
+    * = 32k buckets/band, vs hamming ≤ 6 forcing ≥7 narrow bands whose
+    * few buckets saturate into all-pairs at scale).
+    * Payloads differing in a few localized bytes
     * collide on most bits (the locality a block hash buys); a content
     * shift (prepend/reflow) scrambles every block, while a short
     * appended tail beyond the 60·stride window leaves the signature
     * unchanged — both by design, as in image block hashes (a footer
     * chunk doesn't change the picture).
-    * The pair stage is the banded equi-join (10×6-bit bands): hamming
-    * ≤ 6 dirties ≤ 6 bands, so qualifying pairs share ≥ 4 exact bands —
+    * The pair stage is the banded equi-join (4×15-bit bands): hamming
+    * ≤ 3 dirties ≤ 3 bands, so qualifying pairs share ≥ 1 exact band —
     * provably equivalent to the all-pairs scan (the oracle's form), at
     * Σ bucket² candidate cost. The 100 TB shape: signatures are 8
     * bytes/doc, payloads never join. */
-  /** (doc_id, phash) signatures from a (doc_id, payload) frame. */
+  /** (doc_id, phash) signatures from a (doc_id, payload) frame.
+    * Shape: explode the 60 block indexes, compute each bit with
+    * codegen'd builtins (substring/md5 on the binary), and sum the
+    * disjoint powers of two back per doc — sum is order-independent
+    * here, so the partial (map-side) aggregate combines freely and the
+    * shuffle carries one long per doc. The equivalent
+    * `aggregate(transform(...))` HOF fold is CodegenFallback and
+    * interprets 60 Catalyst sub-expressions per row — measured 4×
+    * slower at sf0.1 (4.4 s vs 1.1 s for the whole query). */
   def phashSignatures(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -160,11 +174,12 @@ object Multimodal {
     docs
       .withColumn("byte_len", length($"payload"))
       .withColumn("stride", expr("greatest(CAST(floor(byte_len / 60) AS INT), 1)"))
+      .select($"doc_id", $"payload", $"stride",
+        explode(expr(s"sequence(0, ${PhashBits - 1})")).as("j"))
       .select($"doc_id", expr(
-        s"""aggregate(transform(sequence(0, ${PhashBits - 1}), j ->
-              CASE WHEN substring(md5(substring(payload, 1 + j * stride, stride)), 1, 1)
-                   IN $odd THEN shiftleft(1L, j) ELSE 0L END),
-            0L, (acc, x) -> acc + x)""").as("phash"))
+        s"""CASE WHEN substring(md5(substring(payload, 1 + j * stride, stride)), 1, 1)
+                 IN $odd THEN shiftleft(1L, j) ELSE 0L END""").as("bit"))
+      .groupBy($"doc_id").agg(sum($"bit").as("phash"))
   }
 
   /** Banded pair join over (doc_id, phash) — exact for hamming ≤

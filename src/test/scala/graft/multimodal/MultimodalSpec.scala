@@ -65,12 +65,12 @@ class MultimodalSpec extends SparkSpec {
     assert(bits(1L) == bits(2L)) // exact dup -> identical signature
     val nearHam = java.lang.Long.bitCount(bits(1L) ^ bits(3L))
     assert(nearHam >= 1 && nearHam <= 2) // localized edit dirties ≤2 blocks
-    assert(java.lang.Long.bitCount(bits(1L) ^ bits(4L)) > 6) // shift scrambles
+    assert(java.lang.Long.bitCount(bits(1L) ^ bits(4L)) > 3) // shift scrambles
     val got = qPhashPairsOf(docs)
     // brute force ground truth over the 4 signatures
     val want = (for {
       (d1, p1) <- bits; (d2, p2) <- bits if d1 < d2
-      h = java.lang.Long.bitCount(p1 ^ p2) if h <= 6
+      h = java.lang.Long.bitCount(p1 ^ p2) if h <= 3
     } yield (d1, d2, h)).toSet
     assert(got == want && want.contains((1L, 2L, 0)))
   }
