@@ -35,9 +35,20 @@ object ServiceOps {
   }
 
   /** Portable polynomial fold (the q26 fingerprint primitive) — the
-    * seed for every deterministic fake, replayable in DuckDB. */
-  def polyFold(t: String): Long =
-    t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    * seed for every deterministic fake, replayable in DuckDB. Steps
+    * over CODE POINTS (like split('')/ascii and DuckDB's replay), not
+    * UTF-16 units — a char fold would diverge on non-BMP text exactly
+    * as [[graft.expr.PolyHash]]'s scaladoc explains. */
+  def polyFold(t: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 
   /** Deterministic fake embedder: dim rational components derived from
     * the text fingerprint. Exact in IEEE double on both engines

@@ -23,6 +23,11 @@ class ServiceSpec extends SparkSpec {
     assert(a.forall(x => x >= 0.0 && x < 1.0))
   }
 
+  test("polyFold steps over code points (non-BMP parity with the DuckDB replay)") {
+    assert(ServiceOps.polyFold("😀") == 0x1F600L) // one step, not two surrogates
+    assert(ServiceOps.polyFold("ab") == (97L * 31 + 98) % 1000000007L)
+  }
+
   test("retry wrapper: flaky embedder succeeds within maxRetries, fails beyond") {
     class Flaky(failures: Int) extends Embedder {
       var calls = 0
