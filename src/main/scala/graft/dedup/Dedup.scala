@@ -282,16 +282,13 @@ object Dedup {
     * 100 TB: block the broadcast side; or band when dup-rate is low. */
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // One signature-pipeline pass: the probe side is spark.range over
-    // the collected broadcast (a second sigs.flatMap would re-run the
-    // whole explode + 60-column aggregation just to stream 8-byte rows
-    // the executors already hold).
+    // One signature-pipeline pass: Blocked.pairScan probes via
+    // spark.range over the collected broadcast (a second sigs.flatMap
+    // would re-run the whole explode + 60-column aggregation just to
+    // stream 8-byte rows the executors already hold).
     val block = s.sparkContext.broadcast(
       simHashSignatures(s, dir).as[(Long, Long)].collect())
-    val n = block.value.length
-    s.range(n.toLong).as[Long].flatMap { i =>
-      val arr = block.value
-      val (id1, h1) = arr(i.toInt)
+    graft.core.Blocked.pairScan(s, block) { case ((id1, h1), arr) =>
       val out = Seq.newBuilder[(Long, Long, Int)]
       var k = 0
       while (k < arr.length) {

@@ -179,7 +179,11 @@ object Multimodal {
       .select($"doc_id", expr(
         s"""CASE WHEN substring(md5(substring(payload, 1 + j * stride, stride)), 1, 1)
                  IN $odd THEN shiftleft(1L, j) ELSE 0L END""").as("bit"))
-      .groupBy($"doc_id").agg(sum($"bit").as("phash"))
+      // bit_or, not sum: identical on the disjoint powers of two, but
+      // idempotent if the input frame carries duplicate (doc_id,
+      // payload) rows — a plain sum would double-count into garbage
+      // (doc_id with CONFLICTING payloads remains caller error).
+      .groupBy($"doc_id").agg(expr("bit_or(bit)").as("phash"))
   }
 
   /** Banded pair join over (doc_id, phash) — exact for hamming ≤

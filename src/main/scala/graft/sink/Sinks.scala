@@ -69,6 +69,17 @@ object Sinks {
                     keys: Seq[String]): Unit = {
     val fs = new Path(lakeDir).getFileSystem(s.sparkContext.hadoopConfiguration)
     val target = new Path(lakeDir)
+    val recoverOld = new Path(lakeDir + ".old")
+    // Crash/retry recovery BEFORE reading: if a previous run failed
+    // between moving target aside and swapping staging in, `.old` is
+    // the only full copy — restore it first. Without this, a retry
+    // would see no target, merge against nothing, and delete the
+    // backup: the whole lake silently reduced to the latest batch.
+    if (fs.exists(recoverOld) && !fs.exists(target)) {
+      if (!fs.rename(recoverOld, target))
+        throw new java.io.IOException(
+          s"upsertParquet: recovery rename $recoverOld -> $target failed; not proceeding")
+    }
     val merged =
       if (fs.exists(target)) mergeUpsert(s.read.parquet(lakeDir), updates, keys)
       else updates.dropDuplicates(keys)

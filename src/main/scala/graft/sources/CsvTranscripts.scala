@@ -89,13 +89,17 @@ object CsvTranscripts {
     // input_file_name ("file:///...") render the same path with
     // different scheme spellings, and per-video file names are unique
     // within the drop folder by construction (<vid_id>.csv).
+    // input_file_name additionally percent-encodes (a space becomes
+    // %20 while globStatus keeps it literal), so the scan side is
+    // url_decoded before comparing — the encoding is bijective (a
+    // literal % arrives as %25), so this cannot collide.
     val bad = validateHeaders(s, dir).filter(!$"ok")
       .select(regexp_extract($"file", "([^/]+)$", 1).as("fname"))
     val raw = s.read
       .option("header", "true")
       .schema(schema)
       .csv(s"$dir/*.csv")
-      .withColumn("file", input_file_name())
+      .withColumn("file", url_decode(input_file_name()))
       .withColumn("fname", regexp_extract($"file", "([^/]+)$", 1))
     val good = raw.join(broadcast(bad), Seq("fname"), "left_anti").drop("fname")
     val byVid = good

@@ -114,15 +114,12 @@ object Similarity {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Broadcast block: the candidate side. One block here; tile at
-    // scale. The probe side is spark.range over the SAME broadcast —
-    // one upstream pass total (a second vecs.flatMap would re-run the
-    // whole scan+deserialize+norm pipeline just to stream rows the
-    // executors already hold).
+    // scale. Blocked.pairScan probes via spark.range over the SAME
+    // broadcast — one upstream pass total (a second vecs.flatMap would
+    // re-run the whole scan+deserialize+norm pipeline just to stream
+    // rows the executors already hold).
     val block = s.sparkContext.broadcast(prepped(s, dir).collect())
-    val n = block.value.length
-    val pairs = s.range(n.toLong).as[Long].flatMap { i =>
-      val arr = block.value
-      val a = arr(i.toInt)
+    val pairs = graft.core.Blocked.pairScan(s, block) { (a, arr) =>
       val out = Seq.newBuilder[(Long, Long, Double)]
       var k = 0
       while (k < arr.length) {

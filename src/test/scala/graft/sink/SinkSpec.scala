@@ -51,6 +51,23 @@ class SinkSpec extends SparkSpec {
     assert(pending.toSeq == Seq(2L, 3L))
   }
 
+  test("upsertParquet recovers a crashed swap (.old present, target missing)") {
+    val dir = tmpDir("recover")
+    val first = Seq((1L, 10L, Seq(0.1))).toDF("vid_id", "model_id", "score")
+    Sinks.upsertScores(spark, dir, first)
+    // simulate a crash between "target -> .old" and "staging -> target"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // retry with a new batch: must NOT reduce the lake to just the batch
+    val second = Seq((2L, 10L, Seq(0.2))).toDF("vid_id", "model_id", "score")
+    Sinks.upsertScores(spark, dir, second)
+    val lake = spark.read.parquet(dir)
+    assert(lake.count() == 2, "pre-crash row must survive the retried upsert")
+    assert(lake.select(sum(size($"score"))).head().getLong(0) == 2)
+  }
+
   test("replacePartitions rewrites only the touched partition") {
     val dir = tmpDir("islands")
     val v1 = Seq((10L, 1, 5), (10L, 9, 14), (11L, 0, 8)).toDF("model_id", "s", "e")

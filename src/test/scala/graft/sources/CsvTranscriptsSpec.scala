@@ -30,12 +30,19 @@ class CsvTranscriptsSpec extends SparkSpec {
     write(d, "vidD.csv",
       "text,start",
       "\"also bad\",0.0")
+    // bad file with a URI-encodable name: input_file_name yields
+    // "bad%20vid.csv" while globStatus keeps "bad vid.csv" — the
+    // anti-join must still skip it (url_decode normalization)
+    write(d, "bad vid.csv",
+      "text,start,duration,lang",
+      "\"sneaky\",0.0,1.0,en")
     d
   }
 
   test("validateHeaders flags exactly the bad-column files") {
     val v = validateResults
-    assert(v == Map("vidA" -> true, "vidB" -> true, "vidC" -> false, "vidD" -> false))
+    assert(v == Map("vidA" -> true, "vidB" -> true, "vidC" -> false,
+      "vidD" -> false, "bad vid" -> false))
   }
 
   private def validateResults: Map[String, Boolean] =
