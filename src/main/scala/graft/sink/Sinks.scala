@@ -85,7 +85,7 @@ object Sinks {
       else updates.dropDuplicates(keys)
     val staging = new Path(lakeDir + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(lakeDir + ".old")
+    val old = recoverOld
     // Hadoop FileSystem signals failure by RETURNING FALSE, not
     // throwing — an unchecked rename here would silently leave the old
     // lake in place (or nest staging inside it) while reporting

@@ -90,16 +90,18 @@ object CsvTranscripts {
     // different scheme spellings, and per-video file names are unique
     // within the drop folder by construction (<vid_id>.csv).
     // input_file_name additionally percent-encodes (a space becomes
-    // %20 while globStatus keeps it literal), so the scan side is
-    // url_decoded before comparing — the encoding is bijective (a
-    // literal % arrives as %25), so this cannot collide.
+    // %20 while globStatus keeps it literal, and a literal % arrives
+    // as %25) — BUT leaves '+' unescaped, and url_decode form-decodes
+    // '+' to a space; escaping '+' to %2B first makes the decode
+    // faithful for every filename.
     val bad = validateHeaders(s, dir).filter(!$"ok")
       .select(regexp_extract($"file", "([^/]+)$", 1).as("fname"))
     val raw = s.read
       .option("header", "true")
       .schema(schema)
       .csv(s"$dir/*.csv")
-      .withColumn("file", url_decode(input_file_name()))
+      .withColumn("file",
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B")))
       .withColumn("fname", regexp_extract($"file", "([^/]+)$", 1))
     val good = raw.join(broadcast(bad), Seq("fname"), "left_anti").drop("fname")
     val byVid = good

@@ -130,22 +130,34 @@ object TextAnalysis {
     * profile hits, predict argmax (ties → lang asc). The profile is a
     * ~250-row broadcast; the explode is 2× text bytes — linear, no
     * wide shuffle, scale-safe. */
+  /** Character bigrams of `t`, exploded as `bg` (other columns kept).
+    * Pre-split char array so each bigram is two O(1) element_at reads —
+    * substring(t, i, 2) inside the lambda re-scans the UTF8String to
+    * find the char offset, O(len) per element and O(len²) per doc
+    * (swapping it measured q24 3.8 s → 2.9 s at sf0.1; the gap widens
+    * with doc length). split('') yields code-point singletons, so
+    * values match substr/element_at code-point indexing. Docs shorter
+    * than 2 code points emit no rows (the CASE guard: sequence(1, 0)
+    * DESCENDS in Spark, and element_at(cs, 0) throws — matching the
+    * oracle's empty generate_series(1, len-1)). */
+  def charBigrams(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("cs", split($"t", ""))
+      .withColumn("bg", explode(expr(
+        """CASE WHEN size(cs) >= 2
+             THEN transform(sequence(1, size(cs) - 1),
+                    i -> concat(element_at(cs, i), element_at(cs, i + 1)))
+             ELSE CAST(array() AS array<string>) END""")))
+      .drop("cs")
+  }
+
   def qLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", lower($"text").as("t"))
-    // bigrams from a pre-split char array: element_at on ArrayData is
-    // O(1), where substring(t, i, 2) inside the lambda re-scans the
-    // UTF8String to find the char offset — O(len) per element, O(len²)
-    // per doc (swapping it measured 3.8 s → 2.9 s for the query at
-    // sf0.1; the gap widens with doc length). Same values: split('')
-    // yields code-point singletons, and both substr and element_at
-    // index code points.
-    val bigrams = docs
-      .withColumn("cs", split($"t", ""))
-      .withColumn("bg", explode(expr(
-        "transform(sequence(1, size(cs) - 1), i -> concat(element_at(cs, i), element_at(cs, i + 1)))")))
-      .drop("cs")
+    val bigrams = charBigrams(docs)
     val profile = bigrams.filter($"doc_id" % 5 =!= 0)
       .groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(

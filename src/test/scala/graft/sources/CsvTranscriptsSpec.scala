@@ -36,13 +36,18 @@ class CsvTranscriptsSpec extends SparkSpec {
     write(d, "bad vid.csv",
       "text,start,duration,lang",
       "\"sneaky\",0.0,1.0,en")
+    // '+' is NOT percent-encoded by input_file_name but url_decode
+    // form-decodes it to a space — the pre-escape must keep it literal
+    write(d, "plus+vid.csv",
+      "text,start,duration",
+      "\"plus file\",0.0,1.0")
     d
   }
 
   test("validateHeaders flags exactly the bad-column files") {
     val v = validateResults
     assert(v == Map("vidA" -> true, "vidB" -> true, "vidC" -> false,
-      "vidD" -> false, "bad vid" -> false))
+      "vidD" -> false, "bad vid" -> false, "plus+vid" -> true))
   }
 
   private def validateResults: Map[String, Boolean] =
@@ -54,8 +59,8 @@ class CsvTranscriptsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = CsvTranscripts.ingest(spark, dir.toString).orderBy("vid_id", "start")
     val rows = out.collect()
-    assert(rows.map(_.getAs[String]("vid_id")).toSet == Set("vidA", "vidB"))
-    assert(rows.length == 4) // 3 distinct starts for vidA + 1 for vidB
+    assert(rows.map(_.getAs[String]("vid_id")).toSet == Set("vidA", "vidB", "plus+vid"))
+    assert(rows.length == 5) // 3 distinct starts for vidA + 1 vidB + 1 plus+vid
     val a = rows.filter(_.getAs[String]("vid_id") == "vidA")
     // F1: "[music]" stripped greedily, punctuation dropped, lowered
     assert(a(0).getAs[String]("text_formatted") == "hello  world")

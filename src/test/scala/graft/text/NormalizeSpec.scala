@@ -41,6 +41,20 @@ class NormalizeSpec extends SparkSpec {
     assert(wc == 2)
   }
 
+  test("charBigrams: short docs emit no rows instead of crashing") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", ""), (2L, "en", "a"), (3L, "en", "abc"))
+      .toDF("doc_id", "lang", "t")
+    val got = TextAnalysis.charBigrams(docs)
+      .groupBy($"doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // sequence(1, 0) descends in Spark — without the guard, '' and 'a'
+    // would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT, not return empty
+    assert(got == Map(3L -> 2L)) // only "ab","bc"; docs 1/2 emit nothing
+    val bgs = TextAnalysis.charBigrams(docs).select($"bg").as[String].collect().sorted
+    assert(bgs.toSeq == Seq("ab", "bc"))
+  }
+
   test("empty and whitespace-only -> word_count 0") {
     assert(normalize("")._2 == 0)
     assert(normalize("  [all bracketed]  ")._2 == 0)
