@@ -226,7 +226,6 @@ object Dedup {
 
   private val SimBits = 60      // 60-bit simhash from two poly folds
   private val SimBandBits = 6   // 10 bands × 6 bits
-  private val SimBands = SimBits / SimBandBits
   private val SimHamMax = 6     // ≤ 6 differing bits
 
   /** SimHash signatures (60-bit portable): per-word poly-hash pair
