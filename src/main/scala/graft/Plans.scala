@@ -65,6 +65,14 @@ object Plans {
         |calls run in mapPartitions (one client per partition — the fleet
         |collapse), parsing is a scalar UDF, and axis scoring is one shuffled
         |groupBy on the run key followed by a 1-row broadcast of the maxes.""".stripMargin,
+    "q37_token_budget_chunks" ->
+      """The order-dependent operator: a greedy pack + forward-merge fold that
+        |only parallelizes ACROSS groups. flatMapGroups with an explicit
+        |in-group sort (never partition order), additive token counters keep
+        |the fold O(total length). One shuffle on the group key; at 100 TB
+        |the group (a video) is the natural unit and no group outgrows a
+        |task. Its DuckDB oracle replays the fold with two recursive CTEs —
+        |the only operator whose oracle needed recursion.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs
