@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** The shared banded hamming join vs brute force, randomized over both
+  * geometries in use (q30 sparse path: 10×6-bit/ham6; q61: 4×15-bit/
+  * ham3), plus the guard rails on invalid geometry. */
+class HammingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sigs: Seq[(Long, Long)] = {
+    val rnd = new Random(42)
+    val mask = (1L << 60) - 1
+    (0 until 100).flatMap { i =>
+      val s = rnd.nextLong() & mask
+      // plant a near-dup partner at hamming <= 2 for every even id
+      val partner = s ^ (1L << rnd.nextInt(60)) ^ (1L << rnd.nextInt(60))
+      Seq((i.toLong * 2, s), (i.toLong * 2 + 1, partner & mask))
+    }
+  }
+
+  private def brute(hamMax: Int): Set[(Long, Long, Int)] =
+    (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= hamMax
+    } yield (d1, d2, h)).toSet
+
+  test("property: bandedPairs == brute force for both live geometries (200 sigs)") {
+    val df = sigs.toDF("doc_id", "sig")
+    for ((bandBits, hamMax) <- Seq((6, 6), (15, 3))) {
+      val got = Hamming.bandedPairs(df, "sig", 60, bandBits, hamMax).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+        .toSet
+      assert(got == brute(hamMax), s"geometry 60/$bandBits/ham<=$hamMax")
+      assert(got.nonEmpty, "planted near-dups should be found")
+    }
+  }
+
+  test("bandedPairs rejects geometry that voids the pigeonhole guarantee") {
+    val df = sigs.take(2).toDF("doc_id", "sig")
+    intercept[IllegalArgumentException] {
+      Hamming.bandedPairs(df, "sig", 60, 30, 6) // 2 bands <= hamMax: recall hole
+    }
+    intercept[IllegalArgumentException] {
+      Hamming.bandedPairs(df, "sig", 60, 7, 3) // 60 % 7 != 0
+    }
+  }
+}
