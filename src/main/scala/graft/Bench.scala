@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query at the given SF and
@@ -7,8 +9,24 @@ import org.apache.spark.sql.SparkSession
   * that executes the complete physical plan (Catalyst strips sorts and
   * top-level projects under a bare `.count()`, which under-measures
   * ORDER BY/LIMIT queries).
+  *
+  * Measurement hygiene (the BENCH_r02 lesson — unreleased broadcasts
+  * accumulated across 61 queries until unrelated trivial queries
+  * recorded 27 s of GC):
+  *  - every query's registered broadcasts/caches are destroyed via
+  *    [[graft.core.Resources.release]] after its action completes;
+  *  - per-query GC milliseconds (delta of the collector MXBean totals)
+  *    are recorded alongside wall time, so environment drift is visible
+  *    IN the artifact instead of discovered by cross-round archaeology;
+  *  - a query that throws is listed in `failed` (its abort time would
+  *    otherwise be indistinguishable from a fast success).
   */
 object Bench {
+
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,16 +50,27 @@ object Bench {
     try SparkEntry.queries("q02_last_order_per_customer")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: $e")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      graft.core.Resources.release()
+      (name, sec, gcMs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,13 +4,22 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 
 /** Blocked broadcast pair-scan — the shared kernel behind the exact
-  * all-pairs stages (SimHash hamming q30, embedding cosine q32): the
-  * item set ships once per executor as a broadcast, the probe side is
-  * `spark.range` over the SAME broadcast (one upstream pass total — no
-  * re-execution of the pipeline that produced the items), and each
-  * task runs a primitive inner loop over the array. At 100 TB the
-  * broadcast side tiles into fixed-size blocks: outer loop over
-  * blocks, same kernel per block.
+  * all-pairs stages (SimHash hamming q30, embedding cosine q32): one
+  * side of the pair space ships per executor as a broadcast block, the
+  * probe side stays a distributed dataset, and each task runs a
+  * primitive inner loop over the block array.
+  *
+  * [[tiledPairScan]] is the scale form: the block side is split into
+  * deterministic key-hash tiles of ≤ `blockSize` rows; each tile is
+  * collected (a BOUNDED driver fetch — never the whole table),
+  * broadcast, probed by the full distributed dataset, and the per-tile
+  * results union. Every driver/executor allocation is O(blockSize),
+  * except that a single lazy plan keeps all tiles referenced until the
+  * action completes — at cluster scale drive tiles as separate jobs
+  * (the tiles are independent by construction) to cap concurrent
+  * broadcast residency at one tile; on the shared-heap local runner the
+  * union is the faster shape. Registered via [[Resources]] so the
+  * harness reclaims blocks after the action.
   */
 object Blocked {
 
@@ -18,7 +27,8 @@ object Blocked {
     * arr)` produces that row's pairs — the caller's inner loop stays a
     * primitive `while` over the array (the hot path; no per-pair
     * closure dispatch). Ordering conventions (e.g. emit only
-    * `b.id > a.id`) live in `emit`. */
+    * `b.id > a.id`) live in `emit`. Single-block form: use only when
+    * the block side is known-small (e.g. a centroid table). */
   def pairScan[A, R: Encoder](s: SparkSession, block: Broadcast[Array[A]])
                              (emit: (A, Array[A]) => IterableOnce[R]): Dataset[R] = {
     import s.implicits._
@@ -27,5 +37,35 @@ object Blocked {
       val arr = block.value
       emit(arr(i.toInt), arr)
     }
+  }
+
+  /** All-pairs scan with the block side tiled: `items` is hashed on
+    * `key` into `ceil(n / blockSize)` tiles; tile j is collected
+    * (≤ ~blockSize rows — the driver never holds the full set),
+    * broadcast, and probed by the full distributed `items`. `emit(a,
+    * tile)` must emit each qualifying pair exactly once given that
+    * every row b appears in exactly one tile (the usual `b.id > a.id`
+    * convention does this unchanged). `items` is cached for the
+    * duration (one upstream computation, tiles+probes read the cache);
+    * cache and broadcasts are released by the harness via
+    * [[Resources.release]]. */
+  def tiledPairScan[A: scala.reflect.ClassTag, R: Encoder](items: Dataset[A], blockSize: Int)
+                                  (key: A => Long)
+                                  (emit: (A, Array[A]) => IterableOnce[R]): Dataset[R] = {
+    require(blockSize > 0, s"blockSize=$blockSize must be positive")
+    val s = items.sparkSession
+    val cached = Resources.persist(items)
+    val n = cached.count()
+    val nTiles = math.max(1L, (n + blockSize - 1) / blockSize).toInt
+    val parts = (0 until nTiles).map { j =>
+      val tile = cached.filter((a: A) => java.lang.Math.floorMod(key(a), nTiles.toLong) == j.toLong)
+        .collect()
+      val bc = Resources.broadcast(s, tile)
+      cached.mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap(a => emit(a, arr).iterator)
+      }
+    }
+    parts.reduce(_ union _)
   }
 }

@@ -164,13 +164,33 @@ object Dedup {
       .select($"doc_id", $"sig")
   }
 
+  /** Buckets larger than this are excluded from candidate generation
+    * (mirrored in the oracle — the cap is part of the operator's
+    * semantics, not a silent perf hack). One degenerate band key (e.g.
+    * a corpus of identical boilerplate) otherwise goes quadratic with
+    * no guard — the reason pgvector caps candidate sets with HNSW
+    * (setup_vector_db.py:148-150). 4096² candidate rows per bucket is
+    * the most one hot key may cost before it is dropped (visibly:
+    * `lsh_buckets` observed metrics carry max size + dropped count). */
+  private[dedup] val MaxBucket = 4096
+
   /** LSH candidate pairs → verified by estimated jaccard (fraction of
     * equal signature slots) ≥ 0.5. Banding keeps the self-join keyed on
     * (band, band-hash) buckets — the canonical linear-ish scale path
     * for 100 TB dedup, vs the quadratic shingle self-join. The band key
     * is a poly fold of the 4 slot values (portable, oracle replays it:
     * banding is part of the SEMANTICS — an est≥0.5 pair sharing no
-    * band is correctly absent). */
+    * band is correctly absent).
+    *
+    * Pair-stage shape (the BENCH_r02 fix): candidates sharing k bands
+    * appear k times, and on clustered data the band join EXPLODES —
+    * so the est-jaccard filter runs NARROW, inside the join stage,
+    * BEFORE any distinct. Only surviving pairs (three scalar columns,
+    * no signature arrays) enter the dedup shuffle. The r2 plan ran
+    * `distinct()` over the full candidate stream with both 32-long
+    * signatures aboard — GBs of duplicated arrays through a wide
+    * shuffle, 40.2 s at sf0.1 (same pattern as
+    * [[Hamming.bandedPairs]], which already filtered first). */
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = minHashSignatures(s, dir)
@@ -178,15 +198,21 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band, " +
           s"aggregate(slice(sig, b*$BandRows + 1, $BandRows), 0L, (acc, x) -> (acc*31 + x) % $PolyMod1) as bkey))")).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bkey")
-    val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"sig".as("sig1"))
-    val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"sig".as("sig2"))
-    val cand = a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
-      .select($"d1", $"d2", $"sig1", $"sig2").distinct()
-    cand
+    // Bucket-size guard: tiny aggregate (≤ bands × docs rows), observed
+    // metrics expose what the cap dropped, AQE broadcasts it back.
+    val bcnt = banded.groupBy($"band", $"bkey").agg(count(lit(1)).as("bsz"))
+      .observe("lsh_buckets",
+        max($"bsz").as("max_bucket"),
+        sum(when($"bsz" > MaxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+    val guarded = banded.join(bcnt.filter($"bsz" <= MaxBucket), Seq("band", "bkey"))
+    val a = guarded.select($"band", $"bkey", $"doc_id".as("d1"), $"sig".as("sig1"))
+    val b = guarded.select($"band", $"bkey", $"doc_id".as("d2"), $"sig".as("sig2"))
+    a.join(b, Seq("band", "bkey")).filter($"d1" < $"d2")
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"))
       .filter($"est_jaccard" >= 0.5)
       .select($"d1", $"d2", $"est_jaccard")
+      .distinct()
       .orderBy($"d1", $"d2")
   }
 
@@ -213,9 +239,13 @@ object Dedup {
              sig[CAST(b*$BandRows + 1 AS INT) : CAST(b*$BandRows + $BandRows AS INT)]),
              (acc, x) -> (acc*31 + x) % $PolyMod1) AS bkey
          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes / BandRows - 1})) AS b) g),
+       bsz AS (
+         SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS n
+         FROM bands),
        cand AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         FROM bsz a JOIN bsz b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         WHERE a.n <= $MaxBucket),
        est AS (
          SELECT d1, d2,
            CAST(len(list_filter(generate_series(1, $NumHashes),
@@ -279,15 +309,21 @@ object Dedup {
     * shuffled join row), with [[simHashBandedPairs]] kept as the
     * bucketed path for sparse real-world signature distributions. At
     * 100 TB: block the broadcast side; or band when dup-rate is low. */
+  /** Signatures per tile: 8-byte (id, hash) rows — 64 K rows/tile is
+    * ~1 MB broadcast; driver memory per collect is bounded by the same
+    * figure regardless of corpus size. */
+  private val SimTileSize = 65536
+
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // One signature-pipeline pass: Blocked.pairScan probes via
-    // spark.range over the collected broadcast (a second sigs.flatMap
-    // would re-run the whole explode + 60-column aggregation just to
-    // stream 8-byte rows the executors already hold).
-    val block = s.sparkContext.broadcast(
-      simHashSignatures(s, dir).as[(Long, Long)].collect())
-    graft.core.Blocked.pairScan(s, block) { case ((id1, h1), arr) =>
+    // Tiled kernel: the signature pipeline runs ONCE (cached by
+    // tiledPairScan); each ≤64 K-row tile is a bounded driver collect +
+    // broadcast, probed by the full distributed signature set. No
+    // whole-table collect anywhere — the r2 plan's
+    // `broadcast(sigs.collect())` was driver-bounded at exactly the
+    // scale this operator exists for.
+    val sigs = simHashSignatures(s, dir).as[(Long, Long)]
+    graft.core.Blocked.tiledPairScan(sigs, SimTileSize)(_._1) { case ((id1, h1), arr) =>
       val out = Seq.newBuilder[(Long, Long, Int)]
       var k = 0
       while (k < arr.length) {

@@ -157,7 +157,7 @@ object NgramLm {
     // client:263-287) — then one broadcast per job.
     val trainText = assembled.filter($"source" === "src0")
       .select($"full_text").as[String].collect().headOption.getOrElse("")
-    val bc = s.sparkContext.broadcast(train(Seq(tokenize(trainText))): LmModel)
+    val bc = graft.core.Resources.broadcast(s, train(Seq(tokenize(trainText))): LmModel)
     scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
       .select($"source", size($"score").as("n_items"),
         (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))

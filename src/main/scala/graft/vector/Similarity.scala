@@ -111,15 +111,19 @@ object Similarity {
     * broadcast side is tiled into fixed-size blocks (outer loop over
     * blocks, same kernel); when approximate recall is acceptable the
     * right operator is qMinHashLsh/qAnnIvf instead. */
+  /** Vectors per tile: 64-d doubles ≈ 550 B/row — 8 K rows/tile is a
+    * ~4.5 MB broadcast and the same bound on each driver collect. */
+  private val VecTileSize = 8192
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Broadcast block: the candidate side. One block here; tile at
-    // scale. Blocked.pairScan probes via spark.range over the SAME
-    // broadcast — one upstream pass total (a second vecs.flatMap would
-    // re-run the whole scan+deserialize+norm pipeline just to stream
-    // rows the executors already hold).
-    val block = s.sparkContext.broadcast(prepped(s, dir).collect())
-    val pairs = graft.core.Blocked.pairScan(s, block) { (a, arr) =>
+    // Tiled kernel: prepped (vec, norm) rows are computed once (cached
+    // by tiledPairScan); each ≤8 K-row tile is a bounded driver
+    // collect + broadcast, probed by the full distributed vector set
+    // with the primitive fused-multiply loop. The r2 plan collected the
+    // ENTIRE embedding table to the driver — the textbook scale-killer
+    // this operator's 100 TB story forbids.
+    val pairs = graft.core.Blocked.tiledPairScan(prepped(s, dir), VecTileSize)(_.id) { (a, arr) =>
       val out = Seq.newBuilder[(Long, Long, Double)]
       var k = 0
       while (k < arr.length) {
@@ -164,7 +168,7 @@ object Similarity {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val vecs = prepped(s, dir)
-    val cents = s.sparkContext.broadcast(
+    val cents = graft.core.Resources.broadcast(s,
       vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
     // nearest-centroid argmax (sim desc, centroid id asc on ties)
     def topBuckets(v: Vec, n: Int): Seq[Long] = {
