@@ -259,11 +259,98 @@ object NgramLm {
        WHERE f.source = 'src1'
        GROUP BY f.doc_id ORDER BY f.doc_id"""
 
+  // ---- W3 on the oracled path: raw text through Treebank ------------
+
+  /** Deterministic punctuation injection: the testdata's `text` is
+    * punctuation-free (whitespace == Treebank there, proving nothing),
+    * so q62 derives a raw form whose Treebank tokenization provably
+    * DIFFERS from whitespace — a leading straight quote (→ ``) and a
+    * suffix exercising the n't contraction split, comma/ellipsis/paren
+    * split-off, and the final-period rule. */
+  private val RawSuffix = " can't stop, really... (wow)."
+
+  /** The 10 tokens Treebank yields for [[RawSuffix]] — pinned by
+    * TreebankSpec ("q62 raw-text construction") so the oracle's
+    * reconstruction and the tokenizer can never silently diverge. */
+  private val RawSuffixTokens =
+    Seq("ca", "n't", "stop", ",", "really", "...", "(", "wow", ")", ".")
+
+  /** q62 — the reference's ACTUAL scoring shape (SURVEY §7.5 risk #1):
+    * RAW punctuation-bearing text tokenized by the Treebank rules
+    * (NLTK word_tokenize in client/async_processing_client.py:163-165),
+    * then 4-gram-scored against a model trained the same way. Token
+    * counts (= score-array lengths = island indexes downstream) differ
+    * from whitespace by 7 per doc here — exactly the divergence class
+    * that made W3 a risk; `n_ws` rides along so the divergence is IN
+    * the oracled output, not just asserted in a spec. Same
+    * broadcast-model plan as q47: driver-side train-source fetch, one
+    * model ship per executor, narrow scoring pass. */
+  def qTreebankScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, dir)
+      .filter($"source".isin("src0", "src1"))
+      .withColumn("raw", concat(lit("\""), $"text", lit(RawSuffix)))
+    val trainDocs = raw.filter($"source" === "src0")
+      .select($"raw").as[String].collect()
+    val bc = graft.core.Resources.broadcast(s,
+      train(trainDocs.toSeq.map(graft.text.Treebank.tokenize)): LmModel)
+    scoreColumn(raw.filter($"source" === "src1"), "raw", bc,
+        graft.text.Treebank.tokenize)
+      .select($"doc_id",
+        size($"score").cast("long").as("n_items"),
+        size(split(trim($"raw"), "\\s+")).cast("long").as("n_ws"),
+        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: DuckDB can't run the regex cascade, but it doesn't need
+    * to — the base text is punctuation-free, so the Treebank result is
+    * exactly ['``'] ++ whitespace(text) ++ [[RawSuffixTokens]]
+    * (TreebankSpec pins the bridge). The LM replay is then q46's
+    * relational math over those reconstructed token lists. */
+  val qTreebankScoreSql: String = {
+    val sufToks = RawSuffixTokens.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH toks AS (
+         SELECT doc_id, source,
+           list_concat(list_concat(['``'], regexp_split_to_array(trim(text), '\\s+')), $sufToks) AS toks,
+           len(regexp_split_to_array(trim('"' || text || ' can''t stop, really... (wow).'), '\\s+')) AS n_ws
+         FROM documents WHERE source IN ('src0', 'src1')),
+       it AS (
+         SELECT doc_id, source, n_ws,
+           unnest(list_transform(generate_series($N, len(padded)), i -> struct_pack(
+             c1 := padded[i-3], c2 := padded[i-2], c3 := padded[i-1], w := padded[i]))) AS item
+         FROM (SELECT doc_id, source, n_ws,
+                 list_concat(['$Pad', '$Pad', '$Pad'], toks) AS padded
+               FROM toks) t),
+       flat AS (
+         SELECT doc_id, source, n_ws, item.c1 AS c1, item.c2 AS c2, item.c3 AS c3, item.w AS w
+         FROM it),
+       grams4 AS (
+         SELECT c1, c2, c3, w, COUNT(*) AS c4 FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3, w),
+       grams3 AS (
+         SELECT c1, c2, c3, COUNT(*) AS c3n FROM flat WHERE source = 'src0'
+         GROUP BY c1, c2, c3)
+       SELECT f.doc_id, COUNT(*) AS n_items, ANY_VALUE(f.n_ws) AS n_ws,
+         CAST(CAST(SUM(CASE WHEN g3.c3n IS NULL OR g3.c3n = 0 THEN 0.0
+                       ELSE CAST(COALESCE(g4.c4, 0) AS DOUBLE) / g3.c3n END)
+              / COUNT(*) AS DECIMAL(12,6)) AS VARCHAR) AS mean_p
+       FROM flat f
+       LEFT JOIN grams4 g4 ON f.c1 = g4.c1 AND f.c2 = g4.c2 AND f.c3 = g4.c3 AND f.w = g4.w
+       LEFT JOIN grams3 g3 ON f.c1 = g3.c1 AND f.c2 = g3.c2 AND f.c3 = g3.c3
+       WHERE f.source = 'src1'
+       GROUP BY f.doc_id ORDER BY f.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ngram_score" -> qNgramScore,
-    "q47_lm_broadcast_score" -> qLmBroadcastScore)
+    "q47_lm_broadcast_score" -> qLmBroadcastScore,
+    "q62_treebank_score" -> qTreebankScore)
 
   val oracles: Map[String, String] = Map(
     "q46_ngram_score" -> qNgramScoreSql,
-    "q47_lm_broadcast_score" -> qLmBroadcastScoreSql)
+    "q47_lm_broadcast_score" -> qLmBroadcastScoreSql,
+    "q62_treebank_score" -> qTreebankScoreSql)
 }

@@ -53,6 +53,20 @@ class TreebankSpec extends AnyFunSuite {
   private def randWord(): String =
     (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
 
+  test("q62 raw-text construction tokenizes to the oracle's expected shape") {
+    // q62 derives punctuation-bearing raw text as
+    //   '"' + <clean text> + " can't stop, really... (wow)."
+    // and its DuckDB oracle reconstructs the Treebank tokens as
+    //   ['``'] ++ whitespace(text) ++ the 10 fixed suffix tokens.
+    // This pin is the bridge: if the tokenizer and this expectation
+    // ever diverge, q62's oracle row goes red here first.
+    val base = "key agg row scan slow fast table value"
+    val raw = "\"" + base + " can't stop, really... (wow)."
+    val expected = Seq("``") ++ base.split(" ") ++
+      Seq("ca", "n't", "stop", ",", "really", "...", "(", "wow", ")", ".")
+    assert(tok(raw) == expected)
+  }
+
   test("property: on punctuation-free text, Treebank == whitespace tokenize (200 samples)") {
     for (_ <- 1 to 200) {
       val text = (1 to (1 + rnd.nextInt(12))).map(_ => randWord()).mkString(" ")
