@@ -24,7 +24,8 @@ object SparkEntry {
       graft.score.NgramLm.queries ++
       graft.queries.Lifecycle.queries ++
       graft.service.ServiceOps.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++
+      graft.sink.RoundTrips.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.score.NgramLm.oracles ++
       graft.queries.Lifecycle.oracles ++
       graft.service.ServiceOps.oracles ++
-      graft.multimodal.Multimodal.oracles
+      graft.multimodal.Multimodal.oracles ++
+      graft.sink.RoundTrips.oracles
 }

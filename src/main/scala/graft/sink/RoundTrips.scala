@@ -1,0 +1,158 @@
+package graft.sink
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Oracled write-then-read-back queries for the file-side operators
+  * that previously only had specs (VERDICT r2 "What's missing" #2):
+  * S6 CSV ingest (q63), S10 batched write (q64), S12 replace-partition
+  * (q65). Each derives a lake/drop-folder from `documents`
+  * deterministically, exercises the REAL operator
+  * ([[graft.sources.CsvTranscripts.ingest]], [[Sinks.writeBatched]],
+  * [[Sinks.replacePartitions]]), reads the result back through a real
+  * scan, and returns an aggregate the DuckDB oracle replays over the
+  * ORIGINAL table — so any corruption in the write/read cycle
+  * (encoding, schema drift, partition handling, replaced-vs-appended
+  * rows) breaks the hash.
+  *
+  * Fixture construction is scaffolding, not the operator under test:
+  * q63 writes the per-video drop files driver-side (the reference's
+  * drop folder arrives from outside the engine,
+  * read_in_v_1_files.py:134-139); q64/q65 write through the
+  * distributed sinks themselves.
+  */
+object RoundTrips {
+
+  private def freshDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** q63 — S6 end-to-end: documents → per-"video" CSV drop folder
+    * (one `<source>.csv` per source, columns exactly text,start,
+    * duration; plus one bad-header file that MUST be skipped) →
+    * [[graft.sources.CsvTranscripts.ingest]] → the transcript-table
+    * derived columns. The oracle replays vid_id/start/word_count/
+    * cum_word_count from `documents` directly: start = doc_id, and the
+    * F1→F2→W1 chain is the same one q21 pins. */
+  def qCsvIngestRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drop = freshDir("graft_csv_drop_")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text")
+      .collect() // fixture construction only: the drop folder is driver-authored by contract
+    docs.groupBy(_.getString(1)).foreach { case (source, rows) =>
+      val w = Files.newBufferedWriter(drop.resolve(s"$source.csv"))
+      try {
+        w.write("text,start,duration\n")
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          // testdata text is [a-z0-9 ] — no CSV quoting needed, and the
+          // oracle's replay depends on the text arriving verbatim.
+          w.write(s"${r.getString(2)},${r.getLong(0).toDouble},1.5\n")
+        }
+      } finally w.close()
+    }
+    val bad = Files.newBufferedWriter(drop.resolve("badfile.csv"))
+    try bad.write("text,start,duration,extra\nshould be skipped,0.0,1.0,boom\n")
+    finally bad.close()
+    graft.sources.CsvTranscripts.ingest(s, drop.toString)
+      .select($"vid_id", $"start",
+        $"word_count".cast("long").as("word_count"),
+        $"cum_word_count".cast("long").as("cum_word_count"))
+      .orderBy($"vid_id", $"start")
+  }
+
+  val qCsvIngestRoundTripSql: String =
+    """WITH t AS (
+         SELECT source AS vid_id, CAST(doc_id AS DOUBLE) AS start,
+           regexp_replace(regexp_replace(lower(text), '\[.*\]|\{.*\}', '', 'g'), '[^\w\s]', '', 'g') AS tf
+         FROM documents),
+       c AS (
+         SELECT vid_id, start,
+           CASE WHEN trim(tf) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(tf), '\s+')) END AS word_count
+         FROM t)
+       SELECT vid_id, start, CAST(word_count AS BIGINT) AS word_count,
+         CAST(SUM(word_count) OVER (PARTITION BY vid_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_word_count
+       FROM c ORDER BY vid_id, start"""
+
+  /** q64 — S10 end-to-end: documents written through
+    * [[Sinks.writeBatched]] (maxRecordsPerFile=64 forces the batch
+    * split — SinkSpec asserts the multi-file layout; here the oracle
+    * asserts the CONTENT survives it), read back from the lake, and
+    * re-aggregated. */
+  def qBatchedWriteRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_batched_lake_").toString
+    Sinks.writeBatched(Tables.documents(s, dir), lake, maxRecordsPerFile = 64L)
+    s.read.parquet(lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qBatchedWriteRoundTripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY source ORDER BY source"""
+
+  /** q65 — S12 end-to-end: build a source-partitioned lake from the
+    * full table, then [[Sinks.replacePartitions]] a REBUILT set for
+    * src1/src2 only — fewer rows (doc_id % 40 < 20: the testdata's
+    * source = src(doc_id mod 20) layout makes doc_id parity degenerate
+    * per source, this keeps alternate ids → roughly half) with
+    * ' rebuilt' appended, the island-rebuild shape
+    * (island_worker.py:114-127).
+    * The read-back filters to src1/src2/src3 (a partition-pruned scan)
+    * and aggregates. The oracle proves all three replace-partition
+    * contracts at once: replaced partitions hold exactly the new rows
+    * (REPLACED, not appended — the halved count), untouched src3 is
+    * byte-identical, and no other partition leaks in. */
+  def qReplacePartitionLake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_part_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    Sinks.replacePartitions(docs, lake, Seq("source"))
+    val rebuilt = docs
+      .filter($"source".isin("src1", "src2") && $"doc_id" % 40 < 20)
+      .withColumn("text", concat($"text", lit(" rebuilt")))
+    Sinks.replacePartitions(rebuilt, lake, Seq("source"))
+    s.read.parquet(lake)
+      .filter($"source".isin("src1", "src2", "src3"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qReplacePartitionLakeSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text) + 8) AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE source IN ('src1', 'src2') AND doc_id % 40 < 20
+       GROUP BY source
+       UNION ALL
+       SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+       FROM documents WHERE source = 'src3' GROUP BY source
+       ORDER BY source"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
+    "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
+    "q65_replace_partition_lake" -> qReplacePartitionLake)
+
+  val oracles: Map[String, String] = Map(
+    "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
+    "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
+    "q65_replace_partition_lake" -> qReplacePartitionLakeSql)
+}
