@@ -96,6 +96,35 @@ object Chunkers {
     }
   }
 
+  /** cl100k-shaped counter: the published tiktoken cl100k_base
+    * pre-tokenization regex (contractions / letter runs / ≤3-digit
+    * runs / punctuation runs / whitespace) + a 4-chars-per-token
+    * subword estimate per piece. The reference records tiktoken counts
+    * in chunk metadata (embed_transcripts_to_vector_db.py:53-74); a
+    * REAL cl100k count needs the BPE merge table, which this
+    * environment can't ship (no deps, no network) — so this counter's
+    * honest claim is the CONTRACT, not the constant: it declares
+    * `additive = false`, forcing [[splitOversized]]/
+    * [[buildChunksSimple]] through the reference-exact
+    * re-count-the-joined-buffer arithmetic a real BPE needs. Swap
+    * `apply` for a vocab-backed encoder and every chunker path is
+    * already correct. */
+  object RegexBpeCounter extends TokenCounter {
+    override val additive = false
+    private val piece = java.util.regex.Pattern.compile(
+      "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}" +
+        "| ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+")
+    def apply(text: String): Int = {
+      val m = piece.matcher(text)
+      var n = 0
+      while (m.find()) {
+        val content = text.substring(m.start(), m.end()).trim
+        n += (if (content.isEmpty) 1 else (content.length + 3) / 4)
+      }
+      n
+    }
+  }
+
   def countTokens(text: String): Int = WhitespaceCounter(text)
 
   private def isAdditive(counter: String => Int): Boolean = counter match {

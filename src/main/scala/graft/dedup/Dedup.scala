@@ -193,6 +193,14 @@ object Dedup {
     * [[Hamming.bandedPairs]], which already filtered first). */
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lshCandidates(s, dir).orderBy($"d1", $"d2")
+  }
+
+  /** The LSH candidate stage shared by q29 (standalone) and q66 (the
+    * composed LSH→verify pipeline): distinct (d1, d2, est_jaccard)
+    * pairs with est ≥ 0.5. */
+  private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sigs = minHashSignatures(s, dir)
     val banded = sigs.select($"doc_id", $"sig",
         explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band, " +
@@ -213,7 +221,6 @@ object Dedup {
       .filter($"est_jaccard" >= 0.5)
       .select($"d1", $"d2", $"est_jaccard")
       .distinct()
-      .orderBy($"d1", $"d2")
   }
 
   val qMinHashLshSql: String = {
@@ -252,6 +259,89 @@ object Dedup {
              i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE) / $NumHashes AS est_jaccard
          FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2)
        SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
+  }
+
+  /** q66 — the reference's actual dedup pipeline SHAPE (LSH candidates
+    * → exact verify, the reason LSH exists: setup_vector_db.py:148-150
+    * bounds candidate sets the same way): q29's banded candidate stage
+    * feeds an exact shingle-Jaccard verification that touches ONLY
+    * candidate pairs. Scale shape: the verify cost is proportional to
+    * candidate volume (broadcast the tiny candidate set, semi-join
+    * prune the shingle table to candidate docs, one keyed join on
+    * (doc, shingle)) — never the corpus-squared shingle self-join of
+    * the standalone q28 demonstrator. */
+  def qLshVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = lshCandidates(s, dir)
+    val sh = shingles(s, dir).select($"doc_id", $"shingle")
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // Prune the (large) shingle stream to candidate docs before any
+    // wide join: the candidate set is small by LSH construction.
+    val aSh = sh.join(broadcast(cand.select($"d1").distinct()),
+        $"doc_id" === $"d1").select($"d1", $"shingle")
+    val bSh = sh.join(broadcast(cand.select($"d2").distinct()),
+        $"doc_id" === $"d2").select($"d2", $"shingle")
+    val common = cand.join(aSh, Seq("d1")).join(bSh, Seq("d2", "shingle"))
+      .groupBy($"d1", $"d2", $"est_jaccard").agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select($"doc_id".as("d1"), $"n_sh".as("n1")), Seq("d1"))
+      .join(cnt.select($"doc_id".as("d2"), $"n_sh".as("n2")), Seq("d2"))
+      .withColumn("jaccard", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
+      .select($"d1", $"d2", $"est_jaccard", $"common", $"jaccard")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Oracle: q29's candidate CTEs composed with the exact-Jaccard
+    * verify restricted to candidate pairs (inner join — a candidate
+    * pair with zero common shingles drops on both sides identically).
+    */
+  val qLshVerifiedSql: String = {
+    val minCols = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h*$a + $b) % $MersennePrime) AS m$i"
+    }.mkString(",\n           ")
+    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(words)-2),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+              FROM w WHERE len(words) >= 3),
+       hh AS (SELECT doc_id, ${polyHashSql("shingle", 31, PolyMod1)} AS h FROM sh),
+       mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM hh GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $sigList AS sig FROM mins),
+       bands AS (
+         SELECT doc_id, sig, b,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             sig[CAST(b*$BandRows + 1 AS INT) : CAST(b*$BandRows + $BandRows AS INT)]),
+             (acc, x) -> (acc*31 + x) % $PolyMod1) AS bkey
+         FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes / BandRows - 1})) AS b) g),
+       bsz AS (
+         SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS n
+         FROM bands),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bsz a JOIN bsz b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         WHERE a.n <= $MaxBucket),
+       est AS (
+         SELECT d1, d2,
+           CAST(len(list_filter(generate_series(1, $NumHashes),
+             i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE) / $NumHashes AS est_jaccard
+         FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2),
+       surv AS (SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+       common AS (
+         SELECT e.d1, e.d2, e.est_jaccard, COUNT(*) AS common
+         FROM surv e
+         JOIN sh a ON a.doc_id = e.d1
+         JOIN sh b ON b.doc_id = e.d2 AND b.shingle = a.shingle
+         GROUP BY e.d1, e.d2, e.est_jaccard),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+       SELECT c.d1, c.d2, c.est_jaccard, c.common,
+         CAST(c.common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.common) AS jaccard
+       FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2
+       ORDER BY c.d1, c.d2"""
   }
 
   private val SimBits = 60      // 60-bit simhash from two poly folds
@@ -372,12 +462,14 @@ object Dedup {
     "q28_jaccard_neardup" -> qJaccardNearDup,
     "q29_minhash_lsh" -> qMinHashLsh,
     "q30_simhash_neardup" -> qSimHash,
-    "q52_dedup_keep" -> qDedupKeep)
+    "q52_dedup_keep" -> qDedupKeep,
+    "q66_lsh_verified" -> qLshVerified)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
     "q28_jaccard_neardup" -> qJaccardNearDupSql,
     "q29_minhash_lsh" -> qMinHashLshSql,
     "q30_simhash_neardup" -> qSimHashSql,
-    "q52_dedup_keep" -> qDedupKeepSql)
+    "q52_dedup_keep" -> qDedupKeepSql,
+    "q66_lsh_verified" -> qLshVerifiedSql)
 }

@@ -100,6 +100,27 @@ class ChunkerSpec extends AnyFunSuite {
     assert(merged.head.segmentCount == 2)
   }
 
+  test("RegexBpeCounter: piece segmentation + non-additive routing") {
+    val c = Chunkers.RegexBpeCounter
+    // letter runs cost ceil(len/4); punctuation splits off; digits cap at 3
+    assert(c("word") == 1)              // 4 chars -> 1
+    assert(c("transformer") == 3)       // 11 chars -> 3
+    assert(c("hello, world") == 2 + 1 + 2) // "hello"(2) + ","(1) + " world"(2)
+    assert(c("12345") == 2)             // "123" + "45"
+    assert(c("can't") == 2)             // "can" + "'t"
+    assert(c("") == 0)
+    // declared non-additive -> chunkers take the exact re-count path
+    assert(!c.additive)
+    // and the chunker honors the budget under THIS counter's arithmetic:
+    // every emitted chunk re-counts within max
+    val segs = (0 until 20).map(i =>
+      Chunkers.Segment(i.toDouble, 1.0, s"seg$i content, with punct... and words here $i"))
+    val chunks = Chunkers.buildChunksSimple(segs, 10, 30, c)
+    assert(chunks.nonEmpty)
+    chunks.foreach(ch => assert(c(ch.text) <= 30 || ch.segmentCount == 1))
+    assert(chunks.map(_.segmentCount).sum == 20)
+  }
+
   test("merge loop fires with a non-additive counter (real-BPE shape)") {
     // Whitespace counting is additive, so the forward-merge loop can
     // only fire with a counter (like a real BPE) where the merged text
