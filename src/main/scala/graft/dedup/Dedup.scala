@@ -151,15 +151,18 @@ object Dedup {
   /** MinHash signatures: shingle → portable 31-bit poly hash →
     * per-permutation min. One groupBy per doc; the 32 mins are computed
     * as 32 agg columns (map-side combined, no wide shuffle). */
-  def minHashSignatures(s: SparkSession, dir: String): DataFrame = {
+  def minHashSignatures(s: SparkSession, dir: String): DataFrame =
+    minHashSignaturesFrom(s, shingles(s, dir))
+
+  private def minHashSignaturesFrom(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
-    val sh = shingles(s, dir)
+    val hashed = sh
       .withColumn("h", expr(polyHashExpr("shingle", 31, PolyMod1)))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((($"h" * a + b) % MersennePrime)).as(s"m$i")
     }
-    sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"m$i")): _*))
       .select($"doc_id", $"sig")
   }
@@ -199,9 +202,11 @@ object Dedup {
   /** The LSH candidate stage shared by q29 (standalone) and q66 (the
     * composed LSH→verify pipeline): distinct (d1, d2, est_jaccard)
     * pairs with est ≥ 0.5. */
-  private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    lshCandidatesFrom(s, minHashSignatures(s, dir))
+
+  private def lshCandidatesFrom(s: SparkSession, sigs: DataFrame): DataFrame = {
     import s.implicits._
-    val sigs = minHashSignatures(s, dir)
     val banded = sigs.select($"doc_id", $"sig",
         explode(expr(s"transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band, " +
           s"aggregate(slice(sig, b*$BandRows + 1, $BandRows), 0L, (acc, x) -> (acc*31 + x) % $PolyMod1) as bkey))")).as("bb"))
@@ -272,8 +277,13 @@ object Dedup {
     * the standalone q28 demonstrator. */
   def qLshVerified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = lshCandidates(s, dir)
+    // The shingle stream feeds four consumers (signature build, both
+    // verify sides, the per-doc counts). Measured choice: RECOMPUTE,
+    // don't cache — the explode is codegen'd and scan-bound, and
+    // materializing ~15 M shingle rows to storage costs more than the
+    // three re-runs (persist measured 2× slower end-to-end at sf0.1).
     val sh = shingles(s, dir).select($"doc_id", $"shingle")
+    val cand = lshCandidatesFrom(s, minHashSignaturesFrom(s, sh))
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // Prune the (large) shingle stream to candidate docs before any
     // wide join: the candidate set is small by LSH construction.
