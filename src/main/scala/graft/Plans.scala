@@ -30,24 +30,44 @@ object Plans {
     "q29_minhash_lsh" ->
       """Shingle explode → graft_polyhash (codegen'd) → 32 MIN agg columns
         |(map-side combined, one shuffle of #docs signature rows) → band
-        |explode → equi-join on (band, bkey) buckets → distinct → estimate
-        |filter. No all-pairs anywhere: candidate volume is Σ bucket², the
-        |canonical 100 TB dedup shape.""".stripMargin,
+        |explode → bucket-size guard (tiny aggregate, AQE-broadcast back,
+        |buckets > 4096 dropped with observed metrics) → equi-join on
+        |(band, bkey) buckets → est-jaccard filter NARROW inside the join
+        |stage → distinct over the three scalar survivor columns only.
+        |Signature arrays never enter a wide shuffle — the r2 plan ran
+        |distinct over the full candidate explosion with both 32-long sigs
+        |aboard and recorded 40.2 s at sf0.1; this plan records 3.7 s.
+        |Candidate volume is Σ bucket², the canonical 100 TB dedup shape.""".stripMargin,
     "q30_simhash_neardup" ->
       """Signature build is one shuffle (60 vote agg columns). The pair stage is
-        |a broadcast block + primitive Long.bitCount kernel — measured choice:
-        |this data's signatures cluster (shared vocabulary), so the banded join
-        |emits 27.6M candidates vs 12.5M raw pairs at sf0.1; with a dense true
-        |output (117k pairs) the exact hamming join is inherently ~quadratic and
-        |the kernel's constant is ~100× smaller than a shuffled join row. The
-        |banded form (simHashBandedPairs) remains for sparse distributions.""".stripMargin,
+        |the TILED broadcast kernel (Blocked.tiledPairScan): ≤64 K-row hash
+        |tiles of (id, sig64) collected one at a time — bounded driver memory —
+        |each broadcast and probed by the distributed signature set with a
+        |primitive Long.bitCount loop. Measured choice over the banded join:
+        |this data's signatures cluster (shared vocabulary), so banding emits
+        |27.6M candidates vs 12.5M raw pairs at sf0.1; with a dense true output
+        |the exact hamming join is inherently ~quadratic and the kernel's
+        |constant is ~100× smaller than a shuffled join row. 3.8 s at sf0.1
+        |(r2: 19.5 s via whole-table driver collect + accumulated-broadcast GC).
+        |The banded form (simHashBandedPairs) remains for sparse distributions.""".stripMargin,
     "q32_embed_neardup" ->
       """Exact cosine threshold join. The sim distribution is continuous through
         |0.4 (no LSH can match exactly), so: one linear pass to (vec, norm),
-        |broadcast block, fused multiply-add kernel per partition. 36.7 s (r1
-        |BroadcastNestedLoopJoin + interpreted HOF dot) → ~0.8 s. At 100 TB the
-        |broadcast side tiles into fixed blocks; approximate recall belongs to
-        |q29/q33.""".stripMargin,
+        |then Blocked.tiledPairScan — ≤8 K-vector tiles broadcast one at a
+        |time, fused multiply-add kernel per partition, driver memory bounded
+        |by one tile. 36.7 s (r1 BroadcastNestedLoopJoin + interpreted HOF
+        |dot) → 1.2 s measured at sf0.1 (BENCH_r03). Approximate recall
+        |belongs to q29/q33.""".stripMargin,
+    "q66_lsh_verified" ->
+      """The composed dedup pipeline (the reference's shape: LSH candidates →
+        |exact verify). q29's candidate stage feeds a shingle-Jaccard verify
+        |that touches only candidate pairs: the candidate set broadcasts,
+        |the shingle stream is semi-join pruned to candidate docs, and the
+        |one wide join is keyed on (doc, shingle). Verify cost tracks
+        |candidate volume, never corpus² — q28's self-join stays a
+        |demonstrator. Shingles are recomputed per subtree, not cached:
+        |persisting the 15 M-row stream measured 2× slower than re-running
+        |the codegen'd explode.""".stripMargin,
     "q35_island_time_ranges" ->
       """The flagship islands pipeline: narrow smoothing UDF (measured 100×
         |faster than the HOF form that re-evaluates the convolution per
