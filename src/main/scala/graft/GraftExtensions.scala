@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{DotProduct, DotProductRewrite, FindIslandsGenerator, PolyHash}
+import graft.expr.{BigramCodes, DotProduct, DotProductRewrite, FindIslandsGenerator, PolyHash}
 
 /** Library entry point for `spark.sql.extensions` (SURVEY.md §7.4:
   * custom operators register through SparkSessionExtensions, not
@@ -17,6 +17,8 @@ import graft.expr.{DotProduct, DotProductRewrite, FindIslandsGenerator, PolyHash
   *  - `graft_dot(a, b)` — codegen'd dot product ([[graft.expr.DotProduct]]);
   *  - `graft_polyhash(s, base, mod)` — portable polynomial string hash
   *    ([[graft.expr.PolyHash]]), the MinHash/SimHash/fingerprint seed;
+  *  - `graft_bigram_codes(s)` — packed character-bigram codes
+  *    ([[graft.expr.BigramCodes]]), the language-ID profile primitive;
   *  - `find_islands(arr, thr, min_len)` — run-length threshold
   *    segmentation as a Generator ([[graft.expr.FindIslandsGenerator]]);
   *  - [[graft.expr.DotProductRewrite]] — optimizer rule turning the
@@ -45,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => DotProduct(c.head, c(1))))
     ext.injectFunction(fn("graft_polyhash", classOf[PolyHash], 3,
       c => PolyHash(c.head, c(1), c(2))))
+    ext.injectFunction(fn("graft_bigram_codes", classOf[BigramCodes], 1,
+      c => BigramCodes(c.head)))
     ext.injectFunction(fn("find_islands", classOf[FindIslandsGenerator], 3,
       c => FindIslandsGenerator(c.head, c(1), c(2))))
     ext.injectOptimizerRule(_ => DotProductRewrite)

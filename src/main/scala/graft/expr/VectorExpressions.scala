@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,73 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
     copy(str = newFirst, base = newSecond, mod = newThird)
 }
 
+/** `graft_bigram_codes(str)` — character-bigram extraction as ONE fused
+  * loop producing packed bigram codes: code = cp1 * 2^21 + cp2 (code
+  * points are < 2^21, so the packing is injective — two bigrams are
+  * equal iff their codes are). The q24 language-ID pipeline previously
+  * materialized `split(t, '')` (one 1-char string per character) and a
+  * 2-char string per bigram — ~2 allocated objects per input byte
+  * through explode/groupBy/join; this emits a single long[] per row
+  * and everything downstream (aggregate keys, join keys, distinct)
+  * hashes 8-byte longs. Steps over code points, same as [[PolyHash]],
+  * so surrogate pairs count once. Empty/1-char strings yield an empty
+  * array (the charBigrams CASE guard, now structural). */
+case class BigramCodes(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_bigram_codes requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bigram_codes"
+
+  override def nullSafeEval(s: Any): Any = {
+    val t = s.toString
+    val codes = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    var prev = -1
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (prev >= 0) codes += (prev.toLong << 21) + cp
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val prev = ctx.freshName("prev")
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val k = ctx.freshName("k")
+      s"""
+         |java.lang.String $t = $s.toString();
+         |int $n = $t.codePointCount(0, $t.length());
+         |long[] $codes = new long[$n > 1 ? $n - 1 : 0];
+         |int $i = 0;
+         |int $k = 0;
+         |int $prev = -1;
+         |while ($i < $t.length()) {
+         |  int $cp = $t.codePointAt($i);
+         |  if ($prev >= 0) { $codes[$k] = (((long) $prev) << 21) + $cp; $k++; }
+         |  $prev = $cp;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def reg(s: SparkSession, name: String, arity: Int,
                   mk: Seq[Expression] => Expression): Unit =
@@ -164,5 +231,6 @@ object VectorExpressions {
   def register(s: SparkSession): Unit = {
     reg(s, "graft_dot", 2, c => DotProduct(c.head, c(1)))
     reg(s, "graft_polyhash", 3, c => PolyHash(c.head, c(1), c(2)))
+    reg(s, "graft_bigram_codes", 1, c => BigramCodes(c.head))
   }
 }

@@ -155,9 +155,17 @@ object TextAnalysis {
 
   def qLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.expr.VectorExpressions.register(s)
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", lower($"text").as("t"))
-    val bigrams = charBigrams(docs)
+    // Packed long bigram codes from the codegen'd expression (one fused
+    // loop per doc) instead of the string form: charBigrams allocates
+    // ~2 objects per input byte (split('') singletons + 2-char concat
+    // per bigram) and every downstream groupBy/distinct/join hashes
+    // strings; codes are one long[] per doc and 8-byte keys after.
+    // Packing is injective (code points < 2^21), so profile identity
+    // is unchanged — NormalizeSpec pins code↔string agreement.
+    val bigrams = docs.withColumn("bg", explode(expr("graft_bigram_codes(t)")))
     val profile = bigrams.filter($"doc_id" % 5 =!= 0)
       .groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(

@@ -55,6 +55,45 @@ class NormalizeSpec extends SparkSpec {
     assert(bgs.toSeq == Seq("ab", "bc"))
   }
 
+  test("graft_bigram_codes == charBigrams under the cp1<<21|cp2 packing") {
+    import spark.implicits._
+    graft.expr.VectorExpressions.register(spark)
+    // includes a non-BMP char (𝄞, U+1D11E): codes must step code
+    // points (one bigram per adjacent pair), same as split('')
+    val docs = Seq((1L, "en", "the quick brown"), (2L, "en", "a𝄞b"),
+                   (3L, "en", ""), (4L, "en", "x"))
+      .toDF("doc_id", "lang", "t")
+    val fromCodes = docs
+      .select($"doc_id", explode(expr("graft_bigram_codes(t)")).as("code"))
+      .as[(Long, Long)].collect()
+      .map { case (id, code) =>
+        (id, new String(Character.toChars((code >> 21).toInt)) +
+          new String(Character.toChars((code & 0x1FFFFF).toInt)))
+      }.sorted.toSeq
+    val fromStrings = TextAnalysis.charBigrams(docs)
+      .select($"doc_id", $"bg").as[(Long, String)].collect().sorted.toSeq
+    assert(fromCodes == fromStrings)
+    assert(fromCodes.count(_._1 == 2L) == 2) // a𝄞, 𝄞b — not surrogate halves
+  }
+
+  test("bigram code order == bigram string order (profile tie-break parity)") {
+    // The q24 oracle tie-breaks top-50 profiles with ORDER BY cnt, bg on
+    // STRINGS; Spark now orders packed longs. UTF-8 byte order ==
+    // code-point order == (cp1, cp2) == packed-long order, so the two
+    // rankings agree — pinned on a shuffled sample including non-ASCII.
+    val bgs = Seq("ab", "ba", "zz", "a𝄞", "𝄞a", "éz", "zé", "  ", " a")
+    def pack(s: String): Long = {
+      val cp1 = s.codePointAt(0)
+      val cp2 = s.codePointAt(Character.charCount(cp1))
+      (cp1.toLong << 21) + cp2
+    }
+    // model the engines' comparator exactly: unsigned UTF-8 byte order
+    // (Spark UTF8String.compareTo and DuckDB both compare raw bytes)
+    val byUtf8 = bgs.sortBy(_.getBytes("UTF-8").map(b => f"${b & 0xff}%03d").mkString)
+    val byCode = bgs.sortBy(pack)
+    assert(byUtf8 == byCode)
+  }
+
   test("empty and whitespace-only -> word_count 0") {
     assert(normalize("")._2 == 0)
     assert(normalize("  [all bracketed]  ")._2 == 0)
