@@ -366,16 +366,22 @@ object Dedup {
   def simHashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
+    // The word hash is computed BEFORE the tf aggregation so the
+    // shuffle keys on (doc_id, 8-byte wh) instead of (doc_id, word
+    // string) and word bytes never shuffle. Exact by construction:
+    // words sharing a wh cast identical bit votes, so folding them
+    // into one tf group cannot change any vote sum — the oracle groups
+    // by the word string and still hashes to the same signatures.
+    // h2 < 2^30 fills bits 0-29, so h1 must start at bit 30 — a 2^31
+    // multiplier would leave bit 30 structurally zero (a dead vote
+    // that biases hamming distances and doubles band-5 collisions).
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-      // h2 < 2^30 fills bits 0-29, so h1 must start at bit 30 — a 2^31
-      // multiplier would leave bit 30 structurally zero (a dead vote
-      // that biases hamming distances and doubles band-5 collisions).
       .withColumn("wh",
         expr(polyHashExpr("word", 31, PolyMod1)) * lit(1073741824L) +
           expr(polyHashExpr("word", 131, PolyMod2)))
+      .groupBy($"doc_id", $"wh").agg(count(lit(1)).as("tf"))
     // 60 bit-vote agg columns (map-side combined): one shuffle of
     // #docs × 60 ints — NOT an explode to (doc, word) × 60 rows.
     val votes: Seq[Column] = (0 until SimBits).map { j =>
