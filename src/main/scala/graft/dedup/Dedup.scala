@@ -12,9 +12,16 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Words → distinct 3-word shingles per doc. Shared by
-    * jaccard/minhash. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** Words → 3-word shingles per doc, WITH duplicates. MIN aggregation
+    * is identical over a multiset and its set, so the signature path
+    * COULD consume this directly and skip the distinct — but measured
+    * A/B at sf0.1 says don't: this corpus's small vocabulary repeats
+    * shingles heavily, and the distinct's map-side partial aggregation
+    * collapses ~15 M rows to ~3 M before the polyhash + 32-permutation
+    * work (2.4 s vs 4.6 s warm). On high-entropy corpora (shingles
+    * unique per doc) the raw path saves a full shuffle instead —
+    * that's a data-statistics choice, and both forms are exact. */
+  private def shinglesRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
@@ -22,8 +29,12 @@ object Dedup {
       .select($"doc_id", $"source", explode(expr(
         "transform(sequence(1, size(words)-2), i -> concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))"))
         .as("shingle"))
-      .distinct()
   }
+
+  /** Distinct 3-word shingles per doc — the SET the Jaccard counts are
+    * defined over (q28, q66's verify stage). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesRaw(s, dir).distinct()
 
   /** Exact dedup summary: hash-groupBy keyed on md5(text) — the
     * shuffle carries a 32-char digest, not the document body, which is
