@@ -344,13 +344,44 @@ object NgramLm {
        GROUP BY f.doc_id ORDER BY f.doc_id"""
   }
 
+  /** q67 — S7 on the oracled path: the q47 model serialized to a
+    * BinaryType blob table, written to and re-read from an actual
+    * parquet lake (the reference's BYTEA model_table shape,
+    * sql/schema.sql:85-96), driver-fetched by key and deserialized
+    * ([[loadModel]] = the SELECT … WHERE id = ANY fetch,
+    * client:263-287), broadcast, and scored. The output is q47's
+    * output by construction, so the q47 oracle replays it — any
+    * corruption anywhere in the serialize → parquet → read → fetch →
+    * deserialize chain breaks score parity. */
+  def qModelBlobRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assembled = assembleBySource(s, dir)
+    val trainText = assembled.filter($"source" === "src0")
+      .select($"full_text").as[String].collect().headOption.getOrElse("")
+    val model = train(Seq(tokenize(trainText)))
+    val lake = java.nio.file.Files.createTempDirectory("graft_model_blobs_")
+    lake.toFile.deleteOnExit()
+    modelTable(s, Seq("lm0" -> model)).write.mode("overwrite").parquet(lake.toString)
+    val loaded = loadModel(s.read.parquet(lake.toString), "lm0")
+    val bc = graft.core.Resources.broadcast(s, loaded)
+    scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
+      .select($"source", size($"score").as("n_items"),
+        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ngram_score" -> qNgramScore,
     "q47_lm_broadcast_score" -> qLmBroadcastScore,
-    "q62_treebank_score" -> qTreebankScore)
+    "q62_treebank_score" -> qTreebankScore,
+    "q67_model_blob_roundtrip" -> qModelBlobRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q46_ngram_score" -> qNgramScoreSql,
     "q47_lm_broadcast_score" -> qLmBroadcastScoreSql,
-    "q62_treebank_score" -> qTreebankScoreSql)
+    "q62_treebank_score" -> qTreebankScoreSql,
+    // q67 is q47 with the model routed through the blob lake; identical
+    // output contract, same relational replay.
+    "q67_model_blob_roundtrip" -> qLmBroadcastScoreSql)
 }
