@@ -30,6 +30,9 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT i.* FROM (SELECT array(0D,1D,1D,1D,0D) AS a) " +
         "LATERAL VIEW find_islands(a, 0.5D, 2) i").collect()
     assert(isl.map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((1, 3)))
+    val bg = spark.sql("SELECT graft_bigram_codes('abc') AS c").head()
+      .getSeq[Long](0)
+    assert(bg == Seq(('a'.toLong << 21) + 'b', ('b'.toLong << 21) + 'c'))
   }
 
   test("DotProductRewrite turns the HOF fold into codegen'd graft_dot") {
