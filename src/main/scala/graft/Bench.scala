@@ -62,6 +62,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcMs = gcMillis() - gc0
       graft.core.Resources.release()
+      // Untimed collection between queries: released broadcasts/caches
+      // are reclaimed NOW instead of as GC pressure inside the next
+      // query's timing window.
+      System.gc()
       (name, sec, gcMs)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -36,8 +36,10 @@ object Plans {
         |stage → distinct over the three scalar survivor columns only.
         |Signature arrays never enter a wide shuffle — the r2 plan ran
         |distinct over the full candidate explosion with both 32-long sigs
-        |aboard and recorded 40.2 s at sf0.1; this plan records 3.7 s.
-        |Candidate volume is Σ bucket², the canonical 100 TB dedup shape.""".stripMargin,
+        |aboard and recorded 40.2 s at sf0.1; this plan records 4-6 s
+        |(local-VM run noise ±2 s; per-query gc_ms in the bench JSON makes
+        |drift visible). Candidate volume is Σ bucket², the canonical
+        |100 TB dedup shape.""".stripMargin,
     "q30_simhash_neardup" ->
       """Signature build is one shuffle (60 vote agg columns). The pair stage is
         |the TILED broadcast kernel (Blocked.tiledPairScan): ≤64 K-row hash
@@ -47,17 +49,20 @@ object Plans {
         |this data's signatures cluster (shared vocabulary), so banding emits
         |27.6M candidates vs 12.5M raw pairs at sf0.1; with a dense true output
         |the exact hamming join is inherently ~quadratic and the kernel's
-        |constant is ~100× smaller than a shuffled join row. 3.8 s at sf0.1
-        |(r2: 19.5 s via whole-table driver collect + accumulated-broadcast GC).
-        |The banded form (simHashBandedPairs) remains for sparse distributions.""".stripMargin,
+        |constant is ~100× smaller than a shuffled join row. The tf
+        |aggregation keys on the packed 8-byte word hash (exact: equal
+        |hashes vote identically), so word bytes never shuffle. 2-4 s at
+        |sf0.1 (r2: 19.5 s via whole-table driver collect +
+        |accumulated-broadcast GC). The banded form (simHashBandedPairs)
+        |remains for sparse distributions.""".stripMargin,
     "q32_embed_neardup" ->
       """Exact cosine threshold join. The sim distribution is continuous through
         |0.4 (no LSH can match exactly), so: one linear pass to (vec, norm),
         |then Blocked.tiledPairScan — ≤8 K-vector tiles broadcast one at a
         |time, fused multiply-add kernel per partition, driver memory bounded
         |by one tile. 36.7 s (r1 BroadcastNestedLoopJoin + interpreted HOF
-        |dot) → 1.2 s measured at sf0.1 (BENCH_r03). Approximate recall
-        |belongs to q29/q33.""".stripMargin,
+        |dot) → ~1 s measured at sf0.1. Approximate recall belongs to
+        |q29/q33.""".stripMargin,
     "q66_lsh_verified" ->
       """The composed dedup pipeline (the reference's shape: LSH candidates →
         |exact verify). q29's candidate stage feeds a shingle-Jaccard verify
