@@ -365,6 +365,59 @@ object Dedup {
        ORDER BY c.d1, c.d2"""
   }
 
+  // --- Test-set decontamination --------------------------------------
+
+  /** Gram length for the overlap check. Production decontamination uses
+    * 8-13-word grams; the synthetic corpus draws from a ~30-word
+    * vocabulary where 8-grams never recur across sources, so 4 is the
+    * length that DEMONSTRATES the operator here (measured: 25 flagged
+    * docs at sf0.01 vs zero at n≥6). The n is a constant of the query's
+    * semantics, mirrored in the oracle. */
+  private val DecontamN = 4
+
+  /** q68 — benchmark decontamination, the training-pipeline op that
+    * keeps eval data out of the training set: flag every training doc
+    * (source != src19) sharing an n-gram with the held-out benchmark
+    * source (src19). Scale shape: benchmark sets are small by nature,
+    * so the DISTINCT benchmark gram hashes broadcast (8-byte keys, not
+    * gram strings) and the training gram stream joins map-side — the
+    * corpus never shuffles on gram. Hashing is the portable polyhash,
+    * so the rare 31-bit collisions are IDENTICAL in the oracle's
+    * replay (both sides join on the same hash). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val gramExpr = (0 until DecontamN).map(k => s"element_at(words, i+$k)").mkString(", ")
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= DecontamN)
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(1, size(words) - ${DecontamN - 1}), i -> concat_ws(' ', $gramExpr))"))
+        .as("gram"))
+      .withColumn("h", expr(polyHashExpr("gram", 31, PolyMod1)))
+    val bench = grams.filter($"source" === "src19").select($"h").distinct()
+    val train = grams.filter($"source" =!= "src19").select($"doc_id", $"h").distinct()
+    train.join(broadcast(bench), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("contaminated_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val qDecontaminateSql: String = {
+    val joins = (0 until DecontamN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words) - ${DecontamN - 1}),
+                 i -> $joins)) AS gram
+             FROM w WHERE len(words) >= $DecontamN),
+       gh AS (SELECT doc_id, source, ${polyHashSql("gram", 31, PolyMod1)} AS h FROM g),
+       bench AS (SELECT DISTINCT h FROM gh WHERE source = 'src19'),
+       train AS (SELECT DISTINCT doc_id, h FROM gh WHERE source != 'src19')
+       SELECT doc_id, COUNT(*) AS contaminated_grams
+       FROM train JOIN bench USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private val SimBits = 60      // 60-bit simhash from two poly folds
   private val SimBandBits = 6   // 10 bands × 6 bits
   private val SimHamMax = 6     // ≤ 6 differing bits
@@ -490,7 +543,8 @@ object Dedup {
     "q29_minhash_lsh" -> qMinHashLsh,
     "q30_simhash_neardup" -> qSimHash,
     "q52_dedup_keep" -> qDedupKeep,
-    "q66_lsh_verified" -> qLshVerified)
+    "q66_lsh_verified" -> qLshVerified,
+    "q68_decontaminate" -> qDecontaminate)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -498,5 +552,6 @@ object Dedup {
     "q29_minhash_lsh" -> qMinHashLshSql,
     "q30_simhash_neardup" -> qSimHashSql,
     "q52_dedup_keep" -> qDedupKeepSql,
-    "q66_lsh_verified" -> qLshVerifiedSql)
+    "q66_lsh_verified" -> qLshVerifiedSql,
+    "q68_decontaminate" -> qDecontaminateSql)
 }

@@ -211,6 +211,58 @@ object TextAnalysis {
          FROM scores) t
        WHERE rn = 1 ORDER BY doc_id"""
 
+  /** q69 — PII scrubbing, the redaction pass every training-data
+    * pipeline runs before text reaches a model. The synthetic corpus
+    * is PII-free, so the query PLANTS deterministic PII per doc
+    * (email, phone, URL derived from doc_id) and then runs the real
+    * scrub: three codegen'd regexp_replace passes (URL first — its
+    * path segment would otherwise survive as a phone-like digit run)
+    * plus per-kind counts. Everything is a narrow projection — no
+    * shuffle at any scale; the oracle replays the same injection +
+    * redaction. Patterns avoid lookaround so Java and RE2 agree. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{2,}"
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables.documents(s, dir)
+      .withColumn("raw", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com or call 555-01"),
+        $"doc_id" % 100, lit(" see https://host.example/d/"), $"doc_id"))
+    planted
+      .withColumn("n_emails", size(regexp_extract_all($"raw", lit(EmailRe), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all($"raw", lit(UrlRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace($"raw",
+          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      .withColumn("n_phones", size(regexp_extract_all(
+        regexp_replace($"raw", UrlRe, "<URL>"), lit(PhoneRe), lit(0))))
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_urls",
+        when(length($"redacted") <= 70, $"redacted")
+          .otherwise(substring($"redacted", -70, 70)).as("redacted_tail"))
+      .orderBy($"doc_id")
+  }
+
+  val qPiiRedactSql: String =
+    s"""WITH planted AS (
+         SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or call 555-01'
+                || (doc_id % 100) || ' see https://host.example/d/' || doc_id AS raw
+         FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(raw, '$EmailRe')) AS n_emails,
+         len(regexp_extract_all(regexp_replace(raw, '$UrlRe', '<URL>', 'g'), '$PhoneRe')) AS n_phones,
+         len(regexp_extract_all(raw, '$UrlRe')) AS n_urls,
+         CASE WHEN len(redacted) <= 70 THEN redacted
+              ELSE substr(redacted, len(redacted) - 69, 70) END AS redacted_tail
+       FROM (
+         SELECT doc_id, raw,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
+         FROM planted) t
+       ORDER BY doc_id"""
+
   /** Word-frequency top-k: explode → groupBy → TakeOrdered. Map-side
     * combine keeps the shuffle at #distinct-words. */
   def qWordFreq(s: SparkSession, dir: String): DataFrame = {
@@ -256,7 +308,8 @@ object TextAnalysis {
     "q23_quality_score" -> qQualityScore,
     "q24_lang_id" -> qLangId,
     "q25_word_freq" -> qWordFreq,
-    "q26_doc_fingerprint" -> qFingerprint)
+    "q26_doc_fingerprint" -> qFingerprint,
+    "q69_pii_redact" -> qPiiRedact)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -264,5 +317,6 @@ object TextAnalysis {
     "q23_quality_score" -> qQualityScoreSql,
     "q24_lang_id" -> qLangIdSql,
     "q25_word_freq" -> qWordFreqSql,
-    "q26_doc_fingerprint" -> qFingerprintSql)
+    "q26_doc_fingerprint" -> qFingerprintSql,
+    "q69_pii_redact" -> qPiiRedactSql)
 }
