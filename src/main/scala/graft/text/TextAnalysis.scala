@@ -263,6 +263,54 @@ object TextAnalysis {
          FROM planted) t
        ORDER BY doc_id"""
 
+  /** q70 — deterministic train/val/test split, the assignment every
+    * training pipeline needs to be STABLE across runs and engines:
+    * bucket = portable polyhash of the doc key, mod 100 → 80/10/10.
+    * Content-independent (docs keep their split when text is cleaned),
+    * shuffle-free (a narrow projection; the summary is one tiny
+    * groupBy), and replayable byte-for-byte by the oracle — unlike
+    * `rand(seed)`, which no second engine reproduces. Emits the
+    * per-split doc counts and word totals a pipeline logs as its
+    * split manifest. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        expr("graft_polyhash(cast(doc_id as string), 31L, 1000000007L) % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wordCount(textFormatted($"text"))).as("n_words"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"split")
+  }
+
+  val qTrainSplitSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*31 + x) % 1000000007)"""
+    s"""WITH b AS (
+         SELECT doc_id, text, $hash % 100 AS bucket
+         FROM documents),
+       sp AS (
+         SELECT doc_id, text,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM b),
+       wc AS (
+         SELECT doc_id, split,
+           CASE WHEN trim(tf) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(tf), '\\s+')) END AS wc
+         FROM (SELECT doc_id, split,
+                 regexp_replace(regexp_replace(lower(text), '\\[.*\\]|\\{.*\\}', '', 'g'), '[^\\w\\s]', '', 'g') AS tf
+               FROM sp) t)
+       SELECT split, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_words,
+         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       FROM wc GROUP BY split ORDER BY split"""
+  }
+
   /** Word-frequency top-k: explode → groupBy → TakeOrdered. Map-side
     * combine keeps the shuffle at #distinct-words. */
   def qWordFreq(s: SparkSession, dir: String): DataFrame = {
@@ -309,7 +357,8 @@ object TextAnalysis {
     "q24_lang_id" -> qLangId,
     "q25_word_freq" -> qWordFreq,
     "q26_doc_fingerprint" -> qFingerprint,
-    "q69_pii_redact" -> qPiiRedact)
+    "q69_pii_redact" -> qPiiRedact,
+    "q70_train_split" -> qTrainSplit)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -318,5 +367,6 @@ object TextAnalysis {
     "q24_lang_id" -> qLangIdSql,
     "q25_word_freq" -> qWordFreqSql,
     "q26_doc_fingerprint" -> qFingerprintSql,
-    "q69_pii_redact" -> qPiiRedactSql)
+    "q69_pii_redact" -> qPiiRedactSql,
+    "q70_train_split" -> qTrainSplitSql)
 }

@@ -226,13 +226,60 @@ object Similarity {
          FROM cand) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q71 — symmetric int8 quantization of the embedding column, the
+    * storage-compression pass a 100 TB embedding lake runs before
+    * writing (4× smaller than float32; dot products stay integer until
+    * one final rescale). Per vector: scale = max|x| / 127, q_i =
+    * clamp(floor(x_i/scale + 0.5), ±127), plus the reconstruction-error
+    * manifest a pipeline logs. Narrow projection — no shuffle at any
+    * scale. Every emitted number is cross-engine exact: the quantized
+    * checksum is integer arithmetic, max() is order-independent (no FP
+    * accumulation), and floor(x + 0.5) is used instead of round()
+    * because Java HALF_UP and DuckDB's away-from-zero disagree at exact
+    * .5 boundaries. */
+  def qQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withDoubleVec(Tables.embeddings(s, dir), "embedding", "vec")
+      .withColumn("maxabs", expr(
+        "aggregate(vec, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", $"maxabs" / 127.0)
+      .withColumn("qarr", expr(
+        """transform(vec, x -> CASE WHEN scale = 0.0 THEN 0L
+             ELSE greatest(-127L, least(127L, cast(floor(x / scale + 0.5) as bigint))) END)"""))
+    emb.select($"vec_id",
+        expr("aggregate(qarr, 0L, (a, x) -> a + x)").as("qsum"),
+        expr("aggregate(zip_with(vec, qarr, (x, q) -> abs(x - q * scale)), cast(0.0 as double), (a, e) -> greatest(a, e))")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 8)).cast("string").as("max_err_r"),
+        $"scale".cast(org.apache.spark.sql.types.DecimalType(12, 8)).cast("string").as("scale_r"))
+      .orderBy($"vec_id")
+  }
+
+  val qQuantizeInt8Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       m AS (SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+             FROM v),
+       q AS (SELECT vec_id, vec, scale,
+               list_transform(vec, x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                 ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+                   CAST(floor(x / scale + 0.5) AS BIGINT))) END) AS qarr
+             FROM m)
+       SELECT vec_id,
+         CAST(list_sum(qarr) AS BIGINT) AS qsum,
+         CAST(CAST(list_max(list_transform(generate_series(1, len(vec)),
+           i -> abs(vec[CAST(i AS INT)] - qarr[CAST(i AS INT)] * scale))) AS DECIMAL(12,8)) AS VARCHAR) AS max_err_r,
+         CAST(CAST(scale AS DECIMAL(12,8)) AS VARCHAR) AS scale_r
+       FROM q ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> qCosineTopK,
     "q32_embed_neardup" -> qEmbedNearDup,
-    "q33_ann_ivf" -> qAnnIvf)
+    "q33_ann_ivf" -> qAnnIvf,
+    "q71_quantize_int8" -> qQuantizeInt8)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
     "q32_embed_neardup" -> qEmbedNearDupSql,
-    "q33_ann_ivf" -> qAnnIvfSql)
+    "q33_ann_ivf" -> qAnnIvfSql,
+    "q71_quantize_int8" -> qQuantizeInt8Sql)
 }
