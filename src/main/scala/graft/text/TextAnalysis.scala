@@ -311,6 +311,61 @@ object TextAnalysis {
        FROM wc GROUP BY split ORDER BY split"""
   }
 
+  /** q72 — repetition-based quality filter, the Gopher-shaped rule set
+    * (Rae et al. 2021, public) that removes boilerplate/looping text
+    * from training data: per-doc top-bigram share and distinct-word
+    * ratio, with a keep verdict. Thresholds here are calibrated to the
+    * synthetic corpus (measured: top-share spans 0.01–0.17, distinct
+    * ratio 0.28–1.0, so 0.05/0.35 exercises both verdicts); the rule
+    * SHAPE is the operator. Plan: one (doc, bigram) map-side-combined
+    * aggregation then a per-doc rollup — shuffles carry count rows,
+    * never text. Ratio doubles are single exact int divisions, so the
+    * oracle's float compare is bit-identical. */
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= 2)
+      .withColumn("n", size($"words"))
+      .withColumn("d", size(array_distinct($"words")))
+    w.select($"doc_id", $"n", $"d", explode(expr(
+        "transform(sequence(1, size(words)-1), i -> concat_ws(' ', element_at(words,i), element_at(words,i+1)))"))
+        .as("bg"))
+      .groupBy($"doc_id", $"n", $"d", $"bg").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"n", $"d")
+      .agg(max($"cnt").as("top_bigram_n"), sum($"cnt").as("n_bigrams"))
+      .withColumn("top_share", $"top_bigram_n".cast("double") / $"n_bigrams")
+      .withColumn("distinct_ratio", $"d".cast("double") / $"n")
+      .select($"doc_id", $"n".cast("long").as("n_words"),
+        $"d".cast("long").as("distinct_words"),
+        $"top_bigram_n", $"n_bigrams".cast("long").as("n_bigrams"),
+        $"top_share", $"distinct_ratio",
+        ($"top_share" <= 0.05 && $"distinct_ratio" >= 0.35).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qRepetitionFilterSql: String =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+         FROM documents),
+       b AS (
+         SELECT doc_id, len(words) AS n, len(list_distinct(words)) AS d,
+           unnest(list_transform(generate_series(1, len(words)-1),
+             i -> words[i] || ' ' || words[i+1])) AS bg
+         FROM w WHERE len(words) >= 2),
+       c AS (SELECT doc_id, n, d, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, n, d, bg),
+       st AS (
+         SELECT doc_id, ANY_VALUE(n) AS n, ANY_VALUE(d) AS d,
+           CAST(MAX(cnt) AS BIGINT) AS top_bigram_n, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+         FROM c GROUP BY doc_id)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(d AS BIGINT) AS distinct_words,
+         top_bigram_n, n_bigrams,
+         CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_share,
+         CAST(d AS DOUBLE) / n AS distinct_ratio,
+         (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.05
+          AND CAST(d AS DOUBLE) / n >= 0.35) AS keep
+       FROM st ORDER BY doc_id"""
+
   /** Word-frequency top-k: explode → groupBy → TakeOrdered. Map-side
     * combine keeps the shuffle at #distinct-words. */
   def qWordFreq(s: SparkSession, dir: String): DataFrame = {
@@ -358,7 +413,8 @@ object TextAnalysis {
     "q25_word_freq" -> qWordFreq,
     "q26_doc_fingerprint" -> qFingerprint,
     "q69_pii_redact" -> qPiiRedact,
-    "q70_train_split" -> qTrainSplit)
+    "q70_train_split" -> qTrainSplit,
+    "q72_repetition_filter" -> qRepetitionFilter)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -368,5 +424,6 @@ object TextAnalysis {
     "q25_word_freq" -> qWordFreqSql,
     "q26_doc_fingerprint" -> qFingerprintSql,
     "q69_pii_redact" -> qPiiRedactSql,
-    "q70_train_split" -> qTrainSplitSql)
+    "q70_train_split" -> qTrainSplitSql,
+    "q72_repetition_filter" -> qRepetitionFilterSql)
 }
