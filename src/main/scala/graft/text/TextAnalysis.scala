@@ -405,6 +405,48 @@ object TextAnalysis {
          (acc, x) -> (acc*31 + x) % 1000000007) AS fp
        FROM documents ORDER BY doc_id"""
 
+  /** q73 — vocabulary build + dictionary encode, the id-mapping step of
+    * tokenized dataset prep: rank the top-20 words (count desc, word
+    * asc — deterministic ties), broadcast the tiny id table, and encode
+    * every doc as ids with an OOV bucket. The global rank is a sort of
+    * the VOCAB, not the corpus — vocabularies are power-law small
+    * relative to the data, which is what makes the broadcast-encode
+    * side shuffle-free. Output is a per-doc manifest (token count,
+    * id-sum checksum — integer-exact cross-engine — and OOV count). */
+  def qVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+    val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(
+        Window.orderBy($"cnt".desc, $"word")))
+      .filter($"id" <= 20)
+      .select($"word", $"id")
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"id", lit(0)).cast("long")).as("id_sum"),
+        sum(when($"id".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy($"doc_id")
+  }
+
+  val qVocabEncodeSql: String =
+    """WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+         FROM documents),
+       w AS (SELECT doc_id, word FROM words WHERE word != ''),
+       vocab AS (
+         SELECT word, id FROM (
+           SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS id
+           FROM w GROUP BY word) t
+         WHERE id <= 20)
+       SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(COALESCE(id, 0)) AS BIGINT) AS id_sum,
+         CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       FROM w LEFT JOIN vocab USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -414,7 +456,8 @@ object TextAnalysis {
     "q26_doc_fingerprint" -> qFingerprint,
     "q69_pii_redact" -> qPiiRedact,
     "q70_train_split" -> qTrainSplit,
-    "q72_repetition_filter" -> qRepetitionFilter)
+    "q72_repetition_filter" -> qRepetitionFilter,
+    "q73_vocab_encode" -> qVocabEncode)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -425,5 +468,6 @@ object TextAnalysis {
     "q26_doc_fingerprint" -> qFingerprintSql,
     "q69_pii_redact" -> qPiiRedactSql,
     "q70_train_split" -> qTrainSplitSql,
-    "q72_repetition_filter" -> qRepetitionFilterSql)
+    "q72_repetition_filter" -> qRepetitionFilterSql,
+    "q73_vocab_encode" -> qVocabEncodeSql)
 }
