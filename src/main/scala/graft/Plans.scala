@@ -98,6 +98,13 @@ object Plans {
         |the group (a video) is the natural unit and no group outgrows a
         |task. Its DuckDB oracle replays the fold with two recursive CTEs —
         |the only operator whose oracle needed recursion.""".stripMargin,
+    "q68_decontaminate" ->
+      """Benchmark decontamination: the distinct benchmark gram HASHES (8-byte
+        |portable polyhash keys, not gram strings) broadcast, and the training
+        |gram stream joins map-side — the corpus never shuffles on gram.
+        |Benchmark sets are small by nature, which is what makes the broadcast
+        |side bounded at any corpus size; the n-gram length is a semantic
+        |constant mirrored in the oracle.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs
