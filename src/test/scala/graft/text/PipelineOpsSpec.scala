@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Scalar cross-checks for the round-3 pipeline operators (q68–q73):
+  * each distributed plan's output is recomputed per-doc with plain
+  * Scala collections and compared exactly — the same
+  * independent-reimplementation style the islands/chunker suites use —
+  * plus plan-shape assertions where the scale story depends on one
+  * (q68's benchmark side must broadcast). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: Map[Long, (String, String)] =
+    graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  private def words(t: String): Seq[String] =
+    t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("q68: every flagged doc truly shares a 4-gram with the benchmark source") {
+    def grams(t: String): Set[Seq[String]] =
+      words(t).sliding(4).filter(_.length == 4).map(_.toSeq).toSet
+    val bench = docs.values.collect { case ("src19", t) => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    val flagged = graft.dedup.Dedup.qDecontaminate(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hash-keyed plan may ADD collision hits but on this corpus the
+    // 31-bit space is effectively collision-free at sf0.001 — exact set
+    val expected = docs.collect {
+      case (id, (src, t)) if src != "src19" && grams(t).intersect(bench).nonEmpty => id
+    }.toSet
+    assert(flagged.keySet == expected)
+  }
+
+  test("q68: benchmark gram side broadcasts (plan shape)") {
+    val plan = graft.dedup.Dedup.qDecontaminate(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("q70: split manifest sums to the corpus and buckets deterministically") {
+    val rows = TextAnalysis.qTrainSplit(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == docs.size)
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    assert(rows("train") > rows.getOrElse("val", 0L))
+    // repeated run → identical assignment (hash, not rand)
+    val again = TextAnalysis.qTrainSplit(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows)
+  }
+
+  test("q71: reconstruction error is bounded by half a quantization step") {
+    graft.vector.Similarity.qQuantizeInt8(spark, Sf0001).collect().foreach { r =>
+      val err = BigDecimal(r.getString(2)).toDouble
+      val scale = BigDecimal(r.getString(3)).toDouble
+      // clamp never fires for symmetric scaling (|x| <= maxabs = 127*scale),
+      // so floor(x/scale + 0.5) is within scale/2 of x everywhere
+      assert(err <= scale / 2 + 1e-8, s"vec ${r.getLong(0)}: err=$err scale=$scale")
+    }
+  }
+
+  test("q72: stats and verdicts match a scalar recomputation") {
+    val got = TextAnalysis.qRepetitionFilter(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(7)))).toMap
+    val expected = docs.collect { case (id, (_, t)) if words(t).length >= 2 =>
+      val ws = words(t)
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = bgs.groupBy(identity).values.map(_.size).max.toLong
+      val keep = top.toDouble / bgs.size <= 0.05 &&
+        ws.distinct.size.toDouble / ws.size >= 0.35
+      id -> ((ws.size.toLong, ws.distinct.size.toLong, top, bgs.size.toLong, keep))
+    }
+    assert(got == expected)
+  }
+
+  test("q73: encode manifest matches a scalar vocab build") {
+    val all = docs.values.flatMap { case (_, t) => words(t) }.toSeq
+    val vocab = all.groupBy(identity).map { case (w, g) => (w, g.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).zipWithIndex
+      .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val expected = docs.collect { case (id, (_, t)) if words(t).nonEmpty =>
+      val ws = words(t)
+      id -> ((ws.size.toLong,
+        ws.map(w => vocab.getOrElse(w, 0L)).sum,
+        ws.count(w => !vocab.contains(w)).toLong))
+    }
+    val got = TextAnalysis.qVocabEncode(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+}
