@@ -458,6 +458,41 @@ object Dedup {
       .select($"doc_id", $"simhash")
   }
 
+  /** Scalar form of [[simHashSignatures]] for per-row contexts (the
+    * streaming ingest gate computes a signature per arriving doc; no
+    * relational aggregation is available inside a stream row). Exactly
+    * the relational math: whitespace words, portable polyhash pair into
+    * a 60-bit value, tf-weighted bit-majority vote. DedupSpec pins
+    * per-doc equality with the relational form. */
+  def simHash64(text: String): Long = {
+    def poly(s: String, base: Long, mod: Long): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * base + cp) % mod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val votes = new Array[Long](SimBits)
+    text.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+      val wh = poly(w, 31, PolyMod1) * 1073741824L + poly(w, 131, PolyMod2)
+      var j = 0
+      while (j < SimBits) {
+        votes(j) += (if (((wh >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < SimBits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Banded SimHash pair join — the sparse-regime scale path: 10 bands
     * of 6 bits; ≤6 differing bits can dirty at most 6 bands, so every
     * qualifying pair shares ≥4 exact bands (pigeonhole) — EXACTLY

@@ -105,6 +105,44 @@ object StreamOps {
         Seq("vid_id", "model_id"), "left_anti")
   }
 
+  final case class IngestDoc(doc_id: Long, text: String)
+  final case class GateVerdict(doc_id: Long, simhash: Long, dup_of: Long,
+                               hamming: Int, is_dup: Boolean)
+
+  /** Streaming ingest near-dup gate — the incremental form of q30:
+    * each arriving doc is checked against the STATIC lake's SimHash
+    * signature set before admission (the "don't re-ingest what we
+    * already hold" contract a continuous training-data pipeline runs at
+    * the front door). The per-doc signature is the scalar
+    * [[graft.dedup.Dedup.simHash64]] (pinned ≡ the relational form by
+    * DedupSpec), computed stateless per row; the lake signatures ship
+    * once as a broadcast (8 bytes/doc — a billion-doc lake is 8 GB,
+    * and at that size the banded bucket join replaces the broadcast,
+    * same as batch). Append mode, no streaming state. Emits the
+    * verdict row a pipeline logs: nearest lake doc, hamming, is_dup at
+    * the q30 threshold. */
+  def nearDupGate(incoming: Dataset[IngestDoc],
+                  lakeSigs: Array[(Long, Long)],
+                  hamMax: Int = 6): Dataset[GateVerdict] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    val bc = graft.core.Resources.broadcast(s, lakeSigs)
+    incoming.map { doc =>
+      val sig = graft.dedup.Dedup.simHash64(doc.text)
+      val lake = bc.value
+      var bestId = -1L
+      var bestHam = Int.MaxValue
+      var k = 0
+      while (k < lake.length) {
+        val (id, h) = lake(k)
+        val ham = java.lang.Long.bitCount(sig ^ h)
+        if (ham < bestHam || (ham == bestHam && id < bestId)) { bestHam = ham; bestId = id }
+        k += 1
+      }
+      GateVerdict(doc.doc_id, sig, bestId, bestHam, bestHam <= hamMax)
+    }
+  }
+
   final case class HighWater(channel: String, max_publish: Timestamp)
 
   /** Custom keyed state via mapGroupsWithState: the per-channel

@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
     assert(banded == kernel)
   }
 
+  test("scalar simHash64 == relational signatures, every doc") {
+    val relational = Dedup.simHashSignatures(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    val texts = graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      // relational form emits no row for empty docs (no words survive
+      // the explode); scalar of empty text is the all-negative-vote 0
+      if (relational.contains(id))
+        assert(Dedup.simHash64(t) == relational(id), s"doc $id signatures diverge")
+    }
+    assert(relational.nonEmpty)
+  }
+
   test("SimHash near-dup pairs overlap the jaccard near-dups") {
     val sets = shingleSets()
     val sim = Dedup.qSimHash(spark, Sf0001).collect()

@@ -118,4 +118,30 @@ class StreamSpec extends SparkSpec {
     q.stop()
     assert(n == 2)
   }
+
+  test("nearDupGate: stream verdicts match the batch q30 pair semantics") {
+    implicit val ctx = spark.sqlContext
+    // lake = the sf0.001 corpus's signatures; incoming = the same texts
+    // (must flag as dups of themselves at hamming 0) plus a fresh text
+    val lake = graft.dedup.Dedup.simHashSignatures(spark, Sf0001)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val (reId, reText) = docs.toSeq.minBy(_._1)
+    val ms = MemoryStream[StreamOps.IngestDoc]
+    val q = StreamOps.nearDupGate(ms.toDS(), lake)
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    ms.addData(
+      StreamOps.IngestDoc(100000L, reText),           // re-ingest -> dup of reId
+      StreamOps.IngestDoc(100001L,
+        "completely fresh nonsense never indexed before xyzzy plugh"))
+    q.processAllAvailable()
+    val got = spark.table("gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_of"), r.getAs[Int]("hamming"), r.getAs[Boolean]("is_dup")))).toMap
+    q.stop()
+    graft.core.Resources.release()
+    assert(got(100000L) == ((reId, 0, true)), s"re-ingested doc: ${got(100000L)}")
+    assert(!got(100001L)._3 || got(100001L)._2 <= 6) // fresh text: only a real <=6 match may flag
+  }
 }
