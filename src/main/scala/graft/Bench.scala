@@ -37,6 +37,20 @@ object Bench {
     graft.core.Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Surface df.observe() metrics (e.g. q29's lsh_buckets bucket-cap
+    // guard): without a listener the CollectMetrics node computes them
+    // and nobody reads them — a fired cap would be invisible.
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          System.err.println(s"[bench][observed] $name: $row")
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
     // Untimed warm-up: scan each table once (parquet footers, codegen,
     // JIT) so first-query placement doesn't skew per-query numbers.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -60,6 +60,13 @@ object Blocked {
     val parts = (0 until nTiles).map { j =>
       val tile = cached.filter((a: A) => java.lang.Math.floorMod(key(a), nTiles.toLong) == j.toLong)
         .collect()
+      // The bounded-driver-memory contract holds only when `key` is
+      // ~uniform (unique ids hash uniformly; a hot low-cardinality key
+      // funnels the table into one tile). Fail fast instead of
+      // silently becoming the whole-table collect this API forbids.
+      require(tile.length <= 4L * blockSize,
+        s"tiledPairScan tile $j holds ${tile.length} rows (> 4×blockSize=$blockSize): " +
+          "the key function is skewed or low-cardinality; pass a ~unique key")
       val bc = Resources.broadcast(s, tile)
       cached.mapPartitions { it =>
         val arr = bc.value

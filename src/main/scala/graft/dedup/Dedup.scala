@@ -184,8 +184,11 @@ object Dedup {
     * a corpus of identical boilerplate) otherwise goes quadratic with
     * no guard — the reason pgvector caps candidate sets with HNSW
     * (setup_vector_db.py:148-150). 4096² candidate rows per bucket is
-    * the most one hot key may cost before it is dropped (visibly:
-    * `lsh_buckets` observed metrics carry max size + dropped count). */
+    * the most one hot key may cost before it is dropped. The
+    * `lsh_buckets` observed metrics (max bucket size, dropped count)
+    * are computed by the plan's CollectMetrics node and surfaced by
+    * Bench's QueryExecutionListener — a fired cap shows up in the
+    * bench stderr, not just in a docstring. */
   private[dedup] val MaxBucket = 4096
 
   /** LSH candidate pairs → verified by estimated jaccard (fraction of
@@ -465,19 +468,10 @@ object Dedup {
     * a 60-bit value, tf-weighted bit-majority vote. DedupSpec pins
     * per-doc equality with the relational form. */
   def simHash64(text: String): Long = {
-    def poly(s: String, base: Long, mod: Long): Long = {
-      var acc = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        acc = (acc * base + cp) % mod
-        i += Character.charCount(cp)
-      }
-      acc
-    }
+    import graft.core.Hashing.polyFold
     val votes = new Array[Long](SimBits)
     text.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
-      val wh = poly(w, 31, PolyMod1) * 1073741824L + poly(w, 131, PolyMod2)
+      val wh = polyFold(w, 31, PolyMod1) * 1073741824L + polyFold(w, 131, PolyMod2)
       var j = 0
       while (j < SimBits) {
         votes(j) += (if (((wh >> j) & 1L) == 1L) 1L else -1L)

@@ -110,19 +110,8 @@ case class PolyHash(str: Expression, base: Expression, mod: Expression)
   // returns the code point) and DuckDB's ascii() see one step per code
   // point, so charAt iteration would diverge on non-BMP text (emoji in
   // a transcript) — two surrogate-half steps instead of one.
-  override def nullSafeEval(s: Any, b: Any, m: Any): Any = {
-    val t = s.toString
-    val bb = b.asInstanceOf[Long]
-    val mm = m.asInstanceOf[Long]
-    var acc = 0L
-    var i = 0
-    while (i < t.length) {
-      val cp = t.codePointAt(i)
-      acc = (acc * bb + cp) % mm
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  override def nullSafeEval(s: Any, b: Any, m: Any): Any =
+    graft.core.Hashing.polyFold(s.toString, b.asInstanceOf[Long], m.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, b, m) => {

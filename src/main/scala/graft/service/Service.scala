@@ -39,16 +39,8 @@ object ServiceOps {
     * over CODE POINTS (like split('')/ascii and DuckDB's replay), not
     * UTF-16 units — a char fold would diverge on non-BMP text exactly
     * as [[graft.expr.PolyHash]]'s scaladoc explains. */
-  def polyFold(t: String): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < t.length) {
-      val cp = t.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  def polyFold(t: String): Long =
+    graft.core.Hashing.polyFold(t, 31, 1000000007L)
 
   /** Deterministic fake embedder: dim rational components derived from
     * the text fingerprint. Exact in IEEE double on both engines

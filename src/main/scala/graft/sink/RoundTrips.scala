@@ -29,7 +29,7 @@ object RoundTrips {
 
   private def freshDir(prefix: String): Path = {
     val p = Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    TempDirs.register(p)
     p
   }
 

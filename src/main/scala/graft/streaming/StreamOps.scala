@@ -126,7 +126,13 @@ object StreamOps {
                   hamMax: Int = 6): Dataset[GateVerdict] = {
     val s = incoming.sparkSession
     import s.implicits._
-    val bc = graft.core.Resources.broadcast(s, lakeSigs)
+    // Deliberately NOT in the Resources registry: that registry's
+    // contract is per-QUERY scope (the harness destroys everything in
+    // it after each action), while this broadcast must live as long as
+    // the STREAM — a harness release mid-stream would destroy it under
+    // a running query. The caller owns the lifetime (destroy after
+    // query.stop()).
+    val bc = s.sparkContext.broadcast(lakeSigs)
     incoming.map { doc =>
       val sig = graft.dedup.Dedup.simHash64(doc.text)
       val lake = bc.value
