@@ -421,6 +421,59 @@ object Dedup {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q74 — duplicate-span fraction, the span-level curation metric
+    * (how much of each doc's text also appears in OTHER docs — the
+    * per-doc statistic behind substring-dedup decisions in public
+    * training-data work): a gram counts as duplicated when ≥2 distinct
+    * docs contain it. Plan: distinct (doc, gram-hash) pairs (8-byte
+    * keys — gram text never shuffles), one map-side-combined count per
+    * hash for the distinct-doc cardinality, join back on the hash, one
+    * per-doc rollup. The corpus-wide gram table is inherently the
+    * heavy object here; at 100 TB both shuffles key on the same hash,
+    * so bucketing the intermediate by gram hash makes the join
+    * co-located. Hashing is the portable polyhash — collisions replay
+    * identically in the oracle. */
+  private val SpanN = 5
+
+  def qDupSpanFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val gramExpr = (0 until SpanN).map(k => s"element_at(words, i+$k)").mkString(", ")
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= SpanN)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(words) - ${SpanN - 1}), i -> concat_ws(' ', $gramExpr))"))
+        .as("gram"))
+      .select($"doc_id", expr(polyHashExpr("gram", 31, PolyMod1)).as("h"))
+      .distinct()
+    val byHash = grams.groupBy($"h").agg(count(lit(1)).as("n_docs"))
+    grams.join(byHash, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", $"n_dup_grams".cast("double") / $"n_grams")
+      .orderBy($"doc_id")
+  }
+
+  val qDupSpanFractionSql: String = {
+    val joins = (0 until SpanN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT DISTINCT doc_id,
+               ${polyHashSql("gram", 31, PolyMod1)} AS h
+             FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(words) - ${SpanN - 1}),
+                       i -> $joins)) AS gram
+                   FROM w WHERE len(words) >= $SpanN) t),
+       bh AS (SELECT h, COUNT(*) AS n_docs FROM g GROUP BY h)
+       SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+       FROM g JOIN bh USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private val SimBits = 60      // 60-bit simhash from two poly folds
   private val SimBandBits = 6   // 10 bands × 6 bits
   private val SimHamMax = 6     // ≤ 6 differing bits
@@ -573,7 +626,8 @@ object Dedup {
     "q30_simhash_neardup" -> qSimHash,
     "q52_dedup_keep" -> qDedupKeep,
     "q66_lsh_verified" -> qLshVerified,
-    "q68_decontaminate" -> qDecontaminate)
+    "q68_decontaminate" -> qDecontaminate,
+    "q74_dup_span_fraction" -> qDupSpanFraction)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -582,5 +636,6 @@ object Dedup {
     "q30_simhash_neardup" -> qSimHashSql,
     "q52_dedup_keep" -> qDedupKeepSql,
     "q66_lsh_verified" -> qLshVerifiedSql,
-    "q68_decontaminate" -> qDecontaminateSql)
+    "q68_decontaminate" -> qDecontaminateSql,
+    "q74_dup_span_fraction" -> qDupSpanFractionSql)
 }
