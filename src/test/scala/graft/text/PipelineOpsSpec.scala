@@ -77,6 +77,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q74: duplicate-span fractions match a scalar recomputation") {
+    // recompute over the SAME portable hash the query keys on — hash
+    // collisions are part of the operator's semantics (the oracle
+    // replays them too), and at sf0.001 two real collisions exist
+    def gramHashes(t: String): Set[Long] =
+      words(t).sliding(5).filter(_.length == 5)
+        .map(g => graft.core.Hashing.polyFold(g.mkString(" "), 31, 1000000007L)).toSet
+    val perDoc = docs.collect { case (id, (_, t)) if words(t).length >= 5 =>
+      id -> gramHashes(t)
+    }
+    val docCount = perDoc.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = perDoc.map { case (id, hs) =>
+      id -> ((hs.size.toLong, hs.count(h => docCount(h) >= 2).toLong))
+    }
+    val got = graft.dedup.Dedup.qDupSpanFraction(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("q73: encode manifest matches a scalar vocab build") {
     val all = docs.values.flatMap { case (_, t) => words(t) }.toSeq
     val vocab = all.groupBy(identity).map { case (w, g) => (w, g.size) }.toSeq
