@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{BigramCodes, DotProduct, DotProductRewrite, FindIslandsGenerator, PolyHash}
+import graft.expr.{BigramCodes, DotProduct, DotProductRewrite, FindIslandsGenerator, PolyHash, ShingleHashes}
 
 /** Library entry point for `spark.sql.extensions` (SURVEY.md §7.4:
   * custom operators register through SparkSessionExtensions, not
@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => PolyHash(c.head, c(1), c(2))))
     ext.injectFunction(fn("graft_bigram_codes", classOf[BigramCodes], 1,
       c => BigramCodes(c.head)))
+    ext.injectFunction(fn("graft_shingle_hashes", classOf[ShingleHashes], 4,
+      c => ShingleHashes(c.head, c(1), c(2), c(3))))
     ext.injectFunction(fn("find_islands", classOf[FindIslandsGenerator], 3,
       c => FindIslandsGenerator(c.head, c(1), c(2))))
     ext.injectOptimizerRule(_ => DotProductRewrite)

@@ -12,15 +12,13 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Words → 3-word shingles per doc, WITH duplicates. MIN aggregation
-    * is identical over a multiset and its set, so the signature path
-    * COULD consume this directly and skip the distinct — but measured
-    * A/B at sf0.1 says don't: this corpus's small vocabulary repeats
-    * shingles heavily, and the distinct's map-side partial aggregation
-    * collapses ~15 M rows to ~3 M before the polyhash + 32-permutation
-    * work (2.4 s vs 4.6 s warm). On high-entropy corpora (shingles
-    * unique per doc) the raw path saves a full shuffle instead —
-    * that's a data-statistics choice, and both forms are exact. */
+  /** Words → 3-word shingle STRINGS per doc, WITH duplicates — the
+    * form the Jaccard verify stages consume (q28, q66). The MinHash
+    * signature path no longer reads this at all: it uses the fused
+    * [[graft.expr.ShingleHashes]] expression, which skips shingle
+    * strings entirely (an earlier string-based A/B at sf0.1 measured
+    * 2.4 s deduped vs 4.6 s raw; the fused hash path beats both by
+    * never allocating the strings the distinct was collapsing). */
   private def shinglesRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -162,14 +160,24 @@ object Dedup {
   /** MinHash signatures: shingle → portable 31-bit poly hash →
     * per-permutation min. One groupBy per doc; the 32 mins are computed
     * as 32 agg columns (map-side combined, no wide shuffle). */
-  def minHashSignatures(s: SparkSession, dir: String): DataFrame =
-    minHashSignaturesFrom(s, shingles(s, dir))
-
-  private def minHashSignaturesFrom(s: SparkSession, sh: DataFrame): DataFrame = {
+  /** MinHash signatures via the fused [[graft.expr.ShingleHashes]]
+    * expression: shingle hashes come straight off the word array — no
+    * shingle STRING is ever materialized, no string distinct, no
+    * string shuffle (MIN aggregation is duplicate-insensitive, so the
+    * set/multiset distinction the Jaccard paths need doesn't apply
+    * here). Value-identical to hashing `concat_ws(' ', ...)` strings —
+    * the composition law is spec-pinned — so the DuckDB oracle (which
+    * still builds strings; it has no fused form) replays the exact
+    * signatures. The 32 permutation mins stay map-side-combined agg
+    * columns; the only shuffle is #docs signature rows. */
+  def minHashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
-    val hashed = sh
-      .withColumn("h", expr(polyHashExpr("shingle", 31, PolyMod1)))
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= 3)
+      .select($"doc_id",
+        explode(expr(s"graft_shingle_hashes(words, 3, 31L, ${PolyMod1}L)")).as("h"))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((($"h" * a + b) % MersennePrime)).as(s"m$i")
     }
@@ -297,7 +305,7 @@ object Dedup {
     // materializing ~15 M shingle rows to storage costs more than the
     // three re-runs (persist measured 2× slower end-to-end at sf0.1).
     val sh = shingles(s, dir).select($"doc_id", $"shingle")
-    val cand = lshCandidatesFrom(s, minHashSignaturesFrom(s, sh))
+    val cand = lshCandidatesFrom(s, minHashSignatures(s, dir))
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // Prune the (large) shingle stream to candidate docs before any
     // wide join: the candidate set is small by LSH construction.

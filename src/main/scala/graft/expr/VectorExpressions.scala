@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -205,6 +205,126 @@ case class BigramCodes(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_shingle_hashes(words, n, base, mod)` — the polyhash of every
+  * n-word shingle, computed WITHOUT materializing one shingle string
+  * per position. `polyhash(concat_ws(' ', w_i..w_{i+n-1}))` satisfies
+  * H(a ⧺ b) = (H(a)·base^|b| + H(b)) mod M (|b| in code points), so one
+  * pass computes each word's (hash, base^len) pair and each shingle
+  * composes in O(n) long ops — the MinHash signature path's
+  * explode→concat→hash allocated an ~17-char string per shingle per
+  * row before hashing it. Value-identical to the string form by
+  * construction (spec-pinned), so the DuckDB oracles are untouched.
+  * Returns an empty array when fewer than n words. */
+case class ShingleHashes(words: Expression, n: Expression,
+                         base: Expression, mod: Expression)
+  extends QuaternaryExpression with Serializable {
+
+  override def first: Expression = words
+  override def second: Expression = n
+  override def third: Expression = base
+  override def fourth: Expression = mod
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (words.dataType, n.dataType, base.dataType, mod.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (w, a, b, m) => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes requires (array<string>, int, bigint, bigint), got ($w, $a, $b, $m)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(w: Any, nn: Any, b: Any, m: Any): Any = {
+    val arr = w.asInstanceOf[ArrayData]
+    val n = nn.asInstanceOf[Int]
+    val base = b.asInstanceOf[Long]
+    val mod = m.asInstanceOf[Long]
+    val cnt = arr.numElements()
+    if (cnt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](cnt)
+    val ps = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val t = arr.getUTF8String(i).toString
+      var h = 0L
+      var p = 1L
+      var j = 0
+      while (j < t.length) {
+        val cp = t.codePointAt(j)
+        h = (h * base + cp) % mod
+        p = (p * base) % mod
+        j += Character.charCount(cp)
+      }
+      hs(i) = h; ps(i) = p
+      i += 1
+    }
+    val out = new Array[Long](cnt - n + 1)
+    var k = 0
+    while (k <= cnt - n) {
+      var acc = hs(k)
+      var j = 1
+      while (j < n) {
+        acc = (((acc * base + 32L) % mod) * ps(k + j) + hs(k + j)) % mod
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, nn, b, m) => {
+      val cnt = ctx.freshName("cnt")
+      val hs = ctx.freshName("hs")
+      val ps = ctx.freshName("ps")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      val cp = ctx.freshName("cp")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $cnt = $w.numElements();
+         |long[] $out;
+         |if ($cnt < $nn) {
+         |  $out = new long[0];
+         |} else {
+         |  long[] $hs = new long[$cnt];
+         |  long[] $ps = new long[$cnt];
+         |  for (int $i = 0; $i < $cnt; $i++) {
+         |    java.lang.String $t = $w.getUTF8String($i).toString();
+         |    long $h = 0L; long $p = 1L;
+         |    int $j = 0;
+         |    while ($j < $t.length()) {
+         |      int $cp = $t.codePointAt($j);
+         |      $h = ($h * $b + $cp) % $m;
+         |      $p = ($p * $b) % $m;
+         |      $j += java.lang.Character.charCount($cp);
+         |    }
+         |    $hs[$i] = $h; $ps[$i] = $p;
+         |  }
+         |  $out = new long[$cnt - $nn + 1];
+         |  for (int $k = 0; $k <= $cnt - $nn; $k++) {
+         |    long $acc = $hs[$k];
+         |    for (int $j = 1; $j < $nn; $j++) {
+         |      $acc = ((($acc * $b + 32L) % $m) * $ps[$k + $j] + $hs[$k + $j]) % $m;
+         |    }
+         |    $out[$k] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, q: Expression): Expression =
+    copy(words = f, n = s, base = t, mod = q)
+}
+
 object VectorExpressions {
   private def reg(s: SparkSession, name: String, arity: Int,
                   mk: Seq[Expression] => Expression): Unit =
@@ -221,5 +341,6 @@ object VectorExpressions {
     reg(s, "graft_dot", 2, c => DotProduct(c.head, c(1)))
     reg(s, "graft_polyhash", 3, c => PolyHash(c.head, c(1), c(2)))
     reg(s, "graft_bigram_codes", 1, c => BigramCodes(c.head))
+    reg(s, "graft_shingle_hashes", 4, c => ShingleHashes(c.head, c(1), c(2), c(3)))
   }
 }

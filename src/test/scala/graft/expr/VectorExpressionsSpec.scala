@@ -65,6 +65,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(one == 0x1F600L)
   }
 
+  test("graft_shingle_hashes == graft_polyhash of the concat_ws string, every position") {
+    VectorExpressions.register(spark)
+    val rnd = new Random(7)
+    // random word arrays incl. non-BMP words and 1-char words; n = 3
+    val rows = (1 to 60).map { _ =>
+      val m = rnd.nextInt(8) // 0..7 words: exercises the < n empty case
+      (1 to m).map(_ => (1 to rnd.nextInt(6) + 1).map(_ =>
+        if (rnd.nextInt(10) == 0) "😀" else ('a' + rnd.nextInt(26)).toChar.toString).mkString)
+        .toSeq
+    }
+    val df = rows.toDF("words")
+      .withColumn("fused", expr("graft_shingle_hashes(words, 3, 31L, 1000000007L)"))
+      .withColumn("viaStrings", expr(
+        """CASE WHEN size(words) >= 3 THEN
+             transform(sequence(1, size(words)-2),
+               i -> graft_polyhash(concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)), 31L, 1000000007L))
+           ELSE CAST(array() AS array<bigint>) END"""))
+    assert(df.filter(expr("fused != viaStrings")).count() == 0)
+    assert(df.filter(expr("size(fused) > 0")).count() > 0)
+  }
+
   test("float arrays cast to double arrays then dot") {
     VectorExpressions.register(spark)
     val emb = graft.core.Tables.embeddings(spark, Sf0001)
