@@ -19,6 +19,9 @@ import graft.expr.{BigramCodes, DotProduct, DotProductRewrite, FindIslandsGenera
   *    ([[graft.expr.PolyHash]]), the MinHash/SimHash/fingerprint seed;
   *  - `graft_bigram_codes(s)` — packed character-bigram codes
   *    ([[graft.expr.BigramCodes]]), the language-ID profile primitive;
+  *  - `graft_shingle_hashes(words, n, base, mod)` — fused n-word
+  *    shingle hashing ([[graft.expr.ShingleHashes]]), the MinHash
+  *    signature primitive (no shingle strings materialized);
   *  - `find_islands(arr, thr, min_len)` — run-length threshold
   *    segmentation as a Generator ([[graft.expr.FindIslandsGenerator]]);
   *  - [[graft.expr.DotProductRewrite]] — optimizer rule turning the

@@ -28,16 +28,18 @@ object Plans {
         |wider than (key-pair) rows: at 697.9M reference pairs this is an
         |anti-join of key pairs, not data rows.""".stripMargin,
     "q29_minhash_lsh" ->
-      """Shingle explode → graft_polyhash (codegen'd) → 32 MIN agg columns
-        |(map-side combined, one shuffle of #docs signature rows) → band
-        |explode → bucket-size guard (tiny aggregate, AQE-broadcast back,
-        |buckets > 4096 dropped with observed metrics) → equi-join on
+      """Fused graft_shingle_hashes (codegen'd: shingle hashes straight off
+        |the word array, no shingle strings, no distinct exchange) → 32 MIN
+        |agg columns (map-side combined — the FIRST shuffle in the whole
+        |query is #docs signature rows) → band explode → bucket-size guard
+        |(tiny aggregate, AQE-broadcast back, buckets > 4096 dropped with
+        |observed metrics surfaced by Bench's listener) → equi-join on
         |(band, bkey) buckets → est-jaccard filter NARROW inside the join
         |stage → distinct over the three scalar survivor columns only.
         |Signature arrays never enter a wide shuffle — the r2 plan ran
         |distinct over the full candidate explosion with both 32-long sigs
-        |aboard and recorded 40.2 s at sf0.1; this plan records 4-6 s
-        |(local-VM run noise ±2 s; per-query gc_ms in the bench JSON makes
+        |aboard and recorded 40.2 s at sf0.1; this plan records 2-4 s
+        |(local-VM run noise; per-query gc_ms in the bench JSON makes
         |drift visible). Candidate volume is Σ bucket², the canonical
         |100 TB dedup shape.""".stripMargin,
     "q30_simhash_neardup" ->
