@@ -65,7 +65,7 @@ object Blocked {
       // funnels the table into one tile). Fail fast instead of
       // silently becoming the whole-table collect this API forbids.
       require(tile.length <= 4L * blockSize,
-        s"tiledPairScan tile $j holds ${tile.length} rows (> 4×blockSize=$blockSize): " +
+        s"tiledPairScan tile $j holds ${tile.length} rows (limit 4×blockSize = ${4L * blockSize}): " +
           "the key function is skewed or low-cardinality; pass a ~unique key")
       val bc = Resources.broadcast(s, tile)
       cached.mapPartitions { it =>

@@ -157,9 +157,6 @@ object Dedup {
         list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT))),
         (acc, x) -> (acc*$base + x) % $mod)"""
 
-  /** MinHash signatures: shingle → portable 31-bit poly hash →
-    * per-permutation min. One groupBy per doc; the 32 mins are computed
-    * as 32 agg columns (map-side combined, no wide shuffle). */
   /** MinHash signatures via the fused [[graft.expr.ShingleHashes]]
     * expression: shingle hashes come straight off the word array — no
     * shingle STRING is ever materialized, no string distinct, no
@@ -305,7 +302,7 @@ object Dedup {
     // materializing ~15 M shingle rows to storage costs more than the
     // three re-runs (persist measured 2× slower end-to-end at sf0.1).
     val sh = shingles(s, dir).select($"doc_id", $"shingle")
-    val cand = lshCandidatesFrom(s, minHashSignatures(s, dir))
+    val cand = lshCandidates(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // Prune the (large) shingle stream to candidate docs before any
     // wide join: the candidate set is small by LSH construction.
@@ -484,7 +481,9 @@ object Dedup {
 
   private val SimBits = 60      // 60-bit simhash from two poly folds
   private val SimBandBits = 6   // 10 bands × 6 bits
-  private val SimHamMax = 6     // ≤ 6 differing bits
+  // ≤ 6 differing bits — private[graft] so the streaming ingest gate
+  // defaults to THE q30 threshold instead of a drift-prone copy
+  private[graft] val SimHamMax = 6
 
   /** SimHash signatures (60-bit portable): per-word poly-hash pair
     * combined into one 60-bit value, bit-majority vote weighted by term

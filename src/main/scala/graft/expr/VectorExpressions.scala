@@ -232,14 +232,23 @@ case class ShingleHashes(words: Expression, n: Expression,
         s"graft_shingle_hashes requires (array<string>, int, bigint, bigint), got ($w, $a, $b, $m)")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_shingle_hashes"
 
+  // SQL-surface robustness (the function is injected session-wide):
+  // a null array element or a non-positive n yields NULL, mirroring
+  // PolyHash's null discipline — never an executor NPE/AIOOBE. Note
+  // this intentionally differs from concat_ws, which SKIPS nulls; the
+  // shingle contract is positional, so a hole poisons the row.
   override def nullSafeEval(w: Any, nn: Any, b: Any, m: Any): Any = {
     val arr = w.asInstanceOf[ArrayData]
     val n = nn.asInstanceOf[Int]
     val base = b.asInstanceOf[Long]
     val mod = m.asInstanceOf[Long]
+    if (n <= 0) return null
     val cnt = arr.numElements()
+    var z = 0
+    while (z < cnt) { if (arr.isNullAt(z)) return null; z += 1 }
     if (cnt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val hs = new Array[Long](cnt)
     val ps = new Array[Long](cnt)
@@ -289,8 +298,14 @@ case class ShingleHashes(words: Expression, n: Expression,
       val out = ctx.freshName("out")
       s"""
          |int $cnt = $w.numElements();
-         |long[] $out;
-         |if ($cnt < $nn) {
+         |long[] $out = null;
+         |boolean ${ev.isNull}_guard = ($nn <= 0);
+         |for (int $i = 0; !${ev.isNull}_guard && $i < $cnt; $i++) {
+         |  if ($w.isNullAt($i)) ${ev.isNull}_guard = true;
+         |}
+         |if (${ev.isNull}_guard) {
+         |  ${ev.isNull} = true;
+         |} else if ($cnt < $nn) {
          |  $out = new long[0];
          |} else {
          |  long[] $hs = new long[$cnt];
@@ -316,7 +331,9 @@ case class ShingleHashes(words: Expression, n: Expression,
          |    $out[$k] = $acc;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

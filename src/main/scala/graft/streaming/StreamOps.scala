@@ -123,7 +123,7 @@ object StreamOps {
     * the q30 threshold. */
   def nearDupGate(incoming: Dataset[IngestDoc],
                   lakeSigs: Array[(Long, Long)],
-                  hamMax: Int = 6): Dataset[GateVerdict] = {
+                  hamMax: Int = graft.dedup.Dedup.SimHamMax): Dataset[GateVerdict] = {
     val s = incoming.sparkSession
     import s.implicits._
     // Deliberately NOT in the Resources registry: that registry's

@@ -418,10 +418,15 @@ object TextAnalysis {
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
+    // top-20 via orderBy+limit = TakeOrdered (distributed partial
+    // top-k per partition, tiny final merge) — NOT an unpartitioned
+    // row_number window, which would drag the ENTIRE distinct-word
+    // table through one task before the filter. The rank window then
+    // runs over a 20-row frame, bounded by construction.
     val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(20)
       .withColumn("id", row_number().over(
         Window.orderBy($"cnt".desc, $"word")))
-      .filter($"id" <= 20)
       .select($"word", $"id")
     words.join(broadcast(vocab), Seq("word"), "left")
       .groupBy($"doc_id")

@@ -248,9 +248,13 @@ object Similarity {
              ELSE greatest(-127L, least(127L, cast(floor(x / scale + 0.5) as bigint))) END)"""))
     emb.select($"vec_id",
         expr("aggregate(qarr, 0L, (a, x) -> a + x)").as("qsum"),
+        // scale 6, not 8: BigDecimal.toString flips to scientific
+        // notation ("0E-8") below adjusted exponent -6 while DuckDB's
+        // VARCHAR cast stays plain — scale <= 6 provably never crosses
+        // that threshold, so the string compare is engine-stable
         expr("aggregate(zip_with(vec, qarr, (x, q) -> abs(x - q * scale)), cast(0.0 as double), (a, e) -> greatest(a, e))")
-          .cast(org.apache.spark.sql.types.DecimalType(12, 8)).cast("string").as("max_err_r"),
-        $"scale".cast(org.apache.spark.sql.types.DecimalType(12, 8)).cast("string").as("scale_r"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("max_err_r"),
+        $"scale".cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("scale_r"))
       .orderBy($"vec_id")
   }
 
@@ -267,8 +271,8 @@ object Similarity {
        SELECT vec_id,
          CAST(list_sum(qarr) AS BIGINT) AS qsum,
          CAST(CAST(list_max(list_transform(generate_series(1, len(vec)),
-           i -> abs(vec[CAST(i AS INT)] - qarr[CAST(i AS INT)] * scale))) AS DECIMAL(12,8)) AS VARCHAR) AS max_err_r,
-         CAST(CAST(scale AS DECIMAL(12,8)) AS VARCHAR) AS scale_r
+           i -> abs(vec[CAST(i AS INT)] - qarr[CAST(i AS INT)] * scale))) AS DECIMAL(12,6)) AS VARCHAR) AS max_err_r,
+         CAST(CAST(scale AS DECIMAL(12,6)) AS VARCHAR) AS scale_r
        FROM q ORDER BY vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

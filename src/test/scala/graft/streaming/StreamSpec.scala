@@ -142,6 +142,16 @@ class StreamSpec extends SparkSpec {
     q.stop()
     graft.core.Resources.release()
     assert(got(100000L) == ((reId, 0, true)), s"re-ingested doc: ${got(100000L)}")
-    assert(!got(100001L)._3 || got(100001L)._2 <= 6) // fresh text: only a real <=6 match may flag
+    // fresh doc: verdict must equal an independent nearest-neighbor
+    // recompute over the lake array (falsifiable — a gate that flags
+    // everything, or picks the wrong neighbor, fails here)
+    val freshSig = graft.dedup.Dedup.simHash64(
+      "completely fresh nonsense never indexed before xyzzy plugh")
+    val (expId, expHam) = lake.map { case (id, h) =>
+      (id, java.lang.Long.bitCount(freshSig ^ h))
+    }.minBy { case (id, ham) => (ham, id) }
+    assert(got(100001L) == ((expId, expHam, expHam <= 6)),
+      s"fresh doc verdict ${got(100001L)} != independent ($expId, $expHam)")
+    assert(expHam > 0, "fresh text unexpectedly collides with a lake signature")
   }
 }
