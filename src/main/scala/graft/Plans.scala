@@ -45,7 +45,11 @@ object Plans {
     "q30_simhash_neardup" ->
       """Signature build is one shuffle (60 vote agg columns). The pair stage is
         |the TILED broadcast kernel (Blocked.tiledPairScan): ≤64 K-row hash
-        |tiles of (id, sig64) collected one at a time — bounded driver memory —
+        |tiles of (id, sig64) collected one at a time — DRIVER memory is
+        |bounded by one tile; in the default lazy-union mode executor-side
+        |broadcast residency still spans all tiles until the action ends, so
+        |at cluster scale pass eagerTiles=true (per-tile jobs, one broadcast
+        |resident, BlockedSpec pins equality) —
         |each broadcast and probed by the distributed signature set with a
         |primitive Long.bitCount loop. Measured choice over the banded join:
         |this data's signatures cluster (shared vocabulary), so banding emits
@@ -61,10 +65,12 @@ object Plans {
       """Exact cosine threshold join. The sim distribution is continuous through
         |0.4 (no LSH can match exactly), so: one linear pass to (vec, norm),
         |then Blocked.tiledPairScan — ≤8 K-vector tiles broadcast one at a
-        |time, fused multiply-add kernel per partition, driver memory bounded
-        |by one tile. 36.7 s (r1 BroadcastNestedLoopJoin + interpreted HOF
-        |dot) → ~1 s measured at sf0.1. Approximate recall belongs to
-        |q29/q33.""".stripMargin,
+        |time, fused multiply-add kernel per partition, DRIVER memory bounded
+        |by one tile (lazy-union mode keeps all tile broadcasts resident on
+        |executors until the action ends; eagerTiles=true is the cluster
+        |shape — one tile resident, per-tile jobs). 36.7 s (r1
+        |BroadcastNestedLoopJoin + interpreted HOF dot) → ~1 s measured at
+        |sf0.1. Approximate recall belongs to q29/q33.""".stripMargin,
     "q66_lsh_verified" ->
       """The composed dedup pipeline (the reference's shape: LSH candidates →
         |exact verify). q29's candidate stage feeds a shingle-Jaccard verify

@@ -13,13 +13,24 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   * deterministic key-hash tiles of ≤ `blockSize` rows; each tile is
   * collected (a BOUNDED driver fetch — never the whole table),
   * broadcast, probed by the full distributed dataset, and the per-tile
-  * results union. Every driver/executor allocation is O(blockSize),
-  * except that a single lazy plan keeps all tiles referenced until the
-  * action completes — at cluster scale drive tiles as separate jobs
-  * (the tiles are independent by construction) to cap concurrent
-  * broadcast residency at one tile; on the shared-heap local runner the
-  * union is the faster shape. Registered via [[Resources]] so the
-  * harness reclaims blocks after the action.
+  * results union. Driver memory is O(blockSize) in both modes. The
+  * EXECUTOR-side broadcast residency depends on `eagerTiles`:
+  *
+  *  - `eagerTiles = false` (default, the local-runner shape): one lazy
+  *    union plan; every tile's broadcast stays referenced until the
+  *    caller's single action completes, so concurrent broadcast
+  *    residency is O(total block side) — fine on a shared heap, NOT
+  *    the bound to quote at cluster scale.
+  *  - `eagerTiles = true` (the cluster shape): each tile runs as its
+  *    OWN job — probe results are materialized to executor storage
+  *    (`localCheckpoint`) and the tile's broadcast is destroyed before
+  *    the next tile is collected. Concurrent broadcast residency is
+  *    exactly one tile; what accumulates is only the (small) pair
+  *    output. BlockedSpec pins result-equality of the two modes.
+  *
+  * Lazy-mode blocks are registered via [[Resources]] so the harness
+  * reclaims them after the action; eager-mode blocks are destroyed
+  * inline.
   */
 object Blocked {
 
@@ -49,7 +60,8 @@ object Blocked {
     * duration (one upstream computation, tiles+probes read the cache);
     * cache and broadcasts are released by the harness via
     * [[Resources.release]]. */
-  def tiledPairScan[A: scala.reflect.ClassTag, R: Encoder](items: Dataset[A], blockSize: Int)
+  def tiledPairScan[A: scala.reflect.ClassTag, R: Encoder](items: Dataset[A], blockSize: Int,
+                                  eagerTiles: Boolean = false)
                                   (key: A => Long)
                                   (emit: (A, Array[A]) => IterableOnce[R]): Dataset[R] = {
     require(blockSize > 0, s"blockSize=$blockSize must be positive")
@@ -67,11 +79,20 @@ object Blocked {
       require(tile.length <= 4L * blockSize,
         s"tiledPairScan tile $j holds ${tile.length} rows (limit 4×blockSize = ${4L * blockSize}): " +
           "the key function is skewed or low-cardinality; pass a ~unique key")
-      val bc = Resources.broadcast(s, tile)
-      cached.mapPartitions { it =>
+      val bc = if (eagerTiles) s.sparkContext.broadcast(tile)
+               else Resources.broadcast(s, tile)
+      val probed = cached.mapPartitions { it =>
         val arr = bc.value
         it.flatMap(a => emit(a, arr).iterator)
       }
+      if (eagerTiles) {
+        // Separate job per tile: materialize this tile's pairs to
+        // executor storage NOW, then drop the block before the next
+        // tile ships — concurrent broadcast residency is one tile.
+        val done = Resources.track(probed.localCheckpoint(eager = true))
+        try bc.destroy() catch { case _: Throwable => () }
+        done
+      } else probed
     }
     parts.reduce(_ union _)
   }

@@ -1,7 +1,6 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentLinkedQueue
-
+import scala.collection.mutable.ArrayBuffer
 import scala.reflect.ClassTag
 
 import org.apache.spark.broadcast.Broadcast
@@ -23,16 +22,27 @@ import org.apache.spark.storage.StorageLevel
   * a broadcast must survive until the caller's action runs. The
   * registry is the contract: allocate through [[broadcast]]/[[persist]],
   * and whoever runs the action calls [[release]] when done.
+  *
+  * SCOPE: registries are per-thread, so concurrent harnesses (two
+  * threads each doing build→run→release) are isolated — a release on
+  * one thread can never destroy a broadcast a query on another thread
+  * is still reading. Within one thread the contract is sequential
+  * build→run→release per query: interleaving plan CONSTRUCTION of two
+  * queries on the same thread and releasing between their actions
+  * would reclaim the later build's resources (don't do that — the
+  * harness and specs never do).
   */
 object Resources {
 
-  private val broadcasts = new ConcurrentLinkedQueue[Broadcast[_]]()
-  private val cached = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val broadcasts = ThreadLocal.withInitial[ArrayBuffer[Broadcast[_]]](
+    () => ArrayBuffer.empty)
+  private val cached = ThreadLocal.withInitial[ArrayBuffer[Dataset[_]]](
+    () => ArrayBuffer.empty)
 
   /** `sparkContext.broadcast` + registration for later [[release]]. */
   def broadcast[T: ClassTag](s: SparkSession, value: T): Broadcast[T] = {
     val bc = s.sparkContext.broadcast(value)
-    broadcasts.add(bc)
+    broadcasts.get() += bc
     bc
   }
 
@@ -40,25 +50,28 @@ object Resources {
   def persist[T](ds: Dataset[T],
                  level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    cached.add(ds)
+    cached.get() += ds
     ds
   }
 
-  /** Destroy every registered broadcast and unpersist every registered
-    * dataset. Safe to call when nothing is registered; safe to call
-    * repeatedly. Blocking=false: the executors reclaim asynchronously,
-    * which is enough — the point is that blocks become reclaimable at
-    * all. */
+  /** Register an already-materialized dataset (e.g. a localCheckpoint)
+    * for unpersist at [[release]] without re-persisting it. */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    cached.get() += ds
+    ds
+  }
+
+  /** Destroy every broadcast and unpersist every dataset registered BY
+    * THE CALLING THREAD. Safe to call when nothing is registered; safe
+    * to call repeatedly. Blocking=false: the executors reclaim
+    * asynchronously, which is enough — the point is that blocks become
+    * reclaimable at all. */
   def release(): Unit = {
-    var bc = broadcasts.poll()
-    while (bc != null) {
-      try bc.destroy() catch { case _: Throwable => () }
-      bc = broadcasts.poll()
-    }
-    var ds = cached.poll()
-    while (ds != null) {
-      try ds.unpersist(blocking = false) catch { case _: Throwable => () }
-      ds = cached.poll()
-    }
+    val bcs = broadcasts.get()
+    bcs.foreach { bc => try bc.destroy() catch { case _: Throwable => () } }
+    bcs.clear()
+    val dss = cached.get()
+    dss.foreach { ds => try ds.unpersist(blocking = false) catch { case _: Throwable => () } }
+    dss.clear()
   }
 }

@@ -359,8 +359,7 @@ object NgramLm {
     val trainText = assembled.filter($"source" === "src0")
       .select($"full_text").as[String].collect().headOption.getOrElse("")
     val model = train(Seq(tokenize(trainText)))
-    val lake = graft.sink.TempDirs.register(
-      java.nio.file.Files.createTempDirectory("graft_model_blobs_"))
+    val lake = graft.sink.TempDirs.fresh("graft_model_blobs_")
     modelTable(s, Seq("lm0" -> model)).write.mode("overwrite").parquet(lake.toString)
     val loaded = loadModel(s.read.parquet(lake.toString), "lm0")
     val bc = graft.core.Resources.broadcast(s, loaded)

@@ -27,11 +27,7 @@ import graft.core.Tables
   */
 object RoundTrips {
 
-  private def freshDir(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
-    TempDirs.register(p)
-    p
-  }
+  private def freshDir(prefix: String): Path = TempDirs.fresh(prefix)
 
   /** q63 — S6 end-to-end: documents → per-"video" CSV drop folder
     * (one `<source>.csv` per source, columns exactly text,start,
@@ -43,20 +39,33 @@ object RoundTrips {
   def qCsvIngestRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val drop = freshDir("graft_csv_drop_")
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", $"source", $"text")
-      .collect() // fixture construction only: the drop folder is driver-authored by contract
-    docs.groupBy(_.getString(1)).foreach { case (source, rows) =>
-      val w = Files.newBufferedWriter(drop.resolve(s"$source.csv"))
-      try {
-        w.write("text,start,duration\n")
-        rows.sortBy(_.getLong(0)).foreach { r =>
-          // testdata text is [a-z0-9 ] — no CSV quoting needed, and the
-          // oracle's replay depends on the text arriving verbatim.
-          w.write(s"${r.getString(2)},${r.getLong(0).toDouble},1.5\n")
+    // Fixture construction only: the drop folder is driver-authored by
+    // contract, but the driver never holds the table — the sorted scan
+    // streams partition-at-a-time through toLocalIterator and each
+    // row is written and dropped. orderBy range-partitions, so
+    // iterating partitions in order yields (source, doc_id) order and
+    // one writer is open at a time.
+    val it = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"text")
+      .orderBy($"source", $"doc_id")
+      .toLocalIterator()
+    var cur: String = null
+    var w: java.io.BufferedWriter = null
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        val source = r.getString(0)
+        if (source != cur) {
+          if (w != null) w.close()
+          w = Files.newBufferedWriter(drop.resolve(s"$source.csv"))
+          w.write("text,start,duration\n")
+          cur = source
         }
-      } finally w.close()
-    }
+        // testdata text is [a-z0-9 ] — no CSV quoting needed, and the
+        // oracle's replay depends on the text arriving verbatim.
+        w.write(s"${r.getString(2)},${r.getLong(1).toDouble},1.5\n")
+      }
+    } finally if (w != null) w.close()
     val bad = Files.newBufferedWriter(drop.resolve("badfile.csv"))
     try bad.write("text,start,duration,extra\nshould be skipped,0.0,1.0,boom\n")
     finally bad.close()

@@ -1,27 +1,51 @@
 package graft.sink
 
 import java.nio.file.{Files, Path}
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import scala.jdk.CollectionConverters._
 
-/** Recursive shutdown-hook cleanup for the round-trip fixtures.
-  * `File.deleteOnExit` silently no-ops on non-empty directories, so a
-  * populated temp lake registered that way survives every JVM exit and
-  * /tmp grows run over run. Registered paths here are walked
-  * depth-first and deleted when the JVM stops. */
+/** Temp-dir lifecycle for the round-trip fixtures, two layers deep:
+  *
+  *  - [[fresh]] (the query-facing entry point) keys dirs by prefix and
+  *    deletes the PREVIOUS dir created under the same prefix in this
+  *    JVM — so a long-lived session that re-invokes q63–q65/q67
+  *    (PlanAuditSpec's loop + Verify + Bench in one process, or a
+  *    notebook) holds at most ONE live lake per query instead of one
+  *    per invocation. Same single-threaded build-run discipline as
+  *    [[graft.core.Resources]]: the previous invocation's action must
+  *    have completed before the query is re-built, because its plan
+  *    reads the dir being reclaimed.
+  *  - A shutdown hook walks whatever is still registered at JVM exit.
+  *    `File.deleteOnExit` silently no-ops on non-empty directories, so
+  *    a populated temp lake registered that way survives every JVM
+  *    exit and /tmp grows run over run.
+  */
 object TempDirs {
   private val dirs = new ConcurrentLinkedQueue[Path]()
+  private val latestByPrefix = new ConcurrentHashMap[String, Path]()
+
+  private def deleteTree(p: Path): Unit =
+    try {
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { try Files.deleteIfExists(q) catch { case _: Throwable => () }; () })
+    } catch { case _: Throwable => () }
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    dirs.iterator().asScala.foreach { p =>
-      try {
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { try Files.deleteIfExists(q) catch { case _: Throwable => () }; () })
-      } catch { case _: Throwable => () }
-    }
+    dirs.iterator().asScala.foreach(deleteTree)
   }, "graft-tempdir-cleanup"))
 
+  /** Register an externally created dir for shutdown-hook cleanup only. */
   def register(p: Path): Path = { dirs.add(p); p }
+
+  /** Create a temp dir under `prefix`, reclaiming the previous dir
+    * created under the same prefix in this JVM (see class doc). */
+  def fresh(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    dirs.add(p)
+    val prev = latestByPrefix.put(prefix, p)
+    if (prev != null) { dirs.remove(prev); deleteTree(prev) }
+    p
+  }
 }

@@ -22,16 +22,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The `ReadSchema:` struct of every FileSourceScan in the executed
+    * plan — pruning assertions anchor HERE, not on raw substring
+    * matches over the whole plan string (where any operator name or
+    * codegen id containing the column name would fail or mask the
+    * test spuriously). */
+  private def readSchemas(plan: String): Seq[String] =
+    """ReadSchema: (struct<[^\n]*)""".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+
   test("column pruning reaches the scan (representative narrow queries)") {
     // q22 touches only doc_id+text of documents(doc_id, text, lang,
     // source, n_chars); q02 only o_custkey+o_orderdate of orders.
-    val q22 = graft.text.TextAnalysis.qTokenCounts(spark, Sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!q22.contains("n_chars") && !q22.contains("lang"),
-      s"q22 scan failed to prune unused document columns:\n$q22")
-    val q02 = graft.queries.Relational.q02LastOrderPerCustomer(spark, Sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!q02.contains("o_comment") && !q02.contains("o_totalprice"),
-      s"q02 scan failed to prune unused order columns:\n$q02")
+    val q22 = readSchemas(graft.text.TextAnalysis.qTokenCounts(spark, Sf0001)
+      .queryExecution.executedPlan.toString)
+    assert(q22.nonEmpty, "q22 plan shows no FileSourceScan ReadSchema")
+    q22.foreach(sch => assert(!sch.contains("n_chars") && !sch.contains("lang:"),
+      s"q22 scan failed to prune unused document columns: $sch"))
+    val q02 = readSchemas(graft.queries.Relational.q02LastOrderPerCustomer(spark, Sf0001)
+      .queryExecution.executedPlan.toString)
+    assert(q02.nonEmpty, "q02 plan shows no FileSourceScan ReadSchema")
+    q02.foreach(sch => assert(!sch.contains("o_comment") && !sch.contains("o_totalprice"),
+      s"q02 scan failed to prune unused order columns: $sch"))
   }
 }

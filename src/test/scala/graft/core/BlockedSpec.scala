@@ -40,6 +40,20 @@ class BlockedSpec extends SparkSpec {
     Resources.release()
   }
 
+  test("eagerTiles (per-tile jobs, one broadcast resident) == lazy union") {
+    val ids = (0L until 97L) ++ Seq(1000L, 5000L, 99999L)
+    val items = spark.createDataset(ids)
+    val expected = allPairs(ids)
+    for (tile <- Seq(7, 50)) {
+      val eager = Blocked.tiledPairScan(items, tile, eagerTiles = true)(identity) { (a, arr) =>
+        arr.iterator.filter(_ > a).map(b => (a, b))
+      }.collect()
+      assert(eager.length == expected.size, s"eager tile=$tile: duplicates or misses")
+      assert(eager.toSet == expected, s"eager tile=$tile: wrong pair set")
+      Resources.release()
+    }
+  }
+
   test("q30/q32 outputs are invariant under forced multi-tile execution") {
     // The shipped queries use large default tiles (one tile at test
     // SF); this pins that the tiling itself — collect bound, hash
