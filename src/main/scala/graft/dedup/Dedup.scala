@@ -247,12 +247,16 @@ object Dedup {
       .distinct()
   }
 
-  val qMinHashLshSql: String = {
+  /** The shared DuckDB CTE chain for the LSH candidate stage —
+    * identical text in q29 (standalone), q66 (composed verify), and
+    * q75 (cluster assembly); ends with `surv(d1, d2, est_jaccard)`,
+    * the est ≥ 0.5 survivors. */
+  private def lshCandidateCtes: String = {
     val minCols = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h*$a + $b) % $MersennePrime) AS m$i"
     }.mkString(",\n           ")
     val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+    s"""w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
                   FROM documents),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(generate_series(1, len(words)-2),
@@ -281,9 +285,13 @@ object Dedup {
          SELECT d1, d2,
            CAST(len(list_filter(generate_series(1, $NumHashes),
              i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE) / $NumHashes AS est_jaccard
-         FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2)
-       SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
+         FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2),
+       surv AS (SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5)"""
   }
+
+  val qMinHashLshSql: String =
+    s"""WITH $lshCandidateCtes
+       SELECT d1, d2, est_jaccard FROM surv ORDER BY d1, d2"""
 
   /** q66 — the reference's actual dedup pipeline SHAPE (LSH candidates
     * → exact verify, the reason LSH exists: setup_vector_db.py:148-150
@@ -324,42 +332,8 @@ object Dedup {
     * verify restricted to candidate pairs (inner join — a candidate
     * pair with zero common shingles drops on both sides identically).
     */
-  val qLshVerifiedSql: String = {
-    val minCols = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      s"MIN((h*$a + $b) % $MersennePrime) AS m$i"
-    }.mkString(",\n           ")
-    val sigList = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
-                  FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(words)-2),
-                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-              FROM w WHERE len(words) >= 3),
-       hh AS (SELECT doc_id, ${polyHashSql("shingle", 31, PolyMod1)} AS h FROM sh),
-       mins AS (
-         SELECT doc_id,
-           $minCols
-         FROM hh GROUP BY doc_id),
-       sigs AS (SELECT doc_id, $sigList AS sig FROM mins),
-       bands AS (
-         SELECT doc_id, sig, b,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             sig[CAST(b*$BandRows + 1 AS INT) : CAST(b*$BandRows + $BandRows AS INT)]),
-             (acc, x) -> (acc*31 + x) % $PolyMod1) AS bkey
-         FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes / BandRows - 1})) AS b) g),
-       bsz AS (
-         SELECT doc_id, b, bkey, COUNT(*) OVER (PARTITION BY b, bkey) AS n
-         FROM bands),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bsz a JOIN bsz b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         WHERE a.n <= $MaxBucket),
-       est AS (
-         SELECT d1, d2,
-           CAST(len(list_filter(generate_series(1, $NumHashes),
-             i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE) / $NumHashes AS est_jaccard
-         FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2),
-       surv AS (SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+  val qLshVerifiedSql: String =
+    s"""WITH $lshCandidateCtes,
        common AS (
          SELECT e.d1, e.d2, e.est_jaccard, COUNT(*) AS common
          FROM surv e
@@ -371,7 +345,95 @@ object Dedup {
          CAST(c.common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.common) AS jaccard
        FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2
        ORDER BY c.d1, c.d2"""
+
+  // --- Duplicate-cluster assembly ------------------------------------
+
+  /** q75 — duplicate clusters: connected components over the LSH
+    * near-dup pair graph, the step a training pipeline runs AFTER pair
+    * generation — near-duplication is transitive in practice (A≈B≈C
+    * should drop to ONE kept doc, not pairwise-independent decisions),
+    * so dedup-by-pairs without clustering either over-drops (both ends)
+    * or under-drops (chains). Emits every clustered doc with its
+    * component id (= min doc_id reachable — the canonical keep),
+    * component size, and the keep flag.
+    *
+    * Plan: iterative min-label propagation to a fixed point — the
+    * standard BSP/Pregel formulation expressed relationally. Edges (the
+    * SMALL LSH survivor set, persisted once — the corpus-sized LSH
+    * pipeline runs exactly once) are doubled to both directions; each
+    * round unions each node's own label with its neighbors' and takes
+    * MIN per node: one keyed shuffle per round, rounds = cluster
+    * diameter (near-dup clusters are shallow — boilerplate families,
+    * not long chains). Convergence detection is exact and O(1) per
+    * round: labels are per-node non-increasing, so the label SUM is
+    * strictly decreasing until the fixed point — no change-count join.
+    * At 100 TB the same loop runs on the pair lake unchanged; AQE
+    * handles the shrinking frontier. */
+  /** Connected components over an undirected `(d1, d2)` pair frame by
+    * min-label propagation (see [[qDupClusters]] for the plan story).
+    * Returns `(doc_id, component)` for every endpoint; component = min
+    * reachable id. ClustersSpec pins chains, merges, and singletons. */
+  private[dedup] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import graft.core.Resources
+    val p = pairs.toDF("d1", "d2")
+    val edges = Resources.persist(
+      p.union(p.select($"d2", $"d1")).toDF("src", "dst"))
+    def labelSum(df: DataFrame): Long = {
+      val v = df.agg(sum($"label")).first().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labels = Resources.persist(
+      edges.select($"src".as("doc_id")).distinct().withColumn("label", $"doc_id"))
+    var total = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64,
+        "connectedComponents: label propagation did not converge in 64 rounds")
+      val msgs = labels.join(edges, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"label")
+      val next = Resources.persist(
+        labels.select($"doc_id", $"label").union(msgs)
+          .groupBy($"doc_id").agg(min($"label").as("label")))
+      val nextTotal = labelSum(next) // materializes `next` before the old cache drops
+      labels.unpersist(blocking = false)
+      converged = nextTotal == total
+      total = nextTotal
+      labels = next
+    }
+    labels.select($"doc_id", $"label".as("component"))
   }
+
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("component"))
+      .select($"doc_id", $"component", $"csize",
+        ($"doc_id" === $"component").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same
+    * survivor edges — component = MIN reachable node (reachability is
+    * symmetric because edges are doubled). Closure size is
+    * Σ component², fine at oracle SF where clusters are small. */
+  val qDupClustersSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
+                 UNION ALL SELECT d2, d1 FROM surv),
+       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       reach AS (
+         SELECT doc_id, doc_id AS node FROM nodes
+         UNION
+         SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
+       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       sz AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+       SELECT c.doc_id, c.component, s.csize, c.doc_id = c.component AS kept
+       FROM comp c JOIN sz s USING (component) ORDER BY c.doc_id"""
 
   // --- Test-set decontamination --------------------------------------
 
@@ -634,7 +696,8 @@ object Dedup {
     "q52_dedup_keep" -> qDedupKeep,
     "q66_lsh_verified" -> qLshVerified,
     "q68_decontaminate" -> qDecontaminate,
-    "q74_dup_span_fraction" -> qDupSpanFraction)
+    "q74_dup_span_fraction" -> qDupSpanFraction,
+    "q75_dup_clusters" -> qDupClusters)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -644,5 +707,6 @@ object Dedup {
     "q52_dedup_keep" -> qDedupKeepSql,
     "q66_lsh_verified" -> qLshVerifiedSql,
     "q68_decontaminate" -> qDecontaminateSql,
-    "q74_dup_span_fraction" -> qDupSpanFractionSql)
+    "q74_dup_span_fraction" -> qDupSpanFractionSql,
+    "q75_dup_clusters" -> qDupClustersSql)
 }

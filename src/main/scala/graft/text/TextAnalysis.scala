@@ -452,6 +452,118 @@ object TextAnalysis {
        FROM w LEFT JOIN vocab USING (word)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q77 — tf-idf top terms per doc, the term-salience primitive
+    * behind keyword extraction / topic labeling in a curation
+    * pipeline: tf from one (doc, word) map-side-combined aggregation,
+    * df from a rollup of the tf table (vocabularies are power-law
+    * small, so df is a tiny frame AQE broadcasts back), smoothed
+    * idf = ln((N+1)/(df+1)), top-3 per doc by (score desc, word asc).
+    * N is a driver-computed literal (the oracle's scalar subquery).
+    * Output carries rank + the integer (tf, df) pair, never the float
+    * score: ln is the one libm call the two engines may differ on in
+    * the last ulp, and ranks only flip on EXACT real-arithmetic score
+    * ties, which here force identical (tf, df) pairs (verified: the
+    * tf·ln(r) coincidence r1^t1 = r2^t2 needs (df+1) | (N+1)-powers
+    * that don't exist at these corpus sizes) — the word-asc tiebreak
+    * resolves those identically in both engines. */
+  private val TfIdfTopK = 3
+
+  def qTfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val words = docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("word"))
+      .withColumn("score", $"tf" * log(lit((n + 1).toDouble) / ($"df" + lit(1.0))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+      .filter($"rank" <= TfIdfTopK)
+      .select($"doc_id", $"rank", $"word", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val qTfIdfTopTermsSql: String =
+    s"""WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         FROM documents),
+       w AS (SELECT doc_id, word FROM words WHERE word != ''),
+       tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       scored AS (
+         SELECT t.doc_id, t.word, t.tf, d.df,
+           t.tf * ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) AS score
+         FROM tf t JOIN df d USING (word) CROSS JOIN n)
+       SELECT doc_id, rank, word, tf, df FROM (
+         SELECT doc_id, word, tf, df,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+         FROM scored) x
+       WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank"""
+
+  /** q78 — quality-proportional sampling, the curation step that keeps
+    * a doc with probability equal to its quality score but
+    * DETERMINISTICALLY (stable across runs, engines, and retries —
+    * `rand(seed)` reproduces in no second engine): keep iff
+    * polyhash(doc_id) mod 1e6 < floor(quality · 1e6), the q23 quality
+    * heuristic reused verbatim. Content-independent hash, narrow
+    * projection, shuffle-free at any scale. The float product crosses
+    * engines exactly: quality is built from IEEE-exact int divisions
+    * and two fixed-order multiply-adds (q23's hash row already proves
+    * bit-parity), and ·1e6 + floor are exact-rounded ops on identical
+    * doubles. */
+  def qQualitySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim($"text"), "\\s+"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("stop_cnt", size(expr(s"filter(words, t -> t IN ($stopList))")))
+      .withColumn("quality",
+        ($"stop_cnt".cast("double") / $"n_words") * 0.4 +
+          least(lit(1.0), $"n_words".cast("double") / 50) * 0.6)
+      // The salt SUFFIX is load-bearing: the digit chars must fold in
+      // FIRST so the 12 salt chars' 131^12-mod-m multiplier spreads
+      // consecutive ids across the whole space. A bare digit key (or a
+      // salt prefix) leaves the id perturbing only the last ~131³ of
+      // the fold, so bucket % 1e6 clumps into a narrow window and the
+      // realized keep rate drifts far from the intended probability —
+      // the spec's rate-vs-mean-p gate caught both variants (0.20 and
+      // 0.85 realized vs 0.52 intended; suffix: 0.52).
+      .withColumn("bucket",
+        expr("graft_polyhash(concat(cast(doc_id as string), ':graftsample'), 131L, 998244353L) % 1000000"))
+      .withColumn("thresh", floor($"quality" * 1000000.0).cast("long"))
+      .select($"doc_id", $"bucket", $"thresh", ($"bucket" < $"thresh").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val qQualitySampleSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftsample', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH w AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+         FROM documents),
+       q AS (
+         SELECT doc_id, len(words) AS n_words,
+           len(list_filter(words, t -> t IN ($stopList))) AS stop_cnt
+         FROM w),
+       s AS (
+         SELECT doc_id,
+           (CAST(stop_cnt AS DOUBLE) / n_words) * 0.4
+             + LEAST(1.0, CAST(n_words AS DOUBLE) / 50) * 0.6 AS quality,
+           $hash % 1000000 AS bucket
+         FROM q)
+       SELECT doc_id, bucket,
+         CAST(floor(quality * 1000000.0) AS BIGINT) AS thresh,
+         bucket < CAST(floor(quality * 1000000.0) AS BIGINT) AS kept
+       FROM s ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -462,7 +574,9 @@ object TextAnalysis {
     "q69_pii_redact" -> qPiiRedact,
     "q70_train_split" -> qTrainSplit,
     "q72_repetition_filter" -> qRepetitionFilter,
-    "q73_vocab_encode" -> qVocabEncode)
+    "q73_vocab_encode" -> qVocabEncode,
+    "q77_tfidf_topterms" -> qTfIdfTopTerms,
+    "q78_quality_sample" -> qQualitySample)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -474,5 +588,7 @@ object TextAnalysis {
     "q69_pii_redact" -> qPiiRedactSql,
     "q70_train_split" -> qTrainSplitSql,
     "q72_repetition_filter" -> qRepetitionFilterSql,
-    "q73_vocab_encode" -> qVocabEncodeSql)
+    "q73_vocab_encode" -> qVocabEncodeSql,
+    "q77_tfidf_topterms" -> qTfIdfTopTermsSql,
+    "q78_quality_sample" -> qQualitySampleSql)
 }

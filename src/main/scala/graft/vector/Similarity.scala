@@ -226,6 +226,102 @@ object Similarity {
          FROM cand) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  // --- Random-hyperplane (SRP) LSH -----------------------------------
+
+  private val SrpBits = 60     // sign bits; 60 keeps every shift positive
+  private val SrpBandBits = 6  // 10 bands × 6 bits — SimHash's geometry
+
+  /** Sign-random-projection signature: bit j = [dot(v, r_j) > 0] where
+    * r_j is a deterministic pseudo-random hyperplane with components
+    * r_j[i] = ((j+1)·(i+7)·104729 + j·7919 mod 10007)/10007 − 0.5
+    * (i is the 1-based element index). All-integer lattice components,
+    * so the oracle replays the EXACT signature: the projection is a
+    * left-to-right fold of v[i]·r — identical IEEE op order in Scala,
+    * Spark SQL, and DuckDB list_reduce — and the sign test compares
+    * bit-identical doubles. */
+  private[vector] def srpSig(v: Array[Double]): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < SrpBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val r = (((j + 1).toLong * (i + 8) * 104729L + j * 7919L) % 10007L) / 10007.0 - 0.5
+        acc += v(i) * r
+        i += 1
+      }
+      if (acc > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** q76 — the LSH-bucketed scale path for embedding near-dup (the
+    * approximate complement to the exact θ-join q32): SRP signatures
+    * (cosine-preserving: P[bit differs] = θ/π), banded into 10 × 6-bit
+    * equi-join bucket keys, candidates = pairs sharing ≥ 1 band,
+    * verified with the exact fused cosine and the q32 threshold. The
+    * banding IS the semantics (a qualifying pair sharing no band is
+    * correctly absent — the recall/cost dial every production LSH
+    * exposes), so the oracle replays it exactly and the row is a full
+    * hash compare. Scale shape: signatures are 8 bytes/vector, the
+    * band join shuffles (band, bkey, id) triples — never vectors; only
+    * the ~|candidates| verify stage touches vector data, via two
+    * narrow id joins. On THIS testdata (uniform random vectors — no
+    * cluster structure, the worst case for any LSH, same caveat as
+    * IvfNProbe) recall vs q32 is partial by construction;
+    * SimilaritySpec pins the subset property and the recall floor. */
+  def qSrpLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val vecs = prepped(s, dir)
+    val sigs = vecs.map(v => (v.id, srpSig(v.v))).toDF("doc_id", "srp")
+    val banded = sigs.select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${SrpBits / SrpBandBits - 1}), b ->
+              struct(b AS band, shiftright(srp, b * $SrpBandBits) & ${(1 << SrpBandBits) - 1} AS bkey))"""))
+        .as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bkey")
+    val a = banded.select($"band", $"bkey", $"doc_id".as("v1"))
+    val b = banded.select($"band", $"bkey", $"doc_id".as("v2"))
+    val cand = a.join(b, Seq("band", "bkey")).filter($"v1" < $"v2")
+      .select($"v1", $"v2").distinct()
+    val va = vecs.toDF("v1", "vec1", "n1")
+    val vb = vecs.toDF("v2", "vec2", "n2")
+    cand.join(va, Seq("v1")).join(vb, Seq("v2"))
+      .withColumn("sim", dot("vec1", "vec2") / ($"n1" * $"n2"))
+      .filter($"sim" >= 0.4)
+      .select($"v1", $"v2",
+        $"sim".cast(org.apache.spark.sql.types.DecimalType(9, 6)).cast("string").as("sim_r"))
+      .orderBy($"v1", $"v2")
+  }
+
+  val qSrpLshSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       sigs AS (
+         SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(0, ${SrpBits - 1}), j ->
+               CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(vec)), i ->
+                   vec[CAST(i AS INT)] *
+                     (CAST(((j+1)*(i+7)*104729 + j*7919) % 10007 AS DOUBLE)/10007.0 - 0.5))),
+                 (acc, x) -> acc + x) > 0.0
+               THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)),
+             (acc, x) -> acc + x) AS srp
+         FROM v),
+       bands AS (
+         SELECT vec_id, b, (srp >> CAST(b * $SrpBandBits AS INT)) & ${(1 << SrpBandBits) - 1} AS bkey
+         FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${SrpBits / SrpBandBits - 1})) AS b) g),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       verify AS (
+         SELECT c.v1, c.v2,
+           list_cosine_similarity(e1.vec, e2.vec) AS sim
+         FROM cand c JOIN v e1 ON e1.vec_id = c.v1 JOIN v e2 ON e2.vec_id = c.v2)
+       SELECT v1, v2, CAST(CAST(sim AS DECIMAL(9,6)) AS VARCHAR) AS sim_r
+       FROM verify WHERE sim >= 0.4 ORDER BY v1, v2"""
+
   /** q71 — symmetric int8 quantization of the embedding column, the
     * storage-compression pass a 100 TB embedding lake runs before
     * writing (4× smaller than float32; dot products stay integer until
@@ -279,11 +375,13 @@ object Similarity {
     "q31_cosine_topk" -> qCosineTopK,
     "q32_embed_neardup" -> qEmbedNearDup,
     "q33_ann_ivf" -> qAnnIvf,
-    "q71_quantize_int8" -> qQuantizeInt8)
+    "q71_quantize_int8" -> qQuantizeInt8,
+    "q76_srp_lsh" -> qSrpLsh)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
     "q32_embed_neardup" -> qEmbedNearDupSql,
     "q33_ann_ivf" -> qAnnIvfSql,
-    "q71_quantize_int8" -> qQuantizeInt8Sql)
+    "q71_quantize_int8" -> qQuantizeInt8Sql,
+    "q76_srp_lsh" -> qSrpLshSql)
 }

@@ -113,4 +113,45 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == expected)
   }
+
+  test("q77: top terms match a scalar tf-idf recomputation") {
+    val n = docs.size
+    val tf = docs.toSeq.flatMap { case (id, (_, t)) =>
+      words(t).groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val expected = tf.keys.groupBy(_._1).map { case (id, keys) =>
+      val ranked = keys.toSeq.map { case (_, w) =>
+        (w, tf((id, w)), df(w), tf((id, w)) * math.log((n + 1.0) / (df(w) + 1.0)))
+      }.sortBy { case (w, _, _, score) => (-score, w) }.take(3)
+      id -> ranked.zipWithIndex.map { case ((w, t, d, _), i) => (i + 1, w, t, d) }
+    }
+    val got = TextAnalysis.qTfIdfTopTerms(spark, Sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Int]("rank"), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+    assert(got == expected)
+  }
+
+  test("q78: sampling verdicts match a scalar recomputation, rate tracks quality") {
+    val stop = Set("the", "a", "and", "of", "to", "in", "is")
+    val expected = docs.map { case (id, (_, t)) =>
+      val ws = t.trim.split("\\s+").toSeq // empty string -> [""], matching size(split(...))
+      val stopRatio = ws.count(stop).toDouble / ws.size
+      val quality = stopRatio * 0.4 + math.min(1.0, ws.size.toDouble / 50) * 0.6
+      val bucket = graft.core.Hashing.polyFold(s"$id:graftsample", 131, 998244353L) % 1000000L
+      val thresh = math.floor(quality * 1000000.0).toLong
+      id -> ((bucket, thresh, bucket < thresh))
+    }
+    val got = TextAnalysis.qQualitySample(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected)
+    // Deterministic sampling must still SAMPLE: keep-rate within ±0.15
+    // of the mean keep probability (the hash is uniform; sf0.001 has
+    // hundreds of docs, so a wider gap means a broken hash or theta).
+    val meanP = expected.values.map(_._2 / 1e6).sum / expected.size
+    val rate = got.values.count(_._3).toDouble / got.size
+    assert(math.abs(rate - meanP) <= 0.15, s"keep rate $rate vs mean p $meanP")
+  }
 }

@@ -24,4 +24,31 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
     }
   }
+
+  test("SRP-LSH pairs are a subset of the exact theta-join (q32), nonempty") {
+    // Every q76 pair passed the SAME exact-cosine verify as q32, so the
+    // banded candidate stage can only REMOVE pairs, never invent them.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"), r.getAs[String]("sim_r"))).toSet
+    val exact = pairs(Similarity.qEmbedNearDup(spark, Sf0001))
+    graft.core.Resources.release()
+    val srp = pairs(Similarity.qSrpLsh(spark, Sf0001))
+    graft.core.Resources.release()
+    assert(srp.nonEmpty, "SRP-LSH found no pairs at sf0.001")
+    assert(srp.subsetOf(exact),
+      s"SRP emitted pairs outside the exact theta-join: ${srp.diff(exact).take(5)}")
+    // Uniform random vectors are LSH's worst case (no cluster
+    // structure); still expect a real fraction of the exact pair set.
+    val recall = srp.size.toDouble / exact.size
+    assert(recall >= 0.2, s"SRP recall $recall vs exact ${exact.size} pairs")
+  }
+
+  test("srpSig is deterministic and uses all bands") {
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
+    assert(Similarity.srpSig(v1) == Similarity.srpSig(v1))
+    assert(Similarity.srpSig(v1) != Similarity.srpSig(v2),
+      "distinct vectors should not collide on all 60 bits")
+    assert((Similarity.srpSig(v1) >>> 60) == 0L, "bits above 60 must stay clear")
+  }
 }
