@@ -113,6 +113,26 @@ object Plans {
         |Benchmark sets are small by nature, which is what makes the broadcast
         |side bounded at any corpus size; the n-gram length is a semantic
         |constant mirrored in the oracle.""".stripMargin,
+    "q75_dup_clusters" ->
+      """Connected components over the LSH survivor pairs — the dedup
+        |decision stage. The corpus-scale LSH pipeline runs ONCE (the pair
+        |set is persisted before iteration); each propagation round is one
+        |keyed shuffle of (node, label) rows over the SMALL pair graph, and
+        |convergence is an O(1) label-sum check (labels are per-node
+        |non-increasing, so an unchanged sum IS the fixed point — no
+        |change-count join). Rounds = cluster diameter; near-dup families
+        |are shallow. At 100 TB the loop runs on the pair lake unchanged —
+        |the corpus never re-enters after the candidate stage.""".stripMargin,
+    "q76_srp_lsh" ->
+      """The LSH-bucketed scale path for embedding near-dup: 60-bit SRP
+        |signatures built in one narrow pass (integer-lattice hyperplanes,
+        |oracle-replayable), 10×6-bit bands as equi-join bucket keys, exact
+        |cosine verify only on candidates. The band join shuffles 8-byte
+        |signatures + band keys — vectors reach only the ~|candidates|
+        |verify joins. Complements exact q32: recall/cost is the banding
+        |dial, and on uniform random test vectors (LSH's worst case) the
+        |spec pins subset-of-exact + a recall floor rather than claiming
+        |production recall.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs

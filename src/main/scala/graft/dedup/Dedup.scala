@@ -378,14 +378,24 @@ object Dedup {
     import s.implicits._
     import graft.core.Resources
     val p = pairs.toDF("d1", "d2")
-    val edges = Resources.persist(
-      p.union(p.select($"d2", $"d1")).toDF("src", "dst"))
+    // Eager localCheckpoint, not persist: each round's frame references
+    // the previous one TWICE (own labels ∪ neighbor messages), so with
+    // lazy caching the LOGICAL plan doubles per round — by round k the
+    // analyzer re-walks O(2^k) copies of the whole upstream pipeline
+    // even though execution hits the cache (measured: 26 s for a
+    // 2-round run at sf0.1). Checkpointing truncates lineage to the
+    // materialized RDD: O(1) plan per round, one tiny job per step —
+    // the standard discipline for iterative algorithms on Spark.
+    val edges = Resources.track(
+      p.union(p.select($"d2", $"d1")).toDF("src", "dst")
+        .localCheckpoint(eager = true))
     def labelSum(df: DataFrame): Long = {
       val v = df.agg(sum($"label")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
-    var labels = Resources.persist(
-      edges.select($"src".as("doc_id")).distinct().withColumn("label", $"doc_id"))
+    var labels = Resources.track(
+      edges.select($"src".as("doc_id")).distinct().withColumn("label", $"doc_id")
+        .localCheckpoint(eager = true))
     var total = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -395,11 +405,11 @@ object Dedup {
         "connectedComponents: label propagation did not converge in 64 rounds")
       val msgs = labels.join(edges, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"label")
-      val next = Resources.persist(
+      val next = Resources.track(
         labels.select($"doc_id", $"label").union(msgs)
-          .groupBy($"doc_id").agg(min($"label").as("label")))
-      val nextTotal = labelSum(next) // materializes `next` before the old cache drops
-      labels.unpersist(blocking = false)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .localCheckpoint(eager = true)) // materialized here — lineage ends
+      val nextTotal = labelSum(next)
       converged = nextTotal == total
       total = nextTotal
       labels = next
