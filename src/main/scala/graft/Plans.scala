@@ -133,6 +133,35 @@ object Plans {
         |dial, and on uniform random test vectors (LSH's worst case) the
         |spec pins subset-of-exact + a recall floor rather than claiming
         |production recall.""".stripMargin,
+    "q79_cluster_canonical" ->
+      """The dedup DECISION stage: keep the best-quality doc per cluster.
+        |Quality is one narrow text pass; the component map (docs that
+        |survived LSH banding — tiny) broadcast-joins onto it, so the
+        |corpus never shuffles for the join; the winner window then
+        |moves only 24-byte (doc_id, component, quality) rows. Reading
+        |text once and shuffling metadata is the whole plan: the naive
+        |alternative (join clusters, window, then a second corpus scan
+        |for singletons) doubles the dominant cost — the text scan.""".stripMargin,
+    "q80_bloom_decontaminate" ->
+      """Sketch-gated decontamination. q68 broadcasts the exact 8-byte
+        |benchmark gram set; at real benchmark-suite sizes that is GBs
+        |per executor. Here the broadcast is a Bloom filter (~1 byte/gram
+        |at 3% fpp, two orders smaller), the gate runs NARROW on the
+        |corpus gram stream (no shuffle), and the exact verify join
+        |behind it sees only ~|hits| + fpp·|grams| rows — small enough
+        |to shuffle-join without broadcasting the exact set anywhere.
+        |The result is bit-identical to the exact plan for any fpp
+        |(bloom has no false negatives; the verify join kills false
+        |positives), which the spec pins by scalar replay.""".stripMargin,
+    "q81_pack_blocks" ->
+      """Concat-and-cut sequence packing: per source, an exclusive
+        |prefix sum over (source, doc_id, tok) rows — text never enters
+        |the shuffle — then integer block arithmetic, all codegen'd.
+        |One narrow window shuffle total. A single giant source would
+        |serialize its partition; the segmented prefix-sum rewrite
+        |(per-partition partials + broadcast offsets) is semantics-
+        |identical and the window form IS that plan at source
+        |granularity.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs

@@ -334,11 +334,74 @@ object Chunkers {
        FROM final_chunks
        ORDER BY source, chunk_index"""
 
+  /** Block length for q81 — a semantic constant of the query (the
+    * training context length stand-in), mirrored in the oracle. */
+  private val PackBlockTokens = 64
+
+  /** q81 — concat-and-cut sequence packing, the classic pretraining
+    * batch-prep step: per source, documents are concatenated in
+    * doc_id order and cut into fixed 64-token blocks; each doc's
+    * manifest records where its tokens landed (start block + offset,
+    * end block, blocks spanned). Unlike q37 (greedy chunking that
+    * RESPECTS document boundaries and re-flows text), this is the
+    * boundary-CROSSING packing used when training consumes a token
+    * stream — zero padding waste by construction, and fully
+    * relational: an exclusive prefix sum per source (one narrow
+    * window over (source, doc_id, tok) rows — the text itself never
+    * enters the shuffle) plus integer block arithmetic. At 100 TB a
+    * giant source makes the single-partition window the bottleneck;
+    * the standard rewrite is segmented prefix-sum (per-partition
+    * partial sums + broadcast cumulative offsets) with identical
+    * semantics — the window form IS that plan for source-sized
+    * partitions. */
+  def qPackBlocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = PackBlockTokens
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("tok",
+        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .withColumn("off", coalesce(sum($"tok").over(w), lit(0L)))
+      .withColumn("start_block", expr(s"off div $B"))
+      .withColumn("end_block",
+        when($"tok" > 0, expr(s"(off + tok - 1) div $B")).otherwise(expr(s"off div $B")))
+      .select($"doc_id", $"source", $"tok", $"off".as("tok_offset"),
+        $"start_block", ($"off" % B).cast("long").as("block_offset"),
+        $"end_block", ($"end_block" - $"start_block" + 1).as("n_blocks"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the same window arithmetic (DuckDB `//` = floor div on
+    * BIGINT; all operands non-negative). */
+  val qPackBlocksSql: String = {
+    val b = PackBlockTokens
+    s"""WITH t AS (
+         SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+         FROM documents),
+       o AS (
+         SELECT doc_id, source, tok,
+           CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         FROM t)
+       SELECT doc_id, source, tok, off AS tok_offset,
+         off // $b AS start_block,
+         off % $b AS block_offset,
+         CASE WHEN tok > 0 THEN (off + tok - 1) // $b ELSE off // $b END AS end_block,
+         (CASE WHEN tok > 0 THEN (off + tok - 1) // $b ELSE off // $b END) - off // $b + 1 AS n_blocks
+       FROM o ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
-    "q37_token_budget_chunks" -> qTokenBudgetChunks)
+    "q37_token_budget_chunks" -> qTokenBudgetChunks,
+    "q81_pack_blocks" -> qPackBlocks)
 
   val oracles: Map[String, String] = Map(
     "q36_word_chunks" -> qWordChunksSql,
-    "q37_token_budget_chunks" -> qTokenBudgetChunksSql)
+    "q37_token_budget_chunks" -> qTokenBudgetChunksSql,
+    "q81_pack_blocks" -> qPackBlocksSql)
 }

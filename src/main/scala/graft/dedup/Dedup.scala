@@ -698,6 +698,127 @@ object Dedup {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax
        ORDER BY d1, d2"""
 
+  // --- Canonical doc per duplicate cluster ---------------------------
+
+  /** q79 — the dedup DECISION stage: which doc survives each near-dup
+    * cluster. q75 keeps min-id; real pipelines keep the BEST copy, so
+    * this ranks each cluster's members by the q23 quality score
+    * (ties → min doc_id) and keeps the winner; docs outside any
+    * cluster are their own canonical. Plan: quality is ONE narrow text
+    * pass over the corpus; the component map (a tiny frame — only
+    * docs that survived LSH banding) broadcast-joins onto it, so the
+    * corpus never shuffles for the join; the winner window then moves
+    * only 24-byte (doc_id, component, quality) rows — at 100 TB that
+    * is the difference between shuffling metadata and shuffling text.
+    * Singleton components ride the same window (their partition is one
+    * row) rather than a second corpus scan: text is the expensive
+    * thing to read twice, not rows to shuffle. */
+  def qClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val q = graft.text.TextAnalysis.qualityScores(s, dir)
+      .select($"doc_id", $"quality")
+    val labeled = q.join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"component", $"doc_id"))
+    val w = Window.partitionBy($"component")
+    labeled
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(w.orderBy($"quality".desc, $"doc_id")))
+      .select($"doc_id", $"component", $"csize", $"quality", ($"rk" === 1).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the q75 recursive closure for components + the shared
+    * quality CTE + the same winner window. */
+  val qClusterCanonicalSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
+                 UNION ALL SELECT d2, d1 FROM surv),
+       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       reach AS (
+         SELECT doc_id, doc_id AS node FROM nodes
+         UNION
+         SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
+       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
+       lab AS (
+         SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+         FROM qual q LEFT JOIN comp c ON c.doc_id = q.doc_id)
+       SELECT doc_id, component,
+         COUNT(*) OVER (PARTITION BY component) AS csize,
+         quality,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 AS kept
+       FROM lab ORDER BY doc_id"""
+
+  // --- Bloom-gated decontamination -----------------------------------
+
+  /** False-positive rate for the q80 Bloom gate. Only COST depends on
+    * it (how many clean grams reach the verify join); the result never
+    * does — the exact join behind the gate kills every false positive. */
+  private val BloomFpp = 0.03
+
+  /** q80 — sketch-gated decontamination: q68's semantics (flag
+    * training docs sharing an n-gram with a held-out benchmark source,
+    * here src18) with the broadcast exact hash set replaced by a BLOOM
+    * FILTER gate + an exact verify join behind it. Why this exists as
+    * its own operator: q68 broadcasts the exact 8-byte gram set, which
+    * at real benchmark-suite sizes (hundreds of millions of grams) is
+    * GBs per executor; the Bloom gate is ~1 byte/gram at 3% fpp, two
+    * orders smaller, and no-false-negative by construction — the gate
+    * passes every true hit plus an fpp-sized trickle of clean grams,
+    * and the verify join (now over ~|hits| rows, NOT the corpus) runs
+    * as an ordinary shuffle join with NO broadcast of the exact set
+    * anywhere. Result is bit-identical to the exact plan for ANY fpp;
+    * DedupSpec pins that plus the no-false-negative property. Output
+    * counts DISTINCT matched grams per doc, so bloom duplicates can't
+    * inflate it. */
+  def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Resources
+    graft.expr.VectorExpressions.register(s)
+    val gramExpr = (0 until DecontamN).map(k => s"element_at(words, i+$k)").mkString(", ")
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= DecontamN)
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(1, size(words) - ${DecontamN - 1}), i -> concat_ws(' ', $gramExpr))"))
+        .as("gram"))
+      .withColumn("h", expr(polyHashExpr("gram", 31, PolyMod1)))
+    val bench = Resources.persist(grams.filter($"source" === "src18").select($"h").distinct())
+    // Benchmark sets are small, so an exact count for sizing is one
+    // tiny job; the sketch itself is built distributed (treeAggregate
+    // under the hood) — no gram ever reaches the driver.
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("h", nBench, BloomFpp)
+    val gate = Resources.broadcast(s, bloom)
+    val mightContain = udf((h: Long) => gate.value.mightContainLong(h))
+    val train = grams.filter($"source" =!= "src18").select($"doc_id", $"h")
+    train.filter(mightContain($"h"))            // narrow gate: no shuffle, corpus-side
+      .join(bench, Seq("h"))                    // exact verify over survivors only
+      .groupBy($"doc_id")
+      .agg(count_distinct($"h").as("contaminated_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the exact formulation — the Bloom gate is invisible to
+    * the result by design. */
+  val qBloomDecontaminateSql: String = {
+    val joins = (0 until DecontamN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words) - ${DecontamN - 1}),
+                 i -> $joins)) AS gram
+             FROM w WHERE len(words) >= $DecontamN),
+       gh AS (SELECT doc_id, source, ${polyHashSql("gram", 31, PolyMod1)} AS h FROM g),
+       bench AS (SELECT DISTINCT h FROM gh WHERE source = 'src18'),
+       train AS (SELECT doc_id, h FROM gh WHERE source != 'src18')
+       SELECT doc_id, COUNT(DISTINCT h) AS contaminated_grams
+       FROM train JOIN bench USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> qDedupExact,
     "q28_jaccard_neardup" -> qJaccardNearDup,
@@ -707,7 +828,9 @@ object Dedup {
     "q66_lsh_verified" -> qLshVerified,
     "q68_decontaminate" -> qDecontaminate,
     "q74_dup_span_fraction" -> qDupSpanFraction,
-    "q75_dup_clusters" -> qDupClusters)
+    "q75_dup_clusters" -> qDupClusters,
+    "q79_cluster_canonical" -> qClusterCanonical,
+    "q80_bloom_decontaminate" -> qBloomDecontaminate)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -718,5 +841,7 @@ object Dedup {
     "q66_lsh_verified" -> qLshVerifiedSql,
     "q68_decontaminate" -> qDecontaminateSql,
     "q74_dup_span_fraction" -> qDupSpanFractionSql,
-    "q75_dup_clusters" -> qDupClustersSql)
+    "q75_dup_clusters" -> qDupClustersSql,
+    "q79_cluster_canonical" -> qClusterCanonicalSql,
+    "q80_bloom_decontaminate" -> qBloomDecontaminateSql)
 }

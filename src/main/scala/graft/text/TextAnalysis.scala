@@ -503,6 +503,34 @@ object TextAnalysis {
          FROM scored) x
        WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank"""
 
+  /** Shared `(doc_id, quality)` frame — the q23 quality heuristic as a
+    * reusable building block (q78 sampling, q79 canonical selection):
+    * one narrow text pass, no shuffle, fully codegen'd. The float is
+    * engine-exact: int/int IEEE divisions and two fixed-order
+    * multiply-adds (q23's green hash row is the proof). */
+  private[graft] def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("words", split(trim($"text"), "\\s+"))
+      .withColumn("n_words", size($"words"))
+      .withColumn("stop_cnt", size(expr(s"filter(words, t -> t IN ($stopList))")))
+      .withColumn("quality",
+        ($"stop_cnt".cast("double") / $"n_words") * 0.4 +
+          least(lit(1.0), $"n_words".cast("double") / 50) * 0.6)
+  }
+
+  /** The same `(doc_id, quality)` frame, DuckDB side (a complete
+    * SELECT, usable as a CTE body). */
+  private[graft] def qualityScoresSqlCte: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+          (CAST(len(list_filter(words, t -> t IN ($stopList))) AS DOUBLE) / len(words)) * 0.4
+            + LEAST(1.0, CAST(len(words) AS DOUBLE) / 50) * 0.6 AS quality
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents) qw"""
+  }
+
   /** q78 — quality-proportional sampling, the curation step that keeps
     * a doc with probability equal to its quality score but
     * DETERMINISTICALLY (stable across runs, engines, and retries —
@@ -517,14 +545,7 @@ object TextAnalysis {
   def qQualitySample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
-    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, dir)
-      .withColumn("words", split(trim($"text"), "\\s+"))
-      .withColumn("n_words", size($"words"))
-      .withColumn("stop_cnt", size(expr(s"filter(words, t -> t IN ($stopList))")))
-      .withColumn("quality",
-        ($"stop_cnt".cast("double") / $"n_words") * 0.4 +
-          least(lit(1.0), $"n_words".cast("double") / 50) * 0.6)
+    qualityScores(s, dir)
       // The salt SUFFIX is load-bearing: the digit chars must fold in
       // FIRST so the 12 salt chars' 131^12-mod-m multiplier spreads
       // consecutive ids across the whole space. A bare digit key (or a
@@ -564,6 +585,87 @@ object TextAnalysis {
        FROM s ORDER BY doc_id"""
   }
 
+  /** Shard count for q82. A semantic constant of THIS query (mirrored
+    * in the oracle), sized to the testdata; in production the shard
+    * count is the training job's file-parallelism target (thousands),
+    * and the plan below is shard-count-independent: one hash-partition
+    * shuffle of 16-byte rows + a per-shard sort, exactly
+    * `repartition(shard).sortWithinPartitions(order_key)` at write
+    * time. */
+  private val NumShards = 8
+
+  /** q82 — deterministic global training order, the "shuffle the
+    * dataset" step of training prep done reproducibly (stable across
+    * runs, engines, retries and — unlike `rand(seed)` — across
+    * PARTITIONINGS): order key = salted portable polyhash of doc_id,
+    * shard = key mod NumShards, position = rank within shard by
+    * (key, doc_id). Content never moves: the plan shuffles only
+    * (doc_id, key) pairs, and at write time the payload follows in one
+    * `repartition + sortWithinPartitions` pass keyed the same way.
+    * Complements q70 (which buckets docs into SPLITS — membership;
+    * this produces the within-split ORDER). */
+  def qShardOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr("graft_polyhash(concat(cast(doc_id as string), ':graftorder'), 131L, 998244353L)")
+          .as("order_key"))
+      .withColumn("shard", ($"order_key" % NumShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"order_key", $"doc_id")))
+      .select($"doc_id", $"shard", $"order_key", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  val qShardOrderSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftorder', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH k AS (SELECT doc_id, $hash AS order_key FROM documents),
+       sh AS (SELECT doc_id, order_key,
+                CAST(order_key % $NumShards AS INT) AS shard FROM k)
+       SELECT doc_id, shard, order_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_key, doc_id) AS INT) AS pos
+       FROM sh ORDER BY doc_id"""
+  }
+
+  /** q83 — dataset composition report: per-(source, lang) doc/token/
+    * char stats with ROLLUP subtotals — the mixture manifest a
+    * training run records (how much of each source/language went in).
+    * One pass, one aggregation: ROLLUP computes leaf + per-source +
+    * grand-total rows in the same shuffle (Spark expands grouping
+    * sets map-side; no second scan, no union of three aggregates).
+    * Group markers surface as a '<all>' sentinel rather than NULL +
+    * grouping_id so the output (and its ordering) is engine-portable.
+    * All aggregates are integer-exact. */
+  def qSourceStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", wordCount($"text"))
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("tok_sum"),
+        sum($"n_chars").as("char_sum"),
+        max($"n_chars").as("max_chars"))
+      .select(coalesce($"source", lit("<all>")).as("source"),
+        coalesce($"lang", lit("<all>")).as("lang"),
+        $"n_docs", $"tok_sum", $"char_sum", $"max_chars")
+      .orderBy($"source", $"lang")
+  }
+
+  val qSourceStatsSql: String =
+    """SELECT COALESCE(source, '<all>') AS source,
+         COALESCE(lang, '<all>') AS lang,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tok_sum,
+         SUM(n_chars) AS char_sum,
+         MAX(n_chars) AS max_chars
+       FROM documents
+       GROUP BY ROLLUP (source, lang)
+       ORDER BY COALESCE(source, '<all>'), COALESCE(lang, '<all>')"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -576,7 +678,9 @@ object TextAnalysis {
     "q72_repetition_filter" -> qRepetitionFilter,
     "q73_vocab_encode" -> qVocabEncode,
     "q77_tfidf_topterms" -> qTfIdfTopTerms,
-    "q78_quality_sample" -> qQualitySample)
+    "q78_quality_sample" -> qQualitySample,
+    "q82_shard_order" -> qShardOrder,
+    "q83_source_stats" -> qSourceStats)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -590,5 +694,7 @@ object TextAnalysis {
     "q72_repetition_filter" -> qRepetitionFilterSql,
     "q73_vocab_encode" -> qVocabEncodeSql,
     "q77_tfidf_topterms" -> qTfIdfTopTermsSql,
-    "q78_quality_sample" -> qQualitySampleSql)
+    "q78_quality_sample" -> qQualitySampleSql,
+    "q82_shard_order" -> qShardOrderSql,
+    "q83_source_stats" -> qSourceStatsSql)
 }

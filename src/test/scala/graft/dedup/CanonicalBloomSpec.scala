@@ -1,0 +1,61 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.core.Resources
+
+/** q79/q80 cross-checks in the house independent-reimplementation
+  * style: canonical selection must agree with a driver-side argmax
+  * over the clustered docs, and q80's Bloom gate must be invisible to
+  * the result (exact equivalence with a scalar set-intersection
+  * replay — if the gate dropped a true member, the comparison would
+  * miss a row, so bloom's no-false-negative property is pinned by the
+  * same assertion). */
+class CanonicalBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: Map[Long, (String, String)] =
+    graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("q79: one kept per component, kept = argmax quality (ties min id), corpus covered") {
+    val rows = Dedup.qClusterCanonical(spark, Sf0001)
+      .select("doc_id", "component", "csize", "quality", "kept")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    Resources.release()
+    assert(rows.length == docs.size, "q79 must cover the whole corpus")
+    assert(rows.map(_._1).distinct.length == rows.length, "doc_id must be unique")
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.count(_._5) == 1, s"component $comp kept != 1")
+      val winner = ms.filter(_._5).head
+      val best = ms.maxBy(m => (m._4, -m._1)) // max quality, tie -> min doc_id
+      assert(winner._1 == best._1,
+        s"component $comp kept ${winner._1}, expected ${best._1}")
+      assert(ms.forall(_._3 == ms.length), s"component $comp csize wrong")
+    }
+    assert(byComp.exists(_._2.length > 1),
+      "no multi-doc clusters at sf0.001 — fixture drifted, argmax untested")
+  }
+
+  test("q80: result equals a scalar exact-intersection replay (bloom-independent)") {
+    def grams(t: String): Set[Seq[String]] =
+      t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(4).filter(_.length == 4).map(_.toSeq).toSet
+    val bench = docs.values.collect { case ("src18", t) => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    // expected: per training doc, DISTINCT benchmark grams it contains
+    // (gram strings — the 31-bit hash space is collision-free at
+    // sf0.001, same argument as the q68 spec)
+    val expected = docs.collect {
+      case (id, (src, t)) if src != "src18" =>
+        id -> grams(t).intersect(bench).size.toLong
+    }.filter(_._2 > 0L)
+    val got = Dedup.qBloomDecontaminate(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    Resources.release()
+    assert(got == expected.toMap)
+    assert(got.nonEmpty, "no src18 overlap at sf0.001 — fixture drifted")
+  }
+}

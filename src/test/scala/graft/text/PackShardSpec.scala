@@ -1,0 +1,99 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Scalar cross-checks for the round-4 prep operators: q81 block
+  * packing replayed as a per-source fold, q82 shard order replayed
+  * with the scalar polyhash fold, q83 rollup checked against direct
+  * aggregation (subtotals must SUM to their leaves, not merely look
+  * plausible). */
+class PackShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docRows: Seq[(Long, String, String)] =
+    graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def tok(t: String): Long =
+    if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong
+
+  test("q81: offsets are per-source prefix sums; block arithmetic replays exactly") {
+    val got = Chunkers_q81.rows(spark, Sf0001)
+    val bySource = docRows.groupBy(_._2)
+    val expected = bySource.flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, _, t) =>
+        val n = tok(t)
+        val start = off / 64
+        val end = if (n > 0) (off + n - 1) / 64 else start
+        val row = (id, src, n, off, start, off % 64, end, end - start + 1)
+        off += n
+        row
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // blocks tile: per source, final offset equals the token total
+    bySource.foreach { case (src, ds) =>
+      val last = got.filter(_._2 == src).maxBy(_._4)
+      assert(last._4 + last._3 == ds.map(d => tok(d._3)).sum)
+    }
+  }
+
+  test("q82: shard order is a deterministic permutation keyed by the portable hash") {
+    val rows = TextAnalysis.qShardOrder(spark, Sf0001)
+      .select("doc_id", "shard", "order_key", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == docRows.length)
+    // order_key replays with the scalar fold; shard = key mod 8
+    rows.foreach { case (id, shard, key, _) =>
+      val expect = graft.core.Hashing.polyFold(s"$id:graftorder", 131, 998244353L)
+      assert(key == expect, s"doc $id order_key $key != $expect")
+      assert(shard == (key % 8).toInt)
+    }
+    // pos is a 1..n permutation per shard, ordered by (key, id)
+    rows.groupBy(_._2).foreach { case (shard, ms) =>
+      val sorted = ms.sortBy(m => (m._3, m._1))
+      assert(sorted.map(_._4).toSeq == (1 to ms.length).toSeq,
+        s"shard $shard positions not a permutation")
+    }
+    // deterministic across runs
+    val again = TextAnalysis.qShardOrder(spark, Sf0001)
+      .select("doc_id", "shard", "order_key", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
+    val rows = TextAnalysis.qSourceStats(spark, Sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val leaves = rows.filter { case ((s0, l0), _) => s0 != "<all>" && l0 != "<all>" }
+    // per-source subtotal = sum of its lang leaves (max via max)
+    leaves.groupBy(_._1._1).foreach { case (src, ls) =>
+      val sub = rows((src, "<all>"))
+      assert(sub._1 == ls.values.map(_._1).sum, s"$src n_docs subtotal")
+      assert(sub._2 == ls.values.map(_._2).sum, s"$src tok_sum subtotal")
+      assert(sub._3 == ls.values.map(_._3).sum, s"$src char_sum subtotal")
+      assert(sub._4 == ls.values.map(_._4).max, s"$src max_chars subtotal")
+    }
+    val total = rows(("<all>", "<all>"))
+    assert(total._1 == docRows.length)
+    assert(total._2 == docRows.map(d => tok(d._3)).sum)
+    // ROLLUP(source, lang) emits no (<all>, lang) slices
+    assert(!rows.keys.exists { case (s0, l0) => s0 == "<all>" && l0 != "<all>" })
+  }
+}
+
+/** Tiny adapter so the q81 cross-check reads tuples without repeating
+  * column plumbing in the test body. */
+private object Chunkers_q81 {
+  def rows(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Long, String, Long, Long, Long, Long, Long, Long)] = {
+    graft.chunk.Chunkers.qPackBlocks(s, dir).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }.toSeq
+  }
+}
