@@ -162,6 +162,17 @@ object Plans {
         |(per-partition partials + broadcast offsets) is semantics-
         |identical and the window form IS that plan at source
         |granularity.""".stripMargin,
+    "q85_cluster_centroids" ->
+      """Per-cluster embedding centroids with DETERMINISTIC distributed
+        |float aggregation: each element quantizes to fixed-point
+        |(floor(x·2^20) — exact, per-element) BEFORE the sum, so the
+        |aggregation is integer-exact and commutative — immune to
+        |summation order, which means immune to partitioning, retries,
+        |and engine differences. A naive double SUM disagrees in the
+        |last ulps across any of those. The broadcast component map
+        |prunes the explosion to clustered docs BEFORE the 64-way
+        |posexplode, so per-dim rows are |clustered docs|·64, not
+        |corpus·64; one keyed aggregation ends the plan.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs

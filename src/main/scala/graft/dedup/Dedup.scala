@@ -819,6 +819,67 @@ object Dedup {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // --- Cluster centroids (fixed-point) -------------------------------
+
+  /** Fixed-point scale for q85: floor(x · 2^20). Floor (not round) on
+    * purpose — round's half-way rule differs between engines
+    * (HALF_UP vs banker's variants can disagree on exactly-.5
+    * products, which float32 values scaled by a power of two CAN
+    * produce); floor of an exact double is engine-independent. */
+  private val CentroidFp = 1048576L
+
+  /** q85 — duplicate-cluster embedding centroids: a representative
+    * vector per near-dup cluster (the input to cluster-level
+    * diversity sampling / representative selection). The core trick
+    * is DETERMINISTIC distributed float aggregation: naive SUM over
+    * doubles is summation-order-dependent, so two engines (or two
+    * runs with different partitionings!) disagree in the last ulps.
+    * Each element is instead quantized to fixed-point FIRST
+    * (floor(x·2^20) — exact, per-element, order-free) and the SUM is
+    * then integer-exact and commutative. Output is (component, dim,
+    * n_members, fp_sum) — the quotient is left to the consumer
+    * because integer-division rounding (trunc vs floor) differs
+    * across engines for negative sums. Plan: the component map is
+    * tiny and broadcast; embeddings explode to (doc, dim, fp) rows
+    * only AFTER the broadcast semi-join prunes to clustered docs, so
+    * the per-dim explosion is |clustered docs|·64, not corpus-wide;
+    * one keyed aggregation ends it. */
+  def qClusterCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    Tables.embeddings(s, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(broadcast(comp), Seq("doc_id"))
+      .select($"component", posexplode($"embedding"))
+      .select($"component", ($"pos" + 1).cast("long").as("dim"),
+        floor($"col".cast("double") * CentroidFp).cast("long").as("fp"))
+      .groupBy($"component", $"dim")
+      .agg(count(lit(1)).as("n_members"), sum($"fp").as("fp_sum"))
+      .orderBy($"component", $"dim")
+  }
+
+  /** Oracle: the q75 closure + 1-based element indexing + the same
+    * floor fixed-point arithmetic (float32 → double is exact in both
+    * engines). */
+  val qClusterCentroidsSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
+                 UNION ALL SELECT d2, d1 FROM surv),
+       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       reach AS (
+         SELECT doc_id, doc_id AS node FROM nodes
+         UNION
+         SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
+       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       fp AS (
+         SELECT c.component, j.dim,
+           CAST(floor(CAST(e.embedding[j.dim] AS DOUBLE) * $CentroidFp) AS BIGINT) AS fp
+         FROM embeddings e
+         JOIN comp c ON c.doc_id = e.vec_id
+         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) j)
+       SELECT component, dim, COUNT(*) AS n_members, SUM(fp) AS fp_sum
+       FROM fp GROUP BY component, dim ORDER BY component, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> qDedupExact,
     "q28_jaccard_neardup" -> qJaccardNearDup,
@@ -830,7 +891,8 @@ object Dedup {
     "q74_dup_span_fraction" -> qDupSpanFraction,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
-    "q80_bloom_decontaminate" -> qBloomDecontaminate)
+    "q80_bloom_decontaminate" -> qBloomDecontaminate,
+    "q85_cluster_centroids" -> qClusterCentroids)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -843,5 +905,6 @@ object Dedup {
     "q74_dup_span_fraction" -> qDupSpanFractionSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
-    "q80_bloom_decontaminate" -> qBloomDecontaminateSql)
+    "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
+    "q85_cluster_centroids" -> qClusterCentroidsSql)
 }

@@ -666,6 +666,72 @@ object TextAnalysis {
        GROUP BY ROLLUP (source, lang)
        ORDER BY COALESCE(source, '<all>'), COALESCE(lang, '<all>')"""
 
+  /** q84 — source-mixture rebalancing toward a QUALITY-WEIGHTED target
+    * (the domain-reweighting step of training-mixture prep: give each
+    * source a share of the final mix proportional to its quality mass,
+    * not its raw volume). rate_s = min(1, target_share/actual_share)
+    * with target_share ∝ Σ quality over the source — below-par sources
+    * get deterministically downsampled (same salted-portable-hash
+    * device as q78; `rand(seed)` reproduces in no second engine, a
+    * hash reproduces in every one). Cross-engine exactness uses the
+    * q85 fixed-point trick: per-doc quality is quantized to an integer
+    * (floor(q·1e6)) BEFORE the per-source sum, so the sum is
+    * commutative/exact (a double sum is summation-order-dependent and
+    * two engines — or two partitionings — disagree in the last ulp);
+    * the rate is then ONE fixed-order double expression over exact
+    * integers. Plan: per-source (cnt, quality-mass) is one tiny
+    * aggregate off the shared quality pass, broadcast back; the keep
+    * decision is a narrow codegen'd filter — the corpus never
+    * shuffles. */
+  def qMixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val q = qualityScores(s, dir)
+      .select($"doc_id", $"source",
+        floor($"quality" * 1000000.0).cast("long").as("qfp"))
+    val perSource = q.groupBy($"source")
+      .agg(count(lit(1)).as("cnt"), sum($"qfp").as("qsum"))
+    // Two tiny scalars off the per-source frame (grand totals); the
+    // corpus is scanned once, by the quality pass above.
+    val (nDocs, qTot) = {
+      val r = perSource.agg(sum($"cnt"), sum($"qsum")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rates = perSource.withColumn("rate",
+      least(lit(1.0),
+        ($"qsum".cast("double") * lit(nDocs)) / (lit(qTot.toDouble) * $"cnt")))
+      .withColumn("thresh", floor($"rate" * 1000000.0).cast("long"))
+      .select($"source", $"thresh")
+    q.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket",
+        expr("graft_polyhash(concat(cast(doc_id as string), ':graftmix'), 131L, 998244353L) % 1000000"))
+      .select($"doc_id", $"source", $"thresh",
+        ($"bucket" < $"thresh").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val qMixtureRebalanceSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftmix', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH qual AS ($qualityScoresSqlCte),
+       qd AS (SELECT q.doc_id, d.source,
+                CAST(floor(q.quality * 1000000.0) AS BIGINT) AS qfp
+              FROM qual q JOIN documents d USING (doc_id)),
+       ps AS (SELECT source, COUNT(*) AS cnt, SUM(qfp) AS qsum FROM qd GROUP BY source),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                      CAST(SUM(qsum) AS BIGINT) AS qtot FROM ps),
+       r AS (SELECT source,
+               CAST(floor(LEAST(1.0,
+                 (CAST(qsum AS DOUBLE) * n_docs) / (CAST(qtot AS DOUBLE) * cnt))
+                 * 1000000.0) AS BIGINT) AS thresh
+             FROM ps, tot)
+       SELECT qd.doc_id, qd.source, r.thresh,
+         ($hash % 1000000) < r.thresh AS kept
+       FROM qd JOIN r USING (source)
+       ORDER BY qd.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -680,7 +746,8 @@ object TextAnalysis {
     "q77_tfidf_topterms" -> qTfIdfTopTerms,
     "q78_quality_sample" -> qQualitySample,
     "q82_shard_order" -> qShardOrder,
-    "q83_source_stats" -> qSourceStats)
+    "q83_source_stats" -> qSourceStats,
+    "q84_mixture_rebalance" -> qMixtureRebalance)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -696,5 +763,6 @@ object TextAnalysis {
     "q77_tfidf_topterms" -> qTfIdfTopTermsSql,
     "q78_quality_sample" -> qQualitySampleSql,
     "q82_shard_order" -> qShardOrderSql,
-    "q83_source_stats" -> qSourceStatsSql)
+    "q83_source_stats" -> qSourceStatsSql,
+    "q84_mixture_rebalance" -> qMixtureRebalanceSql)
 }

@@ -39,6 +39,40 @@ class CanonicalBloomSpec extends SparkSpec {
       "no multi-doc clusters at sf0.001 — fixture drifted, argmax untested")
   }
 
+  test("q85: centroid fixed-point sums replay scalar-side over union-find clusters") {
+    import graft.core.Resources
+    val pairs = Dedup.qMinHashLsh(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    Resources.release()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val emb = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val expected = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)] // (component, dim) -> (n, fpSum)
+    parent.keys.foreach { id =>
+      val comp = find(id)
+      emb(id).zipWithIndex.foreach { case (x, i) =>
+        val fp = math.floor(x.toDouble * 1048576.0).toLong
+        val k = (comp, (i + 1).toLong)
+        val (c0, s0) = expected.getOrElse(k, (0L, 0L))
+        expected(k) = (c0 + 1, s0 + fp)
+      }
+    }
+    val got = Dedup.qClusterCentroids(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    Resources.release()
+    assert(got == expected.toMap)
+    assert(got.nonEmpty, "no clusters at sf0.001 — fixture drifted")
+  }
+
   test("q80: result equals a scalar exact-intersection replay (bloom-independent)") {
     def grams(t: String): Set[Seq[String]] =
       t.trim.split("\\s+").filter(_.nonEmpty).toSeq

@@ -64,6 +64,40 @@ class PackShardSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("q84: quality-weighted rates replay scalar-side; above-par sources keep everything") {
+    val rows = TextAnalysis.qMixtureRebalance(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == docRows.length)
+    // scalar replay: per-doc fixed-point quality -> per-source mass ->
+    // rate -> thresh, mirroring the distributed arithmetic exactly
+    val stop = Set("the", "a", "and", "of", "to", "in", "is")
+    def qfp(t: String): Long = {
+      val words = t.trim.split("\\s+").toSeq // split semantics: "" -> [""]
+      val nw = words.length
+      val stopCnt = words.count(stop)
+      val q = (stopCnt.toDouble / nw) * 0.4 +
+        math.min(1.0, nw.toDouble / 50) * 0.6
+      math.floor(q * 1000000.0).toLong
+    }
+    val docQ = docRows.map(d => (d._1, d._2, qfp(d._3)))
+    val bySource = docQ.groupBy(_._2)
+    val n = docQ.length.toLong
+    val qTot = docQ.map(_._3).sum
+    val thresh = bySource.map { case (src, ds) =>
+      val rate = math.min(1.0,
+        (ds.map(_._3).sum.toDouble * n) / (qTot.toDouble * ds.length))
+      src -> math.floor(rate * 1000000.0).toLong
+    }
+    rows.foreach { case (id, src, th, kept) =>
+      assert(th == thresh(src), s"doc $id thresh $th != ${thresh(src)}")
+      val bucket = graft.core.Hashing.polyFold(s"$id:graftmix", 131, 998244353L) % 1000000L
+      assert(kept == (bucket < th), s"doc $id kept")
+    }
+    // the rebalance must be non-vacuous at sf0.001
+    assert(rows.exists(!_._4), "no doc dropped — quality mass uniform, fixture drifted")
+    assert(thresh.values.exists(_ == 1000000L), "no source at rate 1 — unexpected")
+  }
+
   test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
     val rows = TextAnalysis.qSourceStats(spark, Sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)),
