@@ -464,17 +464,52 @@ object Dedup {
     * corpus never shuffles on gram. Hashing is the portable polyhash,
     * so the rare 31-bit collisions are IDENTICAL in the oracle's
     * replay (both sides join on the same hash). */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** The shared (doc_id, source, h) 4-gram-hash frame q68/q80/the
+    * streaming gate's bloom all derive from. */
+  private def gramFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val gramExpr = (0 until DecontamN).map(k => s"element_at(words, i+$k)").mkString(", ")
-    val grams = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
       .filter(size($"words") >= DecontamN)
       .select($"doc_id", $"source", explode(expr(
         s"transform(sequence(1, size(words) - ${DecontamN - 1}), i -> concat_ws(' ', $gramExpr))"))
         .as("gram"))
       .withColumn("h", expr(polyHashExpr("gram", 31, PolyMod1)))
+  }
+
+  /** Scalar form of [[gramFrame]]'s per-doc hashes for per-row
+    * contexts (the streaming contamination gate): identical whitespace
+    * split + 4-gram polyhash. */
+  private[graft] def gramHashes(text: String): Array[Long] = {
+    val words = text.trim.split("\\s+")
+    if (words.length < DecontamN) return Array.empty
+    val out = new Array[Long](words.length - DecontamN + 1)
+    var i = 0
+    while (i < out.length) {
+      var gram = words(i)
+      var k = 1
+      while (k < DecontamN) { gram = gram + " " + words(i + k); k += 1 }
+      out(i) = graft.core.Hashing.polyFold(gram, 31, PolyMod1)
+      i += 1
+    }
+    out
+  }
+
+  /** Benchmark gram Bloom filter (the q80 gate object) for callers
+    * that need it standalone — the streaming contamination gate ships
+    * THIS to the stream instead of the exact gram set. */
+  private[graft] def benchmarkBloom(s: SparkSession, dir: String, benchSource: String,
+                                    fpp: Double = BloomFpp): org.apache.spark.util.sketch.BloomFilter = {
+    import s.implicits._
+    val bench = gramFrame(s, dir).filter($"source" === benchSource).select($"h").distinct()
+    bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
+  }
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = gramFrame(s, dir)
     val bench = grams.filter($"source" === "src19").select($"h").distinct()
     val train = grams.filter($"source" =!= "src19").select($"doc_id", $"h").distinct()
     train.join(broadcast(bench), Seq("h"))
@@ -776,15 +811,7 @@ object Dedup {
   def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.core.Resources
-    graft.expr.VectorExpressions.register(s)
-    val gramExpr = (0 until DecontamN).map(k => s"element_at(words, i+$k)").mkString(", ")
-    val grams = Tables.documents(s, dir)
-      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
-      .filter(size($"words") >= DecontamN)
-      .select($"doc_id", $"source", explode(expr(
-        s"transform(sequence(1, size(words) - ${DecontamN - 1}), i -> concat_ws(' ', $gramExpr))"))
-        .as("gram"))
-      .withColumn("h", expr(polyHashExpr("gram", 31, PolyMod1)))
+    val grams = gramFrame(s, dir)
     val bench = Resources.persist(grams.filter($"source" === "src18").select($"h").distinct())
     // Benchmark sets are small, so an exact count for sizing is one
     // tiny job; the sketch itself is built distributed (treeAggregate

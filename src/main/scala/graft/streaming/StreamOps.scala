@@ -149,6 +149,45 @@ object StreamOps {
     }
   }
 
+  final case class ContamGateVerdict(doc_id: Long, n_grams: Int,
+                                     flagged_grams: Int, flagged: Boolean)
+
+  /** Streaming contamination gate — the online pre-filter half of q80:
+    * each arriving doc's 4-gram hashes probe the broadcast benchmark
+    * BLOOM FILTER (~1 byte/gram at 3% fpp — small enough to ship to a
+    * long-running stream where the exact multi-GB gram set is not).
+    * Verdict semantics are the Bloom's, stated honestly:
+    * `flagged = false` is EXACT (Bloom has no false negatives — a
+    * clean verdict is final and the doc is admitted); `flagged = true`
+    * is probabilistic and routes the doc to the exact batch verify
+    * (q80's join) before quarantine. fpp SIZING DIFFERS FROM q80: the
+    * batch query pays fpp per GRAM (a 3% trickle into the verify join
+    * — cheap), but a doc-level gate false-alarms when ANY gram hits,
+    * ≈ n_grams·fpp per doc — 3% would falsely flag most long docs.
+    * Gate deployments size fpp ≈ target_doc_fpp / typical_grams
+    * (1e-5 here → ~3 bytes/gram, still orders under the exact set).
+    * Stateless per row, append mode. Build the filter with
+    * [[graft.dedup.Dedup.benchmarkBloom]]; the broadcast lifetime
+    * belongs to the caller (same contract as [[nearDupGate]] — the
+    * per-query Resources registry must not destroy it mid-stream). */
+  def contaminationGate(incoming: Dataset[IngestDoc],
+                        bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Dataset[ContamGateVerdict] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(bloom)
+    incoming.map { doc =>
+      val hs = graft.dedup.Dedup.gramHashes(doc.text)
+      var hits = 0
+      var k = 0
+      while (k < hs.length) {
+        if (bc.value.mightContainLong(hs(k))) hits += 1
+        k += 1
+      }
+      ContamGateVerdict(doc.doc_id, hs.length, hits, hits > 0)
+    }
+  }
+
   final case class HighWater(channel: String, max_publish: Timestamp)
 
   /** Custom keyed state via mapGroupsWithState: the per-channel

@@ -154,4 +154,42 @@ class StreamSpec extends SparkSpec {
       s"fresh doc verdict ${got(100001L)} != independent ($expId, $expHam)")
     assert(expHam > 0, "fresh text unexpectedly collides with a lake signature")
   }
+
+  test("contaminationGate: flags every exactly-contaminated doc (no false negatives)") {
+    implicit val ctx = spark.sqlContext
+    // gate fpp sized for doc-level gating (see scaladoc): 1e-5
+    val bloom = graft.dedup.Dedup.benchmarkBloom(spark, Sf0001, "src18", fpp = 1e-5)
+    val exact = graft.dedup.Dedup.qBloomDecontaminate(spark, Sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.core.Resources.release()
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .filter($"source" =!= "src18")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[StreamOps.IngestDoc]
+    val q = StreamOps.contaminationGate(ms.toDS(), bloom)
+      .writeStream.format("memory").queryName("contamgate").outputMode("append").start()
+    ms.addData(docs.map { case (id, t) => StreamOps.IngestDoc(id, t) }.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("contamgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_grams"), r.getAs[Int]("flagged_grams"),
+          r.getAs[Boolean]("flagged")))).toMap
+    q.stop()
+    assert(got.size == docs.length)
+    // no false negatives: the bloom may only ADD flags over the exact set
+    exact.foreach { id =>
+      assert(got(id)._3, s"doc $id exactly contaminated but gate passed it")
+    }
+    assert(exact.nonEmpty, "no contaminated docs at sf0.001 — fixture drifted")
+    // false alarms bounded: at fpp 1e-5 and ~60 grams/doc the expected
+    // FP count over 475 docs is << 1 (deterministic given the fixed
+    // bloom seed, so this is a stable bound, not a flaky one)
+    val flagged = got.filter(_._2._3).keySet
+    assert((flagged -- exact).size <= 2,
+      s"gate false alarms: ${(flagged -- exact).size}")
+    // n_grams is the scalar gram count
+    docs.foreach { case (id, t) =>
+      assert(got(id)._1 == graft.dedup.Dedup.gramHashes(t).length, s"doc $id n_grams")
+    }
+  }
 }
