@@ -732,6 +732,80 @@ object TextAnalysis {
        ORDER BY qd.doc_id"""
   }
 
+  /** Per-source contribution cap for q86 — a semantic constant of the
+    * query (the per-domain document budget), mirrored in the oracle. */
+  private val SourceCap = 20
+
+  /** q86 — per-source contribution cap, the hard ceiling curation rule
+    * (no single domain may contribute more than K docs — the C4-style
+    * guard against one crawl swamping the mixture; q84's rates reshape
+    * proportions, this clips tails). Selection is hash-ranked so it is
+    * deterministic AND unbiased by ingest order: rank docs per source
+    * by the salted portable hash, keep the first K. Executed plan: one
+    * narrow (doc_id, source, key) shuffle + per-source rank window —
+    * text never moves. At 100 TB group sizes far above K make the
+    * full-sort window wasteful; the scale rewrite is two-phase top-K
+    * (per-partition K-smallest, then merge — same result, bounded
+    * memory), worth it only when K ≪ group size. */
+  def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        expr("graft_polyhash(concat(cast(doc_id as string), ':graftcap'), 131L, 998244353L)")
+          .as("cap_key"))
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"cap_key", $"doc_id")))
+      .select($"doc_id", $"source", $"cap_rank",
+        ($"cap_rank" <= SourceCap).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val qSourceCapSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftcap', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH k AS (SELECT doc_id, source, $hash AS cap_key FROM documents)
+       SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY cap_key, doc_id) AS INT) AS cap_rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY cap_key, doc_id) AS INT) <= $SourceCap AS kept
+       FROM k ORDER BY doc_id"""
+  }
+
+  /** q87 — per-source token-length quantiles (p10/p50/p90), the length
+    * distribution slice of a dataset report (truncation budgets, outlier
+    * thresholds). EXACT percentile with linear interpolation — both
+    * engines define quantiles as value at index (n−1)·p with linear
+    * interpolation over the sorted group, and the interpolation
+    * arithmetic over exact integers is fixed-order IEEE, so the doubles
+    * cross engines bit-exactly. Exact percentile sorts each group; at
+    * 100 TB the drop-in scale substitute is `approx_percentile`
+    * (t-digest, no group sort) — kept out of the oracled path because
+    * sketch results are engine-specific by nature. */
+  def qLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("tok", wordCount($"text").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(tok, 0.1)").as("p10"),
+        expr("percentile(tok, 0.5)").as("p50"),
+        expr("percentile(tok, 0.9)").as("p90"))
+      .orderBy($"source")
+  }
+
+  val qLengthQuantilesSql: String =
+    """WITH t AS (
+         SELECT source,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+         FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+         quantile_cont(tok, 0.1) AS p10,
+         quantile_cont(tok, 0.5) AS p50,
+         quantile_cont(tok, 0.9) AS p90
+       FROM t GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -747,7 +821,9 @@ object TextAnalysis {
     "q78_quality_sample" -> qQualitySample,
     "q82_shard_order" -> qShardOrder,
     "q83_source_stats" -> qSourceStats,
-    "q84_mixture_rebalance" -> qMixtureRebalance)
+    "q84_mixture_rebalance" -> qMixtureRebalance,
+    "q86_source_cap" -> qSourceCap,
+    "q87_length_quantiles" -> qLengthQuantiles)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -764,5 +840,7 @@ object TextAnalysis {
     "q78_quality_sample" -> qQualitySampleSql,
     "q82_shard_order" -> qShardOrderSql,
     "q83_source_stats" -> qSourceStatsSql,
-    "q84_mixture_rebalance" -> qMixtureRebalanceSql)
+    "q84_mixture_rebalance" -> qMixtureRebalanceSql,
+    "q86_source_cap" -> qSourceCapSql,
+    "q87_length_quantiles" -> qLengthQuantilesSql)
 }

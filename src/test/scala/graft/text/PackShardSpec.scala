@@ -98,6 +98,45 @@ class PackShardSpec extends SparkSpec {
     assert(thresh.values.exists(_ == 1000000L), "no source at rate 1 — unexpected")
   }
 
+  test("q86: cap keeps exactly the K hash-smallest docs per source") {
+    val rows = TextAnalysis.qSourceCap(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length == docRows.length)
+    rows.groupBy(_._2).foreach { case (src, ms) =>
+      // rank = position in the (hash, id) order, replayed scalar-side
+      val keyed = ms.map { m =>
+        (m._1, graft.core.Hashing.polyFold(s"${m._1}:graftcap", 131, 998244353L))
+      }.sortBy { case (id, k) => (k, id) }
+      val expectRank = keyed.zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      ms.foreach { case (id, _, rank, kept) =>
+        assert(rank == expectRank(id), s"doc $id rank")
+        assert(kept == (rank <= 20), s"doc $id kept")
+      }
+      assert(ms.count(_._4) == math.min(20, ms.length), s"$src kept count")
+    }
+    assert(rows.exists(!_._4), "cap never binds at sf0.001 — fixture drifted")
+  }
+
+  test("q87: quantiles replay the (n-1)p linear interpolation scalar-side") {
+    val rows = TextAnalysis.qLengthQuantiles(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def q(sorted: IndexedSeq[Long], p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    docRows.groupBy(_._2).foreach { case (src, ds) =>
+      val toks = ds.map(d => tok(d._3)).sorted.toIndexedSeq
+      val (n, p10, p50, p90) = rows(src)
+      assert(n == ds.length)
+      assert(p10 == q(toks, 0.1), s"$src p10")
+      assert(p50 == q(toks, 0.5), s"$src p50")
+      assert(p90 == q(toks, 0.9), s"$src p90")
+    }
+  }
+
   test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
     val rows = TextAnalysis.qSourceStats(spark, Sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)),
