@@ -155,13 +155,52 @@ object RoundTrips {
        FROM documents WHERE source = 'src3' GROUP BY source
        ORDER BY source"""
 
+  /** q88 — the training-shard WRITE shape q82's scaladoc promises,
+    * executed for real: the (doc_id, order_key, shard) frame is
+    * `repartition(shard)` + `sortWithinPartitions(shard, order_key,
+    * doc_id)` + `partitionBy(shard)` parquet — one shuffle, shard
+    * files laid down in training order — then read back through a
+    * real partition-discovering scan and re-aggregated per shard. The
+    * oracle replays the shard routing and key sums from `documents`
+    * directly, so a doc landing in the wrong shard directory (or
+    * dropped/duplicated by the write) breaks the hash. The WITHIN-file
+    * ordering is pinned by the PackShardSpec layout test (order is a
+    * physical property a content oracle can't see). */
+  def qShardWriteRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_shard_lake_").toString
+    val keyed = graft.text.TextAnalysis.shardKeys(s, dir)
+    keyed.repartition(graft.text.TextAnalysis.numShards, $"shard")
+      .sortWithinPartitions($"shard", $"order_key", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(lake)
+    s.read.parquet(lake)
+      .groupBy($"shard".cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"order_key").as("key_sum"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"shard")
+  }
+
+  val qShardWriteRoundTripSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftorder', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH k AS (SELECT doc_id, $hash AS order_key FROM documents)
+       SELECT CAST(order_key % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+         CAST(SUM(order_key) AS BIGINT) AS key_sum,
+         CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       FROM k GROUP BY 1 ORDER BY shard"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
-    "q65_replace_partition_lake" -> qReplacePartitionLake)
+    "q65_replace_partition_lake" -> qReplacePartitionLake,
+    "q88_shard_write_roundtrip" -> qShardWriteRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
-    "q65_replace_partition_lake" -> qReplacePartitionLakeSql)
+    "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
+    "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql)
 }

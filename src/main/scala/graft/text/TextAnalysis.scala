@@ -604,7 +604,9 @@ object TextAnalysis {
     * `repartition + sortWithinPartitions` pass keyed the same way.
     * Complements q70 (which buckets docs into SPLITS — membership;
     * this produces the within-split ORDER). */
-  def qShardOrder(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, order_key, shard) frame q82 ranks and q88 physically
+    * writes — one narrow projection, no shuffle. */
+  private[graft] def shardKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     Tables.documents(s, dir)
@@ -612,6 +614,13 @@ object TextAnalysis {
         expr("graft_polyhash(concat(cast(doc_id as string), ':graftorder'), 131L, 998244353L)")
           .as("order_key"))
       .withColumn("shard", ($"order_key" % NumShards).cast("int"))
+  }
+
+  private[graft] def numShards: Int = NumShards
+
+  def qShardOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shardKeys(s, dir)
       .withColumn("pos", row_number().over(
         Window.partitionBy($"shard").orderBy($"order_key", $"doc_id")))
       .select($"doc_id", $"shard", $"order_key", $"pos")

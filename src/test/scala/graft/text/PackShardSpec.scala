@@ -137,6 +137,33 @@ class PackShardSpec extends SparkSpec {
     }
   }
 
+  test("q88 write shape: every shard file is laid down in training order") {
+    import org.apache.spark.sql.functions.input_file_name
+    val lake = graft.sink.TempDirs.fresh("graft_shard_spec_").toString
+    val keyed = TextAnalysis.shardKeys(spark, Sf0001)
+    keyed.repartition(TextAnalysis.numShards, $"shard")
+      .sortWithinPartitions($"shard", $"order_key", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(lake)
+    val back = spark.read.parquet(lake)
+      .select(input_file_name().as("f"), $"shard".cast("int").as("shard"),
+        $"order_key", $"doc_id")
+      .collect()
+    assert(back.length == docRows.length)
+    assert(back.map(_.getInt(1)).distinct.sorted.toSeq == (0 until TextAnalysis.numShards),
+      "shard directories missing or extra")
+    // parquet preserves within-file row order on read; the writer must
+    // have laid each file down sorted by (order_key, doc_id) — this is
+    // the physical property the q88 content oracle cannot see
+    back.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      val keys = rows.map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(keys == keys.sorted, s"file $f not in training order")
+    }
+    // a file only holds its directory's shard
+    back.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      assert(rows.map(_.getInt(1)).distinct.length == 1, s"file $f mixes shards")
+    }
+  }
+
   test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
     val rows = TextAnalysis.qSourceStats(spark, Sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)),
