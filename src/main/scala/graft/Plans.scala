@@ -49,7 +49,9 @@ object Plans {
         |bounded by one tile; in the default lazy-union mode executor-side
         |broadcast residency still spans all tiles until the action ends, so
         |at cluster scale pass eagerTiles=true (per-tile jobs, one broadcast
-        |resident, BlockedSpec pins equality) —
+        |resident, BlockedSpec pins equality; trades executor-loss recovery
+        |for residency — a cluster needing recovery uses a reliable
+        |checkpoint dir instead, see Blocked's scaladoc) —
         |each broadcast and probed by the distributed signature set with a
         |primitive Long.bitCount loop. Measured choice over the banded join:
         |this data's signatures cluster (shared vocabulary), so banding emits
@@ -67,8 +69,9 @@ object Plans {
         |then Blocked.tiledPairScan — ≤8 K-vector tiles broadcast one at a
         |time, fused multiply-add kernel per partition, DRIVER memory bounded
         |by one tile (lazy-union mode keeps all tile broadcasts resident on
-        |executors until the action ends; eagerTiles=true is the cluster
-        |shape — one tile resident, per-tile jobs). 36.7 s (r1
+        |executors until the action ends; eagerTiles=true bounds residency to
+        |one tile at the cost of executor-loss recovery — Blocked's scaladoc
+        |spells out the trade and the reliable-checkpoint variant). 36.7 s (r1
         |BroadcastNestedLoopJoin + interpreted HOF dot) → ~1 s measured at
         |sf0.1. Approximate recall belongs to q29/q33.""".stripMargin,
     "q66_lsh_verified" ->

@@ -21,12 +21,22 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   *    caller's single action completes, so concurrent broadcast
   *    residency is O(total block side) — fine on a shared heap, NOT
   *    the bound to quote at cluster scale.
-  *  - `eagerTiles = true` (the cluster shape): each tile runs as its
-  *    OWN job — probe results are materialized to executor storage
-  *    (`localCheckpoint`) and the tile's broadcast is destroyed before
-  *    the next tile is collected. Concurrent broadcast residency is
-  *    exactly one tile; what accumulates is only the (small) pair
-  *    output. BlockedSpec pins result-equality of the two modes.
+  *  - `eagerTiles = true`: each tile runs as its OWN job — probe
+  *    results are materialized to executor storage (`localCheckpoint`)
+  *    and the tile's broadcast is destroyed before the next tile is
+  *    collected. Concurrent broadcast residency is exactly one tile;
+  *    what accumulates is only the (small) pair output. BlockedSpec
+  *    pins result-equality of the two modes. FAULT-TOLERANCE TRADE:
+  *    localCheckpoint truncates lineage AND the broadcast needed to
+  *    recompute is already destroyed, so losing an executor that held
+  *    checkpointed tile partitions fails the action non-retryably
+  *    (Spark documents localCheckpoint as unsafe under dynamic
+  *    allocation for the same reason). A cluster deployment that needs
+  *    recovery swaps the localCheckpoint for a RELIABLE checkpoint
+  *    (`sparkContext.setCheckpointDir` + `Dataset.checkpoint`) — same
+  *    residency bound, the tile output survives executor loss; the
+  *    lazy mode also recovers fine, at the cost of full broadcast
+  *    residency.
   *
   * Lazy-mode blocks are registered via [[Resources]] so the harness
   * reclaims them after the action; eager-mode blocks are destroyed
@@ -89,7 +99,7 @@ object Blocked {
         // Separate job per tile: materialize this tile's pairs to
         // executor storage NOW, then drop the block before the next
         // tile ships — concurrent broadcast residency is one tile.
-        val done = Resources.track(probed.localCheckpoint(eager = true))
+        val done = Resources.checkpoint(probed)
         try bc.destroy() catch { case _: Throwable => () }
         done
       } else probed

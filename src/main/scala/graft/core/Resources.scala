@@ -54,11 +54,36 @@ object Resources {
     ds
   }
 
-  /** Register an already-materialized dataset (e.g. a localCheckpoint)
-    * for unpersist at [[release]] without re-persisting it. */
+  /** Register an already-materialized dataset for unpersist at
+    * [[release]] without re-persisting it. NOTE: this only frees
+    * storage the CacheManager knows about — a `localCheckpoint`'s
+    * blocks belong to an internal RDD the CacheManager never sees, so
+    * `Dataset.unpersist` silently no-ops on them; checkpoint through
+    * [[checkpoint]] instead, which tracks the underlying RDD ids. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
     cached.get() += ds
     ds
+  }
+
+  private val checkpointRdds = ThreadLocal.withInitial[ArrayBuffer[(SparkSession, Int)]](
+    () => ArrayBuffer.empty)
+
+  /** Eager `localCheckpoint` + registration of the checkpoint's
+    * PERSISTENT RDD ids so [[release]] can actually free the blocks
+    * (`Dataset.unpersist` cannot — the storage belongs to an internal
+    * RDD with no CacheManager entry). Ids are attributed by a
+    * before/after diff of `sparkContext.getPersistentRDDs`, which is
+    * exact under the registry's per-thread sequential contract
+    * (checkpoint jobs run eagerly on the calling thread); a FOREIGN
+    * thread persisting concurrently could be mis-attributed, the same
+    * interleaving the class doc already rules out. */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val s = ds.sparkSession
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val out = ds.localCheckpoint(eager = true)
+    val added = s.sparkContext.getPersistentRDDs.keySet -- before
+    checkpointRdds.get() ++= added.map(id => (s, id))
+    out
   }
 
   /** Destroy every broadcast and unpersist every dataset registered BY
@@ -73,5 +98,11 @@ object Resources {
     val dss = cached.get()
     dss.foreach { ds => try ds.unpersist(blocking = false) catch { case _: Throwable => () } }
     dss.clear()
+    val rdds = checkpointRdds.get()
+    rdds.foreach { case (s, id) =>
+      try s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    rdds.clear()
   }
 }

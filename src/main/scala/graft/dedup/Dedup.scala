@@ -386,16 +386,16 @@ object Dedup {
     // 2-round run at sf0.1). Checkpointing truncates lineage to the
     // materialized RDD: O(1) plan per round, one tiny job per step —
     // the standard discipline for iterative algorithms on Spark.
-    val edges = Resources.track(
-      p.union(p.select($"d2", $"d1")).toDF("src", "dst")
-        .localCheckpoint(eager = true))
+    // Resources.checkpoint (not bare localCheckpoint) so release()
+    // can free the checkpoint blocks, which Dataset.unpersist cannot.
+    val edges = Resources.checkpoint(
+      p.union(p.select($"d2", $"d1")).toDF("src", "dst"))
     def labelSum(df: DataFrame): Long = {
       val v = df.agg(sum($"label")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
-    var labels = Resources.track(
-      edges.select($"src".as("doc_id")).distinct().withColumn("label", $"doc_id")
-        .localCheckpoint(eager = true))
+    var labels = Resources.checkpoint(
+      edges.select($"src".as("doc_id")).distinct().withColumn("label", $"doc_id"))
     var total = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -405,10 +405,9 @@ object Dedup {
         "connectedComponents: label propagation did not converge in 64 rounds")
       val msgs = labels.join(edges, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"label")
-      val next = Resources.track(
+      val next = Resources.checkpoint(
         labels.select($"doc_id", $"label").union(msgs)
-          .groupBy($"doc_id").agg(min($"label").as("label"))
-          .localCheckpoint(eager = true)) // materialized here — lineage ends
+          .groupBy($"doc_id").agg(min($"label").as("label"))) // materialized here — lineage ends
       val nextTotal = labelSum(next)
       converged = nextTotal == total
       total = nextTotal
@@ -427,20 +426,25 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: transitive closure by recursive CTE over the same
-    * survivor edges — component = MIN reachable node (reachability is
-    * symmetric because edges are doubled). Closure size is
-    * Σ component², fine at oracle SF where clusters are small. */
-  val qDupClustersSql: String =
-    s"""WITH RECURSIVE $lshCandidateCtes,
-       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
+  /** Transitive-closure CTE block over the `surv` LSH pair set (the
+    * q75/q79/q85 oracles all open with `WITH RECURSIVE
+    * $lshCandidateCtes, $closureCtes`): component = MIN reachable node
+    * (reachability is symmetric because edges are doubled). Closure
+    * size is Σ component², fine at oracle SF where clusters are
+    * small. ONE definition so the three oracles cannot drift. */
+  private def closureCtes: String =
+    """edges AS (SELECT d1 AS src, d2 AS dst FROM surv
                  UNION ALL SELECT d2, d1 FROM surv),
        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
        reach AS (
          SELECT doc_id, doc_id AS node FROM nodes
          UNION
          SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
-       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id)"""
+
+  val qDupClustersSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       $closureCtes,
        sz AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
        SELECT c.doc_id, c.component, s.csize, c.doc_id = c.component AS kept
        FROM comp c JOIN sz s USING (component) ORDER BY c.doc_id"""
@@ -503,8 +507,13 @@ object Dedup {
   private[graft] def benchmarkBloom(s: SparkSession, dir: String, benchSource: String,
                                     fpp: Double = BloomFpp): org.apache.spark.util.sketch.BloomFilter = {
     import s.implicits._
+    // Persisted around the count()+bloomFilter() action pair (the gram
+    // pipeline would otherwise run twice), and released HERE: unlike a
+    // query's lazy frames, both consumers complete inside this call.
     val bench = gramFrame(s, dir).filter($"source" === benchSource).select($"h").distinct()
-    bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
+    bench.persist()
+    try bench.stat.bloomFilter("h", math.max(bench.count(), 1L), fpp)
+    finally bench.unpersist(blocking = false)
   }
 
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -768,14 +777,7 @@ object Dedup {
     * quality CTE + the same winner window. */
   val qClusterCanonicalSql: String =
     s"""WITH RECURSIVE $lshCandidateCtes,
-       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
-                 UNION ALL SELECT d2, d1 FROM surv),
-       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-       reach AS (
-         SELECT doc_id, doc_id AS node FROM nodes
-         UNION
-         SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
-       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       $closureCtes,
        qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
        lab AS (
          SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
@@ -890,14 +892,7 @@ object Dedup {
     * engines). */
   val qClusterCentroidsSql: String =
     s"""WITH RECURSIVE $lshCandidateCtes,
-       edges AS (SELECT d1 AS src, d2 AS dst FROM surv
-                 UNION ALL SELECT d2, d1 FROM surv),
-       nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-       reach AS (
-         SELECT doc_id, doc_id AS node FROM nodes
-         UNION
-         SELECT r.doc_id, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node),
-       comp AS (SELECT doc_id, MIN(node) AS component FROM reach GROUP BY doc_id),
+       $closureCtes,
        fp AS (
          SELECT c.component, j.dim,
            CAST(floor(CAST(e.embedding[j.dim] AS DOUBLE) * $CentroidFp) AS BIGINT) AS fp

@@ -186,7 +186,7 @@ object RoundTrips {
         list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftorder', ''), c -> CAST(ascii(c) AS BIGINT))),
         (acc, x) -> (acc*131 + x) % 998244353)"""
     s"""WITH k AS (SELECT doc_id, $hash AS order_key FROM documents)
-       SELECT CAST(order_key % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+       SELECT CAST(order_key % ${graft.text.TextAnalysis.numShards} AS INT) AS shard, COUNT(*) AS n_docs,
          CAST(SUM(order_key) AS BIGINT) AS key_sum,
          CAST(SUM(doc_id) AS BIGINT) AS id_sum
        FROM k GROUP BY 1 ORDER BY shard"""

@@ -23,7 +23,11 @@ import scala.jdk.CollectionConverters._
   */
 object TempDirs {
   private val dirs = new ConcurrentLinkedQueue[Path]()
-  private val latestByPrefix = new ConcurrentHashMap[String, Path]()
+  // Keyed per (thread, prefix), matching Resources' per-thread
+  // registry scope: under concurrent harnesses (each thread doing its
+  // own build→run→release), one thread's fresh() must never reclaim a
+  // dir another thread's still-running query reads.
+  private val latestByPrefix = new ConcurrentHashMap[(Long, String), Path]()
 
   private def deleteTree(p: Path): Unit =
     try {
@@ -44,7 +48,7 @@ object TempDirs {
   def fresh(prefix: String): Path = {
     val p = Files.createTempDirectory(prefix)
     dirs.add(p)
-    val prev = latestByPrefix.put(prefix, p)
+    val prev = latestByPrefix.put((Thread.currentThread().getId, prefix), p)
     if (prev != null) { dirs.remove(prev); deleteTree(prev) }
     p
   }

@@ -167,21 +167,25 @@ object StreamOps {
     * Gate deployments size fpp ≈ target_doc_fpp / typical_grams
     * (1e-5 here → ~3 bytes/gram, still orders under the exact set).
     * Stateless per row, append mode. Build the filter with
-    * [[graft.dedup.Dedup.benchmarkBloom]]; the broadcast lifetime
-    * belongs to the caller (same contract as [[nearDupGate]] — the
-    * per-query Resources registry must not destroy it mid-stream). */
+    * [[graft.dedup.Dedup.benchmarkBloom]]. The caller CREATES the
+    * broadcast and owns its lifetime (destroy after `query.stop()`) —
+    * taking a `Broadcast` rather than the filter keeps that contract
+    * honest: a broadcast allocated inside this function would be
+    * unreachable from the caller and leak per gate instance, and the
+    * per-query Resources registry must not hold it either (a harness
+    * release mid-stream would destroy it under a running query). */
   def contaminationGate(incoming: Dataset[IngestDoc],
-                        bloom: org.apache.spark.util.sketch.BloomFilter)
+                        bloom: org.apache.spark.broadcast.Broadcast[
+                          org.apache.spark.util.sketch.BloomFilter])
       : Dataset[ContamGateVerdict] = {
     val s = incoming.sparkSession
     import s.implicits._
-    val bc = s.sparkContext.broadcast(bloom)
     incoming.map { doc =>
       val hs = graft.dedup.Dedup.gramHashes(doc.text)
       var hits = 0
       var k = 0
       while (k < hs.length) {
-        if (bc.value.mightContainLong(hs(k))) hits += 1
+        if (bloom.value.mightContainLong(hs(k))) hits += 1
         k += 1
       }
       ContamGateVerdict(doc.doc_id, hs.length, hits, hits > 0)

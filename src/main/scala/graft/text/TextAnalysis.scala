@@ -694,14 +694,19 @@ object TextAnalysis {
     * shuffles. */
   def qMixtureRebalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.core.Resources
     graft.expr.VectorExpressions.register(s)
-    val q = qualityScores(s, dir)
+    // Persisted: three plan branches read this frame (the grand-total
+    // first(), the rates side, and the corpus join side), and Spark
+    // dedups exchanges, not FileSourceScans — without the persist the
+    // text pass runs three times.
+    val q = Resources.persist(qualityScores(s, dir)
       .select($"doc_id", $"source",
-        floor($"quality" * 1000000.0).cast("long").as("qfp"))
+        floor($"quality" * 1000000.0).cast("long").as("qfp")))
     val perSource = q.groupBy($"source")
       .agg(count(lit(1)).as("cnt"), sum($"qfp").as("qsum"))
     // Two tiny scalars off the per-source frame (grand totals); the
-    // corpus is scanned once, by the quality pass above.
+    // corpus text is scanned once, materializing the cache.
     val (nDocs, qTot) = {
       val r = perSource.agg(sum($"cnt"), sum($"qsum")).first()
       (r.getLong(0), r.getLong(1))

@@ -273,8 +273,13 @@ object Similarity {
     * SimilaritySpec pins the subset property and the recall floor. */
   def qSrpLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.core.Resources
     graft.expr.VectorExpressions.register(s)
-    val vecs = prepped(s, dir)
+    // Persisted: the (vec, norm) pass feeds three plan branches (the
+    // signature build and BOTH verify-join sides) and Spark dedups
+    // exchanges, not scans — unpersisted, the embeddings parquet +
+    // float→double+norm map would run three times.
+    val vecs = Resources.persist(prepped(s, dir))
     val sigs = vecs.map(v => (v.id, srpSig(v.v))).toDF("doc_id", "srp")
     val banded = sigs.select($"doc_id", explode(expr(
         s"""transform(sequence(0, ${SrpBits / SrpBandBits - 1}), b ->

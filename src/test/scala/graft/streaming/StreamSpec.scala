@@ -157,8 +157,10 @@ class StreamSpec extends SparkSpec {
 
   test("contaminationGate: flags every exactly-contaminated doc (no false negatives)") {
     implicit val ctx = spark.sqlContext
-    // gate fpp sized for doc-level gating (see scaladoc): 1e-5
-    val bloom = graft.dedup.Dedup.benchmarkBloom(spark, Sf0001, "src18", fpp = 1e-5)
+    // gate fpp sized for doc-level gating (see scaladoc): 1e-5;
+    // caller-owned broadcast, destroyed after the stream stops
+    val bloom = spark.sparkContext.broadcast(
+      graft.dedup.Dedup.benchmarkBloom(spark, Sf0001, "src18", fpp = 1e-5))
     val exact = graft.dedup.Dedup.qBloomDecontaminate(spark, Sf0001)
       .select($"doc_id").as[Long].collect().toSet
     graft.core.Resources.release()
@@ -175,6 +177,7 @@ class StreamSpec extends SparkSpec {
         ((r.getAs[Int]("n_grams"), r.getAs[Int]("flagged_grams"),
           r.getAs[Boolean]("flagged")))).toMap
     q.stop()
+    bloom.destroy()
     assert(got.size == docs.length)
     // no false negatives: the bloom may only ADD flags over the exact set
     exact.foreach { id =>
