@@ -469,18 +469,19 @@ object Dedup {
     * so the rare 31-bit collisions are IDENTICAL in the oracle's
     * replay (both sides join on the same hash). */
   /** The shared (doc_id, source, h) 4-gram-hash frame q68/q80/the
-    * streaming gate's bloom all derive from. */
+    * streaming gate's bloom all derive from. Fused
+    * `graft_shingle_hashes` (value-identical to hashing the
+    * `concat_ws(' ', …)` gram string, spec-pinned): gram hashes come
+    * straight off the word array — no gram STRING is ever allocated,
+    * the same win the q29 signature path measured. */
   private def gramFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
-    val gramExpr = (0 until DecontamN).map(k => s"element_at(words, i+$k)").mkString(", ")
     Tables.documents(s, dir)
       .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
       .filter(size($"words") >= DecontamN)
-      .select($"doc_id", $"source", explode(expr(
-        s"transform(sequence(1, size(words) - ${DecontamN - 1}), i -> concat_ws(' ', $gramExpr))"))
-        .as("gram"))
-      .withColumn("h", expr(polyHashExpr("gram", 31, PolyMod1)))
+      .select($"doc_id", $"source",
+        explode(expr(s"graft_shingle_hashes(words, $DecontamN, 31L, ${PolyMod1}L)")).as("h"))
   }
 
   /** Scalar form of [[gramFrame]]'s per-doc hashes for per-row
@@ -559,14 +560,14 @@ object Dedup {
   def qDupSpanFraction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
-    val gramExpr = (0 until SpanN).map(k => s"element_at(words, i+$k)").mkString(", ")
+    // Fused gram hashing (see gramFrame): hashes straight off the word
+    // array, no gram strings, value-identical to the oracle's
+    // string-fold replay.
     val grams = Tables.documents(s, dir)
       .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
       .filter(size($"words") >= SpanN)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(words) - ${SpanN - 1}), i -> concat_ws(' ', $gramExpr))"))
-        .as("gram"))
-      .select($"doc_id", expr(polyHashExpr("gram", 31, PolyMod1)).as("h"))
+      .select($"doc_id",
+        explode(expr(s"graft_shingle_hashes(words, $SpanN, 31L, ${PolyMod1}L)")).as("h"))
       .distinct()
     val byHash = grams.groupBy($"h").agg(count(lit(1)).as("n_docs"))
     grams.join(byHash, Seq("h"))
