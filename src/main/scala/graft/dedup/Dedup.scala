@@ -903,6 +903,75 @@ object Dedup {
        SELECT component, dim, COUNT(*) AS n_members, SUM(fp) AS fp_sum
        FROM fp GROUP BY component, dim ORDER BY component, dim"""
 
+  /** q89 — cluster medoid/diversity ranking: order each near-dup
+    * cluster's members by distance to the cluster centroid (rank 1 =
+    * most central = the medoid-style representative; the tail = the
+    * diversity picks — both selection rules a cluster-level curation
+    * step needs). Exactness device: comparing to the MEAN needs a
+    * division, so compare n²·‖x − μ‖² = Σ_d (n·fp_d − Σfp_d)²
+    * instead — every term an integer on q85's fixed-point values, so
+    * the distance is EXACT and engine/order-independent, and the
+    * per-doc fold runs inside one row-level HOF (no float
+    * aggregation anywhere). Overflow bound: |n·fp| ≤ n·2^20·|x|max,
+    * so dims·(2·n·2^20·|x|max)² < 2^63 holds for n into the tens of
+    * thousands at unit-norm-ish embeddings — beyond that, drop the
+    * fixed-point scale a few bits (a semantic constant, mirrored in
+    * the oracle). Plan: centroid sums ride the q85 aggregation; the
+    * tiny (component, n, Σfp-array) frame broadcast-joins back to the
+    * clustered docs; the rank window moves only (doc, component,
+    * dist2) rows. */
+  def qClusterMedoids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id".as("doc_id"),
+        expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $CentroidFp) as bigint))")
+          .as("fp"))
+      .join(broadcast(comp), Seq("doc_id"))
+    val sums = emb.select($"component", posexplode($"fp"))
+      .groupBy($"component", $"pos").agg(sum($"col").as("s"))
+      .groupBy($"component")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, s))), t -> t.s)").as("fp_sum"))
+    val counts = emb.groupBy($"component").agg(count(lit(1)).as("n"))
+    val cent = sums.join(counts, Seq("component"))
+    emb.join(broadcast(cent), Seq("component"))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(fp, fp_sum, (a, b) -> n * a - b), 0L, (acc, d) -> acc + d * d)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"component").orderBy($"dist2", $"doc_id")))
+      .select($"doc_id", $"component", $"dist2", $"rank", ($"rank" === 1).as("medoid"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the closure + the q85 per-dim sums re-assembled in dim
+    * order (`list(… ORDER BY dim)`) + the same integer fold. */
+  val qClusterMedoidsSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       $closureCtes,
+       fpv AS (
+         SELECT c.component, e.vec_id AS doc_id,
+           list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $CentroidFp) AS BIGINT)) AS fp
+         FROM embeddings e JOIN comp c ON c.doc_id = e.vec_id),
+       sums AS (
+         SELECT component, j.dim AS dim, CAST(SUM(fp[j.dim]) AS BIGINT) AS s
+         FROM fpv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) j
+         GROUP BY component, j.dim),
+       cent AS (
+         SELECT component, list(s ORDER BY dim) AS fp_sum FROM sums GROUP BY component),
+       cnt AS (SELECT component, COUNT(*) AS n FROM fpv GROUP BY component),
+       d AS (
+         SELECT f.doc_id, f.component,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 64),
+               i -> (cnt.n * fp[i] - fp_sum[i]) * (cnt.n * fp[i] - fp_sum[i]))),
+             (acc, x) -> acc + x) AS dist2
+         FROM fpv f JOIN cent USING (component) JOIN cnt USING (component))
+       SELECT doc_id, component, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY component ORDER BY dist2, doc_id) AS INT) AS rank,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY dist2, doc_id) = 1 AS medoid
+       FROM d ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_dedup_exact" -> qDedupExact,
     "q28_jaccard_neardup" -> qJaccardNearDup,
@@ -915,7 +984,8 @@ object Dedup {
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
-    "q85_cluster_centroids" -> qClusterCentroids)
+    "q85_cluster_centroids" -> qClusterCentroids,
+    "q89_cluster_medoids" -> qClusterMedoids)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -929,5 +999,6 @@ object Dedup {
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
-    "q85_cluster_centroids" -> qClusterCentroidsSql)
+    "q85_cluster_centroids" -> qClusterCentroidsSql,
+    "q89_cluster_medoids" -> qClusterMedoidsSql)
 }

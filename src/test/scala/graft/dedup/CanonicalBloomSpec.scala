@@ -73,6 +73,52 @@ class CanonicalBloomSpec extends SparkSpec {
     assert(got.nonEmpty, "no clusters at sf0.001 — fixture drifted")
   }
 
+  test("q89: medoid distances replay scalar-side; one medoid per cluster") {
+    import graft.core.Resources
+    val pairs = Dedup.qMinHashLsh(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    Resources.release()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val emb = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val byComp = parent.keys.toSeq.groupBy(find)
+    val expected = byComp.flatMap { case (comp, members) =>
+      val n = members.size.toLong
+      val fps = members.map(id => id -> emb(id).map(x => math.floor(x.toDouble * 1048576.0).toLong))
+      val sums = fps.map(_._2).transpose.map(_.sum)
+      fps.map { case (id, fp) =>
+        val d2 = fp.zip(sums).map { case (a, sm) => val d = n * a - sm; d * d }.sum
+        (id, (comp, d2))
+      }
+    }
+    val got = Dedup.qClusterMedoids(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    Resources.release()
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (comp, d2)) =>
+      assert(got(id)._1 == comp, s"doc $id component")
+      assert(got(id)._2 == d2, s"doc $id dist2 ${got(id)._2} != $d2")
+    }
+    // rank is the (dist2, id) order; exactly one medoid per cluster
+    byComp.foreach { case (comp, members) =>
+      val ordered = members.map(id => (expected(id)._2, id)).sorted.map(_._2)
+      ordered.zipWithIndex.foreach { case (id, i) =>
+        assert(got(id)._3 == i + 1, s"doc $id rank")
+      }
+      assert(members.count(id => got(id)._4) == 1, s"component $comp medoids != 1")
+      assert(got(ordered.head)._4, s"component $comp medoid not min-dist")
+    }
+  }
+
   test("q80: result equals a scalar exact-intersection replay (bloom-independent)") {
     def grams(t: String): Set[Seq[String]] =
       t.trim.split("\\s+").filter(_.nonEmpty).toSeq
