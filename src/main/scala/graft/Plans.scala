@@ -176,6 +176,15 @@ object Plans {
         |prunes the explosion to clustered docs BEFORE the 64-way
         |posexplode, so per-dim rows are |clustered docs|·64, not
         |corpus·64; one keyed aggregation ends the plan.""".stripMargin,
+    "q89_cluster_medoids" ->
+      """Cluster representatives without float aggregation: the mean
+        |comparison is rescaled to n²·‖x−μ‖² = Σ(n·fp − Σfp)² over the
+        |q85 fixed-point values — integers end to end, so the distance
+        |is exact under any partitioning and the per-doc fold runs in
+        |ONE row-level HOF (no order-dependent SUM of doubles). The
+        |(component, n, Σfp) frame is tiny and broadcast; the rank
+        |window moves only (doc, component, dist2) rows. Embedding
+        |payloads reach exactly one narrow quantize-map.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs
