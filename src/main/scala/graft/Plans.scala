@@ -183,8 +183,10 @@ object Plans {
         |is exact under any partitioning and the per-doc fold runs in
         |ONE row-level HOF (no order-dependent SUM of doubles). The
         |(component, n, Σfp) frame is tiny and broadcast; the rank
-        |window moves only (doc, component, dist2) rows. Embedding
-        |payloads reach exactly one narrow quantize-map.""".stripMargin,
+        |window moves only (doc, component, dist2) rows. The quantized
+        |frame is persisted and shared by the centroid branch and the
+        |per-doc join (member counts ride the same per-dim aggregation
+        |q85 ships), so the embedding payload is read once.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs

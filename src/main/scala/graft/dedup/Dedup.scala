@@ -874,17 +874,33 @@ object Dedup {
     * only AFTER the broadcast semi-join prunes to clustered docs, so
     * the per-dim explosion is |clustered docs|·64, not corpus-wide;
     * one keyed aggregation ends it. */
-  def qClusterCentroids(s: SparkSession, dir: String): DataFrame = {
+  /** Shared quantized per-doc frame for q85/q89: (doc_id, component,
+    * fp array) — ONE narrow quantize-map over the clustered docs. */
+  private def clusterFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
     Tables.embeddings(s, dir)
-      .select($"vec_id".as("doc_id"), $"embedding")
+      .select($"vec_id".as("doc_id"),
+        expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $CentroidFp) as bigint))")
+          .as("fp"))
       .join(broadcast(comp), Seq("doc_id"))
-      .select($"component", posexplode($"embedding"))
-      .select($"component", ($"pos" + 1).cast("long").as("dim"),
-        floor($"col".cast("double") * CentroidFp).cast("long").as("fp"))
-      .groupBy($"component", $"dim")
-      .agg(count(lit(1)).as("n_members"), sum($"fp").as("fp_sum"))
+  }
+
+  /** Shared per-(component, dim) fixed-point sums + member count — ONE
+    * definition of the centroid arithmetic so q85 and q89 (and any
+    * future fixed-point-scale change) cannot drift. */
+  private def clusterFpSums(fpFrame: DataFrame): DataFrame = {
+    val s = fpFrame.sparkSession
+    import s.implicits._
+    fpFrame.select($"component", posexplode($"fp"))
+      .groupBy($"component", ($"pos" + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"), sum($"col").as("fp_sum"))
+  }
+
+  def qClusterCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusterFpSums(clusterFp(s, dir))
+      .select($"component", $"dim", $"n_members", $"fp_sum")
       .orderBy($"component", $"dim")
   }
 
@@ -912,29 +928,31 @@ object Dedup {
     * instead — every term an integer on q85's fixed-point values, so
     * the distance is EXACT and engine/order-independent, and the
     * per-doc fold runs inside one row-level HOF (no float
-    * aggregation anywhere). Overflow bound: |n·fp| ≤ n·2^20·|x|max,
-    * so dims·(2·n·2^20·|x|max)² < 2^63 holds for n into the tens of
-    * thousands at unit-norm-ish embeddings — beyond that, drop the
-    * fixed-point scale a few bits (a semantic constant, mirrored in
-    * the oracle). Plan: centroid sums ride the q85 aggregation; the
-    * tiny (component, n, Σfp-array) frame broadcast-joins back to the
-    * clustered docs; the rank window moves only (doc, component,
-    * dist2) rows. */
+    * aggregation anywhere). Overflow bound, honestly: each term is
+    * ≤ (2·n·2^20·|x|max)², so dims·(2·n·2^20·|x|max)² < 2^63 caps the
+    * cluster size at n ≲ 2^27.5 / (2^20·|x|max) — ~360 members at
+    * |x|max = 0.5, ~1.4k at the evenly-spread unit-norm |x|max = 1/8.
+    * Past the cap Spark's long WRAPS silently while DuckDB's BIGINT
+    * raises — exactly the divergence this family exists to prevent —
+    * so larger clusters must drop the fixed-point scale (each bit
+    * doubles the n headroom at ~6e-8 quantization loss; the scale is
+    * a semantic constant, mirrored in the oracle). Plan: ONE quantize
+    * pass (the shared clusterFp frame, persisted — centroid branch
+    * and per-doc join both read the cache), centroid sums via the
+    * SAME clusterFpSums aggregation q85 ships (n_members rides it —
+    * no separate count branch, no third scan); the tiny (component,
+    * n, Σfp-array) frame broadcast-joins back; the rank window moves
+    * only (doc, component, dist2) rows. */
   def qClusterMedoids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id".as("doc_id"),
-        expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $CentroidFp) as bigint))")
-          .as("fp"))
-      .join(broadcast(comp), Seq("doc_id"))
-    val sums = emb.select($"component", posexplode($"fp"))
-      .groupBy($"component", $"pos").agg(sum($"col").as("s"))
+    import graft.core.Resources
+    val emb = Resources.persist(clusterFp(s, dir))
+    val cent = clusterFpSums(emb)
       .groupBy($"component")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, s))), t -> t.s)").as("fp_sum"))
-    val counts = emb.groupBy($"component").agg(count(lit(1)).as("n"))
-    val cent = sums.join(counts, Seq("component"))
+      .agg(max($"n_members").as("n"), // constant per component
+        expr("transform(sort_array(collect_list(struct(dim, fp_sum))), t -> t.fp_sum)")
+          .as("fp_sum"))
     emb.join(broadcast(cent), Seq("component"))
       .withColumn("dist2",
         expr("aggregate(zip_with(fp, fp_sum, (a, b) -> n * a - b), 0L, (acc, d) -> acc + d * d)"))
