@@ -820,6 +820,102 @@ object TextAnalysis {
          quantile_cont(tok, 0.9) AS p90
        FROM t GROUP BY source ORDER BY source"""
 
+  /** Merge rounds for q90 — a semantic constant (the oracle unrolls
+    * exactly this many rounds). */
+  private val BpeRounds = 3
+
+  /** q90 — BPE tokenizer training, the merge-learning half of dataset
+    * prep (q73 consumes a vocab; this one LEARNS one): k rounds of
+    * count-adjacent-symbol-pairs → take the most frequent (ties →
+    * lexicographic, deterministic) → greedy left-to-right merge.
+    * Structured the way BPE actually scales: the 100 TB corpus is
+    * touched ONCE to build the word-frequency table (map-side
+    * combined — the classic trainer's first pass), and the merge loop
+    * runs on that vocab-sized frame; pair counts are freq-weighted
+    * per position, so the corpus statistics are exact. Each round is
+    * a tiny argmax action (the rule is driver state, as in any BPE
+    * trainer) plus a codegen'd fold that rewrites symbol strings —
+    * the fold merges ONLY non-overlapping original pairs left to
+    * right ([a,a,a,a] → [aa,aa]) because a merged token's text l+r
+    * can never equal l. Output: the learned merge table
+    * (round, l, r, freq-weighted pair count), DuckDB-replayed with
+    * the rounds unrolled. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Resources
+    val wf = Resources.persist(
+      Tables.documents(s, dir)
+        .select(explode(split(trim($"text"), "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .select($"freq",
+          concat(lit("|"),
+            concat_ws("|", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+            .as("sym")))
+    var frame: DataFrame = wf
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to BpeRounds) {
+      val top = frame
+        .select($"freq", expr("filter(split(sym, '\\\\|'), t -> t != '')").as("toks"))
+        // single-symbol words carry no pairs — and Spark's
+        // sequence(1, 0) runs DESCENDING, so the transform must never
+        // see them
+        .filter(size($"toks") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"))
+          .as("pr"))
+        .groupBy($"pr.l".as("l"), $"pr.r".as("r")).agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .collect()
+      require(top.nonEmpty, s"qBpeMerges: no pairs left at round $k")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      // The literals are spliced into an expression; the corpus is
+      // [a-z0-9] so symbols can't carry SQL metacharacters — fail
+      // loudly if the fixture ever drifts rather than misparse.
+      require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"qBpeMerges: unexpected symbol characters in ($l, $r)")
+      rules += ((k, l, r, cnt))
+      frame = frame.select($"freq", expr(
+        s"""aggregate(filter(split(sym, '\\\\|'), t -> t != ''), '',
+            (acc, x) -> CASE WHEN acc != '' AND endswith(acc, '|$l') AND x = '$r'
+                        THEN concat(acc, x) ELSE concat(acc, '|', x) END)""").as("sym"))
+    }
+    rules.result().toDF("round", "l", "r", "cnt").orderBy($"round")
+  }
+
+  /** Oracle: the identical trainer with the rounds unrolled — same
+    * string-fold merge (`ends_with(acc, '|' || l)` ⟺ last token = l:
+    * symbols never contain the delimiter, so the suffix test can't
+    * match inside a longer token). */
+  val qBpeMergesSql: String = {
+    def roundCtes(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+           SELECT pr.l AS l, pr.r AS r, SUM(freq) AS cnt FROM (
+             SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS pr
+             FROM (SELECT freq, list_filter(string_split(sym, '|'), t -> t != '') AS toks
+                   FROM $prev) x)
+           GROUP BY pr.l, pr.r),
+         m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         s$k AS (
+           SELECT freq, list_reduce(
+             list_prepend('', list_filter(string_split(sym, '|'), t -> t != '')),
+             (acc, x) -> CASE WHEN acc != '' AND ends_with(acc, '|' || m$k.l) AND x = m$k.r
+                         THEN acc || x ELSE acc || '|' || x END) AS sym
+           FROM $prev CROSS JOIN m$k)"""
+    }
+    s"""WITH wf AS (
+         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) t
+         WHERE word != '' GROUP BY word),
+       s0 AS (SELECT freq, '|' || array_to_string(string_split(word, ''), '|') AS sym FROM wf),
+       ${(1 to BpeRounds).map(roundCtes).mkString(",")}
+       ${(1 to BpeRounds).map(k => s"SELECT $k AS round, l, r, cnt FROM m$k")
+          .mkString("\n       UNION ALL ")}
+       ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -837,7 +933,8 @@ object TextAnalysis {
     "q83_source_stats" -> qSourceStats,
     "q84_mixture_rebalance" -> qMixtureRebalance,
     "q86_source_cap" -> qSourceCap,
-    "q87_length_quantiles" -> qLengthQuantiles)
+    "q87_length_quantiles" -> qLengthQuantiles,
+    "q90_bpe_merges" -> qBpeMerges)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -856,5 +953,6 @@ object TextAnalysis {
     "q83_source_stats" -> qSourceStatsSql,
     "q84_mixture_rebalance" -> qMixtureRebalanceSql,
     "q86_source_cap" -> qSourceCapSql,
-    "q87_length_quantiles" -> qLengthQuantilesSql)
+    "q87_length_quantiles" -> qLengthQuantilesSql,
+    "q90_bpe_merges" -> qBpeMergesSql)
 }

@@ -164,6 +164,41 @@ class PackShardSpec extends SparkSpec {
     }
   }
 
+  test("q90: merge rules replay a scalar BPE trainer") {
+    var vocab: Seq[(Vector[String], Long)] = docRows
+      .flatMap(d => d._3.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }.toSeq
+    val expected = (1 to 3).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        // greedy left-to-right, non-overlapping: a merged token's text
+        // l+r can never equal l, so no re-merge flag is needed
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toVector -> f
+      }
+      (k, l, r, cnt)
+    }
+    val got = TextAnalysis.qBpeMerges(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    graft.core.Resources.release()
+    assert(got == expected, s"rules $got != $expected")
+    // the merges must actually differ round to round (a trainer stuck
+    // on one pair means the rewrite never applied)
+    assert(got.map(g => (g._2, g._3)).distinct.size == 3)
+  }
+
   test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
     val rows = TextAnalysis.qSourceStats(spark, Sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)),
