@@ -187,6 +187,17 @@ object Plans {
         |frame is persisted and shared by the centroid branch and the
         |per-doc join (member counts ride the same per-dim aggregation
         |q85 ships), so the embedding payload is read once.""".stripMargin,
+    "q90_bpe_merges" ->
+      """BPE training in the shape that scales: the corpus contributes
+        |exactly ONE pass (word-freq aggregation, map-side combined —
+        |at 100 TB this is the only big job), and the merge loop runs
+        |on the vocab-sized frame: per round, a pair-count aggregate
+        |over exploded adjacent symbol pairs, a 1-row argmax action
+        |(the rule is driver state, as in any BPE trainer), and a
+        |codegen'd string fold that applies the merge. Vocabularies
+        |are power-law small, so round cost is independent of corpus
+        |size. Ties break lexicographically — the determinism the
+        |unrolled DuckDB replay depends on.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs
