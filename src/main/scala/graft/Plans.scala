@@ -220,13 +220,19 @@ object Plans {
     sb.append("Generated by `graft.Plans` (`explain(\"formatted\")` at " + dir + ").\n")
     sb.append("Each plan carries the 100 TB commentary the code was designed against.\n")
     commentary.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"\n## $name\n\n")
-      sb.append(note).append("\n\n```\n")
-      // keep the operator tree; drop the verbose per-node detail section
-      sb.append(plan.split("\n\n").head).append("\n```\n")
+      // Same per-query hygiene as Verify/Bench: some plan
+      // CONSTRUCTIONS persist frames and run eager jobs (q89's
+      // quantized cache, q90's training rounds) — without a release
+      // the regeneration loop accumulates every query's blocks.
+      try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n## $name\n\n")
+        sb.append(note).append("\n\n```\n")
+        // keep the operator tree; drop the verbose per-node detail section
+        sb.append(plan.split("\n\n").head).append("\n```\n")
+      } finally graft.core.Resources.release()
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${commentary.size} queries)")

@@ -875,15 +875,20 @@ object Dedup {
     * the per-dim explosion is |clustered docs|·64, not corpus-wide;
     * one keyed aggregation ends it. */
   /** Shared quantized per-doc frame for q85/q89: (doc_id, component,
-    * fp array) — ONE narrow quantize-map over the clustered docs. */
+    * fp array). The quantize transform sits AFTER the broadcast join
+    * on purpose: Catalyst doesn't defer projections past joins, so
+    * quantizing pre-join would run the 64-element map over every
+    * corpus row instead of only the clustered docs (a tiny fraction
+    * at the design scale). */
   private def clusterFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
     Tables.embeddings(s, dir)
-      .select($"vec_id".as("doc_id"),
+      .select($"vec_id".as("doc_id"), $"embedding")
+      .join(broadcast(comp), Seq("doc_id"))
+      .select($"doc_id", $"component",
         expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $CentroidFp) as bigint))")
           .as("fp"))
-      .join(broadcast(comp), Seq("doc_id"))
   }
 
   /** Shared per-(component, dim) fixed-point sums + member count — ONE
