@@ -840,7 +840,18 @@ object TextAnalysis {
     * can never equal l. Output: the learned merge table
     * (round, l, r, freq-weighted pair count), DuckDB-replayed with
     * the rounds unrolled. */
-  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** The Spark-side merge-application fold (see qBpeMerges scaladoc
+    * for the greedy-non-overlap argument); `inner` is an expression
+    * yielding a '|'-delimited symbol string. */
+  private def bpeFoldExpr(inner: String, l: String, r: String): String =
+    s"""aggregate(filter(split($inner, '\\\\|'), t -> t != ''), '',
+        (acc, x) -> CASE WHEN acc != '' AND endswith(acc, '|$l') AND x = '$r'
+                    THEN concat(acc, x) ELSE concat(acc, '|', x) END)"""
+
+  /** The distributed trainer behind q90 (and the rule source for
+    * q91's tokenizer): returns the learned (round, l, r, pair count)
+    * rules. */
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     import s.implicits._
     import graft.core.Resources
     val wf = Resources.persist(
@@ -867,27 +878,37 @@ object TextAnalysis {
         .groupBy($"pr.l".as("l"), $"pr.r".as("r")).agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"l", $"r").limit(1)
         .collect()
-      require(top.nonEmpty, s"qBpeMerges: no pairs left at round $k")
+      require(top.nonEmpty, s"bpeTrain: no pairs left at round $k")
       val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       // The literals are spliced into an expression; the corpus is
       // [a-z0-9] so symbols can't carry SQL metacharacters — fail
       // loudly if the fixture ever drifts rather than misparse.
       require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
-        s"qBpeMerges: unexpected symbol characters in ($l, $r)")
+        s"bpeTrain: unexpected symbol characters in ($l, $r)")
       rules += ((k, l, r, cnt))
-      frame = frame.select($"freq", expr(
-        s"""aggregate(filter(split(sym, '\\\\|'), t -> t != ''), '',
-            (acc, x) -> CASE WHEN acc != '' AND endswith(acc, '|$l') AND x = '$r'
-                        THEN concat(acc, x) ELSE concat(acc, '|', x) END)""").as("sym"))
+      frame = frame.select($"freq", expr(bpeFoldExpr("sym", l, r)).as("sym"))
     }
-    rules.result().toDF("round", "l", "r", "cnt").orderBy($"round")
+    rules.result()
+  }
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir).toDF("round", "l", "r", "cnt").orderBy($"round")
   }
 
   /** Oracle: the identical trainer with the rounds unrolled — same
     * string-fold merge (`ends_with(acc, '|' || l)` ⟺ last token = l:
     * symbols never contain the delimiter, so the suffix test can't
     * match inside a longer token). */
-  val qBpeMergesSql: String = {
+  /** The DuckDB-side merge fold — `mk` is the round's rule CTE. */
+  private def bpeFoldSql(inner: String, mk: String): String =
+    s"""list_reduce(list_prepend('', list_filter(string_split($inner, '|'), t -> t != '')),
+        (acc, x) -> CASE WHEN acc != '' AND ends_with(acc, '|' || $mk.l) AND x = $mk.r
+                    THEN acc || x ELSE acc || '|' || x END)"""
+
+  /** The shared q90/q91 oracle prelude: word-freq table + the unrolled
+    * training rounds (rules land in CTEs m1..m$BpeRounds). */
+  private def bpeOracleCtes: String = {
     def roundCtes(k: Int): String = {
       val prev = s"s${k - 1}"
       s"""p$k AS (
@@ -899,21 +920,66 @@ object TextAnalysis {
            GROUP BY pr.l, pr.r),
          m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          s$k AS (
-           SELECT freq, list_reduce(
-             list_prepend('', list_filter(string_split(sym, '|'), t -> t != '')),
-             (acc, x) -> CASE WHEN acc != '' AND ends_with(acc, '|' || m$k.l) AND x = m$k.r
-                         THEN acc || x ELSE acc || '|' || x END) AS sym
+           SELECT freq, ${bpeFoldSql("sym", s"m$k")} AS sym
            FROM $prev CROSS JOIN m$k)"""
     }
-    s"""WITH wf AS (
+    s"""wf AS (
          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) t
          WHERE word != '' GROUP BY word),
        s0 AS (SELECT freq, '|' || array_to_string(string_split(word, ''), '|') AS sym FROM wf),
-       ${(1 to BpeRounds).map(roundCtes).mkString(",")}
+       ${(1 to BpeRounds).map(roundCtes).mkString(",")}"""
+  }
+
+  val qBpeMergesSql: String =
+    s"""WITH $bpeOracleCtes
        ${(1 to BpeRounds).map(k => s"SELECT $k AS round, l, r, cnt FROM m$k")
           .mkString("\n       UNION ALL ")}
        ORDER BY round"""
+
+  /** q91 — tokenize with the LEARNED merges (train → apply, the full
+    * tokenizer loop): every document is re-tokenized under q90's
+    * rules, applied in learning order, and the manifest records the
+    * compression (chars → tokens). The rules are driver state spliced
+    * into ONE codegen'd nested-fold expression, so the application
+    * pass is a single narrow corpus map — no join, no shuffle, at any
+    * scale (exactly how a trained tokenizer deploys: rules broadcast,
+    * text streams). The oracle re-learns the rules in its own CTEs
+    * and applies the identical fold. */
+  def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeTrain(s, dir)
+    val sym0 = "concat('|', concat_ws('|', transform(sequence(1, length(w)), i -> substring(w, i, 1))))"
+    val merged = rules.foldLeft(sym0) { case (inner, (_, l, r, _)) => bpeFoldExpr(inner, l, r) }
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, b) -> a + b)")
+          .as("n_chars"),
+        expr(s"""aggregate(transform(words, w ->
+            cast(size(filter(split($merged, '\\\\|'), t -> t != '')) as bigint)), 0L, (a, b) -> a + b)""")
+          .as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val qBpeTokenizeSql: String = {
+    val sym0 = "'|' || array_to_string(string_split(w, ''), '|')"
+    val f = (1 to BpeRounds).foldLeft(sym0) { (inner, k) => bpeFoldSql(inner, s"m$k") }
+    s"""WITH $bpeOracleCtes,
+       d2 AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents),
+       tok AS (
+         SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(words, w -> CAST(len(w) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS n_chars,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(words, w ->
+               CAST(len(list_filter(string_split($f, '|'), t -> t != '')) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS n_tokens
+         FROM d2 ${(1 to BpeRounds).map(k => s"CROSS JOIN m$k").mkString(" ")})
+       SELECT doc_id, n_words, n_chars, n_tokens FROM tok ORDER BY doc_id"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -934,7 +1000,8 @@ object TextAnalysis {
     "q84_mixture_rebalance" -> qMixtureRebalance,
     "q86_source_cap" -> qSourceCap,
     "q87_length_quantiles" -> qLengthQuantiles,
-    "q90_bpe_merges" -> qBpeMerges)
+    "q90_bpe_merges" -> qBpeMerges,
+    "q91_bpe_tokenize" -> qBpeTokenize)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -954,5 +1021,6 @@ object TextAnalysis {
     "q84_mixture_rebalance" -> qMixtureRebalanceSql,
     "q86_source_cap" -> qSourceCapSql,
     "q87_length_quantiles" -> qLengthQuantilesSql,
-    "q90_bpe_merges" -> qBpeMergesSql)
+    "q90_bpe_merges" -> qBpeMergesSql,
+    "q91_bpe_tokenize" -> qBpeTokenizeSql)
 }

@@ -197,6 +197,33 @@ class PackShardSpec extends SparkSpec {
     // the merges must actually differ round to round (a trainer stuck
     // on one pair means the rewrite never applied)
     assert(got.map(g => (g._2, g._3)).distinct.size == 3)
+
+    // q91: tokenization under those rules replays per word
+    def applyRules(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      expected.foreach { case (_, l, r, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val tok = TextAnalysis.qBpeTokenize(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.core.Resources.release()
+    assert(tok.size == docRows.length)
+    docRows.foreach { case (id, _, t) =>
+      val words = t.trim.split("\\s+").filter(_.nonEmpty)
+      val (nw, nc, nt) = tok(id)
+      assert(nw == words.length, s"doc $id n_words")
+      assert(nc == words.map(_.length.toLong).sum, s"doc $id n_chars")
+      assert(nt == words.map(applyRules(_).toLong).sum, s"doc $id n_tokens")
+    }
+    // merges must actually compress the corpus
+    assert(tok.values.map(_._3).sum < tok.values.map(_._2).sum)
   }
 
   test("q83: rollup subtotals sum to their leaves and the grand total is the corpus") {
