@@ -346,6 +346,80 @@ object Dedup {
        FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2
        ORDER BY c.d1, c.d2"""
 
+  /** q92 — train/eval split-leakage audit, the evaluation-hygiene op a
+    * pipeline runs AFTER splitting: near-duplicate pairs that CROSS
+    * the q70 split boundary (a train doc ≈ a val/test doc) leak eval
+    * answers into training in a way q68/q80's exact n-gram checks
+    * can't see — paraphrase-level contamination needs the near-dup
+    * machinery. Composition of shipped stages: q29's banded LSH
+    * candidates → orient pairs as (train, heldout) under q70's exact
+    * bucket rule → q66's exact shingle-Jaccard verify restricted to
+    * the crossing pairs. Scale shape: the bucket columns join onto
+    * the TINY candidate set (broadcast — the corpus-wide bucket frame
+    * streams past it, 16-byte rows); the verify stage touches only
+    * crossing pairs. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val buckets = Tables.documents(s, dir).select($"doc_id",
+      expr("graft_polyhash(cast(doc_id as string), 31L, 1000000007L) % 100").as("bucket"))
+    val cand = lshCandidates(s, dir)
+    val p = buckets.toDF("d1", "b1").join(broadcast(cand), Seq("d1"))
+    val crossing = buckets.toDF("d2", "b2").join(broadcast(p), Seq("d2"))
+      .filter(($"b1" < 80) =!= ($"b2" < 80))
+      .withColumn("hb", when($"b1" >= 80, $"b1").otherwise($"b2"))
+      .select($"d1", $"d2", $"est_jaccard",
+        when($"b1" < 80, $"d1").otherwise($"d2").as("train_doc"),
+        when($"b1" < 80, $"d2").otherwise($"d1").as("heldout_doc"),
+        when($"hb" < 90, "val").otherwise("test").as("split"))
+    val sh = shingles(s, dir).select($"doc_id", $"shingle")
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val aSh = sh.join(broadcast(crossing.select($"d1").distinct()),
+        $"doc_id" === $"d1").select($"d1", $"shingle")
+    val bSh = sh.join(broadcast(crossing.select($"d2").distinct()),
+        $"doc_id" === $"d2").select($"d2", $"shingle")
+    crossing.join(aSh, Seq("d1")).join(bSh, Seq("d2", "shingle"))
+      .groupBy($"d1", $"d2", $"train_doc", $"heldout_doc", $"split", $"est_jaccard")
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.select($"doc_id".as("d1"), $"n_sh".as("n1")), Seq("d1"))
+      .join(cnt.select($"doc_id".as("d2"), $"n_sh".as("n2")), Seq("d2"))
+      .withColumn("jaccard", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
+      .select($"train_doc", $"heldout_doc", $"split", $"est_jaccard", $"jaccard")
+      .orderBy($"train_doc", $"heldout_doc")
+  }
+
+  /** Oracle: q29's candidate CTEs + q70's bucket rule + q66's exact
+    * verify, restricted to split-crossing pairs. */
+  val qSplitLeakageSql: String = {
+    val bucket = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*31 + x) % 1000000007) % 100"""
+    s"""WITH $lshCandidateCtes,
+       bk AS (SELECT doc_id, $bucket AS bucket FROM documents),
+       px AS (
+         SELECT e.d1, e.d2, e.est_jaccard,
+           CASE WHEN ba.bucket < 80 THEN e.d1 ELSE e.d2 END AS train_doc,
+           CASE WHEN ba.bucket < 80 THEN e.d2 ELSE e.d1 END AS heldout_doc,
+           CASE WHEN (CASE WHEN ba.bucket >= 80 THEN ba.bucket ELSE bb.bucket END) < 90
+                THEN 'val' ELSE 'test' END AS split
+         FROM surv e
+         JOIN bk ba ON ba.doc_id = e.d1
+         JOIN bk bb ON bb.doc_id = e.d2
+         WHERE (ba.bucket < 80) != (bb.bucket < 80)),
+       common AS (
+         SELECT p.d1, p.d2, p.train_doc, p.heldout_doc, p.split, p.est_jaccard,
+           COUNT(*) AS common
+         FROM px p
+         JOIN sh a ON a.doc_id = p.d1
+         JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+         GROUP BY p.d1, p.d2, p.train_doc, p.heldout_doc, p.split, p.est_jaccard),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+       SELECT c.train_doc, c.heldout_doc, c.split, c.est_jaccard,
+         CAST(c.common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.common) AS jaccard
+       FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2
+       ORDER BY c.train_doc, c.heldout_doc"""
+  }
+
   // --- Duplicate-cluster assembly ------------------------------------
 
   /** q75 — duplicate clusters: connected components over the LSH
@@ -1008,7 +1082,8 @@ object Dedup {
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
     "q85_cluster_centroids" -> qClusterCentroids,
-    "q89_cluster_medoids" -> qClusterMedoids)
+    "q89_cluster_medoids" -> qClusterMedoids,
+    "q92_split_leakage" -> qSplitLeakage)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -1023,5 +1098,6 @@ object Dedup {
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
     "q85_cluster_centroids" -> qClusterCentroidsSql,
-    "q89_cluster_medoids" -> qClusterMedoidsSql)
+    "q89_cluster_medoids" -> qClusterMedoidsSql,
+    "q92_split_leakage" -> qSplitLeakageSql)
 }

@@ -119,6 +119,34 @@ class CanonicalBloomSpec extends SparkSpec {
     }
   }
 
+  test("q92: leakage pairs are exactly the split-crossing LSH survivors, jaccard exact") {
+    import graft.core.{Hashing, Resources}
+    def bucket(id: Long): Long = Hashing.polyFold(id.toString, 31, 1000000007L) % 100
+    val cand = Dedup.qMinHashLsh(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    Resources.release()
+    val expectedPairs = cand.filter { case (a, b) => (bucket(a) < 80) != (bucket(b) < 80) }
+    val got = Dedup.qSplitLeakage(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(4)))
+    Resources.release()
+    assert(got.nonEmpty, "no split-crossing near-dups at sf0.001 — fixture drifted")
+    // pair set: orientation maps back to the candidate (min, max) form
+    val gotPairs = got.map { case (t, h, _, _) => (math.min(t, h), math.max(t, h)) }.toSet
+    assert(gotPairs == expectedPairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) })
+    def shingleSet(t: String): Set[Seq[String]] =
+      t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(3).filter(_.length == 3).map(_.toSeq).toSet
+    got.foreach { case (train, heldout, split, jac) =>
+      assert(bucket(train) < 80, s"train_doc $train not in train split")
+      val hb = bucket(heldout)
+      assert(hb >= 80, s"heldout_doc $heldout in train split")
+      assert(split == (if (hb < 90) "val" else "test"), s"pair ($train,$heldout) split label")
+      val (s1, s2) = (shingleSet(docs(train)._2), shingleSet(docs(heldout)._2))
+      val expJac = s1.intersect(s2).size.toDouble / (s1.size + s2.size - s1.intersect(s2).size)
+      assert(jac == expJac, s"pair ($train,$heldout) jaccard $jac != $expJac")
+    }
+  }
+
   test("q80: result equals a scalar exact-intersection replay (bloom-independent)") {
     def grams(t: String): Set[Seq[String]] =
       t.trim.split("\\s+").filter(_.nonEmpty).toSeq
