@@ -302,28 +302,52 @@ object Dedup {
     * prune the shingle table to candidate docs, one keyed join on
     * (doc, shingle)) — never the corpus-squared shingle self-join of
     * the standalone q28 demonstrator. */
-  def qLshVerified(s: SparkSession, dir: String): DataFrame = {
+  /** The exact shingle-Jaccard verify stage, shared by q66 and q92 —
+    * ONE definition of the verify semantics (shingle-set counts,
+    * inner-join drop of zero-common pairs, the jaccard formula) so the
+    * two consumers cannot drift. `cand` carries (d1, d2) plus any
+    * columns in `carry`; the result adds (common, jaccard).
+    *
+    * The shingle stream feeds multiple consumers (both verify sides,
+    * the per-doc counts). Measured choice: RECOMPUTE, don't cache —
+    * the explode is codegen'd and scan-bound, and materializing ~15 M
+    * shingle rows to storage costs more than the re-runs (persist
+    * measured 2× slower end-to-end at sf0.1). The (large) shingle
+    * stream is pruned to candidate docs BEFORE any wide join: the
+    * candidate set is small by LSH construction. */
+  private def shingleJaccardVerify(s: SparkSession, dir: String,
+                                   cand: DataFrame, carry: Seq[String]): DataFrame = {
     import s.implicits._
-    // The shingle stream feeds four consumers (signature build, both
-    // verify sides, the per-doc counts). Measured choice: RECOMPUTE,
-    // don't cache — the explode is codegen'd and scan-bound, and
-    // materializing ~15 M shingle rows to storage costs more than the
-    // three re-runs (persist measured 2× slower end-to-end at sf0.1).
     val sh = shingles(s, dir).select($"doc_id", $"shingle")
-    val cand = lshCandidates(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // Prune the (large) shingle stream to candidate docs before any
-    // wide join: the candidate set is small by LSH construction.
     val aSh = sh.join(broadcast(cand.select($"d1").distinct()),
         $"doc_id" === $"d1").select($"d1", $"shingle")
     val bSh = sh.join(broadcast(cand.select($"d2").distinct()),
         $"doc_id" === $"d2").select($"d2", $"shingle")
-    val common = cand.join(aSh, Seq("d1")).join(bSh, Seq("d2", "shingle"))
-      .groupBy($"d1", $"d2", $"est_jaccard").agg(count(lit(1)).as("common"))
-    common
+    val groupCols = (Seq("d1", "d2") ++ carry).map(col)
+    cand.join(aSh, Seq("d1")).join(bSh, Seq("d2", "shingle"))
+      .groupBy(groupCols: _*).agg(count(lit(1)).as("common"))
       .join(cnt.select($"doc_id".as("d1"), $"n_sh".as("n1")), Seq("d1"))
       .join(cnt.select($"doc_id".as("d2"), $"n_sh".as("n2")), Seq("d2"))
       .withColumn("jaccard", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
+  }
+
+  /** The same verify stage, DuckDB side: produces `common`/`cnt` CTEs
+    * over a candidate CTE named `px` carrying (d1, d2, `carry`…). */
+  private def shingleJaccardVerifySqlCtes(carry: Seq[String]): String = {
+    val grouped = (Seq("d1", "d2") ++ carry).map(c => s"p.$c").mkString(", ")
+    s"""common AS (
+         SELECT $grouped, COUNT(*) AS common
+         FROM px p
+         JOIN sh a ON a.doc_id = p.d1
+         JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+         GROUP BY $grouped),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"""
+  }
+
+  def qLshVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleJaccardVerify(s, dir, lshCandidates(s, dir), Seq("est_jaccard"))
       .select($"d1", $"d2", $"est_jaccard", $"common", $"jaccard")
       .orderBy($"d1", $"d2")
   }
@@ -334,13 +358,8 @@ object Dedup {
     */
   val qLshVerifiedSql: String =
     s"""WITH $lshCandidateCtes,
-       common AS (
-         SELECT e.d1, e.d2, e.est_jaccard, COUNT(*) AS common
-         FROM surv e
-         JOIN sh a ON a.doc_id = e.d1
-         JOIN sh b ON b.doc_id = e.d2 AND b.shingle = a.shingle
-         GROUP BY e.d1, e.d2, e.est_jaccard),
-       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+       px AS (SELECT d1, d2, est_jaccard FROM surv),
+       ${shingleJaccardVerifySqlCtes(Seq("est_jaccard"))}
        SELECT c.d1, c.d2, c.est_jaccard, c.common,
          CAST(c.common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.common) AS jaccard
        FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2
@@ -360,60 +379,42 @@ object Dedup {
     * crossing pairs. */
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.text.TextAnalysis.{SplitBucketExpr, SplitTrainCut, SplitValCut}
     graft.expr.VectorExpressions.register(s)
-    val buckets = Tables.documents(s, dir).select($"doc_id",
-      expr("graft_polyhash(cast(doc_id as string), 31L, 1000000007L) % 100").as("bucket"))
+    val buckets = Tables.documents(s, dir)
+      .select($"doc_id", expr(SplitBucketExpr).as("bucket"))
     val cand = lshCandidates(s, dir)
     val p = buckets.toDF("d1", "b1").join(broadcast(cand), Seq("d1"))
     val crossing = buckets.toDF("d2", "b2").join(broadcast(p), Seq("d2"))
-      .filter(($"b1" < 80) =!= ($"b2" < 80))
-      .withColumn("hb", when($"b1" >= 80, $"b1").otherwise($"b2"))
+      .filter(($"b1" < SplitTrainCut) =!= ($"b2" < SplitTrainCut))
+      .withColumn("hb", when($"b1" >= SplitTrainCut, $"b1").otherwise($"b2"))
       .select($"d1", $"d2", $"est_jaccard",
-        when($"b1" < 80, $"d1").otherwise($"d2").as("train_doc"),
-        when($"b1" < 80, $"d2").otherwise($"d1").as("heldout_doc"),
-        when($"hb" < 90, "val").otherwise("test").as("split"))
-    val sh = shingles(s, dir).select($"doc_id", $"shingle")
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val aSh = sh.join(broadcast(crossing.select($"d1").distinct()),
-        $"doc_id" === $"d1").select($"d1", $"shingle")
-    val bSh = sh.join(broadcast(crossing.select($"d2").distinct()),
-        $"doc_id" === $"d2").select($"d2", $"shingle")
-    crossing.join(aSh, Seq("d1")).join(bSh, Seq("d2", "shingle"))
-      .groupBy($"d1", $"d2", $"train_doc", $"heldout_doc", $"split", $"est_jaccard")
-      .agg(count(lit(1)).as("common"))
-      .join(cnt.select($"doc_id".as("d1"), $"n_sh".as("n1")), Seq("d1"))
-      .join(cnt.select($"doc_id".as("d2"), $"n_sh".as("n2")), Seq("d2"))
-      .withColumn("jaccard", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
+        when($"b1" < SplitTrainCut, $"d1").otherwise($"d2").as("train_doc"),
+        when($"b1" < SplitTrainCut, $"d2").otherwise($"d1").as("heldout_doc"),
+        when($"hb" < SplitValCut, "val").otherwise("test").as("split"))
+    shingleJaccardVerify(s, dir, crossing,
+        Seq("train_doc", "heldout_doc", "split", "est_jaccard"))
       .select($"train_doc", $"heldout_doc", $"split", $"est_jaccard", $"jaccard")
       .orderBy($"train_doc", $"heldout_doc")
   }
 
-  /** Oracle: q29's candidate CTEs + q70's bucket rule + q66's exact
-    * verify, restricted to split-crossing pairs. */
+  /** Oracle: q29's candidate CTEs + q70's SHARED bucket rule + the
+    * SHARED exact-verify CTEs, restricted to split-crossing pairs. */
   val qSplitLeakageSql: String = {
-    val bucket = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
-        (acc, x) -> (acc*31 + x) % 1000000007) % 100"""
+    import graft.text.TextAnalysis.{SplitBucketSql, SplitTrainCut, SplitValCut}
     s"""WITH $lshCandidateCtes,
-       bk AS (SELECT doc_id, $bucket AS bucket FROM documents),
+       bk AS (SELECT doc_id, $SplitBucketSql AS bucket FROM documents),
        px AS (
          SELECT e.d1, e.d2, e.est_jaccard,
-           CASE WHEN ba.bucket < 80 THEN e.d1 ELSE e.d2 END AS train_doc,
-           CASE WHEN ba.bucket < 80 THEN e.d2 ELSE e.d1 END AS heldout_doc,
-           CASE WHEN (CASE WHEN ba.bucket >= 80 THEN ba.bucket ELSE bb.bucket END) < 90
+           CASE WHEN ba.bucket < $SplitTrainCut THEN e.d1 ELSE e.d2 END AS train_doc,
+           CASE WHEN ba.bucket < $SplitTrainCut THEN e.d2 ELSE e.d1 END AS heldout_doc,
+           CASE WHEN (CASE WHEN ba.bucket >= $SplitTrainCut THEN ba.bucket ELSE bb.bucket END) < $SplitValCut
                 THEN 'val' ELSE 'test' END AS split
          FROM surv e
          JOIN bk ba ON ba.doc_id = e.d1
          JOIN bk bb ON bb.doc_id = e.d2
-         WHERE (ba.bucket < 80) != (bb.bucket < 80)),
-       common AS (
-         SELECT p.d1, p.d2, p.train_doc, p.heldout_doc, p.split, p.est_jaccard,
-           COUNT(*) AS common
-         FROM px p
-         JOIN sh a ON a.doc_id = p.d1
-         JOIN sh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
-         GROUP BY p.d1, p.d2, p.train_doc, p.heldout_doc, p.split, p.est_jaccard),
-       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+         WHERE (ba.bucket < $SplitTrainCut) != (bb.bucket < $SplitTrainCut)),
+       ${shingleJaccardVerifySqlCtes(Seq("train_doc", "heldout_doc", "split", "est_jaccard"))}
        SELECT c.train_doc, c.heldout_doc, c.split, c.est_jaccard,
          CAST(c.common AS DOUBLE) / (ca.n_sh + cb.n_sh - c.common) AS jaccard
        FROM common c JOIN cnt ca ON ca.doc_id = c.d1 JOIN cnt cb ON cb.doc_id = c.d2

@@ -263,6 +263,20 @@ object TextAnalysis {
          FROM planted) t
        ORDER BY doc_id"""
 
+  /** THE split rule — q70 assigns with it and q92's leakage audit must
+    * check the SAME rule, so both consume these definitions (a q92
+    * auditing a privately re-stated split would keep passing its own
+    * oracle after a q70 change while auditing a split that no longer
+    * exists). */
+  private[graft] val SplitTrainCut = 80
+  private[graft] val SplitValCut = 90
+  private[graft] val SplitBucketExpr: String =
+    "graft_polyhash(cast(doc_id as string), 31L, 1000000007L) % 100"
+  private[graft] val SplitBucketSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*31 + x) % 1000000007) % 100"""
+
   /** q70 — deterministic train/val/test split, the assignment every
     * training pipeline needs to be STABLE across runs and engines:
     * bucket = portable polyhash of the doc key, mod 100 → 80/10/10.
@@ -276,10 +290,10 @@ object TextAnalysis {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     Tables.documents(s, dir)
-      .withColumn("bucket",
-        expr("graft_polyhash(cast(doc_id as string), 31L, 1000000007L) % 100"))
+      .withColumn("bucket", expr(SplitBucketExpr))
       .withColumn("split",
-        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+        when($"bucket" < SplitTrainCut, "train")
+          .when($"bucket" < SplitValCut, "val").otherwise("test"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
         sum(wordCount(textFormatted($"text"))).as("n_words"),
@@ -288,16 +302,13 @@ object TextAnalysis {
   }
 
   val qTrainSplitSql: String = {
-    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split(CAST(doc_id AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
-        (acc, x) -> (acc*31 + x) % 1000000007)"""
     s"""WITH b AS (
-         SELECT doc_id, text, $hash % 100 AS bucket
+         SELECT doc_id, text, $SplitBucketSql AS bucket
          FROM documents),
        sp AS (
          SELECT doc_id, text,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           CASE WHEN bucket < $SplitTrainCut THEN 'train'
+                WHEN bucket < $SplitValCut THEN 'val' ELSE 'test' END AS split
          FROM b),
        wc AS (
          SELECT doc_id, split,

@@ -164,13 +164,25 @@ class PackShardSpec extends SparkSpec {
     }
   }
 
-  test("q90: merge rules replay a scalar BPE trainer") {
+  /** Greedy left-to-right non-overlapping merge — a merged token's
+    * text l+r can never equal l, so no re-merge flag is needed. */
+  private def mergeOnce(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toVector
+  }
+
+  /** The scalar BPE trainer both the q90 and q91 tests replay against. */
+  private lazy val scalarBpeRules: Seq[(Int, String, String, Long)] = {
     var vocab: Seq[(Vector[String], Long)] = docRows
       .flatMap(d => d._3.trim.split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.size.toLong
       }.toSeq
-    val expected = (1 to 3).map { k =>
+    (1 to 3).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, f) =>
         syms.sliding(2).filter(_.size == 2).foreach { p =>
@@ -178,39 +190,26 @@ class PackShardSpec extends SparkSpec {
         }
       }
       val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-      vocab = vocab.map { case (syms, f) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        // greedy left-to-right, non-overlapping: a merged token's text
-        // l+r can never equal l, so no re-merge flag is needed
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
-          else out += x
-        }
-        out.toVector -> f
-      }
+      vocab = vocab.map { case (syms, f) => mergeOnce(syms, l, r) -> f }
       (k, l, r, cnt)
     }
+  }
+
+  test("q90: merge rules replay a scalar BPE trainer") {
     val got = TextAnalysis.qBpeMerges(spark, Sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     graft.core.Resources.release()
-    assert(got == expected, s"rules $got != $expected")
+    assert(got == scalarBpeRules, s"rules $got != $scalarBpeRules")
     // the merges must actually differ round to round (a trainer stuck
     // on one pair means the rewrite never applied)
     assert(got.map(g => (g._2, g._3)).distinct.size == 3)
+  }
 
-    // q91: tokenization under those rules replays per word
-    def applyRules(w: String): Int = {
-      var syms = w.map(_.toString).toVector
-      expected.foreach { case (_, l, r, _) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
-          else out += x
-        }
-        syms = out.toVector
-      }
-      syms.length
-    }
+  test("q91: tokenization under the learned rules replays per word") {
+    def applyRules(w: String): Int =
+      scalarBpeRules.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (_, l, r, _)) => mergeOnce(syms, l, r)
+      }.length
     val tok = TextAnalysis.qBpeTokenize(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     graft.core.Resources.release()
