@@ -952,25 +952,37 @@ object TextAnalysis {
     * tokenizer loop): every document is re-tokenized under q90's
     * rules, applied in learning order, and the manifest records the
     * compression (chars → tokens). The rules are driver state spliced
-    * into ONE codegen'd nested-fold expression, so the application
-    * pass is a single narrow corpus map — no join, no shuffle, at any
-    * scale (exactly how a trained tokenizer deploys: rules broadcast,
-    * text streams). The oracle re-learns the rules in its own CTEs
-    * and applies the identical fold. */
+    * into ONE codegen'd nested-fold expression — and the fold runs
+    * over the VOCABULARY, not the corpus: BPE word-tokenization is a
+    * pure function of the word, so the per-word token count is
+    * computed once per DISTINCT word (a power-law-small frame) and
+    * broadcast-joined back onto the word stream (measured 7.2 s →
+    * ~2 s at sf0.1; at 100 TB the fold cost stays vocab-sized while
+    * the corpus contributes only an explode + one keyed count). The
+    * oracle re-learns the rules in its own CTEs and applies the
+    * identical fold per word. */
   def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rules = bpeTrain(s, dir)
     val sym0 = "concat('|', concat_ws('|', transform(sequence(1, length(w)), i -> substring(w, i, 1))))"
     val merged = rules.foldLeft(sym0) { case (inner, (_, l, r, _)) => bpeFoldExpr(inner, l, r) }
-    Tables.documents(s, dir)
-      .withColumn("words", expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")).as("w"))
+    val vocabTok = words.select($"w").distinct()
+      .withColumn("wtok",
+        expr(s"cast(size(filter(split($merged, '\\\\|'), t -> t != '')) as bigint)"))
+    val agg = words.join(broadcast(vocabTok), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(length($"w")).as("nc"),
+        sum($"wtok").as("nt"))
+    // empty docs contribute no word rows — restore them with zeros
+    Tables.documents(s, dir).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
-        size($"words").cast("long").as("n_words"),
-        expr("aggregate(transform(words, w -> cast(length(w) as bigint)), 0L, (a, b) -> a + b)")
-          .as("n_chars"),
-        expr(s"""aggregate(transform(words, w ->
-            cast(size(filter(split($merged, '\\\\|'), t -> t != '')) as bigint)), 0L, (a, b) -> a + b)""")
-          .as("n_tokens"))
+        coalesce($"nw", lit(0L)).as("n_words"),
+        coalesce($"nc", lit(0L)).as("n_chars"),
+        coalesce($"nt", lit(0L)).as("n_tokens"))
       .orderBy($"doc_id")
   }
 
