@@ -195,6 +195,41 @@ class PackShardSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge fold ≡ positional non-overlap reference on adversarial inputs") {
+    // The engine's merge relies on two subtle equivalences: (1) the
+    // flag-free fold is safe because a merged token's text l+r can
+    // never equal l; (2) the string form's ends_with(acc, '|'+l) is
+    // exactly a last-token-equals-l test because symbols never contain
+    // the delimiter. Both are pinned here against an explicit
+    // positional reference, over an alphabet whose tokens are
+    // prefixes/suffixes of each other (the adversarial regime).
+    def refMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def stringFold(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val acc = syms.foldLeft("") { (acc, x) =>
+        if (acc.nonEmpty && acc.endsWith("|" + l) && x == r) acc + x else acc + "|" + x
+      }
+      acc.split("\\|").filter(_.nonEmpty).toVector
+    }
+    val alphabet = Vector("a", "b", "ab", "ba", "aa", "aab", "baa")
+    val rnd = new scala.util.Random(42)
+    (1 to 5000).foreach { trial =>
+      val syms = Vector.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+      val l = alphabet(rnd.nextInt(alphabet.length))
+      val r = alphabet(rnd.nextInt(alphabet.length))
+      val exp = refMerge(syms, l, r)
+      assert(mergeOnce(syms, l, r) == exp, s"trial $trial: fold($syms, $l, $r)")
+      assert(stringFold(syms, l, r) == exp, s"trial $trial: stringFold($syms, $l, $r)")
+    }
+  }
+
   test("q90: merge rules replay a scalar BPE trainer") {
     val got = TextAnalysis.qBpeMerges(spark, Sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
