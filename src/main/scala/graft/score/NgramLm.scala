@@ -370,16 +370,87 @@ object NgramLm {
       .orderBy($"source")
   }
 
+  // ---- q93: perplexity-based quality filter -------------------------
+
+  /** Add-one-smoothed bigram perplexity cut (the CCNet/KenLM-style
+    * LM-quality gate a training pipeline runs corpus-wide): train a
+    * bigram model on the WHOLE documents table, score every doc's
+    * perplexity under it, keep docs at or below the cut. Unlike
+    * q46/q62 (score one source against another's model) this is the
+    * self-scoring curation form — outlier docs are exactly the ones
+    * the corpus's own statistics find surprising.
+    *
+    * p(w|c) = (count(c,w) + 1) / (count(c) + V), V = |vocab|;
+    * ppl(doc) = exp(−Σ ln p / n). Plan shape: one explode to bigram
+    * items (8-byte-ish rows), two map-side-combined count tables keyed
+    * by the gram, scoring = two hash joins on the same keys, one
+    * per-doc rollup — at 100 TB every shuffle keys on gram or doc_id
+    * and the vocab size rides in as a broadcast scalar. The keep flag
+    * compares the DECIMAL-rounded perplexity (not the raw double) so
+    * the flag is derived from the same value both engines emit. */
+  private val PplCut = "30.0"
+
+  def qPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.documents(s, dir)
+      .withColumn("padded", expr(s"concat(array('$Pad'), split(trim(text), '\\\\s+'))"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(2, size(padded)), i -> struct(" +
+          "element_at(padded, i-1) as c1, element_at(padded, i) as w))")).as("it"))
+      .select($"doc_id", $"it.c1", $"it.w")
+    val grams2 = items.groupBy($"c1", $"w").agg(count(lit(1)).as("c2"))
+    val grams1 = items.groupBy($"c1").agg(count(lit(1)).as("c1n"))
+    val vocab = items.agg(countDistinct($"w").as("vsz"))
+    items
+      .join(grams2, Seq("c1", "w"), "left")
+      .join(grams1, Seq("c1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((coalesce($"c2", lit(0L)) + lit(1.0)) / ($"c1n" + $"vsz")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_items"), exp(sum($"nll") / count(lit(1))).as("ppl"))
+      .withColumn("ppl_r", $"ppl".cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+      .select($"doc_id", $"n_items", $"ppl_r".cast("string").as("ppl_r"),
+        ($"ppl_r" <= expr(s"cast($PplCut as decimal(12,4))")).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qPerplexityFilterSql: String =
+    s"""WITH it AS (
+         SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(padded)), i -> struct_pack(
+             c1 := padded[i-1], w := padded[i]))) AS item
+         FROM (SELECT doc_id,
+                 list_concat(['$Pad'], regexp_split_to_array(trim(text), '\\s+')) AS padded
+               FROM documents) t),
+       flat AS (SELECT doc_id, item.c1 AS c1, item.w AS w FROM it),
+       g2 AS (SELECT c1, w, COUNT(*) AS c2 FROM flat GROUP BY c1, w),
+       g1 AS (SELECT c1, COUNT(*) AS c1n FROM flat GROUP BY c1),
+       v AS (SELECT COUNT(DISTINCT w) AS vsz FROM flat),
+       scored AS (
+         SELECT f.doc_id, COUNT(*) AS n_items,
+           CAST(exp(SUM(-ln((COALESCE(g2.c2, 0) + 1.0) / (g1.c1n + v.vsz))) / COUNT(*))
+                AS DECIMAL(12,4)) AS ppl_r
+         FROM flat f
+         LEFT JOIN g2 ON f.c1 = g2.c1 AND f.w = g2.w
+         LEFT JOIN g1 ON f.c1 = g1.c1
+         CROSS JOIN v
+         GROUP BY f.doc_id)
+       SELECT doc_id, n_items, CAST(ppl_r AS VARCHAR) AS ppl_r,
+         ppl_r <= CAST($PplCut AS DECIMAL(12,4)) AS keep
+       FROM scored ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ngram_score" -> qNgramScore,
     "q47_lm_broadcast_score" -> qLmBroadcastScore,
     "q62_treebank_score" -> qTreebankScore,
-    "q67_model_blob_roundtrip" -> qModelBlobRoundTrip)
+    "q67_model_blob_roundtrip" -> qModelBlobRoundTrip,
+    "q93_perplexity_filter" -> qPerplexityFilter)
 
   val oracles: Map[String, String] = Map(
     "q46_ngram_score" -> qNgramScoreSql,
     "q47_lm_broadcast_score" -> qLmBroadcastScoreSql,
     "q62_treebank_score" -> qTreebankScoreSql,
+    "q93_perplexity_filter" -> qPerplexityFilterSql,
     // q67 is q47 with the model routed through the blob lake; identical
     // output contract, same relational replay.
     "q67_model_blob_roundtrip" -> qLmBroadcastScoreSql)

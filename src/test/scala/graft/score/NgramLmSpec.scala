@@ -66,6 +66,40 @@ class NgramLmSpec extends SparkSpec {
       .map { case (w, ctx) => direct.score(w, ctx) })
   }
 
+  test("q93: relational smoothed-bigram perplexity matches a scalar replay") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // Scalar replay of the add-one bigram math over the same corpus.
+    def bigrams(text: String): Seq[(String, String)] = {
+      val toks = "<s>" +: NgramLm.tokenize(text).toSeq
+      toks.sliding(2).collect { case Seq(c, w) => (c, w) }.toSeq
+    }
+    val all = docs.flatMap { case (_, t) => bigrams(t) }
+    val g2 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val g1 = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vsz = all.map(_._2).distinct.size.toLong
+    val expected = docs.map { case (id, t) =>
+      val items = bigrams(t)
+      val nll = items.map { case (c, w) =>
+        -math.log((g2.getOrElse((c, w), 0L) + 1.0) / (g1(c) + vsz))
+      }.sum
+      id -> (items.size.toLong, math.exp(nll / items.size))
+    }.toMap
+    val rows = NgramLm.qPerplexityFilter(spark, Sf0001).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (n, ppl) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_items") == n)
+      val got = BigDecimal(r.getAs[String]("ppl_r"))
+      assert((got - BigDecimal(ppl)).abs < BigDecimal("0.001"), s"doc ${r.get(0)}")
+      assert(r.getAs[Boolean]("keep") == (got <= BigDecimal("30.0")))
+    }
+    // the cut actually splits this corpus — both classes non-empty
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("broadcast scorer matches the relational q46 means") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
