@@ -671,6 +671,106 @@ object Dedup {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q94 — duplicate-span REMOVAL, the rewrite step downstream of
+    * q74's metric (public substring-dedup work drops repeated spans
+    * from the corpus rather than whole documents): positions whose
+    * [[SpanN]]-gram appears in ≥2 distinct docs are expanded to the
+    * tokens they cover, overlapping covered runs merge (gaps-and-
+    * islands), and the doc is re-emitted with covered tokens cut.
+    *
+    * Plan shape: the gram stream carries (doc_id, pos, 8-byte hash) —
+    * never gram text; the corpus-wide duplicated-hash table comes from
+    * the same map-side-combined count q74 uses; coverage expansion is
+    * a narrow explode of ≤ SpanN ints per duplicated start; the only
+    * wide shuffle of word data is the per-doc rebuild groupBy, keyed
+    * on doc_id — the same key the coverage anti-join uses, so AQE
+    * chains them without a second exchange of the words. Docs with no
+    * duplicated span (or fewer than SpanN words) pass through whole. */
+  def qDupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.VectorExpressions.register(s)
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+    // (doc, 1-based start, hash) — positions kept, duplicates kept (the
+    // same gram twice in one doc marks both starts).
+    val gramsPos = words
+      .filter(size($"words") >= SpanN)
+      .select($"doc_id", posexplode(expr(
+        s"graft_shingle_hashes(words, $SpanN, 31L, ${PolyMod1}L)")))
+      .select($"doc_id", ($"pos" + 1).as("i"), $"col".as("h"))
+    val dupHash = gramsPos.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"h")
+    val covered = gramsPos.join(dupHash, Seq("h"))
+      .select($"doc_id", explode(expr(s"sequence(i, i + ${SpanN - 1})")).as("idx"))
+      .distinct()
+    // merge covered runs per doc: idx - row_number is constant per run
+    val spans = covered
+      .withColumn("grp", $"idx" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"idx")))
+      .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("span_len"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_len").as("n_removed"))
+    val kept = words
+      .select($"doc_id", posexplode($"words"))
+      .select($"doc_id", ($"pos" + 1).as("idx"), $"col".as("word"))
+      .filter($"word" =!= "")
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(idx, word))), x -> x.word)"))
+        .as("clean_text"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val qDupSpanRemovalSql: String = {
+    val joins = (0 until SpanN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, i, ${polyHashSql("gram", 31, PolyMod1)} AS h
+             FROM (SELECT doc_id, i, $joins AS gram
+                   FROM w, unnest(generate_series(1, len(words) - ${SpanN - 1})) AS u(i)
+                   WHERE len(words) >= $SpanN) t),
+       dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) gd
+              GROUP BY h HAVING COUNT(*) >= 2),
+       cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS idx
+               FROM g JOIN dh USING (h),
+                    unnest(generate_series(0, ${SpanN - 1})) AS k(k)),
+       spans AS (
+         SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(span_len) AS BIGINT) AS n_removed
+         FROM (SELECT doc_id, grp, COUNT(*) AS span_len
+               FROM (SELECT doc_id, idx,
+                       idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+                     FROM cov) t
+               GROUP BY doc_id, grp) sp
+         GROUP BY doc_id),
+       kept AS (
+         SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.idx) AS clean_text
+         FROM (SELECT w.doc_id, i.i AS idx, w.words[i.i] AS word
+               FROM w, unnest(generate_series(1, len(w.words))) AS i(i)
+               WHERE w.words[i.i] != '') t
+         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.idx = t.idx
+         WHERE cov.doc_id IS NULL
+         GROUP BY t.doc_id)
+       SELECT d.doc_id,
+         COALESCE(s.n_spans, 0) AS n_spans,
+         COALESCE(s.n_removed, 0) AS n_removed,
+         COALESCE(k.clean_text, '') AS clean_text
+       FROM documents d
+       LEFT JOIN spans s ON s.doc_id = d.doc_id
+       LEFT JOIN kept k ON k.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   private val SimBits = 60      // 60-bit simhash from two poly folds
   private val SimBandBits = 6   // 10 bands × 6 bits
   // ≤ 6 differing bits — private[graft] so the streaming ingest gate
@@ -1079,6 +1179,7 @@ object Dedup {
     "q66_lsh_verified" -> qLshVerified,
     "q68_decontaminate" -> qDecontaminate,
     "q74_dup_span_fraction" -> qDupSpanFraction,
+    "q94_dup_span_removal" -> qDupSpanRemoval,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1095,6 +1196,7 @@ object Dedup {
     "q66_lsh_verified" -> qLshVerifiedSql,
     "q68_decontaminate" -> qDecontaminateSql,
     "q74_dup_span_fraction" -> qDupSpanFractionSql,
+    "q94_dup_span_removal" -> qDupSpanRemovalSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,

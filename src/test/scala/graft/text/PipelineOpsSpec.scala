@@ -98,6 +98,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q94: span removal matches a scalar gaps-and-islands recomputation") {
+    // same portable gram hash as q74 (collisions are semantics)
+    def gramHashAt(ws: Seq[String]): Seq[Long] =
+      ws.sliding(5).filter(_.length == 5)
+        .map(g => graft.core.Hashing.polyFold(g.mkString(" "), 31, 1000000007L)).toSeq
+    val perDoc = docs.map { case (id, (_, t)) => id -> gramHashAt(words(t)) }
+    val docCount = perDoc.toSeq
+      .flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.map { case (id, (_, t)) =>
+      val ws = words(t)
+      val covered = perDoc(id).zipWithIndex.collect {
+        case (h, p) if docCount.getOrElse(h, 0) >= 2 => (p + 1) to (p + 5)
+      }.flatten.toSet
+      val sorted = covered.toSeq.sorted
+      val nSpans = sorted.zipWithIndex.count { case (idx, k) =>
+        k == 0 || sorted(k - 1) != idx - 1
+      }
+      val clean = ws.zipWithIndex.collect {
+        case (w, p) if !covered.contains(p + 1) => w
+      }.mkString(" ")
+      id -> ((nSpans.toLong, covered.size.toLong, clean))
+    }
+    val got = graft.dedup.Dedup.qDupSpanRemoval(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    // the fixture actually exercises removal — some doc loses a span,
+    // some doc passes through whole
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.exists(_._2 == 0))
+  }
+
   test("q73: encode manifest matches a scalar vocab build") {
     val all = docs.values.flatMap { case (_, t) => words(t) }.toSeq
     val vocab = all.groupBy(identity).map { case (w, g) => (w, g.size) }.toSeq
