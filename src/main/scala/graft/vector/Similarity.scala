@@ -17,7 +17,10 @@ import graft.core.Tables
   * list_cosine_similarity modulo the final two IEEE ops on identical
   * operands, so results round identically through DECIMAL(9,6).
   */
-object Similarity {
+// Serializable because executor-side closures (the q33/q95 argmax
+// assignment) call [[nearestBuckets]], capturing the module reference;
+// module serialization is a readResolve-to-singleton marker, no state.
+object Similarity extends Serializable {
 
   /** dot(a,b) — the native codegen'd [[graft.expr.DotProduct]]
     * expression (sequential left-to-right fold, same IEEE order as the
@@ -164,19 +167,21 @@ object Similarity {
     * at 100 TB the bucket is the partition key and probing prunes
     * partitions. Rows-only query; recall vs brute force is asserted in
     * SimilaritySpec. */
+  /** Nearest-centroid argmax (sim desc, centroid id asc on ties) —
+    * the assignment rule shared by q33 (IVF probe) and q95 (SemDeDup
+    * clustering); ONE definition so the two cannot drift. */
+  private def nearestBuckets(cs: Array[Vec], v: Vec, n: Int): Seq[Long] =
+    cs.map(c => (dotP(v.v, c.v) / (v.norm * c.norm), c.id))
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(n).map(_._2).toSeq
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val vecs = prepped(s, dir)
     val cents = graft.core.Resources.broadcast(s,
       vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
-    // nearest-centroid argmax (sim desc, centroid id asc on ties)
-    def topBuckets(v: Vec, n: Int): Seq[Long] = {
-      val cs = cents.value
-      cs.map(c => (dotP(v.v, c.v) / (v.norm * c.norm), c.id))
-        .sortBy { case (sim, id) => (-sim, id) }
-        .take(n).map(_._2).toSeq
-    }
+    def topBuckets(v: Vec, n: Int): Seq[Long] = nearestBuckets(cents.value, v, n)
     val assigned = vecs.map(v => (v.id, v.v, v.norm, topBuckets(v, 1).head))
       .toDF("vec_id", "vec", "norm", "bucket")
     val probes = vecs.filter((v: Vec) => v.id < 20)
@@ -327,6 +332,75 @@ object Similarity {
        SELECT v1, v2, CAST(CAST(sim AS DECIMAL(9,6)) AS VARCHAR) AS sim_r
        FROM verify WHERE sim >= 0.4 ORDER BY v1, v2"""
 
+  // --- SemDeDup: within-cluster semantic pruning ----------------------
+
+  /** Looser than q32's 0.4 near-dup cut on purpose: SemDeDup prunes
+    * SEMANTIC redundancy, not just near-copies. */
+  private val SemTheta = 0.35
+
+  /** q95 — SemDeDup-shaped semantic dedup: cluster the embedding space
+    * coarsely (the q33 centroid assignment, shared rule), then prune
+    * within each cluster — a vector is pruned when a LOWER-id vector
+    * in the same cluster has cosine ≥ θ (chains collapse onto the
+    * lowest id; the surviving set is the greedy-by-id cover). Emits
+    * every vector with its cluster, the pruning witness (min such
+    * lower id, NULL if kept), and the keep/prune flag.
+    *
+    * Why this exists next to q32/q76: the exact θ-join (q32) is
+    * O(N²·d) and SRP-LSH (q76) targets high-sim near-copies;
+    * SemDeDup's bet is that a coarse partition bounds the pairwise
+    * stage to Σ bucket² — at 100 TB the cluster count grows with N to
+    * hold bucket size constant, assignment stays one narrow broadcast-
+    * argmax pass, and the pairwise stage shuffles vectors ONCE keyed
+    * by bucket. Cross-engine exactness rides on the shared fold
+    * discipline (graft_dot ≡ list_cosine_similarity op order), same as
+    * q32. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Resources
+    graft.expr.VectorExpressions.register(s)
+    val vecs = prepped(s, dir)
+    val cents = Resources.broadcast(s,
+      vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
+    // Persisted: the assigned frame feeds both pairwise sides AND the
+    // final all-vectors output — one assignment pass, three readers.
+    val assigned = Resources.persist(
+      vecs.map(v => (v.id, v.v, v.norm, nearestBuckets(cents.value, v, 1).head))
+        .toDF("vec_id", "vec", "norm", "bucket"))
+    val a = assigned.toDF("u", "uvec", "unorm", "bucket")
+    val b = assigned.toDF("v2", "vvec", "vnorm", "bucket")
+    val witness = a.join(b, Seq("bucket")).filter($"u" < $"v2")
+      .withColumn("sim", dot("uvec", "vvec") / ($"unorm" * $"vnorm"))
+      .filter($"sim" >= SemTheta)
+      .groupBy($"v2".as("vec_id")).agg(min($"u").as("witness"))
+    assigned.select($"vec_id", $"bucket")
+      .join(witness, Seq("vec_id"), "left")
+      .select($"vec_id", $"bucket", $"witness", $"witness".isNotNull.as("pruned"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the q33 assignment CTEs + in-bucket pairwise + min-witness. */
+  val qSemDedupSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
+       assign AS (
+         SELECT vec_id, cid AS bucket FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1),
+       wit AS (
+         SELECT b.vec_id, MIN(a.vec_id) AS witness
+         FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN emb ea ON ea.vec_id = a.vec_id
+         JOIN emb eb ON eb.vec_id = b.vec_id
+         WHERE list_cosine_similarity(ea.v, eb.v) >= $SemTheta
+         GROUP BY b.vec_id)
+       SELECT a.vec_id, a.bucket, w.witness, w.witness IS NOT NULL AS pruned
+       FROM assign a LEFT JOIN wit w ON w.vec_id = a.vec_id
+       ORDER BY a.vec_id"""
+
   /** q71 — symmetric int8 quantization of the embedding column, the
     * storage-compression pass a 100 TB embedding lake runs before
     * writing (4× smaller than float32; dot products stay integer until
@@ -381,12 +455,14 @@ object Similarity {
     "q32_embed_neardup" -> qEmbedNearDup,
     "q33_ann_ivf" -> qAnnIvf,
     "q71_quantize_int8" -> qQuantizeInt8,
-    "q76_srp_lsh" -> qSrpLsh)
+    "q76_srp_lsh" -> qSrpLsh,
+    "q95_semdedup" -> qSemDedup)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
     "q32_embed_neardup" -> qEmbedNearDupSql,
     "q33_ann_ivf" -> qAnnIvfSql,
     "q71_quantize_int8" -> qQuantizeInt8Sql,
-    "q76_srp_lsh" -> qSrpLshSql)
+    "q76_srp_lsh" -> qSrpLshSql,
+    "q95_semdedup" -> qSemDedupSql)
 }

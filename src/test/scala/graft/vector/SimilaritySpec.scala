@@ -43,6 +43,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"SRP recall $recall vs exact ${exact.size} pairs")
   }
 
+  test("q95: SemDeDup pruning matches a scalar within-bucket replay") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, f) => id -> f.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vecs.filter(_._1 < 16)
+    def bucket(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val assigned = vecs.map { case (id, v) => (id, v, bucket(v)) }
+    val expected = assigned.map { case (id, v, b) =>
+      val ws = assigned.collect {
+        case (u, uv, ub) if ub == b && u < id && cos(uv, v) >= 0.35 => u
+      }
+      id -> ((b, ws.sorted.headOption))
+    }.toMap
+    val got = Similarity.qSemDedup(spark, Sf0001).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bucket"),
+          Option(r.getAs[java.lang.Long]("witness")).map(_.toLong)))
+    }.toMap
+    assert(got == expected)
+    // the fixture exercises both outcomes
+    assert(got.values.exists(_._2.isDefined))
+    assert(got.values.exists(_._2.isEmpty))
+  }
+
   test("srpSig is deterministic and uses all bands") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
     val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
