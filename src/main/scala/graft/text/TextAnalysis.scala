@@ -1005,6 +1005,103 @@ object TextAnalysis {
        SELECT doc_id, n_words, n_chars, n_tokens FROM tok ORDER BY doc_id"""
   }
 
+  // ---- q96: hashed-gram importance weights (DSIR-shaped) ------------
+
+  /** Hash-bucket count for the importance model. The POINT of hashing:
+    * the per-bucket count table is bounded at this many rows no matter
+    * the corpus size, so the scoring join is always a broadcast — the
+    * property that makes importance resampling tractable at 100 TB. */
+  private val DsirBuckets = 65536L
+  private val DsirTarget = "src0"
+
+  /** q96 — importance weighting against a target domain (the
+    * DSIR-shaped data-selection op, Xie et al. 2023, public): every
+    * non-target doc scored by how much its hashed-bigram distribution
+    * looks like the target source vs the raw pool.
+    *
+    * weight(doc) = mean over bigrams g of
+    *   ln( p̂_target(h(g)) / p̂_raw(h(g)) ),   add-one smoothed over
+    * [[DsirBuckets]] buckets of the portable polyhash. Plan: one
+    * bigram explode (8-byte bucket ids — gram text dies immediately),
+    * ONE map-side-combined count pass producing both distributions,
+    * broadcast of the ≤65536-row count table + the 1-row totals, a
+    * narrow per-doc rollup. Weight is emitted DECIMAL-rounded (ln is
+    * the one op libm implementations may differ on in the last ulp;
+    * rounding absorbs it — same discipline as q93) and the
+    * target_like flag derives from the rounded value. */
+  /** Per-doc (doc_id, n_grams, w) under the hashed-gram importance
+    * model — see [[qImportanceWeights]] for semantics and plan. */
+  private def importanceWeightsRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(1, size(words)-1), i -> concat(element_at(words,i), ' ', element_at(words,i+1)))"))
+        .as("gram"))
+      .withColumn("b", expr(s"graft_polyhash(gram, 31L, 1000000007L) % ${DsirBuckets}L"))
+      .select($"doc_id", $"source", $"b")
+    val counts = grams.groupBy($"b").agg(
+      sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    grams.filter($"source" =!= DsirTarget)
+      .join(broadcast(counts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", log(
+        (($"ct" + lit(1.0)) / ($"nt" + lit(DsirBuckets.toDouble))) /
+          (($"cr" + lit(1.0)) / ($"nr" + lit(DsirBuckets.toDouble)))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), (sum($"lr") / count(lit(1))).as("w"))
+  }
+
+  def qImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // target_like is RELATIVE — above the pool mean — because the
+    // absolute weight scale moves with corpus size (smoothing mass);
+    // both sides compare DECIMAL-rounded so the flag derives from the
+    // values the engines emit. The weights frame is one row per doc,
+    // so the second aggregation pass is over metadata, not the corpus.
+    val weights = importanceWeightsRaw(s, dir)
+    val poolAvg = weights.agg(avg($"w").as("aw"))
+    weights
+      .crossJoin(broadcast(poolAvg))
+      .withColumn("w_r", $"w".cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+      .select($"doc_id", $"n_grams", $"w_r".cast("string").as("weight_r"),
+        ($"w_r" > $"aw".cast(org.apache.spark.sql.types.DecimalType(12, 6))).as("target_like"))
+      .orderBy($"doc_id")
+  }
+
+  val qImportanceWeightsSql: String =
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, source,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, x) -> (acc*31 + x) % 1000000007) % $DsirBuckets AS b
+             FROM (SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, len(words)-1),
+                       i -> words[i] || ' ' || words[i+1])) AS gram
+                   FROM w WHERE len(words) >= 2) t),
+       cnt AS (SELECT b,
+                 SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
+                 SUM(CASE WHEN source != '$DsirTarget' THEN 1 ELSE 0 END) AS cr
+               FROM g GROUP BY b),
+       tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt),
+       scored AS (
+         SELECT g.doc_id, COUNT(*) AS n_grams,
+           SUM(ln(((c.ct + 1.0) / (t.nt + $DsirBuckets.0)) /
+                  ((c.cr + 1.0) / (t.nr + $DsirBuckets.0)))) / COUNT(*) AS w
+         FROM g JOIN cnt c USING (b) CROSS JOIN tot t
+         WHERE g.source != '$DsirTarget'
+         GROUP BY g.doc_id),
+       pool AS (SELECT AVG(w) AS aw FROM scored)
+       SELECT doc_id, n_grams,
+         CAST(CAST(w AS DECIMAL(12,6)) AS VARCHAR) AS weight_r,
+         CAST(w AS DECIMAL(12,6)) > CAST(aw AS DECIMAL(12,6)) AS target_like
+       FROM scored CROSS JOIN pool ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1024,7 +1121,8 @@ object TextAnalysis {
     "q86_source_cap" -> qSourceCap,
     "q87_length_quantiles" -> qLengthQuantiles,
     "q90_bpe_merges" -> qBpeMerges,
-    "q91_bpe_tokenize" -> qBpeTokenize)
+    "q91_bpe_tokenize" -> qBpeTokenize,
+    "q96_importance_weights" -> qImportanceWeights)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1045,5 +1143,6 @@ object TextAnalysis {
     "q86_source_cap" -> qSourceCapSql,
     "q87_length_quantiles" -> qLengthQuantilesSql,
     "q90_bpe_merges" -> qBpeMergesSql,
-    "q91_bpe_tokenize" -> qBpeTokenizeSql)
+    "q91_bpe_tokenize" -> qBpeTokenizeSql,
+    "q96_importance_weights" -> qImportanceWeightsSql)
 }

@@ -130,6 +130,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 0))
   }
 
+  test("q96: importance weights match a scalar hashed-gram replay") {
+    def buckets(t: String): Seq[Long] =
+      words(t).sliding(2).filter(_.length == 2)
+        .map(g => graft.core.Hashing.polyFold(g.mkString(" "), 31, 1000000007L) % 65536L)
+        .toSeq
+    val perDoc = docs.map { case (id, (src, t)) => (id, src, buckets(t)) }
+      .filter(_._3.nonEmpty)
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    perDoc.foreach { case (_, src, bs) =>
+      bs.foreach(b => if (src == "src0") ct(b) += 1 else cr(b) += 1)
+    }
+    val (nt, nr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
+    val expected = perDoc.collect { case (id, src, bs) if src != "src0" =>
+      val w = bs.map { b =>
+        math.log(((ct(b) + 1.0) / (nt + 65536.0)) / ((cr(b) + 1.0) / (nr + 65536.0)))
+      }.sum / bs.size
+      id -> ((bs.size.toLong, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    }.toMap
+    val got = TextAnalysis.qImportanceWeights(spark, Sf0001).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getString(2))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, w)) =>
+      assert(n == expected(id)._1, s"doc $id gram count")
+      assert((w - expected(id)._2).abs <= BigDecimal("0.000001"), s"doc $id weight")
+    }
+    // the target flag fires both ways on this corpus
+    val flags = TextAnalysis.qImportanceWeights(spark, Sf0001).collect()
+      .map(_.getAs[Boolean]("target_like")).toSet
+    assert(flags == Set(true, false))
+  }
+
   test("q73: encode manifest matches a scalar vocab build") {
     val all = docs.values.flatMap { case (_, t) => words(t) }.toSeq
     val vocab = all.groupBy(identity).map { case (w, g) => (w, g.size) }.toSeq
