@@ -86,18 +86,25 @@ object Similarity extends Serializable {
       .orderBy($"query_id", $"rank")
   }
 
-  val qCosineTopKSql: String =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-                  FROM embeddings WHERE vec_id < 20),
+  /** Brute-force top-5 CTE block (`exact(query_id, rank, neighbor_id)`)
+    * — shared by the q31 and q97 oracles so they cannot drift. */
+  private val bruteTopKCtes: String =
+    """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id < 20),
        scored AS (
          SELECT q.query_id, e.vec_id AS neighbor_id,
            list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS sim
-         FROM q JOIN embeddings e ON e.vec_id != q.query_id)
-       SELECT query_id, rank, neighbor_id FROM (
-         SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         FROM scored) t
-       WHERE rank <= 5 ORDER BY query_id, rank"""
+         FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+       exact AS (
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored) t
+         WHERE rank <= 5)"""
+
+  val qCosineTopKSql: String =
+    s"""WITH $bruteTopKCtes
+       SELECT query_id, rank, neighbor_id FROM exact ORDER BY query_id, rank"""
 
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4), exact.
     *
@@ -201,8 +208,10 @@ object Similarity extends Serializable {
     * centroids = k lowest ids, argmax assignment, nprobe probe list,
     * exact in-bucket ranking), so DuckDB replays it end-to-end. Rank
     * output only — sims are compared through ORDER BY, same as q31. */
-  val qAnnIvfSql: String =
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** IVF top-5 CTE block (`ivf(query_id, rank, neighbor_id)`) — shared
+    * by the q33 and q97 oracles so they cannot drift. */
+  private val ivfTopKCtes: String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
        assign AS (
          SELECT vec_id, cid AS bucket FROM (
@@ -224,12 +233,17 @@ object Similarity extends Serializable {
          FROM probes p JOIN assign a USING (bucket)
          JOIN emb qe ON qe.vec_id = p.query_id
          JOIN emb ae ON ae.vec_id = a.vec_id
-         WHERE a.vec_id != p.query_id)
-       SELECT query_id, rank, vec_id AS neighbor_id FROM (
-         SELECT query_id, vec_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-         FROM cand) t
-       WHERE rank <= 5 ORDER BY query_id, rank"""
+         WHERE a.vec_id != p.query_id),
+       ivf AS (
+         SELECT query_id, rank, vec_id AS neighbor_id FROM (
+           SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           FROM cand) t
+         WHERE rank <= 5)"""
+
+  val qAnnIvfSql: String =
+    s"""WITH $ivfTopKCtes
+       SELECT query_id, rank, neighbor_id FROM ivf ORDER BY query_id, rank"""
 
   // --- Random-hyperplane (SRP) LSH -----------------------------------
 
@@ -331,6 +345,43 @@ object Similarity extends Serializable {
          FROM cand c JOIN v e1 ON e1.vec_id = c.v1 JOIN v e2 ON e2.vec_id = c.v2)
        SELECT v1, v2, CAST(CAST(sim AS DECIMAL(9,6)) AS VARCHAR) AS sim_r
        FROM verify WHERE sim >= 0.4 ORDER BY v1, v2"""
+
+  // --- ANN recall report ----------------------------------------------
+
+  /** q97 — the evaluation-hygiene op every ANN deployment runs before
+    * trusting an index: per-query recall of the IVF path (q33) against
+    * the brute-force ground truth (q31). Every production vector-store
+    * rollout gates on exactly this number; here it is a first-class
+    * operator so the recall/cost dial of IvfNProbe is MEASURED, not
+    * asserted. recall = |ivf ∩ exact| / k as an exact multiple of 1/k
+    * (n_hits/5.0 is the same IEEE double in both engines — no rounding
+    * needed). Plan: both sub-pipelines as built (ground truth is the
+    * expensive side by design — this op runs on a SAMPLE of queries at
+    * scale, which is what the vec_id < 20 query set is); the compare
+    * is a (query, neighbor) equi-join of two k-row-per-query frames. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qCosineTopK(s, dir).select($"query_id", $"neighbor_id")
+    val approx = qAnnIvf(s, dir).select($"query_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits".cast("double") / $"k".cast("double")).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  /** Oracle: the SHARED q31/q33 CTE blocks joined on (query, neighbor). */
+  val qAnnRecallSql: String =
+    s"""WITH $bruteTopKCtes,
+       $ivfTopKCtes
+       SELECT e.query_id, CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS recall
+       FROM exact e
+       LEFT JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
 
   // --- SemDeDup: within-cluster semantic pruning ----------------------
 
@@ -456,7 +507,8 @@ object Similarity extends Serializable {
     "q33_ann_ivf" -> qAnnIvf,
     "q71_quantize_int8" -> qQuantizeInt8,
     "q76_srp_lsh" -> qSrpLsh,
-    "q95_semdedup" -> qSemDedup)
+    "q95_semdedup" -> qSemDedup,
+    "q97_ann_recall" -> qAnnRecall)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -464,5 +516,6 @@ object Similarity extends Serializable {
     "q33_ann_ivf" -> qAnnIvfSql,
     "q71_quantize_int8" -> qQuantizeInt8Sql,
     "q76_srp_lsh" -> qSrpLshSql,
-    "q95_semdedup" -> qSemDedupSql)
+    "q95_semdedup" -> qSemDedupSql,
+    "q97_ann_recall" -> qAnnRecallSql)
 }

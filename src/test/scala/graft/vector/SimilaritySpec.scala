@@ -43,6 +43,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"SRP recall $recall vs exact ${exact.size} pairs")
   }
 
+  test("q97: recall report agrees with the q31/q33 set intersection") {
+    val brute = Similarity.qCosineTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.qAnnIvf(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = Similarity.qAnnRecall(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = brute.filter(_._1 == q).count(ivf.contains)
+      assert(r.getAs[Long]("n_hits") == hits, s"query $q")
+      assert(r.getAs[Double]("recall") == hits / 5.0, s"query $q")
+    }
+  }
+
   test("q95: SemDeDup pruning matches a scalar within-bucket replay") {
     val vecs = graft.core.Tables.embeddings(spark, Sf0001)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
