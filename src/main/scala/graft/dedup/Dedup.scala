@@ -618,6 +618,55 @@ object Dedup {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** q98 — cross-source overlap matrix, the dataset-composition audit
+    * a pipeline runs BEFORE mixing corpora (q68/q80 ask "is this doc
+    * contaminated by the benchmark"; this asks "how much does every
+    * source pair share at all" — the number that decides whether two
+    * crawls are near-copies of each other): for each ordered source
+    * pair, the count of shared distinct 4-gram hashes and the
+    * containment fraction |A∩B| / |A|.
+    *
+    * Scale shape: per-source DISTINCT gram hashes (8-byte keys off the
+    * fused shingle expression — gram text never exists), self-joined
+    * on the hash; the shuffle carries (source, hash) pairs and the
+    * output is bounded by #sources² rows. A gram present in k sources
+    * contributes k² candidate rows — bounded by #sources², not corpus
+    * size. Containment is one exact int division (bit-identical across
+    * engines, no rounding needed). */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sg = gramFrame(s, dir).select($"source", $"h").distinct()
+    val totals = sg.groupBy($"source").agg(count(lit(1)).as("n1"))
+    val a = sg.toDF("s1", "h")
+    val b = sg.toDF("s2", "h")
+    a.join(b, Seq("h")).filter($"s1" =!= $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_common"))
+      .join(totals.toDF("s1", "n1"), Seq("s1"))
+      .select($"s1", $"s2", $"n_common",
+        ($"n_common".cast("double") / $"n1").as("containment"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val qSourceOverlapSql: String = {
+    val joins = (0 until DecontamN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT source,
+               unnest(list_transform(generate_series(1, len(words) - ${DecontamN - 1}),
+                 i -> $joins)) AS gram
+             FROM w WHERE len(words) >= $DecontamN),
+       sg AS (SELECT DISTINCT source, ${polyHashSql("gram", 31, PolyMod1)} AS h FROM g),
+       tot AS (SELECT source, COUNT(*) AS n1 FROM sg GROUP BY source),
+       inter AS (
+         SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+         FROM sg a JOIN sg b ON a.h = b.h AND a.source != b.source
+         GROUP BY a.source, b.source)
+       SELECT i.s1, i.s2, i.n_common,
+         CAST(i.n_common AS DOUBLE) / t.n1 AS containment
+       FROM inter i JOIN tot t ON t.source = i.s1
+       ORDER BY i.s1, i.s2"""
+  }
+
   /** q74 — duplicate-span fraction, the span-level curation metric
     * (how much of each doc's text also appears in OTHER docs — the
     * per-doc statistic behind substring-dedup decisions in public
@@ -1180,6 +1229,7 @@ object Dedup {
     "q68_decontaminate" -> qDecontaminate,
     "q74_dup_span_fraction" -> qDupSpanFraction,
     "q94_dup_span_removal" -> qDupSpanRemoval,
+    "q98_source_overlap" -> qSourceOverlap,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1197,6 +1247,7 @@ object Dedup {
     "q68_decontaminate" -> qDecontaminateSql,
     "q74_dup_span_fraction" -> qDupSpanFractionSql,
     "q94_dup_span_removal" -> qDupSpanRemovalSql,
+    "q98_source_overlap" -> qSourceOverlapSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,

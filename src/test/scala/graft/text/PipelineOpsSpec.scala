@@ -130,6 +130,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 0))
   }
 
+  test("q98: source overlap matrix matches a scalar set-intersection replay") {
+    def gramHashes(t: String): Set[Long] =
+      words(t).sliding(4).filter(_.length == 4)
+        .map(g => graft.core.Hashing.polyFold(g.mkString(" "), 31, 1000000007L)).toSet
+    val bySource = docs.values.groupBy(_._1).view
+      .mapValues(_.map(d => gramHashes(d._2)).foldLeft(Set.empty[Long])(_ ++ _)).toMap
+    val expected = (for {
+      (s1, g1) <- bySource; (s2, g2) <- bySource if s1 != s2
+      common = g1.intersect(g2).size if common > 0
+    } yield (s1, s2) -> ((common.toLong, common.toDouble / g1.size))).toMap
+    val got = graft.dedup.Dedup.qSourceOverlap(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should have cross-source 4-gram overlap")
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
