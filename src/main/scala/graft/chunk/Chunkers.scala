@@ -395,13 +395,107 @@ object Chunkers {
        FROM o ORDER BY doc_id"""
   }
 
+  // ---- q99: content-defined chunking --------------------------------
+
+  private val CdcGram = 3     // rolling-hash window (words)
+  private val CdcMask = 16L   // boundary when gram hash % mask == 0 →
+                              // expected chunk length ≈ mask words
+
+  /** q99 — content-defined chunking, the storage-dedup primitive
+    * (rsync/LBFS-style, public): a chunk boundary falls after word i
+    * whenever the rolling [[CdcGram]]-gram hash ending at i is ≡ 0
+    * (mod [[CdcMask]]), so boundaries re-synchronize inside REPEATED
+    * text regardless of the offset it appears at — the property
+    * fixed-size chunkers (q36/q81) lack, and the reason CDC chunk
+    * fingerprints dedup shifted copies. Emits the per-doc manifest:
+    * chunk count, chunks whose fingerprint recurs in ≥2 distinct docs,
+    * and the shared fraction.
+    *
+    * Plan shape: boundary ends come off the fused shingle-hash array
+    * (no gram strings); per-token chunk ids are ONE running-sum window
+    * keyed by doc; chunk fingerprints hash the re-assembled chunk
+    * string once per chunk; the recurrence count keys on the 8-byte
+    * fingerprint. Every shuffle is keyed by doc_id or a hash — at
+    * 100 TB the corpus text moves exactly twice (token explode,
+    * chunk groupBy), both on the doc key. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.VectorExpressions.register(s)
+    val PolyMod = 1000000007L
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+    val ends = words
+      .filter(size($"words") >= CdcGram)
+      .select($"doc_id", posexplode(expr(
+        s"graft_shingle_hashes(words, $CdcGram, 31L, ${PolyMod}L)")))
+      .filter($"col" % CdcMask === 0)
+      .select($"doc_id", ($"pos" + CdcGram).as("end_pos"), lit(1L).as("f"))
+    val tok = words
+      .select($"doc_id", posexplode($"words"))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("word"))
+    val cid = tok.join(ends, tok("doc_id") === ends("doc_id") && $"pos" === $"end_pos", "left")
+      .select(tok("doc_id"), $"pos", $"word", coalesce($"f", lit(0L)).as("f"))
+      .withColumn("chunk_id", coalesce(
+        sum($"f").over(Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = cid.groupBy($"doc_id", $"chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr(s"graft_polyhash(concat_ws(' ', transform(sort_array(collect_list(struct(pos, word))), x -> x.word)), 31L, ${PolyMod}L)").as("fp"))
+    val shared = chunks.groupBy($"fp")
+      .agg(count_distinct($"doc_id").as("nd"))
+    chunks.join(shared, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_chunks", $"n_shared",
+        ($"n_shared".cast("double") / $"n_chunks").as("shared_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val qCdcChunksSql: String = {
+    def fold(col: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split($col, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc*31 + x) % 1000000007)"""
+    val gram = (0 until CdcGram).map(k => s"words[i.i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       tok AS (SELECT doc_id, i.i AS pos, w.words[i.i] AS word
+               FROM w, unnest(generate_series(1, len(w.words))) AS i(i)),
+       ends AS (SELECT doc_id, j + ${CdcGram - 1} AS end_pos
+                FROM (SELECT doc_id, i.i AS j, ${fold(gram)} AS h
+                      FROM w, unnest(generate_series(1, len(words) - ${CdcGram - 1})) AS i(i)
+                      WHERE len(words) >= $CdcGram) t
+                WHERE h % $CdcMask = 0),
+       flagged AS (SELECT t.doc_id, t.pos, t.word,
+                     CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS f
+                   FROM tok t LEFT JOIN ends e
+                     ON e.doc_id = t.doc_id AND e.end_pos = t.pos),
+       cid AS (SELECT doc_id, pos, word,
+                 COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+               FROM flagged),
+       chunks AS (SELECT doc_id, chunk_id, COUNT(*) AS n_words,
+                    ${fold("string_agg(word, ' ' ORDER BY pos)")} AS fp
+                  FROM cid GROUP BY doc_id, chunk_id),
+       fpc AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+       SELECT c.doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+       FROM chunks c JOIN fpc f USING (fp)
+       GROUP BY c.doc_id ORDER BY c.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
     "q37_token_budget_chunks" -> qTokenBudgetChunks,
-    "q81_pack_blocks" -> qPackBlocks)
+    "q81_pack_blocks" -> qPackBlocks,
+    "q99_cdc_chunks" -> qCdcChunks)
 
   val oracles: Map[String, String] = Map(
     "q36_word_chunks" -> qWordChunksSql,
     "q37_token_budget_chunks" -> qTokenBudgetChunksSql,
-    "q81_pack_blocks" -> qPackBlocksSql)
+    "q81_pack_blocks" -> qPackBlocksSql,
+    "q99_cdc_chunks" -> qCdcChunksSql)
 }

@@ -147,6 +147,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should have cross-source 4-gram overlap")
   }
 
+  test("q99: CDC chunk manifest matches a scalar rolling-hash replay") {
+    def fp(ws: Seq[String]): Long =
+      graft.core.Hashing.polyFold(ws.mkString(" "), 31, 1000000007L)
+    // scalar CDC: boundary after word i when the 3-gram ending at i
+    // hashes to 0 mod 16; chunks = runs between boundaries
+    def chunksOf(t: String): Seq[Seq[String]] = {
+      val ws = words(t)
+      val bounds = (3 to ws.length).filter { i =>
+        fp(ws.slice(i - 3, i)) % 16L == 0L
+      }.toSet
+      val out = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]
+      ws.zipWithIndex.foreach { case (w, k) =>
+        cur += w
+        if (bounds.contains(k + 1)) { out += cur.result(); cur = Seq.newBuilder }
+      }
+      val last = cur.result()
+      if (last.nonEmpty) out += last
+      out.result()
+    }
+    val perDoc = docs.view.mapValues { case (_, t) => chunksOf(t) }.toMap
+    val counts = perDoc.values.flatten.map(fp).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val docsPerFp = perDoc.toSeq.flatMap { case (id, cs) => cs.map(c => (fp(c), id)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = perDoc.map { case (id, cs) =>
+      val shared = cs.count(c => docsPerFp(fp(c)) >= 2)
+      id -> ((cs.size.toLong, shared.toLong))
+    }
+    val got = graft.chunk.Chunkers.qCdcChunks(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // chunk sharing actually happens (the resynchronization property
+    // CDC exists for) AND not everything is shared
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.exists(v => v._2 < v._1))
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
