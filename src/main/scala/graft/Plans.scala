@@ -205,7 +205,66 @@ object Plans {
         |fingerprints, Manku et al.) buys 4 bands × 15 bits = 32k buckets per
         |band — candidate volume Σ bucket² stays sub-quadratic where narrow
         |6-bit bands would saturate 64 buckets into all-pairs. Signatures are
-        |8 bytes/doc; payload bytes never reach the join.""".stripMargin)
+        |8 bytes/doc; payload bytes never reach the join.""".stripMargin,
+    "q93_perplexity_filter" ->
+      """The LM quality gate, corpus-scale: bigram items explode to small
+        |rows, TWO map-side-combined count tables key on the gram, and
+        |scoring is two hash joins on the same keys — at 100 TB the gram
+        |tables shuffle once each with partial aggregation and the vocab
+        |size rides as a broadcast scalar. The keep flag compares the
+        |DECIMAL-rounded perplexity both engines emit, so the ln-ulp
+        |difference between libm implementations cannot flip it.""".stripMargin,
+    "q94_dup_span_removal" ->
+      """Substring-dedup rewrite: dup-gram starts come off the fused
+        |shingle-hash array (8-byte keys, no gram strings), coverage
+        |expansion is ≤5 ints per duplicated start, and run-merging is a
+        |row_number window keyed by doc. The only wide shuffle of word
+        |data is the per-doc rebuild groupBy — keyed on doc_id, the same
+        |key the coverage anti-join uses, so AQE chains them. The
+        |corpus-wide duplicated-hash table is the q74 count, map-side
+        |combined.""".stripMargin,
+    "q95_semdedup" ->
+      """SemDeDup's bet made explicit in the plan: assignment is one
+        |narrow broadcast-argmax pass (no join, no shuffle), vectors
+        |shuffle ONCE keyed by bucket, and the pairwise stage is
+        |Σ bucket² — at 100 TB the centroid count grows with N to hold
+        |bucket size constant, which keeps the quadratic term bounded
+        |while q32's exact θ-join stays O(N²). The witness aggregation
+        |moves (id, id) pairs only.""".stripMargin,
+    "q96_importance_weights" ->
+      """The hashing IS the scale story: the per-bucket count table is
+        |bounded at 65536 rows no matter the corpus, so the scoring join
+        |is always a broadcast — importance weighting at 100 TB costs
+        |one gram explode (8-byte bucket ids, gram text dies at the
+        |hash), ONE map-side-combined count pass producing both
+        |distributions, and a narrow per-doc rollup. The target_like cut
+        |is relative (pool mean) because absolute weight scale moves
+        |with corpus size.""".stripMargin,
+    "q97_ann_recall" ->
+      """Recall measurement as an operator: ground truth brute-forces
+        |only the SAMPLED query set (broadcast against a linear scan —
+        |the one place O(N·q) is the intended plan), the IVF side is
+        |q33's bucket-pruned pipeline, and the compare joins two
+        |k-row-per-query frames on (query, neighbor). At scale this is
+        |how an index rollout is gated: sample queries, one scan,
+        |exact-vs-index diff.""".stripMargin,
+    "q98_source_overlap" ->
+      """Dataset-overlap audit: per-source DISTINCT gram hashes self-join
+        |on the 8-byte hash — the shuffle carries (source, hash) pairs,
+        |never text, and a gram present in k sources contributes k² ≤
+        |#sources² rows. Output is bounded by the source-pair square.
+        |Containment is one exact int division, bit-identical across
+        |engines with no rounding discipline needed.""".stripMargin,
+    "q99_cdc_chunks" ->
+      """Content-defined chunking: boundary ends come off the fused
+        |rolling shingle-hash array, per-token chunk ids are ONE
+        |running-sum window keyed by doc, fingerprints hash each
+        |re-assembled chunk once, and recurrence counts key on the
+        |8-byte fingerprint. Corpus text moves exactly twice (token
+        |explode, chunk groupBy), both keyed by doc_id — boundaries
+        |resynchronize inside repeated text, which is what makes the
+        |fingerprint dedup work on shifted copies where q36's fixed
+        |windows cannot.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
