@@ -667,6 +667,98 @@ object Dedup {
        ORDER BY i.s1, i.s2"""
   }
 
+  /** q100 — the dedup FUNNEL, the artifact every curation pipeline
+    * logs: corpus size (docs, tokens) after each successive dedup
+    * stage — raw → exact (q27/q52's keep-min-per-md5) → cluster
+    * canonical (q79's quality-argmax winner) → duplicate-span removal
+    * (q94's covered-token cut on the survivors). Stages are the
+    * corpus-wide keep rules INTERSECTED (each rule is computed once
+    * over the full corpus, the report applies them cumulatively) —
+    * deterministic, and each stage reuses the exact shared frame its
+    * standalone query ships, so the funnel can never disagree with
+    * q52/q79/q94.
+    *
+    * Plan shape: one narrow doc pass (md5 + token count), the q79
+    * cluster frame (LSH pairs → label propagation → quality argmax),
+    * the q94 coverage counts, then three metadata joins keyed on
+    * doc_id and a 4-row rollup. The corpus text is read once per
+    * shared frame; nothing wide moves but (doc_id, flag/count) rows. */
+  def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("h"),
+        size(nonEmptyWords($"text")).as("wc"))
+    val keepExact = docs.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    val flagged = docs.join(keepExact, Seq("h"))
+      .withColumn("k_exact", $"doc_id" === $"keep_id")
+      .select($"doc_id", $"wc", $"k_exact")
+    val kCluster = clusterCanonicalFrame(s, dir).select($"doc_id", $"kept".as("k_cluster"))
+    val removed = dupCoveredPositions(s, dir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_removed"))
+    val full = flagged
+      .join(kCluster, Seq("doc_id"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("n_removed", coalesce($"n_removed", lit(0L)))
+    val stages = Seq(
+      ("0_raw", lit(true), $"wc"),
+      ("1_exact", $"k_exact", $"wc"),
+      ("2_cluster", $"k_exact" && $"k_cluster", $"wc"),
+      ("3_span", $"k_exact" && $"k_cluster", $"wc" - $"n_removed"))
+    stages.map { case (name, keep, tokens) =>
+      full.filter(keep).agg(
+        lit(name).as("stage"),
+        count(lit(1)).as("n_docs"),
+        sum(tokens).as("n_tokens"))
+        .select($"stage", $"n_docs", $"n_tokens")
+    }.reduce(_.union(_)).orderBy($"stage")
+  }
+
+  /** Non-empty whitespace tokens of a text column (the q94/q100 token
+    * definition — split positions minus empties). */
+  private def nonEmptyWords(c: Column): Column =
+    filter(split(trim(c), "\\s+"), w => w =!= "")
+
+  /** Oracle: md5 keep rule + the SHARED q79 closure/quality CTEs + the
+    * SHARED q94 coverage CTEs, intersected per stage. Lazy: this val
+    * precedes SpanN in declaration order, and the coverage block reads
+    * it — eager init would interpolate the yet-unset 0. */
+  lazy val qDedupFunnelSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       $closureCtes,
+       qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
+       lab AS (
+         SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+         FROM qual q LEFT JOIN comp c ON c.doc_id = q.doc_id),
+       kc AS (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 AS k_cluster
+         FROM lab),
+       $spanCoverageCtes,
+       rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+       d AS (
+         SELECT doc_id, md5(text) AS h,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS wc
+         FROM documents),
+       ke AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+       full_t AS (
+         SELECT d.doc_id, d.wc, d.doc_id = ke.keep_id AS k_exact,
+           kc.k_cluster, COALESCE(rem.n_removed, 0) AS n_removed
+         FROM d JOIN ke USING (h)
+         JOIN kc ON kc.doc_id = d.doc_id
+         LEFT JOIN rem ON rem.doc_id = d.doc_id)
+       SELECT * FROM (
+         SELECT '0_raw' AS stage, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_tokens
+         FROM full_t
+         UNION ALL
+         SELECT '1_exact', COUNT(*), CAST(SUM(wc) AS BIGINT) FROM full_t WHERE k_exact
+         UNION ALL
+         SELECT '2_cluster', COUNT(*), CAST(SUM(wc) AS BIGINT)
+         FROM full_t WHERE k_exact AND k_cluster
+         UNION ALL
+         SELECT '3_span', COUNT(*), CAST(SUM(wc - n_removed) AS BIGINT)
+         FROM full_t WHERE k_exact AND k_cluster) t
+       ORDER BY stage"""
+
   /** q74 — duplicate-span fraction, the span-level curation metric
     * (how much of each doc's text also appears in OTHER docs — the
     * per-doc statistic behind substring-dedup decisions in public
@@ -735,14 +827,15 @@ object Dedup {
     * on doc_id — the same key the coverage anti-join uses, so AQE
     * chains them without a second exchange of the words. Docs with no
     * duplicated span (or fewer than SpanN words) pass through whole. */
-  def qDupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, idx) token positions covered by a duplicated
+    * [[SpanN]]-gram — the coverage set q94's rewrite cuts and q100's
+    * funnel counts. Positions kept through the hash join, duplicates
+    * kept (the same gram twice in one doc marks both starts). */
+  private def dupCoveredPositions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.expr.VectorExpressions.register(s)
     val words = Tables.documents(s, dir)
       .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
-    // (doc, 1-based start, hash) — positions kept, duplicates kept (the
-    // same gram twice in one doc marks both starts).
     val gramsPos = words
       .filter(size($"words") >= SpanN)
       .select($"doc_id", posexplode(expr(
@@ -752,9 +845,18 @@ object Dedup {
       .groupBy($"h").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
       .select($"h")
-    val covered = gramsPos.join(dupHash, Seq("h"))
+    gramsPos.join(dupHash, Seq("h"))
       .select($"doc_id", explode(expr(s"sequence(i, i + ${SpanN - 1})")).as("idx"))
       .distinct()
+  }
+
+  def qDupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.VectorExpressions.register(s)
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+    val covered = dupCoveredPositions(s, dir)
     // merge covered runs per doc: idx - row_number is constant per run
     val spans = covered
       .withColumn("grp", $"idx" - row_number().over(
@@ -781,19 +883,27 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  val qDupSpanRemovalSql: String = {
+  /** The span-coverage CTE block (`spw`, `spg`, `spdh`,
+    * `cov(doc_id, idx)`) shared by the q94 and q100 oracles so they
+    * cannot drift. Names are sp-prefixed because q100 composes this
+    * block with the LSH CTEs, which already claim `w`. */
+  private def spanCoverageCtes: String = {
     val joins = (0 until SpanN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-                  FROM documents),
-       g AS (SELECT doc_id, i, ${polyHashSql("gram", 31, PolyMod1)} AS h
-             FROM (SELECT doc_id, i, $joins AS gram
-                   FROM w, unnest(generate_series(1, len(words) - ${SpanN - 1})) AS u(i)
-                   WHERE len(words) >= $SpanN) t),
-       dh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g) gd
-              GROUP BY h HAVING COUNT(*) >= 2),
-       cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS idx
-               FROM g JOIN dh USING (h),
-                    unnest(generate_series(0, ${SpanN - 1})) AS k(k)),
+    s"""spw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+               FROM documents),
+       spg AS (SELECT doc_id, i, ${polyHashSql("gram", 31, PolyMod1)} AS h
+               FROM (SELECT doc_id, i, $joins AS gram
+                     FROM spw, unnest(generate_series(1, len(words) - ${SpanN - 1})) AS u(i)
+                     WHERE len(words) >= $SpanN) t),
+       spdh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM spg) gd
+                GROUP BY h HAVING COUNT(*) >= 2),
+       cov AS (SELECT DISTINCT spg.doc_id, spg.i + k.k AS idx
+               FROM spg JOIN spdh USING (h),
+                    unnest(generate_series(0, ${SpanN - 1})) AS k(k))"""
+  }
+
+  val qDupSpanRemovalSql: String = {
+    s"""WITH $spanCoverageCtes,
        spans AS (
          SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(span_len) AS BIGINT) AS n_removed
          FROM (SELECT doc_id, grp, COUNT(*) AS span_len
@@ -804,9 +914,9 @@ object Dedup {
          GROUP BY doc_id),
        kept AS (
          SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.idx) AS clean_text
-         FROM (SELECT w.doc_id, i.i AS idx, w.words[i.i] AS word
-               FROM w, unnest(generate_series(1, len(w.words))) AS i(i)
-               WHERE w.words[i.i] != '') t
+         FROM (SELECT spw.doc_id, i.i AS idx, spw.words[i.i] AS word
+               FROM spw, unnest(generate_series(1, len(spw.words))) AS i(i)
+               WHERE spw.words[i.i] != '') t
          LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.idx = t.idx
          WHERE cov.doc_id IS NULL
          GROUP BY t.doc_id)
@@ -982,7 +1092,10 @@ object Dedup {
     * Singleton components ride the same window (their partition is one
     * row) rather than a second corpus scan: text is the expensive
     * thing to read twice, not rows to shuffle. */
-  def qClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+  /** The unordered q79 frame (doc_id, component, csize, quality, kept)
+    * — shared by q79 and the q100 funnel (which joins it and must not
+    * inherit a mid-plan sort). */
+  private def clusterCanonicalFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
@@ -995,7 +1108,11 @@ object Dedup {
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("rk", row_number().over(w.orderBy($"quality".desc, $"doc_id")))
       .select($"doc_id", $"component", $"csize", $"quality", ($"rk" === 1).as("kept"))
-      .orderBy($"doc_id")
+  }
+
+  def qClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusterCanonicalFrame(s, dir).orderBy($"doc_id")
   }
 
   /** Oracle: the q75 recursive closure for components + the shared
@@ -1230,6 +1347,7 @@ object Dedup {
     "q74_dup_span_fraction" -> qDupSpanFraction,
     "q94_dup_span_removal" -> qDupSpanRemoval,
     "q98_source_overlap" -> qSourceOverlap,
+    "q100_dedup_funnel" -> qDedupFunnel,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1248,6 +1366,7 @@ object Dedup {
     "q74_dup_span_fraction" -> qDupSpanFractionSql,
     "q94_dup_span_removal" -> qDupSpanRemovalSql,
     "q98_source_overlap" -> qSourceOverlapSql,
+    "q100_dedup_funnel" -> qDedupFunnelSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,

@@ -185,6 +185,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.exists(v => v._2 < v._1))
   }
 
+  test("q100: funnel stages agree with the standalone q27/q79/q94 rules") {
+    val wc = docs.view.mapValues { case (_, t) => words(t).size.toLong }.toMap
+    // exact rule from q52's keep-min-per-md5 (docs absent from q52's
+    // dup-group output are their own keepers)
+    val dupKeep = graft.dedup.Dedup.qDedupKeep(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val kExact = docs.keySet.map(id => id -> dupKeep.getOrElse(id, true)).toMap
+    val kCluster = graft.dedup.Dedup.qClusterCanonical(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val removed = graft.dedup.Dedup.qDupSpanRemoval(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s2 = docs.keySet.filter(id => kExact(id) && kCluster(id))
+    val expected = Map(
+      "0_raw" -> ((docs.size.toLong, wc.values.sum)),
+      "1_exact" -> ((kExact.count(_._2).toLong,
+        docs.keySet.filter(kExact).toSeq.map(wc).sum)),
+      "2_cluster" -> ((s2.size.toLong, s2.toSeq.map(wc).sum)),
+      "3_span" -> ((s2.size.toLong, s2.toSeq.map(id => wc(id) - removed(id)).sum)))
+    val got = graft.dedup.Dedup.qDedupFunnel(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the funnel actually narrows somewhere
+    assert(got("3_span")._2 < got("0_raw")._2)
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
