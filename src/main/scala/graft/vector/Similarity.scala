@@ -383,6 +383,120 @@ object Similarity extends Serializable {
        LEFT JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
        GROUP BY e.query_id ORDER BY e.query_id"""
 
+  // --- k-means centroid refinement ------------------------------------
+
+  private val KmRounds = 2
+  /** q85's fixed-point scale: floor(x·2^20) — exact per element,
+    * order-free, so centroid sums are integer-exact and commutative
+    * across partitionings AND engines. */
+  private val KmFp = 1048576L
+
+  /** q101 — Lloyd's k-means refinement, the index-BUILD step q33's
+    * fixed centroids stand in for: start from the deterministic seeds
+    * (k lowest vec_ids), run [[KmRounds]] assignment/update rounds,
+    * emit the per-centroid membership and fixed-point mass. This is
+    * the canonical iterative-refinement shape on Spark: per round, ONE
+    * narrow broadcast-argmax assignment pass over the corpus (no join,
+    * no shuffle) + one map-side-combined (cid, dim) aggregation whose
+    * output is k·d cells — driver state between rounds is k·d doubles,
+    * same discipline as q90's BPE merge rules. At 100 TB each round
+    * costs one scan; rounds don't grow with N.
+    *
+    * Exactness: updated centroid components are fp_sum/(n·2^20) —
+    * doubles derived identically in both engines from integer-exact
+    * sums (the q85 trick), so round-2 assignments compare bit-identical
+    * cosines. Output is (cid, n_members, fp_tot) — fp_tot the integer
+    * mass Σ_dims Σ_members floor(x·2^20), no float aggregation
+    * anywhere in the emitted row. */
+  def qKmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Resources
+    graft.expr.VectorExpressions.register(s)
+    val vecs = Resources.persist(prepped(s, dir))
+    val seeds = vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id)
+      .map(v => (v.id, v.v))
+    def withNorm(cs: Array[(Long, Array[Double])]): Array[Vec] =
+      cs.map { case (id, c) => Vec(id, c, math.sqrt(dotP(c, c))) }
+    var cents = withNorm(seeds)
+    // R-1 update rounds (the Rth assignment feeds the lazy output)
+    (1 until KmRounds).foreach { _ =>
+      val bc = Resources.broadcast(s, cents)
+      val sums = vecs
+        .map(v => (nearestBuckets(bc.value, v, 1).head, v.v.map(x => math.floor(x * KmFp).toLong)))
+        .toDF("cid", "fp")
+        .select($"cid", posexplode($"fp"))
+        .groupBy($"cid", $"pos")
+        .agg(count(lit(1)).as("n"), sum($"col").as("fs"))
+        .collect()
+      val byCid = sums.groupBy(_.getAs[Long]("cid"))
+      cents = withNorm(cents.map { c =>
+        byCid.get(c.id) match {
+          case Some(rows) =>
+            val d = new Array[Double](rows.length)
+            rows.foreach { r =>
+              d(r.getAs[Int]("pos")) =
+                r.getAs[Long]("fs").toDouble / (r.getAs[Long]("n").toDouble * KmFp)
+            }
+            (c.id, d)
+          case None => (c.id, c.v) // empty cluster keeps its centroid
+        }
+      })
+    }
+    val bcFinal = Resources.broadcast(s, cents)
+    vecs
+      .map { v =>
+        var tot = 0L
+        var i = 0
+        while (i < v.v.length) { tot += math.floor(v.v(i) * KmFp).toLong; i += 1 }
+        (nearestBuckets(bcFinal.value, v, 1).head, tot)
+      }
+      .toDF("cid", "fp_tot")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"), sum($"fp_tot").as("fp_tot"))
+      .orderBy($"cid")
+  }
+
+  /** Oracle: the rounds unrolled (same device as q90's BPE replay) —
+    * assignment CTE, fixed-point sums, centroid rebuild via
+    * list(... ORDER BY dim), repeat, final rollup. */
+  val qKmeansRefineSql: String = {
+    def assign(cteCents: String, name: String): String =
+      s"""$name AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN $cteCents c) t
+         WHERE rn = 1)"""
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+       c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
+       ${assign("c0", "a1")},
+       s1 AS (
+         SELECT a.cid, d.dim, COUNT(*) AS n,
+           SUM(CAST(floor(e.v[CAST(d.dim AS INT)] * $KmFp) AS BIGINT)) AS fs
+         FROM a1 a JOIN emb e USING (vec_id) CROSS JOIN dims d
+         GROUP BY a.cid, d.dim),
+       c1u AS (
+         SELECT cid,
+           list(CAST(fs AS DOUBLE) / (CAST(n AS DOUBLE) * $KmFp) ORDER BY dim) AS cv
+         FROM s1 GROUP BY cid),
+       c1 AS (
+         SELECT c0.cid, COALESCE(c1u.cv, c0.cv) AS cv
+         FROM c0 LEFT JOIN c1u ON c1u.cid = c0.cid),
+       ${assign("c1", "a2")},
+       tot AS (
+         SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 64),
+               i -> CAST(floor(v[CAST(i AS INT)] * $KmFp) AS BIGINT))),
+             (acc, x) -> acc + x) AS fp_tot
+         FROM emb)
+       SELECT a.cid, COUNT(*) AS n_members, CAST(SUM(t.fp_tot) AS BIGINT) AS fp_tot
+       FROM a2 a JOIN tot t USING (vec_id)
+       GROUP BY a.cid ORDER BY a.cid"""
+  }
+
   // --- SemDeDup: within-cluster semantic pruning ----------------------
 
   /** Looser than q32's 0.4 near-dup cut on purpose: SemDeDup prunes
@@ -508,7 +622,8 @@ object Similarity extends Serializable {
     "q71_quantize_int8" -> qQuantizeInt8,
     "q76_srp_lsh" -> qSrpLsh,
     "q95_semdedup" -> qSemDedup,
-    "q97_ann_recall" -> qAnnRecall)
+    "q97_ann_recall" -> qAnnRecall,
+    "q101_kmeans_refine" -> qKmeansRefine)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -517,5 +632,6 @@ object Similarity extends Serializable {
     "q71_quantize_int8" -> qQuantizeInt8Sql,
     "q76_srp_lsh" -> qSrpLshSql,
     "q95_semdedup" -> qSemDedupSql,
-    "q97_ann_recall" -> qAnnRecallSql)
+    "q97_ann_recall" -> qAnnRecallSql,
+    "q101_kmeans_refine" -> qKmeansRefineSql)
 }

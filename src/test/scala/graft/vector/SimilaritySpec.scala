@@ -90,6 +90,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(_._2.isEmpty))
   }
 
+  test("q101: k-means refinement matches a scalar Lloyd replay") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, f) => id -> f.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def assign(cents: Seq[(Long, Array[Double])], v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    var cents = vecs.filter(_._1 < 16).toSeq
+    // one update round (KmRounds = 2: final assignment feeds the output)
+    val a1 = vecs.map { case (id, v) => (assign(cents, v), id, v) }
+    cents = cents.map { case (cid, cv) =>
+      val members = a1.filter(_._1 == cid).map(_._3)
+      if (members.isEmpty) (cid, cv)
+      else {
+        val d = Array.tabulate(cv.length) { j =>
+          val fs = members.map(m => math.floor(m(j) * 1048576L).toLong).sum
+          fs.toDouble / (members.length.toDouble * 1048576L)
+        }
+        (cid, d)
+      }
+    }
+    val expected = vecs.map { case (id, v) => (assign(cents, v), v) }
+      .groupBy(_._1).map { case (cid, rows) =>
+        cid -> ((rows.length.toLong,
+          rows.map(_._2.map(x => math.floor(x * 1048576L).toLong).sum).sum))
+      }
+    val got = Similarity.qKmeansRefine(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // refinement actually moved assignments vs the seed partition
+    val seedCounts = vecs.map { case (_, v) => assign(vecs.filter(_._1 < 16).toSeq, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap != seedCounts)
+  }
+
   test("srpSig is deterministic and uses all bands") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
     val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
