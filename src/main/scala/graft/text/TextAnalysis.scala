@@ -1102,6 +1102,68 @@ object TextAnalysis {
          CAST(w AS DECIMAL(12,6)) > CAST(aw AS DECIMAL(12,6)) AS target_like
        FROM scored CROSS JOIN pool ORDER BY doc_id"""
 
+  /** q102 — per-source distribution drift: KL(source ‖ corpus) over
+    * hashed unigram buckets, the monitoring number a pipeline tracks
+    * to catch a crawl whose language shifted (and the quantitative
+    * sibling of q98's set-overlap view). Estimated on the source's
+    * occupied buckets: KL̂ = Σ_{b:c_s>0} (c_s/N_s)·ln((c_s/N_s)/(c_b/N))
+    * — no smoothing needed because every term's numerator count is
+    * positive and the corpus count bounds it below.
+    *
+    * Scale shape: one token explode to 8-byte bucket ids, ONE
+    * map-side-combined (source, bucket) count — ≤ #sources·65536 rows
+    * regardless of corpus size — and everything after is arithmetic on
+    * that bounded frame (corpus marginals derive from it by a second
+    * tiny aggregation). The ln goes through the q93 DECIMAL-rounding
+    * discipline. */
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val counts = Tables.documents(s, dir)
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .withColumn("b", expr(s"graft_polyhash(word, 31L, 1000000007L) % ${DsirBuckets}L"))
+      .groupBy($"source", $"b").agg(count(lit(1)).as("cs"))
+    val srcTotals = counts.groupBy($"source").agg(sum($"cs").as("ns"))
+    val corpus = counts.groupBy($"b").agg(sum($"cs").as("cb"))
+    val total = corpus.agg(sum($"cb").as("n"))
+    counts
+      .join(broadcast(corpus), Seq("b"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        ($"cs".cast("double") / $"ns") *
+          log(($"cs".cast("double") / $"ns") / ($"cb".cast("double") / $"n")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"term").cast(org.apache.spark.sql.types.DecimalType(12, 6))
+          .cast("string").as("kl_r"))
+      .orderBy($"source")
+  }
+
+  val qSourceDriftSql: String =
+    s"""WITH tok AS (
+         SELECT source,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc*31 + x) % 1000000007) % $DsirBuckets AS b
+         FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+               FROM documents) t
+         WHERE word != ''),
+       cnt AS (SELECT source, b, COUNT(*) AS cs FROM tok GROUP BY source, b),
+       st AS (SELECT source, SUM(cs) AS ns FROM cnt GROUP BY source),
+       cb AS (SELECT b, SUM(cs) AS cb FROM cnt GROUP BY b),
+       tot AS (SELECT SUM(cb) AS n FROM cb)
+       SELECT c.source, COUNT(*) AS n_buckets,
+         CAST(CAST(SUM((CAST(c.cs AS DOUBLE) / s.ns) *
+           ln((CAST(c.cs AS DOUBLE) / s.ns) / (CAST(m.cb AS DOUBLE) / t.n)))
+           AS DECIMAL(12,6)) AS VARCHAR) AS kl_r
+       FROM cnt c
+       JOIN cb m USING (b)
+       JOIN st s USING (source)
+       CROSS JOIN tot t
+       GROUP BY c.source ORDER BY c.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1122,7 +1184,8 @@ object TextAnalysis {
     "q87_length_quantiles" -> qLengthQuantiles,
     "q90_bpe_merges" -> qBpeMerges,
     "q91_bpe_tokenize" -> qBpeTokenize,
-    "q96_importance_weights" -> qImportanceWeights)
+    "q96_importance_weights" -> qImportanceWeights,
+    "q102_source_drift" -> qSourceDrift)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1144,5 +1207,6 @@ object TextAnalysis {
     "q87_length_quantiles" -> qLengthQuantilesSql,
     "q90_bpe_merges" -> qBpeMergesSql,
     "q91_bpe_tokenize" -> qBpeTokenizeSql,
-    "q96_importance_weights" -> qImportanceWeightsSql)
+    "q96_importance_weights" -> qImportanceWeightsSql,
+    "q102_source_drift" -> qSourceDriftSql)
 }

@@ -210,6 +210,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("3_span")._2 < got("0_raw")._2)
   }
 
+  test("q102: per-source KL drift matches a scalar replay, non-negative-ish") {
+    def bucket(w: String): Long =
+      graft.core.Hashing.polyFold(w, 31, 1000000007L) % 65536L
+    val toks = docs.values.toSeq.flatMap { case (src, t) => words(t).map(w => (src, bucket(w))) }
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toDouble
+    val expected = cnt.keys.groupBy(_._1).map { case (src, keys) =>
+      val kl = keys.toSeq.map { case (_, b) =>
+        val ps = cnt((src, b)).toDouble / ns(src)
+        ps * math.log(ps / (cb(b).toDouble / n))
+      }.sum
+      src -> ((keys.size.toLong, kl))
+    }
+    val got = TextAnalysis.qSourceDrift(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getString(2))))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, (nb, kl)) =>
+      assert(nb == expected(src)._1, s"source $src buckets")
+      assert((kl - BigDecimal(expected(src)._2)).abs <= BigDecimal("0.000001"), s"source $src kl")
+      // occupied-support KL estimate: strictly positive for any source
+      // whose distribution differs from the corpus marginal
+      assert(kl > 0, s"source $src kl sign")
+    }
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
