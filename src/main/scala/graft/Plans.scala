@@ -264,7 +264,36 @@ object Plans {
         |explode, chunk groupBy), both keyed by doc_id — boundaries
         |resynchronize inside repeated text, which is what makes the
         |fingerprint dedup work on shifted copies where q36's fixed
-        |windows cannot.""".stripMargin)
+        |windows cannot.""".stripMargin,
+    "q100_dedup_funnel" ->
+      """The funnel is composition, not recomputation: the exact rule is
+        |one md5 groupBy, the cluster rule is the SHARED q79 frame, the
+        |span rule is the SHARED q94 coverage positions — three
+        |metadata joins keyed on doc_id and a 4-row rollup. Corpus text
+        |is read once per shared frame; nothing wide moves but
+        |(doc_id, flag/count) rows. Stages are corpus-wide keep rules
+        |intersected, so the report can never disagree with the
+        |standalone operators it summarizes.""".stripMargin,
+    "q101_kmeans_refine" ->
+      """Iterative refinement in Spark's sweet spot: per round, ONE
+        |narrow broadcast-argmax pass (no join, no shuffle — the same
+        |assignment kernel q33/q95 ship) plus a map-side-combined
+        |(cid, dim) aggregation that collapses to k·d cells; driver
+        |state between rounds is k·d doubles. Centroid updates ride
+        |q85's floor(x·2^20) fixed-point sums, so both engines derive
+        |bit-identical centroid doubles and the next round's argmax
+        |agrees exactly — the property that lets the oracle unroll the
+        |rounds instead of trusting float luck. Rounds cost one scan
+        |each and don't grow with N.""".stripMargin,
+    "q102_source_drift" ->
+      """Drift monitoring bounded by construction: the (source, bucket)
+        |count frame caps at #sources·65536 rows no matter the corpus,
+        |the corpus marginal derives from it by a second tiny
+        |aggregation, and the KL arithmetic never touches a corpus-
+        |sized row again. Occupied-support summation makes it the exact
+        |empirical KL (zero-count terms are identically zero), so the
+        |only cross-engine discipline needed is the q93 DECIMAL
+        |rounding on the ln.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
