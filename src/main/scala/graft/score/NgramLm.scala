@@ -439,6 +439,55 @@ object NgramLm {
          ppl_r <= CAST($PplCut AS DECIMAL(12,4)) AS keep
        FROM scored ORDER BY doc_id"""
 
+  /** The q93 statistics as a broadcastable scalar model — the object
+    * the STREAMING perplexity gate ships to executors. `ppl` replays
+    * exactly the relational math (1-pad bigrams, add-one smoothing
+    * over vsz, exp of mean negative ln) so the gate and q93 cannot
+    * drift; NgramLmSpec/StreamSpec pin per-doc equality. At corpus
+    * scale the gram maps are the same count tables q93 joins —
+    * a production vocabulary broadcasts fine (bigram tables are
+    * vocab²-sparse, bounded by observed pairs), and past that the
+    * hashed-bucket variant (q96's trick) bounds it by construction. */
+  final case class BigramStats(grams2: Map[(String, String), Long],
+                               grams1: Map[String, Long],
+                               vsz: Long) {
+    def ppl(text: String): (Long, Double) = {
+      val toks = Pad +: tokenize(text).toSeq
+      var n = 0L
+      var nll = 0.0
+      toks.sliding(2).foreach {
+        case Seq(c, w) =>
+          val c1 = grams1.getOrElse(c, 0L)
+          val c2 = grams2.getOrElse((c, w), 0L)
+          nll += -math.log((c2 + 1.0) / (c1 + vsz))
+          n += 1
+        case _ => ()
+      }
+      (n, if (n == 0) 0.0 else math.exp(nll / n))
+    }
+  }
+
+  /** Driver-side build of [[BigramStats]] from the documents lake —
+    * the same corpus statistics q93's relational form aggregates. */
+  def bigramStats(s: SparkSession, dir: String): BigramStats = {
+    import s.implicits._
+    val all = Tables.documents(s, dir).select($"text").as[String].collect()
+      .map(t => Pad +: tokenize(t).toSeq)
+    val g2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val g1 = scala.collection.mutable.Map.empty[String, Long]
+    val ws = scala.collection.mutable.Set.empty[String]
+    all.foreach { toks =>
+      toks.sliding(2).foreach {
+        case Seq(c, w) =>
+          g2.updateWith((c, w))(v => Some(v.getOrElse(0L) + 1))
+          g1.updateWith(c)(v => Some(v.getOrElse(0L) + 1))
+          ws += w
+        case _ => ()
+      }
+    }
+    BigramStats(g2.toMap, g1.toMap, ws.size.toLong)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_ngram_score" -> qNgramScore,
     "q47_lm_broadcast_score" -> qLmBroadcastScore,

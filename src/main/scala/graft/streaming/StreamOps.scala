@@ -174,6 +174,30 @@ object StreamOps {
     * unreachable from the caller and leak per gate instance, and the
     * per-query Resources registry must not hold it either (a harness
     * release mid-stream would destroy it under a running query). */
+  final case class PplVerdict(doc_id: Long, n_items: Long, ppl: Double,
+                              keep: Boolean)
+
+  /** Streaming ingest quality gate — the incremental form of q93: each
+    * arriving doc's perplexity under the STATIC lake's bigram
+    * statistics, scored stateless per row against the broadcast
+    * [[graft.score.NgramLm.BigramStats]] (the same count tables q93's
+    * relational form joins; the scalar replay is spec-pinned ≡ the
+    * relational math). Append mode, no streaming state. The keep cut
+    * compares the raw double (a stream emits no oracle decimal);
+    * StreamSpec pins agreement with batch q93 on the fixture, where
+    * no doc sits inside the rounding window of the cut. */
+  def perplexityGate(incoming: Dataset[IngestDoc],
+                     model: org.apache.spark.broadcast.Broadcast[
+                       graft.score.NgramLm.BigramStats],
+                     cut: Double = 30.0): Dataset[PplVerdict] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    incoming.map { doc =>
+      val (n, ppl) = model.value.ppl(doc.text)
+      PplVerdict(doc.doc_id, n, ppl, ppl <= cut)
+    }
+  }
+
   def contaminationGate(incoming: Dataset[IngestDoc],
                         bloom: org.apache.spark.broadcast.Broadcast[
                           org.apache.spark.util.sketch.BloomFilter])

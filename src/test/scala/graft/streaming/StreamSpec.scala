@@ -155,6 +155,37 @@ class StreamSpec extends SparkSpec {
     assert(expHam > 0, "fresh text unexpectedly collides with a lake signature")
   }
 
+  test("perplexityGate: stream verdicts match batch q93 per doc") {
+    implicit val ctx = spark.sqlContext
+    val model = spark.sparkContext.broadcast(
+      graft.score.NgramLm.bigramStats(spark, Sf0001))
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[StreamOps.IngestDoc]
+    val q = StreamOps.perplexityGate(ms.toDS(), model)
+      .writeStream.format("memory").queryName("pplgate").outputMode("append").start()
+    ms.addData(docs.take(50).map { case (id, t) => StreamOps.IngestDoc(id, t) }.toSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("pplgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Double]("ppl"), r.getAs[Boolean]("keep")))).toMap
+    q.stop()
+    val batch = graft.score.NgramLm.qPerplexityFilter(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_items"), BigDecimal(r.getAs[String]("ppl_r")),
+          r.getAs[Boolean]("keep")))).toMap
+    model.destroy()
+    graft.core.Resources.release()
+    assert(got.size == 50)
+    got.foreach { case (id, (n, ppl, keep)) =>
+      val (bn, bppl, bkeep) = batch(id)
+      assert(n == bn, s"doc $id items")
+      assert((BigDecimal(ppl) - bppl).abs <= BigDecimal("0.001"), s"doc $id ppl")
+      assert(keep == bkeep, s"doc $id keep")
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("contaminationGate: flags every exactly-contaminated doc (no false negatives)") {
     implicit val ctx = spark.sqlContext
     // gate fpp sized for doc-level gating (see scaladoc): 1e-5;
