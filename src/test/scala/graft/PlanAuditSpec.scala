@@ -44,4 +44,22 @@ class PlanAuditSpec extends SparkSpec {
     q02.foreach(sch => assert(!sch.contains("o_comment") && !sch.contains("o_totalprice"),
       s"q02 scan failed to prune unused order columns: $sch"))
   }
+
+  test("bounded-count-table queries broadcast their scoring joins (q96/q102)") {
+    // The 100 TB story of q96/q102 is that hashing bounds the count
+    // table, so the corpus-side scoring join must plan as a broadcast —
+    // a SortMergeJoin there means the gram stream shuffles on the
+    // bucket key, exactly what the design forbids.
+    Seq(
+      "q96" -> graft.text.TextAnalysis.qImportanceWeights(spark, Sf0001),
+      "q102" -> graft.text.TextAnalysis.qSourceDrift(spark, Sf0001)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name plans no broadcast for its bounded count table")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles the gram stream through a SortMergeJoin")
+      graft.core.Resources.release()
+    }
+  }
 }
