@@ -1164,6 +1164,95 @@ object TextAnalysis {
        CROSS JOIN tot t
        GROUP BY c.source ORDER BY c.source"""
 
+  // ---- q103: winnowing fingerprints ---------------------------------
+
+  private val WinK = 4 // gram length
+  private val WinW = 4 // winnowing window (over gram hashes)
+
+  /** q103 — winnowing fingerprint selection (Schleimer et al. 2003,
+    * the MOSS algorithm, public): from each window of [[WinW]]
+    * consecutive [[WinK]]-gram hashes, select the minimum (ties → the
+    * RIGHTMOST minimal position, the standard rule that minimizes
+    * fingerprint density). The guarantee q26's single-hash fingerprint
+    * and q99's probabilistic CDC boundaries lack: ANY shared substring
+    * of ≥ k+w−1 = 7 words between two docs produces at least one
+    * shared selected fingerprint. Emits the per-doc manifest: window
+    * count, distinct selected fingerprints, and how many of those
+    * recur in other docs.
+    *
+    * Plan shape: gram hashes off the fused shingle expression (8-byte
+    * rows); window membership is a bounded explode (≤ w rows per
+    * gram); per-window argmin is a struct-MIN aggregation (map-side
+    * combined, lexicographic (h, −pos) — identical ordering in both
+    * engines); sharing keys on the 8-byte fingerprint. Text never
+    * shuffles. */
+  def qWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= WinK)
+      .select($"doc_id", size($"words").as("nw"), posexplode(expr(
+        s"graft_shingle_hashes(words, $WinK, 31L, 1000000007L)")))
+      .select($"doc_id", ($"nw" - lit(WinK - 1)).as("m"), ($"pos" + 1).as("i"), $"col".as("h"))
+    // window j covers gram positions j..j+w-1; gram i belongs to
+    // windows max(1, i-w+1)..min(i, m-w+1)
+    val windowed = grams
+      .filter($"m" >= WinW)
+      .select($"doc_id", $"i", $"h", explode(expr(
+        s"sequence(greatest(1, i - ${WinW - 1}), least(i, m - ${WinW - 1}))")).as("j"))
+    val selected = windowed
+      .groupBy($"doc_id", $"j")
+      .agg(min(struct($"h", (-$"i").as("np"))).as("sel"))
+      .select($"doc_id", $"sel.h".as("h"))
+      .distinct()
+    val sharing = selected.groupBy($"h").agg(count_distinct($"doc_id").as("nd"))
+    val perDoc = selected.join(sharing, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(grams.groupBy($"doc_id")
+        .agg((max($"m") - lit(WinW - 1)).as("n_windows")), Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        greatest(coalesce($"n_windows", lit(0L)).cast("long"), lit(0L)).as("n_windows"),
+        coalesce($"n_fp", lit(0L)).as("n_fp"),
+        coalesce($"n_shared_fp", lit(0L)).as("n_shared_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val qWinnowFingerprintsSql: String = {
+    val gram = (0 until WinK).map(k => s"words[i.i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, len(words) - ${WinK - 1} AS m, i.i AS i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split($gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, x) -> (acc*31 + x) % 1000000007) AS h
+             FROM w, unnest(generate_series(1, len(words) - ${WinK - 1})) AS i(i)
+             WHERE len(words) >= $WinK),
+       wd AS (SELECT doc_id, i, h, j.j AS j
+              FROM g, unnest(generate_series(GREATEST(1, i - ${WinW - 1}),
+                                             LEAST(i, m - ${WinW - 1}))) AS j(j)
+              WHERE m >= $WinW),
+       sel AS (SELECT DISTINCT doc_id, MIN(struct_pack(h := h, np := -i)).h AS h
+               FROM wd GROUP BY doc_id, j),
+       sh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY h),
+       pd AS (SELECT s.doc_id, COUNT(*) AS n_fp,
+                CAST(SUM(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+              FROM sel s JOIN sh USING (h) GROUP BY s.doc_id),
+       nwin AS (SELECT doc_id, MAX(m) - ${WinW - 1} AS n_windows FROM g GROUP BY doc_id)
+       SELECT d.doc_id,
+         GREATEST(COALESCE(nwin.n_windows, 0), 0) AS n_windows,
+         COALESCE(pd.n_fp, 0) AS n_fp,
+         COALESCE(pd.n_shared_fp, 0) AS n_shared_fp
+       FROM documents d
+       LEFT JOIN nwin ON nwin.doc_id = d.doc_id
+       LEFT JOIN pd ON pd.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1185,7 +1274,8 @@ object TextAnalysis {
     "q90_bpe_merges" -> qBpeMerges,
     "q91_bpe_tokenize" -> qBpeTokenize,
     "q96_importance_weights" -> qImportanceWeights,
-    "q102_source_drift" -> qSourceDrift)
+    "q102_source_drift" -> qSourceDrift,
+    "q103_winnow_fingerprints" -> qWinnowFingerprints)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1208,5 +1298,6 @@ object TextAnalysis {
     "q90_bpe_merges" -> qBpeMergesSql,
     "q91_bpe_tokenize" -> qBpeTokenizeSql,
     "q96_importance_weights" -> qImportanceWeightsSql,
-    "q102_source_drift" -> qSourceDriftSql)
+    "q102_source_drift" -> qSourceDriftSql,
+    "q103_winnow_fingerprints" -> qWinnowFingerprintsSql)
 }

@@ -237,6 +237,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q103: winnowing selection matches a scalar replay, guarantee holds") {
+    def hashAt(ws: Seq[String]): Seq[Long] =
+      ws.sliding(4).filter(_.length == 4)
+        .map(g => graft.core.Hashing.polyFold(g.mkString(" "), 31, 1000000007L)).toSeq
+    // scalar winnowing: per window of 4 hashes, min value, rightmost tie
+    def fingerprints(t: String): Set[Long] = {
+      val hs = hashAt(words(t))
+      if (hs.length < 4) Set.empty
+      else hs.sliding(4).map(_.min).toSet // tie rule picks a POSITION;
+                                          // the kept VALUE is the min
+    }
+    val perDoc = docs.view.mapValues { case (_, t) => fingerprints(t) }.toMap
+    val docsPerFp = perDoc.toSeq.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.map { case (id, (_, t)) =>
+      val m = math.max(0, hashAt(words(t)).length - 3)
+      val fps = perDoc(id)
+      id -> ((m.toLong, fps.size.toLong, fps.count(docsPerFp(_) >= 2).toLong))
+    }
+    val got = TextAnalysis.qWinnowFingerprints(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // Schleimer guarantee on a constructed pair: two docs sharing a
+    // 7-word (k+w-1) run MUST share a fingerprint
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val fpsA = fingerprints(s"one two three $shared nine ten")
+    val fpsB = fingerprints(s"$shared zulu yankee xray whiskey")
+    assert(fpsA.intersect(fpsB).nonEmpty)
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
