@@ -497,6 +497,49 @@ object Similarity extends Serializable {
        GROUP BY a.cid ORDER BY a.cid"""
   }
 
+  // --- Gram matrix ----------------------------------------------------
+
+  /** q104 — the embedding Gram matrix Σ v·vᵀ, the one-pass distributed
+    * linear-algebra primitive under PCA / whitening / low-rank probes:
+    * 64×64 = 4096 cells from a single map-side-combined aggregation,
+    * regardless of corpus size. Exactness: each per-row product is
+    * quantized FIRST (floor(v_i·v_j·2^20) — exact, per-element,
+    * order-free) so the cell sums are integer-exact and commutative
+    * across partitionings and engines (q85's discipline). Upper
+    * triangle only (the matrix is symmetric — emitting both halves
+    * would double the shuffle for no information). SimilaritySpec
+    * runs power iteration on the returned cells in-JVM to pin that
+    * the matrix is actually usable for its PCA purpose. */
+  def qGramMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .flatMap { case (_, f) =>
+        val v = f.map(_.toDouble)
+        for {
+          i <- v.indices.iterator
+          j <- i until v.length
+        } yield (i + 1, j + 1, math.floor(v(i) * v(j) * KmFp).toLong)
+      }
+      .toDF("di", "dj", "fp")
+      .groupBy($"di", $"dj")
+      .agg(count(lit(1)).as("n"), sum($"fp").as("fp_sum"))
+      .orderBy($"di", $"dj")
+  }
+
+  val qGramMatrixSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       cells AS (
+         SELECT i.i AS di, j.j AS dj,
+           CAST(floor(vec[CAST(i.i AS INT)] * vec[CAST(j.j AS INT)] * $KmFp) AS BIGINT) AS fp
+         FROM v,
+              unnest(generate_series(1, 64)) AS i(i),
+              unnest(generate_series(1, 64)) AS j(j)
+         WHERE j.j >= i.i)
+       SELECT di, dj, COUNT(*) AS n, SUM(fp) AS fp_sum
+       FROM cells GROUP BY di, dj ORDER BY di, dj"""
+
   // --- SemDeDup: within-cluster semantic pruning ----------------------
 
   /** Looser than q32's 0.4 near-dup cut on purpose: SemDeDup prunes
@@ -623,7 +666,8 @@ object Similarity extends Serializable {
     "q76_srp_lsh" -> qSrpLsh,
     "q95_semdedup" -> qSemDedup,
     "q97_ann_recall" -> qAnnRecall,
-    "q101_kmeans_refine" -> qKmeansRefine)
+    "q101_kmeans_refine" -> qKmeansRefine,
+    "q104_gram_matrix" -> qGramMatrix)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -633,5 +677,6 @@ object Similarity extends Serializable {
     "q76_srp_lsh" -> qSrpLshSql,
     "q95_semdedup" -> qSemDedupSql,
     "q97_ann_recall" -> qAnnRecallSql,
-    "q101_kmeans_refine" -> qKmeansRefineSql)
+    "q101_kmeans_refine" -> qKmeansRefineSql,
+    "q104_gram_matrix" -> qGramMatrixSql)
 }

@@ -131,6 +131,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.view.mapValues(_._1).toMap != seedCounts)
   }
 
+  test("q104: Gram cells match a scalar replay and drive power iteration") {
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (_, f) => f.map(_.toDouble) }
+    val expected = (for {
+      i <- 0 until 64; j <- i until 64
+    } yield (i + 1, j + 1) ->
+      ((vecs.length.toLong,
+        vecs.map(v => math.floor(v(i) * v(j) * 1048576L).toLong).sum))).toMap
+    val rows = Similarity.qGramMatrix(spark, Sf0001).collect()
+    val got = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.size == 64 * 65 / 2)
+    // the returned cells are usable for their PCA purpose: power
+    // iteration on the reconstructed symmetric matrix converges to a
+    // dominant eigenpair (residual small relative to the eigenvalue)
+    val g = Array.ofDim[Double](64, 64)
+    got.foreach { case ((i, j), (_, fp)) =>
+      val x = fp.toDouble / 1048576L
+      g(i - 1)(j - 1) = x; g(j - 1)(i - 1) = x
+    }
+    var x = Array.fill(64)(1.0)
+    (1 to 100).foreach { _ =>
+      val y = g.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+      val n = math.sqrt(y.map(v => v * v).sum)
+      x = y.map(_ / n)
+    }
+    val gx = g.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    val lambda = x.zip(gx).map { case (a, b) => a * b }.sum
+    val residual = math.sqrt(gx.zip(x.map(_ * lambda))
+      .map { case (a, b) => (a - b) * (a - b) }.sum)
+    // uniform random embeddings have a nearly flat spectrum, so demand
+    // sane Rayleigh behavior rather than tight convergence: dominant
+    // eigenvalue positive, at least the spectral average (trace/64),
+    // at most the trace, residual a few percent of lambda
+    val trace = (1 to 64).map(i => g(i - 1)(i - 1)).sum
+    assert(lambda > 0 && lambda <= trace * (1 + 1e-9) && lambda >= trace / 64,
+      s"lambda $lambda outside [trace/64, trace] = [${trace / 64}, $trace]")
+    assert(residual < 0.05 * lambda, s"power iteration residual $residual vs lambda $lambda")
+  }
+
   test("srpSig is deterministic and uses all bands") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
     val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
