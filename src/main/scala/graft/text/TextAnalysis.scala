@@ -1253,6 +1253,87 @@ object TextAnalysis {
        ORDER BY d.doc_id"""
   }
 
+  // ---- q105: PMI collocations ---------------------------------------
+
+  private val PmiMinCount = 5
+  private val PmiTopK = 20
+
+  /** q105 — collocation extraction by pointwise mutual information,
+    * the corpus phrase-mining pass (Church & Hanks 1990, public; the
+    * phrase-vocabulary step of word2vec-style pipelines):
+    * PMI(a,b) = ln( (c_ab/N_bg) / ((c_a/N_tok)·(c_b/N_tok)) ) over
+    * adjacent word pairs, count floor [[PmiMinCount]], top
+    * [[PmiTopK]] by (PMI desc, pair asc).
+    *
+    * Scale shape: the pair and unigram count tables are map-side-
+    * combined and vocab-bounded (vocab² worst case for pairs — in
+    * practice Zipf-sparse), totals ride as broadcast scalars, and the
+    * top-K window runs on the count table, never the corpus. Ordering
+    * is on the raw double: both engines derive it from identical
+    * integer counts, and count-triples with equal ratios produce
+    * bit-equal doubles, so the words tie-break resolves identically;
+    * the EMITTED pmi goes through the q93 DECIMAL discipline. */
+  def qPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("words"))
+      .filter(size($"words") >= 1)
+    val uni = toks.select(explode($"words").as("w")).filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum($"c1").as("n_tok"))
+    val pairs = toks.filter(size($"words") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words)-1), i -> struct(element_at(words,i) as w1, element_at(words,i+1) as w2))"))
+        .as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val nBg = pairs.agg(sum($"c12").as("n_bg"))
+    val scored = pairs.filter($"c12" >= PmiMinCount)
+      .join(broadcast(uni.select($"w".as("w1"), $"c1".as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select($"w".as("w2"), $"c1".as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("pmi", log(
+        ($"c12".cast("double") / $"n_bg") /
+          (($"ca".cast("double") / $"n_tok") * ($"cb".cast("double") / $"n_tok"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"pmi".desc, $"w1", $"w2")))
+      .filter($"rank" <= PmiTopK)
+      .select($"rank", $"w1", $"w2", $"c12",
+        $"pmi".cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("pmi_r"))
+      .orderBy($"rank")
+  }
+
+  val qPmiCollocationsSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
+                  FROM documents),
+       uni AS (SELECT word AS w, COUNT(*) AS c1
+               FROM (SELECT unnest(words) AS word FROM w) t GROUP BY word),
+       ntok AS (SELECT SUM(c1) AS n_tok FROM uni),
+       pairs AS (
+         SELECT pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS c12 FROM (
+           SELECT unnest(list_transform(generate_series(1, len(words)-1),
+             i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS pr
+           FROM w WHERE len(words) >= 2) t
+         GROUP BY pr.w1, pr.w2),
+       nbg AS (SELECT SUM(c12) AS n_bg FROM pairs),
+       scored AS (
+         SELECT p.w1, p.w2, p.c12,
+           ln((CAST(p.c12 AS DOUBLE) / b.n_bg) /
+              ((CAST(a.c1 AS DOUBLE) / t.n_tok) * (CAST(c.c1 AS DOUBLE) / t.n_tok))) AS pmi
+         FROM pairs p
+         JOIN uni a ON a.w = p.w1
+         JOIN uni c ON c.w = p.w2
+         CROSS JOIN ntok t CROSS JOIN nbg b
+         WHERE p.c12 >= $PmiMinCount)
+       SELECT rank, w1, w2, c12,
+         CAST(CAST(pmi AS DECIMAL(12,6)) AS VARCHAR) AS pmi_r
+       FROM (SELECT w1, w2, c12, pmi,
+               ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+             FROM scored) r
+       WHERE rank <= $PmiTopK ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1275,7 +1356,8 @@ object TextAnalysis {
     "q91_bpe_tokenize" -> qBpeTokenize,
     "q96_importance_weights" -> qImportanceWeights,
     "q102_source_drift" -> qSourceDrift,
-    "q103_winnow_fingerprints" -> qWinnowFingerprints)
+    "q103_winnow_fingerprints" -> qWinnowFingerprints,
+    "q105_pmi_collocations" -> qPmiCollocations)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1299,5 +1381,6 @@ object TextAnalysis {
     "q91_bpe_tokenize" -> qBpeTokenizeSql,
     "q96_importance_weights" -> qImportanceWeightsSql,
     "q102_source_drift" -> qSourceDriftSql,
-    "q103_winnow_fingerprints" -> qWinnowFingerprintsSql)
+    "q103_winnow_fingerprints" -> qWinnowFingerprintsSql,
+    "q105_pmi_collocations" -> qPmiCollocationsSql)
 }

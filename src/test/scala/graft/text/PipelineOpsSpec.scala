@@ -267,6 +267,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fpsA.intersect(fpsB).nonEmpty)
   }
 
+  test("q105: PMI top collocations match a scalar replay") {
+    val ws = docs.values.toSeq.map { case (_, t) => words(t) }
+    val uni = ws.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val pairs = ws.filter(_.length >= 2)
+      .flatMap(_.sliding(2).collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBg = pairs.values.sum.toDouble
+    val expected = pairs.toSeq.collect { case ((a, b), c12) if c12 >= 5 =>
+      val pmi = math.log((c12 / nBg) / ((uni(a) / nTok) * (uni(b) / nTok)))
+      (a, b, c12, pmi)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    val got = TextAnalysis.qPmiCollocations(spark, Sf0001).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((r, (a, b, c12, pmi)), k) =>
+      assert(r.getAs[Int]("rank") == k + 1)
+      assert(r.getString(1) == a && r.getString(2) == b, s"rank ${k + 1} pair")
+      assert(r.getLong(3) == c12, s"rank ${k + 1} count")
+      assert((BigDecimal(r.getString(4)) - BigDecimal(pmi)).abs <= BigDecimal("0.000001"),
+        s"rank ${k + 1} pmi")
+    }
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
