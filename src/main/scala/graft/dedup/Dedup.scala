@@ -1049,10 +1049,10 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  /** Oracle: all-pairs hamming scan (the oracle needn't be fast; the
-    * banded Spark plan is provably equivalent for hamming ≤ 6). */
-  val qSimHashSql: String =
-    s"""WITH words AS (
+  /** SimHash signature CTE block (`sigs(doc_id, simhash)`) — shared by
+    * the q30 and q106 oracles so they cannot drift. */
+  private def simHashSigCtes: String =
+    s"""words AS (
          SELECT doc_id, word, COUNT(*) AS tf FROM (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
            FROM documents) t
@@ -1070,12 +1070,87 @@ object Dedup {
        sigs AS (
          SELECT doc_id,
            CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         FROM bits GROUP BY doc_id)
+         FROM bits GROUP BY doc_id)"""
+
+  /** Oracle: all-pairs hamming scan (the oracle needn't be fast; the
+    * banded Spark plan is provably equivalent for hamming ≤ 6). */
+  val qSimHashSql: String =
+    s"""WITH $simHashSigCtes
        SELECT a.doc_id AS d1, b.doc_id AS d2,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax
        ORDER BY d1, d2"""
+
+  // --- Delta (new-batch vs lake) dedup admission ---------------------
+
+  /** The deterministic stand-in for a date partition: every 4th doc is
+    * "the new batch", the rest are "the lake". */
+  private val DeltaMod = 4L
+
+  /** q106 — DELTA near-dup admission, the shape a production pipeline
+    * actually runs every ingest cycle (q30 is the one-time backfill;
+    * day N+1 only needs new×lake, never lake×lake again): each
+    * new-batch doc checked against the existing lake's SimHash set,
+    * emitting the admission verdict — nearest qualifying lake doc
+    * (min (hamming, id)), its distance, and is_dup at the q30
+    * threshold.
+    *
+    * Plan shape: ONE signature pass over the corpus (both sides derive
+    * from it — 8-byte rows); the asymmetric BANDED join (10 × 6-bit
+    * bands, the q30 pigeonhole: ≤6 differing bits ⇒ ≥4 shared bands)
+    * keys candidates on (band, bkey) so cost is Σ bucket_new·bucket_lake
+    * per band — proportional to the DELTA, not the lake square. The
+    * batch form of [[graft.streaming.StreamOps.nearDupGate]]'s
+    * broadcast; at a billion-doc lake the band join replaces the
+    * broadcast, which is exactly what this operator demonstrates. */
+  def qDeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sigs = graft.core.Resources.persist(simHashSignatures(s, dir))
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.select(col("doc_id").as(side), col("simhash").as(s"${side}_sig"),
+          explode(expr(
+            s"""transform(sequence(0, ${SimBits / SimBandBits - 1}), b ->
+                  struct(b AS band, shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1} AS bkey))"""))
+          .as("bb"))
+        .select(col(side), col(s"${side}_sig"), col("bb.band"), col("bb.bkey"))
+    val lake = banded(sigs.filter($"doc_id" % DeltaMod =!= 0), "l")
+    val fresh = banded(sigs.filter($"doc_id" % DeltaMod === 0), "n")
+    val best = fresh.join(lake, Seq("band", "bkey"))
+      .select($"n", $"l", $"n_sig", $"l_sig").distinct()
+      .withColumn("hamming", expr("bit_count(n_sig ^ l_sig)").cast("int"))
+      .filter($"hamming" <= SimHamMax)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"n").orderBy($"hamming", $"l")))
+      .filter($"rk" === 1)
+      .select($"n".as("doc_id"), $"l".as("dup_of"), $"hamming")
+    sigs.filter($"doc_id" % DeltaMod === 0).select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"dup_of", $"hamming", $"dup_of".isNotNull.as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the SHARED signature CTEs + brute-force new×lake hamming
+    * (the banded Spark plan is pigeonhole-equivalent at ≤ 6). */
+  val qDeltaDedupSql: String =
+    s"""WITH $simHashSigCtes,
+       fresh AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % $DeltaMod = 0),
+       lake AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % $DeltaMod != 0),
+       cand AS (
+         SELECT f.doc_id, l.doc_id AS dup_of,
+           CAST(bit_count(xor(f.simhash, l.simhash)) AS INT) AS hamming
+         FROM fresh f JOIN lake l
+           ON bit_count(xor(f.simhash, l.simhash)) <= $SimHamMax),
+       best AS (
+         SELECT doc_id, dup_of, hamming FROM (
+           SELECT doc_id, dup_of, hamming,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hamming, dup_of) AS rk
+           FROM cand) t
+         WHERE rk = 1)
+       SELECT f.doc_id, b.dup_of, b.hamming, b.dup_of IS NOT NULL AS is_dup
+       FROM fresh f LEFT JOIN best b USING (doc_id)
+       ORDER BY f.doc_id"""
 
   // --- Canonical doc per duplicate cluster ---------------------------
 
@@ -1348,6 +1423,7 @@ object Dedup {
     "q94_dup_span_removal" -> qDupSpanRemoval,
     "q98_source_overlap" -> qSourceOverlap,
     "q100_dedup_funnel" -> qDedupFunnel,
+    "q106_delta_dedup" -> qDeltaDedup,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1367,6 +1443,7 @@ object Dedup {
     "q94_dup_span_removal" -> qDupSpanRemovalSql,
     "q98_source_overlap" -> qSourceOverlapSql,
     "q100_dedup_funnel" -> qDedupFunnelSql,
+    "q106_delta_dedup" -> qDeltaDedupSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,

@@ -290,6 +290,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q106: delta admission verdicts match a scalar nearest-lake replay") {
+    val sigs = docs.view.mapValues { case (_, t) => graft.dedup.Dedup.simHash64(t) }.toMap
+    val (fresh, lake) = sigs.partition { case (id, _) => id % 4 == 0 }
+    val expected = fresh.map { case (id, sig) =>
+      val cands = lake.toSeq
+        .map { case (lid, lsig) => (java.lang.Long.bitCount(sig ^ lsig), lid) }
+        .filter(_._1 <= 6)
+      id -> (if (cands.isEmpty) None else Some(cands.min.swap))
+    }
+    val got = graft.dedup.Dedup.qDeltaDedup(spark, Sf0001).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+                       else Some((r.getLong(1), r.getInt(2))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    }
+    assert(got.values.exists(_.isDefined), "fixture should contain delta dups")
+  }
+
   test("q96: importance weights match a scalar hashed-gram replay") {
     def buckets(t: String): Seq[Long] =
       words(t).sliding(2).filter(_.length == 2)
