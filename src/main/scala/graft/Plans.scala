@@ -293,7 +293,42 @@ object Plans {
         |sized row again. Occupied-support summation makes it the exact
         |empirical KL (zero-count terms are identically zero), so the
         |only cross-engine discipline needed is the q93 DECIMAL
-        |rounding on the ln.""".stripMargin)
+        |rounding on the ln.""".stripMargin,
+    "q103_winnow_fingerprints" ->
+      """Winnowing's guarantee is positional, so the plan keeps
+        |positions 8-bytes-narrow: gram hashes off the fused shingle
+        |array, window membership a ≤w-row explode per gram, per-window
+        |argmin ONE lexicographic struct-MIN aggregation (map-side
+        |combined, identical ordering both engines), sharing keyed on
+        |the fingerprint. Text never shuffles; any ≥7-word shared
+        |substring is provably caught — the property q26's single hash
+        |and q99's probabilistic boundaries cannot offer.""".stripMargin,
+    "q106_delta_dedup" ->
+      """The every-ingest-cycle shape: one signature pass feeds both
+        |sides, and the asymmetric banded join keys on (band, bkey) so
+        |candidate volume is Σ bucket_new·bucket_lake — proportional to
+        |the DELTA, never the lake square (q30 is the one-time
+        |backfill; this is day N+1). The pigeonhole geometry (≤6
+        |differing bits ⇒ ≥4 of 10 shared bands) makes the banded plan
+        |exactly equivalent to the oracle's brute-force scan; the
+        |nearest-verdict window moves (id, id, int) rows only.""".stripMargin,
+    "q104_gram_matrix" ->
+      """One-pass distributed linear algebra: 4096 upper-triangle cells
+        |from a single map-side-combined aggregation whatever the
+        |corpus size, each per-row product quantized BEFORE summation
+        |so cell sums are integer-exact and commutative across
+        |partitionings and engines — the q85 discipline applied to the
+        |PCA primitive. The per-row explode is 64·65/2 cells of 16
+        |bytes; embedding payloads never shuffle.""".stripMargin,
+    "q105_pmi_collocations" ->
+      """Phrase mining where every frame after the first aggregation is
+        |vocab-bounded: pair and unigram counts map-side combine,
+        |totals broadcast as scalars, and the top-K window ranks the
+        |count table, never the corpus. Cross-engine ordering is safe
+        |because both engines derive the PMI double from identical
+        |integer counts — equal-ratio count triples give bit-equal
+        |doubles and fall through to the lexicographic word
+        |tie-break.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
