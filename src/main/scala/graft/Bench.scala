@@ -101,7 +101,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failedShort = failed.result().map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val gcTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qsShort,"gc_total_ms":$gcTotal,"failed":$failedShort,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE the final println: shutdown-hook log lines must
+    // not trail the compact JSON (BENCH_r04 had `parsed: null` because
+    // the driver reads the LAST stdout line as the summary).
     spark.stop()
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qsShort,"gc_total_ms":$gcTotal,"failed":$failedShort,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -1337,7 +1337,7 @@ object Dedup {
          FROM embeddings e
          JOIN comp c ON c.doc_id = e.vec_id
          CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) j)
-       SELECT component, dim, COUNT(*) AS n_members, SUM(fp) AS fp_sum
+       SELECT component, dim, COUNT(*) AS n_members, CAST(SUM(fp) AS BIGINT) AS fp_sum
        FROM fp GROUP BY component, dim ORDER BY component, dim"""
 
   /** q89 — cluster medoid/diversity ranking: order each near-dup

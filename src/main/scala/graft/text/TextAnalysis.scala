@@ -678,9 +678,9 @@ object TextAnalysis {
     """SELECT COALESCE(source, '<all>') AS source,
          COALESCE(lang, '<all>') AS lang,
          COUNT(*) AS n_docs,
-         SUM(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tok_sum,
-         SUM(n_chars) AS char_sum,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tok_sum,
+         CAST(SUM(n_chars) AS BIGINT) AS char_sum,
          MAX(n_chars) AS max_chars
        FROM documents
        GROUP BY ROLLUP (source, lang)
@@ -923,7 +923,7 @@ object TextAnalysis {
     def roundCtes(k: Int): String = {
       val prev = s"s${k - 1}"
       s"""p$k AS (
-           SELECT pr.l AS l, pr.r AS r, SUM(freq) AS cnt FROM (
+           SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
              SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
                i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS pr
              FROM (SELECT freq, list_filter(string_split(sym, '|'), t -> t != '') AS toks

@@ -537,7 +537,7 @@ object Similarity extends Serializable {
               unnest(generate_series(1, 64)) AS i(i),
               unnest(generate_series(1, 64)) AS j(j)
          WHERE j.j >= i.i)
-       SELECT di, dj, COUNT(*) AS n, SUM(fp) AS fp_sum
+       SELECT di, dj, COUNT(*) AS n, CAST(SUM(fp) AS BIGINT) AS fp_sum
        FROM cells GROUP BY di, dj ORDER BY di, dj"""
 
   // --- SemDeDup: within-cluster semantic pruning ----------------------

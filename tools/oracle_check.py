@@ -52,13 +52,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         g = got.reset_index(drop=True)
         e = exp.reset_index(drop=True)
-        # normalize dtypes for comparison (e.g. int32 vs int64, date objects)
+        # The driver's hash is TYPE-SENSITIVE: DuckDB HUGEINT (pandas
+        # object/float) vs Spark BIGINT (int64) hash-mismatches even
+        # with equal values (r4: q83/q85/q90/q104). So an integer-kind
+        # dtype divergence is a FAIL here, not something to coerce away.
         mism = []
+        dtype_mism = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            g_int = str(gv.dtype).startswith(("int", "uint", "Int"))
+            e_int = str(ev.dtype).startswith(("int", "uint", "Int"))
+            # Width differences (int32 vs int64) hash-match at the
+            # driver (r4: q13/q31/etc. all green); only a KIND
+            # divergence — integer vs object/float, i.e. DuckDB
+            # HUGEINT that pandas can't hold in int64 — breaks it.
+            if g_int != e_int:
+                dtype_mism.append(f"{c}: spark={gv.dtype} duckdb={ev.dtype}")
             try:
-                if str(gv.dtype).startswith(("int", "uint", "Int")) or \
-                   str(ev.dtype).startswith(("int", "uint", "Int")):
+                if g_int or e_int:
                     eq = gv.astype("int64").equals(ev.astype("int64"))
                 elif gv.dtype == object or ev.dtype == object:
                     eq = gv.astype(str).equals(ev.astype(str))
@@ -70,6 +81,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 eq = False
             if not eq:
                 mism.append(c)
+        if dtype_mism:
+            print(f"FAIL {name}: dtype mismatch (driver hash would differ): "
+                  + "; ".join(dtype_mism))
+            n_fail += 1
+            continue
         if mism:
             print(f"FAIL {name}: value mismatch in {mism}")
             for c in mism[:2]:
