@@ -699,18 +699,28 @@ object Dedup {
       .join(kCluster, Seq("doc_id"))
       .join(removed, Seq("doc_id"), "left")
       .withColumn("n_removed", coalesce($"n_removed", lit(0L)))
-    val stages = Seq(
-      ("0_raw", lit(true), $"wc"),
-      ("1_exact", $"k_exact", $"wc"),
-      ("2_cluster", $"k_exact" && $"k_cluster", $"wc"),
-      ("3_span", $"k_exact" && $"k_cluster", $"wc" - $"n_removed"))
-    stages.map { case (name, keep, tokens) =>
-      full.filter(keep).agg(
-        lit(name).as("stage"),
-        count(lit(1)).as("n_docs"),
-        sum(tokens).as("n_tokens"))
-        .select($"stage", $"n_docs", $"n_tokens")
-    }.reduce(_.union(_)).orderBy($"stage")
+    // ONE conditional aggregation over the shared frame, then a 1→4-row
+    // stack. r4's shape (4 filtered aggs unioned) re-evaluated the whole
+    // LSH/components/coverage upstream per stage — 16.3 s at sf0.1, 4×
+    // the work at any scale. A single pass needs no persist at all.
+    // `when` without otherwise → NULL for non-matching rows: count()
+    // skips them (so 0 like the oracle's filtered COUNT(*)) and sum()
+    // of none is NULL (like the oracle's filtered SUM).
+    val survives = $"k_exact" && $"k_cluster"
+    full.agg(
+      count(lit(1)).as("n0"), sum($"wc").as("t0"),
+      count(when($"k_exact", lit(1))).as("n1"),
+      sum(when($"k_exact", $"wc")).as("t1"),
+      count(when(survives, lit(1))).as("n2"),
+      sum(when(survives, $"wc")).as("t2"),
+      sum(when(survives, $"wc" - $"n_removed")).as("t3"))
+      .select(expr(
+        """stack(4,
+             '0_raw', n0, t0,
+             '1_exact', n1, t1,
+             '2_cluster', n2, t2,
+             '3_span', n2, t3) AS (stage, n_docs, n_tokens)"""))
+      .orderBy($"stage")
   }
 
   /** Non-empty whitespace tokens of a text column (the q94/q100 token

@@ -467,25 +467,33 @@ object NgramLm {
     }
   }
 
-  /** Driver-side build of [[BigramStats]] from the documents lake —
-    * the same corpus statistics q93's relational form aggregates. */
+  /** Build [[BigramStats]] from the documents lake with a DISTRIBUTED
+    * bigram aggregation — the same count-table shape q93's relational
+    * form joins on. Only the vocab²-sparse (c1, w) count table ever
+    * reaches the driver (the r4 version collected the whole corpus
+    * text — a driver OOM at any real scale); the unigram table and
+    * vocab size are exact derivations of it (g1(c) = Σ_w g2(c,w);
+    * every non-pad token occurs as some bigram's `w`, so vsz =
+    * |distinct w keys|). Token rule matches [[tokenize]]: whitespace
+    * split with empties dropped, so an all-whitespace doc contributes
+    * nothing (its padded array is the lone <s>, filtered below). */
   def bigramStats(s: SparkSession, dir: String): BigramStats = {
     import s.implicits._
-    val all = Tables.documents(s, dir).select($"text").as[String].collect()
-      .map(t => Pad +: tokenize(t).toSeq)
-    val g2 = scala.collection.mutable.Map.empty[(String, String), Long]
-    val g1 = scala.collection.mutable.Map.empty[String, Long]
-    val ws = scala.collection.mutable.Set.empty[String]
-    all.foreach { toks =>
-      toks.sliding(2).foreach {
-        case Seq(c, w) =>
-          g2.updateWith((c, w))(v => Some(v.getOrElse(0L) + 1))
-          g1.updateWith(c)(v => Some(v.getOrElse(0L) + 1))
-          ws += w
-        case _ => ()
-      }
-    }
-    BigramStats(g2.toMap, g1.toMap, ws.size.toLong)
+    val g2Rows = Tables.documents(s, dir)
+      .withColumn("padded", expr(
+        s"concat(array('$Pad'), filter(split(trim(text), '\\\\s+'), t -> t != ''))"))
+      .filter(size($"padded") >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(padded)), i -> struct(" +
+          "element_at(padded, i-1) as c1, element_at(padded, i) as w))")).as("it"))
+      .groupBy($"it.c1".as("c1"), $"it.w".as("w"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .collect()
+    val g2 = g2Rows.map { case (c, w, n) => (c, w) -> n }.toMap
+    val g1 = g2Rows.groupMapReduce(_._1)(_._3)(_ + _)
+    val vsz = g2Rows.iterator.map(_._2).toSet.size.toLong
+    BigramStats(g2, g1, vsz)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
