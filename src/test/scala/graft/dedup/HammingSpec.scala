@@ -3,9 +3,10 @@ package graft.dedup
 import graft.SparkSpec
 import scala.util.Random
 
-/** The shared banded hamming join vs brute force, randomized over both
-  * geometries in use (q30 sparse path: 10×6-bit/ham6; q61: 4×15-bit/
-  * ham3), plus the guard rails on invalid geometry. */
+/** The shared banded hamming join vs brute force, randomized over the
+  * geometries in use (q30 sparse path: minimal 7-band cover at ham6;
+  * q61: 4×15-bit/ham3; legacy equal splits), plus the guard rails on
+  * invalid geometry. */
 class HammingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -33,6 +34,21 @@ class HammingSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
         .toSet
       assert(got == brute(hamMax), s"geometry 60/$bandBits/ham<=$hamMax")
+      assert(got.nonEmpty, "planted near-dups should be found")
+    }
+  }
+
+  test("property: minimal-band cover == brute force (q30's live geometry)") {
+    val df = sigs.toDF("doc_id", "sig")
+    for (hamMax <- Seq(3, 6)) {
+      val bands = Hamming.minimalBands(60, hamMax)
+      assert(bands.size == hamMax + 1)
+      assert(bands.map(_._2).sum == 60, "bands must tile all 60 bits")
+      assert(bands.map(_._2).max - bands.map(_._2).min <= 1, "nearly equal widths")
+      val got = Hamming.bandedPairsAt(df, "sig", bands, hamMax).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+        .toSet
+      assert(got == brute(hamMax), s"minimal cover at ham<=$hamMax")
       assert(got.nonEmpty, "planted near-dups should be found")
     }
   }
