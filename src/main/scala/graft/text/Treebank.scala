@@ -2,15 +2,22 @@ package graft.text
 
 /** Penn-Treebank-style word tokenizer (W3): the reference scores RAW
   * transcript text through NLTK's `word_tokenize`
-  * (client/async_processing_client.py:163-165), whose Treebank rules
-  * split contractions and punctuation — so score-array LENGTHS (and
-  * therefore island indexes) depend on these rules whenever the input
-  * carries punctuation (SURVEY.md §7.5 risk #1). This is a
-  * re-derivation of the published Penn Treebank sed rules (the same
-  * public rule set NLTK implements): punctuation split-off,
-  * ellipsis/dash handling, quote directionality, and the standard
-  * contraction splits (n't, 'll, 've, 're, 's, 'm, 'd) plus the
-  * MacIntyre special forms (cannot → can not, gonna → gon na, …).
+  * (client/async_processing_client.py:163-165; client/requirements.txt
+  * pins nltk==3.8.1, whose word_tokenize is NLTKWordTokenizer in
+  * nltk/tokenize/destructive.py). Treebank rules split contractions
+  * and punctuation — so score-array LENGTHS (and therefore island
+  * indexes) depend on these rules whenever the input carries
+  * punctuation (SURVEY.md §7.5 risk #1).
+  *
+  * This is a re-derivation of that published rule list, rule-for-rule
+  * and in the same application order: starting quotes (incl. unicode
+  * opening quotes and backtick runs), punctuation (final-period with
+  * trailing closers, multi-dot runs, `[;@#$%&]`, `[?!]`, `*`),
+  * parens/brackets, double dashes, ending quotes (incl. unicode
+  * closing quotes), then the MacIntyre contraction splits (n't, 'll,
+  * 've, 're, 's, 'm, 'd and the special forms cannot → can not,
+  * gonna → gon na, …). Java-regex notes: `\g<0>` becomes `$0`, and
+  * `(?U)` mirrors Python's re.U so `\w` stays unicode-aware.
   *
   * On punctuation-free text (the `text_formatted` path after F1
   * normalization) it reduces to whitespace tokenization — TreebankSpec
@@ -19,31 +26,44 @@ package graft.text
 object Treebank {
 
   private val startingQuotes: Seq[(String, String)] = Seq(
+    "([«“‘„]|[`]+)" -> " $1 ",
     "^\"" -> "``",
     "(``)" -> " $1 ",
-    "([ \\(\\[{<])(\"|'{2})" -> "$1 `` ")
+    "([ \\(\\[{<])(\"|'{2})" -> "$1 `` ",
+    // leading apostrophe that is NOT a contraction suffix splits off
+    // ('a, 'I — single word chars; 're/'ve/… are handled later)
+    "(?iU)(')(?!re|ve|ll|m|t|s|d|n)(\\w)\\b" -> "$1 $2")
 
   private val punctuation: Seq[(String, String)] = Seq(
+    // final period with trailing closers (incl. unicode closing
+    // quotes) — closers become their OWN token (spaced replacement)
+    "(?U)([^\\.])(\\.)([\\]\\)}>\"'»”’]*)\\s*$" -> "$1 $2 $3 ",
     "([:,])([^\\d])" -> " $1 $2",
     "([:,])$" -> " $1 ",
-    "\\.\\.\\." -> " ... ",
+    // any run of 2+ dots (.., ..., ....) — not just the 3-dot ellipsis
+    "(?U)\\.{2,}" -> " $0 ",
     "([;@#$%&])" -> " $1 ",
-    // final period (possibly followed by closing brackets/quotes)
+    // ASCII-closer final-period form kept in its 3.8.1 list position
     "([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$" -> "$1 $2$3 ",
     "([?!])" -> " $1 ",
-    "([^'])' " -> "$1 ' ")
+    "([^'])' " -> "$1 ' ",
+    "(?U)[*]" -> " $0 ")
 
   private val parensBrackets: Seq[(String, String)] = Seq(
-    "([\\]\\[\\(\\)\\{\\}<>])" -> " $1 ",
-    "(-{2,})" -> " $1 ")
+    "([\\]\\[\\(\\)\\{\\}<>])" -> " $1 ")
+
+  // exactly two dashes (3.8.1 DOUBLE_DASHES): "---" → "-- -"
+  private val doubleDashes: Seq[(String, String)] = Seq(
+    "--" -> " -- ")
 
   private val endingQuotes: Seq[(String, String)] = Seq(
+    "(?U)([»”’])" -> " $1 ",
+    "''" -> " '' ",
     "\"" -> " '' ",
-    "(\\S)('')" -> "$1 $2 ",
     "([^' ])('[sS]|'[mM]|'[dD]|') " -> "$1 $2 ",
     "([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) " -> "$1 $2 ")
 
-  // MacIntyre CONTRACTIONS2 forms, split at the documented boundary.
+  // MacIntyre CONTRACTIONS2/3 forms, split at the documented boundary.
   private val contractions2: Seq[String] = Seq(
     "(?i)\\b(can)(not)\\b",
     "(?i)\\b(d)('ye)\\b",
@@ -51,8 +71,8 @@ object Treebank {
     "(?i)\\b(gon)(na)\\b",
     "(?i)\\b(got)(ta)\\b",
     "(?i)\\b(lem)(me)\\b",
-    "(?i)\\b(mor)('n)\\b",
-    "(?i)\\b(wan)(na)\\s")
+    "(?i)\\b(more)('n)\\b",
+    "(?i)\\b(wan)(na)(?=\\s)")
   private val contractions3: Seq[String] = Seq(
     "(?i) ('t)(is)\\b",
     "(?i) ('t)(was)\\b")
@@ -62,6 +82,7 @@ object Treebank {
     for ((p, r) <- startingQuotes) t = t.replaceAll(p, r)
     for ((p, r) <- punctuation) t = t.replaceAll(p, r)
     for ((p, r) <- parensBrackets) t = t.replaceAll(p, r)
+    for ((p, r) <- doubleDashes) t = t.replaceAll(p, r)
     // add padding spaces so end-of-string contractions match " $" rules
     t = " " + t + " "
     for ((p, r) <- endingQuotes) t = t.replaceAll(p, r)

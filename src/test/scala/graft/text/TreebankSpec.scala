@@ -47,6 +47,35 @@ class TreebankSpec extends AnyFunSuite {
   test("MacIntyre special forms") {
     assert(tok("I cannot go") == Seq("I", "can", "not", "go"))
     assert(tok("gonna gotta wanna stop") == Seq("gon", "na", "got", "ta", "wan", "na", "stop"))
+    assert(tok("more'n enough") == Seq("more", "'n", "enough"))
+    assert(tok("d'ye ken") == Seq("d", "'ye", "ken"))
+    assert(tok("'Twas fun") == Seq("'T", "was", "fun"))
+  }
+
+  test("unicode quote transforms (3.8.1 starting/ending rules)") {
+    assert(tok("“Hello” she said") ==
+      Seq("“", "Hello", "”", "she", "said"))
+    assert(tok("«так» он сказал") == Seq("«", "так", "»", "он", "сказал"))
+    // apostrophe-that-isn't-a-contraction splits off single-char words
+    assert(tok("'a card") == Seq("'", "a", "card"))
+  }
+
+  test("multi-char punctuation: dot runs, stars, exact double dash") {
+    assert(tok("so.. anyway") == Seq("so", "..", "anyway"))
+    assert(tok("hmm....") == Seq("hmm", "...."))
+    assert(tok("rated *five* stars") == Seq("rated", "*", "five", "*", "stars"))
+    assert(tok("wait--no") == Seq("wait", "--", "no"))
+    // 3.8.1 DOUBLE_DASHES is exactly "--": a 3-dash run leaves "-b"
+    assert(tok("a---b") == Seq("a", "--", "-b"))
+  }
+
+  test("final period followed by a closing quote splits both off") {
+    assert(tok("He said \"stop.\"") == Seq("He", "said", "``", "stop", ".", "''"))
+  }
+
+  test("mid-token punctuation class: ; @ # $ % &") {
+    assert(tok("a; b@c 50% $5 #tag x&y") ==
+      Seq("a", ";", "b", "@", "c", "50", "%", "$", "5", "#", "tag", "x", "&", "y"))
   }
 
   private val rnd = new Random(42)
