@@ -20,10 +20,10 @@ import graft.core.Tables
   * rows) breaks the hash.
   *
   * Fixture construction is scaffolding, not the operator under test:
-  * q63 writes the per-video drop files driver-side (the reference's
-  * drop folder arrives from outside the engine,
-  * read_in_v_1_files.py:134-139); q64/q65 write through the
-  * distributed sinks themselves.
+  * q63 builds the per-video drop files with a distributed partitioned
+  * CSV write plus per-source renames (the reference's drop folder
+  * arrives from outside the engine, read_in_v_1_files.py:134-139);
+  * q64/q65 write through the distributed sinks themselves.
   */
 object RoundTrips {
 
@@ -39,33 +39,32 @@ object RoundTrips {
   def qCsvIngestRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val drop = freshDir("graft_csv_drop_")
-    // Fixture construction only: the drop folder is driver-authored by
-    // contract, but the driver never holds the table — the sorted scan
-    // streams partition-at-a-time through toLocalIterator and each
-    // row is written and dropped. orderBy range-partitions, so
-    // iterating partitions in order yields (source, doc_id) order and
-    // one writer is open at a time.
-    val it = Tables.documents(s, dir)
-      .select($"source", $"doc_id", $"text")
-      .orderBy($"source", $"doc_id")
-      .toLocalIterator()
-    var cur: String = null
-    var w: java.io.BufferedWriter = null
-    try {
-      while (it.hasNext) {
-        val r = it.next()
-        val source = r.getString(0)
-        if (source != cur) {
-          if (w != null) w.close()
-          w = Files.newBufferedWriter(drop.resolve(s"$source.csv"))
-          w.write("text,start,duration\n")
-          cur = source
-        }
-        // testdata text is [a-z0-9 ] — no CSV quoting needed, and the
-        // oracle's replay depends on the text arriving verbatim.
-        w.write(s"${r.getString(2)},${r.getLong(1).toDouble},1.5\n")
+    // Fixture construction, DISTRIBUTED (r4 advice: the previous
+    // driver-side toLocalIterator row loop sat inside Bench's timed
+    // region and was O(rows) driver IO): one partitioned CSV write —
+    // repartition by source guarantees exactly one part file per
+    // source directory — then O(#sources) driver renames into the flat
+    // `<source>.csv` drop-folder contract. Row order inside a file is
+    // irrelevant to ingest (its running count windows on `start`).
+    val partsDir = drop.resolve("parts")
+    Tables.documents(s, dir)
+      .repartition($"source")
+      .select($"source", $"text", $"doc_id".cast("double").as("start"),
+        lit(1.5).as("duration"))
+      .write.partitionBy("source")
+      .option("header", "true").option("emptyValue", "")
+      .csv(partsDir.toString)
+    val subs = Files.list(partsDir)
+    try subs.forEach { sub =>
+      val name = sub.getFileName.toString
+      if (name.startsWith("source=")) {
+        val files = Files.list(sub)
+        try files.forEach { f =>
+          if (f.getFileName.toString.endsWith(".csv"))
+            Files.move(f, drop.resolve(s"${name.stripPrefix("source=")}.csv"))
+        } finally files.close()
       }
-    } finally if (w != null) w.close()
+    } finally subs.close()
     val bad = Files.newBufferedWriter(drop.resolve("badfile.csv"))
     try bad.write("text,start,duration,extra\nshould be skipped,0.0,1.0,boom\n")
     finally bad.close()

@@ -45,6 +45,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q02 scan failed to prune unused order columns: $sch"))
   }
 
+  /** The `PushedFilters:` list of every FileSourceScan — same
+    * anchoring rationale as [[readSchemas]]. */
+  private def pushedFilters(plan: String): Seq[String] =
+    """PushedFilters: \[([^\]]*)\]""".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+
+  test("predicate pushdown reaches the parquet scan (anchored PushedFilters)") {
+    // q56 scopes nation to GERMANY before its semi-join cascade: the
+    // literal must land in the nation scan's PushedFilters (parquet
+    // row-group pruning), not survive only as a post-scan Filter.
+    val plan = graft.queries.Lifecycle.qFixtureDump(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val pushed = pushedFilters(plan)
+    assert(pushed.exists(_.contains("EqualTo(n_name,GERMANY)")),
+      s"n_name filter not pushed to the nation scan; PushedFilters = $pushed")
+    graft.core.Resources.release()
+  }
+
   test("bounded-count-table queries broadcast their scoring joins (q96/q102)") {
     // The 100 TB story of q96/q102 is that hashing bounds the count
     // table, so the corpus-side scoring join must plan as a broadcast —
