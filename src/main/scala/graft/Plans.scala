@@ -43,26 +43,26 @@ object Plans {
         |drift visible). Candidate volume is Σ bucket², the canonical
         |100 TB dedup shape.""".stripMargin,
     "q30_simhash_neardup" ->
-      """Signature build is one shuffle (60 vote agg columns). The pair stage is
-        |the TILED broadcast kernel (Blocked.tiledPairScan): ≤64 K-row hash
-        |tiles of (id, sig64) collected one at a time — DRIVER memory is
-        |bounded by one tile; in the default lazy-union mode executor-side
-        |broadcast residency still spans all tiles until the action ends, so
-        |at cluster scale pass eagerTiles=true (per-tile jobs, one broadcast
-        |resident, BlockedSpec pins equality; trades executor-loss recovery
-        |for residency — a cluster needing recovery uses a reliable
-        |checkpoint dir instead, see Blocked's scaladoc) —
-        |each broadcast and probed by the distributed signature set with a
-        |primitive Long.bitCount loop. Measured choice over the banded join:
-        |this data's signatures cluster (shared vocabulary), so banding emits
-        |27.6M candidates vs 12.5M raw pairs at sf0.1; with a dense true output
-        |the exact hamming join is inherently ~quadratic and the kernel's
-        |constant is ~100× smaller than a shuffled join row. The tf
-        |aggregation keys on the packed 8-byte word hash (exact: equal
-        |hashes vote identically), so word bytes never shuffle. 2-4 s at
-        |sf0.1 (r2: 19.5 s via whole-table driver collect +
-        |accumulated-broadcast GC). The banded form (simHashBandedPairs)
-        |remains for sparse distributions.""".stripMargin,
+      """Signature build is one shuffle (60 vote agg columns; the tf
+        |aggregation keys on the packed 8-byte word hash, so word bytes
+        |never shuffle). Pair-stage plan choice is AUTOMATIC: a census
+        |aggregation over the band buckets computes the EXACT banded
+        |candidate volume (Σ n·(n−1)/2 per bucket) and picks the banded
+        |join only when it prunes the pair space by more than the
+        |kernel's ~32× per-candidate cost advantage. On this testdata
+        |the shared vocabulary clusters signatures (banding emitted
+        |27.6M candidates vs 12.5M raw pairs at sf0.1), so the census
+        |keeps the TILED broadcast kernel (Blocked.tiledPairScan:
+        |≤64 K-row tiles, driver memory bounded by one tile, primitive
+        |Long.bitCount loop; at cluster scale pass eagerTiles=true —
+        |BlockedSpec pins equality, Blocked's scaladoc spells out the
+        |residency/recovery trade). A spread-signature corpus census
+        |instead activates simHashBandedPairs on the MINIMAL pigeonhole
+        |cover — 7 bands of 8-9 bits (256-512 buckets/band, ~51×
+        |pruning on uniform sigs, vs 64 buckets and ~6.4× for an equal
+        |10×6 split) — the linear-ish 100 TB path. DedupSpec pins both
+        |paths output-identical and the census decision on both
+        |regimes.""".stripMargin,
     "q32_embed_neardup" ->
       """Exact cosine threshold join. The sim distribution is continuous through
         |0.4 (no LSH can match exactly), so: one linear pass to (vec, norm),
@@ -269,11 +269,15 @@ object Plans {
       """The funnel is composition, not recomputation: the exact rule is
         |one md5 groupBy, the cluster rule is the SHARED q79 frame, the
         |span rule is the SHARED q94 coverage positions — three
-        |metadata joins keyed on doc_id and a 4-row rollup. Corpus text
-        |is read once per shared frame; nothing wide moves but
-        |(doc_id, flag/count) rows. Stages are corpus-wide keep rules
-        |intersected, so the report can never disagree with the
-        |standalone operators it summarizes.""".stripMargin,
+        |metadata joins keyed on doc_id, then ONE conditional
+        |aggregation (count/sum over `when` guards) producing all four
+        |stages in a single pass over the shared frame, unpivoted by a
+        |4-row stack. The r4 shape (four filtered aggs unioned)
+        |re-evaluated the whole LSH/components/coverage upstream per
+        |stage — 16.3 s at sf0.1, 4× the work at any scale; the single
+        |pass (7.4 s) needs no persist at all. Stages are corpus-wide
+        |keep rules intersected, so the report can never disagree with
+        |the standalone operators it summarizes.""".stripMargin,
     "q101_kmeans_refine" ->
       """Iterative refinement in Spark's sweet spot: per round, ONE
         |narrow broadcast-argmax pass (no join, no shuffle — the same
@@ -308,10 +312,13 @@ object Plans {
         |sides, and the asymmetric banded join keys on (band, bkey) so
         |candidate volume is Σ bucket_new·bucket_lake — proportional to
         |the DELTA, never the lake square (q30 is the one-time
-        |backfill; this is day N+1). The pigeonhole geometry (≤6
-        |differing bits ⇒ ≥4 of 10 shared bands) makes the banded plan
-        |exactly equivalent to the oracle's brute-force scan; the
-        |nearest-verdict window moves (id, id, int) rows only.""".stripMargin,
+        |backfill; this is day N+1). The minimal 7-band pigeonhole
+        |cover (≤6 differing bits ⇒ ≥1 shared 8-9-bit band — shared
+        |geometry with q30) makes the banded plan exactly equivalent
+        |to the oracle's brute-force scan; hamming is computed and
+        |filtered BEFORE the pair distinct, so only ≤6-bit survivors
+        |shuffle, and the nearest-verdict window moves (id, id, int)
+        |rows only.""".stripMargin,
     "q104_gram_matrix" ->
       """One-pass distributed linear algebra: 4096 upper-triangle cells
         |from a single map-side-combined aggregation whatever the
@@ -328,7 +335,29 @@ object Plans {
         |because both engines derive the PMI double from identical
         |integer counts — equal-ratio count triples give bit-equal
         |doubles and fall through to the lexicographic word
-        |tie-break.""".stripMargin)
+        |tie-break.""".stripMargin,
+    "q63_csv_ingest_roundtrip" ->
+      """S6 end-to-end. Fixture construction is itself distributed
+        |(repartition-by-source partitioned CSV write → one file per
+        |source, then O(#sources) driver renames — the r4 version
+        |streamed every row through a driver toLocalIterator loop);
+        |the operator under test is then ONE spark.read.csv over the
+        |whole drop folder with vid_id recovered from the file name, a
+        |header-only validation pass anti-joined broadcast, and the
+        |derived-column chain ending in the per-video running-count
+        |window — the only shuffle.""".stripMargin,
+    "q107_model_manifest_roundtrip" ->
+      """The S7 migration closer: the reference's pickled NLTK models
+        |leave Python once, as a JSONL n-gram-count manifest
+        |(tools/export_model_manifest.py, public nltk API only);
+        |ModelManifest.ingest rebuilds every model DISTRIBUTED — one
+        |JSON scan, one groupByKey(model_key) shuffle, each group a
+        |vocab-bounded gram table serialized on an executor — into the
+        |(model_key, model_data) blob lake S8 already loads and
+        |broadcasts. Context counts are derived, not trusted
+        |(count(ctx) = Σ_w count(ctx++w), exact for MLE), and the
+        |scoring tail is q47's broadcast pass, so the oracle replays
+        |the whole trip relationally.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")

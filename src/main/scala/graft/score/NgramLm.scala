@@ -370,6 +370,36 @@ object NgramLm {
       .orderBy($"source")
   }
 
+  /** q107 — S7 migration path end-to-end: the manifest a reference
+    * operator exports from their pickled models
+    * (tools/export_model_manifest.py) → [[ModelManifest.ingest]]'s
+    * distributed rebuild → blob lake → S8 load + broadcast → the q47
+    * scoring pass. The manifest FIXTURE here is authored from an
+    * in-engine trained model (fixture scaffolding — at migration time
+    * those rows come from the pickles; the operator under test is the
+    * ingest), and the oracle is q47's relational replay: if the
+    * manifest trip corrupts a single count, every downstream mean_p
+    * shifts and the hash breaks. */
+  def qModelManifestRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assembled = assembleBySource(s, dir)
+    val trainText = assembled.filter($"source" === "src0")
+      .select($"full_text").as[String].collect().headOption.getOrElse("")
+    val trained = train(Seq(tokenize(trainText)))
+    val manifestDir = graft.sink.TempDirs.fresh("graft_model_manifest_").toString
+    s.createDataset(trained.grams.toSeq.map { case (ng, c) => ("src0", ng, c) })
+      .toDF("model_key", "ngram", "count")
+      .repartition(4)
+      .write.mode("overwrite").json(manifestDir)
+    val lake = ModelManifest.ingest(s, manifestDir)
+    val bc = graft.core.Resources.broadcast(s, loadModel(lake, "src0"))
+    scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
+      .select($"source", size($"score").as("n_items"),
+        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
+      .orderBy($"source")
+  }
+
   // ---- q93: perplexity-based quality filter -------------------------
 
   /** Add-one-smoothed bigram perplexity cut (the CCNet/KenLM-style
@@ -501,14 +531,17 @@ object NgramLm {
     "q47_lm_broadcast_score" -> qLmBroadcastScore,
     "q62_treebank_score" -> qTreebankScore,
     "q67_model_blob_roundtrip" -> qModelBlobRoundTrip,
-    "q93_perplexity_filter" -> qPerplexityFilter)
+    "q93_perplexity_filter" -> qPerplexityFilter,
+    "q107_model_manifest_roundtrip" -> qModelManifestRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q46_ngram_score" -> qNgramScoreSql,
     "q47_lm_broadcast_score" -> qLmBroadcastScoreSql,
     "q62_treebank_score" -> qTreebankScoreSql,
     "q93_perplexity_filter" -> qPerplexityFilterSql,
-    // q67 is q47 with the model routed through the blob lake; identical
-    // output contract, same relational replay.
-    "q67_model_blob_roundtrip" -> qLmBroadcastScoreSql)
+    // q67 is q47 with the model routed through the blob lake; q107
+    // routes it through the export-manifest rebuild; identical output
+    // contract, same relational replay.
+    "q67_model_blob_roundtrip" -> qLmBroadcastScoreSql,
+    "q107_model_manifest_roundtrip" -> qLmBroadcastScoreSql)
 }

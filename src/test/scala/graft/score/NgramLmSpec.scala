@@ -123,4 +123,30 @@ class NgramLmSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("manifest export -> ingest rebuilds a map-identical model (S7 migration)") {
+    import spark.implicits._
+    val corpus = Seq(NgramLm.tokenize("a b c d"), NgramLm.tokenize("a b c e f"),
+      NgramLm.tokenize("b c d a"))
+    val trained = NgramLm.train(corpus)
+    // the manifest rows tools/export_model_manifest.py would emit
+    val dir = graft.sink.TempDirs.fresh("graft_manifest_spec_").toString
+    spark.createDataset(trained.grams.toSeq.map { case (ng, c) => ("m0", ng, c) })
+      .toDF("model_key", "ngram", "count")
+      .repartition(3)
+      .write.mode("overwrite").json(dir)
+    val lake = ModelManifest.ingest(spark, dir)
+    val rebuilt = NgramLm.loadModel(lake, "m0").asInstanceOf[NgramLm.MleLm]
+    assert(rebuilt.n == trained.n)
+    assert(rebuilt.grams == trained.grams, "gram counts must survive the manifest trip")
+    // contexts were NOT exported — the ingest derives them, exactly
+    assert(rebuilt.contexts == trained.contexts,
+      "derived context counts must equal the trained ones")
+    // behavioral check incl. an unseen context
+    val probes = NgramLm.items(NgramLm.tokenize("a b c d e")) :+
+      (("zzz", Seq("no", "such", "ctx")))
+    probes.foreach { case (w, ctx) =>
+      assert(rebuilt.score(w, ctx) == trained.score(w, ctx), s"($w | $ctx)")
+    }
+  }
 }
