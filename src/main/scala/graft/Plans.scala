@@ -346,6 +346,15 @@ object Plans {
         |header-only validation pass anti-joined broadcast, and the
         |derived-column chain ending in the per-video running-count
         |window — the only shuffle.""".stripMargin,
+    "q108_removal_ledger" ->
+      """The per-doc provenance complement of q100: the SAME shared
+        |frame (exact keep rule + q79 cluster canonical + q94 span
+        |coverage, three doc_id-keyed metadata joins), emitted per doc
+        |with the FIRST removing stage as its disposition instead of
+        |rolled up — "why is doc X not in the training set?" as a
+        |query. DedupSpec pins that the ledger aggregates exactly to
+        |the funnel's four stage rows, so the two artifacts can never
+        |disagree.""".stripMargin,
     "q107_model_manifest_roundtrip" ->
       """The S7 migration closer: the reference's pickled NLTK models
         |leave Python once, as a JSONL n-gram-count manifest

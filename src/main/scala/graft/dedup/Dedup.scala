@@ -683,7 +683,10 @@ object Dedup {
     * the q94 coverage counts, then three metadata joins keyed on
     * doc_id and a 4-row rollup. The corpus text is read once per
     * shared frame; nothing wide moves but (doc_id, flag/count) rows. */
-  def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc funnel frame `(doc_id, wc, k_exact, k_cluster,
+    * n_removed)` — q100 aggregates it, q108 emits it as the per-doc
+    * ledger. */
+  private def funnelFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", md5($"text").as("h"),
@@ -695,10 +698,15 @@ object Dedup {
     val kCluster = clusterCanonicalFrame(s, dir).select($"doc_id", $"kept".as("k_cluster"))
     val removed = dupCoveredPositions(s, dir)
       .groupBy($"doc_id").agg(count(lit(1)).as("n_removed"))
-    val full = flagged
+    flagged
       .join(kCluster, Seq("doc_id"))
       .join(removed, Seq("doc_id"), "left")
       .withColumn("n_removed", coalesce($"n_removed", lit(0L)))
+  }
+
+  def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = funnelFrame(s, dir)
     // ONE conditional aggregation over the shared frame, then a 1→4-row
     // stack. r4's shape (4 filtered aggs unioned) re-evaluated the whole
     // LSH/components/coverage upstream per stage — 16.3 s at sf0.1, 4×
@@ -768,6 +776,64 @@ object Dedup {
          SELECT '3_span', COUNT(*), CAST(SUM(wc - n_removed) AS BIGINT)
          FROM full_t WHERE k_exact AND k_cluster) t
        ORDER BY stage"""
+
+  /** q108 — per-doc removal LEDGER, the provenance artifact a curation
+    * run ships next to the q100 aggregate: every document's disposition
+    * (kept / exact_dup / near_dup / span_trimmed — the FIRST stage that
+    * removed or trimmed it, in pipeline order) plus its token count
+    * before and after. The audit answer to "why is doc X not in the
+    * training set?", and the per-doc reconciliation of the funnel: the
+    * ledger's dispositions aggregate exactly to q100's stage rows
+    * (spec-pinned). Same one-pass plan as q100 — the shared frame IS
+    * the ledger; this query just doesn't collapse it. */
+  def qRemovalLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelFrame(s, dir)
+      .select($"doc_id",
+        when(!$"k_exact", "exact_dup")
+          .when(!$"k_cluster", "near_dup")
+          .when($"n_removed" > 0, "span_trimmed")
+          .otherwise("kept").as("disposition"),
+        $"wc".cast("long").as("tokens_before"),
+        when(!$"k_exact" || !$"k_cluster", 0L)
+          .otherwise($"wc" - $"n_removed").cast("long").as("tokens_after"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the q100 CTE block, emitted per doc instead of rolled up. */
+  lazy val qRemovalLedgerSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       $closureCtes,
+       qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
+       lab AS (
+         SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
+         FROM qual q LEFT JOIN comp c ON c.doc_id = q.doc_id),
+       kc AS (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 AS k_cluster
+         FROM lab),
+       $spanCoverageCtes,
+       rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+       d AS (
+         SELECT doc_id, md5(text) AS h,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS wc
+         FROM documents),
+       ke AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+       full_t AS (
+         SELECT d.doc_id, d.wc, d.doc_id = ke.keep_id AS k_exact,
+           kc.k_cluster, COALESCE(rem.n_removed, 0) AS n_removed
+         FROM d JOIN ke USING (h)
+         JOIN kc ON kc.doc_id = d.doc_id
+         LEFT JOIN rem ON rem.doc_id = d.doc_id)
+       SELECT doc_id,
+         CASE WHEN NOT k_exact THEN 'exact_dup'
+              WHEN NOT k_cluster THEN 'near_dup'
+              WHEN n_removed > 0 THEN 'span_trimmed'
+              ELSE 'kept' END AS disposition,
+         CAST(wc AS BIGINT) AS tokens_before,
+         CAST(CASE WHEN NOT k_exact OR NOT k_cluster THEN 0
+              ELSE wc - n_removed END AS BIGINT) AS tokens_after
+       FROM full_t ORDER BY doc_id"""
 
   /** q74 — duplicate-span fraction, the span-level curation metric
     * (how much of each doc's text also appears in OTHER docs — the
@@ -1486,6 +1552,7 @@ object Dedup {
     "q98_source_overlap" -> qSourceOverlap,
     "q100_dedup_funnel" -> qDedupFunnel,
     "q106_delta_dedup" -> qDeltaDedup,
+    "q108_removal_ledger" -> qRemovalLedger,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1506,6 +1573,7 @@ object Dedup {
     "q98_source_overlap" -> qSourceOverlapSql,
     "q100_dedup_funnel" -> qDedupFunnelSql,
     "q106_delta_dedup" -> qDeltaDedupSql,
+    "q108_removal_ledger" -> qRemovalLedgerSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,

@@ -74,6 +74,21 @@ class DedupSpec extends SparkSpec {
         s"allPairs/32=${nSp * (nSp - 1) / 2 / Dedup.BandedAdvantageMin})")
   }
 
+  test("q108 ledger dispositions aggregate exactly to the q100 funnel") {
+    val funnel = Dedup.qDedupFunnel(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ledger = Dedup.qRemovalLedger(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.nonEmpty)
+    val raw = (ledger.length.toLong, ledger.map(_._2).sum)
+    val exact = ledger.filter(_._1 != "exact_dup")
+    val surv = ledger.filter(t => t._1 == "kept" || t._1 == "span_trimmed")
+    assert(funnel("0_raw") == raw)
+    assert(funnel("1_exact") == ((exact.length.toLong, exact.map(_._2).sum)))
+    assert(funnel("2_cluster") == ((surv.length.toLong, surv.map(_._2).sum)))
+    assert(funnel("3_span") == ((surv.length.toLong, surv.map(_._3).sum)))
+  }
+
   test("scalar simHash64 == relational signatures, every doc") {
     val relational = Dedup.simHashSignatures(spark, Sf0001)
       .as[(Long, Long)].collect().toMap
