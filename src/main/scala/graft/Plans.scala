@@ -355,6 +355,14 @@ object Plans {
         |query. DedupSpec pins that the ledger aggregates exactly to
         |the funnel's four stage rows, so the two artifacts can never
         |disagree.""".stripMargin,
+    "q109_neardup_sweep" ->
+      """Threshold calibration from data: one pair-generation pass (the
+        |q30 census-selected plan) is PERSISTED, and the whole sweep is
+        |two conditional aggregations over the pair table — 7 cutoffs
+        |cost one extra pair-table scan, never a corpus re-scan. The
+        |per-doc side explodes pairs to (doc, min hamming) so "docs
+        |with at least one partner at ≤ t" is a count, not a distinct
+        |per threshold.""".stripMargin,
     "q107_model_manifest_roundtrip" ->
       """The S7 migration closer: the reference's pickled NLTK models
         |leave Python once, as a JSONL n-gram-count manifest

@@ -1139,6 +1139,13 @@ object Dedup {
 
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    simHashPairs(s, dir).orderBy($"d1", $"d2")
+  }
+
+  /** The unordered q30 pair frame `(d1, d2, hamming ≤ SimHamMax)` —
+    * shared by q30 (sorted emission) and q109 (threshold sweep). */
+  private def simHashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // AUTOMATIC plan selection (r4 verdict item 4): the census measures
     // the actual bucket distribution and picks banded (sparse, spread
     // signatures — the real-corpus regime, Σ bucket² ≪ N²) vs the
@@ -1171,8 +1178,52 @@ object Dedup {
             out.result()
         }.toDF("d1", "d2", "hamming")
       }
-    pairs.orderBy($"d1", $"d2")
+    pairs
   }
+
+  /** q109 — near-dup THRESHOLD SWEEP, the calibration report behind
+    * choosing SimHamMax: for every hamming cutoff t ≤ the maximum, the
+    * pair count and the number of documents with at least one partner
+    * at ≤ t. One pair-generation pass (the q30 auto-selected plan,
+    * persisted), then two conditional aggregations — the sweep costs
+    * one extra scan of the PAIR table, never a re-scan of the corpus,
+    * which is what makes running it per-corpus-version affordable and
+    * is how the cutoff gets chosen from data instead of folklore. */
+  def qNearDupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.core.Resources.persist(simHashPairs(s, dir))
+    val ts = 0 to SimHamMax
+    val pairCols = ts.map(t => count(when($"hamming" <= t, lit(1))).as(s"p$t"))
+    val pairRow = pairs.agg(pairCols.head, pairCols.tail: _*)
+    val perDoc = pairs
+      .select(explode(array($"d1", $"d2")).as("doc"), $"hamming")
+      .groupBy($"doc").agg(min($"hamming").as("mh"))
+    val docCols = ts.map(t => count(when($"mh" <= t, lit(1))).as(s"d$t"))
+    val docRow = perDoc.agg(docCols.head, docCols.tail: _*)
+    val stackArgs = ts.map(t => s"$t, p$t, d$t").mkString(", ")
+    pairRow.crossJoin(docRow)
+      .select(expr(
+        s"stack(${ts.size}, $stackArgs) AS (hamming_max, n_pairs, n_docs)"))
+      .orderBy($"hamming_max")
+  }
+
+  /** Oracle: brute-force pairs + per-threshold correlated counts. */
+  val qNearDupSweepSql: String =
+    s"""WITH $simHashSigCtes,
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS h
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax),
+       md AS (
+         SELECT doc, MIN(h) AS mh FROM (
+           SELECT d1 AS doc, h FROM pr UNION ALL SELECT d2, h FROM pr) u
+         GROUP BY doc),
+       th AS (SELECT unnest(generate_series(0, $SimHamMax)) AS t)
+       SELECT CAST(th.t AS INT) AS hamming_max,
+         CAST((SELECT COUNT(*) FROM pr WHERE pr.h <= th.t) AS BIGINT) AS n_pairs,
+         CAST((SELECT COUNT(*) FROM md WHERE md.mh <= th.t) AS BIGINT) AS n_docs
+       FROM th ORDER BY hamming_max"""
 
   /** SimHash signature CTE block (`sigs(doc_id, simhash)`) — shared by
     * the q30 and q106 oracles so they cannot drift. */
@@ -1553,6 +1604,7 @@ object Dedup {
     "q100_dedup_funnel" -> qDedupFunnel,
     "q106_delta_dedup" -> qDeltaDedup,
     "q108_removal_ledger" -> qRemovalLedger,
+    "q109_neardup_sweep" -> qNearDupSweep,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1574,6 +1626,7 @@ object Dedup {
     "q100_dedup_funnel" -> qDedupFunnelSql,
     "q106_delta_dedup" -> qDeltaDedupSql,
     "q108_removal_ledger" -> qRemovalLedgerSql,
+    "q109_neardup_sweep" -> qNearDupSweepSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
