@@ -363,6 +363,21 @@ object Plans {
         |per-doc side explodes pairs to (doc, min hamming) so "docs
         |with at least one partner at ≤ t" is a count, not a distinct
         |per threshold.""".stripMargin,
+    "q110_quality_sweep" ->
+      """Calibration for the quality cut: ONE narrow text pass builds
+        |(n_words, fixed-point quality), one conditional aggregation
+        |answers all 10 candidate thresholds, a 10-row stack unpivots.
+        |Keep decisions compare integers (the q78 floor(quality·1e6)
+        |device) and the per-threshold sums are integer sums of those
+        |fixed-points — the whole report is engine- and
+        |partitioning-exact with zero float aggregation.""".stripMargin,
+    "q111_embedding_qc" ->
+      """The pre-index sanity audit of an embedding lake: per dim, the
+        |count, fixed-point mean component, min/max range and
+        |zero-element (dead-dim) count — one posexplode pass into a
+        |64-group map-side-combined aggregation. At 100 TB this is a
+        |single scan; the q85 fixed-point discipline makes every output
+        |integer-exact whatever the partitioning.""".stripMargin,
     "q107_model_manifest_roundtrip" ->
       """The S7 migration closer: the reference's pickled NLTK models
         |leave Python once, as a JSONL n-gram-count manifest

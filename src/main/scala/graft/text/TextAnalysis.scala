@@ -1334,6 +1334,55 @@ object TextAnalysis {
              FROM scored) r
        WHERE rank <= $PmiTopK ORDER BY rank"""
 
+  /** q110 — quality-threshold SWEEP, the calibration report behind
+    * choosing a quality cut (the q109 pattern applied to the q23
+    * heuristic): for each candidate threshold k/10, the docs and
+    * tokens that survive and their quality mass. ONE narrow text pass
+    * builds the (n_words, qfp) frame, then a single conditional
+    * aggregation answers all 10 thresholds — calibration costs one
+    * scan, not ten. Thresholds compare on the q78 fixed-point
+    * (floor(quality·1e6)), so the keep decision is integer-exact and
+    * engine-identical; the per-threshold sums are integer sums of
+    * those fixed-points — no float aggregation anywhere. */
+  def qQualitySweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = qualityScores(s, dir)
+      .select($"doc_id", $"n_words",
+        floor($"quality" * 1000000).cast("long").as("qfp"))
+    val ks = 0 to 9
+    val cols = ks.flatMap(k => Seq(
+      count(when($"qfp" >= k * 100000L, lit(1))).as(s"n$k"),
+      sum(when($"qfp" >= k * 100000L, $"n_words")).as(s"t$k"),
+      sum(when($"qfp" >= k * 100000L, $"qfp")).as(s"q$k")))
+    val stackArgs = ks.map(k => s"$k, ${k * 100000}, n$k, t$k, q$k").mkString(", ")
+    q.agg(cols.head, cols.tail: _*)
+      .select(expr(
+        s"stack(${ks.size}, $stackArgs) AS (k, thresh_fp, n_docs, tok_sum, qfp_sum)"))
+      .orderBy($"k")
+  }
+
+  val qQualitySweepSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH qw AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+         FROM documents),
+       q AS (
+         SELECT doc_id, len(words) AS n_words,
+           CAST(floor((
+             (CAST(len(list_filter(words, t -> t IN ($stopList))) AS DOUBLE)
+                / len(words)) * 0.4
+             + LEAST(1.0, CAST(len(words) AS DOUBLE) / 50) * 0.6) * 1000000)
+             AS BIGINT) AS qfp
+         FROM qw),
+       th AS (SELECT unnest(generate_series(0, 9)) AS k)
+       SELECT CAST(th.k AS INT) AS k,
+         CAST(th.k * 100000 AS INT) AS thresh_fp,
+         CAST((SELECT COUNT(*) FROM q WHERE q.qfp >= th.k * 100000) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(n_words) FROM q WHERE q.qfp >= th.k * 100000) AS BIGINT) AS tok_sum,
+         CAST((SELECT SUM(qfp) FROM q WHERE q.qfp >= th.k * 100000) AS BIGINT) AS qfp_sum
+       FROM th ORDER BY k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1357,7 +1406,8 @@ object TextAnalysis {
     "q96_importance_weights" -> qImportanceWeights,
     "q102_source_drift" -> qSourceDrift,
     "q103_winnow_fingerprints" -> qWinnowFingerprints,
-    "q105_pmi_collocations" -> qPmiCollocations)
+    "q105_pmi_collocations" -> qPmiCollocations,
+    "q110_quality_sweep" -> qQualitySweep)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1382,5 +1432,6 @@ object TextAnalysis {
     "q96_importance_weights" -> qImportanceWeightsSql,
     "q102_source_drift" -> qSourceDriftSql,
     "q103_winnow_fingerprints" -> qWinnowFingerprintsSql,
-    "q105_pmi_collocations" -> qPmiCollocationsSql)
+    "q105_pmi_collocations" -> qPmiCollocationsSql,
+    "q110_quality_sweep" -> qQualitySweepSql)
 }

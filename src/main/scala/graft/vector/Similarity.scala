@@ -540,6 +540,45 @@ object Similarity extends Serializable {
        SELECT di, dj, COUNT(*) AS n, CAST(SUM(fp) AS BIGINT) AS fp_sum
        FROM cells GROUP BY di, dj ORDER BY di, dj"""
 
+  /** q111 — per-dimension embedding QC, the sanity audit an embedding
+    * lake gets BEFORE anyone builds an index over it: per dim, the
+    * vector count, fixed-point mean component (the q85 discipline —
+    * integer-exact, order-free), min/max fixed-points (range/outlier
+    * check) and the zero-element count (dead-dimension check: a dim
+    * that is 0.0 everywhere is a projection bug upstream). One
+    * posexplode pass, one 64-group aggregation; at any corpus size
+    * this is a single map-side-combined scan of the embedding lake. */
+  def qEmbeddingQc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .flatMap { case (_, f) =>
+        f.iterator.zipWithIndex.map { case (x, i) =>
+          val d = x.toDouble
+          (i + 1, math.floor(d * KmFp).toLong, if (d == 0.0) 1L else 0L)
+        }
+      }
+      .toDF("dim", "fp", "z")
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n_vecs"), sum($"fp").as("fp_sum"),
+        min($"fp").as("fp_min"), max($"fp").as("fp_max"),
+        sum($"z").as("n_zero"))
+      .orderBy($"dim")
+  }
+
+  val qEmbeddingQcSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       el AS (
+         SELECT i.i AS dim,
+           CAST(floor(vec[CAST(i.i AS INT)] * $KmFp) AS BIGINT) AS fp,
+           CASE WHEN vec[CAST(i.i AS INT)] = 0.0 THEN 1 ELSE 0 END AS z
+         FROM v, unnest(generate_series(1, 64)) AS i(i))
+       SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(fp) AS BIGINT) AS fp_sum,
+         CAST(MIN(fp) AS BIGINT) AS fp_min, CAST(MAX(fp) AS BIGINT) AS fp_max,
+         CAST(SUM(z) AS BIGINT) AS n_zero
+       FROM el GROUP BY dim ORDER BY dim"""
+
   // --- SemDeDup: within-cluster semantic pruning ----------------------
 
   /** Looser than q32's 0.4 near-dup cut on purpose: SemDeDup prunes
@@ -667,7 +706,8 @@ object Similarity extends Serializable {
     "q95_semdedup" -> qSemDedup,
     "q97_ann_recall" -> qAnnRecall,
     "q101_kmeans_refine" -> qKmeansRefine,
-    "q104_gram_matrix" -> qGramMatrix)
+    "q104_gram_matrix" -> qGramMatrix,
+    "q111_embedding_qc" -> qEmbeddingQc)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -678,5 +718,6 @@ object Similarity extends Serializable {
     "q95_semdedup" -> qSemDedupSql,
     "q97_ann_recall" -> qAnnRecallSql,
     "q101_kmeans_refine" -> qKmeansRefineSql,
-    "q104_gram_matrix" -> qGramMatrixSql)
+    "q104_gram_matrix" -> qGramMatrixSql,
+    "q111_embedding_qc" -> qEmbeddingQcSql)
 }
