@@ -378,6 +378,22 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q112_neardup_source_matrix" ->
+      """The cross-feed mirroring audit at the NEAR-dup level (q98 is
+        |the exact-gram sibling): the q30 auto-selected pair table
+        |(persisted) joins the narrow (doc_id, source) projection twice
+        |on doc_id, source pairs canonicalize with least/greatest, and
+        |the rollup is bounded by #sources². Pair volume, never
+        |corpus², drives the cost.""".stripMargin,
+    "q113_ivf_index_roundtrip" ->
+      """Index-as-artifact: the q33 assignment pass lands ONCE in a
+        |bucket-partitioned parquet lake (IVF inverted lists as
+        |directories); the serve path reads the lake and answers
+        |queries from nprobe bucket partitions — dynamic partition
+        |pruning under the broadcast probe join, static pruning for
+        |literal-bucket lookups. Doubles round-trip parquet exactly,
+        |so served ranks are bit-identical to q33's and the oracle is
+        |shared.""".stripMargin,
     "q107_model_manifest_roundtrip" ->
       """The S7 migration closer: the reference's pickled NLTK models
         |leave Python once, as a JSONL n-gram-count manifest

@@ -1225,6 +1225,45 @@ object Dedup {
          CAST((SELECT COUNT(*) FROM md WHERE md.mh <= th.t) AS BIGINT) AS n_docs
        FROM th ORDER BY hamming_max"""
 
+  /** q112 — near-dup SOURCE cross-matrix: which sources duplicate into
+    * which, at the near-dup (SimHash) level — the q98 exact-gram
+    * overlap audit's semantic sibling, and the report that answers
+    * "which feeds are mirroring each other" before anyone decides
+    * per-source caps. Source pairs are canonicalized (least, greatest)
+    * so the matrix is upper-triangular including the diagonal
+    * (within-source dup mass). Plan: the q30 pair table (auto-selected
+    * plan, persisted) joins the narrow (doc_id, source) projection
+    * twice on doc_id — pair volume, never corpus², drives the cost. */
+  def qNearDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.core.Resources.persist(simHashPairs(s, dir))
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("d1"), $"source".as("s1")), Seq("d1"))
+      .join(src.select($"doc_id".as("d2"), $"source".as("s2")), Seq("d2"))
+      .select(least($"s1", $"s2").as("src_a"), greatest($"s1", $"s2").as("src_b"),
+        $"hamming")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"), min($"hamming").as("min_hamming"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Oracle: brute-force pairs + the same canonicalized rollup. */
+  val qNearDupSourceMatrixSql: String =
+    s"""WITH $simHashSigCtes,
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHamMax)
+       SELECT LEAST(da.source, db.source) AS src_a,
+         GREATEST(da.source, db.source) AS src_b,
+         COUNT(*) AS n_pairs, CAST(MIN(hamming) AS INT) AS min_hamming
+       FROM pr
+       JOIN documents da ON da.doc_id = pr.d1
+       JOIN documents db ON db.doc_id = pr.d2
+       GROUP BY 1, 2 ORDER BY src_a, src_b"""
+
   /** SimHash signature CTE block (`sigs(doc_id, simhash)`) — shared by
     * the q30 and q106 oracles so they cannot drift. */
   private def simHashSigCtes: String =
@@ -1605,6 +1644,7 @@ object Dedup {
     "q106_delta_dedup" -> qDeltaDedup,
     "q108_removal_ledger" -> qRemovalLedger,
     "q109_neardup_sweep" -> qNearDupSweep,
+    "q112_neardup_source_matrix" -> qNearDupSourceMatrix,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1627,6 +1667,7 @@ object Dedup {
     "q106_delta_dedup" -> qDeltaDedupSql,
     "q108_removal_ledger" -> qRemovalLedgerSql,
     "q109_neardup_sweep" -> qNearDupSweepSql,
+    "q112_neardup_source_matrix" -> qNearDupSourceMatrixSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
