@@ -378,6 +378,15 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q114_score_lake_roundtrip" ->
+      """The production score-lake layout, value-checked: writeScoreLake
+        |lands bucket-partitioned + sorted-within-partition files; the
+        |read side is seven model-major scoresFor reads, each pruning
+        |to its bucket partition BEFORE any file opens (LayoutSpec
+        |proves the scan shape; this query proves the VALUES survive
+        |the layout). Misrouted rows, bucket-math drift, or a
+        |sort-corrupting write all break the hash against the
+        |straight-from-documents oracle.""".stripMargin,
     "q112_neardup_source_matrix" ->
       """The cross-feed mirroring audit at the NEAR-dup level (q98 is
         |the exact-gram sibling): the q30 auto-selected pair table

@@ -191,15 +191,55 @@ object RoundTrips {
        FROM k GROUP BY 1 ORDER BY shard"""
   }
 
+  /** q114 — the PRODUCTION score-lake layout (graft.core.Layout),
+    * oracled end-to-end: a deterministic (vid, model, n_items) score
+    * frame derived from documents lands via [[graft.core.Layout
+    * .writeScoreLake]] (bucket-partitioned + sorted within partitions),
+    * and the read side is seven MODEL-MAJOR [[graft.core.Layout
+    * .scoresFor]] reads — each prunes to its model's bucket partition
+    * before any file opens (the LayoutSpec-proved scan shape, here
+    * carried through to a value-checked oracle). The union of the
+    * seven pruned aggregates must reproduce the rollup DuckDB computes
+    * straight from documents: any partition misrouting, bucket-math
+    * drift, or sort-corruption in the lake breaks the hash. */
+  def qScoreLakeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nModels = 7
+    val scores = Tables.documents(s, dir)
+      .select($"doc_id".as("vid_id"),
+        ($"doc_id" % nModels).as("model_id"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_items"))
+    val lake = freshDir("graft_score_lake_").toString
+    graft.core.Layout.writeScoreLake(scores, lake)
+    (0 until nModels).map { m =>
+      graft.core.Layout.scoresFor(s, lake, m.toLong)
+        .groupBy($"model_id")
+        .agg(count(lit(1)).as("n_vids"),
+          sum($"n_items").as("item_sum"),
+          min($"vid_id").as("min_vid"),
+          max($"vid_id").as("max_vid"))
+    }.reduce(_ union _)
+      .select($"model_id", $"n_vids", $"item_sum", $"min_vid", $"max_vid")
+      .orderBy($"model_id")
+  }
+
+  val qScoreLakeRoundTripSql: String =
+    """SELECT doc_id % 7 AS model_id, COUNT(*) AS n_vids,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS item_sum,
+         MIN(doc_id) AS min_vid, MAX(doc_id) AS max_vid
+       FROM documents GROUP BY 1 ORDER BY model_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
-    "q88_shard_write_roundtrip" -> qShardWriteRoundTrip)
+    "q88_shard_write_roundtrip" -> qShardWriteRoundTrip,
+    "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
-    "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql)
+    "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql,
+    "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql)
 }
