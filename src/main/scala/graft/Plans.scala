@@ -378,6 +378,14 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q115_hard_negatives" ->
+      """Hard negatives for contrastive training: the q31 broadcast-
+        |queries × linear-scan shape with the [0.25, 0.4) band filter
+        |BEFORE the rank window — the window's shuffle carries only
+        |in-band survivors, not the full scored stream. Band edges
+        |compare raw doubles; the dot is the identical left-to-right
+        |IEEE fold both engines run (q32's discipline), so the band
+        |membership agrees bit-for-bit.""".stripMargin,
     "q114_score_lake_roundtrip" ->
       """The production score-lake layout, value-checked: writeScoreLake
         |lands bucket-partitioned + sorted-within-partition files; the

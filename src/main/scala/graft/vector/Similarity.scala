@@ -106,6 +106,48 @@ object Similarity extends Serializable {
     s"""WITH $bruteTopKCtes
        SELECT query_id, rank, neighbor_id FROM exact ORDER BY query_id, rank"""
 
+  /** q115 — contrastive HARD-NEGATIVE mining: for each query anchor,
+    * the top-k neighbors inside a similarity BAND [0.25, 0.4) —
+    * similar enough to be confusable (the negatives that actually
+    * teach a contrastive model), but below the q32 near-dup cut so
+    * they are true negatives, not leaked positives. Same
+    * broadcast-queries × linear-scan shape as q31 with the band
+    * filter applied BEFORE the rank window, so the window's shuffle
+    * only carries in-band survivors. Band edges compare raw doubles —
+    * the dot is the same left-to-right IEEE fold both engines run, so
+    * the comparisons agree bit-for-bit (the q32 discipline). */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val emb = withDoubleVec(Tables.embeddings(s, dir), "embedding", "vec")
+      .withColumn("norm", sqrt(dot("vec", "vec")))
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"norm".as("qnorm"))
+    emb.select($"vec_id".as("neighbor_id"), $"vec", $"norm")
+      .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
+      .withColumn("sim", dot("qvec", "vec") / ($"qnorm" * $"norm"))
+      .filter($"sim" >= 0.25 && $"sim" < 0.4)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val qHardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id < 20),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS sim
+         FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+       banded AS (SELECT * FROM scored WHERE sim >= 0.25 AND sim < 0.4)
+       SELECT query_id, rank, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         FROM banded) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Embedding-cosine near-dup pairs (all-pairs ≥ 0.4), exact.
     *
     * The similarity distribution here is continuous through the 0.4
@@ -745,7 +787,8 @@ object Similarity extends Serializable {
     "q101_kmeans_refine" -> qKmeansRefine,
     "q104_gram_matrix" -> qGramMatrix,
     "q111_embedding_qc" -> qEmbeddingQc,
-    "q113_ivf_index_roundtrip" -> qIvfIndexRoundTrip)
+    "q113_ivf_index_roundtrip" -> qIvfIndexRoundTrip,
+    "q115_hard_negatives" -> qHardNegatives)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -758,5 +801,6 @@ object Similarity extends Serializable {
     "q101_kmeans_refine" -> qKmeansRefineSql,
     "q104_gram_matrix" -> qGramMatrixSql,
     "q111_embedding_qc" -> qEmbeddingQcSql,
-    "q113_ivf_index_roundtrip" -> qAnnIvfSql)
+    "q113_ivf_index_roundtrip" -> qAnnIvfSql,
+    "q115_hard_negatives" -> qHardNegativesSql)
 }
