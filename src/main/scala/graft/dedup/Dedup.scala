@@ -667,25 +667,13 @@ object Dedup {
        ORDER BY i.s1, i.s2"""
   }
 
-  /** q100 — the dedup FUNNEL, the artifact every curation pipeline
-    * logs: corpus size (docs, tokens) after each successive dedup
-    * stage — raw → exact (q27/q52's keep-min-per-md5) → cluster
-    * canonical (q79's quality-argmax winner) → duplicate-span removal
-    * (q94's covered-token cut on the survivors). Stages are the
-    * corpus-wide keep rules INTERSECTED (each rule is computed once
-    * over the full corpus, the report applies them cumulatively) —
-    * deterministic, and each stage reuses the exact shared frame its
-    * standalone query ships, so the funnel can never disagree with
-    * q52/q79/q94.
-    *
-    * Plan shape: one narrow doc pass (md5 + token count), the q79
-    * cluster frame (LSH pairs → label propagation → quality argmax),
-    * the q94 coverage counts, then three metadata joins keyed on
-    * doc_id and a 4-row rollup. The corpus text is read once per
-    * shared frame; nothing wide moves but (doc_id, flag/count) rows. */
   /** The shared per-doc funnel frame `(doc_id, wc, k_exact, k_cluster,
     * n_removed)` — q100 aggregates it, q108 emits it as the per-doc
-    * ledger. */
+    * ledger. Plan shape: one narrow doc pass (md5 + token count), the
+    * q79 cluster frame (LSH pairs → label propagation → quality
+    * argmax), the q94 coverage counts, then three metadata joins keyed
+    * on doc_id. The corpus text is read once per shared frame; nothing
+    * wide moves but (doc_id, flag/count) rows. */
   private def funnelFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -704,6 +692,16 @@ object Dedup {
       .withColumn("n_removed", coalesce($"n_removed", lit(0L)))
   }
 
+  /** q100 — the dedup FUNNEL, the artifact every curation pipeline
+    * logs: corpus size (docs, tokens) after each successive dedup
+    * stage — raw → exact (q27/q52's keep-min-per-md5) → cluster
+    * canonical (q79's quality-argmax winner) → duplicate-span removal
+    * (q94's covered-token cut on the survivors). Stages are the
+    * corpus-wide keep rules INTERSECTED (each rule is computed once
+    * over the full corpus, the report applies them cumulatively) —
+    * deterministic, and each stage reuses the exact shared frame its
+    * standalone query ships, so the funnel can never disagree with
+    * q52/q79/q94. */
   def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val full = funnelFrame(s, dir)
@@ -736,12 +734,15 @@ object Dedup {
   private def nonEmptyWords(c: Column): Column =
     filter(split(trim(c), "\\s+"), w => w =!= "")
 
-  /** Oracle: md5 keep rule + the SHARED q79 closure/quality CTEs + the
-    * SHARED q94 coverage CTEs, intersected per stage. Lazy: this val
-    * precedes SpanN in declaration order, and the coverage block reads
-    * it — eager init would interpolate the yet-unset 0. */
-  lazy val qDedupFunnelSql: String =
-    s"""WITH RECURSIVE $lshCandidateCtes,
+  /** The SHARED q100/q108 oracle prologue — everything through the
+    * per-doc `full_t` frame (the SQL mirror of [[funnelFrame]]): md5
+    * keep rule + the SHARED q79 closure/quality CTEs + the SHARED q94
+    * coverage CTEs. One definition so the funnel and the ledger can
+    * never drift. Lazy: precedes SpanN in declaration order, and the
+    * coverage block reads it — eager init would interpolate the
+    * yet-unset 0. */
+  private lazy val funnelCtes: String =
+    s"""RECURSIVE $lshCandidateCtes,
        $closureCtes,
        qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
        lab AS (
@@ -763,7 +764,10 @@ object Dedup {
            kc.k_cluster, COALESCE(rem.n_removed, 0) AS n_removed
          FROM d JOIN ke USING (h)
          JOIN kc ON kc.doc_id = d.doc_id
-         LEFT JOIN rem ON rem.doc_id = d.doc_id)
+         LEFT JOIN rem ON rem.doc_id = d.doc_id)"""
+
+  lazy val qDedupFunnelSql: String =
+    s"""WITH $funnelCtes
        SELECT * FROM (
          SELECT '0_raw' AS stage, COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_tokens
          FROM full_t
@@ -802,29 +806,7 @@ object Dedup {
 
   /** Oracle: the q100 CTE block, emitted per doc instead of rolled up. */
   lazy val qRemovalLedgerSql: String =
-    s"""WITH RECURSIVE $lshCandidateCtes,
-       $closureCtes,
-       qual AS (${graft.text.TextAnalysis.qualityScoresSqlCte}),
-       lab AS (
-         SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component, q.quality
-         FROM qual q LEFT JOIN comp c ON c.doc_id = q.doc_id),
-       kc AS (
-         SELECT doc_id,
-           ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 AS k_cluster
-         FROM lab),
-       $spanCoverageCtes,
-       rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
-       d AS (
-         SELECT doc_id, md5(text) AS h,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS wc
-         FROM documents),
-       ke AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
-       full_t AS (
-         SELECT d.doc_id, d.wc, d.doc_id = ke.keep_id AS k_exact,
-           kc.k_cluster, COALESCE(rem.n_removed, 0) AS n_removed
-         FROM d JOIN ke USING (h)
-         JOIN kc ON kc.doc_id = d.doc_id
-         LEFT JOIN rem ON rem.doc_id = d.doc_id)
+    s"""WITH $funnelCtes
        SELECT doc_id,
          CASE WHEN NOT k_exact THEN 'exact_dup'
               WHEN NOT k_cluster THEN 'near_dup'
@@ -1096,17 +1078,23 @@ object Dedup {
     * (HNSW caps candidate sets, setup_vector_db.py:148-150) made
     * measurable: the observed signature distribution, not a guess,
     * picks the plan. */
-  private[dedup] def simHashCandidateCensus(sigs: DataFrame): (Long, Long) = {
+  private[dedup] def simHashCandidateCensus(sigs: DataFrame): (Long, Double) = {
     val s = sigs.sparkSession
     import s.implicits._
     val nBands = SimBands.size
+    // The candidate count aggregates in DOUBLE: per-bucket n·(n−1)
+    // wraps (or, under ANSI, throws) past n ≈ 3e9 as a Long product,
+    // and a cost estimate only needs magnitude, not exactness. Both
+    // aggregates coalesce so an EMPTY corpus yields (0, 0.0), not a
+    // null-unboxing crash.
     val row = sigs
       .select(explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
       .groupBy($"bb.band", $"bb.bkey").agg(count(lit(1)).as("n"))
-      .agg((sum($"n") / lit(nBands)).cast("long").as("n_docs"),
-        coalesce(sum($"n" * ($"n" - 1) / 2), lit(0L)).cast("long").as("cand"))
+      .agg(coalesce((sum($"n") / lit(nBands)).cast("long"), lit(0L)).as("n_docs"),
+        coalesce(sum($"n".cast("double") * ($"n" - 1).cast("double") / 2.0), lit(0.0))
+          .as("cand"))
       .head()
-    (row.getLong(0), row.getLong(1))
+    (row.getLong(0), row.getDouble(1))
   }
 
   /** A tiled-kernel candidate costs one in-registers `Long.bitCount`;
@@ -1117,9 +1105,11 @@ object Dedup {
 
   /** The census decision rule, exposed for spec pinning: band when the
     * observed bucket distribution prunes candidates by over
-    * [[BandedAdvantageMin]] vs the all-pairs kernel. */
-  private[dedup] def chooseBanded(nDocs: Long, bandedCand: Long): Boolean = {
-    val allPairs = nDocs * (nDocs - 1) / 2
+    * [[BandedAdvantageMin]] vs the all-pairs kernel. Double
+    * arithmetic: nDocs·(nDocs−1) overflows Long past ~3e9 docs —
+    * exactly the corpus sizes the banded path exists for. */
+  private[dedup] def chooseBanded(nDocs: Long, bandedCand: Double): Boolean = {
+    val allPairs = nDocs.toDouble * (nDocs - 1).toDouble / 2.0
     bandedCand < allPairs / BandedAdvantageMin
   }
 

@@ -54,6 +54,17 @@ object Hamming {
                     bands: Seq[(Int, Int)], hamMax: Int): DataFrame = {
     require(bands.size > hamMax,
       s"${bands.size} bands cannot guarantee recall at hamming<=$hamMax")
+    // DISJOINT bands are part of the guarantee: if bands overlap, one
+    // differing bit can dirty two bands, so hamMax differing bits can
+    // dirty more than hamMax bands and a qualifying pair may share no
+    // exact band — the silent under-report the size check alone
+    // cannot rule out.
+    require(bands.forall(_._2 > 0), s"band widths must be positive: $bands")
+    bands.sortBy(_._1).sliding(2).foreach {
+      case Seq((o1, w1), (o2, _)) =>
+        require(o1 + w1 <= o2, s"bands overlap: ($o1 width $w1) reaches past offset $o2")
+      case _ => ()
+    }
     val s = sigs.sparkSession
     import s.implicits._
     val banded = sigs.select(col("doc_id"), col(sigCol).as("sig"))

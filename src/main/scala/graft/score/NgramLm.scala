@@ -149,20 +149,39 @@ object NgramLm {
     * scoring is a narrow per-row pass. The oracle replays the identical
     * math relationally (count tables + joins), which NgramLmSpec also
     * cross-checks in-JVM. */
-  def qLmBroadcastScore(s: SparkSession, dir: String): DataFrame = {
+  /** The SHARED q47/q67/q107 head: assembled per-source texts + the
+    * src0 training text (one driver-side fetch of the single training
+    * source — the Spark analogue of loading one pickled model blob,
+    * S8, client:263-287). The three queries differ ONLY in how the
+    * trained model is routed (in-memory / blob lake / export
+    * manifest); head and tail are single definitions so their shared
+    * oracle claim is structural, not a copy-paste invariant. */
+  private def assembledWithTrainText(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val assembled = assembleBySource(s, dir)
-    // Model build: one driver-side fetch of the single training source —
-    // the Spark analogue of loading one pickled model blob (S8,
-    // client:263-287) — then one broadcast per job.
     val trainText = assembled.filter($"source" === "src0")
       .select($"full_text").as[String].collect().headOption.getOrElse("")
-    val bc = graft.core.Resources.broadcast(s, train(Seq(tokenize(trainText))): LmModel)
+    (assembled, trainText)
+  }
+
+  /** The SHARED q47/q67/q107 tail: broadcast-model scoring of every
+    * non-training source + the DECIMAL(12,6) mean_p contract the
+    * relational oracle replays. */
+  private def broadcastScoreTail(assembled: DataFrame,
+                                 bc: Broadcast[LmModel]): DataFrame = {
+    val s = assembled.sparkSession
+    import s.implicits._
     scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
       .select($"source", size($"score").as("n_items"),
         (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
           .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
       .orderBy($"source")
+  }
+
+  def qLmBroadcastScore(s: SparkSession, dir: String): DataFrame = {
+    val (assembled, trainText) = assembledWithTrainText(s, dir)
+    val bc = graft.core.Resources.broadcast(s, train(Seq(tokenize(trainText))): LmModel)
+    broadcastScoreTail(assembled, bc)
   }
 
   val qLmBroadcastScoreSql: String =
@@ -354,20 +373,12 @@ object NgramLm {
     * corruption anywhere in the serialize → parquet → read → fetch →
     * deserialize chain breaks score parity. */
   def qModelBlobRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val assembled = assembleBySource(s, dir)
-    val trainText = assembled.filter($"source" === "src0")
-      .select($"full_text").as[String].collect().headOption.getOrElse("")
+    val (assembled, trainText) = assembledWithTrainText(s, dir)
     val model = train(Seq(tokenize(trainText)))
     val lake = graft.sink.TempDirs.fresh("graft_model_blobs_")
     modelTable(s, Seq("lm0" -> model)).write.mode("overwrite").parquet(lake.toString)
     val loaded = loadModel(s.read.parquet(lake.toString), "lm0")
-    val bc = graft.core.Resources.broadcast(s, loaded)
-    scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
-      .select($"source", size($"score").as("n_items"),
-        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
-          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
-      .orderBy($"source")
+    broadcastScoreTail(assembled, graft.core.Resources.broadcast(s, loaded))
   }
 
   /** q107 — S7 migration path end-to-end: the manifest a reference
@@ -382,9 +393,7 @@ object NgramLm {
     * shifts and the hash breaks. */
   def qModelManifestRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val assembled = assembleBySource(s, dir)
-    val trainText = assembled.filter($"source" === "src0")
-      .select($"full_text").as[String].collect().headOption.getOrElse("")
+    val (assembled, trainText) = assembledWithTrainText(s, dir)
     val trained = train(Seq(tokenize(trainText)))
     val manifestDir = graft.sink.TempDirs.fresh("graft_model_manifest_").toString
     s.createDataset(trained.grams.toSeq.map { case (ng, c) => ("src0", ng, c) })
@@ -392,12 +401,7 @@ object NgramLm {
       .repartition(4)
       .write.mode("overwrite").json(manifestDir)
     val lake = ModelManifest.ingest(s, manifestDir)
-    val bc = graft.core.Resources.broadcast(s, loadModel(lake, "src0"))
-    scoreColumn(assembled.filter($"source" =!= "src0"), "full_text", bc)
-      .select($"source", size($"score").as("n_items"),
-        (expr("aggregate(score, cast(0.0 as double), (acc, x) -> acc + x)") / size($"score"))
-          .cast(org.apache.spark.sql.types.DecimalType(12, 6)).cast("string").as("mean_p"))
-      .orderBy($"source")
+    broadcastScoreTail(assembled, graft.core.Resources.broadcast(s, loadModel(lake, "src0")))
   }
 
   // ---- q93: perplexity-based quality filter -------------------------

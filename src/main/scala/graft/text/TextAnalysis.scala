@@ -531,11 +531,13 @@ object TextAnalysis {
           least(lit(1.0), $"n_words".cast("double") / 50) * 0.6)
   }
 
-  /** The same `(doc_id, quality)` frame, DuckDB side (a complete
-    * SELECT, usable as a CTE body). */
+  /** The same `(doc_id, n_words, quality)` frame, DuckDB side (a
+    * complete SELECT, usable as a CTE body) — the ONLY SQL home of the
+    * quality formula, shared by the q78/q79/q100/q108/q110 oracles so
+    * a heuristic tweak can never reach some oracles and not others. */
   private[graft] def qualityScoresSqlCte: String = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, len(words) AS n_words,
           (CAST(len(list_filter(words, t -> t IN ($stopList))) AS DOUBLE) / len(words)) * 0.4
             + LEAST(1.0, CAST(len(words) AS DOUBLE) / 50) * 0.6 AS quality
         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
@@ -1362,18 +1364,11 @@ object TextAnalysis {
   }
 
   val qQualitySweepSql: String = {
-    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    s"""WITH qw AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-         FROM documents),
+    s"""WITH q0 AS ($qualityScoresSqlCte),
        q AS (
-         SELECT doc_id, len(words) AS n_words,
-           CAST(floor((
-             (CAST(len(list_filter(words, t -> t IN ($stopList))) AS DOUBLE)
-                / len(words)) * 0.4
-             + LEAST(1.0, CAST(len(words) AS DOUBLE) / 50) * 0.6) * 1000000)
-             AS BIGINT) AS qfp
-         FROM qw),
+         SELECT doc_id, n_words,
+           CAST(floor(quality * 1000000) AS BIGINT) AS qfp
+         FROM q0),
        th AS (SELECT unnest(generate_series(0, 9)) AS k)
        SELECT CAST(th.k AS INT) AS k,
          CAST(th.k * 100000 AS INT) AS thresh_fp,

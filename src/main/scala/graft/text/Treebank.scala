@@ -36,15 +36,18 @@ object Treebank {
 
   private val punctuation: Seq[(String, String)] = Seq(
     // final period with trailing closers (incl. unicode closing
-    // quotes) — closers become their OWN token (spaced replacement)
-    "(?U)([^\\.])(\\.)([\\]\\)}>\"'»”’]*)\\s*$" -> "$1 $2 $3 ",
-    "([:,])([^\\d])" -> " $1 $2",
+    // quotes AND a literal space — 3.8.1's class is [\])}>"'»”’ ]*) —
+    // closers become their OWN token (spaced replacement)
+    "(?U)([^\\.])(\\.)([\\]\\)}>\"'»”’ ]*)\\s*$" -> "$1 $2 $3 ",
+    // \d must stay unicode-aware: Python 3 regexes are unicode by
+    // default, so every shorthand class below carries (?U)
+    "(?U)([:,])([^\\d])" -> " $1 $2",
     "([:,])$" -> " $1 ",
     // any run of 2+ dots (.., ..., ....) — not just the 3-dot ellipsis
     "(?U)\\.{2,}" -> " $0 ",
     "([;@#$%&])" -> " $1 ",
     // ASCII-closer final-period form kept in its 3.8.1 list position
-    "([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$" -> "$1 $2$3 ",
+    "(?U)([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$" -> "$1 $2$3 ",
     "([?!])" -> " $1 ",
     "([^'])' " -> "$1 ' ",
     "(?U)[*]" -> " $0 ")
@@ -64,18 +67,20 @@ object Treebank {
     "([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) " -> "$1 $2 ")
 
   // MacIntyre CONTRACTIONS2/3 forms, split at the documented boundary.
+  // (?U): \b must treat unicode letters as word chars — Python 3 does,
+  // so "cannoté" has NO trailing boundary and stays unsplit there.
   private val contractions2: Seq[String] = Seq(
-    "(?i)\\b(can)(not)\\b",
-    "(?i)\\b(d)('ye)\\b",
-    "(?i)\\b(gim)(me)\\b",
-    "(?i)\\b(gon)(na)\\b",
-    "(?i)\\b(got)(ta)\\b",
-    "(?i)\\b(lem)(me)\\b",
-    "(?i)\\b(more)('n)\\b",
-    "(?i)\\b(wan)(na)(?=\\s)")
+    "(?iU)\\b(can)(not)\\b",
+    "(?iU)\\b(d)('ye)\\b",
+    "(?iU)\\b(gim)(me)\\b",
+    "(?iU)\\b(gon)(na)\\b",
+    "(?iU)\\b(got)(ta)\\b",
+    "(?iU)\\b(lem)(me)\\b",
+    "(?iU)\\b(more)('n)\\b",
+    "(?iU)\\b(wan)(na)(?=\\s)")
   private val contractions3: Seq[String] = Seq(
-    "(?i) ('t)(is)\\b",
-    "(?i) ('t)(was)\\b")
+    "(?iU) ('t)(is)\\b",
+    "(?iU) ('t)(was)\\b")
 
   def tokenize(text: String): Array[String] = {
     var t = text
@@ -88,6 +93,9 @@ object Treebank {
     for ((p, r) <- endingQuotes) t = t.replaceAll(p, r)
     for (p <- contractions2) t = t.replaceAll(p, " $1 $2 ")
     for (p <- contractions3) t = t.replaceAll(p, " $1 $2 ")
-    t.trim.split("\\s+").filter(_.nonEmpty)
+    // Python str.split() splits on UNICODE whitespace (NBSP, ideographic
+    // space, …); (?U)\s+ mirrors that, and nonEmpty drops the artifacts
+    // of unicode-space leading/trailing runs that ASCII trim leaves.
+    t.trim.split("(?U)\\s+").filter(_.nonEmpty)
   }
 }

@@ -224,7 +224,13 @@ object Similarity extends Serializable {
       .sortBy { case (sim, id) => (-sim, id) }
       .take(n).map(_._2).toSeq
 
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF BUILD stage, shared by q33 (in-memory) and q113 (index
+    * lake): `(assigned, probes)` — the bucket-assigned vector table
+    * and the nprobe-expanded query table, from ONE centroid broadcast.
+    * Factoring this (and [[ivfServe]]) is what makes q113's "served
+    * ranks are bit-identical to q33" claim structural: there is only
+    * one assignment rule, one probe list, one ranking. */
+  private def ivfBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val vecs = prepped(s, dir)
@@ -236,7 +242,17 @@ object Similarity extends Serializable {
     val probes = vecs.filter((v: Vec) => v.id < 20)
       .flatMap(v => topBuckets(v, IvfNProbe).map(b => (v.id, v.v, v.norm, b)))
       .toDF("query_id", "qvec", "qnorm", "bucket")
-    probes.join(assigned, Seq("bucket"))
+    (assigned, probes)
+  }
+
+  /** The IVF SERVE stage: probe-bucket join + exact in-bucket ranking.
+    * `index` is any frame with the `(vec_id, vec, norm, bucket)`
+    * assignment schema — q33 passes the in-memory build, q113 the
+    * parquet lake read-back. */
+  private def ivfServe(index: DataFrame, probes: DataFrame): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    index.join(broadcast(probes), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("sim", dot("qvec", "vec") / ($"qnorm" * $"norm"))
       .withColumn("rank", row_number().over(
@@ -244,6 +260,11 @@ object Similarity extends Serializable {
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
       .orderBy($"query_id", $"rank")
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, probes) = ivfBuild(s, dir)
+    ivfServe(assigned, probes)
   }
 
   /** q33 oracle: the IVF pipeline is fully deterministic (fixed
@@ -298,30 +319,13 @@ object Similarity extends Serializable {
     * pruning), not the whole index. Doubles round-trip parquet exactly,
     * so the served ranks are bit-identical to q33's — same oracle. */
   def qIvfIndexRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.expr.VectorExpressions.register(s)
-    val vecs = prepped(s, dir)
-    val cents = graft.core.Resources.broadcast(s,
-      vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
-    def topBuckets(v: Vec, n: Int): Seq[Long] = nearestBuckets(cents.value, v, n)
-    // BUILD: one assignment pass → bucket-partitioned index lake.
+    val (assigned, probes) = ivfBuild(s, dir)
+    // BUILD once into the bucket-partitioned index lake…
     val lake = graft.sink.TempDirs.fresh("graft_ivf_index_").toString
-    vecs.map(v => (v.id, v.v, v.norm, topBuckets(v, 1).head))
-      .toDF("vec_id", "vec", "norm", "bucket")
-      .write.mode("overwrite").partitionBy("bucket").parquet(lake)
-    // SERVE: probes hit the lake, not the embedding table.
-    val index = s.read.parquet(lake)
-    val probes = vecs.filter((v: Vec) => v.id < 20)
-      .flatMap(v => topBuckets(v, IvfNProbe).map(b => (v.id, v.v, v.norm, b)))
-      .toDF("query_id", "qvec", "qnorm", "bucket")
-    index.join(broadcast(probes), Seq("bucket"))
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("sim", dot("qvec", "vec") / ($"qnorm" * $"norm"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
-      .orderBy($"query_id", $"rank")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(lake)
+    // …then SERVE from the lake read-back, through the identical
+    // serve stage q33 uses.
+    ivfServe(s.read.parquet(lake), probes)
   }
 
   // --- Random-hyperplane (SRP) LSH -----------------------------------

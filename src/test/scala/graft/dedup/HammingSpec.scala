@@ -61,5 +61,15 @@ class HammingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Hamming.bandedPairs(df, "sig", 60, 7, 3) // 60 % 7 != 0
     }
+    intercept[IllegalArgumentException] {
+      // overlapping bands: one differing bit can dirty two bands, so
+      // the hamMax+1-band count alone no longer guarantees recall
+      Hamming.bandedPairsAt(df, "sig",
+        Seq((0, 10), (5, 10), (15, 10), (25, 10), (35, 10), (45, 10), (50, 10)), 6)
+    }
+    intercept[IllegalArgumentException] {
+      Hamming.bandedPairsAt(df, "sig", Seq((0, 10), (10, 0), (20, 10), (30, 10),
+        (40, 5), (45, 5), (50, 10)), 6) // zero-width band
+    }
   }
 }

@@ -71,6 +71,16 @@ class TreebankSpec extends AnyFunSuite {
 
   test("final period followed by a closing quote splits both off") {
     assert(tok("He said \"stop.\"") == Seq("He", "said", "``", "stop", ".", "''"))
+    // 3.8.1's closer class contains a literal SPACE: a space-separated
+    // unicode closer after the final period still triggers the split
+    assert(tok("wait. ”") == Seq("wait", ".", "”"))
+  }
+
+  test("unicode word chars, digits, and whitespace (Python-re parity)") {
+    // é is a word char in Python 3: \b(can)(not)\b has no boundary
+    assert(tok("cannoté x") == Seq("cannoté", "x"))
+    // NBSP is whitespace to str.split()
+    assert(tok("a\u00A0b") == Seq("a", "b"))
   }
 
   test("mid-token punctuation class: ; @ # $ % &") {
