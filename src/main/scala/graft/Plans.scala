@@ -378,6 +378,16 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q116_token_shard_export" ->
+      """The pipeline's last mile, end-to-end: encode (broadcast vocab
+        |join over the token explode — ids are 8-byte rows from there
+        |on), concat-and-cut into B-token blocks across doc boundaries
+        |(ONE per-source window over the tiny doc-length frame for
+        |offsets), one (source, block) aggregation building each
+        |block's ordered id array, one partitioned shard write, and a
+        |checksummed read-back. Text never shuffles; the
+        |order-sensitive block polyhash pins token ORDER through the
+        |whole trip, which n_tok/id_sum alone cannot.""".stripMargin,
     "q115_hard_negatives" ->
       """Hard negatives for contrastive training: the q31 broadcast-
         |queries × linear-scan shape with the [0.25, 0.4) band filter

@@ -487,15 +487,98 @@ object Chunkers {
        GROUP BY c.doc_id ORDER BY c.doc_id"""
   }
 
+  /** q116 — the LAST MILE of a training-data pipeline, end-to-end: raw
+    * documents → vocab-encoded token-id stream (the shared q73 top-20
+    * vocabulary; OOV = id 0) → concat-and-cut into B-token blocks
+    * across doc boundaries (the q81 offset arithmetic, here producing
+    * the actual block CONTENTS, not just the manifest) → blocks land
+    * in a source-partitioned shard lake → read back and
+    * checksummed. The emitted (n_tok, id_sum, order-sensitive
+    * polyhash of the id sequence) per block pins the full trip: a
+    * single token out of order, dropped, or re-bucketed anywhere in
+    * encode→pack→write→read changes a block hash.
+    *
+    * Plan shape: one token explode (ids are 8-byte rows once the
+    * broadcast vocab join lands), ONE per-source window for doc
+    * offsets over the doc-length frame (tiny), one (source, block)
+    * aggregation building each block's ordered id array, one
+    * partitioned write. Text never shuffles — only token ids keyed by
+    * their block. */
+  def qTokenShardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = PackBlockTokens
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"source", posexplode(
+        expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")).as(Seq("pos", "word")))
+    val ids = toks
+      .join(broadcast(graft.text.TextAnalysis.vocabTable(s, dir)), Seq("word"), "left")
+      .select($"doc_id", $"source", $"pos",
+        coalesce($"id", lit(0)).cast("long").as("tid"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docOff = ids.groupBy($"source", $"doc_id").agg(count(lit(1)).as("tok"))
+      .withColumn("doc_off", coalesce(sum($"tok").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"doc_off")
+    val blocks = ids.join(docOff, Seq("source", "doc_id"))
+      .withColumn("off", $"doc_off" + $"pos")
+      .withColumn("block_id", expr(s"off div $B"))
+      .groupBy($"source", $"block_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum($"tid").as("id_sum"),
+        expr("aggregate(transform(sort_array(collect_list(struct(off, tid))), x -> x.tid), " +
+          "0L, (acc, x) -> (acc * 131 + x) % 998244353)").as("id_hash"))
+    val lake = graft.sink.TempDirs.fresh("graft_token_shards_").toString
+    blocks.write.mode("overwrite").partitionBy("source").parquet(lake)
+    s.read.parquet(lake)
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .orderBy($"source", $"block_id")
+  }
+
+  /** Oracle: the same encode→offset→cut arithmetic; the block hash
+    * folds DuckDB's `list(tid ORDER BY off)` with the identical
+    * polynomial. */
+  val qTokenShardExportSql: String = {
+    val b = PackBlockTokens
+    s"""WITH it AS (
+         SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1, word := words[i]))) AS t
+         FROM (SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
+               FROM documents) d),
+       tok AS (SELECT doc_id, source, t.pos AS pos, t.word AS word FROM it),
+       vocab AS (${graft.text.TextAnalysis.vocabSqlCte}),
+       ids AS (
+         SELECT doc_id, source, pos, CAST(COALESCE(v.id, 0) AS BIGINT) AS tid
+         FROM tok LEFT JOIN vocab v USING (word)),
+       dl AS (SELECT source, doc_id, COUNT(*) AS tok FROM ids GROUP BY source, doc_id),
+       dof AS (
+         SELECT source, doc_id,
+           CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_off
+         FROM dl),
+       st AS (
+         SELECT i.source, i.tid, o.doc_off + i.pos AS off
+         FROM ids i JOIN dof o ON o.source = i.source AND o.doc_id = i.doc_id)
+       SELECT source, off // $b AS block_id, COUNT(*) AS n_tok,
+         CAST(SUM(tid) AS BIGINT) AS id_sum,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(tid ORDER BY off)),
+           (acc, x) -> (acc * 131 + x) % 998244353) AS BIGINT) AS id_hash
+       FROM st GROUP BY source, off // $b ORDER BY source, block_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
     "q37_token_budget_chunks" -> qTokenBudgetChunks,
     "q81_pack_blocks" -> qPackBlocks,
-    "q99_cdc_chunks" -> qCdcChunks)
+    "q99_cdc_chunks" -> qCdcChunks,
+    "q116_token_shard_export" -> qTokenShardExport)
 
   val oracles: Map[String, String] = Map(
     "q36_word_chunks" -> qWordChunksSql,
     "q37_token_budget_chunks" -> qTokenBudgetChunksSql,
     "q81_pack_blocks" -> qPackBlocksSql,
-    "q99_cdc_chunks" -> qCdcChunksSql)
+    "q99_cdc_chunks" -> qCdcChunksSql,
+    "q116_token_shard_export" -> qTokenShardExportSql)
 }

@@ -424,22 +424,41 @@ object TextAnalysis {
     * relative to the data, which is what makes the broadcast-encode
     * side shuffle-free. Output is a per-doc manifest (token count,
     * id-sum checksum — integer-exact cross-engine — and OOV count). */
+  /** The SHARED q73/q116 top-20 vocabulary `(word, id)` — top-k via
+    * orderBy+limit = TakeOrdered (distributed partial top-k per
+    * partition, tiny final merge) — NOT an unpartitioned row_number
+    * window, which would drag the ENTIRE distinct-word table through
+    * one task before the filter. The rank window then runs over a
+    * 20-row frame, bounded by construction. */
+  private[graft] def vocabTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(trim($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(20)
+      .withColumn("id", row_number().over(
+        Window.orderBy($"cnt".desc, $"word")))
+      .select($"word", $"id")
+  }
+
+  /** The same `(word, id)` vocabulary, DuckDB side (self-contained
+    * SELECT, usable as a CTE body) — single SQL home, shared by the
+    * q73 and q116 oracles. */
+  private[graft] val vocabSqlCte: String =
+    """SELECT word, id FROM (
+         SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS id
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents) uw
+         WHERE word != '' GROUP BY word) t
+       WHERE id <= 20"""
+
   def qVocabEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
       .filter($"word" =!= "")
-    // top-20 via orderBy+limit = TakeOrdered (distributed partial
-    // top-k per partition, tiny final merge) — NOT an unpartitioned
-    // row_number window, which would drag the ENTIRE distinct-word
-    // table through one task before the filter. The rank window then
-    // runs over a 20-row frame, bounded by construction.
-    val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
-      .orderBy($"cnt".desc, $"word").limit(20)
-      .withColumn("id", row_number().over(
-        Window.orderBy($"cnt".desc, $"word")))
-      .select($"word", $"id")
-    words.join(broadcast(vocab), Seq("word"), "left")
+    words.join(broadcast(vocabTable(s, dir)), Seq("word"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce($"id", lit(0)).cast("long")).as("id_sum"),
@@ -448,15 +467,11 @@ object TextAnalysis {
   }
 
   val qVocabEncodeSql: String =
-    """WITH words AS (
-         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    s"""WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
          FROM documents),
        w AS (SELECT doc_id, word FROM words WHERE word != ''),
-       vocab AS (
-         SELECT word, id FROM (
-           SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS id
-           FROM w GROUP BY word) t
-         WHERE id <= 20)
+       vocab AS ($vocabSqlCte)
        SELECT doc_id, COUNT(*) AS n_tokens,
          CAST(SUM(COALESCE(id, 0)) AS BIGINT) AS id_sum,
          CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
