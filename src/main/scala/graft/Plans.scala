@@ -378,6 +378,13 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q117_salted_join_rollup" ->
+      """Skew.saltedJoin value-checked through the driver hash: the
+        |salt spreads each (potentially hot) source key over 8
+        |sub-keys — salt× parallelism for salt× duplication of the
+        |tiny dim side — and the oracle is the PLAIN join's rollup, so
+        |salting must be exactly invisible in the result. SkewSpec
+        |pins row-level equality; this pins it end-to-end.""".stripMargin,
     "q116_token_shard_export" ->
       """The pipeline's last mile, end-to-end: encode (broadcast vocab
         |join over the token explode — ids are 8-byte rows from there

@@ -410,7 +410,79 @@ object Relational {
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sample_value
        FROM events WHERE event_id % 100 = 0"""
 
+  /** q117 — [[graft.core.Skew.saltedJoin]] through the value gate: the
+    * documents table (source is the natural heavy-hitter key — one
+    * viral channel's rows in the reference) salted-joins a derived
+    * source dim, then rolls up per source. The oracle is the PLAIN
+    * join's rollup — salting must be invisible in the result (row-for-
+    * row identical to the unsalted join; SkewSpec pins that at row
+    * level, this pins it through the driver hash). At scale: the salt
+    * spreads one hot key over `salt` sub-keys, buying salt× parallelism
+    * for salt× duplication of the (tiny) dim side. */
+  def q117SaltedJoinRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val dim = Tables.documents(s, dir).select($"source").distinct()
+      .withColumn("src_tag", length($"source") * 10)
+    graft.core.Skew.saltedJoin(docs, dim, Seq("source"), salt = 8)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("id_sum"),
+        sum($"n_chars" + $"src_tag").as("tagged_chars"))
+      .orderBy($"source")
+  }
+
+  val q117Sql: String =
+    """WITH dim AS (SELECT DISTINCT source, len(source) * 10 AS src_tag FROM documents)
+       SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+         CAST(SUM(d.n_chars + m.src_tag) AS BIGINT) AS tagged_chars
+       FROM documents d JOIN dim m ON m.source = d.source
+       GROUP BY d.source ORDER BY d.source"""
+
+  /** q118 — lake referential-integrity audit, the nightly check a
+    * multi-table lake needs (documents ↔ embeddings here): per source,
+    * how many docs have a vector; plus the orphan count on the vector
+    * side. Two anti-joinable facts from ONE left join + one anti-join;
+    * the audit is tiny-output whatever the corpus size. A tidy
+    * (metric, source, n) long format so both directions fit one
+    * schema. */
+  def q118LakeIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    val vecs = Tables.embeddings(s, dir).select($"vec_id")
+    val joined = docs.join(vecs, docs("doc_id") === vecs("vec_id"), "left")
+    val perSource = joined.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), count($"vec_id").as("n_with_vec"))
+      .select(lit("docs").as("metric"), $"source",
+        $"n_docs".as("n"), $"n_with_vec")
+    val flat = perSource
+      .select($"metric", $"source", $"n")
+      .union(perSource.select(lit("docs_with_vec").as("metric"), $"source",
+        $"n_with_vec".as("n")))
+    val orphans = vecs.join(docs, docs("doc_id") === vecs("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("orphan_vecs").as("metric"), lit("<all>").as("source"), $"n")
+    flat.union(orphans).orderBy($"metric", $"source")
+  }
+
+  val q118Sql: String =
+    """SELECT metric, source, n FROM (
+         SELECT 'docs' AS metric, source, COUNT(*) AS n
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT 'docs_with_vec', d.source, COUNT(e.vec_id)
+         FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+         GROUP BY d.source
+         UNION ALL
+         SELECT 'orphan_vecs', '<all>', COUNT(*)
+         FROM embeddings e WHERE NOT EXISTS (
+           SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) t
+       ORDER BY metric, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_salted_join_rollup" -> q117SaltedJoinRollup,
+    "q118_lake_integrity" -> q118LakeIntegrity,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_last_order_per_customer" -> q02LastOrderPerCustomer,
     "q03_stat_counts" -> q03StatCounts,
@@ -452,5 +524,7 @@ object Relational {
     "q17_union_priorities" -> q17Sql,
     "q18_json_extract" -> q18Sql,
     "q19_daily_events" -> q19Sql,
-    "q20_sampled_estimate" -> q20Sql)
+    "q20_sampled_estimate" -> q20Sql,
+    "q117_salted_join_rollup" -> q117Sql,
+    "q118_lake_integrity" -> q118Sql)
 }
