@@ -517,7 +517,14 @@ object Chunkers {
         coalesce($"id", lit(0)).cast("long").as("tid"))
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val docOff = ids.groupBy($"source", $"doc_id").agg(count(lit(1)).as("tok"))
+    // Doc offsets come from a NARROW documents pass (the q81 token
+    // count — identical to the ids branch's per-doc row count), not
+    // from re-aggregating `ids`: Spark does not dedupe common subplans
+    // across branches, so deriving this from `ids` would run the token
+    // explode + vocab join TWICE just to produce a doc-length frame.
+    val docOff = Tables.documents(s, dir)
+      .withColumn("tok",
+        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
       .withColumn("doc_off", coalesce(sum($"tok").over(w), lit(0L)))
       .select($"source", $"doc_id", $"doc_off")
     val blocks = ids.join(docOff, Seq("source", "doc_id"))

@@ -422,8 +422,14 @@ object Relational {
   def q117SaltedJoinRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    // SHUFFLE_HASH hint: under the default broadcast threshold this
+    // tiny dim would broadcast, where the skewed side never shuffles
+    // on the key and salting buys nothing — the recorded plan must
+    // exhibit the mechanism it documents (both sides shuffling on
+    // (key, salt), the hot key split across salt partitions).
     val dim = Tables.documents(s, dir).select($"source").distinct()
       .withColumn("src_tag", length($"source") * 10)
+      .hint("shuffle_hash")
     graft.core.Skew.saltedJoin(docs, dim, Seq("source"), salt = 8)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
@@ -442,42 +448,57 @@ object Relational {
 
   /** q118 — lake referential-integrity audit, the nightly check a
     * multi-table lake needs (documents ↔ embeddings here): per source,
-    * how many docs have a vector; plus the orphan count on the vector
-    * side. Two anti-joinable facts from ONE left join + one anti-join;
-    * the audit is tiny-output whatever the corpus size. A tidy
-    * (metric, source, n) long format so both directions fit one
-    * schema. */
+    * the doc count and how many docs have ≥1 vector; plus the orphan
+    * count on the vector side. A tidy (metric, source, n) long format
+    * so both directions fit one schema; tiny output whatever the
+    * corpus size.
+    *
+    * Fan-out safety (review r5): the match side joins DISTINCT vector
+    * ids, and the doc count comes from documents alone — a vector
+    * duplicated by a re-embedding run (exactly the anomaly an
+    * integrity audit must survive) cannot inflate either number.
+    *
+    * The audited pair is a deliberately DAMAGED derived view of the
+    * fixture (docs missing every id ≡ 3 mod 7; vectors missing every
+    * id ≡ 0 mod 5, PLUS ids ≡ 0 mod 11 duplicated): the healthy
+    * fixture is referentially perfect, which would leave every
+    * interesting branch — missing vectors, orphan vectors, duplicate
+    * collapse — unexercised by the value gate. The oracle plants the
+    * identical damage. */
   def q118LakeIntegrity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source")
-    val vecs = Tables.embeddings(s, dir).select($"vec_id")
-    val joined = docs.join(vecs, docs("doc_id") === vecs("vec_id"), "left")
-    val perSource = joined.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), count($"vec_id").as("n_with_vec"))
-      .select(lit("docs").as("metric"), $"source",
-        $"n_docs".as("n"), $"n_with_vec")
-    val flat = perSource
-      .select($"metric", $"source", $"n")
-      .union(perSource.select(lit("docs_with_vec").as("metric"), $"source",
-        $"n_with_vec".as("n")))
-    val orphans = vecs.join(docs, docs("doc_id") === vecs("vec_id"), "left_anti")
+      .filter($"doc_id" % 7 =!= 3)
+    val vecsRaw = Tables.embeddings(s, dir).select($"vec_id")
+    val vecs = vecsRaw.filter($"vec_id" % 5 =!= 0)
+      .union(vecsRaw.filter($"vec_id" % 11 === 0))
+    val vecIds = vecs.distinct()
+    val nDocs = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .select(lit("docs").as("metric"), $"source", $"n")
+    val withVec = docs.join(vecIds, docs("doc_id") === vecIds("vec_id"), "left")
+      .groupBy($"source").agg(count($"vec_id").as("n"))
+      .select(lit("docs_with_vec").as("metric"), $"source", $"n")
+    val orphans = vecIds.join(docs, docs("doc_id") === vecIds("vec_id"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(lit("orphan_vecs").as("metric"), lit("<all>").as("source"), $"n")
-    flat.union(orphans).orderBy($"metric", $"source")
+    nDocs.union(withVec).union(orphans).orderBy($"metric", $"source")
   }
 
   val q118Sql: String =
-    """SELECT metric, source, n FROM (
-         SELECT 'docs' AS metric, source, COUNT(*) AS n
-         FROM documents GROUP BY source
+    """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 3),
+       v AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 != 0
+             UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 11 = 0),
+       vd AS (SELECT DISTINCT vec_id FROM v)
+       SELECT metric, source, n FROM (
+         SELECT 'docs' AS metric, source, COUNT(*) AS n FROM d GROUP BY source
          UNION ALL
-         SELECT 'docs_with_vec', d.source, COUNT(e.vec_id)
-         FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+         SELECT 'docs_with_vec', d.source, COUNT(vd.vec_id)
+         FROM d LEFT JOIN vd ON vd.vec_id = d.doc_id
          GROUP BY d.source
          UNION ALL
          SELECT 'orphan_vecs', '<all>', COUNT(*)
-         FROM embeddings e WHERE NOT EXISTS (
-           SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) t
+         FROM vd WHERE NOT EXISTS (
+           SELECT 1 FROM d WHERE d.doc_id = vd.vec_id)) t
        ORDER BY metric, source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
