@@ -378,6 +378,20 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q119_ivf_delta_assign" ->
+      """The ANN side of the every-ingest cycle (q106's shape for
+        |vectors): only the new batch is assigned — one narrow
+        |broadcast-argmax pass, cost ∝ delta × k — and the index
+        |update is an APPEND of |delta| rows into the q113 lake's
+        |bucket directories, never a rebuild. The DECIMAL-rounded
+        |centroid similarity rides along as the routing-confidence
+        |signal a monitor alerts on.""".stripMargin,
+    "q120_pack_efficiency_sweep" ->
+      """Block-size calibration from the per-source token totals alone:
+        |one narrow text pass, a #sources-row aggregate, and every
+        |candidate size answered by integer ceil-div arithmetic in one
+        |conditional aggregation — the corpus is never re-scanned per
+        |size. Engine-exact by construction (no floats anywhere).""".stripMargin,
     "q117_salted_join_rollup" ->
       """Skew.saltedJoin value-checked through the driver hash: the
         |salt spreads each (potentially hot) source key over 8

@@ -575,17 +575,58 @@ object Chunkers {
        FROM st GROUP BY source, off // $b ORDER BY source, block_id"""
   }
 
+  /** q120 — packing-efficiency SWEEP, the calibration behind q81/q116's
+    * block size (the q109/q110 pattern applied to sequence packing):
+    * per candidate block size, the total block count and padding-token
+    * waste under per-source concat-and-cut. Needs only the per-source
+    * token totals — one narrow pass + a 20-row aggregate answers every
+    * candidate size; the corpus is never re-scanned per size. All
+    * integer arithmetic (ceil-div), so the report is engine-exact. */
+  def qPackEfficiencySweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = Seq(64, 128, 256, 512)
+    val lens = Tables.documents(s, dir)
+      .withColumn("tok",
+        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .groupBy($"source").agg(sum($"tok").as("t"))
+    val cols = sizes.flatMap(b => Seq(
+      sum(expr(s"(t + ${b - 1}) div $b")).as(s"nb$b"),
+      sum(expr(s"((t + ${b - 1}) div $b) * $b - t")).as(s"np$b"))) :+
+      sum($"t").as("tt")
+    val stackArgs = sizes.map(b => s"$b, nb$b, np$b, tt").mkString(", ")
+    lens.agg(cols.head, cols.tail: _*)
+      .select(expr(
+        s"stack(${sizes.size}, $stackArgs) AS (block_tokens, n_blocks, n_pad, n_tokens)"))
+      .orderBy($"block_tokens")
+  }
+
+  val qPackEfficiencySweepSql: String =
+    """WITH t AS (
+         SELECT source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+         FROM documents),
+       sl AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS t FROM t GROUP BY source),
+       bs AS (SELECT unnest([64, 128, 256, 512]) AS b)
+       SELECT CAST(b AS INT) AS block_tokens,
+         CAST(SUM((t + b - 1) // b) AS BIGINT) AS n_blocks,
+         CAST(SUM(((t + b - 1) // b) * b - t) AS BIGINT) AS n_pad,
+         CAST(SUM(t) AS BIGINT) AS n_tokens
+       FROM sl CROSS JOIN bs GROUP BY b ORDER BY block_tokens"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
     "q37_token_budget_chunks" -> qTokenBudgetChunks,
     "q81_pack_blocks" -> qPackBlocks,
     "q99_cdc_chunks" -> qCdcChunks,
-    "q116_token_shard_export" -> qTokenShardExport)
+    "q116_token_shard_export" -> qTokenShardExport,
+    "q120_pack_efficiency_sweep" -> qPackEfficiencySweep)
 
   val oracles: Map[String, String] = Map(
     "q36_word_chunks" -> qWordChunksSql,
     "q37_token_budget_chunks" -> qTokenBudgetChunksSql,
     "q81_pack_blocks" -> qPackBlocksSql,
     "q99_cdc_chunks" -> qCdcChunksSql,
-    "q116_token_shard_export" -> qTokenShardExportSql)
+    "q116_token_shard_export" -> qTokenShardExportSql,
+    "q120_pack_efficiency_sweep" -> qPackEfficiencySweepSql)
 }

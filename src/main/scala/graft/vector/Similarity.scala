@@ -318,6 +318,46 @@ object Similarity extends Serializable {
     * under the broadcast probe join; with literal buckets, static
     * pruning), not the whole index. Doubles round-trip parquet exactly,
     * so the served ranks are bit-identical to q33's — same oracle. */
+  /** q119 — DELTA assignment into an existing IVF index (q106's
+    * every-ingest shape, on the vector side): only the NEW batch
+    * (vec_id ≡ 0 mod 4, the q106 partition convention) is assigned —
+    * the lake's inverted lists are untouched and the index update is
+    * an APPEND of |delta| rows, never a rebuild. Emits each new
+    * vector's bucket and its DECIMAL-rounded centroid similarity (the
+    * assignment confidence a routing monitor alerts on). One narrow
+    * broadcast-argmax pass over the delta; cost ∝ delta × k. */
+  def qIvfDeltaAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = prepped(s, dir)
+    val cents = graft.core.Resources.broadcast(s,
+      vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
+    vecs.filter((v: Vec) => v.id % 4 == 0)
+      .map { v =>
+        val best = cents.value
+          .map(c => (dotP(v.v, c.v) / (v.norm * c.norm), c.id))
+          .minBy { case (sim, id) => (-sim, id) }
+        (v.id, best._2, best._1)
+      }
+      .toDF("vec_id", "bucket", "sim")
+      .select($"vec_id", $"bucket",
+        $"sim".cast(org.apache.spark.sql.types.DecimalType(9, 6)).cast("string").as("sim_r"))
+      .orderBy($"vec_id")
+  }
+
+  val qIvfDeltaAssignSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
+       fresh AS (SELECT vec_id, v FROM emb WHERE vec_id % 4 = 0),
+       scored AS (
+         SELECT f.vec_id, c.cid,
+           list_cosine_similarity(f.v, c.cv) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY f.vec_id
+             ORDER BY list_cosine_similarity(f.v, c.cv) DESC, c.cid) AS rn
+         FROM fresh f CROSS JOIN cents c)
+       SELECT vec_id, cid AS bucket,
+         CAST(CAST(sim AS DECIMAL(9,6)) AS VARCHAR) AS sim_r
+       FROM scored WHERE rn = 1 ORDER BY vec_id"""
+
   def qIvfIndexRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val (assigned, probes) = ivfBuild(s, dir)
     // BUILD once into the bucket-partitioned index lake…
@@ -792,7 +832,8 @@ object Similarity extends Serializable {
     "q104_gram_matrix" -> qGramMatrix,
     "q111_embedding_qc" -> qEmbeddingQc,
     "q113_ivf_index_roundtrip" -> qIvfIndexRoundTrip,
-    "q115_hard_negatives" -> qHardNegatives)
+    "q115_hard_negatives" -> qHardNegatives,
+    "q119_ivf_delta_assign" -> qIvfDeltaAssign)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -806,5 +847,6 @@ object Similarity extends Serializable {
     "q104_gram_matrix" -> qGramMatrixSql,
     "q111_embedding_qc" -> qEmbeddingQcSql,
     "q113_ivf_index_roundtrip" -> qAnnIvfSql,
-    "q115_hard_negatives" -> qHardNegativesSql)
+    "q115_hard_negatives" -> qHardNegativesSql,
+    "q119_ivf_delta_assign" -> qIvfDeltaAssignSql)
 }
