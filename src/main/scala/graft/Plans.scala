@@ -378,6 +378,13 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q121_snapshot_diff" ->
+      """The between-crawls release gate: ONE full outer join on
+        |doc_id comparing md5 hashes — content bytes never shuffle,
+        |only (id, hash, source) rows — classifying every doc as
+        |added/removed/changed/unchanged, then a per-source rollup.
+        |The derived snapshot views plant all four branches so the
+        |value gate exercises each.""".stripMargin,
     "q119_ivf_delta_assign" ->
       """The ANN side of the every-ingest cycle (q106's shape for
         |vectors): only the new batch is assigned — one narrow

@@ -270,7 +270,53 @@ object Lifecycle {
          '{{CONTEXT}}', substring(text, 1, 40)), '{{STATEMENT}}', source) AS prompt
        FROM documents ORDER BY doc_id"""
 
+  /** q121 — corpus SNAPSHOT DIFF, the between-crawls audit a versioned
+    * lake runs before promoting a new snapshot: per doc, whether it
+    * was added, removed, changed (content hash differs), or unchanged
+    * — then the per-source rollup a release gate reads. Snapshots are
+    * deterministic derived views of the fixture (A drops ids ≡ 0 mod
+    * 9; B drops ids ≡ 0 mod 11 and rewrites text for ids ≡ 0 mod 13)
+    * so every branch is exercised. Plan: ONE full outer join on
+    * doc_id comparing md5 hashes — content bytes never shuffle, only
+    * (id, 32-char hash) rows — and a tiny rollup. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+    val a = docs.filter($"doc_id" % 9 =!= 0)
+      .select($"doc_id", $"source", md5($"text").as("ha"))
+    val b = docs.filter($"doc_id" % 11 =!= 0)
+      .withColumn("text2",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+      .select($"doc_id", $"source".as("source_b"), md5($"text2").as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"ha".isNull, "added")
+          .when($"hb".isNull, "removed")
+          .when($"ha" =!= $"hb", "changed")
+          .otherwise("unchanged"))
+      .groupBy(coalesce($"source", $"source_b").as("source"), $"status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"source", $"status")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH a AS (
+         SELECT doc_id, source, md5(text) AS ha FROM documents WHERE doc_id % 9 != 0),
+       b AS (
+         SELECT doc_id, source AS source_b,
+           md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS hb
+         FROM documents WHERE doc_id % 11 != 0)
+       SELECT COALESCE(a.source, b.source_b) AS source,
+         CASE WHEN a.ha IS NULL THEN 'added'
+              WHEN b.hb IS NULL THEN 'removed'
+              WHEN a.ha != b.hb THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COUNT(*) AS n
+       FROM a FULL OUTER JOIN b USING (doc_id)
+       GROUP BY 1, 2 ORDER BY source, status"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_snapshot_diff" -> qSnapshotDiff,
     "q48_upsert_merge" -> qUpsertMerge,
     "q49_pending_empty_scores" -> qPendingWithEmptyScores,
     "q53_staleness_diff" -> qStalenessDiff,
@@ -280,6 +326,7 @@ object Lifecycle {
     "q59_string_formats" -> qStringFormats)
 
   val oracles: Map[String, String] = Map(
+    "q121_snapshot_diff" -> qSnapshotDiffSql,
     "q48_upsert_merge" -> qUpsertMergeSql,
     "q49_pending_empty_scores" -> qPendingWithEmptyScoresSql,
     "q53_staleness_diff" -> qStalenessDiffSql,
