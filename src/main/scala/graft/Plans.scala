@@ -378,6 +378,14 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q122_classifier_score" ->
+      """The model-based quality filter: token explode → 8-byte hashed
+        |feature buckets (text dies at the hash) → broadcast join with
+        |the 4096-row weight table → one per-doc rollup. Weights stay
+        |INTEGER through the aggregation; the single division +
+        |DECIMAL rounding per doc makes keep flags engine- and
+        |partition-exact. A learned model swaps the table contents,
+        |not the plan.""".stripMargin,
     "q121_snapshot_diff" ->
       """The between-crawls release gate: ONE full outer join on
         |doc_id comparing md5 hashes — content bytes never shuffle,

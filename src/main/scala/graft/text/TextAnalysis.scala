@@ -1393,6 +1393,65 @@ object TextAnalysis {
        FROM th ORDER BY k"""
   }
 
+  /** Feature buckets for the q122 hashed linear classifier. */
+  private val ClfBuckets = 4096L
+
+  /** q122 — model-based quality filtering with a HASHED-FEATURE linear
+    * classifier (the fastText-style filter public pipelines run after
+    * the heuristic gates): tokens hash into [[ClfBuckets]] feature
+    * buckets, a (bucket, weight) table broadcasts, and each doc's
+    * score is its mean feature weight. The weight table here is a
+    * deterministic function of the bucket id (so the oracle rebuilds
+    * it bit-for-bit; a production run loads LEARNED weights into the
+    * same frame — the plan is identical because only the table's
+    * contents change). Exactness: weights stay INTEGER through the
+    * aggregation (sum of per-mille units) and the single double
+    * division + DECIMAL rounding happens once per doc — no float
+    * accumulation, so keep flags are engine- and partition-exact.
+    * Plan: token explode → 8-byte bucket ids (the text dies at the
+    * hash) → broadcast join with the 4096-row weight table → one
+    * per-doc rollup. At 100 TB: one narrow pass, one keyed shuffle. */
+  def qClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val weights = s.range(ClfBuckets)
+      .select($"id".as("b"), (($"id" * 2654435761L) % 1000L - 500L).as("wi"))
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .withColumn("b", expr(s"graft_polyhash(word, 31L, 1000000007L) % ${ClfBuckets}L"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"wi").as("wsum"))
+      .withColumn("sd", ($"wsum" / ($"n_tokens" * 1000.0))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+      .select($"doc_id", $"n_tokens",
+        $"sd".cast("string").as("score_r"), ($"sd" >= 0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qClassifierScoreSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*31 + x) % 1000000007)"""
+    s"""WITH wtab AS (
+         SELECT b, (b * 2654435761) % 1000 - 500 AS wi
+         FROM (SELECT unnest(generate_series(0, ${ClfBuckets - 1})) AS b) g),
+       tok AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         FROM documents),
+       tb AS (
+         SELECT doc_id, $hash % $ClfBuckets AS b
+         FROM tok WHERE word != ''),
+       sc AS (
+         SELECT doc_id, COUNT(*) AS n_tokens, SUM(wi) AS wsum
+         FROM tb JOIN wtab USING (b) GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+         CAST(CAST(wsum / (n_tokens * 1000.0) AS DECIMAL(12,6)) AS VARCHAR) AS score_r,
+         CAST(wsum / (n_tokens * 1000.0) AS DECIMAL(12,6)) >= 0 AS keep
+       FROM sc ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1417,7 +1476,8 @@ object TextAnalysis {
     "q102_source_drift" -> qSourceDrift,
     "q103_winnow_fingerprints" -> qWinnowFingerprints,
     "q105_pmi_collocations" -> qPmiCollocations,
-    "q110_quality_sweep" -> qQualitySweep)
+    "q110_quality_sweep" -> qQualitySweep,
+    "q122_classifier_score" -> qClassifierScore)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1443,5 +1503,6 @@ object TextAnalysis {
     "q102_source_drift" -> qSourceDriftSql,
     "q103_winnow_fingerprints" -> qWinnowFingerprintsSql,
     "q105_pmi_collocations" -> qPmiCollocationsSql,
-    "q110_quality_sweep" -> qQualitySweepSql)
+    "q110_quality_sweep" -> qQualitySweepSql,
+    "q122_classifier_score" -> qClassifierScoreSql)
 }
