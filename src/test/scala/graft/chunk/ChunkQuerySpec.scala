@@ -1,0 +1,54 @@
+package graft.chunk
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the distributed chunking queries that the
+  * value oracles cannot express directly (conservation, block-size
+  * contract, order sensitivity of the q116 hash). */
+class ChunkQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q116 blocks conserve tokens; every non-final block is exactly full") {
+    val blocks = Chunkers.qTokenShardExport(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("block_id"),
+        r.getAs[Long]("n_tok")))
+    assert(blocks.nonEmpty)
+    // conservation: block tokens sum to the corpus' non-empty tokens
+    val corpusToks = graft.core.Tables.documents(spark, Sf0001)
+      .select(size(expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(blocks.map(_._3).sum == corpusToks, "token conservation across blocks")
+    // the concat-and-cut contract: within a source, only the LAST
+    // block may be partial, and block ids are dense from 0
+    blocks.groupBy(_._1).foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"$src dense ids")
+      sorted.init.foreach { case (_, bid, n) =>
+        assert(n == 64L, s"$src block $bid not full ($n)")
+      }
+    }
+  }
+
+  test("q116 block hash is order-sensitive (swapped ids change it)") {
+    // the fold (acc*131 + x) % M distinguishes [a, b] from [b, a]
+    // whenever a != b — the property that pins token ORDER through the
+    // shard trip, which n_tok/id_sum cannot
+    def fold(xs: Seq[Long]): Long = xs.foldLeft(0L)((acc, x) => (acc * 131 + x) % 998244353)
+    assert(fold(Seq(1L, 2L, 3L)) != fold(Seq(2L, 1L, 3L)))
+    assert(fold(Seq(1L, 2L, 3L)) != fold(Seq(1L, 3L, 2L)))
+  }
+
+  test("q120 sweep is consistent: pad = blocks*B - tokens, per size") {
+    val rows = Chunkers.qPackEfficiencySweep(spark, Sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("block_tokens").toLong
+      val nBlocks = r.getAs[Long]("n_blocks")
+      val nPad = r.getAs[Long]("n_pad")
+      val nTok = r.getAs[Long]("n_tokens")
+      assert(nBlocks * b - nPad == nTok, s"B=$b identity")
+      assert(nPad >= 0 && nPad < b * 20, s"B=$b pad bounded by #sources*(B-1)")
+    }
+  }
+}
