@@ -378,6 +378,12 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q123_interleave_schedule" ->
+      """The mixture's read-order artifact: fractional-position keys
+        |(one IEEE division of identical integers — engine-exact) give
+        |each source ~every 1/share-th slot, and the global
+        |row_number is a single range-partitioned sort, the one-time
+        |cost of materializing a schedule.""".stripMargin,
     "q122_classifier_score" ->
       """The model-based quality filter: token explode → 8-byte hashed
         |feature buckets (text dies at the hash) → broadcast join with

@@ -1393,6 +1393,42 @@ object TextAnalysis {
        FROM th ORDER BY k"""
   }
 
+  /** q123 — deterministic PROPORTIONAL INTERLEAVE, the global training
+    * read order for a multi-source mixture (q82 orders within the
+    * corpus, q84 selects; this emits the schedule that feeds sources
+    * at their natural rates instead of concatenating them): each doc's
+    * interleave key is its fractional position within its source
+    * (pos / |source|), so a source holding share p of the corpus
+    * occupies ~every 1/p-th slot — the standard fractional-position
+    * interleave, reproducible on any engine because the key is ONE
+    * IEEE division of identical integers and ties break on (source,
+    * pos). The global row_number is a single range-partitioned sort —
+    * the one-time cost of materializing a schedule artifact. */
+  def qInterleaveSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val posW = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source")
+      .withColumn("pos", row_number().over(posW))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("key", $"pos".cast("double") / $"t")
+      .withColumn("global_pos",
+        row_number().over(Window.orderBy($"key", $"source", $"pos")).cast("long"))
+      .select($"global_pos", $"doc_id", $"source")
+      .orderBy($"global_pos")
+  }
+
+  val qInterleaveScheduleSql: String =
+    """WITH p AS (
+         SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+           COUNT(*) OVER (PARTITION BY source) AS t
+         FROM documents)
+       SELECT ROW_NUMBER() OVER (
+           ORDER BY CAST(pos AS DOUBLE) / t, source, pos) AS global_pos,
+         doc_id, source
+       FROM p ORDER BY global_pos"""
+
   /** Feature buckets for the q122 hashed linear classifier. */
   private val ClfBuckets = 4096L
 
@@ -1477,7 +1513,8 @@ object TextAnalysis {
     "q103_winnow_fingerprints" -> qWinnowFingerprints,
     "q105_pmi_collocations" -> qPmiCollocations,
     "q110_quality_sweep" -> qQualitySweep,
-    "q122_classifier_score" -> qClassifierScore)
+    "q122_classifier_score" -> qClassifierScore,
+    "q123_interleave_schedule" -> qInterleaveSchedule)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1504,5 +1541,6 @@ object TextAnalysis {
     "q103_winnow_fingerprints" -> qWinnowFingerprintsSql,
     "q105_pmi_collocations" -> qPmiCollocationsSql,
     "q110_quality_sweep" -> qQualitySweepSql,
-    "q122_classifier_score" -> qClassifierScoreSql)
+    "q122_classifier_score" -> qClassifierScoreSql,
+    "q123_interleave_schedule" -> qInterleaveScheduleSql)
 }
