@@ -381,9 +381,12 @@ object Plans {
     "q123_interleave_schedule" ->
       """The mixture's read-order artifact: fractional-position keys
         |(one IEEE division of identical integers — engine-exact) give
-        |each source ~every 1/share-th slot, and the global
-        |row_number is a single range-partitioned sort, the one-time
-        |cost of materializing a schedule.""".stripMargin,
+        |each source ~every 1/share-th slot. The contiguous global
+        |index comes from zipWithIndex over the range-partitioned
+        |sort — the one legitimate RDD drop-down (a DataFrame
+        |row_number without partitionBy would funnel the corpus
+        |through ONE task); partitions number themselves in parallel
+        |from exclusive-prefix offsets.""".stripMargin,
     "q122_classifier_score" ->
       """The model-based quality filter: token explode → 8-byte hashed
         |feature buckets (text dies at the hash) → broadcast join with

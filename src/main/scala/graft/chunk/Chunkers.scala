@@ -1,6 +1,6 @@
 package graft.chunk
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -334,9 +334,17 @@ object Chunkers {
        FROM final_chunks
        ORDER BY source, chunk_index"""
 
-  /** Block length for q81 — a semantic constant of the query (the
-    * training context length stand-in), mirrored in the oracle. */
-  private val PackBlockTokens = 64
+  /** Block length for q81/q116 — a semantic constant of the queries
+    * (the training context length stand-in), mirrored in the oracles;
+    * package-visible so specs assert against the contract, not a
+    * magic number. */
+  private[chunk] val PackBlockTokens = 64
+
+  /** The corpus token-count rule shared by q81/q116/q120 — ONE
+    * definition so the packing family's offset arithmetic can never
+    * drift (empty text counts 0; otherwise whitespace-split size). */
+  private def tokCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
 
   /** q81 — concat-and-cut sequence packing, the classic pretraining
     * batch-prep step: per source, documents are concatenated in
@@ -361,8 +369,7 @@ object Chunkers {
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, dir)
-      .withColumn("tok",
-        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .withColumn("tok", tokCount($"text"))
       .withColumn("off", coalesce(sum($"tok").over(w), lit(0L)))
       .withColumn("start_block", expr(s"off div $B"))
       .withColumn("end_block",
@@ -523,8 +530,7 @@ object Chunkers {
     // across branches, so deriving this from `ids` would run the token
     // explode + vocab join TWICE just to produce a doc-length frame.
     val docOff = Tables.documents(s, dir)
-      .withColumn("tok",
-        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .withColumn("tok", tokCount($"text"))
       .withColumn("doc_off", coalesce(sum($"tok").over(w), lit(0L)))
       .select($"source", $"doc_id", $"doc_off")
     val blocks = ids.join(docOff, Seq("source", "doc_id"))
@@ -586,8 +592,7 @@ object Chunkers {
     import s.implicits._
     val sizes = Seq(64, 128, 256, 512)
     val lens = Tables.documents(s, dir)
-      .withColumn("tok",
-        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .withColumn("tok", tokCount($"text"))
       .groupBy($"source").agg(sum($"tok").as("t"))
     val cols = sizes.flatMap(b => Seq(
       sum(expr(s"(t + ${b - 1}) div $b")).as(s"nb$b"),

@@ -65,6 +65,13 @@ object RoundTrips {
         } finally files.close()
       }
     } finally subs.close()
+    // Remove the write scaffolding (_SUCCESS, .crc files, emptied
+    // source= dirs): the drop folder's contract is the reference's
+    // FLAT <source>.csv layout, not "flat plus Spark leftovers".
+    val walk = Files.walk(partsDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
     val bad = Files.newBufferedWriter(drop.resolve("badfile.csv"))
     try bad.write("text,start,duration,extra\nshould be skipped,0.0,1.0,boom\n")
     finally bad.close()

@@ -1402,8 +1402,17 @@ object TextAnalysis {
     * occupies ~every 1/p-th slot — the standard fractional-position
     * interleave, reproducible on any engine because the key is ONE
     * IEEE division of identical integers and ties break on (source,
-    * pos). The global row_number is a single range-partitioned sort —
-    * the one-time cost of materializing a schedule artifact. */
+    * pos).
+    *
+    * The contiguous global index is assigned by `zipWithIndex` over
+    * the range-partitioned sort — NOT an unpartitioned row_number
+    * window, which funnels the whole corpus through one task
+    * (Exchange SinglePartition — the r5 review catch). zipWithIndex
+    * is the one legitimate RDD drop-down here: Spark's DataFrame API
+    * cannot express distributed contiguous numbering (it runs a tiny
+    * partition-size count job, then each partition numbers its rows
+    * from its exclusive-prefix offset — every partition works in
+    * parallel and nothing concentrates). */
   def qInterleaveSchedule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val posW = Window.partitionBy($"source").orderBy($"doc_id")
@@ -1412,9 +1421,11 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(posW))
       .withColumn("t", count(lit(1)).over(Window.partitionBy($"source")))
       .withColumn("key", $"pos".cast("double") / $"t")
-      .withColumn("global_pos",
-        row_number().over(Window.orderBy($"key", $"source", $"pos")).cast("long"))
-      .select($"global_pos", $"doc_id", $"source")
+      .orderBy($"key", $"source", $"pos")
+      .select($"doc_id", $"source")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getString(1)) }
+      .toDF("global_pos", "doc_id", "source")
       .orderBy($"global_pos")
   }
 

@@ -19,6 +19,17 @@ package graft.text
   * gonna → gon na, …). Java-regex notes: `\g<0>` becomes `$0`, and
   * `(?U)` mirrors Python's re.U so `\w` stays unicode-aware.
   *
+  * SCOPE: parity is with NLTKWordTokenizer — the per-SENTENCE word
+  * tokenizer. nltk.word_tokenize first sentence-splits with punkt (a
+  * TRAINED model shipped as a pickle — the same JVM-infeasibility as
+  * the S7 model blobs), so the `$`-anchored final-period rules here
+  * fire at end of the whole input rather than per sentence:
+  * "Hi there. Bye." keeps "there." glued where word_tokenize splits
+  * it. Transcript text is overwhelmingly unpunctuated (the F1 path
+  * strips punctuation entirely), q62's raw fixture is single-sentence
+  * by construction, and a punkt-table ingest would follow the
+  * ModelManifest pattern if a migration ever needs it.
+  *
   * On punctuation-free text (the `text_formatted` path after F1
   * normalization) it reduces to whitespace tokenization — TreebankSpec
   * pins both properties.

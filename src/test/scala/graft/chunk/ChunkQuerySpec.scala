@@ -25,7 +25,7 @@ class ChunkQuerySpec extends SparkSpec {
       val sorted = bs.sortBy(_._2)
       assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), s"$src dense ids")
       sorted.init.foreach { case (_, bid, n) =>
-        assert(n == 64L, s"$src block $bid not full ($n)")
+        assert(n == Chunkers.PackBlockTokens.toLong, s"$src block $bid not full ($n)")
       }
     }
   }
