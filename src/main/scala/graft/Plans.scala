@@ -378,6 +378,15 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q124_token_budget_allocation" ->
+      """The data-recipe solver: one narrow token pass collapses to a
+        |#sources-row frame, and Hamilton's largest-remainder method
+        |runs as integer floor-div/mod plus a remainder-rank window
+        |over that tiny frame — Σ alloc ≡ budget exactly, no float
+        |anywhere, bit-identical on any engine or partitioning. The
+        |Long product bound (T ≲ 4.3e9 tokens per apportionment
+        |domain) and its DECIMAL(38) escape are documented at the
+        |site.""".stripMargin,
     "q123_interleave_schedule" ->
       """The mixture's read-order artifact: fractional-position keys
         |(one IEEE division of identical integers — engine-exact) give

@@ -1440,6 +1440,63 @@ object TextAnalysis {
          doc_id, source
        FROM p ORDER BY global_pos"""
 
+  /** q124 — TOKEN-BUDGET APPORTIONMENT by largest remainder (Hamilton's
+    * method), the "data recipe" step that turns a global training
+    * budget into exact per-source token targets: alloc_s =
+    * floor(B·t_s/T) plus one of the Σfloor shortfall units to the
+    * largest fractional remainders (ties to source name). Everything
+    * is INTEGER arithmetic on (budget, tokens) — the apportionment is
+    * exact, Σ alloc ≡ B, and both engines replay it bit-for-bit with
+    * no float anywhere. The budget is the corpus-half here (a semantic
+    * constant); a real run passes its own B. Plan: one narrow token
+    * pass → #sources-row frame; the remainder ranking is a window over
+    * that tiny frame. */
+  def qTokenBudgetAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, dir)
+      .withColumn("tok",
+        when(trim($"text") === "", 0).otherwise(size(split(trim($"text"), "\\s+"))))
+      .groupBy($"source").agg(sum($"tok").as("t"))
+    // `div` (integral division), NOT `/`: both Spark and DuckDB return
+    // DOUBLE for `/` on integers. Overflow bound, honestly: budget·t_s
+    // must fit a Long, so the apportionment domain is capped at
+    // T ≲ 4.3e9 tokens — past that, apportion per partition-of-sources
+    // or move the product to DECIMAL(38,0) (both engines are exact
+    // there); the method itself is unchanged.
+    val tot = lens.agg(sum($"t").as("total"), expr("sum(t) div 2").as("budget"))
+    lens.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr("(budget * t) div total"))
+      .withColumn("rem", ($"budget" * $"t") % $"total")
+      .withColumn("shortfall",
+        ($"budget" - sum($"alloc_floor").over(Window.partitionBy($"budget"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"budget").orderBy($"rem".desc, $"source")))
+      .select($"source", $"t".as("n_tokens"),
+        ($"alloc_floor" + when($"rk" <= $"shortfall", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"source")
+  }
+
+  val qTokenBudgetAllocationSql: String =
+    """WITH t AS (
+         SELECT source,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS t
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total,
+                      CAST(SUM(t) // 2 AS BIGINT) AS budget FROM t),
+       f AS (
+         SELECT source, t, (budget * t) // total AS alloc_floor,
+           (budget * t) % total AS rem, budget
+         FROM t CROSS JOIN tot),
+       r AS (
+         SELECT source, t, alloc_floor,
+           budget - SUM(alloc_floor) OVER () AS shortfall,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+         FROM f)
+       SELECT source, t AS n_tokens,
+         CAST(alloc_floor + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       FROM r ORDER BY source"""
+
   /** Feature buckets for the q122 hashed linear classifier. */
   private val ClfBuckets = 4096L
 
@@ -1525,7 +1582,8 @@ object TextAnalysis {
     "q105_pmi_collocations" -> qPmiCollocations,
     "q110_quality_sweep" -> qQualitySweep,
     "q122_classifier_score" -> qClassifierScore,
-    "q123_interleave_schedule" -> qInterleaveSchedule)
+    "q123_interleave_schedule" -> qInterleaveSchedule,
+    "q124_token_budget_allocation" -> qTokenBudgetAllocation)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1553,5 +1611,6 @@ object TextAnalysis {
     "q105_pmi_collocations" -> qPmiCollocationsSql,
     "q110_quality_sweep" -> qQualitySweepSql,
     "q122_classifier_score" -> qClassifierScoreSql,
-    "q123_interleave_schedule" -> qInterleaveScheduleSql)
+    "q123_interleave_schedule" -> qInterleaveScheduleSql,
+    "q124_token_budget_allocation" -> qTokenBudgetAllocationSql)
 }
