@@ -399,4 +399,39 @@ class PipelineOpsSpec extends SparkSpec {
     val rate = got.values.count(_._3).toDouble / got.size
     assert(math.abs(rate - meanP) <= 0.15, s"keep rate $rate vs mean p $meanP")
   }
+
+  test("q124: apportionment satisfies quota — Σ alloc ≡ budget, |alloc − exact share| < 1") {
+    import spark.implicits._
+    val rows = TextAnalysis.qTokenBudgetAllocation(spark, Sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    assert(rows.map(_._3).sum == budget, "allocations must sum exactly to the budget")
+    rows.foreach { case (src, t, alloc) =>
+      val exact = budget.toDouble * t / total
+      assert(math.abs(alloc - exact) < 1.0,
+        s"$src alloc $alloc violates quota vs exact share $exact")
+    }
+  }
+
+  test("q123: interleave is a permutation and spreads each source evenly") {
+    import spark.implicits._
+    val rows = TextAnalysis.qInterleaveSchedule(spark, Sf0001)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // a permutation: global positions are exactly 1..N, docs unique
+    assert(rows.map(_._1).sorted.toSeq == (1L to rows.length.toLong))
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // fairness: a source with t docs in a corpus of T appears about
+    // every T/t slots — consecutive positions of the same source may
+    // never exceed ~2×(T/t) (fractional-position interleave bound)
+    val T = rows.length.toDouble
+    rows.groupBy(_._3).foreach { case (src, rs) =>
+      val ps = rs.map(_._1).sorted.toSeq
+      val maxGap = (ps.head +: ps).sliding(2).map(w => w(1) - w(0)).max
+      val bound = 2.0 * T / rs.length + 1
+      assert(maxGap <= bound, s"$src max slot gap $maxGap exceeds $bound")
+    }
+  }
 }
