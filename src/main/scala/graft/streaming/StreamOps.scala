@@ -198,6 +198,45 @@ object StreamOps {
     }
   }
 
+  final case class ClfVerdict(doc_id: Long, n_tokens: Long,
+                              score_r: String, keep: Boolean)
+
+  /** Streaming admission for the q122 hashed-linear-classifier filter:
+    * the weight table ships as a dense broadcast array (bucket →
+    * per-mille weight — [[graft.text.TextAnalysis.classifierWeightArray]]
+    * builds the q122 table; a production gate loads learned weights
+    * into the same array), and each arriving doc is scored with the
+    * EXACT relational math: integer per-mille sum, one double
+    * division, DECIMAL(12,6) HALF_UP rounding — StreamSpec pins
+    * per-doc equality with the batch q122. A doc with no tokens gets
+    * an admit verdict with score 0 (the batch form emits no row for
+    * it; a gate must rule on every arrival). */
+  def classifierGate(incoming: Dataset[IngestDoc],
+                     weights: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      : Dataset[ClfVerdict] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    incoming.map { doc =>
+      val ws = weights.value
+      var n = 0L
+      var wsum = 0L
+      doc.text.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+        val b = (graft.core.Hashing.polyFold(w, 31, 1000000007L) % ws.length).toInt
+        wsum += ws(b)
+        n += 1
+      }
+      if (n == 0L) ClfVerdict(doc.doc_id, 0L, "0.000000", keep = true)
+      else {
+        // identical to Spark's double → DECIMAL(12,6) cast path
+        val sd = new java.math.BigDecimal(
+          java.lang.Double.toString(wsum.toDouble / (n * 1000.0)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        ClfVerdict(doc.doc_id, n, sd.toPlainString,
+          sd.signum() >= 0)
+      }
+    }
+  }
+
   def contaminationGate(incoming: Dataset[IngestDoc],
                         bloom: org.apache.spark.broadcast.Broadcast[
                           org.apache.spark.util.sketch.BloomFilter])

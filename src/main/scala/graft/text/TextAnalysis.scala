@@ -1500,6 +1500,12 @@ object TextAnalysis {
   /** Feature buckets for the q122 hashed linear classifier. */
   private val ClfBuckets = 4096L
 
+  /** The q122 weight table as a dense array (bucket → per-mille
+    * weight) — the broadcastable form the streaming
+    * [[graft.streaming.StreamOps.classifierGate]] ships. */
+  private[graft] def classifierWeightArray: Array[Long] =
+    Array.tabulate(ClfBuckets.toInt)(b => (b.toLong * 2654435761L) % 1000L - 500L)
+
   /** q122 — model-based quality filtering with a HASHED-FEATURE linear
     * classifier (the fastText-style filter public pipelines run after
     * the heuristic gates): tokens hash into [[ClfBuckets]] feature

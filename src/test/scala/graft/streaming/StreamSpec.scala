@@ -226,4 +226,36 @@ class StreamSpec extends SparkSpec {
       assert(got(id)._1 == graft.dedup.Dedup.gramHashes(t).length, s"doc $id n_grams")
     }
   }
+
+  test("classifierGate: stream verdicts match batch q122 per doc") {
+    implicit val ctx = spark.sqlContext
+    val weights = spark.sparkContext.broadcast(
+      graft.text.TextAnalysis.classifierWeightArray)
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = MemoryStream[StreamOps.IngestDoc]
+    val q = StreamOps.classifierGate(ms.toDS(), weights)
+      .writeStream.format("memory").queryName("clfgate").outputMode("append").start()
+    ms.addData(docs.take(60).map { case (id, t) => StreamOps.IngestDoc(id, t) }.toSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("clfgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("score_r"),
+          r.getAs[Boolean]("keep")))).toMap
+    q.stop()
+    val batch = graft.text.TextAnalysis.qClassifierScore(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("score_r"),
+          r.getAs[Boolean]("keep")))).toMap
+    weights.destroy()
+    graft.core.Resources.release()
+    assert(got.size == 60)
+    got.foreach { case (id, v) =>
+      // the batch form emits no row for token-less docs; the gate must
+      // still rule on them — only compare where batch has a row
+      batch.get(id).foreach(b => assert(v == b, s"doc $id: gate $v vs batch $b"))
+    }
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "both verdicts should occur at sf0.001")
+  }
 }
