@@ -378,6 +378,12 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q125_contamination_report" ->
+      """The release-gate rollup of q68: the broadcast benchmark hash
+        |set and keyed flag rollup are unchanged; the corpus re-enters
+        |only as a narrow (doc_id, source) projection joined to the
+        |tiny flagged frame. Rates are integer per-mille floor-divs —
+        |engine-exact, no float anywhere.""".stripMargin,
     "q124_token_budget_allocation" ->
       """The data-recipe solver: one narrow token pass collapses to a
         |#sources-row frame, and Hamilton's largest-remainder method

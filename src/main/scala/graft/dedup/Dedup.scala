@@ -602,6 +602,57 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q125 — contamination-rate REPORT per source, the release-gate
+    * number that decides whether a source ships (q68 lists the
+    * contaminated docs; a release decision needs the per-source RATE
+    * and severity): for every training source, the doc count, how
+    * many docs share ≥1 benchmark gram, their total contaminated-gram
+    * mass, and the worst single doc. Same plan as q68 (broadcast
+    * benchmark hash set, one keyed rollup) plus a doc→source join of
+    * the flagged (doc, count) frame — the corpus re-enters only as a
+    * per-source doc count. Rate arithmetic stays integer (per-mille
+    * floor-div) so the report is engine-exact. */
+  def qContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = gramFrame(s, dir)
+    val bench = grams.filter($"source" === "src19").select($"h").distinct()
+    val train = grams.filter($"source" =!= "src19").select($"doc_id", $"h").distinct()
+    val flagged = train.join(broadcast(bench), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("cg"))
+    val docSrc = Tables.documents(s, dir)
+      .filter($"source" =!= "src19").select($"doc_id", $"source")
+    docSrc.join(flagged, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"cg").as("n_flagged"),
+        sum(coalesce($"cg", lit(0L))).as("gram_hits"),
+        max(coalesce($"cg", lit(0L))).as("worst_doc_hits"))
+      .withColumn("flag_permille", expr("(n_flagged * 1000) div n_docs"))
+      .orderBy($"source")
+  }
+
+  val qContaminationReportSql: String = {
+    val joins = (0 until DecontamN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+       g AS (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words) - ${DecontamN - 1}),
+                 i -> $joins)) AS gram
+             FROM w WHERE len(words) >= $DecontamN),
+       gh AS (SELECT doc_id, source, ${polyHashSql("gram", 31, PolyMod1)} AS h FROM g),
+       bench AS (SELECT DISTINCT h FROM gh WHERE source = 'src19'),
+       train AS (SELECT DISTINCT doc_id, h FROM gh WHERE source != 'src19'),
+       fl AS (SELECT doc_id, COUNT(*) AS cg FROM train JOIN bench USING (h) GROUP BY doc_id),
+       ds AS (SELECT doc_id, source FROM documents WHERE source != 'src19')
+       SELECT ds.source, COUNT(*) AS n_docs,
+         COUNT(fl.cg) AS n_flagged,
+         CAST(SUM(COALESCE(fl.cg, 0)) AS BIGINT) AS gram_hits,
+         CAST(MAX(COALESCE(fl.cg, 0)) AS BIGINT) AS worst_doc_hits,
+         (COUNT(fl.cg) * 1000) // COUNT(*) AS flag_permille
+       FROM ds LEFT JOIN fl USING (doc_id)
+       GROUP BY ds.source ORDER BY ds.source"""
+  }
+
   val qDecontaminateSql: String = {
     val joins = (0 until DecontamN).map(k => s"words[i+$k]").mkString(" || ' ' || ")
     s"""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
@@ -1635,6 +1686,7 @@ object Dedup {
     "q108_removal_ledger" -> qRemovalLedger,
     "q109_neardup_sweep" -> qNearDupSweep,
     "q112_neardup_source_matrix" -> qNearDupSourceMatrix,
+    "q125_contamination_report" -> qContaminationReport,
     "q75_dup_clusters" -> qDupClusters,
     "q79_cluster_canonical" -> qClusterCanonical,
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
@@ -1658,6 +1710,7 @@ object Dedup {
     "q108_removal_ledger" -> qRemovalLedgerSql,
     "q109_neardup_sweep" -> qNearDupSweepSql,
     "q112_neardup_source_matrix" -> qNearDupSourceMatrixSql,
+    "q125_contamination_report" -> qContaminationReportSql,
     "q75_dup_clusters" -> qDupClustersSql,
     "q79_cluster_canonical" -> qClusterCanonicalSql,
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
