@@ -1135,13 +1135,15 @@ object Dedup {
     val nBands = SimBands.size
     // The candidate count aggregates in DOUBLE: per-bucket n·(n−1)
     // wraps (or, under ANSI, throws) past n ≈ 3e9 as a Long product,
-    // and a cost estimate only needs magnitude, not exactness. Both
-    // aggregates coalesce so an EMPTY corpus yields (0, 0.0), not a
-    // null-unboxing crash.
+    // and a cost estimate only needs magnitude, not exactness. n_docs
+    // however is presented as exact, so it divides INTEGRALLY (`div`):
+    // Σn is a multiple of nBands by construction, and a double detour
+    // would lose exactness past 2^53. Both aggregates coalesce so an
+    // EMPTY corpus yields (0, 0.0), not a null-unboxing crash.
     val row = sigs
       .select(explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
       .groupBy($"bb.band", $"bb.bkey").agg(count(lit(1)).as("n"))
-      .agg(coalesce((sum($"n") / lit(nBands)).cast("long"), lit(0L)).as("n_docs"),
+      .agg(coalesce(expr(s"sum(n) div $nBands"), lit(0L)).as("n_docs"),
         coalesce(sum($"n".cast("double") * ($"n" - 1).cast("double") / 2.0), lit(0.0))
           .as("cand"))
       .head()

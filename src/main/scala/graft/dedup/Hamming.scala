@@ -27,10 +27,12 @@ object Hamming {
 
   /** The minimal pigeonhole cover: `hamMax + 1` nearly-equal bands
     * (widths differ by at most 1) tiling `bits`. Widest legal bands =
-    * maximal per-band bucket count = maximal pruning. */
+    * maximal per-band bucket count = maximal pruning. `hamMax = 0`
+    * degenerates to ONE full-width band — exact signature equality —
+    * matching what [[bandedPairsAt]] accepts for that geometry. */
   def minimalBands(bits: Int, hamMax: Int): Seq[(Int, Int)] = {
     val nb = hamMax + 1
-    require(nb >= 2, s"hamMax=$hamMax needs at least 2 bands")
+    require(hamMax >= 0, s"hamMax=$hamMax must be non-negative")
     require(bits >= nb, s"$bits bits cannot form $nb non-empty bands")
     val base = bits / nb
     val extra = bits % nb
@@ -43,7 +45,10 @@ object Hamming {
     * aggregations so they cannot disagree about the geometry. */
   def bandStructsExpr(sigCol: String, bands: Seq[(Int, Int)]): String =
     bands.zipWithIndex.map { case ((off, w), i) =>
-      s"struct($i AS band, shiftright($sigCol, $off) & ${(1L << w) - 1} AS bkey)"
+      // w = 64 (the hamMax=0 single-band cover of a full Long) would
+      // wrap (1L << 64) - 1 to 0 — mask with -1L (all bits) instead.
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      s"struct($i AS band, shiftright($sigCol, $off) & $mask AS bkey)"
     }.mkString("array(", ", ", ")")
 
   /** Pairs `(d1, d2, hamming)` with hamming ≤ `hamMax`, from a

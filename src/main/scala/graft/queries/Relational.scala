@@ -460,11 +460,12 @@ object Relational {
     *
     * The audited pair is a deliberately DAMAGED derived view of the
     * fixture (docs missing every id ≡ 3 mod 7; vectors missing every
-    * id ≡ 0 mod 5, PLUS ids ≡ 0 mod 11 duplicated): the healthy
-    * fixture is referentially perfect, which would leave every
-    * interesting branch — missing vectors, orphan vectors, duplicate
-    * collapse — unexercised by the value gate. The oracle plants the
-    * identical damage. */
+    * id ≡ 0 mod 5, PLUS ids ≡ 0 mod 11 duplicated — note the
+    * duplicate branch RE-ADMITS ids ≡ 0 mod 55, so "missing" means
+    * `%5 = 0 ∧ %11 ≠ 0`): the healthy fixture is referentially
+    * perfect, which would leave every interesting branch — missing
+    * vectors, orphan vectors, duplicate collapse — unexercised by the
+    * value gate. The oracle plants the identical damage. */
   def q118LakeIntegrity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source")

@@ -201,6 +201,19 @@ object StreamOps {
   final case class ClfVerdict(doc_id: Long, n_tokens: Long,
                               score_r: String, keep: Boolean)
 
+  /** Ruling for arrivals the batch filter cannot score (zero tokens):
+    * the batch q122 emits NO row for them, but a gate must rule on
+    * every arrival, so the divergence is an explicit caller choice
+    * rather than a hardcoded default. `Admit` mirrors the reference's
+    * usable-filter posture (empty text is dropped UPSTREAM by P3, so
+    * anything reaching the classifier is assumed vetted); `Reject`
+    * fails closed for pipelines without that upstream gate. */
+  sealed abstract class UnscorablePolicy(val keep: Boolean)
+  object UnscorablePolicy {
+    case object Admit extends UnscorablePolicy(true)
+    case object Reject extends UnscorablePolicy(false)
+  }
+
   /** Streaming admission for the q122 hashed-linear-classifier filter:
     * the weight table ships as a dense broadcast array (bucket →
     * per-mille weight — [[graft.text.TextAnalysis.classifierWeightArray]]
@@ -209,10 +222,11 @@ object StreamOps {
     * EXACT relational math: integer per-mille sum, one double
     * division, DECIMAL(12,6) HALF_UP rounding — StreamSpec pins
     * per-doc equality with the batch q122. A doc with no tokens gets
-    * an admit verdict with score 0 (the batch form emits no row for
-    * it; a gate must rule on every arrival). */
+    * score 0 and the `unscorable` policy's verdict (see
+    * [[UnscorablePolicy]]). */
   def classifierGate(incoming: Dataset[IngestDoc],
-                     weights: org.apache.spark.broadcast.Broadcast[Array[Long]])
+                     weights: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                     unscorable: UnscorablePolicy = UnscorablePolicy.Admit)
       : Dataset[ClfVerdict] = {
     val s = incoming.sparkSession
     import s.implicits._
@@ -225,7 +239,7 @@ object StreamOps {
         wsum += ws(b)
         n += 1
       }
-      if (n == 0L) ClfVerdict(doc.doc_id, 0L, "0.000000", keep = true)
+      if (n == 0L) ClfVerdict(doc.doc_id, 0L, "0.000000", unscorable.keep)
       else {
         // identical to Spark's double → DECIMAL(12,6) cast path
         val sd = new java.math.BigDecimal(

@@ -53,6 +53,20 @@ class HammingSpec extends SparkSpec {
     }
   }
 
+  test("hamMax=0: minimalBands degenerates to one full-width band == exact equality") {
+    assert(Hamming.minimalBands(60, 0) == Seq((0, 60)))
+    // plant exact duplicates: ids 0/1 share a sig, 2/3 share another
+    val dup = Seq((0L, 123456789L), (1L, 123456789L), (2L, 987654L), (3L, 987654L),
+      (4L, 42L)).toDF("doc_id", "sig")
+    val got = Hamming.bandedPairsAt(dup, "sig", Hamming.minimalBands(60, 0), 0)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+    // a full-64-bit single band must not wrap its mask to zero (which
+    // would bucket EVERYTHING together and emit spurious pairs)
+    val expr64 = Hamming.bandStructsExpr("sig", Seq((0, 64)))
+    assert(expr64.contains("& -1 "), s"64-bit band mask must be -1, got: $expr64")
+  }
+
   test("bandedPairs rejects geometry that voids the pigeonhole guarantee") {
     val df = sigs.take(2).toDF("doc_id", "sig")
     intercept[IllegalArgumentException] {

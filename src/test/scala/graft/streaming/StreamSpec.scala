@@ -258,4 +258,29 @@ class StreamSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3),
       "both verdicts should occur at sf0.001")
   }
+
+  test("classifierGate: UnscorablePolicy rules token-less arrivals") {
+    implicit val ctx = spark.sqlContext
+    val weights = spark.sparkContext.broadcast(
+      graft.text.TextAnalysis.classifierWeightArray)
+    for ((policy, expectKeep) <- Seq(
+        StreamOps.UnscorablePolicy.Admit -> true,
+        StreamOps.UnscorablePolicy.Reject -> false)) {
+      val ms = MemoryStream[StreamOps.IngestDoc]
+      val name = s"clfgate_unscorable_$expectKeep"
+      val q = StreamOps.classifierGate(ms.toDS(), weights, policy)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      ms.addData(StreamOps.IngestDoc(1L, "   "), StreamOps.IngestDoc(2L, ""))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[String]("score_r"),
+            r.getAs[Boolean]("keep")))).toMap
+      q.stop()
+      assert(got == Map(
+        1L -> ((0L, "0.000000", expectKeep)),
+        2L -> ((0L, "0.000000", expectKeep))), s"policy $policy")
+    }
+    weights.destroy()
+  }
 }
