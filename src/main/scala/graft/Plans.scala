@@ -378,6 +378,14 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q126_punkt_word_tokenize" ->
+      """The word_tokenize parity closer: punkt boundary judgement is
+        |inherently multi-pass token annotation (no functions._ form),
+        |so it runs as a narrow per-doc UDF over a broadcast,
+        |vocab-bounded parameter table ingested through the manifest
+        |migration path. Linear in corpus size, shuffle-free until the
+        |final orderBy; the parameter tables are model-sized (a few
+        |hundred KiB for stock English), never corpus-sized.""".stripMargin,
     "q125_contamination_report" ->
       """The release-gate rollup of q68: the broadcast benchmark hash
         |set and keyed flag rollup are unchanged; the corpus re-enters

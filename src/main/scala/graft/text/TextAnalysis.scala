@@ -1562,6 +1562,88 @@ object TextAnalysis {
        FROM sc ORDER BY doc_id"""
   }
 
+  // ---- q126: punkt sentence segmentation (W3 parity closer) ---------
+
+  /** q126 — `nltk.word_tokenize` parity on MULTI-sentence punctuated
+    * raw text: punkt sentence segmentation ([[Punkt]], parameters
+    * ingested through the [[PunktManifest]] migration path) followed
+    * by the per-sentence [[Treebank]] word tokenizer — the reference's
+    * actual scoring-path tokenization
+    * (client/async_processing_client.py:163-165, where word_tokenize =
+    * punkt + NLTKWordTokenizer). q62 proved Treebank parity on a
+    * single-sentence fixture; this fixture makes the SENTENCE SPLIT
+    * itself change the output, and exercises every learned table:
+    * `Dr.` (abbreviation — no break), `J.` (initial reclassification —
+    * no break), `indeed.` (plain word+period — break), `mount.
+    * Everest` (collocation — no break), `Smith` (orthographic-context
+    * lookup). `n_glued` rides along as the single-pass Treebank count:
+    * `n_items − n_glued = 1` IS the oracled divergence the round-5
+    * verdict named ("there. Bye." class). The manifest fixture is
+    * authored in-engine (at migration time those rows come from
+    * tools/export_punkt_manifest.py run against the reference's
+    * pickle); the operator under test is ingest + runtime algorithm.
+    *
+    * UDF choice is deliberate (the measured-choice discipline): punkt
+    * judges each candidate boundary with a stateful multi-pass token
+    * annotation that has no `functions._` form; the UDF runs once per
+    * doc over ~100-word strings with a broadcast, vocab-bounded
+    * parameter table — a narrow pass whose cost is linear in corpus
+    * size, shuffle-free until the final orderBy. */
+  def qPunktWordTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val manifestDir = graft.sink.TempDirs.fresh("graft_punkt_manifest_").toString
+    Seq(
+      ("abbrev", "dr", null: String, null: java.lang.Long),
+      ("collocation", "mount", "everest", null: java.lang.Long),
+      ("sent_starter", "the", null: String, null: java.lang.Long),
+      ("ortho", "smith", null: String,
+        java.lang.Long.valueOf((Punkt.OrthoMidUc | Punkt.OrthoUnkUc).toLong)))
+      .toDF("kind", "w1", "w2", "flags").repartition(2)
+      .write.mode("overwrite").json(manifestDir)
+    val bc = graft.core.Resources.broadcast(s, PunktManifest.ingest(s, manifestDir))
+    val tokUdf = udf((raw: String) => Punkt.wordTokenize(raw, bc.value))
+    val sentUdf = udf((raw: String) => Punkt.sentences(raw, bc.value).length)
+    val gluedUdf = udf((raw: String) => Treebank.tokenize(raw).length)
+    Tables.documents(s, dir)
+      .withColumn("ws", split(trim($"text"), "\\s+"))
+      .withColumn("raw", concat_ws(" ",
+        lit("Dr. Smith"), concat_ws(" ", expr("slice(ws, 1, 8)")),
+        lit("indeed. J."), concat_ws(" ", expr("slice(ws, 9, 1000)")),
+        lit("mount. Everest finale.")))
+      .withColumn("toks", tokUdf($"raw"))
+      .select($"doc_id",
+        sentUdf($"raw").cast("long").as("n_sent"),
+        size($"toks").cast("long").as("n_items"),
+        gluedUdf($"raw").cast("long").as("n_glued"),
+        array_join($"toks", "|").as("tok_sig"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the base text is punctuation-free (whitespace tokens pass
+    * through Treebank unchanged — TreebankSpec pins that bridge), so
+    * the expected word_tokenize output is exactly reconstructible:
+    * sentence 1 contributes `Dr. Smith ++ ws[1..8] ++ indeed ++ .`,
+    * sentence 2 contributes `J. ++ ws[9..] ++ mount. Everest finale .`
+    * — per-sentence final periods split, every other injected period
+    * stays glued. PunktSpec pins each boundary decision; the oracle
+    * pins the composed result value-for-value. */
+  val qPunktWordTokenizeSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id,
+           ['Dr.', 'Smith'] || list_slice(ws, 1, 8)
+             || ['indeed', '.', 'J.'] || list_slice(ws, 9, len(ws))
+             || ['mount.', 'Everest', 'finale', '.'] AS toks
+         FROM t)
+       SELECT doc_id,
+         CAST(2 AS BIGINT) AS n_sent,
+         CAST(len(toks) AS BIGINT) AS n_items,
+         CAST(len(toks) - 1 AS BIGINT) AS n_glued,
+         array_to_string(toks, '|') AS tok_sig
+       FROM toks ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_normalize_docs" -> qNormalizeDocs,
     "q22_token_counts" -> qTokenCounts,
@@ -1589,7 +1671,8 @@ object TextAnalysis {
     "q110_quality_sweep" -> qQualitySweep,
     "q122_classifier_score" -> qClassifierScore,
     "q123_interleave_schedule" -> qInterleaveSchedule,
-    "q124_token_budget_allocation" -> qTokenBudgetAllocation)
+    "q124_token_budget_allocation" -> qTokenBudgetAllocation,
+    "q126_punkt_word_tokenize" -> qPunktWordTokenize)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1618,5 +1701,6 @@ object TextAnalysis {
     "q110_quality_sweep" -> qQualitySweepSql,
     "q122_classifier_score" -> qClassifierScoreSql,
     "q123_interleave_schedule" -> qInterleaveScheduleSql,
-    "q124_token_budget_allocation" -> qTokenBudgetAllocationSql)
+    "q124_token_budget_allocation" -> qTokenBudgetAllocationSql,
+    "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql)
 }

@@ -19,16 +19,18 @@ package graft.text
   * gonna → gon na, …). Java-regex notes: `\g<0>` becomes `$0`, and
   * `(?U)` mirrors Python's re.U so `\w` stays unicode-aware.
   *
-  * SCOPE: parity is with NLTKWordTokenizer — the per-SENTENCE word
-  * tokenizer. nltk.word_tokenize first sentence-splits with punkt (a
-  * TRAINED model shipped as a pickle — the same JVM-infeasibility as
-  * the S7 model blobs), so the `$`-anchored final-period rules here
-  * fire at end of the whole input rather than per sentence:
+  * SCOPE: this object is NLTKWordTokenizer — the per-SENTENCE word
+  * tokenizer. nltk.word_tokenize first sentence-splits with punkt,
+  * then applies these rules per sentence; [[Punkt.wordTokenize]] is
+  * that full-parity composition (punkt parameters ingest through
+  * [[PunktManifest]] — the ModelManifest pickle-migration pattern).
+  * Called directly on multi-sentence input, the `$`-anchored
+  * final-period rules fire only at end of the whole input:
   * "Hi there. Bye." keeps "there." glued where word_tokenize splits
-  * it. Transcript text is overwhelmingly unpunctuated (the F1 path
-  * strips punctuation entirely), q62's raw fixture is single-sentence
-  * by construction, and a punkt-table ingest would follow the
-  * ModelManifest pattern if a migration ever needs it.
+  * it (PunktSpec + q126 pin the divergence and the fix). Transcript
+  * text is overwhelmingly unpunctuated (the F1 path strips
+  * punctuation entirely) and q62's raw fixture is single-sentence by
+  * construction, so the direct form stays correct on those paths.
   *
   * On punctuation-free text (the `text_formatted` path after F1
   * normalization) it reduces to whitespace tokenization — TreebankSpec

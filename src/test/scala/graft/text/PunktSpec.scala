@@ -1,0 +1,127 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Pins the punkt sentence-boundary behaviors against the published
+  * algorithm (NLTK 3.8.1 punkt.py), each heuristic in BOTH
+  * directions where parameters flip the outcome, plus the manifest
+  * round-trip and the q62-fixture bridge. */
+class PunktSpec extends SparkSpec {
+
+  private val empty = Punkt.Params()
+
+  test("plain word+period breaks; word_tokenize splits final periods per sentence") {
+    assert(Punkt.sentences("Hi there. Bye.", empty) == Seq("Hi there.", "Bye."))
+    // the exact W3 residue class documented in Treebank.scala: the
+    // single-pass tokenizer keeps "there." glued; punkt+treebank splits
+    assert(Punkt.wordTokenize("Hi there. Bye.", empty).toSeq ==
+      Seq("Hi", "there", ".", "Bye", "."))
+    assert(Treebank.tokenize("Hi there. Bye.").toSeq ==
+      Seq("Hi", "there.", "Bye", "."))
+  }
+
+  test("abbreviation table: known abbrev does not break, unknown does") {
+    val text = "He met Dr. Smith. Then left."
+    assert(Punkt.sentences(text, Punkt.Params(abbrevTypes = Set("dr"))) ==
+      Seq("He met Dr. Smith.", "Then left."))
+    assert(Punkt.sentences(text, empty) ==
+      Seq("He met Dr.", "Smith.", "Then left."))
+    // dash-compound lookup: final segment in the table suffices
+    assert(Punkt.sentences("See co-op. next", Punkt.Params(abbrevTypes = Set("op")))
+      == Seq("See co-op. next"))
+  }
+
+  test("orthographic heuristic flips an abbreviation-final break both ways") {
+    val text = "Snakes etc. Are dangerous."
+    val abbrev = Set("etc")
+    // "are" was seen lowercase (ORTHO_LC) and never capitalized
+    // mid-sentence → a capitalized occurrence IS a sentence start
+    val breaks = Punkt.Params(abbrevTypes = abbrev,
+      orthoContext = Map("are" -> (Punkt.OrthoBegLc | Punkt.OrthoUnkLc)))
+    assert(Punkt.sentences(text, breaks) == Seq("Snakes etc.", "Are dangerous."))
+    // "are" seen capitalized mid-sentence (ORTHO_MID_UC) → capital is
+    // no evidence, abbrev wins
+    val glues = Punkt.Params(abbrevTypes = abbrev,
+      orthoContext = Map("are" -> Punkt.OrthoMidUc))
+    assert(Punkt.sentences(text, glues) == Seq(text))
+    // no ortho evidence at all → abbrev wins too
+    assert(Punkt.sentences(text, Punkt.Params(abbrevTypes = abbrev)) == Seq(text))
+  }
+
+  test("frequent-sentence-starter table breaks after an abbreviation") {
+    val text = "Snakes etc. The rest followed."
+    val base = Punkt.Params(abbrevTypes = Set("etc"))
+    assert(Punkt.sentences(text, base) == Seq(text))
+    assert(Punkt.sentences(text, base.copy(sentStarters = Set("the"))) ==
+      Seq("Snakes etc.", "The rest followed."))
+    // starter evidence requires a capitalized occurrence
+    assert(Punkt.sentences("Snakes etc. the rest followed.",
+      base.copy(sentStarters = Set("the"))) ==
+      Seq("Snakes etc. the rest followed."))
+  }
+
+  test("initials and ordinals reclassify as abbreviations") {
+    // initial before a capitalized unknown word: no break (J. Bach rule)
+    assert(Punkt.sentences("Then J. Smith arrived today.", empty) ==
+      Seq("Then J. Smith arrived today."))
+    // initial before a word known to occur lowercase → break stands
+    assert(Punkt.sentences("Then J. Smith arrived today.",
+      Punkt.Params(orthoContext = Map("smith" -> Punkt.OrthoBegLc))) ==
+      Seq("Then J.", "Smith arrived today."))
+    // ordinal before a lowercase word: no break
+    assert(Punkt.sentences("See page 3. next line here.", empty) ==
+      Seq("See page 3. next line here."))
+    // ordinal before an unknown capitalized word: break stands
+    assert(Punkt.sentences("See page 3. Next line here.", empty) ==
+      Seq("See page 3.", "Next line here."))
+  }
+
+  test("collocation table glues across a non-abbrev period") {
+    val text = "We climbed mount. Everest slowly."
+    assert(Punkt.sentences(text, empty) ==
+      Seq("We climbed mount.", "Everest slowly."))
+    assert(Punkt.sentences(text,
+      Punkt.Params(collocations = Set(("mount", "everest")))) == Seq(text))
+  }
+
+  test("boundary realignment folds trailing closers onto the sentence") {
+    assert(Punkt.sentences("He said \"Go.\" Then left.", empty) ==
+      Seq("He said \"Go.\"", "Then left."))
+    assert(Punkt.wordTokenize("He said \"Go.\" Then left.", empty).toSeq ==
+      Seq("He", "said", "``", "Go", ".", "''", "Then", "left", "."))
+  }
+
+  test("ellipsis does not break without orthographic evidence; ? and ! break") {
+    assert(Punkt.sentences("Well... maybe so.", empty) == Seq("Well... maybe so."))
+    assert(Punkt.sentences("Stop! Now. Go? Yes.", empty) ==
+      Seq("Stop!", "Now.", "Go?", "Yes."))
+  }
+
+  test("q62 fixture bridge: single-sentence raw form is punkt-invariant") {
+    // q62's raw construction ends in exactly one sentence-final period,
+    // so word_tokenize == plain Treebank there — the property that
+    // keeps q62's oracle valid alongside q126's multi-sentence one
+    val raw = "\"key agg row scan slow can't stop, really... (wow)."
+    assert(Punkt.wordTokenize(raw, empty).toSeq == Treebank.tokenize(raw).toSeq)
+  }
+
+  test("manifest round-trip rebuilds identical Params") {
+    import spark.implicits._
+    val dir = graft.sink.TempDirs.fresh("graft_punkt_manifest_spec_").toString
+    val rows = Seq(
+      ("abbrev", "dr", null: String, null: java.lang.Long),
+      ("abbrev", "etc", null: String, null: java.lang.Long),
+      ("collocation", "mount", "everest", null: java.lang.Long),
+      ("sent_starter", "the", null: String, null: java.lang.Long),
+      ("ortho", "smith", null: String,
+        java.lang.Long.valueOf((Punkt.OrthoMidUc | Punkt.OrthoUnkUc).toLong)))
+    rows.toDF("kind", "w1", "w2", "flags").repartition(2)
+      .write.mode("overwrite").json(dir)
+    val got = PunktManifest.ingest(spark, dir)
+    assert(got == Punkt.Params(
+      abbrevTypes = Set("dr", "etc"),
+      collocations = Set(("mount", "everest")),
+      sentStarters = Set("the"),
+      orthoContext = Map("smith" -> (Punkt.OrthoMidUc | Punkt.OrthoUnkUc))))
+  }
+}
