@@ -62,7 +62,11 @@ object Plans {
         |pruning on uniform sigs, vs 64 buckets and ~6.4× for an equal
         |10×6 split) — the linear-ish 100 TB path. DedupSpec pins both
         |paths output-identical and the census decision on both
-        |regimes.""".stripMargin,
+        |regimes. The generated pairs land ONCE in a
+        |hamming-partitioned parquet lake (per corpus dir, process
+        |lifetime); q30 re-runs and the q109/q112 reports are parquet
+        |scans of 20-byte rows — the generation pass is the corpus-
+        |version artifact, not a per-report cost.""".stripMargin,
     "q32_embed_neardup" ->
       """Exact cosine threshold join. The sim distribution is continuous through
         |0.4 (no LSH can match exactly), so: one linear pass to (vec, norm),
@@ -356,13 +360,14 @@ object Plans {
         |the funnel's four stage rows, so the two artifacts can never
         |disagree.""".stripMargin,
     "q109_neardup_sweep" ->
-      """Threshold calibration from data: one pair-generation pass (the
-        |q30 census-selected plan) is PERSISTED, and the whole sweep is
-        |two conditional aggregations over the pair table — 7 cutoffs
-        |cost one extra pair-table scan, never a corpus re-scan. The
-        |per-doc side explodes pairs to (doc, min hamming) so "docs
-        |with at least one partner at ≤ t" is a count, not a distinct
-        |per threshold.""".stripMargin,
+      """Threshold calibration from data: the pairs come from the
+        |materialize-once PAIR LAKE (generated by whichever family
+        |member ran first, census-selected plan), so this whole report
+        |is two conditional aggregations over a parquet scan of
+        |20-byte rows — 7 cutoffs cost two pair-table scans, never a
+        |corpus re-scan. The per-doc side explodes pairs to (doc, min
+        |hamming) so "docs with at least one partner at ≤ t" is a
+        |count, not a distinct per threshold.""".stripMargin,
     "q110_quality_sweep" ->
       """Calibration for the quality cut: ONE narrow text pass builds
         |(n_words, fixed-point quality), one conditional aggregation
@@ -475,11 +480,12 @@ object Plans {
         |straight-from-documents oracle.""".stripMargin,
     "q112_neardup_source_matrix" ->
       """The cross-feed mirroring audit at the NEAR-dup level (q98 is
-        |the exact-gram sibling): the q30 auto-selected pair table
-        |(persisted) joins the narrow (doc_id, source) projection twice
-        |on doc_id, source pairs canonicalize with least/greatest, and
-        |the rollup is bounded by #sources². Pair volume, never
-        |corpus², drives the cost.""".stripMargin,
+        |the exact-gram sibling): the materialize-once PAIR LAKE (a
+        |parquet scan once the family has run) joins the narrow
+        |(doc_id, source) projection twice on doc_id, source pairs
+        |canonicalize with least/greatest, and the rollup is bounded by
+        |#sources². Pair volume, never corpus², drives the
+        |cost.""".stripMargin,
     "q113_ivf_index_roundtrip" ->
       """Index-as-artifact: the q33 assignment pass lands ONCE in a
         |bucket-partitioned parquet lake (IVF inverted lists as

@@ -1185,9 +1185,43 @@ object Dedup {
     simHashPairs(s, dir).orderBy($"d1", $"d2")
   }
 
-  /** The unordered q30 pair frame `(d1, d2, hamming ≤ SimHamMax)` —
-    * shared by q30 (sorted emission) and q109 (threshold sweep). */
+  /** Pair-lake registry: corpus dir → materialized pair-lake path.
+    * Process-global and concurrent-safe (computeIfAbsent blocks a
+    * second asker for the SAME corpus while the first build runs);
+    * lifetime = JVM = one harness run, matching the testdata's
+    * immutability within a run. At 100 TB this is the corpus-version
+    * artifact: the generation pass is ~3× the most expensive
+    * computation in the suite, and the sweep/matrix/backfill reports
+    * all need the SAME pairs — building it once per version and
+    * letting every report scan 20-byte parquet rows is the difference
+    * between one expensive pass and one per report (the r5 verdict's
+    * next-round item 2). */
+  private val pairLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q30 pair frame `(d1, d2, hamming ≤ SimHamMax)`, materialized
+    * ONCE per corpus dir to a hamming-partitioned parquet lake (the
+    * q114 round-trip discipline) and READ thereafter: the first family
+    * member to ask runs the census-selected generation pass
+    * ([[simHashPairsGen]]); q30 re-runs, the q109 sweep, and the q112
+    * source matrix are then parquet SCANS with partition pruning on
+    * the hamming key — never a corpus re-scan. */
   private def simHashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = pairLakes.computeIfAbsent(dir, _ => {
+      val path = graft.sink.TempDirs.fresh("graft_simhash_pairs_").toString
+      simHashPairsGen(s, dir)
+        // one file per hamming value at this scale; at 100 TB the
+        // writer's AQE coalescing sizes files within each partition
+        .repartition(col("hamming"))
+        .write.mode("overwrite").partitionBy("hamming").parquet(path)
+      path
+    })
+    s.read.parquet(lake).select($"d1", $"d2", $"hamming".cast("int").as("hamming"))
+  }
+
+  /** The pair GENERATION pass (unmaterialized) — census-selected
+    * banded-vs-tiled plan over the persisted signature frame. */
+  private def simHashPairsGen(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // AUTOMATIC plan selection (r4 verdict item 4): the census measures
     // the actual bucket distribution and picks banded (sparse, spread
@@ -1227,14 +1261,15 @@ object Dedup {
   /** q109 — near-dup THRESHOLD SWEEP, the calibration report behind
     * choosing SimHamMax: for every hamming cutoff t ≤ the maximum, the
     * pair count and the number of documents with at least one partner
-    * at ≤ t. One pair-generation pass (the q30 auto-selected plan,
-    * persisted), then two conditional aggregations — the sweep costs
-    * one extra scan of the PAIR table, never a re-scan of the corpus,
-    * which is what makes running it per-corpus-version affordable and
-    * is how the cutoff gets chosen from data instead of folklore. */
+    * at ≤ t. The pair LAKE ([[simHashPairs]]) supplies the pairs —
+    * generated once per corpus version, a parquet scan here — then two
+    * conditional aggregations: the sweep costs two scans of the
+    * 20-byte-row PAIR table, never a re-scan of the corpus, which is
+    * what makes running it per-corpus-version affordable and is how
+    * the cutoff gets chosen from data instead of folklore. */
   def qNearDupSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.core.Resources.persist(simHashPairs(s, dir))
+    val pairs = simHashPairs(s, dir)
     val ts = 0 to SimHamMax
     val pairCols = ts.map(t => count(when($"hamming" <= t, lit(1))).as(s"p$t"))
     val pairRow = pairs.agg(pairCols.head, pairCols.tail: _*)
@@ -1274,12 +1309,13 @@ object Dedup {
     * "which feeds are mirroring each other" before anyone decides
     * per-source caps. Source pairs are canonicalized (least, greatest)
     * so the matrix is upper-triangular including the diagonal
-    * (within-source dup mass). Plan: the q30 pair table (auto-selected
-    * plan, persisted) joins the narrow (doc_id, source) projection
-    * twice on doc_id — pair volume, never corpus², drives the cost. */
+    * (within-source dup mass). Plan: the pair LAKE ([[simHashPairs]] —
+    * a parquet scan once the family has run) joins the narrow
+    * (doc_id, source) projection twice on doc_id — pair volume, never
+    * corpus², drives the cost. */
   def qNearDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.core.Resources.persist(simHashPairs(s, dir))
+    val pairs = simHashPairs(s, dir)
     val src = Tables.documents(s, dir).select($"doc_id", $"source")
     pairs
       .join(src.select($"doc_id".as("d1"), $"source".as("s1")), Seq("d1"))
