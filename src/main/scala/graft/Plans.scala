@@ -202,6 +202,15 @@ object Plans {
         |are power-law small, so round cost is independent of corpus
         |size. Ties break lexicographically — the determinism the
         |unrolled DuckDB replay depends on.""".stripMargin,
+    "q58_media_decode" ->
+      """The decode seam with a REAL codec: javax.imageio header parse
+        |(PNG IHDR / BMP BITMAPINFOHEADER) inside the mapPartitions
+        |batch operator — payload bytes never shuffle, one reader per
+        |payload, header-parse not rasterization (metadata extraction
+        |at 100 TB must not decode pixels). Unreadable payloads degrade
+        |to the documented deterministic fallback instead of failing
+        |the pass; q58's fixture keeps a raw-blob third so the degraded
+        |path stays tested.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
         |chosen for scale, not convenience: exact recall at hamming ≤ k needs

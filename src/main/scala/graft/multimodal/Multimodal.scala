@@ -8,16 +8,20 @@ import graft.core.Tables
   * payloads as opaque `BinaryType` columns with typed metadata, plus a
   * decode/feature-extract stage as a partition-mapped batch operator.
   *
-  * The testdata has no media files, so binary payloads are derived
-  * deterministically from document text (utf-8 bytes). What is REAL
-  * and load-bearing here: the BinaryType schema, the metadata
-  * extraction over binary columns (length, magic prefix, content
-  * digest, exact binary dedup), and the mapPartitions batch plumbing
-  * of the decode stage — schema in/out, batching, partition
-  * parallelism. What is a STUB: the codec itself (see
-  * [[decodeBatch]]) — the container ships no image/audio libraries, so
-  * the decode computes deterministic fake dimensions from the leading
-  * bytes; swapping in a real codec changes only that function body.
+  * The testdata has no media files, so payloads are SYNTHESIZED:
+  * q57/q60/q61 derive binary payloads deterministically from document
+  * text (utf-8 bytes), and q58 additionally encodes REAL PNG/BMP
+  * images (JDK `ImageIO` writer) so the decode stage faces genuine
+  * container bytes. REAL and load-bearing: the BinaryType schema, the
+  * metadata extraction over binary columns (length, magic prefix,
+  * content digest, exact binary dedup), the mapPartitions batch
+  * plumbing of the decode stage, and the image codec itself —
+  * `javax.imageio` header parse for every format the JDK ships
+  * (png/bmp/gif/jpeg/tiff/wbmp). Payloads outside that set (webp,
+  * video, audio — no codec libraries in the container or the JDK)
+  * degrade to a documented deterministic fallback
+  * ([[fallbackMeta]]); swapping in a fuller codec set changes only
+  * reader discovery, which is `ImageIO`'s registry, not this file.
   */
 object Multimodal {
 
@@ -57,22 +61,60 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, width: Int, height: Int,
                              n_frames: Int, format: String)
 
-  /** STUB CODEC — deterministic fake decode. A real implementation
-    * would parse the container header (JPEG SOF / WAV fmt / MP4 moov)
-    * here; the container has no codec libraries, so dimensions are
-    * derived from the leading payload bytes. The batch signature
-    * (Seq[MediaRow] → Seq[MediaMeta]) is the real contract: it matches
-    * a vectorized decode batch (mapInPandas-style), amortizing
-    * per-batch codec setup. */
-  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] = batch.map { m =>
+  /** REAL codec via `javax.imageio` (JDK built-in — no new
+    * dependency): the installed ImageReader for the payload's
+    * container parses the actual header (PNG IHDR, BMP
+    * BITMAPINFOHEADER, GIF logical screen, JPEG SOF) for dimensions
+    * and frame count. Header-parse, not full pixel decode, is the
+    * deliberate scale choice — metadata extraction at 100 TB must not
+    * rasterize every payload; a feature-extract stage that needs
+    * pixels calls `ImageIO.read` in the same seam.
+    *
+    * Payloads NO installed reader accepts (codecs the JDK lacks —
+    * webp/video/audio — or corrupt blobs) degrade to the documented
+    * deterministic FAKE ([[fallbackMeta]], format "bin") instead of
+    * failing the job: one bad file must not kill a 100 TB pass; the
+    * catalog row records it as opaque. */
+  def decodeOne(m: MediaRow): MediaMeta = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) fallbackMeta(m)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(false) // known without a full scan, or -1
+          MediaMeta(m.doc_id, r.getWidth(0), r.getHeight(0),
+            if (n > 0) n else 1, r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => fallbackMeta(m)
+    } finally if (iis != null) iis.close()
+  }
+
+  /** The documented deterministic fake for payloads outside the
+    * installed codec set: dimensions from the leading bytes, opaque
+    * format tag. Kept exactly as fake (and exercised by q58's
+    * non-image payloads) so the seam's degraded path is tested, not
+    * theoretical. */
+  def fallbackMeta(m: MediaRow): MediaMeta = {
     val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
     val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
     MediaMeta(m.doc_id,
       width = (b0 % 16 + 1) * 64,
       height = (b1 % 9 + 1) * 64,
       n_frames = m.payload.length % 250 + 1,
-      format = (b0 % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+      format = "bin")
   }
+
+  /** Batched decode (Seq[MediaRow] → Seq[MediaMeta]): the vectorized
+    * decode-batch contract (mapInPandas-style), amortizing per-batch
+    * codec setup. */
+  def decodeBatch(batch: Seq[MediaRow]): Seq[MediaMeta] = batch.map(decodeOne)
 
   /** The decode/feature-extract operator: binary column in, typed
     * metadata out, batched per partition. One decoder context per
@@ -84,25 +126,70 @@ object Multimodal {
     ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
-  /** Decode stage end-to-end over the binary lake; oracle replays the
-    * stub arithmetic from the text bytes (ground truth by
-    * construction — checks schema, batching, and byte plumbing). */
+  /** Deterministic REAL image synthesis for the q58 fixture: a
+    * solid-color image of known dimensions, encoded through the real
+    * `ImageIO` writer — so the decode stage faces genuine PNG/BMP
+    * container bytes, not arithmetic stand-ins. */
+  private[multimodal] def encodeImage(fmt: String, w: Int, h: Int,
+                                      seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color((seed % 0xffffff).toInt))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** The q58 media lake: every third doc a real PNG, every third a
+    * real BMP (dimensions a known function of the doc so the oracle
+    * can state them independently), the rest raw text bytes — the
+    * opaque-blob population every real media lake carries. */
+  private def mediaDocs(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = id % 3
+        if (kind == 2) MediaRow(id, text.getBytes("UTF-8"))
+        else {
+          val w = (text.getBytes("UTF-8").length % 16 + 1) * 8
+          val h = (id % 9 + 1).toInt * 8
+          MediaRow(id, encodeImage(if (kind == 0) "png" else "bmp", w, h, id))
+        }
+      }
+  }
+
+  /** Decode stage end-to-end over a media lake with REAL image bytes:
+    * q58 synthesizes PNG/BMP payloads of independently-stated
+    * dimensions ([[mediaDocs]]), runs them through the real
+    * `javax.imageio` header parse, and keeps the raw-blob third on the
+    * documented fallback path. The oracle states every expected value
+    * from the construction arithmetic — if the codec plumbing
+    * (encode → batch → reader selection → header parse) corrupts
+    * anything, dimensions or formats shift and the hash breaks. */
   def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = binaryDocs(s, dir)
-      .select($"doc_id", $"payload").as[MediaRow]
-    decodeMedia(media).toDF()
+    decodeMedia(mediaDocs(s, dir)).toDF()
       .select($"doc_id", $"width", $"height", $"n_frames", $"format")
       .orderBy($"doc_id")
   }
 
   val qMediaDecodeSql: String =
     """SELECT doc_id,
-       (ascii(substring(text, 1, 1)) % 16 + 1) * 64 AS width,
-       (ascii(substring(text, 2, 1)) % 9 + 1) * 64 AS height,
-       octet_length(encode(text)) % 250 + 1 AS n_frames,
-       CASE ascii(substring(text, 1, 1)) % 3
-         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+       CASE WHEN doc_id % 3 IN (0, 1)
+         THEN (octet_length(encode(text)) % 16 + 1) * 8
+         ELSE (ascii(substring(text, 1, 1)) % 16 + 1) * 64 END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1)
+         THEN (CAST(doc_id % 9 AS INT) + 1) * 8
+         ELSE (ascii(substring(text, 2, 1)) % 9 + 1) * 64 END AS height,
+       CASE WHEN doc_id % 3 IN (0, 1)
+         THEN 1 ELSE octet_length(encode(text)) % 250 + 1 END AS n_frames,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+         WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'bin' END AS format
        FROM documents ORDER BY doc_id"""
 
   /** Frame sampling (builder brief: "frame-sample" over video columns):

@@ -25,7 +25,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("stub decode: deterministic dims from leading bytes, batch size preserved") {
+  test("fallback decode: deterministic dims from leading bytes, batch size preserved") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "abc".getBytes("UTF-8")),
       Multimodal.MediaRow(2L, Array.empty[Byte]))
@@ -33,7 +33,35 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.length == 2)
     assert(metas.head.width == ('a'.toInt % 16 + 1) * 64)
     assert(metas.head.height == ('b'.toInt % 9 + 1) * 64)
+    assert(metas.head.format == "bin")
     assert(metas(1).width == 64 && metas(1).n_frames == 1)
+  }
+
+  test("real codec: javax.imageio decodes actual PNG/BMP dimensions") {
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = Multimodal.encodeImage(fmt, 120, 48, seed = 7L)
+      val meta = Multimodal.decodeOne(Multimodal.MediaRow(9L, bytes))
+      assert(meta == Multimodal.MediaMeta(9L, 120, 48, 1, fmt),
+        s"$fmt decode: $meta")
+    }
+    // and the reader really reads the header, not our arithmetic: a
+    // hand-built 3x5 PNG from the raw JDK encoder path
+    val img = new java.awt.image.BufferedImage(3, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(1L, bos.toByteArray))
+    assert(meta.width == 3 && meta.height == 5 && meta.format == "png")
+  }
+
+  test("corrupt image bytes degrade to the fallback, never throw") {
+    val good = Multimodal.encodeImage("png", 64, 64, seed = 1L)
+    // valid PNG magic, truncated body: reader selection succeeds but
+    // header parse fails -> fallback, not an exception
+    val truncated = good.take(12)
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(5L, truncated))
+    assert(meta == Multimodal.fallbackMeta(Multimodal.MediaRow(5L, truncated)))
+    assert(meta.format == "bin")
   }
 
   test("fixture is pure ASCII (byte offset == codepoint offset for the oracle)") {
