@@ -15,12 +15,14 @@ import graft.survey.{AnswerParser, Survey}
   * On Spark the pool collapses into `mapPartitions`: one client per
   * partition (connection reuse), batches inside the partition,
   * parallelism = task count instead of host threads, retries in-map,
-  * idempotency from the upsert keys downstream (Sinks). The HTTP
-  * transport is behind a trait with a DETERMINISTIC FAKE standing in
-  * for the network call (the reference's own tests do exactly this —
-  * test_support.py FakeModel/FakePool) so the Spark-side plumbing —
-  * schema, batching, retry, partitioning — is real and oracle-checkable
-  * while the container has no model server.
+  * idempotency from the upsert keys downstream (Sinks). The transport
+  * trait has TWO implementations: the real HTTP clients
+  * ([[HttpEmbedder]]/[[HttpChatClient]] on `java.net.http`, exercised
+  * through an actual socket by HttpServiceSpec's scripted localhost
+  * server — the reference's own test pattern,
+  * test_async_client_functions.py:49-144), and DETERMINISTIC FAKES
+  * (test_support.py FakeModel/FakePool) that keep the oracled queries
+  * replayable while the container has no model server.
   */
 object ServiceOps {
 
@@ -67,6 +69,111 @@ object ServiceOps {
         }
       }
       sys.error("unreachable")
+    }
+  }
+
+  // ---- real HTTP transport (S15/S16 live path) ----------------------
+
+  /** S15 over REAL HTTP: the reference pool's embeddings call (POST
+    * `{model, prompt}` → `{embedding: [...]}`, the Ollama wire shape of
+    * embed_transcripts_to_vector_db.py:91-237) on `java.net.http`
+    * (JDK built-in — no new dependency). One instance per PARTITION
+    * (via [[embedPairs]]'s `mk`), so the underlying HttpClient
+    * keep-alive pool gives per-partition connection reuse — the Spark
+    * analogue of the reference's one-worker-per-host threads. The
+    * client and mapper are transient lazies: construction happens on
+    * the executor after deserialization, never on the driver.
+    *
+    * Timeouts apply per request AND at connect; a non-200 or a
+    * malformed body throws IOException so the [[RetryingEmbedder]]
+    * wrapper owns the bounded-retry policy (probe + failover
+    * discipline). HttpServiceSpec drives this through a real socket
+    * against a scripted localhost server — including 500-retry,
+    * timeout-retry, and connection-reuse assertions. */
+  final class HttpEmbedder(endpoint: String, model: String,
+                           timeoutMillis: Long) extends Embedder {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def embed(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("prompt", t)
+      val resp = post(endpoint, mapper.writeValueAsString(body))
+      val emb = mapper.readTree(resp).get("embedding")
+      if (emb == null || !emb.isArray)
+        throw new java.io.IOException(s"no embedding array in: $resp")
+      Array.tabulate(emb.size())(i => emb.get(i).asDouble())
+    }
+
+    private def post(url: String, json: String): String = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(json))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+      resp.body()
+    }
+  }
+
+  /** S16 over REAL HTTP: the chat call (POST `{model, system, prompt,
+    * temperature}` → `{response: "..."}`, run_8values_survey.py:155-186's
+    * wire shape) with the same per-partition client lifecycle as
+    * [[HttpEmbedder]]. */
+  final class HttpChatClient(endpoint: String,
+                             timeoutMillis: Long) extends ChatClient {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def chat(model: String, system: String, user: String,
+             temperature: Double): String = {
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("system", system)
+      body.put("prompt", user)
+      body.put("temperature", temperature)
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(mapper.writeValueAsString(body)))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $endpoint")
+      val node = mapper.readTree(resp.body()).get("response")
+      if (node == null)
+        throw new java.io.IOException(s"no response field in: ${resp.body()}")
+      node.asText()
+    }
+  }
+
+  /** Bounded-retry chat wrapper with ERROR ROW CAPTURE: the reference
+    * retries ≤5 times and then records the run as failed
+    * (run_8values_survey.py:426) rather than aborting the sweep — so
+    * exhausted retries yield `onExhausted` (unparseable by design →
+    * AnswerParser None → a failed row in the axis rollup), never an
+    * exception that would kill the whole 100 TB pass. */
+  final class RetryingChatClient(inner: ChatClient, maxRetries: Int,
+                                 onExhausted: String = "<<chat error>>")
+      extends ChatClient {
+    def chat(model: String, system: String, user: String,
+             temperature: Double): String = {
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        try return inner.chat(model, system, user, temperature)
+        catch { case _: Exception => attempt += 1 }
+      }
+      onExhausted
     }
   }
 

@@ -1,0 +1,160 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+import graft.service.ServiceOps._
+
+/** S15/S16 through a REAL socket: a scripted in-test HTTP server (the
+  * reference's fake-server pattern, test_async_client_functions.py:
+  * 49-144) answers the Ollama-shaped embed/chat calls, with failure
+  * and stall injection — so connection reuse, retry-on-500,
+  * retry-on-timeout, and exhausted-retry error-row capture are all
+  * exercised over actual HTTP, not trait fakes. */
+class HttpServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private def readBody(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def embeddingJson(text: String): String = {
+    val vec = new DeterministicEmbedder(8).embed(Seq(text)).head
+    vec.mkString("""{"embedding":[""", ",", "]}")
+  }
+
+  /** Scripted server: `failEvery` → every Nth request answers 500;
+    * `stallFirstMillis` → the very first request sleeps that long
+    * (client timeout fires); everything else answers the
+    * deterministic embedding/chat payload. Tracks request count and
+    * distinct client ports (one port == one reused connection). */
+  private final class Scripted(failEvery: Int = 0, stallFirstMillis: Long = 0) {
+    val requests = new AtomicInteger(0)
+    val stalled = new AtomicInteger(0)
+    val clientPorts = TrieMap.empty[Int, Unit]
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+    server.createContext("/api/embeddings", (ex: HttpExchange) => {
+      val n = requests.incrementAndGet()
+      clientPorts.put(ex.getRemoteAddress.getPort, ())
+      val prompt = readBody(ex).get("prompt").asText()
+      if (stallFirstMillis > 0 && n == 1) {
+        stalled.incrementAndGet()
+        Thread.sleep(stallFirstMillis)
+        respond(ex, 200, embeddingJson(prompt))
+      } else if (failEvery > 0 && n % failEvery == 0) {
+        respond(ex, 500, """{"error":"scripted failure"}""")
+      } else respond(ex, 200, embeddingJson(prompt))
+    })
+
+    server.createContext("/api/generate", (ex: HttpExchange) => {
+      val n = requests.incrementAndGet()
+      clientPorts.put(ex.getRemoteAddress.getPort, ())
+      val body = readBody(ex)
+      val prompt = body.get("prompt").asText()
+      if (failEvery > 0 && n % failEvery == 0) {
+        respond(ex, 500, """{"error":"scripted failure"}""")
+      } else {
+        val answer = new DeterministicChatClient().chat(
+          body.get("model").asText(), body.get("system").asText(), prompt,
+          body.get("temperature").asDouble())
+        val node = mapper.createObjectNode()
+        node.put("response", answer)
+        respond(ex, 200, mapper.writeValueAsString(node))
+      }
+    })
+
+    server.start()
+    val port: Int = server.getAddress.getPort
+    def url(path: String): String = s"http://127.0.0.1:$port$path"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HttpEmbedder over a real socket == deterministic fake, with connection reuse") {
+    val srv = new Scripted()
+    try {
+      val url = srv.url("/api/embeddings")
+      val docs = (0 until 48).map(i => (i.toLong, s"text $i"))
+      val got = embedPairs(docs.toDS().repartition(4),
+        () => new RetryingEmbedder(new HttpEmbedder(url, "m", 5000), 3),
+        batchSize = 8).collect().toMap
+      val want = docs.map { case (id, t) =>
+        id -> new DeterministicEmbedder(8).embed(Seq(t)).head }.toMap
+      assert(got.size == 48)
+      want.foreach { case (id, v) => assert(got(id).toSeq == v.toSeq, s"doc $id") }
+      assert(srv.requests.get() == 48, "one HTTP call per row")
+      // per-partition keep-alive: 4 partitions should reuse a handful
+      // of connections, not open one per request
+      assert(srv.clientPorts.size <= 8,
+        s"expected connection reuse, saw ${srv.clientPorts.size} connections for 48 requests")
+    } finally srv.stop()
+  }
+
+  test("retry-on-500: scripted failures are absorbed within maxRetries") {
+    val srv = new Scripted(failEvery = 5)
+    try {
+      val url = srv.url("/api/embeddings")
+      val docs = (0 until 20).map(i => (i.toLong, s"text $i"))
+      val got = embedPairs(docs.toDS().repartition(2),
+        () => new RetryingEmbedder(new HttpEmbedder(url, "m", 5000), 3),
+        batchSize = 4).collect().toMap
+      assert(got.size == 20)
+      docs.foreach { case (id, t) =>
+        assert(got(id).toSeq ==
+          new DeterministicEmbedder(8).embed(Seq(t)).head.toSeq) }
+      assert(srv.requests.get() > 20, "retries must have re-sent failed calls")
+    } finally srv.stop()
+  }
+
+  test("retry-on-timeout: a stalled first response trips the client timeout, retry lands") {
+    val srv = new Scripted(stallFirstMillis = 3000)
+    try {
+      val url = srv.url("/api/embeddings")
+      // single row, single partition: request 1 stalls 3 s against a
+      // 500 ms timeout -> HttpTimeoutException -> retry succeeds fast
+      val got = embedPairs(Seq((7L, "hello")).toDS().repartition(1),
+        () => new RetryingEmbedder(new HttpEmbedder(url, "m", 500), 3),
+        batchSize = 4).collect()
+      assert(got.head._2.toSeq ==
+        new DeterministicEmbedder(8).embed(Seq("hello")).head.toSeq)
+      assert(srv.stalled.get() == 1 && srv.requests.get() >= 2,
+        "the stalled request must have been retried")
+    } finally srv.stop()
+  }
+
+  test("HttpChatClient round-trip + exhausted retries captured as failed rows") {
+    val srv = new Scripted()
+    try {
+      val url = srv.url("/api/generate")
+      val prompts = (0 until 30).map(i => (s"k$i", s"prompt $i"))
+      val got = chatColumn(prompts.toDS().repartition(3),
+        () => new RetryingChatClient(new HttpChatClient(url, 5000), 2),
+        "m", 0.0).collect().toMap
+      val fake = new DeterministicChatClient()
+      prompts.foreach { case (k, p) =>
+        assert(got(k) == fake.chat("m", "", p, 0.0), s"key $k") }
+    } finally srv.stop()
+    // dead endpoint: every attempt fails -> the sentinel comes back and
+    // parses to a FAILED row (AnswerParser None), never an exception
+    val dead = new RetryingChatClient(
+      new HttpChatClient("http://127.0.0.1:1/api/generate", 200), 1)
+    val out = dead.chat("m", "", "prompt", 0.0)
+    assert(out == "<<chat error>>")
+    assert(graft.survey.AnswerParser.parse(out).optionId.isEmpty,
+      "exhausted retries must map to a failed answer row")
+  }
+}
