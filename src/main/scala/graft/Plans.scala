@@ -392,6 +392,17 @@ object Plans {
         |64-group map-side-combined aggregation. At 100 TB this is a
         |single scan; the q85 fixed-point discipline makes every output
         |integer-exact whatever the partitioning.""".stripMargin,
+    "q127_incremental_shard_export" ->
+      """Re-export cost ∝ change volume, not corpus size: the q121
+        |hash diff (id + 32-char hash rows, content never shuffles)
+        |plus one narrow window pass yields a per-source first-dirty
+        |token offset; under concat-and-cut the dirty region is a
+        |suffix, so block cleanliness is one comparison. Kept blocks
+        |are served from the v1 lake read-back (hash-asserted equal to
+        |a full re-export by the oracle); dirty blocks recompute from
+        |snapshot B and land in a source-partitioned delta lake — a
+        |clean source gets no directory, so the write itself is
+        |incremental.""".stripMargin,
     "q126_punkt_word_tokenize" ->
       """The word_tokenize parity closer: punkt boundary judgement is
         |inherently multi-pass token annotation (no functions._ form),

@@ -513,9 +513,36 @@ object Chunkers {
     * their block. */
   def qTokenShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val blocks = tokenBlocks(s, dir,
+      Tables.documents(s, dir).select($"doc_id", $"source", $"text"))
+    val lake = graft.sink.TempDirs.fresh("graft_token_shards_").toString
+    blocks.write.mode("overwrite").partitionBy("source").parquet(lake)
+    s.read.parquet(lake)
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .orderBy($"source", $"block_id")
+  }
+
+  /** Test seam: the full-export arithmetic over an arbitrary snapshot
+    * view (ChunkQuerySpec replays it as q127's ground truth). */
+  private[chunk] def qTokenShardExportOver(s: SparkSession, dir: String,
+                                           docs: DataFrame): DataFrame = {
+    import s.implicits._
+    tokenBlocks(s, dir, docs)
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .orderBy($"source", $"block_id")
+  }
+
+  /** The q116 block arithmetic over an ARBITRARY `(doc_id, source,
+    * text)` snapshot view — shared by the full export (q116) and the
+    * incremental re-export (q127). The vocabulary stays the corpus-
+    * level q73 table (the tokenizer is a fixed artifact; it does not
+    * drift with snapshots). */
+  private def tokenBlocks(s: SparkSession, dir: String,
+                          docs: DataFrame): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val B = PackBlockTokens
-    val toks = Tables.documents(s, dir)
+    val toks = docs
       .select($"doc_id", $"source", posexplode(
         expr("filter(split(trim(text), '\\\\s+'), t -> t != '')")).as(Seq("pos", "word")))
     val ids = toks
@@ -529,11 +556,11 @@ object Chunkers {
     // from re-aggregating `ids`: Spark does not dedupe common subplans
     // across branches, so deriving this from `ids` would run the token
     // explode + vocab join TWICE just to produce a doc-length frame.
-    val docOff = Tables.documents(s, dir)
+    val docOff = docs
       .withColumn("tok", tokCount($"text"))
       .withColumn("doc_off", coalesce(sum($"tok").over(w), lit(0L)))
       .select($"source", $"doc_id", $"doc_off")
-    val blocks = ids.join(docOff, Seq("source", "doc_id"))
+    ids.join(docOff, Seq("source", "doc_id"))
       .withColumn("off", $"doc_off" + $"pos")
       .withColumn("block_id", expr(s"off div $B"))
       .groupBy($"source", $"block_id")
@@ -541,25 +568,21 @@ object Chunkers {
         sum($"tid").as("id_sum"),
         expr("aggregate(transform(sort_array(collect_list(struct(off, tid))), x -> x.tid), " +
           "0L, (acc, x) -> (acc * 131 + x) % 998244353)").as("id_hash"))
-    val lake = graft.sink.TempDirs.fresh("graft_token_shards_").toString
-    blocks.write.mode("overwrite").partitionBy("source").parquet(lake)
-    s.read.parquet(lake)
-      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
-      .orderBy($"source", $"block_id")
   }
 
-  /** Oracle: the same encode→offset→cut arithmetic; the block hash
-    * folds DuckDB's `list(tid ORDER BY off)` with the identical
-    * polynomial. */
-  val qTokenShardExportSql: String = {
+  /** The q116 encode→offset→cut arithmetic as a reusable CTE chain
+    * over an arbitrary `(doc_id, source, text)` relation, ending in
+    * `nb(source, block_id, n_tok, id_sum, id_hash)` — shared by the
+    * q116 and q127 oracles so the two cannot drift. */
+  private def shardBlocksCtes(docsRel: String): String = {
     val b = PackBlockTokens
-    s"""WITH it AS (
+    s"""it AS (
          SELECT doc_id, source,
            unnest(list_transform(generate_series(1, len(words)),
              i -> struct_pack(pos := i - 1, word := words[i]))) AS t
          FROM (SELECT doc_id, source,
                  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
-               FROM documents) d),
+               FROM $docsRel) d),
        tok AS (SELECT doc_id, source, t.pos AS pos, t.word AS word FROM it),
        vocab AS (${graft.text.TextAnalysis.vocabSqlCte}),
        ids AS (
@@ -573,13 +596,22 @@ object Chunkers {
          FROM dl),
        st AS (
          SELECT i.source, i.tid, o.doc_off + i.pos AS off
-         FROM ids i JOIN dof o ON o.source = i.source AND o.doc_id = i.doc_id)
-       SELECT source, off // $b AS block_id, COUNT(*) AS n_tok,
-         CAST(SUM(tid) AS BIGINT) AS id_sum,
-         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(tid ORDER BY off)),
-           (acc, x) -> (acc * 131 + x) % 998244353) AS BIGINT) AS id_hash
-       FROM st GROUP BY source, off // $b ORDER BY source, block_id"""
+         FROM ids i JOIN dof o ON o.source = i.source AND o.doc_id = i.doc_id),
+       nb AS (
+         SELECT source, off // $b AS block_id, COUNT(*) AS n_tok,
+           CAST(SUM(tid) AS BIGINT) AS id_sum,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(tid ORDER BY off)),
+             (acc, x) -> (acc * 131 + x) % 998244353) AS BIGINT) AS id_hash
+         FROM st GROUP BY source, off // $b)"""
   }
+
+  /** Oracle: the same encode→offset→cut arithmetic; the block hash
+    * folds DuckDB's `list(tid ORDER BY off)` with the identical
+    * polynomial. */
+  val qTokenShardExportSql: String =
+    s"""WITH ${shardBlocksCtes("documents")}
+       SELECT source, block_id, n_tok, id_sum, id_hash
+       FROM nb ORDER BY source, block_id"""
 
   /** q120 — packing-efficiency SWEEP, the calibration behind q81/q116's
     * block size (the q109/q110 pattern applied to sequence packing):
@@ -619,13 +651,138 @@ object Chunkers {
          CAST(SUM(t) AS BIGINT) AS n_tokens
        FROM sl CROSS JOIN bs GROUP BY b ORDER BY block_tokens"""
 
+  /** q127 — INCREMENTAL shard re-export, the §2.10 "pending =
+    * anti-join" pattern at SHARD granularity (reference rationale
+    * client:12-14 — never redo finished work): snapshot A was already
+    * exported (the v1 lake); snapshot B arrives (the q121 fixture
+    * derivations — drops, edits, adds); only the shards whose token
+    * stream actually changed are rewritten.
+    *
+    * Under per-source concat-and-cut, a changed/removed/added doc
+    * shifts every later offset in its source — so the dirty region is
+    * a SUFFIX: everything from the first dirty doc's token offset
+    * onward. The q121 hash diff finds dirty docs; one narrow window
+    * pass turns them into a per-source `first_dirty` offset (offsets
+    * agree between snapshots up to that point by construction); a
+    * block is clean iff it ends at or before it. Clean blocks are
+    * SERVED FROM THE V1 LAKE — their hashes must equal what a full
+    * re-export would produce, which is exactly what the oracle
+    * computes, so byte-stability of kept shards is hash-asserted, not
+    * assumed. Dirty blocks recompute from snapshot B only and land in
+    * a source-partitioned delta lake (a no-dirt source gets no
+    * directory — the write itself is incremental).
+    *
+    * At 100 TB: the diff is (id, 32-byte hash) rows, the dirty-block
+    * recompute is bounded by the dirty suffix, and the kept majority
+    * of the lake is never read, decoded, or rewritten — re-export
+    * cost ∝ change volume, not corpus size. */
+  def qIncrementalShardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = PackBlockTokens
+    val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+    val snapA = base.filter($"doc_id" % 9 =!= 0)
+    val snapB = base.filter($"doc_id" % 11 =!= 0)
+      .withColumn("text", when($"doc_id" % 13 === 0,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+    // the v1 lake: snapshot A's full export (the artifact that exists
+    // before this query runs; built here so the fixture is hermetic)
+    val v1 = graft.sink.TempDirs.fresh("graft_shards_v1_").toString
+    tokenBlocks(s, dir, snapA)
+      .write.mode("overwrite").partitionBy("source").parquet(v1)
+    // q121's hash diff + per-snapshot token offsets → first dirty
+    // offset per source (min over dirty docs; monotone offsets make
+    // that the earliest dirty doc's position)
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def hashedOffsets(docs: DataFrame): DataFrame = docs
+      .withColumn("t", tokCount($"text"))
+      .withColumn("o", coalesce(sum($"t").over(w), lit(0L)))
+      .select($"doc_id", $"source", md5($"text").as("h"), $"o")
+    val oa = hashedOffsets(snapA)
+    val ob = hashedOffsets(snapB)
+      .select($"doc_id", $"source".as("source_b"), $"h".as("hb"), $"o".as("ob"))
+    val firstDirty = oa.join(ob, Seq("doc_id"), "full_outer")
+      .filter($"h".isNull || $"hb".isNull || $"h" =!= $"hb")
+      .groupBy(coalesce($"source", $"source_b").as("source"))
+      .agg(min(coalesce($"o", $"ob")).as("first_dirty"))
+    val marked = tokenBlocks(s, dir, snapB)
+      .join(firstDirty, Seq("source"), "left")
+      .withColumn("action", when($"first_dirty".isNull ||
+          ($"block_id" * B + $"n_tok") <= $"first_dirty", "keep")
+        .otherwise("rewrite"))
+    // rewrite ONLY the dirty shards into the delta lake
+    val v2delta = graft.sink.TempDirs.fresh("graft_shards_v2delta_").toString
+    marked.filter($"action" === "rewrite")
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .write.mode("overwrite").partitionBy("source").parquet(v2delta)
+    // the served view: kept blocks from the v1 lake, rewritten from
+    // the delta — both actual parquet read-backs
+    val kept = marked.filter($"action" === "keep").select($"source", $"block_id")
+      .join(s.read.parquet(v1)
+        .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash"),
+        Seq("source", "block_id"))
+      .withColumn("action", lit("keep"))
+    val rewritten = s.read.parquet(v2delta)
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .withColumn("action", lit("rewrite"))
+    kept.unionByName(rewritten)
+      .select($"source", $"block_id", $"action", $"n_tok", $"id_sum", $"id_hash")
+      .orderBy($"source", $"block_id")
+  }
+
+  /** Oracle: the FULL re-export of snapshot B (the shared q116 CTE
+    * chain) + the diff-derived first-dirty offsets decide each block's
+    * action. Kept blocks' values come from Spark's V1 LAKE but from
+    * the oracle's SNAPSHOT-B recompute — their equality is the
+    * stability assertion. */
+  val qIncrementalShardExportSql: String = {
+    val b = PackBlockTokens
+    s"""WITH docs_b AS (
+         SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         FROM documents WHERE doc_id % 11 != 0),
+       ${shardBlocksCtes("docs_b")},
+       la AS (
+         SELECT doc_id, source, md5(text) AS h,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS t
+         FROM documents WHERE doc_id % 9 != 0),
+       lb AS (
+         SELECT doc_id, source, md5(text) AS h,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS t
+         FROM docs_b),
+       offa AS (
+         SELECT doc_id, source, h,
+           COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         FROM la),
+       offb AS (
+         SELECT doc_id, source, h,
+           COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         FROM lb),
+       dirty AS (
+         SELECT COALESCE(a.source, bb.source) AS source, COALESCE(a.o, bb.o) AS o
+         FROM offa a FULL OUTER JOIN offb bb USING (doc_id)
+         WHERE a.h IS NULL OR bb.h IS NULL OR a.h != bb.h),
+       fd AS (SELECT source, MIN(o) AS first_dirty FROM dirty GROUP BY source)
+       SELECT nb.source, nb.block_id,
+         CASE WHEN fd.first_dirty IS NULL
+                OR nb.block_id * $b + nb.n_tok <= fd.first_dirty
+              THEN 'keep' ELSE 'rewrite' END AS action,
+         nb.n_tok, nb.id_sum, nb.id_hash
+       FROM nb LEFT JOIN fd ON fd.source = nb.source
+       ORDER BY nb.source, nb.block_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_word_chunks" -> qWordChunks,
     "q37_token_budget_chunks" -> qTokenBudgetChunks,
     "q81_pack_blocks" -> qPackBlocks,
     "q99_cdc_chunks" -> qCdcChunks,
     "q116_token_shard_export" -> qTokenShardExport,
-    "q120_pack_efficiency_sweep" -> qPackEfficiencySweep)
+    "q120_pack_efficiency_sweep" -> qPackEfficiencySweep,
+    "q127_incremental_shard_export" -> qIncrementalShardExport)
 
   val oracles: Map[String, String] = Map(
     "q36_word_chunks" -> qWordChunksSql,
@@ -633,5 +790,6 @@ object Chunkers {
     "q81_pack_blocks" -> qPackBlocksSql,
     "q99_cdc_chunks" -> qCdcChunksSql,
     "q116_token_shard_export" -> qTokenShardExportSql,
-    "q120_pack_efficiency_sweep" -> qPackEfficiencySweepSql)
+    "q120_pack_efficiency_sweep" -> qPackEfficiencySweepSql,
+    "q127_incremental_shard_export" -> qIncrementalShardExportSql)
 }
