@@ -10,18 +10,34 @@ import org.apache.spark.sql.SparkSession
   * top-level projects under a bare `.count()`, which under-measures
   * ORDER BY/LIMIT queries).
   *
+  * Each query runs [[Runs]] times (default 3) and reports its MEDIAN
+  * and MIN: ambient machine load swings single-run totals ±30%
+  * (r4→r5 showed a 267 s outlier with 4× the usual GC on an identical
+  * plan set), and a median-of-3 separates plan regressions from
+  * machine weather. The headline `value` is the sum of medians.
+  * Repeat-run caveat: queries that materialize a once-per-corpus
+  * artifact (the q30-family pair lake) are CHEAPER on runs 2-3 by
+  * design — their median reports the steady-state (artifact-warm)
+  * latency, and the generation cost still shows in whichever family
+  * member's first run paid it (visible as median ≫ min inversions).
+  *
   * Measurement hygiene (the BENCH_r02 lesson — unreleased broadcasts
   * accumulated across 61 queries until unrelated trivial queries
   * recorded 27 s of GC):
-  *  - every query's registered broadcasts/caches are destroyed via
+  *  - every run's registered broadcasts/caches are destroyed via
   *    [[graft.core.Resources.release]] after its action completes;
-  *  - per-query GC milliseconds (delta of the collector MXBean totals)
-  *    are recorded alongside wall time, so environment drift is visible
-  *    IN the artifact instead of discovered by cross-round archaeology;
-  *  - a query that throws is listed in `failed` (its abort time would
-  *    otherwise be indistinguishable from a fast success).
+  *  - per-query GC milliseconds (delta of the collector MXBean totals,
+  *    summed over the runs) are recorded alongside wall time, so
+  *    environment drift is visible IN the artifact instead of
+  *    discovered by cross-round archaeology;
+  *  - a query that throws is listed in `failed` and not retried (its
+  *    abort time would otherwise be indistinguishable from a fast
+  *    success).
   */
 object Bench {
+
+  private val Runs: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
 
   private def gcMillis(): Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -66,29 +82,39 @@ object Bench {
     catch { case _: Throwable => () }
     val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: $e")
+      val secs = Seq.newBuilder[Double]
+      var gcTotal = 0L
+      var fail = false
+      var r = 0
+      while (r < Runs && !fail) {
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          fail = true
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
+        secs += (System.nanoTime() - t0) / 1e9
+        gcTotal += gcMillis() - gc0
+        graft.core.Resources.release()
+        // Untimed collection between runs: released broadcasts/caches
+        // are reclaimed NOW instead of as GC pressure inside the next
+        // run's timing window.
+        System.gc()
+        r += 1
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gcMs = gcMillis() - gc0
-      graft.core.Resources.release()
-      // Untimed collection between queries: released broadcasts/caches
-      // are reclaimed NOW instead of as GC pressure inside the next
-      // query's timing window.
-      System.gc()
-      (name, sec, gcMs)
+      val sorted = secs.result().sorted
+      (name, sorted(sorted.length / 2), sorted.head, gcTotal)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
+    val qs = results.map { case (k, med, mn, _) =>
+      s"\"" + k + "\":{\"med\":" + med + ",\"min\":" + mn + "}"
+    }.mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars
     // of output; with 90+ queries the detailed line above no longer fits
     // (BENCH_r03's per-query seconds were truncated away). Re-print the
@@ -97,15 +123,18 @@ object Bench {
     // lines parse under the documented {"metric",...,"queries",...}
     // contract; this one is last so truncation favors it.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qsShort = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    // compact values are the MEDIANS ({med,min} detail is on the
+    // verbose line above — the compact line must fit the tail window)
+    val qsShort = results.map { case (k, med, _, _) =>
+      "\"" + shortKey(k) + "\":" + f"$med%.2f"
+    }.mkString("{", ",", "}")
     val failedShort = failed.result().map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val gcTotal = results.map(_._3).sum
+    val gcTotal = results.map(_._4).sum
     // Stop Spark BEFORE the final println: shutdown-hook log lines must
     // not trail the compact JSON (BENCH_r04 had `parsed: null` because
     // the driver reads the LAST stdout line as the summary).
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qsShort,"gc_total_ms":$gcTotal,"failed":$failedShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"queries":$qsShort,"gc_total_ms":$gcTotal,"failed":$failedShort,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
