@@ -36,15 +36,21 @@ class HttpServiceSpec extends SparkSpec {
     vec.mkString("""{"embedding":[""", ",", "]}")
   }
 
-  /** Scripted server: `failEvery` → every Nth request answers 500;
-    * `stallFirstMillis` → the very first request sleeps that long
-    * (client timeout fires); everything else answers the
+  /** Scripted server: `failFirstAttempt(prompt)` → that prompt's FIRST
+    * request answers 500 (deterministic per logical call — a
+    * request-count trigger would race across concurrently-retrying
+    * partitions); `stallFirstMillis` → the very first request sleeps
+    * that long (client timeout fires); everything else answers the
     * deterministic embedding/chat payload. Tracks request count and
     * distinct client ports (one port == one reused connection). */
-  private final class Scripted(failEvery: Int = 0, stallFirstMillis: Long = 0) {
+  private final class Scripted(failFirstAttempt: String => Boolean = _ => false,
+                               stallFirstMillis: Long = 0) {
     val requests = new AtomicInteger(0)
     val stalled = new AtomicInteger(0)
     val clientPorts = TrieMap.empty[Int, Unit]
+    private val attempts = TrieMap.empty[String, AtomicInteger]
+    private def attempt(prompt: String): Int =
+      attempts.getOrElseUpdate(prompt, new AtomicInteger(0)).incrementAndGet()
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
@@ -56,17 +62,17 @@ class HttpServiceSpec extends SparkSpec {
         stalled.incrementAndGet()
         Thread.sleep(stallFirstMillis)
         respond(ex, 200, embeddingJson(prompt))
-      } else if (failEvery > 0 && n % failEvery == 0) {
+      } else if (failFirstAttempt(prompt) && attempt(prompt) == 1) {
         respond(ex, 500, """{"error":"scripted failure"}""")
       } else respond(ex, 200, embeddingJson(prompt))
     })
 
     server.createContext("/api/generate", (ex: HttpExchange) => {
-      val n = requests.incrementAndGet()
+      requests.incrementAndGet()
       clientPorts.put(ex.getRemoteAddress.getPort, ())
       val body = readBody(ex)
       val prompt = body.get("prompt").asText()
-      if (failEvery > 0 && n % failEvery == 0) {
+      if (failFirstAttempt(prompt) && attempt(prompt) == 1) {
         respond(ex, 500, """{"error":"scripted failure"}""")
       } else {
         val answer = new DeterministicChatClient().chat(
@@ -105,7 +111,9 @@ class HttpServiceSpec extends SparkSpec {
   }
 
   test("retry-on-500: scripted failures are absorbed within maxRetries") {
-    val srv = new Scripted(failEvery = 5)
+    // every third prompt's first attempt answers 500
+    val srv = new Scripted(
+      failFirstAttempt = p => p.stripPrefix("text ").toInt % 3 == 0)
     try {
       val url = srv.url("/api/embeddings")
       val docs = (0 until 20).map(i => (i.toLong, s"text $i"))
