@@ -664,7 +664,18 @@ object Chunkers {
     * onward. The q121 hash diff finds dirty docs; one narrow window
     * pass turns them into a per-source `first_dirty` offset (offsets
     * agree between snapshots up to that point by construction); a
-    * block is clean iff it ends at or before it. Clean blocks are
+    * block is clean iff it is FULL and ends at or before it. The
+    * fullness condition is load-bearing, not pedantry: a source whose
+    * only change is dropping its tail doc(s) has `first_dirty` equal
+    * to snapshot B's total token count, so B's final PARTIAL block
+    * ends exactly at `first_dirty` — but the v1 lake's same-id block
+    * kept filling with the deleted doc's tokens and has different
+    * n_tok/id_sum/id_hash. A full block ending inside the agreed
+    * prefix contains only agreed tokens and is byte-identical in both
+    * exports; a partial block is only ever the source's tail, where
+    * the streams may already disagree, so it always rewrites when the
+    * source is dirty at all (the src7 tail-drop fixture below
+    * exercises exactly this). Clean blocks are
     * SERVED FROM THE V1 LAKE — their hashes must equal what a full
     * re-export would produce, which is exactly what the oracle
     * computes, so byte-stability of kept shards is hash-asserted, not
@@ -681,10 +692,21 @@ object Chunkers {
     import org.apache.spark.sql.expressions.Window
     val B = PackBlockTokens
     val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
-    val snapA = base.filter($"doc_id" % 9 =!= 0)
-    val snapB = base.filter($"doc_id" % 11 =!= 0)
-      .withColumn("text", when($"doc_id" % 13 === 0,
+    // src7 is the PURE TAIL-DROP source: A carries all its docs, B
+    // drops only its max doc_id and edits nothing — the one shape
+    // where the old end<=first_dirty rule silently served a stale
+    // partial block from the v1 lake. Other sources keep the mixed
+    // %9-drop / %11-drop / %13-edit churn.
+    val tail = lit("src7")
+    val wmax = Window.partitionBy($"source")
+    val snapA = base.filter($"source" === tail || $"doc_id" % 9 =!= 0)
+    val snapB = base
+      .withColumn("mx", max($"doc_id").over(wmax))
+      .filter(when($"source" === tail, $"doc_id" =!= $"mx")
+        .otherwise($"doc_id" % 11 =!= 0))
+      .withColumn("text", when($"source" =!= tail && $"doc_id" % 13 === 0,
         concat($"text", lit(" v2"))).otherwise($"text"))
+      .drop("mx")
     // the v1 lake: snapshot A's full export (the artifact that exists
     // before this query runs; built here so the fixture is hermetic)
     val v1 = graft.sink.TempDirs.fresh("graft_shards_v1_").toString
@@ -709,7 +731,8 @@ object Chunkers {
     val marked = tokenBlocks(s, dir, snapB)
       .join(firstDirty, Seq("source"), "left")
       .withColumn("action", when($"first_dirty".isNull ||
-          ($"block_id" * B + $"n_tok") <= $"first_dirty", "keep")
+          (($"block_id" * B + $"n_tok") <= $"first_dirty" && $"n_tok" === B),
+          "keep")
         .otherwise("rewrite"))
     // rewrite ONLY the dirty shards into the delta lake
     val v2delta = graft.sink.TempDirs.fresh("graft_shards_v2delta_").toString
@@ -740,13 +763,18 @@ object Chunkers {
     val b = PackBlockTokens
     s"""WITH docs_b AS (
          SELECT doc_id, source,
-           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-         FROM documents WHERE doc_id % 11 != 0),
+           CASE WHEN source != 'src7' AND doc_id % 13 = 0
+                THEN text || ' v2' ELSE text END AS text
+         FROM (SELECT doc_id, source, text,
+                 MAX(doc_id) OVER (PARTITION BY source) AS mx
+               FROM documents) d
+         WHERE CASE WHEN source = 'src7' THEN doc_id != mx
+                    ELSE doc_id % 11 != 0 END),
        ${shardBlocksCtes("docs_b")},
        la AS (
          SELECT doc_id, source, md5(text) AS h,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS t
-         FROM documents WHERE doc_id % 9 != 0),
+         FROM documents WHERE source = 'src7' OR doc_id % 9 != 0),
        lb AS (
          SELECT doc_id, source, md5(text) AS h,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS t
@@ -768,7 +796,8 @@ object Chunkers {
        fd AS (SELECT source, MIN(o) AS first_dirty FROM dirty GROUP BY source)
        SELECT nb.source, nb.block_id,
          CASE WHEN fd.first_dirty IS NULL
-                OR nb.block_id * $b + nb.n_tok <= fd.first_dirty
+                OR (nb.block_id * $b + nb.n_tok <= fd.first_dirty
+                    AND nb.n_tok = $b)
               THEN 'keep' ELSE 'rewrite' END AS action,
          nb.n_tok, nb.id_sum, nb.id_hash
        FROM nb LEFT JOIN fd ON fd.source = nb.source

@@ -88,7 +88,8 @@ object Multimodal {
           r.setInput(iis)
           val n = r.getNumImages(false) // known without a full scan, or -1
           MediaMeta(m.doc_id, r.getWidth(0), r.getHeight(0),
-            if (n > 0) n else 1, r.getFormatName.toLowerCase)
+            if (n > 0) n else 1,
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT))
         } finally r.dispose()
       }
     } catch {

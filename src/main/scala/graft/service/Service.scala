@@ -63,6 +63,11 @@ object ServiceOps {
       while (true) {
         try return inner.embed(texts)
         catch {
+          // A task-kill interrupt must cancel NOW, not after the retry
+          // budget: re-throw with the flag restored so Spark's task
+          // reaper sees it.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
           case e: Exception =>
             attempt += 1
             if (attempt > maxRetries) throw e
@@ -171,7 +176,13 @@ object ServiceOps {
       var attempt = 0
       while (attempt <= maxRetries) {
         try return inner.chat(model, system, user, temperature)
-        catch { case _: Exception => attempt += 1 }
+        catch {
+          // Same interrupt discipline as RetryingEmbedder: cancellation
+          // outranks the capture-as-error-row policy.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case _: Exception => attempt += 1
+        }
       }
       onExhausted
     }

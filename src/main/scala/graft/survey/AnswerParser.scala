@@ -26,7 +26,7 @@ object AnswerParser {
                           confidence: Option[Double], reason: Option[String])
 
   private def norm(s: String): String =
-    s.toLowerCase.replaceAll("\\s+", "").replace("/", "")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "").replace("/", "")
 
   // Normalized labels, longest first (stable order for equal lengths —
   // mirrors Python's stable sort over insertion order).

@@ -104,7 +104,10 @@ object Punkt {
     var ellipsis: Boolean = false
 
     val typ: String = {
-      val lower = tok.toLowerCase
+      // Locale.ROOT: Python's str.lower() is locale-independent; the
+      // default-locale overload diverges under e.g. tr_TR ('I.'→'ı.')
+      // and would desync every table lookup from the reference.
+      val lower = tok.toLowerCase(java.util.Locale.ROOT)
       if (ReNumeric.matcher(lower).lookingAt()) "##number##" else lower
     }
     def typNoPeriod: String =
@@ -155,8 +158,9 @@ object Punkt {
     else if (t.isEllipsisTok) t.ellipsis = true
     else if (t.periodFinal && !t.tok.endsWith("..")) {
       val base = t.tok.dropRight(1)
-      if (params.abbrevTypes.contains(base.toLowerCase) ||
-          params.abbrevTypes.contains(base.split("-", -1).last.toLowerCase))
+      if (params.abbrevTypes.contains(base.toLowerCase(java.util.Locale.ROOT)) ||
+          params.abbrevTypes.contains(
+            base.split("-", -1).last.toLowerCase(java.util.Locale.ROOT)))
         t.abbr = true
       else t.sentbreak = true
     }

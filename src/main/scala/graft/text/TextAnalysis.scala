@@ -1605,10 +1605,11 @@ object TextAnalysis {
     val sentUdf = udf((raw: String) => Punkt.sentences(raw, bc.value).length)
     val gluedUdf = udf((raw: String) => Treebank.tokenize(raw).length)
     Tables.documents(s, dir)
-      .withColumn("ws", split(trim($"text"), "\\s+"))
+      .withColumn("ws", expr("filter(split(trim(text), '\\\\s+'), t -> t != '')"))
       .withColumn("raw", concat_ws(" ",
         lit("Dr. Smith"), concat_ws(" ", expr("slice(ws, 1, 8)")),
-        lit("indeed. J."), concat_ws(" ", expr("slice(ws, 9, 1000)")),
+        lit("indeed. J."),
+        concat_ws(" ", expr("slice(ws, 9, greatest(size(ws), 1))")),
         lit("mount. Everest finale.")))
       .withColumn("toks", tokUdf($"raw"))
       .select($"doc_id",
@@ -1629,7 +1630,9 @@ object TextAnalysis {
     * pins the composed result value-for-value. */
   val qPunktWordTokenizeSql: String =
     s"""WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> x != '') AS ws
          FROM documents),
        toks AS (
          SELECT doc_id,

@@ -48,9 +48,17 @@ class ChunkQuerySpec extends SparkSpec {
     // own arithmetic on a derived documents view — via SQL over the
     // same session to avoid duplicating the block math in the test
     val docs = graft.core.Tables.documents(spark, Sf0001)
-    val snapB = docs.filter($"doc_id" % 11 =!= 0)
-      .withColumn("text", when($"doc_id" % 13 === 0,
+    // mirror the query's fixture: src7 is the pure tail-drop source
+    // (all docs except its max doc_id, no edits), others churn by
+    // %11-drop / %13-edit
+    val wmax = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val snapB = docs
+      .withColumn("mx", max($"doc_id").over(wmax))
+      .filter(when($"source" === "src7", $"doc_id" =!= $"mx")
+        .otherwise($"doc_id" % 11 =!= 0))
+      .withColumn("text", when($"source" =!= "src7" && $"doc_id" % 13 === 0,
         concat($"text", lit(" v2"))).otherwise($"text"))
+      .drop("mx")
     val full = Chunkers.qTokenShardExportOver(spark, Sf0001, snapB).collect()
       .map(r => ((r.getAs[String]("source"), r.getAs[Long]("block_id")),
         (r.getAs[Long]("n_tok"), r.getAs[Long]("id_sum"),
@@ -62,6 +70,15 @@ class ChunkQuerySpec extends SparkSpec {
     val actions = inc.values.map(_._1).toSet
     assert(actions == Set("keep", "rewrite"),
       s"fixture must exercise both actions, saw $actions")
+    // the tail-drop regression: src7's final PARTIAL block ends exactly
+    // at first_dirty (= snapshot B's total), so an end<=first_dirty
+    // rule would serve the v1 lake's stale block; it must rewrite
+    val src7Tail = inc.collect { case ((s, b), v) if s == "src7" => (b, v) }
+      .maxBy(_._1)
+    assert(src7Tail._2._2 < Chunkers.PackBlockTokens.toLong,
+      "fixture invariant: src7 tail block is partial")
+    assert(src7Tail._2._1 == "rewrite",
+      "partial tail block of a dirty source must rewrite, not serve stale v1 data")
   }
 
   test("q120 sweep is consistent: pad = blocks*B - tokens, per size") {
