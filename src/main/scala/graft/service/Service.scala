@@ -15,7 +15,10 @@ import graft.survey.{AnswerParser, Survey}
   * On Spark the pool collapses into `mapPartitions`: one client per
   * partition (connection reuse), batches inside the partition,
   * parallelism = task count instead of host threads, retries in-map,
-  * idempotency from the upsert keys downstream (Sinks). The transport
+  * idempotency from the upsert keys downstream (Sinks). The reference's
+  * HOST-management half — endpoint list, liveness probe, round-robin
+  * rotation, dead hosts skipped until re-probe — is [[EndpointPool]]
+  * below, composed per partition around the transports. The transport
   * trait has TWO implementations: the real HTTP clients
   * ([[HttpEmbedder]]/[[HttpChatClient]] on `java.net.http`, exercised
   * through an actual socket by HttpServiceSpec's scripted localhost
@@ -161,6 +164,183 @@ object ServiceOps {
       node.asText()
     }
   }
+
+  // ---- multi-endpoint pool (S15/S16 failover path) ------------------
+
+  /** Liveness probe in the reference pool's wire shape: GET
+    * `/api/tags` on the endpoint's scheme/host/port answers 2xx
+    * (`_ollama_reachable`, embed_transcripts_to_vector_db.py:80-88).
+    * The probe ignores the endpoint PATH on purpose — liveness is a
+    * host property, not an operation property, so one probe shape
+    * serves both the embeddings and the chat endpoints. Probes are
+    * rare (first use + post-cooldown), so a throwaway client per
+    * probe is the simple correct lifecycle. */
+  def ollamaProbe(endpoint: String, timeoutMillis: Long): Boolean =
+    try {
+      val u = java.net.URI.create(endpoint)
+      val probeUri = new java.net.URI(
+        u.getScheme, null, u.getHost, u.getPort, "/api/tags", null, null)
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
+      val req = java.net.http.HttpRequest.newBuilder(probeUri)
+        .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build()
+      val code = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      code >= 200 && code < 300
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+      case _: Exception => false
+    }
+
+  /** Round-robin endpoint rotation with liveness probe + failover —
+    * the host-management half of the reference pool
+    * (embed_transcripts_to_vector_db.py:91-160: probe at startup with
+    * unreachable hosts skipped, rotate the cursor on every success,
+    * on failure walk the remaining hosts in ring order, all-dead
+    * raises). On Spark one pool lives per partition (built inside the
+    * `mk` closure on the executor), so its state is plain JVM state —
+    * no coordination across tasks, parallelism comes from the task
+    * count exactly like the rest of the service seam.
+    *
+    * Dead-host policy: a failed request (or failed probe) marks the
+    * endpoint dead for `cooldownMillis`; while dead it is skipped
+    * WITHOUT traffic; after the cooldown the next call re-probes it
+    * before trusting it with a real request (pass → back in rotation,
+    * fail → dead for another cooldown). The reference probes only at
+    * startup; the cooldown re-probe is the long-running-job
+    * generalization — a 100 TB pass outlives any host outage, so
+    * hosts must be able to leave AND rejoin the ring. `clock` is
+    * injectable for the cooldown specs; the default is monotonic. */
+  final class EndpointPool(val endpoints: IndexedSeq[String],
+                           isLive: String => Boolean,
+                           cooldownMillis: Long = 30000L,
+                           probeOnFirstUse: Boolean = true,
+                           clock: () => Long = () => System.nanoTime() / 1000000L)
+      extends Serializable {
+    require(endpoints.nonEmpty,
+      "endpoint list is empty (reference: 'embedding_servers is empty')")
+
+    // 0 = in rotation; >0 = skip until that clock value, then re-probe.
+    @transient private lazy val deadUntil = {
+      val arr = new java.util.concurrent.atomic.AtomicLongArray(endpoints.length)
+      if (probeOnFirstUse) {
+        var live = 0
+        endpoints.indices.foreach { i =>
+          if (isLive(endpoints(i))) live += 1
+          else arr.set(i, math.max(1L, clock() + cooldownMillis))
+        }
+        if (live == 0) throw new java.io.IOException(
+          s"no endpoint passed the liveness probe: ${endpoints.mkString(", ")}")
+      }
+      arr
+    }
+    @transient private lazy val cursor =
+      new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Endpoints currently in rotation — spec observability only. */
+    def liveCount: Int = {
+      deadUntil // force the first-use probe
+      endpoints.indices.count(i => deadUntil.get(i) == 0L)
+    }
+
+    /** Route one operation: try endpoints in ring order from the
+      * cursor, skipping dead ones; first success advances the cursor
+      * (the reference's `self._next`) and returns. One call = at most
+      * ONE full rotation; the bounded re-rotation budget belongs to
+      * the Retrying* wrapper above this (the reference's
+      * sequential-retry tail, :214-218). */
+    def call[A](f: String => A): A = {
+      val n = endpoints.length
+      val start = cursor.get()
+      var last: Throwable = null
+      var i = 0
+      while (i < n) {
+        val idx = (start + i) % n
+        val d = deadUntil.get(idx)
+        val now = clock()
+        val usable =
+          if (d == 0L) true
+          else if (d > now) false // cooling down: skip without traffic
+          else if (isLive(endpoints(idx))) { deadUntil.set(idx, 0L); true }
+          else { deadUntil.set(idx, now + cooldownMillis); false }
+        if (usable) {
+          try {
+            val out = f(endpoints(idx))
+            cursor.set((idx + 1) % n)
+            return out
+          } catch {
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); throw e
+            case e: Exception =>
+              last = e
+              deadUntil.set(idx, clock() + cooldownMillis)
+          }
+        }
+        i += 1
+      }
+      cursor.set((start + 1) % n)
+      throw new java.io.IOException(
+        s"all $n endpoints failed or are cooling down: ${endpoints.mkString(", ")}",
+        last)
+    }
+  }
+
+  /** S15 across a pool: every batch is routed by [[EndpointPool]];
+    * per-endpoint transports are built once and cached so their
+    * keep-alive connections survive rotation. Compose as
+    * `RetryingEmbedder(PooledEmbedder(...))` — pool = one rotation
+    * per attempt, wrapper = bounded number of rotations. */
+  final class PooledEmbedder(pool: EndpointPool,
+                             perEndpoint: String => Embedder) extends Embedder {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Embedder]()
+    def embed(texts: Seq[String]): Seq[Array[Double]] =
+      pool.call { ep =>
+        cache.computeIfAbsent(ep, e => perEndpoint(e)).embed(texts)
+      }
+  }
+
+  /** S16 across a pool — same routing/caching contract as
+    * [[PooledEmbedder]]. */
+  final class PooledChatClient(pool: EndpointPool,
+                               perEndpoint: String => ChatClient) extends ChatClient {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, ChatClient]()
+    def chat(model: String, system: String, user: String,
+             temperature: Double): String =
+      pool.call { ep =>
+        cache.computeIfAbsent(ep, e => perEndpoint(e))
+          .chat(model, system, user, temperature)
+      }
+  }
+
+  /** The assembled reference pool for Ollama-shaped hosts: probe each
+    * endpoint, round-robin [[HttpEmbedder]]s across the survivors,
+    * re-rotate up to `maxRetries` times. This is the embedding stack a
+    * real multi-host user plugs into [[embedPairs]]'s `mk`. */
+  def ollamaEmbedderPool(endpoints: Seq[String], model: String,
+                         timeoutMillis: Long, maxRetries: Int = 3,
+                         cooldownMillis: Long = 30000L,
+                         probeTimeoutMillis: Long = 3000L): Embedder =
+    new RetryingEmbedder(
+      new PooledEmbedder(
+        new EndpointPool(endpoints.toIndexedSeq,
+          ep => ollamaProbe(ep, probeTimeoutMillis), cooldownMillis),
+        ep => new HttpEmbedder(ep, model, timeoutMillis)),
+      maxRetries)
+
+  /** Chat-side twin of [[ollamaEmbedderPool]], with the error-row
+    * capture of [[RetryingChatClient]] on top. */
+  def ollamaChatPool(endpoints: Seq[String], timeoutMillis: Long,
+                     maxRetries: Int = 3, cooldownMillis: Long = 30000L,
+                     probeTimeoutMillis: Long = 3000L): ChatClient =
+    new RetryingChatClient(
+      new PooledChatClient(
+        new EndpointPool(endpoints.toIndexedSeq,
+          ep => ollamaProbe(ep, probeTimeoutMillis), cooldownMillis),
+        ep => new HttpChatClient(ep, timeoutMillis)),
+      maxRetries)
 
   /** Bounded-retry chat wrapper with ERROR ROW CAPTURE: the reference
     * retries ≤5 times and then records the run as failed

@@ -47,6 +47,7 @@ class HttpServiceSpec extends SparkSpec {
                                stallFirstMillis: Long = 0) {
     val requests = new AtomicInteger(0)
     val stalled = new AtomicInteger(0)
+    val probes = new AtomicInteger(0)
     val clientPorts = TrieMap.empty[Int, Unit]
     private val attempts = TrieMap.empty[String, AtomicInteger]
     private def attempt(prompt: String): Int =
@@ -65,6 +66,12 @@ class HttpServiceSpec extends SparkSpec {
       } else if (failFirstAttempt(prompt) && attempt(prompt) == 1) {
         respond(ex, 500, """{"error":"scripted failure"}""")
       } else respond(ex, 200, embeddingJson(prompt))
+    })
+
+    // the pool's liveness probe target (_ollama_reachable's GET shape)
+    server.createContext("/api/tags", (ex: HttpExchange) => {
+      probes.incrementAndGet()
+      respond(ex, 200, """{"models":[]}""")
     })
 
     server.createContext("/api/generate", (ex: HttpExchange) => {
@@ -164,5 +171,60 @@ class HttpServiceSpec extends SparkSpec {
     assert(out == "<<chat error>>")
     assert(graft.survey.AnswerParser.parse(out).optionId.isEmpty,
       "exhausted retries must map to a failed answer row")
+  }
+
+  test("endpoint pool: killing one of two servers mid-partition reroutes, partition completes") {
+    val a = new Scripted()
+    val b = new Scripted()
+    try {
+      val urlA = a.url("/api/embeddings")
+      val urlB = b.url("/api/embeddings")
+      // kill server A once it has served the first batch; the partition
+      // must finish on B alone (cooldown >> test so A never rejoins)
+      val killer = new Thread(() => {
+        while (a.requests.get() < 5) Thread.sleep(10)
+        Thread.sleep(100) // drain the in-flight response
+        a.stop()
+      })
+      killer.setDaemon(true)
+      killer.start()
+      val docs = (0 until 40).map(i => (i.toLong, s"text $i"))
+      val got = embedPairs(docs.toDS().repartition(1),
+        () => ollamaEmbedderPool(Seq(urlA, urlB), "m", timeoutMillis = 3000,
+          maxRetries = 3, cooldownMillis = 60000L, probeTimeoutMillis = 1000L),
+        batchSize = 5).collect().toMap
+      killer.join(5000)
+      assert(got.size == 40)
+      docs.foreach { case (id, t) =>
+        assert(got(id).toSeq ==
+          new DeterministicEmbedder(8).embed(Seq(t)).head.toSeq, s"doc $id") }
+      assert(a.probes.get() >= 1 && b.probes.get() >= 1,
+        "first use must probe both endpoints")
+      assert(a.requests.get() >= 5, "A served part of the ring before dying")
+      assert(b.requests.get() >= 20,
+        s"B must pick up the remainder after the kill, saw ${b.requests.get()}")
+    } finally {
+      b.stop()
+      try a.stop() catch { case _: Exception => () }
+    }
+  }
+
+  test("chat pool: a probe-dead endpoint is skipped at first use, sweep completes clean") {
+    val live = new Scripted()
+    try {
+      // 127.0.0.1:1 refuses connections: the probe fails, so the dead
+      // endpoint must carry ZERO chat traffic (skip-without-traffic)
+      val eps = Seq("http://127.0.0.1:1/api/generate", live.url("/api/generate"))
+      val prompts = (0 until 20).map(i => (s"k$i", s"prompt $i"))
+      val got = chatColumn(prompts.toDS().repartition(2),
+        () => ollamaChatPool(eps, timeoutMillis = 3000, maxRetries = 2,
+          cooldownMillis = 60000L, probeTimeoutMillis = 500L),
+        "m", 0.0).collect().toMap
+      val fake = new DeterministicChatClient()
+      prompts.foreach { case (k, p) =>
+        assert(got(k) == fake.chat("m", "", p, 0.0), s"key $k") }
+      assert(got.values.forall(_ != "<<chat error>>"),
+        "no prompt may burn its retry budget on the probe-dead host")
+    } finally live.stop()
   }
 }

@@ -59,4 +59,100 @@ class ServiceSpec extends SparkSpec {
     assert(out.length == 40)
     assert(out.map(_._1).toSet.size == 40)
   }
+
+  // ---- EndpointPool semantics (fake probe + fake clock; the real-
+  // socket failover lives in HttpServiceSpec) -------------------------
+
+  /** Scripted endpoint world: per-endpoint behavior flags plus probe
+    * and request counters, and a hand-cranked clock. */
+  private final class World(eps: String*) {
+    val probes = collection.mutable.Map(eps.map(_ -> 0): _*)
+    val calls = collection.mutable.Map(eps.map(_ -> 0): _*)
+    val down = collection.mutable.Set.empty[String]
+    var now = 0L
+    val pool = new EndpointPool(eps.toIndexedSeq,
+      isLive = ep => { probes(ep) += 1; !down(ep) },
+      cooldownMillis = 100L, clock = () => now)
+    def invoke(): String = pool.call { ep =>
+      calls(ep) += 1
+      if (down(ep)) throw new java.io.IOException(s"$ep is down")
+      ep
+    }
+  }
+
+  test("pool: round-robin rotation across healthy endpoints") {
+    val w = new World("a", "b", "c")
+    assert((1 to 6).map(_ => w.invoke()) == Seq("a", "b", "c", "a", "b", "c"))
+    assert(w.pool.liveCount == 3)
+  }
+
+  test("pool: failure reroutes within the call, then skips the dead host without traffic") {
+    val w = new World("a", "b")
+    w.down += "a"
+    w.now = 10 // probes at first use happen at t=10; "a" dead until 110
+    assert(w.invoke() == "b") // a probed dead at first use, not even tried
+    assert(w.calls("a") == 0, "dead host must receive no traffic")
+    // now kill b AFTER it passed the probe: the failure happens in-call
+    w.down += "b"
+    w.down -= "a"
+    w.now = 20 // a still cooling (deadUntil=110): only b in rotation
+    val callsB = w.calls("b")
+    intercept[java.io.IOException](w.invoke())
+    assert(w.calls("b") == callsB + 1, "in-rotation failure = one real attempt")
+    // a's cooldown expires -> re-probe -> back in rotation; b cooling
+    w.now = 150
+    assert(w.invoke() == "a")
+    assert(w.pool.liveCount == 1)
+  }
+
+  test("pool: post-cooldown re-probe gates re-entry (fail stays dead, pass rejoins)") {
+    val w = new World("a", "b")
+    w.down += "a"
+    w.now = 0
+    assert(w.invoke() == "b")
+    val probesAfterInit = w.probes("a")
+    // cooldown elapses but the host is STILL down: re-probe, stay dead
+    w.now = 200
+    assert(w.invoke() == "b")
+    assert(w.probes("a") == probesAfterInit + 1, "expired cooldown must re-probe")
+    assert(w.calls("a") == 0)
+    // host recovers; next expiry re-probes and restores rotation
+    w.down -= "a"
+    w.now = 400
+    assert(w.invoke() == "a")
+    assert(w.pool.liveCount == 2)
+  }
+
+  test("pool: all endpoints failing the first-use probe throws (reference all-dead rule)") {
+    val w = new World("a", "b")
+    w.down ++= Seq("a", "b")
+    intercept[java.io.IOException](w.invoke())
+    intercept[IllegalArgumentException](
+      new EndpointPool(Vector.empty, _ => true))
+  }
+
+  test("pooled embedder: rotation survives a mid-stream death and results stay correct") {
+    val world = new World("a", "b")
+    val byEp = collection.mutable.Map.empty[String, Int]
+    val pooled = new RetryingEmbedder(new PooledEmbedder(world.pool, ep =>
+      new Embedder {
+        def embed(texts: Seq[String]): Seq[Array[Double]] = {
+          if (world.down(ep)) throw new java.io.IOException(s"$ep died")
+          byEp(ep) = byEp.getOrElse(ep, 0) + texts.size
+          new DeterministicEmbedder(4).embed(texts)
+        }
+      }), maxRetries = 2)
+    val texts = (0 until 20).map(i => s"t$i")
+    val firstHalf = texts.take(10).grouped(5).flatMap(b => pooled.embed(b)).toSeq
+    world.down += "a" // host dies mid-stream
+    val secondHalf = texts.drop(10).grouped(5).flatMap(b => pooled.embed(b)).toSeq
+    val want = new DeterministicEmbedder(4).embed(texts)
+    (firstHalf ++ secondHalf).zip(want).foreach { case (g, w2) =>
+      assert(g.toSeq == w2.toSeq)
+    }
+    // ring trace: batches 1-2 alternate a,b; batch 3 fails over from a
+    // to b (a marked dead before its counter moves); batch 4 skips the
+    // cooling a — so a carried 5 texts and b the other 15
+    assert(byEp("a") == 5 && byEp("b") == 15, s"rotation split, saw $byEp")
+  }
 }
