@@ -104,13 +104,21 @@ object Bench {
         System.gc()
         r += 1
       }
-      val sorted = secs.result().sorted
-      (name, sorted(sorted.length / 2), sorted.head, gcTotal)
+      val inOrder = secs.result()
+      val sorted = inOrder.sorted
+      // `first` is the COLD run (run order, not sorted): for the
+      // artifact-building families (pair lake, shard lakes) it carries
+      // the generation cost that the artifact-warm median deliberately
+      // excludes — reporting both ends the footnote about flattering
+      // cross-round totals by making cold vs steady-state separable in
+      // the artifact itself.
+      (name, sorted(sorted.length / 2), sorted.head, inOrder.head, gcTotal)
     }
-    val qs = results.map { case (k, med, mn, _) =>
-      s"\"" + k + "\":{\"med\":" + med + ",\"min\":" + mn + "}"
+    val qs = results.map { case (k, med, mn, first, _) =>
+      s"\"" + k + "\":{\"med\":" + med + ",\"min\":" + mn +
+        ",\"first\":" + first + "}"
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -125,11 +133,11 @@ object Bench {
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     // compact values are the MEDIANS ({med,min} detail is on the
     // verbose line above — the compact line must fit the tail window)
-    val qsShort = results.map { case (k, med, _, _) =>
+    val qsShort = results.map { case (k, med, _, _, _) =>
       "\"" + shortKey(k) + "\":" + f"$med%.2f"
     }.mkString("{", ",", "}")
     val failedShort = failed.result().map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val gcTotal = results.map(_._4).sum
+    val gcTotal = results.map(_._5).sum
     // Stop Spark BEFORE the final println: shutdown-hook log lines must
     // not trail the compact JSON (BENCH_r04 had `parsed: null` because
     // the driver reads the LAST stdout line as the summary).

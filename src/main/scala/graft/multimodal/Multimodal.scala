@@ -11,17 +11,19 @@ import graft.core.Tables
   * The testdata has no media files, so payloads are SYNTHESIZED:
   * q57/q60/q61 derive binary payloads deterministically from document
   * text (utf-8 bytes), and q58 additionally encodes REAL PNG/BMP
-  * images (JDK `ImageIO` writer) so the decode stage faces genuine
+  * images (JDK `ImageIO` writer) and REAL WAV audio (JDK
+  * `javax.sound.sampled` writer) so the decode stage faces genuine
   * container bytes. REAL and load-bearing: the BinaryType schema, the
   * metadata extraction over binary columns (length, magic prefix,
   * content digest, exact binary dedup), the mapPartitions batch
-  * plumbing of the decode stage, and the image codec itself —
-  * `javax.imageio` header parse for every format the JDK ships
-  * (png/bmp/gif/jpeg/tiff/wbmp). Payloads outside that set (webp,
-  * video, audio — no codec libraries in the container or the JDK)
-  * degrade to a documented deterministic fallback
+  * plumbing of the decode stage, and the codecs themselves —
+  * `javax.imageio` header parse for every image format the JDK ships
+  * (png/bmp/gif/jpeg/tiff/wbmp) and `javax.sound.sampled` header
+  * parse for its audio containers (wav/aiff/au). Payloads outside
+  * those sets (webp, video — codec libraries the container and the
+  * JDK both lack) degrade to a documented deterministic fallback
   * ([[fallbackMeta]]); swapping in a fuller codec set changes only
-  * reader discovery, which is `ImageIO`'s registry, not this file.
+  * reader discovery, which is the JDK registries', not this file.
   */
 object Multimodal {
 
@@ -81,7 +83,7 @@ object Multimodal {
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(m.payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) fallbackMeta(m)
+      if (!readers.hasNext) decodeAudio(m).getOrElse(fallbackMeta(m))
       else {
         val r = readers.next()
         try {
@@ -96,6 +98,31 @@ object Multimodal {
       case _: java.io.IOException | _: RuntimeException => fallbackMeta(m)
     } finally if (iis != null) iis.close()
   }
+
+  /** REAL audio-container branch via `javax.sound.sampled` (JDK
+    * built-in, same no-new-dependency argument as `javax.imageio`):
+    * `AudioSystem.getAudioFileFormat` parses the RIFF/WAVE `fmt ` and
+    * `data` chunk headers (also AIFF/AU/SND — whatever the JDK's
+    * audio-file readers register) WITHOUT decoding samples — the
+    * header-parse-only discipline of the image branch. The one
+    * [[MediaMeta]] catalog row type spans modalities by documented
+    * field mapping: `width` ← sample rate (Hz), `height` ← channel
+    * count, `n_frames` ← PCM frame count from the data-chunk length.
+    * Formats the JDK's audio readers reject return None and fall
+    * through to [[fallbackMeta]]. */
+  private def decodeAudio(m: MediaRow): Option[MediaMeta] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(m.payload))
+      val f = aff.getFormat
+      val frames = aff.getFrameLength // NOT_SPECIFIED (-1) on streamy containers
+      Some(MediaMeta(m.doc_id, f.getSampleRate.toInt, f.getChannels,
+        if (frames >= 0) frames else 1,
+        aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** The documented deterministic fake for payloads outside the
     * installed codec set: dimensions from the leading bytes, opaque
@@ -145,33 +172,63 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** The q58 media lake: every third doc a real PNG, every third a
-    * real BMP (dimensions a known function of the doc so the oracle
-    * can state them independently), the rest raw text bytes — the
-    * opaque-blob population every real media lake carries. */
+  /** Deterministic REAL audio synthesis for the q58 fixture: 16-bit
+    * little-endian PCM of stated rate/channels/frame count, filled
+    * with LCG noise and written through the real
+    * `javax.sound.sampled` WAVE writer — genuine RIFF container
+    * bytes, like [[encodeImage]]'s genuine PNG/BMP. */
+  private[multimodal] def encodeWav(sampleRate: Int, channels: Int,
+                                    nFrames: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    var x = seed
+    var i = 0
+    while (i < pcm.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      pcm(i) = (x >>> 56).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The q58 media lake: per doc_id mod 4 a real PNG, a real BMP, a
+    * real WAV (all with construction-arithmetic dimensions the oracle
+    * can state independently), or raw text bytes — the opaque-blob
+    * population every real media lake carries. */
   private def mediaDocs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, dir).select($"doc_id", $"text")
       .as[(Long, String)]
       .map { case (id, text) =>
-        val kind = id % 3
-        if (kind == 2) MediaRow(id, text.getBytes("UTF-8"))
-        else {
-          val w = (text.getBytes("UTF-8").length % 16 + 1) * 8
-          val h = (id % 9 + 1).toInt * 8
-          MediaRow(id, encodeImage(if (kind == 0) "png" else "bmp", w, h, id))
+        val byteLen = text.getBytes("UTF-8").length
+        (id % 4) match {
+          case 0 | 1 =>
+            val w = (byteLen % 16 + 1) * 8
+            val h = (id % 9 + 1).toInt * 8
+            MediaRow(id, encodeImage(if (id % 4 == 0) "png" else "bmp", w, h, id))
+          case 2 =>
+            MediaRow(id, encodeWav(8000 + (byteLen % 8) * 1000,
+              (id % 2).toInt + 1, (id % 500).toInt + 1, id))
+          case _ => MediaRow(id, text.getBytes("UTF-8"))
         }
       }
   }
 
-  /** Decode stage end-to-end over a media lake with REAL image bytes:
-    * q58 synthesizes PNG/BMP payloads of independently-stated
-    * dimensions ([[mediaDocs]]), runs them through the real
-    * `javax.imageio` header parse, and keeps the raw-blob third on the
-    * documented fallback path. The oracle states every expected value
-    * from the construction arithmetic — if the codec plumbing
-    * (encode → batch → reader selection → header parse) corrupts
-    * anything, dimensions or formats shift and the hash breaks. */
+  /** Decode stage end-to-end over a media lake with REAL image AND
+    * audio bytes: q58 synthesizes PNG/BMP/WAV payloads of
+    * independently-stated dimensions ([[mediaDocs]]), runs them
+    * through the real `javax.imageio`/`javax.sound.sampled` header
+    * parses, and keeps the raw-blob quarter on the documented
+    * fallback path. The oracle states every expected value from the
+    * construction arithmetic — if the codec plumbing (encode → batch
+    * → reader selection → header parse) corrupts anything, dimensions
+    * or formats shift and the hash breaks. */
   def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodeMedia(mediaDocs(s, dir)).toDF()
@@ -181,16 +238,21 @@ object Multimodal {
 
   val qMediaDecodeSql: String =
     """SELECT doc_id,
-       CASE WHEN doc_id % 3 IN (0, 1)
+       CASE WHEN doc_id % 4 IN (0, 1)
          THEN (octet_length(encode(text)) % 16 + 1) * 8
+         WHEN doc_id % 4 = 2
+         THEN 8000 + (octet_length(encode(text)) % 8) * 1000
          ELSE (ascii(substring(text, 1, 1)) % 16 + 1) * 64 END AS width,
-       CASE WHEN doc_id % 3 IN (0, 1)
+       CASE WHEN doc_id % 4 IN (0, 1)
          THEN (CAST(doc_id % 9 AS INT) + 1) * 8
+         WHEN doc_id % 4 = 2 THEN CAST(doc_id % 2 AS INT) + 1
          ELSE (ascii(substring(text, 2, 1)) % 9 + 1) * 64 END AS height,
-       CASE WHEN doc_id % 3 IN (0, 1)
-         THEN 1 ELSE octet_length(encode(text)) % 250 + 1 END AS n_frames,
-       CASE WHEN doc_id % 3 = 0 THEN 'png'
-         WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'bin' END AS format
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 1
+         WHEN doc_id % 4 = 2 THEN CAST(doc_id % 500 AS INT) + 1
+         ELSE octet_length(encode(text)) % 250 + 1 END AS n_frames,
+       CASE WHEN doc_id % 4 = 0 THEN 'png'
+         WHEN doc_id % 4 = 1 THEN 'bmp'
+         WHEN doc_id % 4 = 2 THEN 'wave' ELSE 'bin' END AS format
        FROM documents ORDER BY doc_id"""
 
   /** Frame sampling (builder brief: "frame-sample" over video columns):

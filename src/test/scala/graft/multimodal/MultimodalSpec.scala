@@ -54,6 +54,25 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width == 3 && meta.height == 5 && meta.format == "png")
   }
 
+  test("real codec: javax.sound.sampled decodes actual WAV header fields") {
+    val bytes = Multimodal.encodeWav(sampleRate = 11000, channels = 2,
+      nFrames = 321, seed = 7L)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+      "the writer must emit a genuine RIFF/WAVE container")
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(9L, bytes))
+    // documented cross-modality mapping: width <- rate, height <- channels
+    assert(meta == Multimodal.MediaMeta(9L, 11000, 2, 321, "wave"), s"$meta")
+  }
+
+  test("corrupt audio bytes (RIFF magic, truncated body) degrade to the fallback") {
+    val good = Multimodal.encodeWav(8000, 1, 100, seed = 1L)
+    val truncated = good.take(16) // past the RIFF/WAVE magic, before fmt
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(5L, truncated))
+    assert(meta == Multimodal.fallbackMeta(Multimodal.MediaRow(5L, truncated)))
+    assert(meta.format == "bin")
+  }
+
   test("corrupt image bytes degrade to the fallback, never throw") {
     val good = Multimodal.encodeImage("png", 64, 64, seed = 1L)
     // valid PNG magic, truncated body: reader selection succeeds but
