@@ -1581,7 +1581,10 @@ object TextAnalysis {
     * verdict named ("there. Bye." class). The manifest fixture is
     * authored in-engine (at migration time those rows come from
     * tools/export_punkt_manifest.py run against the reference's
-    * pickle); the operator under test is ingest + runtime algorithm.
+    * pickle; the export format itself is pinned by the COMMITTED
+    * artifact src/test/resources/punkt/english_sample.jsonl and its
+    * PunktSpec case); the operator under test is ingest + runtime
+    * algorithm.
     *
     * UDF choice is deliberate (the measured-choice discipline): punkt
     * judges each candidate boundary with a stateful multi-pass token

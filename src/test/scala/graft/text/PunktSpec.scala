@@ -124,4 +124,42 @@ class PunktSpec extends SparkSpec {
       sentStarters = Set("the"),
       orthoContext = Map("smith" -> (Punkt.OrthoMidUc | Punkt.OrthoUnkUc))))
   }
+
+  test("committed export-format manifest ingests and drives segmentation") {
+    // src/test/resources/punkt/english_sample.jsonl is a COMMITTED
+    // artifact in tools/export_punkt_manifest.py's exact output format
+    // (json.dumps rows, kind-grouped in export order, sorted within
+    // kinds) mirroring stock-English entries — so the export→ingest
+    // schema contract is pinned by a file, not by construction.
+    val path = "src/test/resources/punkt/english_sample.jsonl"
+
+    // artifact format: every line is one of the three export row
+    // shapes, and kinds appear in the export's emission order
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    val kindOrder = Seq("abbrev", "collocation", "sent_starter", "ortho")
+    val kinds = lines.map(_.split("\"")(3))
+    assert(kinds.distinct == kindOrder, s"kind grouping: ${kinds.distinct}")
+    lines.foreach { l =>
+      val keys = "\"(\\w+)\":".r.findAllMatchIn(l).map(_.group(1)).toSeq
+      assert(keys == Seq("kind", "w1") || keys == Seq("kind", "w1", "w2") ||
+        keys == Seq("kind", "w1", "flags"), s"unexpected row shape: $l")
+    }
+
+    val p = PunktManifest.ingest(spark, path)
+    assert(p.abbrevTypes.size == 29 && p.collocations.size == 4 &&
+      p.sentStarters.size == 8 && p.orthoContext.size == 8,
+      s"table sizes: ${p.abbrevTypes.size}/${p.collocations.size}/" +
+        s"${p.sentStarters.size}/${p.orthoContext.size}")
+    assert(p.abbrevTypes.contains("dr") && p.abbrevTypes.contains("u.s"))
+    assert(p.collocations.contains(("mt", "everest")))
+    assert(p.sentStarters.contains("however"))
+    assert(p.orthoContext("smith") == (Punkt.OrthoMidUc | Punkt.OrthoUnkUc))
+
+    // and the ingested tables are live in the algorithm: the stock
+    // abbrev entry suppresses the break the empty model makes
+    assert(Punkt.sentences("He met Dr. Smith. Then left.", p) ==
+      Seq("He met Dr. Smith.", "Then left."))
+    assert(Punkt.sentences("He met Dr. Smith. Then left.", empty) ==
+      Seq("He met Dr.", "Smith.", "Then left."))
+  }
 }
