@@ -19,7 +19,12 @@ object Plans {
       """lineitem⋈orders shuffles on the orderkey; customer joins broadcast
         |(BuildRight under the threshold) and nation-sized dims never shuffle.
         |At 1000 executors the only wide exchange is the orderkey shuffle —
-        |bucketing both tables by orderkey would remove it entirely.""".stripMargin,
+        |and `core/Layout.writeBucketed` now provides the layout that removes
+        |it: both fact tables bucketed by orderkey plan the same join + a
+        |same-key rollup with ZERO Exchange (proved on the executed plan in
+        |LayoutSpec). The parquet-scan form benched here keeps the shuffle;
+        |the bucketed lake is the write-side investment a deployment makes
+        |when the pair is joined more often than rewritten.""".stripMargin,
     "q11_pending_pairs" ->
       """The pending-pairs operator: distinct key sets cross-joined (the tiny
         |statuses side is broadcast — BroadcastNestedLoopJoin over a handful of

@@ -43,4 +43,34 @@ object Layout {
   def scoresFor(s: SparkSession, dir: String, modelId: Long): DataFrame =
     s.read.parquet(dir)
       .filter(col("model_bucket") === bucketOf(modelId) && col("model_id") === modelId)
+
+  /** Co-located equi-join layout — the last layout tool the 100 TB
+    * story needs (PLANS.md q07: at 1000 executors the only wide
+    * exchange left in the revenue rollup is the lineitem⋈orders
+    * orderkey shuffle; bucketing both fact tables by the join key
+    * removes it entirely). `bucketBy(n, key)` + `saveAsTable` records
+    * the bucket spec in the catalog; a join of two tables bucketed by
+    * the same key into the same bucket count plans WITHOUT an
+    * Exchange on either side, and a same-key aggregation above the
+    * join rides the join's output partitioning — LayoutSpec proves
+    * both on the executed plan. `sortBy` additionally orders rows
+    * inside each bucket file so the merge side of the join starts
+    * from near-sorted input.
+    *
+    * This is a WRITE-SIDE investment: pay one shuffle at lake-build
+    * time, then every orderkey-equi-join of the pair is narrow
+    * forever — the right trade for fact tables joined far more often
+    * than rewritten. The `path` option makes the table external, so
+    * the lake lives where the caller says, not in a default
+    * warehouse. */
+  def writeBucketed(df: DataFrame, table: String, dir: String, key: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", dir)
+      .bucketBy(nBuckets, key)
+    (sortCols match {
+      case head +: tail => w.sortBy(head, tail: _*)
+      case _            => w
+    }).saveAsTable(table)
+  }
 }

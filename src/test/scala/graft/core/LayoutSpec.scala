@@ -35,6 +35,57 @@ class LayoutSpec extends SparkSpec {
       s"scan touched partitions: $dirs")
   }
 
+  test("bucketed pair layout: the q07-shaped orderkey join plans with ZERO Exchange") {
+    val dir = Files.createTempDirectory("bucketed").toString
+    // force the shuffle-or-not question to matter: no broadcast escape
+    // hatch (sf0.001 orders would broadcast and trivialize the proof)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      Layout.writeBucketed(
+        Tables.lineitem(spark, Sf0001)
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        "li_bucketed", s"$dir/li", "l_orderkey", 8, Seq("l_orderkey"))
+      Layout.writeBucketed(
+        Tables.orders(spark, Sf0001).select($"o_orderkey", $"o_custkey"),
+        "ord_bucketed", s"$dir/ord", "o_orderkey", 8, Seq("o_orderkey"))
+
+      // the q07 hot pair: fact⋈fact on the bucket key, then a same-key
+      // rollup that must ride the join's output partitioning
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      val got = joined.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // zero Exchange anywhere in the executed plan: the join AND the
+      // same-key aggregate are both satisfied by the bucket layout
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; executed plan:\n$plan")
+
+      // and the layout changed the plan, not the answer: same rollup
+      // over the plain parquet reads
+      val want = Tables.lineitem(spark, Sf0001)
+        .join(Tables.orders(spark, Sf0001), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == want.size)
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-6, s"orderkey $k") }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("one row group ordering: sortWithinPartitions keeps (model, vid) runs") {
     val dir = Files.createTempDirectory("lake2").resolve("scores").toString
     val scores = spark.range(0, 500).select(
