@@ -13,6 +13,86 @@ class SinkSpec extends SparkSpec {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).resolve("lake").toString
 
+  // ---- crash idempotency (SURVEY §2.10 "restartable by construction"):
+  // a killed writer leaves partial partition dirs, truncated parquet
+  // files, and in-flight _temporary residue; the retry must converge to
+  // exactly the clean run's content ------------------------------------
+
+  /** The q116/q127 shard-lake write shape. */
+  private def writeShardLake(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").partitionBy("source").parquet(dir)
+
+  /** Blocks-shaped frame (what tokenBlocks emits into the lake). */
+  private def blocksFrame = spark.range(0, 300).select(
+    concat(lit("src"), $"id" % 5).as("source"),
+    ($"id" / 5).cast("long").as("block_id"),
+    lit(64L).as("n_tok"),
+    ($"id" * 17).as("id_sum"),
+    md5(($"id" * 31).cast("string")).as("id_hash"))
+
+  private def fingerprint(dir: String): Seq[String] =
+    spark.read.parquet(dir)
+      .select($"source", $"block_id", $"n_tok", $"id_sum", $"id_hash")
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  /** Simulate the kill: half of one partition's files deleted, one
+    * survivor truncated mid-file, another partition dropped entirely,
+    * and an in-flight `_temporary` task dir left behind. */
+  private def vandalize(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val p1 = new java.io.File(root, "source=src1")
+    val files = p1.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.take(files.length / 2).foreach(f => assert(f.delete()))
+    val victim = files.last
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath, bytes.take(bytes.length / 2))
+    val p2 = new java.io.File(root, "source=src2")
+    p2.listFiles().foreach(f => assert(f.delete()))
+    assert(p2.delete())
+    val tmp = new java.io.File(root, "_temporary/0/task_000/")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "part-00000.parquet").toPath, Array[Byte](1, 2, 3))
+  }
+
+  test("crash idempotency: retrying the killed shard-lake writer converges to the clean run") {
+    val clean = tmpDir("shards-clean")
+    val crashed = tmpDir("shards-crashed")
+    writeShardLake(blocksFrame, clean)
+    writeShardLake(blocksFrame, crashed)
+    vandalize(crashed)
+    // the crashed state is REALLY broken: the lake is unreadable
+    intercept[Exception] {
+      spark.read.parquet(crashed).select(sum($"id_sum")).collect()
+    }
+    // the retry is the same writer invocation — no cleanup pre-pass
+    writeShardLake(blocksFrame, crashed)
+    assert(fingerprint(crashed) == fingerprint(clean))
+    assert(!new java.io.File(crashed, "_temporary").exists(),
+      "overwrite must clear in-flight residue")
+  }
+
+  test("crash idempotency: retrying a killed replacePartitions rebuild restores the lake") {
+    val clean = tmpDir("repl-clean")
+    val crashed = tmpDir("repl-crashed")
+    writeShardLake(blocksFrame, clean)
+    writeShardLake(blocksFrame, crashed)
+    vandalize(crashed)
+    // the retry rewrites ONLY the partitions its rows touch — so the
+    // vandalized src1/src2 must come back and src0/src3/src4's files
+    // must not be rewritten (their mtimes prove they were untouched)
+    val untouched = Seq("src0", "src3", "src4").flatMap { s2 =>
+      new java.io.File(crashed, s"source=$s2").listFiles()
+        .map(f => f.getPath -> f.lastModified()) }
+    Sinks.replacePartitions(
+      blocksFrame.filter($"source".isin("src1", "src2")), crashed, Seq("source"))
+    assert(fingerprint(crashed) == fingerprint(clean))
+    untouched.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == m, s"$p was rewritten")
+    }
+  }
+
   test("upsertScores: writing a batch twice leaves exactly one row per pair") {
     val dir = tmpDir("scores")
     val batch = Seq(
