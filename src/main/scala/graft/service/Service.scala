@@ -420,7 +420,18 @@ object ServiceOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-    embedPairs(docs, () => new RetryingEmbedder(new DeterministicEmbedder(8), 3))
+    // The embedding stack under test is the FULL production
+    // composition — retry over a two-endpoint rotating pool — with the
+    // deterministic transport at the bottom, so the oracled run
+    // exercises the same routing code path a multi-host deployment
+    // uses (the fake is endpoint-independent, which is exactly what
+    // keeps the oracle valid; rotation/failover behavior itself is
+    // pinned by ServiceSpec + HttpServiceSpec).
+    embedPairs(docs, () => new RetryingEmbedder(
+      new PooledEmbedder(
+        new EndpointPool(Vector("fake://a", "fake://b"), _ => true),
+        _ => new DeterministicEmbedder(8)),
+      3))
       .toDF("doc_id", "vec")
       .select($"doc_id",
         element_at($"vec", 1).as("e0"),
