@@ -399,6 +399,81 @@ object ServiceOps {
     }
   }
 
+  /** The PARALLEL half of the reference pool (`embed_indexed_parallel`,
+    * embed_transcripts_to_vector_db.py:166-218: one worker thread per
+    * host drains a shared task queue; failed items are retried
+    * sequentially with full round-robin failover after the workers
+    * join). Spark shape: within each partition, pages of
+    * (batchSize × #endpoints) rows fan out across a worker-per-
+    * endpoint pool — concurrency INSIDE the I/O-bound task layered on
+    * Spark's across-task parallelism, memory bounded by one page, so
+    * a deployment with more hosts than partitions still saturates
+    * every host. Failed chunks retry through the [[EndpointPool]]
+    * rotation discipline after the page joins, `maxRetries` rotations
+    * before the task fails. With one endpoint this degrades to
+    * [[embedPairs]]. An interrupt (task kill) propagates out of the
+    * page join and the pool is torn down in the finally. */
+  def embedPairsParallel(ds: Dataset[(Long, String)], endpoints: Seq[String],
+                         mkForEndpoint: String => Embedder,
+                         batchSize: Int = 32,
+                         maxRetries: Int = 3): Dataset[(Long, Array[Double])] = {
+    import ds.sparkSession.implicits._
+    require(endpoints.nonEmpty, "endpoint list is empty")
+    if (endpoints.lengthCompare(1) == 0)
+      embedPairs(ds,
+        () => new RetryingEmbedder(mkForEndpoint(endpoints.head), maxRetries),
+        batchSize)
+    else ds.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val eps = endpoints.toIndexedSeq
+      val perEp = new java.util.concurrent.ConcurrentHashMap[String, Embedder]()
+      def embedderFor(ep: String): Embedder =
+        perEp.computeIfAbsent(ep, e => mkForEndpoint(e))
+      val retryPool = new EndpointPool(eps, _ => true, probeOnFirstUse = false)
+      type Chunk = Seq[(Long, String)]
+      it.grouped(batchSize * eps.length).flatMap { page =>
+        val chunks = page.grouped(batchSize).toSeq
+        val exec = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(eps.length, chunks.size))
+        try {
+          val tasks: Seq[java.util.concurrent.Callable[Either[Chunk, Seq[(Long, Array[Double])]]]] =
+            chunks.zipWithIndex.map { case (chunk, i) =>
+              () => try {
+                val emb = embedderFor(eps(i % eps.length))
+                Right(chunk.map(_._1).zip(emb.embed(chunk.map(_._2))))
+              } catch {
+                // interrupt = cancellation: surfaces through get() and
+                // kills the task, exactly as a sequential embed would
+                case e: InterruptedException => throw e
+                case _: Exception => Left(chunk)
+              }
+            }
+          val results = exec.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+          val ok = results.collect { case Right(r) => r }.flatten
+          // the reference's sequential-retry tail: full rotation per
+          // attempt, bounded rotations, THEN give up loudly
+          val retried = results.collect { case Left(c) => c }.flatMap { chunk =>
+            var attempt = 0
+            var out: Seq[(Long, Array[Double])] = null
+            while (out == null) {
+              try out = retryPool.call(ep =>
+                chunk.map(_._1).zip(embedderFor(ep).embed(chunk.map(_._2))))
+              catch {
+                case e: InterruptedException =>
+                  Thread.currentThread().interrupt(); throw e
+                case e: Exception =>
+                  attempt += 1
+                  if (attempt > maxRetries) throw e
+              }
+            }
+            out
+          }
+          ok ++ retried
+        } finally exec.shutdownNow()
+      }
+    }
+  }
+
   /** The mapPartitions chat operator: one client per partition, one
     * call per row (the reference claims one run at a time; parallelism
     * across partitions replaces the worker fleet). */

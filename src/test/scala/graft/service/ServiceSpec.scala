@@ -3,6 +3,30 @@ package graft.service
 import graft.SparkSpec
 import graft.service.ServiceOps._
 
+/** Static executor-side probe for the parallel-embed specs (see the
+  * closure-serialization note at its use sites). */
+object ParallelEmbedProbe {
+  import graft.service.ServiceOps._
+  val byEp = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { byEp.clear(); inFlight.set(0); peak.set(0) }
+  def count(ep: String): Int = byEp.getOrDefault(ep, 0)
+  def counting(ep: String, failOn: Option[String],
+               sleepMs: Long = 0): Embedder = new Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Double]] = {
+      val cur = inFlight.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, cur))
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        byEp.merge(ep, texts.size, (x, y) => x + y) // counts ATTEMPTS
+        if (failOn.contains(ep)) throw new java.io.IOException(s"$ep is down")
+        new DeterministicEmbedder(4).embed(texts)
+      } finally inFlight.decrementAndGet()
+    }
+  }
+}
+
 /** S15/S16 operator plumbing: batching, one-vector-per-row, retry
   * discipline, deterministic chat fake parse-ability. */
 class ServiceSpec extends SparkSpec {
@@ -129,6 +153,57 @@ class ServiceSpec extends SparkSpec {
     intercept[java.io.IOException](w.invoke())
     intercept[IllegalArgumentException](
       new EndpointPool(Vector.empty, _ => true))
+  }
+
+  // Counters live in a static object, NOT in the test closure: Spark
+  // serializes task closures even in local mode, so a captured map
+  // would be a per-task COPY and the driver's stay empty. Same-JVM
+  // statics are the local-mode seam for observing executor-side work.
+
+  test("parallel embed: work splits across endpoints, results complete and correct") {
+    ParallelEmbedProbe.reset()
+    val docs = (0 until 96).map(i => (i.toLong, s"text $i"))
+    val got = embedPairsParallel(docs.toDS().repartition(3),
+      Seq("a", "b"), ep => ParallelEmbedProbe.counting(ep, failOn = None),
+      batchSize = 8).collect().toMap
+    assert(got.size == 96)
+    docs.foreach { case (id, t) =>
+      assert(got(id).toSeq ==
+        new DeterministicEmbedder(4).embed(Seq(t)).head.toSeq, s"doc $id") }
+    assert(ParallelEmbedProbe.count("a") > 0 && ParallelEmbedProbe.count("b") > 0,
+      s"both endpoints must carry work, saw ${ParallelEmbedProbe.byEp}")
+    assert(ParallelEmbedProbe.count("a") + ParallelEmbedProbe.count("b") == 96)
+  }
+
+  test("parallel embed: a permanently dead endpoint's chunks are retried on the live one") {
+    ParallelEmbedProbe.reset()
+    val docs = (0 until 64).map(i => (i.toLong, s"text $i"))
+    val got = embedPairsParallel(docs.toDS().repartition(2),
+      Seq("dead", "live"),
+      ep => ParallelEmbedProbe.counting(ep, failOn = Some("dead")),
+      batchSize = 8).collect().toMap
+    assert(got.size == 64)
+    docs.foreach { case (id, t) =>
+      assert(got(id).toSeq ==
+        new DeterministicEmbedder(4).embed(Seq(t)).head.toSeq, s"doc $id") }
+    assert(ParallelEmbedProbe.count("dead") > 0, "the dead endpoint was attempted")
+    // every row was ultimately served by the live endpoint (failed
+    // chunks re-embed there, so live count >= total)
+    assert(ParallelEmbedProbe.count("live") >= 64,
+      s"saw ${ParallelEmbedProbe.byEp}")
+  }
+
+  test("parallel embed: workers genuinely overlap inside one partition") {
+    ParallelEmbedProbe.reset()
+    val docs = (0 until 32).map(i => (i.toLong, s"text $i"))
+    val got = embedPairsParallel(docs.toDS().coalesce(1),
+      Seq("a", "b"), ep => ParallelEmbedProbe.counting(ep, failOn = None,
+        sleepMs = 60), batchSize = 4).collect()
+    assert(got.length == 32)
+    // one partition, two endpoints: with 60 ms inside each call, the
+    // two page workers must have been in-flight at the same moment
+    assert(ParallelEmbedProbe.peak.get() >= 2,
+      s"no overlap observed, peak=${ParallelEmbedProbe.peak.get()}")
   }
 
   test("pooled embedder: rotation survives a mid-stream death and results stay correct") {
