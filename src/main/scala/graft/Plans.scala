@@ -208,13 +208,15 @@ object Plans {
         |size. Ties break lexicographically — the determinism the
         |unrolled DuckDB replay depends on.""".stripMargin,
     "q58_media_decode" ->
-      """The decode seam with a REAL codec: javax.imageio header parse
-        |(PNG IHDR / BMP BITMAPINFOHEADER) inside the mapPartitions
-        |batch operator — payload bytes never shuffle, one reader per
-        |payload, header-parse not rasterization (metadata extraction
-        |at 100 TB must not decode pixels). Unreadable payloads degrade
-        |to the documented deterministic fallback instead of failing
-        |the pass; q58's fixture keeps a raw-blob third so the degraded
+      """The decode seam with REAL codecs across modalities:
+        |javax.imageio header parse (PNG IHDR / BMP BITMAPINFOHEADER)
+        |and javax.sound.sampled RIFF/WAVE fmt+data chunk parse inside
+        |the mapPartitions batch operator — payload bytes never
+        |shuffle, one reader per payload, header-parse not
+        |decode (metadata extraction at 100 TB must not rasterize
+        |pixels or inflate samples). Unreadable payloads degrade to
+        |the documented deterministic fallback instead of failing the
+        |pass; q58's fixture keeps a raw-blob quarter so the degraded
         |path stays tested.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
@@ -411,11 +413,14 @@ object Plans {
     "q126_punkt_word_tokenize" ->
       """The word_tokenize parity closer: punkt boundary judgement is
         |inherently multi-pass token annotation (no functions._ form),
-        |so it runs as a narrow per-doc UDF over a broadcast,
+        |so it runs as ONE narrow per-doc UDF over a broadcast,
         |vocab-bounded parameter table ingested through the manifest
-        |migration path. Linear in corpus size, shuffle-free until the
-        |final orderBy; the parameter tables are model-sized (a few
-        |hundred KiB for stock English), never corpus-sized.""".stripMargin,
+        |migration path — punkt segments each doc once and the token
+        |array, sentence count, and glued count all come from that
+        |single parse (the r6 three-UDF form re-ran punkt twice per
+        |row). Linear in corpus size, shuffle-free until the final
+        |orderBy; the parameter tables are model-sized (a few hundred
+        |KiB for stock English), never corpus-sized.""".stripMargin,
     "q125_contamination_report" ->
       """The release-gate rollup of q68: the broadcast benchmark hash
         |set and keyed flag rollup are unchanged; the corpus re-enters
