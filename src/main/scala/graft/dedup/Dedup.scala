@@ -218,11 +218,59 @@ object Dedup {
     lshCandidates(s, dir).orderBy($"d1", $"d2")
   }
 
-  /** The LSH candidate stage shared by q29 (standalone) and q66 (the
-    * composed LSH→verify pipeline): distinct (d1, d2, est_jaccard)
-    * pairs with est ≥ 0.5. */
-  private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+  /** Memoized per-corpus-dir LSH pair-lake and component-lake paths —
+    * the same once-per-corpus-version artifact discipline as
+    * [[pairLakes]] (the SimHash lake, r6): `computeIfAbsent` blocks a
+    * second asker for the same corpus while the first build runs;
+    * lifetime = JVM = one harness run, matching the testdata's
+    * immutability within a run. */
+  private val lshLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val componentLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The LSH candidate stage shared by q29 (standalone), q66 (the
+    * composed LSH→verify pipeline), q92 (split leakage), and the
+    * cluster family (q75/q79/q85/q89/q100/q108 via [[components]]):
+    * distinct (d1, d2, est_jaccard) pairs with est ≥ 0.5.
+    *
+    * Materialized ONCE per corpus dir to a parquet lake and READ
+    * thereafter — the corpus-sized signature/banding pipeline
+    * ([[lshCandidatesGen]]) runs exactly once per corpus version, and
+    * every downstream consumer scans 24-byte pair rows. Same artifact
+    * architecture as the SimHash pair lake: at 100 TB the pair set is
+    * the corpus-version artifact eight reports share, not a pipeline
+    * each re-runs. */
+  private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = lshLakes.computeIfAbsent(dir, _ => {
+      val path = graft.sink.TempDirs.fresh("graft_lsh_pairs_").toString
+      lshCandidatesGen(s, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(lake).select($"d1", $"d2", $"est_jaccard")
+  }
+
+  /** The pair GENERATION pass (unmaterialized). */
+  private def lshCandidatesGen(s: SparkSession, dir: String): DataFrame =
     lshCandidatesFrom(s, minHashSignatures(s, dir))
+
+  /** Near-dup component labels `(doc_id, component)` over the LSH pair
+    * lake, materialized ONCE per corpus dir: label propagation
+    * ([[connectedComponents]]) runs once per corpus version and the
+    * cluster family (q75 assembly, q79/q100/q108 canonical+funnel,
+    * q85/q89 centroid/medoid) reads the 16-byte label rows back. The
+    * iterative loop is the one stage here whose cost is round-count ×
+    * job overhead — paying it once instead of five times is the whole
+    * point of the artifact layer. */
+  private def components(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = componentLakes.computeIfAbsent(dir, _ => {
+      val path = graft.sink.TempDirs.fresh("graft_components_").toString
+      connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(lake).select($"doc_id", $"component")
+  }
 
   private def lshCandidatesFrom(s: SparkSession, sigs: DataFrame): DataFrame = {
     import s.implicits._
@@ -493,7 +541,7 @@ object Dedup {
 
   def qDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val comp = components(s, dir)
     val sizes = comp.groupBy($"component").agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("component"))
       .select($"doc_id", $"component", $"csize",
@@ -1470,7 +1518,7 @@ object Dedup {
   private def clusterCanonicalFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val comp = components(s, dir)
     val q = graft.text.TextAnalysis.qualityScores(s, dir)
       .select($"doc_id", $"quality")
     val labeled = q.join(broadcast(comp), Seq("doc_id"), "left")
@@ -1595,7 +1643,7 @@ object Dedup {
     * at the design scale). */
   private def clusterFp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val comp = connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
+    val comp = components(s, dir)
     Tables.embeddings(s, dir)
       .select($"vec_id".as("doc_id"), $"embedding")
       .join(broadcast(comp), Seq("doc_id"))
