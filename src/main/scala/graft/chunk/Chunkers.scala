@@ -698,10 +698,18 @@ object Chunkers {
     // partial block from the v1 lake. Other sources keep the mixed
     // %9-drop / %11-drop / %13-edit churn.
     val tail = lit("src7")
-    val wmax = Window.partitionBy($"source")
     val snapA = base.filter($"source" === tail || $"doc_id" % 9 =!= 0)
+    // Per-source max doc_id as a TINY aggregate over (source, doc_id)
+    // only, broadcast back — the window form (max().over(partition by
+    // source) on `base`) shuffled the full corpus WITH TEXT ABOARD,
+    // and snapB has several consumers (the v1-lake build's sibling,
+    // the offset diff, the marked blocks), so that wide exchange ran
+    // per consumer: 4.8 → 16-18 s at sf0.1. The aggregate moves
+    // 12-byte rows once; the corpus pass stays narrow.
+    val mxBySource = base.select($"source", $"doc_id")
+      .groupBy($"source").agg(max($"doc_id").as("mx"))
     val snapB = base
-      .withColumn("mx", max($"doc_id").over(wmax))
+      .join(broadcast(mxBySource), Seq("source"))
       .filter(when($"source" === tail, $"doc_id" =!= $"mx")
         .otherwise($"doc_id" % 11 =!= 0))
       .withColumn("text", when($"source" =!= tail && $"doc_id" % 13 === 0,
@@ -728,12 +736,16 @@ object Chunkers {
       .filter($"h".isNull || $"hb".isNull || $"h" =!= $"hb")
       .groupBy(coalesce($"source", $"source_b").as("source"))
       .agg(min(coalesce($"o", $"ob")).as("first_dirty"))
-    val marked = tokenBlocks(s, dir, snapB)
-      .join(firstDirty, Seq("source"), "left")
-      .withColumn("action", when($"first_dirty".isNull ||
-          (($"block_id" * B + $"n_tok") <= $"first_dirty" && $"n_tok" === B),
-          "keep")
-        .otherwise("rewrite"))
+    // Persisted: `marked` is block-level metadata (5 scalar columns,
+    // ~tokens/B rows) consumed TWICE — the delta write and the kept
+    // join — and its upstream is the full snapshot-B pack pipeline.
+    val marked = graft.core.Resources.persist(
+      tokenBlocks(s, dir, snapB)
+        .join(firstDirty, Seq("source"), "left")
+        .withColumn("action", when($"first_dirty".isNull ||
+            (($"block_id" * B + $"n_tok") <= $"first_dirty" && $"n_tok" === B),
+            "keep")
+          .otherwise("rewrite")))
     // rewrite ONLY the dirty shards into the delta lake
     val v2delta = graft.sink.TempDirs.fresh("graft_shards_v2delta_").toString
     marked.filter($"action" === "rewrite")
