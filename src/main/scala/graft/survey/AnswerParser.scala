@@ -25,8 +25,10 @@ object AnswerParser {
   final case class Parsed(optionId: Option[Int], multiplier: Option[Double],
                           confidence: Option[Double], reason: Option[String])
 
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
   private def norm(s: String): String =
-    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "").replace("/", "")
+    wsRun.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("").replace("/", "")
 
   // Normalized labels, longest first (stable order for equal lengths —
   // mirrors Python's stable sort over insertion order).

@@ -94,6 +94,8 @@ object Punkt {
 
   // ---- token (PunktToken) -------------------------------------------
 
+  private val ReTrailWs = Pattern.compile("""(?U)\s+$""")
+
   private val ReEllipsis = Pattern.compile("""\.\.+$""")
   private val ReNumeric = Pattern.compile("""^-?[\.,]?\d[\d,\.-]*\.?$""")
   private val ReInitial = uni("""[^\W\d]\.$""")
@@ -318,7 +320,7 @@ object Punkt {
         val nextText = text.substring(ns, ne)
         val m = BoundaryRealignRe.matcher(nextText)
         if (m.lookingAt()) {
-          val kept = m.group().replaceAll("(?U)\\s+$", "")
+          val kept = ReTrailWs.matcher(m.group()).replaceAll("")
           out += ((s1._1, ns + kept.length))
           realign = m.end()
         } else {

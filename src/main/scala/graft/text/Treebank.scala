@@ -38,6 +38,25 @@ package graft.text
   */
 object Treebank {
 
+  import java.util.regex.Pattern
+
+  /** Rule lists compile ONCE at object init: `tokenize` runs per row
+    * inside UDFs (q126 runs it twice per doc, q46/q47/q62 once), and
+    * `String.replaceAll` re-compiles its pattern on every call — ~40
+    * Pattern.compile per invocation, millions per query at sf0.1. */
+  private def compiled(rules: Seq[(String, String)]): Array[(Pattern, String)] =
+    rules.map { case (p, r) => (Pattern.compile(p), r) }.toArray
+
+  private def applyAll(rules: Array[(Pattern, String)], text: String): String = {
+    var t = text
+    var i = 0
+    while (i < rules.length) {
+      t = rules(i)._1.matcher(t).replaceAll(rules(i)._2)
+      i += 1
+    }
+    t
+  }
+
   private val startingQuotes: Seq[(String, String)] = Seq(
     "([«“‘„]|[`]+)" -> " $1 ",
     "^\"" -> "``",
@@ -95,20 +114,29 @@ object Treebank {
     "(?iU) ('t)(is)\\b",
     "(?iU) ('t)(was)\\b")
 
+  private val startingQuotesP = compiled(startingQuotes)
+  private val punctuationP = compiled(punctuation)
+  private val parensBracketsP = compiled(parensBrackets)
+  private val doubleDashesP = compiled(doubleDashes)
+  private val endingQuotesP = compiled(endingQuotes)
+  private val contractions2P = compiled(contractions2.map(_ -> " $1 $2 "))
+  private val contractions3P = compiled(contractions3.map(_ -> " $1 $2 "))
+  private val unicodeWs = Pattern.compile("(?U)\\s+")
+
   def tokenize(text: String): Array[String] = {
     var t = text
-    for ((p, r) <- startingQuotes) t = t.replaceAll(p, r)
-    for ((p, r) <- punctuation) t = t.replaceAll(p, r)
-    for ((p, r) <- parensBrackets) t = t.replaceAll(p, r)
-    for ((p, r) <- doubleDashes) t = t.replaceAll(p, r)
+    t = applyAll(startingQuotesP, t)
+    t = applyAll(punctuationP, t)
+    t = applyAll(parensBracketsP, t)
+    t = applyAll(doubleDashesP, t)
     // add padding spaces so end-of-string contractions match " $" rules
     t = " " + t + " "
-    for ((p, r) <- endingQuotes) t = t.replaceAll(p, r)
-    for (p <- contractions2) t = t.replaceAll(p, " $1 $2 ")
-    for (p <- contractions3) t = t.replaceAll(p, " $1 $2 ")
+    t = applyAll(endingQuotesP, t)
+    t = applyAll(contractions2P, t)
+    t = applyAll(contractions3P, t)
     // Python str.split() splits on UNICODE whitespace (NBSP, ideographic
     // space, …); (?U)\s+ mirrors that, and nonEmpty drops the artifacts
     // of unicode-space leading/trailing runs that ASCII trim leaves.
-    t.trim.split("(?U)\\s+").filter(_.nonEmpty)
+    unicodeWs.split(t.trim).filter(_.nonEmpty)
   }
 }
