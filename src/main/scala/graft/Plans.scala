@@ -226,9 +226,12 @@ object Plans {
         |javax.imageio header parse (PNG IHDR / BMP BITMAPINFOHEADER)
         |and javax.sound.sampled RIFF/WAVE fmt+data chunk parse inside
         |the mapPartitions batch operator — payload bytes never
-        |shuffle, one reader per payload, header-parse not
-        |decode (metadata extraction at 100 TB must not rasterize
-        |pixels or inflate samples). Unreadable payloads degrade to
+        |shuffle (the parallelism spread exchanges (id, text) rows
+        |BEFORE encoding, so the codec legs run 32-way instead of on
+        |the single scan partition), one reader per payload,
+        |header-parse not decode (metadata extraction at 100 TB must
+        |not rasterize pixels or inflate samples). Unreadable payloads
+        |degrade to
         |the documented deterministic fallback instead of failing the
         |pass; q58's fixture keeps a raw-blob quarter so the degraded
         |path stays tested.""".stripMargin,
@@ -432,9 +435,15 @@ object Plans {
         |migration path — punkt segments each doc once and the token
         |array, sentence count, and glued count all come from that
         |single parse (the r6 three-UDF form re-ran punkt twice per
-        |row). Linear in corpus size, shuffle-free until the final
-        |orderBy; the parameter tables are model-sized (a few hundred
-        |KiB for stock English), never corpus-sized.""".stripMargin,
+        |row). The parse is preceded by ONE deliberate exchange of
+        |~300-byte rows: the corpus file is a single scan partition at
+        |bench scale, and without the spread the CPU-heavy parse ran
+        |on one thread (measured: whole-query ≈ sequential parse
+        |cost; 4.9 → 1.0 s warm). Parse cost dominates row movement
+        |at every scale. Manifest params are memoized per JVM (the S8
+        |model-load discipline); the parameter tables are model-sized
+        |(a few hundred KiB for stock English), never
+        |corpus-sized.""".stripMargin,
     "q125_contamination_report" ->
       """The release-gate rollup of q68: the broadcast benchmark hash
         |set and keyed flag rollup are unchanged; the corpus re-enters

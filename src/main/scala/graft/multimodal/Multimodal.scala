@@ -203,7 +203,12 @@ object Multimodal {
     * population every real media lake carries. */
   private def mediaDocs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
+    // Spread the CPU-heavy encode/decode legs: the corpus file is one
+    // scan partition at bench scale, which would run every ImageIO
+    // writer+reader on a single thread (the q126 lesson). The exchange
+    // moves (id, text) rows — trivial next to the codec work.
     Tables.documents(s, dir).select($"doc_id", $"text")
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         val byteLen = text.getBytes("UTF-8").length
