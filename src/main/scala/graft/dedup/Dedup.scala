@@ -988,7 +988,26 @@ object Dedup {
     * [[SpanN]]-gram — the coverage set q94's rewrite cuts and q100's
     * funnel counts. Positions kept through the hash join, duplicates
     * kept (the same gram twice in one doc marks both starts). */
+  /** Memoized per-corpus-dir coverage-lake paths (see [[lshLakes]]). */
+  private val coveredLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Duplicated-gram token coverage `(doc_id, idx)` — the q74/q94
+    * span-level artifact — materialized ONCE per corpus dir like the
+    * pair/component lakes: the gram explosion + corpus-wide distinct
+    * runs once per corpus version, and q94's removal pass plus the
+    * q100/q108 funnel frames read the 12-byte position rows back. */
   private def dupCoveredPositions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = coveredLakes.computeIfAbsent(dir, _ => {
+      val path = graft.sink.TempDirs.fresh("graft_covered_").toString
+      dupCoveredPositionsGen(s, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(lake).select($"doc_id", $"idx")
+  }
+
+  /** The coverage GENERATION pass (unmaterialized). */
+  private def dupCoveredPositionsGen(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val words = Tables.documents(s, dir)
