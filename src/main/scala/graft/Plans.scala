@@ -259,7 +259,9 @@ object Plans {
         |data is the per-doc rebuild groupBy — keyed on doc_id, the same
         |key the coverage anti-join uses, so AQE chains them. The
         |corpus-wide duplicated-hash table is the q74 count, map-side
-        |combined.""".stripMargin,
+        |combined. The (doc_id, idx) coverage set itself is a
+        |per-corpus LAKE shared with the q100/q108 funnel family —
+        |the gram explosion runs once per corpus version.""".stripMargin,
     "q95_semdedup" ->
       """SemDeDup's bet made explicit in the plan: assignment is one
         |narrow broadcast-argmax pass (no join, no shuffle), vectors
