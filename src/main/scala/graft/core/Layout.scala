@@ -1,5 +1,9 @@
 package graft.core
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,5 +76,102 @@ object Layout {
       case head +: tail => w.sortBy(head, tail: _*)
       case _            => w
     }).saveAsTable(table)
+  }
+
+  /** Per-partition compaction outcome: `filesBefore == filesAfter`
+    * means the partition was already at (or below) target and was NOT
+    * rewritten — the idempotence signal callers key on. */
+  final case class CompactStat(partition: String, rows: Long,
+                               filesBefore: Long, filesAfter: Long)
+
+  /** Small-file compaction — the lake-maintenance half of the layout
+    * story (the write side is [[writeScoreLake]]/[[writeBucketed]]; a
+    * long-lived lake also ACCUMULATES files: every incremental append
+    * (q127's delta re-export), replace-partition rebuild, and
+    * streaming micro-batch lands more part files, and at 100 TB a
+    * partition with 10k tiny files costs 10k opens + footer reads per
+    * scan). Same job as Delta/Iceberg OPTIMIZE bin-packing, expressed
+    * over plain partitioned parquet:
+    *
+    *  - ONE footer-weight pass computes per-partition row counts
+    *    (`groupBy(partitionCol).count` — zero data columns read; the
+    *    collect is metadata-sized, one row per partition);
+    *  - only partitions whose file count EXCEEDS
+    *    `ceil(rows / targetRecordsPerFile)` are rewritten — compaction
+    *    cost is ∝ fragmented partitions, never ∝ lake size;
+    *  - each rewrite is a shuffle-free `coalesce(target)` of just that
+    *    partition's files, landed in a dot-prefixed staging dir (paths
+    *    starting with `.`/`_` are invisible to Spark's file index, so
+    *    concurrent readers never see the half-written copy);
+    *  - the swap is two atomic directory renames (old out, staged in),
+    *    and the CRASH STATES between them are self-healing on the next
+    *    run (see the recovery preamble): old-dir-present + partition
+    *    missing → roll back; old-dir-present + partition present →
+    *    finish the cleanup; stale staging dirs are always discarded.
+    *    LayoutSpec pins all three recovery states; a manifest-commit
+    *    table format would replace the rename pair, not the plan.
+    *
+    * Runs the per-partition rewrites sequentially from the driver —
+    * each is a small independent Spark job (the loop is trivially
+    * parallelizable over a job pool; at 100 TB the win is partition
+    * independence, not loop order). */
+  def compactLake(s: SparkSession, dir: String, partitionCol: String,
+                  targetRecordsPerFile: Long): Seq[CompactStat] = {
+    require(targetRecordsPerFile > 0, s"targetRecordsPerFile must be positive: $targetRecordsPerFile")
+    val root = Paths.get(dir)
+
+    def deleteTree(p: Path): Unit =
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        finally walk.close()
+      }
+
+    def parquetFiles(p: Path): Long = {
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+        finally st.close()
+      }
+    }
+
+    // Recovery preamble: heal any crash state a previous compaction
+    // left behind, BEFORE the row-count scan (a rolled-back partition
+    // must be visible to it).
+    val listing = Files.list(root)
+    val entries = try listing.iterator().asScala.toVector finally listing.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(".compact_old_")) {
+        val part = root.resolve(s"$partitionCol=${name.stripPrefix(".compact_old_")}")
+        if (Files.exists(part)) deleteTree(p)                          // crashed after swap-in: finish cleanup
+        else Files.move(p, part, StandardCopyOption.ATOMIC_MOVE)       // crashed mid-swap: roll back
+      } else if (name.startsWith(".compact_tmp_")) deleteTree(p)       // half-written staging: discard
+    }
+
+    val rowCounts = s.read.parquet(dir)
+      .groupBy(col(partitionCol)).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+
+    rowCounts.map { case (pv, rows) =>
+      val pdir = root.resolve(s"$partitionCol=$pv")
+      val before = parquetFiles(pdir)
+      val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+      if (before <= target) CompactStat(pv, rows, before, before)
+      else {
+        val tmp = root.resolve(s".compact_tmp_$pv")
+        s.read.parquet(pdir.toString)
+          .coalesce(target.toInt)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = root.resolve(s".compact_old_$pv")
+        Files.move(pdir, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, pdir, StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(old)
+        CompactStat(pv, rows, before, parquetFiles(pdir))
+      }
+    }
   }
 }

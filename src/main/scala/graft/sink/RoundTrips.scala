@@ -236,17 +236,66 @@ object RoundTrips {
          MIN(doc_id) AS min_vid, MAX(doc_id) AS max_vid
        FROM documents GROUP BY 1 ORDER BY model_id"""
 
+  /** q128 — [[graft.core.Layout.compactLake]] end-to-end: a
+    * deliberately FRAGMENTED source-partitioned lake (repartition by
+    * source puts each source in exactly one write task;
+    * `maxRecordsPerFile=8` then rolls a file every 8 rows, so the
+    * fixture's file census is construction arithmetic: ceil(n_src/8)
+    * files per partition), compacted to `targetRecordsPerFile=64`,
+    * read back through a fresh scan. The returned frame carries BOTH
+    * sides of the contract and the oracle states both from
+    * `documents` alone:
+    *  - content survival (n_docs / sum_ids / sum_chars per source —
+    *    any row lost, duplicated, or corrupted by the rewrite+swap
+    *    breaks the hash), and
+    *  - the PHYSICAL census (files_before = ceil(n/8) from the
+    *    fragmented write, files_after = ceil(n/64) from the
+    *    shuffle-free coalesce) — so the compaction itself, not just
+    *    the round-trip, is oracle-checked. Crash-state recovery and
+    *    idempotence are LayoutSpec's half (physical properties the
+    *    content oracle can't see). */
+  def qCompactLakeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_compact_lake_").toString
+    Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+      .repartition($"source")
+      .write.mode("overwrite").partitionBy("source")
+      .option("maxRecordsPerFile", 8L)
+      .parquet(lake)
+    val stats = graft.core.Layout.compactLake(s, lake, "source", targetRecordsPerFile = 64L)
+    val statsDf = stats.toDF()
+      .select($"partition".as("source"),
+        $"filesBefore".as("files_before"),
+        $"filesAfter".as("files_after"))
+    s.read.parquet(lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .join(broadcast(statsDf), Seq("source"))
+      .orderBy($"source")
+  }
+
+  val qCompactLakeRoundTripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS files_before,
+       CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS files_after
+       FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
     "q88_shard_write_roundtrip" -> qShardWriteRoundTrip,
-    "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip)
+    "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip,
+    "q128_compact_lake" -> qCompactLakeRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
     "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql,
-    "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql)
+    "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql,
+    "q128_compact_lake" -> qCompactLakeRoundTripSql)
 }

@@ -86,6 +86,62 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactLake: bin-packs fragmented partitions, preserves content, idempotent re-run") {
+    val dir = Files.createTempDirectory("compact").resolve("lake").toString
+    val docs = spark.range(0, 300).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 3).cast("string")).as("source"))
+    docs.repartition($"source")
+      .write.partitionBy("source").option("maxRecordsPerFile", 7L).parquet(dir)
+
+    val stats = Layout.compactLake(spark, dir, "source", targetRecordsPerFile = 50L)
+    assert(stats.map(_.partition) == Seq("s0", "s1", "s2"))
+    stats.foreach { st =>
+      assert(st.rows == 100)
+      assert(st.filesBefore == 15, st)   // ceil(100/7)
+      assert(st.filesAfter == 2, st)     // ceil(100/50)
+    }
+    // content survived the rewrite+swap byte-for-byte (ids and routing)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    assert(back.groupBy($"source").agg(sum($"doc_id").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      docs.groupBy($"source").agg(sum($"doc_id").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // idempotent: a second run rewrites nothing
+    val again = Layout.compactLake(spark, dir, "source", targetRecordsPerFile = 50L)
+    again.foreach(st => assert(st.filesBefore == 2 && st.filesAfter == 2, st))
+  }
+
+  test("compactLake: crash states between the swap renames self-heal") {
+    val root = Files.createTempDirectory("compact2").resolve("lake")
+    val dir = root.toString
+    spark.range(0, 90).select(
+      $"id".as("doc_id"),
+      concat(lit("p"), ($"id" % 3).cast("string")).as("source"))
+      .repartition($"source")
+      .write.partitionBy("source").option("maxRecordsPerFile", 5L).parquet(dir)
+
+    // crash MID-swap: old moved out, staged copy never moved in —
+    // partition p0 is missing from the lake, its rows live only in
+    // .compact_old_p0 (plus a stale half-written staging dir)
+    Files.move(root.resolve("source=p0"), root.resolve(".compact_old_p0"))
+    Files.createDirectories(root.resolve(".compact_tmp_p1"))
+    // crash POST-swap: new dir in place, old dir never cleaned
+    Files.createDirectories(root.resolve(".compact_old_p2").resolve("junk"))
+
+    val stats = Layout.compactLake(spark, dir, "source", targetRecordsPerFile = 100L)
+    // p0 rolled back before the count scan: all 3 partitions compacted
+    assert(stats.map(_.partition) == Seq("p0", "p1", "p2"))
+    assert(stats.forall(_.rows == 30))
+    assert(stats.forall(_.filesAfter == 1))
+    assert(spark.read.parquet(dir).count() == 90)
+    // every crash-state artifact healed away
+    assert(!Files.exists(root.resolve(".compact_old_p0")))
+    assert(!Files.exists(root.resolve(".compact_tmp_p1")))
+    assert(!Files.exists(root.resolve(".compact_old_p2")))
+  }
+
   test("one row group ordering: sortWithinPartitions keeps (model, vid) runs") {
     val dir = Files.createTempDirectory("lake2").resolve("scores").toString
     val scores = spark.range(0, 500).select(
