@@ -18,10 +18,12 @@ import graft.core.Tables
   * content digest, exact binary dedup), the mapPartitions batch
   * plumbing of the decode stage, and the codecs themselves —
   * `javax.imageio` header parse for every image format the JDK ships
-  * (png/bmp/gif/jpeg/tiff/wbmp) and `javax.sound.sampled` header
-  * parse for its audio containers (wav/aiff/au). Payloads outside
-  * those sets (webp, video — codec libraries the container and the
-  * JDK both lack) degrade to a documented deterministic fallback
+  * (png/bmp/gif/jpeg/tiff/wbmp), `javax.sound.sampled` header parse
+  * for its audio containers (wav/aiff/au), and a hand-rolled
+  * ISO-BMFF box walk for the MP4/MOV video family ([[decodeVideo]] —
+  * the metadata layer needs no codec). Payloads outside those sets
+  * (webp, non-BMFF video — codec libraries the container and the JDK
+  * both lack) degrade to a documented deterministic fallback
   * ([[fallbackMeta]]); swapping in a fuller codec set changes only
   * reader discovery, which is the JDK registries', not this file.
   */
@@ -83,7 +85,8 @@ object Multimodal {
       iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(m.payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeAudio(m).getOrElse(fallbackMeta(m))
+      if (!readers.hasNext)
+        decodeAudio(m).orElse(decodeVideo(m)).getOrElse(fallbackMeta(m))
       else {
         val r = readers.next()
         try {
@@ -123,6 +126,62 @@ object Multimodal {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+
+  /** REAL video-container branch: an ISO-BMFF (MP4/MOV family) box
+    * walk in ~40 lines of pure JDK — the same no-new-dependency
+    * argument as the image/audio branches, for the one container
+    * family whose METADATA layer needs no codec at all (ISO/IEC
+    * 14496-12 is a length-prefixed box tree; `mvhd` carries the movie
+    * timescale + duration, `trak` count is the track census). Frame
+    * DECODE genuinely needs external libs and stays on the fallback;
+    * header parse does not, and at 100 TB cataloging a video lake is
+    * exactly this walk. Field mapping follows the audio branch's
+    * documented convention: `width` ← movie timescale (ticks/sec),
+    * `height` ← track count, `n_frames` ← duration in timescale
+    * ticks. Truncated/malformed box trees return None and fall
+    * through to [[fallbackMeta]] — one bad file never kills the pass. */
+  private def decodeVideo(m: MediaRow): Option[MediaMeta] = {
+    val buf = java.nio.ByteBuffer.wrap(m.payload) // big-endian by default
+    def u32(at: Int): Long = buf.getInt(at) & 0xffffffffL
+    def tag(at: Int): String =
+      new String(m.payload, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the box list in [from, until); returns (type, payloadStart,
+    // payloadEnd) triples, bounds-checked — malformed sizes abort.
+    def boxes(from: Int, until: Int): Option[List[(String, Int, Int)]] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var at = from
+      while (at < until) {
+        if (until - at < 8) return None
+        val (hdr, end) = u32(at) match {
+          case 0L => (8L, until.toLong)                     // box runs to EOF
+          case 1L =>                                        // 64-bit largesize
+            if (until - at < 16) return None
+            (16L, at + buf.getLong(at + 8))
+          case sz => (8L, at + sz)
+        }
+        if (end > until || end < at + hdr) return None
+        out += ((tag(at + 4), at + hdr.toInt, end.toInt))
+        at = end.toInt
+      }
+      Some(out.result())
+    }
+    if (m.payload.length < 12 || tag(4) != "ftyp") None
+    else
+      for {
+        top <- boxes(0, m.payload.length)
+        (_, ms, me) <- top.find(_._1 == "moov")
+        kids <- boxes(ms, me)
+        (_, hs, he) <- kids.find(_._1 == "mvhd")
+        if he - hs >= 20
+      } yield {
+        val v = m.payload(hs) & 0xff // version byte of the full box
+        val (timescale, duration) =
+          if (v == 1 && he - hs >= 32) (u32(hs + 20), buf.getLong(hs + 24))
+          else (u32(hs + 12), u32(hs + 16))
+        MediaMeta(m.doc_id, timescale.toInt, kids.count(_._1 == "trak"),
+          duration.toInt, "mp4")
+      }
+  }
 
   /** The documented deterministic fake for payloads outside the
     * installed codec set: dimensions from the leading bytes, opaque
@@ -197,10 +256,64 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic REAL video-container synthesis for the q58
+    * fixture: a spec-shaped ISO-BMFF box tree — `ftyp` (isom), `moov`
+    * holding a complete v0 `mvhd` (rate/volume/unity-matrix/
+    * next-track-id fields all populated per ISO/IEC 14496-12 §8.2.2)
+    * and one full v0 `tkhd` per track — written big-endian by hand,
+    * the container-bytes analogue of [[encodeImage]]/[[encodeWav]].
+    * No media data (`mdat`) is included: the fixture exercises the
+    * metadata layer, which is the layer [[decodeVideo]] parses. */
+  private[multimodal] def encodeMp4(timescale: Int, durationTicks: Int,
+                                    nTracks: Int): Array[Byte] = {
+    val unity = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    val tkhdSize = 92
+    val trakSize = 8 + tkhdSize
+    val mvhdSize = 108
+    val moovSize = 8 + mvhdSize + nTracks * trakSize
+    val buf = java.nio.ByteBuffer.allocate(20 + moovSize)
+    def box(size: Int, typ: String): Unit = {
+      buf.putInt(size)
+      buf.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    box(20, "ftyp")
+    buf.put("isom".getBytes); buf.putInt(0x200); buf.put("isom".getBytes)
+    box(moovSize, "moov")
+    box(mvhdSize, "mvhd")
+    buf.putInt(0)                 // version 0 + flags
+    buf.putInt(0).putInt(0)       // creation / modification time
+    buf.putInt(timescale)
+    buf.putInt(durationTicks)
+    buf.putInt(0x00010000)        // rate 1.0 (16.16 fixed)
+    buf.putShort(0x0100.toShort)  // volume 1.0 (8.8 fixed)
+    buf.putShort(0)               // reserved
+    buf.putLong(0L)               // reserved
+    unity.foreach(buf.putInt)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(nTracks + 1)       // next_track_ID
+    (1 to nTracks).foreach { tid =>
+      box(trakSize, "trak")
+      box(tkhdSize, "tkhd")
+      buf.putInt(0x000007)        // version 0 + enabled|in-movie|in-preview
+      buf.putInt(0).putInt(0)     // creation / modification time
+      buf.putInt(tid)             // track_ID
+      buf.putInt(0)               // reserved
+      buf.putInt(durationTicks)   // duration (movie timescale)
+      buf.putLong(0L)             // reserved
+      buf.putShort(0).putShort(0) // layer / alternate_group
+      buf.putShort(0).putShort(0) // volume (non-audio) / reserved
+      unity.foreach(buf.putInt)
+      buf.putInt(0).putInt(0)     // width / height (16.16; no visual sample yet)
+    }
+    buf.array()
+  }
+
   /** The q58 media lake: per doc_id mod 4 a real PNG, a real BMP, a
     * real WAV (all with construction-arithmetic dimensions the oracle
-    * can state independently), or raw text bytes — the opaque-blob
-    * population every real media lake carries. */
+    * can state independently); the mod-4=3 quarter splits mod-8 into
+    * a real MP4 box tree (doc_id % 8 == 3) and raw text bytes
+    * (doc_id % 8 == 7) — the opaque-blob population every real media
+    * lake carries, kept so the fallback path stays exercised. */
   private def mediaDocs(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     // Spread the CPU-heavy encode/decode legs: the corpus file is one
@@ -220,17 +333,21 @@ object Multimodal {
           case 2 =>
             MediaRow(id, encodeWav(8000 + (byteLen % 8) * 1000,
               (id % 2).toInt + 1, (id % 500).toInt + 1, id))
+          case _ if id % 8 == 3 =>
+            MediaRow(id, encodeMp4(1000 + (byteLen % 10) * 100,
+              (id % 1000).toInt + 1, (id % 3).toInt + 1))
           case _ => MediaRow(id, text.getBytes("UTF-8"))
         }
       }
   }
 
-  /** Decode stage end-to-end over a media lake with REAL image AND
-    * audio bytes: q58 synthesizes PNG/BMP/WAV payloads of
-    * independently-stated dimensions ([[mediaDocs]]), runs them
-    * through the real `javax.imageio`/`javax.sound.sampled` header
-    * parses, and keeps the raw-blob quarter on the documented
-    * fallback path. The oracle states every expected value from the
+  /** Decode stage end-to-end over a media lake with REAL image,
+    * audio AND video container bytes: q58 synthesizes PNG/BMP/WAV/MP4
+    * payloads of independently-stated dimensions ([[mediaDocs]]),
+    * runs them through the real `javax.imageio`/`javax.sound.sampled`
+    * header parses and the [[decodeVideo]] box walk, and keeps a
+    * raw-blob eighth on the documented fallback path. The oracle
+    * states every expected value from the
     * construction arithmetic — if the codec plumbing (encode → batch
     * → reader selection → header parse) corrupts anything, dimensions
     * or formats shift and the hash breaks. */
@@ -247,17 +364,22 @@ object Multimodal {
          THEN (octet_length(encode(text)) % 16 + 1) * 8
          WHEN doc_id % 4 = 2
          THEN 8000 + (octet_length(encode(text)) % 8) * 1000
+         WHEN doc_id % 8 = 3
+         THEN 1000 + (octet_length(encode(text)) % 10) * 100
          ELSE (ascii(substring(text, 1, 1)) % 16 + 1) * 64 END AS width,
        CASE WHEN doc_id % 4 IN (0, 1)
          THEN (CAST(doc_id % 9 AS INT) + 1) * 8
          WHEN doc_id % 4 = 2 THEN CAST(doc_id % 2 AS INT) + 1
+         WHEN doc_id % 8 = 3 THEN CAST(doc_id % 3 AS INT) + 1
          ELSE (ascii(substring(text, 2, 1)) % 9 + 1) * 64 END AS height,
        CASE WHEN doc_id % 4 IN (0, 1) THEN 1
          WHEN doc_id % 4 = 2 THEN CAST(doc_id % 500 AS INT) + 1
+         WHEN doc_id % 8 = 3 THEN CAST(doc_id % 1000 AS INT) + 1
          ELSE octet_length(encode(text)) % 250 + 1 END AS n_frames,
        CASE WHEN doc_id % 4 = 0 THEN 'png'
          WHEN doc_id % 4 = 1 THEN 'bmp'
-         WHEN doc_id % 4 = 2 THEN 'wave' ELSE 'bin' END AS format
+         WHEN doc_id % 4 = 2 THEN 'wave'
+         WHEN doc_id % 8 = 3 THEN 'mp4' ELSE 'bin' END AS format
        FROM documents ORDER BY doc_id"""
 
   /** Frame sampling (builder brief: "frame-sample" over video columns):

@@ -65,6 +65,30 @@ class MultimodalSpec extends SparkSpec {
     assert(meta == Multimodal.MediaMeta(9L, 11000, 2, 321, "wave"), s"$meta")
   }
 
+  test("real codec: the ISO-BMFF walk reads mvhd timescale/duration and counts traks") {
+    val bytes = Multimodal.encodeMp4(timescale = 2400, durationTicks = 777, nTracks = 2)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "isom",
+      "the writer must emit a genuine ISO-BMFF ftyp box")
+    val meta = Multimodal.decodeOne(Multimodal.MediaRow(9L, bytes))
+    // documented mapping: width <- timescale, height <- tracks, frames <- ticks
+    assert(meta == Multimodal.MediaMeta(9L, 2400, 2, 777, "mp4"), s"$meta")
+  }
+
+  test("corrupt mp4 bytes (truncated mid-box, lying size) degrade to the fallback") {
+    val good = Multimodal.encodeMp4(2400, 777, 1)
+    for (bad <- Seq(
+      good.take(30),                     // truncated inside moov
+      good.take(8),                      // ftyp header only
+      { val b = good.clone()             // moov size field points past EOF
+        b(20) = 0x7f.toByte; b })) {
+      val meta = Multimodal.decodeOne(Multimodal.MediaRow(5L, bad))
+      assert(meta == Multimodal.fallbackMeta(Multimodal.MediaRow(5L, bad)),
+        s"len=${bad.length}")
+      assert(meta.format == "bin")
+    }
+  }
+
   test("corrupt audio bytes (RIFF magic, truncated body) degrade to the fallback") {
     val good = Multimodal.encodeWav(8000, 1, 100, seed = 1L)
     val truncated = good.take(16) // past the RIFF/WAVE magic, before fmt
