@@ -223,8 +223,9 @@ object Plans {
         |unrolled DuckDB replay depends on.""".stripMargin,
     "q58_media_decode" ->
       """The decode seam with REAL codecs across modalities:
-        |javax.imageio header parse (PNG IHDR / BMP BITMAPINFOHEADER)
-        |and javax.sound.sampled RIFF/WAVE fmt+data chunk parse inside
+        |javax.imageio header parse (PNG IHDR / BMP BITMAPINFOHEADER),
+        |javax.sound.sampled RIFF/WAVE fmt+data chunk parse, and a
+        |pure-JDK ISO-BMFF box walk (MP4 ftyp/moov/mvhd/trak) inside
         |the mapPartitions batch operator — payload bytes never
         |shuffle (the parallelism spread exchanges (id, text) rows
         |BEFORE encoding, so the codec legs run 32-way instead of on
@@ -233,7 +234,7 @@ object Plans {
         |not rasterize pixels or inflate samples). Unreadable payloads
         |degrade to
         |the documented deterministic fallback instead of failing the
-        |pass; q58's fixture keeps a raw-blob quarter so the degraded
+        |pass; q58's fixture keeps a raw-blob eighth so the degraded
         |path stays tested.""".stripMargin,
     "q61_phash_neardup" ->
       """Block-hash perceptual near-dup over binary payloads. Band geometry is
@@ -524,6 +525,22 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q128_compact_lake" ->
+      """Small-file compaction, the lake-maintenance tool incremental
+        |appends make necessary (every q127-style delta, partition
+        |rebuild, and streaming micro-batch lands more part files; at
+        |100 TB a 10k-file partition costs 10k opens per scan). One
+        |footer-weight census (groupBy(partition).count reads zero
+        |data columns) prices every partition; only partitions whose
+        |file count exceeds ceil(rows/target) are rewritten, each via
+        |a shuffle-free coalesce into a dot-prefixed staging dir that
+        |Spark's file index cannot see, then two atomic renames. Cost
+        |is ∝ fragmented partitions, never ∝ lake size; crash states
+        |between the renames self-heal on the next run (LayoutSpec
+        |pins all three). The oracle checks BOTH planes: content
+        |(n/ids/chars per source) and the physical file census —
+        |files_before = ceil(n/8) from the deliberately fragmented
+        |write, files_after = ceil(n/64) from the coalesce.""".stripMargin,
     "q114_score_lake_roundtrip" ->
       """The production score-lake layout, value-checked: writeScoreLake
         |lands bucket-partitioned + sorted-within-partition files; the
