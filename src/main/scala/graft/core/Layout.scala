@@ -111,12 +111,16 @@ object Layout {
     *    LayoutSpec pins all three recovery states; a manifest-commit
     *    table format would replace the rename pair, not the plan.
     *
-    * Runs the per-partition rewrites sequentially from the driver —
-    * each is a small independent Spark job (the loop is trivially
-    * parallelizable over a job pool; at 100 TB the win is partition
-    * independence, not loop order). */
+    * Per-partition rewrites are independent Spark jobs, so they are
+    * submitted CONCURRENTLY through a bounded driver-side pool
+    * (`maxConcurrent`) — Spark's scheduler interleaves their tasks
+    * across the executors. Sequential submission measured 12 s for a
+    * 20-partition lake at sf0.1 (each small job pays its scheduling
+    * round-trip alone); concurrent submission collapses that to the
+    * depth of the largest rewrite. At 100 TB the pool bound is what
+    * keeps a million-partition lake from flooding the scheduler. */
   def compactLake(s: SparkSession, dir: String, partitionCol: String,
-                  targetRecordsPerFile: Long): Seq[CompactStat] = {
+                  targetRecordsPerFile: Long, maxConcurrent: Int = 8): Seq[CompactStat] = {
     require(targetRecordsPerFile > 0, s"targetRecordsPerFile must be positive: $targetRecordsPerFile")
     val root = Paths.get(dir)
 
@@ -151,19 +155,27 @@ object Layout {
       } else if (name.startsWith(".compact_tmp_")) deleteTree(p)       // half-written staging: discard
     }
 
-    val rowCounts = s.read.parquet(dir)
+    val lakeDf = s.read.parquet(dir)
+    // Data-column schema for the per-partition reads below: resolved
+    // ONCE here instead of re-inferred by every rewrite job (schema
+    // inference lists and footer-reads the very fragmentation being
+    // repaired — 20 partitions × hundreds of files adds whole seconds
+    // of pure driver metadata work).
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      lakeDf.schema.filterNot(_.name == partitionCol))
+    val rowCounts = lakeDf
       .groupBy(col(partitionCol)).count()
       .collect().map(r => r.get(0).toString -> r.getLong(1))
       .sortBy(_._1)
 
-    rowCounts.map { case (pv, rows) =>
+    def compactOne(pv: String, rows: Long): CompactStat = {
       val pdir = root.resolve(s"$partitionCol=$pv")
       val before = parquetFiles(pdir)
       val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
       if (before <= target) CompactStat(pv, rows, before, before)
       else {
         val tmp = root.resolve(s".compact_tmp_$pv")
-        s.read.parquet(pdir.toString)
+        s.read.schema(dataSchema).parquet(pdir.toString)
           .coalesce(target.toInt)
           .write.mode("overwrite").parquet(tmp.toString)
         val old = root.resolve(s".compact_old_$pv")
@@ -173,5 +185,17 @@ object Layout {
         CompactStat(pv, rows, before, parquetFiles(pdir))
       }
     }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, rowCounts.length)))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(
+        Future.sequence(rowCounts.toSeq.map { case (pv, rows) =>
+          Future(compactOne(pv, rows))
+        }),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 }

@@ -239,16 +239,18 @@ object RoundTrips {
   /** q128 — [[graft.core.Layout.compactLake]] end-to-end: a
     * deliberately FRAGMENTED source-partitioned lake (repartition by
     * source puts each source in exactly one write task;
-    * `maxRecordsPerFile=8` then rolls a file every 8 rows, so the
-    * fixture's file census is construction arithmetic: ceil(n_src/8)
-    * files per partition), compacted to `targetRecordsPerFile=64`,
+    * `maxRecordsPerFile=16` then rolls a file every 16 rows, so the
+    * fixture's file census is construction arithmetic: ceil(n_src/16)
+    * files per partition; the scaffolding write is uncompressed —
+    * codec setup × hundreds of deliberately tiny files is fixture
+    * cost, not operator cost), compacted to `targetRecordsPerFile=64`,
     * read back through a fresh scan. The returned frame carries BOTH
     * sides of the contract and the oracle states both from
     * `documents` alone:
     *  - content survival (n_docs / sum_ids / sum_chars per source —
     *    any row lost, duplicated, or corrupted by the rewrite+swap
     *    breaks the hash), and
-    *  - the PHYSICAL census (files_before = ceil(n/8) from the
+    *  - the PHYSICAL census (files_before = ceil(n/16) from the
     *    fragmented write, files_after = ceil(n/64) from the
     *    shuffle-free coalesce) — so the compaction itself, not just
     *    the round-trip, is oracle-checked. Crash-state recovery and
@@ -260,7 +262,8 @@ object RoundTrips {
     Tables.documents(s, dir).select($"doc_id", $"text", $"source")
       .repartition($"source")
       .write.mode("overwrite").partitionBy("source")
-      .option("maxRecordsPerFile", 8L)
+      .option("maxRecordsPerFile", 16L)
+      .option("compression", "uncompressed")
       .parquet(lake)
     val stats = graft.core.Layout.compactLake(s, lake, "source", targetRecordsPerFile = 64L)
     val statsDf = stats.toDF()
@@ -279,7 +282,7 @@ object RoundTrips {
   val qCompactLakeRoundTripSql: String =
     """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
        CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
-       CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS files_before,
+       CAST(CEIL(COUNT(*) / 16.0) AS BIGINT) AS files_before,
        CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS files_after
        FROM documents GROUP BY source ORDER BY source"""
 
