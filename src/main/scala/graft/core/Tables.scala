@@ -29,17 +29,34 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is set
-    * in the session (apply [[sessionConf]] to the session builder, as
-    * Bench/Verify/Plans and the test base do; this reader stays
-    * side-effect free). The raw int64 nanos are truncated to a
-    * microsecond timestamp (matching DuckDB's ns→us cast semantics).
+  /** events.parquet has shipped `ts` under two physical shapes across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark 4 surfaces as
+    * a raw int64 (nanos) only when `spark.sql.legacy.parquet.nanosAsLong
+    * =true` is set, see [[sessionConf]] — and plain timestamp[us]. The
+    * reference survives exactly this kind of drift by inspecting the
+    * live schema before reading (reference `inspect_schema.py:1-30`,
+    * `build_islands_from_scores.py:179-226`), so dispatch on the actual
+    * `ts` dataType instead of assuming one generation:
+    *   - LongType        → nanos-as-long file: truncate to microseconds
+    *     (matches DuckDB's ns→us cast semantics).
+    *   - any timestamp   → already micros: normalize to session-TZ
+    *     TimestampType so downstream date/window logic sees one type.
+    * The reader stays side-effect free; [[sessionConf]] keeps
+    * `nanosAsLong` so BOTH generations remain readable in one session.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      // integral DIV, not `/`: int64 nanos exceed double's 53-bit mantissa
+      case LongType                          => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampType | TimestampNTZType  => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported physical type for ts: $other")
+    }
+    raw.withColumn("ts", ts)
+  }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 }
