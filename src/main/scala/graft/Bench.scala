@@ -1,4 +1,5 @@
 package graft
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
@@ -15,11 +16,27 @@ import org.apache.spark.sql.SparkSession
   * (r4→r5 showed a 267 s outlier with 4× the usual GC on an identical
   * plan set), and a median-of-3 separates plan regressions from
   * machine weather. The headline `value` is the sum of medians.
+  *
+  * The repeats are INTERLEAVED across the suite (whole catalog pass 1,
+  * then pass 2, then pass 3) rather than back-to-back per query: a
+  * transient load spike then contaminates one pass of many queries —
+  * which the per-query median rejects — instead of all three runs of
+  * whichever queries it straddled, which no statistic can repair
+  * (BENCH_r07 recorded 3-8× inflations on queries whose plans were
+  * byte-identical to their round-6 versions; every one re-measured at
+  * parity in isolation).
+  *
   * Repeat-run caveat: queries that materialize a once-per-corpus
-  * artifact (the q30-family pair lake) are CHEAPER on runs 2-3 by
+  * artifact (the q30-family pair lake) are CHEAPER on passes 2-3 by
   * design — their median reports the steady-state (artifact-warm)
-  * latency, and the generation cost still shows in whichever family
-  * member's first run paid it (visible as median ≫ min inversions).
+  * latency, and the generation cost still shows in the `first` field
+  * (cold pass-1 time, visible as median ≫ min inversions).
+  *
+  * Dev-only single-query mode (the driver passes no args): an optional
+  * first arg carries a CSV of query names — same contract as
+  * `graft.Verify`'s third arg — so one regressed query can be
+  * re-measured without a scratch harness:
+  * {{{ runMain graft.Bench q07_revenue_by_segment,q103_winnow_fingerprints }}}
   *
   * Measurement hygiene (the BENCH_r02 lesson — unreleased broadcasts
   * accumulated across 61 queries until unrelated trivial queries
@@ -30,9 +47,9 @@ import org.apache.spark.sql.SparkSession
   *    summed over the runs) are recorded alongside wall time, so
   *    environment drift is visible IN the artifact instead of
   *    discovered by cross-round archaeology;
-  *  - a query that throws is listed in `failed` and not retried (its
-  *    abort time would otherwise be indistinguishable from a fast
-  *    success).
+  *  - a query that throws is listed in `failed` and skipped on later
+  *    passes (its abort time would otherwise be indistinguishable from
+  *    a fast success).
   */
 object Bench {
 
@@ -46,6 +63,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,39 +98,46 @@ object Bench {
     try SparkEntry.queries("q02_last_order_per_customer")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = Seq.newBuilder[Double]
-      var gcTotal = 0L
-      var fail = false
-      var r = 0
-      while (r < Runs && !fail) {
-        val gc0 = gcMillis()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          fail = true
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
+
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val secsByQuery = mutable.LinkedHashMap(
+      catalog.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
+    val gcByQuery = mutable.LinkedHashMap(
+      catalog.map { case (name, _) => name -> 0L }: _*)
+    val failedSet = mutable.LinkedHashSet.empty[String]
+    var pass = 0
+    while (pass < Runs) {
+      catalog.foreach { case (name, fn) =>
+        if (!failedSet.contains(name)) {
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failedSet += name
+            System.err.println(s"[bench] $name failed: $e")
+          }
+          secsByQuery(name) += (System.nanoTime() - t0) / 1e9
+          gcByQuery(name) += gcMillis() - gc0
+          graft.core.Resources.release()
+          // Untimed collection between runs: released broadcasts/caches
+          // are reclaimed NOW instead of as GC pressure inside the next
+          // run's timing window.
+          System.gc()
         }
-        secs += (System.nanoTime() - t0) / 1e9
-        gcTotal += gcMillis() - gc0
-        graft.core.Resources.release()
-        // Untimed collection between runs: released broadcasts/caches
-        // are reclaimed NOW instead of as GC pressure inside the next
-        // run's timing window.
-        System.gc()
-        r += 1
       }
-      val inOrder = secs.result()
+      pass += 1
+    }
+    val results = catalog.map { case (name, _) =>
+      val inOrder = secsByQuery(name).toSeq
       val sorted = inOrder.sorted
-      // `first` is the COLD run (run order, not sorted): for the
+      // `first` is the COLD run (pass-1 time, not sorted): for the
       // artifact-building families (pair lake, shard lakes) it carries
       // the generation cost that the artifact-warm median deliberately
       // excludes — reporting both ends the footnote about flattering
       // cross-round totals by making cold vs steady-state separable in
       // the artifact itself.
-      (name, sorted(sorted.length / 2), sorted.head, inOrder.head, gcTotal)
+      (name, sorted(sorted.length / 2), sorted.head, inOrder.head, gcByQuery(name))
     }
     val qs = results.map { case (k, med, mn, first, _) =>
       s"\"" + k + "\":{\"med\":" + med + ",\"min\":" + mn +
@@ -120,7 +145,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcs = results.map { case (k, _, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars
@@ -136,7 +161,7 @@ object Bench {
     val qsShort = results.map { case (k, med, _, _, _) =>
       "\"" + shortKey(k) + "\":" + f"$med%.2f"
     }.mkString("{", ",", "}")
-    val failedShort = failed.result().map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val failedShort = failedSet.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val gcTotal = results.map(_._5).sum
     // Stop Spark BEFORE the final println: shutdown-hook log lines must
     // not trail the compact JSON (BENCH_r04 had `parsed: null` because
