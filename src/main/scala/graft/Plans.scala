@@ -525,6 +525,28 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q129_manifest_lake" ->
+      """Manifest-committed lake: the concurrent-writer-safe evolution
+        |of q128's rename-swap, the same load-bearing core as Delta/
+        |Iceberg over plain partitioned parquet. The lake's contents
+        |are DEFINED by `_manifests/vN` (a text file of relative data
+        |paths); readers open exactly the named files — zero directory
+        |listing, so uncommitted/staged files are invisible and a
+        |crashed writer leaves garbage bytes, never garbage rows. The
+        |commit primitive is hard-link CAS (`link(2)` fails EEXIST
+        |atomically; POSIX rename REPLACES, so a rename "commit" would
+        |let two racers both win). CAS losers rebase: appenders
+        |set-union their paths (lossless by construction); compaction
+        |keeps files appended since its snapshot and abandons a
+        |partition a faster compactor already swapped. Nothing is
+        |deleted at commit — vacuum reclaims unreferenced files after
+        |a version-grace window. The oracle pins the ledger arithmetic
+        |(two fragmented appends' file census in, bin-packed census
+        |out, content through v1→v2→v3→vacuum); LayoutSpec pins the
+        |races themselves (a commit landing inside compaction's
+        |snapshot→commit window, 4 appenders + compactor in parallel).
+        |At 100 TB the manifest IS the scan plan; S3 swaps the one CAS
+        |call for a commit service, the protocol is unchanged.""".stripMargin,
     "q128_compact_lake" ->
       """Small-file compaction, the lake-maintenance tool incremental
         |appends make necessary (every q127-style delta, partition

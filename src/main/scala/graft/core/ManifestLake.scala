@@ -1,0 +1,349 @@
+package graft.core
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-committed lake — the concurrent-writer-safe evolution of
+  * [[Layout.compactLake]]'s rename-swap (whose staging protocol is safe
+  * for concurrent READERS but documented single-writer: a writer
+  * appending into a partition mid-swap lands files in the directory the
+  * swap is about to rename away). This is the same idea Delta Lake /
+  * Iceberg build on, reduced to its load-bearing core over plain
+  * partitioned parquet:
+  *
+  *  - the lake's contents are DEFINED by a manifest, not by directory
+  *    listing: `_manifests/v{N}` is a text file of relative data-file
+  *    paths, and readers open exactly the files the highest committed
+  *    manifest names. Uncommitted files are invisible — a crashed
+  *    writer leaves garbage bytes, never garbage rows;
+  *  - every write lands files under dot-prefixed staging (invisible to
+  *    any directory-listing reader too), hard-renames them into the
+  *    partition directories under collision-free UUID names, and then
+  *    COMMITS by publishing manifest N+1;
+  *  - the commit primitive is compare-and-swap via
+  *    `Files.createLink(vN+1, tmp)` — `link(2)` fails with EEXIST
+  *    atomically if vN+1 already exists. POSIX `rename(2)` silently
+  *    REPLACES an existing target, so an atomic-move "commit" would let
+  *    two racing writers both believe they won; hard-link creation is
+  *    the local-FS primitive with no-replace semantics (HDFS gets this
+  *    from rename-without-overwrite; S3 needs a commit service — the
+  *    protocol is unchanged, only this one CAS call is swapped per
+  *    filesystem);
+  *  - a loser of the CAS race re-reads the latest manifest, REBASES its
+  *    intent on it, and retries: appenders only add paths, so their
+  *    rebase is set-union; compaction replaces old paths with new ones,
+  *    so its rebase keeps any file appended since its snapshot and
+  *    abandons a partition's swap if another compactor already removed
+  *    the files it meant to replace (its staged output is deleted,
+  *    nothing is lost — the other compactor's result stands);
+  *  - nothing is ever deleted at commit time: replaced files stay on
+  *    disk so readers pinned to an older manifest finish their scans.
+  *    [[vacuum]] reclaims files unreferenced by the last K manifests —
+  *    the retention/GC half of the protocol, run out-of-band like
+  *    Delta's VACUUM.
+  *
+  * At 100 TB the manifest is the scan plan: a read opens zero
+  * directories and exactly the named files, so the small-file pathology
+  * compaction repairs never taxes the planner either. Manifests
+  * themselves stay metadata-sized (one line per live file — compaction
+  * actively shrinks it); a billion-file lake would add Iceberg-style
+  * manifest sharding on top, not change the commit protocol.
+  */
+object ManifestLake {
+
+  private val ManifestDir = "_manifests"
+  private val MaxCommitRetries = 50
+
+  final case class Snapshot(version: Long, files: Vector[String])
+
+  /** Per-partition compaction outcome (same contract as
+    * [[Layout.CompactStat]]): `filesBefore == filesAfter` means the
+    * partition was already at target and was NOT rewritten. */
+  final case class CompactStat(partition: String, rows: Long,
+                               filesBefore: Long, filesAfter: Long)
+
+  private def manifestPath(root: Path, v: Long): Path =
+    root.resolve(ManifestDir).resolve(f"v$v%012d")
+
+  /** Highest committed snapshot, or None for a virgin directory. */
+  def latestSnapshot(dir: String): Option[Snapshot] = {
+    val mdir = Paths.get(dir).resolve(ManifestDir)
+    if (!Files.isDirectory(mdir)) None
+    else {
+      val st = Files.list(mdir)
+      val versions =
+        try st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).toVector
+        finally st.close()
+      versions.maxOption.map { v =>
+        Snapshot(v, Files.readAllLines(manifestPath(Paths.get(dir), v))
+          .asScala.filter(_.nonEmpty).toVector)
+      }
+    }
+  }
+
+  /** CAS-commit `files` as version `asVersion`; false = lost the race
+    * (a manifest with that version already exists). */
+  private def tryCommit(root: Path, asVersion: Long, files: Vector[String]): Boolean = {
+    val mdir = root.resolve(ManifestDir)
+    Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
+    Files.write(tmp, files.sorted.asJava)
+    try {
+      try { Files.createLink(manifestPath(root, asVersion), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Rebase-and-retry commit loop: `intent` maps the latest committed
+    * snapshot to the desired file list (or None to abandon — e.g. a
+    * compaction whose inputs another compactor already replaced). */
+  private def commitLoop(root: Path)(intent: Option[Snapshot] => Option[Vector[String]]): Option[Snapshot] = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val latest = latestSnapshot(root.toString)
+      intent(latest) match {
+        case None => return latest
+        case Some(files) =>
+          val next = latest.map(_.version + 1).getOrElse(1L)
+          if (tryCommit(root, next, files)) return Some(Snapshot(next, files.sorted))
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit on $root lost the CAS race $MaxCommitRetries times")
+  }
+
+  /** Stage `df` (partitioned by `partitionCol`) into the lake's
+    * partition directories under UUID names and return the relative
+    * paths — files exist on disk but are NOT yet in any manifest. */
+  private def stageFiles(s: SparkSession, root: Path, df: DataFrame,
+                         partitionCol: String, maxRecordsPerFile: Long): Vector[String] = {
+    val stage = root.resolve(s".stage_${UUID.randomUUID()}")
+    df.write.partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(stage.toString)
+    val moved = Vector.newBuilder[String]
+    val parts = Files.list(stage)
+    try parts.iterator().asScala.filter(Files.isDirectory(_)).foreach { pdir =>
+      val pname = pdir.getFileName.toString // "<partitionCol>=<value>"
+      val dest = root.resolve(pname)
+      Files.createDirectories(dest)
+      val fs = Files.list(pdir)
+      try fs.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { f =>
+          val unique = s"${UUID.randomUUID()}-${f.getFileName}"
+          Files.move(f, dest.resolve(unique))
+          moved += s"$pname/$unique"
+        }
+      finally fs.close()
+    } finally parts.close()
+    deleteTree(stage)
+    moved.result()
+  }
+
+  /** Append `df` to the lake (creating it on first call): stage, then
+    * CAS-commit snapshot+new. Appends never remove paths, so rebase
+    * under contention is plain set-union — lossless by construction. */
+  def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
+             maxRecordsPerFile: Long = 1024 * 1024): Snapshot = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile)
+    commitLoop(root) { latest =>
+      Some(latest.map(_.files).getOrElse(Vector.empty) ++ staged)
+    }.get
+  }
+
+  /** Read the lake as of its latest manifest (or an explicit
+    * snapshot — time travel for free). `basePath` keeps the partition
+    * column: files are opened by NAME, no directory listing, so
+    * concurrent writers' uncommitted files are invisible. */
+  def read(s: SparkSession, dir: String, snapshot: Option[Snapshot] = None): DataFrame = {
+    val snap = snapshot.orElse(latestSnapshot(dir)).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val abs = snap.files.map(f => s"$dir/$f")
+    s.read.option("basePath", dir).parquet(abs: _*)
+  }
+
+  /** Compact fragmented partitions of the latest snapshot and commit
+    * the swap. Safe under concurrent appends AND concurrent compactors:
+    * the rebase keeps files appended after our snapshot, and abandons
+    * any partition whose inputs a faster compactor already replaced. */
+  def compact(s: SparkSession, dir: String, partitionCol: String,
+              targetRecordsPerFile: Long, maxConcurrent: Int = 8): Seq[CompactStat] =
+    compact(s, dir, partitionCol, targetRecordsPerFile, maxConcurrent, () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewrites finish and
+    * before the commit loop starts — the window a concurrent writer's
+    * commit must be rebased over. Package-private so specs can pin the
+    * race deterministically instead of hoping a sleep lines up. */
+  private[core] def compact(s: SparkSession, dir: String, partitionCol: String,
+                            targetRecordsPerFile: Long, maxConcurrent: Int,
+                            beforeCommit: () => Unit): Seq[CompactStat] = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive: $targetRecordsPerFile")
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+
+    val byPartition: Map[String, Vector[String]] =
+      snap.files.groupBy(f => f.takeWhile(_ != '/'))
+    // Snapshot-consistent row counts: count over the MANIFEST's files
+    // (one footer-weight job), never a directory listing that would see
+    // concurrent writers' staged or uncommitted data.
+    val rowCounts: Map[String, Long] =
+      read(s, dir, Some(snap)).groupBy(col(partitionCol)).count()
+        .collect().map(r => s"$partitionCol=${r.get(0)}" -> r.getLong(1)).toMap
+
+    final case class Swap(pname: String, rows: Long, olds: Vector[String],
+                          news: Vector[String])
+
+    def compactOne(pname: String, olds: Vector[String]): Either[CompactStat, Swap] = {
+      val rows = rowCounts.getOrElse(pname, 0L)
+      val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+      if (olds.length <= target)
+        Left(CompactStat(pname.dropWhile(_ != '=').drop(1), rows, olds.length, olds.length))
+      else {
+        // Data files carry no partition column (it lives in the path),
+        // so an explicit-file read without basePath yields exactly the
+        // data schema to rewrite; shuffle-free coalesce bin-packs.
+        val stage = root.resolve(s".stage_${UUID.randomUUID()}")
+        s.read.parquet(olds.map(f => s"$dir/$f"): _*)
+          .coalesce(target.toInt)
+          .write.parquet(stage.toString)
+        val dest = root.resolve(pname)
+        val news = Vector.newBuilder[String]
+        val fs = Files.list(stage)
+        try fs.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            val unique = s"${UUID.randomUUID()}-${f.getFileName}"
+            Files.move(f, dest.resolve(unique))
+            news += s"$pname/$unique"
+          }
+        finally fs.close()
+        deleteTree(stage)
+        Right(Swap(pname, rows, olds, news.result()))
+      }
+    }
+
+    // Per-partition rewrites are independent Spark jobs — submit them
+    // through a bounded pool (same rationale as Layout.compactLake:
+    // sequential submission pays each small job's scheduling round-trip
+    // alone; the bound keeps a huge lake from flooding the scheduler).
+    val parts = byPartition.toVector.sortBy(_._1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, parts.length)))
+    val outcomes =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(parts.map { case (pname, olds) =>
+            Future(compactOne(pname, olds))
+          }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+
+    val untouched = outcomes.collect { case Left(st) => st }
+    val swaps = outcomes.collect { case Right(sw) => sw }
+
+    // ONE commit for all swaps, rebased on whatever committed since our
+    // snapshot. Per swapped partition: drop our olds, add our news, and
+    // KEEP anything else (concurrent appends land after this commit too
+    // — they only ever union paths in). If a faster compactor removed
+    // any of our olds, our rewrite is stale double-work: abandon it and
+    // delete our staged news.
+    beforeCommit()
+    val abandoned = scala.collection.mutable.Set.empty[String]
+    val committed = if (swaps.isEmpty) latestSnapshot(dir) else commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        val live = latest.files.toSet
+        abandoned.clear()
+        val (apply, drop) = swaps.partition(sw => sw.olds.forall(live.contains))
+        abandoned ++= drop.map(_.pname)
+        if (apply.isEmpty && drop.nonEmpty) None // everything raced away; nothing to commit
+        else {
+          val removed = apply.flatMap(_.olds).toSet
+          Some(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news))
+        }
+    }
+    swaps.filter(sw => abandoned.contains(sw.pname))
+      .foreach(_.news.foreach(f => Files.deleteIfExists(root.resolve(f))))
+
+    val swapStats = swaps.map { sw =>
+      val after =
+        if (abandoned.contains(sw.pname))
+          committed.map(_.files.count(_.startsWith(sw.pname + "/")).toLong)
+            .getOrElse(sw.olds.length.toLong)
+        else sw.news.length.toLong
+      CompactStat(sw.pname.dropWhile(_ != '=').drop(1), sw.rows, sw.olds.length, after)
+    }
+    (untouched ++ swapStats).sortBy(_.partition)
+  }
+
+  /** Reclaim files unreferenced by the last `keepVersions` manifests,
+    * plus any stale staging directory. Readers are given `keepVersions`
+    * of grace — the Delta VACUUM trade, with versions standing in for
+    * wall-clock retention (no clocks → deterministic tests; a
+    * deployment would gate on manifest mtime age too). */
+  def vacuum(dir: String, keepVersions: Int = 2): Long = {
+    val root = Paths.get(dir)
+    val latest = latestSnapshot(dir).getOrElse(return 0L)
+    val mdir = root.resolve(ManifestDir)
+    val keepFrom = latest.version - math.max(1, keepVersions) + 1
+    val referenced: Set[String] = {
+      val st = Files.list(mdir)
+      val versions =
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).filter(_ >= keepFrom).toVector
+        finally st.close()
+      versions.flatMap(v =>
+        Files.readAllLines(manifestPath(root, v)).asScala.filter(_.nonEmpty)).toSet
+    }
+    var reclaimed = 0L
+    val top = Files.list(root)
+    try top.iterator().asScala.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(".stage_")) { deleteTree(p); reclaimed += 1 }
+      else if (Files.isDirectory(p) && name.contains("=")) {
+        val fs = Files.list(p)
+        try fs.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .filterNot(f => referenced.contains(s"$name/${f.getFileName}"))
+          .foreach { f => Files.delete(f); reclaimed += 1 }
+        finally fs.close()
+      }
+    } finally top.close()
+    // Retire manifests older than the grace window (their files are
+    // already unprotected, so the history they describe is gone).
+    val st2 = Files.list(mdir)
+    try st2.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < keepFrom
+      }
+      .foreach(p => Files.deleteIfExists(p))
+    finally st2.close()
+    reclaimed
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+}

@@ -286,13 +286,69 @@ object RoundTrips {
        CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS files_after
        FROM documents GROUP BY source ORDER BY source"""
 
+  /** q129 — [[graft.core.ManifestLake]] end-to-end: the manifest-commit
+    * protocol (the concurrent-writer-safe evolution of q128's
+    * rename-swap) driven through its full lifecycle on `documents`:
+    *  - v1: an initial fragmented append (3/4 of the corpus,
+    *    `maxRecordsPerFile=16` — ceil(n_init/16) files per source);
+    *  - v2: a second writer's append (the remaining 1/4, same
+    *    fragmentation) — the path-union commit;
+    *  - v3: compaction to `targetRecordsPerFile=64` — the swap commit
+    *    (olds out, bin-packed news in, nothing deleted);
+    *  - vacuum(keepVersions=1): the GC half — every pre-compaction
+    *    file reclaimed, the read must not notice;
+    *  - read back BY MANIFEST (zero directory listing) and aggregate.
+    * The result carries both planes, all stated from `documents`
+    * alone: content survival (n_docs/sum_ids/sum_chars per source
+    * across both appends — a lost commit breaks the hash) and the
+    * physical census (files_before = the two appends' construction
+    * arithmetic, files_after = ceil(n/64) from the compaction).
+    * Concurrency itself (CAS losers rebasing, the pinned
+    * append-during-compaction race) is LayoutSpec's half — a
+    * deterministic oracle can't express a race, but it CAN pin the
+    * protocol's ledger arithmetic, which is what this does. */
+  def qManifestLakeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_manifest_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 4 =!= 0).repartition($"source"), "source",
+      maxRecordsPerFile = 16L)
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 4 === 0).repartition($"source"), "source",
+      maxRecordsPerFile = 16L)
+    val stats = graft.core.ManifestLake.compact(s, lake, "source",
+      targetRecordsPerFile = 64L)
+    graft.core.ManifestLake.vacuum(lake, keepVersions = 1)
+    val statsDf = stats.toDF()
+      .select($"partition".as("source"),
+        $"filesBefore".as("files_before"),
+        $"filesAfter".as("files_after"))
+    graft.core.ManifestLake.read(s, lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .join(broadcast(statsDf), Seq("source"))
+      .orderBy($"source")
+  }
+
+  val qManifestLakeRoundTripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       CAST(CEIL(COUNT(*) FILTER (doc_id % 4 <> 0) / 16.0)
+          + CEIL(COUNT(*) FILTER (doc_id % 4 = 0) / 16.0) AS BIGINT) AS files_before,
+       CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS files_after
+       FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
     "q88_shard_write_roundtrip" -> qShardWriteRoundTrip,
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip,
-    "q128_compact_lake" -> qCompactLakeRoundTrip)
+    "q128_compact_lake" -> qCompactLakeRoundTrip,
+    "q129_manifest_lake" -> qManifestLakeRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -300,5 +356,6 @@ object RoundTrips {
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
     "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql,
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql,
-    "q128_compact_lake" -> qCompactLakeRoundTripSql)
+    "q128_compact_lake" -> qCompactLakeRoundTripSql,
+    "q129_manifest_lake" -> qManifestLakeRoundTripSql)
 }

@@ -1,6 +1,7 @@
 package graft.core
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
@@ -140,6 +141,122 @@ class LayoutSpec extends SparkSpec {
     assert(!Files.exists(root.resolve(".compact_old_p0")))
     assert(!Files.exists(root.resolve(".compact_tmp_p1")))
     assert(!Files.exists(root.resolve(".compact_old_p2")))
+  }
+
+  test("manifest lake: append/read round-trip, compaction bin-packs, idempotent") {
+    val dir = Files.createTempDirectory("mlake").resolve("lake").toString
+    val docs = spark.range(0, 300).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 3).cast("string")).as("source"))
+    val s1 = ManifestLake.append(spark, dir, docs.repartition($"source"), "source",
+      maxRecordsPerFile = 7L)
+    assert(s1.version == 1L)
+    assert(s1.files.length == 45, s1.files.length) // 3 × ceil(100/7)
+
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 300)
+    assert(back.columns.contains("source"), "basePath read must keep the partition column")
+
+    val stats = ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 50L)
+    assert(stats.map(_.partition) == Seq("s0", "s1", "s2"))
+    stats.foreach { st =>
+      assert(st.rows == 100)
+      assert(st.filesBefore == 15, st)
+      assert(st.filesAfter == 2, st)
+    }
+    // content identical through the swap
+    assert(ManifestLake.read(spark, dir)
+      .groupBy($"source").agg(sum($"doc_id").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      docs.groupBy($"source").agg(sum($"doc_id").as("s")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // idempotent: second compaction rewrites nothing, commits nothing
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val again = ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 50L)
+    again.foreach(st => assert(st.filesBefore == 2 && st.filesAfter == 2, st))
+    assert(ManifestLake.latestSnapshot(dir).get.version == v,
+      "a no-op compaction must not burn a manifest version")
+  }
+
+  test("manifest lake: compaction rebases over a concurrent append — zero rows lost") {
+    val dir = Files.createTempDirectory("mlake2").resolve("lake").toString
+    val init = spark.range(0, 200).select(
+      $"id".as("doc_id"),
+      concat(lit("c"), ($"id" % 2).cast("string")).as("source"))
+    ManifestLake.append(spark, dir, init.repartition($"source"), "source",
+      maxRecordsPerFile = 5L)
+
+    // The race, pinned: a writer commits an append AFTER compaction
+    // snapshotted + rewrote, BEFORE it commits. The rename-swap
+    // protocol loses this writer's files (they land in the directory
+    // the swap renames away); the manifest rebase must keep them.
+    val late = spark.range(1000, 1040).select(
+      $"id".as("doc_id"),
+      concat(lit("c"), ($"id" % 2).cast("string")).as("source"))
+    val stats = ManifestLake.compact(spark, dir, "source",
+      targetRecordsPerFile = 100L, maxConcurrent = 8,
+      beforeCommit = () => {
+        ManifestLake.append(spark, dir, late.repartition($"source"), "source",
+          maxRecordsPerFile = 5L); ()
+      })
+    assert(stats.forall(st => st.filesBefore == 20 && st.filesAfter == 1), stats)
+
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 240, "late append must survive the compaction commit")
+    assert(back.filter($"doc_id" >= 1000).count() == 40)
+    assert(back.filter($"doc_id" < 200).count() == 200)
+  }
+
+  test("manifest lake: concurrent appenders + compactor, all commits land") {
+    val dir = Files.createTempDirectory("mlake3").resolve("lake").toString
+    val init = spark.range(0, 100).select(
+      $"id".as("doc_id"), lit("p0").as("source"))
+    ManifestLake.append(spark, dir, init, "source", maxRecordsPerFile = 4L)
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writers = (1 to 4).map { i =>
+      Future {
+        val df = spark.range(i * 1000, i * 1000 + 25).select(
+          $"id".as("doc_id"), lit("p0").as("source"))
+        ManifestLake.append(spark, dir, df, "source", maxRecordsPerFile = 4L)
+      }
+    }
+    val compactor = Future {
+      ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 200L)
+    }
+    Await.result(Future.sequence(writers :+ compactor.map(_ => null)), 120.seconds)
+
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 200, "4 appenders × 25 rows + 100 init — CAS loop must lose none")
+    assert(back.select(countDistinct($"doc_id")).head().getLong(0) == 200)
+  }
+
+  test("manifest lake: vacuum reclaims unreferenced files, read stays correct") {
+    val dir = Files.createTempDirectory("mlake4").resolve("lake").toString
+    val root = java.nio.file.Paths.get(dir)
+    val docs = spark.range(0, 120).select(
+      $"id".as("doc_id"), concat(lit("v"), ($"id" % 2).cast("string")).as("source"))
+    ManifestLake.append(spark, dir, docs.repartition($"source"), "source",
+      maxRecordsPerFile = 5L)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 100L)
+
+    def parquetCount(p: String): Long = {
+      val d = root.resolve(p)
+      val st = Files.list(d)
+      try st.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+      finally st.close()
+    }
+    // pre-vacuum: old fragmented files still on disk (reader grace)
+    assert(parquetCount("source=v0") > 1)
+    val reclaimed = ManifestLake.vacuum(dir, keepVersions = 1)
+    assert(reclaimed == 24, s"2 × ceil(60/5) fragmented files: $reclaimed") // 12 per partition
+    assert(parquetCount("source=v0") == 1)
+    assert(parquetCount("source=v1") == 1)
+    assert(ManifestLake.read(spark, dir).count() == 120)
+    assert(ManifestLake.read(spark, dir).agg(sum($"doc_id")).head().getLong(0) ==
+      docs.agg(sum($"doc_id")).head().getLong(0))
   }
 
   test("one row group ordering: sortWithinPartitions keeps (model, vid) runs") {
