@@ -27,11 +27,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
+            results[name] = False
             continue
         try:
             got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
@@ -39,16 +41,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
             n_fail += 1
+            results[name] = False
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
+            results[name] = False
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
+            results[name] = False
             continue
         g = got.reset_index(drop=True)
         e = exp.reset_index(drop=True)
@@ -85,6 +90,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: dtype mismatch (driver hash would differ): "
                   + "; ".join(dtype_mism))
             n_fail += 1
+            results[name] = False
             continue
         if mism:
             print(f"FAIL {name}: value mismatch in {mism}")
@@ -97,9 +103,17 @@ def main(sf_dir: str, out_dir: str) -> int:
                 except Exception:  # noqa: BLE001
                     pass
             n_fail += 1
+            results[name] = False
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+            results[name] = True
+    # Machine-readable summary (same shape the round artifacts use) so
+    # tools/update_coverage_header.py can derive counts from a local run
+    # when the newest CORRECTNESS_r*.json predates the code under test.
+    with open(f"{out_dir}/oracle_check.json", "w") as f:
+        json.dump({name: {"pass": ok} for name, ok in sorted(results.items())},
+                  f, indent=1)
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
