@@ -125,10 +125,12 @@ object ManifestLake {
     * partition directories under UUID names and return the relative
     * paths — files exist on disk but are NOT yet in any manifest. */
   private def stageFiles(s: SparkSession, root: Path, df: DataFrame,
-                         partitionCol: String, maxRecordsPerFile: Long): Vector[String] = {
+                         partitionCol: String, maxRecordsPerFile: Long,
+                         writeOptions: Map[String, String]): Vector[String] = {
     val stage = root.resolve(s".stage_${UUID.randomUUID()}")
     df.write.partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(writeOptions)
       .parquet(stage.toString)
     val moved = Vector.newBuilder[String]
     val parts = Files.list(stage)
@@ -154,10 +156,11 @@ object ManifestLake {
     * CAS-commit snapshot+new. Appends never remove paths, so rebase
     * under contention is plain set-union — lossless by construction. */
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
-             maxRecordsPerFile: Long = 1024 * 1024): Snapshot = {
+             maxRecordsPerFile: Long = 1024 * 1024,
+             writeOptions: Map[String, String] = Map.empty): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile)
+    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
     commitLoop(root) { latest =>
       Some(latest.map(_.files).getOrElse(Vector.empty) ++ staged)
     }.get

@@ -22,13 +22,89 @@ object Tables {
     // rewrite rule, installed at session build (see GraftExtensions).
     "spark.sql.extensions" -> "graft.GraftExtensions")
 
-  def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
-  def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")
-  def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
-  def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
-  def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
-  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
-  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
+  /** Kind-level schema contract, checked on every read (SURVEY §1.3's
+    * "explicit StructType, checked on read", generalized from the
+    * round-7 events lesson: the driver regenerates the testdata between
+    * rounds and physical types DRIFT — ts flipped TIMESTAMP(NANOS) →
+    * timestamp[us] and took 11 queries down with an opaque analysis
+    * error deep inside the first query that touched it). The contract
+    * is deliberately KIND-level, not exact-type: int32 vs int64 or
+    * float vs double are Spark-transparent widenings the engine must
+    * tolerate (the reference's schema inspection is similarly loose,
+    * `inspect_schema.py:21-30`); what it rejects is a KIND flip
+    * (string where a number was, decimal where a float was) — the
+    * drifts that silently change query semantics. Violations fail AT
+    * THE READER with table+column+got/want named, not N operators
+    * downstream. Columns beyond the contract are allowed (additive
+    * evolution is not drift); missing or kind-flipped ones are not. */
+  private def kindOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType                        => "floating"
+      case _: DecimalType                                => "decimal"
+      case StringType                                    => "string"
+      case TimestampType | TimestampNTZType              => "timestamp"
+      case DateType                                      => "date"
+      case BinaryType                                    => "binary"
+      case BooleanType                                   => "boolean"
+      case ArrayType(e, _)                               => s"array<${kindOf(e)}>"
+      case MapType(k, v, _)                              => s"map<${kindOf(k)},${kindOf(v)}>"
+      case _: StructType                                 => "struct"
+      case other                                         => other.simpleString
+    }
+  }
+
+  private def checked(df: DataFrame, table: String,
+                      contract: (String, Set[String])*): DataFrame = {
+    val live = df.schema.map(f => f.name -> f.dataType).toMap
+    val drift = contract.flatMap { case (col, want) =>
+      live.get(col) match {
+        case None => Some(s"$col: MISSING (want ${want.mkString("|")})")
+        case Some(dt) =>
+          val got = kindOf(dt)
+          if (want.contains(got)) None
+          else Some(s"$col: got $got (${dt.simpleString}), want ${want.mkString("|")}")
+      }
+    }
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"$table.parquet schema drift — regenerated testdata changed column kinds; " +
+        s"fix the reader or the contract: ${drift.mkString("; ")}")
+    df
+  }
+
+  private val I = Set("integral")
+  private val F = Set("floating")
+  private val S = Set("string")
+  private val T = Set("timestamp", "date") // both read correctly via cast
+
+  def region(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/region.parquet"), "region",
+      "r_regionkey" -> I, "r_name" -> S)
+  def nation(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/nation.parquet"), "nation",
+      "n_nationkey" -> I, "n_name" -> S, "n_regionkey" -> I)
+  def customer(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/customer.parquet"), "customer",
+      "c_custkey" -> I, "c_name" -> S, "c_nationkey" -> I,
+      "c_acctbal" -> F, "c_mktsegment" -> S)
+  def supplier(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/supplier.parquet"), "supplier",
+      "s_suppkey" -> I, "s_name" -> S, "s_nationkey" -> I, "s_acctbal" -> F)
+  def part(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/part.parquet"), "part",
+      "p_partkey" -> I, "p_name" -> S, "p_brand" -> S, "p_type" -> S,
+      "p_size" -> I, "p_retailprice" -> F)
+  def orders(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/orders.parquet"), "orders",
+      "o_orderkey" -> I, "o_custkey" -> I, "o_orderstatus" -> S,
+      "o_totalprice" -> F, "o_orderdate" -> T, "o_orderpriority" -> S)
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/lineitem.parquet"), "lineitem",
+      "l_orderkey" -> I, "l_partkey" -> I, "l_suppkey" -> I,
+      "l_linenumber" -> I, "l_quantity" -> F, "l_extendedprice" -> F,
+      "l_discount" -> F, "l_tax" -> F, "l_returnflag" -> S,
+      "l_linestatus" -> S, "l_shipdate" -> T)
   /** events.parquet has shipped `ts` under two physical shapes across
     * testdata generations: TIMESTAMP(NANOS) — which Spark 4 surfaces as
     * a raw int64 (nanos) only when `spark.sql.legacy.parquet.nanosAsLong
@@ -55,8 +131,15 @@ object Tables {
       case other => throw new IllegalStateException(
         s"events.parquet: unsupported physical type for ts: $other")
     }
-    raw.withColumn("ts", ts)
+    checked(raw, "events",
+      "event_id" -> I, "user_id" -> I, "event_type" -> S,
+      "value" -> F, "props" -> S,
+      "ts" -> Set("integral", "timestamp")).withColumn("ts", ts)
   }
-  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/documents.parquet"), "documents",
+      "doc_id" -> I, "text" -> S, "lang" -> S, "source" -> S, "n_chars" -> I)
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    checked(s.read.parquet(s"$dir/embeddings.parquet"), "embeddings",
+      "vec_id" -> I, "embedding" -> Set("array<floating>"), "label" -> I)
 }

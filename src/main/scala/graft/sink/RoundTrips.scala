@@ -311,12 +311,17 @@ object RoundTrips {
     import s.implicits._
     val lake = freshDir("graft_manifest_lake_").toString
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    // Scaffolding writes keep the session codec: unlike q128's numeric
+    // fixture, documents text compresses ~3x, so snappy PAYS here (A/B
+    // measured 6.8s vs 7.1s uncompressed at sf0.1 — the tiny-file cost
+    // is dominated by bytes, not codec setup).
+    val raw = Map.empty[String, String]
     graft.core.ManifestLake.append(s, lake,
       docs.filter($"doc_id" % 4 =!= 0).repartition($"source"), "source",
-      maxRecordsPerFile = 16L)
+      maxRecordsPerFile = 16L, writeOptions = raw)
     graft.core.ManifestLake.append(s, lake,
       docs.filter($"doc_id" % 4 === 0).repartition($"source"), "source",
-      maxRecordsPerFile = 16L)
+      maxRecordsPerFile = 16L, writeOptions = raw)
     val stats = graft.core.ManifestLake.compact(s, lake, "source",
       targetRecordsPerFile = 64L)
     graft.core.ManifestLake.vacuum(lake, keepVersions = 1)

@@ -76,6 +76,49 @@ class TablesSpec extends SparkSpec {
     assert(readMicros(dir) === expected)
   }
 
+  test("schema contract: every reader accepts the live testdata") {
+    // The kind-level contract must hold for whatever generation the
+    // driver shipped — a failure here IS the early warning the events
+    // regression lacked.
+    Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
+      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+      Tables.documents _, Tables.embeddings _)
+      .foreach(reader => assert(reader(spark, Sf0001).schema.nonEmpty))
+  }
+
+  test("schema contract: a kind flip fails at the reader, naming the column") {
+    // Simulate the next drift: doc_id arrives as a string. The read
+    // must throw immediately with table + column + got/want — not an
+    // opaque analysis error N operators downstream.
+    val dir = Files.createTempDirectory("graft-drift").toString
+    spark.range(0, 5).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "'x' AS text", "'en' AS lang",
+        "'s0' AS source", "1L AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException](Tables.documents(spark, dir))
+    assert(e.getMessage.contains("documents.parquet schema drift"))
+    assert(e.getMessage.contains("doc_id: got string"))
+    assert(e.getMessage.contains("want integral"))
+  }
+
+  test("schema contract: a missing column fails at the reader") {
+    val dir = Files.createTempDirectory("graft-missing").toString
+    spark.range(0, 5).selectExpr("id AS vec_id", "array(1.0f) AS embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir))
+    assert(e.getMessage.contains("label: MISSING"))
+  }
+
+  test("schema contract: width widening is NOT drift (int32 vs int64 both read)") {
+    val dir = Files.createTempDirectory("graft-width").toString
+    spark.range(0, 5).selectExpr(
+        "CAST(id AS INT) AS doc_id", "'x' AS text", "'en' AS lang",
+        "'s0' AS source", "CAST(1 AS INT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(Tables.documents(spark, dir).count() == 5)
+  }
+
   test("all generations agree with the live testdata read path") {
     // The real sf0.001 file (whatever generation the driver shipped)
     // must read without throwing and expose TimestampType.
