@@ -525,6 +525,19 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q130_time_travel" ->
+      """Snapshot isolation falls out of the manifest protocol for
+        |free: commits only add manifest versions and never delete
+        |data files (vacuum is the explicit GC), so any historical
+        |version is a complete consistent read — its file list IS the
+        |isolation. The query reads as-of-v1 AFTER a later append and
+        |a compaction physically replaced the layout, and the v1
+        |aggregate must still state exactly the first append. The
+        |exactly-once streaming half (per-app #txn high-waters carried
+        |through every commit, foreachBatch re-delivery skipped) is
+        |LayoutSpec's — a deterministic oracle can't replay a crash,
+        |but the spec drives a real MemoryStream through streamSink
+        |and replays batch 0 by hand.""".stripMargin,
     "q129_manifest_lake" ->
       """Manifest-committed lake: the concurrent-writer-safe evolution
         |of q128's rename-swap, the same load-bearing core as Delta/

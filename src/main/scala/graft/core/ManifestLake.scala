@@ -59,7 +59,14 @@ object ManifestLake {
   private val ManifestDir = "_manifests"
   private val MaxCommitRetries = 50
 
-  final case class Snapshot(version: Long, files: Vector[String])
+  /** A committed lake version. `files` are relative data paths;
+    * `txns` is the per-writer-app high-water batch id carried forward
+    * by every commit (Delta's txn appId/version pair): a streaming
+    * writer whose micro-batch is re-delivered after a crash checks its
+    * app's high-water and skips the duplicate — exactly-once commits
+    * on top of at-least-once delivery, O(#apps) manifest overhead. */
+  final case class Snapshot(version: Long, files: Vector[String],
+                            txns: Map[String, Long] = Map.empty)
 
   /** Per-partition compaction outcome (same contract as
     * [[Layout.CompactStat]]): `filesBefore == filesAfter` means the
@@ -83,19 +90,32 @@ object ManifestLake {
           .map(_.drop(1).toLong).toVector
         finally st.close()
       versions.maxOption.map { v =>
-        Snapshot(v, Files.readAllLines(manifestPath(Paths.get(dir), v))
-          .asScala.filter(_.nonEmpty).toVector)
+        val lines = Files.readAllLines(manifestPath(Paths.get(dir), v))
+          .asScala.filter(_.nonEmpty).toVector
+        // "#txn:<appId>:<batchId>" header lines carry writer high-waters;
+        // data paths never start with '#' (they start "<col>=..."), so
+        // pre-txn manifests parse unchanged.
+        val (headers, files) = lines.partition(_.startsWith("#"))
+        val txns = headers.collect {
+          case h if h.startsWith("#txn:") =>
+            val rest = h.stripPrefix("#txn:")
+            val i = rest.lastIndexOf(':')
+            rest.take(i) -> rest.drop(i + 1).toLong
+        }.toMap
+        Snapshot(v, files, txns)
       }
     }
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
     * (a manifest with that version already exists). */
-  private def tryCommit(root: Path, asVersion: Long, files: Vector[String]): Boolean = {
+  private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
+                        txns: Map[String, Long]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
-    Files.write(tmp, files.sorted.asJava)
+    val headers = txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
+    Files.write(tmp, (headers ++ files.sorted).asJava)
     try {
       try { Files.createLink(manifestPath(root, asVersion), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -105,15 +125,17 @@ object ManifestLake {
   /** Rebase-and-retry commit loop: `intent` maps the latest committed
     * snapshot to the desired file list (or None to abandon — e.g. a
     * compaction whose inputs another compactor already replaced). */
-  private def commitLoop(root: Path)(intent: Option[Snapshot] => Option[Vector[String]]): Option[Snapshot] = {
+  private def commitLoop(root: Path)(
+      intent: Option[Snapshot] => Option[(Vector[String], Map[String, Long])]): Option[Snapshot] = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(files) =>
+        case Some((files, txns)) =>
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files)) return Some(Snapshot(next, files.sorted))
+          if (tryCommit(root, next, files, txns))
+            return Some(Snapshot(next, files.sorted, txns))
       }
       attempt += 1
     }
@@ -162,9 +184,45 @@ object ManifestLake {
     Files.createDirectories(root)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
     commitLoop(root) { latest =>
-      Some(latest.map(_.files).getOrElse(Vector.empty) ++ staged)
+      Some((latest.map(_.files).getOrElse(Vector.empty) ++ staged,
+        latest.map(_.txns).getOrElse(Map.empty)))
     }.get
   }
+
+  /** Idempotent streaming append — the `foreachBatch` sink contract.
+    * Structured Streaming delivers micro-batches AT LEAST once (a
+    * crash between sink write and checkpoint commit re-delivers the
+    * same `batchId`); committing the app's high-water batch id IN the
+    * same manifest CAS that publishes the files upgrades that to
+    * exactly-once: a re-delivered batch sees `batchId <= high-water`
+    * and returns without staging a byte. The check runs twice — before
+    * staging (fast path) and inside the commit loop (a concurrent
+    * retry of the same batch can win the race mid-flight; the loser
+    * deletes its staged files and walks away). */
+  def appendBatch(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
+                  appId: String, batchId: Long,
+                  maxRecordsPerFile: Long = 1024 * 1024): Snapshot = {
+    require(!appId.contains('\n'), "appId must be single-line")
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val already = latestSnapshot(dir)
+    if (already.exists(_.txns.get(appId).exists(_ >= batchId))) return already.get
+    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
+    var duplicate = false
+    val snap = commitLoop(root) { latest =>
+      if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
+      else Some((latest.map(_.files).getOrElse(Vector.empty) ++ staged,
+        latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)))
+    }.get
+    if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
+    snap
+  }
+
+  /** `writeStream.foreachBatch(ManifestLake.streamSink(dir, "source"))` —
+    * the packaged exactly-once sink. */
+  def streamSink(dir: String, partitionCol: String, appId: String = "stream")
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => { appendBatch(df.sparkSession, dir, df, partitionCol, appId, batchId); () }
 
   /** Read the lake as of its latest manifest (or an explicit
     * snapshot — time travel for free). `basePath` keeps the partition
@@ -278,7 +336,8 @@ object ManifestLake {
         if (apply.isEmpty && drop.nonEmpty) None // everything raced away; nothing to commit
         else {
           val removed = apply.flatMap(_.olds).toSet
-          Some(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news))
+          Some((latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
+            latest.txns))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))
@@ -313,7 +372,8 @@ object ManifestLake {
           .map(_.drop(1).toLong).filter(_ >= keepFrom).toVector
         finally st.close()
       versions.flatMap(v =>
-        Files.readAllLines(manifestPath(root, v)).asScala.filter(_.nonEmpty)).toSet
+        Files.readAllLines(manifestPath(root, v)).asScala
+          .filter(l => l.nonEmpty && !l.startsWith("#"))).toSet
     }
     var reclaimed = 0L
     val top = Files.list(root)

@@ -346,6 +346,49 @@ object RoundTrips {
        CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS files_after
        FROM documents GROUP BY source ORDER BY source"""
 
+  /** q130 — snapshot isolation / time travel on [[graft.core.ManifestLake]]:
+    * because a commit only ever ADDS a manifest version and never
+    * deletes data files (until vacuum), every historical version
+    * remains a complete, consistent read — for free. The query pins
+    * that: append v1 (3/4 of the corpus), append v2 (the rest),
+    * compact (v3 — files REPLACED in the ledger), then read BOTH as-of
+    * v1 and latest and aggregate each under a version tag. The as-of-v1
+    * read must see exactly the first append (not the later rows, not
+    * the compacted file set) even though v3 swapped the physical
+    * layout out from under it — the snapshot's file list IS the
+    * isolation. Oracle: the same two aggregates stated from
+    * `documents` with the v1 filter re-applied. */
+  def qTimeTravelRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_time_travel_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    val v1 = graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 4 =!= 0).repartition($"source"), "source",
+      maxRecordsPerFile = 64L)
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 4 === 0).repartition($"source"), "source",
+      maxRecordsPerFile = 64L)
+    graft.core.ManifestLake.compact(s, lake, "source", targetRecordsPerFile = 256L)
+    def tagged(df: DataFrame, tag: String) =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+        .withColumn("version_tag", lit(tag))
+    tagged(graft.core.ManifestLake.read(s, lake, Some(v1)), "v1")
+      .unionByName(tagged(graft.core.ManifestLake.read(s, lake), "latest"))
+      .select($"version_tag", $"source", $"n_docs", $"sum_ids")
+      .orderBy($"version_tag", $"source")
+  }
+
+  val qTimeTravelRoundTripSql: String =
+    """SELECT 'v1' AS version_tag, source, COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       FROM documents WHERE doc_id % 4 <> 0 GROUP BY source
+       UNION ALL
+       SELECT 'latest' AS version_tag, source, COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       FROM documents GROUP BY source
+       ORDER BY version_tag, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
@@ -353,7 +396,8 @@ object RoundTrips {
     "q88_shard_write_roundtrip" -> qShardWriteRoundTrip,
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip,
     "q128_compact_lake" -> qCompactLakeRoundTrip,
-    "q129_manifest_lake" -> qManifestLakeRoundTrip)
+    "q129_manifest_lake" -> qManifestLakeRoundTrip,
+    "q130_time_travel" -> qTimeTravelRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -362,5 +406,6 @@ object RoundTrips {
     "q88_shard_write_roundtrip" -> qShardWriteRoundTripSql,
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql,
     "q128_compact_lake" -> qCompactLakeRoundTripSql,
-    "q129_manifest_lake" -> qManifestLakeRoundTripSql)
+    "q129_manifest_lake" -> qManifestLakeRoundTripSql,
+    "q130_time_travel" -> qTimeTravelRoundTripSql)
 }

@@ -233,6 +233,73 @@ class LayoutSpec extends SparkSpec {
     assert(back.select(countDistinct($"doc_id")).head().getLong(0) == 200)
   }
 
+  test("manifest lake: appendBatch is exactly-once under re-delivery") {
+    val dir = Files.createTempDirectory("mlake5").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("doc_id"), lit("b0").as("source"))
+
+    ManifestLake.appendBatch(spark, dir, batch(0, 50), "source", "streamA", batchId = 0L)
+    ManifestLake.appendBatch(spark, dir, batch(50, 80), "source", "streamA", batchId = 1L)
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.txns == Map("streamA" -> 1L))
+
+    // crash-replay: batch 1 re-delivered — must not stage, commit, or
+    // burn a version
+    ManifestLake.appendBatch(spark, dir, batch(50, 80), "source", "streamA", batchId = 1L)
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.version == v2.version, "duplicate batch must not commit")
+    assert(ManifestLake.read(spark, dir).count() == 80)
+    assert(ManifestLake.read(spark, dir).select(countDistinct($"doc_id")).head().getLong(0) == 80)
+
+    // a SECOND app's batch ids are independent high-waters
+    ManifestLake.appendBatch(spark, dir, batch(100, 110), "source", "streamB", batchId = 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.txns ==
+      Map("streamA" -> 1L, "streamB" -> 0L))
+    assert(ManifestLake.read(spark, dir).count() == 90)
+  }
+
+  test("manifest lake: exactly-once survives compaction and vacuum") {
+    val dir = Files.createTempDirectory("mlake6").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("doc_id"), lit("c0").as("source"))
+    ManifestLake.appendBatch(spark, dir, batch(0, 60), "source", "s", 0L,
+      maxRecordsPerFile = 5L)
+    ManifestLake.appendBatch(spark, dir, batch(60, 100), "source", "s", 1L,
+      maxRecordsPerFile = 5L)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 200L)
+    ManifestLake.vacuum(dir, keepVersions = 1)
+    // the compaction commit must carry the txn high-waters forward —
+    // otherwise a post-compaction crash replays old batches as new rows
+    ManifestLake.appendBatch(spark, dir, batch(60, 100), "source", "s", 1L)
+    assert(ManifestLake.read(spark, dir).count() == 100)
+  }
+
+  test("manifest lake: streamSink drives a real structured stream exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("mlake7").resolve("lake").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "source")
+      .writeStream.foreachBatch(ManifestLake.streamSink(dir, "source"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("mlake7ckpt").toString)
+      .start()
+    ms.addData((1L, "x"), (2L, "x"), (3L, "y"))
+    q.processAllAvailable()
+    ms.addData((4L, "y"))
+    q.processAllAvailable()
+    q.stop()
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 4)
+    assert(back.filter($"source" === "y").count() == 2)
+    // replaying batch 0 by hand (the restart-after-crash path) is a no-op
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    ManifestLake.streamSink(dir, "source")(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "source"), 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.version == v)
+    assert(ManifestLake.read(spark, dir).count() == 4)
+  }
+
   test("manifest lake: vacuum reclaims unreferenced files, read stays correct") {
     val dir = Files.createTempDirectory("mlake4").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
