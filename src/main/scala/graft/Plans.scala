@@ -525,6 +525,21 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q131_data_skipping" ->
+      """Manifest-level data skipping: each committed file line carries
+        |its footer's min/max of the clustering column (read at commit
+        |— a metadata pass, never a data scan), so a range read prunes
+        |files from the MANIFEST before any file is opened. That's the
+        |layer Spark's own row-group skipping can't give you: row-group
+        |stats still cost an open+footer round trip per file, which at
+        |100 TB on object storage IS the latency of a point lookup.
+        |The precise predicate re-applies on survivors and pushes into
+        |the kept files' scans, so the two skipping layers compose.
+        |Untracked files are conservatively kept, and compaction
+        |re-derives stats from its outputs' footers only when every
+        |input was uniformly tracked — never guessed. The oracle pins
+        |content equality plus the opened<total invariant; LayoutSpec
+        |pins exact prune counts on a controlled 10-file layout.""".stripMargin,
     "q130_time_travel" ->
       """Snapshot isolation falls out of the manifest protocol for
         |free: commits only add manifest versions and never delete

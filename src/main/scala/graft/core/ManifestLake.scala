@@ -66,7 +66,21 @@ object ManifestLake {
     * app's high-water and skips the duplicate — exactly-once commits
     * on top of at-least-once delivery, O(#apps) manifest overhead. */
   final case class Snapshot(version: Long, files: Vector[String],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            stats: Map[String, FileStats] = Map.empty)
+
+  /** Per-file min/max of one column, read from the parquet FOOTER at
+    * commit time (no data pass) and carried in the manifest line —
+    * Delta-style data skipping. At 100 TB on object storage this is
+    * the difference between a point lookup opening K clustered files
+    * and opening every file in the lake to ask its footer the same
+    * question: the manifest answers before any file is touched.
+    * Values are BigDecimal so int64 keys compare exactly (a double
+    * would corrupt ids past 2^53). */
+  final case class FileStats(col: String, min: BigDecimal, max: BigDecimal) {
+    def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean = max >= lo && min <= hi
+    def encoded: String = s"$col:$min:$max"
+  }
 
   /** Per-partition compaction outcome (same contract as
     * [[Layout.CompactStat]]): `filesBefore == filesAfter` means the
@@ -94,15 +108,28 @@ object ManifestLake {
           .asScala.filter(_.nonEmpty).toVector
         // "#txn:<appId>:<batchId>" header lines carry writer high-waters;
         // data paths never start with '#' (they start "<col>=..."), so
-        // pre-txn manifests parse unchanged.
-        val (headers, files) = lines.partition(_.startsWith("#"))
+        // pre-txn manifests parse unchanged. A file line may carry a
+        // tab-separated "<col>:<min>:<max>" stats suffix (tabs are
+        // illegal in our partition/file names); lines without one are
+        // simply never pruned.
+        val (headers, fileLines) = lines.partition(_.startsWith("#"))
         val txns = headers.collect {
           case h if h.startsWith("#txn:") =>
             val rest = h.stripPrefix("#txn:")
             val i = rest.lastIndexOf(':')
             rest.take(i) -> rest.drop(i + 1).toLong
         }.toMap
-        Snapshot(v, files, txns)
+        val parsed = fileLines.map { l =>
+          val i = l.indexOf('\t')
+          if (i < 0) (l, None)
+          else {
+            val parts = l.drop(i + 1).split(':')
+            (l.take(i), Some(FileStats(parts.dropRight(2).mkString(":"),
+              BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))))
+          }
+        }
+        Snapshot(v, parsed.map(_._1),
+          txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap)
       }
     }
   }
@@ -110,12 +137,15 @@ object ManifestLake {
   /** CAS-commit `files` as version `asVersion`; false = lost the race
     * (a manifest with that version already exists). */
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
-                        txns: Map[String, Long]): Boolean = {
+                        txns: Map[String, Long],
+                        stats: Map[String, FileStats]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
     val headers = txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
-    Files.write(tmp, (headers ++ files.sorted).asJava)
+    val fileLines = files.sorted.map(f =>
+      stats.get(f).map(st => s"$f\t${st.encoded}").getOrElse(f))
+    Files.write(tmp, (headers ++ fileLines).asJava)
     try {
       try { Files.createLink(manifestPath(root, asVersion), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -125,17 +155,26 @@ object ManifestLake {
   /** Rebase-and-retry commit loop: `intent` maps the latest committed
     * snapshot to the desired file list (or None to abandon — e.g. a
     * compaction whose inputs another compactor already replaced). */
+  /** A commit's desired outcome: the full file list, writer
+    * high-waters, and per-file stats (pruned to `files`' keys at
+    * write). */
+  private final case class Ledger(files: Vector[String],
+                                  txns: Map[String, Long],
+                                  stats: Map[String, FileStats])
+
   private def commitLoop(root: Path)(
-      intent: Option[Snapshot] => Option[(Vector[String], Map[String, Long])]): Option[Snapshot] = {
+      intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some((files, txns)) =>
+        case Some(Ledger(files, txns, stats)) =>
+          val fileSet = files.toSet
+          val live = stats.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files, txns))
-            return Some(Snapshot(next, files.sorted, txns))
+          if (tryCommit(root, next, files, txns, live))
+            return Some(Snapshot(next, files.sorted, txns, live))
       }
       attempt += 1
     }
@@ -174,18 +213,63 @@ object ManifestLake {
     moved.result()
   }
 
+  /** Min/max of `col` for one data file, from the parquet FOOTER —
+    * a metadata read (the row groups' pre-computed statistics), never
+    * a data pass. Returns None when the footer carries no stats for
+    * the column (then the file is simply never pruned — safe). */
+  private def footerStats(s: SparkSession, file: Path, col: String): Option[FileStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      s.sessionState.newHadoopConf())
+    val reader = ParquetFileReader.open(in)
+    try {
+      def toBig(v: Any): Option[BigDecimal] = v match {
+        case l: java.lang.Long    => Some(BigDecimal(l.longValue))
+        case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+        case d: java.lang.Double  => Some(BigDecimal(d.doubleValue))
+        case f: java.lang.Float   => Some(BigDecimal(f.floatValue.toDouble))
+        case _                    => None // binary/bool: no numeric order
+      }
+      val perBlock = reader.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == col)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else for (mn <- toBig(st.genericGetMin); mx <- toBig(st.genericGetMax))
+              yield (mn, mx)
+          }
+      }
+      if (perBlock.isEmpty) None
+      else Some(FileStats(col, perBlock.map(_._1).min, perBlock.map(_._2).max))
+    } finally reader.close()
+  }
+
   /** Append `df` to the lake (creating it on first call): stage, then
     * CAS-commit snapshot+new. Appends never remove paths, so rebase
-    * under contention is plain set-union — lossless by construction. */
+    * under contention is plain set-union — lossless by construction.
+    * With `statsCol` set, each staged file's min/max of that column is
+    * read from its footer and committed alongside the path, enabling
+    * [[readWhere]] file skipping (O(#new files) driver-side footer
+    * reads — metadata, not data). */
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
-             writeOptions: Map[String, String] = Map.empty): Snapshot = {
+             writeOptions: Map[String, String] = Map.empty,
+             statsCol: Option[String] = None): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
+    val stagedStats = statsCol match {
+      case None => Map.empty[String, FileStats]
+      case Some(c) => staged.flatMap(f =>
+        footerStats(s, root.resolve(f), c).map(f -> _)).toMap
+    }
     commitLoop(root) { latest =>
-      Some((latest.map(_.files).getOrElse(Vector.empty) ++ staged,
-        latest.map(_.txns).getOrElse(Map.empty)))
+      Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
+        latest.map(_.txns).getOrElse(Map.empty),
+        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats))
     }.get
   }
 
@@ -211,8 +295,9 @@ object ManifestLake {
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
-      else Some((latest.map(_.files).getOrElse(Vector.empty) ++ staged,
-        latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId)))
+      else Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
+        latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
+        latest.map(_.stats).getOrElse(Map.empty)))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -233,6 +318,41 @@ object ManifestLake {
       throw new IllegalStateException(s"no committed manifest in $dir"))
     val abs = snap.files.map(f => s"$dir/$f")
     s.read.option("basePath", dir).parquet(abs: _*)
+  }
+
+  /** The file-skipping half of [[readWhere]], separated so callers
+    * (and specs) can see exactly what pruning decided: files whose
+    * tracked [min,max] cannot intersect [lo,hi] are dropped; files
+    * without stats are conservatively kept. */
+  def pruneFiles(snap: Snapshot, statsCol: String,
+                 lo: BigDecimal, hi: BigDecimal): Vector[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case Some(st) if st.col == statsCol => st.overlaps(lo, hi)
+        case _                              => true
+      }
+    }
+
+  /** Range/point read with manifest-level data skipping: only files
+    * whose committed [min,max] can contain the range are OPENED — at
+    * 100 TB on object storage the saved cost is the per-file
+    * open+footer round trip itself, which Spark's own row-group
+    * skipping still has to pay. The precise predicate is re-applied on
+    * the survivors (stats prune files, they don't filter rows), and it
+    * reaches the parquet scan as a pushed filter for row-group
+    * skipping WITHIN the kept files — the two layers compose. */
+  def readWhere(s: SparkSession, dir: String, statsCol: String,
+                lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val kept = pruneFiles(snap, statsCol, lo, hi)
+    // Long literals when exact (keeps the predicate parquet-pushable
+    // on int64 keys); double only for genuinely fractional bounds.
+    def bound(b: BigDecimal) = if (b.isWhole && b.isValidLong) lit(b.toLong) else lit(b.toDouble)
+    if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
+    else
+      s.read.option("basePath", dir).parquet(kept.map(f => s"$dir/$f"): _*)
+        .filter(col(statsCol) >= bound(lo) && col(statsCol) <= bound(hi))
   }
 
   /** Compact fragmented partitions of the latest snapshot and commit
@@ -336,8 +456,19 @@ object ManifestLake {
         if (apply.isEmpty && drop.nonEmpty) None // everything raced away; nothing to commit
         else {
           val removed = apply.flatMap(_.olds).toSet
-          Some((latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
-            latest.txns))
+          // Rewritten files inherit stats freshly from their own
+          // footers IF the partition's olds were uniformly tracked on
+          // one column (mixed/untracked partitions stay untracked —
+          // never guess a pruning bound).
+          val newStats = apply.flatMap { sw =>
+            sw.olds.flatMap(latest.stats.get).map(_.col).distinct match {
+              case Seq(c) if sw.olds.forall(latest.stats.contains) =>
+                sw.news.flatMap(f => footerStats(s, root.resolve(f), c).map(f -> _))
+              case _ => Nil
+            }
+          }.toMap
+          Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
+            latest.txns, latest.stats -- removed ++ newStats))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))

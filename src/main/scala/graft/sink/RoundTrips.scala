@@ -389,6 +389,67 @@ object RoundTrips {
        FROM documents GROUP BY source
        ORDER BY version_tag, source"""
 
+  /** q131 — manifest-stats data skipping end-to-end: documents written
+    * range-clustered on doc_id (16 range tasks -> each file covers a
+    * narrow id band, its footer min/max committed into the manifest),
+    * then three [[graft.core.ManifestLake.readWhere]] range reads. The
+    * returned frame tags each range and carries BOTH planes: the
+    * content aggregate (count/sum/min/max of the rows the pruned read
+    * returned — any file wrongly skipped loses rows and breaks the
+    * hash) and `files_opened`/`files_total` from [[graft.core.ManifestLake.pruneFiles]]
+    * — asserting in-oracle that pruning OPENED A STRICT SUBSET
+    * (files_opened is data-layout-dependent, so the oracle pins the
+    * invariant `opened < total` as a boolean, not the exact census).
+    * Row-group skipping inside kept files composes underneath (the
+    * precise predicate is pushed); LayoutSpec pins the file-level
+    * prune counts on a controlled layout. */
+  def qDataSkippingRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_skip_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(16, $"doc_id"), "source",
+      statsCol = Some("doc_id"))
+    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
+    val total = snap.files.length.toLong
+    // ranges scale with the corpus (documents' id range differs per sf);
+    // integer arithmetic keeps Spark and DuckDB bit-identical
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    val ranges = Seq(("lo", m / 10, m / 5), ("mid", m / 2, m / 2 + m / 10),
+      ("hi", m - m / 20, m))
+    ranges.map { case (tag, lo, hi) =>
+      val opened = graft.core.ManifestLake.pruneFiles(
+        snap, "doc_id", BigDecimal(lo), BigDecimal(hi)).length.toLong
+      graft.core.ManifestLake.readWhere(s, lake, "doc_id", BigDecimal(lo), BigDecimal(hi))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          min($"doc_id").as("min_id"),
+          max($"doc_id").as("max_id"),
+          sum(length($"text")).as("sum_chars"))
+        .withColumn("range_tag", lit(tag))
+        .withColumn("pruned_strictly", lit(opened < total))
+    }.reduce(_ unionByName _)
+      .select($"range_tag", $"n_docs", $"sum_ids", $"min_id", $"max_id",
+        $"sum_chars", $"pruned_strictly")
+      .orderBy($"range_tag")
+  }
+
+  val qDataSkippingRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT range_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+         CAST(SUM(len(text)) AS BIGINT) AS sum_chars, TRUE AS pruned_strictly
+       FROM (
+         SELECT 'lo' AS range_tag, d.* FROM documents d, mx
+           WHERE doc_id BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'mid' AS range_tag, d.* FROM documents d, mx
+           WHERE doc_id BETWEEN m // 2 AND m // 2 + m // 10
+         UNION ALL
+         SELECT 'hi' AS range_tag, d.* FROM documents d, mx
+           WHERE doc_id BETWEEN m - m // 20 AND m)
+       GROUP BY range_tag ORDER BY range_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
@@ -397,7 +458,8 @@ object RoundTrips {
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTrip,
     "q128_compact_lake" -> qCompactLakeRoundTrip,
     "q129_manifest_lake" -> qManifestLakeRoundTrip,
-    "q130_time_travel" -> qTimeTravelRoundTrip)
+    "q130_time_travel" -> qTimeTravelRoundTrip,
+    "q131_data_skipping" -> qDataSkippingRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -407,5 +469,6 @@ object RoundTrips {
     "q114_score_lake_roundtrip" -> qScoreLakeRoundTripSql,
     "q128_compact_lake" -> qCompactLakeRoundTripSql,
     "q129_manifest_lake" -> qManifestLakeRoundTripSql,
-    "q130_time_travel" -> qTimeTravelRoundTripSql)
+    "q130_time_travel" -> qTimeTravelRoundTripSql,
+    "q131_data_skipping" -> qDataSkippingRoundTripSql)
 }

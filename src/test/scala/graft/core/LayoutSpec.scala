@@ -300,6 +300,71 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 4)
   }
 
+  test("manifest lake: footer stats in the manifest prune files before any open") {
+    val dir = Files.createTempDirectory("mlake8").resolve("lake").toString
+    // range-clustered write: 10 tasks → 10 files, each covering ~100
+    // contiguous doc_ids, stats read from each footer at commit
+    val docs = spark.range(0, 1000).select(
+      $"id".as("doc_id"), lit("s0").as("source"))
+    ManifestLake.append(spark, dir, docs.repartitionByRange(10, $"doc_id"),
+      "source", statsCol = Some("doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.files.length == 10)
+    assert(snap.stats.size == 10, "every clustered file must carry footer stats")
+
+    // a point-ish range touches 1-2 of 10 files — pruning must see that
+    // from the manifest alone
+    val kept = ManifestLake.pruneFiles(snap, "doc_id", BigDecimal(250), BigDecimal(260))
+    assert(kept.nonEmpty && kept.length <= 2, s"kept ${kept.length} of 10")
+
+    val got = ManifestLake.readWhere(spark, dir, "doc_id", BigDecimal(250), BigDecimal(260))
+    assert(got.count() == 11)
+    assert(got.agg(sum($"doc_id")).head().getLong(0) == (250 to 260).sum)
+
+    // out-of-range: zero files open, empty result, correct schema
+    val none = ManifestLake.readWhere(spark, dir, "doc_id", BigDecimal(5000), BigDecimal(6000))
+    assert(none.count() == 0)
+    assert(none.columns.contains("source"))
+
+    // an untracked append is conservatively KEPT by pruning (never
+    // silently skipped), and still filtered row-precisely
+    ManifestLake.append(spark, dir,
+      spark.range(2000, 2010).select($"id".as("doc_id"), lit("s0").as("source")),
+      "source") // no statsCol
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    val kept2 = ManifestLake.pruneFiles(snap2, "doc_id", BigDecimal(250), BigDecimal(260))
+    assert(kept2.length == kept.length + (snap2.files.length - 10),
+      "files without stats must survive pruning")
+    assert(ManifestLake.readWhere(spark, dir, "doc_id",
+      BigDecimal(250), BigDecimal(260)).count() == 11)
+    // stats survive compaction of a uniformly-tracked partition?
+    // (untracked files poison the partition: compaction must then drop
+    // stats rather than guess — asserted by pruning keeping everything)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 5000L)
+    val snap3 = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.read(spark, dir).count() == 1010)
+    val kept3 = ManifestLake.pruneFiles(snap3, "doc_id", BigDecimal(250), BigDecimal(260))
+    assert(kept3.length == snap3.files.length,
+      "mixed tracked/untracked inputs must compact to untracked, not guessed, stats")
+  }
+
+  test("manifest lake: compaction recomputes stats for uniformly-tracked partitions") {
+    val dir = Files.createTempDirectory("mlake9").resolve("lake").toString
+    val docs = spark.range(0, 400).select(
+      $"id".as("doc_id"), lit("t0").as("source"))
+    ManifestLake.append(spark, dir, docs.repartitionByRange(8, $"doc_id"),
+      "source", maxRecordsPerFile = 25L, statsCol = Some("doc_id"))
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 100L)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.stats.nonEmpty, "compacted files must re-derive stats from their footers")
+    assert(snap.stats.keySet == snap.files.toSet)
+    // pruning still works post-compaction
+    val kept = ManifestLake.pruneFiles(snap, "doc_id", BigDecimal(10), BigDecimal(20))
+    assert(kept.length < snap.files.length)
+    assert(ManifestLake.readWhere(spark, dir, "doc_id",
+      BigDecimal(10), BigDecimal(20)).count() == 11)
+  }
+
   test("manifest lake: vacuum reclaims unreferenced files, read stays correct") {
     val dir = Files.createTempDirectory("mlake4").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
