@@ -365,6 +365,38 @@ class LayoutSpec extends SparkSpec {
       BigDecimal(10), BigDecimal(20)).count() == 11)
   }
 
+  test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
+    val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
+    val root = java.nio.file.Paths.get(dir)
+    ManifestLake.append(spark,
+      dir, spark.range(0, 50).select($"id".as("doc_id"), lit("g0").as("source")), "source")
+
+    // crash state 1: a writer died mid-stage — orphan .stage_ dir
+    val orphanStage = root.resolve(".stage_dead-writer")
+    Files.createDirectories(orphanStage)
+    Files.write(orphanStage.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // crash state 2: a writer died between moving files in and
+    // committing — real parquet bytes in the partition dir, in NO
+    // manifest (write a decoy through Spark so it's a valid file)
+    spark.range(900, 950).select($"id".as("doc_id"))
+      .coalesce(1).write.parquet(root.resolve(".decoy").toString)
+    val decoy = Files.list(root.resolve(".decoy")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val uncommitted = root.resolve("source=g0").resolve("uncommitted-orphan.parquet")
+    Files.move(decoy, uncommitted)
+
+    // readers see ONLY the manifest: 50 rows, no 900s
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 50)
+    assert(back.agg(max($"doc_id")).head().getLong(0) == 49)
+
+    // vacuum reclaims both kinds of garbage
+    ManifestLake.vacuum(dir, keepVersions = 1)
+    assert(!Files.exists(orphanStage))
+    assert(!Files.exists(uncommitted))
+    assert(ManifestLake.read(spark, dir).count() == 50)
+  }
+
   test("manifest lake: vacuum reclaims unreferenced files, read stays correct") {
     val dir = Files.createTempDirectory("mlake4").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
