@@ -415,31 +415,45 @@ object NgramLm {
     * the corpus's own statistics find surprising.
     *
     * p(w|c) = (count(c,w) + 1) / (count(c) + V), V = |vocab|;
-    * ppl(doc) = exp(−Σ ln p / n). Plan shape: one explode to bigram
-    * items (8-byte-ish rows), two map-side-combined count tables keyed
-    * by the gram, scoring = two hash joins on the same keys, one
-    * per-doc rollup — at 100 TB every shuffle keys on gram or doc_id
-    * and the vocab size rides in as a broadcast scalar. The keep flag
-    * compares the DECIMAL-rounded perplexity (not the raw double) so
-    * the flag is derived from the same value both engines emit. */
+    * ppl(doc) = exp(−Σ ln p / n). Plan shape: the corpus explodes to
+    * bigram items twice — once into the map-side-combined bigram count
+    * table, once as the scoring stream — and the OTHER statistics
+    * derive from the bigram table itself: the context table is a sum
+    * over it, the vocab size a distinct over it (count-table-sized
+    * aggregations, not corpus re-derivations; the naive form explodes
+    * the corpus four times). Measured trade at sf0.1: the derivation
+    * costs ~0.3 s of stage serialization locally (grams1 now waits on
+    * grams2's output instead of running concurrently off its own
+    * corpus pass) but removes one full text scan+explode pass — the
+    * term that grows with the corpus, since map-side combine already
+    * kept every aggregation's shuffled bytes count-table-sized. A
+    * per-doc pre-aggregation was also measured and REJECTED: it saves
+    * explode CPU but adds a corpus-sized (doc,c1,w) shuffle that
+    * map-side combine doesn't shrink (docs rarely repeat bigrams) —
+    * 1.5x slower at sf0.1, and the same shuffle added at 100 TB.
+    * The keep flag compares the
+    * DECIMAL-rounded perplexity (not the raw double) so the flag is
+    * derived from the same value both engines emit. */
   private val PplCut = "30.0"
 
   def qPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = Tables.documents(s, dir)
+    def items = Tables.documents(s, dir)
       .withColumn("padded", expr(s"concat(array('$Pad'), split(trim(text), '\\\\s+'))"))
       .select($"doc_id", explode(expr(
         "transform(sequence(2, size(padded)), i -> struct(" +
           "element_at(padded, i-1) as c1, element_at(padded, i) as w))")).as("it"))
       .select($"doc_id", $"it.c1", $"it.w")
     val grams2 = items.groupBy($"c1", $"w").agg(count(lit(1)).as("c2"))
-    val grams1 = items.groupBy($"c1").agg(count(lit(1)).as("c1n"))
-    val vocab = items.agg(countDistinct($"w").as("vsz"))
+    val grams1 = grams2.groupBy($"c1").agg(sum($"c2").as("c1n"))
+    val vocab = grams2.agg(countDistinct($"w").as("vsz"))
+    // inner joins: the model is self-trained, so every (c1,w) a doc
+    // emits exists in the count tables by construction
     items
-      .join(grams2, Seq("c1", "w"), "left")
-      .join(grams1, Seq("c1"), "left")
+      .join(grams2, Seq("c1", "w"))
+      .join(grams1, Seq("c1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("nll", -log((coalesce($"c2", lit(0L)) + lit(1.0)) / ($"c1n" + $"vsz")))
+      .withColumn("nll", -log(($"c2" + lit(1.0)) / ($"c1n" + $"vsz")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_items"), exp(sum($"nll") / count(lit(1))).as("ppl"))
       .withColumn("ppl_r", $"ppl".cast(org.apache.spark.sql.types.DecimalType(12, 4)))
@@ -458,15 +472,15 @@ object NgramLm {
                FROM documents) t),
        flat AS (SELECT doc_id, item.c1 AS c1, item.w AS w FROM it),
        g2 AS (SELECT c1, w, COUNT(*) AS c2 FROM flat GROUP BY c1, w),
-       g1 AS (SELECT c1, COUNT(*) AS c1n FROM flat GROUP BY c1),
-       v AS (SELECT COUNT(DISTINCT w) AS vsz FROM flat),
+       g1 AS (SELECT c1, SUM(c2) AS c1n FROM g2 GROUP BY c1),
+       v AS (SELECT COUNT(DISTINCT w) AS vsz FROM g2),
        scored AS (
          SELECT f.doc_id, COUNT(*) AS n_items,
-           CAST(exp(SUM(-ln((COALESCE(g2.c2, 0) + 1.0) / (g1.c1n + v.vsz))) / COUNT(*))
+           CAST(exp(SUM(-ln((g2.c2 + 1.0) / (g1.c1n + v.vsz))) / COUNT(*))
                 AS DECIMAL(12,4)) AS ppl_r
          FROM flat f
-         LEFT JOIN g2 ON f.c1 = g2.c1 AND f.w = g2.w
-         LEFT JOIN g1 ON f.c1 = g1.c1
+         JOIN g2 ON f.c1 = g2.c1 AND f.w = g2.w
+         JOIN g1 ON f.c1 = g1.c1
          CROSS JOIN v
          GROUP BY f.doc_id)
        SELECT doc_id, n_items, CAST(ppl_r AS VARCHAR) AS ppl_r,
