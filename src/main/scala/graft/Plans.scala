@@ -525,6 +525,19 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q132_cdc_read" ->
+      """Incremental/CDC reads straight off the manifest log: each
+        |commit records its operation (#op:append/batch/compact), so
+        |"rows added since version N" is a metadata diff — files(v) −
+        |files(v−1) for every non-compaction commit in the window —
+        |followed by a scan of exactly those delta files. Compaction
+        |commits are skipped entirely: they rewrite bytes, not
+        |content, and a CDC consumer that re-saw compacted rows would
+        |double-apply every record the optimizer touched. Cost scales
+        |with the delta, never the lake — the primitive the q127-style
+        |incremental re-export consumes instead of diffing data.
+        |Vacuum bounds the CDC window (retired manifests throw a
+        |named error, not silent undercounting).""".stripMargin,
     "q131_data_skipping" ->
       """Manifest-level data skipping: each committed file line carries
         |its footer's min/max of the clustering column (read at commit

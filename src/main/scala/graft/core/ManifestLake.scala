@@ -67,7 +67,8 @@ object ManifestLake {
     * on top of at-least-once delivery, O(#apps) manifest overhead. */
   final case class Snapshot(version: Long, files: Vector[String],
                             txns: Map[String, Long] = Map.empty,
-                            stats: Map[String, FileStats] = Map.empty)
+                            stats: Map[String, FileStats] = Map.empty,
+                            op: String = "append")
 
   /** Per-file min/max of one column, read from the parquet FOOTER at
     * commit time (no data pass) and carried in the manifest line —
@@ -103,46 +104,62 @@ object ManifestLake {
           .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
           .map(_.drop(1).toLong).toVector
         finally st.close()
-      versions.maxOption.map { v =>
-        val lines = Files.readAllLines(manifestPath(Paths.get(dir), v))
-          .asScala.filter(_.nonEmpty).toVector
-        // "#txn:<appId>:<batchId>" header lines carry writer high-waters;
-        // data paths never start with '#' (they start "<col>=..."), so
-        // pre-txn manifests parse unchanged. A file line may carry a
-        // tab-separated "<col>:<min>:<max>" stats suffix (tabs are
-        // illegal in our partition/file names); lines without one are
-        // simply never pruned.
-        val (headers, fileLines) = lines.partition(_.startsWith("#"))
-        val txns = headers.collect {
-          case h if h.startsWith("#txn:") =>
-            val rest = h.stripPrefix("#txn:")
-            val i = rest.lastIndexOf(':')
-            rest.take(i) -> rest.drop(i + 1).toLong
-        }.toMap
-        val parsed = fileLines.map { l =>
-          val i = l.indexOf('\t')
-          if (i < 0) (l, None)
-          else {
-            val parts = l.drop(i + 1).split(':')
-            (l.take(i), Some(FileStats(parts.dropRight(2).mkString(":"),
-              BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))))
-          }
-        }
-        Snapshot(v, parsed.map(_._1),
-          txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap)
+      versions.maxOption.map(v => parseManifest(Paths.get(dir), v))
+    }
+  }
+
+  /** A specific committed version, if its manifest still exists (vacuum
+    * retires manifests past the grace window). */
+  def snapshotAt(dir: String, version: Long): Option[Snapshot] = {
+    val root = Paths.get(dir)
+    if (Files.exists(manifestPath(root, version)))
+      Some(parseManifest(root, version))
+    else None
+  }
+
+  private def parseManifest(root: Path, v: Long): Snapshot = {
+    val lines = Files.readAllLines(manifestPath(root, v))
+      .asScala.filter(_.nonEmpty).toVector
+    // "#txn:<appId>:<batchId>" header lines carry writer high-waters and
+    // "#op:<kind>" the commit's operation (append/batch/compact — what
+    // CDC readers dispatch on); data paths never start with '#' (they
+    // start "<col>=..."), so pre-header manifests parse unchanged. A
+    // file line may carry a tab-separated "<col>:<min>:<max>" stats
+    // suffix (tabs are illegal in our partition/file names); lines
+    // without one are simply never pruned.
+    val (headers, fileLines) = lines.partition(_.startsWith("#"))
+    val txns = headers.collect {
+      case h if h.startsWith("#txn:") =>
+        val rest = h.stripPrefix("#txn:")
+        val i = rest.lastIndexOf(':')
+        rest.take(i) -> rest.drop(i + 1).toLong
+    }.toMap
+    val op = headers.collectFirst {
+      case h if h.startsWith("#op:") => h.stripPrefix("#op:")
+    }.getOrElse("append")
+    val parsed = fileLines.map { l =>
+      val i = l.indexOf('\t')
+      if (i < 0) (l, None)
+      else {
+        val parts = l.drop(i + 1).split(':')
+        (l.take(i), Some(FileStats(parts.dropRight(2).mkString(":"),
+          BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))))
       }
     }
+    Snapshot(v, parsed.map(_._1),
+      txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap, op)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
     * (a manifest with that version already exists). */
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
                         txns: Map[String, Long],
-                        stats: Map[String, FileStats]): Boolean = {
+                        stats: Map[String, FileStats], op: String): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
-    val headers = txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
+    val headers = s"#op:$op" +:
+      txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
     val fileLines = files.sorted.map(f =>
       stats.get(f).map(st => s"$f\t${st.encoded}").getOrElse(f))
     Files.write(tmp, (headers ++ fileLines).asJava)
@@ -160,7 +177,8 @@ object ManifestLake {
     * write). */
   private final case class Ledger(files: Vector[String],
                                   txns: Map[String, Long],
-                                  stats: Map[String, FileStats])
+                                  stats: Map[String, FileStats],
+                                  op: String)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -169,12 +187,12 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats)) =>
+        case Some(Ledger(files, txns, stats, op)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files, txns, live))
-            return Some(Snapshot(next, files.sorted, txns, live))
+          if (tryCommit(root, next, files, txns, live, op))
+            return Some(Snapshot(next, files.sorted, txns, live, op))
       }
       attempt += 1
     }
@@ -269,7 +287,7 @@ object ManifestLake {
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
-        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats))
+        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append"))
     }.get
   }
 
@@ -297,7 +315,7 @@ object ManifestLake {
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
       else Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
-        latest.map(_.stats).getOrElse(Map.empty)))
+        latest.map(_.stats).getOrElse(Map.empty), "batch"))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -318,6 +336,39 @@ object ManifestLake {
       throw new IllegalStateException(s"no committed manifest in $dir"))
     val abs = snap.files.map(f => s"$dir/$f")
     s.read.option("basePath", dir).parquet(abs: _*)
+  }
+
+  /** Incremental/CDC read off the manifest log: the rows ADDED by
+    * append/batch commits in version range (`fromExclusive`,
+    * `toInclusive`] — the primitive an incremental consumer (delta
+    * re-export, downstream sync) reads instead of diffing data. The
+    * log makes it a metadata operation: each commit's added files are
+    * `files(v) − files(v−1)`, and COMPACTION commits are skipped
+    * entirely (they rewrite bytes, not content — a CDC reader that
+    * re-emitted compacted rows would double-count every record the
+    * optimizer touched). Cost scales with the delta, never the lake.
+    * Requires the range's manifests to still exist (vacuum retires
+    * them past the grace window — run CDC inside it, or raise
+    * `keepVersions`). */
+  def readChanges(s: SparkSession, dir: String,
+                  fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"bad version range ($fromExclusive, $toInclusive]")
+    def snap(v: Long): Snapshot = snapshotAt(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v of $dir is missing (retired by vacuum?) — " +
+          "CDC must run inside the retention window"))
+    val added = ((fromExclusive + 1) to toInclusive).toVector.flatMap { v =>
+      val cur = snap(v)
+      if (cur.op == "compact") Vector.empty
+      else {
+        val prev = if (v == 1) Set.empty[String]
+                   else snap(v - 1).files.toSet
+        cur.files.filterNot(prev)
+      }
+    }
+    if (added.isEmpty) read(s, dir).filter(lit(false))
+    else s.read.option("basePath", dir).parquet(added.map(f => s"$dir/$f"): _*)
   }
 
   /** The file-skipping half of [[readWhere]], separated so callers
@@ -468,7 +519,7 @@ object ManifestLake {
             }
           }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
-            latest.txns, latest.stats -- removed ++ newStats))
+            latest.txns, latest.stats -- removed ++ newStats, "compact"))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))

@@ -450,6 +450,52 @@ object RoundTrips {
            WHERE doc_id BETWEEN m - m // 20 AND m)
        GROUP BY range_tag ORDER BY range_tag"""
 
+  /** q132 — CDC read off the manifest log end-to-end: three appends
+    * interleaved with a compaction, then
+    * [[graft.core.ManifestLake.readChanges]] over two version windows.
+    * The changes stream must contain exactly the rows the later
+    * appends landed — never a row the compaction rewrote (a CDC
+    * consumer that re-saw compacted rows would double-apply every
+    * record the optimizer touched) — and the full read states the
+    * whole lake for cross-checking. All three legs aggregate per
+    * source and the oracle restates them from `documents` with the
+    * same doc_id slices. */
+  def qCdcReadRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_cdc_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 3 === 0).repartition($"source"), "source",
+      maxRecordsPerFile = 32L)                                            // v1
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 3 === 1).repartition($"source"), "source",
+      maxRecordsPerFile = 32L)                                            // v2
+    graft.core.ManifestLake.compact(s, lake, "source",
+      targetRecordsPerFile = 512L)                                        // v3
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 3 === 2).repartition($"source"), "source",
+      maxRecordsPerFile = 32L)                                            // v4
+    def tagged(df: DataFrame, tag: String) =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+        .withColumn("leg", lit(tag))
+    tagged(graft.core.ManifestLake.readChanges(s, lake, 1L, 4L), "since_v1")
+      .unionByName(tagged(graft.core.ManifestLake.readChanges(s, lake, 3L, 4L), "since_v3"))
+      .unionByName(tagged(graft.core.ManifestLake.read(s, lake), "full"))
+      .select($"leg", $"source", $"n_docs", $"sum_ids")
+      .orderBy($"leg", $"source")
+  }
+
+  val qCdcReadRoundTripSql: String =
+    """SELECT leg, source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       FROM (
+         SELECT 'since_v1' AS leg, * FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT 'since_v3' AS leg, * FROM documents WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT 'full' AS leg, * FROM documents)
+       GROUP BY leg, source ORDER BY leg, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
@@ -459,7 +505,8 @@ object RoundTrips {
     "q128_compact_lake" -> qCompactLakeRoundTrip,
     "q129_manifest_lake" -> qManifestLakeRoundTrip,
     "q130_time_travel" -> qTimeTravelRoundTrip,
-    "q131_data_skipping" -> qDataSkippingRoundTrip)
+    "q131_data_skipping" -> qDataSkippingRoundTrip,
+    "q132_cdc_read" -> qCdcReadRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -470,5 +517,6 @@ object RoundTrips {
     "q128_compact_lake" -> qCompactLakeRoundTripSql,
     "q129_manifest_lake" -> qManifestLakeRoundTripSql,
     "q130_time_travel" -> qTimeTravelRoundTripSql,
-    "q131_data_skipping" -> qDataSkippingRoundTripSql)
+    "q131_data_skipping" -> qDataSkippingRoundTripSql,
+    "q132_cdc_read" -> qCdcReadRoundTripSql)
 }

@@ -365,6 +365,36 @@ class LayoutSpec extends SparkSpec {
       BigDecimal(10), BigDecimal(20)).count() == 11)
   }
 
+  test("manifest lake: readChanges emits appended rows only, compaction invisible") {
+    val dir = Files.createTempDirectory("mlake11").resolve("lake").toString
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("doc_id"), lit("d0").as("source"))
+    ManifestLake.append(spark, dir, slice(0, 50), "source", maxRecordsPerFile = 5L)   // v1
+    ManifestLake.appendBatch(spark, dir, slice(50, 80), "source", "app", 0L,
+      maxRecordsPerFile = 5L)                                                          // v2 (batch)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 500L)            // v3
+    ManifestLake.append(spark, dir, slice(80, 100), "source")                          // v4
+    assert(ManifestLake.snapshotAt(dir, 3L).get.op == "compact")
+    assert(ManifestLake.snapshotAt(dir, 2L).get.op == "batch")
+
+    // everything since v1: the two appends, never the compaction rewrite
+    val changes = ManifestLake.readChanges(spark, dir, 1L, 4L)
+    assert(changes.count() == 50)
+    assert(changes.agg(min($"doc_id"), max($"doc_id")).head() ===
+      org.apache.spark.sql.Row(50L, 99L))
+    // a sub-window
+    assert(ManifestLake.readChanges(spark, dir, 3L, 4L).count() == 20)
+    // the full first commit
+    assert(ManifestLake.readChanges(spark, dir, 0L, 1L).count() == 50)
+    // empty window (compaction only)
+    assert(ManifestLake.readChanges(spark, dir, 2L, 3L).count() == 0)
+    // retired manifest → clear error
+    ManifestLake.vacuum(dir, keepVersions = 1)
+    val e = intercept[IllegalStateException](
+      ManifestLake.readChanges(spark, dir, 1L, 4L))
+    assert(e.getMessage.contains("retired by vacuum"))
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
