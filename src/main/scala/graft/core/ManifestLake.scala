@@ -68,7 +68,8 @@ object ManifestLake {
   final case class Snapshot(version: Long, files: Vector[String],
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, FileStats] = Map.empty,
-                            op: String = "append")
+                            op: String = "append",
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** Per-file min/max of one column, read from the parquet FOOTER at
     * commit time (no data pass) and carried in the manifest line —
@@ -137,6 +138,11 @@ object ManifestLake {
     val op = headers.collectFirst {
       case h if h.startsWith("#op:") => h.stripPrefix("#op:")
     }.getOrElse("append")
+    val schema = headers.collectFirst {
+      case h if h.startsWith("#schema:") =>
+        org.apache.spark.sql.types.DataType.fromJson(h.stripPrefix("#schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     val parsed = fileLines.map { l =>
       val i = l.indexOf('\t')
       if (i < 0) (l, None)
@@ -147,18 +153,19 @@ object ManifestLake {
       }
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap, op)
+      txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap, op, schema)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
     * (a manifest with that version already exists). */
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
                         txns: Map[String, Long],
-                        stats: Map[String, FileStats], op: String): Boolean = {
+                        stats: Map[String, FileStats], op: String,
+                        schema: Option[org.apache.spark.sql.types.StructType]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
-    val headers = s"#op:$op" +:
+    val headers = (s"#op:$op" +: schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
     val fileLines = files.sorted.map(f =>
       stats.get(f).map(st => s"$f\t${st.encoded}").getOrElse(f))
@@ -178,7 +185,8 @@ object ManifestLake {
   private final case class Ledger(files: Vector[String],
                                   txns: Map[String, Long],
                                   stats: Map[String, FileStats],
-                                  op: String)
+                                  op: String,
+                                  schema: Option[org.apache.spark.sql.types.StructType])
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -187,17 +195,46 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats, op)) =>
+        case Some(Ledger(files, txns, stats, op, schema)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files, txns, live, op))
-            return Some(Snapshot(next, files.sorted, txns, live, op))
+          if (tryCommit(root, next, files, txns, live, op, schema))
+            return Some(Snapshot(next, files.sorted, txns, live, op, schema))
       }
       attempt += 1
     }
     throw new IllegalStateException(
       s"manifest commit on $root lost the CAS race $MaxCommitRetries times")
+  }
+
+  /** Additive schema evolution, checked at commit (the Delta rule, and
+    * the lake-side mirror of `Tables`' read contract): a new commit may
+    * ADD columns and may OMIT existing ones (readers null-fill from the
+    * committed schema), but a column that exists in both must keep its
+    * exact DataType — a type flip silently corrupts every older file's
+    * interpretation, so it fails the commit with the column named. The
+    * committed schema is the union, existing fields first. */
+  private[core] def evolveSchema(committed: Option[org.apache.spark.sql.types.StructType],
+                                 incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    committed match {
+      case None => incoming
+      case Some(cur) =>
+        val curByName = cur.fields.map(f => f.name -> f).toMap
+        val drift = incoming.fields.flatMap { f =>
+          curByName.get(f.name) match {
+            case Some(c) if c.dataType != f.dataType =>
+              Some(s"${f.name}: committed ${c.dataType.simpleString}, incoming ${f.dataType.simpleString}")
+            case _ => None
+          }
+        }
+        if (drift.nonEmpty) throw new IllegalStateException(
+          s"schema evolution rejected (type flips): ${drift.mkString("; ")}")
+        val newFields = incoming.fields.filterNot(f => curByName.contains(f.name))
+        StructType(cur.fields ++ newFields)
+    }
   }
 
   /** Stage `df` (partitioned by `partitionCol`) into the lake's
@@ -278,6 +315,9 @@ object ManifestLake {
              statsCol: Option[String] = None): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
+    // fail a type flip BEFORE staging any bytes (racing commits are
+    // re-checked inside the commit loop, which stays authoritative)
+    evolveSchema(latestSnapshot(dir).flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
     val stagedStats = statsCol match {
       case None => Map.empty[String, FileStats]
@@ -287,7 +327,8 @@ object ManifestLake {
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
-        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append"))
+        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append",
+        Some(evolveSchema(latest.flatMap(_.schema), df.schema))))
     }.get
   }
 
@@ -309,13 +350,15 @@ object ManifestLake {
     Files.createDirectories(root)
     val already = latestSnapshot(dir)
     if (already.exists(_.txns.get(appId).exists(_ >= batchId))) return already.get
+    evolveSchema(already.flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
       else Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
-        latest.map(_.stats).getOrElse(Map.empty), "batch"))
+        latest.map(_.stats).getOrElse(Map.empty), "batch",
+        Some(evolveSchema(latest.flatMap(_.schema), df.schema))))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -335,7 +378,13 @@ object ManifestLake {
     val snap = snapshot.orElse(latestSnapshot(dir)).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
     val abs = snap.files.map(f => s"$dir/$f")
-    s.read.option("basePath", dir).parquet(abs: _*)
+    // The committed schema (when present) IS the read schema: no
+    // per-file inference, and files written before a column was added
+    // null-fill it — Delta-style evolution without mergeSchema's
+    // every-footer planning cost. Pre-schema manifests fall back to
+    // inference.
+    val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+    reader.parquet(abs: _*)
   }
 
   /** Incremental/CDC read off the manifest log: the rows ADDED by
@@ -368,7 +417,13 @@ object ManifestLake {
       }
     }
     if (added.isEmpty) read(s, dir).filter(lit(false))
-    else s.read.option("basePath", dir).parquet(added.map(f => s"$dir/$f"): _*)
+    else {
+      // read under the window-end's committed schema so deltas spanning
+      // a column addition present uniformly (older files null-fill)
+      val reader = snap(toInclusive).schema
+        .foldLeft(s.read.option("basePath", dir))(_ schema _)
+      reader.parquet(added.map(f => s"$dir/$f"): _*)
+    }
   }
 
   /** The file-skipping half of [[readWhere]], separated so callers
@@ -401,9 +456,11 @@ object ManifestLake {
     // on int64 keys); double only for genuinely fractional bounds.
     def bound(b: BigDecimal) = if (b.isWhole && b.isValidLong) lit(b.toLong) else lit(b.toDouble)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
-    else
-      s.read.option("basePath", dir).parquet(kept.map(f => s"$dir/$f"): _*)
+    else {
+      val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+      reader.parquet(kept.map(f => s"$dir/$f"): _*)
         .filter(col(statsCol) >= bound(lo) && col(statsCol) <= bound(hi))
+    }
   }
 
   /** Compact fragmented partitions of the latest snapshot and commit
@@ -447,9 +504,17 @@ object ManifestLake {
       else {
         // Data files carry no partition column (it lives in the path),
         // so an explicit-file read without basePath yields exactly the
-        // data schema to rewrite; shuffle-free coalesce bin-packs.
+        // data schema to rewrite; shuffle-free coalesce bin-packs. With
+        // a committed schema, the rewrite reads under it (minus the
+        // partition column) so heterogeneous pre-evolution files
+        // null-fill — compaction MIGRATES old files to the union
+        // schema as a side effect.
         val stage = root.resolve(s".stage_${UUID.randomUUID()}")
-        s.read.parquet(olds.map(f => s"$dir/$f"): _*)
+        val dataSchema = snap.schema.map(sc =>
+          org.apache.spark.sql.types.StructType(
+            sc.fields.filterNot(_.name == partitionCol)))
+        dataSchema.foldLeft(s.read)(_ schema _)
+          .parquet(olds.map(f => s"$dir/$f"): _*)
           .coalesce(target.toInt)
           .write.parquet(stage.toString)
         val dest = root.resolve(pname)
@@ -519,7 +584,8 @@ object ManifestLake {
             }
           }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
-            latest.txns, latest.stats -- removed ++ newStats, "compact"))
+            latest.txns, latest.stats -- removed ++ newStats, "compact",
+            latest.schema))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))

@@ -395,6 +395,45 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("retired by vacuum"))
   }
 
+  test("manifest lake: additive schema evolution, type flips rejected") {
+    val dir = Files.createTempDirectory("mlake12").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 40).select($"id".as("doc_id"), lit("e0").as("source")), "source")
+    // additive: a later corpus version gains a quality column
+    ManifestLake.append(spark, dir,
+      spark.range(40, 60).select($"id".as("doc_id"), lit("e0").as("source"),
+        ($"id" % 7).cast("double").as("quality")), "source")
+
+    val back = ManifestLake.read(spark, dir)
+    assert(back.columns.toSet == Set("doc_id", "source", "quality"),
+      "committed schema must be the union")
+    assert(back.count() == 60)
+    // pre-evolution rows null-fill; new rows carry values
+    assert(back.filter($"quality".isNull).count() == 40)
+    assert(back.filter($"quality".isNotNull).count() == 20)
+
+    // a type flip on an existing column fails the COMMIT, named
+    val e = intercept[IllegalStateException] {
+      ManifestLake.append(spark, dir,
+        spark.range(60, 70).select($"id".cast("string").as("doc_id"),
+          lit("e0").as("source")), "source")
+    }
+    assert(e.getMessage.contains("schema evolution rejected"))
+    assert(e.getMessage.contains("doc_id"))
+    assert(ManifestLake.read(spark, dir).count() == 60, "failed commit must add nothing")
+
+    // compaction migrates old files onto the union schema and keeps it
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 500L)
+    val compacted = ManifestLake.read(spark, dir)
+    assert(compacted.columns.toSet == Set("doc_id", "source", "quality"))
+    assert(compacted.count() == 60)
+    assert(compacted.filter($"quality".isNotNull).count() == 20)
+    // an omitted column is fine AFTER evolution too (null-filled)
+    ManifestLake.append(spark, dir,
+      spark.range(100, 110).select($"id".as("doc_id"), lit("e0").as("source")), "source")
+    assert(ManifestLake.read(spark, dir).filter($"quality".isNull).count() == 50)
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
