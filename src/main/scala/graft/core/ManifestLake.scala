@@ -47,6 +47,24 @@ import org.apache.spark.sql.functions._
   *    the retention/GC half of the protocol, run out-of-band like
   *    Delta's VACUUM.
   *
+  * On that commit core the standard table-format capabilities are each
+  * a few header lines, not new machinery:
+  *  - exactly-once streaming ([[appendBatch]]/[[streamSink]]): per-app
+  *    `#txn` high-waters ride every commit, so a re-delivered
+  *    micro-batch is a no-op;
+  *  - time travel ([[read]] with a snapshot, [[snapshotAt]]): commits
+  *    never delete data files, so every un-vacuumed version stays a
+  *    complete consistent read;
+  *  - data skipping ([[readWhere]]/[[pruneFiles]]): per-file footer
+  *    min/max committed in the file line prunes opens from the
+  *    manifest alone;
+  *  - CDC ([[readChanges]]): `#op`-tagged commits make
+  *    "rows added since version N" a metadata file-diff, with
+  *    compaction rewrites invisible;
+  *  - schema evolution ([[evolveSchema]], `#schema` header): reads
+  *    apply the committed schema (added columns null-fill, zero
+  *    per-file inference), type flips fail the commit by name.
+  *
   * At 100 TB the manifest is the scan plan: a read opens zero
   * directories and exactly the named files, so the small-file pathology
   * compaction repairs never taxes the planner either. Manifests
