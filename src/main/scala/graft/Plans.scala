@@ -525,6 +525,21 @@ object Plans {
         |compare raw doubles; the dot is the identical left-to-right
         |IEEE fold both engines run (q32's discipline), so the band
         |membership agrees bit-for-bit.""".stripMargin,
+    "q133_delete_contaminated" ->
+      """Targeted deletion on the manifest lake — the operator the
+        |decontamination reports (q68/q80) feed. Delta's DELETE shape:
+        |one predicate-pushed detection scan tags matching rows with
+        |input_file_name, only files containing matches are rewritten
+        |(keeping !predicate rows), and one commit swaps them — cost
+        |∝ contaminated files, never lake size; a 10-id delete in a
+        |range-clustered lake rewrites exactly one file (LayoutSpec).
+        |Files emptied by the delete leave the ledger via their footer
+        |row count (metadata, no extra pass). The commit is #op:delete
+        |and CDC-invisible (rewritten survivors are not new rows);
+        |txn high-waters and the committed schema ride through. At
+        |100 TB this plus stats-clustering is the GDPR/contamination
+        |answer: the detection scan prunes to candidate files via the
+        |manifest, the rewrite touches only them.""".stripMargin,
     "q132_cdc_read" ->
       """Incremental/CDC reads straight off the manifest log: each
         |commit records its operation (#op:append/batch/compact), so

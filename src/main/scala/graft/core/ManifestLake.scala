@@ -405,6 +405,106 @@ object ManifestLake {
     reader.parquet(abs: _*)
   }
 
+  /** Targeted record deletion — the contamination-removal / GDPR
+    * primitive (q68/q80 produce decontamination REPORTS; this is the
+    * operator that acts on one). Delta's DELETE algorithm over the
+    * manifest: one predicate-pushed detection scan tags each matching
+    * row with its source file (`input_file_name`), ONLY the affected
+    * files are rewritten (keeping rows that do NOT match), and the
+    * commit swaps affected → rewritten. Untouched files are untouched
+    * bytes — cost ∝ files containing matches, never lake size. Files
+    * rewritten to zero rows are dropped from the ledger entirely
+    * (checked via footer row counts, no extra data pass). Stats are
+    * re-derived for rewrites of uniformly-tracked files; txn
+    * high-waters and the committed schema ride through. The commit is
+    * tagged `#op:delete`, which [[readChanges]] SKIPS — rewritten
+    * survivors are not new rows; consumers that must propagate
+    * deletions re-sync from a full read (Delta's CDF is the richer
+    * answer; out of scope). Concurrent appends rebase fine (set-union
+    * keeps them); a concurrent compaction that already replaced an
+    * affected file aborts THIS delete with a named error rather than
+    * silently resurrecting rows — re-run it. */
+  def deleteWhere(s: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val affectedAbs = read(s, dir, Some(snap))
+      .filter(predicate)
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toVector
+    if (affectedAbs.isEmpty) return 0L
+    // input_file_name's URI form varies (file:/ vs file:///); the lake's
+    // layout is fixed at "<col>=<v>/<file>", so the relative path is
+    // always the last two segments.
+    def rel(abs: String): String =
+      abs.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+    val affected = affectedAbs.map(rel)
+    require(affected.forall(snap.files.contains),
+      s"detection scan returned files outside the snapshot: $affected")
+
+    // rewrite each affected file: keep rows NOT matching; empty
+    // rewrites drop the file from the ledger
+    val replacements: Map[String, Option[String]] = affected.map { f =>
+      val partDir = f.takeWhile(_ != '/')
+      val keepDf = {
+        val dataSchema = snap.schema.map(sc =>
+          org.apache.spark.sql.types.StructType(
+            sc.fields.filterNot(_.name == partDir.takeWhile(_ != '='))))
+        dataSchema.foldLeft(s.read)(_ schema _).parquet(s"$dir/$f")
+          .filter(!predicate)
+      }
+      val stage = root.resolve(s".stage_${UUID.randomUUID()}")
+      keepDf.coalesce(1).write.parquet(stage.toString)
+      val out = {
+        val fs = Files.list(stage)
+        try fs.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+        finally fs.close()
+      }
+      val kept = out.flatMap { o =>
+        if (rowCount(s, o) == 0L) None
+        else {
+          val unique = s"${UUID.randomUUID()}-${o.getFileName}"
+          Files.move(o, root.resolve(partDir).resolve(unique))
+          Some(s"$partDir/$unique")
+        }
+      }
+      deleteTree(stage)
+      f -> kept
+    }.toMap
+
+    val removedSet = replacements.keySet
+    val newFiles = replacements.values.flatten.toVector
+    val newStats = snap.stats.get(affected.head).map(_.col) match {
+      case Some(c) if affected.forall(snap.stats.contains) =>
+        newFiles.flatMap(f => footerStats(s, root.resolve(f), c).map(f -> _)).toMap
+      case _ => Map.empty[String, FileStats]
+    }
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (!removedSet.forall(latest.files.contains))
+          throw new IllegalStateException(
+            "a concurrent commit replaced files this delete rewrote — " +
+              "re-run deleteWhere against the new snapshot")
+        Some(Ledger(latest.files.filterNot(removedSet.contains) ++ newFiles,
+          latest.txns, latest.stats -- removedSet ++ newStats, "delete",
+          latest.schema))
+    }
+    affected.length.toLong
+  }
+
+  /** Parquet footer row count — metadata only. */
+  private def rowCount(s: SparkSession, file: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      s.sessionState.newHadoopConf()))
+    try reader.getRecordCount finally reader.close()
+  }
+
   /** Incremental/CDC read off the manifest log: the rows ADDED by
     * append/batch commits in version range (`fromExclusive`,
     * `toInclusive`] — the primitive an incremental consumer (delta
@@ -427,7 +527,9 @@ object ManifestLake {
           "CDC must run inside the retention window"))
     val added = ((fromExclusive + 1) to toInclusive).toVector.flatMap { v =>
       val cur = snap(v)
-      if (cur.op == "compact") Vector.empty
+      // compaction rewrites bytes and deletion removes rows — neither
+      // ADDS content, so both are invisible to the changes stream
+      if (cur.op == "compact" || cur.op == "delete") Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]
                    else snap(v - 1).files.toSet

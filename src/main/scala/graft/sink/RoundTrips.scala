@@ -496,6 +496,37 @@ object RoundTrips {
          SELECT 'full' AS leg, * FROM documents)
        GROUP BY leg, source ORDER BY leg, source"""
 
+  /** q133 — targeted record deletion end-to-end (the operator a
+    * decontamination report like q68/q80 feeds): the corpus lands in a
+    * manifest lake, a contaminated-id predicate (doc_id % 17 = 0, the
+    * stand-in for a benchmark-overlap id list) is deleted via
+    * [[graft.core.ManifestLake.deleteWhere]], and the read-back
+    * aggregate must state exactly the surviving rows — any resurrected
+    * or over-deleted row breaks the hash. The deletion rewrites ONLY
+    * files containing matches (cost ∝ contaminated files, not lake
+    * size) and the commit is CDC-invisible; those physical halves are
+    * LayoutSpec's. */
+  def qDeleteContaminatedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_delete_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L)
+    graft.core.ManifestLake.deleteWhere(s, lake, $"doc_id" % 17 === 0)
+    graft.core.ManifestLake.read(s, lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qDeleteContaminatedRoundTripSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+       FROM documents WHERE doc_id % 17 <> 0
+       GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
@@ -506,7 +537,8 @@ object RoundTrips {
     "q129_manifest_lake" -> qManifestLakeRoundTrip,
     "q130_time_travel" -> qTimeTravelRoundTrip,
     "q131_data_skipping" -> qDataSkippingRoundTrip,
-    "q132_cdc_read" -> qCdcReadRoundTrip)
+    "q132_cdc_read" -> qCdcReadRoundTrip,
+    "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -518,5 +550,6 @@ object RoundTrips {
     "q129_manifest_lake" -> qManifestLakeRoundTripSql,
     "q130_time_travel" -> qTimeTravelRoundTripSql,
     "q131_data_skipping" -> qDataSkippingRoundTripSql,
-    "q132_cdc_read" -> qCdcReadRoundTripSql)
+    "q132_cdc_read" -> qCdcReadRoundTripSql,
+    "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql)
 }

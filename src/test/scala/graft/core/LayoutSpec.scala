@@ -434,6 +434,50 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).filter($"quality".isNull).count() == 50)
   }
 
+  test("manifest lake: deleteWhere rewrites only affected files, CDC-invisible") {
+    val dir = Files.createTempDirectory("mlake13").resolve("lake").toString
+    // 10 range-clustered files of 100 ids each — a targeted delete
+    // should touch exactly one
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select($"id".as("doc_id"), lit("f0").as("source"))
+        .repartitionByRange(10, $"doc_id"),
+      "source", statsCol = Some("doc_id"))
+    val before = ManifestLake.latestSnapshot(dir).get
+    ManifestLake.appendBatch(spark, dir,
+      spark.range(2000, 2010).select($"id".as("doc_id"), lit("f0").as("source")),
+      "source", "app", 5L)
+    val batchFiles = ManifestLake.latestSnapshot(dir).get.files.toSet -- before.files
+
+    val affected = ManifestLake.deleteWhere(spark, dir,
+      $"doc_id" >= 250 && $"doc_id" < 260)
+    assert(affected == 1, s"a 10-id delete inside one clustered file touched $affected files")
+
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.op == "delete")
+    assert(after.txns == Map("app" -> 5L), "txn high-waters must survive deletion")
+    // untouched files keep their exact names (bytes untouched)
+    assert(before.files.count(after.files.contains) == before.files.length - 1)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 1000)            // 1010 - 10 deleted
+    assert(back.filter($"doc_id" >= 250 && $"doc_id" < 260).count() == 0)
+    assert(back.filter($"doc_id" >= 2000).count() == 10)
+    // the rewritten file re-derived its pruning stats: every file is
+    // tracked except the appendBatch ones (batch commits carry no stats)
+    assert(after.stats.keySet == after.files.toSet -- batchFiles)
+    // CDC: the delete commit adds nothing to a changes stream
+    assert(ManifestLake.readChanges(spark, dir,
+      after.version - 1, after.version).count() == 0)
+
+    // deleting EVERY row of a file drops it from the ledger (all the
+    // batch-append files hold only >= 2000 ids)
+    val nFiles = after.files.length
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 2000)
+    val finalSnap = ManifestLake.latestSnapshot(dir).get
+    assert(finalSnap.files.length == nFiles - batchFiles.size,
+      "emptied files must leave the ledger")
+    assert(ManifestLake.read(spark, dir).count() == 990)
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
