@@ -425,7 +425,16 @@ object ManifestLake {
     * affected file aborts THIS delete with a named error rather than
     * silently resurrecting rows — re-run it. */
   def deleteWhere(s: SparkSession, dir: String,
-                  predicate: org.apache.spark.sql.Column): Long = {
+                  predicate: org.apache.spark.sql.Column): Long =
+    deleteWhere(s, dir, predicate, () => ())
+
+  /** Test seam, as for compact: `beforeCommit` runs after the rewrites
+    * and before the commit loop — the window a concurrent append's
+    * commit must be rebased over (set-union keeps it; only a commit
+    * that REPLACED one of this delete's inputs aborts). */
+  private[core] def deleteWhere(s: SparkSession, dir: String,
+                                predicate: org.apache.spark.sql.Column,
+                                beforeCommit: () => Unit): Long = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
@@ -488,6 +497,7 @@ object ManifestLake {
           scala.concurrent.duration.Duration.Inf).toMap
       } finally pool.shutdown()
 
+    beforeCommit()
     val removedSet = replacements.keySet
     val newFiles = replacements.values.flatten.toVector
     val newStats = snap.stats.get(affected.head).map(_.col) match {

@@ -478,6 +478,26 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 990)
   }
 
+  test("manifest lake: deleteWhere rebases over a concurrent append") {
+    val dir = Files.createTempDirectory("mlake14").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 200).select($"id".as("doc_id"), lit("h0").as("source"))
+        .repartitionByRange(4, $"doc_id"), "source")
+    // the race, pinned: an append commits AFTER the delete's detection
+    // scan + rewrites, BEFORE its commit — set-union rebase must keep it
+    val affected = ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50,
+      beforeCommit = () => {
+        ManifestLake.append(spark, dir,
+          spark.range(500, 520).select($"id".as("doc_id"), lit("h0").as("source")),
+          "source"); ()
+      })
+    assert(affected == 1)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 170, "150 survivors + 20 late-appended")
+    assert(back.filter($"doc_id" < 50).count() == 0)
+    assert(back.filter($"doc_id" >= 500).count() == 20)
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
