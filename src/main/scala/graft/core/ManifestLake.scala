@@ -85,11 +85,13 @@ object ManifestLake {
     * on top of at-least-once delivery, O(#apps) manifest overhead. */
   final case class Snapshot(version: Long, files: Vector[String],
                             txns: Map[String, Long] = Map.empty,
-                            stats: Map[String, FileStats] = Map.empty,
+                            stats: Map[String, Vector[FileStats]] = Map.empty,
                             op: String = "append",
                             schema: Option[org.apache.spark.sql.types.StructType] = None)
 
-  /** Per-file min/max of one column, read from the parquet FOOTER at
+  /** Per-file min/max of one tracked column (files may track several
+    * — Delta records stats for N leading columns, same idea), read
+    * from the parquet FOOTER at
     * commit time (no data pass) and carried in the manifest line —
     * Delta-style data skipping. At 100 TB on object storage this is
     * the difference between a point lookup opening K clustered files
@@ -143,9 +145,9 @@ object ManifestLake {
     // "#op:<kind>" the commit's operation (append/batch/compact — what
     // CDC readers dispatch on); data paths never start with '#' (they
     // start "<col>=..."), so pre-header manifests parse unchanged. A
-    // file line may carry a tab-separated "<col>:<min>:<max>" stats
-    // suffix (tabs are illegal in our partition/file names); lines
-    // without one are simply never pruned.
+    // file line may carry one tab-separated "<col>:<min>:<max>" stats
+    // suffix PER TRACKED COLUMN (tabs are illegal in our partition/
+    // file names); lines without any are simply never pruned.
     val (headers, fileLines) = lines.partition(_.startsWith("#"))
     val txns = headers.collect {
       case h if h.startsWith("#txn:") =>
@@ -162,31 +164,34 @@ object ManifestLake {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
     val parsed = fileLines.map { l =>
-      val i = l.indexOf('\t')
-      if (i < 0) (l, None)
-      else {
-        val parts = l.drop(i + 1).split(':')
-        (l.take(i), Some(FileStats(parts.dropRight(2).mkString(":"),
-          BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))))
+      val segs = l.split('\t')
+      val sts = segs.drop(1).toVector.map { seg =>
+        val parts = seg.split(':')
+        FileStats(parts.dropRight(2).mkString(":"),
+          BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))
       }
+      (segs.head, sts)
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, Some(st)) => p -> st }.toMap, op, schema)
+      txns, parsed.collect { case (p, sts) if sts.nonEmpty => p -> sts }.toMap,
+      op, schema)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
     * (a manifest with that version already exists). */
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
                         txns: Map[String, Long],
-                        stats: Map[String, FileStats], op: String,
+                        stats: Map[String, Vector[FileStats]], op: String,
                         schema: Option[org.apache.spark.sql.types.StructType]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
     val headers = (s"#op:$op" +: schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
-    val fileLines = files.sorted.map(f =>
-      stats.get(f).map(st => s"$f\t${st.encoded}").getOrElse(f))
+    val fileLines = files.sorted.map { f =>
+      stats.get(f).filter(_.nonEmpty)
+        .map(sts => (f +: sts.map(_.encoded)).mkString("\t")).getOrElse(f)
+    }
     Files.write(tmp, (headers ++ fileLines).asJava)
     try {
       try { Files.createLink(manifestPath(root, asVersion), tmp); true }
@@ -202,7 +207,7 @@ object ManifestLake {
     * write). */
   private final case class Ledger(files: Vector[String],
                                   txns: Map[String, Long],
-                                  stats: Map[String, FileStats],
+                                  stats: Map[String, Vector[FileStats]],
                                   op: String,
                                   schema: Option[org.apache.spark.sql.types.StructType])
 
@@ -290,7 +295,7 @@ object ManifestLake {
     * a metadata read (the row groups' pre-computed statistics), never
     * a data pass. Returns None when the footer carries no stats for
     * the column (then the file is simply never pruned — safe). */
-  private def footerStats(s: SparkSession, file: Path, col: String): Option[FileStats] = {
+  private def footerStats(s: SparkSession, file: Path, cols: Seq[String]): Vector[FileStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
@@ -305,18 +310,21 @@ object ManifestLake {
         case f: java.lang.Float   => Some(BigDecimal(f.floatValue.toDouble))
         case _                    => None // binary/bool: no numeric order
       }
-      val perBlock = reader.getFooter.getBlocks.asScala.flatMap { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == col)
-          .flatMap { c =>
-            val st = c.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else for (mn <- toBig(st.genericGetMin); mx <- toBig(st.genericGetMax))
-              yield (mn, mx)
-          }
+      val blocks = reader.getFooter.getBlocks.asScala.toVector
+      cols.toVector.flatMap { col =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == col)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else for (mn <- toBig(st.genericGetMin); mx <- toBig(st.genericGetMax))
+                yield (mn, mx)
+            }
+        }
+        if (perBlock.isEmpty) None
+        else Some(FileStats(col, perBlock.map(_._1).min, perBlock.map(_._2).max))
       }
-      if (perBlock.isEmpty) None
-      else Some(FileStats(col, perBlock.map(_._1).min, perBlock.map(_._2).max))
     } finally reader.close()
   }
 
@@ -330,18 +338,17 @@ object ManifestLake {
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,
-             statsCol: Option[String] = None): Snapshot = {
+             statsCols: Seq[String] = Nil): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     // fail a type flip BEFORE staging any bytes (racing commits are
     // re-checked inside the commit loop, which stays authoritative)
     evolveSchema(latestSnapshot(dir).flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
-    val stagedStats = statsCol match {
-      case None => Map.empty[String, FileStats]
-      case Some(c) => staged.flatMap(f =>
-        footerStats(s, root.resolve(f), c).map(f -> _)).toMap
-    }
+    val stagedStats =
+      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
+      else staged.map(f => f -> footerStats(s, root.resolve(f), statsCols))
+        .filter(_._2.nonEmpty).toMap
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
@@ -500,11 +507,14 @@ object ManifestLake {
     beforeCommit()
     val removedSet = replacements.keySet
     val newFiles = replacements.values.flatten.toVector
-    val newStats = snap.stats.get(affected.head).map(_.col) match {
-      case Some(c) if affected.forall(snap.stats.contains) =>
-        newFiles.flatMap(f => footerStats(s, root.resolve(f), c).map(f -> _)).toMap
-      case _ => Map.empty[String, FileStats]
-    }
+    val uniformCols = affected.map(f =>
+        snap.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val newStats =
+      if (uniformCols.isEmpty) Map.empty[String, Vector[FileStats]]
+      else newFiles.map(f =>
+        f -> footerStats(s, root.resolve(f), uniformCols.toSeq.sorted))
+        .filter(_._2.nonEmpty).toMap
     commitLoop(root) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
       case Some(latest) =>
@@ -577,9 +587,9 @@ object ManifestLake {
   def pruneFiles(snap: Snapshot, statsCol: String,
                  lo: BigDecimal, hi: BigDecimal): Vector[String] =
     snap.files.filter { f =>
-      snap.stats.get(f) match {
-        case Some(st) if st.col == statsCol => st.overlaps(lo, hi)
-        case _                              => true
+      snap.stats.getOrElse(f, Vector.empty).find(_.col == statsCol) match {
+        case Some(st) => st.overlaps(lo, hi)
+        case None     => true
       }
     }
 
@@ -721,11 +731,13 @@ object ManifestLake {
           // one column (mixed/untracked partitions stay untracked —
           // never guess a pruning bound).
           val newStats = apply.flatMap { sw =>
-            sw.olds.flatMap(latest.stats.get).map(_.col).distinct match {
-              case Seq(c) if sw.olds.forall(latest.stats.contains) =>
-                sw.news.flatMap(f => footerStats(s, root.resolve(f), c).map(f -> _))
-              case _ => Nil
-            }
+            val uniform = sw.olds.map(f =>
+                latest.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
+              .reduceOption(_ intersect _).getOrElse(Set.empty)
+            if (uniform.isEmpty) Nil
+            else sw.news.map(f =>
+              f -> footerStats(s, root.resolve(f), uniform.toSeq.sorted))
+              .filter(_._2.nonEmpty)
           }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
             latest.txns, latest.stats -- removed ++ newStats, "compact",

@@ -409,7 +409,7 @@ object RoundTrips {
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
     graft.core.ManifestLake.append(s, lake,
       docs.repartitionByRange(16, $"doc_id"), "source",
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     val total = snap.files.length.toLong
     // ranges scale with the corpus (documents' id range differs per sf);

@@ -307,7 +307,7 @@ class LayoutSpec extends SparkSpec {
     val docs = spark.range(0, 1000).select(
       $"id".as("doc_id"), lit("s0").as("source"))
     ManifestLake.append(spark, dir, docs.repartitionByRange(10, $"doc_id"),
-      "source", statsCol = Some("doc_id"))
+      "source", statsCols = Seq("doc_id"))
     val snap = ManifestLake.latestSnapshot(dir).get
     assert(snap.files.length == 10)
     assert(snap.stats.size == 10, "every clustered file must carry footer stats")
@@ -348,12 +348,35 @@ class LayoutSpec extends SparkSpec {
       "mixed tracked/untracked inputs must compact to untracked, not guessed, stats")
   }
 
+  test("manifest lake: multi-column stats prune on either column") {
+    val dir = Files.createTempDirectory("mlake15").resolve("lake").toString
+    // doc_id clusters by range; ts = doc_id * 10 is correlated, so
+    // range files are narrow in BOTH columns
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select(
+        $"id".as("doc_id"), ($"id" * 10).as("ts"), lit("m0").as("source"))
+        .repartitionByRange(10, $"doc_id"),
+      "source", statsCols = Seq("doc_id", "ts"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.stats.values.forall(_.map(_.col).sorted == Vector("doc_id", "ts")),
+      "every file must carry stats for both columns")
+
+    val byId = ManifestLake.pruneFiles(snap, "doc_id", BigDecimal(250), BigDecimal(260))
+    val byTs = ManifestLake.pruneFiles(snap, "ts", BigDecimal(2500), BigDecimal(2600))
+    assert(byId.length <= 2 && byTs.length <= 2, s"${byId.length}/${byTs.length} of 10")
+    assert(ManifestLake.readWhere(spark, dir, "ts",
+      BigDecimal(2500), BigDecimal(2600)).count() == 11)
+    // an untracked column prunes nothing (conservative)
+    assert(ManifestLake.pruneFiles(snap, "source",
+      BigDecimal(0), BigDecimal(0)).length == snap.files.length)
+  }
+
   test("manifest lake: compaction recomputes stats for uniformly-tracked partitions") {
     val dir = Files.createTempDirectory("mlake9").resolve("lake").toString
     val docs = spark.range(0, 400).select(
       $"id".as("doc_id"), lit("t0").as("source"))
     ManifestLake.append(spark, dir, docs.repartitionByRange(8, $"doc_id"),
-      "source", maxRecordsPerFile = 25L, statsCol = Some("doc_id"))
+      "source", maxRecordsPerFile = 25L, statsCols = Seq("doc_id"))
     ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 100L)
     val snap = ManifestLake.latestSnapshot(dir).get
     assert(snap.stats.nonEmpty, "compacted files must re-derive stats from their footers")
@@ -441,7 +464,7 @@ class LayoutSpec extends SparkSpec {
     ManifestLake.append(spark, dir,
       spark.range(0, 1000).select($"id".as("doc_id"), lit("f0").as("source"))
         .repartitionByRange(10, $"doc_id"),
-      "source", statsCol = Some("doc_id"))
+      "source", statsCols = Seq("doc_id"))
     val before = ManifestLake.latestSnapshot(dir).get
     ManifestLake.appendBatch(spark, dir,
       spark.range(2000, 2010).select($"id".as("doc_id"), lit("f0").as("source")),
