@@ -348,6 +348,29 @@ class LayoutSpec extends SparkSpec {
       "mixed tracked/untracked inputs must compact to untracked, not guessed, stats")
   }
 
+  test("manifest lake: readWhere's predicate pushes into the kept files' scan") {
+    val dir = Files.createTempDirectory("mlake16").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select($"id".as("doc_id"), lit("p0").as("source"))
+        .repartitionByRange(10, $"doc_id"),
+      "source", statsCols = Seq("doc_id"))
+    val df = ManifestLake.readWhere(spark, dir, "doc_id",
+      BigDecimal(100), BigDecimal(150))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // layer 1: the manifest pruned the file list before planning
+    val opened = scan.relation.location.inputFiles.length
+    assert(opened <= 2, s"scan planned over $opened files, manifest should have pruned to <=2")
+    // layer 2: the precise range predicate reached the parquet reader,
+    // so row-group stats prune WITHIN the kept files too
+    assert(scan.dataFilters.nonEmpty, "range predicate must be a data filter on the scan")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(doc_id") &&
+      pushed.contains("LessThanOrEqual(doc_id"), s"PushedFilters: $pushed")
+    assert(df.count() == 51)
+  }
+
   test("manifest lake: multi-column stats prune on either column") {
     val dir = Files.createTempDirectory("mlake15").resolve("lake").toString
     // doc_id clusters by range; ts = doc_id * 10 is correlated, so
