@@ -406,10 +406,14 @@ object RoundTrips {
   def qDataSkippingRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = freshDir("graft_skip_lake_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    // n_chars rides along as a second tracked column: the files cluster
+    // on doc_id, and the multi-column manifest stats mean a reader
+    // filtering on either column prunes opens
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"source", $"n_chars")
     graft.core.ManifestLake.append(s, lake,
       docs.repartitionByRange(16, $"doc_id"), "source",
-      statsCols = Seq("doc_id"))
+      statsCols = Seq("doc_id", "n_chars"))
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     val total = snap.files.length.toLong
     // ranges scale with the corpus (documents' id range differs per sf);
