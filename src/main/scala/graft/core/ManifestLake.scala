@@ -417,20 +417,28 @@ object ManifestLake {
     * operator that acts on one). Delta's DELETE algorithm over the
     * manifest: one predicate-pushed detection scan tags each matching
     * row with its source file (`input_file_name`), ONLY the affected
-    * files are rewritten (keeping rows that do NOT match), and the
-    * commit swaps affected → rewritten. Untouched files are untouched
-    * bytes — cost ∝ files containing matches, never lake size. Files
-    * rewritten to zero rows are dropped from the ledger entirely
-    * (checked via footer row counts, no extra data pass). Stats are
-    * re-derived for rewrites of uniformly-tracked files; txn
-    * high-waters and the committed schema ride through. The commit is
-    * tagged `#op:delete`, which [[readChanges]] SKIPS — rewritten
-    * survivors are not new rows; consumers that must propagate
-    * deletions re-sync from a full read (Delta's CDF is the richer
-    * answer; out of scope). Concurrent appends rebase fine (set-union
-    * keeps them); a concurrent compaction that already replaced an
-    * affected file aborts THIS delete with a named error rather than
-    * silently resurrecting rows — re-run it. */
+    * files are rewritten (keeping rows where the predicate is NOT
+    * true — rows where it evaluates NULL are kept, the SQL DELETE
+    * rule), and the commit swaps affected → rewritten. Untouched
+    * files are untouched bytes — cost ∝ files containing matches,
+    * never lake size. Predicates may reference the partition column
+    * (rewrites read each file with the partition value restored from
+    * its path). Files rewritten to zero rows are dropped from the
+    * ledger entirely (checked via footer row counts, no extra data
+    * pass). Stats are re-derived for rewrites of uniformly-tracked
+    * files; txn high-waters and the committed schema ride through.
+    * The commit is tagged `#op:delete`, which [[readChanges]] SKIPS —
+    * rewritten survivors are not new rows; consumers that must
+    * propagate deletions re-sync from a full read (Delta's CDF is the
+    * richer answer; out of scope). Concurrent appends rebase fine
+    * (set-union keeps them); a concurrent commit that already
+    * replaced an affected file (a compaction, or another delete)
+    * aborts THIS delete with a named error rather than silently
+    * resurrecting rows — re-run it.
+    *
+    * Returns the number of ROWS deleted (footer counts before minus
+    * after — metadata reads, no extra data pass), not files
+    * rewritten. */
   def deleteWhere(s: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column): Long =
     deleteWhere(s, dir, predicate, () => ())
@@ -459,21 +467,28 @@ object ManifestLake {
     require(affected.forall(snap.files.contains),
       s"detection scan returned files outside the snapshot: $affected")
 
-    // rewrite each affected file: keep rows NOT matching; empty
-    // rewrites drop the file from the ledger. Per-file rewrites are
-    // independent Spark jobs — submitted CONCURRENTLY through a
-    // bounded pool (the q128/compaction lesson: sequential submission
-    // pays each small job's scheduling round-trip alone; a
+    // rewrite each affected file: keep rows where the predicate is NOT
+    // true. !pred alone would DROP rows where pred evaluates NULL
+    // (!NULL is NULL, filtered out) — rows that the detection scan
+    // never counted as matches; coalesce(pred, false) pins NULL to
+    // "not deleted", the SQL DELETE rule (Delta does the same). Each
+    // file is read with `basePath` so the partition column is restored
+    // from its path — predicates over the partition column resolve —
+    // then dropped again before the rewrite (data files never carry
+    // it). Empty rewrites drop the file from the ledger. Per-file
+    // rewrites are independent Spark jobs — submitted CONCURRENTLY
+    // through a bounded pool (the q128/compaction lesson: sequential
+    // submission pays each small job's scheduling round-trip alone; a
     // worst-case delete touching every file was 3x slower serial).
-    def rewriteOne(f: String): (String, Option[String]) = {
+    final case class Rewrite(old: String, kept: Option[String], rowsDeleted: Long)
+    def rewriteOne(f: String): Rewrite = {
       val partDir = f.takeWhile(_ != '/')
-      val keepDf = {
-        val dataSchema = snap.schema.map(sc =>
-          org.apache.spark.sql.types.StructType(
-            sc.fields.filterNot(_.name == partDir.takeWhile(_ != '='))))
-        dataSchema.foldLeft(s.read)(_ schema _).parquet(s"$dir/$f")
-          .filter(!predicate)
-      }
+      val partCol = partDir.takeWhile(_ != '=')
+      val rowsBefore = rowCount(s, root.resolve(f))
+      val keepDf = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+        .parquet(s"$dir/$f")
+        .filter(!coalesce(predicate, lit(false)))
+        .drop(partCol)
       val stage = root.resolve(s".stage_${UUID.randomUUID()}")
       keepDf.coalesce(1).write.parquet(stage.toString)
       val out = {
@@ -482,8 +497,10 @@ object ManifestLake {
           .find(_.getFileName.toString.endsWith(".parquet"))
         finally fs.close()
       }
+      var rowsAfter = 0L
       val kept = out.flatMap { o =>
-        if (rowCount(s, o) == 0L) None
+        rowsAfter = rowCount(s, o)
+        if (rowsAfter == 0L) None
         else {
           val unique = s"${UUID.randomUUID()}-${o.getFileName}"
           Files.move(o, root.resolve(partDir).resolve(unique))
@@ -491,22 +508,22 @@ object ManifestLake {
         }
       }
       deleteTree(stage)
-      f -> kept
+      Rewrite(f, kept, rowsBefore - rowsAfter)
     }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, affected.length)))
-    val replacements: Map[String, Option[String]] =
+    val rewrites: Vector[Rewrite] =
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         Await.result(
           Future.sequence(affected.map(f => Future(rewriteOne(f)))),
-          scala.concurrent.duration.Duration.Inf).toMap
+          scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
 
     beforeCommit()
-    val removedSet = replacements.keySet
-    val newFiles = replacements.values.flatten.toVector
+    val removedSet = rewrites.map(_.old).toSet
+    val newFiles = rewrites.flatMap(_.kept)
     val uniformCols = affected.map(f =>
         snap.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
       .reduceOption(_ intersect _).getOrElse(Set.empty)
@@ -526,7 +543,7 @@ object ManifestLake {
           latest.txns, latest.stats -- removedSet ++ newStats, "delete",
           latest.schema))
     }
-    affected.length.toLong
+    rewrites.map(_.rowsDeleted).sum
   }
 
   /** Parquet footer row count — metadata only. */
@@ -640,12 +657,18 @@ object ManifestLake {
 
     val byPartition: Map[String, Vector[String]] =
       snap.files.groupBy(f => f.takeWhile(_ != '/'))
-    // Snapshot-consistent row counts: count over the MANIFEST's files
-    // (one footer-weight job), never a directory listing that would see
-    // concurrent writers' staged or uncommitted data.
+    // Snapshot-consistent row counts from the manifest files' parquet
+    // FOOTERS, keyed by the directory name the manifest already
+    // carries — metadata reads, no Spark job, and no re-formatting of
+    // the partition VALUE (a groupBy(partitionCol) count would need
+    // its result textually re-escaped into Hive directory naming;
+    // special characters / nulls / date formatting silently missed,
+    // defaulting the partition's count to 0 and coalescing it to one
+    // oversized file).
     val rowCounts: Map[String, Long] =
-      read(s, dir, Some(snap)).groupBy(col(partitionCol)).count()
-        .collect().map(r => s"$partitionCol=${r.get(0)}" -> r.getLong(1)).toMap
+      byPartition.map { case (pname, fs) =>
+        pname -> fs.map(f => rowCount(s, root.resolve(f))).sum
+      }
 
     final case class Swap(pname: String, rows: Long, olds: Vector[String],
                           news: Vector[String])
@@ -758,12 +781,31 @@ object ManifestLake {
     (untouched ++ swapStats).sortBy(_.partition)
   }
 
+  /** Default [[vacuum]] in-flight grace: anything modified in the last
+    * 20 minutes is presumed to belong to a LIVE writer and skipped.
+    * (Delta's analogue is the 7-day retention check you must
+    * explicitly disable; ours is shorter because the window only has
+    * to cover stage→commit, not reader lifetimes — readers are
+    * protected by `keepVersions`.) */
+  val DefaultVacuumGraceMillis: Long = 20L * 60 * 1000
+
   /** Reclaim files unreferenced by the last `keepVersions` manifests,
     * plus any stale staging directory. Readers are given `keepVersions`
     * of grace — the Delta VACUUM trade, with versions standing in for
-    * wall-clock retention (no clocks → deterministic tests; a
-    * deployment would gate on manifest mtime age too). */
-  def vacuum(dir: String, keepVersions: Int = 2): Long = {
+    * wall-clock retention (no clocks → deterministic tests).
+    *
+    * Concurrent-WRITER safety is mtime-based: a live writer's staged
+    * directory, and files it already hard-renamed into partition
+    * directories but has not yet committed, are indistinguishable
+    * from crash garbage by name — deleting them would let the
+    * writer's subsequent CAS commit publish a manifest naming dead
+    * files. Anything younger than `graceMillis` is therefore skipped;
+    * a writer whose stage→commit window exceeds the grace is the
+    * operator's contract to avoid (raise the grace, or run vacuum in
+    * a write-quiet window). Tests pass `graceMillis = 0` to assert
+    * reclamation deterministically in single-writer setups. */
+  def vacuum(dir: String, keepVersions: Int = 2,
+             graceMillis: Long = DefaultVacuumGraceMillis): Long = {
     val root = Paths.get(dir)
     val latest = latestSnapshot(dir).getOrElse(return 0L)
     val mdir = root.resolve(ManifestDir)
@@ -779,16 +821,21 @@ object ManifestLake {
         Files.readAllLines(manifestPath(root, v)).asScala
           .filter(l => l.nonEmpty && !l.startsWith("#"))).toSet
     }
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     var reclaimed = 0L
     val top = Files.list(root)
     try top.iterator().asScala.foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith(".stage_")) { deleteTree(p); reclaimed += 1 }
-      else if (Files.isDirectory(p) && name.contains("=")) {
+      if (name.startsWith(".stage_")) {
+        if (oldEnough(p)) { deleteTree(p); reclaimed += 1 }
+      } else if (Files.isDirectory(p) && name.contains("=")) {
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .filterNot(f => referenced.contains(s"$name/${f.getFileName}"))
+          .filter(oldEnough)
           .foreach { f => Files.delete(f); reclaimed += 1 }
         finally fs.close()
       }

@@ -324,7 +324,9 @@ object RoundTrips {
       maxRecordsPerFile = 16L, writeOptions = raw)
     val stats = graft.core.ManifestLake.compact(s, lake, "source",
       targetRecordsPerFile = 64L)
-    graft.core.ManifestLake.vacuum(lake, keepVersions = 1)
+    // graceMillis=0: single-writer query context — the mtime guard
+    // protects live concurrent writers, of which there are none here.
+    graft.core.ManifestLake.vacuum(lake, keepVersions = 1, graceMillis = 0L)
     val statsDf = stats.toDF()
       .select($"partition".as("source"),
         $"filesBefore".as("files_before"),

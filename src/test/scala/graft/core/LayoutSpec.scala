@@ -267,7 +267,7 @@ class LayoutSpec extends SparkSpec {
     ManifestLake.appendBatch(spark, dir, batch(60, 100), "source", "s", 1L,
       maxRecordsPerFile = 5L)
     ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 200L)
-    ManifestLake.vacuum(dir, keepVersions = 1)
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
     // the compaction commit must carry the txn high-waters forward —
     // otherwise a post-compaction crash replays old batches as new rows
     ManifestLake.appendBatch(spark, dir, batch(60, 100), "source", "s", 1L)
@@ -494,14 +494,15 @@ class LayoutSpec extends SparkSpec {
       "source", "app", 5L)
     val batchFiles = ManifestLake.latestSnapshot(dir).get.files.toSet -- before.files
 
-    val affected = ManifestLake.deleteWhere(spark, dir,
+    val deleted = ManifestLake.deleteWhere(spark, dir,
       $"doc_id" >= 250 && $"doc_id" < 260)
-    assert(affected == 1, s"a 10-id delete inside one clustered file touched $affected files")
+    assert(deleted == 10, s"deleteWhere must return rows deleted: $deleted")
 
     val after = ManifestLake.latestSnapshot(dir).get
     assert(after.op == "delete")
     assert(after.txns == Map("app" -> 5L), "txn high-waters must survive deletion")
-    // untouched files keep their exact names (bytes untouched)
+    // only ONE clustered file was rewritten; the rest keep their exact
+    // names (bytes untouched)
     assert(before.files.count(after.files.contains) == before.files.length - 1)
     val back = ManifestLake.read(spark, dir)
     assert(back.count() == 1000)            // 1010 - 10 deleted
@@ -517,7 +518,7 @@ class LayoutSpec extends SparkSpec {
     // deleting EVERY row of a file drops it from the ledger (all the
     // batch-append files hold only >= 2000 ids)
     val nFiles = after.files.length
-    ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 2000)
+    assert(ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 2000) == 10)
     val finalSnap = ManifestLake.latestSnapshot(dir).get
     assert(finalSnap.files.length == nFiles - batchFiles.size,
       "emptied files must leave the ledger")
@@ -531,17 +532,97 @@ class LayoutSpec extends SparkSpec {
         .repartitionByRange(4, $"doc_id"), "source")
     // the race, pinned: an append commits AFTER the delete's detection
     // scan + rewrites, BEFORE its commit — set-union rebase must keep it
-    val affected = ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50,
+    val deleted = ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50,
       beforeCommit = () => {
         ManifestLake.append(spark, dir,
           spark.range(500, 520).select($"id".as("doc_id"), lit("h0").as("source")),
           "source"); ()
       })
-    assert(affected == 1)
+    assert(deleted == 50)
     val back = ManifestLake.read(spark, dir)
     assert(back.count() == 170, "150 survivors + 20 late-appended")
     assert(back.filter($"doc_id" < 50).count() == 0)
     assert(back.filter($"doc_id" >= 500).count() == 20)
+  }
+
+  test("manifest lake: deleteWhere keeps rows where the predicate is NULL") {
+    val dir = Files.createTempDirectory("mlake17").resolve("lake").toString
+    // quality is NULL on every third row — a quality-threshold delete
+    // must remove rows where the predicate is TRUE and KEEP the NULL
+    // rows (SQL DELETE semantics; !NULL is NULL, so a naive !pred
+    // survivor filter would silently drop them from any rewritten file)
+    ManifestLake.append(spark, dir,
+      spark.range(0, 90).select(
+        $"id".as("doc_id"),
+        when($"id" % 3 === 0, org.apache.spark.sql.functions.lit(null))
+          .otherwise(($"id" % 10).cast("double") / 10.0).as("quality"),
+        lit("n0").as("source")),
+      "source")
+    val deleted = ManifestLake.deleteWhere(spark, dir, $"quality" < 0.5)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.filter($"quality".isNull).count() == 30,
+      "NULL-predicate rows must survive a delete that rewrote their file")
+    assert(back.filter($"quality" < 0.5).count() == 0)
+    assert(back.count() == 30 + back.filter($"quality" >= 0.5).count())
+    assert(deleted == 90 - back.count())
+  }
+
+  test("manifest lake: deleteWhere supports partition-column predicates") {
+    val dir = Files.createTempDirectory("mlake18").resolve("lake").toString
+    val docs = spark.range(0, 100).select(
+      $"id".as("doc_id"),
+      concat(lit("p"), ($"id" % 4).cast("string")).as("source"))
+    ManifestLake.append(spark, dir, docs.repartition($"source"), "source",
+      maxRecordsPerFile = 10L)
+    // a GDPR/contamination predicate naturally names the partition
+    // column; the rewrite reads each file with the partition value
+    // restored from its path, so this must resolve (not throw)
+    val deleted = ManifestLake.deleteWhere(spark, dir, $"source" === "p1")
+    assert(deleted == 25)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 75)
+    assert(back.filter($"source" === "p1").count() == 0)
+    // the emptied partition's files all left the ledger
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(!snap.files.exists(_.startsWith("source=p1/")))
+    // a MIXED predicate over partition + data columns also resolves
+    // (p2 ids ≡ 2 mod 4, < 50: 2,6,...,46 → 12 rows)
+    assert(ManifestLake.deleteWhere(spark, dir,
+      $"source" === "p2" && $"doc_id" < 50) == 12)
+    assert(ManifestLake.read(spark, dir).count() == 63)
+  }
+
+  test("manifest lake: second of two racing deletes aborts, no rows resurrect") {
+    val dir = Files.createTempDirectory("mlake19").resolve("lake").toString
+    // ONE data file, so both deletes provably rewrite the same input
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("r0").as("source"))
+        .coalesce(1),
+      "source")
+    // delete A detects + rewrites, then delete B (overlapping the same
+    // file) detects, rewrites AND COMMITS inside A's pre-commit window.
+    // A's inputs are no longer in the latest manifest: committing A's
+    // rewrite anyway would RESURRECT the rows B deleted (A's survivor
+    // set was computed before B ran). A must abort with a named error.
+    val e = intercept[IllegalStateException] {
+      ManifestLake.deleteWhere(spark, dir, $"doc_id" < 10,
+        beforeCommit = () => {
+          assert(ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 90) == 10); ()
+        })
+    }
+    assert(e.getMessage.contains("re-run deleteWhere"))
+    // B's delete stands; A's is NOT applied (and nothing resurrected)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 90)
+    assert(back.filter($"doc_id" >= 90).count() == 0)
+    assert(back.filter($"doc_id" < 10).count() == 10,
+      "aborted delete must leave its target rows untouched")
+    // A's orphaned rewrite output is invisible garbage; re-running A
+    // against the new snapshot succeeds
+    assert(ManifestLake.deleteWhere(spark, dir, $"doc_id" < 10) == 10)
+    assert(ManifestLake.read(spark, dir).count() == 80)
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(ManifestLake.read(spark, dir).count() == 80)
   }
 
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
@@ -569,8 +650,18 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 50)
     assert(back.agg(max($"doc_id")).head().getLong(0) == 49)
 
-    // vacuum reclaims both kinds of garbage
+    // under the DEFAULT grace window, fresh garbage is presumed to be
+    // a LIVE writer's in-flight state (staged dirs and hard-renamed-
+    // but-uncommitted files look identical to crash leftovers) — vacuum
+    // must not touch it, or a concurrent writer's CAS commit would
+    // publish a manifest naming deleted files
     ManifestLake.vacuum(dir, keepVersions = 1)
+    assert(Files.exists(orphanStage), "grace window must protect young stage dirs")
+    assert(Files.exists(uncommitted), "grace window must protect young uncommitted files")
+
+    // with the grace waived (single-writer context), both kinds of
+    // crash garbage are reclaimed
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
     assert(!Files.exists(orphanStage))
     assert(!Files.exists(uncommitted))
     assert(ManifestLake.read(spark, dir).count() == 50)
@@ -593,7 +684,7 @@ class LayoutSpec extends SparkSpec {
     }
     // pre-vacuum: old fragmented files still on disk (reader grace)
     assert(parquetCount("source=v0") > 1)
-    val reclaimed = ManifestLake.vacuum(dir, keepVersions = 1)
+    val reclaimed = ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
     assert(reclaimed == 24, s"2 × ceil(60/5) fragmented files: $reclaimed") // 12 per partition
     assert(parquetCount("source=v0") == 1)
     assert(parquetCount("source=v1") == 1)
