@@ -491,11 +491,12 @@ object NgramLm {
     * the STREAMING perplexity gate ships to executors. `ppl` replays
     * exactly the relational math (1-pad bigrams, add-one smoothing
     * over vsz, exp of mean negative ln) so the gate and q93 cannot
-    * drift; NgramLmSpec/StreamSpec pin per-doc equality. At corpus
-    * scale the gram maps are the same count tables q93 joins —
-    * a production vocabulary broadcasts fine (bigram tables are
-    * vocab²-sparse, bounded by observed pairs), and past that the
-    * hashed-bucket variant (q96's trick) bounds it by construction. */
+    * drift; NgramLmSpec/StreamSpec pin per-doc equality on fixtures
+    * the pruning bounds cover losslessly. The maps are PRUNED at
+    * build time ([[bigramStats]]'s KenLM-prune bounds) so the
+    * broadcast stays constant-sized at any corpus scale — a missing
+    * (c, w) scores as unseen against its context's exact total, a
+    * missing context as a fully unseen context. */
   final case class BigramStats(grams2: Map[(String, String), Long],
                                grams1: Map[String, Long],
                                vsz: Long) {
@@ -515,19 +516,49 @@ object NgramLm {
     }
   }
 
+  /** Default [[bigramStats]] pruning bounds: ≤ 2^16 contexts × ≤ 64
+    * followers each ⇒ the broadcast artifact is ≤ ~4.3 M map entries
+    * (maxContexts·(topK+1)) REGARDLESS of corpus size — the KenLM-prune
+    * operating envelope (a few hundred MB worst case), where the
+    * unbounded table is vocab²-sparse and OOMs the driver at real
+    * scale. */
+  val DefaultGateContexts: Int = 1 << 16
+  val DefaultGateFollowersPerContext: Int = 64
+
   /** Build [[BigramStats]] from the documents lake with a DISTRIBUTED
-    * bigram aggregation — the same count-table shape q93's relational
-    * form joins on. Only the vocab²-sparse (c1, w) count table ever
-    * reaches the driver (the r4 version collected the whole corpus
-    * text — a driver OOM at any real scale); the unigram table and
-    * vocab size are exact derivations of it (g1(c) = Σ_w g2(c,w);
-    * every non-pad token occurs as some bigram's `w`, so vsz =
-    * |distinct w keys|). Token rule matches [[tokenize]]: whitespace
-    * split with empties dropped, so an all-whitespace doc contributes
-    * nothing (its padded array is the lone <s>, filtered below). */
-  def bigramStats(s: SparkSession, dir: String): BigramStats = {
+    * bigram aggregation, PRUNED to a driver-boundable artifact — the
+    * KenLM-prune shape: keep the `maxContexts` highest-mass contexts
+    * (distributed top-K via orderBy+limit, no global window) and
+    * within each the `topKPerContext` most frequent followers
+    * (per-context row_number, partitioned by context). The artifact
+    * is ≤ maxContexts·(topKPerContext+1) entries by construction —
+    * a constant chosen at build time, never a function of corpus
+    * size — which is what makes broadcasting it to a stream safe at
+    * 100 TB (the unbounded bigram table is vocab²-sparse: billions of
+    * entries).
+    *
+    * Approximation contract (zero error when the bounds exceed the
+    * corpus's statistics, as on the test fixtures): kept contexts
+    * carry their EXACT total count c1n (pruned followers lose their
+    * numerator, never their denominator mass), so a pruned (c, w)
+    * scores as unseen — (0+1)/(c1n+V) — overestimating nll by at most
+    * ln(cK+1) for the K-th follower count cK, the smallest in the
+    * context by construction. A pruned context scores as a fully
+    * unseen context (1/V). The vocab size V stays EXACT (a scalar
+    * aggregation, not part of the pruned table). Rarest-first pruning
+    * means the docs whose score moves are exactly the high-perplexity
+    * outliers the gate rejects anyway.
+    *
+    * Token rule matches [[tokenize]]: whitespace split with empties
+    * dropped, so an all-whitespace doc contributes nothing (its
+    * padded array is the lone <s>, filtered below). */
+  def bigramStats(s: SparkSession, dir: String,
+                  maxContexts: Int = DefaultGateContexts,
+                  topKPerContext: Int = DefaultGateFollowersPerContext): BigramStats = {
     import s.implicits._
-    val g2Rows = Tables.documents(s, dir)
+    require(maxContexts > 0 && topKPerContext > 0,
+      s"pruning bounds must be positive: $maxContexts, $topKPerContext")
+    val g2 = Tables.documents(s, dir)
       .withColumn("padded", expr(
         s"concat(array('$Pad'), filter(split(trim(text), '\\\\s+'), t -> t != ''))"))
       .filter(size($"padded") >= 2)
@@ -536,12 +567,31 @@ object NgramLm {
           "element_at(padded, i-1) as c1, element_at(padded, i) as w))")).as("it"))
       .groupBy($"it.c1".as("c1"), $"it.w".as("w"))
       .agg(count(lit(1)).as("n"))
-      .as[(String, String, Long)]
-      .collect()
-    val g2 = g2Rows.map { case (c, w, n) => (c, w) -> n }.toMap
-    val g1 = g2Rows.groupMapReduce(_._1)(_._3)(_ + _)
-    val vsz = g2Rows.iterator.map(_._2).toSet.size.toLong
-    BigramStats(g2, g1, vsz)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // exact vocab size: one scalar off the full count table
+      val vsz = g2.agg(countDistinct($"w")).head().getLong(0)
+      // top-maxContexts contexts by total mass — orderBy+limit is
+      // Spark's distributed partial top-K (TakeOrderedAndProject),
+      // NOT a single-partition global window; ties break by name for
+      // determinism
+      val g1Rows = g2.groupBy($"c1").agg(sum($"n").as("c1n"))
+        .orderBy($"c1n".desc, $"c1".asc)
+        .limit(maxContexts)
+        .as[(String, Long)].collect()
+      // per-kept-context top-K followers: broadcast the ≤maxContexts
+      // kept keys, then a partitioned (never global) window
+      val keptDf = broadcast(s.createDataset(g1Rows.map(_._1).toSeq).toDF("c1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c1").orderBy($"n".desc, $"w".asc)
+      val g2Rows = g2.join(keptDf, Seq("c1"), "left_semi")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= topKPerContext)
+        .select($"c1", $"w", $"n")
+        .as[(String, String, Long)].collect()
+      BigramStats(g2Rows.map { case (c, wd, n) => (c, wd) -> n }.toMap,
+        g1Rows.toMap, vsz)
+    } finally { g2.unpersist(); () }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -182,10 +182,15 @@ object StreamOps {
     * statistics, scored stateless per row against the broadcast
     * [[graft.score.NgramLm.BigramStats]] (the same count tables q93's
     * relational form joins; the scalar replay is spec-pinned ≡ the
-    * relational math). Append mode, no streaming state. The keep cut
-    * compares the raw double (a stream emits no oracle decimal);
-    * StreamSpec pins agreement with batch q93 on the fixture, where
-    * no doc sits inside the rounding window of the cut. */
+    * relational math). The broadcast artifact is PRUNED at build time
+    * (`bigramStats`' KenLM-prune bounds: ≤ maxContexts·(topK+1)
+    * entries regardless of corpus size), so shipping it to a stream
+    * is safe at any scale — the unbounded bigram table is
+    * vocab²-sparse and would OOM the driver. Append mode, no
+    * streaming state. The keep cut compares the raw double (a stream
+    * emits no oracle decimal); StreamSpec pins agreement with batch
+    * q93 on the fixture, which the default bounds cover losslessly
+    * and where no doc sits inside the rounding window of the cut. */
   def perplexityGate(incoming: Dataset[IngestDoc],
                      model: org.apache.spark.broadcast.Broadcast[
                        graft.score.NgramLm.BigramStats],

@@ -100,6 +100,43 @@ class NgramLmSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("bigramStats: gate artifact is bounded by maxContexts·(topK+1), exact where bounds cover") {
+    import spark.implicits._
+    // in-driver ground truth over the tiny fixture
+    val docs = graft.core.Tables.documents(spark, Sf0001)
+      .select($"text").as[String].collect()
+    def bigrams(text: String): Seq[(String, String)] = {
+      val toks = "<s>" +: NgramLm.tokenize(text).toSeq
+      toks.sliding(2).collect { case Seq(c, w) => (c, w) }.toSeq
+    }
+    val all = docs.flatMap(bigrams)
+    val g2Full = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val g1Full = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vszFull = all.map(_._2).distinct.size.toLong
+
+    // default bounds exceed the fixture's statistics → lossless
+    val exact = NgramLm.bigramStats(spark, Sf0001)
+    assert(exact.grams2 == g2Full)
+    assert(exact.grams1 == g1Full)
+    assert(exact.vsz == vszFull)
+
+    // tiny bounds → the artifact is CONSTANT-bounded by construction
+    // (the scale contract: never a function of corpus size)
+    val (mc, k) = (4, 2)
+    val pruned = NgramLm.bigramStats(spark, Sf0001, maxContexts = mc, topKPerContext = k)
+    assert(pruned.grams1.size <= mc, s"${pruned.grams1.size} contexts kept")
+    assert(pruned.grams2.size <= mc * k, s"${pruned.grams2.size} pairs kept")
+    assert(pruned.grams2.keySet.forall(p => pruned.grams1.contains(p._1)),
+      "kept pairs must live under kept contexts")
+    // kept contexts are the HIGHEST-mass ones and keep their EXACT
+    // total (pruning drops numerators, never denominator mass)
+    val topByMass = g1Full.toSeq.sortBy { case (c, n) => (-n, c) }.take(mc).toMap
+    assert(pruned.grams1 == topByMass)
+    // kept pairs carry exact counts; vocab size is never pruned
+    pruned.grams2.foreach { case (key, n) => assert(g2Full(key) == n) }
+    assert(pruned.vsz == vszFull)
+  }
+
   test("broadcast scorer matches the relational q46 means") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
