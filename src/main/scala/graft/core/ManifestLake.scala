@@ -89,6 +89,52 @@ object ManifestLake {
                             op: String = "append",
                             schema: Option[org.apache.spark.sql.types.StructType] = None)
 
+  /** One min/max endpoint of a tracked column: numeric (BigDecimal so
+    * int64 keys compare exactly — a double would corrupt ids past
+    * 2^53) or string. String bounds compare by UNSIGNED UTF-8 BYTE
+    * order — the order parquet's UTF8 column statistics are computed
+    * in AND the order Spark's UTF8String sorts/compares in, so the
+    * manifest's prune decision and the engine's row-level comparison
+    * agree exactly. (Java's String.compareTo is UTF-16 code-unit
+    * order, which disagrees on supplementary characters — never used
+    * here.) */
+  sealed abstract class Bound
+  object Bound {
+    final case class Num(v: BigDecimal) extends Bound
+    final case class Str(v: String) extends Bound
+    private[core] def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    /** None = incomparable kinds (numeric vs string) — pruning must
+      * then conservatively KEEP the file. */
+    private[core] def cmp(a: Bound, b: Bound): Option[Int] = (a, b) match {
+      case (Num(x), Num(y)) => Some(x.compare(y))
+      case (Str(x), Str(y)) => Some(utf8Cmp(x, y))
+      case _                => None
+    }
+    private[core] def min(a: Bound, b: Bound): Bound =
+      if (cmp(a, b).getOrElse(0) <= 0) a else b
+    private[core] def max(a: Bound, b: Bound): Bound =
+      if (cmp(a, b).getOrElse(0) >= 0) a else b
+  }
+
+  /** String stat bounds longer than this are NOT committed (the whole
+    * column is dropped for that file — conservatively kept by every
+    * prune). Truncating a max to a prefix would UNDERSTATE it (prefix
+    * < full string), silently skipping files that match; Delta solves
+    * this with last-char increment, we simply refuse — long-string
+    * columns (full text) are not range-scan keys. */
+  val MaxStringStatChars: Int = 96
+
   /** Per-file min/max of one tracked column (files may track several
     * — Delta records stats for N leading columns, same idea), read
     * from the parquet FOOTER at
@@ -96,12 +142,21 @@ object ManifestLake {
     * Delta-style data skipping. At 100 TB on object storage this is
     * the difference between a point lookup opening K clustered files
     * and opening every file in the lake to ask its footer the same
-    * question: the manifest answers before any file is touched.
-    * Values are BigDecimal so int64 keys compare exactly (a double
-    * would corrupt ids past 2^53). */
-  final case class FileStats(col: String, min: BigDecimal, max: BigDecimal) {
-    def overlaps(lo: BigDecimal, hi: BigDecimal): Boolean = max >= lo && min <= hi
-    def encoded: String = s"$col:$min:$max"
+    * question: the manifest answers before any file is touched. */
+  final case class FileStats(col: String, min: Bound, max: Bound) {
+    def overlaps(lo: Bound, hi: Bound): Boolean =
+      Bound.cmp(max, lo).forall(_ >= 0) && Bound.cmp(min, hi).forall(_ <= 0)
+    // string bounds ride base64'd (they may contain the ':' / tab
+    // separators); numeric keeps the bare legacy form, so pre-string
+    // manifests parse unchanged
+    def encoded: String = (min, max) match {
+      case (Bound.Str(mn), Bound.Str(mx)) =>
+        def b64(v: String) = java.util.Base64.getEncoder.encodeToString(
+          v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"$col:s64:${b64(mn)}:${b64(mx)}"
+      case (Bound.Num(mn), Bound.Num(mx)) => s"$col:$mn:$mx"
+      case other => throw new IllegalStateException(s"mixed-kind stats: $other")
+    }
   }
 
   /** Per-partition compaction outcome (same contract as
@@ -167,8 +222,15 @@ object ManifestLake {
       val segs = l.split('\t')
       val sts = segs.drop(1).toVector.map { seg =>
         val parts = seg.split(':')
-        FileStats(parts.dropRight(2).mkString(":"),
-          BigDecimal(parts(parts.length - 2)), BigDecimal(parts.last))
+        if (parts.length >= 4 && parts(parts.length - 3) == "s64") {
+          def dec(x: String) = new String(java.util.Base64.getDecoder.decode(x),
+            java.nio.charset.StandardCharsets.UTF_8)
+          FileStats(parts.dropRight(3).mkString(":"),
+            Bound.Str(dec(parts(parts.length - 2))), Bound.Str(dec(parts.last)))
+        } else
+          FileStats(parts.dropRight(2).mkString(":"),
+            Bound.Num(BigDecimal(parts(parts.length - 2))),
+            Bound.Num(BigDecimal(parts.last)))
       }
       (segs.head, sts)
     }
@@ -293,37 +355,53 @@ object ManifestLake {
 
   /** Min/max of `col` for one data file, from the parquet FOOTER —
     * a metadata read (the row groups' pre-computed statistics), never
-    * a data pass. Returns None when the footer carries no stats for
-    * the column (then the file is simply never pruned — safe). */
+    * a data pass. Numeric AND string columns are tracked (strings via
+    * the UTF8 logical type's unsigned-byte-ordered stats, capped at
+    * [[MaxStringStatChars]]). Returns nothing for a column unless
+    * EVERY row group contributes a usable bound — a partially-covered
+    * bound would understate the file's range and wrongly prune it
+    * (the file is then simply never pruned — safe). */
   private def footerStats(s: SparkSession, file: Path, cols: Seq[String]): Vector[FileStats] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toString),
       s.sessionState.newHadoopConf())
     val reader = ParquetFileReader.open(in)
     try {
-      def toBig(v: Any): Option[BigDecimal] = v match {
-        case l: java.lang.Long    => Some(BigDecimal(l.longValue))
-        case i: java.lang.Integer => Some(BigDecimal(i.intValue))
-        case d: java.lang.Double  => Some(BigDecimal(d.doubleValue))
-        case f: java.lang.Float   => Some(BigDecimal(f.floatValue.toDouble))
-        case _                    => None // binary/bool: no numeric order
+      def toBound(v: Any, isString: Boolean): Option[Bound] = v match {
+        case l: java.lang.Long    => Some(Bound.Num(BigDecimal(l.longValue)))
+        case i: java.lang.Integer => Some(Bound.Num(BigDecimal(i.intValue)))
+        case d: java.lang.Double  => Some(Bound.Num(BigDecimal(d.doubleValue)))
+        case f: java.lang.Float   => Some(Bound.Num(BigDecimal(f.floatValue.toDouble)))
+        case b: org.apache.parquet.io.api.Binary if isString =>
+          val sv = b.toStringUsingUTF8
+          if (sv.length <= MaxStringStatChars) Some(Bound.Str(sv)) else None
+        case _ => None // non-UTF8 binary / bool: no tracked order
       }
       val blocks = reader.getFooter.getBlocks.asScala.toVector
       cols.toVector.flatMap { col =>
-        val perBlock = blocks.flatMap { b =>
+        val perBlock = blocks.map { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == col)
             .flatMap { c =>
+              val isString = c.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
               val st = c.getStatistics
               if (st == null || !st.hasNonNullValue) None
-              else for (mn <- toBig(st.genericGetMin); mx <- toBig(st.genericGetMax))
+              else for (mn <- toBound(st.genericGetMin, isString);
+                        mx <- toBound(st.genericGetMax, isString))
                 yield (mn, mx)
             }
         }
-        if (perBlock.isEmpty) None
-        else Some(FileStats(col, perBlock.map(_._1).min, perBlock.map(_._2).max))
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val bounds = perBlock.flatten
+          Some(FileStats(col,
+            bounds.map(_._1).reduceLeft(Bound.min),
+            bounds.map(_._2).reduceLeft(Bound.max)))
+        }
       }
     } finally reader.close()
   }
@@ -600,9 +678,23 @@ object ManifestLake {
   /** The file-skipping half of [[readWhere]], separated so callers
     * (and specs) can see exactly what pruning decided: files whose
     * tracked [min,max] cannot intersect [lo,hi] are dropped; files
-    * without stats are conservatively kept. */
+    * without stats (or with stats of the other kind) are
+    * conservatively kept. */
   def pruneFiles(snap: Snapshot, statsCol: String,
                  lo: BigDecimal, hi: BigDecimal): Vector[String] =
+    pruneFilesBound(snap, statsCol, Bound.Num(lo), Bound.Num(hi))
+
+  /** String-range pruning — source tags, language codes, ISO dates
+    * (lexicographic = chronological): the string-keyed metadata scans
+    * the reference serves from its JSONB GIN index become manifest
+    * prunes here. Bounds compare in UTF-8 byte order on both sides
+    * (manifest and engine), see [[Bound]]. */
+  def pruneFilesString(snap: Snapshot, statsCol: String,
+                       lo: String, hi: String): Vector[String] =
+    pruneFilesBound(snap, statsCol, Bound.Str(lo), Bound.Str(hi))
+
+  private def pruneFilesBound(snap: Snapshot, statsCol: String,
+                              lo: Bound, hi: Bound): Vector[String] =
     snap.files.filter { f =>
       snap.stats.getOrElse(f, Vector.empty).find(_.col == statsCol) match {
         case Some(st) => st.overlaps(lo, hi)
@@ -620,17 +712,30 @@ object ManifestLake {
     * skipping WITHIN the kept files — the two layers compose. */
   def readWhere(s: SparkSession, dir: String, statsCol: String,
                 lo: BigDecimal, hi: BigDecimal): DataFrame = {
-    val snap = latestSnapshot(dir).getOrElse(
-      throw new IllegalStateException(s"no committed manifest in $dir"))
-    val kept = pruneFiles(snap, statsCol, lo, hi)
     // Long literals when exact (keeps the predicate parquet-pushable
     // on int64 keys); double only for genuinely fractional bounds.
     def bound(b: BigDecimal) = if (b.isWhole && b.isValidLong) lit(b.toLong) else lit(b.toDouble)
+    readWhereBound(s, dir, statsCol, Bound.Num(lo), Bound.Num(hi), bound(lo), bound(hi))
+  }
+
+  /** [[readWhere]] over a string-tracked column; the residual
+    * predicate pushes to the parquet scan as a string range filter. */
+  def readWhereString(s: SparkSession, dir: String, statsCol: String,
+                      lo: String, hi: String): DataFrame =
+    readWhereBound(s, dir, statsCol, Bound.Str(lo), Bound.Str(hi), lit(lo), lit(hi))
+
+  private def readWhereBound(s: SparkSession, dir: String, statsCol: String,
+                             lo: Bound, hi: Bound,
+                             loLit: org.apache.spark.sql.Column,
+                             hiLit: org.apache.spark.sql.Column): DataFrame = {
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val kept = pruneFilesBound(snap, statsCol, lo, hi)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
       reader.parquet(kept.map(f => s"$dir/$f"): _*)
-        .filter(col(statsCol) >= bound(lo) && col(statsCol) <= bound(hi))
+        .filter(col(statsCol) >= loLit && col(statsCol) <= hiLit)
     }
   }
 

@@ -155,7 +155,16 @@ object NgramLm {
     * S8, client:263-287). The three queries differ ONLY in how the
     * trained model is routed (in-memory / blob lake / export
     * manifest); head and tail are single definitions so their shared
-    * oracle claim is structural, not a copy-paste invariant. */
+    * oracle claim is structural, not a copy-paste invariant.
+    *
+    * SIZE CONTRACT: the training source's assembled text must fit on
+    * the driver — same envelope as the reference's per-worker pickled
+    * model load (~hundreds of MB, island_worker.py:15). This is the
+    * train-on-one-source shape ONLY; at corpus scale the route is
+    * q107's [[ModelManifest.ingest]] (counts arrive as a distributed
+    * table, the model is rebuilt without any driver-side text), or
+    * q93's fully-relational self-scoring form which never materializes
+    * text anywhere. */
   private def assembledWithTrainText(s: SparkSession, dir: String): (DataFrame, String) = {
     import s.implicits._
     val assembled = assembleBySource(s, dir)

@@ -394,11 +394,16 @@ object RoundTrips {
   /** q131 — manifest-stats data skipping end-to-end: documents written
     * range-clustered on doc_id (16 range tasks -> each file covers a
     * narrow id band, its footer min/max committed into the manifest),
-    * then three [[graft.core.ManifestLake.readWhere]] range reads. The
-    * returned frame tags each range and carries BOTH planes: the
-    * content aggregate (count/sum/min/max of the rows the pruned read
-    * returned — any file wrongly skipped loses rows and breaks the
-    * hash) and `files_opened`/`files_total` from [[graft.core.ManifestLake.pruneFiles]]
+    * then three [[graft.core.ManifestLake.readWhere]] range reads plus
+    * a STRING-range read on `day_tag` (an ISO date derived
+    * monotonically from doc_id — the ingest-date metadata scan the
+    * reference serves from its JSONB GIN index; lexicographic =
+    * chronological, pruned via the manifest's UTF-8-ordered string
+    * stats). The returned frame tags each range and carries BOTH
+    * planes: the content aggregate (count/sum/min/max of the rows the
+    * pruned read returned — any file wrongly skipped loses rows and
+    * breaks the hash) and `files_opened`/`files_total` from
+    * [[graft.core.ManifestLake.pruneFiles]]
     * — asserting in-oracle that pruning OPENED A STRICT SUBSET
     * (files_opened is data-layout-dependent, so the oracle pins the
     * invariant `opened < total` as a boolean, not the exact census).
@@ -408,40 +413,58 @@ object RoundTrips {
   def qDataSkippingRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = freshDir("graft_skip_lake_").toString
-    // n_chars rides along as a second tracked column: the files cluster
-    // on doc_id, and the multi-column manifest stats mean a reader
-    // filtering on either column prunes opens
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", $"text", $"source", $"n_chars")
-    graft.core.ManifestLake.append(s, lake,
-      docs.repartitionByRange(16, $"doc_id"), "source",
-      statsCols = Seq("doc_id", "n_chars"))
-    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
-    val total = snap.files.length.toLong
     // ranges scale with the corpus (documents' id range differs per sf);
     // integer arithmetic keeps Spark and DuckDB bit-identical
-    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    val perDay = m / 300 + 1
+    // n_chars and day_tag ride along as extra tracked columns: the
+    // files cluster on doc_id, day_tag is monotone in doc_id, and the
+    // multi-column manifest stats mean a reader filtering on any of
+    // the three prunes opens
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+      .withColumn("day_tag", date_format(
+        date_add(to_date(lit("2024-01-01")), ($"doc_id" / perDay).cast("int")),
+        "yyyy-MM-dd"))
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(16, $"doc_id"), "source",
+      statsCols = Seq("doc_id", "n_chars", "day_tag"))
+    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
+    val total = snap.files.length.toLong
     val ranges = Seq(("lo", m / 10, m / 5), ("mid", m / 2, m / 2 + m / 10),
       ("hi", m - m / 20, m))
-    ranges.map { case (tag, lo, hi) =>
-      val opened = graft.core.ManifestLake.pruneFiles(
-        snap, "doc_id", BigDecimal(lo), BigDecimal(hi)).length.toLong
-      graft.core.ManifestLake.readWhere(s, lake, "doc_id", BigDecimal(lo), BigDecimal(hi))
-        .agg(count(lit(1)).as("n_docs"),
+    def aggregate(df: org.apache.spark.sql.DataFrame, tag: String, opened: Long) =
+      df.agg(count(lit(1)).as("n_docs"),
           sum($"doc_id").as("sum_ids"),
           min($"doc_id").as("min_id"),
           max($"doc_id").as("max_id"),
           sum(length($"text")).as("sum_chars"))
         .withColumn("range_tag", lit(tag))
         .withColumn("pruned_strictly", lit(opened < total))
-    }.reduce(_ unionByName _)
+    val numeric = ranges.map { case (tag, lo, hi) =>
+      val opened = graft.core.ManifestLake.pruneFiles(
+        snap, "doc_id", BigDecimal(lo), BigDecimal(hi)).length.toLong
+      aggregate(graft.core.ManifestLake.readWhere(
+        s, lake, "doc_id", BigDecimal(lo), BigDecimal(hi)), tag, opened)
+    }
+    val (dLo, dHi) = ("2024-03-01", "2024-04-15")
+    val openedStr = graft.core.ManifestLake.pruneFilesString(
+      snap, "day_tag", dLo, dHi).length.toLong
+    val str = aggregate(graft.core.ManifestLake.readWhereString(
+      s, lake, "day_tag", dLo, dHi), "str", openedStr)
+    (numeric :+ str).reduce(_ unionByName _)
       .select($"range_tag", $"n_docs", $"sum_ids", $"min_id", $"max_id",
         $"sum_chars", $"pruned_strictly")
       .orderBy($"range_tag")
   }
 
   val qDataSkippingRoundTripSql: String =
-    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    """WITH mx AS (SELECT MAX(doc_id) AS m, MAX(doc_id) // 300 + 1 AS per_day
+                   FROM documents),
+       tagged AS (
+         SELECT d.*, strftime(DATE '2024-01-01'
+           + CAST(doc_id // per_day AS INT), '%Y-%m-%d') AS day_tag
+         FROM documents d, mx)
        SELECT range_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
          CAST(SUM(len(text)) AS BIGINT) AS sum_chars, TRUE AS pruned_strictly
@@ -453,7 +476,10 @@ object RoundTrips {
            WHERE doc_id BETWEEN m // 2 AND m // 2 + m // 10
          UNION ALL
          SELECT 'hi' AS range_tag, d.* FROM documents d, mx
-           WHERE doc_id BETWEEN m - m // 20 AND m)
+           WHERE doc_id BETWEEN m - m // 20 AND m
+         UNION ALL
+         SELECT 'str' AS range_tag, doc_id, text, lang, source, n_chars
+           FROM tagged WHERE day_tag BETWEEN '2024-03-01' AND '2024-04-15')
        GROUP BY range_tag ORDER BY range_tag"""
 
   /** q132 — CDC read off the manifest log end-to-end: three appends

@@ -394,6 +394,77 @@ class LayoutSpec extends SparkSpec {
       BigDecimal(0), BigDecimal(0)).length == snap.files.length)
   }
 
+  test("manifest lake: string-column stats prune files, long strings never commit") {
+    val dir = Files.createTempDirectory("mlake20").resolve("lake").toString
+    // tag = "t%03d" of doc_id → UTF-8 lexicographic order == numeric
+    // order; range-clustering on tag gives each of 10 files a narrow
+    // contiguous tag band. `blob` is a >96-char string: its stats must
+    // be REFUSED (a truncated max would understate the bound), so a
+    // blob range must prune nothing.
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select(
+        $"id".as("doc_id"),
+        format_string("t%03d", $"id" % 1000).as("tag"),
+        concat(lit("x" * 100), $"id".cast("string")).as("blob"),
+        lit("s0").as("source"))
+        .repartitionByRange(10, $"tag"),
+      "source", statsCols = Seq("tag", "blob", "doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.files.length == 10)
+    // every file carries tag + doc_id stats; blob stats were refused
+    assert(snap.stats.size == 10)
+    assert(snap.stats.values.forall(_.map(_.col).sorted == Vector("doc_id", "tag")),
+      "only bounded-length columns may carry stats")
+
+    // a 11-tag point range touches 1-2 of 10 files (range-partitioner
+    // boundaries are sampled, not exact) — pruning must see that from
+    // the manifest alone
+    val kept = ManifestLake.pruneFilesString(snap, "tag", "t250", "t260")
+    assert(kept.nonEmpty && kept.length <= 2, s"kept ${kept.length} of 10")
+    val got = ManifestLake.readWhereString(spark, dir, "tag", "t250", "t260")
+    assert(got.count() == 11)
+    assert(got.agg(sum($"doc_id")).head().getLong(0) == (250 to 260).sum)
+    // out-of-range: zero files, empty result, full schema
+    assert(ManifestLake.readWhereString(spark, dir, "tag", "zzz", "zzzz").count() == 0)
+    // the untracked blob column prunes nothing (conservative)
+    assert(ManifestLake.pruneFilesString(snap, "blob", "a", "b").length == 10)
+    // string stats re-derive through compaction of the uniformly-
+    // tracked partition (coalesce packs arbitrary part groups per
+    // output file, so no exact prune-count claim — only that bounds
+    // exist, exclude disjoint ranges, and reads stay row-exact)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 500L)
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    assert(snap2.files.length == 2)
+    assert(snap2.stats.values.forall(_.map(_.col).sorted == Vector("doc_id", "tag")))
+    assert(ManifestLake.pruneFilesString(snap2, "tag", "zzz", "zzzz").isEmpty)
+    assert(ManifestLake.readWhereString(spark, dir, "tag", "t250", "t260").count() == 11)
+  }
+
+  test("manifest lake: string bounds compare in UTF-8 byte order with exotic values") {
+    // separator characters (':', tab) and non-ASCII survive the
+    // base64 manifest encoding; comparison is unsigned UTF-8 bytes
+    val dir = Files.createTempDirectory("mlake21").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      Seq(("a:1\tx", 1L), ("b", 2L), ("é", 3L), ("ézz", 4L))
+        .toDF("k", "doc_id").withColumn("source", lit("s0")).coalesce(1),
+      "source", statsCols = Seq("k"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    val st = snap.stats.values.head.find(_.col == "k").get
+    assert(st.min == ManifestLake.Bound.Str("a:1\tx"))
+    assert(st.max == ManifestLake.Bound.Str("ézz"),
+      "é (2-byte UTF-8) must sort after all ASCII")
+    // a reparse of the manifest (fresh snapshot) yields identical bounds
+    val reparsed = ManifestLake.snapshotAt(dir, snap.version).get
+    assert(reparsed.stats == snap.stats)
+    // pruning excludes ranges strictly outside [min, max]: below min
+    // (uppercase sorts before lowercase in byte order) and above max
+    // (ø = 0xC3 0xB8 sorts after é = 0xC3 0xA9)
+    assert(ManifestLake.pruneFilesString(snap, "k", "A", "Z").isEmpty)
+    assert(ManifestLake.pruneFilesString(snap, "k", "ø", "øz").isEmpty)
+    // a range overlapping the span is kept
+    assert(ManifestLake.pruneFilesString(snap, "k", "é", "éz").length == 1)
+  }
+
   test("manifest lake: compaction recomputes stats for uniformly-tracked partitions") {
     val dir = Files.createTempDirectory("mlake9").resolve("lake").toString
     val docs = spark.range(0, 400).select(
