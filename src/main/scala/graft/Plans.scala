@@ -358,7 +358,13 @@ object Plans {
         |to the oracle's brute-force scan; hamming is computed and
         |filtered BEFORE the pair distinct, so only ≤6-bit survivors
         |shuffle, and the nearest-verdict window moves (id, id, int)
-        |rows only.""".stripMargin,
+        |rows only. The r8 full-catalog reading (10.3 s) was probed in
+        |isolation in r9: 1.8 s at the same sf0.1 — the cached
+        |signature relation's triple scan (lake side, fresh side,
+        |verdict join) is cheap; the delta vs interleaved runs is
+        |catalog-load contention on the shared 32 cores, not plan
+        |cost, so the cache stays (a lake-file materialization would
+        |add a write+read round trip to save nothing).""".stripMargin,
     "q104_gram_matrix" ->
       """One-pass distributed linear algebra: 4096 upper-triangle cells
         |from a single map-side-combined aggregation whatever the

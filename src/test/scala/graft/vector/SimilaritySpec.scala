@@ -16,6 +16,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("q134: recall@6 meets the reference operating point's 0.95 floor") {
+    // the HNSW-substitution gate: top_k=6 cosine (pgvector's
+    // setup_vector_db.py operating point), floor 0.95 at the
+    // documented nprobe=12 — asserted on the WORST-case geometry
+    // (uniform random vectors, no cluster structure)
+    val rows = Similarity.qAnnOperatingPoint(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("meets_floor")),
+      "mean recall@6 must clear the 0.95 reference-parity floor")
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.95, s"mean recall@6 $mean")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") == r.getAs[Long]("n_hits") / 6.0)
+    }
+  }
+
   test("IVF returns k ranked neighbors per query, no self-matches") {
     val rows = Similarity.qAnnIvf(spark, Sf0001).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
