@@ -100,10 +100,17 @@ object Punkt {
   private val ReNumeric = Pattern.compile("""^-?[\.,]?\d[\d,\.-]*\.?$""")
   private val ReInitial = uni("""[^\W\d]\.$""")
 
+  private val ReNonPunct = uni("""[^\W\d]""")
+  private val ReAlphaFull = uni("""[^\W\d]+""")
+
   private[text] final class Tok(val tok: String) {
     var sentbreak: Boolean = false
     var abbr: Boolean = false
     var ellipsis: Boolean = false
+    // set by tokenizeWords; read only by the TRAINER's orthographic
+    // automaton (PunktToken parastart/linestart — runtime ignores them)
+    var parastart: Boolean = false
+    var linestart: Boolean = false
 
     val typ: String = {
       // Locale.ROOT: Python's str.lower() is locale-independent; the
@@ -120,6 +127,11 @@ object Punkt {
     def firstLower: Boolean = tok.nonEmpty && Character.isLowerCase(tok.charAt(0))
     val isEllipsisTok: Boolean = ReEllipsis.matcher(tok).lookingAt()
     val isInitial: Boolean = ReInitial.matcher(tok).lookingAt()
+    /** PunktToken.is_non_punct: the TYPE contains a letter. */
+    def isNonPunct: Boolean = ReNonPunct.matcher(typ).find()
+    /** PunktToken.is_alpha: the type is letters only. */
+    def isAlphaTok: Boolean = ReAlphaFull.matcher(typ).matches()
+    def isNumberTok: Boolean = typ.startsWith("##number##")
   }
 
   private def isPyWhitespace(c: Char): Boolean =
@@ -135,16 +147,24 @@ object Punkt {
 
   // ---- word-level tokenization of a judgement context ---------------
 
-  /** `_tokenize_words`: line-by-line word tokenization. (parastart /
-    * linestart flags exist for punkt TRAINING; the runtime annotation
-    * below never reads them, so they are not carried.) */
+  /** `_tokenize_words`: line-by-line word tokenization. Each line's
+    * first token carries `linestart`, and the first token after a run
+    * of blank lines carries `parastart` — flags only the TRAINER's
+    * orthographic automaton reads (runtime annotation ignores them). */
   private[text] def tokenizeWords(text: String): ArrayBuffer[Tok] = {
     val out = ArrayBuffer.empty[Tok]
+    var parastart = false
     text.split("\n", -1).foreach { line =>
       if (pyStrip(line).nonEmpty) {
         val m = WordTokenizerRe.matcher(line)
-        while (m.find()) out += new Tok(m.group())
-      }
+        var first = true
+        while (m.find()) {
+          val t = new Tok(m.group())
+          if (first) { t.parastart = parastart; t.linestart = true; first = false }
+          out += t
+        }
+        parastart = false
+      } else parastart = true
     }
     out
   }
@@ -154,8 +174,10 @@ object Punkt {
   private val SentEndCharTokens = Set(".", "?", "!")
 
   /** `_first_pass_annotation`: sentence-end chars, ellipses, and the
-    * abbreviation-table lookup (also on the last dash-segment). */
-  private def firstPass(t: Tok, params: Params): Unit = {
+    * abbreviation-table lookup (also on the last dash-segment).
+    * Package-private: the trainer's orthographic/pair pass annotates
+    * with exactly this rule. */
+  private[text] def firstPass(t: Tok, params: Params): Unit = {
     if (SentEndCharTokens.contains(t.tok)) t.sentbreak = true
     else if (t.isEllipsisTok) t.ellipsis = true
     else if (t.periodFinal && !t.tok.endsWith("..")) {

@@ -24,6 +24,20 @@ object PunktManifest {
     StructField("w2", StringType),
     StructField("flags", LongType)))
 
+  /** The inverse of [[ingest]]: a trained [[Punkt.Params]] as manifest
+    * rows — what `tools/export_punkt_manifest.py` emits from the
+    * pickle, derivable in-engine since [[PunktTrainer]] exists. Rows
+    * are sorted for deterministic manifests. */
+  def export(p: Punkt.Params): Seq[(String, String, String, java.lang.Long)] =
+    p.abbrevTypes.toSeq.sorted.map(a =>
+      ("abbrev", a, null: String, null: java.lang.Long)) ++
+    p.collocations.toSeq.sorted.map { case (a, b) =>
+      ("collocation", a, b, null: java.lang.Long) } ++
+    p.sentStarters.toSeq.sorted.map(st =>
+      ("sent_starter", st, null: String, null: java.lang.Long)) ++
+    p.orthoContext.toSeq.sorted.map { case (w, f) =>
+      ("ortho", w, null: String, java.lang.Long.valueOf(f.toLong)) }
+
   def ingest(s: SparkSession, path: String): Punkt.Params = {
     val rows = s.read.schema(manifestSchema).json(path).collect()
     val abbrev = Set.newBuilder[String]

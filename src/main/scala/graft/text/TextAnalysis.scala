@@ -1578,12 +1578,15 @@ object TextAnalysis {
     * Everest` (collocation — no break), `Smith` (orthographic-context
     * lookup). `n_glued` rides along as the single-pass Treebank count:
     * `n_items − n_glued = 1` IS the oracled divergence the round-5
-    * verdict named ("there. Bye." class). The manifest fixture is
-    * authored in-engine (at migration time those rows come from
-    * tools/export_punkt_manifest.py run against the reference's
-    * pickle; the export format itself is pinned by the COMMITTED
-    * artifact src/test/resources/punkt/english_sample.jsonl and its
-    * PunktSpec case); the operator under test is ingest + runtime
+    * verdict named ("there. Bye." class). The parameter tables are
+    * TRAINED in-engine by [[PunktTrainer]] on [[punktTrainingCorpus]]
+    * (the Kiss & Strunk learning pass — no external artifact), then
+    * routed through export → [[PunktManifest.ingest]] so the S7
+    * migration surface stays exercised too (the reference-pickle
+    * route via tools/export_punkt_manifest.py remains available, its
+    * format pinned by the COMMITTED artifact
+    * src/test/resources/punkt/english_sample.jsonl and its PunktSpec
+    * case); the operators under test are train + ingest + runtime
     * algorithm.
     *
     * UDF choice is deliberate (the measured-choice discipline): punkt
@@ -1592,26 +1595,45 @@ object TextAnalysis {
     * doc over ~100-word strings with a broadcast, vocab-bounded
     * parameter table — a narrow pass whose cost is linear in corpus
     * size, shuffle-free until the final orderBy. */
-  /** The q126 manifest params, memoized per JVM: the fixture rows are
-    * constant, so the write→ingest round-trip (two small Spark jobs)
-    * runs once and later calls broadcast the cached [[Punkt.Params]] —
-    * the S8 discipline (a model loads once per job, not once per
-    * query). The round-trip itself stays exercised: the first call
-    * here, plus PunktManifestSpec and the committed export-format
-    * artifact. */
+  /** The q126 TRAINING corpus: a synthetic text whose Kiss & Strunk
+    * statistics provably teach the tables the fixture needs — `Dr.`
+    * always period-final and frequent (Dunning abbreviation score
+    * clears 0.3), `mount. Everest` a recurring period-final bigram
+    * (collocation LL clears 7.88 under INCLUDE_ALL_COLLOCS, with bare
+    * `mount` occurrences keeping `mount` itself under the abbreviation
+    * threshold AND above the rare-rescue backoff), `Zonk` a frequent
+    * post-break capitalized word (sentence-starter LL clears 30),
+    * `Smith` capitalized ONLY mid-sentence and after `Dr.` (ortho
+    * MID_UC|UNK_UC, no lowercase bits). The vocabulary is DISJOINT
+    * from the documents tables' word set, so no corpus word acquires
+    * an orthographic entry and every fixture decision (and therefore
+    * the oracle) is identical to the hand-authored-manifest era —
+    * what changed is the tables' provenance: learned, not asserted.
+    * PunktSpec pins the learned tables entry-by-entry. */
+  private[text] val punktTrainingCorpus: Seq[String] =
+    Seq.fill(4)("Dr. Smith vex zap blick.") ++
+    Seq.fill(4)("zap Smith vex zap blick.") ++
+    Seq.fill(4)("vex mount. Everest zap blick.") ++
+    Seq.fill(15)("vex blick. Zonk zap blick.") ++
+    Seq.fill(5)("zap vex mount blick zap vex")
+
+  /** The q126 params, memoized per JVM: TRAINED by [[PunktTrainer]] on
+    * the fixed corpus above (distributed — the trainer's production
+    * path), exported to manifest rows and re-ingested so the S7
+    * migration surface stays exercised end-to-end (train → export →
+    * ingest ≡ train, by PunktSpec). Memoized because the corpus is
+    * constant — the S8 discipline (a model loads once per job, not
+    * once per query). */
   @volatile private var punktFixtureParams: Punkt.Params = null
 
   def qPunktWordTokenize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     if (punktFixtureParams == null) synchronized {
       if (punktFixtureParams == null) {
+        val trained = PunktTrainer.train(s,
+          s.createDataset(punktTrainingCorpus), includeAllCollocs = true)
         val manifestDir = graft.sink.TempDirs.fresh("graft_punkt_manifest_").toString
-        Seq(
-          ("abbrev", "dr", null: String, null: java.lang.Long),
-          ("collocation", "mount", "everest", null: java.lang.Long),
-          ("sent_starter", "the", null: String, null: java.lang.Long),
-          ("ortho", "smith", null: String,
-            java.lang.Long.valueOf((Punkt.OrthoMidUc | Punkt.OrthoUnkUc).toLong)))
+        PunktManifest.export(trained)
           .toDF("kind", "w1", "w2", "flags").repartition(2)
           .write.mode("overwrite").json(manifestDir)
         punktFixtureParams = PunktManifest.ingest(s, manifestDir)

@@ -105,6 +105,64 @@ class PunktSpec extends SparkSpec {
     assert(Punkt.wordTokenize(raw, empty).toSeq == Treebank.tokenize(raw).toSeq)
   }
 
+  test("trainer: q126 corpus learns exactly the fixture's tables") {
+    // the corpus is CONSTRUCTED so each Kiss & Strunk statistic lands
+    // on the intended side of its threshold — assert entry-by-entry
+    val p = PunktTrainer.trainScalar(
+      TextAnalysis.punktTrainingCorpus, includeAllCollocs = true)
+    // dr: always period-final, 4 occurrences, Dunning score >= 0.3
+    assert(p.abbrevTypes == Set("dr"),
+      s"abbrevs ${p.abbrevTypes} — mount/blick must stay below threshold")
+    // mount. Everest recurs (collocation LL >= 7.88); dr Smith rides
+    // along under INCLUDE_ALL_COLLOCS (harmless: same glue decision
+    // the abbreviation already makes)
+    assert(p.collocations.contains(("mount", "everest")), s"${p.collocations}")
+    assert(p.collocations.subsetOf(Set(("mount", "everest"), ("dr", "smith"))),
+      s"unexpected collocations: ${p.collocations}")
+    // zonk clears the starter LL floor (30); everest (4 post-break
+    // occurrences) must NOT — else the collocation above dies
+    assert(p.sentStarters == Set("zonk"), s"starters ${p.sentStarters}")
+    // smith: capitalized mid-sentence and after the abbreviation,
+    // never lowercase, never sentence-initial
+    assert(p.orthoContext("smith") == (Punkt.OrthoMidUc | Punkt.OrthoUnkUc),
+      s"smith ortho ${p.orthoContext.get("smith")}")
+    // the trained model drives the fixture decisions the q126 oracle
+    // assumes
+    assert(Punkt.sentences("Dr. Smith waved indeed. J. kept mount. Everest finale.", p)
+      == Seq("Dr. Smith waved indeed.", "J. kept mount. Everest finale."))
+  }
+
+  test("trainer: distributed ≡ scalar, and export→ingest ≡ trained") {
+    import spark.implicits._
+    val corpus = TextAnalysis.punktTrainingCorpus
+    val scalarP = PunktTrainer.trainScalar(corpus, includeAllCollocs = true)
+    val distP = PunktTrainer.train(spark, spark.createDataset(corpus),
+      includeAllCollocs = true)
+    assert(distP == scalarP, "distributed training must equal the scalar composition")
+    // the manifest surface: a trained model exports and re-ingests
+    // losslessly (the in-engine replacement for the pickle export tool)
+    val dir = graft.sink.TempDirs.fresh("punkt_train_manifest_").toString
+    PunktManifest.export(distP).toDF("kind", "w1", "w2", "flags")
+      .repartition(2).write.mode("overwrite").json(dir)
+    assert(PunktManifest.ingest(spark, dir) == distP)
+  }
+
+  test("trainer: abbreviation scoring follows the Dunning formula") {
+    // hand-checkable micro-corpus: "qv." 4x period-final among 12
+    // tokens, 5 period-final total
+    val docs = Seq("qv. ana qv. bec qv. ced qv. dex", "ana bec ced dex.")
+    val p = PunktTrainer.trainScalar(docs)
+    // replay the published formula directly
+    val n = 12L; val periodToks = 5L; val cQv = 4L
+    val ll = PunktTrainer.dunningLogLikelihood(cQv, periodToks, cQv, n)
+    val score = ll * math.exp(-3.0) * 1 * 1 // len 2 -> numNonPeriods 3, no bare qv
+    assert(score >= PunktTrainer.Abbrev == p.abbrevTypes.contains("qv"),
+      s"score $score vs table ${p.abbrevTypes}")
+    assert(p.abbrevTypes.contains("qv"), s"qv score $score should clear 0.3")
+    // dex. is a single occurrence: ll too small to clear the bar
+    assert(!p.abbrevTypes.contains("dex"))
+  }
+
   test("manifest round-trip rebuilds identical Params") {
     import spark.implicits._
     val dir = graft.sink.TempDirs.fresh("graft_punkt_manifest_spec_").toString
