@@ -1265,6 +1265,33 @@ object Dedup {
     * next-round item 2). */
   private val pairLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Signature-lake registry: corpus dir → materialized (doc_id,
+    * simhash) parquet path. Same discipline (and lifetime) as
+    * [[pairLakes]], for the layer BELOW the pairs: the signature pass
+    * is a full corpus text scan, and three consumers need its output —
+    * the census, the pair generation it prices, and the q106 delta
+    * admission (which by design runs long after the backfill). Caching
+    * (`Resources.persist`) served the first two but was released after
+    * every harness run, so q106 re-ran the corpus scan and re-cached
+    * 16-byte rows under suite-wide memory pressure — BENCH_r08's q106
+    * regression (10.3 s in-suite vs 2.0 s isolated). A 16-byte-row
+    * parquet lake makes every later consumer a column-pruned scan
+    * costing milliseconds, holds no executor memory between queries,
+    * and at 100 TB is exactly the corpus-version artifact the delta
+    * ingest joins against each cycle. */
+  private val sigLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The corpus SimHash signatures, materialized once per corpus dir
+    * and read thereafter (see [[sigLakes]]). */
+  private def simHashSigLake(s: SparkSession, dir: String): DataFrame = {
+    val lake = sigLakes.computeIfAbsent(dir, _ => {
+      val path = graft.sink.TempDirs.fresh("graft_simhash_sigs_").toString
+      simHashSignatures(s, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(lake).select(col("doc_id"), col("simhash"))
+  }
+
   /** The q30 pair frame `(d1, d2, hamming ≤ SimHamMax)`, materialized
     * ONCE per corpus dir to a hamming-partitioned parquet lake (the
     * q114 round-trip discipline) and READ thereafter: the first family
@@ -1295,9 +1322,10 @@ object Dedup {
     // signatures — the real-corpus regime, Σ bucket² ≪ N²) vs the
     // tiled kernel (clustered signatures, like this testdata's shared
     // small vocabulary, where banding generates MORE candidate rows
-    // than the raw pair count). Signatures are persisted once; census,
-    // and whichever pair path runs, read the cache.
-    val sigsDf = graft.core.Resources.persist(simHashSignatures(s, dir))
+    // than the raw pair count). Signatures come from the once-per-
+    // corpus lake ([[sigLakes]]); census, and whichever pair path
+    // runs, are column-pruned scans of its 16-byte rows.
+    val sigsDf = simHashSigLake(s, dir)
     val (nDocs, cand) = simHashCandidateCensus(sigsDf)
     val pairs =
       if (chooseBanded(nDocs, cand)) simHashBandedPairs(sigsDf)
@@ -1464,11 +1492,16 @@ object Dedup {
     * per band — proportional to the DELTA, not the lake square. The
     * batch form of [[graft.streaming.StreamOps.nearDupGate]]'s
     * broadcast; at a billion-doc lake the band join replaces the
-    * broadcast, which is exactly what this operator demonstrates. */
+    * broadcast, which is exactly what this operator demonstrates.
+    *
+    * The signature pass is NOT re-run here: both sides scan the
+    * once-per-corpus signature lake ([[sigLakes]]) — the production
+    * shape, where day N+1's job joins the delta against the persisted
+    * signature artifact rather than recomputing the lake's. */
   def qDeltaDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sigs = graft.core.Resources.persist(simHashSignatures(s, dir))
+    val sigs = simHashSigLake(s, dir)
     def banded(df: DataFrame, side: String): DataFrame =
       df.select(col("doc_id").as(side), col("simhash").as(s"${side}_sig"),
           explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
