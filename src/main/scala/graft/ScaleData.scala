@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator (dev harness, like [[Bench]]/[[Verify]]):
+  * replicates a testdata dir's `documents` table ×FACTOR into a new
+  * dir, so the artifact-building operators can be measured one scale
+  * step above the largest driver-provided SF (the round-8 verdict's
+  * "one scale-probe bench" ask).
+  *
+  * Replicas are DECORRELATED, not copied: every word in replica k>0
+  * is suffixed `_k`, so each replica's SimHash/MinHash signatures are
+  * independent of the original's — a naive copy would make every doc
+  * a 10-way near-dup cluster and measure a pathological census, not a
+  * bigger corpus. Replica doc_ids are offset by k·1e6 to stay
+  * disjoint; `n_chars` is recomputed from the rewritten text. The
+  * corpus-level dup/cluster DENSITY therefore matches the source SF
+  * while rows, bytes, signature count, and file counts scale by
+  * FACTOR — which is what the probe wants to stress (census choice,
+  * banded-join candidate volume, manifest metadata cost ∝ files).
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <dstDir> <factor>
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val replicas = (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", $"doc_id" + lit(k * 1000000L))
+        .withColumn("text", concat_ws(" ",
+          expr(s"transform(split(trim(text), '\\\\s+'), w -> concat(w, '_$k'))")))
+        .withColumn("n_chars", length($"text"))
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"SCALED documents x$factor -> $dst (rows=" +
+      spark.read.parquet(s"$dst/documents.parquet").count() + ")")
+    spark.stop()
+  }
+}
