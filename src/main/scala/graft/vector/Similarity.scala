@@ -622,13 +622,16 @@ object Similarity extends Serializable {
     hnswServe(s, lake, probes, OpK)
   }
 
-  /** The q135 BUILD stage: one HNSW graph per coarse bucket, written
-    * to a bucket-partitioned adjacency lake; returns the lake path. */
-  private[vector] def hnswBuildLake(s: SparkSession, dir: String): String = {
+  /** Per-bucket HNSW graph construction over any frame with the
+    * `(vec_id, vec, norm, bucket)` assignment schema — one build task
+    * per bucket, emitting the adjacency-lake row shape. Shared by the
+    * full build (q135) and the delta update's dirty-bucket rebuilds
+    * (q136), so there is exactly one graph-construction rule. */
+  private def hnswAdjRows(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
     import s.implicits._
-    val (assigned, _) = ivfBuild(s, dir, OpNProbe)
-    val lake = graft.sink.TempDirs.fresh("graft_hnsw_index_").toString
-    assigned.as[(Long, Array[Double], Double, Long)]
+    assigned.select("vec_id", "vec", "norm", "bucket")
+      .as[(Long, Array[Double], Double, Long)]
       .groupByKey(_._4)
       .flatMapGroups { (bucket: Long, it: Iterator[(Long, Array[Double], Double, Long)]) =>
         val members = it.toArray.sortBy(_._1)
@@ -638,9 +641,99 @@ object Similarity extends Serializable {
           (bucket, r.vecId, r.level, r.neighbors, r.vec, r.norm))
       }
       .toDF("bucket", "vec_id", "level", "neighbors", "vec", "norm")
+  }
+
+  /** The q135 BUILD stage: one HNSW graph per coarse bucket, written
+    * to a bucket-partitioned adjacency lake; returns the lake path. */
+  private[vector] def hnswBuildLake(s: SparkSession, dir: String): String = {
+    val (assigned, _) = ivfBuild(s, dir, OpNProbe)
+    val lake = graft.sink.TempDirs.fresh("graft_hnsw_index_").toString
+    hnswAdjRows(assigned)
       .write.mode("overwrite").partitionBy("bucket").parquet(lake)
     lake
   }
+
+  /** The q136 delta convention: 1 % of the corpus (vec_id ≡ 0 mod 100)
+    * is "today's ingest"; the rest is the day-N index. A graph index's
+    * incremental unit is the BUCKET — q119's row-append works for
+    * inverted lists, but a graph's neighbor lists are global to their
+    * bucket, so the honest delta story is: rebuild exactly the buckets
+    * the delta lands in, keep every other bucket's rows untouched. */
+  private val HnswDeltaMod = 100L
+
+  /** q136 — incremental HNSW index update (the q127/q119 discipline on
+    * the graph side): build the day-N index over the lake partition
+    * (vec_id % 100 ≠ 0), assign the delta through the SAME coarse
+    * quantizer, rebuild ONLY the dirtied buckets over their merged
+    * member sets, and copy clean buckets' adjacency rows forward
+    * verbatim. Because graph construction is deterministic, the
+    * updated index is BYTE-IDENTICAL to a from-scratch build of the
+    * full corpus — SimilaritySpec asserts exactly that (the q127
+    * kept-shard hash-assert, for graphs), plus that clean buckets'
+    * rows survive unrewritten. Cost ∝ Σ dirty-bucket sizes, not
+    * corpus size — at a billion-vector index a 1 % delta touches ~1 %
+    * of buckets' worth of build work and zero clean-bucket I/O beyond
+    * the manifest-style copy (which a manifest lake would make a
+    * metadata-only keep).
+    *
+    * The emitted result is the per-bucket update LEDGER — day-N size,
+    * delta size, day-N+1 size, dirty flag — which is fully relational
+    * (assignment is the shared argmax) and therefore ORACLED, unlike
+    * the graph bytes themselves (q135's rows-only caveat). */
+  def qHnswDelta(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, ledger) = hnswDeltaLakes(s, dir)
+    ledger
+  }
+
+  /** (v1 lake path, v2 lake path, oracled ledger) — see [[qHnswDelta]];
+    * paths exposed for the spec's incremental-≡-rebuild assert. */
+  private[vector] def hnswDeltaLakes(s: SparkSession, dir: String): (String, String, DataFrame) = {
+    import s.implicits._
+    val (assignedRaw, _) = ivfBuild(s, dir, OpNProbe)
+    // Narrow rows, read by four plan branches (v1 build, dirty list,
+    // dirty rebuild, ledger) — persisted for the invocation, same
+    // discipline as qSrpLsh's prepped frame.
+    val asg = graft.core.Resources.persist(assignedRaw)
+    val v1 = graft.sink.TempDirs.fresh("graft_hnsw_v1_").toString
+    hnswAdjRows(asg.filter($"vec_id" % HnswDeltaMod =!= 0))
+      .write.mode("overwrite").partitionBy("bucket").parquet(v1)
+    val dirty = asg.filter($"vec_id" % HnswDeltaMod === 0)
+      .select($"bucket").distinct().as[Long].collect().sorted.toSeq
+    val v2 = graft.sink.TempDirs.fresh("graft_hnsw_v2_").toString
+    val kept = s.read.parquet(v1)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(!$"bucket".isin(dirty: _*))
+      .select("bucket", "vec_id", "level", "neighbors", "vec", "norm")
+    val rebuilt = hnswAdjRows(asg.filter($"bucket".isin(dirty: _*)))
+    kept.unionByName(rebuilt)
+      .write.mode("overwrite").partitionBy("bucket").parquet(v2)
+    val ledger = asg.groupBy($"bucket")
+      .agg(sum(when($"vec_id" % HnswDeltaMod =!= 0, 1L).otherwise(0L)).as("n_v1"),
+        sum(when($"vec_id" % HnswDeltaMod === 0, 1L).otherwise(0L)).as("n_delta"))
+      .select($"bucket", $"n_v1", $"n_delta",
+        ($"n_v1" + $"n_delta").as("n_v2"), ($"n_delta" > 0).as("dirty"))
+      .orderBy($"bucket")
+    (v1, v2, ledger)
+  }
+
+  /** Oracle: the shared assignment argmax replayed relationally, then
+    * the same per-bucket ledger arithmetic. */
+  val qHnswDeltaSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $IvfK),
+       assign AS (
+         SELECT vec_id, cid AS bucket FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1)
+       SELECT bucket,
+         CAST(SUM(CASE WHEN vec_id % $HnswDeltaMod != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+         CAST(SUM(CASE WHEN vec_id % $HnswDeltaMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         CAST(COUNT(*) AS BIGINT) AS n_v2,
+         SUM(CASE WHEN vec_id % $HnswDeltaMod = 0 THEN 1 ELSE 0 END) > 0 AS dirty
+       FROM assign GROUP BY bucket ORDER BY bucket"""
 
   /** The q135 SERVE stage: probed buckets only (partition-pruned scan
     * of the adjacency lake), per-bucket graph rebuild + beam search,
@@ -1018,7 +1111,8 @@ object Similarity extends Serializable {
     // procedural, so the driver records the rows-only check; the
     // recall claim is spec-pinned (SimilaritySpec) and q134 oracles
     // the same operating point relationally
-    "q135_hnsw_ann" -> qHnswAnn)
+    "q135_hnsw_ann" -> qHnswAnn,
+    "q136_hnsw_delta" -> qHnswDelta)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -1034,5 +1128,6 @@ object Similarity extends Serializable {
     "q113_ivf_index_roundtrip" -> qAnnIvfSql,
     "q115_hard_negatives" -> qHardNegativesSql,
     "q119_ivf_delta_assign" -> qIvfDeltaAssignSql,
-    "q134_ann_operating_point" -> qAnnOperatingPointSql)
+    "q134_ann_operating_point" -> qAnnOperatingPointSql,
+    "q136_hnsw_delta" -> qHnswDeltaSql)
 }

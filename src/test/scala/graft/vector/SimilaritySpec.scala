@@ -233,6 +233,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 == r2, "HNSW serve must be deterministic end-to-end")
   }
 
+  test("q136: incremental HNSW update is byte-identical to a from-scratch rebuild") {
+    import spark.implicits._
+    def canon(p: String) = spark.read.parquet(p)
+      .select($"bucket".cast("long"), $"vec_id", $"level", $"neighbors")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Long](3).toList))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val (v1, v2, ledgerDf) = Similarity.hnswDeltaLakes(spark, Sf0001)
+    val ledger = ledgerDf.collect()
+    val v1c = canon(v1); val v2c = canon(v2)
+    // delta is sparse (1%): some buckets must be clean AND some dirty,
+    // or the test proves nothing
+    val dirty = ledger.filter(_.getAs[Boolean]("dirty")).map(_.getAs[Long]("bucket")).toSet
+    val clean = ledger.filterNot(_.getAs[Boolean]("dirty")).map(_.getAs[Long]("bucket")).toSet
+    assert(dirty.nonEmpty && clean.nonEmpty, s"need both: dirty=$dirty clean=$clean")
+    // clean buckets' adjacency survives the update verbatim
+    assert(v1c.filter(r => clean(r._1)) == v2c.filter(r => clean(r._1)),
+      "clean buckets must carry forward unrewritten")
+    // ledger arithmetic matches the lakes' node counts (level-0 rows)
+    val v2nodes = v2c.filter(_._3 == 0).groupBy(_._1).view.mapValues(_.size).toMap
+    ledger.foreach { r =>
+      assert(v2nodes.getOrElse(r.getAs[Long]("bucket"), 0) == r.getAs[Long]("n_v2"),
+        s"bucket ${r.getAs[Long]("bucket")} ledger vs lake")
+    }
+    // THE pin: incremental result ≡ from-scratch build of the full
+    // corpus (deterministic construction makes this exact equality)
+    val full = canon(Similarity.hnswBuildLake(spark, Sf0001))
+    assert(v2c == full, "incremental update must equal the from-scratch index")
+  }
+
   test("srpSig is deterministic and uses all bands") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0))
     val v2 = Array.tabulate(64)(i => math.cos(3.0 * i + 1.0))
