@@ -353,6 +353,27 @@ object ManifestLake {
     moved.result()
   }
 
+  /** Bounded-parallel map for driver-side per-file METADATA reads
+    * (footer row counts / stats). These are independent ~KB-sized
+    * reads; serially they cost #files × open-latency — measured as
+    * the q129 scale-probe's dominant term at 10× files, and at object
+    * -storage latency (tens of ms/open) a serial loop over a large
+    * lake's footers would take minutes. 16 concurrent opens is
+    * comfortably below any filesystem/S3 connection limit. */
+  private val MetaReadConcurrency = 16
+  private def parMapMeta[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.length <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(MetaReadConcurrency, xs.length))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(xs.map(x => Future(f(x)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   /** Min/max of `col` for one data file, from the parquet FOOTER —
     * a metadata read (the row groups' pre-computed statistics), never
     * a data pass. Numeric AND string columns are tracked (strings via
@@ -425,7 +446,7 @@ object ManifestLake {
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
     val stagedStats =
       if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else staged.map(f => f -> footerStats(s, root.resolve(f), statsCols))
+      else parMapMeta(staged)(f => f -> footerStats(s, root.resolve(f), statsCols))
         .filter(_._2.nonEmpty).toMap
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
@@ -607,7 +628,7 @@ object ManifestLake {
       .reduceOption(_ intersect _).getOrElse(Set.empty)
     val newStats =
       if (uniformCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else newFiles.map(f =>
+      else parMapMeta(newFiles)(f =>
         f -> footerStats(s, root.resolve(f), uniformCols.toSeq.sorted))
         .filter(_._2.nonEmpty).toMap
     commitLoop(root) {
@@ -770,10 +791,12 @@ object ManifestLake {
     // special characters / nulls / date formatting silently missed,
     // defaulting the partition's count to 0 and coalescing it to one
     // oversized file).
-    val rowCounts: Map[String, Long] =
-      byPartition.map { case (pname, fs) =>
-        pname -> fs.map(f => rowCount(s, root.resolve(f))).sum
-      }
+    val rowCounts: Map[String, Long] = {
+      val perFile = parMapMeta(byPartition.toSeq.flatMap {
+        case (pname, fs) => fs.map(f => (pname, f))
+      }) { case (pname, f) => (pname, rowCount(s, root.resolve(f))) }
+      perFile.groupBy(_._1).map { case (pname, cs) => pname -> cs.map(_._2).sum }
+    }
 
     final case class Swap(pname: String, rows: Long, olds: Vector[String],
                           news: Vector[String])
@@ -858,15 +881,16 @@ object ManifestLake {
           // footers IF the partition's olds were uniformly tracked on
           // one column (mixed/untracked partitions stay untracked —
           // never guess a pruning bound).
-          val newStats = apply.flatMap { sw =>
+          val statJobs = apply.flatMap { sw =>
             val uniform = sw.olds.map(f =>
                 latest.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
               .reduceOption(_ intersect _).getOrElse(Set.empty)
             if (uniform.isEmpty) Nil
-            else sw.news.map(f =>
-              f -> footerStats(s, root.resolve(f), uniform.toSeq.sorted))
-              .filter(_._2.nonEmpty)
-          }.toMap
+            else sw.news.map(f => (f, uniform.toSeq.sorted))
+          }
+          val newStats = parMapMeta(statJobs) { case (f, cols) =>
+            f -> footerStats(s, root.resolve(f), cols)
+          }.filter(_._2.nonEmpty).toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
             latest.txns, latest.stats -- removed ++ newStats, "compact",
             latest.schema))
