@@ -1602,6 +1602,57 @@ object Dedup {
          ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) = 1 AS kept
        FROM lab ORDER BY doc_id"""
 
+  // --- Leakage-safe train/eval split ---------------------------------
+
+  /** Knuth multiplicative-hash constants for the split draw — exact
+    * BIGINT arithmetic in both engines (component ≤ ~1e7 here, the
+    * product stays far under 2^63; at larger id spaces swap in a
+    * modular fold like [[polyHashExpr]]'s). */
+  private val SplitMul = 2654435761L
+  private val SplitMod = 4294967296L
+  private val SplitBuckets = 10L // bucket 9 → eval: a 90/10 split
+
+  /** q137 — LEAKAGE-SAFE train/eval split: the constructive fix for
+    * what q92 audits. q70's per-doc hash split leaks whenever two
+    * near-duplicate docs land on opposite sides (the eval doc is then
+    * effectively in training — q92 exists to measure exactly that);
+    * this operator makes the crossing set empty BY CONSTRUCTION by
+    * splitting on the near-dup COMPONENT (q75's connected components
+    * over LSH pairs), not the doc: side = multiplicative hash of the
+    * component id, so cluster members move together and singletons
+    * (component = own doc_id) spread uniformly. DedupSpec asserts the
+    * q92-style crossing count against THIS split is zero.
+    *
+    * Plan: the component map is the once-per-corpus lake artifact
+    * (tiny — only docs that survived LSH banding); it broadcast-joins
+    * onto a doc_id projection, so the corpus never shuffles and no
+    * text moves. The split column is one integer expression —
+    * exportable as-is into any downstream filter, and the same
+    * arithmetic replays exactly in the oracle's RECURSIVE closure.
+    * DedupSpec pins the invariant the operator exists for: NO
+    * LSH-candidate pair straddles the split. */
+  def qLeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = components(s, dir)
+    Tables.documents(s, dir).select($"doc_id")
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("component", coalesce($"component", $"doc_id"))
+      .withColumn("is_eval",
+        (($"component" * SplitMul) % SplitMod) % SplitBuckets === (SplitBuckets - 1L))
+      .select($"doc_id", $"component", $"is_eval")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the SHARED recursive closure + the same split arithmetic. */
+  val qLeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $lshCandidateCtes,
+       $closureCtes
+       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         ((COALESCE(c.component, d.doc_id) * $SplitMul) % $SplitMod) % $SplitBuckets
+           = ${SplitBuckets - 1L} AS is_eval
+       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
   // --- Bloom-gated decontamination -----------------------------------
 
   /** False-positive rate for the q80 Bloom gate. Only COST depends on
@@ -1830,7 +1881,8 @@ object Dedup {
     "q80_bloom_decontaminate" -> qBloomDecontaminate,
     "q85_cluster_centroids" -> qClusterCentroids,
     "q89_cluster_medoids" -> qClusterMedoids,
-    "q92_split_leakage" -> qSplitLeakage)
+    "q92_split_leakage" -> qSplitLeakage,
+    "q137_leakage_safe_split" -> qLeakageSafeSplit)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -1854,5 +1906,6 @@ object Dedup {
     "q80_bloom_decontaminate" -> qBloomDecontaminateSql,
     "q85_cluster_centroids" -> qClusterCentroidsSql,
     "q89_cluster_medoids" -> qClusterMedoidsSql,
-    "q92_split_leakage" -> qSplitLeakageSql)
+    "q92_split_leakage" -> qSplitLeakageSql,
+    "q137_leakage_safe_split" -> qLeakageSafeSplitSql)
 }

@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
     assert(relational.nonEmpty)
   }
 
+  test("q137: no LSH near-dup pair straddles the leakage-safe split") {
+    val split = Dedup.qLeakageSafeSplit(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_eval"))).toMap
+    // the split must actually split (both sides populated)
+    assert(split.values.exists(identity) && split.values.exists(!_),
+      "expected both train and eval docs")
+    // the q92-style crossing check against THIS split: empty by
+    // construction (cluster members share a component, components
+    // share a side)
+    val crossings = Dedup.lshCandidates(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .filter { case (a, b) => split(a) != split(b) }
+    assert(crossings.isEmpty, s"near-dup pairs crossing the split: $crossings")
+  }
+
   test("SimHash near-dup pairs overlap the jaccard near-dups") {
     val sets = shingleSets()
     val sim = Dedup.qSimHash(spark, Sf0001).collect()
