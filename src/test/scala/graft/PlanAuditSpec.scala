@@ -62,6 +62,19 @@ class PlanAuditSpec extends SparkSpec {
     graft.core.Resources.release()
   }
 
+  test("q137 broadcasts the component map; the corpus never sort-merge joins") {
+    // The leakage-safe split's 100 TB claim: the tiny component map
+    // broadcasts onto the doc_id projection — a SortMergeJoin would
+    // mean the corpus shuffles for a metadata assignment.
+    val plan = graft.dedup.Dedup.qLeakageSafeSplit(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "q137 must broadcast the component map")
+    assert(!plan.contains("SortMergeJoin"),
+      "q137 shuffles the corpus through a SortMergeJoin")
+    graft.core.Resources.release()
+  }
+
   test("bounded-count-table queries broadcast their scoring joins (q96/q102)") {
     // The 100 TB story of q96/q102 is that hashing bounds the count
     // table, so the corpus-side scoring join must plan as a broadcast —

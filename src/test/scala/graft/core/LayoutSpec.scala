@@ -440,6 +440,34 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.readWhereString(spark, dir, "tag", "t250", "t260").count() == 11)
   }
 
+  test("manifest lake: JSON-extracted metadata fields skip via materialized stats columns") {
+    // The reference's JSONB-GIN metadata queries (setup_vector_db.py
+    // GIN index over chunk metadata): the lake-side answer is to
+    // MATERIALIZE the hot extracted field as a physical column at
+    // write time and track its stats — skipping then prunes on the
+    // JSON field with zero file opens, while the raw JSON rides along
+    // untracked for everything else.
+    val dir = Files.createTempDirectory("mlake22").resolve("lake").toString
+    val raw = spark.range(0, 400).select(
+      $"id".as("doc_id"),
+      format_string("""{"lang":"l%02d","src":"web"}""", $"id" % 100).as("meta"),
+      lit("s0").as("source"))
+    // writer materializes the extracted field (the documented pattern)
+    ManifestLake.append(spark, dir,
+      raw.withColumn("meta_lang", get_json_object($"meta", "$.lang"))
+        .repartitionByRange(8, $"meta_lang"),
+      "source", statsCols = Seq("meta_lang"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.files.length == 8)
+    // a narrow lang band prunes most files from the manifest alone
+    val kept = ManifestLake.pruneFilesString(snap, "meta_lang", "l10", "l19")
+    assert(kept.nonEmpty && kept.length <= 2, s"kept ${kept.length} of 8")
+    val got = ManifestLake.readWhereString(spark, dir, "meta_lang", "l10", "l19")
+    assert(got.count() == 40) // 10 langs x 4 ids each
+    // the surviving rows still carry the full JSON for downstream use
+    assert(got.filter(get_json_object($"meta", "$.src") === "web").count() == 40)
+  }
+
   test("manifest lake: string bounds compare in UTF-8 byte order with exotic values") {
     // separator characters (':', tab) and non-ASCII survive the
     // base64 manifest encoding; comparison is unsigned UTF-8 bytes
