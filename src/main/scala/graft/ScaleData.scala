@@ -44,6 +44,25 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     println(s"SCALED documents x$factor -> $dst (rows=" +
       spark.read.parquet(s"$dst/documents.parquet").count() + ")")
+    // Embeddings scale the same way: replica k>0 offsets vec_id and
+    // ROTATES the vector by k positions — norm-preserving and, for
+    // the fixtures' random vectors, cosine-decorrelated from the
+    // original (a copied vector would be a planted exact near-dup per
+    // replica). Queries (vec_id < 20) and the fixed centroid seeds
+    // (vec_id < 16) stay replica-0-only by construction.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embReplicas = (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", $"vec_id" + lit(k * 1000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> embedding[pmod(i + $k, size(embedding))])"))
+    }
+    embReplicas.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"SCALED embeddings x$factor -> $dst (rows=" +
+      spark.read.parquet(s"$dst/embeddings.parquet").count() + ")")
     spark.stop()
   }
 }
