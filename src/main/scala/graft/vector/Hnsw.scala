@@ -54,10 +54,14 @@ object Hnsw extends Serializable {
 
   /** Deterministic node level: floor(-ln(u)/ln(M)) with u ∈ (0,1)
     * derived from the id hash — the paper's geometric level draw with
-    * the RNG replaced by a hash. */
+    * the RNG replaced by a hash. StrictMath, not math: `Math.log` is
+    * only semi-monotonic per the JVM spec and may differ in the last
+    * ulp across architectures, and a level that flips on one executor
+    * of a heterogeneous cluster breaks the build-anywhere-same-graph
+    * contract this whole kernel is designed around. */
   def levelOf(id: Long, m: Int): Int = {
     val u = ((splitmix64(id) >>> 11).toDouble + 0.5) / 9007199254740992.0
-    math.min(31.0, -math.log(u) / math.log(m.toDouble)).toInt
+    math.min(31.0, -StrictMath.log(u) / StrictMath.log(m.toDouble)).toInt
   }
 
   private def dotP(a: Array[Double], b: Array[Double]): Double = {
