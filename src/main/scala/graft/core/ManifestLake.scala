@@ -765,16 +765,30 @@ object ManifestLake {
     * the rebase keeps files appended after our snapshot, and abandons
     * any partition whose inputs a faster compactor already replaced. */
   def compact(s: SparkSession, dir: String, partitionCol: String,
-              targetRecordsPerFile: Long, maxConcurrent: Int = 8): Seq[CompactStat] =
-    compact(s, dir, partitionCol, targetRecordsPerFile, maxConcurrent, () => ())
+              targetRecordsPerFile: Long, maxConcurrent: Int = 8,
+              clusterBy: Option[String] = None): Seq[CompactStat] =
+    compact(s, dir, partitionCol, targetRecordsPerFile, maxConcurrent, () => (),
+      clusterBy)
 
   /** Test seam: `beforeCommit` runs after the rewrites finish and
     * before the commit loop starts — the window a concurrent writer's
     * commit must be rebased over. Package-private so specs can pin the
     * race deterministically instead of hoping a sleep lines up. */
+  /** With `clusterBy` set, compaction additionally RANGE-CLUSTERS each
+    * rewritten partition on that column (the Delta `OPTIMIZE ... ZORDER
+    * BY` analogue at one dimension): rewrites range-partition + sort
+    * instead of coalescing, so each output file covers a narrow
+    * disjoint value band and the manifest's min/max stats become
+    * maximally selective for [[readWhere]] pruning. Idempotent via the
+    * manifest alone: a partition whose files already carry PAIRWISE
+    * DISJOINT `clusterBy` stats at or under the target file count is
+    * provably clustered (within-file order never affects file-level
+    * skipping) and is skipped without opening anything — a second
+    * clustered compaction burns no version. */
   private[core] def compact(s: SparkSession, dir: String, partitionCol: String,
                             targetRecordsPerFile: Long, maxConcurrent: Int,
-                            beforeCommit: () => Unit): Seq[CompactStat] = {
+                            beforeCommit: () => Unit,
+                            clusterBy: Option[String]): Seq[CompactStat] = {
     require(targetRecordsPerFile > 0,
       s"targetRecordsPerFile must be positive: $targetRecordsPerFile")
     val root = Paths.get(dir)
@@ -801,10 +815,25 @@ object ManifestLake {
     final case class Swap(pname: String, rows: Long, olds: Vector[String],
                           news: Vector[String])
 
+    // A partition is provably clustered from the MANIFEST alone when
+    // every file carries clusterBy stats and the [min,max] ranges are
+    // pairwise disjoint (sorted by min, each max strictly below the
+    // next min) — no file needs opening to decide.
+    def alreadyClustered(olds: Vector[String]): Boolean = clusterBy.forall { c =>
+      val bs = olds.map(f => snap.stats.getOrElse(f, Vector.empty).find(_.col == c))
+      bs.forall(_.isDefined) && {
+        val sorted = bs.flatten.sortWith((a, b) =>
+          Bound.cmp(a.min, b.min).getOrElse(0) < 0)
+        sorted.zip(sorted.drop(1)).forall { case (x, y) =>
+          Bound.cmp(x.max, y.min).exists(_ < 0)
+        }
+      }
+    }
+
     def compactOne(pname: String, olds: Vector[String]): Either[CompactStat, Swap] = {
       val rows = rowCounts.getOrElse(pname, 0L)
       val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-      if (olds.length <= target)
+      if (olds.length <= target && alreadyClustered(olds))
         Left(CompactStat(pname.dropWhile(_ != '=').drop(1), rows, olds.length, olds.length))
       else {
         // Data files carry no partition column (it lives in the path),
@@ -818,10 +847,16 @@ object ManifestLake {
         val dataSchema = snap.schema.map(sc =>
           org.apache.spark.sql.types.StructType(
             sc.fields.filterNot(_.name == partitionCol)))
-        dataSchema.foldLeft(s.read)(_ schema _)
+        val base = dataSchema.foldLeft(s.read)(_ schema _)
           .parquet(olds.map(f => s"$dir/$f"): _*)
-          .coalesce(target.toInt)
-          .write.parquet(stage.toString)
+        // bin-pack (shuffle-free) or range-cluster (one shuffle — the
+        // price of disjoint per-file value bands)
+        val packed = clusterBy match {
+          case Some(c) =>
+            base.repartitionByRange(target.toInt, col(c)).sortWithinPartitions(col(c))
+          case None => base.coalesce(target.toInt)
+        }
+        packed.write.parquet(stage.toString)
         val dest = root.resolve(pname)
         val news = Vector.newBuilder[String]
         val fs = Files.list(stage)

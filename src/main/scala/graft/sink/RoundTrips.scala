@@ -458,6 +458,73 @@ object RoundTrips {
       .orderBy($"range_tag")
   }
 
+  /** q138 — CLUSTERED compaction, the Delta `OPTIMIZE ... ZORDER BY`
+    * analogue at one dimension, driven end-to-end: documents land in a
+    * deliberately SCATTERED layout (round-robin repartition — every
+    * file spans the full doc_id range, the worst case for range
+    * pruning: the pre-compaction census proves a range read must open
+    * EVERY file); [[graft.core.ManifestLake.compact]] with
+    * `clusterBy=doc_id` then range-clusters the rewrite so each output
+    * file covers a disjoint id band, and the same range reads prune
+    * strictly from the manifest stats alone. The emitted frame carries
+    * the content aggregates of the post-compaction pruned reads (a
+    * wrongly-skipped file loses rows and breaks the hash) plus both
+    * layout verdicts as oracle-pinned booleans — `scattered_opened_all`
+    * (pre: pruning was impossible) and `clustered_pruned` (post:
+    * opened < total). File counts themselves are layout-dependent, so
+    * the oracle pins the INVARIANTS, q131-style; LayoutSpec pins exact
+    * counts and the manifest-proven idempotence (a second clustered
+    * compaction burns no version) on a controlled layout. */
+  def qClusteredCompactionRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_cluster_lake_").toString
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"n_chars")
+      .withColumn("part", lit("all"))
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake, docs.repartition(8), "part",
+      statsCols = Seq("doc_id"))
+    val pre = graft.core.ManifestLake.latestSnapshot(lake).get
+    val ranges = Seq(("lo", m / 10, m / 5), ("hi", m - m / 10, m))
+    val scatteredOpenedAll = ranges.forall { case (_, lo, hi) =>
+      graft.core.ManifestLake.pruneFiles(pre, "doc_id",
+        BigDecimal(lo), BigDecimal(hi)).length == pre.files.length
+    }
+    val rows = docs.count()
+    graft.core.ManifestLake.compact(s, lake, "part",
+      targetRecordsPerFile = rows / 4 + 1, clusterBy = Some("doc_id"))
+    val post = graft.core.ManifestLake.latestSnapshot(lake).get
+    ranges.map { case (tag, lo, hi) =>
+      val opened = graft.core.ManifestLake.pruneFiles(post, "doc_id",
+        BigDecimal(lo), BigDecimal(hi)).length
+      graft.core.ManifestLake.readWhere(s, lake, "doc_id",
+          BigDecimal(lo), BigDecimal(hi))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum(length($"text")).cast("long").as("sum_chars"))
+        .withColumn("range_tag", lit(tag))
+        .withColumn("scattered_opened_all", lit(scatteredOpenedAll))
+        .withColumn("clustered_pruned", lit(opened < post.files.length))
+    }.reduce(_ unionByName _)
+      .select($"range_tag", $"n_docs", $"sum_ids", $"sum_chars",
+        $"scattered_opened_all", $"clustered_pruned")
+      .orderBy($"range_tag")
+  }
+
+  val qClusteredCompactionRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT range_tag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+         TRUE AS scattered_opened_all, TRUE AS clustered_pruned
+       FROM (
+         SELECT 'lo' AS range_tag, d.doc_id, d.text FROM documents d, mx
+           WHERE doc_id BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'hi', d.doc_id, d.text FROM documents d, mx
+           WHERE doc_id BETWEEN m - m // 10 AND m) t
+       GROUP BY range_tag ORDER BY range_tag"""
+
   val qDataSkippingRoundTripSql: String =
     """WITH mx AS (SELECT MAX(doc_id) AS m, MAX(doc_id) // 300 + 1 AS per_day
                    FROM documents),
@@ -570,7 +637,8 @@ object RoundTrips {
     "q130_time_travel" -> qTimeTravelRoundTrip,
     "q131_data_skipping" -> qDataSkippingRoundTrip,
     "q132_cdc_read" -> qCdcReadRoundTrip,
-    "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip)
+    "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip,
+    "q138_clustered_compaction" -> qClusteredCompactionRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -583,5 +651,6 @@ object RoundTrips {
     "q130_time_travel" -> qTimeTravelRoundTripSql,
     "q131_data_skipping" -> qDataSkippingRoundTripSql,
     "q132_cdc_read" -> qCdcReadRoundTripSql,
-    "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql)
+    "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql,
+    "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql)
 }

@@ -198,7 +198,7 @@ class LayoutSpec extends SparkSpec {
       beforeCommit = () => {
         ManifestLake.append(spark, dir, late.repartition($"source"), "source",
           maxRecordsPerFile = 5L); ()
-      })
+      }, clusterBy = None)
     assert(stats.forall(st => st.filesBefore == 20 && st.filesAfter == 1), stats)
 
     val back = ManifestLake.read(spark, dir)
@@ -438,6 +438,42 @@ class LayoutSpec extends SparkSpec {
     assert(snap2.stats.values.forall(_.map(_.col).sorted == Vector("doc_id", "tag")))
     assert(ManifestLake.pruneFilesString(snap2, "tag", "zzz", "zzzz").isEmpty)
     assert(ManifestLake.readWhereString(spark, dir, "tag", "t250", "t260").count() == 11)
+  }
+
+  test("manifest lake: clustered compaction tightens stats; re-run burns no version") {
+    val dir = Files.createTempDirectory("mlake23").resolve("lake").toString
+    // scattered ingest: 4 round-robin files, each spanning the full
+    // 0..999 id range — any range read must open all 4
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select($"id".as("doc_id"), lit("s0").as("source"))
+        .repartition(4),
+      "source", statsCols = Seq("doc_id"))
+    val pre = ManifestLake.latestSnapshot(dir).get
+    assert(pre.files.length == 4)
+    assert(ManifestLake.pruneFiles(pre, "doc_id",
+      BigDecimal(100), BigDecimal(150)).length == 4,
+      "scattered layout must defeat pruning")
+    // clustered compaction: same file count, disjoint id bands
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 250L,
+      clusterBy = Some("doc_id"))
+    val post = ManifestLake.latestSnapshot(dir).get
+    assert(post.files.length == 4)
+    val kept = ManifestLake.pruneFiles(post, "doc_id",
+      BigDecimal(100), BigDecimal(150))
+    assert(kept.length <= 2, s"clustered layout kept ${kept.length} of 4")
+    val got = ManifestLake.readWhere(spark, dir, "doc_id",
+      BigDecimal(100), BigDecimal(150))
+    assert(got.count() == 51)
+    assert(got.agg(sum($"doc_id")).head().getLong(0) == (100 to 150).sum)
+    // idempotence is PROVEN from the manifest (disjoint stats at or
+    // under target) — the second run opens nothing and burns no version
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 250L,
+      clusterBy = Some("doc_id"))
+    assert(ManifestLake.latestSnapshot(dir).get.version == post.version,
+      "re-clustering an already-clustered partition must be a no-op")
+    // unclustered compact still sees nothing to do (count at target)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 250L)
+    assert(ManifestLake.latestSnapshot(dir).get.version == post.version)
   }
 
   test("manifest lake: JSON-extracted metadata fields skip via materialized stats columns") {
