@@ -760,6 +760,24 @@ object ManifestLake {
     }
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns,
+    * `bits` bits each — the derived cluster key that extends
+    * [[compact]]'s one-dimensional `clusterBy` to TWO dimensions:
+    * materialize `zValue(x, y)` at write, track stats on x AND y, and
+    * cluster on z; the curve's locality co-locates both dimensions, so
+    * each output file covers a tile and range predicates on EITHER
+    * column prune from the same manifest stats (the full Delta
+    * `ZORDER BY (x, y)` shape). Values must be < 2^bits; the
+    * expression is plain shift/mask arithmetic — codegen'd, no UDF. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Compact fragmented partitions of the latest snapshot and commit
     * the swap. Safe under concurrent appends AND concurrent compactors:
     * the rebase keeps files appended after our snapshot, and abandons

@@ -476,6 +476,37 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.latestSnapshot(dir).get.version == post.version)
   }
 
+  test("manifest lake: Z-order clustering prunes on BOTH dimensions") {
+    val dir = Files.createTempDirectory("mlake24").resolve("lake").toString
+    // 32x32 grid, scattered round-robin: every file spans both full axes
+    val grid = spark.range(0, 1024).select(
+      ($"id" % 32).as("x"), expr("id div 32").as("y"), lit("s0").as("source"))
+    ManifestLake.append(spark, dir,
+      grid.withColumn("z", ManifestLake.zValue($"x", $"y", 5)).repartition(16),
+      "source", statsCols = Seq("x", "y", "z"))
+    val pre = ManifestLake.latestSnapshot(dir).get
+    assert(pre.files.length == 16)
+    assert(ManifestLake.pruneFiles(pre, "x", BigDecimal(0), BigDecimal(7)).length == 16,
+      "scattered layout must defeat x pruning")
+    assert(ManifestLake.pruneFiles(pre, "y", BigDecimal(0), BigDecimal(7)).length == 16,
+      "scattered layout must defeat y pruning")
+    // cluster on the Morton key: each file becomes a 2-D tile, so a
+    // quarter-range on EITHER axis prunes (range boundaries are
+    // sampled, so assert at-most-half rather than the ideal 4/16)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 64L,
+      clusterBy = Some("z"))
+    val post = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.pruneFiles(post, "x", BigDecimal(0), BigDecimal(7)).length <= 8,
+      "z-clustering must prune x ranges")
+    assert(ManifestLake.pruneFiles(post, "y", BigDecimal(0), BigDecimal(7)).length <= 8,
+      "z-clustering must prune y ranges")
+    // pruned reads stay row-exact on both axes
+    assert(ManifestLake.readWhere(spark, dir, "x", BigDecimal(0), BigDecimal(7))
+      .count() == 8 * 32)
+    assert(ManifestLake.readWhere(spark, dir, "y", BigDecimal(0), BigDecimal(7))
+      .count() == 8 * 32)
+  }
+
   test("manifest lake: JSON-extracted metadata fields skip via materialized stats columns") {
     // The reference's JSONB-GIN metadata queries (setup_vector_db.py
     // GIN index over chunk metadata): the lake-side answer is to
