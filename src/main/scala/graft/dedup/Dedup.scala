@@ -1549,6 +1549,43 @@ object Dedup {
        FROM fresh f LEFT JOIN best b USING (doc_id)
        ORDER BY f.doc_id"""
 
+  /** q139 — INCREMENTAL pair-lake MAINTENANCE, the day-N+1 update that
+    * keeps the q30 artifact current without ever re-running the
+    * backfill: the maintained set = day-N pairs (lake×lake, computed
+    * once and carried forward — here rebuilt over the lake partition
+    * to stand in for the carried artifact) ∪ the delta's two new
+    * slices, new×lake (q106's asymmetric banded join) and new×new
+    * (banded over the delta alone). Partition algebra makes the union
+    * PROVABLY complete — every pair is (old,old), (old,new) or
+    * (new,new) — and the 7-band pigeonhole makes each slice exact at
+    * hamming ≤ 6, so the maintained lake must equal a from-scratch
+    * backfill row-for-row… which is precisely what the oracle checks:
+    * q139 shares q30's full-recompute SQL. Cost: the carried slice is
+    * a scan; the delta slices are Σ bucket_new·(bucket_lake+bucket_new)
+    * — proportional to the delta, never the lake square. */
+  def qIncrementalPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simHashSigLake(s, dir)
+    val lakeS = sigs.filter($"doc_id" % DeltaMod =!= 0)
+    val newS = sigs.filter($"doc_id" % DeltaMod === 0)
+    val dayN = Hamming.bandedPairsAt(lakeS, "simhash", SimBands, SimHamMax)
+    // new×lake: the q106 asymmetric banded join, emitted as canonical
+    // (min, max) pairs with the same hamming column
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.select(col("doc_id").as(side), col("simhash").as(s"${side}_sig"),
+          explode(expr(Hamming.bandStructsExpr("simhash", SimBands))).as("bb"))
+        .select(col(side), col(s"${side}_sig"), col("bb.band"), col("bb.bkey"))
+    val crossPairs = banded(newS, "n").join(banded(lakeS, "l"), Seq("band", "bkey"))
+      .withColumn("hamming", expr("CAST(bit_count(n_sig ^ l_sig) AS INT)"))
+      .filter($"hamming" <= SimHamMax)
+      .select(least($"n", $"l").as("d1"), greatest($"n", $"l").as("d2"), $"hamming")
+      .distinct()
+    val newNew = Hamming.bandedPairsAt(newS, "simhash", SimBands, SimHamMax)
+    dayN.unionByName(crossPairs).unionByName(newNew)
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
   // --- Canonical doc per duplicate cluster ---------------------------
 
   /** q79 — the dedup DECISION stage: which doc survives each near-dup
@@ -1882,7 +1919,8 @@ object Dedup {
     "q85_cluster_centroids" -> qClusterCentroids,
     "q89_cluster_medoids" -> qClusterMedoids,
     "q92_split_leakage" -> qSplitLeakage,
-    "q137_leakage_safe_split" -> qLeakageSafeSplit)
+    "q137_leakage_safe_split" -> qLeakageSafeSplit,
+    "q139_incremental_pairs" -> qIncrementalPairs)
 
   val oracles: Map[String, String] = Map(
     "q27_dedup_exact" -> qDedupExactSql,
@@ -1907,5 +1945,8 @@ object Dedup {
     "q85_cluster_centroids" -> qClusterCentroidsSql,
     "q89_cluster_medoids" -> qClusterMedoidsSql,
     "q92_split_leakage" -> qSplitLeakageSql,
-    "q137_leakage_safe_split" -> qLeakageSafeSplitSql)
+    "q137_leakage_safe_split" -> qLeakageSafeSplitSql,
+    // q139's oracle IS q30's full recompute: the incremental union
+    // must equal the from-scratch pair set row-for-row
+    "q139_incremental_pairs" -> qSimHashSql)
 }
