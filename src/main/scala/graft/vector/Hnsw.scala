@@ -218,7 +218,7 @@ object Hnsw extends Serializable {
     * level the beam visits every improving neighbor regardless of
     * list order, and orderings are (dist, id)-total — so the sorted
     * round-trip is search-identical to the built graph. */
-  def fromRows(rows: Iterator[Row], m: Int): Graph = {
+  def fromRows(rows: Iterator[Row]): Graph = {
     val byId = mutable.LongMap.empty[mutable.ArrayBuffer[Row]]
     rows.foreach(r => byId.getOrElseUpdate(r.vecId, mutable.ArrayBuffer.empty) += r)
     val ids = byId.keys.toArray.sorted

@@ -761,7 +761,7 @@ object Similarity extends Serializable {
           case None => Iterator.empty
           case Some(qs) =>
             val g = Hnsw.fromRows(
-              rows.map(t => Hnsw.Row(t._2, t._3, t._4, t._5, t._6)), HnswM)
+              rows.map(t => Hnsw.Row(t._2, t._3, t._4, t._5, t._6)))
             qs.iterator.flatMap { case (qid, qv, qn) =>
               // k+1 then drop self: query vectors are corpus members
               Hnsw.search(g, qv, qn, HnswEfS, k + 1).iterator
