@@ -772,9 +772,15 @@ object ManifestLake {
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
              bits: Int = 16): org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    // operands cast to LONG first: with IntegerType inputs the shift
+    // amounts (up to 2*bits+1 ≥ 32 for the default 16) would wrap mod
+    // 32 in int arithmetic and interleave into the sign bit — distinct
+    // (x, y) silently colliding on one z, which degrades clustering
+    // with no error anywhere
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
   }
 

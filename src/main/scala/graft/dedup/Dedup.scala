@@ -242,7 +242,7 @@ object Dedup {
   private[dedup] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = lshLakes.computeIfAbsent(dir, _ => {
-      val path = graft.sink.TempDirs.fresh("graft_lsh_pairs_").toString
+      val path = graft.sink.TempDirs.persistent("graft_lsh_pairs_").toString
       lshCandidatesGen(s, dir).write.mode("overwrite").parquet(path)
       path
     })
@@ -264,7 +264,7 @@ object Dedup {
   private def components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = componentLakes.computeIfAbsent(dir, _ => {
-      val path = graft.sink.TempDirs.fresh("graft_components_").toString
+      val path = graft.sink.TempDirs.persistent("graft_components_").toString
       connectedComponents(lshCandidates(s, dir).select($"d1", $"d2"))
         .write.mode("overwrite").parquet(path)
       path
@@ -999,7 +999,7 @@ object Dedup {
   private def dupCoveredPositions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = coveredLakes.computeIfAbsent(dir, _ => {
-      val path = graft.sink.TempDirs.fresh("graft_covered_").toString
+      val path = graft.sink.TempDirs.persistent("graft_covered_").toString
       dupCoveredPositionsGen(s, dir).write.mode("overwrite").parquet(path)
       path
     })
@@ -1285,7 +1285,7 @@ object Dedup {
     * and read thereafter (see [[sigLakes]]). */
   private def simHashSigLake(s: SparkSession, dir: String): DataFrame = {
     val lake = sigLakes.computeIfAbsent(dir, _ => {
-      val path = graft.sink.TempDirs.fresh("graft_simhash_sigs_").toString
+      val path = graft.sink.TempDirs.persistent("graft_simhash_sigs_").toString
       simHashSignatures(s, dir).write.mode("overwrite").parquet(path)
       path
     })
@@ -1302,7 +1302,7 @@ object Dedup {
   private def simHashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lake = pairLakes.computeIfAbsent(dir, _ => {
-      val path = graft.sink.TempDirs.fresh("graft_simhash_pairs_").toString
+      val path = graft.sink.TempDirs.persistent("graft_simhash_pairs_").toString
       simHashPairsGen(s, dir)
         // one file per hamming value at this scale; at 100 TB the
         // writer's AQE coalescing sizes files within each partition

@@ -43,6 +43,17 @@ object TempDirs {
   /** Register an externally created dir for shutdown-hook cleanup only. */
   def register(p: Path): Path = { dirs.add(p); p }
 
+  /** Create a temp dir under `prefix` WITHOUT [[fresh]]'s per-prefix
+    * reclamation — for corpus-version artifact lakes cached in a
+    * process-global registry keyed by corpus dir (the Dedup signature/
+    * pair/component lakes): fresh() would delete corpus A's lake the
+    * moment corpus B builds under the same prefix, leaving A's
+    * registry entry pointing at a vanished directory. Lifetime = JVM
+    * (shutdown hook); the caller's registry bounds the count at one
+    * per (prefix, corpus dir). */
+  def persistent(prefix: String): Path =
+    register(Files.createTempDirectory(prefix))
+
   /** Create a temp dir under `prefix`, reclaiming the previous dir
     * created under the same prefix in this JVM (see class doc). */
   def fresh(prefix: String): Path = {

@@ -122,7 +122,9 @@ object PunktTrainer {
         val typ = typ0.dropRight(1)
         val internalPeriods = typ.count(_ == '.')
         val numPeriods = internalPeriods + 1
-        val numNonPeriods = typ.length - internalPeriods + 1
+        // NLTK: num_nonperiods = len(typ) - num_periods + 1, with typ
+        // already stripped of its trailing period = len - internal
+        val numNonPeriods = typ.length - numPeriods + 1
         val withPeriod = counts.types.getOrElse(typ + ".", 0L)
         val withoutPeriod = counts.types.getOrElse(typ, 0L)
         val ll = dunningLogLikelihood(withPeriod + withoutPeriod,

@@ -616,9 +616,7 @@ object Similarity extends Serializable {
     * probed buckets and the residual loss is coarse-probe coverage
     * (uniform random vectors, the ANN worst case — see [[OpNProbe]]). */
   def qHnswAnn(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val lake = hnswBuildLake(s, dir)
-    val (_, probes) = ivfBuild(s, dir, OpNProbe)
+    val (lake, probes) = hnswBuildLakeWithProbes(s, dir)
     hnswServe(s, lake, probes, OpK)
   }
 
@@ -645,12 +643,18 @@ object Similarity extends Serializable {
 
   /** The q135 BUILD stage: one HNSW graph per coarse bucket, written
     * to a bucket-partitioned adjacency lake; returns the lake path. */
-  private[vector] def hnswBuildLake(s: SparkSession, dir: String): String = {
-    val (assigned, _) = ivfBuild(s, dir, OpNProbe)
+  private[vector] def hnswBuildLake(s: SparkSession, dir: String): String =
+    hnswBuildLakeWithProbes(s, dir)._1
+
+  /** Build + the probe frame from ONE [[ivfBuild]] pass (assignment is
+    * the corpus-wide argmax — the expensive half; recomputing it just
+    * for probes would double q135's dominant cost). */
+  private def hnswBuildLakeWithProbes(s: SparkSession, dir: String): (String, DataFrame) = {
+    val (assigned, probes) = ivfBuild(s, dir, OpNProbe)
     val lake = graft.sink.TempDirs.fresh("graft_hnsw_index_").toString
     hnswAdjRows(assigned)
       .write.mode("overwrite").partitionBy("bucket").parquet(lake)
-    lake
+    (lake, probes)
   }
 
   /** The q136 delta convention: 1 % of the corpus (vec_id ≡ 0 mod 100)

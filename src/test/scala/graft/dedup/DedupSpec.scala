@@ -118,6 +118,19 @@ class DedupSpec extends SparkSpec {
     assert(crossings.isEmpty, s"near-dup pairs crossing the split: $crossings")
   }
 
+  test("artifact lakes survive a second corpus dir in the same JVM") {
+    // regression: the per-corpus lake registries create their dirs
+    // OUTSIDE TempDirs.fresh's per-prefix reclamation — building the
+    // same artifact for corpus B must not delete corpus A's cached
+    // lake (the multi-SF-session / scale-probe-comparison shape)
+    val a1 = Dedup.qSimHash(spark, Sf0001).count()
+    assert(a1 > 0)
+    val b = Dedup.qSimHash(spark, "/root/testdata/sf0.01").count()
+    assert(b > 0)
+    // corpus A's lake is still readable after B's build
+    assert(Dedup.qSimHash(spark, Sf0001).count() == a1)
+  }
+
   test("SimHash near-dup pairs overlap the jaccard near-dups") {
     val sets = shingleSets()
     val sim = Dedup.qSimHash(spark, Sf0001).collect()

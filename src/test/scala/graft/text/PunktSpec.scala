@@ -155,7 +155,8 @@ class PunktSpec extends SparkSpec {
     // replay the published formula directly
     val n = 12L; val periodToks = 5L; val cQv = 4L
     val ll = PunktTrainer.dunningLogLikelihood(cQv, periodToks, cQv, n)
-    val score = ll * math.exp(-3.0) * 1 * 1 // len 2 -> numNonPeriods 3, no bare qv
+    // NLTK: num_nonperiods = len - num_periods + 1 = 2 - 1 + 1 = 2
+    val score = ll * math.exp(-2.0) * 1 * 1 // len 2 -> numNonPeriods 2, no bare qv
     assert(score >= PunktTrainer.Abbrev == p.abbrevTypes.contains("qv"),
       s"score $score vs table ${p.abbrevTypes}")
     assert(p.abbrevTypes.contains("qv"), s"qv score $score should clear 0.3")
