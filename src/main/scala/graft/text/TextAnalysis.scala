@@ -529,6 +529,125 @@ object TextAnalysis {
          FROM scored) x
        WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank"""
 
+  /** q140 — BM25 top-k retrieval, the lexical-search primitive a
+    * curation pipeline runs next to q31's embedding top-k (hybrid
+    * retrieval, hard-negative mining against a lexical baseline,
+    * "find the docs about X" curation pulls). Robertson/Sparck-Jones
+    * BM25 with the standard k1=1.2, b=0.75: one tokenize pass feeds
+    * both per-doc length and per-(doc,term) tf for the query terms
+    * only (the `isin` filter prunes BEFORE the tf shuffle, so it
+    * carries query-term rows, not the corpus vocabulary, and `dl`
+    * rides those rows so no corpus-sized join is ever needed); df
+    * and the corpus (N, avgdl) scalars are 3-row/1-row aggregates
+    * collected to the driver and re-entering the plan as literals —
+    * the scalar-subquery shape, same as q77's N. Scoring then needs
+    * NO further shuffle: tf pivots to one row per candidate doc
+    * (groupBy doc_id on already-doc-keyed rows) and the per-term
+    * contributions sum in a FIXED parenthesized order so the double
+    * is bit-identical across engines (a floating sum's value depends
+    * on association; Spark's agg order is nondeterministic, a
+    * pivoted fixed-order `(c1+c2)+c3` is not). Top-k is
+    * orderBy+limit — TakeOrderedAndProject, per-partition heaps, no
+    * single-partition window — and rank is assigned over the 10-row
+    * survivor frame. The one libm call (idf's ln) follows the q77
+    * precedent; the output carries rank + the integer evidence (tf
+    * per term, dl), never the float score. At 100 TB the plan is
+    * unchanged: candidates ∝ docs containing a query term, the pivot
+    * is a map-side-combined agg on doc_id, and the only corpus-wide
+    * pass is the linear tokenize. */
+  private val Bm25TopK = 10
+  private val Bm25Terms = Seq("vector", "stream", "spark")
+
+  def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select($"doc_id",
+      when(trim($"text") === "", 0L)
+        .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
+    val n = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / n.toDouble
+    val tf = docs
+      .select($"doc_id",
+        when(trim($"text") === "", 0L)
+          .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long")).as("dl"),
+        explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter($"word".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // idf literals: ln(1 + (N - df + 0.5)/(df + 0.5)) on the driver —
+    // the oracle computes the same expression inline.
+    val idf = Bm25Terms.map { t =>
+      val d = dfByTerm.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
+    }.toMap
+    val tfCols = Bm25Terms.map(t =>
+      coalesce(max(when($"word" === t, $"tf")), lit(0L)).as(s"tf_$t")) :+
+      max($"dl").as("dl")
+    val piv = tf.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+    def contrib(t: String): Column = {
+      val tfd = col(s"tf_$t").cast("double")
+      (lit(idf(t)) * (tfd * lit(2.2))) /
+        (tfd + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / lit(avgdl)))
+    }
+    val score = (contrib(Bm25Terms(0)) + contrib(Bm25Terms(1))) + contrib(Bm25Terms(2))
+    val top = piv.withColumn("score", score)
+      .orderBy($"score".desc, $"doc_id").limit(Bm25TopK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id")))
+      .select(($"rank" +: $"doc_id" +: $"dl" +:
+        Bm25Terms.map(t => col(s"tf_$t"))): _*)
+      .orderBy($"rank")
+  }
+
+  val qBm25TopKSql: String = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    def c(t: String) =
+      s"""(COALESCE((SELECT idf FROM idf WHERE word = '$t'), 0.0)
+            * (CAST(tf_$t AS DOUBLE) * 2.2))
+          / (CAST(tf_$t AS DOUBLE)
+             + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                             / (SELECT avgdl FROM stats)))"""
+    s"""WITH dl AS (
+         SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS dl
+         FROM documents),
+       stats AS (
+         SELECT COUNT(*) AS n,
+           CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         FROM dl),
+       w AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+         FROM documents),
+       tf AS (
+         SELECT doc_id, word, COUNT(*) AS tf FROM w
+         WHERE word IN ('$t1', '$t2', '$t3') GROUP BY doc_id, word),
+       dfs AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       idf AS (
+         SELECT word,
+           ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         FROM dfs),
+       piv AS (
+         SELECT t.doc_id,
+           COALESCE(MAX(CASE WHEN word = '$t1' THEN tf END), 0) AS tf_$t1,
+           COALESCE(MAX(CASE WHEN word = '$t2' THEN tf END), 0) AS tf_$t2,
+           COALESCE(MAX(CASE WHEN word = '$t3' THEN tf END), 0) AS tf_$t3,
+           MAX(d.dl) AS dl
+         FROM tf t JOIN dl d USING (doc_id) GROUP BY t.doc_id),
+       scored AS (
+         SELECT doc_id, dl, tf_$t1, tf_$t2, tf_$t3,
+           ((${c(t1)}) + (${c(t2)})) + (${c(t3)}) AS score
+         FROM piv)
+       SELECT rank, doc_id, dl, tf_$t1, tf_$t2, tf_$t3 FROM (
+         SELECT doc_id, dl, tf_$t1, tf_$t2, tf_$t3,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         FROM scored) x
+       WHERE rank <= $Bm25TopK ORDER BY rank"""
+  }
+
   /** Shared `(doc_id, quality)` frame — the q23 quality heuristic as a
     * reusable building block (q78 sampling, q79 canonical selection):
     * one narrow text pass, no shuffle, fully codegen'd. The float is
@@ -1731,7 +1850,8 @@ object TextAnalysis {
     "q122_classifier_score" -> qClassifierScore,
     "q123_interleave_schedule" -> qInterleaveSchedule,
     "q124_token_budget_allocation" -> qTokenBudgetAllocation,
-    "q126_punkt_word_tokenize" -> qPunktWordTokenize)
+    "q126_punkt_word_tokenize" -> qPunktWordTokenize,
+    "q140_bm25_topk" -> qBm25TopK)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1761,5 +1881,6 @@ object TextAnalysis {
     "q122_classifier_score" -> qClassifierScoreSql,
     "q123_interleave_schedule" -> qInterleaveScheduleSql,
     "q124_token_budget_allocation" -> qTokenBudgetAllocationSql,
-    "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql)
+    "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql,
+    "q140_bm25_topk" -> qBm25TopKSql)
 }

@@ -434,4 +434,37 @@ class PipelineOpsSpec extends SparkSpec {
       assert(maxGap <= bound, s"$src max slot gap $maxGap exceeds $bound")
     }
   }
+
+  test("q140: BM25 top-k matches a scalar replay of the textbook formula") {
+    val terms = Seq("vector", "stream", "spark")
+    val lens = docs.map { case (id, (_, t)) => id -> words(t.toLowerCase).length }
+    val n = lens.size
+    val avgdl = lens.values.sum.toDouble / n
+    val tfs = docs.map { case (id, (_, t)) =>
+      id -> words(t.toLowerCase).groupBy(identity).map { case (w, g) => w -> g.length }
+    }
+    val dfByTerm = terms.map(t => t -> tfs.values.count(_.contains(t))).toMap
+    def idf(t: String): Double = {
+      val d = dfByTerm(t).toDouble
+      math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
+    }
+    def score(id: Long): Double = terms.map { t =>
+      val tf = tfs(id).getOrElse(t, 0).toDouble
+      idf(t) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * lens(id) / avgdl))
+    }.sum
+    val expected = tfs.keys.toSeq
+      .filter(id => terms.exists(tfs(id).contains))
+      .sortBy(id => (-score(id), id)).take(10)
+    val got = TextAnalysis.qBm25TopK(spark, Sf0001).collect()
+      .sortBy(_.getInt(0)).map(r => r.getLong(1))
+    assert(got.toSeq == expected,
+      s"BM25 ranking diverged: got ${got.toSeq} expected $expected")
+    // the evidence columns are honest: re-check one row's tf against
+    // the scalar token counts
+    val top = TextAnalysis.qBm25TopK(spark, Sf0001).collect().head
+    val id = top.getLong(1)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      assert(top.getLong(3 + i) == tfs(id).getOrElse(t, 0).toLong)
+    }
+  }
 }
