@@ -87,7 +87,8 @@ object ManifestLake {
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, Vector[FileStats]] = Map.empty,
                             op: String = "append",
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            blooms: Map[String, Vector[FileBloom]] = Map.empty)
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -159,6 +160,81 @@ object ManifestLake {
     }
   }
 
+  /** Per-file Bloom filter over one column — the POINT-LOOKUP half of
+    * data skipping (Delta's bloom filter index). Min/max stats prune
+    * RANGES; on a high-cardinality key whose values interleave across
+    * files (multi-source appends, no clustering) every file's range
+    * covers every probe and min/max prunes nothing — the bloom answers
+    * "does this file possibly CONTAIN v" from the manifest line alone,
+    * so a needle lookup in a 100 TB lake opens ~1 file instead of all
+    * of them. Sized at [[BloomBitsPerKey]] bits/row (rounded up to a
+    * power-of-two word count, k=[[BloomK]] probes ⇒ ~1 % false
+    * positives — a fp only costs one wasted file open, never a wrong
+    * row). Bits ride the manifest line base64'd; an all-zero bloom
+    * (empty file) correctly answers "contains nothing". Membership
+    * uses Kirsch–Mitzenmacher double hashing over [[BloomHash]]'s
+    * canonical value hash — one scalar implementation shared by the
+    * distributed build pass and the driver-side probe, so the two can
+    * never disagree. */
+  final case class FileBloom(col: String, k: Int, bits: Array[Long]) {
+    def mBits: Int = bits.length * 64
+    def mightContain(v: Any): Boolean = {
+      val (h1, h2) = BloomHash.pair(v)
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits.toLong).toInt
+        if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+    def encoded: String = {
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      s"$col:bf:$k:${java.util.Base64.getEncoder.encodeToString(bb.array())}"
+    }
+  }
+
+  private[core] val BloomBitsPerKey = 10L
+  private[core] val BloomK = 7
+
+  /** Canonical deterministic value hashing for [[FileBloom]] — public
+    * algorithms only (FNV-1a 64 over UTF-8 bytes for strings,
+    * splitmix64 finalization): integer kinds hash through their Long
+    * value so a probe with `42L` finds rows written as int32, and the
+    * same scalar code runs in the executor-side build and the
+    * driver-side probe. */
+  private[core] object BloomHash {
+    def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private def fnv1a64(bytes: Array[Byte]): Long = {
+      var h = 0xCBF29CE484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001B3L; i += 1 }
+      h
+    }
+    def canonical(v: Any): Long = v match {
+      case l: Long    => splitmix64(l)
+      case i: Int     => splitmix64(i.toLong)
+      case s: Short   => splitmix64(s.toLong)
+      case b: Byte    => splitmix64(b.toLong)
+      case s: String  => splitmix64(fnv1a64(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case other => splitmix64(fnv1a64(
+        other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    /** The two independent 64-bit streams double hashing derives all k
+      * probe positions from. */
+    def pair(v: Any): (Long, Long) = {
+      val h = canonical(v)
+      (splitmix64(h ^ 0xA24BAED4963EE407L), splitmix64(h ^ 0x9FB21C651E98DF25L) | 1L)
+    }
+  }
+
   /** Per-partition compaction outcome (same contract as
     * [[Layout.CompactStat]]): `filesBefore == filesAfter` means the
     * partition was already at target and was NOT rewritten. */
@@ -220,23 +296,32 @@ object ManifestLake {
     }
     val parsed = fileLines.map { l =>
       val segs = l.split('\t')
-      val sts = segs.drop(1).toVector.map { seg =>
+      val sts = Vector.newBuilder[FileStats]
+      val bfs = Vector.newBuilder[FileBloom]
+      segs.drop(1).foreach { seg =>
         val parts = seg.split(':')
-        if (parts.length >= 4 && parts(parts.length - 3) == "s64") {
+        if (parts.length >= 4 && parts(parts.length - 3) == "bf") {
+          val bytes = java.util.Base64.getDecoder.decode(parts.last)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val bits = Array.fill(bytes.length / 8)(bb.getLong)
+          bfs += FileBloom(parts.dropRight(3).mkString(":"),
+            parts(parts.length - 2).toInt, bits)
+        } else if (parts.length >= 4 && parts(parts.length - 3) == "s64") {
           def dec(x: String) = new String(java.util.Base64.getDecoder.decode(x),
             java.nio.charset.StandardCharsets.UTF_8)
-          FileStats(parts.dropRight(3).mkString(":"),
+          sts += FileStats(parts.dropRight(3).mkString(":"),
             Bound.Str(dec(parts(parts.length - 2))), Bound.Str(dec(parts.last)))
         } else
-          FileStats(parts.dropRight(2).mkString(":"),
+          sts += FileStats(parts.dropRight(2).mkString(":"),
             Bound.Num(BigDecimal(parts(parts.length - 2))),
             Bound.Num(BigDecimal(parts.last)))
       }
-      (segs.head, sts)
+      (segs.head, sts.result(), bfs.result())
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, sts) if sts.nonEmpty => p -> sts }.toMap,
-      op, schema)
+      txns, parsed.collect { case (p, sts, _) if sts.nonEmpty => p -> sts }.toMap,
+      op, schema,
+      parsed.collect { case (p, _, bfs) if bfs.nonEmpty => p -> bfs }.toMap)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -244,15 +329,17 @@ object ManifestLake {
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
                         txns: Map[String, Long],
                         stats: Map[String, Vector[FileStats]], op: String,
-                        schema: Option[org.apache.spark.sql.types.StructType]): Boolean = {
+                        schema: Option[org.apache.spark.sql.types.StructType],
+                        blooms: Map[String, Vector[FileBloom]]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
     val headers = (s"#op:$op" +: schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
     val fileLines = files.sorted.map { f =>
-      stats.get(f).filter(_.nonEmpty)
-        .map(sts => (f +: sts.map(_.encoded)).mkString("\t")).getOrElse(f)
+      val segs = stats.get(f).toVector.flatten.map(_.encoded) ++
+        blooms.get(f).toVector.flatten.map(_.encoded)
+      if (segs.isEmpty) f else (f +: segs).mkString("\t")
     }
     Files.write(tmp, (headers ++ fileLines).asJava)
     try {
@@ -271,7 +358,8 @@ object ManifestLake {
                                   txns: Map[String, Long],
                                   stats: Map[String, Vector[FileStats]],
                                   op: String,
-                                  schema: Option[org.apache.spark.sql.types.StructType])
+                                  schema: Option[org.apache.spark.sql.types.StructType],
+                                  blooms: Map[String, Vector[FileBloom]] = Map.empty)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -280,12 +368,13 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats, op, schema)) =>
+        case Some(Ledger(files, txns, stats, op, schema, blooms)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
+          val liveBlooms = blooms.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files, txns, live, op, schema))
-            return Some(Snapshot(next, files.sorted, txns, live, op, schema))
+          if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms))
+            return Some(Snapshot(next, files.sorted, txns, live, op, schema, liveBlooms))
       }
       attempt += 1
     }
@@ -427,17 +516,91 @@ object ManifestLake {
     } finally reader.close()
   }
 
+  /** One distributed pass building a per-file Bloom filter of `cols`
+    * over exactly `files` (the NEW files of a commit — never the
+    * lake): footer row counts size each filter (power-of-two word
+    * count at [[BloomBitsPerKey]]), then a single narrow column scan
+    * accumulates per-partition partial bit arrays that OR-merge on the
+    * driver. Cost ∝ new-file bytes of the indexed columns; collected
+    * partials are (#files × filter size), metadata-shaped. A file
+    * contributing no rows keeps an all-zero filter — "contains
+    * nothing" is the correct answer for it. */
+  private def buildBlooms(s: SparkSession, dir: String, files: Vector[String],
+                          cols: Seq[String]): Map[String, Vector[FileBloom]] = {
+    if (files.isEmpty || cols.isEmpty) return Map.empty
+    val root = Paths.get(dir)
+    val words: Map[String, Int] = parMapMeta(files) { f =>
+      val wanted = math.max(64L, rowCount(s, root.resolve(f)) * BloomBitsPerKey)
+      var bits = 64L
+      while (bits < wanted && bits < (1L << 30)) bits <<= 1
+      f -> (bits / 64).toInt
+    }.toMap
+    val colsV = cols.toVector
+    val k = BloomK
+    val df = s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
+      .select(input_file_name().as("_bloom_file") +: colsV.map(col): _*)
+    val bWords = s.sparkContext.broadcast(words)
+    import s.implicits._
+    val partials = df.mapPartitions { it =>
+      def rel(abs: String): String =
+        abs.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+      val acc = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
+      it.foreach { r =>
+        val f = rel(r.getString(0))
+        val w = bWords.value.getOrElse(f, 0)
+        if (w > 0) {
+          var j = 0
+          while (j < colsV.length) {
+            val v = r.get(1 + j)
+            if (v != null) {
+              val bits = acc.getOrElseUpdate((f, j), new Array[Long](w))
+              val (h1, h2) = BloomHash.pair(v)
+              val m = w.toLong * 64L
+              var i = 0
+              while (i < k) {
+                val pos = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, m).toInt
+                bits(pos >>> 6) |= 1L << (pos & 63)
+                i += 1
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      acc.iterator.map { case ((f, j), bits) => (f, j, bits) }
+    }.collect()
+    val merged = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
+    partials.foreach { case (f, j, bits) =>
+      merged.get((f, j)) match {
+        case Some(a) =>
+          var i = 0
+          while (i < a.length) { a(i) |= bits(i); i += 1 }
+        case None => merged((f, j)) = bits.clone()
+      }
+    }
+    files.map { f =>
+      f -> colsV.indices.toVector.map { j =>
+        FileBloom(colsV(j), k, merged.getOrElse((f, j), new Array[Long](words(f))))
+      }
+    }.toMap
+  }
+
   /** Append `df` to the lake (creating it on first call): stage, then
     * CAS-commit snapshot+new. Appends never remove paths, so rebase
     * under contention is plain set-union — lossless by construction.
     * With `statsCol` set, each staged file's min/max of that column is
     * read from its footer and committed alongside the path, enabling
     * [[readWhere]] file skipping (O(#new files) driver-side footer
-    * reads — metadata, not data). */
+    * reads — metadata, not data). With `bloomCols` set, each staged
+    * file additionally commits a [[FileBloom]] point-lookup filter of
+    * those columns (one extra narrow scan of the NEW files only,
+    * [[buildBlooms]]) enabling [[readPoint]] skipping on keys min/max
+    * cannot prune. */
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,
-             statsCols: Seq[String] = Nil): Snapshot = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     // fail a type flip BEFORE staging any bytes (racing commits are
@@ -448,11 +611,13 @@ object ManifestLake {
       if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
       else parMapMeta(staged)(f => f -> footerStats(s, root.resolve(f), statsCols))
         .filter(_._2.nonEmpty).toMap
+    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols)
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
         latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append",
-        Some(evolveSchema(latest.flatMap(_.schema), df.schema))))
+        Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
+        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms))
     }.get
   }
 
@@ -482,7 +647,8 @@ object ManifestLake {
       else Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
         latest.map(_.stats).getOrElse(Map.empty), "batch",
-        Some(evolveSchema(latest.flatMap(_.schema), df.schema))))
+        Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
+        latest.map(_.blooms).getOrElse(Map.empty)))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -631,6 +797,14 @@ object ManifestLake {
       else parMapMeta(newFiles)(f =>
         f -> footerStats(s, root.resolve(f), uniformCols.toSeq.sorted))
         .filter(_._2.nonEmpty).toMap
+    // same uniformity rule for the bloom index: kept rewrites of
+    // uniformly-bloomed files re-derive their filters (one narrow scan
+    // of the survivors), so a delete never silently erodes point-lookup
+    // skipping
+    val uniformBloomCols = affected.map(f =>
+        snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val newBlooms = buildBlooms(s, dir, newFiles, uniformBloomCols.toSeq.sorted)
     commitLoop(root) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
       case Some(latest) =>
@@ -640,7 +814,8 @@ object ManifestLake {
               "re-run deleteWhere against the new snapshot")
         Some(Ledger(latest.files.filterNot(removedSet.contains) ++ newFiles,
           latest.txns, latest.stats -- removedSet ++ newStats, "delete",
-          latest.schema))
+          latest.schema,
+          latest.blooms -- removedSet ++ newBlooms))
     }
     rewrites.map(_.rowsDeleted).sum
   }
@@ -722,6 +897,44 @@ object ManifestLake {
         case None     => true
       }
     }
+
+  /** Point-lookup pruning: min/max range skipping composed with the
+    * per-file [[FileBloom]] membership test. On a clustered key the
+    * range layer already nails the file; on an UNCLUSTERED
+    * high-cardinality key (interleaved appends — every file's range
+    * covers every probe) the bloom is what collapses "open the whole
+    * lake" to "open the ~1 file that can contain v". Files without a
+    * filter on `col` are conservatively kept, so the index is purely
+    * subtractive — adding it can never lose rows. */
+  def pruneFilesPoint(snap: Snapshot, col: String, value: Any): Vector[String] = {
+    val ranged = value match {
+      case l: Long   => pruneFilesBound(snap, col, Bound.Num(BigDecimal(l)), Bound.Num(BigDecimal(l)))
+      case i: Int    => pruneFilesBound(snap, col, Bound.Num(BigDecimal(i)), Bound.Num(BigDecimal(i)))
+      case st: String => pruneFilesBound(snap, col, Bound.Str(st), Bound.Str(st))
+      case _ => snap.files
+    }
+    ranged.filter { f =>
+      snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
+        case Some(bf) => bf.mightContain(value)
+        case None     => true
+      }
+    }
+  }
+
+  /** Needle-in-the-lake read: open only the files [[pruneFilesPoint]]
+    * keeps, with the equality re-applied as a pushed parquet filter on
+    * the survivors (a bloom false positive costs one wasted file open,
+    * never a wrong row). */
+  def readPoint(s: SparkSession, dir: String, col0: String, value: Any): DataFrame = {
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val kept = pruneFilesPoint(snap, col0, value)
+    if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
+    else {
+      val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+      reader.parquet(kept.map(f => s"$dir/$f"): _*).filter(col(col0) === lit(value))
+    }
+  }
 
   /** Range/point read with manifest-level data skipping: only files
     * whose committed [min,max] can contain the range are OPENED — at
@@ -950,9 +1163,19 @@ object ManifestLake {
           val newStats = parMapMeta(statJobs) { case (f, cols) =>
             f -> footerStats(s, root.resolve(f), cols)
           }.filter(_._2.nonEmpty).toMap
+          // uniformly-bloomed partitions re-derive filters for their
+          // rewrites — compaction must not erode the point-lookup index
+          val newBlooms = apply.flatMap { sw =>
+            val uniform = sw.olds.map(f =>
+                latest.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
+              .reduceOption(_ intersect _).getOrElse(Set.empty)
+            if (uniform.isEmpty) Map.empty[String, Vector[FileBloom]]
+            else buildBlooms(s, dir, sw.news, uniform.toSeq.sorted)
+          }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
             latest.txns, latest.stats -- removed ++ newStats, "compact",
-            latest.schema))
+            latest.schema,
+            latest.blooms -- removed ++ newBlooms))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))

@@ -458,6 +458,73 @@ object RoundTrips {
       .orderBy($"range_tag")
   }
 
+  /** q141 — Bloom point-lookup skipping end-to-end
+    * ([[graft.core.ManifestLake.readPoint]]): documents land with a
+    * derived high-cardinality key (`key_id = doc_id*2` — even keys
+    * only, so an IN-RANGE miss exists) written in SCRAMBLED order
+    * (range-partitioned on a multiplicative shuffle of doc_id), the
+    * geometry where every file's [min,max] covers every probe and
+    * range stats prune NOTHING — the layout a multi-source ingest
+    * produces before any clustering pass runs. Four point probes
+    * (three present keys, one absent odd key inside the range) read
+    * through the bloom index; the output carries the content plane
+    * (row count / char sum / source of the matched doc — a wrongly
+    * pruned file loses the row and breaks the hash) and two oracle-
+    * pinned invariants per probe: `range_unpruned` (min/max skipping
+    * really is defeated, so the test can't silently degrade into
+    * q131) and `bloom_pruned_strictly` (the bloom opened strictly
+    * fewer files than ranges would — for the miss probe, ~0 of them).
+    * File counts are layout-dependent, so the oracle pins booleans,
+    * q131-style; LayoutSpec pins exact prune sets, fp rate, and
+    * rebuild-on-compact/delete on a controlled layout. */
+  def qBloomLookupRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_bloom_lake_").toString
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" * 2).as("key_id"), $"lang", $"source", $"n_chars")
+    val scramble = pmod($"doc_id" * 7919, lit(m + 1))
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(4, scramble).sortWithinPartitions(scramble), "lang",
+      statsCols = Seq("key_id"), bloomCols = Seq("key_id"))
+    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
+    val total = snap.files.length
+    val probes = Seq(
+      ("hit_lo", (m / 3) * 2), ("hit_mid", (m / 2) * 2),
+      ("hit_hi", (2 * m / 3) * 2), ("miss", (m / 3) * 2 + 1))
+    probes.map { case (tag, key) =>
+      val ranged = graft.core.ManifestLake.pruneFiles(
+        snap, "key_id", BigDecimal(key), BigDecimal(key)).length
+      val bloomed = graft.core.ManifestLake.pruneFilesPoint(
+        snap, "key_id", key).length
+      graft.core.ManifestLake.readPoint(s, lake, "key_id", key)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"n_chars").as("sum_chars"),
+          max($"source").as("src_max"))
+        .withColumn("probe_tag", lit(tag))
+        .withColumn("range_unpruned", lit(ranged == total))
+        .withColumn("bloom_pruned_strictly", lit(bloomed < ranged))
+    }.reduce(_ unionByName _)
+      .select($"probe_tag", $"n_rows", $"sum_chars", $"src_max",
+        $"range_unpruned", $"bloom_pruned_strictly")
+      .orderBy($"probe_tag")
+  }
+
+  val qBloomLookupRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       k AS (SELECT doc_id, doc_id * 2 AS key_id, source, n_chars FROM documents),
+       probes AS (
+         SELECT 'hit_lo' AS probe_tag, (m // 3) * 2 AS key FROM mx
+         UNION ALL SELECT 'hit_mid', (m // 2) * 2 FROM mx
+         UNION ALL SELECT 'hit_hi', (2 * m // 3) * 2 FROM mx
+         UNION ALL SELECT 'miss', (m // 3) * 2 + 1 FROM mx)
+       SELECT p.probe_tag, COUNT(k.doc_id) AS n_rows,
+         CAST(SUM(k.n_chars) AS BIGINT) AS sum_chars,
+         MAX(k.source) AS src_max,
+         TRUE AS range_unpruned, TRUE AS bloom_pruned_strictly
+       FROM probes p LEFT JOIN k ON k.key_id = p.key
+       GROUP BY p.probe_tag ORDER BY p.probe_tag"""
+
   /** q138 — CLUSTERED compaction, the Delta `OPTIMIZE ... ZORDER BY`
     * analogue at one dimension, driven end-to-end: documents land in a
     * deliberately SCATTERED layout (round-robin repartition — every
@@ -638,7 +705,8 @@ object RoundTrips {
     "q131_data_skipping" -> qDataSkippingRoundTrip,
     "q132_cdc_read" -> qCdcReadRoundTrip,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip,
-    "q138_clustered_compaction" -> qClusteredCompactionRoundTrip)
+    "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
+    "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
@@ -652,5 +720,6 @@ object RoundTrips {
     "q131_data_skipping" -> qDataSkippingRoundTripSql,
     "q132_cdc_read" -> qCdcReadRoundTripSql,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql,
-    "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql)
+    "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
+    "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -791,6 +791,74 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 80)
   }
 
+  test("manifest lake: bloom index prunes point lookups min/max cannot") {
+    val dir = Files.createTempDirectory("mlake20").resolve("lake").toString
+    // scatter doc_id across files (hash-partitioned writes): every
+    // file's [min,max] spans nearly the whole key range, so range
+    // stats keep everything and only the bloom can prune
+    val docs = spark.range(0, 800).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 2).cast("string")).as("source"))
+    ManifestLake.append(spark, dir,
+      // range-partition + sort on a SCRAMBLED key: each file holds a
+      // scattered sample of doc_id, so every file's [min,max] covers
+      // any probe — the honest "interleaved appends" geometry where
+      // only a bloom can prune
+      docs.repartitionByRange(4, pmod($"doc_id" * 377, lit(800)))
+        .sortWithinPartitions(pmod($"doc_id" * 377, lit(800))),
+      "source", maxRecordsPerFile = 120L,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f =>
+      snap.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id")),
+      "every committed file must carry its bloom (parsed back from the manifest)")
+
+    // range skipping is genuinely defeated by this layout
+    val rangeOnly = ManifestLake.pruneFiles(snap, "doc_id",
+      BigDecimal(123), BigDecimal(123))
+    assert(rangeOnly.length == snap.files.length,
+      "fixture must be range-unprunable or the test proves nothing")
+
+    // no false negatives: every file truly containing the key survives
+    val truth = snap.files.filter(f =>
+      spark.read.parquet(s"$dir/$f").filter($"doc_id" === 123L).count() > 0)
+    val kept = ManifestLake.pruneFilesPoint(snap, "doc_id", 123L)
+    assert(truth.toSet.subsetOf(kept.toSet), "bloom pruned a file holding the key")
+    assert(kept.length < snap.files.length, "bloom pruned nothing")
+
+    // the read is exact, and an absent key reads empty
+    val hit = ManifestLake.readPoint(spark, dir, "doc_id", 123L).collect()
+    assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(123L))
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 999999L).count() == 0)
+
+    // fp sanity: probing 200 absent keys opens few files (~1% of
+    // #files per probe at 10 bits/key; deterministic for fixed data)
+    val fpOpens = (1000L until 1200L).map(v =>
+      ManifestLake.pruneFilesPoint(snap, "doc_id", v).length).sum
+    assert(fpOpens <= 200 * snap.files.length / 10,
+      s"false-positive open rate too high: $fpOpens")
+
+    // compaction rebuilds filters for its rewrites — the index never
+    // erodes — and the probe stays exact afterwards
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 400L)
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    assert(snap2.op == "compact")
+    assert(snap2.files.forall(f =>
+      snap2.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id")),
+      "compaction must re-derive blooms for uniformly-bloomed partitions")
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 123L).count() == 1)
+
+    // a delete's rewrites re-derive their filters too; the deleted key
+    // now bloom-reads empty, neighbours still hit
+    assert(ManifestLake.deleteWhere(spark, dir, $"doc_id" === 123L) == 1)
+    val snap3 = ManifestLake.latestSnapshot(dir).get
+    assert(snap3.files.forall(f =>
+      snap3.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id")))
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 123L).count() == 0)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 124L).count() == 1)
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
