@@ -582,10 +582,27 @@ object TextAnalysis {
       val d = dfByTerm.getOrElse(t, 0L).toDouble
       t -> math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
     }.toMap
+    bm25Rank(s, bm25Pivot(s, tf), idf, avgdl)
+  }
+
+  /** (doc_id, word, tf, dl) query-term rows → one row per candidate
+    * doc with fixed per-term tf columns (the shape [[bm25Rank]]'s
+    * fixed-order score needs). */
+  private def bm25Pivot(s: SparkSession, tf: DataFrame): DataFrame = {
+    import s.implicits._
     val tfCols = Bm25Terms.map(t =>
       coalesce(max(when($"word" === t, $"tf")), lit(0L)).as(s"tf_$t")) :+
       max($"dl").as("dl")
-    val piv = tf.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+    tf.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+  }
+
+  /** Shared BM25 scorer (q140 from-scratch, q142 index-backed): the
+    * per-term contributions sum in a FIXED parenthesized order for a
+    * cross-engine bit-stable double; top-k via TakeOrderedAndProject;
+    * rank assigned over the k-row survivor frame. */
+  private def bm25Rank(s: SparkSession, piv: DataFrame,
+                       idf: Map[String, Double], avgdl: Double): DataFrame = {
+    import s.implicits._
     def contrib(t: String): Column = {
       val tfd = col(s"tf_$t").cast("double")
       (lit(idf(t)) * (tfd * lit(2.2))) /
@@ -600,6 +617,67 @@ object TextAnalysis {
         Bm25Terms.map(t => col(s"tf_$t"))): _*)
       .orderBy($"rank")
   }
+
+  /** q142 — index-backed BM25: the posting-list LAKE form of q140,
+    * the artifact-lake discipline (build once per corpus version,
+    * serve from pruned reads) applied to lexical retrieval. Build:
+    * one tokenize pass → postings `(word, doc_id, tf, dl)` bucketed
+    * by a PORTABLE word hash (`graft_polyhash` in the plan,
+    * [[graft.core.Hashing.polyFold]] on the driver — the same scalar,
+    * so serve-time bucket routing can never disagree with the build)
+    * and committed to a [[graft.core.ManifestLake]] partitioned on
+    * the bucket, plus a 1-row corpus-scalars artifact (N, Σdl).
+    * Serve: a query's terms hash to ≤3 of the 16 buckets — the read
+    * opens ONLY those partitions (manifest-named files + partition
+    * pruning on `bkt`), so serving cost ∝ posting rows of the query
+    * terms, never corpus size: q140's corpus-wide tokenize happens
+    * once at build, not per query. df comes exact from the pruned
+    * posting rows themselves. The oracle is q140's full-recompute SQL
+    * (plus the pruning invariant) — index-backed ≡ from-scratch is
+    * hash-verified row-for-row, the q139 discipline. */
+  def qPostingBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = graft.sink.TempDirs.fresh("graft_posting_lake_").toString
+    val docs = Tables.documents(s, dir)
+    def dlCol = when(trim($"text") === "", 0L)
+      .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long"))
+    val postings = docs
+      .select($"doc_id", dlCol.as("dl"),
+        explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+      .withColumn("bkt", expr(s"graft_polyhash(word, 31L, 1000000007L) % ${PostingBuckets}L"))
+    graft.core.ManifestLake.append(s, lake,
+      postings.repartition($"bkt"), "bkt", statsCols = Seq("word"))
+    val corpus = docs.select(dlCol.as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
+    val n = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / n.toDouble
+
+    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
+    val termBkts = Bm25Terms
+      .map(t => graft.core.Hashing.polyFold(t, 31L, 1000000007L) % PostingBuckets)
+      .distinct
+    val opened = snap.files.count(f => termBkts.exists(b => f.startsWith(s"bkt=$b/")))
+    val tf = graft.core.ManifestLake.read(s, lake)
+      .filter($"bkt".isin(termBkts: _*) && $"word".isin(Bm25Terms: _*))
+      .select($"doc_id", $"word", $"tf", $"dl")
+    val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = Bm25Terms.map { t =>
+      val d = dfByTerm.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
+    }.toMap
+    bm25Rank(s, bm25Pivot(s, tf), idf, avgdl)
+      .withColumn("bucket_pruned_strictly", lit(opened < snap.files.length))
+  }
+
+  private val PostingBuckets = 16L
+
+  // lazy: refers to qBm25TopKSql, declared later in this object —
+  // index-backed ≡ from-scratch, so the oracle IS q140's replay, plus
+  // the serving-side pruning invariant
+  lazy val qPostingBm25Sql: String =
+    s"""SELECT x.*, TRUE AS bucket_pruned_strictly FROM ($qBm25TopKSql) x ORDER BY rank"""
 
   val qBm25TopKSql: String = {
     val Seq(t1, t2, t3) = Bm25Terms
@@ -1851,7 +1929,8 @@ object TextAnalysis {
     "q123_interleave_schedule" -> qInterleaveSchedule,
     "q124_token_budget_allocation" -> qTokenBudgetAllocation,
     "q126_punkt_word_tokenize" -> qPunktWordTokenize,
-    "q140_bm25_topk" -> qBm25TopK)
+    "q140_bm25_topk" -> qBm25TopK,
+    "q142_posting_bm25" -> qPostingBm25)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1882,5 +1961,6 @@ object TextAnalysis {
     "q123_interleave_schedule" -> qInterleaveScheduleSql,
     "q124_token_budget_allocation" -> qTokenBudgetAllocationSql,
     "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql,
-    "q140_bm25_topk" -> qBm25TopKSql)
+    "q140_bm25_topk" -> qBm25TopKSql,
+    "q142_posting_bm25" -> qPostingBm25Sql)
 }

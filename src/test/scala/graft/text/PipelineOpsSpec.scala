@@ -467,4 +467,14 @@ class PipelineOpsSpec extends SparkSpec {
       assert(top.getLong(3 + i) == tfs(id).getOrElse(t, 0).toLong)
     }
   }
+
+  test("q142: index-backed BM25 equals the from-scratch q140 ranking") {
+    val direct = TextAnalysis.qBm25TopK(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val served = TextAnalysis.qPostingBm25(spark, Sf0001).collect()
+    assert(served.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      == direct.toSeq, "posting-lake serve diverged from the corpus recompute")
+    assert(served.forall(_.getAs[Boolean]("bucket_pruned_strictly")),
+      "serving must open a strict subset of the posting lake's buckets")
+  }
 }
