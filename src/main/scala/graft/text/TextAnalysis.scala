@@ -637,22 +637,12 @@ object TextAnalysis {
     * hash-verified row-for-row, the q139 discipline. */
   def qPostingBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lake = graft.sink.TempDirs.fresh("graft_posting_lake_").toString
-    val docs = Tables.documents(s, dir)
-    def dlCol = when(trim($"text") === "", 0L)
-      .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long"))
-    val postings = docs
-      .select($"doc_id", dlCol.as("dl"),
-        explode(split(trim(lower($"text")), "\\s+")).as("word"))
-      .groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-      .withColumn("bkt", expr(s"graft_polyhash(word, 31L, 1000000007L) % ${PostingBuckets}L"))
-    graft.core.ManifestLake.append(s, lake,
-      postings.repartition($"bkt"), "bkt", statsCols = Seq("word"))
-    val corpus = docs.select(dlCol.as("dl"))
-      .agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
-    val n = corpus.getLong(0)
-    val avgdl = corpus.getLong(1).toDouble / n.toDouble
-
+    val base = postingLake(s, dir)
+    val lake = s"$base/postings"
+    val (n, avgdl) = {
+      val meta = s.read.parquet(s"$base/meta").head()
+      (meta.getLong(0), meta.getLong(1).toDouble / meta.getLong(0).toDouble)
+    }
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     val termBkts = Bm25Terms
       .map(t => graft.core.Hashing.polyFold(t, 31L, 1000000007L) % PostingBuckets)
@@ -672,6 +662,34 @@ object TextAnalysis {
   }
 
   private val PostingBuckets = 16L
+
+  /** Posting-lake registry: corpus dir → artifact base path (the
+    * once-per-corpus-version build, same discipline as the dedup
+    * pair/signature lakes). `postings/` is the bucket-partitioned
+    * ManifestLake; `meta/` is the 1-row (n_docs, total_dl) corpus
+    * scalars artifact serving needs. */
+  private val postingLakes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def postingLake(s: SparkSession, dir: String): String =
+    postingLakes.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val base = graft.sink.TempDirs.persistent("graft_posting_lake_").toString
+      val docs = Tables.documents(s, dir)
+      def dlCol = when(trim($"text") === "", 0L)
+        .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long"))
+      val postings = docs
+        .select($"doc_id", dlCol.as("dl"),
+          explode(split(trim(lower($"text")), "\\s+")).as("word"))
+        .groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+        .withColumn("bkt",
+          expr(s"graft_polyhash(word, 31L, 1000000007L) % ${PostingBuckets}L"))
+      graft.core.ManifestLake.append(s, s"$base/postings",
+        postings.repartition($"bkt"), "bkt", statsCols = Seq("word"))
+      docs.select(dlCol.as("dl"))
+        .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
+        .coalesce(1).write.parquet(s"$base/meta")
+      base
+    })
 
   // lazy: refers to qBm25TopKSql, declared later in this object —
   // index-backed ≡ from-scratch, so the oracle IS q140's replay, plus
