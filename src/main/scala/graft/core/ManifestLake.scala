@@ -633,7 +633,8 @@ object ManifestLake {
     * deletes its staged files and walks away). */
   def appendBatch(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
                   appId: String, batchId: Long,
-                  maxRecordsPerFile: Long = 1024 * 1024): Snapshot = {
+                  maxRecordsPerFile: Long = 1024 * 1024,
+                  bloomCols: Seq[String] = Nil): Snapshot = {
     require(!appId.contains('\n'), "appId must be single-line")
     val root = Paths.get(dir)
     Files.createDirectories(root)
@@ -641,6 +642,10 @@ object ManifestLake {
     if (already.exists(_.txns.get(appId).exists(_ >= batchId))) return already.get
     evolveSchema(already.flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
+    // built OUTSIDE the commit loop (one scan of the staged files, a
+    // CAS retry must not re-run it); a duplicate batch detected inside
+    // the loop discards them with the staged files
+    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols)
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
@@ -648,7 +653,7 @@ object ManifestLake {
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
         latest.map(_.stats).getOrElse(Map.empty), "batch",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
-        latest.map(_.blooms).getOrElse(Map.empty)))
+        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -656,9 +661,12 @@ object ManifestLake {
 
   /** `writeStream.foreachBatch(ManifestLake.streamSink(dir, "source"))` —
     * the packaged exactly-once sink. */
-  def streamSink(dir: String, partitionCol: String, appId: String = "stream")
-      : (DataFrame, Long) => Unit =
-    (df, batchId) => { appendBatch(df.sparkSession, dir, df, partitionCol, appId, batchId); () }
+  def streamSink(dir: String, partitionCol: String, appId: String = "stream",
+                 bloomCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      appendBatch(df.sparkSession, dir, df, partitionCol, appId, batchId,
+        bloomCols = bloomCols); ()
+    }
 
   /** Read the lake as of its latest manifest (or an explicit
     * snapshot — time travel for free). `basePath` keeps the partition

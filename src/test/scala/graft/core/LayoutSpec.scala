@@ -859,6 +859,32 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.readPoint(spark, dir, "doc_id", 124L).count() == 1)
   }
 
+  test("manifest lake: streamed batches carry blooms; re-delivery keeps them") {
+    val dir = Files.createTempDirectory("mlake21").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("doc_id"), lit("s0").as("source"))
+    ManifestLake.appendBatch(spark, dir, batch(0, 100), "source", "app", 1L,
+      bloomCols = Seq("doc_id"))
+    ManifestLake.appendBatch(spark, dir, batch(100, 200), "source", "app", 2L,
+      bloomCols = Seq("doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.files.forall(f =>
+      snap.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id")),
+      "every streamed file must carry its bloom")
+    // exactly-once: the re-delivered batch burns no version and the
+    // index is unchanged
+    ManifestLake.appendBatch(spark, dir, batch(100, 200), "source", "app", 2L,
+      bloomCols = Seq("doc_id"))
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    assert(snap2.version == snap.version)
+    assert(snap2.blooms.keySet == snap.blooms.keySet)
+    // lookups prune across batch boundaries and stay exact
+    val kept = ManifestLake.pruneFilesPoint(snap2, "doc_id", 150L)
+    assert(kept.length < snap2.files.length, "bloom pruned nothing")
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 150L).count() == 1)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 5000L).count() == 0)
+  }
+
   test("manifest lake: a crashed writer's garbage is invisible and vacuumable") {
     val dir = Files.createTempDirectory("mlake10").resolve("lake").toString
     val root = java.nio.file.Paths.get(dir)
