@@ -696,7 +696,36 @@ object Plans {
         |LSH banding) broadcast-joins onto a doc_id projection; the
         |split side is one integer multiplicative-hash expression. The
         |corpus never shuffles and no text moves — at 100 TB this is a
-        |metadata-only pass over doc ids.""".stripMargin)
+        |metadata-only pass over doc ids.""".stripMargin,
+    "q140_bm25_topk" ->
+      """Lexical retrieval, index-free form: the query-term isin filter
+        |sits UNDER the tf aggregation, so the only shuffle carries
+        |query-term rows (not the vocabulary) with doc length riding
+        |them — no corpus-sized join anywhere. df/N/avgdl re-enter as
+        |literals; scoring is one codegen'd projection with the
+        |per-term contributions summed in a fixed parenthesized order
+        |(cross-engine bit-stable double); top-k is
+        |TakeOrderedAndProject — per-partition heaps, never a global
+        |window. This is the oracle anchor; q142 is the serving
+        |path.""".stripMargin,
+    "q142_posting_bm25" ->
+      """Index-backed retrieval: the posting lake (built once per
+        |corpus version, bucket-partitioned on the portable word hash)
+        |turns a query into a partition-pruned scan of its terms'
+        |buckets — the scan node lists ONLY `bkt IN (…)` directories of
+        |manifest-named files, so serving cost follows query-term
+        |posting rows at any corpus size. df is exact from the pruned
+        |rows; the scoring tail is q140's shared fixed-order
+        |projection, which is why the two share an oracle.""".stripMargin,
+    "q141_bloom_lookup" ->
+      """The needle-in-the-lake read: pruneFilesPoint intersects
+        |range stats with per-file Bloom membership BEFORE any file
+        |opens, so the plan's scan node names ~1 file out of the whole
+        |lake even on a key whose value ranges interleave across every
+        |file (the geometry that defeats min/max). The equality
+        |predicate still pushes into the surviving scan for row-group
+        |skipping — three skipping layers compose: manifest range,
+        |manifest bloom, parquet footer.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
