@@ -643,6 +643,16 @@ object TextAnalysis {
       val meta = s.read.parquet(s"$base/meta").head()
       (meta.getLong(0), meta.getLong(1).toDouble / meta.getLong(0).toDouble)
     }
+    serveBm25(s, lake, n, avgdl)
+  }
+
+  /** Serve the [[Bm25Terms]] query from a posting lake: open only the
+    * terms' bucket partitions, df exact from the pruned rows, the
+    * shared [[bm25Rank]] scoring tail, plus the pruning invariant
+    * column (shared by q142 and q143's incremental form). */
+  private def serveBm25(s: SparkSession, lake: String,
+                        n: Long, avgdl: Double): DataFrame = {
+    import s.implicits._
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     val termBkts = Bm25Terms
       .map(t => graft.core.Hashing.polyFold(t, 31L, 1000000007L) % PostingBuckets)
@@ -661,6 +671,24 @@ object TextAnalysis {
       .withColumn("bucket_pruned_strictly", lit(opened < snap.files.length))
   }
 
+  /** The posting-frame build pass shared by the full build and the
+    * delta update: `(word, doc_id, tf, dl, bkt)` rows for `docs`. */
+  private def postingsFrame(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select($"doc_id", bm25DlCol(s).as("dl"),
+        explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+      .withColumn("bkt",
+        expr(s"graft_polyhash(word, 31L, 1000000007L) % ${PostingBuckets}L"))
+  }
+
+  private def bm25DlCol(s: SparkSession): Column = {
+    import s.implicits._
+    when(trim($"text") === "", 0L)
+      .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long"))
+  }
+
   private val PostingBuckets = 16L
 
   /** Posting-lake registry: corpus dir → artifact base path (the
@@ -675,21 +703,56 @@ object TextAnalysis {
       import s.implicits._
       val base = graft.sink.TempDirs.persistent("graft_posting_lake_").toString
       val docs = Tables.documents(s, dir)
-      def dlCol = when(trim($"text") === "", 0L)
-        .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long"))
-      val postings = docs
-        .select($"doc_id", dlCol.as("dl"),
-          explode(split(trim(lower($"text")), "\\s+")).as("word"))
-        .groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-        .withColumn("bkt",
-          expr(s"graft_polyhash(word, 31L, 1000000007L) % ${PostingBuckets}L"))
       graft.core.ManifestLake.append(s, s"$base/postings",
-        postings.repartition($"bkt"), "bkt", statsCols = Seq("word"))
-      docs.select(dlCol.as("dl"))
+        postingsFrame(s, docs).repartition($"bkt"), "bkt", statsCols = Seq("word"))
+      docs.select(bm25DlCol(s).as("dl"))
         .agg(count(lit(1)).as("n"), sum($"dl").as("tot"))
         .coalesce(1).write.parquet(s"$base/meta")
       base
     })
+
+  /** q143 — INCREMENTAL posting-lake maintenance, the day-N+1 update
+    * of q142's retrieval index (the q139/q127 discipline applied to
+    * lexical search): the index is built from the first 80% of the
+    * corpus and committed; the remaining 20% "arrives" and the update
+    * tokenizes ONLY the delta — doc-disjoint posting rows append into
+    * the same bucket partitions (no rewrite: `(word, doc_id)` rows
+    * for new docs cannot collide with committed ones), and the 1-row
+    * corpus-scalars artifact is recomputed. Update cost ∝ delta
+    * bytes, never index size. Two claims are then hash-verified:
+    * (a) serving the updated index ≡ the from-scratch full-corpus
+    * build — the oracle IS q140's replay again; (b) the manifest
+    * log's CDC view of the update window contains EXACTLY the delta's
+    * posting rows (`readChanges` row count = delta posting count,
+    * pinned as the `delta_matches_cdc` boolean) — the incremental
+    * consumers downstream of this index would re-read precisely the
+    * delta. */
+  def qIncrementalPostings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.sink.TempDirs.fresh("graft_inc_posting_").toString
+    val lake = s"$base/postings"
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 8 / 10
+    val v1 = graft.core.ManifestLake.append(s, lake,
+      postingsFrame(s, docs.filter($"doc_id" <= cut)).repartition($"bkt"),
+      "bkt", statsCols = Seq("word"))
+    val deltaPostings = postingsFrame(s, docs.filter($"doc_id" > cut))
+    val v2 = graft.core.ManifestLake.append(s, lake,
+      deltaPostings.repartition($"bkt"), "bkt", statsCols = Seq("word"))
+    val deltaRows = deltaPostings.count()
+    val cdcRows = graft.core.ManifestLake
+      .readChanges(s, lake, v1.version, v2.version).count()
+    val corpus = docs.select(bm25DlCol(s).as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
+    val n = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / n.toDouble
+    serveBm25(s, lake, n, avgdl)
+      .withColumn("delta_matches_cdc", lit(cdcRows == deltaRows && deltaRows > 0L))
+  }
+
+  lazy val qIncrementalPostingsSql: String =
+    s"""SELECT x.*, TRUE AS delta_matches_cdc
+       FROM ($qPostingBm25Sql) x ORDER BY rank"""
 
   // lazy: refers to qBm25TopKSql, declared later in this object —
   // index-backed ≡ from-scratch, so the oracle IS q140's replay, plus
@@ -1948,7 +2011,8 @@ object TextAnalysis {
     "q124_token_budget_allocation" -> qTokenBudgetAllocation,
     "q126_punkt_word_tokenize" -> qPunktWordTokenize,
     "q140_bm25_topk" -> qBm25TopK,
-    "q142_posting_bm25" -> qPostingBm25)
+    "q142_posting_bm25" -> qPostingBm25,
+    "q143_incremental_postings" -> qIncrementalPostings)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -1980,5 +2044,6 @@ object TextAnalysis {
     "q124_token_budget_allocation" -> qTokenBudgetAllocationSql,
     "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql,
     "q140_bm25_topk" -> qBm25TopKSql,
-    "q142_posting_bm25" -> qPostingBm25Sql)
+    "q142_posting_bm25" -> qPostingBm25Sql,
+    "q143_incremental_postings" -> qIncrementalPostingsSql)
 }

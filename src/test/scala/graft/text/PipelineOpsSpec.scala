@@ -477,4 +477,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(served.forall(_.getAs[Boolean]("bucket_pruned_strictly")),
       "serving must open a strict subset of the posting lake's buckets")
   }
+
+  test("q143: incrementally-maintained index serves the from-scratch ranking") {
+    val direct = TextAnalysis.qBm25TopK(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val inc = TextAnalysis.qIncrementalPostings(spark, Sf0001).collect()
+    assert(inc.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      == direct.toSeq, "delta-updated posting lake diverged from full recompute")
+    assert(inc.forall(_.getAs[Boolean]("delta_matches_cdc")),
+      "CDC view of the update window must contain exactly the delta's postings")
+  }
 }
