@@ -896,6 +896,199 @@ object Similarity extends Serializable {
        GROUP BY a.cid ORDER BY a.cid"""
   }
 
+  // --- Product quantization -------------------------------------------
+
+  private val PqM = 4   // subspaces; dim/PqM components each
+  private val PqK = 16  // codewords per subspace → 4 bits/code, M bytes/vector
+
+  /** Per-subspace L2² in ASCENDING-dim fold order — the one scalar
+    * both the distributed assignment and the DuckDB oracle's
+    * `list_reduce` replay fold identically (IEEE adds in the same
+    * association ⇒ bit-identical doubles ⇒ identical argmins; no
+    * libm call anywhere in PQ, so unlike q77/q140 there is no
+    * last-ulp caveat at all). */
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** q144 — Product Quantization (Jégou et al.), the memory-side leg
+    * of the ANN suite: IVF (q33/q113) prunes WHICH vectors to score,
+    * HNSW (q135) walks them, PQ makes them FIT — 64 float32 dims
+    * (256 B) compress to M=4 4-bit codes (2 B, 128×), which is the
+    * difference between RAM-served and disk-bound at 100 TB of
+    * embeddings. Training is per-subspace Lloyd's with the exact
+    * q101 discipline: deterministic seeds (PqK lowest vec_ids'
+    * subvectors), one update round of fixed-point integer sums
+    * (fp_sum/(n·2^20) — doubles derived identically in both
+    * engines), then final assignment by ascending-dim L2² with
+    * lowest-cid tie-break. One corpus scan per round, driver state =
+    * M·k·(dim/M) doubles; codes assign in a single broadcast-argmin
+    * pass — no shuffle ever carries a vector. The emitted surface is
+    * fully relational and integer-exact: per (subspace, codeword)
+    * membership, member fixed-point mass, and the fixed-point
+    * quantization-error sum (a single wrong assignment inflates
+    * fp_err deterministically, so the oracle catches argmin drift,
+    * not just membership counts). ADC serving quality + the
+    * compression ratio are pinned in SimilaritySpec (floats, not
+    * SQL-expressible). */
+  private def pqSlice(v: Array[Double], m: Int, sub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub)
+
+  /** Argmin codeword by ascending-dim L2²; strict `<` keeps the LOWEST
+    * cid on exact ties (the oracle's `ORDER BY dist, cid`). */
+  private def pqArgmin(book: Array[(Long, Array[Double])],
+                       sv: Array[Double]): (Int, Double) = {
+    var best = 0
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < book.length) {
+      val d = dist2(sv, book(c)._2)
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    (best, bd)
+  }
+
+  /** Train the per-subspace codebooks (q101's exact discipline, ×M
+    * subspaces): deterministic seeds, KmRounds−1 fixed-point update
+    * rounds. Returns (persisted vecs, subvector width, books). */
+  private def pqTrain(s: SparkSession, dir: String)
+      : (Dataset[Vec], Int, Array[Array[(Long, Array[Double])]]) = {
+    import s.implicits._
+    import graft.core.Resources
+    val vecs = Resources.persist(prepped(s, dir))
+    val sub = vecs.head().v.length / PqM
+    val seeds = vecs.filter((v: Vec) => v.id < PqK).collect().sortBy(_.id)
+    var books: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(PqM)(m => seeds.map(v => (v.id, pqSlice(v.v, m, sub))))
+    (1 until KmRounds).foreach { _ =>
+      val bc = Resources.broadcast(s, books)
+      val sums = vecs.flatMap { v =>
+        (0 until PqM).iterator.map { m =>
+          val sv = pqSlice(v.v, m, sub)
+          val (best, _) = pqArgmin(bc.value(m), sv)
+          (m, bc.value(m)(best)._1, sv.map(x => math.floor(x * KmFp).toLong))
+        }
+      }.toDF("m", "cid", "fp")
+        .select($"m", $"cid", posexplode($"fp"))
+        .groupBy($"m", $"cid", $"pos")
+        .agg(count(lit(1)).as("n"), sum($"col").as("fs"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Long]("cid")))
+      books = Array.tabulate(PqM)(m => books(m).map { case (cid, cv) =>
+        byKey.get((m, cid)) match {
+          case Some(rows) =>
+            val nd = new Array[Double](sub)
+            rows.foreach { r =>
+              nd(r.getAs[Int]("pos")) =
+                r.getAs[Long]("fs").toDouble / (r.getAs[Long]("n").toDouble * KmFp)
+            }
+            (cid, nd)
+          case None => (cid, cv) // empty cluster keeps its codeword
+        }
+      })
+    }
+    (vecs, sub, books)
+  }
+
+  def qPqCompress(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (vecs, sub, books) = pqTrain(s, dir)
+    val bc = graft.core.Resources.broadcast(s, books)
+    vecs.flatMap { v =>
+      (0 until PqM).iterator.map { m =>
+        val sv = pqSlice(v.v, m, sub)
+        val (best, bd) = pqArgmin(bc.value(m), sv)
+        var mass = 0L
+        var i = 0
+        while (i < sv.length) { mass += math.floor(sv(i) * KmFp).toLong; i += 1 }
+        (m, bc.value(m)(best)._1, mass, math.floor(bd * KmFp).toLong)
+      }
+    }.toDF("m", "cid", "fp_mass", "fp_err")
+      .groupBy($"m", $"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"fp_mass").as("fp_mass"), sum($"fp_err").as("fp_err"))
+      .orderBy($"m", $"cid")
+  }
+
+  /** Encode every vector to its M codeword indices under the trained
+    * books — the 2-byte-per-vector artifact the ADC spec serves from
+    * (package-private for SimilaritySpec). */
+  private[vector] def pqEncode(s: SparkSession, dir: String)
+      : (Array[(Long, Array[Int])], Array[Array[(Long, Array[Double])]], Int) = {
+    import s.implicits._
+    val (vecs, sub, books) = pqTrain(s, dir)
+    val bc = graft.core.Resources.broadcast(s, books)
+    val codes = vecs.map { v =>
+      val cs = new Array[Int](PqM)
+      var m = 0
+      while (m < PqM) {
+        cs(m) = pqArgmin(bc.value(m), pqSlice(v.v, m, sub))._1
+        m += 1
+      }
+      (v.id, cs)
+    }.collect()
+    (codes, books, sub)
+  }
+
+  val qPqCompressSql: String = {
+    val fp = KmFp
+    def d2(sv: String, cv: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 16),
+              i -> ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+                 * ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]))),
+            (acc, x) -> acc + x)"""
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       dims AS (SELECT unnest(generate_series(1, 16)) AS dim),
+       sv AS (
+         SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
+         FROM emb CROSS JOIN subs),
+       c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < $PqK),
+       a1 AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY ${d2("s.sv", "c.cv")} ASC, c.cid) AS rn
+           FROM sv s JOIN c0 c USING (m)) t
+         WHERE rn = 1),
+       s1 AS (
+         SELECT a.m, a.cid, d.dim, COUNT(*) AS n,
+           SUM(CAST(floor(s.sv[CAST(d.dim AS INT)] * $fp) AS BIGINT)) AS fs
+         FROM a1 a JOIN sv s USING (vec_id, m) CROSS JOIN dims d
+         GROUP BY a.m, a.cid, d.dim),
+       c1u AS (
+         SELECT m, cid,
+           list(CAST(fs AS DOUBLE) / (CAST(n AS DOUBLE) * $fp) ORDER BY dim) AS cv
+         FROM s1 GROUP BY m, cid),
+       c1 AS (
+         SELECT c0.m, c0.cid, COALESCE(u.cv, c0.cv) AS cv
+         FROM c0 LEFT JOIN c1u u ON u.m = c0.m AND u.cid = c0.cid),
+       a2 AS (
+         SELECT vec_id, m, cid, dist FROM (
+           SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS dist,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY ${d2("s.sv", "c.cv")} ASC, c.cid) AS rn
+           FROM sv s JOIN c1 c USING (m)) t
+         WHERE rn = 1),
+       mass AS (
+         SELECT vec_id, m,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, 16),
+               i -> CAST(floor(sv[CAST(i AS INT)] * $fp) AS BIGINT))),
+             (acc, x) -> acc + x) AS fp_mass
+         FROM sv)
+       SELECT a.m, a.cid, COUNT(*) AS n_members,
+         CAST(SUM(t.fp_mass) AS BIGINT) AS fp_mass,
+         CAST(SUM(CAST(floor(a.dist * $fp) AS BIGINT)) AS BIGINT) AS fp_err
+       FROM a2 a JOIN mass t USING (vec_id, m)
+       GROUP BY a.m, a.cid ORDER BY a.m, a.cid"""
+  }
+
   // --- Gram matrix ----------------------------------------------------
 
   /** q104 — the embedding Gram matrix Σ v·vᵀ, the one-pass distributed
@@ -1116,7 +1309,8 @@ object Similarity extends Serializable {
     // recall claim is spec-pinned (SimilaritySpec) and q134 oracles
     // the same operating point relationally
     "q135_hnsw_ann" -> qHnswAnn,
-    "q136_hnsw_delta" -> qHnswDelta)
+    "q136_hnsw_delta" -> qHnswDelta,
+    "q144_pq_compress" -> qPqCompress)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -1133,5 +1327,6 @@ object Similarity extends Serializable {
     "q115_hard_negatives" -> qHardNegativesSql,
     "q119_ivf_delta_assign" -> qIvfDeltaAssignSql,
     "q134_ann_operating_point" -> qAnnOperatingPointSql,
-    "q136_hnsw_delta" -> qHnswDeltaSql)
+    "q136_hnsw_delta" -> qHnswDeltaSql,
+    "q144_pq_compress" -> qPqCompressSql)
 }

@@ -271,4 +271,71 @@ class SimilaritySpec extends SparkSpec {
       "distinct vectors should not collide on all 60 bits")
     assert((Similarity.srpSig(v1) >>> 60) == 0L, "bits above 60 must stay clear")
   }
+
+  test("q144: PQ codes are deterministic, 128x smaller, and ADC-serviceable") {
+    val (codes1, books, sub) = Similarity.pqEncode(spark, Sf0001)
+    val (codes2, _, _) = Similarity.pqEncode(spark, Sf0001)
+    // determinism: two builds produce identical codes (fixed seeds +
+    // fixed-point updates — no RNG anywhere)
+    assert(codes1.sortBy(_._1).zip(codes2.sortBy(_._1)).forall {
+      case ((i1, c1), (i2, c2)) => i1 == i2 && c1.sameElements(c2)
+    }, "PQ encoding must be bit-reproducible")
+    // compression arithmetic: M subspaces x log2(K) bits = 2 bytes per
+    // vector vs 64 float32 dims = 256 bytes → 128x
+    val dim = sub * 4
+    assert(dim == 64 && codes1.head._2.length == 4)
+    assert(codes1.forall(_._2.forall(c => c >= 0 && c < 16)),
+      "codes must fit 4 bits")
+
+    // ADC serving: queries score the CODES via per-subspace lookup
+    // tables (k x M distances per query, never a full vector read) and
+    // the approximate top-10 must overlap the exact L2 top-10 — the
+    // recall floor is the measured value on this worst-case geometry
+    // (uniform random vectors, the distance-concentration regime PQ
+    // papers call out), pinned so a regression is loud
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, f) => id -> f.map(_.toDouble) }.toMap
+    val codeMap = codes1.toMap
+    def exactD2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val queries = vecs.keys.filter(_ < 20).toSeq.sorted
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      // lookup tables: table(m)(c) = d2(query sub m, codeword c)
+      val tables = Array.tabulate(4, 16) { (m, c) =>
+        exactD2(java.util.Arrays.copyOfRange(qv, m * sub, (m + 1) * sub),
+          books(m)(c)._2)
+      }
+      def adc(id: Long): Double = {
+        val cs = codeMap(id)
+        tables(0)(cs(0)) + tables(1)(cs(1)) + tables(2)(cs(2)) + tables(3)(cs(3))
+      }
+      val others = vecs.keys.filter(_ != q).toSeq
+      val exactTop = others.sortBy(o => (exactD2(qv, vecs(o)), o)).take(10).toSet
+      val adcTop = others.sortBy(o => (adc(o), o)).take(10).toSet
+      // the production serving pattern: ADC shortlist (cheap, from
+      // codes alone) -> exact re-rank of the 50-candidate shortlist
+      val rerank = others.sortBy(o => (adc(o), o)).take(50)
+        .sortBy(o => (exactD2(qv, vecs(o)), o)).take(10).toSet
+      ((exactTop intersect adcTop).size / 10.0,
+        (exactTop intersect rerank).size / 10.0)
+    }
+    val meanAdc = recalls.map(_._1).sum / recalls.length
+    val meanRr = recalls.map(_._2).sum / recalls.length
+    info(f"PQ recall@10 at sf0.001: ADC-only $meanAdc%.3f, +exact-rerank@50 $meanRr%.3f")
+    // measured 0.265 / 0.640 on this fixture — uniform random vectors
+    // are the distance-concentration regime the PQ papers call out as
+    // the worst case; the floors pin regressions, and the ADC->rerank
+    // lift is the claim that the codes preserve neighborhood structure
+    assert(meanAdc >= 0.25,
+      f"ADC recall@10 $meanAdc%.3f regressed below the pinned floor on the " +
+        "uniform-random worst case (2 bytes/vector)")
+    assert(meanRr >= meanAdc + 0.2,
+      f"exact re-rank of the ADC shortlist must recover substantial recall " +
+        f"(got $meanRr%.3f vs ADC $meanAdc%.3f)")
+  }
 }
