@@ -957,9 +957,16 @@ object Similarity extends Serializable {
     * rounds. Returns (persisted vecs, subvector width, books). */
   private def pqTrain(s: SparkSession, dir: String)
       : (Dataset[Vec], Int, Array[Array[(Long, Array[Double])]]) = {
+    import graft.core.Resources
+    pqTrainOn(s, Resources.persist(prepped(s, dir)))
+  }
+
+  /** [[pqTrain]] over an arbitrary (already persisted) vector source —
+    * q144 trains on raw vectors, q145 on IVF residuals. */
+  private def pqTrainOn(s: SparkSession, vecs: Dataset[Vec])
+      : (Dataset[Vec], Int, Array[Array[(Long, Array[Double])]]) = {
     import s.implicits._
     import graft.core.Resources
-    val vecs = Resources.persist(prepped(s, dir))
     val sub = vecs.head().v.length / PqM
     val seeds = vecs.filter((v: Vec) => v.id < PqK).collect().sortBy(_.id)
     var books: Array[Array[(Long, Array[Double])]] =
@@ -1034,46 +1041,53 @@ object Similarity extends Serializable {
     (codes, books, sub)
   }
 
-  val qPqCompressSql: String = {
+  /** Ascending-dim L2² as a DuckDB fold — the SQL twin of [[dist2]]
+    * (same association ⇒ bit-identical doubles). */
+  private def pqD2Sql(sv: String, cv: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 16),
+            i -> ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+               * ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]))),
+          (acc, x) -> acc + x)"""
+
+  /** The PQ train+assign CTE chain over source CTE `src(vec_id, v)` —
+    * shared verbatim by the q144 (raw vectors) and q145 (IVF
+    * residuals) oracles so the two replays cannot drift. Emits
+    * `a2(vec_id, m, cid, dist)` and `mass(vec_id, m, fp_mass)`. */
+  private def pqSqlCtes(src: String): String = {
     val fp = KmFp
-    def d2(sv: String, cv: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            list_transform(generate_series(1, 16),
-              i -> ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])
-                 * ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]))),
-            (acc, x) -> acc + x)"""
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+    val d2 = pqD2Sql _
+    s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        dims AS (SELECT unnest(generate_series(1, 16)) AS dim),
        sv AS (
          SELECT vec_id, m, list_slice(v, m * 16 + 1, m * 16 + 16) AS sv
-         FROM emb CROSS JOIN subs),
-       c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < $PqK),
-       a1 AS (
+         FROM $src CROSS JOIN subs),
+       pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < $PqK),
+       pa1 AS (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, c.cid,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                ORDER BY ${d2("s.sv", "c.cv")} ASC, c.cid) AS rn
-           FROM sv s JOIN c0 c USING (m)) t
+           FROM sv s JOIN pc0 c USING (m)) t
          WHERE rn = 1),
-       s1 AS (
+       ps1 AS (
          SELECT a.m, a.cid, d.dim, COUNT(*) AS n,
            SUM(CAST(floor(s.sv[CAST(d.dim AS INT)] * $fp) AS BIGINT)) AS fs
-         FROM a1 a JOIN sv s USING (vec_id, m) CROSS JOIN dims d
+         FROM pa1 a JOIN sv s USING (vec_id, m) CROSS JOIN dims d
          GROUP BY a.m, a.cid, d.dim),
-       c1u AS (
+       pc1u AS (
          SELECT m, cid,
            list(CAST(fs AS DOUBLE) / (CAST(n AS DOUBLE) * $fp) ORDER BY dim) AS cv
-         FROM s1 GROUP BY m, cid),
-       c1 AS (
-         SELECT c0.m, c0.cid, COALESCE(u.cv, c0.cv) AS cv
-         FROM c0 LEFT JOIN c1u u ON u.m = c0.m AND u.cid = c0.cid),
+         FROM ps1 GROUP BY m, cid),
+       pc1 AS (
+         SELECT pc0.m, pc0.cid, COALESCE(u.cv, pc0.cv) AS cv
+         FROM pc0 LEFT JOIN pc1u u ON u.m = pc0.m AND u.cid = pc0.cid),
        a2 AS (
          SELECT vec_id, m, cid, dist FROM (
            SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS dist,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                ORDER BY ${d2("s.sv", "c.cv")} ASC, c.cid) AS rn
-           FROM sv s JOIN c1 c USING (m)) t
+           FROM sv s JOIN pc1 c USING (m)) t
          WHERE rn = 1),
        mass AS (
          SELECT vec_id, m,
@@ -1081,12 +1095,94 @@ object Similarity extends Serializable {
              list_transform(generate_series(1, 16),
                i -> CAST(floor(sv[CAST(i AS INT)] * $fp) AS BIGINT))),
              (acc, x) -> acc + x) AS fp_mass
-         FROM sv)
+         FROM sv)"""
+  }
+
+  val qPqCompressSql: String = {
+    val fp = KmFp
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${pqSqlCtes("emb")}
        SELECT a.m, a.cid, COUNT(*) AS n_members,
          CAST(SUM(t.fp_mass) AS BIGINT) AS fp_mass,
          CAST(SUM(CAST(floor(a.dist * $fp) AS BIGINT)) AS BIGINT) AS fp_err
        FROM a2 a JOIN mass t USING (vec_id, m)
        GROUP BY a.m, a.cid ORDER BY a.m, a.cid"""
+  }
+
+  /** q145 — the composed IVF-PQ index (FAISS's IVFPQ shape, and what
+    * a 100 TB deployment actually serves): the coarse quantizer (q33's
+    * shared assignment rule) routes each vector to its bucket, PQ
+    * (q144's trainer) encodes the RESIDUAL v − centroid — residual
+    * coding is what makes the codes sharp, the residual cloud is
+    * centered so the codewords spend their 4 bits on local structure
+    * rather than absolute position. All arithmetic is IEEE adds/muls
+    * in fixed order (cosine routing = q33's oracle-established
+    * expression; residual subtraction exact; PQ = q144's no-libm
+    * chain), so DuckDB replays the ENTIRE composed pipeline: the
+    * emitted (bucket, subspace, codeword) ledger — membership,
+    * fixed-point residual mass, fixed-point quantization-error sum —
+    * is hash-verified end-to-end. The serving shape this ledger
+    * certifies: bucket partitions hold 2-byte codes (q113's lake
+    * layout at 1/128 the bytes), probes ADC-score only the probed
+    * buckets' codes, and the exact re-rank reads full vectors for the
+    * shortlist alone. */
+  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Resources
+    val vecs = Resources.persist(prepped(s, dir))
+    val cents = Resources.broadcast(s,
+      vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
+    def residual(v: Vec): (Long, Array[Double]) = {
+      val b = nearestBuckets(cents.value, v, 1).head
+      val c = cents.value(b.toInt) // centroid ids ARE 0..IvfK-1 (lowest vec_ids)
+      val r = new Array[Double](v.v.length)
+      var i = 0
+      while (i < r.length) { r(i) = v.v(i) - c.v(i); i += 1 }
+      (b, r)
+    }
+    val resids = Resources.persist(
+      vecs.map { v => Vec(v.id, residual(v)._2, 0.0) })
+    val (_, sub, books) = pqTrainOn(s, resids)
+    val bcBooks = Resources.broadcast(s, books)
+    vecs.flatMap { v =>
+      val (b, r) = residual(v)
+      (0 until PqM).iterator.map { m =>
+        val sv = pqSlice(r, m, sub)
+        val (best, bd) = pqArgmin(bcBooks.value(m), sv)
+        var massAcc = 0L
+        var i = 0
+        while (i < sv.length) { massAcc += math.floor(sv(i) * KmFp).toLong; i += 1 }
+        (b, m, bcBooks.value(m)(best)._1, massAcc, math.floor(bd * KmFp).toLong)
+      }
+    }.toDF("bucket", "m", "cid", "fp_mass", "fp_err")
+      .groupBy($"bucket", $"m", $"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"fp_mass").as("fp_mass"), sum($"fp_err").as("fp_err"))
+      .orderBy($"bucket", $"m", $"cid")
+  }
+
+  val qIvfPqSql: String = {
+    val fp = KmFp
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (SELECT vec_id AS ccid, v AS ccv FROM emb WHERE vec_id < $IvfK),
+       bassign AS (
+         SELECT vec_id, ccid AS bucket FROM (
+           SELECT e.vec_id, c.ccid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.ccv) DESC, c.ccid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1),
+       resid AS (
+         SELECT e.vec_id,
+           list_transform(generate_series(1, 64),
+             i -> e.v[CAST(i AS INT)] - c.ccv[CAST(i AS INT)]) AS v
+         FROM emb e JOIN bassign a USING (vec_id) JOIN cents c ON c.ccid = a.bucket),
+       ${pqSqlCtes("resid")}
+       SELECT ba.bucket, a.m, a.cid, COUNT(*) AS n_members,
+         CAST(SUM(t.fp_mass) AS BIGINT) AS fp_mass,
+         CAST(SUM(CAST(floor(a.dist * $fp) AS BIGINT)) AS BIGINT) AS fp_err
+       FROM a2 a JOIN mass t USING (vec_id, m) JOIN bassign ba USING (vec_id)
+       GROUP BY ba.bucket, a.m, a.cid ORDER BY bucket, m, cid"""
   }
 
   // --- Gram matrix ----------------------------------------------------
@@ -1310,7 +1406,8 @@ object Similarity extends Serializable {
     // the same operating point relationally
     "q135_hnsw_ann" -> qHnswAnn,
     "q136_hnsw_delta" -> qHnswDelta,
-    "q144_pq_compress" -> qPqCompress)
+    "q144_pq_compress" -> qPqCompress,
+    "q145_ivfpq_index" -> qIvfPq)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -1328,5 +1425,6 @@ object Similarity extends Serializable {
     "q119_ivf_delta_assign" -> qIvfDeltaAssignSql,
     "q134_ann_operating_point" -> qAnnOperatingPointSql,
     "q136_hnsw_delta" -> qHnswDeltaSql,
-    "q144_pq_compress" -> qPqCompressSql)
+    "q144_pq_compress" -> qPqCompressSql,
+    "q145_ivfpq_index" -> qIvfPqSql)
 }

@@ -338,4 +338,25 @@ class SimilaritySpec extends SparkSpec {
       f"exact re-rank of the ADC shortlist must recover substantial recall " +
         f"(got $meanRr%.3f vs ADC $meanAdc%.3f)")
   }
+
+  test("q145: composed IVF-PQ ledger marginals are consistent") {
+    val rows = Similarity.qIvfPq(spark, Sf0001).collect()
+    val n = graft.core.Tables.embeddings(spark, Sf0001).count()
+    // every vector contributes exactly one code per subspace
+    (0 until 4).foreach { m =>
+      val tot = rows.filter(_.getAs[Int]("m") == m)
+        .map(_.getAs[Long]("n_members")).sum
+      assert(tot == n, s"subspace $m covers $tot of $n vectors")
+    }
+    // the per-bucket marginal is the IVF census — identical for every m
+    val perBucketM = rows.groupBy(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Int]("m")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_members")).sum }
+    perBucketM.keys.map(_._1).toSeq.distinct.foreach { b =>
+      val sizes = (0 until 4).map(m => perBucketM.getOrElse((b, m), 0L)).distinct
+      assert(sizes.length == 1, s"bucket $b census differs across subspaces: $sizes")
+    }
+    assert(rows.forall(_.getAs[Long]("fp_err") >= 0L),
+      "L2^2 quantization error mass cannot be negative")
+  }
 }
