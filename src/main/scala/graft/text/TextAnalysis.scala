@@ -981,6 +981,49 @@ object TextAnalysis {
        GROUP BY ROLLUP (source, lang)
        ORDER BY COALESCE(source, '<all>'), COALESCE(lang, '<all>')"""
 
+  /** q146 — the CUBE companion to q83's ROLLUP (the one grouping-set
+    * shape that inventory row didn't exercise): a mixture dashboard
+    * wants BOTH marginals — per-source subtotals across languages AND
+    * per-language subtotals across sources — which ROLLUP's
+    * hierarchical prefix can't produce in one pass. One aggregation,
+    * 2ᵏ grouping sets, each group map-side-combined; `grouping()`
+    * markers disambiguate a real value from a subtotal independently
+    * of the `<all>` display coalesce (the SQL-standard device — a
+    * source literally named `<all>` could not forge a subtotal row).
+    * At 100 TB the cost is the same single shuffle as q83: grouping
+    * sets replicate rows per set BEFORE the partial agg, and the
+    * output stays ≤ (|sources|+1)·(|langs|+1) rows. */
+  def qSourceLangCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", wordCount($"text"))
+      .cube($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("tok_sum"),
+        sum($"n_chars").as("char_sum"),
+        grouping($"source").as("g_source"),
+        grouping($"lang").as("g_lang"))
+      .select(coalesce($"source", lit("<all>")).as("source"),
+        coalesce($"lang", lit("<all>")).as("lang"),
+        $"g_source".cast("int").as("g_source"),
+        $"g_lang".cast("int").as("g_lang"),
+        $"n_docs", $"tok_sum", $"char_sum")
+      .orderBy($"source", $"lang")
+  }
+
+  val qSourceLangCubeSql: String =
+    """SELECT COALESCE(source, '<all>') AS source,
+         COALESCE(lang, '<all>') AS lang,
+         CAST(GROUPING(source) AS INT) AS g_source,
+         CAST(GROUPING(lang) AS INT) AS g_lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tok_sum,
+         CAST(SUM(n_chars) AS BIGINT) AS char_sum
+       FROM documents
+       GROUP BY CUBE (source, lang)
+       ORDER BY COALESCE(source, '<all>'), COALESCE(lang, '<all>')"""
+
   /** q84 — source-mixture rebalancing toward a QUALITY-WEIGHTED target
     * (the domain-reweighting step of training-mixture prep: give each
     * source a share of the final mix proportional to its quality mass,
@@ -2012,7 +2055,8 @@ object TextAnalysis {
     "q126_punkt_word_tokenize" -> qPunktWordTokenize,
     "q140_bm25_topk" -> qBm25TopK,
     "q142_posting_bm25" -> qPostingBm25,
-    "q143_incremental_postings" -> qIncrementalPostings)
+    "q143_incremental_postings" -> qIncrementalPostings,
+    "q146_source_lang_cube" -> qSourceLangCube)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -2045,5 +2089,6 @@ object TextAnalysis {
     "q126_punkt_word_tokenize" -> qPunktWordTokenizeSql,
     "q140_bm25_topk" -> qBm25TopKSql,
     "q142_posting_bm25" -> qPostingBm25Sql,
-    "q143_incremental_postings" -> qIncrementalPostingsSql)
+    "q143_incremental_postings" -> qIncrementalPostingsSql,
+    "q146_source_lang_cube" -> qSourceLangCubeSql)
 }
