@@ -144,14 +144,60 @@ object EventOps {
        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
        GROUP BY p.event_id ORDER BY purchase_event"""
 
+  /** q147 — exact rank-based tail-outlier report per event type (the
+    * p99 alerting primitive a pipeline health monitor runs over its
+    * metric stream): rank every event within its type by (value,
+    * event_id) — a TOTAL order, so the p99 boundary is a specific row
+    * both engines agree on exactly, with none of approximate-
+    * percentile's cross-engine drift — and report the boundary value,
+    * the outlier census above it, and an integer id-checksum of the
+    * outlier set (a single misranked row breaks the checksum, not
+    * just the count). k = floor(0.99·n) rows sit at or below the
+    * boundary; n−k are outliers. One shuffle on event_type, then a
+    * narrow per-type sort — the window shape every §2.5 operator
+    * uses. The exact-rank form is the oracle anchor; at 100 TB a
+    * monitor would run `percentile_approx` and this query is the
+    * ground truth it is validated against (the q31-vs-q97 pattern). */
+  def qEventOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("k", floor($"n" * 0.99).cast("long"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_events"),
+        max($"k").as("k"),
+        max(when($"rnk" === $"k", $"value")).as("boundary_value"),
+        sum(when($"rnk" > $"k", lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+        sum(when($"rnk" > $"k", $"event_id").otherwise(lit(0L))).as("outlier_id_sum"))
+      .orderBy($"event_type")
+  }
+
+  val qEventOutliersSql: String =
+    """WITH r AS (
+         SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY value, event_id) AS rnk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events),
+       kk AS (SELECT *, CAST(floor(n * 0.99) AS BIGINT) AS k FROM r)
+       SELECT event_type, MAX(n) AS n_events, MAX(k) AS k,
+         MAX(CASE WHEN rnk = k THEN value END) AS boundary_value,
+         CAST(SUM(CASE WHEN rnk > k THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(SUM(CASE WHEN rnk > k THEN event_id ELSE 0 END) AS BIGINT) AS outlier_id_sum
+       FROM kk GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_sessionize" -> qSessionize,
+    "q147_event_outliers" -> qEventOutliers,
     "q43_value_runs" -> qValueRuns,
     "q44_asof_prior_purchase" -> qAsofPriorPurchase,
     "q45_purchase_click_window" -> qPurchaseClickWindow)
 
   val oracles: Map[String, String] = Map(
     "q42_sessionize" -> qSessionizeSql,
+    "q147_event_outliers" -> qEventOutliersSql,
     "q43_value_runs" -> qValueRunsSql,
     "q44_asof_prior_purchase" -> qAsofPriorPurchaseSql,
     "q45_purchase_click_window" -> qPurchaseClickWindowSql)
