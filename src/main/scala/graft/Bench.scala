@@ -147,7 +147,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars
     // of output; with 90+ queries the detailed line above no longer fits
     // (BENCH_r03's per-query seconds were truncated away). Re-print the

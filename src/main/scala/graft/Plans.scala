@@ -725,7 +725,25 @@ object Plans {
         |file (the geometry that defeats min/max). The equality
         |predicate still pushes into the surviving scan for row-group
         |skipping — three skipping layers compose: manifest range,
-        |manifest bloom, parquet footer.""".stripMargin)
+        |manifest bloom, parquet footer.""".stripMargin,
+    "q145_ivfpq_index" ->
+      """The composed FAISS-IVFPQ build: one broadcast-argmax routing
+        |pass (no join), residual subtraction in the same map, then
+        |the PQ trainer's per-round single scan with map-side-combined
+        |fixed-point sums — driver state is M·k·(d/M) doubles, and no
+        |shuffle ever carries a vector. The final ledger aggregation
+        |shuffles (bucket, subspace, codeword) triples only. The
+        |serving shape this certifies: bucket-partitioned 2-byte
+        |codes, ADC scoring of probed buckets, exact re-rank reading
+        |full vectors for the shortlist alone — RAM-served at 100 TB
+        |of embeddings.""".stripMargin,
+    "q147_event_outliers" ->
+      """One shuffle on event_type, then a narrow per-type sort
+        |feeding two stacked windows (rank + per-type count) and a
+        |final tiny aggregate — the §2.5 shape. Exact rank-based p99
+        |is the oracle anchor; a 100 TB monitor runs
+        |percentile_approx and validates against this, the same
+        |exact-vs-approx pairing as q31/q97.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
