@@ -891,6 +891,58 @@ object TextAnalysis {
        FROM s ORDER BY doc_id"""
   }
 
+  /** q148 — Efraimidis–Spirakis weighted sampling WITHOUT replacement,
+    * the exact-k companion to q78's per-doc Bernoulli keep (curation
+    * wants both: q78 thins a corpus proportionally, THIS picks
+    * "exactly the k docs for the curated subset, quality-weighted"):
+    * each doc draws key = ln(u)/w with u ∈ (0,1] from the portable
+    * hash — deterministic, engine-replayable; `rand(seed)` reproduces
+    * in no second engine — and w = the shared q23 quality; the top-k
+    * keys ARE a weighted sample without replacement (the E–S
+    * theorem; ln(u)/w ranks identically to the paper's u^(1/w), and
+    * the log form needs one libm call instead of pow's two). One
+    * narrow shuffle-free scoring pass + TakeOrderedAndProject, the
+    * q140 top-k shape — at 100 TB this is scan-bound with per-
+    * partition heaps of k rows. Output carries rank + the integer
+    * evidence (hash draw, fixed-point quality), never the float key
+    * (ln is the one q77-precedent libm call; ranks only flip on
+    * real-arithmetic ties, which force identical (h, fp) pairs —
+    * resolved identically by the doc_id tiebreak). */
+  private val WSampleK = 50
+
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val scored = qualityScores(s, dir)
+      .withColumn("h", expr(
+        "graft_polyhash(concat(cast(doc_id as string), ':graftwsamp'), 131L, 998244353L)"))
+      .withColumn("skey",
+        log(($"h" + lit(1L)).cast("double") / lit(998244354.0)) / $"quality")
+    val top = scored.orderBy($"skey".desc, $"doc_id").limit(WSampleK)
+    top.withColumn("rank", row_number().over(Window.orderBy($"skey".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"h",
+        floor($"quality" * lit(1048576.0)).cast("long").as("fp_quality"))
+      .orderBy($"rank")
+  }
+
+  val qWeightedSampleSql: String = {
+    val hash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(CAST(doc_id AS VARCHAR) || ':graftwsamp', ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc*131 + x) % 998244353)"""
+    s"""WITH q AS ($qualityScoresSqlCte),
+       scored AS (
+         SELECT doc_id, quality, $hash AS h,
+           ln((CAST($hash AS DOUBLE) + 1.0) / 998244354.0) / quality AS skey
+         FROM q)
+       SELECT rank, doc_id, h,
+         CAST(floor(quality * 1048576.0) AS BIGINT) AS fp_quality
+       FROM (
+         SELECT doc_id, quality, h,
+           ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS rank
+         FROM scored) x
+       WHERE rank <= $WSampleK ORDER BY rank"""
+  }
+
   /** Shard count for q82. A semantic constant of THIS query (mirrored
     * in the oracle), sized to the testdata; in production the shard
     * count is the training job's file-parallelism target (thousands),
@@ -2056,7 +2108,8 @@ object TextAnalysis {
     "q140_bm25_topk" -> qBm25TopK,
     "q142_posting_bm25" -> qPostingBm25,
     "q143_incremental_postings" -> qIncrementalPostings,
-    "q146_source_lang_cube" -> qSourceLangCube)
+    "q146_source_lang_cube" -> qSourceLangCube,
+    "q148_weighted_sample" -> qWeightedSample)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -2090,5 +2143,6 @@ object TextAnalysis {
     "q140_bm25_topk" -> qBm25TopKSql,
     "q142_posting_bm25" -> qPostingBm25Sql,
     "q143_incremental_postings" -> qIncrementalPostingsSql,
-    "q146_source_lang_cube" -> qSourceLangCubeSql)
+    "q146_source_lang_cube" -> qSourceLangCubeSql,
+    "q148_weighted_sample" -> qWeightedSampleSql)
 }

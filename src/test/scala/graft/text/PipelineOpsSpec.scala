@@ -487,4 +487,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inc.forall(_.getAs[Boolean]("delta_matches_cdc")),
       "CDC view of the update window must contain exactly the delta's postings")
   }
+
+  test("q148: weighted sample is deterministic, sized k, and quality-biased") {
+    val a = TextAnalysis.qWeightedSample(spark, Sf0001).collect()
+    val b = TextAnalysis.qWeightedSample(spark, Sf0001).collect()
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq,
+      "hash-keyed sampling must be run-stable")
+    assert(a.length == 50 && a.map(_.getInt(0)).toSeq == (1 to 50))
+    assert(a.map(_.getLong(1)).distinct.length == 50, "without replacement")
+    // weighting bias: the sample's mean fixed-point quality must beat
+    // the corpus mean (E-S inclusion probability is monotone in w;
+    // deterministic for the fixed fixture)
+    val sampleMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    val corpus = TextAnalysis.qualityScores(spark, Sf0001)
+      .select((org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("quality") * 1048576.0)).cast("long"))
+      .collect().map(_.getLong(0))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean quality $sampleMean <= corpus mean $corpusMean")
+  }
 }
