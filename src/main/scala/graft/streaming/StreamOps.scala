@@ -49,6 +49,35 @@ object StreamOps {
       .select($"user_id", $"session.start".as("session_start"), $"n_events")
   }
 
+  /** Stream–stream interval join — q45's streaming twin (purchases ⋈
+    * clicks within the following hour, both sides UNBOUNDED streams):
+    * the one §2.3 join shape whose streaming form needs genuinely new
+    * machinery, because BOTH sides must buffer state and the engine
+    * has to know when a buffered row can never match again. The
+    * watermarks + the time-range predicate give it exactly that:
+    * clicks watermarked 2 h can drop purchase state older than
+    * wm − 1 h (the join reach), and vice versa — state is bounded by
+    * wall-clock reach, never stream length, which is what lets this
+    * run forever on an unbounded event stream. Append-mode output:
+    * a joined pair emits once both watermarks pass its window. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val s = purchases.sparkSession
+    import s.implicits._
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"vid_id".as("purchase_event"))
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"vid_id".as("click_event"))
+    p.join(c, $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" &&
+        $"c_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"purchase_event", $"click_event", $"p_user".as("user_id"),
+        $"p_ts", $"c_ts")
+  }
+
   /** Late-data segment dedup — the reference drops duplicate transcript
     * lines by checking existing `start` values before insert
     * (maintain_database.py:456-481); in streaming that is

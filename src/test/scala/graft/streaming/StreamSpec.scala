@@ -47,6 +47,34 @@ class StreamSpec extends SparkSpec {
     assert(rows == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
   }
 
+  test("purchaseClickJoin: stream-stream interval join matches the batch replay") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Evt]
+    val clicks = MemoryStream[Evt]
+    val q = StreamOps.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ppcj").outputMode("append").start()
+    // vid_id doubles as the event id in the Evt fixture
+    purchases.addData(Evt(1, t("02:00"), "purchase", 100, 0))
+    clicks.addData(
+      Evt(1, t("02:10"), "click", 200, 0),  // in window → joins
+      Evt(1, t("02:59"), "click", 201, 0),  // in window → joins
+      Evt(1, t("03:30"), "click", 202, 0),  // past the 1h reach → no
+      Evt(1, t("01:50"), "click", 203, 0),  // before the purchase → no
+      Evt(2, t("02:10"), "click", 204, 0))  // other user → no
+    q.processAllAvailable()
+    // advance both watermarks far enough that all joinable state closes
+    purchases.addData(Evt(9, t("09:00"), "purchase", 900, 0))
+    clicks.addData(Evt(9, t("09:00"), "click", 901, 0))
+    q.processAllAvailable()
+    val got = spark.table("ppcj").collect()
+      .map(r => (r.getAs[Long]("purchase_event"), r.getAs[Long]("click_event")))
+      .toSet
+    q.stop()
+    // batch replay of the same interval-join predicate (the q45 shape)
+    assert(got == Set((100L, 200L), (100L, 201L), (900L, 901L)),
+      s"stream-stream join diverged: $got")
+  }
+
   test("channelHighWater: custom state advances, never regresses") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
