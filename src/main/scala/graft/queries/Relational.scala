@@ -502,7 +502,85 @@ object Relational {
            SELECT 1 FROM d WHERE d.doc_id = vd.vec_id)) t
        ORDER BY metric, source"""
 
+  /** q149 — ANALYZE-style table statistics (the CBO-stats primitive:
+    * Spark's `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`, and
+    * the numbers a 100 TB deployment feeds its join planner — NDV
+    * drives broadcast-vs-shuffle and join-reorder decisions, null
+    * counts drive IS NULL selectivity, ranges drive partition-prune
+    * estimates): ONE aggregation pass over `orders` computes per-
+    * column row/null/exact-NDV plus canonicalized min/max, then a
+    * `stack` unpivots the single row to one row per column. The
+    * multi-distinct agg plans as a single Expand (rows×#cols — the
+    * standard ANALYZE cost, paid once, not per column-scan), and the
+    * output is engine-exact: NDV is exact COUNT(DISTINCT), numeric
+    * ranges canonicalize to integers (floor(price·100); epoch micros
+    * for dates) so no float/format ambiguity crosses engines, string
+    * ranges stay strings. */
+  def q149TableStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .withColumn("price_c", floor($"o_totalprice" * 100).cast("long"))
+      .withColumn("date_us", unix_micros($"o_orderdate".cast("timestamp")))
+    // (display name, canonical numeric column or null, string column or null)
+    val specs = Seq(
+      ("o_orderkey", Some("o_orderkey"), None),
+      ("o_custkey", Some("o_custkey"), None),
+      ("o_orderstatus", None, Some("o_orderstatus")),
+      ("o_totalprice", Some("price_c"), None),
+      ("o_orderdate", Some("date_us"), None),
+      ("o_orderpriority", None, Some("o_orderpriority")))
+    val aggs = specs.flatMap { case (_, num, str) =>
+      val c = num.orElse(str).get
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = specs.map { case (name, num, str) =>
+      val c = num.orElse(str).get
+      val (minN, maxN) = num match {
+        case Some(_) => (col(s"min_$c").cast("long"), col(s"max_$c").cast("long"))
+        case None    => (lit(null).cast("long"), lit(null).cast("long"))
+      }
+      val (minS, maxS) = str match {
+        case Some(_) => (col(s"min_$c"), col(s"max_$c"))
+        case None    => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      one.select(lit(name).as("col_name"), $"n_rows",
+        ($"n_rows" - col(s"nn_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("ndv"),
+        minN.as("min_num"), maxN.as("max_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+    }.reduce(_ unionByName _)
+    stacked.orderBy($"col_name")
+  }
+
+  val q149Sql: String = {
+    def leg(name: String, expr: String, isNum: Boolean) = {
+      val (mn, mx) =
+        if (isNum) (s"CAST(MIN($expr) AS BIGINT) AS min_num", s"CAST(MAX($expr) AS BIGINT) AS max_num")
+        else ("CAST(NULL AS BIGINT) AS min_num", "CAST(NULL AS BIGINT) AS max_num")
+      val (ms, xs) =
+        if (!isNum) (s"MIN($expr) AS min_str", s"MAX($expr) AS max_str")
+        else ("CAST(NULL AS VARCHAR) AS min_str", "CAST(NULL AS VARCHAR) AS max_str")
+      s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+            CAST(COUNT(*) - COUNT($expr) AS BIGINT) AS n_nulls,
+            CAST(COUNT(DISTINCT $expr) AS BIGINT) AS ndv,
+            $mn, $mx, $ms, $xs
+          FROM orders"""
+    }
+    Seq(
+      leg("o_orderkey", "o_orderkey", isNum = true),
+      leg("o_custkey", "o_custkey", isNum = true),
+      leg("o_orderstatus", "o_orderstatus", isNum = false),
+      leg("o_totalprice", "CAST(floor(o_totalprice * 100) AS BIGINT)", isNum = true),
+      leg("o_orderdate", "epoch_us(CAST(o_orderdate AS TIMESTAMP))", isNum = true),
+      leg("o_orderpriority", "o_orderpriority", isNum = false))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_table_stats" -> q149TableStats,
     "q117_salted_join_rollup" -> q117SaltedJoinRollup,
     "q118_lake_integrity" -> q118LakeIntegrity,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -548,5 +626,6 @@ object Relational {
     "q19_daily_events" -> q19Sql,
     "q20_sampled_estimate" -> q20Sql,
     "q117_salted_join_rollup" -> q117Sql,
-    "q118_lake_integrity" -> q118Sql)
+    "q118_lake_integrity" -> q118Sql,
+    "q149_table_stats" -> q149Sql)
 }
