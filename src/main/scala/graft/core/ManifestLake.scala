@@ -529,24 +529,35 @@ object ManifestLake {
                           cols: Seq[String]): Map[String, Vector[FileBloom]] = {
     if (files.isEmpty || cols.isEmpty) return Map.empty
     val root = Paths.get(dir)
-    val words: Map[String, Int] = parMapMeta(files) { f =>
-      val wanted = math.max(64L, rowCount(s, root.resolve(f)) * BloomBitsPerKey)
+    val footerRows: Map[String, Long] =
+      parMapMeta(files)(f => f -> rowCount(s, root.resolve(f))).toMap
+    val words: Map[String, Int] = footerRows.map { case (f, n) =>
+      val wanted = math.max(64L, n * BloomBitsPerKey)
       var bits = 64L
       while (bits < wanted && bits < (1L << 30)) bits <<= 1
       f -> (bits / 64).toInt
-    }.toMap
+    }
     val colsV = cols.toVector
     val k = BloomK
     val df = s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
       .select(input_file_name().as("_bloom_file") +: colsV.map(col): _*)
     val bWords = s.sparkContext.broadcast(words)
     import s.implicits._
+    // j == -1 rows carry the per-file ROW COUNT the scan actually saw —
+    // reconciled against the footer counts below. The file key is
+    // derived from input_file_name's URI form, which can diverge from
+    // the staged name on exotic partition values (URL-encoding); an
+    // unreconciled file would otherwise commit an all-zero bloom that
+    // silently prunes every probe for rows that exist. Loud beats
+    // silent: mismatch throws.
     val partials = df.mapPartitions { it =>
       def rel(abs: String): String =
         abs.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
       val acc = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
+      val seen = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { r =>
         val f = rel(r.getString(0))
+        seen(f) = seen.getOrElse(f, 0L) + 1L
         val w = bWords.value.getOrElse(f, 0)
         if (w > 0) {
           var j = 0
@@ -567,17 +578,29 @@ object ManifestLake {
           }
         }
       }
-      acc.iterator.map { case ((f, j), bits) => (f, j, bits) }
+      acc.iterator.map { case ((f, j), bits) => (f, j, bits) } ++
+        seen.iterator.map { case (f, n) => (f, -1, Array(n)) }
     }.collect()
     val merged = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
-    partials.foreach { case (f, j, bits) =>
-      merged.get((f, j)) match {
-        case Some(a) =>
-          var i = 0
-          while (i < a.length) { a(i) |= bits(i); i += 1 }
-        case None => merged((f, j)) = bits.clone()
-      }
+    val rowsSeen = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach {
+      case (f, -1, n) => rowsSeen(f) = rowsSeen.getOrElse(f, 0L) + n(0)
+      case (f, j, bits) =>
+        merged.get((f, j)) match {
+          case Some(a) =>
+            var i = 0
+            while (i < a.length) { a(i) |= bits(i); i += 1 }
+          case None => merged((f, j)) = bits.clone()
+        }
     }
+    val unreconciled = files.filter(f =>
+      rowsSeen.getOrElse(f, 0L) != footerRows(f))
+    if (unreconciled.nonEmpty)
+      throw new IllegalStateException(
+        s"bloom build could not reconcile scanned rows with footers for " +
+          s"$unreconciled — input_file_name/staged-name mismatch (partition " +
+          "value needing URL-escaping?); refusing to commit a silent " +
+          "all-zero filter")
     files.map { f =>
       f -> colsV.indices.toVector.map { j =>
         FileBloom(colsV(j), k, merged.getOrElse((f, j), new Array[Long](words(f))))
@@ -915,13 +938,34 @@ object ManifestLake {
     * filter on `col` are conservatively kept, so the index is purely
     * subtractive — adding it can never lose rows. */
   def pruneFilesPoint(snap: Snapshot, col: String, value: Any): Vector[String] = {
+    require(value != null, "point-lookup value must be non-null")
     val ranged = value match {
       case l: Long   => pruneFilesBound(snap, col, Bound.Num(BigDecimal(l)), Bound.Num(BigDecimal(l)))
       case i: Int    => pruneFilesBound(snap, col, Bound.Num(BigDecimal(i)), Bound.Num(BigDecimal(i)))
       case st: String => pruneFilesBound(snap, col, Bound.Str(st), Bound.Str(st))
       case _ => snap.files
     }
-    ranged.filter { f =>
+    // The bloom layer only fires when the probe's KIND provably
+    // matches the committed column's kind: the filters were built from
+    // the column's stored values, so a probe that Spark would satisfy
+    // via type COERCION (a string "123" against a long column, a
+    // double 123.0) hashes differently and would false-negative —
+    // losing rows the pushed filter finds. Kind mismatch (or an
+    // unknown schema) conservatively skips the bloom; the layer stays
+    // purely subtractive.
+    val colType = snap.schema.flatMap(_.fields.find(_.name == col)).map(_.dataType)
+    import org.apache.spark.sql.types._
+    val probeEligible = (value, colType) match {
+      case (_: Long | _: Int | _: Short | _: Byte,
+            Some(LongType | IntegerType | ShortType | ByteType)) => true
+      case (_: String, Some(StringType)) => true
+      case (_, None) => // no committed schema: trust only same-JVM-kind probes
+        value.isInstanceOf[Long] || value.isInstanceOf[Int] ||
+          value.isInstanceOf[String]
+      case _ => false
+    }
+    if (!probeEligible) ranged
+    else ranged.filter { f =>
       snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
         case Some(bf) => bf.mightContain(value)
         case None     => true
@@ -1139,6 +1183,20 @@ object ManifestLake {
     val untouched = outcomes.collect { case Left(st) => st }
     val swaps = outcomes.collect { case Right(sw) => sw }
 
+    // Bloom rebuilds are data scans of the rewritten files — run them
+    // ONCE, before the commit loop (the appendBatch rule: a CAS retry
+    // must never re-run a Spark job). Uniformity is judged from the
+    // pre-loop snapshot; a swap the rebase later abandons just has its
+    // filters dropped by the commit's live-file filter. (The footer
+    // stat jobs below stay inside the loop: those are metadata reads.)
+    val rebuiltBlooms: Map[String, Vector[FileBloom]] = swaps.flatMap { sw =>
+      val uniform = sw.olds.map(f =>
+          snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
+        .reduceOption(_ intersect _).getOrElse(Set.empty)
+      if (uniform.isEmpty) Map.empty[String, Vector[FileBloom]]
+      else buildBlooms(s, dir, sw.news, uniform.toSeq.sorted)
+    }.toMap
+
     // ONE commit for all swaps, rebased on whatever committed since our
     // snapshot. Per swapped partition: drop our olds, add our news, and
     // KEEP anything else (concurrent appends land after this commit too
@@ -1171,19 +1229,10 @@ object ManifestLake {
           val newStats = parMapMeta(statJobs) { case (f, cols) =>
             f -> footerStats(s, root.resolve(f), cols)
           }.filter(_._2.nonEmpty).toMap
-          // uniformly-bloomed partitions re-derive filters for their
-          // rewrites — compaction must not erode the point-lookup index
-          val newBlooms = apply.flatMap { sw =>
-            val uniform = sw.olds.map(f =>
-                latest.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
-              .reduceOption(_ intersect _).getOrElse(Set.empty)
-            if (uniform.isEmpty) Map.empty[String, Vector[FileBloom]]
-            else buildBlooms(s, dir, sw.news, uniform.toSeq.sorted)
-          }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
             latest.txns, latest.stats -- removed ++ newStats, "compact",
             latest.schema,
-            latest.blooms -- removed ++ newBlooms))
+            latest.blooms -- removed ++ rebuiltBlooms))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))

@@ -535,24 +535,31 @@ object Relational {
         countDistinct(col(c)).as(s"ndv_$c"),
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
-    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stacked = specs.map { case (name, num, str) =>
+    // ONE action materializes the single aggregate row; the per-column
+    // unpivot is then a driver-built local relation — the single-pass
+    // property is structural, not dependent on exchange reuse across
+    // six unioned subplans.
+    val row = o.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    val n = row.getAs[Long]("n_rows")
+    def opt[T](field: String): Option[T] = {
+      val i = row.fieldIndex(field)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    specs.map { case (name, num, str) =>
       val c = num.orElse(str).get
       val (minN, maxN) = num match {
-        case Some(_) => (col(s"min_$c").cast("long"), col(s"max_$c").cast("long"))
-        case None    => (lit(null).cast("long"), lit(null).cast("long"))
+        case Some(_) => (opt[Long](s"min_$c"), opt[Long](s"max_$c"))
+        case None    => (None, None)
       }
       val (minS, maxS) = str match {
-        case Some(_) => (col(s"min_$c"), col(s"max_$c"))
-        case None    => (lit(null).cast("string"), lit(null).cast("string"))
+        case Some(_) => (opt[String](s"min_$c"), opt[String](s"max_$c"))
+        case None    => (None, None)
       }
-      one.select(lit(name).as("col_name"), $"n_rows",
-        ($"n_rows" - col(s"nn_$c")).as("n_nulls"),
-        col(s"ndv_$c").as("ndv"),
-        minN.as("min_num"), maxN.as("max_num"),
-        minS.as("min_str"), maxS.as("max_str"))
-    }.reduce(_ unionByName _)
-    stacked.orderBy($"col_name")
+      (name, n, n - row.getAs[Long](s"nn_$c"), row.getAs[Long](s"ndv_$c"),
+        minN, maxN, minS, maxS)
+    }.toDF("col_name", "n_rows", "n_nulls", "ndv",
+        "min_num", "max_num", "min_str", "max_str")
+      .orderBy($"col_name")
   }
 
   val q149Sql: String = {

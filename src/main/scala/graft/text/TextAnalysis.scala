@@ -561,29 +561,29 @@ object TextAnalysis {
   def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val dl = docs.select($"doc_id",
-      when(trim($"text") === "", 0L)
-        .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long")).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
+    val corpus = docs.select(bm25DlCol(s).as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("tot")).head()
     val n = corpus.getLong(0)
     val avgdl = corpus.getLong(1).toDouble / n.toDouble
     val tf = docs
-      .select($"doc_id",
-        when(trim($"text") === "", 0L)
-          .otherwise(size(split(trim(lower($"text")), "\\s+")).cast("long")).as("dl"),
+      .select($"doc_id", bm25DlCol(s).as("dl"),
         explode(split(trim(lower($"text")), "\\s+")).as("word"))
       .filter($"word".isin(Bm25Terms: _*))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // idf literals: ln(1 + (N - df + 0.5)/(df + 0.5)) on the driver —
-    // the oracle computes the same expression inline.
-    val idf = Bm25Terms.map { t =>
+    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl)
+  }
+
+  /** idf literals: ln(1 + (N − df + 0.5)/(df + 0.5)) on the driver —
+    * the oracle computes the same expression inline. ONE home, shared
+    * by q140's from-scratch path and q142/q143's lake serving, so a
+    * formula drift cannot break their shared-oracle claim. */
+  private def bm25Idf(n: Long, dfByTerm: Map[String, Long]): Map[String, Double] =
+    Bm25Terms.map { t =>
       val d = dfByTerm.getOrElse(t, 0L).toDouble
       t -> math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
     }.toMap
-    bm25Rank(s, bm25Pivot(s, tf), idf, avgdl)
-  }
 
   /** (doc_id, word, tf, dl) query-term rows → one row per candidate
     * doc with fixed per-term tf columns (the shape [[bm25Rank]]'s
@@ -663,11 +663,7 @@ object TextAnalysis {
       .select($"doc_id", $"word", $"tf", $"dl")
     val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = Bm25Terms.map { t =>
-      val d = dfByTerm.getOrElse(t, 0L).toDouble
-      t -> math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5))
-    }.toMap
-    bm25Rank(s, bm25Pivot(s, tf), idf, avgdl)
+    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl)
       .withColumn("bucket_pruned_strictly", lit(opened < snap.files.length))
   }
 

@@ -1132,22 +1132,23 @@ object Similarity extends Serializable {
     val vecs = Resources.persist(prepped(s, dir))
     val cents = Resources.broadcast(s,
       vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
-    def residual(v: Vec): (Long, Array[Double]) = {
+    // routing + residual subtraction run ONCE, persisted with the
+    // bucket attached — training and the final encode both read this
+    // frame (the O(k·d) argmax per vector is the dominant cost; paying
+    // it twice would double the build)
+    val routed: Dataset[(Long, Vec)] = Resources.persist(vecs.map { v =>
       val b = nearestBuckets(cents.value, v, 1).head
       val c = cents.value(b.toInt) // centroid ids ARE 0..IvfK-1 (lowest vec_ids)
       val r = new Array[Double](v.v.length)
       var i = 0
       while (i < r.length) { r(i) = v.v(i) - c.v(i); i += 1 }
-      (b, r)
-    }
-    val resids = Resources.persist(
-      vecs.map { v => Vec(v.id, residual(v)._2, 0.0) })
-    val (_, sub, books) = pqTrainOn(s, resids)
+      (b, Vec(v.id, r, 0.0))
+    })
+    val (_, sub, books) = pqTrainOn(s, routed.map(_._2))
     val bcBooks = Resources.broadcast(s, books)
-    vecs.flatMap { v =>
-      val (b, r) = residual(v)
+    routed.flatMap { case (b, rv) =>
       (0 until PqM).iterator.map { m =>
-        val sv = pqSlice(r, m, sub)
+        val sv = pqSlice(rv.v, m, sub)
         val (best, bd) = pqArgmin(bcBooks.value(m), sv)
         var massAcc = 0L
         var i = 0
