@@ -1126,16 +1126,17 @@ object Similarity extends Serializable {
     * layout at 1/128 the bytes), probes ADC-score only the probed
     * buckets' codes, and the exact re-rank reads full vectors for the
     * shortlist alone. */
-  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** The shared IVF-PQ build (q145 ledger, q150 code lake): route +
+    * subtract residuals ONCE into a persisted frame (the O(k·d)
+    * argmax per vector is the dominant cost; paying it twice would
+    * double the build), then train the shared residual codebooks. */
+  private def ivfPqBuild(s: SparkSession, dir: String)
+      : (Dataset[(Long, Vec)], Int, Array[Array[(Long, Array[Double])]]) = {
     import s.implicits._
     import graft.core.Resources
     val vecs = Resources.persist(prepped(s, dir))
     val cents = Resources.broadcast(s,
       vecs.filter((v: Vec) => v.id < IvfK).collect().sortBy(_.id))
-    // routing + residual subtraction run ONCE, persisted with the
-    // bucket attached — training and the final encode both read this
-    // frame (the O(k·d) argmax per vector is the dominant cost; paying
-    // it twice would double the build)
     val routed: Dataset[(Long, Vec)] = Resources.persist(vecs.map { v =>
       val b = nearestBuckets(cents.value, v, 1).head
       val c = cents.value(b.toInt) // centroid ids ARE 0..IvfK-1 (lowest vec_ids)
@@ -1145,7 +1146,13 @@ object Similarity extends Serializable {
       (b, Vec(v.id, r, 0.0))
     })
     val (_, sub, books) = pqTrainOn(s, routed.map(_._2))
-    val bcBooks = Resources.broadcast(s, books)
+    (routed, sub, books)
+  }
+
+  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (routed, sub, books) = ivfPqBuild(s, dir)
+    val bcBooks = graft.core.Resources.broadcast(s, books)
     routed.flatMap { case (b, rv) =>
       (0 until PqM).iterator.map { m =>
         val sv = pqSlice(rv.v, m, sub)
@@ -1185,6 +1192,43 @@ object Similarity extends Serializable {
        FROM a2 a JOIN mass t USING (vec_id, m) JOIN bassign ba USING (vec_id)
        GROUP BY ba.bucket, a.m, a.cid ORDER BY bucket, m, cid"""
   }
+
+  /** q150 — the IVF-PQ CODE LAKE roundtrip (q113's discipline applied
+    * to the compressed index): the build encodes every vector to its
+    * M codeword ids and lands them in a bucket-partitioned parquet
+    * lake — the 2-byte-per-vector serving artifact (codeword ids
+    * dictionary-encode to the 4-bit design width on disk); full
+    * vectors appear nowhere. The query then reads the lake BACK and
+    * derives the (bucket, subspace, codeword) census from the CODES
+    * ALONE — oracled against the same DuckDB replay as q145, so
+    * "the artifact on disk reproduces the assignment exactly" is
+    * hash-verified, not assumed. Serving reads prune statically to
+    * probed bucket partitions, ADC-score the codes, and fetch full
+    * vectors only for the re-rank shortlist (SimilaritySpec pins that
+    * path's recall on the shared books). */
+  def qIvfPqLake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (routed, sub, books) = ivfPqBuild(s, dir)
+    val bcBooks = graft.core.Resources.broadcast(s, books)
+    val codes = routed.map { case (b, rv) =>
+      val cs = Array.tabulate(PqM) { m =>
+        val book = bcBooks.value(m)
+        book(pqArgmin(book, pqSlice(rv.v, m, sub))._1)._1
+      }
+      (rv.id, b, cs(0), cs(1), cs(2), cs(3))
+    }.toDF("vec_id", "bucket", "cid0", "cid1", "cid2", "cid3")
+    val lake = graft.sink.TempDirs.fresh("graft_ivfpq_codes_").toString
+    codes.write.mode("overwrite").partitionBy("bucket").parquet(lake)
+    s.read.parquet(lake)
+      .selectExpr("bucket",
+        "stack(4, 0, cid0, 1, cid1, 2, cid2, 3, cid3) AS (m, cid)")
+      .groupBy($"bucket", $"m", $"cid").agg(count(lit(1)).as("n_members"))
+      .orderBy($"bucket", $"m", $"cid")
+  }
+
+  lazy val qIvfPqLakeSql: String =
+    s"""SELECT bucket, m, cid, n_members FROM ($qIvfPqSql) x
+       ORDER BY bucket, m, cid"""
 
   // --- Gram matrix ----------------------------------------------------
 
@@ -1408,7 +1452,8 @@ object Similarity extends Serializable {
     "q135_hnsw_ann" -> qHnswAnn,
     "q136_hnsw_delta" -> qHnswDelta,
     "q144_pq_compress" -> qPqCompress,
-    "q145_ivfpq_index" -> qIvfPq)
+    "q145_ivfpq_index" -> qIvfPq,
+    "q150_ivfpq_lake" -> qIvfPqLake)
 
   val oracles: Map[String, String] = Map(
     "q31_cosine_topk" -> qCosineTopKSql,
@@ -1427,5 +1472,6 @@ object Similarity extends Serializable {
     "q134_ann_operating_point" -> qAnnOperatingPointSql,
     "q136_hnsw_delta" -> qHnswDeltaSql,
     "q144_pq_compress" -> qPqCompressSql,
-    "q145_ivfpq_index" -> qIvfPqSql)
+    "q145_ivfpq_index" -> qIvfPqSql,
+    "q150_ivfpq_lake" -> qIvfPqLakeSql)
 }

@@ -859,6 +859,35 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.readPoint(spark, dir, "doc_id", 124L).count() == 1)
   }
 
+  test("manifest lake: append inside compaction's commit window keeps every bloom") {
+    val dir = Files.createTempDirectory("mlake22").resolve("lake").toString
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id".as("doc_id"), lit("s0").as("source"))
+    ManifestLake.append(spark, dir, docs(0, 200).repartition(4), "source",
+      maxRecordsPerFile = 40L, bloomCols = Seq("doc_id"))
+    // the race: a bloomed append commits AFTER compaction's rewrites
+    // and bloom rebuild (computed from the PRE-loop snapshot), BEFORE
+    // its commit — the rebase must keep the appended file AND its
+    // bloom, and the rewrites must carry their rebuilt filters
+    ManifestLake.compact(spark, dir, "source",
+      targetRecordsPerFile = 200L, maxConcurrent = 2,
+      beforeCommit = () => {
+        ManifestLake.append(spark, dir, docs(500, 520), "source",
+          bloomCols = Seq("doc_id")); ()
+      },
+      clusterBy = None)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.op == "compact")
+    assert(snap.files.forall(f =>
+      snap.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id")),
+      s"a file lost its bloom across the race: ${
+        snap.files.filterNot(f => snap.blooms.contains(f))}")
+    assert(ManifestLake.read(spark, dir).count() == 220)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 100L).count() == 1)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 510L).count() == 1)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 400L).count() == 0)
+  }
+
   test("manifest lake: streamed batches carry blooms; re-delivery keeps them") {
     val dir = Files.createTempDirectory("mlake21").resolve("lake").toString
     def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
