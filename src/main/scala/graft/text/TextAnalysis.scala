@@ -558,7 +558,12 @@ object TextAnalysis {
   private val Bm25TopK = 10
   private val Bm25Terms = Seq("vector", "stream", "spark")
 
-  def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+  def qBm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopN(s, dir, Bm25TopK)
+
+  /** The q140 pipeline at an arbitrary depth — q151's lexical leg
+    * fuses the top-[[RrfDepth]] list. */
+  private[graft] def bm25TopN(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val corpus = docs.select(bm25DlCol(s).as("dl"))
@@ -572,7 +577,7 @@ object TextAnalysis {
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl)
+    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl, k)
   }
 
   /** idf literals: ln(1 + (N − df + 0.5)/(df + 0.5)) on the driver —
@@ -601,7 +606,8 @@ object TextAnalysis {
     * cross-engine bit-stable double; top-k via TakeOrderedAndProject;
     * rank assigned over the k-row survivor frame. */
   private def bm25Rank(s: SparkSession, piv: DataFrame,
-                       idf: Map[String, Double], avgdl: Double): DataFrame = {
+                       idf: Map[String, Double], avgdl: Double,
+                       k: Int = Bm25TopK): DataFrame = {
     import s.implicits._
     def contrib(t: String): Column = {
       val tfd = col(s"tf_$t").cast("double")
@@ -610,7 +616,7 @@ object TextAnalysis {
     }
     val score = (contrib(Bm25Terms(0)) + contrib(Bm25Terms(1))) + contrib(Bm25Terms(2))
     val top = piv.withColumn("score", score)
-      .orderBy($"score".desc, $"doc_id").limit(Bm25TopK)
+      .orderBy($"score".desc, $"doc_id").limit(k)
     top.withColumn("rank", row_number().over(
         Window.orderBy($"score".desc, $"doc_id")))
       .select(($"rank" +: $"doc_id" +: $"dl" +:
@@ -756,7 +762,9 @@ object TextAnalysis {
   lazy val qPostingBm25Sql: String =
     s"""SELECT x.*, TRUE AS bucket_pruned_strictly FROM ($qBm25TopKSql) x ORDER BY rank"""
 
-  val qBm25TopKSql: String = {
+  lazy val qBm25TopKSql: String = bm25SqlTopN(Bm25TopK)
+
+  private def bm25SqlTopN(k: Int): String = {
     val Seq(t1, t2, t3) = Bm25Terms
     def c(t: String) =
       s"""(COALESCE((SELECT idf FROM idf WHERE word = '$t'), 0.0)
@@ -800,8 +808,63 @@ object TextAnalysis {
          SELECT doc_id, dl, tf_$t1, tf_$t2, tf_$t3,
            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
          FROM scored) x
-       WHERE rank <= $Bm25TopK ORDER BY rank"""
+       WHERE rank <= $k ORDER BY rank"""
   }
+
+  /** q151 — hybrid retrieval via Reciprocal Rank Fusion (Cormack et
+    * al.): the fusion step every production retrieval stack runs over
+    * its lexical and semantic legs — q140's BM25 top-[[RrfDepth]] and
+    * the exact cosine top-[[RrfDepth]] for the query embedding
+    * (vec_id 0; the fixture's embeddings are the documents' embedding
+    * column, same id space) fuse as Σ 1/(60 + rank), a pure function
+    * of the two INTEGER rank lists — no score normalization across
+    * incomparable scales, which is exactly why RRF is the robust
+    * default. Missing-from-one-list contributes 0 (the standard
+    * convention). Both legs are oracle-established pipelines; the
+    * fusion arithmetic is two fixed-order IEEE terms from identical
+    * integers, so the fused ranking is bit-deterministic. Both legs
+    * are top-k streams (per-partition heaps), the fusion joins two
+    * ≤[[RrfDepth]]-row frames — driver-scale, corpus-size-free. */
+  private val RrfDepth = 50
+  private val RrfTopK = 10
+
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = bm25TopN(s, dir, RrfDepth).select($"doc_id", $"rank".as("r_lex"))
+    val sem = graft.vector.Similarity.bruteTopK(s, dir, RrfDepth)
+      .filter($"query_id" === 0L)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("r_sem"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"r_lex".cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"r_sem".cast("double")), lit(0.0)))
+    val top = fused.orderBy($"rrf".desc, $"doc_id").limit(RrfTopK)
+    top.withColumn("rank", row_number().over(Window.orderBy($"rrf".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"r_lex", $"r_sem")
+      .orderBy($"rank")
+  }
+
+  lazy val qHybridRrfSql: String =
+    s"""WITH lex AS (
+         SELECT doc_id, rank AS r_lex FROM (${bm25SqlTopN(RrfDepth)}) b),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sem AS (
+         SELECT doc_id, r_sem FROM (
+           SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+               e.v, (SELECT v FROM emb WHERE vec_id = 0)) DESC, e.vec_id) AS r_sem
+           FROM emb e WHERE e.vec_id != 0) t
+         WHERE r_sem <= $RrfDepth),
+       fused AS (
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+           COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+             + COALESCE(1.0 / (60.0 + s.r_sem), 0.0) AS rrf
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       SELECT rank, doc_id, r_lex, r_sem FROM (
+         SELECT doc_id, r_lex, r_sem,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused) x
+       WHERE rank <= $RrfTopK ORDER BY rank"""
 
   /** Shared `(doc_id, quality)` frame — the q23 quality heuristic as a
     * reusable building block (q78 sampling, q79 canonical selection):
@@ -2105,7 +2168,8 @@ object TextAnalysis {
     "q142_posting_bm25" -> qPostingBm25,
     "q143_incremental_postings" -> qIncrementalPostings,
     "q146_source_lang_cube" -> qSourceLangCube,
-    "q148_weighted_sample" -> qWeightedSample)
+    "q148_weighted_sample" -> qWeightedSample,
+    "q151_hybrid_rrf" -> qHybridRrf)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -2140,5 +2204,6 @@ object TextAnalysis {
     "q142_posting_bm25" -> qPostingBm25Sql,
     "q143_incremental_postings" -> qIncrementalPostingsSql,
     "q146_source_lang_cube" -> qSourceLangCubeSql,
-    "q148_weighted_sample" -> qWeightedSampleSql)
+    "q148_weighted_sample" -> qWeightedSampleSql,
+    "q151_hybrid_rrf" -> qHybridRrfSql)
 }

@@ -71,7 +71,7 @@ object Similarity extends Serializable {
   def qCosineTopK(s: SparkSession, dir: String): DataFrame =
     bruteTopK(s, dir, 5)
 
-  private[vector] def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     graft.expr.VectorExpressions.register(s)
     val emb = withDoubleVec(Tables.embeddings(s, dir), "embedding", "vec")
