@@ -743,7 +743,22 @@ object Plans {
         |final tiny aggregate — the §2.5 shape. Exact rank-based p99
         |is the oracle anchor; a 100 TB monitor runs
         |percentile_approx and validates against this, the same
-        |exact-vs-approx pairing as q31/q97.""".stripMargin)
+        |exact-vs-approx pairing as q31/q97.""".stripMargin,
+    "q150_ivfpq_lake" ->
+      """The compressed index as an on-disk artifact: codes land
+        |bucket-partitioned (static partition pruning at serve time),
+        |and the census is re-derived from the READ-BACK codes — the
+        |scan touches 2-byte-per-vector rows, never a float vector.
+        |At 100 TB of embeddings the code lake is ~1/128 the bytes,
+        |which is what moves ANN serving from disk-bound to
+        |RAM-resident.""".stripMargin,
+    "q151_hybrid_rrf" ->
+      """Two top-k streams (BM25 heap + cosine heap, each
+        |TakeOrderedAndProject) fused by a full-outer join of two
+        |≤50-row frames and one fixed-order two-term sum — after the
+        |legs, the fusion is driver-scale regardless of corpus size.
+        |RRF's rank-only arithmetic is why the plan needs no score
+        |normalization stage at all.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
