@@ -48,8 +48,10 @@ object ScaleData {
     // ROTATES the vector by k positions — norm-preserving and, for
     // the fixtures' random vectors, cosine-decorrelated from the
     // original (a copied vector would be a planted exact near-dup per
-    // replica). Queries (vec_id < 20) and the fixed centroid seeds
-    // (vec_id < 16) stay replica-0-only by construction.
+    // replica). Queries (vec_id < 20) and the coarse-quantizer SEEDS
+    // (the k lowest vec_ids, k = max(16, ceil(N/100)) — ≤ 2000·factor/100,
+    // far below the 1e6 replica offset) stay replica-0-only by
+    // construction.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embReplicas = (0 until factor).map { k =>
       if (k == 0) emb

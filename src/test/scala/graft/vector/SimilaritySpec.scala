@@ -85,9 +85,21 @@ class SimilaritySpec extends SparkSpec {
     }
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val cents = vecs.filter(_._1 < 16)
-    def bucket(v: Array[Double]): Long =
-      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    // TRAINED quantizer replay: k lowest-id seeds (ivfK(500) = 16) +
+    // one fixed-point Lloyd round — the shared trainedCents kernel
+    def assignTo(cs: Seq[(Long, Array[Double])], v: Array[Double]): Long =
+      cs.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val seeds = vecs.filter(_._1 < Similarity.ivfK(vecs.length)).toSeq
+    val a1 = vecs.map { case (_, v) => (assignTo(seeds, v), v) }
+    val cents = seeds.map { case (cid, cv) =>
+      val members = a1.collect { case (c, v) if c == cid => v }
+      if (members.isEmpty) (cid, cv)
+      else (cid, Array.tabulate(cv.length) { j =>
+        val fs = members.map(m => math.floor(m(j) * 1048576L).toLong).sum
+        fs.toDouble / (members.length.toDouble * 1048576L)
+      })
+    }
+    def bucket(v: Array[Double]): Long = assignTo(cents, v)
     val assigned = vecs.map { case (id, v) => (id, v, bucket(v)) }
     val expected = assigned.map { case (id, v, b) =>
       val ws = assigned.collect {
@@ -337,6 +349,48 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRr >= meanAdc + 0.2,
       f"exact re-rank of the ADC shortlist must recover substantial recall " +
         f"(got $meanRr%.3f vs ADC $meanAdc%.3f)")
+  }
+
+  test("coarse quantizer: k derives from corpus size; buckets stay bounded at x10") {
+    // the derivation rule itself
+    assert(Similarity.ivfK(500) == 16)    // floor
+    assert(Similarity.ivfK(2000) == 20)   // sf0.1
+    assert(Similarity.ivfK(5000) == 50)   // this test's x10 corpus
+    assert(Similarity.ivfK(200000) == 2000)
+    // x10 corpus via ScaleData's rotation-decorrelation trick: replica
+    // j offsets vec_id by j*1e6 and rotates the vector j positions
+    val base = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, f) => id -> f.map(_.toDouble) }
+    val x10 = (0 until 10).flatMap { j =>
+      base.map { case (id, v) =>
+        val r = Array.tabulate(v.length)(i => v((i + j) % v.length))
+        (if (j == 0) id else id + j * 1000000L, r)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val ds = graft.core.Resources.persist(
+      spark.createDataset(x10.map { case (id, v) =>
+        Similarity.Vec(id, v, math.sqrt(dot(v, v)))
+      }))
+    val cents = Similarity.trainedCents(spark, ds)
+    assert(cents.length == 50, s"derived k must be 50 at N=5000, got ${cents.length}")
+    // assign every vector; the bucket-size envelope the HNSW build
+    // guards on must hold with real margin
+    val sizes = x10.groupBy { case (_, v) =>
+      val n = math.sqrt(dot(v, v))
+      cents.map(c => (-(dot(v, c.v) / (n * c.norm)), c.id)).min._2
+    }.view.mapValues(_.size)
+    val maxBucket = sizes.values.max
+    info(s"x10 corpus: k=50, max bucket $maxBucket (target ${Similarity.IvfTargetBucket})")
+    assert(sizes.keys.size == 50, "no centroid may end up with an empty cluster here")
+    assert(maxBucket <= Similarity.HnswMaxBucket,
+      s"max bucket $maxBucket exceeds the HNSW build envelope ${Similarity.HnswMaxBucket}")
+    graft.core.Resources.release()
   }
 
   test("q145: composed IVF-PQ ledger marginals are consistent") {
