@@ -875,13 +875,36 @@ object ManifestLake {
     * `keepVersions`). */
   def readChanges(s: SparkSession, dir: String,
                   fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val added = changedFiles(dir, fromExclusive, toInclusive)
+    def snap(v: Long): Snapshot = snapshotAt(dir, v).getOrElse(
+      throw new IllegalStateException(s"manifest v$v of $dir is missing"))
+    if (added.isEmpty) read(s, dir).filter(lit(false))
+    else {
+      // read under the window-end's committed schema so deltas spanning
+      // a column addition present uniformly (older files null-fill)
+      val reader = snap(toInclusive).schema
+        .foldLeft(s.read.option("basePath", dir))(_ schema _)
+      reader.parquet(added.map(f => s"$dir/$f"): _*)
+    }
+  }
+
+  /** The file-set half of [[readChanges]] — the files ADDED by
+    * append/batch commits in (`fromExclusive`, `toInclusive`],
+    * compact/delete commits invisible. ONE definition shared by the
+    * Scala CDC read and the SQL surface's `startingVersion`/
+    * `endingVersion` options ([[GraftLake]]), so the two cannot
+    * drift. Requires the range's manifests to still exist (vacuum
+    * retires them past the grace window — run CDC inside it, or raise
+    * `keepVersions`). */
+  private[core] def changedFiles(dir: String,
+                                 fromExclusive: Long, toInclusive: Long): Vector[String] = {
     require(fromExclusive <= toInclusive,
       s"bad version range ($fromExclusive, $toInclusive]")
     def snap(v: Long): Snapshot = snapshotAt(dir, v).getOrElse(
       throw new IllegalStateException(
         s"manifest v$v of $dir is missing (retired by vacuum?) — " +
           "CDC must run inside the retention window"))
-    val added = ((fromExclusive + 1) to toInclusive).toVector.flatMap { v =>
+    ((fromExclusive + 1) to toInclusive).toVector.flatMap { v =>
       val cur = snap(v)
       // compaction rewrites bytes and deletion removes rows — neither
       // ADDS content, so both are invisible to the changes stream
@@ -891,14 +914,6 @@ object ManifestLake {
                    else snap(v - 1).files.toSet
         cur.files.filterNot(prev)
       }
-    }
-    if (added.isEmpty) read(s, dir).filter(lit(false))
-    else {
-      // read under the window-end's committed schema so deltas spanning
-      // a column addition present uniformly (older files null-fill)
-      val reader = snap(toInclusive).schema
-        .foldLeft(s.read.option("basePath", dir))(_ schema _)
-      reader.parquet(added.map(f => s"$dir/$f"): _*)
     }
   }
 
@@ -945,17 +960,28 @@ object ManifestLake {
       case st: String => pruneFilesBound(snap, col, Bound.Str(st), Bound.Str(st))
       case _ => snap.files
     }
-    // The bloom layer only fires when the probe's KIND provably
-    // matches the committed column's kind: the filters were built from
-    // the column's stored values, so a probe that Spark would satisfy
-    // via type COERCION (a string "123" against a long column, a
-    // double 123.0) hashes differently and would false-negative —
-    // losing rows the pushed filter finds. Kind mismatch (or an
-    // unknown schema) conservatively skips the bloom; the layer stays
-    // purely subtractive.
+    if (!bloomProbeEligible(snap, col, value)) ranged
+    else ranged.filter { f =>
+      snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
+        case Some(bf) => bf.mightContain(value)
+        case None     => true
+      }
+    }
+  }
+
+  /** The bloom layer only fires when the probe's KIND provably
+    * matches the committed column's kind: the filters were built from
+    * the column's stored values, so a probe that Spark would satisfy
+    * via type COERCION (a string "123" against a long column, a
+    * double 123.0) hashes differently and would false-negative —
+    * losing rows the pushed filter finds. Kind mismatch (or an
+    * unknown schema) conservatively skips the bloom; the layer stays
+    * purely subtractive. Shared by [[pruneFilesPoint]] and the SQL
+    * surface's point pruning ([[GraftLake]]). */
+  private[core] def bloomProbeEligible(snap: Snapshot, col: String, value: Any): Boolean = {
     val colType = snap.schema.flatMap(_.fields.find(_.name == col)).map(_.dataType)
     import org.apache.spark.sql.types._
-    val probeEligible = (value, colType) match {
+    (value, colType) match {
       case (_: Long | _: Int | _: Short | _: Byte,
             Some(LongType | IntegerType | ShortType | ByteType)) => true
       case (_: String, Some(StringType)) => true
@@ -963,13 +989,6 @@ object ManifestLake {
         value.isInstanceOf[Long] || value.isInstanceOf[Int] ||
           value.isInstanceOf[String]
       case _ => false
-    }
-    if (!probeEligible) ranged
-    else ranged.filter { f =>
-      snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
-        case Some(bf) => bf.mightContain(value)
-        case None     => true
-      }
     }
   }
 

@@ -693,7 +693,120 @@ object RoundTrips {
        FROM documents WHERE doc_id % 17 <> 0
        GROUP BY source ORDER BY source"""
 
+  /** q152 — the lake's SQL/DataFrame surface end-to-end
+    * ([[graft.core.GraftLake]], `spark.read.format("graft")` /
+    * `CREATE TEMPORARY VIEW ... USING graft`): the reference's
+    * SQL-first access pattern (its dashboard pushes every query to
+    * PostgreSQL, `server/dashboard.py:126-176`) applied to the
+    * manifest lake, so stats-pruned reads (q131), bloom point lookups
+    * (q141), time travel (q130) and CDC (q132) are reachable WITHOUT
+    * the Scala API. Two appends (even doc_ids, then odd) build a
+    * doc_id-clustered two-version lake; six legs then query it through
+    * the DSv2 route: numeric range (SQL BETWEEN), one-sided range
+    * (`>=`), string range on `day_tag`, a point probe (`=` — range
+    * stats + bloom compose), `versionAsOf` time travel, and a
+    * `startingVersion`/`endingVersion` CDC window.
+    *
+    * Each leg carries its content aggregate (rows lost to a wrong
+    * prune break the hash) and `invariant_ok`, pinned TRUE by the
+    * oracle: for filtered legs, the PLANNED scan (the optimizer's
+    * `DataSourceV2ScanRelation`, i.e. what actually executes) opened
+    * strictly fewer files than the snapshot holds AND the filter
+    * reached the scan as a pushed filter; for time travel, the scan
+    * reads exactly v1's file set; for CDC, exactly the files v2 added.
+    * File counts are layout-dependent so the oracle pins booleans,
+    * q131-style; LayoutSpec pins exact prune parity with the Scala
+    * pruning API on a controlled layout. */
+  def qSqlSurfaceRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_sql_lake_").toString
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    val perDay = m / 300 + 1
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("day_tag", date_format(
+        date_add(to_date(lit("2024-01-01")), ($"doc_id" / perDay).cast("int")),
+        "yyyy-MM-dd"))
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 0).repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id", "day_tag"), bloomCols = Seq("doc_id"))
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 1).repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id", "day_tag"), bloomCols = Seq("doc_id"))
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    val v2 = graft.core.ManifestLake.snapshotAt(lake, 2).get
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_lake USING graft OPTIONS (path '$lake')")
+
+    def scanOf(df: DataFrame): graft.core.GraftScan =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.collectFirst { case g: graft.core.GraftScan => g }.get
+    def leg(tag: String, df: DataFrame, ok: graft.core.GraftScan => Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok(scanOf(df))))
+    def prunedAndPushed(g: graft.core.GraftScan): Boolean =
+      g.keptFiles.length < g.totalFiles && g.pushed.nonEmpty
+
+    val legs = Seq(
+      leg("point", s.sql(
+        s"SELECT doc_id, n_chars FROM graft_sql_lake WHERE doc_id = ${m / 2}"),
+        prunedAndPushed),
+      leg("range", s.sql(
+        s"SELECT doc_id, n_chars FROM graft_sql_lake WHERE doc_id BETWEEN ${m / 10} AND ${m / 5}"),
+        prunedAndPushed),
+      leg("range_hi", s.sql(
+        s"SELECT doc_id, n_chars FROM graft_sql_lake WHERE doc_id >= ${m - m / 20}"),
+        prunedAndPushed),
+      leg("str", s.sql(
+        "SELECT doc_id, n_chars FROM graft_sql_lake " +
+          "WHERE day_tag BETWEEN '2024-03-01' AND '2024-04-15'"),
+        prunedAndPushed),
+      leg("travel_v1",
+        s.read.format("graft").option("versionAsOf", "1").load(lake),
+        g => g.totalFiles == v1.files.length && v1.files.length < v2.files.length),
+      leg("cdc",
+        s.read.format("graft")
+          .option("startingVersion", "1").option("endingVersion", "2").load(lake),
+        g => g.totalFiles == v2.files.length - v1.files.length &&
+          g.keptFiles.length == g.totalFiles))
+    legs.reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qSqlSurfaceRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m, MAX(doc_id) // 300 + 1 AS per_day
+                   FROM documents),
+       tagged AS (
+         SELECT doc_id, n_chars, strftime(DATE '2024-01-01'
+           + CAST(doc_id // per_day AS INT), '%Y-%m-%d') AS day_tag
+         FROM documents, mx)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'point' AS leg_tag, doc_id, n_chars FROM tagged, mx
+           WHERE doc_id = m // 2
+         UNION ALL
+         SELECT 'range', doc_id, n_chars FROM tagged, mx
+           WHERE doc_id BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'range_hi', doc_id, n_chars FROM tagged, mx
+           WHERE doc_id >= m - m // 20
+         UNION ALL
+         SELECT 'str', doc_id, n_chars FROM tagged
+           WHERE day_tag BETWEEN '2024-03-01' AND '2024-04-15'
+         UNION ALL
+         SELECT 'travel_v1', doc_id, n_chars FROM tagged WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT 'cdc', doc_id, n_chars FROM tagged WHERE doc_id % 2 = 1) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
@@ -709,6 +822,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,

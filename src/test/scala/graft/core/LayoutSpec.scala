@@ -994,4 +994,79 @@ class LayoutSpec extends SparkSpec {
     assert(vids == scores.filter($"model_id" === 3).select(countDistinct($"vid_id"))
       .head().getLong(0))
   }
+
+  test("DSv2 surface: pushdown reaches the manifest pruning, exact parity with the Scala API") {
+    val dir = Files.createTempDirectory("mdsv2").resolve("lake").toString
+    // controlled layout: 10 range-clustered files on doc_id, a bloom
+    // on a scrambled high-cardinality key, two partitions
+    val docs = spark.range(0, 1000).select(
+      $"id".as("doc_id"),
+      pmod($"id" * 7919, lit(1000)).as("key_id"),
+      when($"id" % 2 === 0, "even").otherwise("odd").as("source"))
+    ManifestLake.append(spark, dir, docs.repartitionByRange(10, $"doc_id"),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("key_id"))
+    ManifestLake.append(spark, dir,
+      spark.range(1000, 1100).select($"id".as("doc_id"),
+        pmod($"id" * 7919, lit(1000)).as("key_id"), lit("even").as("source"))
+        .repartitionByRange(2, $"doc_id"),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("key_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    val v1 = ManifestLake.snapshotAt(dir, 1).get
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.collectFirst { case g: GraftScan => g }
+        .getOrElse(fail("no GraftScan in the optimized plan"))
+
+    val lakeDf = spark.read.format("graft").load(dir)
+
+    // range filter: the planned file set IS pruneFiles' answer
+    val range = lakeDf.filter($"doc_id" >= 250 && $"doc_id" <= 260)
+    val rScan = scanOf(range)
+    val expect = ManifestLake.pruneFiles(snap, "doc_id", BigDecimal(250), BigDecimal(260))
+    assert(rScan.keptFiles == expect,
+      s"DSv2 kept ${rScan.keptFiles} but the Scala API prunes to $expect")
+    assert(rScan.keptFiles.length <= 2 && rScan.totalFiles == snap.files.length)
+    assert(rScan.pushed.nonEmpty, "filters must reach the scan for pruning")
+    assert(range.count() == 11)
+    assert(range.agg(sum($"doc_id")).head().getLong(0) == (250 to 260).sum)
+
+    // point probe on the scrambled key: range stats prune nothing,
+    // the bloom collapses the file set — parity with pruneFilesPoint
+    val key = (123L * 7919) % 1000
+    val point = lakeDf.filter($"key_id" === key)
+    val pScan = scanOf(point)
+    val pExpect = ManifestLake.pruneFilesPoint(snap, "key_id", key)
+    assert(pScan.keptFiles == pExpect)
+    assert(pScan.keptFiles.length < snap.files.length,
+      "bloom must prune the scrambled-key point probe")
+    assert(point.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      docs.unionByName(spark.range(1000, 1100).select($"id".as("doc_id"),
+        pmod($"id" * 7919, lit(1000)).as("key_id"), lit("even").as("source")))
+        .filter($"key_id" === key).collect().map(_.getAs[Long]("doc_id")).toSet)
+
+    // partition-column equality keeps only that partition's files
+    val part = lakeDf.filter($"source" === "odd")
+    val paScan = scanOf(part)
+    assert(paScan.keptFiles.nonEmpty &&
+      paScan.keptFiles.forall(_.startsWith("source=odd/")),
+      s"partition prune kept ${paScan.keptFiles}")
+    assert(part.count() == 500)
+
+    // time travel and CDC read exactly the manifest's file sets
+    val travel = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(scanOf(travel).keptFiles == v1.files)
+    assert(travel.count() == 1000)
+    val cdc = spark.read.format("graft")
+      .option("startingVersion", "1").option("endingVersion", "2").load(dir)
+    assert(scanOf(cdc).keptFiles == snap.files.filterNot(v1.files.toSet))
+    assert(cdc.count() == 100)
+
+    // column pruning reaches the scan schema
+    val narrow = lakeDf.select($"doc_id").filter($"doc_id" < 10)
+    assert(scanOf(narrow).readSchema().fieldNames.toSeq == Seq("doc_id"))
+    assert(narrow.count() == 10)
+  }
 }
