@@ -149,15 +149,31 @@ object ManifestLake {
       Bound.cmp(max, lo).forall(_ >= 0) && Bound.cmp(min, hi).forall(_ <= 0)
     // string bounds ride base64'd (they may contain the ':' / tab
     // separators); numeric keeps the bare legacy form, so pre-string
-    // manifests parse unchanged
-    def encoded: String = (min, max) match {
+    // manifests parse unchanged. Colon-BEARING column names round-trip
+    // (the parser reconstructs them positionally, ManifestParseSpec),
+    // but a name whose LAST colon-component equals a reserved marker
+    // ("bf"/"s64") would shift a NUMERIC segment's dispatch into the
+    // wrong branch at parse time ("x:bf:10:99" reads as a bloom) and
+    // brick every subsequent latestSnapshot — rejected at ENCODE time
+    // so an unparseable line can never be committed. Tabs/newlines are
+    // the line/segment separators themselves — always rejected.
+    private def requireEncodableCol(): Unit = {
+      require(!col.contains('\t') && !col.contains('\n'),
+        s"stats column name '$col' contains a manifest separator — " +
+          "rename or alias it before tracking")
+      val lastSeg = col.substring(col.lastIndexOf(':') + 1)
+      require(lastSeg != "bf" && lastSeg != "s64",
+        s"stats column name '$col' ends in a reserved manifest marker " +
+          "component (':bf' / ':s64') — rename or alias it before tracking")
+    }
+    def encoded: String = { requireEncodableCol(); (min, max) match {
       case (Bound.Str(mn), Bound.Str(mx)) =>
         def b64(v: String) = java.util.Base64.getEncoder.encodeToString(
           v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         s"$col:s64:${b64(mn)}:${b64(mx)}"
       case (Bound.Num(mn), Bound.Num(mx)) => s"$col:$mn:$mx"
       case other => throw new IllegalStateException(s"mixed-kind stats: $other")
-    }
+    } }
   }
 
   /** Per-file Bloom filter over one column — the POINT-LOOKUP half of
@@ -179,6 +195,11 @@ object ManifestLake {
   final case class FileBloom(col: String, k: Int, bits: Array[Long]) {
     def mBits: Int = bits.length * 64
     def mightContain(v: Any): Boolean = {
+      // a zero-WORD filter only arises from a corrupt/truncated
+      // manifest payload (an empty FILE still gets ≥1 all-zero word);
+      // degrade to "might contain" (keep the file) instead of letting
+      // remainderUnsigned-by-zero throw on every probe
+      if (bits.isEmpty) return true
       val (h1, h2) = BloomHash.pair(v)
       var i = 0
       while (i < k) {
@@ -189,6 +210,13 @@ object ManifestLake {
       true
     }
     def encoded: String = {
+      // bloom segments carry their "bf" marker at a fixed offset from
+      // the END (k + payload follow it), so colon-bearing names parse
+      // correctly; only the line/segment separators themselves are
+      // unencodable
+      require(!col.contains('\t') && !col.contains('\n'),
+        s"bloom column name '$col' contains a manifest separator — " +
+          "rename or alias it before tracking")
       val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
       bits.foreach(bb.putLong)
       s"$col:bf:$k:${java.util.Base64.getEncoder.encodeToString(bb.array())}"
@@ -442,6 +470,22 @@ object ManifestLake {
     moved.result()
   }
 
+  /** `input_file_name()` → the lake-relative "<col>=<v>/<file>" key.
+    * The URI form varies (file:/ vs file:///) AND percent-encodes any
+    * byte the on-disk name carries from Hive's partition-value escaping
+    * (spaces, '%', non-ASCII) — without decoding, such partitions never
+    * reconcile with the staged names and every bloom build / delete on
+    * them fails loudly. URI.getPath percent-decodes exactly once,
+    * restoring the on-disk name; a string that doesn't parse as a URI
+    * is already the plain path. The relative key is always the last
+    * two path segments (the lake layout is fixed). */
+  private[core] def relFromUri(abs: String): String = {
+    val path =
+      try Option(new java.net.URI(abs).getPath).getOrElse(abs)
+      catch { case _: java.net.URISyntaxException => abs }
+    path.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+  }
+
   /** Bounded-parallel map for driver-side per-file METADATA reads
     * (footer row counts / stats). These are independent ~KB-sized
     * reads; serially they cost #files × open-latency — measured as
@@ -551,8 +595,7 @@ object ManifestLake {
     // silently prunes every probe for rows that exist. Loud beats
     // silent: mismatch throws.
     val partials = df.mapPartitions { it =>
-      def rel(abs: String): String =
-        abs.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+      def rel(abs: String): String = ManifestLake.relFromUri(abs)
       val acc = scala.collection.mutable.HashMap.empty[(String, Int), Array[Long]]
       val seen = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { r =>
@@ -754,12 +797,7 @@ object ManifestLake {
       .select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toVector
     if (affectedAbs.isEmpty) return 0L
-    // input_file_name's URI form varies (file:/ vs file:///); the lake's
-    // layout is fixed at "<col>=<v>/<file>", so the relative path is
-    // always the last two segments.
-    def rel(abs: String): String =
-      abs.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
-    val affected = affectedAbs.map(rel)
+    val affected = affectedAbs.map(relFromUri)
     require(affected.forall(snap.files.contains),
       s"detection scan returned files outside the snapshot: $affected")
 

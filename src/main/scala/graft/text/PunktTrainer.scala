@@ -324,6 +324,17 @@ object PunktTrainer {
   def train(s: SparkSession, docs: Dataset[String],
             includeAllCollocs: Boolean = false): Punkt.Params = {
     import s.implicits._
+    // Scale guard: with the default (NLTK's default too) the colloc
+    // table only holds pairs whose first token is period-final —
+    // abbreviation-adjacent, a few hundred KiB for full English.
+    // `includeAllCollocs = true` removes that restriction and makes
+    // the collected table CORPUS-BIGRAM-sized — fine for the bounded
+    // in-memory fixtures the specs and q126 train on, a driver OOM at
+    // corpus scale. The require pins it to local (driver-side) inputs
+    // so the flag can never reach a distributed corpus.
+    require(!includeAllCollocs || docs.isLocal,
+      "includeAllCollocs collects a corpus-bigram-sized table on the " +
+        "driver — it is fixture-only and refuses non-local input")
     // phase 1: type counts (map-side combined; table is vocab-bounded)
     val typeRows = docs.flatMap(d => Punkt.tokenizeWords(d).iterator
         .map(t => (t.typ, if (t.periodFinal) 1L else 0L)))

@@ -1069,4 +1069,35 @@ class LayoutSpec extends SparkSpec {
     assert(scanOf(narrow).readSchema().fieldNames.toSeq == Seq("doc_id"))
     assert(narrow.count() == 10)
   }
+
+  test("manifest hardening: separator column names, exotic partition values, corrupt blooms") {
+    // 1. a stats/bloom column whose NAME carries a manifest separator
+    //    is rejected at commit time — never a bricked manifest
+    val dir1 = Files.createTempDirectory("mhard1").resolve("lake").toString
+    val bad = spark.range(0, 10).select(
+      $"id".as("x:bf"), lit("p").as("source"))
+    val e = intercept[Exception] {
+      ManifestLake.append(spark, dir1, bad, "source", statsCols = Seq("x:bf"))
+    }
+    assert(e.getMessage.contains("reserved manifest marker"), e.getMessage)
+    assert(ManifestLake.latestSnapshot(dir1).isEmpty,
+      "the rejected commit must not have produced a manifest")
+
+    // 2. partition values that URL-encode (space, '%') reconcile in the
+    //    bloom build and stay point-readable
+    val dir2 = Files.createTempDirectory("mhard2").resolve("lake").toString
+    val exotic = spark.range(0, 100).select(
+      $"id".as("key_id"),
+      when($"id" % 2 === 0, "a b").otherwise("c%d").as("source"))
+    ManifestLake.append(spark, dir2, exotic, "source",
+      statsCols = Seq("key_id"), bloomCols = Seq("key_id"))
+    val got = ManifestLake.readPoint(spark, dir2, "key_id", 42L)
+    assert(got.count() == 1)
+    assert(got.head.getAs[String]("source") == "a b")
+    assert(ManifestLake.read(spark, dir2).count() == 100)
+
+    // 3. a zero-word bloom payload (corrupt manifest) degrades to
+    //    conservative keep instead of throwing on every probe
+    assert(ManifestLake.FileBloom("k", 7, Array.empty[Long]).mightContain(42L))
+  }
 }
