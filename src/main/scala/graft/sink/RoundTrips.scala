@@ -693,6 +693,90 @@ object RoundTrips {
        FROM documents WHERE doc_id % 17 <> 0
        GROUP BY source ORDER BY source"""
 
+  /** q153 — TWO-dimensional clustered compaction (the full Delta
+    * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
+    * dimension): documents land with two DECORRELATED dimensions
+    * (`xd = doc_id`, `yd` = a multiplicative scramble of doc_id — a
+    * range on one says nothing about the other) in a deliberately
+    * scattered layout, where the pre-compaction census proves range
+    * reads on EITHER dimension must open every file.
+    * [[graft.core.ManifestLake.compact]] with `clusterBy = zv`
+    * ([[graft.core.ManifestLake.zValue]]'s Morton interleave of xd and
+    * yd, materialized at write) then rewrites each partition
+    * range-clustered on the Z-curve, so every output file covers a
+    * TILE of the (xd, yd) plane and the recomputed manifest stats on
+    * xd AND yd are both narrow — range reads on either dimension
+    * prune strictly from the manifest alone, which no single-column
+    * clustering can deliver. Emits per-range content aggregates (a
+    * wrongly-skipped file loses rows and breaks the hash) plus the
+    * oracle-pinned booleans `scattered_opened_all` and
+    * `clustered_pruned` per dimension leg; exact file counts are
+    * layout-dependent and live in LayoutSpec's existing Z-order test.
+    * zv also rides in statsCols so a SECOND clustered compaction
+    * proves idempotent from the manifest's pairwise-disjoint zv
+    * ranges without opening a file. */
+  def qZorderCompactionRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_zorder_lake_").toString
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("xd", $"doc_id")
+      .withColumn("yd", pmod($"doc_id" * 7919, lit(m + 1)))
+      .withColumn("zv", graft.core.ManifestLake.zValue($"xd", $"yd"))
+      .withColumn("part", lit("all"))
+    graft.core.ManifestLake.append(s, lake, docs.repartition(8), "part",
+      statsCols = Seq("xd", "yd", "zv"))
+    val pre = graft.core.ManifestLake.latestSnapshot(lake).get
+    // both-dimension range legs; integer arithmetic replays exactly
+    val ranges = Seq(
+      ("x_lo", "xd", m / 10, m / 5), ("x_hi", "xd", m - m / 10, m),
+      ("y_lo", "yd", m / 10, m / 5), ("y_hi", "yd", m - m / 10, m))
+    val scatteredOpenedAll = ranges.forall { case (_, c, lo, hi) =>
+      graft.core.ManifestLake.pruneFiles(pre, c,
+        BigDecimal(lo), BigDecimal(hi)).length == pre.files.length
+    }
+    val rows = docs.count()
+    graft.core.ManifestLake.compact(s, lake, "part",
+      targetRecordsPerFile = rows / 16 + 1, clusterBy = Some("zv"))
+    val post = graft.core.ManifestLake.latestSnapshot(lake).get
+    ranges.map { case (tag, c, lo, hi) =>
+      val opened = graft.core.ManifestLake.pruneFiles(post, c,
+        BigDecimal(lo), BigDecimal(hi)).length
+      graft.core.ManifestLake.readWhere(s, lake, c, BigDecimal(lo), BigDecimal(hi))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("range_tag", lit(tag))
+        .withColumn("scattered_opened_all", lit(scatteredOpenedAll))
+        .withColumn("clustered_pruned", lit(opened < post.files.length))
+    }.reduce(_ unionByName _)
+      .select($"range_tag", $"n_docs", $"sum_ids", $"sum_chars",
+        $"scattered_opened_all", $"clustered_pruned")
+      .orderBy($"range_tag")
+  }
+
+  val qZorderCompactionRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       dims AS (
+         SELECT doc_id, n_chars, doc_id AS xd,
+           (doc_id * 7919) % (m + 1) AS yd
+         FROM documents, mx)
+       SELECT range_tag, COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         TRUE AS scattered_opened_all, TRUE AS clustered_pruned
+       FROM (
+         SELECT 'x_lo' AS range_tag, d.* FROM dims d, mx
+           WHERE xd BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'x_hi', d.* FROM dims d, mx WHERE xd BETWEEN m - m // 10 AND m
+         UNION ALL
+         SELECT 'y_lo', d.* FROM dims d, mx WHERE yd BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'y_hi', d.* FROM dims d, mx WHERE yd BETWEEN m - m // 10 AND m) t
+       GROUP BY range_tag ORDER BY range_tag"""
+
   /** q152 — the lake's SQL/DataFrame surface end-to-end
     * ([[graft.core.GraftLake]], `spark.read.format("graft")` /
     * `CREATE TEMPORARY VIEW ... USING graft`): the reference's
@@ -807,6 +891,7 @@ object RoundTrips {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
+    "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
@@ -823,6 +908,7 @@ object RoundTrips {
 
   val oracles: Map[String, String] = Map(
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
+    "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
