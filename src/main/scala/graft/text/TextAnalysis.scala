@@ -657,7 +657,7 @@ object TextAnalysis {
     * shared [[bm25Rank]] scoring tail, plus the pruning invariant
     * column (shared by q142 and q143's incremental form). */
   private def serveBm25(s: SparkSession, lake: String,
-                        n: Long, avgdl: Double): DataFrame = {
+                        n: Long, avgdl: Double, k: Int = Bm25TopK): DataFrame = {
     import s.implicits._
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     val termBkts = Bm25Terms
@@ -669,7 +669,7 @@ object TextAnalysis {
       .select($"doc_id", $"word", $"tf", $"dl")
     val dfByTerm = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl)
+    bm25Rank(s, bm25Pivot(s, tf), bm25Idf(n, dfByTerm), avgdl, k)
       .withColumn("bucket_pruned_strictly", lit(opened < snap.files.length))
   }
 
@@ -855,6 +855,63 @@ object TextAnalysis {
                e.v, (SELECT v FROM emb WHERE vec_id = 0)) DESC, e.vec_id) AS r_sem
            FROM emb e WHERE e.vec_id != 0) t
          WHERE r_sem <= $RrfDepth),
+       fused AS (
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+           COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+             + COALESCE(1.0 / (60.0 + s.r_sem), 0.0) AS rrf
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       SELECT rank, doc_id, r_lex, r_sem FROM (
+         SELECT doc_id, r_lex, r_sem,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused) x
+       WHERE rank <= $RrfTopK ORDER BY rank"""
+
+  /** q154 — hybrid retrieval over the SERVING legs (the 100 TB twin of
+    * q151, which fuses the two oracle-anchor pipelines): the lexical
+    * leg serves from the posting LAKE (q142's path — query-term bucket
+    * partitions only, never a corpus tokenize) and the semantic leg
+    * serves from the IVF-PQ index (q145/q150's path — coarse probe →
+    * ADC over 2-byte codes → exact re-rank of a [[RrfShortlist]]-deep
+    * shortlist, [[graft.vector.Similarity.ivfPqServeTopN]]), fused by
+    * the same RRF arithmetic. Nothing in this query touches a
+    * corpus-wide pass at serve time: both legs read build-once
+    * artifacts pruned to the query's buckets.
+    *
+    * The oracle replays the ENTIRE serve path (lexical: q140's
+    * from-scratch replay, which q142 proved ≡ the lake serve;
+    * semantic: the trained-quantizer + residual-PQ + ADC + re-rank
+    * chain — every step fixed-order IEEE over exactly-derived
+    * doubles), so the hash pins the serving artifacts end-to-end —
+    * stronger than an exact-leg comparison, which TextAnalysisSpec
+    * adds separately as the fused-rank agreement gate vs q151 at the
+    * operating point. */
+  private val RrfShortlist = 100
+
+  def qHybridServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = postingLake(s, dir)
+    val (n, avgdl) = {
+      val meta = s.read.parquet(s"$base/meta").head()
+      (meta.getLong(0), meta.getLong(1).toDouble / meta.getLong(0).toDouble)
+    }
+    val lex = serveBm25(s, s"$base/postings", n, avgdl, RrfDepth)
+      .select($"doc_id", $"rank".as("r_lex"))
+    val sem = graft.vector.Similarity
+      .ivfPqServeTopN(s, dir, 0L, RrfShortlist, RrfDepth)
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"r_lex".cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"r_sem".cast("double")), lit(0.0)))
+    val top = fused.orderBy($"rrf".desc, $"doc_id").limit(RrfTopK)
+    top.withColumn("rank", row_number().over(Window.orderBy($"rrf".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"r_lex", $"r_sem")
+      .orderBy($"rank")
+  }
+
+  lazy val qHybridServeSql: String =
+    s"""WITH lex AS (
+         SELECT doc_id, rank AS r_lex FROM (${bm25SqlTopN(RrfDepth)}) b),
+       ${graft.vector.Similarity.ivfPqServeSqlCtes(0L, RrfShortlist, RrfDepth)},
        fused AS (
          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
            COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
@@ -2169,7 +2226,8 @@ object TextAnalysis {
     "q143_incremental_postings" -> qIncrementalPostings,
     "q146_source_lang_cube" -> qSourceLangCube,
     "q148_weighted_sample" -> qWeightedSample,
-    "q151_hybrid_rrf" -> qHybridRrf)
+    "q151_hybrid_rrf" -> qHybridRrf,
+    "q154_hybrid_serve" -> qHybridServe)
 
   val oracles: Map[String, String] = Map(
     "q21_normalize_docs" -> qNormalizeDocsSql,
@@ -2205,5 +2263,6 @@ object TextAnalysis {
     "q143_incremental_postings" -> qIncrementalPostingsSql,
     "q146_source_lang_cube" -> qSourceLangCubeSql,
     "q148_weighted_sample" -> qWeightedSampleSql,
-    "q151_hybrid_rrf" -> qHybridRrfSql)
+    "q151_hybrid_rrf" -> qHybridRrfSql,
+    "q154_hybrid_serve" -> qHybridServeSql)
 }

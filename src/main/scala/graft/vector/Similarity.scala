@@ -1245,7 +1245,7 @@ object Similarity extends Serializable {
     * argmax per vector is the dominant cost; paying it twice would
     * double the build), then train the shared residual codebooks. */
   private def ivfPqBuild(s: SparkSession, dir: String)
-      : (Dataset[(Long, Vec)], Int, Array[Array[(Long, Array[Double])]]) = {
+      : (Dataset[(Long, Vec)], Int, Array[Array[(Long, Array[Double])]], Array[Vec]) = {
     import s.implicits._
     import graft.core.Resources
     val vecs = Resources.persist(prepped(s, dir))
@@ -1268,12 +1268,12 @@ object Similarity extends Serializable {
       (b, Vec(v.id, r, math.sqrt(dotP(r, r))))
     })
     val (_, sub, books) = pqTrainOn(s, routed.map(_._2))
-    (routed, sub, books)
+    (routed, sub, books, cents.value)
   }
 
   def qIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (routed, sub, books) = ivfPqBuild(s, dir)
+    val (routed, sub, books, _) = ivfPqBuild(s, dir)
     val bcBooks = graft.core.Resources.broadcast(s, books)
     routed.flatMap { case (b, rv) =>
       (0 until PqM).iterator.map { m =>
@@ -1314,6 +1314,142 @@ object Similarity extends Serializable {
        GROUP BY ba.bucket, a.m, a.cid ORDER BY bucket, m, cid"""
   }
 
+  /** q154's SEMANTIC serving leg — the production IVF-PQ read path
+    * (coarse probe → ADC over codes → exact re-rank), as a rank list
+    * for one query id. This is the 100 TB serving shape the q145/q150
+    * ledgers certify: the probe prunes to nprobe bucket partitions,
+    * the ADC stage reads 2-byte codes only (distance TABLES — nprobe ×
+    * M × K doubles — broadcast from the driver; per-code cost is M
+    * lookups + 3 adds, no vector bytes), and full vectors are fetched
+    * just for the `shortlist` re-rank candidates. Every step is
+    * fixed-order IEEE arithmetic over exactly-derived doubles
+    * (residual subtraction exact, [[dist2]] ascending-dim fold, ADC
+    * sum in fixed subspace order, cosine re-rank = the q31 fold), so
+    * the WHOLE serve path replays in DuckDB — [[ivfPqServeSqlCtes]]
+    * is that replay, shared by the q154 oracle. */
+  private[graft] def ivfPqServeTopN(s: SparkSession, dir: String, queryId: Long,
+                                    shortlist: Int, k: Int): DataFrame = {
+    import s.implicits._
+    graft.expr.VectorExpressions.register(s)
+    val (routed, sub, books, cents) = ivfPqBuild(s, dir)
+    val bcBooks = graft.core.Resources.broadcast(s, books)
+    val codes = routed.map { case (b, rv) =>
+      val cs = Array.tabulate(PqM) { m =>
+        pqArgmin(bcBooks.value(m), pqSlice(rv.v, m, sub))._1
+      }
+      (rv.id, b, cs(0), cs(1), cs(2), cs(3))
+    }.toDF("vec_id", "bucket", "c0", "c1", "c2", "c3")
+    val q = prepped(s, dir).filter((v: Vec) => v.id == queryId).head()
+    val nprobe = scaledNProbe(OpNProbe, cents.length)
+    val probed = nearestBuckets(cents, q, nprobe)
+    // per probed bucket: the query RESIDUAL's distance table to every
+    // codeword — nprobe × M × K doubles, driver-built and broadcast
+    val tabs: Map[Long, Array[Array[Double]]] = probed.map { b =>
+      val c = cents(b.toInt)
+      val qr = new Array[Double](q.v.length)
+      var i = 0
+      while (i < qr.length) { qr(i) = q.v(i) - c.v(i); i += 1 }
+      b -> Array.tabulate(PqM)(m => {
+        val sv = pqSlice(qr, m, sub)
+        books(m).map { case (_, cv) => dist2(sv, cv) }
+      })
+    }.toMap
+    val bcTabs = graft.core.Resources.broadcast(s, tabs)
+    val short = codes
+      .filter($"bucket".isin(probed: _*) && $"vec_id" =!= queryId)
+      .as[(Long, Long, Int, Int, Int, Int)]
+      .map { case (id, b, c0, c1, c2, c3) =>
+        val t = bcTabs.value(b)
+        (id, ((t(0)(c0) + t(1)(c1)) + t(2)(c2)) + t(3)(c3))
+      }
+      .toDF("vec_id", "adc")
+      .orderBy($"adc".asc, $"vec_id").limit(shortlist)
+    // exact re-rank: full vectors join the broadcast shortlist FIRST,
+    // so vector bytes flow only for shortlist members
+    val bcQ = graft.core.Resources.broadcast(s, q)
+    val reranked = prepped(s, dir)
+      .map(v => (v.id, v.v, v.norm)).toDF("vec_id", "vv", "nn")
+      .join(broadcast(short), Seq("vec_id"))
+      .as[(Long, Array[Double], Double, Double)]
+      .map { case (id, vv, nn, _) =>
+        (id, dotP(vv, bcQ.value.v) / (nn * bcQ.value.norm))
+      }
+      .toDF("vec_id", "sim")
+    reranked
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy($"sim".desc, $"vec_id")))
+      .filter($"r_sem" <= k)
+      .select($"vec_id".as("doc_id"), $"r_sem")
+  }
+
+  /** DuckDB replay of [[ivfPqServeTopN]] as a CTE chain ending in
+    * `sem(doc_id, r_sem)` — composes after [[trainedCentsCtes]]+PQ
+    * chains it includes. Shared by the q154 oracle (TextAnalysis). */
+  private[graft] def ivfPqServeSqlCtes(queryId: Long, shortlist: Int, k: Int): String = {
+    val d2 = pqD2Sql _
+    s"""$trainedCentsCtes,
+       bassign AS (
+         SELECT vec_id, cid AS bucket FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1),
+       resid AS (
+         SELECT e.vec_id,
+           list_transform(generate_series(1, 64),
+             i -> e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS v
+         FROM emb e JOIN bassign a USING (vec_id) JOIN cents c ON c.cid = a.bucket),
+       ${pqSqlCtes("resid")},
+       qprobes AS (
+         SELECT cid AS bucket FROM (
+           SELECT c.cid,
+             ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+               (SELECT v FROM emb WHERE vec_id = $queryId), c.cv) DESC, c.cid) AS rn
+           FROM cents c) t
+         WHERE rn <= (SELECT GREATEST(12, CAST(CEIL(0.15 * k) AS BIGINT)) FROM kn)),
+       qvec AS (SELECT v AS qv FROM emb WHERE vec_id = $queryId),
+       qresid AS (
+         SELECT c.cid AS bucket, p.m,
+           list_slice(list_transform(generate_series(1, 64),
+             i -> qq.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]),
+             p.m * 16 + 1, p.m * 16 + 16) AS sv
+         FROM cents c JOIN qprobes q ON q.bucket = c.cid
+         CROSS JOIN subs p CROSS JOIN qvec qq),
+       adctab AS (
+         SELECT r.bucket, r.m, b.cid, ${d2("r.sv", "b.cv")} AS d
+         FROM qresid r JOIN pc1 b USING (m)),
+       codes AS (
+         SELECT a.vec_id, ba.bucket,
+           COALESCE(MAX(CASE WHEN a.m = 0 THEN a.cid END), 0) AS c0,
+           COALESCE(MAX(CASE WHEN a.m = 1 THEN a.cid END), 0) AS c1,
+           COALESCE(MAX(CASE WHEN a.m = 2 THEN a.cid END), 0) AS c2,
+           COALESCE(MAX(CASE WHEN a.m = 3 THEN a.cid END), 0) AS c3
+         FROM a2 a JOIN bassign ba USING (vec_id)
+         WHERE ba.bucket IN (SELECT bucket FROM qprobes)
+           AND a.vec_id != $queryId
+         GROUP BY a.vec_id, ba.bucket),
+       adc AS (
+         SELECT cd.vec_id,
+           (((SELECT d FROM adctab t WHERE t.bucket = cd.bucket AND t.m = 0 AND t.cid = cd.c0)
+             + (SELECT d FROM adctab t WHERE t.bucket = cd.bucket AND t.m = 1 AND t.cid = cd.c1))
+             + (SELECT d FROM adctab t WHERE t.bucket = cd.bucket AND t.m = 2 AND t.cid = cd.c2))
+             + (SELECT d FROM adctab t WHERE t.bucket = cd.bucket AND t.m = 3 AND t.cid = cd.c3) AS adc
+         FROM codes cd),
+       short AS (
+         SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc ASC, vec_id) AS rn
+           FROM adc) t
+         WHERE rn <= $shortlist),
+       sem AS (
+         SELECT doc_id, r_sem FROM (
+           SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
+               e.v, (SELECT v FROM emb WHERE vec_id = $queryId)) DESC, e.vec_id) AS r_sem
+           FROM emb e JOIN short s ON s.vec_id = e.vec_id) t
+         WHERE r_sem <= $k)"""
+  }
+
   /** q150 — the IVF-PQ CODE LAKE roundtrip (q113's discipline applied
     * to the compressed index): the build encodes every vector to its
     * M codeword ids and lands them in a bucket-partitioned parquet
@@ -1329,7 +1465,7 @@ object Similarity extends Serializable {
     * path's recall on the shared books). */
   def qIvfPqLake(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (routed, sub, books) = ivfPqBuild(s, dir)
+    val (routed, sub, books, _) = ivfPqBuild(s, dir)
     val bcBooks = graft.core.Resources.broadcast(s, books)
     val codes = routed.map { case (b, rv) =>
       val cs = Array.tabulate(PqM) { m =>

@@ -507,4 +507,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"weighted sample mean quality $sampleMean <= corpus mean $corpusMean")
   }
+
+  test("q154: serve-shaped hybrid agrees with the exact-legs fusion at the operating point") {
+    // the fused-rank agreement gate: q151 fuses the ORACLE-ANCHOR legs
+    // (from-scratch BM25 + exact cosine); q154 fuses the SERVING legs
+    // (posting lake + IVF-PQ ADC shortlist + exact re-rank). The
+    // lexical legs are provably identical (q142's pin); the semantic
+    // serve leg may differ only where the ADC shortlist misses a true
+    // neighbor, so the fused top-10 must agree on a large fraction —
+    // floored at the measured value on this worst-case geometry
+    // (uniform random vectors), so a serving regression is loud.
+    val exact = TextAnalysis.qHybridRrf(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    graft.core.Resources.release()
+    val served = TextAnalysis.qHybridServe(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    graft.core.Resources.release()
+    assert(served.length == 10 && exact.length == 10)
+    val overlap = served.count(exact.toSet) / 10.0
+    info(f"fused top-10 agreement q154 vs q151: $overlap%.2f")
+    assert(overlap >= 0.7,
+      f"serve-shaped hybrid agreement $overlap%.2f fell below the 0.7 floor")
+    // determinism: the serve pipeline is RNG-free end-to-end
+    val again = TextAnalysis.qHybridServe(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    graft.core.Resources.release()
+    assert(again.toSeq == served.toSeq, "hybrid serve must be run-stable")
+  }
 }
