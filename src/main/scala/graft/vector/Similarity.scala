@@ -901,6 +901,64 @@ object Similarity extends Serializable {
          SUM(CASE WHEN vec_id % $HnswDeltaMod = 0 THEN 1 ELSE 0 END) > 0 AS dirty
        FROM assign GROUP BY bucket ORDER BY bucket"""
 
+  /** q155 — the q135 SERVE LEDGER, fully relational and ORACLED (the
+    * q136 trick applied to the serve side, shrinking the engine's only
+    * rows-only entry): per (query, probe_rank) — the probed bucket
+    * (the shared assignment argmax's top-nprobe list, identical to
+    * what [[hnswServe]] actually probes), the bucket's candidate-pool
+    * size (every level-0 node the per-bucket graph search can visit),
+    * and the serve beam width ef. What stays procedural in q135 is
+    * only WHICH of these candidates the beam emits; that the emitted
+    * neighbors all lie inside the ledger's probed buckets is pinned in
+    * SimilaritySpec (serve-containment), so the graph walk is fenced
+    * by oracled relational facts on both sides — build (q136) and
+    * serve (this). At scale the ledger is also the serving COST model:
+    * Σ n_candidates over a query's rows bounds its search work. */
+  def qHnswServeLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = graft.core.Resources.persist(prepped(s, dir))
+    val cents = graft.core.Resources.broadcast(s, trainedCents(s, vecs))
+    val nprobe = scaledNProbe(OpNProbe, cents.value.length)
+    val sizes = vecs.map(v => nearestBuckets(cents.value, v, 1).head)
+      .toDF("bucket")
+      .groupBy($"bucket").agg(count(lit(1)).as("n_candidates"))
+    val probes = vecs.filter((v: Vec) => v.id < 20)
+      .flatMap(v => nearestBuckets(cents.value, v, nprobe)
+        .zipWithIndex.map { case (b, i) => (v.id, i + 1, b) })
+      .toDF("query_id", "probe_rank", "bucket")
+    probes.join(sizes, Seq("bucket"), "left")
+      .select($"query_id", $"probe_rank", $"bucket",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        lit(HnswEfS).as("ef"))
+      .orderBy($"query_id", $"probe_rank")
+  }
+
+  /** Oracle: the shared trained-quantizer chain — bucket sizes from
+    * the assignment argmax, probe ranks from the query-side argmax
+    * window, ef a literal. */
+  val qHnswServeLedgerSql: String =
+    s"""WITH $trainedCentsCtes,
+       assign AS (
+         SELECT vec_id, cid AS bucket FROM (
+           SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN cents c) t
+         WHERE rn = 1),
+       sizes AS (SELECT bucket, COUNT(*) AS n_candidates FROM assign GROUP BY bucket),
+       probes AS (
+         SELECT query_id, rn AS probe_rank, cid AS bucket FROM (
+           SELECT q.vec_id AS query_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+           FROM emb q CROSS JOIN cents c WHERE q.vec_id < 20) t
+         WHERE rn <= (SELECT GREATEST($OpNProbe, CAST(CEIL(0.15 * k) AS BIGINT)) FROM kn))
+       SELECT p.query_id, p.probe_rank, p.bucket,
+         CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+         $HnswEfS AS ef
+       FROM probes p LEFT JOIN sizes s USING (bucket)
+       ORDER BY p.query_id, p.probe_rank"""
+
   /** The q135 SERVE stage: probed buckets only (partition-pruned scan
     * of the adjacency lake), per-bucket graph rebuild + beam search,
     * global top-k merge. Probes are a tiny frame (|queries| × nprobe)
@@ -1702,10 +1760,14 @@ object Similarity extends Serializable {
     "q134_ann_operating_point" -> qAnnOperatingPoint,
     // deliberately ABSENT from [[oracles]]: the graph build is
     // procedural, so the driver records the rows-only check; the
-    // recall claim is spec-pinned (SimilaritySpec) and q134 oracles
-    // the same operating point relationally
+    // recall claim is spec-pinned (SimilaritySpec), q134 oracles the
+    // same operating point relationally, q136 oracles the build-side
+    // ledger, and q155 oracles the serve-side probe ledger (plus the
+    // spec's serve-containment fence) — the graph walk is the only
+    // unreplayed step
     "q135_hnsw_ann" -> qHnswAnn,
     "q136_hnsw_delta" -> qHnswDelta,
+    "q155_hnsw_serve_ledger" -> qHnswServeLedger,
     "q144_pq_compress" -> qPqCompress,
     "q145_ivfpq_index" -> qIvfPq,
     "q150_ivfpq_lake" -> qIvfPqLake)
@@ -1726,6 +1788,7 @@ object Similarity extends Serializable {
     "q119_ivf_delta_assign" -> qIvfDeltaAssignSql,
     "q134_ann_operating_point" -> qAnnOperatingPointSql,
     "q136_hnsw_delta" -> qHnswDeltaSql,
+    "q155_hnsw_serve_ledger" -> qHnswServeLedgerSql,
     "q144_pq_compress" -> qPqCompressSql,
     "q145_ivfpq_index" -> qIvfPqSql,
     "q150_ivfpq_lake" -> qIvfPqLakeSql)

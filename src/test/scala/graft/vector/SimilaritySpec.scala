@@ -413,4 +413,59 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("fp_err") >= 0L),
       "L2^2 quantization error mass cannot be negative")
   }
+
+  test("q155: serve ledger fences the graph walk — emitted neighbors lie in probed buckets") {
+    val ledger = Similarity.qHnswServeLedger(spark, Sf0001).collect()
+    graft.core.Resources.release()
+    // relational shape: 20 queries x nprobe rows, ranks contiguous
+    val byQuery = ledger.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 20)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("probe_rank")).sorted.toSeq == (1 to rows.length))
+    }
+    assert(ledger.forall(_.getAs[Int]("ef") == 96))
+    // candidate-pool sizes cover the corpus exactly once per bucket:
+    // distinct (bucket, n_candidates) sums to N when every bucket is
+    // probed by someone (k=16, nprobe=12 at this SF covers all)
+    val probedSizes = ledger.map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("n_candidates"))).distinct
+    assert(probedSizes.forall(_._2 > 0), "no probed bucket may be empty here")
+    // serve containment: every neighbor q135 emits for a query lives
+    // in a bucket that query's ledger rows list — the procedural beam
+    // is fenced by the oracled relational probe set
+    val served = Similarity.qHnswAnn(spark, Sf0001).collect()
+    graft.core.Resources.release()
+    val vecs = graft.core.Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, f) => id -> f.map(_.toDouble) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // trained-quantizer scalar replay (the q95 replay, reused)
+    def assignTo(cs: Seq[(Long, Array[Double])], v: Array[Double]): Long =
+      cs.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val seeds = vecs.filter(_._1 < Similarity.ivfK(vecs.length)).toSeq
+    val a1 = vecs.map { case (_, v) => (assignTo(seeds, v), v) }
+    val cents = seeds.map { case (cid, cv) =>
+      val members = a1.collect { case (c, v) if c == cid => v }
+      if (members.isEmpty) (cid, cv)
+      else (cid, Array.tabulate(cv.length) { j =>
+        val fs = members.map(m => math.floor(m(j) * 1048576L).toLong).sum
+        fs.toDouble / (members.length.toDouble * 1048576L)
+      })
+    }
+    val bucketOf = vecs.map { case (id, v) => id -> assignTo(cents, v) }.toMap
+    val probedByQuery = ledger.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("bucket")).toSet).toMap
+    served.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(probedByQuery(q).contains(bucketOf(n)),
+        s"query $q emitted neighbor $n from an unprobed bucket ${bucketOf(n)}")
+    }
+  }
 }
