@@ -107,15 +107,19 @@ private[core] object GraftLake {
   * cover every file that snapshot knows). */
 private[core] final case class GraftLakeTable(
     dir: String, snap: ManifestLake.Snapshot, files: Vector[String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override val schema: StructType = snap.schema.getOrElse(throw new IllegalStateException(
     s"lake $dir has no committed schema — the SQL surface requires one " +
       "(read it via ManifestLake.read)"))
 
-  override def name(): String = s"graft.`$dir`@v${snap.version}"
+  // no backticks/dots: Spark re-parses table names into attribute
+  // paths in several error/DML flows, and exotic characters turn a
+  // clean "operation unsupported" into a name-syntax error
+  override def name(): String = s"graft_lake_v${snap.version}_$dir"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   /** Partition column = the one schema field no data file carries
     * (layout is `<col>=<v>/<file>` — recovered from the first file's
@@ -126,6 +130,42 @@ private[core] final case class GraftLakeTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
+
+  /** `INSERT INTO` / `df.write.format("graft").mode("append")` — the
+    * SQL WRITE surface, routed through [[ManifestLake.append]]'s CAS
+    * commit so a SQL writer gets exactly the Scala writer's semantics:
+    * staged files, one atomic manifest swap, loser-rebases-and-retries
+    * under contention. Stats and bloom columns CONTINUE the lake's
+    * existing tracking (the columns this snapshot tracks), so a SQL
+    * append can never silently erode the skipping index the readers
+    * depend on. Append-only by design: overwrite is a destructive
+    * whole-lake operation a SQL INSERT should never imply (use the
+    * Scala `deleteWhere`/`compact`/`vacuum` lifecycle); lake CREATION
+    * also stays with the Scala API — the provider needs a committed
+    * schema+layout to bind a table at all. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                "graft SQL surface is append-only: INSERT OVERWRITE would " +
+                  "replace the lake — use the Scala lifecycle operators")
+              val pc = partitionCol.getOrElse(throw new IllegalStateException(
+                s"lake $dir has no partitioned files yet — seed it via " +
+                  "ManifestLake.append before SQL writes"))
+              val statsCols = snap.stats.valuesIterator.flatten
+                .map(_.col).toSeq.distinct.sorted
+              val bloomCols = snap.blooms.valuesIterator.flatten
+                .map(_.col).toSeq.distinct.sorted
+              ManifestLake.append(data.sparkSession, dir, data, pc,
+                statsCols = statsCols, bloomCols = bloomCols)
+              ()
+            }
+        }
+    }
 }
 
 private[core] final class GraftScanBuilder(table: GraftLakeTable)

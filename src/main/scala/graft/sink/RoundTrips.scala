@@ -777,6 +777,82 @@ object RoundTrips {
          SELECT 'y_hi', d.* FROM dims d, mx WHERE yd BETWEEN m - m // 10 AND m) t
        GROUP BY range_tag ORDER BY range_tag"""
 
+  /** q156 — the lake's SQL WRITE surface end-to-end (`INSERT INTO` a
+    * graft view → [[graft.core.ManifestLake.append]]'s CAS commit):
+    * the reference's workers WRITE via SQL throughout (INSERT/UPDATE
+    * against PostgreSQL); this proves a SQL-only user can append to
+    * the manifest lake with full writer semantics. Even doc_ids seed
+    * the lake via the Scala API (creation stays Scala — the provider
+    * needs a committed schema to bind); the odd rows then arrive
+    * through a SQL `INSERT INTO ... SELECT`, which must (a) bump
+    * exactly one manifest version, (b) CONTINUE the lake's stats AND
+    * bloom tracking on its new files — so a post-insert range read
+    * still prunes and a point probe still bloom-skips across old and
+    * new files alike — and (c) land as a CDC-visible append window.
+    * The content plane (aggregates of the full read-back, the pruned
+    * range, the CDC window) is oracled against `documents`; the
+    * tracking-continuation and version facts ride as oracle-pinned
+    * booleans, q131-style. */
+  def qSqlWriteRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_sqlw_lake_").toString
+    val m = Tables.documents(s, dir).agg(max($"doc_id")).head().getLong(0)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 0).repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    // the SQL leg: a view over the lake + INSERT INTO ... SELECT
+    docs.filter($"doc_id" % 2 === 1).repartitionByRange(8, $"doc_id")
+      .createOrReplaceTempView("graft_sqlw_src")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sqlw USING graft OPTIONS (path '$lake')")
+    s.sql("INSERT INTO graft_sqlw SELECT doc_id, source, n_chars FROM graft_sqlw_src")
+    // a graft view binds its manifest snapshot at CREATE time (every
+    // query through it is a consistent read of that version — the
+    // same isolation ManifestLake.read(snapshot) gives Scala callers);
+    // re-create the view to observe the commit just written
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sqlw USING graft OPTIONS (path '$lake')")
+    val v2 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val newFiles = v2.files.toSet --
+      graft.core.ManifestLake.snapshotAt(lake, 1).get.files.toSet
+    // (b): every SQL-inserted file carries the lake's stats AND bloom
+    val trackingContinued = newFiles.nonEmpty && newFiles.forall(f =>
+      v2.stats.getOrElse(f, Vector.empty).exists(_.col == "doc_id") &&
+        v2.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id"))
+    val rangeOpened = graft.core.ManifestLake.pruneFiles(
+      v2, "doc_id", BigDecimal(m / 10), BigDecimal(m / 5)).length
+    def agg(df: DataFrame, tag: String, ok: Boolean) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+    Seq(
+      agg(s.sql("SELECT doc_id, n_chars FROM graft_sqlw"), "full",
+        v2.version == 2L && trackingContinued),
+      agg(graft.core.ManifestLake.readWhere(s, lake, "doc_id",
+          BigDecimal(m / 10), BigDecimal(m / 5)), "range",
+        rangeOpened < v2.files.length),
+      agg(graft.core.ManifestLake.readChanges(s, lake, 1L, 2L), "cdc_insert",
+        newFiles.nonEmpty))
+      .reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qSqlWriteRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'full' AS leg_tag, doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'range', doc_id, n_chars FROM documents, mx
+           WHERE doc_id BETWEEN m // 10 AND m // 5
+         UNION ALL
+         SELECT 'cdc_insert', doc_id, n_chars FROM documents
+           WHERE doc_id % 2 = 1) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   /** q152 — the lake's SQL/DataFrame surface end-to-end
     * ([[graft.core.GraftLake]], `spark.read.format("graft")` /
     * `CREATE TEMPORARY VIEW ... USING graft`): the reference's
@@ -892,6 +968,7 @@ object RoundTrips {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
+    "q156_sql_write" -> qSqlWriteRoundTrip,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTrip,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTrip,
     "q65_replace_partition_lake" -> qReplacePartitionLake,
@@ -909,6 +986,7 @@ object RoundTrips {
   val oracles: Map[String, String] = Map(
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
+    "q156_sql_write" -> qSqlWriteRoundTripSql,
     "q63_csv_ingest_roundtrip" -> qCsvIngestRoundTripSql,
     "q64_batched_write_roundtrip" -> qBatchedWriteRoundTripSql,
     "q65_replace_partition_lake" -> qReplacePartitionLakeSql,
