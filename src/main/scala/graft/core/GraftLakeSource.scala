@@ -119,7 +119,8 @@ private[core] final case class GraftLakeTable(
   // clean "operation unsupported" into a name-syntax error
   override def name(): String = s"graft_lake_v${snap.version}_$dir"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   /** Partition column = the one schema field no data file carries
     * (layout is `<col>=<v>/<file>` — recovered from the first file's
@@ -188,7 +189,22 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  private def toBound(v: Any): Option[Bound] = v match {
+  private def prunable(f: Filter): Boolean = GraftPrune.prunable(f)
+
+  override def build(): Scan = {
+    val kept = table.files.filter(f => pushed.forall(
+      GraftPrune.survives(table.snap, table.partitionCol, f, _)))
+    GraftScan(table, required, kept, pushed)
+  }
+}
+
+/** The filter → file-survival rules, factored out of the builder so
+  * the micro-batch stream applies the IDENTICAL pruning to each CDC
+  * window's files (against the window-end snapshot). */
+private[core] object GraftPrune {
+  import ManifestLake.Bound
+
+  def toBound(v: Any): Option[Bound] = v match {
     case l: Long    => Some(Bound.Num(BigDecimal(l)))
     case i: Int     => Some(Bound.Num(BigDecimal(i)))
     case sh: Short  => Some(Bound.Num(BigDecimal(sh.toInt)))
@@ -199,7 +215,11 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
     case _          => None
   }
 
-  private def prunable(f: Filter): Boolean = f match {
+  /** A filter is usable for manifest pruning when it constrains ONE
+    * column with comparable literal bounds. Everything is returned as
+    * a residual (pruning selects files, rows still filter in-engine),
+    * so an unsupported shape is merely un-pruned, never wrong. */
+  def prunable(f: Filter): Boolean = f match {
     case EqualTo(_, v)            => toBound(v).isDefined
     case GreaterThan(_, v)        => toBound(v).isDefined
     case GreaterThanOrEqual(_, v) => toBound(v).isDefined
@@ -216,9 +236,10 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
     * extra file, never lose one); `=`/`IN` additionally consult the
     * file's bloom through [[ManifestLake.pruneFilesPoint]]'s scalar
     * core. Files without stats on the referenced column are kept. */
-  private def survives(file: String, filter: Filter): Boolean = {
+  def survives(snap: ManifestLake.Snapshot, partitionCol: Option[String],
+               file: String, filter: Filter): Boolean = {
     def ranged(col: String, lo: Option[Bound], hi: Option[Bound]): Boolean =
-      table.snap.stats.getOrElse(file, Vector.empty).find(_.col == col) match {
+      snap.stats.getOrElse(file, Vector.empty).find(_.col == col) match {
         case Some(st) =>
           lo.forall(l => Bound.cmp(st.max, l).forall(_ >= 0)) &&
             hi.forall(h => Bound.cmp(st.min, h).forall(_ <= 0))
@@ -231,12 +252,12 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
       // keeps only that partition's files (string compare on the
       // escaped dir value — lake partition values are written verbatim
       // for the simple keys this engine partitions by)
-      val partOk = !table.partitionCol.contains(col) ||
+      val partOk = !partitionCol.contains(col) ||
         file.takeWhile(_ != '/') == s"$col=$v"
       // bloom: only when the probe kind provably matches (the
       // pruneFilesPoint eligibility rule)
-      val bloomOk = if (!ManifestLake.bloomProbeEligible(table.snap, col, v)) true
-        else table.snap.blooms.getOrElse(file, Vector.empty).find(_.col == col) match {
+      val bloomOk = if (!ManifestLake.bloomProbeEligible(snap, col, v)) true
+        else snap.blooms.getOrElse(file, Vector.empty).find(_.col == col) match {
           case Some(bf) => bf.mightContain(v)
           case None     => true
         }
@@ -249,15 +270,12 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
       case LessThan(c, v)           => ranged(c, None, toBound(v))
       case LessThanOrEqual(c, v)    => ranged(c, None, toBound(v))
       case In(c, vs)                => vs.exists(v => point(c, v))
-      case And(l, r)                => survives(file, l) && survives(file, r)
-      case Or(l, r)                 => survives(file, l) || survives(file, r)
+      case And(l, r)                => survives(snap, partitionCol, file, l) &&
+        survives(snap, partitionCol, file, r)
+      case Or(l, r)                 => survives(snap, partitionCol, file, l) ||
+        survives(snap, partitionCol, file, r)
       case _                        => true
     }
-  }
-
-  override def build(): Scan = {
-    val kept = table.files.filter(f => pushed.forall(survives(f, _)))
-    GraftScan(table, required, kept, pushed)
   }
 }
 
@@ -329,10 +347,14 @@ private[graft] final case class GraftScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = planFiles(keptFiles)
+
+  /** File list → bin-packed input splits (shared by the batch path and
+    * the micro-batch stream, which plans each CDC window's files). */
+  private[core] def planFiles(files: Vector[String]): Array[InputPartition] = {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
-    val pfs = keptFiles.map { rel =>
+    val pfs = files.map { rel =>
       val p = java.nio.file.Paths.get(table.dir).resolve(rel)
       val size = java.nio.file.Files.size(p)
       new PartitionedFile(
@@ -348,6 +370,22 @@ private[graft] final case class GraftScan(
       spark, pfs, FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
       .toArray
   }
+
+  /** `spark.readStream.format("graft")` — the lake as an UNBOUNDED
+    * source: offsets are manifest VERSIONS, each micro-batch is one
+    * CDC window's added files ([[ManifestLake.changedFiles]] — the
+    * same rule as the batch CDC options, so a stream can never see
+    * rows the batch CDC wouldn't). Compaction/delete commits are
+    * invisible (they rewrite bytes, not content — a stream that
+    * re-emitted compacted rows would double-count), and the initial
+    * offset is version 0, so a new consumer BACKFILLS the whole
+    * append history and then tails new commits — the
+    * lake-as-streaming-hub shape (streamSink writes in, this reads
+    * out, exactly-once on both sides: the sink via #txn high-waters,
+    * the source via the engine's offset log). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.getActiveSession.getOrElse(
@@ -403,4 +441,51 @@ private[graft] final case class GraftScan(
       new ParquetOptions(Map.empty[String, String],
         spark.sessionState.conf))
   }
+}
+
+/** Micro-batch stream over the manifest log — see
+  * [[GraftScan.toMicroBatchStream]]. Offsets are plain manifest
+  * versions (monotone by the CAS commit), serialized as their decimal
+  * string in the engine's offset log, so a restarted query resumes
+  * exactly where its checkpoint says. Per-batch files prune with the
+  * scan's pushed filters against the WINDOW-END snapshot's stats
+  * (files a filter provably excludes never enter the batch; rows
+  * still filter in-engine — the same subtractive-only contract as the
+  * batch path). Note: Spark currently runs filter pushdown only for
+  * BATCH V2 relations, so `scan.pushed` is empty on the streaming
+  * path today — the hook is wired so the stream prunes the moment
+  * Spark pushes, and LayoutSpec pins the survival rule itself. */
+private[core] final class GraftMicroBatchStream(scan: GraftScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def dir = scan.table.dir
+
+  private final case class V(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+
+  override def initialOffset(): Offset = V(0L)
+  override def latestOffset(): Offset =
+    V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[V].v
+    val e0 = end.asInstanceOf[V].v
+    if (s0 >= e0) Array.empty
+    else {
+      val files = ManifestLake.changedFiles(dir, s0, e0)
+      val snapEnd = ManifestLake.snapshotAt(dir, e0).getOrElse(
+        throw new IllegalStateException(s"manifest v$e0 of $dir is missing"))
+      val kept = files.filter(f => scan.pushed.forall(
+        GraftPrune.survives(snapEnd, scan.table.partitionCol, f, _)))
+      scan.planFiles(kept)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -1139,4 +1139,66 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.latestSnapshot(dir).get.version == 2L)
     assert(ManifestLake.read(spark, dir).count() == 100)
   }
+
+  test("DSv2 streaming source: manifest versions are offsets, compaction invisible, filters prune") {
+    val dir = Files.createTempDirectory("mdsv2s").resolve("lake").toString
+    val ckpt = Files.createTempDirectory("mdsv2s_ckpt").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+    ManifestLake.append(spark, dir, batch(0, 50), "source", statsCols = Seq("doc_id"))
+    val q = spark.readStream.format("graft").option("path", dir).load()
+      .writeStream.format("memory").queryName("graft_src_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def ids() = spark.table("graft_src_sink")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids() == (0L until 50L), "backfill = the whole append history")
+      // a new append commit becomes the next micro-batch
+      ManifestLake.append(spark, dir, batch(50, 80), "source", statsCols = Seq("doc_id"))
+      q.processAllAvailable()
+      assert(ids() == (0L until 80L))
+      // compaction and deletion commits are INVISIBLE to the stream
+      ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000L)
+      q.processAllAvailable()
+      assert(ids() == (0L until 80L), "compaction must not re-emit rows")
+      ManifestLake.deleteWhere(spark, dir, $"doc_id" === 10L)
+      q.processAllAvailable()
+      assert(ids() == (0L until 80L), "deleteWhere must not re-emit rows")
+      // and the next append still flows
+      ManifestLake.append(spark, dir, batch(80, 90), "source", statsCols = Seq("doc_id"))
+      q.processAllAvailable()
+      assert(ids() == (0L until 90L))
+    } finally q.stop()
+    // a filtered stream stays row-correct (Spark does not run filter
+    // pushdown against streaming V2 scans, so the manifest pruning
+    // hook in GraftMicroBatchStream is dormant until it does — the
+    // residual filter applies in-engine either way); the per-window
+    // file-survival rule itself is pinned directly below
+    val dir2 = Files.createTempDirectory("mdsv2s2").resolve("lake").toString
+    val ckpt2 = Files.createTempDirectory("mdsv2s2_ckpt").toString
+    ManifestLake.append(spark, dir2,
+      batch(0, 1000).repartitionByRange(10, $"doc_id"), "source",
+      statsCols = Seq("doc_id"))
+    val q2 = spark.readStream.format("graft").option("path", dir2).load()
+      .filter($"doc_id" >= 250 && $"doc_id" <= 260)
+      .writeStream.format("memory").queryName("graft_src_sink2")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("graft_src_sink2")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (250L to 260L))
+    } finally q2.stop()
+    // the stream's pruning rule ≡ the batch rule on a CDC window's
+    // files (GraftPrune.survives against the window-end snapshot)
+    val snap2 = ManifestLake.latestSnapshot(dir2).get
+    val win = ManifestLake.changedFiles(dir2, 0L, 1L)
+    val keptWin = win.filter(f => GraftPrune.survives(snap2, Some("source"), f,
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 250L),
+        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 260L))))
+    assert(keptWin.nonEmpty && keptWin.length <= 2,
+      s"window pruning kept ${keptWin.length} of ${win.length}")
+  }
 }
