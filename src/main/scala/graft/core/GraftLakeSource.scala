@@ -62,14 +62,67 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftLake extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes may bring their own schema: `df.write.format("graft")` on a
+  // NOT-YET-EXISTING path creates the lake (first commit = the df's
+  // schema + layout), the one case where no manifest exists to infer
+  // from. Reads always resolve the committed schema.
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftLake.resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    GraftLake.resolve(new CaseInsensitiveStringMap(properties))
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires a 'path' option"))
+    if (ManifestLake.latestSnapshot(dir).isEmpty) {
+      // lake creation through the DataFrame writer: the first commit
+      // establishes schema AND layout, so the partition column (and
+      // optional statsCols/bloomCols, comma-separated) must be named
+      val pc = Option(options.get("partitionCol")).getOrElse(
+        throw new IllegalStateException(
+          s"no committed manifest in $dir — creating a lake through " +
+            "the writer requires a 'partitionCol' option (plus optional " +
+            "'statsCols'/'bloomCols' CSVs)"))
+      def csv(k: String): Seq[String] = Option(options.get(k))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      GraftLakeCreate(dir, schema, pc, csv("statsCols"), csv("bloomCols"))
+    } else GraftLake.resolve(options)
+  }
+}
+
+/** The not-yet-existing-lake table: write-only; its first INSERT runs
+  * [[ManifestLake.append]], whose commit establishes the manifest (and
+  * with it the schema, stats and bloom tracking every later read and
+  * SQL append continues). */
+private[core] final case class GraftLakeCreate(
+    dir: String, override val schema: StructType, partitionCol: String,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  require(schema.fieldNames.contains(partitionCol),
+    s"partitionCol '$partitionCol' is not a column of the written frame")
+
+  override def name(): String = s"graft_lake_new_$dir"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              // SaveMode.Append and ErrorIfExists both land here only
+              // when no manifest exists — either way this IS creation
+              ManifestLake.append(data.sparkSession, dir, data, partitionCol,
+                statsCols = statsCols, bloomCols = bloomCols)
+              ()
+            }
+        }
+    }
 }
 
 private[core] object GraftLake {
@@ -120,7 +173,8 @@ private[core] final case class GraftLakeTable(
   override def name(): String = s"graft_lake_v${snap.version}_$dir"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   /** Partition column = the one schema field no data file carries
     * (layout is `<col>=<v>/<file>` — recovered from the first file's

@@ -1201,4 +1201,36 @@ class LayoutSpec extends SparkSpec {
     assert(keptWin.nonEmpty && keptWin.length <= 2,
       s"window pruning kept ${keptWin.length} of ${win.length}")
   }
+
+  test("DSv2 create path: df.write.format(graft) creates a lake with full tracking") {
+    val dir = Files.createTempDirectory("mdsv2c").resolve("lake").toString
+    spark.range(0, 200)
+      .select($"id".as("doc_id"), pmod($"id" * 31, lit(7)).as("grp"),
+        lit("p0").as("source"))
+      .repartitionByRange(4, $"doc_id")
+      .write.format("graft")
+      .option("partitionCol", "source")
+      .option("statsCols", "doc_id,grp").option("bloomCols", "doc_id")
+      .mode("append").save(dir)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.version == 1L && snap.schema.isDefined)
+    assert(snap.stats.nonEmpty && snap.blooms.nonEmpty)
+    assert(snap.stats.values.forall(_.map(_.col).sorted == Vector("doc_id", "grp")))
+    // the created lake serves every surface: Scala read, SQL read with
+    // pruning, point lookup, and a continuing SQL INSERT
+    assert(ManifestLake.read(spark, dir).count() == 200)
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 42L).count() == 1)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv2c USING graft OPTIONS (path '$dir')")
+    val pruned = spark.sql("SELECT doc_id FROM dsv2c WHERE doc_id BETWEEN 10 AND 20")
+    assert(pruned.count() == 11)
+    // creation without partitionCol is refused with the option named
+    val e = intercept[Exception] {
+      spark.range(0, 5).select($"id".as("x"), lit("p").as("source"))
+        .write.format("graft").mode("append")
+        .save(Files.createTempDirectory("mdsv2c2").resolve("lake").toString)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("partitionCol")), messages(e).mkString(" | "))
+  }
 }
