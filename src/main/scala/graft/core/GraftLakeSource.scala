@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -59,8 +59,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * (every lake this engine writes commits one; pre-schema manifests
   * predate the SQL surface and keep the Scala route).
   */
-final class GraftLake extends TableProvider with DataSourceRegister {
+final class GraftLake extends TableProvider with DataSourceRegister with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the standard-API face of
+    * [[ManifestLake.streamSink]]: one [[ManifestLake.appendBatch]] per
+    * micro-batch, exactly-once via the per-app `#txn` high-water that
+    * rides the same CAS commit as the files (a re-delivered batch id
+    * stages nothing). Paired with the micro-batch READ stream this
+    * closes the lake-as-streaming-hub loop entirely through
+    * `readStream`/`writeStream`. Spark routes here through its V1-sink
+    * fallback (the table declares no STREAMING_WRITE — the V1 bridge
+    * keeps ONE append code path for batch SQL, Scala and streams).
+    *
+    * Options: `appId` namespaces the high-water (two streams feeding
+    * one lake need distinct ids; default "graft-stream");
+    * `partitionCol`/`statsCols`/`bloomCols` seed a NOT-yet-existing
+    * lake (stream-creates work) — on an existing lake the snapshot's
+    * layout and tracked columns are CONTINUED, options only widen. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft stream sink is append-only, got $outputMode — the lake records " +
+        "appends; keep aggregate state in the stream (or foreachBatch+upsert)")
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink requires a 'path' option"))
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    new GraftStreamSink(dir, parameters.getOrElse("appId", "graft-stream"),
+      parameters.get("partitionCol"), csv("statsCols"), csv("bloomCols"))
+  }
 
   // writes may bring their own schema: `df.write.format("graft")` on a
   // NOT-YET-EXISTING path creates the lake (first commit = the df's
@@ -123,6 +153,51 @@ private[core] final case class GraftLakeCreate(
             }
         }
     }
+}
+
+/** The V1 streaming sink behind `writeStream.format("graft")` — see
+  * [[GraftLake.createSink]]. Each micro-batch is ONE
+  * [[ManifestLake.appendBatch]]: distributed staged write, stats +
+  * bloom skipping metadata for the new files, and the `(appId,
+  * batchId)` high-water committed in the same CAS swap — at-least-once
+  * delivery upgraded to exactly-once, byte-identical semantics to the
+  * `foreachBatch(streamSink(...))` route and to batch SQL INSERTs.
+  *
+  * The incoming Dataset wraps the micro-batch's planned
+  * `IncrementalExecution`; it is lifted into a plain batch frame via
+  * [[org.apache.spark.sql.graftbridge.GraftSqlBridge]] so the staged
+  * `df.write` does not re-plan (and re-execute) the batch. */
+private[core] final class GraftStreamSink(
+    dir: String, appId: String, partitionColOpt: Option[String],
+    statsColsOpt: Seq[String], bloomColsOpt: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val batchDf = org.apache.spark.sql.graftbridge.GraftSqlBridge.plannedBatchFrame(data)
+    val snap = ManifestLake.latestSnapshot(dir)
+    // layout: an existing lake's partition column is law (recovered
+    // from the file layout, same rule as the SQL write surface); the
+    // option seeds creation or an emptied lake
+    val pc = snap.flatMap(_.files.headOption.map(_.takeWhile(_ != '=')))
+      .filter(c => batchDf.schema.fieldNames.contains(c))
+      .orElse(partitionColOpt)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed layout in $dir and no 'partitionCol' option — " +
+          "name one to let the stream create the lake"))
+    // tracking: continue what the lake already tracks, widened by any
+    // explicit options (a stream never erodes the skipping index)
+    def tracked(cols: Iterator[String], opt: Seq[String]): Seq[String] =
+      (cols.toSeq ++ opt).distinct.sorted
+    val statsCols = tracked(snap.iterator.flatMap(
+      _.stats.valuesIterator.flatten.map(_.col)), statsColsOpt)
+    val bloomCols = tracked(snap.iterator.flatMap(
+      _.blooms.valuesIterator.flatten.map(_.col)), bloomColsOpt)
+    ManifestLake.appendBatch(batchDf.sparkSession, dir, batchDf, pc, appId,
+      batchId, statsCols = statsCols, bloomCols = bloomCols)
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink(dir=$dir, appId=$appId)"
 }
 
 private[core] object GraftLake {

@@ -700,6 +700,7 @@ object ManifestLake {
   def appendBatch(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
                   appId: String, batchId: Long,
                   maxRecordsPerFile: Long = 1024 * 1024,
+                  statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Snapshot = {
     require(!appId.contains('\n'), "appId must be single-line")
     val root = Paths.get(dir)
@@ -708,16 +709,22 @@ object ManifestLake {
     if (already.exists(_.txns.get(appId).exists(_ >= batchId))) return already.get
     evolveSchema(already.flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
-    // built OUTSIDE the commit loop (one scan of the staged files, a
-    // CAS retry must not re-run it); a duplicate batch detected inside
-    // the loop discards them with the staged files
+    // stats and blooms built OUTSIDE the commit loop (one scan of the
+    // staged files, a CAS retry must not re-run it); a duplicate batch
+    // detected inside the loop discards them with the staged files —
+    // streamed-in files carry the SAME skipping metadata as batch
+    // appends, so a lake fed by a stream never erodes its index
+    val stagedStats =
+      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
+      else parMapMeta(staged)(f => f -> footerStats(s, root.resolve(f), statsCols))
+        .filter(_._2.nonEmpty).toMap
     val stagedBlooms = buildBlooms(s, dir, staged, bloomCols)
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
       else Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
-        latest.map(_.stats).getOrElse(Map.empty), "batch",
+        latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "batch",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
         latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms))
     }.get
@@ -726,12 +733,14 @@ object ManifestLake {
   }
 
   /** `writeStream.foreachBatch(ManifestLake.streamSink(dir, "source"))` —
-    * the packaged exactly-once sink. */
+    * the packaged exactly-once sink. (`writeStream.format("graft")` is
+    * the same sink behind the standard API — [[graft.core.GraftLake]].) */
   def streamSink(dir: String, partitionCol: String, appId: String = "stream",
+                 statsCols: Seq[String] = Nil,
                  bloomCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
     (df, batchId) => {
       appendBatch(df.sparkSession, dir, df, partitionCol, appId, batchId,
-        bloomCols = bloomCols); ()
+        statsCols = statsCols, bloomCols = bloomCols); ()
     }
 
   /** Read the lake as of its latest manifest (or an explicit

@@ -1233,4 +1233,92 @@ class LayoutSpec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("partitionCol")), messages(e).mkString(" | "))
   }
+
+  test("DSv2 stream sink: writeStream.format(graft) appends exactly-once with full tracking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // stream-creates: no lake exists; partitionCol/statsCols/bloomCols
+    // options seed layout + tracking on the first micro-batch
+    val dir = Files.createTempDirectory("mgsink").resolve("lake").toString
+    val ckpt = Files.createTempDirectory("mgsink_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "source")
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .option("appId", "sinkA")
+      .start()
+    try {
+      ms.addData((1L, "x"), (2L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      ms.addData((4L, "y"), (5L, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.read(spark, dir).count() == 5)
+    assert(snap.txns.get("sinkA").exists(_ >= 1L),
+      s"per-app high-water must ride the commits: ${snap.txns}")
+    // streamed-in files carry the SAME skipping metadata as batch appends
+    assert(snap.files.nonEmpty && snap.stats.keySet == snap.files.toSet,
+      "every streamed file must carry range stats")
+    assert(snap.blooms.keySet == snap.files.toSet,
+      "every streamed file must carry its bloom")
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 4L).count() == 1)
+
+    // exactly-once: a re-delivered batch id stages nothing (the
+    // restart-after-crash path, replayed by hand through the same sink)
+    val v = snap.version
+    new GraftStreamSink(dir, "sinkA", None, Nil, Nil)
+      .addBatch(0L, Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "source"))
+    assert(ManifestLake.latestSnapshot(dir).get.version == v, "duplicate batch must not commit")
+    assert(ManifestLake.read(spark, dir).count() == 5)
+
+    // a RESTARTED stream (same checkpoint, new appId-default) resumes
+    // from the offset log; tracking continues from the snapshot even
+    // without options
+    val q2 = ms.toDF().toDF("doc_id", "source")
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData((6L, "y"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.read(spark, dir).count() == 6)
+    assert(snap2.stats.keySet == snap2.files.toSet,
+      "optionless restart must continue the lake's stats tracking")
+
+    // a second INDEPENDENT stream must namespace its high-water
+    val ms2 = MemoryStream[(Long, String)]
+    val q3 = ms2.toDF().toDF("doc_id", "source")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", Files.createTempDirectory("mgsink_ckpt2").toString)
+      .option("appId", "sinkB")
+      .start()
+    try {
+      ms2.addData((100L, "z"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val snap3 = ManifestLake.latestSnapshot(dir).get
+    assert(snap3.txns.contains("sinkB") && snap3.txns.get("sinkA") == snap2.txns.get("sinkA"),
+      s"high-waters must not cross-talk: ${snap3.txns}")
+    assert(ManifestLake.read(spark, dir).count() == 7)
+
+    // non-append output modes are refused loudly
+    val e = intercept[Exception] {
+      ms.toDF().toDF("doc_id", "source").groupBy($"source").count()
+        .writeStream.format("graft")
+        .option("path", Files.createTempDirectory("mgsink3").resolve("lake").toString)
+        .option("checkpointLocation", Files.createTempDirectory("mgsink_ckpt3").toString)
+        .option("partitionCol", "source")
+        .outputMode("complete").start()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("append-only") || m.contains("does not support Complete")),
+      messages(e).mkString(" | "))
+  }
 }
