@@ -236,7 +236,8 @@ private[core] object GraftLake {
 private[core] final case class GraftLakeTable(
     dir: String, snap: ManifestLake.Snapshot, files: Vector[String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override val schema: StructType = snap.schema.getOrElse(throw new IllegalStateException(
     s"lake $dir has no committed schema — the SQL surface requires one " +
@@ -260,6 +261,29 @@ private[core] final case class GraftLakeTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
+
+  /** SQL `DELETE FROM graft.`/dir`` WHERE ...` — routed through
+    * [[ManifestLake.deleteWhere]]: one predicate-pushed detection scan,
+    * only files that actually hold matching rows are rewritten, one
+    * CAS commit (rebasing over concurrent appends). Semantics are
+    * ManifestLake's, which are already SQL DELETE's: rows where the
+    * predicate is NULL are KEPT. Spark only plans this path when every
+    * conjunct translated to a source filter (`canDeleteWhere`) — a
+    * predicate this table can't express fails loudly at plan time,
+    * never partially deletes. A bare `DELETE FROM t` / TRUNCATE
+    * arrives as AlwaysTrue and empties the lake (history stays —
+    * time travel still reads every prior version). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.flatMap(GraftLakeTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    ManifestLake.deleteWhere(spark, dir, cond)
+    ()
+  }
 
   /** `INSERT INTO` / `df.write.format("graft").mode("append")` — the
     * SQL WRITE surface, routed through [[ManifestLake.append]]'s CAS
@@ -296,6 +320,39 @@ private[core] final case class GraftLakeTable(
             }
         }
     }
+}
+
+private[core] object GraftLakeTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** V1 source `Filter` → engine `Column`, for the shapes SQL DELETE
+    * produces. Total over the supported set; `None` makes the whole
+    * delete refuse at plan time (never a partial delete). Column names
+    * are backtick-quoted so dotted names stay single references. */
+  private[core] def filterToColumn(f: Filter): Option[Column] = {
+    def c(name: String): Column = col(s"`${name.replace("`", "``")}`")
+    f match {
+      case EqualTo(a, v)            => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v)           => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(c(a).isNull)
+      case IsNotNull(a)             => Some(c(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case StringContains(a, v)     => Some(c(a).contains(v))
+      case And(l, r)  => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r)   => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(inner) => filterToColumn(inner).map(not)
+      case AlwaysTrue()  => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 private[core] final class GraftScanBuilder(table: GraftLakeTable)
@@ -419,9 +476,19 @@ private[graft] final case class GraftScan(
 
   def totalFiles: Int = table.files.length
 
-  override def readSchema(): StructType = {
-    // data columns first, partition column last — the order the
-    // parquet reader factory emits (readDataSchema ++ partitionSchema)
+  /** EXACTLY the order Spark asked for. The parquet reader factory
+    * physically emits data columns first and the partition column last;
+    * when that differs from the required order the factory is wrapped
+    * in a permutation ([[ReorderingReaderFactory]]) rather than
+    * advertising the physical order here — a readSchema that deviates
+    * from the relation's projection makes the optimizer insert a
+    * reorder Project over the scan, which DML planning (DELETE FROM)
+    * rejects as an unexpected relation shape. */
+  override def readSchema(): StructType = required
+
+  /** What the parquet factory physically emits:
+    * readDataSchema ++ partitionSchema. */
+  private def physicalSchema: StructType = {
     val part = partitionFields
     StructType(required.fields.filterNot(part.contains) ++ part)
   }
@@ -558,7 +625,7 @@ private[graft] final case class GraftScan(
       sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
     hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
       sqlConf.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
-    ParquetPartitionReaderFactory(
+    val parquetFactory = ParquetPartitionReaderFactory(
       spark.sessionState.conf,
       spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
@@ -569,6 +636,59 @@ private[graft] final case class GraftScan(
       None,
       new ParquetOptions(Map.empty[String, String],
         spark.sessionState.conf))
+    // the factory emits readData ++ part; permute only when the
+    // required order differs (a lake whose partition column is not
+    // the trailing schema field)
+    if (physicalSchema.fieldNames.sameElements(required.fieldNames)) parquetFactory
+    else new ReorderingReaderFactory(parquetFactory, physicalSchema, required)
+  }
+}
+
+/** Column-order adapter over a physical reader factory: the parquet
+  * factory emits data columns first and the partition column last;
+  * this permutes each batch/row into the REQUIRED order so
+  * `GraftScan.readSchema` can honor the projection exactly (no
+  * optimizer-inserted reorder Project — which SELECT tolerates but
+  * DELETE FROM planning rejects). Columnar batches permute the column-
+  * vector array (O(#cols) per batch, zero per-row work); the row path
+  * uses a codegen'd `UnsafeProjection` — the same cost as the Project
+  * operator it replaces. */
+private[core] final class ReorderingReaderFactory(
+    inner: PartitionReaderFactory, physical: StructType, out: StructType)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val perm: Array[Int] = out.fieldNames.map(n => physical.fieldNames.indexOf(n))
+  require(perm.forall(_ >= 0),
+    s"required columns ${out.fieldNames.mkString(",")} not all present in " +
+      s"physical schema ${physical.fieldNames.mkString(",")}")
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      perm.toIndexedSeq.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, physical(i).dataType, physical(i).nullable)))
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val r = inner.createColumnarReader(partition)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        new ColumnarBatch(perm.map(b.column), b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
   }
 }
 

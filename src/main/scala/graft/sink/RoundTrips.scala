@@ -965,7 +965,96 @@ object RoundTrips {
          SELECT 'cdc', doc_id, n_chars FROM tagged WHERE doc_id % 2 = 1) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q157 — SQL DML through the path-addressed catalog
+    * ([[graft.core.GraftCatalog]], `graft.`/dir``): the reference's
+    * dashboard speaks INSERT/DELETE to PostgreSQL (reference
+    * `server/dashboard.py`, worker upsert/delete flows); this round
+    * trip proves the manifest lake serves the same DML verbs through
+    * nothing but SQL. One writer-created lake (v1, all documents),
+    * then `INSERT INTO` a shifted synthetic cohort (v2, CAS append
+    * continuing stats+bloom tracking), `DELETE FROM` a doc_id range
+    * (v3, [[graft.core.ManifestLake.deleteWhere]] — only files whose
+    * stats overlap the range are rewritten), and three read legs:
+    * post-delete full scan, `VERSION AS OF 2` time travel (the
+    * pre-delete content, byte-intact history), and a stats-pruned
+    * range read on the surviving data.
+    *
+    * Invariants (pinned TRUE by the oracle): v3 op is "delete"; the
+    * delete REWROTE a strict subset of v2's files (stats-targeted,
+    * not a whole-lake rewrite); the pruned leg's planned scan opened
+    * fewer files than the snapshot holds with the filter pushed.
+    * Content equality is the hash itself — every leg is recomputed
+    * relationally by DuckDB from `documents`. */
+  def qSqlDmlRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_dml_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    docs.repartitionByRange(8, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .mode("append").save(lake)                                        // v1
+    val t = s"graft_dml.`$lake`"
+    docs.filter($"doc_id" % 7 === 3)
+      .select(($"doc_id" + m + 1).as("doc_id"), $"source", $"n_chars")
+      .createOrReplaceTempView("graft_dml_src")
+    s.sql(s"INSERT INTO $t SELECT doc_id, source, n_chars FROM graft_dml_src") // v2
+    val v2 = graft.core.ManifestLake.snapshotAt(lake, 2).get
+    s.sql(s"DELETE FROM $t WHERE doc_id >= ${m / 4} AND doc_id <= ${m / 2}")   // v3
+    val v3 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val rewritten = v2.files.toSet -- v3.files.toSet
+    val deleteTargeted = v3.version == 3L && v3.op == "delete" &&
+      rewritten.nonEmpty && rewritten.size < v2.files.size
+    def scanOf(df: DataFrame): graft.core.GraftScan =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.collectFirst { case g: graft.core.GraftScan => g }.get
+    def leg(tag: String, df: DataFrame, ok: => Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+    val prunedLeg = s.sql(
+      s"SELECT doc_id, n_chars FROM $t WHERE doc_id BETWEEN ${3 * m / 5} AND ${4 * m / 5}")
+    Seq(
+      leg("full", s.sql(s"SELECT doc_id, n_chars FROM $t"), deleteTargeted),
+      leg("tt_v2", s.sql(s"SELECT doc_id, n_chars FROM $t VERSION AS OF 2"),
+        scanOf(s.sql(s"SELECT doc_id FROM $t VERSION AS OF 2")).totalFiles
+          == v2.files.length),
+      leg("pruned", prunedLeg, {
+        val g = scanOf(prunedLeg)
+        g.keptFiles.length < g.totalFiles && g.pushed.nonEmpty
+      }))
+      .reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qSqlDmlRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       base AS (
+         SELECT doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + m + 1, n_chars FROM documents, mx WHERE doc_id % 7 = 3),
+       post AS (
+         SELECT doc_id, n_chars FROM base, mx
+         WHERE NOT (doc_id >= m // 4 AND doc_id <= m // 2))
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'full' AS leg_tag, doc_id, n_chars FROM post
+         UNION ALL
+         SELECT 'tt_v2', doc_id, n_chars FROM base
+         UNION ALL
+         SELECT 'pruned', doc_id, n_chars FROM post, mx
+           WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_sql_dml" -> qSqlDmlRoundTrip,
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
     "q156_sql_write" -> qSqlWriteRoundTrip,
@@ -984,6 +1073,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q157_sql_dml" -> qSqlDmlRoundTripSql,
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
     "q156_sql_write" -> qSqlWriteRoundTripSql,

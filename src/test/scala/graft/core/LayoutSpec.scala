@@ -1321,4 +1321,60 @@ class LayoutSpec extends SparkSpec {
     assert(messages(e).exists(m => m.contains("append-only") || m.contains("does not support Complete")),
       messages(e).mkString(" | "))
   }
+
+  test("GraftCatalog: path tables serve SELECT, VERSION AS OF, INSERT INTO and DELETE FROM") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mgcat").resolve("lake").toString
+    spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+      .repartitionByRange(10, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .mode("append").save(dir)                                        // v1
+    def t = s"graft.`$dir`"
+
+    // SELECT through the catalog identifier — no registration step
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 1000)
+    // range predicates prune through the same manifest stats as q152
+    assert(spark.sql(s"SELECT doc_id FROM $t WHERE doc_id BETWEEN 10 AND 20").count() == 11)
+
+    // INSERT INTO through the catalog = a CAS append continuing tracking
+    spark.sql(s"INSERT INTO $t SELECT id AS doc_id, 'p1' AS source FROM range(1000, 1100)") // v2
+    val snap2 = ManifestLake.latestSnapshot(dir).get
+    assert(snap2.version == 2L && snap2.op == "append")
+    assert(snap2.stats.keySet == snap2.files.toSet, "SQL INSERT must continue stats tracking")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 1100)
+
+    // time travel: VERSION AS OF reads the named manifest
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1").head().getLong(0) == 1000)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 2").head().getLong(0) == 1100)
+
+    // DELETE FROM routes through ManifestLake.deleteWhere: only the
+    // file(s) holding matching rows rewrite, history keeps both versions
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    spark.sql(s"DELETE FROM $t WHERE doc_id >= 250 AND doc_id < 260")  // v3
+    val snap3 = ManifestLake.latestSnapshot(dir).get
+    assert(snap3.op == "delete")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 1090)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE doc_id = 255").head().getLong(0) == 0)
+    assert(filesBefore.intersect(snap3.files.toSet).size == filesBefore.size - 1,
+      "a range-clustered delete must rewrite exactly one file")
+    // the pre-delete version still reads complete — history intact
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 2").head().getLong(0) == 1100)
+
+    // IN-list deletes and null-safe shapes translate too
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN (0, 1, 2)")             // v4
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 1087)
+
+    // destructive catalog ops refuse rather than guess
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DROP TABLE $t")
+    }
+    assert(ManifestLake.latestSnapshot(dir).get.files.nonEmpty, "DROP must not touch the lake")
+    // a missing lake is a missing table, not a crash
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/tmp/definitely/no/lake/here`").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
