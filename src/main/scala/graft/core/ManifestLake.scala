@@ -743,6 +743,178 @@ object ManifestLake {
         statsCols = statsCols, bloomCols = bloomCols); ()
     }
 
+  /** What [[merge]] did, for callers and specs. `rowsUpdated` counts
+    * pre-existing rows replaced (removed from rewritten files);
+    * `rowsInserted` is the update rows that matched nothing. */
+  final case class MergeStats(rowsUpdated: Long, rowsInserted: Long,
+                              filesRewritten: Int)
+
+  /** Keyed MERGE — the upsert specialization (`whenMatched UPDATE *` /
+    * `whenNotMatched INSERT *`) of Delta's MERGE INTO, over the
+    * manifest: every `updates` row lands in the lake exactly once,
+    * replacing any existing row(s) with the same key. The S11/S13
+    * delete-then-insert upsert ([[graft.sink.Sinks.upsertParquet]],
+    * reference worker `INSERT ... ON CONFLICT DO UPDATE`) lifted to
+    * lake granularity: where the sink swaps a whole partition
+    * directory, merge rewrites ONLY the files whose keys collide.
+    *
+    * Algorithm (Delta's, re-expressed over the manifest):
+    *  1. one detection scan tags matching rows with `input_file_name`
+    *     via a semi-join against the update keys → the affected files;
+    *  2. each affected file rewrites concurrently, keeping rows whose
+    *     key is NOT updated (anti-join — NULL-safe on the key equality
+    *     because both sides bind the same columns);
+    *  3. ALL update rows stage as new files (matched replacements and
+    *     fresh inserts alike — they are indistinguishable at write
+    *     time and both must land once);
+    *  4. one CAS commit swaps affected → rewritten + staged, op
+    *     "merge". Concurrent appends rebase in (set-union); a racing
+    *     commit that REPLACED an input file aborts loudly — re-run
+    *     against the new snapshot.
+    *
+    * Duplicate keys in `updates` are refused up front (two updates for
+    * one key have no deterministic winner — Delta throws the same
+    * way). Stats and blooms re-derive for every written file over the
+    * snapshot's tracked columns, so a merge never erodes the skipping
+    * index. Merge commits are CDC-invisible ([[changedFiles]] — their
+    * added files mix carried and new rows).
+    *
+    * Scale: the detection scan is one pushdown-pruned pass over the
+    * lake joined against delta-sized keys (AQE broadcasts small
+    * update sets); rewrite cost is proportional to files TOUCHED, not
+    * lake size; the staged write is delta-sized. The 100 TB shape is
+    * "daily upsert batch against a clustered lake": with updates
+    * clustered on the same key as the layout, affected files ≈
+    * update-key-range / file-range — the same delta-proportional
+    * contract as [[deleteWhere]]. */
+  def merge(s: SparkSession, dir: String, updates: DataFrame,
+            keyCols: Seq[String]): MergeStats =
+    merge(s, dir, updates, keyCols, () => ())
+
+  /** Test seam, as for deleteWhere/compact: `beforeCommit` runs after
+    * the rewrites and staged writes, before the commit loop — the
+    * window a concurrent commit must rebase over. */
+  private[core] def merge(s: SparkSession, dir: String, updates: DataFrame,
+                          keyCols: Seq[String],
+                          beforeCommit: () => Unit): MergeStats = {
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"lake $dir has no committed schema — merge needs one to align columns"))
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns ${keyCols.mkString(",")} must exist in the lake schema")
+    require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge updates must carry exactly the lake's columns " +
+        s"(${schema.fieldNames.sorted.mkString(",")}), got " +
+        s"(${updates.columns.sorted.mkString(",")}) — schema evolution " +
+        "belongs to append")
+    val partitionCol = snap.files.headOption.map(_.takeWhile(_ != '='))
+      .getOrElse(throw new IllegalStateException(
+        s"lake $dir has no files — merge into an empty lake is an append"))
+
+    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit}
+    val keyed = updates.persist()
+    try {
+      val dupKeys = keyed.groupBy(keyCols.map(col): _*)
+        .agg(cnt(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        "updates carry duplicate keys — two updates for one key have no " +
+          "deterministic winner; dedupe (e.g. keep-latest) before merging")
+      val keys = keyed.select(keyCols.map(col): _*).distinct()
+
+      // 1. detection: which files hold a matching key
+      val affectedAbs = read(s, dir, Some(snap))
+        .withColumn("__graft_file", input_file_name())
+        .join(keys, keyCols, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(_.getString(0)).toVector
+      val affected = affectedAbs.map(relFromUri)
+      require(affected.forall(snap.files.contains),
+        s"detection scan returned files outside the snapshot: $affected")
+
+      // 2. rewrite survivors of each affected file (concurrent jobs,
+      // the deleteWhere pool pattern)
+      final case class Rewrite(old: String, kept: Option[String], rowsRemoved: Long)
+      def rewriteOne(f: String): Rewrite = {
+        val partDir = f.takeWhile(_ != '/')
+        val rowsBefore = rowCount(s, root.resolve(f))
+        val keepDf = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          .parquet(s"$dir/$f")
+          .join(keys, keyCols, "left_anti")
+          .drop(partitionCol)
+        val stage = root.resolve(s".stage_${UUID.randomUUID()}")
+        keepDf.coalesce(1).write.parquet(stage.toString)
+        val out = {
+          val fs = Files.list(stage)
+          try fs.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+          finally fs.close()
+        }
+        var rowsAfter = 0L
+        val kept = out.flatMap { o =>
+          rowsAfter = rowCount(s, o)
+          if (rowsAfter == 0L) None
+          else {
+            val unique = s"${UUID.randomUUID()}-${o.getFileName}"
+            Files.move(o, root.resolve(partDir).resolve(unique))
+            Some(s"$partDir/$unique")
+          }
+        }
+        deleteTree(stage)
+        Rewrite(f, kept, rowsBefore - rowsAfter)
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, affected.length)))
+      val rewrites: Vector[Rewrite] =
+        if (affected.isEmpty) Vector.empty
+        else try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(affected.map(f => Future(rewriteOne(f)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+
+      // 3. every update row lands once, as new files (schema order
+      // aligned to the committed schema — parquet binds by name, the
+      // alignment just keeps file layouts uniform)
+      val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val staged = stageFiles(s, root, aligned, partitionCol,
+        maxRecordsPerFile = 1024 * 1024, Map.empty)
+
+      // 4. skipping metadata for every written file, then one CAS swap
+      val removedSet = rewrites.map(_.old).toSet
+      val newFiles = rewrites.flatMap(_.kept) ++ staged
+      val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
+        .toSeq.distinct.sorted
+      val newStats =
+        if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
+        else parMapMeta(newFiles)(f =>
+          f -> footerStats(s, root.resolve(f), statsCols))
+          .filter(_._2.nonEmpty).toMap
+      val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
+        .toSeq.distinct.sorted
+      val newBlooms = buildBlooms(s, dir, newFiles, bloomCols)
+      beforeCommit()
+      commitLoop(root) {
+        case None => throw new IllegalStateException(s"manifest vanished from $dir")
+        case Some(latest) =>
+          if (!removedSet.forall(latest.files.contains))
+            throw new IllegalStateException(
+              "a concurrent commit replaced files this merge rewrote — " +
+                "re-run merge against the new snapshot")
+          Some(Ledger(latest.files.filterNot(removedSet.contains) ++ newFiles,
+            latest.txns, latest.stats -- removedSet ++ newStats, "merge",
+            latest.schema,
+            latest.blooms -- removedSet ++ newBlooms))
+      }
+      val rowsUpdated = rewrites.map(_.rowsRemoved).sum
+      MergeStats(rowsUpdated, keyed.count() - rowsUpdated, affected.length)
+    } finally { keyed.unpersist(); () }
+  }
+
   /** Read the lake as of its latest manifest (or an explicit
     * snapshot — time travel for free). `basePath` keeps the partition
     * column: files are opened by NAME, no directory listing, so
@@ -954,8 +1126,14 @@ object ManifestLake {
     ((fromExclusive + 1) to toInclusive).toVector.flatMap { v =>
       val cur = snap(v)
       // compaction rewrites bytes and deletion removes rows — neither
-      // ADDS content, so both are invisible to the changes stream
-      if (cur.op == "compact" || cur.op == "delete") Vector.empty
+      // ADDS content, so both are invisible to the changes stream.
+      // merge commits carry BOTH rewritten survivors and new rows in
+      // their added files; emitting them would re-deliver carried rows,
+      // so merge is CDC-invisible too (consumers needing merge deltas
+      // read snapshots — the Delta-CDF change-file refinement is a
+      // documented non-goal)
+      if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge")
+        Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]
                    else snap(v - 1).files.toSet

@@ -1053,8 +1053,93 @@ object RoundTrips {
            WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q158 — keyed MERGE (upsert) at lake granularity
+    * ([[graft.core.ManifestLake.merge]]): the reference worker's
+    * `INSERT ... ON CONFLICT DO UPDATE` upsert (S13) applied to the
+    * manifest lake, Delta-style — one detection scan finds the files
+    * whose keys collide, only THOSE rewrite, every update row lands
+    * exactly once. The round trip builds a doc_id-clustered lake of
+    * all documents (v1), then merges a mixed batch: updated n_chars
+    * (doubled) for the clustered key range `doc_id ∈ [m/8, m/4]` plus
+    * brand-new rows shifted past max(doc_id) for `doc_id % 11 = 7`
+    * (v2).
+    *
+    * Legs: post-merge full content (the hash proves updated rows
+    * replaced, new rows inserted, untouched rows byte-carried);
+    * `tt_v1` time travel to the pre-merge lake (history intact); a
+    * stats-pruned range read post-merge (rewritten AND staged files
+    * re-derived their skipping stats). Invariants pinned TRUE by the
+    * oracle: op "merge", rewritten files a strict subset, MergeStats
+    * agree with the relational ground truth, merge commit invisible
+    * to CDC. */
+  def qLakeMergeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_merge_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))          // v1
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    // updates CLUSTERED on the layout key (doc_id ∈ [m/8, m/4]) — the
+    // daily-upsert shape where affected files ≪ lake files; inserts are
+    // fresh keys past max(doc_id)
+    val updates = docs.filter($"doc_id" >= m / 8 && $"doc_id" <= m / 4)
+        .select($"doc_id", $"source", ($"n_chars" * 2).as("n_chars"))
+      .unionByName(docs.filter($"doc_id" % 11 === 7)
+        .select(($"doc_id" + m + 1).as("doc_id"), $"source", $"n_chars"))
+    val stats = graft.core.ManifestLake.merge(s, lake, updates, Seq("doc_id")) // v2
+    val v2 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val rewritten = v1.files.toSet -- v2.files.toSet
+    val nUpdated = docs.filter($"doc_id" >= m / 8 && $"doc_id" <= m / 4).count()
+    val nInserted = docs.filter($"doc_id" % 11 === 7).count()
+    val invariants = v2.version == 2L && v2.op == "merge" &&
+      rewritten.nonEmpty && rewritten.size < v1.files.size &&
+      stats == graft.core.ManifestLake.MergeStats(
+        nUpdated, nInserted, rewritten.size) &&
+      v2.stats.keySet == v2.files.toSet &&               // skipping intact
+      graft.core.ManifestLake.readChanges(s, lake, 1L, 2L).count() == 0L
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+    val post = graft.core.ManifestLake.read(s, lake)
+    Seq(
+      leg("full", post.select($"doc_id", $"n_chars"), invariants),
+      leg("tt_v1", graft.core.ManifestLake.read(s, lake, Some(v1))
+        .select($"doc_id", $"n_chars"), true),
+      leg("pruned", graft.core.ManifestLake.readWhere(s, lake, "doc_id",
+        BigDecimal(3 * m / 5), BigDecimal(4 * m / 5)).select($"doc_id", $"n_chars"),
+        true))
+      .reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qLakeMergeRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       post AS (
+         SELECT doc_id,
+           CASE WHEN doc_id >= m // 8 AND doc_id <= m // 4
+                THEN n_chars * 2 ELSE n_chars END AS n_chars
+         FROM documents, mx
+         UNION ALL
+         SELECT doc_id + m + 1, n_chars FROM documents, mx WHERE doc_id % 11 = 7)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'full' AS leg_tag, doc_id, n_chars FROM post
+         UNION ALL
+         SELECT 'tt_v1', doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'pruned', doc_id, n_chars FROM post, mx
+           WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_sql_dml" -> qSqlDmlRoundTrip,
+    "q158_lake_merge" -> qLakeMergeRoundTrip,
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
     "q156_sql_write" -> qSqlWriteRoundTrip,
@@ -1074,6 +1159,7 @@ object RoundTrips {
 
   val oracles: Map[String, String] = Map(
     "q157_sql_dml" -> qSqlDmlRoundTripSql,
+    "q158_lake_merge" -> qLakeMergeRoundTripSql,
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
     "q156_sql_write" -> qSqlWriteRoundTripSql,

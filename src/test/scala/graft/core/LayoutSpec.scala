@@ -1377,4 +1377,91 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("manifest lake: merge upserts by key, rebases over appends, refuses ambiguity") {
+    val dir = Files.createTempDirectory("mmerge").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 1000).select($"id".as("doc_id"), lit("m0").as("source"),
+        ($"id" * 10).as("score")).repartitionByRange(10, $"doc_id"),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val v1 = ManifestLake.latestSnapshot(dir).get
+
+    // clustered update range + fresh inserts
+    val updates = spark.range(100, 200).select($"id".as("doc_id"),
+        lit("m0").as("source"), lit(-1L).as("score"))
+      .union(spark.range(5000, 5010).select($"id".as("doc_id"),
+        lit("m0").as("source"), lit(7L).as("score")))
+    val stats = ManifestLake.merge(spark, dir, updates, Seq("doc_id"))
+    assert(stats == ManifestLake.MergeStats(100L, 10L, stats.filesRewritten))
+    assert(stats.filesRewritten < v1.files.length,
+      s"clustered merge must not rewrite the whole lake: $stats vs ${v1.files.length}")
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.op == "merge")
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 1010)
+    assert(back.filter($"score" === -1L).count() == 100)
+    assert(back.filter($"doc_id" >= 5000).count() == 10)
+    assert(back.filter($"doc_id" === 150 && $"score" =!= -1L).count() == 0,
+      "matched rows must be replaced, not duplicated")
+    // skipping metadata survives the merge on every file
+    assert(v2.stats.keySet == v2.files.toSet)
+    assert(v2.blooms.keySet == v2.files.toSet)
+    // merge is CDC-invisible
+    assert(ManifestLake.readChanges(spark, dir, 1L, 2L).count() == 0)
+    // time travel: v1 content intact
+    assert(ManifestLake.read(spark, dir, Some(v1))
+      .filter($"score" === -1L).count() == 0)
+
+    // duplicate update keys refuse loudly before any write
+    val vBefore = ManifestLake.latestSnapshot(dir).get.version
+    val dup = spark.range(0, 2).select(lit(42L).as("doc_id"),
+      lit("m0").as("source"), $"id".as("score"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.merge(spark, dir, dup, Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(ManifestLake.latestSnapshot(dir).get.version == vBefore)
+
+    // a pure-insert merge (no matches) rewrites nothing
+    val ins = spark.range(9000, 9005).select($"id".as("doc_id"),
+      lit("m0").as("source"), lit(1L).as("score"))
+    val s2 = ManifestLake.merge(spark, dir, ins, Seq("doc_id"))
+    assert(s2 == ManifestLake.MergeStats(0L, 5L, 0))
+    assert(ManifestLake.read(spark, dir).count() == 1015)
+
+    // the race, pinned: an append lands AFTER the merge's rewrites and
+    // BEFORE its commit — set-union rebase must keep both
+    val raceDir = Files.createTempDirectory("mmerge2").resolve("lake").toString
+    ManifestLake.append(spark, raceDir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("r0").as("source"),
+        lit(0L).as("score")).repartitionByRange(4, $"doc_id"), "source")
+    val upd = spark.range(10, 20).select($"id".as("doc_id"),
+      lit("r0").as("source"), lit(-5L).as("score"))
+    ManifestLake.merge(spark, raceDir, upd, Seq("doc_id"), () => {
+      ManifestLake.append(spark, raceDir,
+        spark.range(200, 210).select($"id".as("doc_id"), lit("r0").as("source"),
+          lit(9L).as("score")), "source")
+      ()
+    })
+    val raced = ManifestLake.read(spark, raceDir)
+    assert(raced.count() == 110, "rebase must keep the racing append")
+    assert(raced.filter($"score" === -5L).count() == 10)
+    assert(raced.filter($"score" === 9L).count() == 10)
+
+    // a racing commit that REPLACED a merge input aborts the merge
+    val abortDir = Files.createTempDirectory("mmerge3").resolve("lake").toString
+    ManifestLake.append(spark, abortDir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("a0").as("source"),
+        lit(0L).as("score")).repartitionByRange(4, $"doc_id"), "source")
+    val e2 = intercept[IllegalStateException] {
+      ManifestLake.merge(spark, abortDir,
+        spark.range(0, 100).select($"id".as("doc_id"), lit("a0").as("source"),
+          lit(-1L).as("score")), Seq("doc_id"), () => {
+          ManifestLake.compact(spark, abortDir, "source",
+            targetRecordsPerFile = 1000L)
+          ()
+        })
+    }
+    assert(e2.getMessage.contains("concurrent commit replaced"))
+  }
 }
