@@ -2,9 +2,15 @@ package graft.core
 
 import java.util.{Map => JMap}
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Path-addressed SQL catalog for manifest lakes —
   * `spark.sql.catalog.graft = graft.core.GraftCatalog` (any catalog
@@ -18,25 +24,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.`/data/lake` VERSION AS OF 3      -- time travel
   *   INSERT INTO graft.`/data/lake` SELECT ...             -- CAS append
   *   DELETE FROM graft.`/data/lake` WHERE doc_id = 7       -- manifest delete
+  *   CALL graft.compact(path => '/data/lake', target_records => 1000000)
+  *   CALL graft.vacuum(path => '/data/lake', keep_versions => 2)
   * }}}
   *
   * The catalog only RESOLVES (identifier → [[GraftLakeTable]], reusing
   * the `spark.read.format("graft")` planning path — one code path for
   * both SQL surfaces); reads, writes, pruning and deletes live on the
   * table. Nothing is enumerable (`listTables` is empty — paths aren't
-  * a namespace), and the lifecycle operators that rewrite history
-  * (compact/vacuum/overwrite) deliberately stay OFF the SQL surface:
-  * `dropTable`/`renameTable`/`alterTable` refuse rather than guess at
-  * destructive semantics. Lake creation is the DataFrame writer's job
+  * a namespace), and implicit-destruction DDL refuses rather than
+  * guess: `dropTable`/`renameTable`/`alterTable` throw. Lake creation
+  * is the DataFrame writer's job
   * (`df.write.format("graft").option("partitionCol", ...)`) — a lake
   * needs first data to establish layout, which CREATE TABLE cannot
-  * provide.
+  * provide. The lifecycle operators that rewrite history get a SQL
+  * face as PROCEDURES rather than DML (the Iceberg pattern —
+  * maintenance is an explicit CALL, never a side effect of a query):
+  * `compact` (optionally clustered — `cluster_by` a column, or a
+  * materialized zValue column for the q153 Z-order layout) and
+  * `vacuum`. Each returns a one-row result set describing what it
+  * did.
   *
   * Scale: resolution reads ONE manifest file (the latest, or the named
   * version); no directory listing, no file opens — identical cost to
   * the Scala `latestSnapshot` route regardless of lake size.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -105,4 +118,100 @@ final class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "a lake's identity is its path; move the directory to rename it")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) GraftProcedures.all.keys.toArray.sorted
+      .map(Identifier.of(Array.empty[String], _))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty, s"unknown procedure namespace: $ident")
+    GraftProcedures.all.getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' — available: " +
+          GraftProcedures.all.keys.toSeq.sorted.mkString(", ")))
+  }
+}
+
+/** The maintenance procedures behind `CALL graft.<name>(...)`. Each is
+  * its own bound form (parameters are static); `call` resolves the
+  * lake, runs the existing Scala lifecycle operator, and returns a
+  * one-row [[LocalScan]] so the caller sees what happened as a normal
+  * result set. */
+private[core] object GraftProcedures {
+  private final case class Result(out: StructType, row: InternalRow)
+      extends LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = Array(row)
+  }
+
+  private def one(scan: Scan): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(scan).iterator()
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  private def lakeOf(r: InternalRow): (String, String) = {
+    val dir = str(r, 0)
+    val snap = ManifestLake.latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val pc = snap.files.headOption.map(_.takeWhile(_ != '='))
+      .getOrElse(throw new IllegalStateException(
+        s"lake $dir has no files — nothing to maintain"))
+    (dir, pc)
+  }
+
+  private object Compact extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "Bin-pack a lake's small files toward target_records per file; " +
+        "cluster_by names a column to range-cluster each partition on " +
+        "(a materialized zValue column gives the q153 Z-order layout)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("target_records", LongType).build(),
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("NULL").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val (dir, pc) = lakeOf(input)
+      val target = input.getLong(1)
+      val clusterBy = if (input.isNullAt(2)) None else Some(str(input, 2))
+      val before = ManifestLake.latestSnapshot(dir).get.files.length
+      ManifestLake.compact(s, dir, pc, target, clusterBy = clusterBy)
+      val after = ManifestLake.latestSnapshot(dir).get
+      one(Result(
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        InternalRow(after.version, before, after.files.length)))
+    }
+  }
+
+  private object Vacuum extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "Delete files retired more than grace_millis ago and manifests " +
+        "older than keep_versions — bounds time travel, reclaims space"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("2").build(),
+      ProcedureParameter.in("grace_millis", LongType)
+        .defaultValue(ManifestLake.DefaultVacuumGraceMillis.toString).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = str(input, 0)
+      val deleted = ManifestLake.vacuum(dir,
+        keepVersions = input.getInt(1), graceMillis = input.getLong(2))
+      one(Result(
+        StructType(Seq(StructField("files_deleted", LongType, nullable = false))),
+        InternalRow(deleted)))
+    }
+  }
+
+  val all: Map[String, UnboundProcedure] =
+    Map("compact" -> Compact, "vacuum" -> Vacuum)
 }

@@ -1529,9 +1529,15 @@ object ManifestLake {
           .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
           .map(_.drop(1).toLong).filter(_ >= keepFrom).toVector
         finally st.close()
+      // file lines are "<path>\t<stats/bloom segments...>" — protect by
+      // the PATH alone. Matching on the raw line silently unprotected
+      // every stats-tracked file (the recommended configuration):
+      // vacuum past the grace window deleted LIVE data. Caught by the
+      // CALL-procedure spec; pinned by the stats-tracked vacuum test.
       versions.flatMap(v =>
         Files.readAllLines(manifestPath(root, v)).asScala
-          .filter(l => l.nonEmpty && !l.startsWith("#"))).toSet
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.takeWhile(_ != '\t'))).toSet
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
     def oldEnough(p: Path): Boolean =

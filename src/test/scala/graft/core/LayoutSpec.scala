@@ -1464,4 +1464,83 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("concurrent commit replaced"))
   }
+
+  test("GraftCatalog: CALL compact and CALL vacuum run the lifecycle through SQL") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mgproc").resolve("lake").toString
+    // two tiny-file appends -> a fragmented lake
+    ManifestLake.append(spark, dir,
+      spark.range(0, 60).select($"id".as("doc_id"), lit("p0").as("source")),
+      "source", maxRecordsPerFile = 5L, statsCols = Seq("doc_id"))
+    ManifestLake.append(spark, dir,
+      spark.range(60, 100).select($"id".as("doc_id"), lit("p0").as("source")),
+      "source", maxRecordsPerFile = 5L, statsCols = Seq("doc_id"))
+    val fragmented = ManifestLake.latestSnapshot(dir).get.files.length
+    assert(fragmented >= 10)
+
+    val res = spark.sql(
+      s"CALL graft.compact(path => '$dir', target_records => 1000)").collect()
+    assert(res.length == 1)
+    val row = res.head
+    assert(row.getAs[Long]("version") == 3L)
+    assert(row.getAs[Int]("files_before") == fragmented)
+    assert(row.getAs[Int]("files_after") < fragmented)
+    assert(ManifestLake.read(spark, dir).count() == 100)
+    assert(ManifestLake.latestSnapshot(dir).get.op == "compact")
+
+    // vacuum through CALL: grace 0 deletes the retired fragments now
+    val vres = spark.sql(
+      s"CALL graft.vacuum(path => '$dir', keep_versions => 1, grace_millis => 0)")
+      .collect()
+    assert(vres.head.getAs[Long]("files_deleted") >= fragmented - 1,
+      s"expected the retired fragments gone, got ${vres.head}")
+    assert(ManifestLake.read(spark, dir).count() == 100, "content survives vacuum")
+
+    // clustered compact through CALL reorganizes on the named column
+    val dir2 = Files.createTempDirectory("mgproc2").resolve("lake").toString
+    ManifestLake.append(spark, dir2,
+      spark.range(0, 200).orderBy(rand(7)).select($"id".as("doc_id"),
+        lit("c0").as("source")),
+      "source", maxRecordsPerFile = 20L, statsCols = Seq("doc_id"))
+    spark.sql(s"CALL graft.compact(path => '$dir2', target_records => 50, " +
+      "cluster_by => 'doc_id')")
+    val snap2 = ManifestLake.latestSnapshot(dir2).get
+    assert(snap2.files.length <= 5)
+    // range read after clustering prunes
+    assert(ManifestLake.pruneFiles(snap2, "doc_id",
+      BigDecimal(0), BigDecimal(40)).length < snap2.files.length)
+
+    // unknown procedure refuses with the available list
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.optimize(path => '$dir')")
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("optimize"), e.getMessage)
+  }
+
+  test("manifest lake: vacuum protects live files of a STATS-TRACKED lake") {
+    // regression pin: manifest file lines carry tab-separated stats
+    // segments; vacuum's protection set once matched raw LINES against
+    // on-disk names, so every stats-tracked file (the recommended
+    // configuration) was unprotected — a grace-expired vacuum deleted
+    // LIVE data. Protection must key on the path prefix alone.
+    val dir = Files.createTempDirectory("mvacstats").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("v0").as("source")),
+      "source", maxRecordsPerFile = 10L,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000L)
+    val live = ManifestLake.latestSnapshot(dir).get.files
+    assert(live.nonEmpty && live.forall(f =>
+      ManifestLake.latestSnapshot(dir).get.stats.contains(f)))
+    val reclaimed = ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(reclaimed >= 10, s"retired fragments must reclaim: $reclaimed")
+    live.foreach { f =>
+      assert(Files.exists(java.nio.file.Paths.get(dir).resolve(f)),
+        s"vacuum deleted a LIVE stats-tracked file: $f")
+    }
+    assert(ManifestLake.read(spark, dir).count() == 100)
+    // and the lake still point-looks-up through its bloom
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 42L).count() == 1)
+  }
 }
