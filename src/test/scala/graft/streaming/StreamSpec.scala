@@ -362,4 +362,61 @@ class StreamSpec extends SparkSpec {
     }
     weights.destroy()
   }
+
+  test("CDC-upsert stream: foreachBatch(merge) converges the lake to latest-per-key") {
+    // The change-data-capture ingest shape: an upstream emits row
+    // VERSIONS (same key, newer values); per micro-batch, keep-latest
+    // dedup inside the batch then ManifestLake.merge upserts by key —
+    // the lake converges to exactly the newest version of every key,
+    // regardless of how updates interleave across batches. Duplicate
+    // redelivery of a whole batch is exactly-once-safe only at the
+    // CONTENT level here (merge is idempotent for identical updates:
+    // re-merging the same rows rewrites them in place).
+    implicit val ctx = spark.sqlContext
+    import graft.core.ManifestLake
+    import org.apache.spark.sql.functions.{lit, row_number}
+    val dir = java.nio.file.Files.createTempDirectory("cdcup")
+      .resolve("lake").toString
+    // seed: keys 0..99 at version 0
+    ManifestLake.append(spark,
+      dir, spark.range(0, 100).select($"id".as("doc_id"),
+        lit("c0").as("source"), lit(0L).as("ver")).repartitionByRange(4, $"doc_id"),
+      "source", statsCols = Seq("doc_id"))
+    val ms = MemoryStream[(Long, Long)]      // (doc_id, ver)
+    val q = ms.toDF().toDF("doc_id", "ver")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"ver".desc)))
+          .filter($"rn" === 1).drop("rn")
+          .select($"doc_id", lit("c0").as("source"), $"ver")
+        if (!latest.isEmpty) {
+          ManifestLake.merge(batch.sparkSession, dir, latest, Seq("doc_id")); ()
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdcupckpt").toString)
+      .start()
+    // batch 1: update keys 10..19 to ver 1, insert keys 100..104 at ver 1,
+    // including an intra-batch double-update of key 10 (ver 1 then 2)
+    ms.addData((10L, 1L), (10L, 2L))
+    ms.addData((11L to 19L).map(k => (k, 1L)): _*)
+    ms.addData((100L to 104L).map(k => (k, 1L)): _*)
+    q.processAllAvailable()
+    // batch 2: update key 10 again and one of the batch-1 inserts
+    ms.addData((10L, 3L), (100L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 105)
+    val got = back.select($"doc_id", $"ver").as[(Long, Long)]
+      .collect().toMap
+    val want = ((0L until 100L).map(k => k -> 0L).toMap
+      ++ (11L to 19L).map(k => k -> 1L) ++ (101L to 104L).map(k => k -> 1L)
+      + (10L -> 3L) + (100L -> 2L))
+    assert(got == want, s"lake must converge to latest-per-key; diff=${
+      (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(ManifestLake.latestSnapshot(dir).get.op == "merge")
+  }
 }
