@@ -758,7 +758,32 @@ object Plans {
         |≤50-row frames and one fixed-order two-term sum — after the
         |legs, the fusion is driver-scale regardless of corpus size.
         |RRF's rank-only arithmetic is why the plan needs no score
-        |normalization stage at all.""".stripMargin)
+        |normalization stage at all.""".stripMargin,
+    "q157_sql_dml" ->
+      """SQL DML through the path-addressed catalog. The read legs plan
+        |as GraftScan with prunedFiles<total and the predicate pushed;
+        |DELETE runs one predicate-pushed detection scan and rewrites
+        |only stats-overlapping files. Catalog resolution is ONE
+        |manifest read — no listing, no file opens — so the SQL route
+        |costs exactly the Scala route at any lake size.""".stripMargin,
+    "q158_lake_merge" ->
+      """Keyed MERGE: detection is one lake scan semi-joined against
+        |delta-sized keys (AQE broadcasts the key set), rewrites touch
+        |only colliding files (concurrent per-file jobs), and all update
+        |rows stage once. The 100 TB shape is the daily upsert batch:
+        |with updates clustered on the layout key, affected files ≈
+        |key-range/file-range — delta-proportional, never lake-
+        |proportional.""".stripMargin,
+    "q159_sql_update" ->
+      """SQL UPDATE as copy-on-write ReplaceData: the operation's scan
+        |IS the manifest-pruned scan, so the WHERE range selects files
+        |through the same stats the reads use (strict-subset rewrite,
+        |oracle-pinned); the write is the engine's distributed DSv2
+        |BatchWrite (per-task dynamic-partition parquet writers), and
+        |the swap is one CAS re-deriving stats+blooms. MERGE INTO is
+        |refused toward the delta-proportional keyed upsert — a join
+        |condition without runtime group filtering would make every
+        |file an affected group.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")

@@ -237,7 +237,8 @@ private[core] final case class GraftLakeTable(
     dir: String, snap: ManifestLake.Snapshot, files: Vector[String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override val schema: StructType = snap.schema.getOrElse(throw new IllegalStateException(
     s"lake $dir has no committed schema — the SQL surface requires one " +
@@ -273,6 +274,22 @@ private[core] final case class GraftLakeTable(
     * never partially deletes. A bare `DELETE FROM t` / TRUNCATE
     * arrives as AlwaysTrue and empties the lake (history stays —
     * time travel still reads every prior version). */
+  /** SQL `UPDATE` (and group-based DELETE shapes the metadata path
+    * can't serve — subqueries, untranslatable predicates) — see
+    * [[GraftRowLevelOperation]]. Filter-only DELETEs still optimize
+    * back to the metadata-only [[deleteWhere]] route below. MERGE INTO
+    * refuses toward [[ManifestLake.merge]] (whole-lake rewrite trap). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(info.command() !=
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
+      "MERGE INTO would rewrite every file the join MIGHT touch — use the " +
+        "delta-proportional keyed upsert instead: ManifestLake.merge(spark, " +
+        "dir, updates, keyCols) (or foreachBatch(merge) for streams)")
+    () => new GraftRowLevelOperation(this, info)
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
 
@@ -355,7 +372,8 @@ private[core] object GraftLakeTable {
   }
 }
 
-private[core] final class GraftScanBuilder(table: GraftLakeTable)
+private[core] class GraftScanBuilder(table: GraftLakeTable,
+    onBuild: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import ManifestLake.Bound
 
@@ -380,7 +398,9 @@ private[core] final class GraftScanBuilder(table: GraftLakeTable)
   override def build(): Scan = {
     val kept = table.files.filter(f => pushed.forall(
       GraftPrune.survives(table.snap, table.partitionCol, f, _)))
-    GraftScan(table, required, kept, pushed)
+    val scan = GraftScan(table, required, kept, pushed)
+    onBuild(scan)
+    scan
   }
 }
 

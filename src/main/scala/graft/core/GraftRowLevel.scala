@@ -1,0 +1,213 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** Group-based (copy-on-write) row-level operations — SQL `UPDATE` and
+  * the heavy tail of `DELETE FROM` (subqueries, untranslatable
+  * predicates) against `graft.`/dir`` tables. Spark's rewrite turns
+  * the statement into ReplaceData: scan the AFFECTED groups, produce
+  * their full new content (updated + carried rows), write it, swap.
+  * The two sides meet on this operation instance:
+  *
+  *  - the SCAN is the table's normal manifest-pruned scan, so the
+  *    statement's WHERE conjuncts prune groups through the same stats/
+  *    bloom/partition layers as any read — an `UPDATE ... WHERE
+  *    doc_id BETWEEN a AND b` on a clustered lake rewrites only the
+  *    overlapping files, never the lake. The kept file set is recorded
+  *    here as the groups being replaced;
+  *  - the WRITE is a real distributed DSv2 BatchWrite: each task
+  *    routes rows to per-partition parquet writers (UUID names,
+  *    invisible until committed — the manifest names live files), and
+  *    the driver commit swaps scanned → written in one CAS via
+  *    [[ManifestLake.commitReplace]], re-deriving stats and blooms so
+  *    a SQL UPDATE never erodes the skipping index.
+  *
+  * MERGE INTO is refused at analysis: its ON condition is a join, and
+  * without runtime group filtering every file is an affected group — a
+  * whole-lake rewrite masquerading as DML at 100 TB. The keyed-upsert
+  * path ([[ManifestLake.merge]], delta-proportional by design) is the
+  * supported spelling.
+  *
+  * Update commits are CDC-invisible, like delete/merge/compact — their
+  * added files mix carried and changed rows ([[ManifestLake.changedFiles]]).
+  */
+private[core] final class GraftRowLevelOperation(
+    table: GraftLakeTable, info: RowLevelOperationInfo)
+    extends RowLevelOperation {
+
+  /** The groups (files) the operation's scan decided to read — set at
+    * scan build, consumed by the write commit. */
+  @volatile private[core] var scannedFiles: Vector[String] = Vector.empty
+
+  override def command(): RowLevelOperation.Command = info.command
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, scan => scannedFiles = scan.keptFiles)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(table, GraftRowLevelOperation.this,
+            winfo.schema())
+      }
+    }
+
+  override def description(): String =
+    s"GraftRowLevel(${info.command}, ${table.dir})"
+}
+
+/** One task's commit: the lake-relative files it wrote. */
+private[core] final case class GraftWriteCommit(files: Vector[String])
+    extends WriterCommitMessage
+
+/** The ReplaceData batch write — see [[GraftRowLevelOperation]]. */
+private[core] final class GraftReplaceBatchWrite(
+    table: GraftLakeTable, op: GraftRowLevelOperation, schema: StructType)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val sqlConf = spark.sessionState.conf
+    val partitionCol = table.partitionCol.getOrElse(
+      throw new IllegalStateException(
+        s"lake ${table.dir} has no partitioned files — nothing to rewrite"))
+    val dataSchema = StructType(schema.fields.filterNot(_.name == partitionCol))
+    // the writer-side conf ParquetFileFormat.prepareWrite assembles:
+    // write-support class + catalyst schema + the format flags the
+    // write support reads back
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      sqlConf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT))
+    GraftWriterFactory(table.dir, partitionCol, schema,
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.iterator
+      .map(_.asInstanceOf[GraftWriteCommit]).flatMap(_.files).toVector
+    val removed = op.scannedFiles.toSet
+    if (removed.nonEmpty || added.nonEmpty) {
+      ManifestLake.commitReplace(SparkSession.active, table.dir, removed,
+        added, op.command().toString.toLowerCase(java.util.Locale.ROOT))
+      ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(table.dir)
+    messages.iterator.filter(_ != null)
+      .map(_.asInstanceOf[GraftWriteCommit]).flatMap(_.files)
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
+  }
+}
+
+private[core] final case class GraftWriterFactory(
+    dir: String, partitionCol: String, schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, partitionCol, schema, conf, partitionId, taskId)
+}
+
+/** Routes rows to one parquet writer per partition value (dynamic
+  * partitioning inside the task), writing directly into the lake's
+  * partition directories under UUID names — uncommitted files are
+  * invisible to every reader (the manifest names live files) and a
+  * crash's orphans age out through vacuum. */
+private[core] final class GraftDataWriter(
+    dir: String, partitionCol: String, schema: StructType,
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx = schema.fieldIndex(partitionCol)
+  private val partType = schema(partIdx).dataType
+  // ReplaceData rows carry a leading __row_operation int marker when
+  // the operation requested no metadata projection (Spark's plain
+  // DataWritingSparkTask hands the query rows through raw); detect the
+  // one-column offset from the first row and bind past it
+  private var offset: Int = -1
+  private var dataProj: UnsafeProjection = _
+  private def bind(row: InternalRow): Unit = {
+    offset = row.numFields - schema.length
+    require(offset == 0 || offset == 1,
+      s"unexpected ReplaceData row width ${row.numFields} for schema " +
+        s"${schema.fieldNames.mkString(",")}")
+    dataProj = UnsafeProjection.create(
+      schema.fields.toIndexedSeq.zipWithIndex
+        .filterNot(_._1.name == partitionCol)
+        .map { case (f, i) => BoundReference(i + offset, f.dataType, f.nullable) })
+  }
+  private val writers = mutable.Map.empty[String, ParquetOutputWriter]
+  private val written = mutable.ArrayBuffer.empty[String]
+
+  private def writerFor(pdir: String): ParquetOutputWriter =
+    writers.getOrElseUpdate(pdir, {
+      val rel = s"$pdir/${UUID.randomUUID()}-part-$partitionId-$taskId.snappy.parquet"
+      val abs = Paths.get(dir).resolve(rel)
+      Files.createDirectories(abs.getParent)
+      written += rel
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID("graft_rlw", 0), TaskType.MAP, partitionId),
+        taskId.toInt)
+      new ParquetOutputWriter(abs.toString,
+        new TaskAttemptContextImpl(conf.value, attempt))
+    })
+
+  override def write(row: InternalRow): Unit = {
+    if (offset < 0) bind(row)
+    val pi = partIdx + offset
+    val pval =
+      if (row.isNullAt(pi)) "__HIVE_DEFAULT_PARTITION__"
+      else ExternalCatalogUtils.escapePathName(
+        String.valueOf(row.get(pi, partType)))
+    writerFor(s"$partitionCol=$pval").write(dataProj(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.valuesIterator.foreach(_.close())
+    GraftWriteCommit(written.toVector)
+  }
+
+  override def abort(): Unit = {
+    writers.valuesIterator.foreach { w =>
+      try w.close() catch { case _: Throwable => () }
+    }
+    val root = Paths.get(dir)
+    written.foreach(f => Files.deleteIfExists(root.resolve(f)))
+  }
+
+  override def close(): Unit = ()
+}

@@ -915,6 +915,41 @@ object ManifestLake {
     } finally { keyed.unpersist(); () }
   }
 
+  /** Swap `removed` → `added` in one CAS commit, re-deriving skipping
+    * metadata (stats + blooms over the snapshot's tracked columns) for
+    * every added file. The shared tail of every copy-on-write rewrite
+    * (merge, the SQL row-level UPDATE/DELETE): rebases over concurrent
+    * appends by set-union; aborts loudly when a racing commit replaced
+    * one of this rewrite's inputs. */
+  private[core] def commitReplace(s: SparkSession, dir: String,
+                                  removed: Set[String], added: Vector[String],
+                                  op: String): Snapshot = {
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
+      .toSeq.distinct.sorted
+    val newStats =
+      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
+      else parMapMeta(added)(f => f -> footerStats(s, root.resolve(f), statsCols))
+        .filter(_._2.nonEmpty).toMap
+    val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
+      .toSeq.distinct.sorted
+    val newBlooms = buildBlooms(s, dir, added, bloomCols)
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (!removed.forall(latest.files.contains))
+          throw new IllegalStateException(
+            s"a concurrent commit replaced files this $op rewrote — " +
+              "re-run against the new snapshot")
+        Some(Ledger(latest.files.filterNot(removed.contains) ++ added,
+          latest.txns, latest.stats -- removed ++ newStats, op,
+          latest.schema,
+          latest.blooms -- removed ++ newBlooms))
+    }.get
+  }
+
   /** Read the lake as of its latest manifest (or an explicit
     * snapshot — time travel for free). `basePath` keeps the partition
     * column: files are opened by NAME, no directory listing, so
@@ -1132,7 +1167,8 @@ object ManifestLake {
       // so merge is CDC-invisible too (consumers needing merge deltas
       // read snapshots — the Delta-CDF change-file refinement is a
       // documented non-goal)
-      if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge")
+      if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
+          cur.op == "update")
         Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]

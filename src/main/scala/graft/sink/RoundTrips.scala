@@ -1137,9 +1137,84 @@ object RoundTrips {
            WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q159 — SQL `UPDATE` through the copy-on-write row-level path
+    * ([[graft.core.GraftRowLevelOperation]]): Spark rewrites the
+    * statement into ReplaceData over the operation's scan, and because
+    * that scan is the lake's normal manifest-pruned scan, the UPDATE's
+    * WHERE conjuncts select the affected FILES through the same
+    * stats/bloom/partition layers as any read — a clustered-range
+    * UPDATE rewrites only the overlapping files. The write side is the
+    * engine's distributed DSv2 BatchWrite (per-task dynamic-partition
+    * parquet writers), and the commit swaps scanned → written in one
+    * CAS, re-deriving skipping metadata.
+    *
+    * Lake = all documents, doc_id-clustered (v1); `UPDATE SET n_chars
+    * = n_chars * 3 WHERE doc_id BETWEEN m/6 AND m/3` (v2). Legs:
+    * post-update full content, `VERSION AS OF 1` time travel, and a
+    * stats-pruned range read outside the updated band. Invariants
+    * pinned TRUE by the oracle: op "update"; the update rewrote a
+    * STRICT subset of v1's files (group pruning worked); every file
+    * still carries stats+bloom; the update commit is CDC-invisible. */
+  def qSqlUpdateRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_upd",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_upd_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    docs.repartitionByRange(8, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .mode("append").save(lake)                                        // v1
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    s.sql(s"UPDATE graft_upd.`$lake` SET n_chars = n_chars * 3 " +
+      s"WHERE doc_id >= ${m / 6} AND doc_id <= ${m / 3}")               // v2
+    val v2 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val rewritten = v1.files.toSet -- v2.files.toSet
+    val invariants = v2.version == 2L && v2.op == "update" &&
+      rewritten.nonEmpty && rewritten.size < v1.files.size &&
+      v2.stats.keySet == v2.files.toSet &&
+      v2.blooms.keySet == v2.files.toSet &&
+      graft.core.ManifestLake.readChanges(s, lake, 1L, 2L).count() == 0L
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+    Seq(
+      leg("full", s.sql(s"SELECT doc_id, n_chars FROM graft_upd.`$lake`"),
+        invariants),
+      leg("tt_v1", s.sql(
+        s"SELECT doc_id, n_chars FROM graft_upd.`$lake` VERSION AS OF 1"), true),
+      leg("pruned", s.sql(s"SELECT doc_id, n_chars FROM graft_upd.`$lake` " +
+        s"WHERE doc_id BETWEEN ${3 * m / 5} AND ${4 * m / 5}"), true))
+      .reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qSqlUpdateRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       post AS (
+         SELECT doc_id,
+           CASE WHEN doc_id >= m // 6 AND doc_id <= m // 3
+                THEN n_chars * 3 ELSE n_chars END AS n_chars
+         FROM documents, mx)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'full' AS leg_tag, doc_id, n_chars FROM post
+         UNION ALL
+         SELECT 'tt_v1', doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'pruned', doc_id, n_chars FROM post, mx
+           WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_sql_dml" -> qSqlDmlRoundTrip,
     "q158_lake_merge" -> qLakeMergeRoundTrip,
+    "q159_sql_update" -> qSqlUpdateRoundTrip,
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
     "q156_sql_write" -> qSqlWriteRoundTrip,
@@ -1160,6 +1235,7 @@ object RoundTrips {
   val oracles: Map[String, String] = Map(
     "q157_sql_dml" -> qSqlDmlRoundTripSql,
     "q158_lake_merge" -> qLakeMergeRoundTripSql,
+    "q159_sql_update" -> qSqlUpdateRoundTripSql,
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
     "q156_sql_write" -> qSqlWriteRoundTripSql,

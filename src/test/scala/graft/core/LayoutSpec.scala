@@ -1543,4 +1543,57 @@ class LayoutSpec extends SparkSpec {
     // and the lake still point-looks-up through its bloom
     assert(ManifestLake.readPoint(spark, dir, "doc_id", 42L).count() == 1)
   }
+
+  test("row-level SQL: UPDATE rewrites only pruned files; subquery DELETE works; MERGE INTO refuses") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mrowlvl").resolve("lake").toString
+    spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 10).as("score"))
+      .repartitionByRange(10, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .mode("append").save(dir)
+    def t = s"graft.`$dir`"
+    val v1 = ManifestLake.latestSnapshot(dir).get
+
+    // a clustered-range UPDATE rewrites only overlapping files
+    spark.sql(s"UPDATE $t SET score = -1 WHERE doc_id >= 100 AND doc_id < 150")
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.op == "update")
+    val rewritten = v1.files.toSet -- v2.files.toSet
+    assert(rewritten.nonEmpty && rewritten.size <= 2,
+      s"range update must rewrite only overlapping files: ${rewritten.size} of ${v1.files.size}")
+    val back = ManifestLake.read(spark, dir)
+    assert(back.filter($"score" === -1).count() == 50)
+    assert(back.filter($"doc_id" === 500).head().getAs[Long]("score") == 5000,
+      "rows outside the predicate must carry byte-identical values")
+    assert(v2.stats.keySet == v2.files.toSet && v2.blooms.keySet == v2.files.toSet,
+      "the rewritten files must re-derive skipping metadata")
+    // update commits are CDC-invisible
+    assert(ManifestLake.readChanges(spark, dir, 1L, 2L).count() == 0)
+
+    // expression updates compute in-engine (not just literals)
+    spark.sql(s"UPDATE $t SET score = score + doc_id WHERE doc_id >= 900")
+    assert(ManifestLake.read(spark, dir).filter($"doc_id" === 950)
+      .head().getAs[Long]("score") == 9500 + 950)
+
+    // a DELETE the metadata path cannot serve (subquery) routes through
+    // the same copy-on-write machinery
+    spark.sql(s"DELETE FROM $t WHERE doc_id IN " +
+      s"(SELECT doc_id FROM $t WHERE score = -1)")
+    assert(ManifestLake.latestSnapshot(dir).get.op == "delete")
+    assert(ManifestLake.read(spark, dir).count() == 950)
+    assert(ManifestLake.read(spark, dir).filter($"score" === -1).count() == 0)
+
+    // MERGE INTO refuses toward the keyed upsert
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t g USING (SELECT 1 AS doc_id) s " +
+        "ON g.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("ManifestLake.merge"), e.getMessage)
+
+    // time travel still reads the pre-DML lake
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .head().getLong(0) == 1000)
+  }
 }
