@@ -298,7 +298,13 @@ private[core] final case class GraftLakeTable(
     val cond = filters.flatMap(GraftLakeTable.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    ManifestLake.deleteWhere(spark, dir, cond)
+    // bound the detection scan through the manifest's own pruning
+    // rules (conservative: a file GraftPrune drops provably holds no
+    // matching row) — a clustered-range DELETE opens only the
+    // overlapping files instead of the whole lake
+    val candidates = files.filter(f => filters.forall(
+      GraftPrune.survives(snap, partitionCol, f, _)))
+    ManifestLake.deleteWhere(spark, dir, cond, () => (), Some(candidates))
     ()
   }
 

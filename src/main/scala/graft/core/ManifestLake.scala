@@ -814,7 +814,7 @@ object ManifestLake {
       .getOrElse(throw new IllegalStateException(
         s"lake $dir has no files — merge into an empty lake is an append"))
 
-    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit, max => fmax, min => fmin}
     val keyed = updates.persist()
     try {
       val dupKeys = keyed.groupBy(keyCols.map(col): _*)
@@ -824,13 +824,39 @@ object ManifestLake {
           "deterministic winner; dedupe (e.g. keep-latest) before merging")
       val keys = keyed.select(keyCols.map(col): _*).distinct()
 
-      // 1. detection: which files hold a matching key
-      val affectedAbs = read(s, dir, Some(snap))
-        .withColumn("__graft_file", input_file_name())
-        .join(keys, keyCols, "left_semi")
-        .select("__graft_file").distinct()
-        .collect().map(_.getString(0)).toVector
-      val affected = affectedAbs.map(relFromUri)
+      // 1. detection: which files hold a matching key. With ONE key
+      // column whose stats the lake tracks, the delta's key ENVELOPE
+      // [min, max] bounds every possible match — the detection scan
+      // prunes to the overlapping files, so a clustered daily batch
+      // against a clustered lake detects in delta-proportional time
+      // instead of one full corpus pass. A scattered delta's envelope
+      // covers everything and degrades gracefully to the full scan;
+      // files without stats on the key are conservatively kept.
+      val candidates: Vector[String] = keyCols match {
+        case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) =>
+          val env = keyed.agg(fmin(col(k)), fmax(col(k))).head()
+          if (env.isNullAt(0)) Vector.empty
+          else schema(schema.fieldIndex(k)).dataType match {
+            case _: org.apache.spark.sql.types.NumericType =>
+              def bd(a: Any): BigDecimal = BigDecimal(a.toString)
+              pruneFiles(snap, k, bd(env.get(0)), bd(env.get(1)))
+            case org.apache.spark.sql.types.StringType =>
+              pruneFilesString(snap, k, env.getString(0), env.getString(1))
+            case _ => snap.files
+          }
+        case _ => snap.files
+      }
+      val affected: Vector[String] =
+        if (candidates.isEmpty) Vector.empty
+        else {
+          val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          val affectedAbs = reader.parquet(candidates.map(f => s"$dir/$f"): _*)
+            .withColumn("__graft_file", input_file_name())
+            .join(keys, keyCols, "left_semi")
+            .select("__graft_file").distinct()
+            .collect().map(_.getString(0)).toVector
+          affectedAbs.map(relFromUri)
+        }
       require(affected.forall(snap.files.contains),
         s"detection scan returned files outside the snapshot: $affected")
 
@@ -1004,11 +1030,34 @@ object ManifestLake {
     * that REPLACED one of this delete's inputs aborts). */
   private[core] def deleteWhere(s: SparkSession, dir: String,
                                 predicate: org.apache.spark.sql.Column,
-                                beforeCommit: () => Unit): Long = {
+                                beforeCommit: () => Unit): Long =
+    deleteWhere(s, dir, predicate, beforeCommit, None)
+
+  /** `candidates`, when given, bounds the DETECTION scan: the caller
+    * asserts no row outside those files can satisfy `predicate` (the
+    * SQL surface derives this from the manifest's own pruning rules
+    * over the translated filters — [[GraftPrune.survives]] is
+    * conservative, so the superset property holds by construction).
+    * Detection then opens candidate files only, making a clustered-
+    * range delete delta-proportional instead of opening every file in
+    * the lake; rewrites were always limited to files with matches. */
+  private[core] def deleteWhere(s: SparkSession, dir: String,
+                                predicate: org.apache.spark.sql.Column,
+                                beforeCommit: () => Unit,
+                                candidates: Option[Vector[String]]): Long = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val affectedAbs = read(s, dir, Some(snap))
+    val scanFiles = candidates match {
+      case Some(c) =>
+        require(c.forall(snap.files.contains),
+          "delete candidates must come from the current snapshot")
+        c
+      case None => snap.files
+    }
+    if (scanFiles.isEmpty) return 0L
+    val detectReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+    val affectedAbs = detectReader.parquet(scanFiles.map(f => s"$dir/$f"): _*)
       .filter(predicate)
       .select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toVector
