@@ -498,9 +498,65 @@ private[core] object GraftPrune {
 private[graft] final case class GraftScan(
     table: GraftLakeTable, required: StructType,
     keptFiles: Vector[String], pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   def totalFiles: Int = table.files.length
+
+  /** The file set actually read: static pruning (`keptFiles`) further
+    * narrowed by any runtime filters Spark pushed ([[filter]]). */
+  @volatile private var runtimeKept: Vector[String] = keptFiles
+  def effectiveFiles: Vector[String] = runtimeKept
+
+  /** Manifest-derived size of the PRUNED read — what makes Catalyst
+    * and AQE treat a narrow lake read as broadcastable. A DSv2 scan
+    * without statistics defaults to "unknown = huge", so a dim-sized
+    * slice of a big lake would never broadcast and every join against
+    * it would shuffle; file sizes come from the manifest's named files
+    * (no directory listing), cost O(kept). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override val sizeInBytes: java.util.OptionalLong = {
+        val root = java.nio.file.Paths.get(table.dir)
+        var sum = 0L
+        runtimeKept.foreach { f =>
+          try sum += java.nio.file.Files.size(root.resolve(f))
+          catch { case _: java.io.IOException => () }
+        }
+        java.util.OptionalLong.of(sum)
+      }
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+
+  /** Runtime (join-driven) file pruning — dynamic partition pruning's
+    * DSv2 face: a selective equi-join (e.g. fact lake ⋈ filtered dim)
+    * makes Spark evaluate the dim side first and push `In(joinKey,
+    * values)` here before input partitions are planned. The values
+    * route through the SAME manifest survival rules as static pruning
+    * (range stats, blooms, partition directories), so a join against
+    * three sources opens three partitions of a thousand. Subtractive
+    * only — a filter shape the rules can't use leaves the file set
+    * unchanged. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statsCols = table.snap.stats.valuesIterator.flatten.map(_.col)
+    val bloomCols = table.snap.blooms.valuesIterator.flatten.map(_.col)
+    // only columns this scan OUTPUTS — Spark resolves these refs
+    // against the scan's projection, and a pruned-away column would
+    // fail analysis of the enclosing join
+    val out = required.fieldNames.toSet
+    (table.partitionCol.iterator ++ statsCols ++ bloomCols).toSeq.distinct
+      .filter(out.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.filter(GraftPrune.prunable)
+    if (usable.nonEmpty)
+      runtimeKept = runtimeKept.filter(f => usable.forall(
+        GraftPrune.survives(table.snap, table.partitionCol, f, _)))
+  }
 
   /** EXACTLY the order Spark asked for. The parquet reader factory
     * physically emits data columns first and the partition column last;
@@ -569,7 +625,7 @@ private[graft] final case class GraftScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planFiles(keptFiles)
+  override def planInputPartitions(): Array[InputPartition] = planFiles(effectiveFiles)
 
   /** File list → bin-packed input splits (shared by the batch path and
     * the micro-batch stream, which plans each CDC window's files). */

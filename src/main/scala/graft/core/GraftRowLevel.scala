@@ -52,14 +52,20 @@ private[core] final class GraftRowLevelOperation(
     table: GraftLakeTable, info: RowLevelOperationInfo)
     extends RowLevelOperation {
 
-  /** The groups (files) the operation's scan decided to read — set at
-    * scan build, consumed by the write commit. */
-  @volatile private[core] var scannedFiles: Vector[String] = Vector.empty
+  /** The operation's scan — built once, read at write COMMIT time via
+    * [[scannedFiles]] so the replaced set reflects any runtime (group)
+    * filtering that narrowed the scan after planning: the files
+    * removed must be exactly the files whose rows were read and
+    * rewritten, never the wider statically-pruned set. */
+  @volatile private var builtScan: GraftScan = _
+
+  private[core] def scannedFiles: Vector[String] =
+    Option(builtScan).map(_.effectiveFiles).getOrElse(Vector.empty)
 
   override def command(): RowLevelOperation.Command = info.command
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, scan => scannedFiles = scan.keptFiles)
+    new GraftScanBuilder(table, scan => builtScan = scan)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

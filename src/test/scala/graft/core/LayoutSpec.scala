@@ -1596,4 +1596,63 @@ class LayoutSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
       .head().getLong(0) == 1000)
   }
+
+  test("GraftScan: manifest statistics drive broadcast; runtime filters prune files") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mstats").resolve("lake").toString
+    spark.range(0, 20000)
+      .select($"id".as("doc_id"), concat(lit("s"), pmod($"id", lit(8))).as("source"),
+        ($"id" * 3).as("score"))
+      .repartitionByRange(20, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan
+      }.collectFirst { case g: GraftScan => g }.get
+
+    // statistics: the PRUNED read reports the pruned bytes
+    val narrow = spark.sql(s"SELECT doc_id FROM graft.`$dir` WHERE doc_id < 500")
+    val wide = spark.sql(s"SELECT doc_id FROM graft.`$dir`")
+    val narrowBytes = scanOf(narrow).estimateStatistics().sizeInBytes().getAsLong
+    val wideBytes = scanOf(wide).estimateStatistics().sizeInBytes().getAsLong
+    assert(narrowBytes > 0 && narrowBytes < wideBytes / 4,
+      s"pruned scan must report pruned bytes: $narrowBytes vs $wideBytes")
+
+    // ...and Catalyst uses them: a pruned slice under the broadcast
+    // threshold plans a BroadcastHashJoin against a big frame
+    val big = spark.range(0, 100000).select($"id".as("doc_id"), lit(1L).as("w"))
+    big.createOrReplaceTempView("mstats_big")
+    val joined = spark.sql(
+      s"SELECT b.doc_id FROM mstats_big b JOIN graft.`$dir` g ON b.doc_id = g.doc_id " +
+        "WHERE g.doc_id < 500")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast,
+      "manifest statistics must make the pruned lake side broadcastable:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    assert(joined.count() == 500)
+
+    // runtime filtering: the survival rules applied to an In-filter
+    // shrink the effective file set below the static set
+    val scan = scanOf(wide)
+    val staticKept = scan.effectiveFiles.length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("source", Array("s3"))))
+    assert(scan.effectiveFiles.length < staticKept,
+      s"partition runtime filter must prune: ${scan.effectiveFiles.length} vs $staticKept")
+    assert(scan.effectiveFiles.forall(_.startsWith("source=s3")),
+      "only the filtered partition's files may survive")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array(42L))))
+    assert(scan.effectiveFiles.length <= 2,
+      s"stats runtime filter must narrow to the covering file(s): ${scan.effectiveFiles.length}")
+    // unusable shapes leave the set unchanged (subtractive-only)
+    val before = scan.effectiveFiles.length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringContains("source", "3")))
+    assert(scan.effectiveFiles.length == before)
+  }
 }
