@@ -825,24 +825,33 @@ object ManifestLake {
       val keys = keyed.select(keyCols.map(col): _*).distinct()
 
       // 1. detection: which files hold a matching key. With ONE key
-      // column whose stats the lake tracks, the delta's key ENVELOPE
-      // [min, max] bounds every possible match — the detection scan
-      // prunes to the overlapping files, so a clustered daily batch
-      // against a clustered lake detects in delta-proportional time
-      // instead of one full corpus pass. A scattered delta's envelope
-      // covers everything and degrades gracefully to the full scan;
-      // files without stats on the key are conservatively kept.
+      // column the lake tracks, a driver-collectable delta prunes
+      // per-file by the EXACT key set ([[pruneFilesForKeys]]: range
+      // stats overlap + bloom confirmation, the q141 point-lookup
+      // rules key-set-wise) — robust to the common mixed batch whose
+      // fresh-insert keys would blow a min/max envelope out to the
+      // whole lake. Deltas too large to collect fall back to the
+      // envelope (still exact for clustered batches); anything else
+      // scans everything. Files without metadata on the key are
+      // conservatively kept throughout.
+      val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
-        case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) =>
-          val env = keyed.agg(fmin(col(k)), fmax(col(k))).head()
-          if (env.isNullAt(0)) Vector.empty
-          else schema(schema.fieldIndex(k)).dataType match {
-            case _: org.apache.spark.sql.types.NumericType =>
-              def bd(a: Any): BigDecimal = BigDecimal(a.toString)
-              pruneFiles(snap, k, bd(env.get(0)), bd(env.get(1)))
-            case org.apache.spark.sql.types.StringType =>
-              pruneFilesString(snap, k, env.getString(0), env.getString(1))
-            case _ => snap.files
+        case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+          val sample = keys.limit(MaxDriverKeys + 1).collect().map(_.get(0))
+          if (sample.isEmpty) Vector.empty
+          else if (sample.length <= MaxDriverKeys)
+            pruneFilesForKeys(snap, k, sample.toIndexedSeq)
+          else {
+            val env = keyed.agg(fmin(col(k)), fmax(col(k))).head()
+            schema(schema.fieldIndex(k)).dataType match {
+              case _: org.apache.spark.sql.types.NumericType =>
+                pruneFiles(snap, k,
+                  BigDecimal(env.get(0).toString), BigDecimal(env.get(1).toString))
+              case org.apache.spark.sql.types.StringType =>
+                pruneFilesString(snap, k, env.getString(0), env.getString(1))
+              case _ => snap.files
+            }
           }
         case _ => snap.files
       }
@@ -1253,6 +1262,40 @@ object ManifestLake {
         case None     => true
       }
     }
+
+  /** Files that can hold ANY of `keyVals` on `col` — the point-lookup
+    * rules ([[pruneFilesPoint]]) applied key-SET-wise: a file survives
+    * when some key falls inside its range stats AND (when a bloom is
+    * present and the probe kind is eligible) some key might be in its
+    * bloom. Subtractive-only: files without metadata on `col`, or key
+    * values the bound model can't type, are kept. Driver cost is
+    * O(|files| · |keys|) worst case with early exit per file — the
+    * MERGE detection planner's workhorse, exact for clustered AND
+    * scattered deltas alike. */
+  private[core] def pruneFilesForKeys(snap: Snapshot, col: String,
+                                      keyVals: Seq[Any]): Vector[String] = {
+    def toBound(v: Any): Option[Bound] = v match {
+      case null              => None
+      case n: java.lang.Number => Some(Bound.Num(BigDecimal(n.toString)))
+      case s: String         => Some(Bound.Str(s))
+      case _                 => None
+    }
+    val bounds = keyVals.map(toBound)
+    if (bounds.exists(_.isEmpty)) return snap.files
+    val bs = bounds.flatten.toIndexedSeq
+    val bloomEligible = keyVals.headOption.exists(bloomProbeEligible(snap, col, _))
+    snap.files.filter { f =>
+      val rangeOk = snap.stats.getOrElse(f, Vector.empty).find(_.col == col) match {
+        case Some(st) => bs.exists(b => st.overlaps(b, b))
+        case None     => true
+      }
+      rangeOk && (!bloomEligible ||
+        (snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
+          case Some(bf) => keyVals.exists(bf.mightContain)
+          case None     => true
+        }))
+    }
+  }
 
   /** Point-lookup pruning: min/max range skipping composed with the
     * per-file [[FileBloom]] membership test. On a clustered key the
