@@ -70,6 +70,19 @@ object ProbeDml {
     val afterU = ManifestLake.latestSnapshot(lake).get.files.toSet
     report("sql_update", uSec, s""","rewritten":${(before -- afterU).size}""")
 
+    // SQL MERGE INTO: fixed 500-update + 50-insert source, group-filtered
+    spark.range(4000, 4500).select($"id".as("doc_id"),
+        lit("probe_m").as("source"), lit(3L).as("n_chars"))
+      .union(spark.range(0, 50).select(($"id" + 920000000L).as("doc_id"),
+        lit("probe_m").as("source"), lit(4L).as("n_chars")))
+      .createOrReplaceTempView("probe_dml_mrg")
+    val (_, mqSec) = timed(spark.sql(
+      s"""MERGE INTO $t g USING probe_dml_mrg u ON g.doc_id = u.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""))
+    val afterM = ManifestLake.latestSnapshot(lake).get.files.toSet
+    report("sql_merge", mqSec, s""","rewritten":${(afterU -- afterM).size}""")
+
     // SQL DELETE: fixed 100-key range (metadata-translated path)
     val (_, dSec) = timed(spark.sql(
       s"DELETE FROM $t WHERE doc_id >= 3500 AND doc_id < 3600"))

@@ -274,21 +274,15 @@ private[core] final case class GraftLakeTable(
     * never partially deletes. A bare `DELETE FROM t` / TRUNCATE
     * arrives as AlwaysTrue and empties the lake (history stays —
     * time travel still reads every prior version). */
-  /** SQL `UPDATE` (and group-based DELETE shapes the metadata path
-    * can't serve — subqueries, untranslatable predicates) — see
+  /** SQL `UPDATE`, `MERGE INTO` (runtime-group-filtered to the files
+    * holding matched keys) and group-based DELETE shapes the metadata
+    * path can't serve (subqueries, untranslatable predicates) — see
     * [[GraftRowLevelOperation]]. Filter-only DELETEs still optimize
-    * back to the metadata-only [[deleteWhere]] route below. MERGE INTO
-    * refuses toward [[ManifestLake.merge]] (whole-lake rewrite trap). */
+    * back to the metadata-only [[deleteWhere]] route below. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(info.command() !=
-      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
-      "MERGE INTO would rewrite every file the join MIGHT touch — use the " +
-        "delta-proportional keyed upsert instead: ManifestLake.merge(spark, " +
-        "dir, updates, keyCols) (or foreachBatch(merge) for streams)")
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new GraftRowLevelOperation(this, info)
-  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
@@ -379,7 +373,7 @@ private[core] object GraftLakeTable {
 }
 
 private[core] class GraftScanBuilder(table: GraftLakeTable,
-    onBuild: GraftScan => Unit = _ => ())
+    onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import ManifestLake.Bound
 
@@ -404,7 +398,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
   override def build(): Scan = {
     val kept = table.files.filter(f => pushed.forall(
       GraftPrune.survives(table.snap, table.partitionCol, f, _)))
-    val scan = GraftScan(table, required, kept, pushed)
+    val scan = GraftScan(table, required, kept, pushed, rowLevel)
     onBuild(scan)
     scan
   }
@@ -497,7 +491,8 @@ private[core] object GraftPrune {
   * in `explain` output. */
 private[graft] final case class GraftScan(
     table: GraftLakeTable, required: StructType,
-    keptFiles: Vector[String], pushed: Array[Filter])
+    keptFiles: Vector[String], pushed: Array[Filter],
+    rowLevel: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -539,16 +534,26 @@ private[graft] final case class GraftScan(
     * only — a filter shape the rules can't use leaves the file set
     * unchanged. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val statsCols = table.snap.stats.valuesIterator.flatten.map(_.col)
-    val bloomCols = table.snap.blooms.valuesIterator.flatten.map(_.col)
+    val statsCols = table.snap.stats.valuesIterator.flatten.map(_.col).toSeq.distinct
+    val bloomCols = table.snap.blooms.valuesIterator.flatten.map(_.col).toSeq.distinct
     // only columns this scan OUTPUTS — Spark resolves these refs
     // against the scan's projection, and a pruned-away column would
     // fail analysis of the enclosing join
     val out = required.fieldNames.toSet
-    (table.partitionCol.iterator ++ statsCols ++ bloomCols).toSeq.distinct
-      .filter(out.contains)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
-      .toArray
+    val cols =
+      if (rowLevel)
+        // the row-level group-filter rule packs EVERY filter attribute
+        // into one named_struct IN — a shape runtime-filter translation
+        // can't push to the source, so the filter silently evaluates
+        // row-wise and no file prunes. Advertise the single most
+        // skippable column instead (bloom beats stats beats partition):
+        // the rule then emits a plain single-attribute IN, which
+        // translates and prunes files through the point-lookup rules.
+        (bloomCols.iterator ++ statsCols ++ table.partitionCol.iterator)
+          .filter(out.contains).take(1).toSeq
+      else (table.partitionCol.iterator ++ statsCols ++ bloomCols)
+        .toSeq.distinct.filter(out.contains)
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -557,6 +562,7 @@ private[graft] final case class GraftScan(
       runtimeKept = runtimeKept.filter(f => usable.forall(
         GraftPrune.survives(table.snap, table.partitionCol, f, _)))
   }
+
 
   /** EXACTLY the order Spark asked for. The parquet reader factory
     * physically emits data columns first and the partition column last;

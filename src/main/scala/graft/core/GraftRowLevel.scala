@@ -19,34 +19,41 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
-/** Group-based (copy-on-write) row-level operations — SQL `UPDATE` and
-  * the heavy tail of `DELETE FROM` (subqueries, untranslatable
-  * predicates) against `graft.`/dir`` tables. Spark's rewrite turns
-  * the statement into ReplaceData: scan the AFFECTED groups, produce
-  * their full new content (updated + carried rows), write it, swap.
-  * The two sides meet on this operation instance:
+/** Group-based (copy-on-write) row-level operations — SQL `UPDATE`,
+  * `MERGE INTO`, and the heavy tail of `DELETE FROM` (subqueries,
+  * untranslatable predicates) against `graft.`/dir`` tables. Spark's
+  * rewrite turns the statement into ReplaceData: scan the AFFECTED
+  * groups, produce their full new content (updated/merged + carried
+  * rows), write it, swap. The two sides meet on this operation
+  * instance:
   *
-  *  - the SCAN is the table's normal manifest-pruned scan, so the
-  *    statement's WHERE conjuncts prune groups through the same stats/
-  *    bloom/partition layers as any read — an `UPDATE ... WHERE
+  *  - the SCAN is the table's normal manifest-pruned scan, so a
+  *    statement's static WHERE conjuncts prune groups through the same
+  *    stats/bloom/partition layers as any read — an `UPDATE ... WHERE
   *    doc_id BETWEEN a AND b` on a clustered lake rewrites only the
-  *    overlapping files, never the lake. The kept file set is recorded
-  *    here as the groups being replaced;
+  *    overlapping files, never the lake. For join conditions (MERGE)
+  *    and subquery predicates, Spark's runtime GROUP FILTER evaluates
+  *    the matching rows first and pushes their key values back as a
+  *    single-attribute IN ([[GraftScan.filterAttributes]] advertises
+  *    the scan's most skippable column for exactly this — a
+  *    multi-attribute struct IN would not translate to a source
+  *    filter), which the point-lookup rules turn into file-exact
+  *    pruning: a MERGE over a clustered/bloomed key rewrites only the
+  *    files holding matched keys. The file set consumed by the commit
+  *    is read AFTER runtime filtering ([[scannedFiles]]);
   *  - the WRITE is a real distributed DSv2 BatchWrite: each task
   *    routes rows to per-partition parquet writers (UUID names,
   *    invisible until committed — the manifest names live files), and
   *    the driver commit swaps scanned → written in one CAS via
   *    [[ManifestLake.commitReplace]], re-deriving stats and blooms so
-  *    a SQL UPDATE never erodes the skipping index.
+  *    SQL DML never erodes the skipping index.
   *
-  * MERGE INTO is refused at analysis: its ON condition is a join, and
-  * without runtime group filtering every file is an affected group — a
-  * whole-lake rewrite masquerading as DML at 100 TB. The keyed-upsert
-  * path ([[ManifestLake.merge]], delta-proportional by design) is the
-  * supported spelling.
-  *
-  * Update commits are CDC-invisible, like delete/merge/compact — their
-  * added files mix carried and changed rows ([[ManifestLake.changedFiles]]).
+  * Row-level commits are CDC-invisible, like delete/merge/compact —
+  * their added files mix carried and changed rows
+  * ([[ManifestLake.changedFiles]]). The Scala keyed upsert
+  * ([[ManifestLake.merge]]) remains the streaming/foreachBatch
+  * spelling; SQL MERGE INTO and it converge on the same
+  * delta-proportional shape.
   */
 private[core] final class GraftRowLevelOperation(
     table: GraftLakeTable, info: RowLevelOperationInfo)
@@ -65,7 +72,7 @@ private[core] final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = info.command
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, scan => builtScan = scan)
+    new GraftScanBuilder(table, scan => builtScan = scan, rowLevel = true)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -1211,10 +1211,70 @@ object RoundTrips {
            WHERE doc_id BETWEEN (3 * m) // 5 AND (4 * m) // 5) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q160 — SQL `MERGE INTO` through the group-filtered copy-on-write
+    * path: the same upsert as q158 (updated n_chars for the clustered
+    * key range, fresh inserts past max id), expressed as the standard
+    * SQL statement instead of the Scala API, and REQUIRED to land the
+    * same delta-proportional shape — Spark's runtime group filter
+    * evaluates the matched keys first and pushes them back as a
+    * single-attribute IN, which the lake's point-lookup rules
+    * (range stats + blooms) turn into file-exact pruning
+    * ([[graft.core.GraftRowLevelOperation]]). The oracle is q158's
+    * verbatim: both spellings must produce the identical post state.
+    * Invariants pinned TRUE: op "merge"; the rewrite touched a STRICT
+    * subset of v1's files (the group filter pruned, not just the
+    * static scan); skipping metadata intact; CDC-invisible. */
+  def qSqlMergeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_mrg",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_sqlmrg_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    docs.repartitionByRange(8, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").option("bloomCols", "doc_id")
+      .mode("append").save(lake)                                        // v1
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    docs.filter($"doc_id" >= m / 8 && $"doc_id" <= m / 4)
+        .select($"doc_id", $"source", ($"n_chars" * 2).as("n_chars"))
+      .unionByName(docs.filter($"doc_id" % 11 === 7)
+        .select(($"doc_id" + m + 1).as("doc_id"), $"source", $"n_chars"))
+      .createOrReplaceTempView("graft_sqlmrg_src")
+    s.sql(s"""MERGE INTO graft_mrg.`$lake` t USING graft_sqlmrg_src u
+      ON t.doc_id = u.doc_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")                                // v2
+    val v2 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val rewritten = v1.files.toSet -- v2.files.toSet
+    val invariants = v2.version == 2L && v2.op == "merge" &&
+      rewritten.nonEmpty && rewritten.size < v1.files.size &&
+      v2.stats.keySet == v2.files.toSet &&
+      v2.blooms.keySet == v2.files.toSet &&
+      graft.core.ManifestLake.readChanges(s, lake, 1L, 2L).count() == 0L
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+    Seq(
+      leg("full", s.sql(s"SELECT doc_id, n_chars FROM graft_mrg.`$lake`"),
+        invariants),
+      leg("tt_v1", s.sql(
+        s"SELECT doc_id, n_chars FROM graft_mrg.`$lake` VERSION AS OF 1"), true),
+      leg("pruned", graft.core.ManifestLake.readWhere(s, lake, "doc_id",
+        BigDecimal(3 * m / 5), BigDecimal(4 * m / 5)).select($"doc_id", $"n_chars"),
+        true))
+      .reduce(_ unionByName _)
+      .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_sql_dml" -> qSqlDmlRoundTrip,
     "q158_lake_merge" -> qLakeMergeRoundTrip,
     "q159_sql_update" -> qSqlUpdateRoundTrip,
+    "q160_sql_merge" -> qSqlMergeRoundTrip,
     "q152_sql_surface" -> qSqlSurfaceRoundTrip,
     "q153_zorder_compaction" -> qZorderCompactionRoundTrip,
     "q156_sql_write" -> qSqlWriteRoundTrip,
@@ -1236,6 +1296,7 @@ object RoundTrips {
     "q157_sql_dml" -> qSqlDmlRoundTripSql,
     "q158_lake_merge" -> qLakeMergeRoundTripSql,
     "q159_sql_update" -> qSqlUpdateRoundTripSql,
+    "q160_sql_merge" -> qLakeMergeRoundTripSql, // SQL MERGE ≡ Scala merge, same replay
     "q152_sql_surface" -> qSqlSurfaceRoundTripSql,
     "q153_zorder_compaction" -> qZorderCompactionRoundTripSql,
     "q156_sql_write" -> qSqlWriteRoundTripSql,

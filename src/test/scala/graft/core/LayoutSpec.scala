@@ -1585,12 +1585,45 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 950)
     assert(ManifestLake.read(spark, dir).filter($"score" === -1).count() == 0)
 
-    // MERGE INTO refuses toward the keyed upsert
-    val e = intercept[Exception] {
-      spark.sql(s"MERGE INTO $t g USING (SELECT 1 AS doc_id) s " +
-        "ON g.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+    // MERGE INTO: the runtime group filter narrows the copy-on-write
+    // rewrite to the files holding matched keys (a plain
+    // single-attribute IN pushed back through the point-lookup rules)
+    val preMerge = ManifestLake.latestSnapshot(dir).get
+    spark.sql(s"MERGE INTO $t g USING " +
+      "(SELECT id AS doc_id, 'p0' AS source, -99L AS score FROM range(300, 310) " +
+      " UNION ALL SELECT id + 7000, 'p0', 77L FROM range(0, 5)) s " +
+      "ON g.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val postMerge = ManifestLake.latestSnapshot(dir).get
+    assert(postMerge.op == "merge")
+    val mergeRewritten = preMerge.files.toSet -- postMerge.files.toSet
+    assert(mergeRewritten.nonEmpty && mergeRewritten.size <= 2,
+      s"group-filtered MERGE must rewrite only matched-key files: " +
+        s"${mergeRewritten.size} of ${preMerge.files.size}")
+    val merged = ManifestLake.read(spark, dir)
+    assert(merged.filter($"score" === -99L).count() == 10)
+    assert(merged.filter($"score" === 77L).count() == 5)
+    assert(merged.filter($"doc_id" === 500).head().getAs[Long]("score") == 5000,
+      "rows outside matched files must be untouched")
+    assert(postMerge.stats.keySet == postMerge.files.toSet)
+
+    // MERGE's WHEN MATCHED THEN DELETE works through the same machinery
+    spark.sql(s"MERGE INTO $t g USING (SELECT id + 7000 AS doc_id FROM range(0, 5)) s " +
+      "ON g.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
+    assert(ManifestLake.read(spark, dir).filter($"score" === 77L).count() == 0)
+
+    // ambiguous matches (two source rows, one target key) fail loudly
+    // instead of writing a nondeterministic result
+    val eMulti = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t g USING " +
+        "(SELECT 600L AS doc_id, 'p0' AS source, 1L AS score " +
+        " UNION ALL SELECT 600L, 'p0', 2L) s " +
+        "ON g.doc_id = s.doc_id WHEN MATCHED THEN UPDATE SET *")
     }
-    assert(e.getMessage.contains("ManifestLake.merge"), e.getMessage)
+    assert(Option(eMulti.getMessage).exists(m =>
+      m.toLowerCase.contains("merge") || m.toLowerCase.contains("cardinality") ||
+        m.toLowerCase.contains("multiple")), eMulti.getMessage)
 
     // time travel still reads the pre-DML lake
     assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
