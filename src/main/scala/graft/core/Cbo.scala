@@ -55,7 +55,14 @@ object Cbo {
     * call): n_rows plus per-column (non-null, NDV, Σ width). Width
     * measurement: strings by UTF-8 `length`; everything else by its
     * fixed encoded width — both computable without a second scan. */
-  def columnStats(df: DataFrame): TableStats = {
+  def columnStats(df: DataFrame): TableStats = columnStats(df, withNdv = true)
+
+  /** `withNdv = false` skips the exact per-column countDistinct — the
+    * expensive part of the pass (each distinct column multiplies the
+    * Expand). Size-only consumers ([[statsJoin]]'s broadcast decision
+    * reads nonNull + byte widths alone) get the same answer at a
+    * fraction of the scan; ndv reports 0 when skipped. */
+  def columnStats(df: DataFrame, withNdv: Boolean): TableStats = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields.toSeq
     def widthCol(f: StructField) = f.dataType match {
@@ -64,16 +71,17 @@ object Cbo {
       case dt => lit(dt.defaultSize.toLong)
     }
     val aggs = fields.flatMap { f =>
-      Seq(count(col(f.name)).as(s"nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"ndv_${f.name}"),
-        sum(when(col(f.name).isNotNull, widthCol(f)).otherwise(lit(0L)))
+      Seq(count(col(f.name)).as(s"nn_${f.name}")) ++
+        (if (withNdv) Seq(countDistinct(col(f.name)).as(s"ndv_${f.name}"))
+         else Seq.empty) ++
+        Seq(sum(when(col(f.name).isNotNull, widthCol(f)).otherwise(lit(0L)))
           .as(s"w_${f.name}"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
     val n = row.getAs[Long]("n_rows")
     TableStats(n, fields.map { f =>
       f.name -> ColStats(row.getAs[Long](s"nn_${f.name}"),
-        row.getAs[Long](s"ndv_${f.name}"),
+        if (withNdv) row.getAs[Long](s"ndv_${f.name}") else 0L,
         Option(row.getAs[java.lang.Long](s"w_${f.name}"))
           .map(_.longValue).getOrElse(0L))
     }.toMap)
@@ -94,7 +102,7 @@ object Cbo {
   def statsJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 thresholdBytes: Long = DefaultBroadcastBytes)
       : (DataFrame, JoinDecision) = {
-    val est = columnStats(right).estimatedBytes
+    val est = columnStats(right, withNdv = false).estimatedBytes
     val d = JoinDecision(est <= thresholdBytes, est, thresholdBytes)
     val r = if (d.broadcast) broadcast(right) else right
     (left.join(r, keys), d)

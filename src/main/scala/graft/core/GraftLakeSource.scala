@@ -175,15 +175,22 @@ private[core] final class GraftStreamSink(
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batchDf = org.apache.spark.sql.graftbridge.GraftSqlBridge.plannedBatchFrame(data)
     val snap = ManifestLake.latestSnapshot(dir)
-    // layout: an existing lake's partition column is law (recovered
-    // from the file layout, same rule as the SQL write surface); the
-    // option seeds creation or an emptied lake
-    val pc = snap.flatMap(_.files.headOption.map(_.takeWhile(_ != '=')))
-      .filter(c => batchDf.schema.fieldNames.contains(c))
-      .orElse(partitionColOpt)
-      .getOrElse(throw new IllegalStateException(
+    // layout: an existing lake's partition column is LAW (recovered
+    // from the file layout, same rule as the SQL write surface) — a
+    // batch that doesn't carry it fails loudly rather than silently
+    // adopting the option's column and forking the directory layout.
+    // The option only seeds creation or an emptied lake.
+    val pc = snap.flatMap(_.files.headOption.map(_.takeWhile(_ != '='))) match {
+      case Some(layoutCol) =>
+        require(batchDf.schema.fieldNames.contains(layoutCol),
+          s"lake $dir is partitioned by '$layoutCol' but the streamed batch " +
+            s"carries (${batchDf.schema.fieldNames.mkString(",")}) — a sink " +
+            "cannot change a lake's layout")
+        layoutCol
+      case None => partitionColOpt.getOrElse(throw new IllegalStateException(
         s"no committed layout in $dir and no 'partitionCol' option — " +
           "name one to let the stream create the lake"))
+    }
     // tracking: continue what the lake already tracks, widened by any
     // explicit options (a stream never erodes the skipping index)
     def tracked(cols: Iterator[String], opt: Seq[String]): Seq[String] =
@@ -295,10 +302,16 @@ private[core] final case class GraftLakeTable(
     // bound the detection scan through the manifest's own pruning
     // rules (conservative: a file GraftPrune drops provably holds no
     // matching row) — a clustered-range DELETE opens only the
-    // overlapping files instead of the whole lake
-    val candidates = files.filter(f => filters.forall(
-      GraftPrune.survives(snap, partitionCol, f, _)))
-    ManifestLake.deleteWhere(spark, dir, cond, () => (), Some(candidates))
+    // overlapping files instead of the whole lake. Evaluated against
+    // the snapshot the delete itself resolves, NOT this table's
+    // bound-at-resolve-time one: files appended since binding must
+    // still be detected (a stale candidate set would be a silent
+    // partial delete)
+    ManifestLake.deleteWhere(spark, dir, cond, () => (),
+      Some(cur => cur.files.filter(f => filters.forall(
+        GraftPrune.survives(cur,
+          cur.files.headOption.map(_.takeWhile(_ != '='))
+            .filter(c => schema.fieldNames.contains(c)), f, _)))))
     ()
   }
 
@@ -455,11 +468,15 @@ private[core] object GraftPrune {
       val b = toBound(v)
       val rangeOk = ranged(col, b, b)
       // partition-directory pruning: equality on the partition column
-      // keeps only that partition's files (string compare on the
-      // escaped dir value — lake partition values are written verbatim
-      // for the simple keys this engine partitions by)
+      // keeps only that partition's files. The on-disk dir name is
+      // Hive-ESCAPED (stageFiles via partitionBy, GraftDataWriter via
+      // escapePathName), so the probe value must escape before the
+      // compare — matching the raw value against 'a%3Ab' would
+      // silently prune the file that holds 'a:b'
       val partOk = !partitionCol.contains(col) ||
-        file.takeWhile(_ != '/') == s"$col=$v"
+        file.takeWhile(_ != '/') == s"$col=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(v))
       // bloom: only when the probe kind provably matches (the
       // pruneFilesPoint eligibility rule)
       val bloomOk = if (!ManifestLake.bloomProbeEligible(snap, col, v)) true

@@ -204,8 +204,19 @@ private[core] final class GraftDataWriter(
     val pi = partIdx + offset
     val pval =
       if (row.isNullAt(pi)) "__HIVE_DEFAULT_PARTITION__"
-      else ExternalCatalogUtils.escapePathName(
-        String.valueOf(row.get(pi, partType)))
+      else {
+        // render the EXTERNAL form, matching what Spark's partitionBy
+        // writes and what GraftScan.partitionValueRow parses back —
+        // DateType's internal Int (epoch days) must become the ISO
+        // date, or the rewrite would fork 'd=19738/' beside
+        // 'd=2024-01-15/' and break every later partition parse
+        val rendered = partType match {
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(pi).toLong).toString
+          case _ => String.valueOf(row.get(pi, partType))
+        }
+        ExternalCatalogUtils.escapePathName(rendered)
+      }
     writerFor(s"$partitionCol=$pval").write(dataProj(row))
   }
 

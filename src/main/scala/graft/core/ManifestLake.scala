@@ -946,7 +946,22 @@ object ManifestLake {
             latest.blooms -- removedSet ++ newBlooms))
       }
       val rowsUpdated = rewrites.map(_.rowsRemoved).sum
-      MergeStats(rowsUpdated, keyed.count() - rowsUpdated, affected.length)
+      // rowsInserted counts UPDATE ROWS whose key matched nothing —
+      // computed by a semi-join against the affected files (delta-
+      // sized), not as total-minus-removed: a key holding multiple
+      // lake rows (legal — merge replaces all of them) removes more
+      // rows than it matched update rows, and the subtraction would
+      // go wrong (even negative)
+      val matchedUpdates =
+        if (affected.isEmpty) 0L
+        else {
+          val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          keyed.join(
+            reader.parquet(affected.map(f => s"$dir/$f"): _*)
+              .select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi").count()
+        }
+      MergeStats(rowsUpdated, keyed.count() - matchedUpdates, affected.length)
     } finally { keyed.unpersist(); () }
   }
 
@@ -1042,23 +1057,27 @@ object ManifestLake {
                                 beforeCommit: () => Unit): Long =
     deleteWhere(s, dir, predicate, beforeCommit, None)
 
-  /** `candidates`, when given, bounds the DETECTION scan: the caller
-    * asserts no row outside those files can satisfy `predicate` (the
-    * SQL surface derives this from the manifest's own pruning rules
-    * over the translated filters — [[GraftPrune.survives]] is
-    * conservative, so the superset property holds by construction).
-    * Detection then opens candidate files only, making a clustered-
-    * range delete delta-proportional instead of opening every file in
-    * the lake; rewrites were always limited to files with matches. */
+  /** `candidatesOf`, when given, bounds the DETECTION scan: applied to
+    * the snapshot THIS delete resolves (never a caller's stale one —
+    * files appended between table binding and execution must still be
+    * detected), it returns the files that can possibly satisfy
+    * `predicate` (the SQL surface derives this from the manifest's own
+    * pruning rules over the translated filters —
+    * [[GraftPrune.survives]] is conservative, so the superset property
+    * holds by construction). Detection then opens candidate files
+    * only, making a clustered-range delete delta-proportional instead
+    * of opening every file in the lake; rewrites were always limited
+    * to files with matches. */
   private[core] def deleteWhere(s: SparkSession, dir: String,
                                 predicate: org.apache.spark.sql.Column,
                                 beforeCommit: () => Unit,
-                                candidates: Option[Vector[String]]): Long = {
+                                candidatesOf: Option[Snapshot => Vector[String]]): Long = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val scanFiles = candidates match {
-      case Some(c) =>
+    val scanFiles = candidatesOf match {
+      case Some(f) =>
+        val c = f(snap)
         require(c.forall(snap.files.contains),
           "delete candidates must come from the current snapshot")
         c

@@ -1465,7 +1465,7 @@ object Similarity extends Serializable {
              ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(
                (SELECT v FROM emb WHERE vec_id = $queryId), c.cv) DESC, c.cid) AS rn
            FROM cents c) t
-         WHERE rn <= (SELECT GREATEST(12, CAST(CEIL(0.15 * k) AS BIGINT)) FROM kn)),
+         WHERE rn <= (SELECT GREATEST($OpNProbe, CAST(CEIL(0.15 * k) AS BIGINT)) FROM kn)),
        qvec AS (SELECT v AS qv FROM emb WHERE vec_id = $queryId),
        qresid AS (
          SELECT c.cid AS bucket, p.m,

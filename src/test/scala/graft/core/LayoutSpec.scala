@@ -1688,4 +1688,64 @@ class LayoutSpec extends SparkSpec {
       org.apache.spark.sql.sources.StringContains("source", "3")))
     assert(scan.effectiveFiles.length == before)
   }
+
+  test("review pins: escaped partition values, date partitions, layout-fork refusal, exact MergeStats") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+    // 1. partition values that Hive-escape (space + colon) must prune
+    // CORRECTLY, not silently to zero: the dir name is escaped on disk
+    val dir = Files.createTempDirectory("mrev1").resolve("lake").toString
+    spark.range(0, 100)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, lit("a b:c")).otherwise(lit("plain")).as("source"))
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE source = 'a b:c'")
+      .head().getLong(0) == 50, "escaped partition equality must keep the escaped dir")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE source = 'a b:c' AND doc_id < 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`").head().getLong(0) == 95)
+
+    // 2. a DateType-partitioned lake survives a SQL UPDATE: rewritten
+    // rows must land under the ISO date dir, not the epoch-day int
+    val dir2 = Files.createTempDirectory("mrev2").resolve("lake").toString
+    spark.range(0, 100)
+      .select($"id".as("doc_id"),
+        date_add(to_date(lit("2024-01-15")), pmod($"id", lit(2)).cast("int")).as("d"),
+        ($"id" * 2).as("score"))
+      .write.format("graft").option("partitionCol", "d")
+      .option("statsCols", "doc_id").mode("append").save(dir2)
+    spark.sql(s"UPDATE graft.`$dir2` SET score = -1 WHERE doc_id >= 0 AND doc_id < 100")
+    val snap2 = ManifestLake.latestSnapshot(dir2).get
+    assert(snap2.files.forall(f => f.startsWith("d=2024-01-1")),
+      s"date partitions must keep ISO dirs: ${snap2.files.take(3)}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir2` WHERE score = -1")
+      .head().getLong(0) == 100)
+
+    // 3. a stream batch missing the lake's layout column refuses
+    // loudly instead of forking the directory layout
+    val dir3 = Files.createTempDirectory("mrev3").resolve("lake").toString
+    ManifestLake.append(spark, dir3,
+      spark.range(0, 10).select($"id".as("doc_id"), lit("s0").as("source")),
+      "source")
+    val e = intercept[Exception] {
+      new GraftStreamSink(dir3, "app", Some("day"), Nil, Nil)
+        .addBatch(0L, spark.range(0, 5).select($"id".as("doc_id"), lit(1L).as("day")))
+    }
+    assert(e.getMessage.contains("cannot change a lake's layout"), e.getMessage)
+
+    // 4. MergeStats stays exact when a key matches MULTIPLE lake rows
+    val dir4 = Files.createTempDirectory("mrev4").resolve("lake").toString
+    ManifestLake.append(spark, dir4,
+      spark.range(0, 10).select($"id".as("doc_id"), lit("m0").as("source"), lit(0L).as("v"))
+        .union(Seq((5L, "m0", 0L)).toDF("doc_id", "source", "v")),  // doc_id=5 twice
+      "source", statsCols = Seq("doc_id"))
+    val stats = ManifestLake.merge(spark, dir4,
+      Seq((5L, "m0", 9L), (100L, "m0", 1L)).toDF("doc_id", "source", "v"),
+      Seq("doc_id"))
+    assert(stats.rowsUpdated == 2L, s"both duplicate rows replaced: $stats")
+    assert(stats.rowsInserted == 1L, s"inserted must never go negative: $stats")
+    val back4 = ManifestLake.read(spark, dir4)
+    assert(back4.filter($"doc_id" === 5L).count() == 1, "merge collapses lake-side dups")
+    assert(back4.count() == 11)
+  }
 }
