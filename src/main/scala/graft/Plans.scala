@@ -780,10 +780,20 @@ object Plans {
         |through the same stats the reads use (strict-subset rewrite,
         |oracle-pinned); the write is the engine's distributed DSv2
         |BatchWrite (per-task dynamic-partition parquet writers), and
-        |the swap is one CAS re-deriving stats+blooms. MERGE INTO is
-        |refused toward the delta-proportional keyed upsert — a join
-        |condition without runtime group filtering would make every
-        |file an affected group.""".stripMargin)
+        |the swap is one CAS re-deriving stats+blooms.""".stripMargin,
+    "q160_sql_merge" ->
+      """SQL MERGE INTO, group-filtered: Spark evaluates the matched
+        |keys first (a narrow semi-join subquery) and pushes them back
+        |as a single-attribute IN — the row-level scan advertises ONE
+        |most-skippable filter column so the filter stays translatable
+        |(a multi-attribute struct IN would silently not push) — and
+        |the point-lookup rules (stats + bloom) collapse the rewrite
+        |to the files holding matched keys. Oracle = q158's replay:
+        |the SQL spelling and the Scala keyed upsert must land the
+        |identical post state. The group filter's key scan is the one
+        |corpus-proportional term; ManifestLake.merge's manifest-side
+        |detection avoids even that, which is why it stays the
+        |streaming spelling.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
