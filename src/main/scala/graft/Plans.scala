@@ -781,6 +781,20 @@ object Plans {
         |oracle-pinned); the write is the engine's distributed DSv2
         |BatchWrite (per-task dynamic-partition parquet writers), and
         |the swap is one CAS re-deriving stats+blooms.""".stripMargin,
+    "q161_metadata_tables" ->
+      """SQL metadata tables: the commit log itself as relations —
+        |graft.`/lake$history` (one row per retained manifest with
+        |op and an added/removed diff against its predecessor) and
+        |graft.`/lake$files` (the snapshot exploded per tracked
+        |stats column, logical partition values, stringified bounds,
+        |bloom presence), with VERSION AS OF on $files. Both are
+        |driver-local scans ON PURPOSE: metadata is manifest-sized —
+        |the $files row set is the exact object every ordinary read
+        |already parses on the driver before planning, so no data
+        |file opens and no distributed job runs for either. The
+        |oracle replays the per-partition doc_id extrema from the
+        |rows themselves, proving compaction re-derives (not
+        |carries) skipping stats.""".stripMargin,
     "q160_sql_merge" ->
       """SQL MERGE INTO, group-filtered: Spark evaluates the matched
         |keys first (a narrow semi-join subquery) and pushes them back

@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   DELETE FROM graft.`/data/lake` WHERE doc_id = 7       -- manifest delete
   *   CALL graft.compact(path => '/data/lake', target_records => 1000000)
   *   CALL graft.vacuum(path => '/data/lake', keep_versions => 2)
+  *   SELECT * FROM graft.`/data/lake$history`              -- commit log as a relation
+  *   SELECT * FROM graft.`/data/lake$files`                -- per-file skipping stats
   * }}}
   *
   * The catalog only RESOLVES (identifier → [[GraftLakeTable]], reusing
@@ -65,24 +67,45 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = dirOf(ident)
-    if (ManifestLake.latestSnapshot(dir).isEmpty)
-      throw new NoSuchTableException(Seq(dir))
-    GraftLake.resolve(new CaseInsensitiveStringMap(
-      java.util.Map.of("path", dir)))
+    val dir0 = dirOf(ident)
+    GraftMetadata.parse(dir0) match {
+      case Some((dir, kind)) =>
+        if (ManifestLake.latestSnapshot(dir).isEmpty)
+          throw new NoSuchTableException(Seq(dir0))
+        GraftMetadataTable(dir, kind, None)
+      case None =>
+        if (ManifestLake.latestSnapshot(dir0).isEmpty)
+          throw new NoSuchTableException(Seq(dir0))
+        GraftLake.resolve(new CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir0)))
+    }
   }
 
-  /** `VERSION AS OF <v>` — time travel straight off the manifest log. */
+  /** `VERSION AS OF <v>` — time travel straight off the manifest log.
+    * Works on the data table and on `$files` (the snapshot's file
+    * list AT that version); `$history` already spans every retained
+    * version, so versioning it answers nothing and refuses. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = dirOf(ident)
+    val dir0 = dirOf(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft versions are manifest numbers, got '$version'")
     }
-    if (ManifestLake.snapshotAt(dir, v).isEmpty)
-      throw new NoSuchTableException(Seq(s"$dir@v$v"))
-    GraftLake.resolve(new CaseInsensitiveStringMap(
-      java.util.Map.of("path", dir, "versionAsOf", version)))
+    GraftMetadata.parse(dir0) match {
+      case Some((_, GraftMetadata.History)) =>
+        throw new UnsupportedOperationException(
+          "$history already lists every retained version — query it " +
+            "with WHERE version <= v instead of VERSION AS OF")
+      case Some((dir, kind)) =>
+        if (ManifestLake.snapshotAt(dir, v).isEmpty)
+          throw new NoSuchTableException(Seq(s"$dir0@v$v"))
+        GraftMetadataTable(dir, kind, Some(v))
+      case None =>
+        if (ManifestLake.snapshotAt(dir0, v).isEmpty)
+          throw new NoSuchTableException(Seq(s"$dir0@v$v"))
+        GraftLake.resolve(new CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir0, "versionAsOf", version)))
+    }
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -95,7 +118,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     else throw new NoSuchNamespaceException(namespace)
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty && ManifestLake.latestSnapshot(ident.name).isDefined
+    ident.namespace.isEmpty && {
+      val dir = GraftMetadata.parse(ident.name).map(_._1).getOrElse(ident.name)
+      ManifestLake.latestSnapshot(dir).isDefined
+    }
 
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],

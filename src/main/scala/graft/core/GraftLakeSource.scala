@@ -208,6 +208,24 @@ private[core] final class GraftStreamSink(
 }
 
 private[core] object GraftLake {
+  /** Spark's own partition-value unescape (%xx sequences, written by
+    * `escapePathName` at stage time) — shared by the scan's partition
+    * row recovery and the `$files` metadata table. */
+  private[core] def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Resolve options → (dir, snapshot-or-CDC file set, schema). */
   def resolve(options: CaseInsensitiveStringMap): GraftLakeTable = {
     val dir = Option(options.get("path")).getOrElse(
@@ -607,28 +625,12 @@ private[graft] final case class GraftScan(
 
   override def toBatch: Batch = this
 
-  /** Spark's own partition-value unescape (%xx sequences, written by
-    * `escapePathName` at stage time). */
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
   private def partitionValueRow(file: String): InternalRow = {
     val part = partitionFields
     if (part.isEmpty) InternalRow.empty
     else {
-      val raw = unescape(file.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
+      val raw = GraftLake.unescapePartitionValue(
+        file.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
       val v: Any =
         if (raw == "__HIVE_DEFAULT_PARTITION__") null
         else part.head.dataType match {

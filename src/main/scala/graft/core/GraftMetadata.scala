@@ -1,0 +1,155 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata tables for the SQL catalog — the Delta/Iceberg pattern of
+  * a reserved suffix on the table name exposing the transaction log
+  * itself as a relation (reference: the dashboard's operational
+  * queries over ingest state, `server/dashboard.py:126-176`, which
+  * read bookkeeping tables, not data):
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/lake$history`   -- one row per commit
+  *   SELECT * FROM graft.`/data/lake$files`     -- one row per (file, stats col)
+  *   SELECT * FROM graft.`/data/lake$files` VERSION AS OF 3
+  * }}}
+  *
+  * `$history`: (version, op, n_files, files_added, files_removed) per
+  * retained manifest, ascending. added/removed diff against the
+  * previous retained manifest and are NULL for the oldest one (its
+  * predecessor may be vacuumed — a diff against "nothing" would lie).
+  *
+  * `$files`: the latest (or `VERSION AS OF`) snapshot exploded per
+  * tracked stats column: (file, partition, col, min_value, max_value,
+  * has_bloom). A file with no tracked columns gets one row with NULL
+  * col/bounds. `partition` is the logical (unescaped) partition value;
+  * bounds render as strings (numeric = plain decimal, string = the
+  * value) so one schema serves any tracked column type.
+  *
+  * Scale: both tables materialize on the DRIVER as a [[LocalScan]] —
+  * deliberately. `$history` is O(retained versions) manifest parses;
+  * `$files` is rows = files × statsCols over ONE manifest parse, the
+  * exact object every ordinary read of the lake already holds on the
+  * driver before planning. Metadata here is manifest-sized, never
+  * data-sized; no data file is opened.
+  */
+private[core] object GraftMetadata {
+  val HistorySuffix = "$history"
+  val FilesSuffix   = "$files"
+
+  sealed abstract class Kind
+  case object History extends Kind
+  case object FilesMeta extends Kind
+
+  /** Split a catalog identifier name into (lake dir, metadata kind) if
+    * it carries a reserved suffix. A real directory whose name ends in
+    * the suffix is shadowed — the suffixes are reserved names in this
+    * catalog, exactly as in Delta's `@v`/Iceberg's `.history`. */
+  def parse(name: String): Option[(String, Kind)] =
+    if (name.endsWith(HistorySuffix))
+      Some((name.dropRight(HistorySuffix.length), History))
+    else if (name.endsWith(FilesSuffix))
+      Some((name.dropRight(FilesSuffix.length), FilesMeta))
+    else None
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("files_added", IntegerType, nullable = true),
+    StructField("files_removed", IntegerType, nullable = true)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("col", StringType, nullable = true),
+    StructField("min_value", StringType, nullable = true),
+    StructField("max_value", StringType, nullable = true),
+    StructField("has_bloom", BooleanType, nullable = false)))
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def render(b: ManifestLake.Bound): String = b match {
+    case ManifestLake.Bound.Num(v) => v.bigDecimal.toPlainString
+    case ManifestLake.Bound.Str(v) => v
+  }
+
+  def historyRows(dir: String): Array[InternalRow] = {
+    val vs = ManifestLake.versions(dir)
+    require(vs.nonEmpty, s"no committed manifest in $dir")
+    val snaps = vs.map(v => ManifestLake.snapshotAt(dir, v).get)
+    snaps.zipWithIndex.map { case (s, i) =>
+      val (added, removed): (Any, Any) =
+        if (i == 0) (null, null)
+        else {
+          val prev = snaps(i - 1).files.toSet
+          val cur = s.files.toSet
+          (Int.box((cur -- prev).size), Int.box((prev -- cur).size))
+        }
+      InternalRow(s.version, utf8(s.op), s.files.length, added, removed)
+    }.toArray
+  }
+
+  def filesRows(dir: String, versionAsOf: Option[Long]): Array[InternalRow] = {
+    val snap = versionAsOf match {
+      case Some(v) => ManifestLake.snapshotAt(dir, v).getOrElse(
+        throw new IllegalStateException(s"manifest v$v of $dir is missing"))
+      case None => ManifestLake.latestSnapshot(dir).getOrElse(
+        throw new IllegalStateException(s"no committed manifest in $dir"))
+    }
+    snap.files.iterator.flatMap { f =>
+      val partition = GraftLake.unescapePartitionValue(
+        f.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
+      val bloomCols = snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet
+      val stats = snap.stats.getOrElse(f, Vector.empty)
+      if (stats.isEmpty)
+        Iterator.single(InternalRow(utf8(f), utf8(partition), null, null, null,
+          bloomCols.nonEmpty))
+      else stats.iterator.map(st =>
+        InternalRow(utf8(f), utf8(partition), utf8(st.col),
+          utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col)))
+    }.toArray
+  }
+}
+
+/** One resolved metadata table. Rows are computed lazily at scan build
+  * (not at resolve), so `VERSION AS OF` on `$files` reads exactly one
+  * manifest and a stale catalog entry can't serve a pre-commit row
+  * set. */
+private[core] final case class GraftMetadataTable(
+    dir: String, kind: GraftMetadata.Kind, versionAsOf: Option[Long])
+    extends Table with SupportsRead {
+
+  override def name(): String = {
+    val suffix = kind match {
+      case GraftMetadata.History   => GraftMetadata.HistorySuffix
+      case GraftMetadata.FilesMeta => GraftMetadata.FilesSuffix
+    }
+    s"graft_meta_$dir$suffix"
+  }
+
+  override val schema: StructType = kind match {
+    case GraftMetadata.History   => GraftMetadata.historySchema
+    case GraftMetadata.FilesMeta => GraftMetadata.filesSchema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = kind match {
+          case GraftMetadata.History   => GraftMetadata.historyRows(dir)
+          case GraftMetadata.FilesMeta => GraftMetadata.filesRows(dir, versionAsOf)
+        }
+        override def description(): String = name()
+      }
+    }
+}

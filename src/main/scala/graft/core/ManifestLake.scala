@@ -273,18 +273,23 @@ object ManifestLake {
     root.resolve(ManifestDir).resolve(f"v$v%012d")
 
   /** Highest committed snapshot, or None for a virgin directory. */
-  def latestSnapshot(dir: String): Option[Snapshot] = {
+  def latestSnapshot(dir: String): Option[Snapshot] =
+    versions(dir).maxOption.map(v => parseManifest(Paths.get(dir), v))
+
+  /** Every committed manifest version still on disk, ascending (vacuum
+    * retires old ones, so the vector may not start at 1). One
+    * directory listing of `_manifests/` — O(retained versions),
+    * independent of data size. */
+  def versions(dir: String): Vector[Long] = {
     val mdir = Paths.get(dir).resolve(ManifestDir)
-    if (!Files.isDirectory(mdir)) None
+    if (!Files.isDirectory(mdir)) Vector.empty
     else {
       val st = Files.list(mdir)
-      val versions =
-        try st.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-          .map(_.drop(1).toLong).toVector
-        finally st.close()
-      versions.maxOption.map(v => parseManifest(Paths.get(dir), v))
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).toVector.sorted
+      finally st.close()
     }
   }
 

@@ -1270,7 +1270,97 @@ object RoundTrips {
       .orderBy($"leg_tag")
   }
 
+  /** q161 — SQL metadata tables ([[graft.core.GraftMetadataTable]]):
+    * the transaction log queryable as relations, the way the
+    * reference's dashboard reads its bookkeeping tables rather than
+    * data (`server/dashboard.py:126-176`). Builds a three-commit lake
+    * (append all documents, append a shifted delta, CALL compact),
+    * then reads it back ONLY through `$history`/`$files`:
+    *
+    *  - `hist` leg: version span off `$history`, with the commit-log
+    *    invariants pinned (versions exactly 1..3 with ops
+    *    append/append/compact; the delta commit added files and
+    *    removed none; the compact commit's n_files reconciles with its
+    *    own added/removed diff; the oldest row's diff is NULL).
+    *  - `files` leg: per-partition MIN(min)/MAX(max) of the doc_id
+    *    skipping stats from `$files` — post-compaction file bounds
+    *    must reproduce the per-source doc_id extrema DuckDB computes
+    *    from the rows themselves, proving compaction re-derived
+    *    stats, not carried them. Pinned: every stats row has a bloom,
+    *    no file lacks tracked columns, distinct files == n_files.
+    *  - `files_v1` leg: the same extrema through
+    *    `$files VERSION AS OF 1` — time travel on metadata, matching
+    *    pre-delta `documents` alone.
+    *
+    * Scale: the query's data-proportional work is the two appends and
+    * the compaction; both metadata reads are manifest-sized driver
+    * relations (see [[graft.core.GraftMetadata]]). */
+  def qMetadataTablesRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_meta",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_meta_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))          // v1
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 13 === 5)
+        .select(($"doc_id" + m + 1).as("doc_id"), $"source", $"n_chars"),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id")) // v2
+    s.sql(s"CALL graft_meta.compact(path => '$lake', " +
+      s"target_records => ${1L << 22})").collect()                   // v3
+    val hist = s.sql(s"SELECT * FROM graft_meta.`$lake$$history`")
+      .orderBy($"version").collect()
+    val histOk = hist.length == 3 &&
+      hist.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L)) &&
+      hist.map(_.getString(1)).sameElements(Array("append", "append", "compact")) &&
+      hist(0).isNullAt(3) && hist(0).isNullAt(4) &&
+      hist(1).getInt(3) > 0 && hist(1).getInt(4) == 0 &&
+      hist(2).getInt(2) == hist(1).getInt(2) + hist(2).getInt(3) - hist(2).getInt(4)
+    val files = s.sql(s"SELECT * FROM graft_meta.`$lake$$files`")
+    val fAgg = files.agg(
+      count(lit(1)).as("rows"),
+      countDistinct($"file").as("nf"),
+      sum(when($"col".isNull || !$"has_bloom", 1L).otherwise(0L)).as("bad"))
+      .head()
+    val filesOk = fAgg.getLong(2) == 0L && fAgg.getLong(1) == hist(2).getInt(2)
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.filter($"col" === "doc_id")
+        .groupBy($"partition".as("k"))
+        .agg(min($"min_value".cast("long")).as("lo"),
+          max($"max_value".cast("long")).as("hi"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"leg_tag", $"k", $"lo", $"hi", $"invariant_ok")
+    leg("files", files, filesOk)
+      .unionByName(leg("files_v1",
+        s.sql(s"SELECT * FROM graft_meta.`$lake$$files` VERSION AS OF 1"), true))
+      .unionByName(Seq(("hist", "versions", 1L, 3L, histOk))
+        .toDF("leg_tag", "k", "lo", "hi", "invariant_ok"))
+      .orderBy($"leg_tag", $"k")
+  }
+
+  val qMetadataTablesRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       post AS (
+         SELECT doc_id, source FROM documents
+         UNION ALL
+         SELECT doc_id + m + 1, source FROM documents, mx WHERE doc_id % 13 = 5)
+       SELECT * FROM (
+         SELECT 'files' AS leg_tag, source AS k, MIN(doc_id) AS lo,
+                MAX(doc_id) AS hi, TRUE AS invariant_ok
+         FROM post GROUP BY source
+         UNION ALL
+         SELECT 'files_v1', source, MIN(doc_id), MAX(doc_id), TRUE
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT 'hist', 'versions', 1, 3, TRUE) t
+       ORDER BY leg_tag, k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_metadata_tables" -> qMetadataTablesRoundTrip,
     "q157_sql_dml" -> qSqlDmlRoundTrip,
     "q158_lake_merge" -> qLakeMergeRoundTrip,
     "q159_sql_update" -> qSqlUpdateRoundTrip,
@@ -1293,6 +1383,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q161_metadata_tables" -> qMetadataTablesRoundTripSql,
     "q157_sql_dml" -> qSqlDmlRoundTripSql,
     "q158_lake_merge" -> qLakeMergeRoundTripSql,
     "q159_sql_update" -> qSqlUpdateRoundTripSql,

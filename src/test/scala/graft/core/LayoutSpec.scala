@@ -1748,4 +1748,55 @@ class LayoutSpec extends SparkSpec {
     assert(back4.filter($"doc_id" === 5L).count() == 1, "merge collapses lake-side dups")
     assert(back4.count() == 11)
   }
+
+  test("metadata tables: $history diffs commits, $files serves stats, VERSION AS OF travels") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("meta").resolve("lake").toString
+    // partition value that Hive-escapes: $files must give back the
+    // LOGICAL value, not the %xx directory name
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"),
+        when($"id" % 2 === 0, lit("a b:c")).otherwise(lit("plain")).as("source")),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    ManifestLake.append(spark, dir,
+      spark.range(100, 120).select($"id".as("doc_id"), lit("plain").as("source")),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 100L)           // v3: removes v2's files
+
+    val hist = spark.sql(s"SELECT * FROM graft.`$dir$$history`")
+      .orderBy($"version").collect()
+    assert(hist.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L)))
+    assert(hist.map(_.getString(1)).sameElements(Array("append", "append", "delete")))
+    assert(hist(0).isNullAt(3) && hist(0).isNullAt(4),
+      "oldest retained version has no predecessor to diff against")
+    assert(hist(1).getInt(3) > 0 && hist(1).getInt(4) == 0, "append adds, never removes")
+    assert(hist(2).getInt(2) == hist(1).getInt(2) + hist(2).getInt(3) - hist(2).getInt(4))
+
+    val files = spark.sql(s"SELECT * FROM graft.`$dir$$files`").collect()
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(files.length == snap.files.length, "one row per file for one tracked col")
+    assert(files.forall(r => r.getString(2) == "doc_id" && r.getBoolean(5)))
+    assert(files.map(_.getString(1)).toSet == Set("a b:c", "plain"),
+      "partition values come back unescaped")
+    // stats agree with the snapshot's own bounds, rendered as strings
+    val evens = files.filter(_.getString(1) == "a b:c")
+    assert(evens.map(_.getString(3).toLong).min == 0L &&
+      evens.map(_.getString(4).toLong).max == 98L)
+
+    // time travel on $files: v2 still holds the since-deleted rows' files
+    val v2Files = spark.sql(s"SELECT * FROM graft.`$dir$$files` VERSION AS OF 2").collect()
+    assert(v2Files.map(_.getString(4).toLong).max == 119L)
+    assert(files.map(_.getString(4).toLong).max < 119L - 19L + 1L)
+
+    // $history refuses VERSION AS OF (it already spans all versions)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir$$history` VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("every retained version"), e.getMessage)
+
+    // a metadata suffix on a non-lake path names nothing
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`/does/not/exist$$history`").collect()
+    }
+  }
 }
