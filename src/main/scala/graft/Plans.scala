@@ -781,6 +781,19 @@ object Plans {
         |oracle-pinned); the write is the engine's distributed DSv2
         |BatchWrite (per-task dynamic-partition parquet writers), and
         |the swap is one CAS re-deriving stats+blooms.""".stripMargin,
+    "q162_timestamp_travel" ->
+      """TIMESTAMP AS OF: each commit's manifest carries a #ts wall
+        |time; resolution picks the max VERSION among retained
+        |commits with ts <= the queried instant (clock skew between
+        |racing writers can therefore never order history differently
+        |than the manifest log does) and serves that version through
+        |the normal snapshot path — time is sugar over the version
+        |log, never a second addressing scheme. Resolution is
+        |O(retained versions) driver-side manifest parses,
+        |independent of data size; a pre-history instant refuses
+        |with a named error (not an empty table), and pre-ts
+        |manifests stay version-addressable but never
+        |time-addressable.""".stripMargin,
     "q161_metadata_tables" ->
       """SQL metadata tables: the commit log itself as relations —
         |graft.`/lake$history` (one row per retained manifest with

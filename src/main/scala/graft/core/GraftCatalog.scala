@@ -108,10 +108,35 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft time travel is by manifest VERSION AS OF — commit wall-times " +
-        "are not part of the manifest contract")
+  /** `TIMESTAMP AS OF <expr>` — Spark hands the evaluated timestamp in
+    * MICROseconds; resolution finds the highest retained version whose
+    * `#ts` commit wall time is ≤ it ([[ManifestLake.snapshotAsOfTimestamp]])
+    * and then serves that VERSION — time is sugar over the version log,
+    * never a second addressing scheme. Works on the data table and
+    * `$files`; `$history` spans all versions and refuses as for
+    * VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir0 = dirOf(ident)
+    val millis = Math.floorDiv(timestamp, 1000L)
+    // NOT NoSuchTableException: the analyzer swallows that and falls
+    // back to direct-file resolution, burying the real problem under
+    // an unrelated "unsupported datasource" error
+    def resolve(dir: String): Long =
+      ManifestLake.snapshotAsOfTimestamp(dir, millis).map(_.version).getOrElse(
+        throw new IllegalStateException(s"$dir0 @ ${millis}ms: every retained " +
+          "timestamped commit is later (or the lake predates commit timestamps)"))
+    GraftMetadata.parse(dir0) match {
+      case Some((_, GraftMetadata.History)) =>
+        throw new UnsupportedOperationException(
+          "$history already lists every retained version — query it " +
+            "with WHERE version <= v instead of TIMESTAMP AS OF")
+      case Some((dir, kind)) =>
+        GraftMetadataTable(dir, kind, Some(resolve(dir)))
+      case None =>
+        GraftLake.resolve(new CaseInsensitiveStringMap(
+          java.util.Map.of("path", dir0, "versionAsOf", resolve(dir0).toString)))
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array.empty

@@ -232,11 +232,23 @@ private[core] object GraftLake {
       throw new IllegalArgumentException("graft source requires a 'path' option"))
     val starting = Option(options.get("startingVersion")).map(_.toLong)
     val ending = Option(options.get("endingVersion")).map(_.toLong)
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    // timestampAsOf (epoch millis, or an ISO-8601 instant) resolves to
+    // a version up front — downstream there is only ever version
+    // addressing, the same contract as the SQL TIMESTAMP AS OF path
+    val tsAsOf = Option(options.get("timestampAsOf")).map { raw =>
+      val millis = raw.toLongOption.getOrElse(
+        java.time.Instant.parse(raw).toEpochMilli)
+      ManifestLake.snapshotAsOfTimestamp(dir, millis).map(_.version).getOrElse(
+        throw new IllegalStateException(s"$dir @ ${millis}ms: every retained " +
+          "timestamped commit is later (or the lake predates commit timestamps)"))
+    }
+    require(Option(options.get("versionAsOf")).isEmpty || tsAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong).orElse(tsAsOf)
     require(starting.isDefined == ending.isDefined,
       "CDC read needs BOTH startingVersion and endingVersion")
     require(starting.isEmpty || versionAsOf.isEmpty,
-      "versionAsOf and a CDC window are mutually exclusive")
+      "versionAsOf/timestampAsOf and a CDC window are mutually exclusive")
     (starting, ending) match {
       case (Some(from), Some(to)) =>
         val end = ManifestLake.snapshotAt(dir, to).getOrElse(

@@ -88,7 +88,8 @@ object ManifestLake {
                             stats: Map[String, Vector[FileStats]] = Map.empty,
                             op: String = "append",
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            blooms: Map[String, Vector[FileBloom]] = Map.empty)
+                            blooms: Map[String, Vector[FileBloom]] = Map.empty,
+                            tsMillis: Option[Long] = None)
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -293,6 +294,24 @@ object ManifestLake {
     }
   }
 
+  /** `TIMESTAMP AS OF` resolution: the highest-versioned retained
+    * snapshot whose commit wall time (`#ts` header) is ≤ `tsMillis`.
+    * Resolution scans the retained manifests — O(retained versions)
+    * driver-side parses, independent of data size; version, not time,
+    * remains the primary addressing scheme (time is a convenience
+    * layered on it, exactly Delta's model). Snapshots without a `#ts`
+    * header (pre-ts manifests) can't be time-addressed and are
+    * skipped; clock skew between racing writers is tolerated by
+    * picking the max VERSION among qualifying commits, so time travel
+    * never orders history differently than the manifest log does.
+    * None = every retained timestamped commit is later than
+    * `tsMillis`. */
+  def snapshotAsOfTimestamp(dir: String, tsMillis: Long): Option[Snapshot] = {
+    val qualifying = versions(dir).flatMap(v => snapshotAt(dir, v))
+      .filter(_.tsMillis.exists(_ <= tsMillis))
+    qualifying.maxByOption(_.version)
+  }
+
   /** A specific committed version, if its manifest still exists (vacuum
     * retires manifests past the grace window). */
   def snapshotAt(dir: String, version: Long): Option[Snapshot] = {
@@ -327,6 +346,13 @@ object ManifestLake {
         org.apache.spark.sql.types.DataType.fromJson(h.stripPrefix("#schema:"))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+    // "#ts:<epochMillis>" = the commit's wall time (TIMESTAMP AS OF
+    // resolution); absent in pre-ts manifests, which then simply can't
+    // be addressed by time. A malformed value degrades to absent
+    // rather than bricking the snapshot (the hostile-manifest rule).
+    val ts = headers.collectFirst {
+      case h if h.startsWith("#ts:") => h.stripPrefix("#ts:").toLongOption
+    }.flatten
     val parsed = fileLines.map { l =>
       val segs = l.split('\t')
       val sts = Vector.newBuilder[FileStats]
@@ -354,7 +380,8 @@ object ManifestLake {
     Snapshot(v, parsed.map(_._1),
       txns, parsed.collect { case (p, sts, _) if sts.nonEmpty => p -> sts }.toMap,
       op, schema,
-      parsed.collect { case (p, _, bfs) if bfs.nonEmpty => p -> bfs }.toMap)
+      parsed.collect { case (p, _, bfs) if bfs.nonEmpty => p -> bfs }.toMap,
+      ts)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -363,11 +390,13 @@ object ManifestLake {
                         txns: Map[String, Long],
                         stats: Map[String, Vector[FileStats]], op: String,
                         schema: Option[org.apache.spark.sql.types.StructType],
-                        blooms: Map[String, Vector[FileBloom]]): Boolean = {
+                        blooms: Map[String, Vector[FileBloom]],
+                        tsMillis: Long): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
-    val headers = (s"#op:$op" +: schema.map(sc => s"#schema:${sc.json}").toVector) ++
+    val headers = (Vector(s"#op:$op", s"#ts:$tsMillis") ++
+      schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
     val fileLines = files.sorted.map { f =>
       val segs = stats.get(f).toVector.flatten.map(_.encoded) ++
@@ -406,8 +435,10 @@ object ManifestLake {
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
-          if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms))
-            return Some(Snapshot(next, files.sorted, txns, live, op, schema, liveBlooms))
+          val ts = System.currentTimeMillis()
+          if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts))
+            return Some(Snapshot(next, files.sorted, txns, live, op, schema,
+              liveBlooms, Some(ts)))
       }
       attempt += 1
     }

@@ -1359,7 +1359,76 @@ object RoundTrips {
          SELECT 'hist', 'versions', 1, 3, TRUE) t
        ORDER BY leg_tag, k"""
 
+  /** q162 — `TIMESTAMP AS OF` time travel: commit wall times (the
+    * `#ts` manifest header) resolve to versions
+    * ([[graft.core.ManifestLake.snapshotAsOfTimestamp]]) and the
+    * catalog serves the resolved VERSION — time is sugar over the
+    * version log, never a second addressing scheme (the Delta model;
+    * reference counterpart: the worker tables' created_at/updated_at
+    * audit columns that the dashboard filters on). Two commits; each
+    * leg reads through `TIMESTAMP AS OF <that commit's own recorded
+    * instant>` as a millis-exact ISO literal, so leg 1 must see
+    * exactly the v1 corpus (inclusive boundary — a commit is visible
+    * AT its own timestamp) and leg 2 the full corpus. Pinned
+    * invariants: wall times strictly increase across the two commits,
+    * resolution at ts1 returns version 1, and a pre-history instant
+    * refuses with the named error rather than serving an empty
+    * table. */
+  def qTimestampTravelRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_ts",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_ts_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake, docs, "source",
+      statsCols = Seq("doc_id"))                                     // v1
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 17 === 11)
+        .select(($"doc_id" + m + 1).as("doc_id"), $"source", $"n_chars"),
+      "source", statsCols = Seq("doc_id"))                           // v2
+    val ts1 = graft.core.ManifestLake.snapshotAt(lake, 1).get.tsMillis.get
+    val ts2 = graft.core.ManifestLake.snapshotAt(lake, 2).get.tsMillis.get
+    def iso(ms: Long): String = s"'${java.time.Instant.ofEpochMilli(ms)}'"
+    val resolveOk = ts1 < ts2 &&
+      graft.core.ManifestLake.snapshotAsOfTimestamp(lake, ts1).get.version == 1L &&
+      graft.core.ManifestLake.snapshotAsOfTimestamp(lake, ts2).get.version == 2L
+    val beforeRefuses =
+      try { s.sql(s"SELECT * FROM graft_ts.`$lake` TIMESTAMP AS OF " +
+        iso(ts1 - 1)).collect(); false }
+      catch { case e: Exception => e.getMessage.contains("later") ||
+        Option(e.getCause).exists(_.getMessage.contains("later")) }
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+    leg("ts_v1",
+      s.sql(s"SELECT doc_id, n_chars FROM graft_ts.`$lake` TIMESTAMP AS OF ${iso(ts1)}"),
+      resolveOk)
+      .unionByName(leg("ts_v2",
+        s.sql(s"SELECT doc_id, n_chars FROM graft_ts.`$lake` TIMESTAMP AS OF ${iso(ts2)}"),
+        beforeRefuses))
+      .orderBy($"leg_tag")
+  }
+
+  val qTimestampTravelRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       post AS (
+         SELECT doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + m + 1, n_chars FROM documents, mx WHERE doc_id % 17 = 11)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'ts_v1' AS leg_tag, doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'ts_v2', doc_id, n_chars FROM post) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_timestamp_travel" -> qTimestampTravelRoundTrip,
     "q161_metadata_tables" -> qMetadataTablesRoundTrip,
     "q157_sql_dml" -> qSqlDmlRoundTrip,
     "q158_lake_merge" -> qLakeMergeRoundTrip,
@@ -1383,6 +1452,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q162_timestamp_travel" -> qTimestampTravelRoundTripSql,
     "q161_metadata_tables" -> qMetadataTablesRoundTripSql,
     "q157_sql_dml" -> qSqlDmlRoundTripSql,
     "q158_lake_merge" -> qLakeMergeRoundTripSql,

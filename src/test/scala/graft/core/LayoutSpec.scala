@@ -1799,4 +1799,70 @@ class LayoutSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.`/does/not/exist$$history`").collect()
     }
   }
+
+  test("TIMESTAMP AS OF resolves commit wall times to versions") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("tsao").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 50).select($"id".as("doc_id"), lit("s0").as("source")), "source")
+    Thread.sleep(5) // distinct wall times for the two commits
+    ManifestLake.append(spark, dir,
+      spark.range(50, 80).select($"id".as("doc_id"), lit("s0").as("source")), "source")
+    val ts1 = ManifestLake.snapshotAt(dir, 1).get.tsMillis.get
+    val ts2 = ManifestLake.snapshotAt(dir, 2).get.tsMillis.get
+    assert(ts1 < ts2, s"commits must carry increasing wall times here: $ts1 vs $ts2")
+
+    // exact boundary is inclusive; between the commits resolves to v1
+    assert(ManifestLake.snapshotAsOfTimestamp(dir, ts1).get.version == 1L)
+    assert(ManifestLake.snapshotAsOfTimestamp(dir, ts2 - 1).get.version == 1L)
+    assert(ManifestLake.snapshotAsOfTimestamp(dir, ts2 + 1000).get.version == 2L)
+    assert(ManifestLake.snapshotAsOfTimestamp(dir, ts1 - 1).isEmpty,
+      "before the first commit nothing qualifies")
+
+    // the SQL surface: TIMESTAMP AS OF a timestamp literal (Spark only
+    // resolves LITERAL expressions for v2 time travel — an ISO instant
+    // with explicit zone is timezone-unambiguous and millis-exact)
+    def lit_(ms: Long): String = s"'${java.time.Instant.ofEpochMilli(ms)}'"
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` " +
+      s"TIMESTAMP AS OF ${lit_(ts1)}").head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` " +
+      s"TIMESTAMP AS OF ${lit_(ts2)}").head().getLong(0) == 80L)
+    val before = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir` " +
+        s"TIMESTAMP AS OF ${lit_(ts1 - 1)}").collect()
+    }
+    assert(before.getMessage.contains("later"), before.getMessage)
+
+    // $files travels by time too; $history refuses (spans everything)
+    assert(spark.sql(s"SELECT count(DISTINCT file) AS n FROM graft.`$dir$$files` " +
+      s"TIMESTAMP AS OF ${lit_(ts1)}").head().getLong(0) ==
+      ManifestLake.snapshotAt(dir, 1).get.files.length)
+    val h = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir$$history` " +
+        s"TIMESTAMP AS OF ${lit_(ts2)}").collect()
+    }
+    assert(h.getMessage.contains("every retained version"), h.getMessage)
+
+    // the DataFrame reader's twin: .option("timestampAsOf", millis|ISO)
+    assert(spark.read.format("graft").option("timestampAsOf", ts1.toString)
+      .load(dir).count() == 50L)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(ts2).toString)
+      .load(dir).count() == 80L)
+    intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", ts1.toString)
+        .option("versionAsOf", "2").load(dir).count()
+    }
+
+    // a hand-written pre-ts manifest (no #ts header) is version-addressable
+    // but never time-addressable — absent, not zero
+    val dir2 = Files.createTempDirectory("tsao2").resolve("lake")
+    val mdir = dir2.resolve("_manifests")
+    Files.createDirectories(mdir)
+    Files.createDirectories(dir2.resolve("source=s0"))
+    Files.write(mdir.resolve("v000000000001"),
+      java.util.Arrays.asList("#op:append", "source=s0/f1.parquet"))
+    assert(ManifestLake.snapshotAt(dir2.toString, 1).get.tsMillis.isEmpty)
+    assert(ManifestLake.snapshotAsOfTimestamp(dir2.toString, Long.MaxValue).isEmpty)
+  }
 }

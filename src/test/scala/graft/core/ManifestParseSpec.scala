@@ -93,6 +93,17 @@ class ManifestParseSpec extends AnyFunSuite {
     assert(snap.stats("source=a/f1.parquet").head.col == "doc_id")
   }
 
+  test("#ts header parses to the commit wall time; malformed degrades to absent") {
+    val ok = lakeWith(Seq("#op:append", "#ts:1700000000123", "source=a/f.parquet"))
+    assert(ManifestLake.latestSnapshot(ok).get.tsMillis.contains(1700000000123L))
+    // hostile/corrupt value: the snapshot stays readable, it just
+    // cannot be time-addressed (same rule as zero-word blooms)
+    val bad = lakeWith(Seq("#op:append", "#ts:not-a-number", "source=a/f.parquet"))
+    val snap = ManifestLake.latestSnapshot(bad).get
+    assert(snap.tsMillis.isEmpty && snap.files.nonEmpty)
+    assert(ManifestLake.snapshotAsOfTimestamp(bad, Long.MaxValue).isEmpty)
+  }
+
   test("colon-bearing column names survive every segment kind") {
     val b64 = java.util.Base64.getEncoder.encodeToString("v".getBytes("UTF-8"))
     val bloomSeg = FileBloom("a:b", 7, Array(1L)).encoded
