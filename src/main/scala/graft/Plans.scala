@@ -781,6 +781,16 @@ object Plans {
         |oracle-pinned); the write is the engine's distributed DSv2
         |BatchWrite (per-task dynamic-partition parquet writers), and
         |the swap is one CAS re-deriving stats+blooms.""".stripMargin,
+    "q163_restore" ->
+      """RESTORE: roll back to a prior version's content as a NEW
+        |commit — metadata-only (the target's file list, stats,
+        |blooms and schema re-publish in one CAS; zero data files
+        |read or written), history intact so the undone state stays
+        |time-travelable, and the newest txn high-waters are KEPT so
+        |a restore can never reset streaming exactly-once tracking
+        |into double-appends. Refuses loudly, naming casualties, if
+        |vacuum already reclaimed the target's files — a silently
+        |partial restore would be worse than none.""".stripMargin,
     "q162_timestamp_travel" ->
       """TIMESTAMP AS OF: each commit's manifest carries a #ts wall
         |time; resolution picks the max VERSION among retained

@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   DELETE FROM graft.`/data/lake` WHERE doc_id = 7       -- manifest delete
   *   CALL graft.compact(path => '/data/lake', target_records => 1000000)
   *   CALL graft.vacuum(path => '/data/lake', keep_versions => 2)
+  *   CALL graft.restore(path => '/data/lake', version => 3) -- roll back, history intact
   *   SELECT * FROM graft.`/data/lake$history`              -- commit log as a relation
   *   SELECT * FROM graft.`/data/lake$files`                -- per-file skipping stats
   * }}}
@@ -263,6 +264,29 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object Restore extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "Roll the lake back to a prior version's content as a NEW commit " +
+        "(history intact, streaming txn high-waters kept); refuses if " +
+        "vacuum already reclaimed any of that version's data files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val dir = str(input, 0)
+      val committed = ManifestLake.restore(s, dir, input.getLong(1))
+      one(Result(
+        StructType(Seq(StructField("restored_to", LongType, nullable = false),
+          StructField("committed_version", LongType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false))),
+        InternalRow(input.getLong(1), committed.version, committed.files.length)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
-    Map("compact" -> Compact, "vacuum" -> Vacuum)
+    Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore)
 }

@@ -1699,6 +1699,38 @@ object ManifestLake {
     * operator's contract to avoid (raise the grace, or run vacuum in
     * a write-quiet window). Tests pass `graceMillis = 0` to assert
     * reclamation deterministically in single-writer setups. */
+  /** RESTORE: roll the lake back to `toVersion`'s content as a NEW
+    * commit (Delta's `RESTORE TABLE` — undo a bad delete/merge without
+    * rewriting history; time travel still reads every intermediate
+    * version). The restored commit re-publishes the target's file
+    * list, stats, blooms AND schema, but KEEPS the newest txn
+    * high-waters — restoring data must not reset streaming
+    * exactly-once tracking, or every in-flight writer would replay
+    * already-delivered batches into the restored lake. Fails loudly
+    * (listing the casualties) if vacuum already reclaimed any of the
+    * target's data files — a restore that silently served a partial
+    * corpus would be worse than no restore. Restoring to the current
+    * version is a no-op returning the latest snapshot. Metadata-only
+    * otherwise: no data file is read, written or moved; one manifest
+    * parse + one CAS commit. */
+  def restore(s: SparkSession, dir: String, toVersion: Long): Snapshot = {
+    val root = Paths.get(dir)
+    val target = snapshotAt(dir, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $dir to v$toVersion: that manifest is gone " +
+          "(vacuumed) or was never committed"))
+    val missing = target.files.filterNot(f => Files.exists(root.resolve(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $dir to v$toVersion: ${missing.length} of its data " +
+        s"files were vacuumed — first: ${missing.take(3).mkString(", ")}")
+    commitLoop(root) { latest =>
+      if (latest.exists(_.version == toVersion)) None // already there
+      else Some(Ledger(target.files,
+        latest.map(_.txns).getOrElse(Map.empty),
+        target.stats, "restore", target.schema, target.blooms))
+    }.get
+  }
+
   def vacuum(dir: String, keepVersions: Int = 2,
              graceMillis: Long = DefaultVacuumGraceMillis): Long = {
     val root = Paths.get(dir)

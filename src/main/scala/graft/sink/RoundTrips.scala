@@ -1427,7 +1427,67 @@ object RoundTrips {
          SELECT 'ts_v2', doc_id, n_chars FROM post) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q163 — `CALL restore` ([[graft.core.ManifestLake.restore]]):
+    * roll the lake back to a prior version's content as a NEW commit
+    * — the undo for a bad delete/merge, Delta's RESTORE TABLE. The
+    * round trip appends all documents (v1), deletes a doc_id range
+    * (v2), then `CALL graft.restore(version => 1)` (v3). Legs:
+    * post-restore full content (≡ the original corpus — DuckDB
+    * replays `documents` untouched, proving the rollback is exact);
+    * `tt_v2` time travel INTO the deleted state (history is intact —
+    * restore never rewrites it). Pinned invariants: the restored
+    * commit is op "restore" at version 3, it re-publishes v1's exact
+    * file list (metadata-only — zero data files written), stats come
+    * back with it (the pruned-read leg would break otherwise), and
+    * restoring to the current version is a no-op. */
+  def qRestoreRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_rst",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_rst_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"))                                     // v1
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    graft.core.ManifestLake.deleteWhere(s, lake,
+      $"doc_id" >= m / 4 && $"doc_id" <= m / 2)                      // v2
+    s.sql(s"CALL graft_rst.restore(path => '$lake', version => 1)").collect() // v3
+    val v3 = graft.core.ManifestLake.latestSnapshot(lake).get
+    graft.core.ManifestLake.restore(s, lake, 3L)                     // no-op
+    val invariants = v3.op == "restore" && v3.version == 3L &&
+      v3.files == v1.files && v3.stats == v1.stats &&
+      graft.core.ManifestLake.latestSnapshot(lake).get.version == 3L
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+    leg("post_restore",
+      graft.core.ManifestLake.read(s, lake).select($"doc_id", $"n_chars"),
+      invariants)
+      .unionByName(leg("tt_v2",
+        graft.core.ManifestLake.read(s, lake,
+          graft.core.ManifestLake.snapshotAt(lake, 2))
+          .select($"doc_id", $"n_chars"), true))
+      .orderBy($"leg_tag")
+  }
+
+  val qRestoreRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'post_restore' AS leg_tag, doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'tt_v2', doc_id, n_chars FROM documents, mx
+           WHERE NOT (doc_id >= m // 4 AND doc_id <= m // 2)) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_restore" -> qRestoreRoundTrip,
     "q162_timestamp_travel" -> qTimestampTravelRoundTrip,
     "q161_metadata_tables" -> qMetadataTablesRoundTrip,
     "q157_sql_dml" -> qSqlDmlRoundTrip,
@@ -1452,6 +1512,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q163_restore" -> qRestoreRoundTripSql,
     "q162_timestamp_travel" -> qTimestampTravelRoundTripSql,
     "q161_metadata_tables" -> qMetadataTablesRoundTripSql,
     "q157_sql_dml" -> qSqlDmlRoundTripSql,

@@ -1800,6 +1800,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE rolls back content as a new commit, keeping history and txn high-waters") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("restore").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 60).select($"id".as("doc_id"), lit("s0").as("source")), "source")
+    // v2 arrives via the idempotent streaming path so a txn high-water exists
+    ManifestLake.appendBatch(spark, dir,
+      spark.range(60, 70).select($"id".as("doc_id"), lit("s0").as("source")),
+      "source", "stream-app", 7L)
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 30L)             // v3
+    assert(ManifestLake.read(spark, dir).count() == 40L)
+
+    val row = spark.sql(s"CALL graft.restore(path => '$dir', version => 2)").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 4L)
+    val v4 = ManifestLake.latestSnapshot(dir).get
+    assert(v4.op == "restore" && v4.version == 4L)
+    assert(ManifestLake.read(spark, dir).count() == 70L, "v2 content is back")
+    // history intact: the deleted state is still time-travelable
+    assert(ManifestLake.read(spark, dir,
+      ManifestLake.snapshotAt(dir, 3)).count() == 40L)
+    // streaming exactly-once tracking survives the restore: the same
+    // batch re-delivered after a restore must NOT double-append
+    assert(v4.txns.get("stream-app").contains(7L))
+    ManifestLake.appendBatch(spark, dir,
+      spark.range(60, 70).select($"id".as("doc_id"), lit("s0").as("source")),
+      "source", "stream-app", 7L)
+    assert(ManifestLake.read(spark, dir).count() == 70L, "batch 7 already delivered")
+
+    // restoring to the current version is a no-op, not a new commit
+    ManifestLake.restore(spark, dir, ManifestLake.latestSnapshot(dir).get.version)
+    assert(ManifestLake.latestSnapshot(dir).get.version == 4L)
+
+    // a restore whose target lost data files refuses loudly, naming them
+    val victim = ManifestLake.snapshotAt(dir, 2).get.files.head
+    Files.delete(java.nio.file.Paths.get(dir).resolve(victim))
+    val e = intercept[IllegalStateException] { ManifestLake.restore(spark, dir, 2) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // and a vacuumed-away manifest refuses with its own message
+    val e2 = intercept[IllegalStateException] { ManifestLake.restore(spark, dir, 99) }
+    assert(e2.getMessage.contains("never committed"), e2.getMessage)
+  }
+
   test("TIMESTAMP AS OF resolves commit wall times to versions") {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     val dir = Files.createTempDirectory("tsao").resolve("lake").toString
