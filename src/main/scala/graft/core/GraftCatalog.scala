@@ -119,13 +119,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir0 = dirOf(ident)
     val millis = Math.floorDiv(timestamp, 1000L)
-    // NOT NoSuchTableException: the analyzer swallows that and falls
-    // back to direct-file resolution, burying the real problem under
-    // an unrelated "unsupported datasource" error
-    def resolve(dir: String): Long =
+    // a MISSING lake raises NoSuchTableException like the other
+    // overloads; a lake that exists but has no qualifying commit
+    // raises IllegalStateException — NOT NoSuchTableException, which
+    // the analyzer swallows and replaces with an unrelated
+    // direct-file-query error
+    def resolve(dir: String): Long = {
+      if (ManifestLake.latestSnapshot(dir).isEmpty)
+        throw new NoSuchTableException(Seq(dir0))
       ManifestLake.snapshotAsOfTimestamp(dir, millis).map(_.version).getOrElse(
         throw new IllegalStateException(s"$dir0 @ ${millis}ms: every retained " +
           "timestamped commit is later (or the lake predates commit timestamps)"))
+    }
     GraftMetadata.parse(dir0) match {
       case Some((_, GraftMetadata.History)) =>
         throw new UnsupportedOperationException(
@@ -276,9 +281,8 @@ private[core] object GraftProcedures {
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("version", LongType).build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val s = SparkSession.active
       val dir = str(input, 0)
-      val committed = ManifestLake.restore(s, dir, input.getLong(1))
+      val committed = ManifestLake.restore(dir, input.getLong(1))
       one(Result(
         StructType(Seq(StructField("restored_to", LongType, nullable = false),
           StructField("committed_version", LongType, nullable = false),

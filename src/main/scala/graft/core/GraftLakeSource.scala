@@ -232,6 +232,12 @@ private[core] object GraftLake {
       throw new IllegalArgumentException("graft source requires a 'path' option"))
     val starting = Option(options.get("startingVersion")).map(_.toLong)
     val ending = Option(options.get("endingVersion")).map(_.toLong)
+    // exclusivity is checked BEFORE any resolution work, so a
+    // conflicting request gets the right error instead of whatever a
+    // wasted timestamp scan throws first
+    require(Option(options.get("versionAsOf")).isEmpty ||
+      Option(options.get("timestampAsOf")).isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     // timestampAsOf (epoch millis, or an ISO-8601 instant) resolves to
     // a version up front — downstream there is only ever version
     // addressing, the same contract as the SQL TIMESTAMP AS OF path
@@ -242,8 +248,6 @@ private[core] object GraftLake {
         throw new IllegalStateException(s"$dir @ ${millis}ms: every retained " +
           "timestamped commit is later (or the lake predates commit timestamps)"))
     }
-    require(Option(options.get("versionAsOf")).isEmpty || tsAsOf.isEmpty,
-      "versionAsOf and timestampAsOf are mutually exclusive")
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong).orElse(tsAsOf)
     require(starting.isDefined == ending.isDefined,
       "CDC read needs BOTH startingVersion and endingVersion")

@@ -66,7 +66,10 @@ private[core] object GraftMetadata {
 
   val filesSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
-    StructField("partition", StringType, nullable = false),
+    // nullable: the null-partition directory sentinel presents as the
+    // LOGICAL null here, matching what every data read of the lake
+    // shows for those rows
+    StructField("partition", StringType, nullable = true),
     StructField("col", StringType, nullable = true),
     StructField("min_value", StringType, nullable = true),
     StructField("max_value", StringType, nullable = true),
@@ -80,18 +83,25 @@ private[core] object GraftMetadata {
   }
 
   def historyRows(dir: String): Array[InternalRow] = {
+    // snapshotAt flatMapped, not .get: a vacuum racing this listing
+    // may retire a manifest between versions() and the parse — such a
+    // version simply drops out of the history, exactly as if the
+    // listing had run a moment later. Each version reduces to
+    // (version, op, file set) as it parses; stats maps and bloom
+    // bitsets are never held, and only the previous file set stays
+    // live for the diff.
     val vs = ManifestLake.versions(dir)
+      .flatMap(v => ManifestLake.snapshotAt(dir, v)
+        .map(s => (s.version, s.op, s.files.toSet)))
     require(vs.nonEmpty, s"no committed manifest in $dir")
-    val snaps = vs.map(v => ManifestLake.snapshotAt(dir, v).get)
-    snaps.zipWithIndex.map { case (s, i) =>
+    vs.zipWithIndex.map { case ((version, op, cur), i) =>
       val (added, removed): (Any, Any) =
         if (i == 0) (null, null)
         else {
-          val prev = snaps(i - 1).files.toSet
-          val cur = s.files.toSet
+          val prev = vs(i - 1)._3
           (Int.box((cur -- prev).size), Int.box((prev -- cur).size))
         }
-      InternalRow(s.version, utf8(s.op), s.files.length, added, removed)
+      InternalRow(version, utf8(op), cur.size, added, removed)
     }.toArray
   }
 
@@ -103,15 +113,19 @@ private[core] object GraftMetadata {
         throw new IllegalStateException(s"no committed manifest in $dir"))
     }
     snap.files.iterator.flatMap { f =>
-      val partition = GraftLake.unescapePartitionValue(
+      val raw = GraftLake.unescapePartitionValue(
         f.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
+      // the null-partition sentinel directory presents as logical null,
+      // the same mapping the data scan's partition row recovery applies
+      val partition: Any =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null else utf8(raw)
       val bloomCols = snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet
       val stats = snap.stats.getOrElse(f, Vector.empty)
       if (stats.isEmpty)
-        Iterator.single(InternalRow(utf8(f), utf8(partition), null, null, null,
+        Iterator.single(InternalRow(utf8(f), partition, null, null, null,
           bloomCols.nonEmpty))
       else stats.iterator.map(st =>
-        InternalRow(utf8(f), utf8(partition), utf8(st.col),
+        InternalRow(utf8(f), partition, utf8(st.col),
           utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col)))
     }.toArray
   }

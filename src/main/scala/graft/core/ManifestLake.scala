@@ -307,9 +307,32 @@ object ManifestLake {
     * None = every retained timestamped commit is later than
     * `tsMillis`. */
   def snapshotAsOfTimestamp(dir: String, tsMillis: Long): Option[Snapshot] = {
-    val qualifying = versions(dir).flatMap(v => snapshotAt(dir, v))
-      .filter(_.tsMillis.exists(_ <= tsMillis))
-    qualifying.maxByOption(_.version)
+    // resolution reads ONLY the header lines of each manifest (they
+    // lead the file), newest first, and stops at the first qualifying
+    // version — never the file lines, whose count is data-proportional.
+    // Commit wall times are monotone in the common case, so the scan
+    // usually touches one or two headers; clock skew merely makes it
+    // read further back, never resolve differently (max VERSION among
+    // qualifying == first qualifying in descending version order,
+    // because any earlier version is by definition a lower version).
+    versions(dir).reverseIterator
+      .find(v => commitTs(Paths.get(dir), v).exists(_ <= tsMillis))
+      .flatMap(v => snapshotAt(dir, v))
+  }
+
+  /** The `#ts` header of one manifest, reading header lines only —
+    * O(headers), not O(files). None = pre-ts manifest, malformed
+    * value, or a manifest vacuumed between listing and read. */
+  private def commitTs(root: Path, v: Long): Option[Long] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) return None
+    val lines = Files.lines(p)
+    try lines.iterator().asScala
+      .takeWhile(l => l.isEmpty || l.startsWith("#"))
+      .collectFirst { case l if l.startsWith("#ts:") =>
+        l.stripPrefix("#ts:").toLongOption
+      }.flatten
+    finally lines.close()
   }
 
   /** A specific committed version, if its manifest still exists (vacuum
@@ -1279,9 +1302,11 @@ object ManifestLake {
       // their added files; emitting them would re-deliver carried rows,
       // so merge is CDC-invisible too (consumers needing merge deltas
       // read snapshots — the Delta-CDF change-file refinement is a
-      // documented non-goal)
+      // documented non-goal). restore re-publishes files whose rows a
+      // consumer already received when they were FIRST committed —
+      // emitting them would deliver every restored row twice.
       if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
-          cur.op == "update")
+          cur.op == "update" || cur.op == "restore")
         Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]
@@ -1713,7 +1738,7 @@ object ManifestLake {
     * version is a no-op returning the latest snapshot. Metadata-only
     * otherwise: no data file is read, written or moved; one manifest
     * parse + one CAS commit. */
-  def restore(s: SparkSession, dir: String, toVersion: Long): Snapshot = {
+  def restore(dir: String, toVersion: Long): Snapshot = {
     val root = Paths.get(dir)
     val target = snapshotAt(dir, toVersion).getOrElse(
       throw new IllegalStateException(

@@ -1455,7 +1455,7 @@ object RoundTrips {
       $"doc_id" >= m / 4 && $"doc_id" <= m / 2)                      // v2
     s.sql(s"CALL graft_rst.restore(path => '$lake', version => 1)").collect() // v3
     val v3 = graft.core.ManifestLake.latestSnapshot(lake).get
-    graft.core.ManifestLake.restore(s, lake, 3L)                     // no-op
+    graft.core.ManifestLake.restore(lake, 3L)                     // no-op
     val invariants = v3.op == "restore" && v3.version == 3L &&
       v3.files == v1.files && v3.stats == v1.stats &&
       graft.core.ManifestLake.latestSnapshot(lake).get.version == 3L

@@ -1798,6 +1798,20 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft.`/does/not/exist$$history`").collect()
     }
+
+    // the null-partition sentinel directory presents as LOGICAL null in
+    // $files — the same mapping every data read of the lake applies
+    val nd = Files.createTempDirectory("metanull").resolve("lake")
+    val nmdir = nd.resolve("_manifests")
+    Files.createDirectories(nmdir)
+    Files.write(nmdir.resolve("v000000000001"), java.util.Arrays.asList(
+      "#op:append",
+      "source=__HIVE_DEFAULT_PARTITION__/f1.parquet\tdoc_id:1:9",
+      "source=plain/f2.parquet\tdoc_id:10:20"))
+    val nrows = spark.sql(s"SELECT partition, min_value FROM graft.`$nd$$files`")
+      .collect()
+    assert(nrows.exists(r => r.isNullAt(0) && r.getString(1) == "1"))
+    assert(nrows.exists(r => r.getString(0) == "plain"))
   }
 
   test("RESTORE rolls back content as a new commit, keeping history and txn high-waters") {
@@ -1829,16 +1843,22 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 70L, "batch 7 already delivered")
 
     // restoring to the current version is a no-op, not a new commit
-    ManifestLake.restore(spark, dir, ManifestLake.latestSnapshot(dir).get.version)
+    ManifestLake.restore(dir, ManifestLake.latestSnapshot(dir).get.version)
     assert(ManifestLake.latestSnapshot(dir).get.version == 4L)
+
+    // the restore commit is CDC-INVISIBLE: its re-published files hold
+    // rows a changes consumer already received when they were first
+    // committed — emitting them would deliver every restored row twice
+    assert(ManifestLake.readChanges(spark, dir, 3L, 4L).count() == 0L,
+      "a CDC window spanning only the restore must be empty")
 
     // a restore whose target lost data files refuses loudly, naming them
     val victim = ManifestLake.snapshotAt(dir, 2).get.files.head
     Files.delete(java.nio.file.Paths.get(dir).resolve(victim))
-    val e = intercept[IllegalStateException] { ManifestLake.restore(spark, dir, 2) }
+    val e = intercept[IllegalStateException] { ManifestLake.restore(dir, 2) }
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
     // and a vacuumed-away manifest refuses with its own message
-    val e2 = intercept[IllegalStateException] { ManifestLake.restore(spark, dir, 99) }
+    val e2 = intercept[IllegalStateException] { ManifestLake.restore(dir, 99) }
     assert(e2.getMessage.contains("never committed"), e2.getMessage)
   }
 
