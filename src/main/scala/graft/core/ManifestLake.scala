@@ -89,7 +89,8 @@ object ManifestLake {
                             op: String = "append",
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             blooms: Map[String, Vector[FileBloom]] = Map.empty,
-                            tsMillis: Option[Long] = None)
+                            tsMillis: Option[Long] = None,
+                            rows: Map[String, Long] = Map.empty)
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -380,9 +381,16 @@ object ManifestLake {
       val segs = l.split('\t')
       val sts = Vector.newBuilder[FileStats]
       val bfs = Vector.newBuilder[FileBloom]
+      var nRows: Option[Long] = None
       segs.drop(1).foreach { seg =>
         val parts = seg.split(':')
-        if (parts.length >= 4 && parts(parts.length - 3) == "bf") {
+        // "rows:<n>" (exactly 2 parts) is unambiguous: stats segments
+        // always carry ≥3 parts (col:min:max), blooms ≥4 — no column
+        // name can encode to a 2-part segment
+        if (parts.length == 2 && parts(0) == "rows" &&
+            parts(1).nonEmpty && parts(1).forall(_.isDigit)) {
+          nRows = Some(parts(1).toLong)
+        } else if (parts.length >= 4 && parts(parts.length - 3) == "bf") {
           val bytes = java.util.Base64.getDecoder.decode(parts.last)
           val bb = java.nio.ByteBuffer.wrap(bytes)
           val bits = Array.fill(bytes.length / 8)(bb.getLong)
@@ -398,13 +406,14 @@ object ManifestLake {
             Bound.Num(BigDecimal(parts(parts.length - 2))),
             Bound.Num(BigDecimal(parts.last)))
       }
-      (segs.head, sts.result(), bfs.result())
+      (segs.head, sts.result(), bfs.result(), nRows)
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, sts, _) if sts.nonEmpty => p -> sts }.toMap,
+      txns, parsed.collect { case (p, sts, _, _) if sts.nonEmpty => p -> sts }.toMap,
       op, schema,
-      parsed.collect { case (p, _, bfs) if bfs.nonEmpty => p -> bfs }.toMap,
-      ts)
+      parsed.collect { case (p, _, bfs, _) if bfs.nonEmpty => p -> bfs }.toMap,
+      ts,
+      parsed.collect { case (p, _, _, Some(n)) => p -> n }.toMap)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -414,7 +423,8 @@ object ManifestLake {
                         stats: Map[String, Vector[FileStats]], op: String,
                         schema: Option[org.apache.spark.sql.types.StructType],
                         blooms: Map[String, Vector[FileBloom]],
-                        tsMillis: Long): Boolean = {
+                        tsMillis: Long,
+                        rows: Map[String, Long]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
@@ -422,7 +432,8 @@ object ManifestLake {
       schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
     val fileLines = files.sorted.map { f =>
-      val segs = stats.get(f).toVector.flatten.map(_.encoded) ++
+      val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
+        stats.get(f).toVector.flatten.map(_.encoded) ++
         blooms.get(f).toVector.flatten.map(_.encoded)
       if (segs.isEmpty) f else (f +: segs).mkString("\t")
     }
@@ -444,7 +455,8 @@ object ManifestLake {
                                   stats: Map[String, Vector[FileStats]],
                                   op: String,
                                   schema: Option[org.apache.spark.sql.types.StructType],
-                                  blooms: Map[String, Vector[FileBloom]] = Map.empty)
+                                  blooms: Map[String, Vector[FileBloom]] = Map.empty,
+                                  rows: Map[String, Long] = Map.empty)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -453,15 +465,17 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats, op, schema, blooms)) =>
+        case Some(Ledger(files, txns, stats, op, schema, blooms, rows)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
+          val liveRows = rows.view.filterKeys(fileSet).toMap
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
-          if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts))
+          if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
+              liveRows))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
-              liveBlooms, Some(ts)))
+              liveBlooms, Some(ts), liveRows))
       }
       attempt += 1
     }
@@ -566,15 +580,20 @@ object ManifestLake {
       } finally pool.shutdown()
     }
 
-  /** Min/max of `col` for one data file, from the parquet FOOTER —
+  /** Min/max of `col` for one data file PLUS its row count, from the
+    * parquet FOOTER in a single open —
     * a metadata read (the row groups' pre-computed statistics), never
     * a data pass. Numeric AND string columns are tracked (strings via
     * the UTF8 logical type's unsigned-byte-ordered stats, capped at
-    * [[MaxStringStatChars]]). Returns nothing for a column unless
+    * [[MaxStringStatChars]]). Returns no stats for a column unless
     * EVERY row group contributes a usable bound — a partially-covered
     * bound would understate the file's range and wrongly prune it
-    * (the file is then simply never pruned — safe). */
-  private def footerStats(s: SparkSession, file: Path, cols: Seq[String]): Vector[FileStats] = {
+    * (the file is then simply never pruned — safe). The row count is
+    * always exact (Σ block record counts): it sizes blooms, feeds the
+    * manifest's `rows:` segment, and lets `COUNT(*)` answer from the
+    * manifest alone. */
+  private def footerMeta(s: SparkSession, file: Path, cols: Seq[String])
+      : (Vector[FileStats], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -594,7 +613,7 @@ object ManifestLake {
         case _ => None // non-UTF8 binary / bool: no tracked order
       }
       val blocks = reader.getFooter.getBlocks.asScala.toVector
-      cols.toVector.flatMap { col =>
+      val sts = cols.toVector.flatMap { col =>
         val perBlock = blocks.map { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString == col)
@@ -616,7 +635,20 @@ object ManifestLake {
             bounds.map(_._2).reduceLeft(Bound.max)))
         }
       }
+      (sts, blocks.map(_.getRowCount).sum)
     } finally reader.close()
+  }
+
+  /** One bounded-parallel footer pass over `files`: per-file stats of
+    * `cols` (possibly empty) and per-file row counts — the single
+    * metadata read every commit path derives its skipping index AND
+    * `rows:` segments from. */
+  private def footerMetaAll(s: SparkSession, root: Path, files: Seq[String],
+                            cols: Seq[String])
+      : (Map[String, Vector[FileStats]], Map[String, Long]) = {
+    val metas = parMapMeta(files)(f => f -> footerMeta(s, root.resolve(f), cols))
+    (metas.collect { case (f, (sts, _)) if sts.nonEmpty => f -> sts }.toMap,
+      metas.map { case (f, (_, n)) => f -> n }.toMap)
   }
 
   /** One distributed pass building a per-file Bloom filter of `cols`
@@ -629,11 +661,16 @@ object ManifestLake {
     * contributing no rows keeps an all-zero filter — "contains
     * nothing" is the correct answer for it. */
   private def buildBlooms(s: SparkSession, dir: String, files: Vector[String],
-                          cols: Seq[String]): Map[String, Vector[FileBloom]] = {
+                          cols: Seq[String],
+                          knownRows: Map[String, Long] = Map.empty)
+      : Map[String, Vector[FileBloom]] = {
     if (files.isEmpty || cols.isEmpty) return Map.empty
     val root = Paths.get(dir)
+    // callers that already ran the commit's footer pass hand its counts
+    // in — no second footer open per file
     val footerRows: Map[String, Long] =
-      parMapMeta(files)(f => f -> rowCount(s, root.resolve(f))).toMap
+      if (files.forall(knownRows.contains)) knownRows.view.filterKeys(files.toSet).toMap
+      else parMapMeta(files)(f => f -> rowCount(s, root.resolve(f))).toMap
     val words: Map[String, Int] = footerRows.map { case (f, n) =>
       val wanted = math.max(64L, n * BloomBitsPerKey)
       var bits = 64L
@@ -732,17 +769,15 @@ object ManifestLake {
     // re-checked inside the commit loop, which stays authoritative)
     evolveSchema(latestSnapshot(dir).flatMap(_.schema), df.schema)
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
-    val stagedStats =
-      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else parMapMeta(staged)(f => f -> footerStats(s, root.resolve(f), statsCols))
-        .filter(_._2.nonEmpty).toMap
-    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols)
+    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, statsCols)
+    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols, stagedRows)
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
         latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
-        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms))
+        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms,
+        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows))
     }.get
   }
 
@@ -773,11 +808,8 @@ object ManifestLake {
     // detected inside the loop discards them with the staged files —
     // streamed-in files carry the SAME skipping metadata as batch
     // appends, so a lake fed by a stream never erodes its index
-    val stagedStats =
-      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else parMapMeta(staged)(f => f -> footerStats(s, root.resolve(f), statsCols))
-        .filter(_._2.nonEmpty).toMap
-    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols)
+    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, statsCols)
+    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols, stagedRows)
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
@@ -785,7 +817,8 @@ object ManifestLake {
         latest.map(_.txns).getOrElse(Map.empty) + (appId -> batchId),
         latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "batch",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
-        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms))
+        latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms,
+        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
