@@ -23,10 +23,22 @@ import graft.core.ManifestLake
   * All key ranges are ABSOLUTE (not corpus-relative), so the delta is
   * identical at every scale; each step's cost should track affected
   * files, not corpus size. Prints one JSON line per step.
+  *
+  * An optional third arg `pct=<percent>` switches every delta to a
+  * CORPUS-PROPORTIONAL clustered key range (e.g. `pct=1` → each DML
+  * step touches 1 % of the key space) — the r11 probe shape: at ×10
+  * files with a 1 % delta, rewritten-file counts must stay ∝ matched
+  * keys (~1 % of the lake's files), pinning delta-proportionality as
+  * an output of the probe itself. Each step reports `rewritten` and
+  * `expect_files` (the manifest's own pruning answer for the range) so
+  * the proportionality claim is checkable from the JSON alone.
   */
 object ProbeDml {
   def main(args: Array[String]): Unit = {
     val Array(src, work) = args.take(2)
+    val pct: Double = args.drop(2).collectFirst {
+      case a if a.startsWith("pct=") => a.stripPrefix("pct=").toDouble
+    }.getOrElse(0.0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -53,40 +65,68 @@ object ProbeDml {
     }
     def report(step: String, sec: Double, extra: String): Unit =
       println(s"""{"probe":"dml","step":"$step","sec":${f"$sec%.3f"},"n_docs":$nDocs,"files":$files0$extra}""")
+    // the manifest's own answer for "how many files hold this range" —
+    // the denominator of the proportionality claim
+    def expectFiles(lo: Long, hi: Long): Int =
+      ManifestLake.pruneFiles(ManifestLake.latestSnapshot(lake).get,
+        "doc_id", BigDecimal(lo), BigDecimal(hi - 1)).length
+    val maxId = corpus.agg(max($"doc_id")).head().getLong(0)
+    // proportional mode: each step gets its own disjoint clustered
+    // range of pct% of the key space; absolute mode keeps r10's ranges
+    def range(i: Int, defaultLo: Long, defaultN: Long): (Long, Long) =
+      if (pct <= 0) (defaultLo, defaultLo + defaultN)
+      else {
+        val w = math.max(1L, (maxId * pct / 100.0).toLong)
+        val lo = (maxId / 4) + i * 2 * w
+        (lo, lo + w)
+      }
 
-    // merge: 1,000 clustered updates + 100 inserts — constant delta
-    val updates = corpus.filter($"doc_id" >= 1000 && $"doc_id" < 2000)
+    // merge: clustered updates + fresh inserts
+    val (mLo, mHi) = range(0, 1000L, 1000L)
+    val updates = corpus.filter($"doc_id" >= mLo && $"doc_id" < mHi)
         .select($"doc_id", $"source", ($"n_chars" + 1).as("n_chars"))
-      .unionByName(spark.range(0, 100).select(($"id" + 900000000L).as("doc_id"),
-        lit("probe").as("source"), lit(1L).as("n_chars")))
+      .unionByName(spark.range(0, math.max(100L, (mHi - mLo) / 10))
+        .select(($"id" + 900000000L).as("doc_id"),
+          lit("probe").as("source"), lit(1L).as("n_chars")))
+    val mExpect = expectFiles(mLo, mHi)
     val (mStats, mSec) = timed(ManifestLake.merge(spark, lake, updates, Seq("doc_id")))
-    report("merge", mSec, s""","rewritten":${mStats.filesRewritten}""")
+    report("merge", mSec,
+      s""","rewritten":${mStats.filesRewritten},"expect_files":$mExpect""")
 
-    // SQL UPDATE: fixed 500-key clustered range
+    // SQL UPDATE: clustered range
     val t = s"graft_probe.`$lake`"
+    val (uLo, uHi) = range(1, 2500L, 500L)
+    val uExpect = expectFiles(uLo, uHi)
     val before = ManifestLake.latestSnapshot(lake).get.files.toSet
     val (_, uSec) = timed(spark.sql(
-      s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id >= 2500 AND doc_id < 3000"))
+      s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id >= $uLo AND doc_id < $uHi"))
     val afterU = ManifestLake.latestSnapshot(lake).get.files.toSet
-    report("sql_update", uSec, s""","rewritten":${(before -- afterU).size}""")
+    report("sql_update", uSec,
+      s""","rewritten":${(before -- afterU).size},"expect_files":$uExpect""")
 
-    // SQL MERGE INTO: fixed 500-update + 50-insert source, group-filtered
-    spark.range(4000, 4500).select($"id".as("doc_id"),
+    // SQL MERGE INTO: clustered update range + fresh inserts, group-filtered
+    val (gLo, gHi) = range(2, 4000L, 500L)
+    spark.range(gLo, gHi).select($"id".as("doc_id"),
         lit("probe_m").as("source"), lit(3L).as("n_chars"))
-      .union(spark.range(0, 50).select(($"id" + 920000000L).as("doc_id"),
-        lit("probe_m").as("source"), lit(4L).as("n_chars")))
+      .union(spark.range(0, math.max(50L, (gHi - gLo) / 10))
+        .select(($"id" + 920000000L).as("doc_id"),
+          lit("probe_m").as("source"), lit(4L).as("n_chars")))
       .createOrReplaceTempView("probe_dml_mrg")
+    val gExpect = expectFiles(gLo, gHi)
     val (_, mqSec) = timed(spark.sql(
       s"""MERGE INTO $t g USING probe_dml_mrg u ON g.doc_id = u.doc_id
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *"""))
     val afterM = ManifestLake.latestSnapshot(lake).get.files.toSet
-    report("sql_merge", mqSec, s""","rewritten":${(afterU -- afterM).size}""")
+    report("sql_merge", mqSec,
+      s""","rewritten":${(afterU -- afterM).size},"expect_files":$gExpect""")
 
-    // SQL DELETE: fixed 100-key range (metadata-translated path)
+    // SQL DELETE: clustered range (metadata-translated path)
+    val (dLo, dHi) = range(3, 3500L, 100L)
+    val dExpect = expectFiles(dLo, dHi)
     val (_, dSec) = timed(spark.sql(
-      s"DELETE FROM $t WHERE doc_id >= 3500 AND doc_id < 3600"))
-    report("sql_delete", dSec, "")
+      s"DELETE FROM $t WHERE doc_id >= $dLo AND doc_id < $dHi"))
+    report("sql_delete", dSec, s""","expect_files":$dExpect""")
 
     // stream micro-batch: 1,000 rows, stats+bloom continued
     val batch = spark.range(0, 1000).select(($"id" + 910000000L).as("doc_id"),

@@ -154,13 +154,45 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       ManifestLake.latestSnapshot(dir).isDefined
     }
 
+  /** `CREATE TABLE graft.`/dir`` (cols...) PARTITIONED BY (col)
+    * TBLPROPERTIES('statsCols'='a,b', 'bloomCols'='k')` — the DDL-first
+    * creation path (the reference declares schemas in DDL before any
+    * data exists; see sql/schema.sql:9-17). Commits an empty v1
+    * manifest carrying schema + declared layout via
+    * [[ManifestLake.create]]; every later INSERT inherits the declared
+    * partitioning and skipping-index columns. Exactly one identity
+    * PARTITIONED BY column is required — the lake layout is
+    * `<col>=<value>/<file>`, and a declared lake must know it before
+    * first data. Duplicate CREATE refuses loudly. */
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create lakes through the DataFrame writer: df.write.format(\"graft\")" +
-        ".option(\"partitionCol\", ...).save(path) — the first commit " +
-        "establishes schema AND layout from real data")
+                           properties: JMap[String, String]): Table = {
+    val dir = dirOf(ident)
+    val partitionCol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        "graft lakes require exactly one identity PARTITIONED BY column " +
+          s"(layout is <col>=<value>/<file>); got: ${other.mkString(", ")}")
+    }
+    def csvProp(k: String): Seq[String] =
+      Option(properties.get(k)).toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+    val reserved = Set("provider", "owner", "location", "external")
+    val unknownProps = {
+      import scala.jdk.CollectionConverters._
+      properties.keySet().asScala
+        .filterNot(k => k == "statsCols" || k == "bloomCols" ||
+          reserved.contains(k.toLowerCase(java.util.Locale.ROOT)))
+        .toSeq.sorted
+    }
+    if (unknownProps.nonEmpty) throw new UnsupportedOperationException(
+      s"unknown TBLPROPERTIES: ${unknownProps.mkString(", ")} — supported: " +
+        "statsCols, bloomCols (comma-separated column lists)")
+    ManifestLake.create(dir, schema, partitionCol,
+      statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"))
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -212,6 +244,7 @@ private[core] object GraftProcedures {
     val snap = ManifestLake.latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
     val pc = snap.files.headOption.map(_.takeWhile(_ != '='))
+      .orElse(snap.declaredPartitionCol)
       .getOrElse(throw new IllegalStateException(
         s"lake $dir has no files — nothing to maintain"))
     (dir, pc)
@@ -250,7 +283,9 @@ private[core] object GraftProcedures {
     override def name(): String = "vacuum"
     override def description(): String =
       "Delete files retired more than grace_millis ago and manifests " +
-        "older than keep_versions — bounds time travel, reclaims space"
+        "older than keep_versions — bounds time travel, reclaims space; " +
+        "retain_millis additionally protects every version committed " +
+        "inside the window (restore-safety)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -258,11 +293,14 @@ private[core] object GraftProcedures {
       ProcedureParameter.in("keep_versions", IntegerType)
         .defaultValue("2").build(),
       ProcedureParameter.in("grace_millis", LongType)
-        .defaultValue(ManifestLake.DefaultVacuumGraceMillis.toString).build())
+        .defaultValue(ManifestLake.DefaultVacuumGraceMillis.toString).build(),
+      ProcedureParameter.in("retain_millis", LongType)
+        .defaultValue("0").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = str(input, 0)
       val deleted = ManifestLake.vacuum(dir,
-        keepVersions = input.getInt(1), graceMillis = input.getLong(2))
+        keepVersions = input.getInt(1), graceMillis = input.getLong(2),
+        retainMillis = input.getLong(3))
       one(Result(
         StructType(Seq(StructField("files_deleted", LongType, nullable = false))),
         InternalRow(deleted)))

@@ -180,7 +180,9 @@ private[core] final class GraftStreamSink(
     // batch that doesn't carry it fails loudly rather than silently
     // adopting the option's column and forking the directory layout.
     // The option only seeds creation or an emptied lake.
-    val pc = snap.flatMap(_.files.headOption.map(_.takeWhile(_ != '='))) match {
+    val pc = snap.flatMap(sn =>
+      sn.files.headOption.map(_.takeWhile(_ != '='))
+        .orElse(sn.declaredPartitionCol)) match {
       case Some(layoutCol) =>
         require(batchDf.schema.fieldNames.contains(layoutCol),
           s"lake $dir is partitioned by '$layoutCol' but the streamed batch " +
@@ -296,10 +298,11 @@ private[core] final case class GraftLakeTable(
 
   /** Partition column = the one schema field no data file carries
     * (layout is `<col>=<v>/<file>` — recovered from the first file's
-    * path; an empty lake has no partition dirs and no rows, any field
-    * works). */
+    * path, or from the CREATE TABLE declaration for a lake that has
+    * no files yet). */
   val partitionCol: Option[String] =
     files.headOption.map(_.takeWhile(_ != '=')).filter(schema.fieldNames.contains)
+      .orElse(snap.declaredPartitionCol)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)

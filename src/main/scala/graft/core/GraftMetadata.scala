@@ -73,7 +73,11 @@ private[core] object GraftMetadata {
     StructField("col", StringType, nullable = true),
     StructField("min_value", StringType, nullable = true),
     StructField("max_value", StringType, nullable = true),
-    StructField("has_bloom", BooleanType, nullable = false)))
+    StructField("has_bloom", BooleanType, nullable = false),
+    // exact footer row count from the manifest's rows: segment (every
+    // commit path threads it) — COUNT(*) and file-size census answer
+    // from this relation alone; null only for pre-rows manifests
+    StructField("rows", LongType, nullable = true)))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -121,12 +125,14 @@ private[core] object GraftMetadata {
         if (raw == "__HIVE_DEFAULT_PARTITION__") null else utf8(raw)
       val bloomCols = snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet
       val stats = snap.stats.getOrElse(f, Vector.empty)
+      val nRows: Any = snap.rows.get(f).map(Long.box).orNull
       if (stats.isEmpty)
         Iterator.single(InternalRow(utf8(f), partition, null, null, null,
-          bloomCols.nonEmpty))
+          bloomCols.nonEmpty, nRows))
       else stats.iterator.map(st =>
         InternalRow(utf8(f), partition, utf8(st.col),
-          utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col)))
+          utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col),
+          nRows))
     }.toArray
   }
 }

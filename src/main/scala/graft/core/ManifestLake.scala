@@ -90,7 +90,22 @@ object ManifestLake {
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             blooms: Map[String, Vector[FileBloom]] = Map.empty,
                             tsMillis: Option[Long] = None,
-                            rows: Map[String, Long] = Map.empty)
+                            rows: Map[String, Long] = Map.empty,
+                            props: Map[String, String] = Map.empty) {
+    /** Declared layout (SQL `CREATE TABLE ... PARTITIONED BY` /
+      * TBLPROPERTIES), carried forward by every commit. Empty on
+      * writer-created lakes, whose layout is established by first
+      * data instead. */
+    def declaredPartitionCol: Option[String] = props.get(PropPartitionCol)
+    def declaredStatsCols: Seq[String] = csvProp(PropStatsCols)
+    def declaredBloomCols: Seq[String] = csvProp(PropBloomCols)
+    private def csvProp(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[core] val PropPartitionCol = "partitionCol"
+  private[core] val PropStatsCols = "statsCols"
+  private[core] val PropBloomCols = "bloomCols"
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -377,6 +392,15 @@ object ManifestLake {
     val ts = headers.collectFirst {
       case h if h.startsWith("#ts:") => h.stripPrefix("#ts:").toLongOption
     }.flatten
+    // "#prop:<key>=<value>" = declared layout (CREATE TABLE DDL),
+    // carried forward by every commit like txn high-waters. Keys are
+    // '='-free by construction; a malformed line degrades to absent.
+    val props = headers.collect {
+      case h if h.startsWith("#prop:") =>
+        val kv = h.stripPrefix("#prop:")
+        val i = kv.indexOf('=')
+        if (i <= 0) None else Some(kv.take(i) -> kv.drop(i + 1))
+    }.flatten.toMap
     val parsed = fileLines.map { l =>
       val segs = l.split('\t')
       val sts = Vector.newBuilder[FileStats]
@@ -413,7 +437,8 @@ object ManifestLake {
       op, schema,
       parsed.collect { case (p, _, bfs, _) if bfs.nonEmpty => p -> bfs }.toMap,
       ts,
-      parsed.collect { case (p, _, _, Some(n)) => p -> n }.toMap)
+      parsed.collect { case (p, _, _, Some(n)) => p -> n }.toMap,
+      props)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -424,13 +449,15 @@ object ManifestLake {
                         schema: Option[org.apache.spark.sql.types.StructType],
                         blooms: Map[String, Vector[FileBloom]],
                         tsMillis: Long,
-                        rows: Map[String, Long]): Boolean = {
+                        rows: Map[String, Long],
+                        props: Map[String, String]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
     val headers = (Vector(s"#op:$op", s"#ts:$tsMillis") ++
       schema.map(sc => s"#schema:${sc.json}").toVector) ++
-      txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" }
+      txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" } ++
+      props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" }
     val fileLines = files.sorted.map { f =>
       val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
         stats.get(f).toVector.flatten.map(_.encoded) ++
@@ -456,7 +483,8 @@ object ManifestLake {
                                   op: String,
                                   schema: Option[org.apache.spark.sql.types.StructType],
                                   blooms: Map[String, Vector[FileBloom]] = Map.empty,
-                                  rows: Map[String, Long] = Map.empty)
+                                  rows: Map[String, Long] = Map.empty,
+                                  props: Option[Map[String, String]] = None)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -465,17 +493,21 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats, op, schema, blooms, rows)) =>
+        case Some(Ledger(files, txns, stats, op, schema, blooms, rows, propsOpt)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
           val liveRows = rows.view.filterKeys(fileSet).toMap
+          // declared layout (CREATE TABLE) is INHERITED by default —
+          // carried forward here, in one place, so no commit path can
+          // ever drop it; only `create` sets it explicitly
+          val props = propsOpt.getOrElse(latest.map(_.props).getOrElse(Map.empty))
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
           if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
-              liveRows))
+              liveRows, props))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
-              liveBlooms, Some(ts), liveRows))
+              liveBlooms, Some(ts), liveRows, props))
       }
       attempt += 1
     }
@@ -758,6 +790,47 @@ object ManifestLake {
     * those columns (one extra narrow scan of the NEW files only,
     * [[buildBlooms]]) enabling [[readPoint]] skipping on keys min/max
     * cannot prune. */
+  /** DDL-first lake creation (`CREATE TABLE graft.`/dir`` (...)
+    * PARTITIONED BY (col) TBLPROPERTIES('statsCols'='...', ...)`):
+    * commits an EMPTY v1 manifest carrying the declared schema and
+    * layout, so a SQL-only user can declare a lake — with its skipping
+    * index — before any data exists. Every later commit inherits the
+    * declaration (see commitLoop); appends that omit statsCols still
+    * track the declared columns, and appends partitioned differently
+    * refuse. Metadata-only: one manifest write, no data files.
+    * Duplicate creation fails loudly — a CREATE that silently adopted
+    * an existing lake's different schema would be worse than an error.
+    * The writer path (`df.write.format("graft")`) remains the
+    * data-first alternative; the two converge on identical manifests
+    * after the first append. */
+  def create(dir: String, schema: org.apache.spark.sql.types.StructType,
+             partitionCol: String,
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Snapshot = {
+    require(schema.fieldNames.contains(partitionCol),
+      s"partitionCol '$partitionCol' is not a column of the declared schema")
+    val unknown = (statsCols ++ bloomCols).filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"declared stats/bloom columns not in the schema: ${unknown.mkString(", ")}")
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    if (latestSnapshot(dir).isDefined)
+      throw new IllegalStateException(
+        s"lake $dir already exists — CREATE TABLE refuses to adopt or " +
+          "replace a committed lake (use INSERT / the writer to add data)")
+    val props = Map(PropPartitionCol -> partitionCol) ++
+      (if (statsCols.nonEmpty) Map(PropStatsCols -> statsCols.distinct.mkString(","))
+       else Map.empty) ++
+      (if (bloomCols.nonEmpty) Map(PropBloomCols -> bloomCols.distinct.mkString(","))
+       else Map.empty)
+    commitLoop(root) {
+      case Some(_) => throw new IllegalStateException(
+        s"lake $dir was concurrently created — CREATE TABLE refuses to replace it")
+      case None => Some(Ledger(Vector.empty, Map.empty, Map.empty, "create",
+        Some(schema), props = Some(props)))
+    }.get
+  }
+
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,
@@ -767,10 +840,21 @@ object ManifestLake {
     Files.createDirectories(root)
     // fail a type flip BEFORE staging any bytes (racing commits are
     // re-checked inside the commit loop, which stays authoritative)
-    evolveSchema(latestSnapshot(dir).flatMap(_.schema), df.schema)
+    val pre = latestSnapshot(dir)
+    evolveSchema(pre.flatMap(_.schema), df.schema)
+    // a DDL-declared layout is a contract: appends must partition the
+    // declared way, and always track at least the declared columns —
+    // a caller omitting statsCols can't erode a CREATE TABLE's index
+    pre.flatMap(_.declaredPartitionCol).filter(_ != partitionCol).foreach { d =>
+      throw new IllegalArgumentException(
+        s"lake $dir was declared PARTITIONED BY ($d); cannot append " +
+          s"partitioned by '$partitionCol'")
+    }
+    val effStats = (statsCols ++ pre.toSeq.flatMap(_.declaredStatsCols)).distinct
+    val effBlooms = (bloomCols ++ pre.toSeq.flatMap(_.declaredBloomCols)).distinct
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
-    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, statsCols)
-    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols, stagedRows)
+    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
+    val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
     commitLoop(root) { latest =>
       Some(Ledger(latest.map(_.files).getOrElse(Vector.empty) ++ staged,
         latest.map(_.txns).getOrElse(Map.empty),
@@ -802,14 +886,21 @@ object ManifestLake {
     val already = latestSnapshot(dir)
     if (already.exists(_.txns.get(appId).exists(_ >= batchId))) return already.get
     evolveSchema(already.flatMap(_.schema), df.schema)
+    already.flatMap(_.declaredPartitionCol).filter(_ != partitionCol).foreach { d =>
+      throw new IllegalArgumentException(
+        s"lake $dir was declared PARTITIONED BY ($d); cannot append " +
+          s"partitioned by '$partitionCol'")
+    }
+    val effStats = (statsCols ++ already.toSeq.flatMap(_.declaredStatsCols)).distinct
+    val effBlooms = (bloomCols ++ already.toSeq.flatMap(_.declaredBloomCols)).distinct
     val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
     // stats and blooms built OUTSIDE the commit loop (one scan of the
     // staged files, a CAS retry must not re-run it); a duplicate batch
     // detected inside the loop discards them with the staged files —
     // streamed-in files carry the SAME skipping metadata as batch
     // appends, so a lake fed by a stream never erodes its index
-    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, statsCols)
-    val stagedBlooms = buildBlooms(s, dir, staged, bloomCols, stagedRows)
+    val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
+    val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
     var duplicate = false
     val snap = commitLoop(root) { latest =>
       if (latest.exists(_.txns.get(appId).exists(_ >= batchId))) { duplicate = true; None }
@@ -1016,14 +1107,10 @@ object ManifestLake {
       val newFiles = rewrites.flatMap(_.kept) ++ staged
       val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
         .toSeq.distinct.sorted
-      val newStats =
-        if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
-        else parMapMeta(newFiles)(f =>
-          f -> footerStats(s, root.resolve(f), statsCols))
-          .filter(_._2.nonEmpty).toMap
+      val (newStats, newRows) = footerMetaAll(s, root, newFiles, statsCols)
       val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
         .toSeq.distinct.sorted
-      val newBlooms = buildBlooms(s, dir, newFiles, bloomCols)
+      val newBlooms = buildBlooms(s, dir, newFiles, bloomCols, newRows)
       beforeCommit()
       commitLoop(root) {
         case None => throw new IllegalStateException(s"manifest vanished from $dir")
@@ -1035,7 +1122,8 @@ object ManifestLake {
           Some(Ledger(latest.files.filterNot(removedSet.contains) ++ newFiles,
             latest.txns, latest.stats -- removedSet ++ newStats, "merge",
             latest.schema,
-            latest.blooms -- removedSet ++ newBlooms))
+            latest.blooms -- removedSet ++ newBlooms,
+            latest.rows -- removedSet ++ newRows))
       }
       val rowsUpdated = rewrites.map(_.rowsRemoved).sum
       // rowsInserted counts UPDATE ROWS whose key matched nothing —
@@ -1063,6 +1151,16 @@ object ManifestLake {
     * (merge, the SQL row-level UPDATE/DELETE): rebases over concurrent
     * appends by set-union; aborts loudly when a racing commit replaced
     * one of this rewrite's inputs. */
+  /** Test seam for the SQL DML path: [[commitReplace]] runs it after
+    * the rewrite's metadata is derived, immediately before the commit
+    * loop — the window a concurrent commit must be rebased over (or
+    * abort on). The Scala-path twin is the `beforeCommit` PARAMETER
+    * threaded through merge/deleteWhere/compact; the SQL path reaches
+    * commitReplace through Spark's DSv2 write machinery where no
+    * parameter can be threaded, hence the hook. Production value is a
+    * no-op; specs that swap it in must restore it in a finally. */
+  @volatile private[core] var beforeCommitReplace: () => Unit = () => ()
+
   private[core] def commitReplace(s: SparkSession, dir: String,
                                   removed: Set[String], added: Vector[String],
                                   op: String): Snapshot = {
@@ -1071,13 +1169,11 @@ object ManifestLake {
       throw new IllegalStateException(s"no committed manifest in $dir"))
     val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
       .toSeq.distinct.sorted
-    val newStats =
-      if (statsCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else parMapMeta(added)(f => f -> footerStats(s, root.resolve(f), statsCols))
-        .filter(_._2.nonEmpty).toMap
+    val (newStats, newRows) = footerMetaAll(s, root, added, statsCols)
     val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
       .toSeq.distinct.sorted
-    val newBlooms = buildBlooms(s, dir, added, bloomCols)
+    val newBlooms = buildBlooms(s, dir, added, bloomCols, newRows)
+    beforeCommitReplace()
     commitLoop(root) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
       case Some(latest) =>
@@ -1088,7 +1184,8 @@ object ManifestLake {
         Some(Ledger(latest.files.filterNot(removed.contains) ++ added,
           latest.txns, latest.stats -- removed ++ newStats, op,
           latest.schema,
-          latest.blooms -- removed ++ newBlooms))
+          latest.blooms -- removed ++ newBlooms,
+          latest.rows -- removed ++ newRows))
     }.get
   }
 
@@ -1246,11 +1343,8 @@ object ManifestLake {
     val uniformCols = affected.map(f =>
         snap.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
       .reduceOption(_ intersect _).getOrElse(Set.empty)
-    val newStats =
-      if (uniformCols.isEmpty) Map.empty[String, Vector[FileStats]]
-      else parMapMeta(newFiles)(f =>
-        f -> footerStats(s, root.resolve(f), uniformCols.toSeq.sorted))
-        .filter(_._2.nonEmpty).toMap
+    val (newStats, newRows) =
+      footerMetaAll(s, root, newFiles, uniformCols.toSeq.sorted)
     // same uniformity rule for the bloom index: kept rewrites of
     // uniformly-bloomed files re-derive their filters (one narrow scan
     // of the survivors), so a delete never silently erodes point-lookup
@@ -1269,7 +1363,8 @@ object ManifestLake {
         Some(Ledger(latest.files.filterNot(removedSet.contains) ++ newFiles,
           latest.txns, latest.stats -- removedSet ++ newStats, "delete",
           latest.schema,
-          latest.blooms -- removedSet ++ newBlooms))
+          latest.blooms -- removedSet ++ newBlooms,
+          latest.rows -- removedSet ++ newRows))
     }
     rewrites.map(_.rowsDeleted).sum
   }
@@ -1704,20 +1799,26 @@ object ManifestLake {
           // footers IF the partition's olds were uniformly tracked on
           // one column (mixed/untracked partitions stay untracked —
           // never guess a pruning bound).
-          val statJobs = apply.flatMap { sw =>
+          // Every new file gets a footer read regardless (its row
+          // count feeds the manifest's rows: segment); stats come
+          // along for free when the olds were uniformly tracked.
+          val metaJobs = apply.flatMap { sw =>
             val uniform = sw.olds.map(f =>
                 latest.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
               .reduceOption(_ intersect _).getOrElse(Set.empty)
-            if (uniform.isEmpty) Nil
-            else sw.news.map(f => (f, uniform.toSeq.sorted))
+            sw.news.map(f => (f, uniform.toSeq.sorted))
           }
-          val newStats = parMapMeta(statJobs) { case (f, cols) =>
-            f -> footerStats(s, root.resolve(f), cols)
-          }.filter(_._2.nonEmpty).toMap
+          val metas = parMapMeta(metaJobs) { case (f, cols) =>
+            f -> footerMeta(s, root.resolve(f), cols)
+          }
+          val newStats =
+            metas.collect { case (f, (sts, _)) if sts.nonEmpty => f -> sts }.toMap
+          val newRows = metas.map { case (f, (_, n)) => f -> n }.toMap
           Some(Ledger(latest.files.filterNot(removed.contains) ++ apply.flatMap(_.news),
             latest.txns, latest.stats -- removed ++ newStats, "compact",
             latest.schema,
-            latest.blooms -- removed ++ rebuiltBlooms))
+            latest.blooms -- removed ++ rebuiltBlooms,
+            latest.rows -- removed ++ newRows))
         }
     }
     swaps.filter(sw => abandoned.contains(sw.pname))
@@ -1785,29 +1886,47 @@ object ManifestLake {
       if (latest.exists(_.version == toVersion)) None // already there
       else Some(Ledger(target.files,
         latest.map(_.txns).getOrElse(Map.empty),
-        target.stats, "restore", target.schema, target.blooms))
+        target.stats, "restore", target.schema, target.blooms, target.rows))
     }.get
   }
 
+  /** `retainMillis` is the restore-safety window (Delta's
+    * `delta.deletedFileRetentionDuration` analogue): any version whose
+    * commit wall time is within the window keeps BOTH its manifest and
+    * its data files, however many newer versions exist — so a restore
+    * to any version inside the window always succeeds, no matter how
+    * aggressive `keepVersions` is. A pre-`#ts:` manifest (no wall time)
+    * is treated as inside the window — retention must fail PROTECTIVE,
+    * never reclaim what it cannot date. `retainMillis = 0` is the
+    * version-count-only contract (deterministic tests). */
   def vacuum(dir: String, keepVersions: Int = 2,
-             graceMillis: Long = DefaultVacuumGraceMillis): Long = {
+             graceMillis: Long = DefaultVacuumGraceMillis,
+             retainMillis: Long = 0L): Long = {
     val root = Paths.get(dir)
     val latest = latestSnapshot(dir).getOrElse(return 0L)
     val mdir = root.resolve(ManifestDir)
     val keepFrom = latest.version - math.max(1, keepVersions) + 1
-    val referenced: Set[String] = {
+    val retainCutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
+    def manifestTs(v: Long): Option[Long] =
+      Files.readAllLines(manifestPath(root, v)).asScala
+        .find(_.startsWith("#ts:")).map(_.drop(4).toLong)
+    def retainedByTime(v: Long): Boolean =
+      retainMillis > 0L && manifestTs(v).forall(_ >= retainCutoff)
+    val allVersions: Vector[Long] = {
       val st = Files.list(mdir)
-      val versions =
-        try st.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-          .map(_.drop(1).toLong).filter(_ >= keepFrom).toVector
-        finally st.close()
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).toVector
+      finally st.close()
+    }
+    val protectedVersions = allVersions.filter(v => v >= keepFrom || retainedByTime(v))
+    val referenced: Set[String] = {
       // file lines are "<path>\t<stats/bloom segments...>" — protect by
       // the PATH alone. Matching on the raw line silently unprotected
       // every stats-tracked file (the recommended configuration):
       // vacuum past the grace window deleted LIVE data. Caught by the
       // CALL-procedure spec; pinned by the stats-tracked vacuum test.
-      versions.flatMap(v =>
+      protectedVersions.flatMap(v =>
         Files.readAllLines(manifestPath(root, v)).asScala
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(_.takeWhile(_ != '\t'))).toSet
@@ -1831,13 +1950,17 @@ object ManifestLake {
         finally fs.close()
       }
     } finally top.close()
-    // Retire manifests older than the grace window (their files are
-    // already unprotected, so the history they describe is gone).
+    // Retire manifests that fell out of BOTH retention contracts (their
+    // files are already unprotected, so the history they describe is
+    // gone). A time-retained manifest keeps its version addressable —
+    // restore/time-travel to it stays whole for the full window.
+    val protectedSet = protectedVersions.toSet
     val st2 = Files.list(mdir)
     try st2.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < keepFrom
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          !protectedSet.contains(n.drop(1).toLong)
       }
       .foreach(p => Files.deleteIfExists(p))
     finally st2.close()

@@ -312,7 +312,14 @@ object NgramLm {
     * that made W3 a risk; `n_ws` rides along so the divergence is IN
     * the oracled output, not just asserted in a spec. Same
     * broadcast-model plan as q47: driver-side train-source fetch, one
-    * model ship per executor, narrow scoring pass. */
+    * model ship per executor, narrow scoring pass.
+    *
+    * Scale note: the `collect()` below pulls the src0 TRAINING split to
+    * the driver — fixture-scale only, and deliberate: it mirrors the
+    * reference's offline per-work model training (a few documents per
+    * model, never the corpus). The corpus-scale path is q93's
+    * [[graft.score.NgramLm.BigramStats]], which trains the LM fully distributed
+    * (map-side partial counts, no driver materialization). */
   def qTreebankScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = Tables.documents(s, dir)

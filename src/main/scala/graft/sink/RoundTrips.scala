@@ -1325,7 +1325,13 @@ object RoundTrips {
       countDistinct($"file").as("nf"),
       sum(when($"col".isNull || !$"has_bloom", 1L).otherwise(0L)).as("bad"))
       .head()
-    val filesOk = fAgg.getLong(2) == 0L && fAgg.getLong(1) == hist(2).getInt(2)
+    // COUNT(*) answers from the manifest alone: the per-file rows:
+    // counts (compaction re-derives them for rewritten files) must sum
+    // to the lake's true cardinality
+    val manifestCount = files.select($"file", $"rows").distinct()
+      .agg(sum($"rows")).head().getLong(0)
+    val filesOk = fAgg.getLong(2) == 0L && fAgg.getLong(1) == hist(2).getInt(2) &&
+      manifestCount == graft.core.ManifestLake.read(s, lake).count()
     def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
       df.filter($"col" === "doc_id")
         .groupBy($"partition".as("k"))
@@ -1486,7 +1492,78 @@ object RoundTrips {
            WHERE NOT (doc_id >= m // 4 AND doc_id <= m // 2)) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q164 — `CREATE TABLE` DDL ([[graft.core.GraftCatalog.createTable]]
+    * → [[graft.core.ManifestLake.create]]): DDL-first lake creation,
+    * matching the reference's schema discipline (tables are declared in
+    * DDL before any data exists — sql/schema.sql:9-17). A SQL-only user
+    * declares the lake WITH its skipping index (`PARTITIONED BY` +
+    * statsCols/bloomCols TBLPROPERTIES) as an empty v1 commit, INSERTs
+    * documents through SQL, and every subsequent commit inherits the
+    * declaration. Legs: `full` (read-back of the inserted corpus ≡
+    * `documents`), `pruned` (a doc_id range read through the
+    * DECLARED stats — the index existed before the data did).
+    * Pinned invariants: v1 is op "create" with zero files and the
+    * declared schema; the INSERT's files ALL carry declared stats and
+    * blooms (nothing was passed at write time — inheritance did it);
+    * the range read opens a strict subset of files; a duplicate
+    * CREATE refuses; a mis-partitioned append refuses. */
+  def qCreateTableRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_ddl",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_ddl_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    s.sql(s"CREATE TABLE graft_ddl.`$lake` " +
+      "(doc_id BIGINT, source STRING, n_chars INT) PARTITIONED BY (source) " +
+      "TBLPROPERTIES('statsCols'='doc_id', 'bloomCols'='doc_id')")       // v1
+    val v1 = graft.core.ManifestLake.snapshotAt(lake, 1).get
+    docs.repartitionByRange(8, $"doc_id").createOrReplaceTempView("graft_ddl_src")
+    s.sql(s"INSERT INTO graft_ddl.`$lake` " +
+      "SELECT doc_id, source, n_chars FROM graft_ddl_src")               // v2
+    val v2 = graft.core.ManifestLake.latestSnapshot(lake).get
+    val inherited = v2.files.nonEmpty && v2.files.forall(f =>
+      v2.stats.getOrElse(f, Vector.empty).exists(_.col == "doc_id") &&
+        v2.blooms.getOrElse(f, Vector.empty).exists(_.col == "doc_id"))
+    val rangeOpened = graft.core.ManifestLake.pruneFiles(
+      v2, "doc_id", BigDecimal(m / 10), BigDecimal(m / 5)).length
+    val refused = {
+      val dup = scala.util.Try(s.sql(
+        s"CREATE TABLE graft_ddl.`$lake` (a BIGINT) PARTITIONED BY (a)")).isFailure
+      val mispart = scala.util.Try(graft.core.ManifestLake.append(s, lake,
+        docs.limit(1), "doc_id")).isFailure
+      dup && mispart
+    }
+    val invariants = v1.op == "create" && v1.files.isEmpty &&
+      v1.declaredPartitionCol.contains("source") &&
+      v1.schema.exists(_.fieldNames.toSeq == Seq("doc_id", "source", "n_chars")) &&
+      v2.version == 2L && inherited && v2.props == v1.props &&
+      rangeOpened < v2.files.length && refused
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+    leg("full", s.sql(s"SELECT doc_id, n_chars FROM graft_ddl.`$lake`"), invariants)
+      .unionByName(leg("pruned", graft.core.ManifestLake.readWhere(s, lake,
+        "doc_id", BigDecimal(m / 10), BigDecimal(m / 5)), true))
+      .orderBy($"leg_tag")
+  }
+
+  val qCreateTableRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'full' AS leg_tag, doc_id, n_chars FROM documents
+         UNION ALL
+         SELECT 'pruned', doc_id, n_chars FROM documents, mx
+           WHERE doc_id >= m // 10 AND doc_id <= m // 5) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_create_table" -> qCreateTableRoundTrip,
     "q163_restore" -> qRestoreRoundTrip,
     "q162_timestamp_travel" -> qTimestampTravelRoundTrip,
     "q161_metadata_tables" -> qMetadataTablesRoundTrip,
@@ -1512,6 +1589,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q164_create_table" -> qCreateTableRoundTripSql,
     "q163_restore" -> qRestoreRoundTripSql,
     "q162_timestamp_travel" -> qTimestampTravelRoundTripSql,
     "q161_metadata_tables" -> qMetadataTablesRoundTripSql,

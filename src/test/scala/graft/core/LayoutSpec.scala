@@ -1927,4 +1927,202 @@ class LayoutSpec extends SparkSpec {
     assert(ManifestLake.snapshotAt(dir2.toString, 1).get.tsMillis.isEmpty)
     assert(ManifestLake.snapshotAsOfTimestamp(dir2.toString, Long.MaxValue).isEmpty)
   }
+
+  test("row-level SQL: UPDATE rebases over a concurrent append — zero rows lost") {
+    // The race: an append commits AFTER the UPDATE's rewrite finishes,
+    // BEFORE its commitReplace CAS. The set-union rebase must keep the
+    // appended file (appends touch disjoint files, no conflict). Pinned
+    // via the beforeCommitReplace seam — the SQL twin of the Scala
+    // merge/delete race pins above.
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mracesql1").resolve("lake").toString
+    spark.range(0, 400)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 10).as("score"))
+      .repartitionByRange(4, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+    ManifestLake.beforeCommitReplace = () =>
+      ManifestLake.append(spark, dir,
+        spark.range(5000, 5020).select($"id".as("doc_id"), lit("p0").as("source"),
+          lit(0L).as("score")), "source", statsCols = Seq("doc_id"))
+    try spark.sql(s"UPDATE graft.`$dir` SET score = -1 WHERE doc_id >= 100 AND doc_id < 150")
+    finally ManifestLake.beforeCommitReplace = () => ()
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 420, "the racing append's rows must survive the rebase")
+    assert(back.filter($"score" === -1).count() == 50, "the update must apply")
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.op == "update")
+    assert(snap.rows.keySet == snap.files.toSet && snap.rows.values.sum == 420)
+  }
+
+  test("row-level SQL: MERGE aborts loudly when a concurrent compact replaced its inputs") {
+    // The race: a compaction swaps out the very files the MERGE's
+    // copy-on-write rewrite read. Committing the merge anyway would
+    // resurrect pre-compact bytes (and double rows the compactor moved)
+    // — commitReplace must detect the missing inputs and abort, leaving
+    // the lake exactly as the compactor published it.
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mracesql2").resolve("lake").toString
+    spark.range(0, 400)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 10).as("score"))
+      .repartitionByRange(8, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+    ManifestLake.beforeCommitReplace = () => {
+      ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000)
+      ()
+    }
+    val e = try intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$dir` g USING " +
+        "(SELECT id AS doc_id, 'p0' AS source, -9L AS score FROM range(100, 110)) s " +
+        "ON g.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    } finally ManifestLake.beforeCommitReplace = () => ()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("concurrent commit replaced files")), e.toString)
+    val back = ManifestLake.read(spark, dir)
+    assert(back.count() == 400, "aborted merge must not change the row count")
+    assert(back.filter($"score" === -9L).count() == 0,
+      "aborted merge must leave no partial update visible")
+    assert(ManifestLake.latestSnapshot(dir).get.op == "compact",
+      "the compactor's commit stands; the merge burned no version")
+  }
+
+  test("catalog DDL: CREATE TABLE declares schema + layout; INSERT inherits tracking") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mddl").resolve("lake").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(doc_id BIGINT, source STRING, score BIGINT) PARTITIONED BY (source) " +
+      "TBLPROPERTIES('statsCols'='doc_id', 'bloomCols'='doc_id')")
+    val v1 = ManifestLake.latestSnapshot(dir).get
+    assert(v1.op == "create" && v1.files.isEmpty)
+    assert(v1.declaredPartitionCol.contains("source"))
+    assert(v1.declaredStatsCols == Seq("doc_id") && v1.declaredBloomCols == Seq("doc_id"))
+    assert(v1.schema.exists(_.fieldNames.toSeq == Seq("doc_id", "source", "score")))
+    // the empty lake is a readable SQL citizen before any data
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 0)
+
+    // INSERT inherits the DECLARED layout — partitioning, stats, blooms
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id AS doc_id, concat('s', id % 2) AS source, id * 3 AS score " +
+      "FROM range(0, 200)")
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.nonEmpty && v2.files.forall(_.startsWith("source=")))
+    assert(v2.stats.keySet == v2.files.toSet,
+      "INSERT into a declared lake must track the declared statsCols")
+    assert(v2.blooms.keySet == v2.files.toSet)
+    assert(v2.props == v1.props, "declared layout must ride every commit")
+    assert(spark.sql(s"SELECT sum(score) AS s FROM graft.`$dir`").head().getLong(0) ==
+      (0L until 200L).map(_ * 3).sum)
+    // the declaration keeps protecting the index on the SCALA path too:
+    // an append omitting statsCols still tracks the declared columns
+    ManifestLake.append(spark, dir,
+      spark.range(200, 300).select($"id".as("doc_id"),
+        lit("s0").as("source"), lit(0L).as("score")), "source")
+    val v3 = ManifestLake.latestSnapshot(dir).get
+    assert(v3.stats.keySet == v3.files.toSet && v3.blooms.keySet == v3.files.toSet)
+    // point lookup proves the bloom works end-to-end
+    assert(ManifestLake.readPoint(spark, dir, "doc_id", 42L).count() == 1)
+
+    // refusals: duplicate CREATE; mis-partitioned append; bad props
+    val eDup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir` (a BIGINT) PARTITIONED BY (a)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eDup).exists(_.contains("already exists")), eDup.toString)
+    val ePc = intercept[IllegalArgumentException] {
+      ManifestLake.append(spark, dir,
+        spark.range(0, 1).select($"id".as("doc_id"), lit("x").as("source"),
+          lit(0L).as("score")), "doc_id")
+    }
+    assert(ePc.getMessage.contains("PARTITIONED BY (source)"))
+    val dir2 = Files.createTempDirectory("mddl2").resolve("lake").toString
+    val eProp = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir2` (a BIGINT, p STRING) " +
+        "PARTITIONED BY (p) TBLPROPERTIES('zorderCols'='a')")
+    }
+    assert(msgs(eProp).exists(_.contains("unknown TBLPROPERTIES")), eProp.toString)
+    val eNoPart = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir2` (a BIGINT, p STRING)")
+    }
+    assert(msgs(eNoPart).exists(_.contains("identity PARTITIONED BY")), eNoPart.toString)
+  }
+
+  test("manifest lake: retain_millis vacuum keeps restore targets whole") {
+    // The restore-safety contract: a version committed inside the
+    // retention window survives vacuum — manifest AND data files —
+    // however small keepVersions is, so restore-to-retained ALWAYS
+    // succeeds. Without the window, keepVersions=1 + a rewriting
+    // commit reclaims the only copy of the old bytes and restore can
+    // only fail loudly.
+    val dir = Files.createTempDirectory("mretain").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("v0").as("source")),
+      "source")
+    val v1 = ManifestLake.latestSnapshot(dir).get.version
+    // a delete REWRITES v1's file — the old bytes survive only as
+    // vacuum-eligible garbage
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50)
+
+    // retained: everything just committed is inside a 1-day window
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L,
+      retainMillis = 24L * 3600 * 1000)
+    val restored = ManifestLake.restore(dir, v1)
+    assert(restored.version > v1, "restore must commit a NEW version")
+    assert(ManifestLake.read(spark, dir).count() == 100,
+      "restore-to-retained must serve the full pre-delete corpus")
+
+    // outside the window the old contract holds: reclaim, then refuse
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50)
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L, retainMillis = 0L)
+    val e = intercept[IllegalStateException] { ManifestLake.restore(dir, v1) }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
+  test("manifest lake: EVERY commit path carries rows: for every live file") {
+    // COUNT(*) must be answerable from the manifest alone no matter
+    // which operation last rewrote a file: append, merge, delete,
+    // compact, and restore all thread footer row counts into the
+    // ledger. A path that dropped them would silently degrade the
+    // manifest from "count index" to "file list" the first time a
+    // merge or compaction ran.
+    val dir = Files.createTempDirectory("mrows").resolve("lake").toString
+    def pin(expect: Long, ctx: String): Unit = {
+      val snap = ManifestLake.latestSnapshot(dir).get
+      assert(snap.rows.keySet == snap.files.toSet,
+        s"$ctx: files missing rows: ${snap.files.toSet -- snap.rows.keySet}")
+      assert(snap.rows.values.sum == expect,
+        s"$ctx: manifest row total ${snap.rows.values.sum} != $expect")
+      assert(ManifestLake.read(spark, dir).count() == expect, ctx)
+    }
+    ManifestLake.append(spark, dir,
+      spark.range(0, 400).select($"id".as("doc_id"), lit("r0").as("source"),
+        ($"id" * 2).as("v")).repartitionByRange(4, $"doc_id"),
+      "source", statsCols = Seq("doc_id"))
+    pin(400, "append")
+
+    // merge: 5 updated keys (395..399) + 10 fresh inserts (400..409)
+    ManifestLake.merge(spark, dir,
+      spark.range(395, 410).select($"id".as("doc_id"), lit("r0").as("source"),
+        lit(-1L).as("v")), Seq("doc_id"))
+    pin(410, "merge")
+
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 300 && $"doc_id" < 320)
+    pin(390, "delete")
+
+    val restoreTo = ManifestLake.latestSnapshot(dir).get.version
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000)
+    pin(390, "compact")
+
+    ManifestLake.restore(dir, restoreTo)
+    pin(390, "restore")
+
+    // streaming batch path too
+    ManifestLake.appendBatch(spark, dir,
+      spark.range(1000, 1010).select($"id".as("doc_id"), lit("r0").as("source"),
+        lit(0L).as("v")), "source", "rowsapp", 1L)
+    pin(400, "appendBatch")
+  }
 }
