@@ -70,15 +70,18 @@ object ProbeDml {
     def expectFiles(lo: Long, hi: Long): Int =
       ManifestLake.pruneFiles(ManifestLake.latestSnapshot(lake).get,
         "doc_id", BigDecimal(lo), BigDecimal(hi - 1)).length
-    val maxId = corpus.agg(max($"doc_id")).head().getLong(0)
     // proportional mode: each step gets its own disjoint clustered
-    // range of pct% of the key space; absolute mode keeps r10's ranges
+    // range covering pct% of the ROWS (quantile bounds, not key-space
+    // fractions — replicated probe corpora have sparse banded ids and
+    // a key-space fraction can land entirely in a gap); absolute mode
+    // keeps r10's ranges
     def range(i: Int, defaultLo: Long, defaultN: Long): (Long, Long) =
       if (pct <= 0) (defaultLo, defaultLo + defaultN)
       else {
-        val w = math.max(1L, (maxId * pct / 100.0).toLong)
-        val lo = (maxId / 4) + i * 2 * w
-        (lo, lo + w)
+        val q0 = 0.20 + i * 2.5 * (pct / 100.0)
+        val qs = corpus.stat.approxQuantile("doc_id",
+          Array(q0, q0 + pct / 100.0), 0.0001)
+        (qs(0).toLong, math.max(qs(0).toLong + 1, qs(1).toLong))
       }
 
     // merge: clustered updates + fresh inserts

@@ -194,10 +194,38 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schema evolution happens on write (appends may add columns); " +
-        "there is no standalone ALTER")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — the only ALTER a lake can
+    * honor without reinterpreting committed bytes: the widened schema
+    * commits as a metadata-only version ([[ManifestLake.addColumns]]);
+    * existing files null-fill on read. Renames, drops, type changes
+    * and repositioning refuse loudly (a type flip would silently
+    * corrupt every older file's interpretation — same rule as
+    * write-side evolution). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange.AddColumn
+    val dir = dirOf(ident)
+    val adds = changes.map {
+      case a: AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "FIRST/AFTER positioning is not supported — new columns append " +
+            "(existing files null-fill; order is part of the committed schema)")
+        require(a.isNullable,
+          s"ADD COLUMNS ${a.fieldNames.head} NOT NULL is impossible: every " +
+            "pre-existing row null-fills the new column")
+        StructField(a.fieldNames.head, a.dataType,
+          nullable = true, // pre-existing rows HAVE no value — nullable by physics
+          metadata = Option(a.comment()).map(c =>
+            new MetadataBuilder().putString("comment", c).build())
+            .getOrElse(Metadata.empty))
+      case other => throw new UnsupportedOperationException(
+        s"graft lakes only support ALTER TABLE ... ADD COLUMNS (got: $other) — " +
+          "renames/drops/type changes would reinterpret committed bytes")
+    }
+    ManifestLake.addColumns(dir, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

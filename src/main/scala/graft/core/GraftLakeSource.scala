@@ -481,7 +481,13 @@ private[core] object GraftPrune {
     case GreaterThanOrEqual(_, v) => toBound(v).isDefined
     case LessThan(_, v)           => toBound(v).isDefined
     case LessThanOrEqual(_, v)    => toBound(v).isDefined
-    case In(_, vs)                => vs.nonEmpty && vs.forall(v => toBound(v).isDefined)
+    // an EMPTY In is prunable — and prunes EVERYTHING: `col IN ()`
+    // matches no row, so no file can hold one. The shape is real, not
+    // theoretical: a MERGE whose source matches zero lake keys pushes
+    // In(key, []) as its runtime group filter, and treating it as
+    // un-prunable made ReplaceData rewrite the ENTIRE lake as a no-op
+    // (4,000 of 4,000 files at the ×10 probe) instead of zero files.
+    case In(_, vs)                => vs.forall(v => toBound(v).isDefined)
     case And(l, r)                => prunable(l) && prunable(r)
     case Or(l, r)                 => prunable(l) && prunable(r)
     case _                        => false

@@ -831,6 +831,35 @@ object ManifestLake {
     }.get
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` — the explicit spelling of the
+    * evolution appends already perform implicitly: commit the widened
+    * schema (existing fields first, adds after — exactly
+    * [[evolveSchema]]'s union order) as a metadata-only "alter"
+    * version. Existing files null-fill the new columns on read, the
+    * same contract as write-side evolution; no byte is rewritten.
+    * Only ADDs are expressible — renames/drops/type changes would
+    * reinterpret committed bytes and refuse at the catalog. */
+  def addColumns(dir: String,
+                 adds: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
+    require(adds.nonEmpty, "ADD COLUMNS requires at least one column")
+    val root = Paths.get(dir)
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"no committed manifest in $dir")
+      case Some(latest) =>
+        val cur = latest.schema.getOrElse(throw new IllegalStateException(
+          s"lake $dir has no committed schema — ALTER needs one"))
+        val clash = adds.map(_.name).filter(cur.fieldNames.contains)
+        if (clash.nonEmpty) throw new IllegalArgumentException(
+          s"column(s) already exist: ${clash.mkString(", ")}")
+        val dup = adds.groupBy(_.name).collect { case (n, fs) if fs.length > 1 => n }
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"duplicate column(s) in ADD: ${dup.mkString(", ")}")
+        Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
+          Some(org.apache.spark.sql.types.StructType(cur.fields ++ adds)),
+          latest.blooms, latest.rows))
+    }.get
+  }
+
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,

@@ -1613,6 +1613,20 @@ class LayoutSpec extends SparkSpec {
       "ON g.doc_id = s.doc_id WHEN MATCHED THEN DELETE")
     assert(ManifestLake.read(spark, dir).filter($"score" === 77L).count() == 0)
 
+    // a MERGE whose source matches NO lake key (pure insert) must
+    // rewrite ZERO files: the runtime group filter pushes In(key, [])
+    // — empty IN prunes everything, and the ×10 probe caught the
+    // opposite (whole-lake no-op rewrite) before this pin existed
+    val preNoMatch = ManifestLake.latestSnapshot(dir).get
+    spark.sql(s"MERGE INTO $t g USING " +
+      "(SELECT id + 90000 AS doc_id, 'p0' AS source, 5L AS score FROM range(0, 8)) s " +
+      "ON g.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val postNoMatch = ManifestLake.latestSnapshot(dir).get
+    assert((preNoMatch.files.toSet -- postNoMatch.files.toSet).isEmpty,
+      "zero-match MERGE must not rewrite any existing file")
+    assert(ManifestLake.read(spark, dir).filter($"score" === 5L).count() == 8)
+
     // ambiguous matches (two source rows, one target key) fail loudly
     // instead of writing a nondeterministic result
     val eMulti = intercept[Exception] {
@@ -2048,6 +2062,49 @@ class LayoutSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE graft.`$dir2` (a BIGINT, p STRING)")
     }
     assert(msgs(eNoPart).exists(_.contains("identity PARTITIONED BY")), eNoPart.toString)
+  }
+
+  test("catalog DDL: ALTER TABLE ADD COLUMNS widens metadata-only; CTAS creates and fills") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("malter").resolve("lake").toString
+    spark.range(0, 100)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 2).as("score"))
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+    val v1 = ManifestLake.latestSnapshot(dir).get
+
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (quality DOUBLE, lang STRING)")
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.op == "alter" && v2.version == v1.version + 1)
+    assert(v2.files == v1.files && v2.stats == v1.stats && v2.rows == v1.rows,
+      "ALTER is metadata-only: no file is touched")
+    assert(v2.schema.exists(_.fieldNames.toSeq ==
+      Seq("doc_id", "source", "score", "quality", "lang")))
+    // existing rows null-fill; new inserts carry values; old stats prune
+    val back = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(back.count() == 100 && back.filter($"quality".isNull).count() == 100)
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1000L, 'p0', 0L, 0.5D, 'en')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE lang = 'en'")
+      .head().getLong(0) == 1)
+    // refusals: duplicate add, non-add changes
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val eDup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (score BIGINT)") }
+    assert(msgs(eDup).exists(_.contains("already exist")), eDup.toString)
+    val eRen = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN score TO s2") }
+    assert(msgs(eRen).exists(_.contains("ADD COLUMNS")), eRen.toString)
+
+    // CTAS: createTable + first INSERT through the same machinery
+    val dir2 = Files.createTempDirectory("mctas").resolve("lake").toString
+    spark.sql(s"CREATE TABLE graft.`$dir2` PARTITIONED BY (source) " +
+      s"TBLPROPERTIES('statsCols'='doc_id') AS SELECT doc_id, source, score " +
+      s"FROM graft.`$dir` WHERE doc_id < 50")
+    val c = ManifestLake.latestSnapshot(dir2).get
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir2`").head().getLong(0) == 50)
+    assert(c.stats.keySet == c.files.toSet, "CTAS inherits declared statsCols")
+    assert(c.declaredPartitionCol.contains("source"))
   }
 
   test("manifest lake: retain_millis vacuum keeps restore targets whole") {
