@@ -424,11 +424,14 @@ private[core] object GraftLakeTable {
 
 private[core] class GraftScanBuilder(table: GraftLakeTable,
     onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import ManifestLake.Bound
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
 
   /** A filter is usable for manifest pruning when it constrains ONE
     * column with comparable literal bounds. Everything is returned as
@@ -445,13 +448,105 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
 
   private def prunable(f: Filter): Boolean = GraftPrune.prunable(f)
 
-  override def build(): Scan = {
-    val kept = table.files.filter(f => pushed.forall(
-      GraftPrune.survives(table.snap, table.partitionCol, f, _)))
-    val scan = GraftScan(table, required, kept, pushed, rowLevel)
-    onBuild(scan)
-    scan
+  /** Answer `COUNT(*)` / integral `MIN`/`MAX` from the MANIFEST — zero
+    * file opens, zero tasks: every commit path threads exact per-file
+    * footer row counts (`rows:` segments) and min/max stats into the
+    * ledger, so the global aggregate is a driver-side fold over one
+    * already-parsed snapshot. Spark only attempts aggregate pushdown
+    * when NO filter remains above the scan (every filter here is a
+    * residual, so any WHERE disables this path — correct, since the
+    * manifest can bound but not filter rows). Declined — falling back
+    * to the ordinary distributed plan — unless every candidate file
+    * carries the needed metadata: `rows:` for COUNT(*) (pre-rows
+    * manifests), stats on the column for MIN/MAX. MIN/MAX is integral
+    * types only: parquet footer stats are exact there, while float
+    * NaN handling and string truncation make exactness writer-
+    * dependent — a pushed aggregate must be EXACT or not happen. */
+  private def aggFromManifest(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (rowLevel || agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val files = table.files
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        table.schema.fields.find(_.name == r.fieldNames.head)
+          .filter(f => f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == ShortType || f.dataType == ByteType)
+      case _ => None
+    }
+    def bound(col: String, wantMin: Boolean): Option[BigDecimal] = {
+      val per = files.map(f =>
+        table.snap.stats.getOrElse(f, Vector.empty).find(_.col == col))
+      if (per.isEmpty || per.exists(_.isEmpty)) None // untracked file → unknown
+      else {
+        val bs = per.flatten.map(st => if (wantMin) st.min else st.max)
+        if (bs.exists(!_.isInstanceOf[Bound.Num])) None
+        else Some(bs.map(_.asInstanceOf[Bound.Num].v)
+          .reduceLeft((a, b) => if (wantMin) a.min(b) else a.max(b)))
+      }
+    }
+    def box(v: BigDecimal, dt: DataType): Any = dt match {
+      case LongType    => Long.box(v.toLongExact)
+      case IntegerType => Int.box(v.toIntExact)
+      case ShortType   => Short.box(v.toShortExact)
+      case ByteType    => Byte.box(v.toByteExact)
+      case _           => throw new IllegalStateException(s"unreachable: $dt")
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (files.forall(table.snap.rows.contains))
+          Some((StructField("count(*)", LongType, nullable = false),
+            Long.box(files.map(table.snap.rows).sum)))
+        else None
+      case m: Min => fieldOf(m.column).flatMap(f =>
+        if (files.isEmpty) Some((StructField(s"min(${f.name})", f.dataType), null))
+        else bound(f.name, wantMin = true)
+          .map(v => (StructField(s"min(${f.name})", f.dataType), box(v, f.dataType))))
+      case m: Max => fieldOf(m.column).flatMap(f =>
+        if (files.isEmpty) Some((StructField(s"max(${f.name})", f.dataType), null))
+        else bound(f.name, wantMin = false)
+          .map(v => (StructField(s"max(${f.name})", f.dataType), box(v, f.dataType))))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None // ALL aggregates or none
+    else {
+      val cols = resolved.flatten
+      Some((StructType(cols.map(_._1)),
+        InternalRow.fromSeq(cols.map(_._2))))
+    }
   }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggFromManifest(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = aggFromManifest(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((out, row)) => GraftManifestAggScan(table.dir, out, row)
+    case None =>
+      val kept = table.files.filter(f => pushed.forall(
+        GraftPrune.survives(table.snap, table.partitionCol, f, _)))
+      val scan = GraftScan(table, required, kept, pushed, rowLevel)
+      onBuild(scan)
+      scan
+  }
+}
+
+/** A fully-pushed aggregate answered from the manifest: one driver-side
+  * row, no file opens, no tasks (plans as a local relation). */
+private[core] final case class GraftManifestAggScan(
+    dir: String, out: StructType, row: InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = out
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = s"GraftManifestAgg($dir, ${out.fieldNames.mkString(",")})"
 }
 
 /** The filter → file-survival rules, factored out of the builder so

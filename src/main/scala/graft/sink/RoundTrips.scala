@@ -1562,7 +1562,76 @@ object RoundTrips {
            WHERE doc_id >= m // 10 AND doc_id <= m // 5) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q165 — manifest-answered aggregates
+    * ([[graft.core.GraftScanBuilder]]'s aggregate pushdown): `SELECT
+    * count(*) / min / max` over a lake plans as a LOCAL relation — the
+    * answer folds out of the manifest's `rows:` segments and min/max
+    * stats, zero file opens, zero tasks. The reference's dashboard
+    * polls exactly these shapes (COUNT/MIN/MAX bookkeeping queries,
+    * `server/dashboard.py:126-176`); at 100 TB this is the difference
+    * between a metadata lookup and a full-lake scan. Legs: `agg` (the
+    * pushed aggregate row over the full lake), `agg_after_delete` (the
+    * same statement after a range DELETE — rewritten files re-derive
+    * exact counts, so the manifest answer tracks DML), `agg_where` (a
+    * filtered count, which must NOT push — the manifest can bound but
+    * not filter rows — and still be exact through the ordinary
+    * distributed plan). Invariants pin the plan shapes: pushed legs
+    * plan as LocalTableScan with no BatchScan; the filtered leg is the
+    * reverse. */
+  def qManifestAggRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_agg",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_agg_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"))
+    val t = s"graft_agg.`$lake`"
+    def planOf(q: String) = s.sql(q).queryExecution.executedPlan
+    def localPlan(q: String): Boolean = {
+      val p = planOf(q)
+      p.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.isEmpty && p.collectFirst {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.isDefined
+    }
+    val aggSql = s"SELECT count(*) AS n_docs, min(doc_id) AS lo, " +
+      s"max(doc_id) AS hi FROM $t"
+    val whereSql = s"SELECT count(*) AS n_docs, min(doc_id) AS lo, " +
+      s"max(doc_id) AS hi FROM $t WHERE doc_id > ${m / 2}"
+    val pushedOk = localPlan(aggSql) && !localPlan(whereSql)
+    val full = s.sql(aggSql).withColumn("leg_tag", lit("agg"))
+      .withColumn("invariant_ok", lit(pushedOk))
+    val filtered = s.sql(whereSql).withColumn("leg_tag", lit("agg_where"))
+      .withColumn("invariant_ok", lit(true))
+    graft.core.ManifestLake.deleteWhere(s, lake,
+      $"doc_id" >= m / 4 && $"doc_id" <= m / 2)
+    val afterOk = localPlan(aggSql)
+    val after = s.sql(aggSql).withColumn("leg_tag", lit("agg_after_delete"))
+      .withColumn("invariant_ok", lit(afterOk))
+    full.unionByName(after).unionByName(filtered)
+      .select($"leg_tag", $"n_docs", $"lo", $"hi", $"invariant_ok")
+      .orderBy($"leg_tag")
+  }
+
+  val qManifestAggRoundTripSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+       SELECT leg_tag, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS lo,
+         CAST(MAX(doc_id) AS BIGINT) AS hi, TRUE AS invariant_ok
+       FROM (
+         SELECT 'agg' AS leg_tag, doc_id FROM documents
+         UNION ALL
+         SELECT 'agg_after_delete', doc_id FROM documents, mx
+           WHERE NOT (doc_id >= m // 4 AND doc_id <= m // 2)
+         UNION ALL
+         SELECT 'agg_where', doc_id FROM documents, mx WHERE doc_id > m // 2) t
+       GROUP BY leg_tag ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_manifest_agg" -> qManifestAggRoundTrip,
     "q164_create_table" -> qCreateTableRoundTrip,
     "q163_restore" -> qRestoreRoundTrip,
     "q162_timestamp_travel" -> qTimestampTravelRoundTrip,
@@ -1589,6 +1658,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q165_manifest_agg" -> qManifestAggRoundTripSql,
     "q164_create_table" -> qCreateTableRoundTripSql,
     "q163_restore" -> qRestoreRoundTripSql,
     "q162_timestamp_travel" -> qTimestampTravelRoundTripSql,

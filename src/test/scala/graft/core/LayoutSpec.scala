@@ -2138,6 +2138,52 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("manifest agg pushdown: COUNT(*)/MIN/MAX answer from the manifest, zero file reads") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("maggpd").resolve("lake").toString
+    spark.range(0, 500)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 2).as("score"))
+      .repartitionByRange(5, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+
+    def plan(sql: String) = spark.sql(sql).queryExecution.executedPlan
+    def isLocal(sql: String): Boolean = {
+      val p = plan(sql)
+      p.collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.isEmpty &&
+        p.collectFirst { case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined
+    }
+    val q = s"SELECT count(*), min(doc_id), max(doc_id) FROM graft.`$dir`"
+    assert(isLocal(q), s"expected a manifest-answered local plan:\n${plan(q)}")
+    assert(spark.sql(q).head() == org.apache.spark.sql.Row(500L, 0L, 499L))
+
+    // stays exact through EVERY commit kind (each re-derives rows/stats)
+    ManifestLake.merge(spark, dir,
+      spark.range(495, 510).select($"id".as("doc_id"), lit("p0").as("source"),
+        lit(-1L).as("score")), Seq("doc_id"))
+    assert(spark.sql(q).head() == org.apache.spark.sql.Row(510L, 0L, 509L))
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 10)
+    assert(spark.sql(q).head() == org.apache.spark.sql.Row(500L, 10L, 509L))
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 10000)
+    assert(isLocal(q))
+    assert(spark.sql(q).head() == org.apache.spark.sql.Row(500L, 10L, 509L))
+
+    // declines — ordinary distributed plan, same answers — when the
+    // manifest can't be exact: a WHERE (rows must filter), an
+    // untracked column, a non-integral type, a grouped aggregate
+    assert(!isLocal(s"SELECT count(*) FROM graft.`$dir` WHERE doc_id > 100"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE doc_id > 100")
+      .head().getLong(0) == 409)
+    assert(!isLocal(s"SELECT min(score) FROM graft.`$dir`"))
+    assert(!isLocal(s"SELECT source, count(*) FROM graft.`$dir` GROUP BY source"))
+    // count alone and min/max alone push too
+    assert(isLocal(s"SELECT count(*) FROM graft.`$dir`"))
+    assert(isLocal(s"SELECT max(doc_id) FROM graft.`$dir`"))
+    // time travel answers from the travelled manifest
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 1")
+      .head().getLong(0) == 500)
+  }
+
   test("manifest lake: EVERY commit path carries rows: for every live file") {
     // COUNT(*) must be answerable from the manifest alone no matter
     // which operation last rewrote a file: append, merge, delete,
