@@ -431,7 +431,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
-  private var pushedAgg: Option[(StructType, InternalRow)] = None
+  private var pushedAgg: Option[(StructType, Array[InternalRow])] = None
 
   /** A filter is usable for manifest pruning when it constrains ONE
     * column with comparable literal bounds. Everything is returned as
@@ -463,20 +463,47 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     * NaN handling and string truncation make exactness writer-
     * dependent — a pushed aggregate must be EXACT or not happen. */
   private def aggFromManifest(agg: org.apache.spark.sql.connector.expressions
-      .aggregate.Aggregation): Option[(StructType, InternalRow)] = {
+      .aggregate.Aggregation): Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (rowLevel || agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
-    val files = table.files
-    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[StructField] = e match {
+    if (rowLevel || pushed.nonEmpty) return None
+    def named(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
-          if r.fieldNames.length == 1 =>
-        table.schema.fields.find(_.name == r.fieldNames.head)
-          .filter(f => f.dataType == LongType || f.dataType == IntegerType ||
-            f.dataType == ShortType || f.dataType == ByteType)
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
       case _ => None
     }
-    def bound(col: String, wantMin: Boolean): Option[BigDecimal] = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] =
+      named(e).flatMap(n => table.schema.fields.find(_.name == n))
+        .filter(f => f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == ByteType)
+    // groups: the whole lake, or one group per PARTITION DIRECTORY when
+    // the GROUP BY is exactly the (string) partition column — file
+    // paths carry the group key, so the fold stays manifest-only. The
+    // null-partition sentinel presents as the logical null group,
+    // matching every data read.
+    val grouping: Option[Seq[(Any, Vector[String])]] =
+      agg.groupByExpressions.toSeq match {
+        case Seq() => Some(Seq((None, table.files)))
+        case Seq(g) =>
+          named(g).filter(n => table.partitionCol.contains(n) &&
+              table.schema.fields.exists(f =>
+                f.name == n && f.dataType == StringType))
+            .map { _ =>
+              table.files.groupBy(_.takeWhile(_ != '/')).toSeq
+                .map { case (pdir, fs) =>
+                  val raw = GraftLake.unescapePartitionValue(
+                    pdir.dropWhile(_ != '=').drop(1))
+                  val k: Any =
+                    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                    else org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+                  (k, fs)
+                }
+            }
+        case _ => None
+      }
+    def bound(files: Vector[String], col: String, wantMin: Boolean)
+        : Option[BigDecimal] = {
       val per = files.map(f =>
         table.snap.stats.getOrElse(f, Vector.empty).find(_.col == col))
       if (per.isEmpty || per.exists(_.isEmpty)) None // untracked file → unknown
@@ -494,27 +521,44 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
       case ByteType    => Byte.box(v.toByteExact)
       case _           => throw new IllegalStateException(s"unreachable: $dt")
     }
-    val resolved = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        if (files.forall(table.snap.rows.contains))
-          Some((StructField("count(*)", LongType, nullable = false),
-            Long.box(files.map(table.snap.rows).sum)))
-        else None
-      case m: Min => fieldOf(m.column).flatMap(f =>
-        if (files.isEmpty) Some((StructField(s"min(${f.name})", f.dataType), null))
-        else bound(f.name, wantMin = true)
-          .map(v => (StructField(s"min(${f.name})", f.dataType), box(v, f.dataType))))
-      case m: Max => fieldOf(m.column).flatMap(f =>
-        if (files.isEmpty) Some((StructField(s"max(${f.name})", f.dataType), null))
-        else bound(f.name, wantMin = false)
-          .map(v => (StructField(s"max(${f.name})", f.dataType), box(v, f.dataType))))
-      case _ => None
-    }
-    if (resolved.exists(_.isEmpty)) None // ALL aggregates or none
-    else {
-      val cols = resolved.flatten
-      Some((StructType(cols.map(_._1)),
-        InternalRow.fromSeq(cols.map(_._2))))
+    grouping.flatMap { groups =>
+      // the pushed scan's schema is GROUP columns first, then aggregate
+      // results — the order V2ScanRelationPushDown rebinds against
+      val groupFields = agg.groupByExpressions.toSeq.flatMap(named)
+        .map(n => table.schema.fields.find(_.name == n).get)
+      val perGroup = groups.map { case (key, files) =>
+        val resolved = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            if (files.forall(table.snap.rows.contains))
+              Some((StructField("count(*)", LongType, nullable = false),
+                Long.box(files.map(table.snap.rows).sum)))
+            else None
+          case m: Min => fieldOf(m.column).flatMap(f =>
+            if (files.isEmpty) Some((StructField(s"min(${f.name})", f.dataType), null))
+            else bound(files, f.name, wantMin = true)
+              .map(v => (StructField(s"min(${f.name})", f.dataType), box(v, f.dataType))))
+          case m: Max => fieldOf(m.column).flatMap(f =>
+            if (files.isEmpty) Some((StructField(s"max(${f.name})", f.dataType), null))
+            else bound(files, f.name, wantMin = false)
+              .map(v => (StructField(s"max(${f.name})", f.dataType), box(v, f.dataType))))
+          case _ => None
+        }
+        if (resolved.exists(_.isEmpty)) None // ALL aggregates or none
+        else Some((key, resolved.flatten))
+      }
+      if (perGroup.exists(_.isEmpty)) None
+      else {
+        val rowsOut = perGroup.flatten
+        val aggFields = rowsOut.headOption.map(_._2.map(_._1))
+          .getOrElse(agg.aggregateExpressions.toSeq.map(_ =>
+            StructField("count(*)", LongType, nullable = false)))
+        val schema = StructType(groupFields ++ aggFields)
+        val rows = rowsOut.map { case (key, cols) =>
+          InternalRow.fromSeq((if (groupFields.isEmpty) Nil else Seq(key)) ++
+            cols.map(_._2))
+        }.toArray
+        Some((schema, rows))
+      }
     }
   }
 
@@ -529,7 +573,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some((out, row)) => GraftManifestAggScan(table.dir, out, row)
+    case Some((out, rows)) => GraftManifestAggScan(table.dir, out, rows)
     case None =>
       val kept = table.files.filter(f => pushed.forall(
         GraftPrune.survives(table.snap, table.partitionCol, f, _)))
@@ -539,13 +583,14 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
   }
 }
 
-/** A fully-pushed aggregate answered from the manifest: one driver-side
-  * row, no file opens, no tasks (plans as a local relation). */
+/** A fully-pushed aggregate answered from the manifest: driver-side
+  * rows (one per group), no file opens, no tasks (plans as a local
+  * relation). */
 private[core] final case class GraftManifestAggScan(
-    dir: String, out: StructType, row: InternalRow)
+    dir: String, out: StructType, groupRows: Array[InternalRow])
     extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = out
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = groupRows
   override def description(): String = s"GraftManifestAgg($dir, ${out.fieldNames.mkString(",")})"
 }
 

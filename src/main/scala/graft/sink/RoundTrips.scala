@@ -1589,14 +1589,18 @@ object RoundTrips {
       docs.repartitionByRange(8, $"doc_id"), "source",
       statsCols = Seq("doc_id"))
     val t = s"graft_agg.`$lake`"
-    def planOf(q: String) = s.sql(q).queryExecution.executedPlan
+    // flatten through AQE wrappers (collect() does not descend into
+    // AdaptiveSparkPlanExec's hidden child)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.inputPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
     def localPlan(q: String): Boolean = {
-      val p = planOf(q)
-      p.collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.isEmpty && p.collectFirst {
-        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
-      }.isDefined
+      val ns = nodes(s.sql(q).queryExecution.executedPlan)
+      !ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]) &&
+        ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
     }
     val aggSql = s"SELECT count(*) AS n_docs, min(doc_id) AS lo, " +
       s"max(doc_id) AS hi FROM $t"
@@ -1607,12 +1611,19 @@ object RoundTrips {
       .withColumn("invariant_ok", lit(pushedOk))
     val filtered = s.sql(whereSql).withColumn("leg_tag", lit("agg_where"))
       .withColumn("invariant_ok", lit(true))
+    // the dashboard's histogram shape: GROUP BY the partition column
+    // still answers per partition directory from the manifest alone
+    val bySrcSql = s"SELECT source, count(*) AS n_docs, min(doc_id) AS lo, " +
+      s"max(doc_id) AS hi FROM $t GROUP BY source"
+    val bySrc = s.sql(bySrcSql)
+      .withColumn("leg_tag", concat(lit("by_"), $"source")).drop("source")
+      .withColumn("invariant_ok", lit(localPlan(bySrcSql)))
     graft.core.ManifestLake.deleteWhere(s, lake,
       $"doc_id" >= m / 4 && $"doc_id" <= m / 2)
     val afterOk = localPlan(aggSql)
     val after = s.sql(aggSql).withColumn("leg_tag", lit("agg_after_delete"))
       .withColumn("invariant_ok", lit(afterOk))
-    full.unionByName(after).unionByName(filtered)
+    full.unionByName(after).unionByName(filtered).unionByName(bySrc)
       .select($"leg_tag", $"n_docs", $"lo", $"hi", $"invariant_ok")
       .orderBy($"leg_tag")
   }
@@ -1627,7 +1638,9 @@ object RoundTrips {
          SELECT 'agg_after_delete', doc_id FROM documents, mx
            WHERE NOT (doc_id >= m // 4 AND doc_id <= m // 2)
          UNION ALL
-         SELECT 'agg_where', doc_id FROM documents, mx WHERE doc_id > m // 2) t
+         SELECT 'agg_where', doc_id FROM documents, mx WHERE doc_id > m // 2
+         UNION ALL
+         SELECT 'by_' || source, doc_id FROM documents) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

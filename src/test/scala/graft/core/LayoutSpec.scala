@@ -2148,10 +2148,18 @@ class LayoutSpec extends SparkSpec {
       .option("statsCols", "doc_id").mode("append").save(dir)
 
     def plan(sql: String) = spark.sql(sql).queryExecution.executedPlan
+    // flatten through AQE wrappers (collect() does not descend into
+    // AdaptiveSparkPlanExec's hidden child)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.inputPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
     def isLocal(sql: String): Boolean = {
-      val p = plan(sql)
-      p.collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.isEmpty &&
-        p.collectFirst { case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined
+      val ns = nodes(plan(sql))
+      !ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]) &&
+        ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
     }
     val q = s"SELECT count(*), min(doc_id), max(doc_id) FROM graft.`$dir`"
     assert(isLocal(q), s"expected a manifest-answered local plan:\n${plan(q)}")
@@ -2175,13 +2183,29 @@ class LayoutSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE doc_id > 100")
       .head().getLong(0) == 409)
     assert(!isLocal(s"SELECT min(score) FROM graft.`$dir`"))
-    assert(!isLocal(s"SELECT source, count(*) FROM graft.`$dir` GROUP BY source"))
     // count alone and min/max alone push too
     assert(isLocal(s"SELECT count(*) FROM graft.`$dir`"))
     assert(isLocal(s"SELECT max(doc_id) FROM graft.`$dir`"))
     // time travel answers from the travelled manifest
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 1")
       .head().getLong(0) == 500)
+
+    // GROUP BY the partition column answers per PARTITION DIRECTORY —
+    // the dashboard's status-histogram shape, still zero file reads
+    val dir2 = Files.createTempDirectory("maggpd2").resolve("lake").toString
+    spark.range(0, 300)
+      .select($"id".as("doc_id"), concat(lit("s"), pmod($"id", lit(3))).as("source"),
+        ($"id" * 2).as("score"))
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir2)
+    val gq = s"SELECT source, count(*) AS n, min(doc_id) AS lo " +
+      s"FROM graft.`$dir2` GROUP BY source ORDER BY source"
+    assert(isLocal(gq), s"grouped-by-partition agg must stay manifest-only:\n${plan(gq)}")
+    val got = spark.sql(gq).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("s0", 100L, 0L), ("s1", 100L, 1L), ("s2", 100L, 2L)), got.toString)
+    // grouping by a NON-partition column declines to the ordinary plan
+    assert(!isLocal(s"SELECT doc_id % 2, count(*) FROM graft.`$dir2` GROUP BY 1"))
   }
 
   test("manifest lake: EVERY commit path carries rows: for every live file") {
