@@ -721,7 +721,15 @@ private[graft] final case class GraftScan(
         }
         java.util.OptionalLong.of(sum)
       }
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      /** Exact row count of the pruned read when every kept file
+        * carries a manifest `rows:` segment (all post-rows commits do)
+        * — row-level precision for join sizing/AQE on top of the byte
+        * size; empty (unknown) if any file predates the rows refactor,
+        * never a guess. */
+      override def numRows(): java.util.OptionalLong =
+        if (runtimeKept.forall(table.snap.rows.contains))
+          java.util.OptionalLong.of(runtimeKept.map(table.snap.rows).sum)
+        else java.util.OptionalLong.empty()
     }
 
   /** Runtime (join-driven) file pruning — dynamic partition pruning's
