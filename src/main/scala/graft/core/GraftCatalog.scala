@@ -29,6 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.restore(path => '/data/lake', version => 3) -- roll back, history intact
   *   SELECT * FROM graft.`/data/lake$history`              -- commit log as a relation
   *   SELECT * FROM graft.`/data/lake$files`                -- per-file skipping stats
+  *   SELECT * FROM graft.`/data/lake$partitions`           -- per-partition file/row census
   * }}}
   *
   * The catalog only RESOLVES (identifier → [[GraftLakeTable]], reusing

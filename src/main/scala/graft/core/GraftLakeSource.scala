@@ -426,12 +426,30 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import ManifestLake.Bound
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.schema
   private var pushedAgg: Option[(StructType, Array[InternalRow])] = None
+  private var limit: Option[Int] = None
+
+  /** `LIMIT n` bounds the FILE LIST, not just the rows: with per-file
+    * row counts in the manifest, the scan keeps only a prefix of files
+    * whose counts already cover n — `SELECT * FROM lake LIMIT 10`
+    * opens one file of a million-file lake instead of planning every
+    * split and cancelling. Always PARTIAL (Spark still applies the
+    * row-exact limit above the scan; we only shrink what gets
+    * planned), and only when every candidate file's count is known —
+    * with a residual filter rows may not qualify, so the file prefix
+    * is chosen AFTER static pruning and only bounds files when no
+    * filter remains (a filtered row could hide anywhere). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** A filter is usable for manifest pruning when it constrains ONE
     * column with comparable literal bounds. Everything is returned as
@@ -575,8 +593,22 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
   override def build(): Scan = pushedAgg match {
     case Some((out, rows)) => GraftManifestAggScan(table.dir, out, rows)
     case None =>
-      val kept = table.files.filter(f => pushed.forall(
+      val pruned = table.files.filter(f => pushed.forall(
         GraftPrune.survives(table.snap, table.partitionCol, f, _)))
+      // LIMIT file-prefix trim — only when no filter can disqualify
+      // rows and every file's count is known (see pushLimit)
+      val kept = limit match {
+        case Some(n) if pushed.isEmpty && !rowLevel &&
+            pruned.forall(table.snap.rows.contains) =>
+          var acc = 0L
+          val b = Vector.newBuilder[String]
+          val it = pruned.iterator
+          while (acc < n && it.hasNext) {
+            val f = it.next(); b += f; acc += table.snap.rows(f)
+          }
+          b.result()
+        case _ => pruned
+      }
       val scan = GraftScan(table, required, kept, pushed, rowLevel)
       onBuild(scan)
       scan

@@ -41,17 +41,21 @@ import org.apache.spark.unsafe.types.UTF8String
 private[core] object GraftMetadata {
   val HistorySuffix = "$history"
   val FilesSuffix   = "$files"
+  val PartitionsSuffix = "$partitions"
 
   sealed abstract class Kind
   case object History extends Kind
   case object FilesMeta extends Kind
+  case object PartitionsMeta extends Kind
 
   /** Split a catalog identifier name into (lake dir, metadata kind) if
     * it carries a reserved suffix. A real directory whose name ends in
     * the suffix is shadowed — the suffixes are reserved names in this
     * catalog, exactly as in Delta's `@v`/Iceberg's `.history`. */
   def parse(name: String): Option[(String, Kind)] =
-    if (name.endsWith(HistorySuffix))
+    if (name.endsWith(PartitionsSuffix))
+      Some((name.dropRight(PartitionsSuffix.length), PartitionsMeta))
+    else if (name.endsWith(HistorySuffix))
       Some((name.dropRight(HistorySuffix.length), History))
     else if (name.endsWith(FilesSuffix))
       Some((name.dropRight(FilesSuffix.length), FilesMeta))
@@ -77,6 +81,16 @@ private[core] object GraftMetadata {
     // exact footer row count from the manifest's rows: segment (every
     // commit path threads it) — COUNT(*) and file-size census answer
     // from this relation alone; null only for pre-rows manifests
+    StructField("rows", LongType, nullable = true)))
+
+  /** `$partitions` — Iceberg's `partitions` analogue: one row per
+    * partition directory with its file census and exact row count
+    * (null if any of the partition's files predates row tracking).
+    * The operational "is this partition fragmented / how big is it"
+    * question as one manifest parse. */
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = true)))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -135,6 +149,26 @@ private[core] object GraftMetadata {
           nRows))
     }.toArray
   }
+
+  def partitionsRows(dir: String, versionAsOf: Option[Long]): Array[InternalRow] = {
+    val snap = versionAsOf match {
+      case Some(v) => ManifestLake.snapshotAt(dir, v).getOrElse(
+        throw new IllegalStateException(s"manifest v$v of $dir is missing"))
+      case None => ManifestLake.latestSnapshot(dir).getOrElse(
+        throw new IllegalStateException(s"no committed manifest in $dir"))
+    }
+    snap.files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (pdir, fs) =>
+        val raw = GraftLake.unescapePartitionValue(
+          pdir.dropWhile(_ != '=').drop(1))
+        val partition: Any =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null else utf8(raw)
+        val rows: Any =
+          if (fs.forall(snap.rows.contains)) Long.box(fs.map(snap.rows).sum)
+          else null
+        InternalRow(partition, fs.length, rows)
+      }.toArray
+  }
 }
 
 /** One resolved metadata table. Rows are computed lazily at scan build
@@ -147,15 +181,17 @@ private[core] final case class GraftMetadataTable(
 
   override def name(): String = {
     val suffix = kind match {
-      case GraftMetadata.History   => GraftMetadata.HistorySuffix
-      case GraftMetadata.FilesMeta => GraftMetadata.FilesSuffix
+      case GraftMetadata.History        => GraftMetadata.HistorySuffix
+      case GraftMetadata.FilesMeta      => GraftMetadata.FilesSuffix
+      case GraftMetadata.PartitionsMeta => GraftMetadata.PartitionsSuffix
     }
     s"graft_meta_$dir$suffix"
   }
 
   override val schema: StructType = kind match {
-    case GraftMetadata.History   => GraftMetadata.historySchema
-    case GraftMetadata.FilesMeta => GraftMetadata.filesSchema
+    case GraftMetadata.History        => GraftMetadata.historySchema
+    case GraftMetadata.FilesMeta      => GraftMetadata.filesSchema
+    case GraftMetadata.PartitionsMeta => GraftMetadata.partitionsSchema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -166,8 +202,10 @@ private[core] final case class GraftMetadataTable(
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[InternalRow] = kind match {
-          case GraftMetadata.History   => GraftMetadata.historyRows(dir)
-          case GraftMetadata.FilesMeta => GraftMetadata.filesRows(dir, versionAsOf)
+          case GraftMetadata.History        => GraftMetadata.historyRows(dir)
+          case GraftMetadata.FilesMeta      => GraftMetadata.filesRows(dir, versionAsOf)
+          case GraftMetadata.PartitionsMeta =>
+            GraftMetadata.partitionsRows(dir, versionAsOf)
         }
         override def description(): String = name()
       }

@@ -2208,6 +2208,61 @@ class LayoutSpec extends SparkSpec {
     assert(!isLocal(s"SELECT doc_id % 2, count(*) FROM graft.`$dir2` GROUP BY 1"))
   }
 
+  test("$partitions metadata table: per-partition file/row census off one manifest parse") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mparts").resolve("lake").toString
+    spark.range(0, 300)
+      .select($"id".as("doc_id"), concat(lit("s"), pmod($"id", lit(3))).as("source"))
+      .write.format("graft").option("partitionCol", "source").mode("append").save(dir)
+    val got = spark.sql(s"SELECT * FROM graft.`$dir$$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq("s0", "s1", "s2"))
+    assert(got.map(_._2) == Seq(100L, 100L, 100L), got.toString)
+    // a delete re-derives the census; VERSION AS OF reads the old one
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 30) // 10 per source
+    val after = spark.sql(s"SELECT partition, rows FROM graft.`$dir$$partitions` " +
+      "ORDER BY partition").collect().map(_.getLong(1)).toSeq
+    assert(after == Seq(90L, 90L, 90L), after.toString)
+    val v1 = spark.sql(s"SELECT partition, rows FROM graft.`$dir$$partitions` " +
+      "VERSION AS OF 1 ORDER BY partition").collect().map(_.getLong(1)).toSeq
+    assert(v1 == Seq(100L, 100L, 100L), v1.toString)
+  }
+
+  test("manifest limit pushdown: LIMIT n opens a row-covering file prefix, not the lake") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mlimit").resolve("lake").toString
+    spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit("p0").as("source"), ($"id" * 2).as("score"))
+      .repartitionByRange(10, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id").mode("append").save(dir)
+    def scanOf(sql: String): GraftScan = {
+      val p = spark.sql(sql).queryExecution.executedPlan
+      p.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[GraftScan]
+      }.getOrElse(fail(s"no BatchScanExec in:\n$p"))
+    }
+    // 10 files of 100 rows: LIMIT 10 needs one file, LIMIT 250 three
+    assert(scanOf(s"SELECT * FROM graft.`$dir` LIMIT 10").effectiveFiles.length == 1)
+    assert(scanOf(s"SELECT * FROM graft.`$dir` LIMIT 250").effectiveFiles.length == 3)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` LIMIT 250").count() == 250)
+    assert(spark.sql(s"SELECT count(DISTINCT doc_id) FROM graft.`$dir` LIMIT 10")
+      .head().getLong(0) == 1000, "LIMIT above an agg must not trim the scan")
+    // a residual WHERE disables the trim — a qualifying row could
+    // hide in any file
+    val filtered = scanOf(s"SELECT * FROM graft.`$dir` WHERE score > 1900 LIMIT 5")
+    assert(filtered.effectiveFiles.length == 10,
+      s"filtered LIMIT must scan all candidates: ${filtered.effectiveFiles.length}")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE score > 1900 LIMIT 5")
+      .count() == 5)
+    // ORDER BY ... LIMIT is a top-k, never a file trim
+    assert(scanOf(s"SELECT * FROM graft.`$dir` ORDER BY score DESC LIMIT 5")
+      .effectiveFiles.length == 10)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` ORDER BY score DESC LIMIT 5")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+  }
+
   test("manifest lake: EVERY commit path carries rows: for every live file") {
     // COUNT(*) must be answerable from the manifest alone no matter
     // which operation last rewrote a file: append, merge, delete,
