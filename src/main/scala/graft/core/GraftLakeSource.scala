@@ -427,7 +427,8 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import ManifestLake.Bound
 
   private var pushed: Array[Filter] = Array.empty
@@ -450,6 +451,93 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** `ORDER BY col LIMIT k` ("latest events", "smallest ids") keeps
+    * only the files that can possibly hold a top-k row — sound because
+    * the manifest knows, per file, the column's min/max, its EXACT
+    * null count, and the row count:
+    *
+    *  - ASC (k smallest): accumulate files by ascending max until their
+    *    NON-NULL rows cover k; that last max is an upper bound U on the
+    *    k-th smallest value, so files with min > U can't contribute.
+    *    DESC is the mirror (lower bound L off descending mins).
+    *  - NULLS FIRST: nulls sort ahead of every value. If the lake's
+    *    total null count covers k, any files covering k nulls suffice
+    *    (fewest-files-first greedy). Otherwise EVERY null row is in the
+    *    answer — keep all files holding one — and the value rule fills
+    *    the remainder. NULLS LAST with more rows wanted than non-null
+    *    values keeps everything (rare; correct beats clever).
+    *
+    * Declined unless: single sort key, integral tracked column, every
+    * candidate file has stats WITH a null count and a row count, no
+    * residual filter, batch (non-DML) scan. Partial pushdown always —
+    * the engine's own sort+limit runs above; this only shrinks the
+    * planned file set. */
+  private var topNKept: Option[Vector[String]] = None
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{SortDirection, NullOrdering}
+    topNKept = None
+    if (rowLevel || pushed.nonEmpty || orders.length != 1 || n <= 0) return false
+    val order = orders.head
+    val colName = order.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return false
+    }
+    val integral = table.schema.fields.exists(f => f.name == colName &&
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType))
+    if (!integral) return false
+    val files = table.files
+    final case class Meta(file: String, min: BigDecimal, max: BigDecimal,
+                          nulls: Long, rows: Long) {
+      def nonNull: Long = rows - nulls
+    }
+    val metas = files.map { f =>
+      for {
+        rows <- table.snap.rows.get(f)
+        st <- table.snap.stats.getOrElse(f, Vector.empty).find(_.col == colName)
+        nulls <- st.nulls
+        mn <- Some(st.min).collect { case Bound.Num(v) => v }
+        mx <- Some(st.max).collect { case Bound.Num(v) => v }
+      } yield Meta(f, mn, mx, nulls, rows)
+    }
+    if (metas.exists(_.isEmpty)) return false // any unknown file → decline
+    val ms = metas.flatten
+    val asc = order.direction() == SortDirection.ASCENDING
+    val nullsFirst = order.nullOrdering() == NullOrdering.NULLS_FIRST
+    val totalNulls = ms.map(_.nulls).sum
+    val totalNonNull = ms.map(_.nonNull).sum
+    // the value-rule: files that can hold one of the k' extreme values
+    def valueKeep(k: Long): Set[String] = {
+      if (k <= 0) return Set.empty
+      if (totalNonNull <= k) return ms.map(_.file).toSet
+      val ordered = if (asc) ms.sortBy(_.max) else ms.sortBy(_.min)(Ordering[BigDecimal].reverse)
+      var acc = 0L; var i = 0
+      while (acc < k && i < ordered.length) { acc += ordered(i).nonNull; i += 1 }
+      val cut = ordered(i - 1)
+      if (asc) ms.filter(_.min <= cut.max).map(_.file).toSet
+      else ms.filter(_.max >= cut.min).map(_.file).toSet
+    }
+    val keep: Set[String] =
+      if (nullsFirst) {
+        if (totalNulls >= n) {
+          // any n null rows answer — cover them with the null-richest files
+          val byNulls = ms.filter(_.nulls > 0)
+            .sortBy(_.nulls)(Ordering[Long].reverse)
+          var acc = 0L
+          byNulls.takeWhile { m => val more = acc < n; acc += m.nulls; more }
+            .map(_.file).toSet
+        } else
+          ms.filter(_.nulls > 0).map(_.file).toSet ++ valueKeep(n - totalNulls)
+      } else {
+        if (totalNonNull >= n) valueKeep(n)
+        else ms.map(_.file).toSet // needs null rows too — keep all (rare)
+      }
+    topNKept = Some(files.filter(keep.contains))
+    true
+  }
 
   /** A filter is usable for manifest pruning when it constrains ONE
     * column with comparable literal bounds. Everything is returned as
@@ -597,17 +685,20 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
         GraftPrune.survives(table.snap, table.partitionCol, f, _)))
       // LIMIT file-prefix trim — only when no filter can disqualify
       // rows and every file's count is known (see pushLimit)
-      val kept = limit match {
-        case Some(n) if pushed.isEmpty && !rowLevel &&
-            pruned.forall(table.snap.rows.contains) =>
-          var acc = 0L
-          val b = Vector.newBuilder[String]
-          val it = pruned.iterator
-          while (acc < n && it.hasNext) {
-            val f = it.next(); b += f; acc += table.snap.rows(f)
-          }
-          b.result()
-        case _ => pruned
+      val kept = topNKept match {
+        case Some(tk) => tk
+        case None => limit match {
+          case Some(n) if pushed.isEmpty && !rowLevel &&
+              pruned.forall(table.snap.rows.contains) =>
+            var acc = 0L
+            val b = Vector.newBuilder[String]
+            val it = pruned.iterator
+            while (acc < n && it.hasNext) {
+              val f = it.next(); b += f; acc += table.snap.rows(f)
+            }
+            b.result()
+          case _ => pruned
+        }
       }
       val scan = GraftScan(table, required, kept, pushed, rowLevel)
       onBuild(scan)

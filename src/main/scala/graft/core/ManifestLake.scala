@@ -161,7 +161,15 @@ object ManifestLake {
     * the difference between a point lookup opening K clustered files
     * and opening every file in the lake to ask its footer the same
     * question: the manifest answers before any file is touched. */
-  final case class FileStats(col: String, min: Bound, max: Bound) {
+  /** `nulls` is the column's exact null count in the file (from the
+    * footer's per-row-group numNulls, present only when EVERY row
+    * group reports it) — what makes ORDER-BY-LIMIT file skipping
+    * SOUND: min/max ignore nulls, and NULLS FIRST/LAST placement can't
+    * be reasoned about without knowing how many there are. None (old
+    * manifests, writers that omit numNulls) simply disables the
+    * optimizations that need it. */
+  final case class FileStats(col: String, min: Bound, max: Bound,
+                             nulls: Option[Long] = None) {
     def overlaps(lo: Bound, hi: Bound): Boolean =
       Bound.cmp(max, lo).forall(_ >= 0) && Bound.cmp(min, hi).forall(_ <= 0)
     // string bounds ride base64'd (they may contain the ':' / tab
@@ -179,9 +187,9 @@ object ManifestLake {
         s"stats column name '$col' contains a manifest separator — " +
           "rename or alias it before tracking")
       val lastSeg = col.substring(col.lastIndexOf(':') + 1)
-      require(lastSeg != "bf" && lastSeg != "s64",
+      require(lastSeg != "bf" && lastSeg != "s64" && lastSeg != "nn",
         s"stats column name '$col' ends in a reserved manifest marker " +
-          "component (':bf' / ':s64') — rename or alias it before tracking")
+          "component (':bf' / ':s64' / ':nn') — rename or alias it before tracking")
     }
     def encoded: String = { requireEncodableCol(); (min, max) match {
       case (Bound.Str(mn), Bound.Str(mx)) =>
@@ -191,6 +199,10 @@ object ManifestLake {
       case (Bound.Num(mn), Bound.Num(mx)) => s"$col:$mn:$mx"
       case other => throw new IllegalStateException(s"mixed-kind stats: $other")
     } }
+    /** The null count rides as its own `col:nn:<n>` segment so pre-nn
+      * parsers (and manifests) stay byte-compatible. */
+    def encodedNulls: Option[String] =
+      { requireEncodableCol(); nulls.map(n => s"$col:nn:$n") }
   }
 
   /** Per-file Bloom filter over one column — the POINT-LOOKUP half of
@@ -406,6 +418,7 @@ object ManifestLake {
       val sts = Vector.newBuilder[FileStats]
       val bfs = Vector.newBuilder[FileBloom]
       var nRows: Option[Long] = None
+      val nullsByCol = scala.collection.mutable.HashMap.empty[String, Long]
       segs.drop(1).foreach { seg =>
         val parts = seg.split(':')
         // "rows:<n>" (exactly 2 parts) is unambiguous: stats segments
@@ -425,12 +438,21 @@ object ManifestLake {
             java.nio.charset.StandardCharsets.UTF_8)
           sts += FileStats(parts.dropRight(3).mkString(":"),
             Bound.Str(dec(parts(parts.length - 2))), Bound.Str(dec(parts.last)))
+        } else if (parts.length >= 3 && parts(parts.length - 2) == "nn" &&
+            parts.last.nonEmpty && parts.last.forall(_.isDigit)) {
+          // "col:nn:<count>" = the column's null count (checked AFTER
+          // bf/s64, whose markers sit one position left — a genuine
+          // bloom/string segment can never reach this branch; a
+          // numeric stats segment can't either, its min is a decimal)
+          nullsByCol(parts.dropRight(2).mkString(":")) = parts.last.toLong
         } else
           sts += FileStats(parts.dropRight(2).mkString(":"),
             Bound.Num(BigDecimal(parts(parts.length - 2))),
             Bound.Num(BigDecimal(parts.last)))
       }
-      (segs.head, sts.result(), bfs.result(), nRows)
+      val stsWithNulls = sts.result().map(st =>
+        nullsByCol.get(st.col).fold(st)(n => st.copy(nulls = Some(n))))
+      (segs.head, stsWithNulls, bfs.result(), nRows)
     }
     Snapshot(v, parsed.map(_._1),
       txns, parsed.collect { case (p, sts, _, _) if sts.nonEmpty => p -> sts }.toMap,
@@ -461,6 +483,7 @@ object ManifestLake {
     val fileLines = files.sorted.map { f =>
       val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
         stats.get(f).toVector.flatten.map(_.encoded) ++
+        stats.get(f).toVector.flatten.flatMap(_.encodedNulls) ++
         blooms.get(f).toVector.flatten.map(_.encoded)
       if (segs.isEmpty) f else (f +: segs).mkString("\t")
     }
@@ -656,15 +679,24 @@ object ManifestLake {
               if (st == null || !st.hasNonNullValue) None
               else for (mn <- toBound(st.genericGetMin, isString);
                         mx <- toBound(st.genericGetMax, isString))
-                yield (mn, mx)
+                yield (mn, mx,
+                  // exact per-block null count, when the writer set it
+                  if (st.isNumNullsSet) Some(st.getNumNulls) else None)
             }
         }
         if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
         else {
           val bounds = perBlock.flatten
+          // the file-level null count is only exact if EVERY row group
+          // reports one — a partial sum would understate and make
+          // ORDER-BY-LIMIT skipping unsound
+          val nulls =
+            if (bounds.forall(_._3.isDefined)) Some(bounds.flatMap(_._3).sum)
+            else None
           Some(FileStats(col,
             bounds.map(_._1).reduceLeft(Bound.min),
-            bounds.map(_._2).reduceLeft(Bound.max)))
+            bounds.map(_._2).reduceLeft(Bound.max),
+            nulls))
         }
       }
       (sts, blocks.map(_.getRowCount).sum)

@@ -1643,7 +1643,87 @@ object RoundTrips {
          SELECT 'by_' || source, doc_id FROM documents) t
        GROUP BY leg_tag ORDER BY leg_tag"""
 
+  /** q166 — manifest top-k/limit file skipping
+    * ([[graft.core.GraftScanBuilder]]'s TopN and LIMIT pushdowns):
+    * `ORDER BY doc_id LIMIT k` over a clustered lake opens only the
+    * files whose [min,max,null-count,row-count] admit a top-k row —
+    * the "latest/smallest k" pattern that at 100 TB decides between
+    * opening two files and opening the lake. Legs: `asc`/`desc`
+    * (k smallest / k largest doc_ids, values oracled), `peek` (a bare
+    * LIMIT file-prefix read, count-only semantics so only its
+    * cardinality is pinned). Invariants: each pushed leg's planned
+    * file set is a strict subset of the lake (asc/desc additionally
+    * minimal: ≤ ceil(k/rows-per-file)+1), and the bare-LIMIT leg's
+    * file prefix covers exactly its row target. */
+  def qTopKRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_topk",
+      classOf[graft.core.GraftCatalog].getName)
+    val lake = freshDir("graft_topk_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartitionByRange(8, $"doc_id"), "source",
+      statsCols = Seq("doc_id"))
+    val t = s"graft_topk.`$lake`"
+    val total = graft.core.ManifestLake.latestSnapshot(lake).get.files.length
+    def filesOf(q: String): Int = {
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.inputPlan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      nodes(s.sql(q).queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.core.GraftScan].effectiveFiles.length
+      }.getOrElse(Int.MaxValue)
+    }
+    val ascQ = s"SELECT doc_id, n_chars FROM $t ORDER BY doc_id LIMIT 40"
+    val descQ = s"SELECT doc_id, n_chars FROM $t ORDER BY doc_id DESC LIMIT 40"
+    val peekQ = s"SELECT doc_id FROM $t LIMIT 25"
+    // each of the 8 clustered doc_id bands spreads over the source
+    // partitions, so a top-k confined to one band (± a boundary
+    // straddle) keeps ≤ 2 of 8 bands' files — ≤ total/3 with margin
+    val pushedOk = filesOf(ascQ) * 3 <= total &&
+      filesOf(descQ) * 3 <= total &&
+      filesOf(peekQ) < total
+    def leg(tag: String, df: DataFrame, ok: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("leg_tag", lit(tag))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok")
+    leg("asc", s.sql(ascQ), pushedOk)
+      .unionByName(leg("desc", s.sql(descQ), true))
+      .unionByName(
+        // bare LIMIT has no deterministic content — pin cardinality only
+        s.sql(s"SELECT count(*) AS n_docs FROM ($peekQ)")
+          .withColumn("sum_ids", lit(null).cast("long"))
+          .withColumn("sum_chars", lit(null).cast("long"))
+          .withColumn("leg_tag", lit("peek"))
+          .withColumn("invariant_ok", lit(true))
+          .select($"leg_tag", $"n_docs", $"sum_ids", $"sum_chars", $"invariant_ok"))
+      .orderBy($"leg_tag")
+  }
+
+  val qTopKRoundTripSql: String =
+    """SELECT leg_tag, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars, TRUE AS invariant_ok
+       FROM (
+         SELECT 'asc' AS leg_tag, doc_id, n_chars FROM documents
+           ORDER BY doc_id ASC LIMIT 40)
+       GROUP BY leg_tag
+       UNION ALL
+       SELECT 'desc', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+         CAST(SUM(n_chars) AS BIGINT), TRUE
+       FROM (
+         SELECT doc_id, n_chars FROM documents ORDER BY doc_id DESC LIMIT 40)
+       UNION ALL
+       SELECT 'peek', 25, NULL, NULL, TRUE
+       ORDER BY leg_tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_topk_skipping" -> qTopKRoundTrip,
     "q165_manifest_agg" -> qManifestAggRoundTrip,
     "q164_create_table" -> qCreateTableRoundTrip,
     "q163_restore" -> qRestoreRoundTrip,
@@ -1671,6 +1751,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q166_topk_skipping" -> qTopKRoundTripSql,
     "q165_manifest_agg" -> qManifestAggRoundTripSql,
     "q164_create_table" -> qCreateTableRoundTripSql,
     "q163_restore" -> qRestoreRoundTripSql,

@@ -2256,11 +2256,60 @@ class LayoutSpec extends SparkSpec {
       s"filtered LIMIT must scan all candidates: ${filtered.effectiveFiles.length}")
     assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE score > 1900 LIMIT 5")
       .count() == 5)
-    // ORDER BY ... LIMIT is a top-k, never a file trim
+    // ORDER BY an UNTRACKED column ... LIMIT is a top-k over all files
     assert(scanOf(s"SELECT * FROM graft.`$dir` ORDER BY score DESC LIMIT 5")
       .effectiveFiles.length == 10)
     assert(spark.sql(s"SELECT * FROM graft.`$dir` ORDER BY score DESC LIMIT 5")
       .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(999L, 998L, 997L, 996L, 995L))
+  }
+
+  test("manifest top-k pushdown: ORDER BY tracked col LIMIT k opens only candidate files") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mtopk").resolve("lake").toString
+    // 10 clustered files of 100 rows; v is half-null in every file
+    spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit("p0").as("source"),
+        when(pmod($"id", lit(100)) < 50, lit(null).cast("long"))
+          .otherwise($"id").as("v"))
+      .repartitionByRange(10, $"doc_id")
+      .write.format("graft").option("partitionCol", "source")
+      .option("statsCols", "doc_id,v").mode("append").save(dir)
+    def scanOf(sql: String): GraftScan = {
+      val p = spark.sql(sql).queryExecution.executedPlan
+      p.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[GraftScan]
+      }.getOrElse(fail(s"no BatchScanExec in:\n$p"))
+    }
+    // ASC: the k smallest live in the first clustered file
+    val ascQ = s"SELECT doc_id FROM graft.`$dir` ORDER BY doc_id LIMIT 5"
+    assert(scanOf(ascQ).effectiveFiles.length == 1, scanOf(ascQ).effectiveFiles)
+    assert(spark.sql(ascQ).collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // DESC: the k largest live in the last clustered file
+    val descQ = s"SELECT doc_id FROM graft.`$dir` ORDER BY doc_id DESC LIMIT 5"
+    assert(scanOf(descQ).effectiveFiles.length == 1)
+    assert(spark.sql(descQ).collect().map(_.getLong(0)).toSeq ==
+      Seq(999L, 998L, 997L, 996L, 995L))
+    // a k spanning file boundaries keeps exactly the covering prefix
+    assert(scanOf(s"SELECT doc_id FROM graft.`$dir` ORDER BY doc_id LIMIT 150")
+      .effectiveFiles.length == 2)
+    // NULLS FIRST (the ASC default): nulls exist in every file, so one
+    // null-rich file covers k — and every returned row is null
+    val nfQ = s"SELECT v FROM graft.`$dir` ORDER BY v LIMIT 10"
+    assert(scanOf(nfQ).effectiveFiles.length == 1)
+    assert(spark.sql(nfQ).collect().forall(_.isNullAt(0)))
+    // NULLS LAST: values only — the smallest 5 non-null v are 50..54
+    val nlQ = s"SELECT v FROM graft.`$dir` ORDER BY v ASC NULLS LAST LIMIT 5"
+    assert(scanOf(nlQ).effectiveFiles.length == 1)
+    assert(spark.sql(nlQ).collect().map(_.getLong(0)).toSeq ==
+      Seq(50L, 51L, 52L, 53L, 54L))
+    // DESC NULLS LAST over v: largest values sit in the last file
+    val dnQ = s"SELECT v FROM graft.`$dir` ORDER BY v DESC NULLS LAST LIMIT 3"
+    assert(scanOf(dnQ).effectiveFiles.length == 1)
+    assert(spark.sql(dnQ).collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L))
+    // untracked / non-integral order columns decline (all files kept)
+    assert(scanOf(s"SELECT source FROM graft.`$dir` ORDER BY source LIMIT 3")
+      .effectiveFiles.length == 10)
   }
 
   test("manifest lake: EVERY commit path carries rows: for every live file") {
