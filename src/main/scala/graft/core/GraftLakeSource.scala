@@ -304,8 +304,17 @@ private[core] final case class GraftLakeTable(
     files.headOption.map(_.takeWhile(_ != '=')).filter(schema.fieldNames.contains)
       .orElse(snap.declaredPartitionCol)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def longOpt(k: String): Option[Long] =
+      Option(options.get(k)).map { raw =>
+        val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$k must be a positive integer, got '$raw'"))
+        require(v > 0, s"$k must be positive, got $v"); v
+      }
+    new GraftScanBuilder(this,
+      maxVersionsPerTrigger = longOpt("maxVersionsPerTrigger"),
+      maxFilesPerTrigger = longOpt("maxFilesPerTrigger"))
+  }
 
   /** SQL `DELETE FROM graft.`/dir`` WHERE ...` — routed through
     * [[ManifestLake.deleteWhere]]: one predicate-pushed detection scan,
@@ -423,7 +432,9 @@ private[core] object GraftLakeTable {
 }
 
 private[core] class GraftScanBuilder(table: GraftLakeTable,
-    onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false)
+    onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -700,7 +711,8 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
           case _ => pruned
         }
       }
-      val scan = GraftScan(table, required, kept, pushed, rowLevel)
+      val scan = GraftScan(table, required, kept, pushed, rowLevel,
+        maxVersionsPerTrigger, maxFilesPerTrigger)
       onBuild(scan)
       scan
   }
@@ -815,7 +827,9 @@ private[core] object GraftPrune {
 private[graft] final case class GraftScan(
     table: GraftLakeTable, required: StructType,
     keptFiles: Vector[String], pushed: Array[Filter],
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1108,8 +1122,9 @@ private[core] final class ReorderingReaderFactory(
   * path today — the hook is wired so the stream prunes the moment
   * Spark pushes, and LayoutSpec pins the survival rule itself. */
 private[core] final class GraftMicroBatchStream(scan: GraftScan)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def dir = scan.table.dir
 
@@ -1121,6 +1136,38 @@ private[core] final class GraftMicroBatchStream(scan: GraftScan)
   override def latestOffset(): Offset =
     V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+
+  /** Admission control — `maxVersionsPerTrigger` / `maxFilesPerTrigger`
+    * reader options bound how far one micro-batch advances: without
+    * them a stream started against an existing lake catches up the
+    * WHOLE history in one giant batch (no checkpoint until it ends, no
+    * incremental progress — the Delta/file-source backfill problem
+    * these same options solve there). Offsets stay version-aligned
+    * (files never split across a version), so `maxFilesPerTrigger` is
+    * a target, not an exact cap: the walk takes whole versions until
+    * the file budget is met, always at least one. The walk parses only
+    * the manifests it admits — cost ∝ admitted versions, stopping at
+    * the budget, never O(history) per trigger. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[V].v
+    val latest = ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L)
+    if (latest <= s0) return V(s0)
+    (scan.maxVersionsPerTrigger, scan.maxFilesPerTrigger) match {
+      case (None, None) => V(latest)
+      case (maxV, maxF) =>
+        var end = s0
+        var files = 0L
+        while (end < latest &&
+               maxV.forall(end - s0 < _) &&
+               maxF.forall(files < _)) {
+          end += 1
+          files += ManifestLake.changedFiles(dir, end - 1, end).length
+        }
+        V(end)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[V].v

@@ -1202,6 +1202,61 @@ class LayoutSpec extends SparkSpec {
       s"window pruning kept ${keptWin.length} of ${win.length}")
   }
 
+  test("DSv2 streaming source: maxVersionsPerTrigger/maxFilesPerTrigger bound the backfill") {
+    // without admission control a stream started against an existing
+    // lake catches up the WHOLE history in one micro-batch; with it
+    // the backfill advances version-aligned at the configured pace
+    val dir = Files.createTempDirectory("madmit").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+    (0 until 4).foreach(i =>
+      ManifestLake.append(spark, dir, batch(i * 25, (i + 1) * 25), "source"))
+
+    val ckpt = Files.createTempDirectory("madmit_ckpt").toString
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("graft_admit_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_admit_sink").count() == 100,
+        "paced backfill must still deliver every row")
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.length == 4 && sizes.forall(_ == 25),
+        s"1 version per trigger = 4 batches of 25: $sizes")
+    } finally q.stop()
+
+    // file-budget pacing: versions are never split, so each batch takes
+    // whole versions until the budget is met (2 single-file versions
+    // per batch here)
+    val ckpt2 = Files.createTempDirectory("madmit_ckpt2").toString
+    val q2 = spark.readStream.format("graft").option("path", dir)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("graft_admit_sink2")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_admit_sink2").count() == 100)
+      val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.forall(_ <= 50) && sizes.length >= 2,
+        s"file-budget pacing must split the backfill: $sizes")
+    } finally q2.stop()
+
+    // a malformed option refuses when the stream starts (streaming
+    // plans on the query thread — the error surfaces on the first wait)
+    val bad = spark.readStream.format("graft").option("path", dir)
+      .option("maxVersionsPerTrigger", "0").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", Files.createTempDirectory("madmit_bad").toString)
+      .start()
+    try {
+      val e = intercept[Exception] { bad.processAllAvailable() }
+      assert(e.toString.contains("maxVersionsPerTrigger") ||
+        Option(e.getCause).exists(_.toString.contains("maxVersionsPerTrigger")),
+        e.toString)
+    } finally bad.stop()
+  }
+
   test("DSv2 create path: df.write.format(graft) creates a lake with full tracking") {
     val dir = Files.createTempDirectory("mdsv2c").resolve("lake").toString
     spark.range(0, 200)
