@@ -311,9 +311,21 @@ private[core] final case class GraftLakeTable(
           s"$k must be a positive integer, got '$raw'"))
         require(v > 0, s"$k must be positive, got $v"); v
       }
+    // named apart from the batch CDC's startingVersion/endingVersion
+    // pair — resolution can't tell a stream from a batch read, and the
+    // CDC contract (both-or-neither) must keep refusing half a window
+    val streamStart = Option(options.get("streamStartingVersion")).map {
+      case "latest" => StreamStart.Latest
+      case raw =>
+        val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"streamStartingVersion must be 'latest' or a version ≥ 1, got '$raw'"))
+        require(v >= 1, s"streamStartingVersion must be ≥ 1, got $v")
+        StreamStart.At(v)
+    }
     new GraftScanBuilder(this,
       maxVersionsPerTrigger = longOpt("maxVersionsPerTrigger"),
-      maxFilesPerTrigger = longOpt("maxFilesPerTrigger"))
+      maxFilesPerTrigger = longOpt("maxFilesPerTrigger"),
+      streamStartingVersion = streamStart)
   }
 
   /** SQL `DELETE FROM graft.`/dir`` WHERE ...` — routed through
@@ -431,10 +443,18 @@ private[core] object GraftLakeTable {
   }
 }
 
+/** A stream's fresh-start position — see [[GraftMicroBatchStream.initialOffset]]. */
+private[core] sealed trait StreamStart
+private[core] object StreamStart {
+  case object Latest extends StreamStart
+  final case class At(version: Long) extends StreamStart
+}
+
 private[core] class GraftScanBuilder(table: GraftLakeTable,
     onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    streamStartingVersion: Option[StreamStart] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -712,7 +732,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
         }
       }
       val scan = GraftScan(table, required, kept, pushed, rowLevel,
-        maxVersionsPerTrigger, maxFilesPerTrigger)
+        maxVersionsPerTrigger, maxFilesPerTrigger, streamStartingVersion)
       onBuild(scan)
       scan
   }
@@ -829,7 +849,8 @@ private[graft] final case class GraftScan(
     keptFiles: Vector[String], pushed: Array[Filter],
     rowLevel: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    streamStartingVersion: Option[StreamStart] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1132,7 +1153,18 @@ private[core] final class GraftMicroBatchStream(scan: GraftScan)
     override def json: String = v.toString
   }
 
-  override def initialOffset(): Offset = V(0L)
+  /** Where a FRESH query (no checkpoint) starts — the
+    * `streamStartingVersion` reader option: absent = full history
+    * backfill; `latest` = only commits after the query starts (the
+    * tail-the-lake deployment); a number v = commits ≥ v (Delta's
+    * `startingVersion` semantics). Checkpointed restarts never call
+    * this — the offset log wins. */
+  override def initialOffset(): Offset = scan.streamStartingVersion match {
+    case None => V(0L)
+    case Some(StreamStart.Latest) =>
+      V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
+    case Some(StreamStart.At(v)) => V(v - 1)
+  }
   override def latestOffset(): Offset =
     V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)

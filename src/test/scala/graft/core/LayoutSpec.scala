@@ -1242,6 +1242,36 @@ class LayoutSpec extends SparkSpec {
         s"file-budget pacing must split the backfill: $sizes")
     } finally q2.stop()
 
+    // streamStartingVersion=latest tails the lake: the 4-commit history
+    // is skipped; only commits AFTER the stream starts flow
+    val ckpt3 = Files.createTempDirectory("madmit_ckpt3").toString
+    val q3 = spark.readStream.format("graft").option("path", dir)
+      .option("streamStartingVersion", "latest").load()
+      .writeStream.format("memory").queryName("graft_admit_sink3")
+      .option("checkpointLocation", ckpt3).outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("graft_admit_sink3").count() == 0,
+        "latest-start must skip the backfill")
+      ManifestLake.append(spark, dir, batch(100, 110), "source")
+      q3.processAllAvailable()
+      assert(spark.table("graft_admit_sink3")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq == (100L until 110L))
+    } finally q3.stop()
+    // ...and a numeric start replays from that version (inclusive)
+    val ckpt4 = Files.createTempDirectory("madmit_ckpt4").toString
+    val q4 = spark.readStream.format("graft").option("path", dir)
+      .option("streamStartingVersion", "3").load()
+      .writeStream.format("memory").queryName("graft_admit_sink4")
+      .option("checkpointLocation", ckpt4).outputMode("append").start()
+    try {
+      q4.processAllAvailable()
+      val got = spark.table("graft_admit_sink4")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == ((50L until 100L) ++ (100L until 110L)),
+        s"numeric start must replay commits >= 3: ${got.take(5)}...")
+    } finally q4.stop()
+
     // a malformed option refuses when the stream starts (streaming
     // plans on the query thread — the error surfaces on the first wait)
     val bad = spark.readStream.format("graft").option("path", dir)
