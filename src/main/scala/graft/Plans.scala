@@ -781,6 +781,43 @@ object Plans {
         |oracle-pinned); the write is the engine's distributed DSv2
         |BatchWrite (per-task dynamic-partition parquet writers), and
         |the swap is one CAS re-deriving stats+blooms.""".stripMargin,
+    "q166_topk_skipping" ->
+      """ORDER BY … LIMIT file skipping: the top-k pushdown keeps only
+        |files whose [min, max, null count, row count] admit a top-k
+        |row — accumulate by ascending max until non-null rows cover
+        |k, bound the k-th value, drop files whose min exceeds it
+        |(DESC mirrored). Soundness under NULLS FIRST/LAST comes from
+        |the manifest's EXACT per-file null counts (col:nn:<n>
+        |segments off footer numNulls) — min/max alone cannot place
+        |nulls. Always PARTIAL pushdown: the engine's own sort+limit
+        |runs above; the manifest only shrinks what gets planned. At
+        |100 TB this is "latest k events" opening two files instead
+        |of the lake. The bare-LIMIT leg is the same idea without an
+        |order: a row-covering file prefix.""".stripMargin,
+    "q165_manifest_agg" ->
+      """Manifest-answered aggregates: global and GROUP-BY-partition
+        |COUNT(*)/MIN/MAX fold out of the one already-parsed manifest
+        |(rows: segments + min/max stats) and plan as a LOCAL
+        |relation — zero file opens, zero tasks. The pushdown
+        |declines wherever exactness can't be proven from metadata:
+        |any WHERE (the manifest bounds rows, it can't filter them),
+        |non-partition group-bys, untracked columns, non-integral
+        |types (float NaN and string truncation make footer stats
+        |writer-dependent). The dashboard's poll queries — the
+        |reference hits PostgreSQL bookkeeping tables for exactly
+        |these shapes — become metadata lookups at any corpus
+        |size.""".stripMargin,
+    "q164_create_table" ->
+      """CREATE TABLE DDL: an empty v1 manifest carries the declared
+        |schema AND layout (#prop: headers — partitionCol, statsCols,
+        |bloomCols), and the commit loop carries the declaration
+        |forward in ONE place so no later commit can drop it. INSERTs
+        |and Scala appends that omit statsCols still track the
+        |declared columns — a SQL-only user declares the skipping
+        |index BEFORE any data exists, and the q164 range-read leg
+        |proves it prunes. Mis-partitioned appends and duplicate
+        |CREATEs refuse loudly; CTAS is createTable + the ordinary
+        |insert path.""".stripMargin,
     "q163_restore" ->
       """RESTORE: roll back to a prior version's content as a NEW
         |commit — metadata-only (the target's file list, stats,
