@@ -1113,48 +1113,30 @@ object ManifestLake {
       require(affected.forall(snap.files.contains),
         s"detection scan returned files outside the snapshot: $affected")
 
-      // 2. rewrite survivors of each affected file (concurrent jobs,
-      // the deleteWhere pool pattern)
-      final case class Rewrite(old: String, kept: Option[String], rowsRemoved: Long)
-      def rewriteOne(f: String): Rewrite = {
-        val partDir = f.takeWhile(_ != '/')
-        val rowsBefore = rowCount(s, root.resolve(f))
-        val keepDf = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-          .parquet(s"$dir/$f")
-          .join(keys, keyCols, "left_anti")
-          .drop(partitionCol)
-        val stage = root.resolve(s".stage_${UUID.randomUUID()}")
-        keepDf.coalesce(1).write.parquet(stage.toString)
-        val out = {
-          val fs = Files.list(stage)
-          try fs.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-          finally fs.close()
-        }
-        var rowsAfter = 0L
-        val kept = out.flatMap { o =>
-          rowsAfter = rowCount(s, o)
-          if (rowsAfter == 0L) None
-          else {
-            val unique = s"${UUID.randomUUID()}-${o.getFileName}"
-            Files.move(o, root.resolve(partDir).resolve(unique))
-            Some(s"$partDir/$unique")
-          }
-        }
-        deleteTree(stage)
-        Rewrite(f, kept, rowsBefore - rowsAfter)
-      }
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(8, affected.length)))
-      val rewrites: Vector[Rewrite] =
+      // 2. rewrite the affected files' survivors in ONE distributed
+      // job: read them together (basePath restores the partition
+      // column), anti-join the update keys, stage partitioned. No
+      // shuffle — partitionBy routes rows task-per-input-split, so
+      // survivors of one clustered input land in one clustered output
+      // and per-file parallelism comes from the cluster, not a
+      // driver-side job pool (the previous per-file-job shape was the
+      // ×10 probe's super-linear term: N affected files = N
+      // driver-scheduled jobs, a scheduling bottleneck at thousands
+      // of affected files).
+      val rowsBefore: Long =
+        if (affected.isEmpty) 0L
+        else if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
+        else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
+      val keptFiles: Vector[String] =
         if (affected.isEmpty) Vector.empty
-        else try {
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          Await.result(
-            Future.sequence(affected.map(f => Future(rewriteOne(f)))),
-            scala.concurrent.duration.Duration.Inf)
-        } finally pool.shutdown()
+        else {
+          val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
+            .join(keys, keyCols, "left_anti")
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          stageFiles(s, root, survivors, partitionCol,
+            maxRecordsPerFile = 1024 * 1024, Map.empty)
+        }
 
       // 3. every update row lands once, as new files (schema order
       // aligned to the committed schema — parquet binds by name, the
@@ -1164,8 +1146,8 @@ object ManifestLake {
         maxRecordsPerFile = 1024 * 1024, Map.empty)
 
       // 4. skipping metadata for every written file, then one CAS swap
-      val removedSet = rewrites.map(_.old).toSet
-      val newFiles = rewrites.flatMap(_.kept) ++ staged
+      val removedSet = affected.toSet
+      val newFiles = keptFiles ++ staged
       val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
         .toSeq.distinct.sorted
       val (newStats, newRows) = footerMetaAll(s, root, newFiles, statsCols)
@@ -1186,7 +1168,10 @@ object ManifestLake {
             latest.blooms -- removedSet ++ newBlooms,
             latest.rows -- removedSet ++ newRows))
       }
-      val rowsUpdated = rewrites.map(_.rowsRemoved).sum
+      // rows removed = affected-file rows before minus survivor rows
+      // after; both from metadata (manifest rows: / the commit's own
+      // footer pass), no extra data read
+      val rowsUpdated = rowsBefore - keptFiles.map(newRows).sum
       // rowsInserted counts UPDATE ROWS whose key matched nothing —
       // computed by a semi-join against the affected files (delta-
       // sized), not as total-minus-removed: a key holding multiple
@@ -1344,63 +1329,35 @@ object ManifestLake {
     require(affected.forall(snap.files.contains),
       s"detection scan returned files outside the snapshot: $affected")
 
-    // rewrite each affected file: keep rows where the predicate is NOT
-    // true. !pred alone would DROP rows where pred evaluates NULL
-    // (!NULL is NULL, filtered out) — rows that the detection scan
-    // never counted as matches; coalesce(pred, false) pins NULL to
-    // "not deleted", the SQL DELETE rule (Delta does the same). Each
-    // file is read with `basePath` so the partition column is restored
-    // from its path — predicates over the partition column resolve —
-    // then dropped again before the rewrite (data files never carry
-    // it). Empty rewrites drop the file from the ledger. Per-file
-    // rewrites are independent Spark jobs — submitted CONCURRENTLY
-    // through a bounded pool (the q128/compaction lesson: sequential
-    // submission pays each small job's scheduling round-trip alone; a
-    // worst-case delete touching every file was 3x slower serial).
-    final case class Rewrite(old: String, kept: Option[String], rowsDeleted: Long)
-    def rewriteOne(f: String): Rewrite = {
-      val partDir = f.takeWhile(_ != '/')
-      val partCol = partDir.takeWhile(_ != '=')
-      val rowsBefore = rowCount(s, root.resolve(f))
-      val keepDf = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-        .parquet(s"$dir/$f")
+    // rewrite the affected files' survivors in ONE distributed job:
+    // keep rows where the predicate is NOT true. !pred alone would
+    // DROP rows where pred evaluates NULL (!NULL is NULL, filtered
+    // out) — rows that the detection scan never counted as matches;
+    // coalesce(pred, false) pins NULL to "not deleted", the SQL DELETE
+    // rule (Delta does the same). The affected files are read together
+    // with `basePath` so the partition column is restored from their
+    // paths — predicates over it resolve — and stageFiles routes
+    // survivors back into their partition directories task-per-input-
+    // split (no shuffle, clustering preserved). One job beats the
+    // previous bounded pool of PER-FILE jobs: at thousands of affected
+    // files the pool serializes on driver scheduling (the ×10 probe's
+    // super-linear term in merge, same shape here). Partitions whose
+    // survivors are empty simply write nothing — emptied files leave
+    // the ledger.
+    val partitionCol = affected.head.takeWhile(_ != '=')
+    val rowsBefore: Long =
+      if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
+      else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
+    val newFiles: Vector[String] = {
+      val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+      val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
         .filter(!coalesce(predicate, lit(false)))
-        .drop(partCol)
-      val stage = root.resolve(s".stage_${UUID.randomUUID()}")
-      keepDf.coalesce(1).write.parquet(stage.toString)
-      val out = {
-        val fs = Files.list(stage)
-        try fs.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-        finally fs.close()
-      }
-      var rowsAfter = 0L
-      val kept = out.flatMap { o =>
-        rowsAfter = rowCount(s, o)
-        if (rowsAfter == 0L) None
-        else {
-          val unique = s"${UUID.randomUUID()}-${o.getFileName}"
-          Files.move(o, root.resolve(partDir).resolve(unique))
-          Some(s"$partDir/$unique")
-        }
-      }
-      deleteTree(stage)
-      Rewrite(f, kept, rowsBefore - rowsAfter)
+      stageFiles(s, root, survivors, partitionCol,
+        maxRecordsPerFile = 1024 * 1024, Map.empty)
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, affected.length)))
-    val rewrites: Vector[Rewrite] =
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(affected.map(f => Future(rewriteOne(f)))),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
 
     beforeCommit()
-    val removedSet = rewrites.map(_.old).toSet
-    val newFiles = rewrites.flatMap(_.kept)
+    val removedSet = affected.toSet
     val uniformCols = affected.map(f =>
         snap.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
       .reduceOption(_ intersect _).getOrElse(Set.empty)
@@ -1427,7 +1384,9 @@ object ManifestLake {
           latest.blooms -- removedSet ++ newBlooms,
           latest.rows -- removedSet ++ newRows))
     }
-    rewrites.map(_.rowsDeleted).sum
+    // deleted = affected rows before minus survivor rows after, both
+    // from metadata (manifest rows: / the commit's own footer pass)
+    rowsBefore - newRows.values.sum
   }
 
   /** Parquet footer row count — metadata only. */
