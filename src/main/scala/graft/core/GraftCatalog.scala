@@ -53,7 +53,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * version); no directory listing, no file opens — identical cost to
   * the Scala `latestSnapshot` route regardless of lake size.
   */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -184,14 +185,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       import scala.jdk.CollectionConverters._
       properties.keySet().asScala
         .filterNot(k => k == "statsCols" || k == "bloomCols" ||
+          k == "bucketCol" || k == "bucketN" ||
           reserved.contains(k.toLowerCase(java.util.Locale.ROOT)))
         .toSeq.sorted
     }
     if (unknownProps.nonEmpty) throw new UnsupportedOperationException(
       s"unknown TBLPROPERTIES: ${unknownProps.mkString(", ")} — supported: " +
-        "statsCols, bloomCols (comma-separated column lists)")
+        "statsCols, bloomCols (comma-separated column lists), " +
+        "bucketCol + bucketN (hash-bucket layout for storage-partitioned joins)")
+    val bucketBy = (Option(properties.get("bucketCol")),
+        Option(properties.get("bucketN")).flatMap(_.toIntOption)) match {
+      case (Some(c), Some(n)) => Some((c.trim, n))
+      case (None, None)       => None
+      case _ => throw new UnsupportedOperationException(
+        "bucketCol and bucketN must be declared together")
+    }
     ManifestLake.create(dir, schema, partitionCol,
-      statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"))
+      statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"),
+      bucketBy = bucketBy)
     loadTable(ident)
   }
 
@@ -248,6 +259,65 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new UnsupportedOperationException(
         s"unknown procedure '${ident.name}' — available: " +
           GraftProcedures.all.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  /** The function catalog exists for ONE resolution: Spark's storage-
+    * partitioned-join machinery loads `bucket` from the scan
+    * relation's catalog to turn the scan-reported `bucket(n, col)`
+    * transform into a catalyst `TransformExpression` — no catalog
+    * function, no key-grouped planning on bucketed lakes. */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** The SPJ face of the engine's bucket placement rule. The write side
+  * ([[ManifestLake.bucketIdCol]]) places rows with `pmod(hash(col),
+  * n)`; this function is the SAME computation in V2-function form —
+  * `Murmur3HashFunction.hash` IS Spark's `hash()` — so anything Spark
+  * evaluates with it (a future shuffle-one-side plan under
+  * `v2.bucketing.shuffle.enabled`, a repair job) agrees with every
+  * committed file's placement. `canonicalName` carries the key type:
+  * two lakes report compatible bucket transforms iff their key types
+  * match (a long-keyed and a string-keyed lake must never co-locate). */
+private[core] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): pmod(murmur3_32(col, seed 42), numBuckets)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    dt match {
+      case LongType | IntegerType | StringType => new Bound(dt)
+      case other => throw new UnsupportedOperationException(
+        s"bucket key type ${other.simpleString} is not supported " +
+          "(long, int and string keys bucket)")
+    }
+  }
+
+  private final class Bound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${dt.simpleString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(input.get(1, dt), dt, 42L).toInt
+      ((h % n) + n) % n
+    }
   }
 }
 
@@ -358,6 +428,27 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object Rebucket extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "Rewrite files lacking a manifest bucket tag (SQL copy-on-write " +
+        "leaves them) through the declared bucket layout, restoring " +
+        "zero-shuffle SPJ coverage; cost ∝ untagged bytes"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = str(input, 0)
+      val n = ManifestLake.rebucket(
+        org.apache.spark.sql.SparkSession.active, dir)
+      one(Result(
+        StructType(Seq(StructField("files_rebucketed", IntegerType, nullable = false))),
+        InternalRow(n)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
-    Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore)
+    Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
+      "rebucket" -> Rebucket)
 }

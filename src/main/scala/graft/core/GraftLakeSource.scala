@@ -853,7 +853,8 @@ private[graft] final case class GraftScan(
     streamStartingVersion: Option[StreamStart] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   def totalFiles: Int = table.files.length
 
@@ -981,28 +982,111 @@ private[graft] final case class GraftScan(
     }
   }
 
+  /** Storage-partitioned joins (SPJ) — the zero-shuffle face of the
+    * lake's directory layout. When the session opts in
+    * (`spark.sql.sources.v2.bucketing.enabled`, Spark's own SPJ gate)
+    * and this scan projects the partition column, the scan reports
+    * `KeyGroupedPartitioning(identity(pc))` and every input split
+    * carries its partition value ([[KeyedFilePartition]]). Catalyst
+    * then plans lake⋈lake joins on the partition key — and final
+    * aggregations grouped by it — WITHOUT a shuffle on the lake
+    * side(s): at 100 TB the exchange this deletes is the dominant
+    * cost of any fact⋈fact join keyed on the layout. Off (the
+    * default), nothing changes: splits bin-pack across partition
+    * values exactly as before. Row-level (DML) scans never report —
+    * ReplaceData planning owns their distribution. */
+  private def spjKeyed: Boolean =
+    !rowLevel && partitionFields.nonEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
+  /** The declared hash-bucket layout, when THIS scan can honor it:
+    * SPJ gate on, not a DML scan, bucket column projected, and every
+    * effective file carries a manifest `bucket:` id (commit paths
+    * that can't prove single-bucket files — SQL copy-on-write,
+    * cross-bucket compaction — drop the id, and the scan then falls
+    * back rather than mis-reporting co-location). Takes precedence
+    * over identity reporting: the bucket key is the JOIN key
+    * (doc_id-shaped), which is where the 100 TB exchange lives. */
+  private def spjBucket: Option[(String, Int)] =
+    if (rowLevel || !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
+    else table.snap.declaredBucket.filter { case (c, _) =>
+      required.fieldNames.contains(c) && effectiveFiles.nonEmpty &&
+        effectiveFiles.forall(table.snap.buckets.contains)
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    spjBucket match {
+      case Some((c, n)) =>
+        val ids = effectiveFiles.iterator.map(table.snap.buckets).toSet
+        new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), ids.size)
+      case None =>
+        val keys =
+          if (spjKeyed) effectiveFiles.iterator.map(_.takeWhile(_ != '/')).toSet
+          else Set.empty[String]
+        if (keys.nonEmpty)
+          new KeyGroupedPartitioning(
+            Array(Expressions.identity(partitionFields.head.name)), keys.size)
+        else new UnknownPartitioning(0)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = planFiles(effectiveFiles)
 
   /** File list → bin-packed input splits (shared by the batch path and
-    * the micro-batch stream, which plans each CDC window's files). */
+    * the micro-batch stream, which plans each CDC window's files).
+    * Under SPJ ([[spjKeyed]]) the packing is per partition value —
+    * splits never mix keys, and each advertises its key so Spark can
+    * group them into co-partitioned tasks. */
   private[core] def planFiles(files: Vector[String]): Array[InputPartition] = {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
-    val pfs = files.map { rel =>
-      val p = java.nio.file.Paths.get(table.dir).resolve(rel)
-      val size = java.nio.file.Files.size(p)
-      new PartitionedFile(
-        partitionValueRow(rel),
-        org.apache.spark.paths.SparkPath.fromPathString(p.toString),
-        0L, size, Array.empty[String],
-        java.nio.file.Files.getLastModifiedTime(p).toMillis, size,
-        Map.empty[String, Any])
+    def toSplits(fs: Vector[String]): Seq[FilePartition] = {
+      val pfs = fs.map { rel =>
+        val p = java.nio.file.Paths.get(table.dir).resolve(rel)
+        val size = java.nio.file.Files.size(p)
+        new PartitionedFile(
+          partitionValueRow(rel),
+          org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+          0L, size, Array.empty[String],
+          java.nio.file.Files.getLastModifiedTime(p).toMillis, size,
+          Map.empty[String, Any])
+      }
+      // Spark's bin-packing: many small lake files → bounded task count
+      // (openCostInBytes-aware), one big file → row-group splits
+      FilePartition.getFilePartitions(
+        spark, pfs, FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
     }
-    // Spark's bin-packing: many small lake files → bounded task count
-    // (openCostInBytes-aware), one big file → row-group splits
-    FilePartition.getFilePartitions(
-      spark, pfs, FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
-      .toArray
+    spjBucket match {
+      case Some(_) =>
+        // bucket-keyed: group by manifest bucket id (files from any
+        // partition directory — each PartitionedFile still carries its
+        // own partition values), pack within each group, reindex
+        var idx = -1
+        files.groupBy(table.snap.buckets).toArray.sortBy(_._1).flatMap {
+          case (id, fs) =>
+            val key = new GenericInternalRow(Array[Any](id))
+            toSplits(fs).map { fp =>
+              idx += 1
+              new KeyedFilePartition(idx, fp.files, key)
+            }
+        }
+      case None if spjKeyed =>
+        // group by the partition directory, pack within each group, and
+        // reindex across groups (split index must be scan-unique)
+        var idx = -1
+        files.groupBy(_.takeWhile(_ != '/')).toArray.sortBy(_._1).flatMap {
+          case (_, fs) =>
+            val key = partitionValueRow(fs.head)
+            toSplits(fs).map { fp =>
+              idx += 1
+              new KeyedFilePartition(idx, fp.files, key)
+            }
+        }
+      case None => toSplits(files).toArray
+    }
   }
 
   /** `spark.readStream.format("graft")` — the lake as an UNBOUNDED
@@ -1080,6 +1164,19 @@ private[graft] final case class GraftScan(
     if (physicalSchema.fieldNames.sameElements(required.fieldNames)) parquetFactory
     else new ReorderingReaderFactory(parquetFactory, physicalSchema, required)
   }
+}
+
+/** A bin-packed parquet split that knows which lake partition it came
+  * from — [[org.apache.spark.sql.connector.read.HasPartitionKey]] is
+  * what lets Spark's storage-partitioned-join machinery group splits
+  * into co-partitioned tasks (one task per key, or partially
+  * clustered under its own conf). Extends [[FilePartition]] so the
+  * stock parquet reader factory consumes it unchanged. */
+private[core] final class KeyedFilePartition(
+    idx: Int, fs: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Column-order adapter over a physical reader factory: the parquet

@@ -81,7 +81,10 @@ private[core] object GraftMetadata {
     // exact footer row count from the manifest's rows: segment (every
     // commit path threads it) — COUNT(*) and file-size census answer
     // from this relation alone; null only for pre-rows manifests
-    StructField("rows", LongType, nullable = true)))
+    StructField("rows", LongType, nullable = true),
+    // hash-bucket id (manifest bucket: segment); null = the file is
+    // not provably single-bucket and SPJ degrades until CALL rebucket
+    StructField("bucket", IntegerType, nullable = true)))
 
   /** `$partitions` — Iceberg's `partitions` analogue: one row per
     * partition directory with its file census and exact row count
@@ -140,13 +143,14 @@ private[core] object GraftMetadata {
       val bloomCols = snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet
       val stats = snap.stats.getOrElse(f, Vector.empty)
       val nRows: Any = snap.rows.get(f).map(Long.box).orNull
+      val bucket: Any = snap.buckets.get(f).map(Int.box).orNull
       if (stats.isEmpty)
         Iterator.single(InternalRow(utf8(f), partition, null, null, null,
-          bloomCols.nonEmpty, nRows))
+          bloomCols.nonEmpty, nRows, bucket))
       else stats.iterator.map(st =>
         InternalRow(utf8(f), partition, utf8(st.col),
           utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col),
-          nRows))
+          nRows, bucket))
     }.toArray
   }
 

@@ -91,7 +91,8 @@ object ManifestLake {
                             blooms: Map[String, Vector[FileBloom]] = Map.empty,
                             tsMillis: Option[Long] = None,
                             rows: Map[String, Long] = Map.empty,
-                            props: Map[String, String] = Map.empty) {
+                            props: Map[String, String] = Map.empty,
+                            buckets: Map[String, Int] = Map.empty) {
     /** Declared layout (SQL `CREATE TABLE ... PARTITIONED BY` /
       * TBLPROPERTIES), carried forward by every commit. Empty on
       * writer-created lakes, whose layout is established by first
@@ -99,6 +100,15 @@ object ManifestLake {
     def declaredPartitionCol: Option[String] = props.get(PropPartitionCol)
     def declaredStatsCols: Seq[String] = csvProp(PropStatsCols)
     def declaredBloomCols: Seq[String] = csvProp(PropBloomCols)
+    /** Declared hash-bucket layout `(col, numBuckets)` — the secondary
+      * clustering that lets storage-partitioned joins run on the KEY
+      * column (doc_id-shaped), not just the partition directory. Set
+      * on the first bucketed append or by DDL; a contract like
+      * [[declaredPartitionCol]] once set. */
+    def declaredBucket: Option[(String, Int)] = for {
+      c <- props.get(PropBucketCol)
+      n <- props.get(PropBucketN).flatMap(_.toIntOption) if n > 0
+    } yield (c, n)
     private def csvProp(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   }
@@ -106,6 +116,8 @@ object ManifestLake {
   private[core] val PropPartitionCol = "partitionCol"
   private[core] val PropStatsCols = "statsCols"
   private[core] val PropBloomCols = "bloomCols"
+  private[core] val PropBucketCol = "bucketCol"
+  private[core] val PropBucketN = "bucketN"
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -418,15 +430,22 @@ object ManifestLake {
       val sts = Vector.newBuilder[FileStats]
       val bfs = Vector.newBuilder[FileBloom]
       var nRows: Option[Long] = None
+      var nBucket: Option[Int] = None
       val nullsByCol = scala.collection.mutable.HashMap.empty[String, Long]
       segs.drop(1).foreach { seg =>
         val parts = seg.split(':')
-        // "rows:<n>" (exactly 2 parts) is unambiguous: stats segments
-        // always carry ≥3 parts (col:min:max), blooms ≥4 — no column
-        // name can encode to a 2-part segment
+        // "rows:<n>" / "bucket:<id>" (exactly 2 parts) are unambiguous:
+        // stats segments always carry ≥3 parts (col:min:max), blooms
+        // ≥4 — no column name can encode to a 2-part segment
         if (parts.length == 2 && parts(0) == "rows" &&
             parts(1).nonEmpty && parts(1).forall(_.isDigit)) {
           nRows = Some(parts(1).toLong)
+        } else if (parts.length == 2 && parts(0) == "bucket") {
+          // any 2-part bucket segment is claimed here (a stats segment
+          // needs ≥3 parts, so nothing else can own it); a malformed
+          // id degrades to absent rather than bricking the snapshot
+          nBucket = if (parts(1).nonEmpty && parts(1).forall(_.isDigit))
+            parts(1).toIntOption else None
         } else if (parts.length >= 4 && parts(parts.length - 3) == "bf") {
           val bytes = java.util.Base64.getDecoder.decode(parts.last)
           val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -452,15 +471,16 @@ object ManifestLake {
       }
       val stsWithNulls = sts.result().map(st =>
         nullsByCol.get(st.col).fold(st)(n => st.copy(nulls = Some(n))))
-      (segs.head, stsWithNulls, bfs.result(), nRows)
+      (segs.head, stsWithNulls, bfs.result(), nRows, nBucket)
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, sts, _, _) if sts.nonEmpty => p -> sts }.toMap,
+      txns, parsed.collect { case (p, sts, _, _, _) if sts.nonEmpty => p -> sts }.toMap,
       op, schema,
-      parsed.collect { case (p, _, bfs, _) if bfs.nonEmpty => p -> bfs }.toMap,
+      parsed.collect { case (p, _, bfs, _, _) if bfs.nonEmpty => p -> bfs }.toMap,
       ts,
-      parsed.collect { case (p, _, _, Some(n)) => p -> n }.toMap,
-      props)
+      parsed.collect { case (p, _, _, Some(n), _) => p -> n }.toMap,
+      props,
+      parsed.collect { case (p, _, _, _, Some(b)) => p -> b }.toMap)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -472,7 +492,8 @@ object ManifestLake {
                         blooms: Map[String, Vector[FileBloom]],
                         tsMillis: Long,
                         rows: Map[String, Long],
-                        props: Map[String, String]): Boolean = {
+                        props: Map[String, String],
+                        buckets: Map[String, Int]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
@@ -482,6 +503,7 @@ object ManifestLake {
       props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" }
     val fileLines = files.sorted.map { f =>
       val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
+        buckets.get(f).toVector.map(b => s"bucket:$b") ++
         stats.get(f).toVector.flatten.map(_.encoded) ++
         stats.get(f).toVector.flatten.flatMap(_.encodedNulls) ++
         blooms.get(f).toVector.flatten.map(_.encoded)
@@ -507,7 +529,8 @@ object ManifestLake {
                                   schema: Option[org.apache.spark.sql.types.StructType],
                                   blooms: Map[String, Vector[FileBloom]] = Map.empty,
                                   rows: Map[String, Long] = Map.empty,
-                                  props: Option[Map[String, String]] = None)
+                                  props: Option[Map[String, String]] = None,
+                                  buckets: Map[String, Int] = Map.empty)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -516,11 +539,17 @@ object ManifestLake {
       val latest = latestSnapshot(root.toString)
       intent(latest) match {
         case None => return latest
-        case Some(Ledger(files, txns, stats, op, schema, blooms, rows, propsOpt)) =>
+        case Some(Ledger(files, txns, stats, op, schema, blooms, rows, propsOpt,
+            newBuckets)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
           val liveRows = rows.view.filterKeys(fileSet).toMap
+          // bucket ids are INHERITED for surviving paths (UUID file
+          // names are never re-keyed) and added for new ones; a path
+          // a commit rewrites without bucketing simply has no entry
+          val liveBuckets = (latest.map(_.buckets).getOrElse(Map.empty) ++ newBuckets)
+            .view.filterKeys(fileSet).toMap
           // declared layout (CREATE TABLE) is INHERITED by default —
           // carried forward here, in one place, so no commit path can
           // ever drop it; only `create` sets it explicitly
@@ -528,9 +557,9 @@ object ManifestLake {
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
           if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
-              liveRows, props))
+              liveRows, props, liveBuckets))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
-              liveBlooms, Some(ts), liveRows, props))
+              liveBlooms, Some(ts), liveRows, props, liveBuckets))
       }
       attempt += 1
     }
@@ -570,32 +599,67 @@ object ManifestLake {
   /** Stage `df` (partitioned by `partitionCol`) into the lake's
     * partition directories under UUID names and return the relative
     * paths — files exist on disk but are NOT yet in any manifest. */
+  /** The synthetic stage-only directory column a bucketed write
+    * partitions by (stripped before files land — bucket membership
+    * lives in the MANIFEST, not the directory layout, so every
+    * existing path/partition-parsing rule is untouched). */
+  private val BucketDirCol = "__graft_bucket"
+
+  /** Spark-equivalent bucket id: `pmod(hash(col), n)` — the write side
+    * of the SPJ `bucket(n, col)` transform. Kept as the engine-wide
+    * definition so the write path, the SQL function catalog's
+    * evaluable form ([[GraftBucketFunction]]), and any repair job can
+    * never disagree on row placement. */
+  private[core] def bucketIdCol(col: String, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col(col)),
+      org.apache.spark.sql.functions.lit(n))
+
   private def stageFiles(s: SparkSession, root: Path, df: DataFrame,
                          partitionCol: String, maxRecordsPerFile: Long,
-                         writeOptions: Map[String, String]): Vector[String] = {
+                         writeOptions: Map[String, String],
+                         bucket: Option[(String, Int)] = None)
+      : (Vector[String], Map[String, Int]) = {
     val stage = root.resolve(s".stage_${UUID.randomUUID()}")
-    df.write.partitionBy(partitionCol)
+    val (toWrite, dirCols) = bucket match {
+      case Some((bcol, n)) =>
+        require(df.schema.fieldNames.contains(bcol),
+          s"bucket column '$bcol' missing from staged frame " +
+            s"(${df.schema.fieldNames.mkString(",")})")
+        (df.withColumn(BucketDirCol, bucketIdCol(bcol, n)),
+          Seq(partitionCol, BucketDirCol))
+      case None => (df, Seq(partitionCol))
+    }
+    toWrite.write.partitionBy(dirCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .options(writeOptions)
       .parquet(stage.toString)
     val moved = Vector.newBuilder[String]
-    val parts = Files.list(stage)
-    try parts.iterator().asScala.filter(Files.isDirectory(_)).foreach { pdir =>
-      val pname = pdir.getFileName.toString // "<partitionCol>=<value>"
+    val bucketOf = Map.newBuilder[String, Int]
+    def moveLeaves(pdir: Path, pname: String, b: Option[Int]): Unit = {
       val dest = root.resolve(pname)
       Files.createDirectories(dest)
       val fs = Files.list(pdir)
-      try fs.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { f =>
-          val unique = s"${UUID.randomUUID()}-${f.getFileName}"
+      try fs.iterator().asScala.foreach { f =>
+        val fname = f.getFileName.toString
+        if (fname.endsWith(".parquet")) {
+          val unique = s"${UUID.randomUUID()}-$fname"
           Files.move(f, dest.resolve(unique))
           moved += s"$pname/$unique"
+          b.foreach(id => bucketOf += s"$pname/$unique" -> id)
+        } else if (Files.isDirectory(f) && fname.startsWith(s"$BucketDirCol=")) {
+          // bucketed layout: one more stage-only dir level, stripped
+          // here — the id rides the manifest instead
+          moveLeaves(f, pname, fname.stripPrefix(s"$BucketDirCol=").toIntOption)
         }
-      finally fs.close()
+      } finally fs.close()
+    }
+    val parts = Files.list(stage)
+    try parts.iterator().asScala.filter(Files.isDirectory(_)).foreach { pdir =>
+      moveLeaves(pdir, pdir.getFileName.toString, None)
     } finally parts.close()
     deleteTree(stage)
-    moved.result()
+    (moved.result(), bucketOf.result())
   }
 
   /** `input_file_name()` → the lake-relative "<col>=<v>/<file>" key.
@@ -838,9 +902,15 @@ object ManifestLake {
   def create(dir: String, schema: org.apache.spark.sql.types.StructType,
              partitionCol: String,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Snapshot = {
+             bloomCols: Seq[String] = Nil,
+             bucketBy: Option[(String, Int)] = None): Snapshot = {
     require(schema.fieldNames.contains(partitionCol),
       s"partitionCol '$partitionCol' is not a column of the declared schema")
+    bucketBy.foreach { case (c, n) =>
+      require(schema.fieldNames.contains(c),
+        s"bucket column '$c' is not a column of the declared schema")
+      require(n > 0, s"bucketN must be positive, got $n")
+    }
     val unknown = (statsCols ++ bloomCols).filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
       s"declared stats/bloom columns not in the schema: ${unknown.mkString(", ")}")
@@ -854,7 +924,9 @@ object ManifestLake {
       (if (statsCols.nonEmpty) Map(PropStatsCols -> statsCols.distinct.mkString(","))
        else Map.empty) ++
       (if (bloomCols.nonEmpty) Map(PropBloomCols -> bloomCols.distinct.mkString(","))
-       else Map.empty)
+       else Map.empty) ++
+      bucketBy.map { case (c, n) =>
+        Map(PropBucketCol -> c, PropBucketN -> n.toString) }.getOrElse(Map.empty)
     commitLoop(root) {
       case Some(_) => throw new IllegalStateException(
         s"lake $dir was concurrently created — CREATE TABLE refuses to replace it")
@@ -896,7 +968,8 @@ object ManifestLake {
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Snapshot = {
+             bloomCols: Seq[String] = Nil,
+             bucketBy: Option[(String, Int)] = None): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     // fail a type flip BEFORE staging any bytes (racing commits are
@@ -913,7 +986,9 @@ object ManifestLake {
     }
     val effStats = (statsCols ++ pre.toSeq.flatMap(_.declaredStatsCols)).distinct
     val effBlooms = (bloomCols ++ pre.toSeq.flatMap(_.declaredBloomCols)).distinct
-    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions)
+    val bucket = effectiveBucket(dir, pre, bucketBy)
+    val (staged, stagedBuckets) =
+      stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions, bucket)
     val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
     val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
     commitLoop(root) { latest =>
@@ -922,9 +997,41 @@ object ManifestLake {
         latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "append",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
         latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms,
-        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows))
+        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows,
+        propsWithBucket(latest, bucket),
+        buckets = stagedBuckets))
     }.get
   }
+
+  /** Resolves the bucket layout an append must use: the lake's
+    * declared `(bucketCol, bucketN)` is LAW once set (an explicit
+    * conflicting spec refuses — silently re-bucketing would break the
+    * co-location every committed file already promises); a fresh/
+    * undeclared lake adopts the caller's spec and declares it. */
+  private def effectiveBucket(dir: String, pre: Option[Snapshot],
+                              bucketBy: Option[(String, Int)]): Option[(String, Int)] = {
+    val declared = pre.flatMap(_.declaredBucket)
+    (declared, bucketBy) match {
+      case (Some(d), Some(b)) if d != b =>
+        throw new IllegalArgumentException(
+          s"lake $dir is bucketed by (${d._1}, ${d._2}); cannot append " +
+            s"bucketed by (${b._1}, ${b._2})")
+      case (Some(d), _) => Some(d)
+      case (None, b)    => b
+    }
+  }
+
+  /** Ledger props override that DECLARES a first bucketed append's
+    * layout (merging with whatever is already declared); None when
+    * nothing new to declare, so ordinary inheritance applies. */
+  private def propsWithBucket(latest: Option[Snapshot],
+                              bucket: Option[(String, Int)]): Option[Map[String, String]] =
+    bucket match {
+      case Some((c, n)) if !latest.exists(_.declaredBucket.contains((c, n))) =>
+        Some(latest.map(_.props).getOrElse(Map.empty) ++
+          Map(PropBucketCol -> c, PropBucketN -> n.toString))
+      case _ => None
+    }
 
   /** Idempotent streaming append — the `foreachBatch` sink contract.
     * Structured Streaming delivers micro-batches AT LEAST once (a
@@ -954,7 +1061,8 @@ object ManifestLake {
     }
     val effStats = (statsCols ++ already.toSeq.flatMap(_.declaredStatsCols)).distinct
     val effBlooms = (bloomCols ++ already.toSeq.flatMap(_.declaredBloomCols)).distinct
-    val staged = stageFiles(s, root, df, partitionCol, maxRecordsPerFile, Map.empty)
+    val (staged, stagedBuckets) = stageFiles(s, root, df, partitionCol,
+      maxRecordsPerFile, Map.empty, already.flatMap(_.declaredBucket))
     // stats and blooms built OUTSIDE the commit loop (one scan of the
     // staged files, a CAS retry must not re-run it); a duplicate batch
     // detected inside the loop discards them with the staged files —
@@ -970,7 +1078,8 @@ object ManifestLake {
         latest.map(_.stats).getOrElse(Map.empty) ++ stagedStats, "batch",
         Some(evolveSchema(latest.flatMap(_.schema), df.schema)),
         latest.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms,
-        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows))
+        latest.map(_.rows).getOrElse(Map.empty) ++ stagedRows,
+        buckets = stagedBuckets))
     }.get
     if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
     snap
@@ -1127,23 +1236,24 @@ object ManifestLake {
         if (affected.isEmpty) 0L
         else if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
         else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
-      val keptFiles: Vector[String] =
-        if (affected.isEmpty) Vector.empty
+      val (keptFiles, keptBuckets): (Vector[String], Map[String, Int]) =
+        if (affected.isEmpty) (Vector.empty, Map.empty)
         else {
           val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
           val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
             .join(keys, keyCols, "left_anti")
             .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           stageFiles(s, root, survivors, partitionCol,
-            maxRecordsPerFile = 1024 * 1024, Map.empty)
+            maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
         }
 
       // 3. every update row lands once, as new files (schema order
       // aligned to the committed schema — parquet binds by name, the
       // alignment just keeps file layouts uniform)
       val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      val staged = stageFiles(s, root, aligned, partitionCol,
-        maxRecordsPerFile = 1024 * 1024, Map.empty)
+      val stagedPair = stageFiles(s, root, aligned, partitionCol,
+        maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
+      val staged = stagedPair._1
 
       // 4. skipping metadata for every written file, then one CAS swap
       val removedSet = affected.toSet
@@ -1166,7 +1276,8 @@ object ManifestLake {
             latest.txns, latest.stats -- removedSet ++ newStats, "merge",
             latest.schema,
             latest.blooms -- removedSet ++ newBlooms,
-            latest.rows -- removedSet ++ newRows))
+            latest.rows -- removedSet ++ newRows,
+            buckets = keptBuckets ++ stagedPair._2))
       }
       // rows removed = affected-file rows before minus survivor rows
       // after; both from metadata (manifest rows: / the commit's own
@@ -1348,12 +1459,12 @@ object ManifestLake {
     val rowsBefore: Long =
       if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
       else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
-    val newFiles: Vector[String] = {
+    val (newFiles, newBuckets): (Vector[String], Map[String, Int]) = {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
       val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
         .filter(!coalesce(predicate, lit(false)))
       stageFiles(s, root, survivors, partitionCol,
-        maxRecordsPerFile = 1024 * 1024, Map.empty)
+        maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
     }
 
     beforeCommit()
@@ -1382,7 +1493,8 @@ object ManifestLake {
           latest.txns, latest.stats -- removedSet ++ newStats, "delete",
           latest.schema,
           latest.blooms -- removedSet ++ newBlooms,
-          latest.rows -- removedSet ++ newRows))
+          latest.rows -- removedSet ++ newRows,
+          buckets = newBuckets))
     }
     // deleted = affected rows before minus survivor rows after, both
     // from metadata (manifest rows: / the commit's own footer pass)
@@ -1454,7 +1566,7 @@ object ManifestLake {
       // consumer already received when they were FIRST committed —
       // emitting them would deliver every restored row twice.
       if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
-          cur.op == "update" || cur.op == "restore")
+          cur.op == "update" || cur.op == "restore" || cur.op == "rebucket")
         Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]
@@ -1684,8 +1796,15 @@ object ManifestLake {
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
 
-    val byPartition: Map[String, Vector[String]] =
-      snap.files.groupBy(f => f.takeWhile(_ != '/'))
+    // The unit of compaction: a partition directory — or, on a
+    // bucketed lake, a (partition, bucket id) cell, so coalescing
+    // NEVER mixes buckets and maintenance preserves the co-location
+    // every SPJ plan relies on. Untagged files (SQL copy-on-write
+    // rewrites) form their own per-partition cell and stay untagged.
+    val bucketed = snap.declaredBucket.isDefined
+    val byUnit: Map[(String, Option[Int]), Vector[String]] =
+      snap.files.groupBy(f => (f.takeWhile(_ != '/'),
+        if (bucketed) snap.buckets.get(f) else None))
     // Snapshot-consistent row counts from the manifest files' parquet
     // FOOTERS, keyed by the directory name the manifest already
     // carries — metadata reads, no Spark job, and no re-formatting of
@@ -1694,15 +1813,17 @@ object ManifestLake {
     // special characters / nulls / date formatting silently missed,
     // defaulting the partition's count to 0 and coalescing it to one
     // oversized file).
-    val rowCounts: Map[String, Long] = {
-      val perFile = parMapMeta(byPartition.toSeq.flatMap {
-        case (pname, fs) => fs.map(f => (pname, f))
-      }) { case (pname, f) => (pname, rowCount(s, root.resolve(f))) }
-      perFile.groupBy(_._1).map { case (pname, cs) => pname -> cs.map(_._2).sum }
+    val rowCounts: Map[(String, Option[Int]), Long] = {
+      val perFile = parMapMeta(byUnit.toSeq.flatMap {
+        case (unit, fs) => fs.map(f => (unit, f))
+      }) { case (unit, f) => (unit, rowCount(s, root.resolve(f))) }
+      perFile.groupBy(_._1).map { case (unit, cs) => unit -> cs.map(_._2).sum }
     }
 
-    final case class Swap(pname: String, rows: Long, olds: Vector[String],
-                          news: Vector[String])
+    final case class Swap(pname: String, bucket: Option[Int], rows: Long,
+                          olds: Vector[String], news: Vector[String]) {
+      def key: String = pname + bucket.fold("")(b => s"#$b")
+    }
 
     // A partition is provably clustered from the MANIFEST alone when
     // every file carries clusterBy stats and the [min,max] ranges are
@@ -1719,8 +1840,9 @@ object ManifestLake {
       }
     }
 
-    def compactOne(pname: String, olds: Vector[String]): Either[CompactStat, Swap] = {
-      val rows = rowCounts.getOrElse(pname, 0L)
+    def compactOne(pname: String, bucket: Option[Int], olds: Vector[String])
+        : Either[CompactStat, Swap] = {
+      val rows = rowCounts.getOrElse((pname, bucket), 0L)
       val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
       if (olds.length <= target && alreadyClustered(olds))
         Left(CompactStat(pname.dropWhile(_ != '=').drop(1), rows, olds.length, olds.length))
@@ -1758,15 +1880,15 @@ object ManifestLake {
           }
         finally fs.close()
         deleteTree(stage)
-        Right(Swap(pname, rows, olds, news.result()))
+        Right(Swap(pname, bucket, rows, olds, news.result()))
       }
     }
 
-    // Per-partition rewrites are independent Spark jobs — submit them
+    // Per-unit rewrites are independent Spark jobs — submit them
     // through a bounded pool (same rationale as Layout.compactLake:
     // sequential submission pays each small job's scheduling round-trip
     // alone; the bound keeps a huge lake from flooding the scheduler).
-    val parts = byPartition.toVector.sortBy(_._1)
+    val parts = byUnit.toVector.sortBy(_._1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrent, parts.length)))
     val outcomes =
@@ -1774,8 +1896,8 @@ object ManifestLake {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         Await.result(
-          Future.sequence(parts.map { case (pname, olds) =>
-            Future(compactOne(pname, olds))
+          Future.sequence(parts.map { case ((pname, bucket), olds) =>
+            Future(compactOne(pname, bucket, olds))
           }),
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
@@ -1811,7 +1933,7 @@ object ManifestLake {
         val live = latest.files.toSet
         abandoned.clear()
         val (apply, drop) = swaps.partition(sw => sw.olds.forall(live.contains))
-        abandoned ++= drop.map(_.pname)
+        abandoned ++= drop.map(_.key)
         if (apply.isEmpty && drop.nonEmpty) None // everything raced away; nothing to commit
         else {
           val removed = apply.flatMap(_.olds).toSet
@@ -1838,21 +1960,69 @@ object ManifestLake {
             latest.txns, latest.stats -- removed ++ newStats, "compact",
             latest.schema,
             latest.blooms -- removed ++ rebuiltBlooms,
-            latest.rows -- removed ++ newRows))
+            latest.rows -- removed ++ newRows,
+            // a rewritten cell's files inherit its bucket id — compact
+            // on a bucketed lake PRESERVES full SPJ tag coverage
+            buckets = apply.flatMap(sw =>
+              sw.bucket.toSeq.flatMap(b => sw.news.map(_ -> b))).toMap))
         }
     }
-    swaps.filter(sw => abandoned.contains(sw.pname))
+    swaps.filter(sw => abandoned.contains(sw.key))
       .foreach(_.news.foreach(f => Files.deleteIfExists(root.resolve(f))))
 
     val swapStats = swaps.map { sw =>
       val after =
-        if (abandoned.contains(sw.pname))
+        if (abandoned.contains(sw.key))
           committed.map(_.files.count(_.startsWith(sw.pname + "/")).toLong)
             .getOrElse(sw.olds.length.toLong)
         else sw.news.length.toLong
       CompactStat(sw.pname.dropWhile(_ != '=').drop(1), sw.rows, sw.olds.length, after)
     }
     (untouched ++ swapStats).sortBy(_.partition)
+  }
+
+  /** Restores full SPJ bucket-tag coverage on a declared-bucket lake:
+    * rewrites every file the manifest cannot prove single-bucket (SQL
+    * copy-on-write UPDATEs/MERGEs leave such files) through the
+    * bucketed stager and swaps them in one "rebucket" commit. The
+    * degrade→repair contract: COW silently falls back to shuffled
+    * (correct) plans; one rebucket — cost proportional to UNTAGGED
+    * bytes, not lake size — turns the zero-shuffle join back on.
+    * CDC-invisible (a byte rewrite, like compact). Returns the number
+    * of files rewritten. */
+  def rebucket(s: SparkSession, dir: String): Int = {
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val spec = snap.declaredBucket.getOrElse(throw new IllegalStateException(
+      s"lake $dir declares no bucket layout — nothing to rebucket"))
+    val untagged = snap.files.filterNot(snap.buckets.contains)
+    if (untagged.isEmpty) return 0
+    val partitionCol = untagged.head.takeWhile(_ != '=')
+    val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+    val df = reader.parquet(untagged.map(f => s"$dir/$f"): _*)
+    val (news, newBuckets) = stageFiles(s, root, df, partitionCol,
+      maxRecordsPerFile = 1024 * 1024, Map.empty, Some(spec))
+    val statsCols = snap.stats.valuesIterator.flatten.map(_.col).toSeq.distinct.sorted
+    val (newStats, newRows) = footerMetaAll(s, root, news, statsCols)
+    val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col).toSeq.distinct.sorted
+    val newBlooms = buildBlooms(s, dir, news, bloomCols, newRows)
+    val removedSet = untagged.toSet
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (!removedSet.forall(latest.files.contains))
+          throw new IllegalStateException(
+            "a concurrent commit replaced files this rebucket rewrote — " +
+              "re-run against the new snapshot")
+        Some(Ledger(latest.files.filterNot(removedSet.contains) ++ news,
+          latest.txns, latest.stats -- removedSet ++ newStats, "rebucket",
+          latest.schema,
+          latest.blooms -- removedSet ++ newBlooms,
+          latest.rows -- removedSet ++ newRows,
+          buckets = newBuckets))
+    }
+    untagged.length
   }
 
   /** Default [[vacuum]] in-flight grace: anything modified in the last
@@ -1906,7 +2076,8 @@ object ManifestLake {
       if (latest.exists(_.version == toVersion)) None // already there
       else Some(Ledger(target.files,
         latest.map(_.txns).getOrElse(Map.empty),
-        target.stats, "restore", target.schema, target.blooms, target.rows))
+        target.stats, "restore", target.schema, target.blooms, target.rows,
+        buckets = target.buckets))
     }.get
   }
 

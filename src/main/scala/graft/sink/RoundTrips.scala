@@ -1722,7 +1722,164 @@ object RoundTrips {
        SELECT 'peek', 25, NULL, NULL, TRUE
        ORDER BY leg_tag"""
 
+  /** q167 — storage-partitioned join
+    * ([[graft.core.GraftScan.outputPartitioning]] +
+    * [[graft.core.KeyedFilePartition]]): two lakes partitioned on the
+    * same column join AND final-aggregate on it with ZERO shuffle
+    * exchanges once the session opts into Spark's SPJ machinery
+    * (`spark.sql.sources.v2.bucketing.enabled`). The 100 TB claim is
+    * the exchange itself: a fact⋈fact join co-partitioned by layout
+    * moves no bytes between executors, where the default plan shuffles
+    * BOTH sides. Legs: `spj` (bucketing on — the invariant pins the
+    * executed plan at zero shuffles; broadcast is disabled so the pin
+    * cannot pass by broadcasting) and `default` (bucketing off — same
+    * rows through the ordinary exchange plan, proving SPJ changed the
+    * plan, not the answer). The oracle replays both legs as the same
+    * per-source aggregate over `documents`. */
+  def qSpjJoinRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = freshDir("graft_spj_facts_").toString
+    val dims = freshDir("graft_spj_dims_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, facts, docs, "source")
+    graft.core.ManifestLake.append(s, dims,
+      docs.groupBy($"source").agg(
+        count(lit(1)).as("n_src"), sum($"n_chars".cast("long")).as("chars_src")),
+      "source")
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case n =>
+          (if (n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+           else 0) + n.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def joined: DataFrame =
+      s.read.format("graft").load(facts).join(s.read.format("graft").load(dims), "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars".cast("long")).as("sum_chars"),
+          max($"n_src").as("dim_n"), max($"chars_src").as("dim_chars"))
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    def leg(tag: String, on: Boolean): DataFrame =
+      try {
+        keys.foreach(k => s.conf.set(k,
+          if (k.endsWith("Threshold")) "-1" else on.toString))
+        val df = joined
+        val exchanges = shuffles(df)
+        // the SPJ leg must be exchange-free; the default leg must NOT
+        // be (otherwise the pin is vacuous at this SF)
+        df.withColumn("leg_tag", lit(tag))
+          .withColumn("invariant_ok",
+            lit(if (on) exchanges == 0 else exchanges > 0))
+          .select($"leg_tag", $"source", $"n_docs", $"sum_chars",
+            $"dim_n", $"dim_chars", $"invariant_ok")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    leg("spj", on = true).unionByName(leg("default", on = false))
+      .orderBy($"leg_tag", $"source")
+  }
+
+  val qSpjJoinRoundTripSql: String =
+    """WITH per_src AS (
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source)
+       SELECT leg_tag, source, n_docs, sum_chars,
+         n_docs AS dim_n, sum_chars AS dim_chars, TRUE AS invariant_ok
+       FROM per_src CROSS JOIN (SELECT UNNEST(['spj','default']) AS leg_tag)
+       ORDER BY leg_tag, source"""
+
+  /** q168 — BUCKETED storage-partitioned join
+    * ([[graft.core.ManifestLake]] `bucketBy` + manifest `bucket:`
+    * segments + [[graft.core.GraftBucketFunction]]): two lakes
+    * hash-bucketed on `doc_id` (the JOIN key, not the partition
+    * directory) join with ZERO shuffle exchanges through the SQL
+    * catalog — Spark resolves the scan-reported `bucket(n, doc_id)`
+    * transform against the catalog's function catalog and plans the
+    * join key-grouped. This is the 100 TB join that matters: dedup
+    * pairs, CDC upserts, score joins all key on doc_id, and bucketed
+    * layout deletes BOTH sides' exchanges at any scale. Legs: `spj`
+    * (bucketing on; invariant pins the executed join plan
+    * exchange-free, broadcast disabled) and `default` (gate off; same
+    * rows, must shuffle). The aggregate itself groups by `source`
+    * (≠ bucket key) so it shuffles normally in both legs — the pin is
+    * the JOIN-only frame. Oracle replays both legs from `documents`. */
+  def qBucketedSpjRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = freshDir("graft_spjb_facts_").toString
+    val dims = freshDir("graft_spjb_scores_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, facts, docs, "source",
+      bucketBy = Some(("doc_id", 8)))
+    graft.core.ManifestLake.append(s, dims,
+      docs.select($"doc_id", $"source",
+        ($"doc_id" % 97 + $"n_chars".cast("long")).as("score")),
+      "source", bucketBy = Some(("doc_id", 8)))
+    s.conf.set("spark.sql.catalog.graft_spjb",
+      classOf[graft.core.GraftCatalog].getName)
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case n =>
+          (if (n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+           else 0) + n.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def joined: DataFrame = s.sql(
+      s"SELECT f.source, f.n_chars, d.score FROM graft_spjb.`$facts` f " +
+        s"JOIN graft_spjb.`$dims` d ON f.doc_id = d.doc_id")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    def leg(tag: String, on: Boolean): DataFrame =
+      try {
+        keys.foreach(k => s.conf.set(k,
+          if (k.endsWith("Threshold")) "-1" else on.toString))
+        val exchanges = shuffles(joined)
+        joined.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars".cast("long")).as("sum_chars"),
+            sum($"score").as("sum_score"))
+          .withColumn("leg_tag", lit(tag))
+          .withColumn("invariant_ok",
+            lit(if (on) exchanges == 0 else exchanges > 0))
+          .select($"leg_tag", $"source", $"n_docs", $"sum_chars",
+            $"sum_score", $"invariant_ok")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    leg("spj", on = true).unionByName(leg("default", on = false))
+      .orderBy($"leg_tag", $"source")
+  }
+
+  val qBucketedSpjRoundTripSql: String =
+    """WITH per_src AS (
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id % 97 + n_chars) AS BIGINT) AS sum_score
+         FROM documents GROUP BY source)
+       SELECT leg_tag, source, n_docs, sum_chars, sum_score, TRUE AS invariant_ok
+       FROM per_src CROSS JOIN (SELECT UNNEST(['spj','default']) AS leg_tag)
+       ORDER BY leg_tag, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_bucketed_spj" -> qBucketedSpjRoundTrip,
+    "q167_spj_join" -> qSpjJoinRoundTrip,
     "q166_topk_skipping" -> qTopKRoundTrip,
     "q165_manifest_agg" -> qManifestAggRoundTrip,
     "q164_create_table" -> qCreateTableRoundTrip,
@@ -1751,6 +1908,8 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q168_bucketed_spj" -> qBucketedSpjRoundTripSql,
+    "q167_spj_join" -> qSpjJoinRoundTripSql,
     "q166_topk_skipping" -> qTopKRoundTripSql,
     "q165_manifest_agg" -> qManifestAggRoundTripSql,
     "q164_create_table" -> qCreateTableRoundTripSql,

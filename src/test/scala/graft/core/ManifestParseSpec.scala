@@ -104,6 +104,24 @@ class ManifestParseSpec extends AnyFunSuite {
     assert(ManifestLake.snapshotAsOfTimestamp(bad, Long.MaxValue).isEmpty)
   }
 
+  test("bucket segment parses; a column literally named 'bucket' stays a stats segment") {
+    val dir = lakeWith(Seq(
+      "#op:append", "#prop:bucketCol=doc_id", "#prop:bucketN=8",
+      "source=a/f1.parquet\trows:10\tbucket:3\tdoc_id:1:9",
+      "source=a/f2.parquet\tbucket:0",
+      // 3-part "bucket:1:2" is a column named bucket with numeric
+      // min/max — the 2-part dispatch must NOT swallow it
+      "source=a/f3.parquet\tbucket:1:2"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.buckets == Map("source=a/f1.parquet" -> 3, "source=a/f2.parquet" -> 0))
+    assert(snap.rows("source=a/f1.parquet") == 10L)
+    assert(snap.stats("source=a/f3.parquet").head.col == "bucket")
+    assert(snap.declaredBucket.contains(("doc_id", 8)))
+    // malformed id degrades to absent, never bricks the snapshot
+    val bad = lakeWith(Seq("source=a/f.parquet\tbucket:x9"))
+    assert(ManifestLake.latestSnapshot(bad).get.buckets.isEmpty)
+  }
+
   test("colon-bearing column names survive every segment kind") {
     val b64 = java.util.Base64.getEncoder.encodeToString("v".getBytes("UTF-8"))
     val bloomSeg = FileBloom("a:b", 7, Array(1L)).encoded

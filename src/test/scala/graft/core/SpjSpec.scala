@@ -1,0 +1,255 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins over the manifest lake
+  * ([[GraftScan.outputPartitioning]] + [[KeyedFilePartition]]): with
+  * `spark.sql.sources.v2.bucketing.enabled`, two lakes partitioned on
+  * the same column join — and aggregate on that column — with ZERO
+  * shuffle exchanges. The pins here are the 100 TB claim itself: the
+  * exchange SPJ deletes is the dominant cost of a co-partitioned
+  * fact⋈fact join at scale, and a regression that silently reintroduces
+  * it would never be caught by a correctness oracle (the rows stay
+  * right; only the plan rots). */
+class SpjSpec extends SparkSpec {
+
+  /** Executes the frame, then counts shuffle exchanges in the FINAL
+    * physical plan (descending through AQE's re-planned subtree —
+    * the pre-execution string of an adaptive plan still shows the
+    * speculative exchanges AQE may later elide). */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // materialized AQE stages are leaves (children = Nil) that hide
+      // their exchange inside `plan` — descend or undercount
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s =>
+        (if (s.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+          s.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def withSpj[T](on: Boolean)(body: => T): T = {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+      c.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", on.toString)
+      // pin the join shape: without this the dim-sized sides broadcast
+      // and the assertion would pass for the wrong reason
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
+  test("SPJ: co-partitioned lakes join + aggregate on the layout key with zero shuffles") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("spj_a").resolve("lake").toString
+    val b = Files.createTempDirectory("spj_b").resolve("lake").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    ManifestLake.append(spark, a, docs, "source")
+    ManifestLake.append(spark, b,
+      docs.groupBy($"source").agg(
+        count(lit(1)).as("n_src"), sum($"n_chars".cast("long")).as("chars_src")),
+      "source")
+
+    def joined: DataFrame = {
+      val la = spark.read.format("graft").load(a)
+      val lb = spark.read.format("graft").load(b)
+      la.join(lb, "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), max($"n_src").as("n_src"),
+          sum($"n_chars".cast("long")).as("chars"), max($"chars_src").as("chars_src"))
+    }
+
+    val (spjRows, spjShuffles) = withSpj(on = true) {
+      val df = joined
+      (df.orderBy($"source").collect().toSeq, shuffles(df))
+    }
+    assert(spjShuffles == 0,
+      s"co-partitioned lake join must plan zero shuffle exchanges, saw $spjShuffles")
+
+    // same rows with SPJ off (the baseline plan shuffles — proving the
+    // pin measures the exchange, not a trivially exchange-free query)
+    val (offRows, offShuffles) = withSpj(on = false) {
+      val df = joined
+      (df.orderBy($"source").collect().toSeq, shuffles(df))
+    }
+    assert(offShuffles > 0, "baseline (SPJ off) should shuffle — pin is vacuous")
+    assert(spjRows == offRows, "SPJ changed the join's rows")
+    // the per-source aggregates agree with their own join-side copies —
+    // the join really matched every source to its dim row
+    spjRows.foreach { r =>
+      assert(r.getAs[Long]("n_src") * 1L == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("chars_src") == r.getAs[Long]("chars"))
+    }
+  }
+
+  test("SPJ: final aggregation grouped by the partition column needs no exchange") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spj_agg").resolve("lake").toString
+    val docs = Tables.documents(spark, Sf0001).select($"doc_id", $"source")
+    ManifestLake.append(spark, dir, docs, "source")
+    val (rows, n) = withSpj(on = true) {
+      val df = spark.read.format("graft").load(dir)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      (df.orderBy($"source").collect().toSeq, shuffles(df))
+    }
+    assert(n == 0, s"groupBy(partition col) over a keyed scan must not shuffle, saw $n")
+    val expect = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .orderBy($"source").collect().toSeq
+    assert(rows == expect)
+  }
+
+  test("SPJ: bucketed lakes join on the BUCKET KEY (doc_id) with zero shuffles") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("spjb_a").resolve("lake").toString
+    val b = Files.createTempDirectory("spjb_b").resolve("lake").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    ManifestLake.append(spark, a, docs, "source", bucketBy = Some(("doc_id", 8)))
+    ManifestLake.append(spark, b,
+      docs.select($"doc_id", $"source",
+        ($"n_chars" * 2).cast("long").as("score2")),
+      "source", bucketBy = Some(("doc_id", 8)))
+    // bucket layout declared + every file tagged
+    val snapA = ManifestLake.latestSnapshot(a).get
+    assert(snapA.declaredBucket.contains(("doc_id", 8)))
+    assert(snapA.files.nonEmpty && snapA.files.forall(snapA.buckets.contains))
+    // bucket transforms resolve through the CATALOG's function catalog
+    spark.conf.set("spark.sql.catalog.graft_spjb", classOf[GraftCatalog].getName)
+    def joined: DataFrame = spark.sql(
+      s"SELECT a.doc_id, a.n_chars, b.score2 FROM graft_spjb.`$a` a " +
+        s"JOIN graft_spjb.`$b` b ON a.doc_id = b.doc_id")
+    val (rows, n) = withSpj(on = true) {
+      val df = joined
+      (df.orderBy($"doc_id").collect().toSeq, shuffles(df))
+    }
+    assert(n == 0,
+      s"bucket-co-located join on the bucket key must not shuffle, saw $n")
+    val (offRows, offN) = withSpj(on = false) {
+      val df = joined
+      (df.orderBy($"doc_id").collect().toSeq, shuffles(df))
+    }
+    assert(offN > 0, "baseline (SPJ off) should shuffle — bucket pin is vacuous")
+    assert(rows == offRows, "bucket SPJ changed the join's rows")
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[Long]("score2") == 2L * r.getAs[Number]("n_chars").longValue()))
+  }
+
+  test("SPJ: bucket placement survives merge/delete; COW rewrite degrades the report, not the rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spjb_dml").resolve("lake").toString
+    val mk = (from: Long, until: Long) => spark.range(from, until)
+      .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10L).as("score"))
+    ManifestLake.append(spark, dir, mk(0, 400), "source",
+      maxRecordsPerFile = 50L, bucketBy = Some(("doc_id", 4)),
+      statsCols = Seq("doc_id"))
+    // a conflicting explicit spec refuses — declared layout is law
+    assert(scala.util.Try(ManifestLake.append(spark, dir, mk(400, 410), "source",
+      bucketBy = Some(("doc_id", 16)))).isFailure)
+    // merge + delete preserve full bucket coverage (their rewrites
+    // restage through the bucketed writer)
+    ManifestLake.merge(spark, dir,
+      mk(100, 120).withColumn("score", lit(-1L)), Seq("doc_id"))
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" >= 300 && $"doc_id" < 310)
+    val afterDml = ManifestLake.latestSnapshot(dir).get
+    assert(afterDml.files.nonEmpty && afterDml.files.forall(afterDml.buckets.contains),
+      "merge/delete must keep every file bucket-tagged")
+    // compaction preserves tags: units are (partition, bucket) cells,
+    // so maintenance never mixes buckets or erodes SPJ coverage
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000L)
+    val afterCompact = ManifestLake.latestSnapshot(dir).get
+    assert(afterCompact.files.nonEmpty &&
+      afterCompact.files.forall(afterCompact.buckets.contains),
+      "bucket-cell compaction must keep every file tagged")
+    assert(afterCompact.buckets.values.toSet.size == 4,
+      "compaction must keep all 4 bucket cells distinct")
+    // SQL copy-on-write (UPDATE) writes files the engine can't prove
+    // single-bucket: those files drop the tag, the scan falls back to
+    // ordinary planning, and the ROWS stay exactly right
+    withSpj(on = true) {
+      spark.conf.set("spark.sql.catalog.graft_spjd", classOf[GraftCatalog].getName)
+      spark.sql(s"UPDATE graft_spjd.`$dir` SET score = -2 WHERE doc_id < 5")
+      val afterCow = ManifestLake.latestSnapshot(dir).get
+      assert(!afterCow.files.forall(afterCow.buckets.contains),
+        "COW-rewritten files must NOT claim a bucket id")
+      val df = spark.sql(s"SELECT doc_id, score FROM graft_spjd.`$dir`")
+      assert(df.count() == 390) // 400 appended − 10 deleted; merge upserted in place
+      assert(df.filter($"score" === -2L).count() == 5)
+      // CALL rebucket repairs coverage: only the untagged files
+      // rewrite (cost ∝ untagged bytes), rows unchanged, tags full
+      val repaired = spark.sql(s"CALL graft_spjd.rebucket('$dir')").collect()
+      assert(repaired.head.getInt(0) > 0, "rebucket should rewrite the COW files")
+      val afterFix = ManifestLake.latestSnapshot(dir).get
+      assert(afterFix.op == "rebucket")
+      assert(afterFix.files.forall(afterFix.buckets.contains),
+        "rebucket must restore full tag coverage")
+      val df2 = spark.sql(s"SELECT doc_id, score FROM graft_spjd.`$dir`")
+      assert(df2.count() == 390 && df2.filter($"score" === -2L).count() == 5)
+      // idempotent: a second call finds nothing untagged
+      assert(spark.sql(s"CALL graft_spjd.rebucket('$dir')")
+        .collect().head.getInt(0) == 0)
+    }
+  }
+
+  test("bucket function: V2 produceResult agrees with the write-side placement rule") {
+    import spark.implicits._
+    val fn = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val expect = spark.range(-5, 100)
+      .select($"id", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"),
+        lit(16)).as("b"))
+      .collect()
+    expect.foreach { r =>
+      val got = fn.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](16, r.getLong(0))))
+      assert(got == r.getInt(1), s"placement mismatch for key ${r.getLong(0)}")
+    }
+    // unsupported key types refuse at bind, not silently mis-place
+    assert(scala.util.Try(GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", DoubleType))))).isFailure)
+  }
+
+  test("SPJ off (default): planning and row-level scans are unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spj_off").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("s0").as("source")),
+      "source")
+    // default conf: the scan reports unknown partitioning and splits
+    // carry no keys — exactly the pre-SPJ planner input
+    val scan = spark.read.format("graft").load(dir)
+    assert(scan.count() == 100)
+    // DML through the row-level path still plans (rowLevel scans never
+    // report key grouping even with the conf on)
+    withSpj(on = true) {
+      spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      spark.sql(s"UPDATE graft.`$dir` SET doc_id = doc_id + 1000 WHERE doc_id < 10")
+      assert(spark.read.format("graft").load(dir)
+        .filter($"doc_id" >= 1000).count() == 10)
+    }
+  }
+}
