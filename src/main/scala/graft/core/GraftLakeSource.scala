@@ -117,7 +117,17 @@ final class GraftLake extends TableProvider with DataSourceRegister with StreamS
             "'statsCols'/'bloomCols' CSVs)"))
       def csv(k: String): Seq[String] = Option(options.get(k))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-      GraftLakeCreate(dir, schema, pc, csv("statsCols"), csv("bloomCols"))
+      // optional bucketCol+bucketN: create the lake hash-bucketed so
+      // SPJ on the join key works from the first commit (same keys as
+      // the DDL TBLPROPERTIES)
+      val bucketBy = (Option(options.get("bucketCol")),
+          Option(options.get("bucketN")).flatMap(_.toIntOption)) match {
+        case (Some(c), Some(n)) => Some((c.trim, n))
+        case (None, None)       => None
+        case _ => throw new IllegalArgumentException(
+          "bucketCol and bucketN writer options must be set together")
+      }
+      GraftLakeCreate(dir, schema, pc, csv("statsCols"), csv("bloomCols"), bucketBy)
     } else GraftLake.resolve(options)
   }
 }
@@ -128,7 +138,8 @@ final class GraftLake extends TableProvider with DataSourceRegister with StreamS
   * SQL append continues). */
 private[core] final case class GraftLakeCreate(
     dir: String, override val schema: StructType, partitionCol: String,
-    statsCols: Seq[String], bloomCols: Seq[String])
+    statsCols: Seq[String], bloomCols: Seq[String],
+    bucketBy: Option[(String, Int)] = None)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   require(schema.fieldNames.contains(partitionCol),
@@ -148,7 +159,7 @@ private[core] final case class GraftLakeCreate(
               // SaveMode.Append and ErrorIfExists both land here only
               // when no manifest exists — either way this IS creation
               ManifestLake.append(data.sparkSession, dir, data, partitionCol,
-                statsCols = statsCols, bloomCols = bloomCols)
+                statsCols = statsCols, bloomCols = bloomCols, bucketBy = bucketBy)
               ()
             }
         }

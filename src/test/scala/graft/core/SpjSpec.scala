@@ -233,6 +233,31 @@ class SpjSpec extends SparkSpec {
       StructField("n", IntegerType), StructField("k", DoubleType))))).isFailure)
   }
 
+  test("writer creation: bucketCol/bucketN options create a bucketed lake") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spjb_w").resolve("lake").toString
+    spark.range(0, 100).select($"id".as("doc_id"), lit("s").as("source"))
+      .write.format("graft").option("partitionCol", "source")
+      .option("bucketCol", "doc_id").option("bucketN", "4")
+      .mode("append").save(dir)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.declaredBucket.contains(("doc_id", 4)))
+    assert(snap.files.nonEmpty && snap.files.forall(snap.buckets.contains))
+    // later SQL INSERTs inherit the declared layout
+    spark.conf.set("spark.sql.catalog.graft_spjw", classOf[GraftCatalog].getName)
+    spark.range(100, 120).select($"id".as("doc_id"), lit("s").as("source"))
+      .createOrReplaceTempView("spjw_src")
+    spark.sql(s"INSERT INTO graft_spjw.`$dir` SELECT doc_id, source FROM spjw_src")
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.forall(v2.buckets.contains), "INSERT must stay bucketed")
+    // half-declared options refuse
+    val half = Files.createTempDirectory("spjb_w2").resolve("lake").toString
+    assert(scala.util.Try(
+      spark.range(0, 5).select($"id".as("doc_id"), lit("s").as("source"))
+        .write.format("graft").option("partitionCol", "source")
+        .option("bucketCol", "doc_id").mode("append").save(half)).isFailure)
+  }
+
   test("SPJ off (default): planning and row-level scans are unchanged") {
     import spark.implicits._
     val dir = Files.createTempDirectory("spj_off").resolve("lake").toString
