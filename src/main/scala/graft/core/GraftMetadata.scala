@@ -42,11 +42,13 @@ private[core] object GraftMetadata {
   val HistorySuffix = "$history"
   val FilesSuffix   = "$files"
   val PartitionsSuffix = "$partitions"
+  val DetailSuffix  = "$detail"
 
   sealed abstract class Kind
   case object History extends Kind
   case object FilesMeta extends Kind
   case object PartitionsMeta extends Kind
+  case object DetailMeta extends Kind
 
   /** Split a catalog identifier name into (lake dir, metadata kind) if
     * it carries a reserved suffix. A real directory whose name ends in
@@ -55,6 +57,8 @@ private[core] object GraftMetadata {
   def parse(name: String): Option[(String, Kind)] =
     if (name.endsWith(PartitionsSuffix))
       Some((name.dropRight(PartitionsSuffix.length), PartitionsMeta))
+    else if (name.endsWith(DetailSuffix))
+      Some((name.dropRight(DetailSuffix.length), DetailMeta))
     else if (name.endsWith(HistorySuffix))
       Some((name.dropRight(HistorySuffix.length), History))
     else if (name.endsWith(FilesSuffix))
@@ -95,6 +99,23 @@ private[core] object GraftMetadata {
     StructField("partition", StringType, nullable = true),
     StructField("n_files", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = true)))
+
+  /** `$detail` — Delta's `DESCRIBE DETAIL` analogue: ONE row
+    * summarizing the (possibly version-addressed) snapshot — layout,
+    * tracking, census — off one manifest parse. The operational
+    * "what IS this lake" question without reading a byte of data. */
+  val detailSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("committed_at", LongType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("partition_col", StringType, nullable = true),
+    StructField("bucket_col", StringType, nullable = true),
+    StructField("bucket_n", IntegerType, nullable = true),
+    StructField("bucket_tagged_files", IntegerType, nullable = false),
+    StructField("stats_cols", StringType, nullable = true),
+    StructField("bloom_cols", StringType, nullable = true)))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -173,6 +194,36 @@ private[core] object GraftMetadata {
         InternalRow(partition, fs.length, rows)
       }.toArray
   }
+
+  def detailRows(dir: String, versionAsOf: Option[Long]): Array[InternalRow] = {
+    val snap = versionAsOf match {
+      case Some(v) => ManifestLake.snapshotAt(dir, v).getOrElse(
+        throw new IllegalStateException(s"manifest v$v of $dir is missing"))
+      case None => ManifestLake.latestSnapshot(dir).getOrElse(
+        throw new IllegalStateException(s"no committed manifest in $dir"))
+    }
+    val pc: Any = snap.files.headOption.map(_.takeWhile(_ != '='))
+      .orElse(snap.declaredPartitionCol).map(utf8).orNull
+    val rows: Any =
+      if (snap.files.nonEmpty && snap.files.forall(snap.rows.contains))
+        Long.box(snap.files.map(snap.rows).sum)
+      else if (snap.files.isEmpty) Long.box(0L)
+      else null
+    def csvOrNull(cols: Iterator[String]): Any = {
+      val v = cols.toSeq.distinct.sorted
+      if (v.isEmpty) null else utf8(v.mkString(","))
+    }
+    Array(InternalRow(
+      snap.version, utf8(snap.op),
+      snap.tsMillis.map(Long.box).orNull,
+      snap.files.length, rows,
+      pc,
+      snap.declaredBucket.map(b => utf8(b._1)).orNull,
+      snap.declaredBucket.map(b => Int.box(b._2)).orNull,
+      snap.files.count(snap.buckets.contains),
+      csvOrNull(snap.stats.valuesIterator.flatten.map(_.col)),
+      csvOrNull(snap.blooms.valuesIterator.flatten.map(_.col))))
+  }
 }
 
 /** One resolved metadata table. Rows are computed lazily at scan build
@@ -188,6 +239,7 @@ private[core] final case class GraftMetadataTable(
       case GraftMetadata.History        => GraftMetadata.HistorySuffix
       case GraftMetadata.FilesMeta      => GraftMetadata.FilesSuffix
       case GraftMetadata.PartitionsMeta => GraftMetadata.PartitionsSuffix
+      case GraftMetadata.DetailMeta     => GraftMetadata.DetailSuffix
     }
     s"graft_meta_$dir$suffix"
   }
@@ -196,6 +248,7 @@ private[core] final case class GraftMetadataTable(
     case GraftMetadata.History        => GraftMetadata.historySchema
     case GraftMetadata.FilesMeta      => GraftMetadata.filesSchema
     case GraftMetadata.PartitionsMeta => GraftMetadata.partitionsSchema
+    case GraftMetadata.DetailMeta     => GraftMetadata.detailSchema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -210,6 +263,8 @@ private[core] final case class GraftMetadataTable(
           case GraftMetadata.FilesMeta      => GraftMetadata.filesRows(dir, versionAsOf)
           case GraftMetadata.PartitionsMeta =>
             GraftMetadata.partitionsRows(dir, versionAsOf)
+          case GraftMetadata.DetailMeta     =>
+            GraftMetadata.detailRows(dir, versionAsOf)
         }
         override def description(): String = name()
       }

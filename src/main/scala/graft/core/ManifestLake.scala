@@ -626,7 +626,15 @@ object ManifestLake {
         require(df.schema.fieldNames.contains(bcol),
           s"bucket column '$bcol' missing from staged frame " +
             s"(${df.schema.fieldNames.mkString(",")})")
-        (df.withColumn(BucketDirCol, bucketIdCol(bcol, n)),
+        // in-task sort by (partition, bucket, key): each staged file
+        // then holds ONE contiguous key run of its bucket, so tracked
+        // key stats are tight and point lookups prune within the
+        // bucket too — a free local sort, no shuffle
+        (df.withColumn(BucketDirCol, bucketIdCol(bcol, n))
+          .sortWithinPartitions(
+            org.apache.spark.sql.functions.col(partitionCol),
+            org.apache.spark.sql.functions.col(BucketDirCol),
+            org.apache.spark.sql.functions.col(bcol)),
           Seq(partitionCol, BucketDirCol))
       case None => (df, Seq(partitionCol))
     }

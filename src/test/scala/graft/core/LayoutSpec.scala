@@ -2313,6 +2313,33 @@ class LayoutSpec extends SparkSpec {
     assert(v1 == Seq(100L, 100L, 100L), v1.toString)
   }
 
+  test("$detail metadata table: one-row lake summary incl. bucket layout, version-addressable") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mdetail").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 200).select($"id".as("doc_id"),
+        concat(lit("s"), pmod($"id", lit(2))).as("source")),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"),
+      bucketBy = Some(("doc_id", 4)))
+    val r = spark.sql(s"SELECT * FROM graft.`$dir$$detail`").collect()
+    assert(r.length == 1)
+    val d = r.head
+    assert(d.getAs[Long]("version") == 1L && d.getAs[String]("op") == "append")
+    assert(d.getAs[Long]("rows") == 200L)
+    assert(d.getAs[String]("partition_col") == "source")
+    assert(d.getAs[String]("bucket_col") == "doc_id" && d.getAs[Int]("bucket_n") == 4)
+    assert(d.getAs[Int]("bucket_tagged_files") == d.getAs[Int]("n_files"))
+    assert(d.getAs[String]("stats_cols") == "doc_id"
+      && d.getAs[String]("bloom_cols") == "doc_id")
+    // grows with history; VERSION AS OF reads the old summary
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 50)
+    val v2 = spark.sql(s"SELECT op, rows FROM graft.`$dir$$detail`").head()
+    assert(v2.getString(0) == "delete" && v2.getLong(1) == 150L)
+    val v1d = spark.sql(
+      s"SELECT rows FROM graft.`$dir$$detail` VERSION AS OF 1").head()
+    assert(v1d.getLong(0) == 200L)
+  }
+
   test("manifest limit pushdown: LIMIT n opens a row-covering file prefix, not the lake") {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     val dir = Files.createTempDirectory("mlimit").resolve("lake").toString
