@@ -1252,10 +1252,21 @@ private[core] final class ReorderingReaderFactory(
   * Spark pushes, and LayoutSpec pins the survival rule itself. */
 private[core] final class GraftMicroBatchStream(scan: GraftScan)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def dir = scan.table.dir
+
+  /** `Trigger.AvailableNow` — process everything committed as of query
+    * START (in admission-bounded batches), then terminate. The target
+    * version pins HERE, once; every later offset request is capped by
+    * it, so commits racing the drain are left for the next run instead
+    * of turning "available now" into "tail forever". */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
 
   private final case class V(v: Long) extends Offset {
     override def json: String = v.toString
@@ -1273,8 +1284,11 @@ private[core] final class GraftMicroBatchStream(scan: GraftScan)
       V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
     case Some(StreamStart.At(v)) => V(v - 1)
   }
-  override def latestOffset(): Offset =
-    V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
+  private def cappedLatest(): Long = {
+    val actual = ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L)
+    availableNowCap.fold(actual)(math.min(actual, _))
+  }
+  override def latestOffset(): Offset = V(cappedLatest())
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
 
   /** Admission control — `maxVersionsPerTrigger` / `maxFilesPerTrigger`
@@ -1292,7 +1306,7 @@ private[core] final class GraftMicroBatchStream(scan: GraftScan)
   override def reportLatestOffset(): Offset = latestOffset()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[V].v
-    val latest = ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L)
+    val latest = cappedLatest()
     if (latest <= s0) return V(s0)
     (scan.maxVersionsPerTrigger, scan.maxFilesPerTrigger) match {
       case (None, None) => V(latest)

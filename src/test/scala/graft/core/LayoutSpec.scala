@@ -2313,6 +2313,45 @@ class LayoutSpec extends SparkSpec {
     assert(v1 == Seq(100L, 100L, 100L), v1.toString)
   }
 
+  test("DSv2 streaming source: Trigger.AvailableNow drains the backfill paced, then terminates") {
+    val dir = Files.createTempDirectory("mavail").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+    (0 until 4).foreach(i =>
+      ManifestLake.append(spark, dir, batch(i * 25, (i + 1) * 25), "source"))
+    val ckpt = Files.createTempDirectory("mavail_ckpt").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft").option("path", dir)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("memory").queryName("graft_avail_sink")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    val q = run()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must TERMINATE once the pinned target drains")
+    assert(spark.table("graft_avail_sink").count() == 100)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes.length == 4 && sizes.forall(_ == 25),
+      s"admission control still paces the AvailableNow drain: $sizes")
+    // a commit landing after termination is NOT consumed until the
+    // next run — which (via foreachBatch: the memory sink refuses
+    // checkpoint recovery) drains exactly the one new version and stops
+    ManifestLake.append(spark, dir, batch(100, 110), "source")
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("graft").option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        seen.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(seen.get() == 10, s"restart must drain ONLY the new commit, got ${seen.get()}")
+  }
+
   test("$detail metadata table: one-row lake summary incl. bucket layout, version-addressable") {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     val dir = Files.createTempDirectory("mdetail").resolve("lake").toString
