@@ -1877,7 +1877,111 @@ object RoundTrips {
        FROM per_src CROSS JOIN (SELECT UNNEST(['spj','default']) AS leg_tag)
        ORDER BY leg_tag, source"""
 
+  /** q169 — the lake-as-streaming-hub, end to end: a 3-commit source
+    * lake drains through `readStream.format("graft")` (admission-paced,
+    * `Trigger.AvailableNow` so the query TERMINATES when the pinned
+    * backfill is gone) into a DDL-created hash-bucketed sink lake via
+    * `writeStream.format("graft")` — exactly-once per micro-batch (the
+    * `#txn` high-water rides the same CAS as the files), each batch
+    * inheriting the sink's DECLARED bucket layout — and the landed
+    * corpus then joins a batch-built score lake on `doc_id` with zero
+    * shuffle exchanges (SPJ over `bucket(8, doc_id)` on both sides).
+    * Every streaming feature the engine ships, composed, with a DuckDB
+    * oracle on the result. Legs: `spj` (gate on, join-frame pinned
+    * exchange-free) and `default` (gate off, same rows, must shuffle).
+    * Extra invariants on the spj leg: the stream terminated, ran ≥3
+    * batches (admission pacing), and every sink file is bucket-tagged. */
+  def qStreamHubRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_hub_src_").toString
+    val dst = freshDir("graft_hub_dst_").toString
+    val ckpt = freshDir("graft_hub_ckpt_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val m = docs.agg(max($"doc_id")).head().getLong(0)
+    // 3-commit source history (split by doc_id thirds)
+    Seq((0L, m / 3), (m / 3, 2 * m / 3), (2 * m / 3, m + 1)).foreach {
+      case (lo, hi) =>
+        graft.core.ManifestLake.append(s, src,
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi), "source")
+    }
+    // DDL-first bucketed sink: the stream inherits the declaration
+    graft.core.ManifestLake.create(dst,
+      docs.schema, "source", statsCols = Seq("doc_id"),
+      bucketBy = Some(("doc_id", 8)))
+    val q = s.readStream.format("graft").option("path", src)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("graft").option("path", dst)
+      .option("appId", "graft-hub")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val terminated = q.awaitTermination(300000)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val snap = graft.core.ManifestLake.latestSnapshot(dst).get
+    val streamOk = terminated && batches >= 3 &&
+      snap.txns.contains("graft-hub") &&
+      snap.files.nonEmpty && snap.files.forall(snap.buckets.contains)
+    // batch-built score lake, same bucket layout
+    val scores = freshDir("graft_hub_scores_").toString
+    graft.core.ManifestLake.append(s, scores,
+      docs.select($"doc_id", $"source",
+        ($"doc_id" % 89 + $"n_chars".cast("long")).as("score")),
+      "source", bucketBy = Some(("doc_id", 8)))
+    s.conf.set("spark.sql.catalog.graft_hub",
+      classOf[graft.core.GraftCatalog].getName)
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        case n =>
+          (if (n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+           else 0) + n.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def joined: DataFrame = s.sql(
+      s"SELECT d.source, d.n_chars, sc.score FROM graft_hub.`$dst` d " +
+        s"JOIN graft_hub.`$scores` sc ON d.doc_id = sc.doc_id")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    def leg(tag: String, on: Boolean): DataFrame =
+      try {
+        keys.foreach(k => s.conf.set(k,
+          if (k.endsWith("Threshold")) "-1" else on.toString))
+        val exchanges = shuffles(joined)
+        joined.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars".cast("long")).as("sum_chars"),
+            sum($"score").as("sum_score"))
+          .withColumn("leg_tag", lit(tag))
+          .withColumn("invariant_ok",
+            lit(if (on) exchanges == 0 && streamOk else exchanges > 0))
+          .select($"leg_tag", $"source", $"n_docs", $"sum_chars",
+            $"sum_score", $"invariant_ok")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    leg("spj", on = true).unionByName(leg("default", on = false))
+      .orderBy($"leg_tag", $"source")
+  }
+
+  val qStreamHubRoundTripSql: String =
+    """WITH per_src AS (
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id % 89 + n_chars) AS BIGINT) AS sum_score
+         FROM documents GROUP BY source)
+       SELECT leg_tag, source, n_docs, sum_chars, sum_score, TRUE AS invariant_ok
+       FROM per_src CROSS JOIN (SELECT UNNEST(['spj','default']) AS leg_tag)
+       ORDER BY leg_tag, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_stream_hub" -> qStreamHubRoundTrip,
     "q168_bucketed_spj" -> qBucketedSpjRoundTrip,
     "q167_spj_join" -> qSpjJoinRoundTrip,
     "q166_topk_skipping" -> qTopKRoundTrip,
@@ -1908,6 +2012,7 @@ object RoundTrips {
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
   val oracles: Map[String, String] = Map(
+    "q169_stream_hub" -> qStreamHubRoundTripSql,
     "q168_bucketed_spj" -> qBucketedSpjRoundTripSql,
     "q167_spj_join" -> qSpjJoinRoundTripSql,
     "q166_topk_skipping" -> qTopKRoundTripSql,

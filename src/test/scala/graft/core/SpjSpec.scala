@@ -154,6 +154,16 @@ class SpjSpec extends SparkSpec {
     assert(rows == offRows, "bucket SPJ changed the join's rows")
     assert(rows.nonEmpty && rows.forall(r =>
       r.getAs[Long]("score2") == 2L * r.getAs[Number]("n_chars").longValue()))
+    // aggregation grouped by the bucket key clusters the same way —
+    // bucket(n, doc_id) co-locates equal doc_ids, so the final agg
+    // needs no exchange either
+    val (aggRows, aggN) = withSpj(on = true) {
+      val df = spark.sql(s"SELECT doc_id, COUNT(*) AS n, SUM(n_chars) AS c " +
+        s"FROM graft_spjb.`$a` GROUP BY doc_id")
+      (df.count(), shuffles(df))
+    }
+    assert(aggRows > 0)
+    assert(aggN == 0, s"groupBy(bucket key) over a keyed scan must not shuffle, saw $aggN")
   }
 
   test("SPJ: bucket placement survives merge/delete; COW rewrite degrades the report, not the rows") {
