@@ -87,8 +87,10 @@ private[core] final class GraftRowLevelOperation(
     s"GraftRowLevel(${info.command}, ${table.dir})"
 }
 
-/** One task's commit: the lake-relative files it wrote. */
-private[core] final case class GraftWriteCommit(files: Vector[String])
+/** One task's commit: the lake-relative files it wrote, plus the
+  * bucket id of each single-bucket file (empty on unbucketed lakes). */
+private[core] final case class GraftWriteCommit(files: Vector[String],
+                                                buckets: Map[String, Int] = Map.empty)
     extends WriterCommitMessage
 
 /** The ReplaceData batch write — see [[GraftRowLevelOperation]]. */
@@ -125,17 +127,25 @@ private[core] final class GraftReplaceBatchWrite(
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
       sqlConf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT))
+    // bucketed lakes stay bucketed through SQL copy-on-write: the
+    // task writer routes rows per (partition, bucket id) — the same
+    // placement rule as the stager — and the commit tags the written
+    // files, so an UPDATE/MERGE no longer degrades SPJ coverage
+    val bucket = table.snap.declaredBucket
+      .filter { case (c, _) => schema.fieldNames.contains(c) }
     GraftWriterFactory(table.dir, partitionCol, schema,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf), bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.iterator
-      .map(_.asInstanceOf[GraftWriteCommit]).flatMap(_.files).toVector
+    val commits = messages.iterator
+      .map(_.asInstanceOf[GraftWriteCommit]).toVector
+    val added = commits.flatMap(_.files)
     val removed = op.scannedFiles.toSet
     if (removed.nonEmpty || added.nonEmpty) {
       ManifestLake.commitReplace(SparkSession.active, table.dir, removed,
-        added, op.command().toString.toLowerCase(java.util.Locale.ROOT))
+        added, op.command().toString.toLowerCase(java.util.Locale.ROOT),
+        addedBuckets = commits.flatMap(_.buckets).toMap)
       ()
     }
   }
@@ -150,9 +160,10 @@ private[core] final class GraftReplaceBatchWrite(
 
 private[core] final case class GraftWriterFactory(
     dir: String, partitionCol: String, schema: StructType,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    bucket: Option[(String, Int)] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, partitionCol, schema, conf, partitionId, taskId)
+    new GraftDataWriter(dir, partitionCol, schema, conf, partitionId, taskId, bucket)
 }
 
 /** Routes rows to one parquet writer per partition value (dynamic
@@ -162,11 +173,19 @@ private[core] final case class GraftWriterFactory(
   * crash's orphans age out through vacuum. */
 private[core] final class GraftDataWriter(
     dir: String, partitionCol: String, schema: StructType,
-    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long,
+    bucket: Option[(String, Int)] = None)
     extends DataWriter[InternalRow] {
 
   private val partIdx = schema.fieldIndex(partitionCol)
   private val partType = schema(partIdx).dataType
+  // (schema index, type, n) of the bucket key — routes each row to a
+  // per-(partition, bucket) writer with the engine-wide placement rule
+  // (Murmur3HashFunction ≡ the stager's pmod(hash(col), n))
+  private val bucketKey: Option[(Int, org.apache.spark.sql.types.DataType, Int)] =
+    bucket.map { case (c, n) =>
+      val i = schema.fieldIndex(c); (i, schema(i).dataType, n)
+    }
   // ReplaceData rows carry a leading __row_operation int marker when
   // the operation requested no metadata projection (Spark's plain
   // DataWritingSparkTask hands the query rows through raw); detect the
@@ -183,15 +202,17 @@ private[core] final class GraftDataWriter(
         .filterNot(_._1.name == partitionCol)
         .map { case (f, i) => BoundReference(i + offset, f.dataType, f.nullable) })
   }
-  private val writers = mutable.Map.empty[String, ParquetOutputWriter]
+  private val writers = mutable.Map.empty[(String, Option[Int]), ParquetOutputWriter]
   private val written = mutable.ArrayBuffer.empty[String]
+  private val writtenBuckets = mutable.Map.empty[String, Int]
 
-  private def writerFor(pdir: String): ParquetOutputWriter =
-    writers.getOrElseUpdate(pdir, {
+  private def writerFor(pdir: String, b: Option[Int]): ParquetOutputWriter =
+    writers.getOrElseUpdate((pdir, b), {
       val rel = s"$pdir/${UUID.randomUUID()}-part-$partitionId-$taskId.snappy.parquet"
       val abs = Paths.get(dir).resolve(rel)
       Files.createDirectories(abs.getParent)
       written += rel
+      b.foreach(writtenBuckets(rel) = _)
       val attempt = new TaskAttemptID(
         new TaskID(new JobID("graft_rlw", 0), TaskType.MAP, partitionId),
         taskId.toInt)
@@ -217,12 +238,18 @@ private[core] final class GraftDataWriter(
         }
         ExternalCatalogUtils.escapePathName(rendered)
       }
-    writerFor(s"$partitionCol=$pval").write(dataProj(row))
+    val b = bucketKey.map { case (i, dt, n) =>
+      val bi = i + offset
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(if (row.isNullAt(bi)) null else row.get(bi, dt), dt, 42L).toInt
+      ((h % n) + n) % n
+    }
+    writerFor(s"$partitionCol=$pval", b).write(dataProj(row))
   }
 
   override def commit(): WriterCommitMessage = {
     writers.valuesIterator.foreach(_.close())
-    GraftWriteCommit(written.toVector)
+    GraftWriteCommit(written.toVector, writtenBuckets.toMap)
   }
 
   override def abort(): Unit = {

@@ -1328,7 +1328,9 @@ object ManifestLake {
 
   private[core] def commitReplace(s: SparkSession, dir: String,
                                   removed: Set[String], added: Vector[String],
-                                  op: String): Snapshot = {
+                                  op: String,
+                                  addedBuckets: Map[String, Int] = Map.empty)
+      : Snapshot = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
@@ -1350,7 +1352,8 @@ object ManifestLake {
           latest.txns, latest.stats -- removed ++ newStats, op,
           latest.schema,
           latest.blooms -- removed ++ newBlooms,
-          latest.rows -- removed ++ newRows))
+          latest.rows -- removed ++ newRows,
+          buckets = addedBuckets))
     }.get
   }
 

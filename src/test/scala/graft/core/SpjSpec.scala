@@ -194,32 +194,60 @@ class SpjSpec extends SparkSpec {
       "bucket-cell compaction must keep every file tagged")
     assert(afterCompact.buckets.values.toSet.size == 4,
       "compaction must keep all 4 bucket cells distinct")
-    // SQL copy-on-write (UPDATE) writes files the engine can't prove
-    // single-bucket: those files drop the tag, the scan falls back to
-    // ordinary planning, and the ROWS stay exactly right
+    // SQL copy-on-write (UPDATE) routes its rewrite per (partition,
+    // bucket) with the engine-wide placement rule — tags stay FULL,
+    // the rows stay right, and rebucket finds nothing to repair
     withSpj(on = true) {
       spark.conf.set("spark.sql.catalog.graft_spjd", classOf[GraftCatalog].getName)
       spark.sql(s"UPDATE graft_spjd.`$dir` SET score = -2 WHERE doc_id < 5")
       val afterCow = ManifestLake.latestSnapshot(dir).get
-      assert(!afterCow.files.forall(afterCow.buckets.contains),
-        "COW-rewritten files must NOT claim a bucket id")
+      assert(afterCow.files.forall(afterCow.buckets.contains),
+        "COW rewrite must keep every file bucket-tagged")
       val df = spark.sql(s"SELECT doc_id, score FROM graft_spjd.`$dir`")
       assert(df.count() == 390) // 400 appended − 10 deleted; merge upserted in place
       assert(df.filter($"score" === -2L).count() == 5)
-      // CALL rebucket repairs coverage: only the untagged files
-      // rewrite (cost ∝ untagged bytes), rows unchanged, tags full
-      val repaired = spark.sql(s"CALL graft_spjd.rebucket('$dir')").collect()
-      assert(repaired.head.getInt(0) > 0, "rebucket should rewrite the COW files")
-      val afterFix = ManifestLake.latestSnapshot(dir).get
-      assert(afterFix.op == "rebucket")
-      assert(afterFix.files.forall(afterFix.buckets.contains),
-        "rebucket must restore full tag coverage")
-      val df2 = spark.sql(s"SELECT doc_id, score FROM graft_spjd.`$dir`")
-      assert(df2.count() == 390 && df2.filter($"score" === -2L).count() == 5)
-      // idempotent: a second call finds nothing untagged
       assert(spark.sql(s"CALL graft_spjd.rebucket('$dir')")
-        .collect().head.getInt(0) == 0)
+        .collect().head.getInt(0) == 0, "full coverage — nothing to rebucket")
+      // placement INTEGRITY, not just coverage: every file's rows must
+      // hash to its claimed bucket — a tag that lied here would make
+      // SPJ silently co-locate wrong rows and corrupt join results
+      afterCow.files.foreach { f =>
+        val wrong = spark.read.parquet(s"$dir/$f")
+          .filter(pmod(hash($"doc_id"), lit(4)) =!= afterCow.buckets(f))
+          .count()
+        assert(wrong == 0, s"file $f claims bucket ${afterCow.buckets(f)} " +
+          s"but holds $wrong foreign rows")
+      }
     }
+  }
+
+  test("SPJ: late-declared bucketing — legacy files untagged, CALL rebucket repairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spjb_late").resolve("lake").toString
+    val mk = (from: Long, until: Long) => spark.range(from, until)
+      .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10L).as("score"))
+    // v1: unbucketed append (legacy data)
+    ManifestLake.append(spark, dir, mk(0, 100), "source")
+    // v2: a bucketed append ADOPTS and declares the layout; the legacy
+    // files stay untagged, so the scan must NOT report co-location
+    ManifestLake.append(spark, dir, mk(100, 200), "source",
+      bucketBy = Some(("doc_id", 4)))
+    val mixed = ManifestLake.latestSnapshot(dir).get
+    assert(mixed.declaredBucket.contains(("doc_id", 4)))
+    assert(!mixed.files.forall(mixed.buckets.contains),
+      "legacy files must stay untagged until rebucketed")
+    // repair: rewrite EXACTLY the untagged files, coverage complete
+    spark.conf.set("spark.sql.catalog.graft_late", classOf[GraftCatalog].getName)
+    val n = spark.sql(s"CALL graft_late.rebucket('$dir')").collect().head.getInt(0)
+    assert(n > 0)
+    val fixed = ManifestLake.latestSnapshot(dir).get
+    assert(fixed.op == "rebucket" && fixed.files.forall(fixed.buckets.contains))
+    val df = spark.sql(s"SELECT doc_id, score FROM graft_late.`$dir`")
+    assert(df.count() == 200)
+    assert(df.agg(sum($"score")).head().getLong(0) == (0L until 200L).map(_ * 10).sum)
+    // idempotent
+    assert(spark.sql(s"CALL graft_late.rebucket('$dir')")
+      .collect().head.getInt(0) == 0)
   }
 
   test("bucket function: V2 produceResult agrees with the write-side placement rule") {
