@@ -221,6 +221,37 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ: one-side shuffle — an arbitrary delta shuffles INTO the lake's bucketing") {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("spjb_shuf").resolve("lake").toString
+    ManifestLake.append(spark, lake,
+      spark.range(0, 10000).select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 3).as("v")),
+      "source", bucketBy = Some(("doc_id", 8)))
+    spark.conf.set("spark.sql.catalog.graft_shuf", classOf[GraftCatalog].getName)
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    try withSpj(on = true) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      spark.range(0, 500).select($"id".as("doc_id"), ($"id" * 7).as("w"))
+        .createOrReplaceTempView("spjb_delta")
+      val df = spark.sql(s"SELECT l.doc_id, l.v, d.w FROM graft_shuf.`$lake` l " +
+        "JOIN spjb_delta d ON l.doc_id = d.doc_id")
+      val n = shuffles(df)
+      // exactly ONE exchange: the delta side, repartitioned by the
+      // lake's OWN bucket function (Spark evaluates GraftBucketFunction
+      // to place the delta rows); the 100 TB lake side never moves
+      assert(n == 1, s"only the delta side should shuffle, saw $n exchanges")
+      // 500/500 matches is the placement-parity proof: if the V2
+      // function disagreed with the write-side rule by even one row,
+      // that key would land in the wrong partition and the match lost
+      assert(df.count() == 500)
+      assert(df.agg(sum($"w")).head().getLong(0) == (0L until 500L).map(_ * 7).sum)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("SPJ: late-declared bucketing — legacy files untagged, CALL rebucket repairs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("spjb_late").resolve("lake").toString
