@@ -87,6 +87,37 @@ object ProbeSpj {
       f""""spj_off_sec":${med(offSecs)}%.3f,"spj_off_exchanges":$offEx}""")
     require(onEx == 0, s"SPJ leg planned $onEx exchanges — co-location broken")
     require(offEx > 0, "baseline planned no exchange — probe is vacuous")
+
+    // the operational query: a FIXED 1,000-key delta (not a lake —
+    // the day's fresh batch) joins the bucketed corpus. With one-side
+    // shuffle the delta repartitions by the lake's own bucket
+    // function and the lake never moves — this leg's cost must stay
+    // ~flat as the corpus grows; the both-sides baseline grows with it
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    def deltaJoin: DataFrame = {
+      spark.range(0, 1000).select($"id".as("doc_id"), ($"id" * 7).as("w"))
+        .createOrReplaceTempView("probe_delta")
+      spark.sql(s"SELECT f.doc_id, f.n_chars, d.w FROM graft_probe.`$facts` f " +
+        "JOIN probe_delta d ON f.doc_id = d.doc_id")
+    }
+    def timeDelta(oneSide: Boolean): (Double, Int) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", oneSide.toString)
+      if (!oneSide) spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      else spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val df = deltaJoin
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, exchanges(df))
+    }
+    val dRuns = (1 to 3).map(_ => (timeDelta(true), timeDelta(false)))
+    val d1 = dRuns.map(_._1._1); val d2 = dRuns.map(_._2._1)
+    val d1Ex = dRuns.map(_._1._2).max; val d2Ex = dRuns.map(_._2._2).min
+    println(f"""{"probe":"spj_delta","corpus":"$corpus","rows":$nRows,""" +
+      f""""one_side_sec":${med(d1)}%.3f,"one_side_exchanges":$d1Ex,""" +
+      f""""both_sides_sec":${med(d2)}%.3f,"both_sides_exchanges":$d2Ex}""")
+    require(d1Ex == 1, s"one-side leg planned $d1Ex exchanges — expected 1 (delta only)")
+    require(d2Ex >= 2, "baseline should shuffle both sides")
     spark.stop()
   }
 }

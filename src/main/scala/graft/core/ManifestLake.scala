@@ -2001,7 +2001,14 @@ object ManifestLake {
     * bytes, not lake size — turns the zero-shuffle join back on.
     * CDC-invisible (a byte rewrite, like compact). Returns the number
     * of files rewritten. */
-  def rebucket(s: SparkSession, dir: String): Int = {
+  def rebucket(s: SparkSession, dir: String): Int =
+    rebucket(s, dir, () => ())
+
+  /** Test seam, as for merge/deleteWhere: `beforeCommit` runs after
+    * the rewrites, before the commit loop — the window a concurrent
+    * append's commit must be rebased over (set-union keeps it). */
+  private[core] def rebucket(s: SparkSession, dir: String,
+                             beforeCommit: () => Unit): Int = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
@@ -2019,6 +2026,7 @@ object ManifestLake {
     val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col).toSeq.distinct.sorted
     val newBlooms = buildBlooms(s, dir, news, bloomCols, newRows)
     val removedSet = untagged.toSet
+    beforeCommit()
     commitLoop(root) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
       case Some(latest) =>

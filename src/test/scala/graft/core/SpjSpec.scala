@@ -279,6 +279,37 @@ class SpjSpec extends SparkSpec {
     // idempotent
     assert(spark.sql(s"CALL graft_late.rebucket('$dir')")
       .collect().head.getInt(0) == 0)
+    // post-declaration appends inherit the layout — nothing untagged
+    ManifestLake.append(spark, dir, mk(200, 210), "source")
+    val tagged = ManifestLake.latestSnapshot(dir).get
+    assert(tagged.files.forall(tagged.buckets.contains))
+  }
+
+  test("SPJ: rebucket rebases over a concurrent append — zero rows lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spjb_race").resolve("lake").toString
+    val mk = (from: Long, until: Long, tagless: Boolean) => {
+      val df = spark.range(from, until)
+        .select($"id".as("doc_id"), lit("s0").as("source"))
+      ManifestLake.append(spark, dir, df, "source",
+        bucketBy = if (tagless) None else Some(("doc_id", 4)))
+    }
+    mk(0, 100, true)   // legacy untagged
+    mk(100, 200, false) // declares the layout
+    // the race, pinned: an append commits AFTER rebucket's rewrites,
+    // BEFORE its CAS — the set-union rebase must keep it
+    val n = ManifestLake.rebucket(spark, dir, () => {
+      ManifestLake.append(spark, dir,
+        spark.range(200, 250).select($"id".as("doc_id"), lit("s0").as("source")),
+        "source")
+      ()
+    })
+    assert(n > 0)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.read(spark, dir).count() == 250,
+      "rebase must keep the racing append's rows")
+    assert(snap.files.forall(snap.buckets.contains),
+      "the racing append inherited the layout, so coverage is full")
   }
 
   test("bucket function: V2 produceResult agrees with the write-side placement rule") {
