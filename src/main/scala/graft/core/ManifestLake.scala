@@ -92,7 +92,13 @@ object ManifestLake {
                             tsMillis: Option[Long] = None,
                             rows: Map[String, Long] = Map.empty,
                             props: Map[String, String] = Map.empty,
-                            buckets: Map[String, Int] = Map.empty) {
+                            buckets: Map[String, Int] = Map.empty,
+                            dvs: Map[String, DvStore.Dv] = Map.empty) {
+    /** Rows a read of `f` actually emits: footer count minus its
+      * deletion vector. Exact — DV counts are exact, so COUNT(*) and
+      * LIMIT-prefix planning stay manifest-answerable under deletes. */
+    def netRows(f: String): Option[Long] =
+      rows.get(f).map(_ - dvs.get(f).fold(0L)(_.count))
     /** Declared layout (SQL `CREATE TABLE ... PARTITIONED BY` /
       * TBLPROPERTIES), carried forward by every commit. Empty on
       * writer-created lakes, whose layout is established by first
@@ -431,6 +437,7 @@ object ManifestLake {
       val bfs = Vector.newBuilder[FileBloom]
       var nRows: Option[Long] = None
       var nBucket: Option[Int] = None
+      var dv: Option[DvStore.Dv] = None
       val nullsByCol = scala.collection.mutable.HashMap.empty[String, Long]
       segs.drop(1).foreach { seg =>
         val parts = seg.split(':')
@@ -446,6 +453,14 @@ object ManifestLake {
           // id degrades to absent rather than bricking the snapshot
           nBucket = if (parts(1).nonEmpty && parts(1).forall(_.isDigit))
             parts(1).toIntOption else None
+        } else if (parts.length == 3 && parts(0) == "dv" &&
+            parts(2).startsWith(DvStore.DvDir + "/") &&
+            parts(1).nonEmpty && parts(1).forall(_.isDigit)) {
+          // "dv:<count>:<sidecar>" = the file's deletion vector. The
+          // sidecar path always starts "_dv/" — a numeric stats segment
+          // for a column named "dv" ("dv:<min>:<max>") can never match
+          // (its max is a decimal), so the shapes stay disjoint
+          dv = Some(DvStore.Dv(parts(2), parts(1).toLong))
         } else if (parts.length >= 4 && parts(parts.length - 3) == "bf") {
           val bytes = java.util.Base64.getDecoder.decode(parts.last)
           val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -471,16 +486,17 @@ object ManifestLake {
       }
       val stsWithNulls = sts.result().map(st =>
         nullsByCol.get(st.col).fold(st)(n => st.copy(nulls = Some(n))))
-      (segs.head, stsWithNulls, bfs.result(), nRows, nBucket)
+      (segs.head, stsWithNulls, bfs.result(), nRows, nBucket, dv)
     }
     Snapshot(v, parsed.map(_._1),
-      txns, parsed.collect { case (p, sts, _, _, _) if sts.nonEmpty => p -> sts }.toMap,
+      txns, parsed.collect { case (p, sts, _, _, _, _) if sts.nonEmpty => p -> sts }.toMap,
       op, schema,
-      parsed.collect { case (p, _, bfs, _, _) if bfs.nonEmpty => p -> bfs }.toMap,
+      parsed.collect { case (p, _, bfs, _, _, _) if bfs.nonEmpty => p -> bfs }.toMap,
       ts,
-      parsed.collect { case (p, _, _, Some(n), _) => p -> n }.toMap,
+      parsed.collect { case (p, _, _, Some(n), _, _) => p -> n }.toMap,
       props,
-      parsed.collect { case (p, _, _, _, Some(b)) => p -> b }.toMap)
+      parsed.collect { case (p, _, _, _, Some(b), _) => p -> b }.toMap,
+      parsed.collect { case (p, _, _, _, _, Some(d)) => p -> d }.toMap)
   }
 
   /** CAS-commit `files` as version `asVersion`; false = lost the race
@@ -493,7 +509,8 @@ object ManifestLake {
                         tsMillis: Long,
                         rows: Map[String, Long],
                         props: Map[String, String],
-                        buckets: Map[String, Int]): Boolean = {
+                        buckets: Map[String, Int],
+                        dvs: Map[String, DvStore.Dv]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
@@ -504,6 +521,7 @@ object ManifestLake {
     val fileLines = files.sorted.map { f =>
       val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
         buckets.get(f).toVector.map(b => s"bucket:$b") ++
+        dvs.get(f).toVector.map(d => s"dv:${d.count}:${d.path}") ++
         stats.get(f).toVector.flatten.map(_.encoded) ++
         stats.get(f).toVector.flatten.flatMap(_.encodedNulls) ++
         blooms.get(f).toVector.flatten.map(_.encoded)
@@ -530,7 +548,8 @@ object ManifestLake {
                                   blooms: Map[String, Vector[FileBloom]] = Map.empty,
                                   rows: Map[String, Long] = Map.empty,
                                   props: Option[Map[String, String]] = None,
-                                  buckets: Map[String, Int] = Map.empty)
+                                  buckets: Map[String, Int] = Map.empty,
+                                  dvs: Option[Map[String, DvStore.Dv]] = None)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -540,7 +559,7 @@ object ManifestLake {
       intent(latest) match {
         case None => return latest
         case Some(Ledger(files, txns, stats, op, schema, blooms, rows, propsOpt,
-            newBuckets)) =>
+            newBuckets, dvsOpt)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
@@ -550,6 +569,13 @@ object ManifestLake {
           // a commit rewrites without bucketing simply has no entry
           val liveBuckets = (latest.map(_.buckets).getOrElse(Map.empty) ++ newBuckets)
             .view.filterKeys(fileSet).toMap
+          // deletion vectors are inherited for surviving paths by
+          // default (an append can't invalidate another file's DV); a
+          // commit that rewrote or restored content passes the exact
+          // map instead — removed paths drop via the live-set filter
+          // either way
+          val liveDvs = dvsOpt.getOrElse(latest.map(_.dvs).getOrElse(Map.empty))
+            .view.filterKeys(fileSet).toMap
           // declared layout (CREATE TABLE) is INHERITED by default —
           // carried forward here, in one place, so no commit path can
           // ever drop it; only `create` sets it explicitly
@@ -557,9 +583,9 @@ object ManifestLake {
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
           if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
-              liveRows, props, liveBuckets))
+              liveRows, props, liveBuckets, liveDvs))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
-              liveBlooms, Some(ts), liveRows, props, liveBuckets))
+              liveBlooms, Some(ts), liveRows, props, liveBuckets, liveDvs))
       }
       attempt += 1
     }
@@ -1220,7 +1246,7 @@ object ManifestLake {
         if (candidates.isEmpty) Vector.empty
         else {
           val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-          val affectedAbs = reader.parquet(candidates.map(f => s"$dir/$f"): _*)
+          val affectedAbs = lakeFiles(s, dir, snap, candidates, reader)
             .withColumn("__graft_file", input_file_name())
             .join(keys, keyCols, "left_semi")
             .select("__graft_file").distinct()
@@ -1240,15 +1266,19 @@ object ManifestLake {
       // ×10 probe's super-linear term: N affected files = N
       // driver-scheduled jobs, a scheduling bottleneck at thousands
       // of affected files).
+      // NET rows — the survivor rewrite reads through deletion
+      // vectors, so already-DV-deleted rows must not count as
+      // "updated by this merge"
       val rowsBefore: Long =
         if (affected.isEmpty) 0L
-        else if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
-        else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
+        else if (affected.forall(snap.rows.contains)) affected.flatMap(snap.netRows).sum
+        else parMapMeta(affected)(f => rowCount(s, root.resolve(f)) -
+          snap.dvs.get(f).fold(0L)(_.count)).sum
       val (keptFiles, keptBuckets): (Vector[String], Map[String, Int]) =
         if (affected.isEmpty) (Vector.empty, Map.empty)
         else {
           val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-          val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
+          val survivors = lakeFiles(s, dir, snap, affected, reader)
             .join(keys, keyCols, "left_anti")
             .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           stageFiles(s, root, survivors, partitionCol,
@@ -1302,7 +1332,7 @@ object ManifestLake {
         else {
           val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
           keyed.join(
-            reader.parquet(affected.map(f => s"$dir/$f"): _*)
+            lakeFiles(s, dir, snap, affected, reader)
               .select(keyCols.map(col): _*).distinct(),
             keyCols, "left_semi").count()
         }
@@ -1364,14 +1394,62 @@ object ManifestLake {
   def read(s: SparkSession, dir: String, snapshot: Option[Snapshot] = None): DataFrame = {
     val snap = snapshot.orElse(latestSnapshot(dir)).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val abs = snap.files.map(f => s"$dir/$f")
     // The committed schema (when present) IS the read schema: no
     // per-file inference, and files written before a column was added
     // null-fill it — Delta-style evolution without mergeSchema's
     // every-footer planning cost. Pre-schema manifests fall back to
     // inference.
     val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-    reader.parquet(abs: _*)
+    lakeFiles(s, dir, snap, snap.files, reader)
+  }
+
+  /** EVERY Scala-side read of lake data files routes here: parquet of
+    * `files` with deletion vectors applied. DV-free sets (the normal
+    * case) read exactly as before — zero plan change. When any file
+    * carries a DV, the read adds `_metadata` (file path + row index),
+    * filters through one broadcast of the affected files' position
+    * arrays (delete-proportional, purged by any rewrite — a DV set
+    * too big to broadcast is the signal to compact), and drops the
+    * helper column — schema and row order are otherwise untouched, so
+    * detection scans (`input_file_name`), survivor rewrites and CDC
+    * compose unchanged. The SQL scan ([[GraftScan]]) does the same
+    * filtering file-locally in its readers instead — no broadcast at
+    * all — but this path must stay a plain file-source read so
+    * `basePath` partition restoration and committed-schema null-fill
+    * keep working. */
+  private[core] def lakeFiles(s: SparkSession, dir: String, snap: Snapshot,
+                              files: Vector[String],
+                              reader: org.apache.spark.sql.DataFrameReader): DataFrame = {
+    val df = reader.parquet(files.map(f => s"$dir/$f"): _*)
+    dvDeletedPredicate(s, dir, snap, files) match {
+      case None => df
+      case Some(deleted) =>
+        val cols = df.columns.map(col)
+        df.withColumn("__graft_dv_path", col("_metadata.file_path"))
+          .withColumn("__graft_dv_idx", col("_metadata.row_index"))
+          .filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx")))
+          .select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** `(file_path, row_index) → was this row DV-deleted`, as a Column
+    * function over one broadcast of the affected files' position
+    * arrays; None when none of `files` carries a DV (the fast path —
+    * no broadcast, no plan change). */
+  private def dvDeletedPredicate(s: SparkSession, dir: String, snap: Snapshot,
+                                 files: Vector[String])
+      : Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = {
+    val dvd = files.filter(snap.dvs.contains)
+    if (dvd.isEmpty) None
+    else {
+      val conf = s.sessionState.newHadoopConf()
+      val positions: Map[String, Array[Long]] =
+        parMapMeta(dvd)(f => f -> DvStore.read(dir, snap.dvs(f).path, conf)).toMap
+      val bc = s.sparkContext.broadcast(positions)
+      val deleted = udf((path: String, idx: Long) =>
+        bc.value.get(relFromUri(path)).exists(DvStore.contains(_, idx)))
+      Some((p, i) => deleted(p, i))
+    }
   }
 
   /** Targeted record deletion — the contamination-removal / GDPR
@@ -1442,7 +1520,7 @@ object ManifestLake {
     }
     if (scanFiles.isEmpty) return 0L
     val detectReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-    val affectedAbs = detectReader.parquet(scanFiles.map(f => s"$dir/$f"): _*)
+    val affectedAbs = lakeFiles(s, dir, snap, scanFiles, detectReader)
       .filter(predicate)
       .select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toVector
@@ -1467,12 +1545,16 @@ object ManifestLake {
     // survivors are empty simply write nothing — emptied files leave
     // the ledger.
     val partitionCol = affected.head.takeWhile(_ != '=')
+    // NET rows (footer minus any deletion vector): the rewrite reads
+    // through DVs, so "rows deleted by THIS call" must not re-count
+    // rows a prior DV delete already removed
     val rowsBefore: Long =
-      if (affected.forall(snap.rows.contains)) affected.map(snap.rows).sum
-      else parMapMeta(affected)(f => rowCount(s, root.resolve(f))).sum
+      if (affected.forall(snap.rows.contains)) affected.flatMap(snap.netRows).sum
+      else parMapMeta(affected)(f => rowCount(s, root.resolve(f)) -
+        snap.dvs.get(f).fold(0L)(_.count)).sum
     val (newFiles, newBuckets): (Vector[String], Map[String, Int]) = {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      val survivors = reader.parquet(affected.map(f => s"$dir/$f"): _*)
+      val survivors = lakeFiles(s, dir, snap, affected, reader)
         .filter(!coalesce(predicate, lit(false)))
       stageFiles(s, root, survivors, partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
@@ -1510,6 +1592,128 @@ object ManifestLake {
     // deleted = affected rows before minus survivor rows after, both
     // from metadata (manifest rows: / the commit's own footer pass)
     rowsBefore - newRows.values.sum
+  }
+
+  /** Merge-on-read targeted deletion — [[deleteWhere]]'s DELETION
+    * VECTOR twin (Delta DVs / Iceberg position deletes). Where the
+    * copy-on-write delete rewrites every file containing a match —
+    * cost ∝ the BYTES of affected files — this commit writes one
+    * position sidecar per affected file and attaches `dv:` entries to
+    * the manifest: cost ∝ the DELETED ROWS. At 100 TB that is the
+    * difference between a 0.1 % GDPR sweep rewriting most of the lake
+    * and a metadata-sized commit. The trade is a read-side filter on
+    * DV'd files until the next rewrite touches them — compaction is
+    * the purge path (it reads through DVs and drops them), so the tax
+    * is transient by the lake's own maintenance cycle.
+    *
+    * Mechanics: one detection pass over the candidate files (existing
+    * DVs applied — an already-deleted row can't be deleted again)
+    * evaluates the predicate under the SQL DELETE rule and emits
+    * `(file, row_index)` via the file source's metadata columns;
+    * positions cluster per file (a repartition of the MATCHES, never
+    * the corpus), each file's task unions them with the file's
+    * existing sidecar and writes ONE new immutable sidecar from the
+    * executor; the commit swaps the `dv:` entries in a CAS retry
+    * loop. Data files never move; stats/blooms stay valid because
+    * they are conservative over supersets. Concurrent appends rebase
+    * by set-union; a racing commit that rewrote an affected file, or
+    * a racing DV delete on the SAME file, aborts loudly (its sidecar
+    * union would be stale) — re-run. Like the COW delete, the commit
+    * (`#op:delete-dv`) is invisible to CDC/streams.
+    *
+    * Returns the number of rows newly deleted. */
+  def deleteWhereDv(s: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column): Long =
+    deleteWhereDv(s, dir, predicate, () => ())
+
+  private[core] def deleteWhereDv(s: SparkSession, dir: String,
+                                  predicate: org.apache.spark.sql.Column,
+                                  beforeCommit: () => Unit,
+                                  candidatesOf: Option[Snapshot => Vector[String]] = None): Long = {
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val scanFiles = candidatesOf match {
+      case Some(f) =>
+        val c = f(snap)
+        require(c.forall(snap.files.contains),
+          "delete candidates must come from the current snapshot")
+        c
+      case None => snap.files
+    }
+    if (scanFiles.isEmpty) return 0L
+    val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+    val raw = reader.parquet(scanFiles.map(f => s"$dir/$f"): _*)
+      .withColumn("__graft_dv_path", col("_metadata.file_path"))
+      .withColumn("__graft_dv_idx", col("_metadata.row_index"))
+    val alive = dvDeletedPredicate(s, dir, snap, scanFiles).fold(raw)(deleted =>
+      raw.filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
+    val relOf = udf((p: String) => relFromUri(p))
+    // SQL DELETE rule: NULL predicate = not deleted (coalesce false)
+    val matched = alive.filter(coalesce(predicate, lit(false)))
+      .select(relOf(col("__graft_dv_path")).as("f"), col("__graft_dv_idx").as("i"))
+
+    val dirStr = dir
+    val priors: Map[String, String] = snap.dvs.map { case (f, d) => f -> d.path }
+    val priorBc = s.sparkContext.broadcast(priors)
+    val confBc = s.sparkContext.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf()))
+    import s.implicits._
+    // cluster positions per FILE (a shuffle of the matches only) and
+    // write each file's unioned sidecar from its executor task —
+    // delete-proportional parallelism, the driver only collects the
+    // (file → sidecar, count) manifest entries
+    val updates: Array[(String, String, Long)] = matched.as[(String, Long)]
+      .repartition(col("f")).sortWithinPartitions(col("f"), col("i"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cur: String = null
+        var buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        def flush(): Unit = if (cur != null) {
+          val fresh = buf.result()
+          val all = priorBc.value.get(cur) match {
+            case Some(rel) =>
+              DvStore.union(DvStore.read(dirStr, rel, confBc.value.value), fresh)
+            case None => fresh
+          }
+          val dv = DvStore.write(dirStr, all, confBc.value.value)
+          out += ((cur, dv.path, dv.count))
+        }
+        it.foreach { case (f, i) =>
+          if (f != cur) { flush(); cur = f; buf = scala.collection.mutable.ArrayBuilder.make[Long] }
+          buf += i
+        }
+        flush()
+        out.iterator
+      }.collect()
+    if (updates.isEmpty) return 0L
+    require(updates.forall(u => snap.files.contains(u._1)),
+      s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
+
+    beforeCommit()
+    val touched = updates.map(_._1).toSet
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (!touched.forall(latest.files.contains))
+          throw new IllegalStateException(
+            "a concurrent commit replaced files this DV delete targeted — " +
+              "re-run deleteWhereDv against the new snapshot")
+        // a racing DV delete on the same file would have its positions
+        // silently dropped by our union-against-snap sidecar — abort
+        touched.foreach { f =>
+          if (latest.dvs.get(f) != snap.dvs.get(f))
+            throw new IllegalStateException(
+              "a concurrent DV delete touched the same files — " +
+                "re-run deleteWhereDv against the new snapshot")
+        }
+        Some(Ledger(latest.files, latest.txns, latest.stats, "delete-dv",
+          latest.schema, latest.blooms, latest.rows,
+          dvs = Some(latest.dvs ++ updates.map { case (f, rel, c) =>
+            f -> DvStore.Dv(rel, c) })))
+    }
+    // newly deleted = union size minus what the file's prior DV held
+    updates.map { case (f, _, c) => c - snap.dvs.get(f).fold(0L)(_.count) }.sum
   }
 
   /** Parquet footer row count — metadata only. */
@@ -1577,7 +1781,8 @@ object ManifestLake {
       // consumer already received when they were FIRST committed —
       // emitting them would deliver every restored row twice.
       if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
-          cur.op == "update" || cur.op == "restore" || cur.op == "rebucket")
+          cur.op == "update" || cur.op == "restore" || cur.op == "rebucket" ||
+          cur.op == "delete-dv") // adds no files anyway — listed for intent
         Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]
@@ -1707,7 +1912,7 @@ object ManifestLake {
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      reader.parquet(kept.map(f => s"$dir/$f"): _*).filter(col(col0) === lit(value))
+      lakeFiles(s, dir, snap, kept, reader).filter(col(col0) === lit(value))
     }
   }
 
@@ -1743,7 +1948,7 @@ object ManifestLake {
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      reader.parquet(kept.map(f => s"$dir/$f"): _*)
+      lakeFiles(s, dir, snap, kept, reader)
         .filter(col(statsCol) >= loLit && col(statsCol) <= hiLit)
     }
   }
@@ -1825,9 +2030,12 @@ object ManifestLake {
     // defaulting the partition's count to 0 and coalescing it to one
     // oversized file).
     val rowCounts: Map[(String, Option[Int]), Long] = {
+      // NET of deletion vectors — the rewrite reads through them, so
+      // output sizing must target the rows that will actually survive
       val perFile = parMapMeta(byUnit.toSeq.flatMap {
         case (unit, fs) => fs.map(f => (unit, f))
-      }) { case (unit, f) => (unit, rowCount(s, root.resolve(f))) }
+      }) { case (unit, f) => (unit, rowCount(s, root.resolve(f)) -
+        snap.dvs.get(f).fold(0L)(_.count)) }
       perFile.groupBy(_._1).map { case (unit, cs) => unit -> cs.map(_._2).sum }
     }
 
@@ -1855,7 +2063,11 @@ object ManifestLake {
         : Either[CompactStat, Swap] = {
       val rows = rowCounts.getOrElse((pname, bucket), 0L)
       val target = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-      if (olds.length <= target && alreadyClustered(olds))
+      // a unit holding any DV'd file is ALWAYS rewritten — compaction
+      // is the deletion-vector purge path (applies the DV, re-packs,
+      // and the dv entry drops with the old file)
+      if (olds.length <= target && alreadyClustered(olds) &&
+          !olds.exists(snap.dvs.contains))
         Left(CompactStat(pname.dropWhile(_ != '=').drop(1), rows, olds.length, olds.length))
       else {
         // Data files carry no partition column (it lives in the path),
@@ -1869,8 +2081,7 @@ object ManifestLake {
         val dataSchema = snap.schema.map(sc =>
           org.apache.spark.sql.types.StructType(
             sc.fields.filterNot(_.name == partitionCol)))
-        val base = dataSchema.foldLeft(s.read)(_ schema _)
-          .parquet(olds.map(f => s"$dir/$f"): _*)
+        val base = lakeFiles(s, dir, snap, olds, dataSchema.foldLeft(s.read)(_ schema _))
         // bin-pack (shuffle-free) or range-cluster (one shuffle — the
         // price of disjoint per-file value bands)
         val packed = clusterBy match {
@@ -2018,7 +2229,7 @@ object ManifestLake {
     if (untagged.isEmpty) return 0
     val partitionCol = untagged.head.takeWhile(_ != '=')
     val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-    val df = reader.parquet(untagged.map(f => s"$dir/$f"): _*)
+    val df = lakeFiles(s, dir, snap, untagged, reader)
     val (news, newBuckets) = stageFiles(s, root, df, partitionCol,
       maxRecordsPerFile = 1024 * 1024, Map.empty, Some(spec))
     val statsCols = snap.stats.valuesIterator.flatten.map(_.col).toSeq.distinct.sorted
@@ -2087,16 +2298,20 @@ object ManifestLake {
       throw new IllegalStateException(
         s"cannot restore $dir to v$toVersion: that manifest is gone " +
           "(vacuumed) or was never committed"))
-    val missing = target.files.filterNot(f => Files.exists(root.resolve(f)))
+    val missing = (target.files ++ target.dvs.valuesIterator.map(_.path))
+      .filterNot(f => Files.exists(root.resolve(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $dir to v$toVersion: ${missing.length} of its data " +
         s"files were vacuumed — first: ${missing.take(3).mkString(", ")}")
     commitLoop(root) { latest =>
       if (latest.exists(_.version == toVersion)) None // already there
+      // dvs are the target's EXACT set (Some, not inherit): restoring
+      // past a DV delete must resurrect its rows, so the newer DV
+      // entry on a shared file must not ride along
       else Some(Ledger(target.files,
         latest.map(_.txns).getOrElse(Map.empty),
         target.stats, "restore", target.schema, target.blooms, target.rows,
-        buckets = target.buckets))
+        buckets = target.buckets, dvs = Some(target.dvs)))
     }.get
   }
 
@@ -2141,6 +2356,12 @@ object ManifestLake {
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(_.takeWhile(_ != '\t'))).toSet
     }
+    // DV sidecars referenced by any protected version stay; the rest
+    // (superseded by a union rewrite, or their data file left the
+    // ledger) are reclaimable garbage like unreferenced parquet
+    val referencedDvs: Set[String] =
+      protectedVersions.flatMap(v => parseManifest(root, v).dvs.valuesIterator
+        .map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -2155,6 +2376,14 @@ object ManifestLake {
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .filterNot(f => referenced.contains(s"$name/${f.getFileName}"))
+          .filter(oldEnough)
+          .foreach { f => Files.delete(f); reclaimed += 1 }
+        finally fs.close()
+      } else if (Files.isDirectory(p) && name == DvStore.DvDir) {
+        val fs = Files.list(p)
+        try fs.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".dv"))
+          .filterNot(f => referencedDvs.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
           .foreach { f => Files.delete(f); reclaimed += 1 }
         finally fs.close()

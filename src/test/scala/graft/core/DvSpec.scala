@@ -1,0 +1,199 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion vectors ([[ManifestLake.deleteWhereDv]] + [[DvStore]]):
+  * merge-on-read targeted deletion. The invariants pinned here are the
+  * feature's whole value at 100 TB:
+  *  - a DV delete NEVER rewrites or removes a data file (cost ∝
+  *    deleted rows, not affected bytes);
+  *  - every read path filters the deleted positions out;
+  *  - rewrites (compact / COW delete / merge) read THROUGH the DV and
+  *    purge it — deleted rows can never resurrect;
+  *  - restore across a DV commit resurrects exactly;
+  *  - vacuum reclaims superseded sidecars but never referenced ones.
+  */
+class DvSpec extends SparkSpec {
+
+  private def mkLake(dir: String, n: Long = 200L, buckets: Option[(String, Int)] = None): Unit = {
+    import spark.implicits._
+    val df = spark.range(0, n)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, df, "source",
+      statsCols = Seq("doc_id"), bucketBy = buckets)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("lake").toString
+
+  test("DV delete removes rows without touching a single data file") {
+    import spark.implicits._
+    val dir = tmp("dv_basic")
+    mkLake(dir)
+    val before = ManifestLake.latestSnapshot(dir).get
+    val deleted = ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 10 === 3)
+    assert(deleted == 20L)
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.files == before.files, "merge-on-read: the file set must not change")
+    assert(after.op == "delete-dv")
+    assert(after.dvs.nonEmpty && after.dvs.keySet.subsetOf(after.files.toSet))
+    assert(after.dvs.valuesIterator.map(_.count).sum == 20L)
+    // every read path excludes the rows
+    val read = ManifestLake.read(spark, dir)
+    assert(read.count() == 180L)
+    assert(read.filter($"doc_id" % 10 === 3).count() == 0L)
+    // point lookup through the bloom/stats path too
+    assert(ManifestLake.readWhere(spark, dir, "doc_id", BigDecimal(3), BigDecimal(3))
+      .count() == 0L)
+    assert(ManifestLake.readWhere(spark, dir, "doc_id", BigDecimal(4), BigDecimal(4))
+      .count() == 1L)
+  }
+
+  test("second DV delete on the same file unions; idempotent re-delete is free") {
+    import spark.implicits._
+    val dir = tmp("dv_union")
+    mkLake(dir)
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 10) == 10L)
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 20) == 10L,
+      "rows already deleted must not re-count")
+    assert(ManifestLake.read(spark, dir).count() == 180L)
+    // same-predicate re-run: zero new deletions, no commit
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 20) == 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.version == v,
+      "a no-match DV delete must not commit")
+  }
+
+  test("compact purges DVs: applies them, re-packs, drops the entries") {
+    import spark.implicits._
+    val dir = tmp("dv_compact")
+    mkLake(dir)
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 4 === 1) == 50L)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1024L * 1024)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.dvs.isEmpty, "compaction is the DV purge path")
+    val read = ManifestLake.read(spark, dir)
+    assert(read.count() == 150L)
+    assert(read.filter($"doc_id" % 4 === 1).count() == 0L,
+      "deleted rows must not resurrect through the rewrite")
+    // rows: segments reflect the purged truth — COUNT from manifest
+    assert(snap.files.forall(snap.rows.contains) &&
+      snap.files.map(snap.rows).sum == 150L)
+  }
+
+  test("COW delete reads through DVs — no resurrection, exact counts, rewrite purges") {
+    import spark.implicits._
+    val dir = tmp("dv_cow")
+    mkLake(dir)
+    // ids 0-9 DV-deleted: the files holding ids 0-24 now carry DVs
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 10) == 10L)
+    val dvFiles = ManifestLake.latestSnapshot(dir).get.dvs.keySet
+    assert(dvFiles.nonEmpty)
+    // overlapping COW delete: ids 10-19 are its only ALIVE matches —
+    // they live in the DV'd files, which must be rewritten THROUGH the
+    // DV (ids 0-9 stay dead) and shed their dv entries
+    val cow = ManifestLake.deleteWhere(spark, dir, $"doc_id" < 20)
+    assert(cow == 10L, s"COW delete must not re-count DV-deleted rows, got $cow")
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.read(spark, dir).count() == 180L)
+    assert(ManifestLake.read(spark, dir).filter($"doc_id" < 20).count() == 0L,
+      "DV-deleted rows must not resurrect through the COW rewrite")
+    assert(dvFiles.forall(f => !snap.files.contains(f)) && snap.dvs.isEmpty,
+      "the rewritten files left the ledger and took their DVs with them")
+  }
+
+  test("restore across a DV delete resurrects; restore after it keeps it") {
+    import spark.implicits._
+    val dir = tmp("dv_restore")
+    mkLake(dir)
+    val v1 = ManifestLake.latestSnapshot(dir).get.version
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 7)
+    val v2 = ManifestLake.latestSnapshot(dir).get.version
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 8)
+    assert(ManifestLake.read(spark, dir).count() == 198L)
+    // back to v2: only the first delete applies
+    ManifestLake.restore(dir, v2)
+    assert(ManifestLake.read(spark, dir).count() == 199L)
+    assert(ManifestLake.read(spark, dir).filter($"doc_id" === 7).count() == 0L)
+    // back to v1: full resurrection — the DV entry must NOT ride along
+    ManifestLake.restore(dir, v1)
+    assert(ManifestLake.read(spark, dir).count() == 200L)
+  }
+
+  test("vacuum reclaims superseded sidecars, never referenced ones") {
+    import spark.implicits._
+    val dir = tmp("dv_vacuum")
+    mkLake(dir)
+    // both ids live in the same file (odd ids, first range chunk) —
+    // the second delete SUPERSEDES that file's sidecar with a union
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 1)
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 3)
+    val live = ManifestLake.latestSnapshot(dir).get.dvs.values.map(_.path).toSet
+    val dvDir = Paths.get(dir).resolve("_dv")
+    val all = {
+      val st = Files.list(dvDir)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(p => s"_dv/${p.getFileName}").toSet }
+      finally st.close()
+    }
+    assert(live.subsetOf(all) && all.size > live.size,
+      "the superseded sidecar should still be on disk pre-vacuum")
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    val remaining = {
+      val st = Files.list(dvDir)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(p => s"_dv/${p.getFileName}").toSet }
+      finally st.close()
+    }
+    assert(remaining == live, s"vacuum must keep exactly the referenced sidecars: $remaining vs $live")
+    // and the lake still reads correctly after reclamation
+    assert(ManifestLake.read(spark, dir).count() == 198L)
+  }
+
+  test("race pins: DV delete vs concurrent append rebases; vs rewrite aborts") {
+    import spark.implicits._
+    val dir = tmp("dv_race")
+    mkLake(dir)
+    // append lands between sidecar writes and the CAS — set-union keeps it
+    val n = ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 5, () => {
+      val extra = spark.range(1000, 1010)
+        .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10).as("n_chars"))
+      ManifestLake.append(spark, dir, extra, "source", statsCols = Seq("doc_id"))
+      ()
+    })
+    assert(n == 1L)
+    assert(ManifestLake.read(spark, dir).count() == 209L,
+      "the racing append's rows and the DV delete must both survive")
+    // a rewrite that replaced the target file aborts the DV delete
+    intercept[IllegalStateException] {
+      ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 6, () => {
+        ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1024L * 1024); ()
+      })
+    }
+    // and a racing DV delete on the SAME file aborts too (ids 11 and
+    // 13 are odd — post-compact they share the single s1 file)
+    intercept[IllegalStateException] {
+      ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 11, () => {
+        ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 13); ()
+      })
+    }
+  }
+
+  test("DvStore codec round-trips and unions") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = Files.createTempDirectory("dv_codec").toString
+    val pos = Array(0L, 1L, 63L, 64L, 1L << 20, (1L << 40) + 7)
+    val dv = DvStore.write(dir, pos, conf)
+    assert(dv.count == pos.length.toLong)
+    assert(DvStore.read(dir, dv.path, conf).sameElements(pos))
+    assert(DvStore.union(Array(1L, 3L, 5L), Array(2L, 3L, 6L))
+      .sameElements(Array(1L, 2L, 3L, 5L, 6L)))
+    assert(DvStore.contains(pos, 63L) && !DvStore.contains(pos, 62L))
+  }
+}
