@@ -448,7 +448,32 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object DeleteVectors extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "delete_vectors"
+    override def description(): String =
+      "Merge-on-read DELETE: write position sidecars for rows matching " +
+        "the SQL predicate instead of rewriting files — cost ∝ deleted " +
+        "rows, purged by the next compact/rewrite of the affected files " +
+        "(SQL DELETE FROM stays copy-on-write)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("predicate", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val dir = str(input, 0)
+      val pred = org.apache.spark.sql.functions.expr(str(input, 1))
+      val deleted = ManifestLake.deleteWhereDv(s, dir, pred)
+      val after = ManifestLake.latestSnapshot(dir).get
+      one(Result(
+        StructType(Seq(StructField("rows_deleted", LongType, nullable = false),
+          StructField("files_with_dvs", IntegerType, nullable = false))),
+        InternalRow(deleted, after.dvs.size)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
-      "rebucket" -> Rebucket)
+      "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors)
 }

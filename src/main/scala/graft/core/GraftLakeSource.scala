@@ -532,6 +532,11 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
         f.dataType == ShortType || f.dataType == ByteType))
     if (!integral) return false
     val files = table.files
+    // deletion vectors silently reduce a file's contribution and may
+    // have removed the extremes the stats describe — the coverage
+    // arithmetic below would overcount; decline (DVs are transient,
+    // compaction restores the optimization)
+    if (files.exists(table.snap.dvs.contains)) return false
     final case class Meta(file: String, min: BigDecimal, max: BigDecimal,
                           nulls: Long, rows: Long) {
       def nonNull: Long = rows - nulls
@@ -677,16 +682,24 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
       val perGroup = groups.map { case (key, files) =>
         val resolved = agg.aggregateExpressions.toSeq.map {
           case _: CountStar =>
+            // NET of deletion vectors — dv counts are exact, so
+            // COUNT(*) stays manifest-answerable under MoR deletes
             if (files.forall(table.snap.rows.contains))
               Some((StructField("count(*)", LongType, nullable = false),
-                Long.box(files.map(table.snap.rows).sum)))
+                Long.box(files.flatMap(table.snap.netRows).sum)))
             else None
+          // MIN/MAX decline when any file carries a DV: a deleted row
+          // may have BEEN the extreme, so footer bounds are no longer
+          // exact (they stay valid for pruning — supersets — but a
+          // pushed aggregate must be exact or not happen)
           case m: Min => fieldOf(m.column).flatMap(f =>
             if (files.isEmpty) Some((StructField(s"min(${f.name})", f.dataType), null))
+            else if (files.exists(table.snap.dvs.contains)) None
             else bound(files, f.name, wantMin = true)
               .map(v => (StructField(s"min(${f.name})", f.dataType), box(v, f.dataType))))
           case m: Max => fieldOf(m.column).flatMap(f =>
             if (files.isEmpty) Some((StructField(s"max(${f.name})", f.dataType), null))
+            else if (files.exists(table.snap.dvs.contains)) None
             else bound(files, f.name, wantMin = false)
               .map(v => (StructField(s"max(${f.name})", f.dataType), box(v, f.dataType))))
           case _ => None
@@ -736,7 +749,9 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
             val b = Vector.newBuilder[String]
             val it = pruned.iterator
             while (acc < n && it.hasNext) {
-              val f = it.next(); b += f; acc += table.snap.rows(f)
+              // NET rows — a DV'd file emits fewer rows than its
+              // footer count; the prefix must still cover n
+              val f = it.next(); b += f; acc += table.snap.netRows(f).getOrElse(0L)
             }
             b.result()
           case _ => pruned
@@ -898,7 +913,9 @@ private[graft] final case class GraftScan(
         * never a guess. */
       override def numRows(): java.util.OptionalLong =
         if (runtimeKept.forall(table.snap.rows.contains))
-          java.util.OptionalLong.of(runtimeKept.map(table.snap.rows).sum)
+          // NET of deletion vectors — the scan filters DV'd positions,
+          // so the emitted count is exactly rows minus dv entries
+          java.util.OptionalLong.of(runtimeKept.flatMap(table.snap.netRows).sum)
         else java.util.OptionalLong.empty()
     }
 
@@ -1054,49 +1071,62 @@ private[graft] final case class GraftScan(
   private[core] def planFiles(files: Vector[String]): Array[InputPartition] = {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
+    def pfOf(rel: String): PartitionedFile = {
+      val p = java.nio.file.Paths.get(table.dir).resolve(rel)
+      val size = java.nio.file.Files.size(p)
+      new PartitionedFile(
+        partitionValueRow(rel),
+        org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+        0L, size, Array.empty[String],
+        java.nio.file.Files.getLastModifiedTime(p).toMillis, size,
+        Map.empty[String, Any])
+    }
     def toSplits(fs: Vector[String]): Seq[FilePartition] = {
-      val pfs = fs.map { rel =>
-        val p = java.nio.file.Paths.get(table.dir).resolve(rel)
-        val size = java.nio.file.Files.size(p)
-        new PartitionedFile(
-          partitionValueRow(rel),
-          org.apache.spark.paths.SparkPath.fromPathString(p.toString),
-          0L, size, Array.empty[String],
-          java.nio.file.Files.getLastModifiedTime(p).toMillis, size,
-          Map.empty[String, Any])
-      }
+      val pfs = fs.map(pfOf)
       // Spark's bin-packing: many small lake files → bounded task count
       // (openCostInBytes-aware), one big file → row-group splits
       FilePartition.getFilePartitions(
         spark, pfs, FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
     }
+    // DV'd files become SINGLE-FILE splits (never bin-packed, never
+    // row-group split): their reader must know which sidecar applies
+    // and see file-absolute row indexes from offset 0
+    def plan(fs: Vector[String], key: Option[InternalRow],
+             nextIdx: () => Int): Seq[FilePartition] = {
+      val (dvd, clean) = fs.partition(table.snap.dvs.contains)
+      val packed = toSplits(clean).map { fp => key match {
+        case Some(k) => new KeyedFilePartition(nextIdx(), fp.files, k)
+        case None    => new FilePartition(nextIdx(), fp.files)
+      } }
+      val dvp = dvd.map { f =>
+        val dv = table.snap.dvs(f)
+        key match {
+          case Some(k) =>
+            new KeyedDvFilePartition(nextIdx(), Array(pfOf(f)), k, dv.path, dv.count)
+          case None =>
+            new DvFilePartition(nextIdx(), Array(pfOf(f)), dv.path, dv.count)
+        }
+      }
+      packed ++ dvp
+    }
+    var idx = -1
+    def nextIdx(): Int = { idx += 1; idx }
     spjBucket match {
       case Some(_) =>
         // bucket-keyed: group by manifest bucket id (files from any
         // partition directory — each PartitionedFile still carries its
         // own partition values), pack within each group, reindex
-        var idx = -1
         files.groupBy(table.snap.buckets).toArray.sortBy(_._1).flatMap {
           case (id, fs) =>
-            val key = new GenericInternalRow(Array[Any](id))
-            toSplits(fs).map { fp =>
-              idx += 1
-              new KeyedFilePartition(idx, fp.files, key)
-            }
+            plan(fs, Some(new GenericInternalRow(Array[Any](id))), nextIdx)
         }
       case None if spjKeyed =>
         // group by the partition directory, pack within each group, and
         // reindex across groups (split index must be scan-unique)
-        var idx = -1
         files.groupBy(_.takeWhile(_ != '/')).toArray.sortBy(_._1).flatMap {
-          case (_, fs) =>
-            val key = partitionValueRow(fs.head)
-            toSplits(fs).map { fp =>
-              idx += 1
-              new KeyedFilePartition(idx, fp.files, key)
-            }
+          case (_, fs) => plan(fs, Some(partitionValueRow(fs.head)), nextIdx)
         }
-      case None => toSplits(files).toArray
+      case None => plan(files, None, nextIdx).toArray
     }
   }
 
@@ -1134,46 +1164,78 @@ private[graft] final case class GraftScan(
     // flags. Same entries, same values — the factory's vectorized and
     // row paths both read them.
     val sqlConf = spark.sessionState.conf
-    val hadoopConf = spark.sessionState.newHadoopConf()
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
-    hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readData.json)
-    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readData.json)
-    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
-    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-      sqlConf.nestedSchemaPruningEnabled)
-    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(readData, hadoopConf)
-    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
-      sqlConf.isParquetBinaryAsString)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-      sqlConf.isParquetINT96AsTimestamp)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
-    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
-    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
-      sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
-    hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
-      sqlConf.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
-    val parquetFactory = ParquetPartitionReaderFactory(
-      spark.sessionState.conf,
-      spark.sparkContext.broadcast(
-        new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
-      dataSchema,
-      readData,
-      StructType(part),
-      dataFilters,
-      None,
-      new ParquetOptions(Map.empty[String, String],
-        spark.sessionState.conf))
+    def mkFactory(requested: StructType, filters: Array[Filter])
+        : ParquetPartitionReaderFactory = {
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requested.json)
+      hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+      ParquetWriteSupport.setSchema(requested, hadoopConf)
+      hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+        sqlConf.isParquetBinaryAsString)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+      hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+        sqlConf.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
+      ParquetPartitionReaderFactory(
+        spark.sessionState.conf,
+        spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
+        dataSchema,
+        requested,
+        StructType(part),
+        filters,
+        None,
+        new ParquetOptions(Map.empty[String, String],
+          spark.sessionState.conf))
+    }
+    val parquetFactory = mkFactory(readData, dataFilters)
+    // Deletion vectors: DV'd files (single-file splits — see
+    // [[planFiles]]) read through a SECOND factory whose requested
+    // schema appends Spark's temporary row-index column (the parquet
+    // readers generate file-absolute positions, page/row-group
+    // skipping included) and pushes NO filters (a filter that dropped
+    // rows before the position check couldn't corrupt indexes — the
+    // generators account for skipped pages — but the conservative
+    // contract is simpler to reason about and DV'd files are the
+    // delete-affected minority). The wrapper filters each row against
+    // the sidecar and strips the helper column; the whole scan turns
+    // row-based while any DV is present (Spark forbids mixing
+    // columnar and row partitions) — transient by compaction.
+    val base: PartitionReaderFactory =
+      if (!effectiveFiles.exists(table.snap.dvs.contains)) parquetFactory
+      else {
+        import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        // nullable: the column is absent from the FILE (the reader
+        // fills it) — a required-but-missing column fails the
+        // vectorized reader's checkColumn before row-index generation
+        // even engages
+        val idxField = StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+        val dvInner = mkFactory(StructType(readData.fields :+ idxField), Array.empty)
+        new DvFilteringReaderFactory(parquetFactory, dvInner, table.dir,
+          spark.sparkContext.broadcast(new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())),
+          StructType((readData.fields :+ idxField) ++ part), readData.length)
+      }
     // the factory emits readData ++ part; permute only when the
     // required order differs (a lake whose partition column is not
     // the trailing schema field)
-    if (physicalSchema.fieldNames.sameElements(required.fieldNames)) parquetFactory
-    else new ReorderingReaderFactory(parquetFactory, physicalSchema, required)
+    if (physicalSchema.fieldNames.sameElements(required.fieldNames)) base
+    else new ReorderingReaderFactory(base, physicalSchema, required)
   }
 }
 
@@ -1188,6 +1250,79 @@ private[core] final class KeyedFilePartition(
     extends FilePartition(idx, fs)
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** A split that carries its file's deletion vector (always single-file
+  * — row indexes are file-absolute, so one sidecar per split). */
+private[core] sealed trait HasDv {
+  def dvRel: String
+  def dvCount: Long
+}
+
+private[core] final class DvFilePartition(
+    idx: Int, fs: Array[PartitionedFile],
+    override val dvRel: String, override val dvCount: Long)
+    extends FilePartition(idx, fs) with HasDv
+
+/** DV'd split under storage-partitioned planning: keeps its key so SPJ
+  * co-location survives a pending merge-on-read delete. */
+private[core] final class KeyedDvFilePartition(
+    idx: Int, fs: Array[PartitionedFile], key: InternalRow,
+    override val dvRel: String, override val dvCount: Long)
+    extends FilePartition(idx, fs) with HasDv
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Merge-on-read deletion filter: DV'd partitions read through
+  * `dvInner` (requested schema + Spark's temporary row-index column),
+  * drop rows whose index the sidecar names, and project the helper
+  * column away; clean partitions delegate untouched. The sidecar loads
+  * once per TASK on the executor (no broadcast, no shuffle — the
+  * position data never crosses the cluster), and the binary-search
+  * probe is O(log deletes) per row on the DV'd files only. */
+private[core] final class DvFilteringReaderFactory(
+    clean: PartitionReaderFactory, dvInner: PartitionReaderFactory,
+    lakeDir: String,
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    withIdx: StructType, idxPos: Int)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  // Spark's V2 scan exec forbids mixing columnar and row partitions in
+  // one scan — while any DV is pending the whole scan reads row-based
+  // (the clean factory's row path still uses the vectorized reader
+  // internally; only batch-level transfer is lost, until compaction)
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case d: HasDv =>
+        val inner = dvInner.createReader(partition)
+        val positions = DvStore.read(lakeDir, d.dvRel, conf.value.value)
+        val out = withIdx.zipWithIndex.filter(_._2 != idxPos)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          out.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, f.nullable)
+          })
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              if (!DvStore.contains(positions, r.getLong(idxPos))) {
+                cur = proj(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
+      case _ => clean.createReader(partition)
+    }
 }
 
 /** Column-order adapter over a physical reader factory: the parquet

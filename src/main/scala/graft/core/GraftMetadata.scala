@@ -88,7 +88,10 @@ private[core] object GraftMetadata {
     StructField("rows", LongType, nullable = true),
     // hash-bucket id (manifest bucket: segment); null = the file is
     // not provably single-bucket and SPJ degrades until CALL rebucket
-    StructField("bucket", IntegerType, nullable = true)))
+    StructField("bucket", IntegerType, nullable = true),
+    // deletion-vector position count (manifest dv: segment); null = no
+    // pending merge-on-read delete — reads emit rows - dv_rows
+    StructField("dv_rows", LongType, nullable = true)))
 
   /** `$partitions` — Iceberg's `partitions` analogue: one row per
     * partition directory with its file census and exact row count
@@ -115,7 +118,11 @@ private[core] object GraftMetadata {
     StructField("bucket_n", IntegerType, nullable = true),
     StructField("bucket_tagged_files", IntegerType, nullable = false),
     StructField("stats_cols", StringType, nullable = true),
-    StructField("bloom_cols", StringType, nullable = true)))
+    StructField("bloom_cols", StringType, nullable = true),
+    // pending merge-on-read deletes: files carrying a DV and the total
+    // deleted positions (rows above is already NET of them)
+    StructField("dv_files", IntegerType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false)))
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -165,13 +172,14 @@ private[core] object GraftMetadata {
       val stats = snap.stats.getOrElse(f, Vector.empty)
       val nRows: Any = snap.rows.get(f).map(Long.box).orNull
       val bucket: Any = snap.buckets.get(f).map(Int.box).orNull
+      val dvRows: Any = snap.dvs.get(f).map(d => Long.box(d.count)).orNull
       if (stats.isEmpty)
         Iterator.single(InternalRow(utf8(f), partition, null, null, null,
-          bloomCols.nonEmpty, nRows, bucket))
+          bloomCols.nonEmpty, nRows, bucket, dvRows))
       else stats.iterator.map(st =>
         InternalRow(utf8(f), partition, utf8(st.col),
           utf8(render(st.min)), utf8(render(st.max)), bloomCols.contains(st.col),
-          nRows, bucket))
+          nRows, bucket, dvRows))
     }.toArray
   }
 
@@ -188,8 +196,9 @@ private[core] object GraftMetadata {
           pdir.dropWhile(_ != '=').drop(1))
         val partition: Any =
           if (raw == "__HIVE_DEFAULT_PARTITION__") null else utf8(raw)
+        // NET of deletion vectors — what a read of the partition emits
         val rows: Any =
-          if (fs.forall(snap.rows.contains)) Long.box(fs.map(snap.rows).sum)
+          if (fs.forall(snap.rows.contains)) Long.box(fs.flatMap(snap.netRows).sum)
           else null
         InternalRow(partition, fs.length, rows)
       }.toArray
@@ -204,9 +213,10 @@ private[core] object GraftMetadata {
     }
     val pc: Any = snap.files.headOption.map(_.takeWhile(_ != '='))
       .orElse(snap.declaredPartitionCol).map(utf8).orNull
+    // NET of deletion vectors — matches COUNT(*) over the data table
     val rows: Any =
       if (snap.files.nonEmpty && snap.files.forall(snap.rows.contains))
-        Long.box(snap.files.map(snap.rows).sum)
+        Long.box(snap.files.flatMap(snap.netRows).sum)
       else if (snap.files.isEmpty) Long.box(0L)
       else null
     def csvOrNull(cols: Iterator[String]): Any = {
@@ -222,7 +232,9 @@ private[core] object GraftMetadata {
       snap.declaredBucket.map(b => Int.box(b._2)).orNull,
       snap.files.count(snap.buckets.contains),
       csvOrNull(snap.stats.valuesIterator.flatten.map(_.col)),
-      csvOrNull(snap.blooms.valuesIterator.flatten.map(_.col))))
+      csvOrNull(snap.blooms.valuesIterator.flatten.map(_.col)),
+      snap.dvs.size,
+      snap.dvs.valuesIterator.map(_.count).sum))
   }
 }
 

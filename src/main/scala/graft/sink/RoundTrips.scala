@@ -693,6 +693,77 @@ object RoundTrips {
        FROM documents WHERE doc_id % 17 <> 0
        GROUP BY source ORDER BY source"""
 
+  /** q170 — deletion vectors ([[graft.core.ManifestLake.deleteWhereDv]]
+    * + [[graft.core.DvStore]]): MERGE-ON-READ deletion, the Delta-DV /
+    * Iceberg-position-delete shape that q133's copy-on-write twin is
+    * graded against. Two MoR deletes land — one through the SQL
+    * surface (`CALL delete_vectors`), one through the Scala API so the
+    * second UNIONS into the first's sidecars — without moving a single
+    * data file (`invariant_ok` pins the file set and the dv census
+    * from `$detail`). The `dv` leg reads through the DSv2 catalog scan
+    * (per-file position filtering in the readers); the `compacted` leg
+    * reads after `compact` has purged every DV (applied the positions,
+    * re-packed, dropped the entries) through the Scala path. Both legs
+    * must hash-match the oracle's full recompute over the raw parquet
+    * — the strongest equivalence a MoR delete can be held to: filter-
+    * on-read and rewrite-on-maintenance agree with "the rows were
+    * never there". At 100 TB this commit's cost is ∝ deleted ROWS
+    * (position varints + one metadata CAS), not affected bytes —
+    * reference deletes (`sql/delete_contaminated.sql`) rewrite whole
+    * affected files for the same effect. */
+  def qDeletionVectorsRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_dvq_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))
+    val before = graft.core.ManifestLake.latestSnapshot(lake).get
+    s.conf.set("spark.sql.catalog.graft_dvq",
+      classOf[graft.core.GraftCatalog].getName)
+    // MoR delete #1 through the SQL surface
+    s.sql(s"CALL graft_dvq.delete_vectors(path => '$lake', " +
+      "predicate => 'doc_id % 17 = 0')").collect()
+    // MoR delete #2 through the Scala API — unions into the same files
+    graft.core.ManifestLake.deleteWhereDv(s, lake,
+      length($"text") % 13 === 5)
+    val snapDv = graft.core.ManifestLake.latestSnapshot(lake).get
+    val detail = s.sql(s"SELECT dv_files, dv_rows FROM graft_dvq.`$lake$$detail`").head()
+    val morInvariant = snapDv.files == before.files && // no data file moved
+      snapDv.dvs.nonEmpty && detail.getInt(0) == snapDv.dvs.size &&
+      detail.getLong(1) == snapDv.dvs.valuesIterator.map(_.count).sum
+    def aggOf(df: DataFrame, stage: String, ok: Boolean): DataFrame =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum(length($"text")).as("sum_chars"))
+        .withColumn("stage", lit(stage))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"stage", $"source", $"n_docs", $"sum_ids", $"sum_chars",
+          $"invariant_ok")
+    // leg 1: the DSv2 scan filters positions per file in its readers
+    val mor = aggOf(s.sql(s"SELECT * FROM graft_dvq.`$lake`"), "dv", morInvariant)
+    // leg 2: compaction purges — applies the DVs, drops the entries
+    graft.core.ManifestLake.compact(s, lake, "source",
+      targetRecordsPerFile = 1024L * 1024)
+    val snapC = graft.core.ManifestLake.latestSnapshot(lake).get
+    val purged = aggOf(graft.core.ManifestLake.read(s, lake), "compacted",
+      snapC.dvs.isEmpty)
+    mor.unionByName(purged).orderBy($"stage", $"source")
+  }
+
+  val qDeletionVectorsRoundTripSql: String =
+    """WITH alive AS (
+         SELECT source, doc_id, len(text) AS n FROM documents
+         WHERE doc_id % 17 <> 0 AND len(text) % 13 <> 5),
+       per_src AS (
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n) AS BIGINT) AS sum_chars
+         FROM alive GROUP BY source)
+       SELECT stage, source, n_docs, sum_ids, sum_chars, TRUE AS invariant_ok
+       FROM per_src CROSS JOIN (SELECT UNNEST(['compacted','dv']) AS stage)
+       ORDER BY stage, source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2008,6 +2079,7 @@ object RoundTrips {
     "q131_data_skipping" -> qDataSkippingRoundTrip,
     "q132_cdc_read" -> qCdcReadRoundTrip,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip,
+    "q170_deletion_vectors" -> qDeletionVectorsRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2039,6 +2111,7 @@ object RoundTrips {
     "q131_data_skipping" -> qDataSkippingRoundTripSql,
     "q132_cdc_read" -> qCdcReadRoundTripSql,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql,
+    "q170_deletion_vectors" -> qDeletionVectorsRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -185,6 +185,87 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("SQL scan filters DV'd positions; COUNT(*) pushes NET; MIN/MAX declines") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dv", classOf[GraftCatalog].getName)
+    val dir = tmp("dv_sql")
+    mkLake(dir, n = 500L)
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" >= 490) == 10L)
+
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.inputPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    // the DSv2 scan excludes deleted rows
+    assert(spark.sql(s"SELECT * FROM graft_dv.`$dir` WHERE doc_id >= 480")
+      .collect().map(_.getLong(0)).sorted.sameElements(480L until 490L))
+    // COUNT(*) still answers from the manifest — NET of the DV
+    val cq = s"SELECT count(*) FROM graft_dv.`$dir`"
+    assert(nodes(spark.sql(cq).queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "COUNT(*) must stay manifest-answered under a DV")
+    assert(spark.sql(cq).head().getLong(0) == 490L)
+    // MIN/MAX must NOT push (a deleted row could have been the max) —
+    // and the fallback distributed plan returns the DV-filtered truth
+    val mq = s"SELECT max(doc_id) FROM graft_dv.`$dir`"
+    assert(!nodes(spark.sql(mq).queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "MAX over a DV'd lake must not answer from stale footer stats")
+    assert(spark.sql(mq).head().getLong(0) == 489L)
+    // LIMIT file-prefix accounting is net: ask for more rows than the
+    // DV'd tail can give
+    assert(spark.sql(s"SELECT doc_id FROM graft_dv.`$dir` LIMIT 495")
+      .count() == 490L)
+    // ORDER BY ... LIMIT declines the file-skip but stays correct
+    assert(spark.sql(
+      s"SELECT doc_id FROM graft_dv.`$dir` ORDER BY doc_id DESC LIMIT 3")
+      .collect().map(_.getLong(0)).sameElements(Array(489L, 488L, 487L)))
+    // SQL DELETE (row-level COW) over the remaining rows reads THROUGH
+    // the DV: deleted rows must not resurrect into the rewrite
+    spark.sql(s"DELETE FROM graft_dv.`$dir` WHERE doc_id >= 450")
+    assert(spark.sql(s"SELECT count(*) FROM graft_dv.`$dir`").head().getLong(0) == 450L)
+    assert(spark.sql(s"SELECT max(doc_id) FROM graft_dv.`$dir`").head().getLong(0) == 449L)
+  }
+
+  test("SPJ keyed splits survive a DV: bucketed join stays zero-shuffle and exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dvb", classOf[GraftCatalog].getName)
+    val dir = tmp("dv_spj")
+    mkLake(dir, n = 300L, buckets = Some(("doc_id", 4)))
+    val other = tmp("dv_spj2")
+    mkLake(other, n = 300L, buckets = Some(("doc_id", 4)))
+    assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 3 === 0) == 100L)
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"SELECT a.doc_id FROM graft_dvb.`$dir` a JOIN graft_dvb.`$other` b " +
+          "ON a.doc_id = b.doc_id")
+      val rows = df.collect()
+      assert(rows.length == 200, "DV-deleted keys must drop out of the join")
+      assert(rows.forall(_.getLong(0) % 3 != 0))
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s =>
+          (if (s.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) 1
+           else 0) + s.children.map(walk).sum
+      }
+      assert(walk(df.queryExecution.executedPlan) == 0,
+        "a pending DV must not break bucket co-location")
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
