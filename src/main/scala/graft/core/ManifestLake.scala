@@ -67,15 +67,28 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the manifest is the scan plan: a read opens zero
   * directories and exactly the named files, so the small-file pathology
-  * compaction repairs never taxes the planner either. Manifests
-  * themselves stay metadata-sized (one line per live file — compaction
-  * actively shrinks it); a billion-file lake would add Iceberg-style
-  * manifest sharding on top, not change the commit protocol.
+  * compaction repairs never taxes the planner either. Commit I/O is
+  * O(changed files), not O(live files): ordinary commits write a DELTA
+  * manifest (`#base:` + `+`/`-` edits against the parent) and every
+  * [[ManifestCheckpointEvery]]-th version writes a full snapshot — the
+  * Delta-Lake JSON-log + checkpoint shape — so an append of 50 files
+  * into a million-file lake writes ~50 lines, while a read resolves at
+  * most `ManifestCheckpointEvery - 1` delta files past a checkpoint. A
+  * billion-file lake would add Iceberg-style manifest sharding on top,
+  * not change the commit protocol.
   */
 object ManifestLake {
 
   private val ManifestDir = "_manifests"
   private val MaxCommitRetries = 50
+
+  /** Delta-log cadence: a commit whose version is a multiple of this
+    * writes a FULL snapshot (a checkpoint); every other commit writes
+    * only its diff against the parent (`#base:<v>` header, `+<line>` /
+    * `-<path>` body) when the diff is smaller. Caps any resolve chain
+    * at `ManifestCheckpointEvery - 1` delta files — the Delta-Lake
+    * checkpoint interval idea (theirs is 10). */
+  private[core] val ManifestCheckpointEvery = 16L
 
   /** A committed lake version. `files` are relative data paths;
     * `txns` is the per-writer-app high-water batch id carried forward
@@ -390,6 +403,22 @@ object ManifestLake {
     else None
   }
 
+  /** The `#base:` header of one manifest (delta commits only), reading
+    * header lines only — the pointer a delta resolves against. */
+  private def baseVersion(headers: Vector[String]): Option[Long] =
+    headers.collectFirst {
+      case h if h.startsWith("#base:") => h.stripPrefix("#base:").toLongOption
+    }.flatten
+
+  private[core] def baseVersionOf(root: Path, v: Long): Option[Long] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) return None
+    val lines = Files.lines(p)
+    try baseVersion(lines.iterator().asScala
+      .takeWhile(l => l.isEmpty || l.startsWith("#")).toVector)
+    finally lines.close()
+  }
+
   private def parseManifest(root: Path, v: Long): Snapshot = {
     val lines = Files.readAllLines(manifestPath(root, v))
       .asScala.filter(_.nonEmpty).toVector
@@ -400,7 +429,42 @@ object ManifestLake {
     // file line may carry one tab-separated "<col>:<min>:<max>" stats
     // suffix PER TRACKED COLUMN (tabs are illegal in our partition/
     // file names); lines without any are simply never pruned.
-    val (headers, fileLines) = lines.partition(_.startsWith("#"))
+    val (headers, topBody) = lines.partition(_.startsWith("#"))
+    // Delta commits carry "#base:<v>" and a body of "+<full line>" /
+    // "-<path>" edits against that base. Resolution walks the chain
+    // down to the nearest checkpoint (a manifest with no #base — at
+    // most ManifestCheckpointEvery-1 hops) and replays the edits
+    // forward. Headers (op/ts/txn/schema/props) are NEVER chained —
+    // every commit writes its own in full, so only the TOP manifest's
+    // headers are read. Data paths start "<col>=...", so the +/-
+    // markers are unambiguous; a full snapshot's body replays
+    // unchanged through the same loop (no edit markers ⇒ plain put).
+    val fileLines: Vector[String] =
+      if (baseVersion(headers).isEmpty) topBody
+      else {
+        var chain = List(topBody) // bodies, base-first after the walk
+        var base = baseVersion(headers)
+        while (base.isDefined) {
+          val ls = Files.readAllLines(manifestPath(root, base.get))
+            .asScala.filter(_.nonEmpty).toVector
+          val (hs, body) = ls.partition(_.startsWith("#"))
+          chain ::= body
+          base = baseVersion(hs)
+        }
+        val resolved = new java.util.LinkedHashMap[String, String]()
+        chain.foreach(_.foreach { l =>
+          if (l.startsWith("-")) resolved.remove(l.drop(1))
+          else {
+            val line = if (l.startsWith("+")) l.drop(1) else l
+            resolved.put(line.takeWhile(_ != '\t'), line)
+          }
+        })
+        // full manifests list files path-sorted; resolution re-sorts so
+        // a delta-resolved snapshot is indistinguishable from the full
+        // snapshot the same state would have written
+        resolved.values().iterator().asScala.toVector
+          .sortBy(_.takeWhile(_ != '\t'))
+      }
     val txns = headers.collect {
       case h if h.startsWith("#txn:") =>
         val rest = h.stripPrefix("#txn:")
@@ -499,8 +563,35 @@ object ManifestLake {
       parsed.collect { case (p, _, _, _, _, Some(d)) => p -> d }.toMap)
   }
 
+  /** One manifest file line: path + its rows/bucket/dv/stats/bloom
+    * segments. Deterministic in its inputs — the delta encoder diffs
+    * parent-vs-new LINES (strings compare by value; FileBloom's bit
+    * array would not), so "unchanged file" must re-encode to the
+    * byte-identical line it was parsed from. */
+  private def encodeFileLine(f: String,
+                             rows: Map[String, Long],
+                             buckets: Map[String, Int],
+                             dvs: Map[String, DvStore.Dv],
+                             stats: Map[String, Vector[FileStats]],
+                             blooms: Map[String, Vector[FileBloom]]): String = {
+    val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
+      buckets.get(f).toVector.map(b => s"bucket:$b") ++
+      dvs.get(f).toVector.map(d => s"dv:${d.count}:${d.path}") ++
+      stats.get(f).toVector.flatten.map(_.encoded) ++
+      stats.get(f).toVector.flatten.flatMap(_.encodedNulls) ++
+      blooms.get(f).toVector.flatten.map(_.encoded)
+    if (segs.isEmpty) f else (f +: segs).mkString("\t")
+  }
+
   /** CAS-commit `files` as version `asVersion`; false = lost the race
-    * (a manifest with that version already exists). */
+    * (a manifest with that version already exists). When `parent` is
+    * the immediately preceding version, still on disk, and `asVersion`
+    * is not a checkpoint multiple, the manifest is written as a DELTA
+    * (`#base:` + `+`/`-` edits) iff that is strictly smaller than the
+    * full snapshot — so commit I/O is O(changed files), not O(live
+    * files): at a million-file lake an append of 50 files writes ~50
+    * lines, not a million, and per-file bloom payloads (the heaviest
+    * segments) are re-written only for files that actually changed. */
   private def tryCommit(root: Path, asVersion: Long, files: Vector[String],
                         txns: Map[String, Long],
                         stats: Map[String, Vector[FileStats]], op: String,
@@ -510,23 +601,36 @@ object ManifestLake {
                         rows: Map[String, Long],
                         props: Map[String, String],
                         buckets: Map[String, Int],
-                        dvs: Map[String, DvStore.Dv]): Boolean = {
+                        dvs: Map[String, DvStore.Dv],
+                        parent: Option[Snapshot]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
+    val fullLines = files.sorted.map(f =>
+      encodeFileLine(f, rows, buckets, dvs, stats, blooms))
+    val delta: Option[Vector[String]] = parent match {
+      case Some(p) if asVersion % ManifestCheckpointEvery != 0L &&
+          asVersion == p.version + 1 &&
+          Files.exists(manifestPath(root, p.version)) =>
+        val newByPath = fullLines.iterator
+          .map(l => l.takeWhile(_ != '\t') -> l).toMap
+        val parentByPath = p.files.iterator.map(f =>
+          f -> encodeFileLine(f, p.rows, p.buckets, p.dvs, p.stats, p.blooms))
+          .toMap
+        val removed = p.files.filterNot(newByPath.contains).sorted.map("-" + _)
+        val addedOrChanged = fullLines.filter { l =>
+          parentByPath.get(l.takeWhile(_ != '\t')).forall(_ != l)
+        }.map("+" + _)
+        val body = removed ++ addedOrChanged
+        if (body.length < fullLines.length) Some(body) else None
+      case _ => None
+    }
     val headers = (Vector(s"#op:$op", s"#ts:$tsMillis") ++
+      delta.flatMap(_ => parent.map(p => s"#base:${p.version}")).toVector ++
       schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" } ++
       props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" }
-    val fileLines = files.sorted.map { f =>
-      val segs = rows.get(f).toVector.map(n => s"rows:$n") ++
-        buckets.get(f).toVector.map(b => s"bucket:$b") ++
-        dvs.get(f).toVector.map(d => s"dv:${d.count}:${d.path}") ++
-        stats.get(f).toVector.flatten.map(_.encoded) ++
-        stats.get(f).toVector.flatten.flatMap(_.encodedNulls) ++
-        blooms.get(f).toVector.flatten.map(_.encoded)
-      if (segs.isEmpty) f else (f +: segs).mkString("\t")
-    }
+    val fileLines = delta.getOrElse(fullLines)
     Files.write(tmp, (headers ++ fileLines).asJava)
     try {
       try { Files.createLink(manifestPath(root, asVersion), tmp); true }
@@ -583,7 +687,7 @@ object ManifestLake {
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
           if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
-              liveRows, props, liveBuckets, liveDvs))
+              liveRows, props, liveBuckets, liveDvs, latest))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
               liveBlooms, Some(ts), liveRows, props, liveBuckets, liveDvs))
       }
@@ -2345,23 +2449,19 @@ object ManifestLake {
       finally st.close()
     }
     val protectedVersions = allVersions.filter(v => v >= keepFrom || retainedByTime(v))
-    val referenced: Set[String] = {
-      // file lines are "<path>\t<stats/bloom segments...>" — protect by
-      // the PATH alone. Matching on the raw line silently unprotected
-      // every stats-tracked file (the recommended configuration):
-      // vacuum past the grace window deleted LIVE data. Caught by the
-      // CALL-procedure spec; pinned by the stats-tracked vacuum test.
-      protectedVersions.flatMap(v =>
-        Files.readAllLines(manifestPath(root, v)).asScala
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.takeWhile(_ != '\t'))).toSet
-    }
+    // Protection reads the RESOLVED snapshot of each protected version
+    // (a delta manifest's raw body is only its edit list — scanning it
+    // for paths would silently unprotect every file the delta inherits
+    // from its base: vacuum past the grace window would delete LIVE
+    // data). parseManifest resolves full and delta manifests alike.
+    val protectedSnaps = protectedVersions.map(v => parseManifest(root, v))
+    val referenced: Set[String] =
+      protectedSnaps.flatMap(_.files).toSet
     // DV sidecars referenced by any protected version stay; the rest
     // (superseded by a union rewrite, or their data file left the
     // ledger) are reclaimable garbage like unreferenced parquet
     val referencedDvs: Set[String] =
-      protectedVersions.flatMap(v => parseManifest(root, v).dvs.valuesIterator
-        .map(_.path)).toSet
+      protectedSnaps.flatMap(_.dvs.valuesIterator.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -2393,7 +2493,19 @@ object ManifestLake {
     // files are already unprotected, so the history they describe is
     // gone). A time-retained manifest keeps its version addressable —
     // restore/time-travel to it stays whole for the full window.
-    val protectedSet = protectedVersions.toSet
+    // A protected DELTA additionally pins its #base chain: those base
+    // manifests stay on disk (they are the resolution substrate, at
+    // most ManifestCheckpointEvery-1 of them) but do NOT protect their
+    // own files — reading such a version may fail loudly once its
+    // unique files are reclaimed, exactly as if the manifest itself
+    // had been retired ([[restore]] pre-checks and refuses cleanly).
+    val protectedSet: Set[Long] = {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      def walk(v: Long): Unit =
+        if (seen.add(v)) baseVersionOf(root, v).foreach(walk)
+      protectedVersions.foreach(walk)
+      seen.toSet
+    }
     val st2 = Files.list(mdir)
     try st2.iterator().asScala
       .filter { p =>
