@@ -473,7 +473,43 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object UpdateVectors extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "update_vectors"
+    override def description(): String =
+      "Merge-on-read UPDATE: DV-delete the matched rows and append " +
+        "their updated images as fresh files in one commit — cost ∝ " +
+        "matched rows, purged by the next compact (SQL UPDATE stays " +
+        "copy-on-write). assignments: 'col = expr; col2 = expr2'"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("predicate", StringType).build(),
+      ProcedureParameter.in("assignments", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val dir = str(input, 0)
+      val pred = org.apache.spark.sql.functions.expr(str(input, 1))
+      // "col = expr" pairs, ';'-separated; only the FIRST '=' splits,
+      // so the expr side may itself compare ("flag = doc_id = 3" is
+      // nonsense SQL anyway — Spark's parser rejects it downstream)
+      val sets = str(input, 2).split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"malformed assignment '$a' — expected 'col = expr'")
+          a.take(i).trim -> org.apache.spark.sql.functions.expr(a.drop(i + 1).trim)
+        }
+      val updated = ManifestLake.updateWhereDv(s, dir, pred, sets)
+      val after = ManifestLake.latestSnapshot(dir).get
+      one(Result(
+        StructType(Seq(StructField("rows_updated", LongType, nullable = false),
+          StructField("files_with_dvs", IntegerType, nullable = false))),
+        InternalRow(updated, after.dvs.size)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
-      "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors)
+      "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
+      "update_vectors" -> UpdateVectors)
 }

@@ -1698,6 +1698,45 @@ object ManifestLake {
     rowsBefore - newRows.values.sum
   }
 
+  /** Cluster matched `(f: file, i: row_index)` pairs per FILE (a
+    * shuffle of the matches only, never the corpus) and write each
+    * file's position sidecar — unioned with any existing one — from
+    * its executor task: delete-proportional parallelism, the driver
+    * only collects the `(file, sidecarPath, unionCount)` manifest
+    * entries. Shared by [[deleteWhereDv]] and [[updateWhereDv]]. */
+  private def writeDvSidecars(s: SparkSession, dir: String, snap: Snapshot,
+                              matched: DataFrame): Array[(String, String, Long)] = {
+    val dirStr = dir
+    val priors: Map[String, String] = snap.dvs.map { case (f, d) => f -> d.path }
+    val priorBc = s.sparkContext.broadcast(priors)
+    val confBc = s.sparkContext.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf()))
+    import s.implicits._
+    matched.as[(String, Long)]
+      .repartition(col("f")).sortWithinPartitions(col("f"), col("i"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cur: String = null
+        var buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        def flush(): Unit = if (cur != null) {
+          val fresh = buf.result()
+          val all = priorBc.value.get(cur) match {
+            case Some(rel) =>
+              DvStore.union(DvStore.read(dirStr, rel, confBc.value.value), fresh)
+            case None => fresh
+          }
+          val dv = DvStore.write(dirStr, all, confBc.value.value)
+          out += ((cur, dv.path, dv.count))
+        }
+        it.foreach { case (f, i) =>
+          if (f != cur) { flush(); cur = f; buf = scala.collection.mutable.ArrayBuilder.make[Long] }
+          buf += i
+        }
+        flush()
+        out.iterator
+      }.collect()
+  }
+
   /** Merge-on-read targeted deletion — [[deleteWhere]]'s DELETION
     * VECTOR twin (Delta DVs / Iceberg position deletes). Where the
     * copy-on-write delete rewrites every file containing a match —
@@ -1757,39 +1796,7 @@ object ManifestLake {
     val matched = alive.filter(coalesce(predicate, lit(false)))
       .select(relOf(col("__graft_dv_path")).as("f"), col("__graft_dv_idx").as("i"))
 
-    val dirStr = dir
-    val priors: Map[String, String] = snap.dvs.map { case (f, d) => f -> d.path }
-    val priorBc = s.sparkContext.broadcast(priors)
-    val confBc = s.sparkContext.broadcast(new org.apache.spark.util.SerializableConfiguration(
-      s.sessionState.newHadoopConf()))
-    import s.implicits._
-    // cluster positions per FILE (a shuffle of the matches only) and
-    // write each file's unioned sidecar from its executor task —
-    // delete-proportional parallelism, the driver only collects the
-    // (file → sidecar, count) manifest entries
-    val updates: Array[(String, String, Long)] = matched.as[(String, Long)]
-      .repartition(col("f")).sortWithinPartitions(col("f"), col("i"))
-      .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var cur: String = null
-        var buf = scala.collection.mutable.ArrayBuilder.make[Long]
-        def flush(): Unit = if (cur != null) {
-          val fresh = buf.result()
-          val all = priorBc.value.get(cur) match {
-            case Some(rel) =>
-              DvStore.union(DvStore.read(dirStr, rel, confBc.value.value), fresh)
-            case None => fresh
-          }
-          val dv = DvStore.write(dirStr, all, confBc.value.value)
-          out += ((cur, dv.path, dv.count))
-        }
-        it.foreach { case (f, i) =>
-          if (f != cur) { flush(); cur = f; buf = scala.collection.mutable.ArrayBuilder.make[Long] }
-          buf += i
-        }
-        flush()
-        out.iterator
-      }.collect()
+    val updates = writeDvSidecars(s, dir, snap, matched)
     if (updates.isEmpty) return 0L
     require(updates.forall(u => snap.files.contains(u._1)),
       s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
@@ -1818,6 +1825,135 @@ object ManifestLake {
     }
     // newly deleted = union size minus what the file's prior DV held
     updates.map { case (f, _, c) => c - snap.dvs.get(f).fold(0L)(_.count) }.sum
+  }
+
+  /** Merge-on-read targeted UPDATE — [[deleteWhereDv]]'s update twin
+    * (Delta's DV-enabled UPDATE): matched rows are DV-deleted in place
+    * and their updated images appended as fresh files, in ONE atomic
+    * commit — cost ∝ MATCHED ROWS (position varints + the rewritten
+    * rows' bytes), never the bytes of affected files. The copy-on-write
+    * SQL UPDATE rewrites every file containing a match; at 100 TB a
+    * 0.01 % scattered update touches most files, so COW rewrites most
+    * of the lake while this commit stays delta-sized. The read-side
+    * tax and purge path are [[deleteWhereDv]]'s: affected files filter
+    * positions until compaction reads through the DVs and re-packs.
+    *
+    * An assignment may change the PARTITION column — updated images
+    * are staged through the same routing as appends, so rows move to
+    * their new partition directories (COW UPDATE does the same). The
+    * lake's declared bucket layout is preserved on the new files, and
+    * they carry stats/blooms for every column ALL current files track,
+    * so data skipping never erodes. Type flips are refused by name
+    * (the [[evolveSchema]] rule). Old files' stats stay valid: a DV
+    * only narrows a file's content, and min/max are conservative over
+    * supersets. Like the COW update, the commit (`#op:update-dv`) is
+    * CDC-invisible.
+    *
+    * Race rules are [[deleteWhereDv]]'s: concurrent appends rebase by
+    * set-union; a commit that replaced an affected file, or a racing
+    * DV write on the same file, aborts loudly — re-run.
+    *
+    * Returns the number of rows updated. */
+  def updateWhereDv(s: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    assignments: Seq[(String, org.apache.spark.sql.Column)]): Long =
+    updateWhereDv(s, dir, predicate, assignments, () => ())
+
+  private[core] def updateWhereDv(s: SparkSession, dir: String,
+                                  predicate: org.apache.spark.sql.Column,
+                                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                                  beforeCommit: () => Unit,
+                                  candidatesOf: Option[Snapshot => Vector[String]] = None): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val scanFiles = candidatesOf match {
+      case Some(f) =>
+        val c = f(snap)
+        require(c.forall(snap.files.contains),
+          "update candidates must come from the current snapshot")
+        c
+      case None => snap.files
+    }
+    if (scanFiles.isEmpty) return 0L
+    val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+    val raw = reader.parquet(scanFiles.map(f => s"$dir/$f"): _*)
+      .withColumn("__graft_dv_path", col("_metadata.file_path"))
+      .withColumn("__graft_dv_idx", col("_metadata.row_index"))
+    val alive = dvDeletedPredicate(s, dir, snap, scanFiles).fold(raw)(deleted =>
+      raw.filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
+    val relOf = udf((p: String) => relFromUri(p))
+    // matched rows feed BOTH legs (positions -> sidecars, images ->
+    // new files); persist so detection scans the candidates once
+    val matchedRows = alive.filter(coalesce(predicate, lit(false)))
+      .withColumn("__graft_dv_f", relOf(col("__graft_dv_path")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updates = writeDvSidecars(s, dir, snap, matchedRows
+        .select(col("__graft_dv_f").as("f"), col("__graft_dv_idx").as("i")))
+      if (updates.isEmpty) return 0L
+      require(updates.forall(u => snap.files.contains(u._1)),
+        s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
+
+      val dataCols = raw.columns.filterNot(_.startsWith("__graft_dv_"))
+      val updatedImage = assignments.foldLeft(
+        matchedRows.select(dataCols.toIndexedSeq.map(col): _*)) {
+        case (df, (c, e)) =>
+          require(dataCols.contains(c), s"UPDATE SET targets unknown column '$c'")
+          df.withColumn(c, e)
+      }
+      // a type flip would silently corrupt every older file's
+      // interpretation under the committed schema — refuse by name
+      val origTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+      updatedImage.schema.fields.foreach { f =>
+        origTypes.get(f.name).filter(_ != f.dataType).foreach { dt =>
+          throw new IllegalStateException(
+            s"UPDATE SET type flip on '${f.name}': committed " +
+              s"${dt.simpleString}, assigned ${f.dataType.simpleString}")
+        }
+      }
+      val partitionCol = snap.declaredPartitionCol.getOrElse(
+        updates.head._1.takeWhile(_ != '='))
+      // new files track every column ALL current files track (plus the
+      // declared layout, which effectiveness inherits via declaredX):
+      // an update can never erode the lake's index
+      val uniformStats = snap.files
+        .map(f => snap.stats.getOrElse(f, Vector.empty).map(_.col).toSet)
+        .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq.sorted
+      val uniformBlooms = snap.files
+        .map(f => snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
+        .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq.sorted
+      val (staged, stagedBuckets) = stageFiles(s, root, updatedImage, partitionCol,
+        maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
+      val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, uniformStats)
+      val stagedBlooms = buildBlooms(s, dir, staged, uniformBlooms, stagedRows)
+
+      beforeCommit()
+      val touched = updates.map(_._1).toSet
+      commitLoop(root) {
+        case None => throw new IllegalStateException(s"manifest vanished from $dir")
+        case Some(latest) =>
+          if (!touched.forall(latest.files.contains))
+            throw new IllegalStateException(
+              "a concurrent commit replaced files this DV update targeted — " +
+                "re-run updateWhereDv against the new snapshot")
+          touched.foreach { f =>
+            if (latest.dvs.get(f) != snap.dvs.get(f))
+              throw new IllegalStateException(
+                "a concurrent DV write touched the same files — " +
+                  "re-run updateWhereDv against the new snapshot")
+          }
+          Some(Ledger(latest.files ++ staged, latest.txns,
+            latest.stats ++ stagedStats, "update-dv", latest.schema,
+            latest.blooms ++ stagedBlooms, latest.rows ++ stagedRows,
+            buckets = stagedBuckets,
+            dvs = Some(latest.dvs ++ updates.map { case (f, rel, c) =>
+              f -> DvStore.Dv(rel, c) })))
+      }
+      // rows updated = positions newly added across the sidecars
+      updates.map { case (f, _, c) => c - snap.dvs.get(f).fold(0L)(_.count) }.sum
+    } finally { matchedRows.unpersist(); () }
   }
 
   /** Parquet footer row count — metadata only. */
@@ -1886,7 +2022,8 @@ object ManifestLake {
       // emitting them would deliver every restored row twice.
       if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
           cur.op == "update" || cur.op == "restore" || cur.op == "rebucket" ||
-          cur.op == "delete-dv") // adds no files anyway — listed for intent
+          cur.op == "delete-dv" || // adds no files anyway — listed for intent
+          cur.op == "update-dv") // its added files are rewritten IMAGES
         Vector.empty
       else {
         val prev = if (v == 1) Set.empty[String]

@@ -764,6 +764,91 @@ object RoundTrips {
        FROM per_src CROSS JOIN (SELECT UNNEST(['compacted','dv']) AS stage)
        ORDER BY stage, source"""
 
+  /** q171 — merge-on-read UPDATE
+    * ([[graft.core.ManifestLake.updateWhereDv]] + `CALL
+    * update_vectors`): q159/q160's copy-on-write row mutation is graded
+    * against the reference's whole-file rewrites; this is the DV twin —
+    * matched rows are position-deleted in place and their updated
+    * images appended as fresh files in ONE commit, cost ∝ MATCHED ROWS
+    * rather than affected-file bytes. Two MoR updates land: #1 through
+    * the SQL CALL surface (upper-cases a clustered id stripe), #2
+    * through the Scala API with an id-shifting assignment whose images
+    * UNION a second DV generation into the same files. `invariant_ok`
+    * pins the MoR contract — no pre-existing file leaves the ledger,
+    * both commits advance one version each, DV census matches
+    * `$detail` — then the `dv` leg reads through the DSv2 catalog scan
+    * and the `compacted` leg after the purge; both must hash-match
+    * DuckDB's sequential recompute (CASE-expression updates over raw
+    * parquet). The aggregate counts all-caps docs so a dropped or
+    * double-applied image breaks the hash, not just the row count. At
+    * 100 TB a 0.01 % scattered UPDATE under COW rewrites most of the
+    * lake; here it writes positions + images only. */
+  def qMorUpdateRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_morupd_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))
+    val before = graft.core.ManifestLake.latestSnapshot(lake).get
+    s.conf.set("spark.sql.catalog.graft_morupd",
+      classOf[graft.core.GraftCatalog].getName)
+    // MoR update #1 through the SQL surface
+    s.sql(s"CALL graft_morupd.update_vectors(path => '$lake', " +
+      "predicate => 'doc_id % 17 = 0', " +
+      "assignments => 'text = upper(text)')").collect()
+    // MoR update #2 through the Scala API — second DV generation
+    graft.core.ManifestLake.updateWhereDv(s, lake,
+      length($"text") % 13 === 5, Seq("doc_id" -> ($"doc_id" + 1000000L)))
+    val snapDv = graft.core.ManifestLake.latestSnapshot(lake).get
+    val detail = s.sql(
+      s"SELECT dv_files, dv_rows FROM graft_morupd.`$lake$$detail`").head()
+    val morInvariant =
+      before.files.forall(snapDv.files.contains) && // nothing rewritten away
+        snapDv.version == before.version + 2 &&     // one commit per update
+        snapDv.dvs.nonEmpty && detail.getInt(0) == snapDv.dvs.size &&
+        detail.getLong(1) == snapDv.dvs.valuesIterator.map(_.count).sum
+    def aggOf(df: DataFrame, stage: String, ok: Boolean): DataFrame =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum(length($"text")).as("sum_chars"),
+          sum(($"text" === upper($"text")).cast("long")).as("n_upper"))
+        .withColumn("stage", lit(stage))
+        .withColumn("invariant_ok", lit(ok))
+        .select($"stage", $"source", $"n_docs", $"sum_ids", $"sum_chars",
+          $"n_upper", $"invariant_ok")
+    val mor = aggOf(s.sql(s"SELECT * FROM graft_morupd.`$lake`"), "dv",
+      morInvariant)
+    graft.core.ManifestLake.compact(s, lake, "source",
+      targetRecordsPerFile = 1024L * 1024)
+    val snapC = graft.core.ManifestLake.latestSnapshot(lake).get
+    val purged = aggOf(graft.core.ManifestLake.read(s, lake), "compacted",
+      snapC.dvs.isEmpty)
+    mor.unionByName(purged).orderBy($"stage", $"source")
+  }
+
+  val qMorUpdateRoundTripSql: String =
+    """WITH u1 AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END AS text,
+                source
+         FROM documents),
+       u2 AS (
+         SELECT CASE WHEN len(text) % 13 = 5 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+                text, source
+         FROM u1),
+       per_src AS (
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+                CAST(COUNT(*) FILTER (WHERE text = upper(text)) AS BIGINT) AS n_upper
+         FROM u2 GROUP BY source)
+       SELECT stage, source, n_docs, sum_ids, sum_chars, n_upper,
+              TRUE AS invariant_ok
+       FROM per_src CROSS JOIN (SELECT UNNEST(['compacted','dv']) AS stage)
+       ORDER BY stage, source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2080,6 +2165,7 @@ object RoundTrips {
     "q132_cdc_read" -> qCdcReadRoundTrip,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip,
     "q170_deletion_vectors" -> qDeletionVectorsRoundTrip,
+    "q171_mor_update" -> qMorUpdateRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2112,6 +2198,7 @@ object RoundTrips {
     "q132_cdc_read" -> qCdcReadRoundTripSql,
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql,
     "q170_deletion_vectors" -> qDeletionVectorsRoundTripSql,
+    "q171_mor_update" -> qMorUpdateRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

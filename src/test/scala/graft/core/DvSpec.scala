@@ -266,6 +266,113 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("MoR UPDATE: matched rows DV-delete + re-append in one commit, no file rewritten") {
+    import spark.implicits._
+    val dir = tmp("dv_upd")
+    mkLake(dir)
+    val before = ManifestLake.latestSnapshot(dir).get
+    val n = ManifestLake.updateWhereDv(spark, dir, $"doc_id" % 10 === 3,
+      Seq("n_chars" -> lit(-1L)))
+    assert(n == 20L)
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.op == "update-dv")
+    assert(before.files.forall(after.files.contains),
+      "merge-on-read: no existing file leaves the ledger")
+    val added = after.files.filterNot(before.files.toSet)
+    assert(added.nonEmpty, "updated images land as fresh files")
+    assert(after.dvs.valuesIterator.map(_.count).sum == 20L)
+    // one atomic commit: the version advanced exactly once
+    assert(after.version == before.version + 1)
+    // read-back: updated rows show the new value exactly once
+    val read = ManifestLake.read(spark, dir)
+    assert(read.count() == 200L, "UPDATE changes no row count")
+    assert(read.filter($"n_chars" === -1L).count() == 20L)
+    assert(read.filter($"doc_id" % 10 === 3 && $"n_chars" =!= -1L).count() == 0L)
+    // new files inherit the stats plane all current files track
+    assert(added.forall(f => after.stats.get(f).exists(_.exists(_.col == "doc_id"))),
+      "update must not erode data skipping")
+    // idempotence arithmetic: re-running matches the SAME logical rows
+    // (they now live in the new files), deletes their new positions
+    assert(ManifestLake.updateWhereDv(spark, dir, $"doc_id" % 10 === 3,
+      Seq("n_chars" -> lit(-1L))) == 20L)
+    assert(ManifestLake.read(spark, dir).count() == 200L)
+  }
+
+  test("MoR UPDATE can move rows across partitions; compact purges; no-match is free") {
+    import spark.implicits._
+    val dir = tmp("dv_updmove")
+    mkLake(dir)
+    val n = ManifestLake.updateWhereDv(spark, dir, $"doc_id" < 6,
+      Seq("source" -> lit("s9")))
+    assert(n == 6L)
+    val read = ManifestLake.read(spark, dir)
+    assert(read.filter($"source" === "s9").count() == 6L)
+    assert(read.filter($"doc_id" < 6 && $"source" =!= "s9").count() == 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.files.exists(_.startsWith("source=s9/")),
+      "an assignment to the partition column routes images to the new directory")
+    // compact purges the DVs and the content survives exactly
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1024L * 1024)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.dvs.isEmpty)
+    assert(ManifestLake.read(spark, dir).filter($"source" === "s9").count() == 6L)
+    // no-match: zero rows, no commit burned
+    val v = snap.version
+    assert(ManifestLake.updateWhereDv(spark, dir, $"doc_id" === -1L,
+      Seq("n_chars" -> lit(0L))) == 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.version == v)
+  }
+
+  test("MoR UPDATE refuses type flips and unknown columns; races abort like DV delete") {
+    import spark.implicits._
+    val dir = tmp("dv_updguard")
+    mkLake(dir)
+    intercept[IllegalStateException] {
+      ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
+        Seq("n_chars" -> lit("oops")))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
+        Seq("nope" -> lit(1L)))
+    }
+    // concurrent append rebases (set-union keeps both)
+    val n = ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 5,
+      Seq("n_chars" -> lit(-5L)), () => {
+        val extra = spark.range(1000, 1010)
+          .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10).as("n_chars"))
+        ManifestLake.append(spark, dir, extra, "source", statsCols = Seq("doc_id"))
+        ()
+      })
+    assert(n == 1L)
+    // UPDATE preserves row count: 200 original + 10 racing appends
+    assert(ManifestLake.read(spark, dir).count() == 210L)
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" === -5L).count() == 1L)
+    // a rewrite that replaced the target file aborts the update
+    intercept[IllegalStateException] {
+      ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 6,
+        Seq("n_chars" -> lit(-6L)), () => {
+          ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1024L * 1024); ()
+        })
+    }
+  }
+
+  test("CALL update_vectors: the SQL MoR UPDATE surface") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_dvu", classOf[GraftCatalog].getName)
+    val dir = tmp("dv_updsql")
+    mkLake(dir)
+    val row = spark.sql(s"CALL graft_dvu.update_vectors(path => '$dir', " +
+      "predicate => 'doc_id % 10 = 3', " +
+      "assignments => 'n_chars = -doc_id; source = source')").head()
+    assert(row.getLong(0) == 20L && row.getInt(1) > 0)
+    val read = spark.sql(s"SELECT * FROM graft_dvu.`$dir`")
+    assert(read.count() == 200L)
+    assert(read.filter($"n_chars" === -$"doc_id" && $"doc_id" =!= 0).count() == 20L)
+    // CDC stays blind to the update commit, like COW UPDATE
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    assert(ManifestLake.readChanges(spark, dir, 1L, v).count() == 0L,
+      "update-dv must be CDC-invisible")
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
