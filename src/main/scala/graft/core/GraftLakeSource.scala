@@ -781,6 +781,62 @@ private[core] final case class GraftManifestAggScan(
 private[core] object GraftPrune {
   import ManifestLake.Bound
 
+  /** Prunable source Filters extracted from a RESOLVED Catalyst
+    * predicate — the bridge that lets the Scala-API and CALL-procedure
+    * DML paths bound their detection scans through the manifest
+    * exactly like the SQL DML paths (whose filters Spark translates
+    * for them). Only the shapes [[survives]] can use translate
+    * (comparisons, IN, AND/OR over one column vs literals); any
+    * conjunct that doesn't translate is DROPPED, so pruning with the
+    * remainder keeps a SUPERSET of the matching files — conservative
+    * by the residual rule: candidates bound which files are OPENED,
+    * the predicate still evaluates per row. */
+  def filtersOf(pred: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def name(e: ce.Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case _                        => None
+    }
+    // the analyzer type-coerces by WRAPPING literals in casts
+    // (`doc_id >= CAST(0 AS BIGINT)`), so "is a literal" must mean
+    // "folds to one": evaluate any foldable side to its constant
+    def litOf(e: ce.Expression): Option[Any] = e match {
+      case _ if e.foldable =>
+        try Option(e.eval(null)).map(CatalystTypeConverters.convertToScala(_, e.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    def conv(e: ce.Expression): Option[Filter] = e match {
+      case ce.EqualTo(a, v) =>
+        (for (n <- name(a); l <- litOf(v)) yield EqualTo(n, l))
+          .orElse(for (n <- name(v); l <- litOf(a)) yield EqualTo(n, l))
+      case ce.GreaterThan(a, v) =>
+        (for (n <- name(a); l <- litOf(v)) yield GreaterThan(n, l))
+          .orElse(for (n <- name(v); l <- litOf(a)) yield LessThan(n, l))
+      case ce.GreaterThanOrEqual(a, v) =>
+        (for (n <- name(a); l <- litOf(v)) yield GreaterThanOrEqual(n, l))
+          .orElse(for (n <- name(v); l <- litOf(a)) yield LessThanOrEqual(n, l))
+      case ce.LessThan(a, v) =>
+        (for (n <- name(a); l <- litOf(v)) yield LessThan(n, l))
+          .orElse(for (n <- name(v); l <- litOf(a)) yield GreaterThan(n, l))
+      case ce.LessThanOrEqual(a, v) =>
+        (for (n <- name(a); l <- litOf(v)) yield LessThanOrEqual(n, l))
+          .orElse(for (n <- name(v); l <- litOf(a)) yield GreaterThanOrEqual(n, l))
+      case ce.In(a, vs) =>
+        for (n <- name(a); ls <- Some(vs.map(litOf)) if ls.forall(_.isDefined))
+          yield In(n, ls.map(_.get).toArray)
+      case ce.And(l, r) => for (lf <- conv(l); rf <- conv(r)) yield And(lf, rf)
+      case ce.Or(l, r)  => for (lf <- conv(l); rf <- conv(r)) yield Or(lf, rf)
+      case _            => None
+    }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x            => Seq(x)
+    }
+    conjuncts(pred).flatMap(conv(_).toSeq).filter(prunable)
+  }
+
   def toBound(v: Any): Option[Bound] = v match {
     case l: Long    => Some(Bound.Num(BigDecimal(l)))
     case i: Int     => Some(Bound.Num(BigDecimal(i)))

@@ -1620,7 +1620,7 @@ object ManifestLake {
         require(c.forall(snap.files.contains),
           "delete candidates must come from the current snapshot")
         c
-      case None => snap.files
+      case None => selfCandidates(s, snap, predicate).getOrElse(snap.files)
     }
     if (scanFiles.isEmpty) return 0L
     val detectReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
@@ -1696,6 +1696,38 @@ object ManifestLake {
     // deleted = affected rows before minus survivor rows after, both
     // from metadata (manifest rows: / the commit's own footer pass)
     rowsBefore - newRows.values.sum
+  }
+
+  /** Self-derived detection candidates for a Scala-API / CALL DML
+    * predicate: resolve it against the committed schema (analysis on
+    * an empty frame — no data touched), translate its prunable
+    * conjuncts ([[GraftPrune.filtersOf]]), and keep only files the
+    * manifest says can hold a match. The SQL DML paths get this
+    * pruning from Spark's own filter translation; this gives the
+    * direct APIs the same bound, so a clustered-range DV delete on a
+    * million-file lake opens the overlapping files, not all of them.
+    * None = no pruning possible (legacy lake without a `#schema`
+    * header, a predicate that doesn't resolve against it, or no
+    * prunable conjunct) — caller falls back to the full file list,
+    * which is conservative, never wrong. */
+  private def selfCandidates(s: SparkSession, snap: Snapshot,
+                             predicate: org.apache.spark.sql.Column): Option[Vector[String]] = {
+    val schema = snap.schema.getOrElse(return None)
+    val cond =
+      try s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(predicate).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    cond.flatMap { c =>
+      val fs = GraftPrune.filtersOf(c)
+      if (fs.isEmpty) None
+      else {
+        val pcol = snap.files.headOption.map(_.takeWhile(_ != '='))
+          .filter(schema.fieldNames.contains)
+        Some(snap.files.filter(f => fs.forall(GraftPrune.survives(snap, pcol, f, _))))
+      }
+    }
   }
 
   /** Cluster matched `(f: file, i: row_index)` pairs per FILE (a
@@ -1782,7 +1814,7 @@ object ManifestLake {
         require(c.forall(snap.files.contains),
           "delete candidates must come from the current snapshot")
         c
-      case None => snap.files
+      case None => selfCandidates(s, snap, predicate).getOrElse(snap.files)
     }
     if (scanFiles.isEmpty) return 0L
     val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
@@ -1874,7 +1906,7 @@ object ManifestLake {
         require(c.forall(snap.files.contains),
           "update candidates must come from the current snapshot")
         c
-      case None => snap.files
+      case None => selfCandidates(s, snap, predicate).getOrElse(snap.files)
     }
     if (scanFiles.isEmpty) return 0L
     val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)

@@ -373,6 +373,34 @@ class DvSpec extends SparkSpec {
       "update-dv must be CDC-invisible")
   }
 
+  test("Scala/CALL DML detection is manifest-pruned: out-of-range files never open") {
+    import spark.implicits._
+    val dir = tmp("dv_prune")
+    // doc_id-clustered layout so per-file ranges are disjoint
+    val df = spark.range(0, 400)
+      .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, df.repartitionByRange(8, $"doc_id"),
+      "source", statsCols = Seq("doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    // physically hide a file whose range can't hold doc_id < 10: if
+    // detection opens it anyway, the scan throws file-not-found — the
+    // strongest possible "never opened" pin
+    val far = snap.files.find(f => snap.stats(f)
+      .exists(st => st.col == "doc_id" && ManifestLake.Bound.cmp(
+        st.min, ManifestLake.Bound.Num(BigDecimal(200))).exists(_ > 0))).get
+    val src = Paths.get(dir).resolve(far)
+    val hidden = Paths.get(dir).resolve(far + ".hidden")
+    Files.move(src, hidden)
+    try {
+      assert(ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 10) == 10L)
+      assert(ManifestLake.updateWhereDv(spark, dir,
+        $"doc_id" >= 10 && $"doc_id" < 15, Seq("n_chars" -> lit(-1L))) == 5L)
+    } finally Files.move(hidden, src)
+    val read = ManifestLake.read(spark, dir)
+    assert(read.count() == 390L)
+    assert(read.filter($"n_chars" === -1L).count() == 5L)
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
