@@ -185,14 +185,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       import scala.jdk.CollectionConverters._
       properties.keySet().asScala
         .filterNot(k => k == "statsCols" || k == "bloomCols" ||
-          k == "bucketCol" || k == "bucketN" ||
+          k == "bucketCol" || k == "bucketN" || k == "write.delete.mode" ||
           reserved.contains(k.toLowerCase(java.util.Locale.ROOT)))
         .toSeq.sorted
     }
     if (unknownProps.nonEmpty) throw new UnsupportedOperationException(
       s"unknown TBLPROPERTIES: ${unknownProps.mkString(", ")} — supported: " +
         "statsCols, bloomCols (comma-separated column lists), " +
-        "bucketCol + bucketN (hash-bucket layout for storage-partitioned joins)")
+        "bucketCol + bucketN (hash-bucket layout for storage-partitioned joins), " +
+        "write.delete.mode (copy-on-write | merge-on-read)")
     val bucketBy = (Option(properties.get("bucketCol")),
         Option(properties.get("bucketN")).flatMap(_.toIntOption)) match {
       case (Some(c), Some(n)) => Some((c.trim, n))
@@ -202,7 +203,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
     ManifestLake.create(dir, schema, partitionCol,
       statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"),
-      bucketBy = bucketBy)
+      bucketBy = bucketBy,
+      deleteMode = Option(properties.get("write.delete.mode")).map(_.trim))
     loadTable(ident)
   }
 
@@ -214,9 +216,23 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * corrupt every older file's interpretation — same rule as
     * write-side evolution). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    import org.apache.spark.sql.connector.catalog.TableChange.AddColumn
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, SetProperty}
     val dir = dirOf(ident)
-    val adds = changes.map {
+    // `SET TBLPROPERTIES('write.delete.mode'='merge-on-read')` — the
+    // one mutable property: how DELETE mutates is an operational
+    // choice, unlike the structural props every committed file
+    // already satisfies (partitionCol / bucket layout refuse below)
+    val (propSets, rest) = changes.partition {
+      case p: SetProperty => p.property == "write.delete.mode"
+      case _              => false
+    }
+    if (propSets.nonEmpty) {
+      ManifestLake.setProperties(dir, propSets.map {
+        case p: SetProperty => "write.delete.mode" -> p.value.trim
+      }.toMap)
+      if (rest.isEmpty) return loadTable(ident)
+    }
+    val adds = rest.map {
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")

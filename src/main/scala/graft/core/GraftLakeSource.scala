@@ -376,11 +376,20 @@ private[core] final case class GraftLakeTable(
     // bound-at-resolve-time one: files appended since binding must
     // still be detected (a stale candidate set would be a silent
     // partial delete)
-    ManifestLake.deleteWhere(spark, dir, cond, () => (),
-      Some(cur => cur.files.filter(f => filters.forall(
+    val candidates: ManifestLake.Snapshot => Vector[String] =
+      cur => cur.files.filter(f => filters.forall(
         GraftPrune.survives(cur,
           cur.files.headOption.map(_.takeWhile(_ != '='))
-            .filter(c => schema.fieldNames.contains(c)), f, _)))))
+            .filter(c => schema.fieldNames.contains(c)), f, _)))
+    // declared write.delete.mode dispatch (Iceberg's table property):
+    // merge-on-read writes position sidecars — cost ∝ deleted rows —
+    // instead of rewriting affected files. Read from the LATEST
+    // snapshot so an ALTER TABLE that flipped the mode after this
+    // table resolved still governs the delete it races with.
+    if (ManifestLake.latestSnapshot(dir).exists(_.declaredDeleteMode == "merge-on-read"))
+      ManifestLake.deleteWhereDv(spark, dir, cond, () => (), Some(candidates))
+    else
+      ManifestLake.deleteWhere(spark, dir, cond, () => (), Some(candidates))
     ()
   }
 

@@ -119,6 +119,11 @@ object ManifestLake {
     def declaredPartitionCol: Option[String] = props.get(PropPartitionCol)
     def declaredStatsCols: Seq[String] = csvProp(PropStatsCols)
     def declaredBloomCols: Seq[String] = csvProp(PropBloomCols)
+    /** How SQL `DELETE FROM` mutates this lake: `copy-on-write` (the
+      * default — rewrite affected files) or `merge-on-read` (position
+      * sidecars, cost ∝ deleted rows; Iceberg's `write.delete.mode`). */
+    def declaredDeleteMode: String =
+      props.getOrElse(PropDeleteMode, "copy-on-write")
     /** Declared hash-bucket layout `(col, numBuckets)` — the secondary
       * clustering that lets storage-partitioned joins run on the KEY
       * column (doc_id-shaped), not just the partition directory. Set
@@ -137,6 +142,8 @@ object ManifestLake {
   private[core] val PropBloomCols = "bloomCols"
   private[core] val PropBucketCol = "bucketCol"
   private[core] val PropBucketN = "bucketN"
+  private[core] val PropDeleteMode = "write.delete.mode"
+  private[core] val DeleteModes = Set("copy-on-write", "merge-on-read")
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -1041,7 +1048,10 @@ object ManifestLake {
              partitionCol: String,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             bucketBy: Option[(String, Int)] = None): Snapshot = {
+             bucketBy: Option[(String, Int)] = None,
+             deleteMode: Option[String] = None): Snapshot = {
+    deleteMode.foreach(m => require(DeleteModes.contains(m),
+      s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
     require(schema.fieldNames.contains(partitionCol),
       s"partitionCol '$partitionCol' is not a column of the declared schema")
     bucketBy.foreach { case (c, n) =>
@@ -1064,12 +1074,33 @@ object ManifestLake {
       (if (bloomCols.nonEmpty) Map(PropBloomCols -> bloomCols.distinct.mkString(","))
        else Map.empty) ++
       bucketBy.map { case (c, n) =>
-        Map(PropBucketCol -> c, PropBucketN -> n.toString) }.getOrElse(Map.empty)
+        Map(PropBucketCol -> c, PropBucketN -> n.toString) }.getOrElse(Map.empty) ++
+      deleteMode.map(m => Map(PropDeleteMode -> m)).getOrElse(Map.empty)
     commitLoop(root) {
       case Some(_) => throw new IllegalStateException(
         s"lake $dir was concurrently created — CREATE TABLE refuses to replace it")
       case None => Some(Ledger(Vector.empty, Map.empty, Map.empty, "create",
         Some(schema), props = Some(props)))
+    }.get
+  }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES` — a metadata-only commit that
+    * overlays `kvs` on the declared layout. Only MUTABLE properties
+    * are accepted here (currently [[PropDeleteMode]]): the structural
+    * ones (partitionCol, bucket layout) are contracts every committed
+    * file already satisfies — flipping them would lie about the data,
+    * so the catalog refuses them before this is ever called. */
+  def setProperties(dir: String, kvs: Map[String, String]): Snapshot = {
+    kvs.get(PropDeleteMode).foreach(m => require(DeleteModes.contains(m),
+      s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(
+        s"no committed manifest in $dir — nothing to alter")
+      case Some(latest) =>
+        if (kvs.forall { case (k, v) => latest.props.get(k).contains(v) }) None
+        else Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
+          latest.schema, latest.blooms, latest.rows,
+          props = Some(latest.props ++ kvs), buckets = latest.buckets))
     }.get
   }
 

@@ -401,6 +401,51 @@ class DvSpec extends SparkSpec {
     assert(read.filter($"n_chars" === -1L).count() == 5L)
   }
 
+  test("write.delete.mode=merge-on-read routes SQL DELETE FROM through DVs") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_mor", classOf[GraftCatalog].getName)
+    val dir = tmp("dv_mode")
+    spark.sql(s"CREATE TABLE graft_mor.`$dir` " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT) PARTITIONED BY (source) " +
+      "TBLPROPERTIES('statsCols'='doc_id', 'write.delete.mode'='merge-on-read')")
+    spark.range(0, 200)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+      .createOrReplaceTempView("dv_mode_src")
+    spark.sql(s"INSERT INTO graft_mor.`$dir` SELECT * FROM dv_mode_src")
+    val before = ManifestLake.latestSnapshot(dir).get
+
+    spark.sql(s"DELETE FROM graft_mor.`$dir` WHERE doc_id < 20")
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.op == "delete-dv", "declared MoR mode governs SQL DELETE")
+    assert(after.files == before.files, "no data file rewritten")
+    assert(after.dvs.valuesIterator.map(_.count).sum == 20L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_mor.`$dir`").head().getLong(0) == 180L)
+
+    // flip back to copy-on-write: the same DELETE shape rewrites files
+    // (and purges the DVs it reads through)
+    spark.sql(s"ALTER TABLE graft_mor.`$dir` " +
+      "SET TBLPROPERTIES('write.delete.mode'='copy-on-write')")
+    assert(ManifestLake.latestSnapshot(dir).get.declaredDeleteMode == "copy-on-write")
+    spark.sql(s"DELETE FROM graft_mor.`$dir` WHERE doc_id < 40")
+    val cow = ManifestLake.latestSnapshot(dir).get
+    assert(cow.op == "delete")
+    assert(cow.dvs.isEmpty, "the COW rewrite reads through and purges the DVs")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_mor.`$dir`").head().getLong(0) == 160L)
+
+    // an invalid mode refuses, at CREATE and at ALTER
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_mor.`$dir` " +
+        "SET TBLPROPERTIES('write.delete.mode'='sometimes')")
+    }
+    val dir2 = tmp("dv_mode2")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_mor.`$dir2` (a BIGINT, p STRING) " +
+        "PARTITIONED BY (p) TBLPROPERTIES('write.delete.mode'='nope')")
+    }
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
