@@ -333,10 +333,18 @@ private[core] final case class GraftLakeTable(
         require(v >= 1, s"streamStartingVersion must be ≥ 1, got $v")
         StreamStart.At(v)
     }
+    val skipChanges = Option(options.get("skipChangeCommits")) match {
+      case None        => true // the documented default: append-only CDC
+      case Some("true")  => true
+      case Some("false") => false
+      case Some(raw) => throw new IllegalArgumentException(
+        s"skipChangeCommits must be true or false, got '$raw'")
+    }
     new GraftScanBuilder(this,
       maxVersionsPerTrigger = longOpt("maxVersionsPerTrigger"),
       maxFilesPerTrigger = longOpt("maxFilesPerTrigger"),
-      streamStartingVersion = streamStart)
+      streamStartingVersion = streamStart,
+      skipChangeCommits = skipChanges)
   }
 
   /** SQL `DELETE FROM graft.`/dir`` WHERE ...` — routed through
@@ -474,7 +482,8 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     onBuild: GraftScan => Unit = _ => (), rowLevel: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    streamStartingVersion: Option[StreamStart] = None)
+    streamStartingVersion: Option[StreamStart] = None,
+    skipChangeCommits: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -767,7 +776,8 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
         }
       }
       val scan = GraftScan(table, required, kept, pushed, rowLevel,
-        maxVersionsPerTrigger, maxFilesPerTrigger, streamStartingVersion)
+        maxVersionsPerTrigger, maxFilesPerTrigger, streamStartingVersion,
+        skipChangeCommits)
       onBuild(scan)
       scan
   }
@@ -941,7 +951,8 @@ private[graft] final case class GraftScan(
     rowLevel: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    streamStartingVersion: Option[StreamStart] = None)
+    streamStartingVersion: Option[StreamStart] = None,
+    skipChangeCommits: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1528,6 +1539,23 @@ private[core] final class GraftMicroBatchStream(scan: GraftScan)
     val e0 = end.asInstanceOf[V].v
     if (s0 >= e0) Array.empty
     else {
+      // `skipChangeCommits=false` (Delta's option, inverted default to
+      // match this source's documented append-only CDC contract): a
+      // consumer that must never silently miss a row REMOVAL fails
+      // loudly at the first data-removing commit in its window instead
+      // of skipping it. Layout-only commits (compact, rebucket) and
+      // metadata commits still pass — they change no logical row.
+      if (!scan.skipChangeCommits) {
+        val changeOps = Set("delete", "delete-dv", "update", "update-dv",
+          "merge", "restore")
+        val bad = (s0 + 1 to e0).flatMap(v =>
+          ManifestLake.opOf(java.nio.file.Paths.get(dir), v)
+            .filter(changeOps).map(v -> _))
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"stream over $dir with skipChangeCommits=false hit data-removing " +
+            s"commits: ${bad.map { case (v, op) => s"v$v($op)" }.mkString(", ")} — " +
+            "reprocess from a snapshot or set skipChangeCommits=true to skip them")
+      }
       val files = ManifestLake.changedFiles(dir, s0, e0)
       val snapEnd = ManifestLake.snapshotAt(dir, e0).getOrElse(
         throw new IllegalStateException(s"manifest v$e0 of $dir is missing"))

@@ -401,6 +401,20 @@ object ManifestLake {
     finally lines.close()
   }
 
+  /** The `#op:` header of one manifest, reading header lines only —
+    * what a stream's change-commit guard dispatches on without parsing
+    * file lines. None = missing manifest or pre-header legacy (which
+    * could only be an append). */
+  private[core] def opOf(root: Path, v: Long): Option[String] = {
+    val p = manifestPath(root, v)
+    if (!Files.exists(p)) return None
+    val lines = Files.lines(p)
+    try lines.iterator().asScala
+      .takeWhile(l => l.isEmpty || l.startsWith("#"))
+      .collectFirst { case l if l.startsWith("#op:") => l.stripPrefix("#op:") }
+    finally lines.close()
+  }
+
   /** A specific committed version, if its manifest still exists (vacuum
     * retires manifests past the grace window). */
   def snapshotAt(dir: String, version: Long): Option[Snapshot] = {

@@ -1202,6 +1202,43 @@ class LayoutSpec extends SparkSpec {
       s"window pruning kept ${keptWin.length} of ${win.length}")
   }
 
+  test("DSv2 streaming source: skipChangeCommits=false fails loudly on row removal") {
+    val dir = Files.createTempDirectory("mstrict").resolve("lake").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+    ManifestLake.append(spark, dir, batch(0, 50), "source")
+    val ckpt = Files.createTempDirectory("mstrict_ckpt").toString
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("skipChangeCommits", "false").load()
+      .writeStream.format("memory").queryName("graft_strict_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_strict_sink").count() == 50)
+      // layout-only commits still pass: no logical row changed
+      ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1000L)
+      ManifestLake.append(spark, dir, batch(50, 60), "source")
+      q.processAllAvailable()
+      assert(spark.table("graft_strict_sink").count() == 60)
+      // a data-removing commit fails the stream instead of silently
+      // skipping (the default contract skips; strict consumers opt in)
+      ManifestLake.deleteWhere(spark, dir, $"doc_id" === 10L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("skipChangeCommits=false")), e.toString)
+    } finally q.stop()
+    // an invalid option value refuses at resolve time
+    intercept[Exception] {
+      spark.readStream.format("graft").option("path", dir)
+        .option("skipChangeCommits", "maybe").load()
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+  }
+
   test("DSv2 streaming source: maxVersionsPerTrigger/maxFilesPerTrigger bound the backfill") {
     // without admission control a stream started against an existing
     // lake catches up the WHOLE history in one micro-batch; with it
