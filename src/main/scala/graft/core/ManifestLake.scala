@@ -2070,6 +2070,104 @@ object ManifestLake {
     }
   }
 
+  /** Change DATA feed — Delta's `readChangeFeed`, for the commits
+    * whose row-level change record the lake ALREADY HAS exactly, so no
+    * commit-time change files are ever written:
+    *  - append/batch commits emit their added files' rows as `insert`;
+    *  - `delete-dv` commits emit the newly-vectored rows as `delete`
+    *    (the sidecar DIFF between the commit and its parent IS the
+    *    delete record — positions are exact, the rows still sit in the
+    *    un-moved data files until vacuum);
+    *  - `update-dv` commits emit the vectored rows as
+    *    `update_preimage` and their appended images as
+    *    `update_postimage`;
+    *  - compaction / rebucket / metadata commits emit nothing (no
+    *    logical row changed);
+    *  - a copy-on-write delete/update/merge/restore in the window
+    *    REFUSES loudly: COW rewrites don't record which rows changed,
+    *    and reconstructing them from removed-vs-added file diffs would
+    *    mis-report duplicates. Declare
+    *    `write.delete.mode=merge-on-read` / use the DV DML for
+    *    CDF-able mutations.
+    * Output columns: the lake's (window-end schema, older files
+    * null-fill) + `_change_type` + `_commit_version`. Cost ∝ changed
+    * rows: sidecar diffs are driver-side byte-sized reads, position
+    * filtering broadcasts only the diff, and only files holding
+    * changes are opened. Requires the window's manifests (and for
+    * preimages, the pre-rewrite data files) to still exist — run CDF
+    * inside the retention window, exactly like [[readChanges]]. */
+  def readChangeFeed(s: SparkSession, dir: String,
+                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"bad version range ($fromExclusive, $toInclusive]")
+    def snap(v: Long): Snapshot = snapshotAt(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$v of $dir is missing (retired by vacuum?) — " +
+          "the change feed must run inside the retention window"))
+    val endSchema = snap(toInclusive).schema
+    def rowsOf(files: Vector[String]): DataFrame =
+      endSchema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+        .parquet(files.map(f => s"$dir/$f"): _*)
+    val conf = s.sessionState.newHadoopConf()
+    // newly-vectored positions per file: the commit's sidecar minus its
+    // parent's — driver-side reads of delete-proportional varint blobs
+    def positionsDiff(prev: Snapshot, cur: Snapshot): Map[String, Array[Long]] =
+      cur.dvs.iterator.flatMap { case (f, d) =>
+        if (prev.dvs.get(f).contains(d)) None
+        else {
+          val now = DvStore.read(dir, d.path, conf)
+          val before = prev.dvs.get(f)
+            .map(pd => DvStore.read(dir, pd.path, conf))
+            .getOrElse(Array.empty[Long])
+          val fresh = now.filterNot(DvStore.contains(before, _))
+          if (fresh.isEmpty) None else Some(f -> fresh)
+        }
+      }.toMap
+    def rowsAt(positions: Map[String, Array[Long]]): DataFrame = {
+      val bc = s.sparkContext.broadcast(positions)
+      val hit = udf((p: String, i: Long) =>
+        bc.value.get(relFromUri(p)).exists(DvStore.contains(_, i)))
+      rowsOf(positions.keys.toVector.sorted)
+        .withColumn("__graft_cdf_p", col("_metadata.file_path"))
+        .withColumn("__graft_cdf_i", col("_metadata.row_index"))
+        .filter(hit(col("__graft_cdf_p"), col("__graft_cdf_i")))
+        .drop("__graft_cdf_p", "__graft_cdf_i")
+    }
+    val legs: Seq[DataFrame] =
+      ((fromExclusive + 1) to toInclusive).flatMap { v =>
+        val cur = snap(v)
+        def tag(df: DataFrame, t: String): DataFrame =
+          df.withColumn("_change_type", lit(t))
+            .withColumn("_commit_version", lit(v))
+        cur.op match {
+          case "compact" | "rebucket" => Nil
+          case "delete-dv" =>
+            val diff = positionsDiff(snap(v - 1), cur)
+            if (diff.isEmpty) Nil else Seq(tag(rowsAt(diff), "delete"))
+          case "update-dv" =>
+            val prev = snap(v - 1)
+            val diff = positionsDiff(prev, cur)
+            val added = cur.files.filterNot(prev.files.toSet)
+            (if (diff.isEmpty) Nil else Seq(tag(rowsAt(diff), "update_preimage"))) ++
+              (if (added.isEmpty) Nil else Seq(tag(rowsOf(added), "update_postimage")))
+          case "delete" | "update" | "merge" | "restore" =>
+            throw new IllegalStateException(
+              s"readChangeFeed($dir) window contains a copy-on-write " +
+                s"'${cur.op}' commit at v$v, which records no row-level " +
+                "change — declare write.delete.mode=merge-on-read / use " +
+                "the DV DML for CDF-able mutations, or diff snapshots")
+          case _ => // append / batch / create / addcols / setprops
+            val prev = if (v == 1) Set.empty[String] else snap(v - 1).files.toSet
+            val added = cur.files.filterNot(prev)
+            if (added.isEmpty) Nil else Seq(tag(rowsOf(added), "insert"))
+        }
+      }
+    legs.reduceOption(_ unionByName _).getOrElse(
+      read(s, dir, Some(snap(toInclusive))).filter(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)))
+  }
+
   /** The file-set half of [[readChanges]] — the files ADDED by
     * append/batch commits in (`fromExclusive`, `toInclusive`],
     * compact/delete commits invisible. ONE definition shared by the
@@ -2092,11 +2190,12 @@ object ManifestLake {
       // ADDS content, so both are invisible to the changes stream.
       // merge commits carry BOTH rewritten survivors and new rows in
       // their added files; emitting them would re-deliver carried rows,
-      // so merge is CDC-invisible too (consumers needing merge deltas
-      // read snapshots — the Delta-CDF change-file refinement is a
-      // documented non-goal). restore re-publishes files whose rows a
-      // consumer already received when they were FIRST committed —
-      // emitting them would deliver every restored row twice.
+      // so merge is CDC-invisible too (consumers needing row-level
+      // change records use [[readChangeFeed]], which is exact for
+      // merge-on-read mutations and refuses COW ones). restore
+      // re-publishes files whose rows a consumer already received when
+      // they were FIRST committed — emitting them would deliver every
+      // restored row twice.
       if (cur.op == "compact" || cur.op == "delete" || cur.op == "merge" ||
           cur.op == "update" || cur.op == "restore" || cur.op == "rebucket" ||
           cur.op == "delete-dv" || // adds no files anyway — listed for intent

@@ -849,6 +849,62 @@ object RoundTrips {
        FROM per_src CROSS JOIN (SELECT UNNEST(['compacted','dv']) AS stage)
        ORDER BY stage, source"""
 
+  /** q172 — change data feed ([[graft.core.ManifestLake.readChangeFeed]]):
+    * Delta's `readChangeFeed`, exact WITHOUT commit-time change files
+    * because merge-on-read mutations already record their row-level
+    * change — the DV sidecar diff IS the delete record, the appended
+    * images ARE the update postimages. The script commits an insert
+    * generation, a MoR delete, and a MoR update (id-shifting, so a
+    * postimage row is distinguishable from its preimage by value, not
+    * just tag), plus a compaction that must emit NOTHING; the whole
+    * feed then aggregates per (change_type, source) and must hash-match
+    * DuckDB's recompute of each leg from raw parquet. At 100 TB this is
+    * the GDPR/downstream-index propagation primitive: feed cost ∝
+    * changed rows (driver-side sidecar diffs + opens of only the files
+    * holding changes), never corpus size. */
+  def qChangeFeedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_cdf_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                     // v1
+    graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 17 === 0) // v2
+    graft.core.ManifestLake.updateWhereDv(s, lake,
+      length($"text") % 13 === 5,
+      Seq("doc_id" -> ($"doc_id" + 1000000L)))                       // v3
+    graft.core.ManifestLake.compact(s, lake, "source",
+      targetRecordsPerFile = 1024L * 1024)                           // v4: silent
+    val v = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    graft.core.ManifestLake.readChangeFeed(s, lake, 0L, v)
+      .groupBy($"_change_type".as("change_type"), $"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .orderBy($"change_type", $"source")
+  }
+
+  val qChangeFeedRoundTripSql: String =
+    """WITH alive AS (
+         SELECT * FROM documents WHERE doc_id % 17 <> 0),
+       legs AS (
+         SELECT 'insert' AS change_type, source, doc_id, len(text) AS n
+         FROM documents
+         UNION ALL
+         SELECT 'delete', source, doc_id, len(text)
+         FROM documents WHERE doc_id % 17 = 0
+         UNION ALL
+         SELECT 'update_preimage', source, doc_id, len(text)
+         FROM alive WHERE len(text) % 13 = 5
+         UNION ALL
+         SELECT 'update_postimage', source, doc_id + 1000000, len(text)
+         FROM alive WHERE len(text) % 13 = 5)
+       SELECT change_type, source, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n) AS BIGINT) AS sum_chars
+       FROM legs GROUP BY change_type, source
+       ORDER BY change_type, source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2166,6 +2222,7 @@ object RoundTrips {
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTrip,
     "q170_deletion_vectors" -> qDeletionVectorsRoundTrip,
     "q171_mor_update" -> qMorUpdateRoundTrip,
+    "q172_change_feed" -> qChangeFeedRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2199,6 +2256,7 @@ object RoundTrips {
     "q133_delete_contaminated" -> qDeleteContaminatedRoundTripSql,
     "q170_deletion_vectors" -> qDeletionVectorsRoundTripSql,
     "q171_mor_update" -> qMorUpdateRoundTripSql,
+    "q172_change_feed" -> qChangeFeedRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -446,6 +446,52 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed: exact row-level changes for MoR commits, refusal for COW") {
+    import spark.implicits._
+    val dir = tmp("dv_cdf")
+    mkLake(dir)                                                    // v1: 200 inserts
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 10 === 3)   // v2: 20 deletes
+    ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 4,
+      Seq("n_chars" -> lit(-1L)))                                  // v3: 1 update
+    ManifestLake.compact(spark, dir, "source",
+      targetRecordsPerFile = 1024L * 1024)                         // v4: nothing
+    ManifestLake.append(spark, dir, spark.range(1000, 1010)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                     // v5: 10 inserts
+
+    val feed = ManifestLake.readChangeFeed(spark, dir, 0L, 5L)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 210L, "delete" -> 20L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), byType.toString)
+    // content exactness: the delete leg is precisely the vectored rows,
+    // pre/post images carry old and new values
+    assert(feed.filter($"_change_type" === "delete" && $"doc_id" % 10 =!= 3)
+      .count() == 0L)
+    assert(feed.filter($"_change_type" === "update_preimage").head()
+      .getAs[Long]("n_chars") == 40L)
+    assert(feed.filter($"_change_type" === "update_postimage").head()
+      .getAs[Long]("n_chars") == -1L)
+    // versions tag correctly; the compact version emits nothing
+    assert(feed.select($"_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+    // windows compose: (1,2] is only the deletes
+    val w = ManifestLake.readChangeFeed(spark, dir, 1L, 2L)
+    assert(w.count() == 20L &&
+      w.select($"_change_type").distinct().head().getString(0) == "delete")
+    // an all-quiet window is empty but correctly shaped
+    val quiet = ManifestLake.readChangeFeed(spark, dir, 3L, 4L)
+    assert(quiet.count() == 0L && quiet.columns.contains("_change_type"))
+    // a COW mutation in the window refuses loudly; windows before it
+    // keep working
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" === 7L)         // v6: COW
+    val e = intercept[IllegalStateException] {
+      ManifestLake.readChangeFeed(spark, dir, 5L, 6L).count()
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    assert(ManifestLake.readChangeFeed(spark, dir, 0L, 5L).count() == 232L)
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
