@@ -75,6 +75,20 @@ object ProbeManifest {
     val vDv = ManifestLake.latestSnapshot(lake).get.version
     emit("dv_delete", (System.nanoTime() - t0) / 1000000, vDv)
 
+    // MoR update: 50 matched rows -> positions + images, one commit
+    t0 = System.nanoTime()
+    ManifestLake.updateWhereDv(spark, lake,
+      $"doc_id" >= 100 && $"doc_id" < 150,
+      Seq("n_chars" -> org.apache.spark.sql.functions.lit(-1L)))
+    val vUp = ManifestLake.latestSnapshot(lake).get.version
+    emit("dv_update", (System.nanoTime() - t0) / 1000000, vUp)
+
+    // change feed over the two MoR commits: cost ∝ changed rows
+    t0 = System.nanoTime()
+    val cdf = ManifestLake.readChangeFeed(spark, lake, vDv - 1, vUp).count()
+    println(s"""{"step":"change_feed","ms":${(System.nanoTime() - t0) / 1000000},""" +
+      s""""rows":$cdf}""")
+
     // read-side: resolve the whole chain (checkpoint + deltas)
     t0 = System.nanoTime()
     val snapN = ManifestLake.latestSnapshot(lake).get
