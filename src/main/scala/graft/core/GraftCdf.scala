@@ -1,0 +1,376 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 surface for the change data feed ([[ManifestLake.readChangeFeed]]
+  * is the Scala twin — ONE op-dispatch contract, asserted against each
+  * other in CdfSpec):
+  *
+  *   - batch: `spark.read.format("graft").option("readChangeFeed","true")
+  *     .option("startingVersion", f).option("endingVersion", t)` — the
+  *     same window options as the plain CDC read, widened schema;
+  *   - stream: `spark.readStream.format("graft")
+  *     .option("readChangeFeed","true")` — offsets are manifest
+  *     versions (exactly the plain stream's), each micro-batch emits
+  *     its window's row-level changes. A copy-on-write mutation FAILS
+  *     the stream by construction (no row-level record exists) — the
+  *     strict complement of the plain stream's silent-skip contract.
+  *
+  * Planning is change-proportional: insert/postimage legs read only
+  * the files their commit added; delete/preimage legs are single-file
+  * splits over only the files whose DV changed, shipping the commit's
+  * and parent's sidecar PATHS (readers load the delete-proportional
+  * varint blobs and keep positions in the diff). Nothing scales with
+  * the lake. */
+private[core] object GraftCdf {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def cdfSchema(lake: StructType): StructType =
+    StructType(lake.fields :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitVersionCol, LongType, nullable = false))
+
+  /** (changeType, files, curDv, prevDv) legs of one commit — the same
+    * dispatch [[ManifestLake.readChangeFeed]] runs, factored so the
+    * DSv2 planner and the DataFrame builder cannot drift on WHAT
+    * changed (they differ only in how rows are materialized). */
+  private[core] def legsOf(dir: String, v: Long,
+                           prev: ManifestLake.Snapshot,
+                           cur: ManifestLake.Snapshot)
+      : Seq[(String, Vector[String], Map[String, (String, Option[String])])] = {
+    def dvDiff: Map[String, (String, Option[String])] =
+      cur.dvs.iterator.flatMap { case (f, d) =>
+        if (prev.dvs.get(f).contains(d)) None
+        else Some(f -> (d.path, prev.dvs.get(f).map(_.path)))
+      }.toMap
+    cur.op match {
+      case "compact" | "rebucket" => Nil
+      case "delete-dv" =>
+        val diff = dvDiff
+        if (diff.isEmpty) Nil
+        else Seq(("delete", diff.keys.toVector.sorted, diff))
+      case "update-dv" =>
+        val diff = dvDiff
+        val added = cur.files.filterNot(prev.files.toSet)
+        (if (diff.isEmpty) Nil
+         else Seq(("update_preimage", diff.keys.toVector.sorted, diff))) ++
+          (if (added.isEmpty) Nil
+           else Seq(("update_postimage", added, Map.empty[String, (String, Option[String])])))
+      case "delete" | "update" | "merge" | "restore" =>
+        throw new IllegalStateException(
+          s"change feed over $dir hit a copy-on-write '${cur.op}' commit at " +
+            s"v$v, which records no row-level change — declare " +
+            "write.delete.mode=merge-on-read / use the DV DML for CDF-able " +
+            "mutations, or diff snapshots")
+      case _ => // append / batch / create / addcols / setprops
+        val added = cur.files.filterNot(
+          (if (v == 1) Set.empty[String] else prev.files.toSet))
+        if (added.isEmpty) Nil
+        else Seq(("insert", added, Map.empty[String, (String, Option[String])]))
+    }
+  }
+}
+
+/** One CDF split: a leg's files plus its constant columns and, for
+  * position legs, the commit's and parent's sidecar paths (null =
+  * none). Position legs are always single-file (row indexes are
+  * file-absolute). */
+private[core] final class CdfFilePartition(
+    idx: Int, fs: Array[PartitionedFile],
+    val changeType: String, val commitVersion: Long,
+    val dvCur: String, val dvPrev: String)
+    extends FilePartition(idx, fs)
+
+private[core] final case class GraftCdfTable(dir: String,
+                                             window: Option[(Long, Long)])
+    extends Table with SupportsRead {
+  private[core] val snap: ManifestLake.Snapshot =
+    ManifestLake.latestSnapshot(dir).getOrElse(throw new IllegalStateException(
+      s"no committed manifest in $dir"))
+  private[core] val lakeSchema: StructType =
+    snap.schema.getOrElse(throw new IllegalStateException(
+      s"lake $dir has no committed schema — the change feed requires one"))
+  private[core] val partitionCol: Option[String] =
+    snap.files.headOption.map(_.takeWhile(_ != '='))
+      .filter(lakeSchema.fieldNames.contains)
+      .orElse(snap.declaredPartitionCol)
+
+  override def name(): String = s"graft-cdf:$dir"
+  override val schema: StructType = GraftCdf.cdfSchema(lakeSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => GraftCdfScan(this)
+}
+
+private[graft] final case class GraftCdfScan(table: GraftCdfTable)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = table.schema
+  override def description(): String =
+    s"GraftChangeFeed ${table.dir} window=${table.window.getOrElse("stream")}"
+
+  override def toBatch: Batch = {
+    require(table.window.isDefined,
+      "a batch change feed needs BOTH startingVersion and endingVersion " +
+        "(streaming reads tail instead)")
+    this
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (from, to) = table.window.get
+    planWindow(from, to)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCdfMicroBatchStream(this)
+
+  private def partitionFields: Array[StructField] =
+    table.partitionCol.toArray.flatMap(c => table.lakeSchema.fields.find(_.name == c))
+
+  // path → PartitionedFile with the partition value decoded from the
+  // directory name — same decode as GraftScan's (pinned there; the CDF
+  // carries a copy because its splits are built outside any GraftScan)
+  private def partitionValueRow(file: String): InternalRow = {
+    val part = partitionFields
+    if (part.isEmpty) InternalRow.empty
+    else {
+      val raw = GraftLake.unescapePartitionValue(
+        file.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
+      val v: Any =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else part.head.dataType match {
+          case StringType  => UTF8String.fromString(raw)
+          case LongType    => raw.toLong
+          case IntegerType => raw.toInt
+          case ShortType   => raw.toShort
+          case ByteType    => raw.toByte
+          case BooleanType => raw.toBoolean
+          case DoubleType  => raw.toDouble
+          case FloatType   => raw.toFloat
+          case DateType    => java.time.LocalDate.parse(raw).toEpochDay.toInt
+          case other => throw new IllegalStateException(
+            s"unsupported partition type $other on the change feed")
+        }
+      new GenericInternalRow(Array(v))
+    }
+  }
+
+  private def pfOf(rel: String): PartitionedFile = {
+    val p = java.nio.file.Paths.get(table.dir).resolve(rel)
+    val size = java.nio.file.Files.size(p)
+    new PartitionedFile(
+      partitionValueRow(rel),
+      org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+      0L, size, Array.empty[String],
+      java.nio.file.Files.getLastModifiedTime(p).toMillis, size,
+      Map.empty[String, Any])
+  }
+
+  /** The window's change-proportional splits: bin-packed multi-file
+    * splits for insert/postimage legs, single-file sidecar-carrying
+    * splits for delete/preimage legs. */
+  private[core] def planWindow(from: Long, to: Long): Array[InputPartition] = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    def snapAt(v: Long): ManifestLake.Snapshot =
+      ManifestLake.snapshotAt(table.dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$v of ${table.dir} is missing (retired by vacuum?) — " +
+            "the change feed must run inside the retention window"))
+    var idx = -1
+    def nextIdx(): Int = { idx += 1; idx }
+    ((from + 1) to to).toArray.flatMap { v =>
+      val cur = snapAt(v)
+      val prev = if (v == 1)
+        ManifestLake.Snapshot(0L, Vector.empty) else snapAt(v - 1)
+      GraftCdf.legsOf(table.dir, v, prev, cur).flatMap {
+        case (changeType, files, dvs) if dvs.isEmpty =>
+          val pfs = files.map(pfOf)
+          FilePartition.getFilePartitions(spark, pfs,
+            FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
+            .map(fp => new CdfFilePartition(nextIdx(), fp.files,
+              changeType, v, null, null))
+        case (changeType, files, dvs) =>
+          files.map { f =>
+            val (curDv, prevDv) = dvs(f)
+            new CdfFilePartition(nextIdx(), Array(pfOf(f)),
+              changeType, v, curDv, prevDv.orNull)
+          }
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+    val part = partitionFields
+    val dataSchema = StructType(
+      table.lakeSchema.fields.filterNot(f => table.partitionCol.contains(f.name)))
+    val sqlConf = spark.sessionState.conf
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    // same conf recipe as GraftScan.createReaderFactory's mkFactory —
+    // the entries ParquetScan prepares for the stock factory
+    def mkFactory(requested: StructType): ParquetPartitionReaderFactory = {
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requested.json)
+      hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+      ParquetWriteSupport.setSchema(requested, hadoopConf)
+      hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+        sqlConf.isParquetBinaryAsString)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+      hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+        sqlConf.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
+      ParquetPartitionReaderFactory(
+        spark.sessionState.conf,
+        spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
+        dataSchema,
+        requested,
+        StructType(part),
+        Array.empty[Filter],
+        None,
+        new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    }
+    val idxField = StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+    new CdfReaderFactory(
+      plain = mkFactory(dataSchema),
+      withIdx = mkFactory(StructType(dataSchema.fields :+ idxField)),
+      lakeDir = table.dir,
+      conf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())),
+      // physical layouts the two factories emit (requested ++ part)
+      plainPhysical = StructType(dataSchema.fields ++ part),
+      idxPhysical = StructType((dataSchema.fields :+ idxField) ++ part),
+      idxPos = dataSchema.length,
+      out = readSchema())
+  }
+}
+
+/** Wraps the stock parquet readers: appends the leg's constant
+  * `_change_type`/`_commit_version` columns, permutes into the output
+  * order, and — on position legs — keeps exactly the rows whose
+  * file-absolute index is in the commit's sidecar DIFF (in cur, not in
+  * prev), loading the delete-proportional blobs once per split. */
+private[core] final class CdfReaderFactory(
+    plain: PartitionReaderFactory, withIdx: PartitionReaderFactory,
+    lakeDir: String,
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    plainPhysical: StructType, idxPhysical: StructType, idxPos: Int,
+    out: StructType)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  private def projection(physical: StructType): UnsafeProjection = {
+    // joined row = physical fields then [changeType, commitVersion]
+    val byName = physical.fieldNames.zipWithIndex.toMap
+    val n = physical.length
+    UnsafeProjection.create(out.fields.map { f =>
+      f.name match {
+        case GraftCdf.ChangeTypeCol => BoundReference(n, StringType, nullable = false)
+        case GraftCdf.CommitVersionCol => BoundReference(n + 1, LongType, nullable = false)
+        case other => BoundReference(byName(other),
+          physical(byName(other)).dataType, physical(byName(other)).nullable)
+      }
+    }.toIndexedSeq)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val c = partition.asInstanceOf[CdfFilePartition]
+    val consts = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(c.changeType), c.commitVersion))
+    val joined = new JoinedRow
+    if (c.dvCur == null) {
+      val inner = plain.createReader(partition)
+      val proj = projection(plainPhysical)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(joined(inner.get(), consts))
+        override def close(): Unit = inner.close()
+      }
+    } else {
+      val inner = withIdx.createReader(partition)
+      val proj = projection(idxPhysical) // idx never referenced by `out`
+      val cur = DvStore.read(lakeDir, c.dvCur, conf.value.value)
+      val prev = if (c.dvPrev == null) Array.empty[Long]
+                 else DvStore.read(lakeDir, c.dvPrev, conf.value.value)
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val r = inner.get()
+            val i = r.getLong(idxPos)
+            if (DvStore.contains(cur, i) && !DvStore.contains(prev, i)) {
+              row = proj(joined(r, consts))
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}
+
+/** The change feed as an unbounded stream: offsets are manifest
+  * versions (the plain lake stream's contract exactly), each
+  * micro-batch plans its window's change-proportional splits. A COW
+  * mutation fails the stream by construction — strict consumers get
+  * [[GraftMicroBatchStream]]'s `skipChangeCommits=false` semantics
+  * with row-level deletes instead of just an error. */
+private[core] final class GraftCdfMicroBatchStream(scan: GraftCdfScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def dir = scan.table.dir
+  private final case class V(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+  override def initialOffset(): Offset = V(0L)
+  override def latestOffset(): Offset =
+    V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[V].v
+    val e0 = end.asInstanceOf[V].v
+    if (s0 >= e0) Array.empty else scan.planWindow(s0, e0)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

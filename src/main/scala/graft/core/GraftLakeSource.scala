@@ -239,8 +239,9 @@ private[core] object GraftLake {
     sb.toString
   }
 
-  /** Resolve options → (dir, snapshot-or-CDC file set, schema). */
-  def resolve(options: CaseInsensitiveStringMap): GraftLakeTable = {
+  /** Resolve options → (dir, snapshot-or-CDC file set, schema) — or
+    * the change-feed table (widened schema) under `readChangeFeed`. */
+  def resolve(options: CaseInsensitiveStringMap): Table = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a 'path' option"))
     val starting = Option(options.get("startingVersion")).map(_.toLong)
@@ -266,7 +267,21 @@ private[core] object GraftLake {
       "CDC read needs BOTH startingVersion and endingVersion")
     require(starting.isEmpty || versionAsOf.isEmpty,
       "versionAsOf/timestampAsOf and a CDC window are mutually exclusive")
-    (starting, ending) match {
+    // readChangeFeed=true widens the schema with _change_type /
+    // _commit_version and dispatches to the CDF table: batch reads
+    // take the same window options as the plain CDC read, streams
+    // tail change-rows instead of added-file rows
+    val changeFeed = Option(options.get("readChangeFeed")) match {
+      case None | Some("false") => false
+      case Some("true")         => true
+      case Some(raw) => throw new IllegalArgumentException(
+        s"readChangeFeed must be true or false, got '$raw'")
+    }
+    if (changeFeed) {
+      require(versionAsOf.isEmpty,
+        "readChangeFeed and versionAsOf/timestampAsOf are mutually exclusive")
+      GraftCdfTable(dir, starting.zip(ending))
+    } else (starting, ending) match {
       case (Some(from), Some(to)) =>
         val end = ManifestLake.snapshotAt(dir, to).getOrElse(
           throw new IllegalStateException(s"manifest v$to of $dir is missing"))

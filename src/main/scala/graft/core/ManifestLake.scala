@@ -2105,61 +2105,51 @@ object ManifestLake {
         s"manifest v$v of $dir is missing (retired by vacuum?) — " +
           "the change feed must run inside the retention window"))
     val endSchema = snap(toInclusive).schema
-    def rowsOf(files: Vector[String]): DataFrame =
+    // present the COMMITTED column order (basePath restores the
+    // partition column, but parquet appends it last) — the same order
+    // the DSv2 change-feed table declares, so the two faces agree
+    // column-for-column, not just row-for-row
+    def rawOf(files: Vector[String]): DataFrame =
       endSchema.foldLeft(s.read.option("basePath", dir))(_ schema _)
         .parquet(files.map(f => s"$dir/$f"): _*)
+    def ordered(df: DataFrame): DataFrame =
+      endSchema.fold(df)(sc => df.select(sc.fieldNames.toIndexedSeq.map(col): _*))
+    def rowsOf(files: Vector[String]): DataFrame = ordered(rawOf(files))
     val conf = s.sessionState.newHadoopConf()
-    // newly-vectored positions per file: the commit's sidecar minus its
-    // parent's — driver-side reads of delete-proportional varint blobs
-    def positionsDiff(prev: Snapshot, cur: Snapshot): Map[String, Array[Long]] =
-      cur.dvs.iterator.flatMap { case (f, d) =>
-        if (prev.dvs.get(f).contains(d)) None
-        else {
-          val now = DvStore.read(dir, d.path, conf)
-          val before = prev.dvs.get(f)
-            .map(pd => DvStore.read(dir, pd.path, conf))
-            .getOrElse(Array.empty[Long])
-          val fresh = now.filterNot(DvStore.contains(before, _))
-          if (fresh.isEmpty) None else Some(f -> fresh)
-        }
-      }.toMap
     def rowsAt(positions: Map[String, Array[Long]]): DataFrame = {
       val bc = s.sparkContext.broadcast(positions)
       val hit = udf((p: String, i: Long) =>
         bc.value.get(relFromUri(p)).exists(DvStore.contains(_, i)))
-      rowsOf(positions.keys.toVector.sorted)
+      // _metadata must be referenced on the file-source relation
+      // directly (a projection would sever it) — order AFTER filtering
+      ordered(rawOf(positions.keys.toVector.sorted)
         .withColumn("__graft_cdf_p", col("_metadata.file_path"))
         .withColumn("__graft_cdf_i", col("_metadata.row_index"))
         .filter(hit(col("__graft_cdf_p"), col("__graft_cdf_i")))
-        .drop("__graft_cdf_p", "__graft_cdf_i")
+        .drop("__graft_cdf_p", "__graft_cdf_i"))
     }
+    // WHAT changed per commit is [[GraftCdf.legsOf]]'s single dispatch
+    // — shared with the DSv2 batch and streaming change-feed faces, so
+    // the three materializations can never disagree on the rows
     val legs: Seq[DataFrame] =
       ((fromExclusive + 1) to toInclusive).flatMap { v =>
         val cur = snap(v)
-        def tag(df: DataFrame, t: String): DataFrame =
-          df.withColumn("_change_type", lit(t))
-            .withColumn("_commit_version", lit(v))
-        cur.op match {
-          case "compact" | "rebucket" => Nil
-          case "delete-dv" =>
-            val diff = positionsDiff(snap(v - 1), cur)
-            if (diff.isEmpty) Nil else Seq(tag(rowsAt(diff), "delete"))
-          case "update-dv" =>
-            val prev = snap(v - 1)
-            val diff = positionsDiff(prev, cur)
-            val added = cur.files.filterNot(prev.files.toSet)
-            (if (diff.isEmpty) Nil else Seq(tag(rowsAt(diff), "update_preimage"))) ++
-              (if (added.isEmpty) Nil else Seq(tag(rowsOf(added), "update_postimage")))
-          case "delete" | "update" | "merge" | "restore" =>
-            throw new IllegalStateException(
-              s"readChangeFeed($dir) window contains a copy-on-write " +
-                s"'${cur.op}' commit at v$v, which records no row-level " +
-                "change — declare write.delete.mode=merge-on-read / use " +
-                "the DV DML for CDF-able mutations, or diff snapshots")
-          case _ => // append / batch / create / addcols / setprops
-            val prev = if (v == 1) Set.empty[String] else snap(v - 1).files.toSet
-            val added = cur.files.filterNot(prev)
-            if (added.isEmpty) Nil else Seq(tag(rowsOf(added), "insert"))
+        val prev = if (v == 1) Snapshot(0L, Vector.empty) else snap(v - 1)
+        GraftCdf.legsOf(dir, v, prev, cur).flatMap { case (t, files, dvs) =>
+          val base: Option[DataFrame] =
+            if (dvs.isEmpty) Some(rowsOf(files))
+            else {
+              val diff = dvs.flatMap { case (f, (c, p)) =>
+                val now = DvStore.read(dir, c, conf)
+                val before = p.map(DvStore.read(dir, _, conf))
+                  .getOrElse(Array.empty[Long])
+                val fresh = now.filterNot(DvStore.contains(before, _))
+                if (fresh.isEmpty) None else Some(f -> fresh)
+              }
+              if (diff.isEmpty) None else Some(rowsAt(diff))
+            }
+          base.map(_.withColumn("_change_type", lit(t))
+            .withColumn("_commit_version", lit(v)))
         }
       }
     legs.reduceOption(_ unionByName _).getOrElse(
