@@ -112,11 +112,21 @@ private[core] final case class GraftCdfTable(dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => GraftCdfScan(this)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // same backfill bound as the plain stream: without it a CDF stream
+    // started against an existing lake replays the WHOLE change
+    // history as one micro-batch
+    val maxV = Option(options.get("maxVersionsPerTrigger")).map { raw =>
+      val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerTrigger must be a positive integer, got '$raw'"))
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v"); v
+    }
+    () => GraftCdfScan(this, maxV)
+  }
 }
 
-private[graft] final case class GraftCdfScan(table: GraftCdfTable)
+private[graft] final case class GraftCdfScan(table: GraftCdfTable,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = table.schema
@@ -353,8 +363,9 @@ private[core] final class CdfReaderFactory(
   * [[GraftMicroBatchStream]]'s `skipChangeCommits=false` semantics
   * with row-level deletes instead of just an error. */
 private[core] final class GraftCdfMicroBatchStream(scan: GraftCdfScan)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def dir = scan.table.dir
   private final case class V(v: Long) extends Offset {
@@ -364,6 +375,16 @@ private[core] final class GraftCdfMicroBatchStream(scan: GraftCdfScan)
   override def latestOffset(): Offset =
     V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[V].v
+    val latest = latestOffset().asInstanceOf[V].v
+    scan.maxVersionsPerTrigger match {
+      case None       => V(latest)
+      case Some(maxV) => V(math.min(latest, s0 + maxV))
+    }
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[V].v
     val e0 = end.asInstanceOf[V].v

@@ -89,7 +89,8 @@ class CdfSpec extends SparkSpec {
     mkLake(dir)                                                    // v1
     val ckpt = Files.createTempDirectory("cdf_ckpt").toString
     val q = spark.readStream.format("graft").option("path", dir)
-      .option("readChangeFeed", "true").load()
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
       .writeStream.format("memory").queryName("cdf_sink")
       .option("checkpointLocation", ckpt).outputMode("append").start()
     try {
