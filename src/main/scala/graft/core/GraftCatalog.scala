@@ -410,12 +410,14 @@ private[core] object GraftProcedures {
       ProcedureParameter.in("grace_millis", LongType)
         .defaultValue(ManifestLake.DefaultVacuumGraceMillis.toString).build(),
       ProcedureParameter.in("retain_millis", LongType)
-        .defaultValue("0").build())
+        .defaultValue("0").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = str(input, 0)
       val deleted = ManifestLake.vacuum(dir,
         keepVersions = input.getInt(1), graceMillis = input.getLong(2),
-        retainMillis = input.getLong(3))
+        retainMillis = input.getLong(3), dryRun = input.getBoolean(4))
       one(Result(
         StructType(Seq(StructField("files_deleted", LongType, nullable = false))),
         InternalRow(deleted)))

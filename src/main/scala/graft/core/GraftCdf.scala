@@ -121,12 +121,24 @@ private[core] final case class GraftCdfTable(dir: String,
         s"maxVersionsPerTrigger must be a positive integer, got '$raw'"))
       require(v > 0, s"maxVersionsPerTrigger must be positive, got $v"); v
     }
-    () => GraftCdfScan(this, maxV)
+    // same fresh-start contract as the plain stream: absent = full
+    // change-history backfill; 'latest' = only commits after the query
+    // starts; a number v = changes from version v on
+    val start = Option(options.get("streamStartingVersion")).map {
+      case "latest" => StreamStart.Latest
+      case raw =>
+        val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"streamStartingVersion must be 'latest' or a version ≥ 1, got '$raw'"))
+        require(v >= 1, s"streamStartingVersion must be ≥ 1, got $v")
+        StreamStart.At(v)
+    }
+    () => GraftCdfScan(this, maxV, start)
   }
 }
 
 private[graft] final case class GraftCdfScan(table: GraftCdfTable,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    streamStartingVersion: Option[StreamStart] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = table.schema
@@ -371,7 +383,12 @@ private[core] final class GraftCdfMicroBatchStream(scan: GraftCdfScan)
   private final case class V(v: Long) extends Offset {
     override def json: String = v.toString
   }
-  override def initialOffset(): Offset = V(0L)
+  override def initialOffset(): Offset = scan.streamStartingVersion match {
+    case None => V(0L)
+    case Some(StreamStart.Latest) =>
+      V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
+    case Some(StreamStart.At(v)) => V(v - 1)
+  }
   override def latestOffset(): Offset =
     V(ManifestLake.latestSnapshot(dir).map(_.version).getOrElse(0L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)

@@ -1755,8 +1755,8 @@ object ManifestLake {
     * header, a predicate that doesn't resolve against it, or no
     * prunable conjunct) — caller falls back to the full file list,
     * which is conservative, never wrong. */
-  private def selfCandidates(s: SparkSession, snap: Snapshot,
-                             predicate: org.apache.spark.sql.Column): Option[Vector[String]] = {
+  private[core] def selfCandidates(s: SparkSession, snap: Snapshot,
+                                   predicate: org.apache.spark.sql.Column): Option[Vector[String]] = {
     val schema = snap.schema.getOrElse(return None)
     val cond =
       try s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -2731,9 +2731,13 @@ object ManifestLake {
     * is treated as inside the window — retention must fail PROTECTIVE,
     * never reclaim what it cannot date. `retainMillis = 0` is the
     * version-count-only contract (deterministic tests). */
+  /** `dryRun = true` reports what a real run WOULD reclaim (same
+    * census, same cutoffs) and touches nothing — the audit step before
+    * an aggressive retention change (Delta's `VACUUM ... DRY RUN`). */
   def vacuum(dir: String, keepVersions: Int = 2,
              graceMillis: Long = DefaultVacuumGraceMillis,
-             retainMillis: Long = 0L): Long = {
+             retainMillis: Long = 0L,
+             dryRun: Boolean = false): Long = {
     val root = Paths.get(dir)
     val latest = latestSnapshot(dir).getOrElse(return 0L)
     val mdir = root.resolve(ManifestDir)
@@ -2773,14 +2777,14 @@ object ManifestLake {
     try top.iterator().asScala.foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(".stage_")) {
-        if (oldEnough(p)) { deleteTree(p); reclaimed += 1 }
+        if (oldEnough(p)) { if (!dryRun) deleteTree(p); reclaimed += 1 }
       } else if (Files.isDirectory(p) && name.contains("=")) {
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .filterNot(f => referenced.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
-          .foreach { f => Files.delete(f); reclaimed += 1 }
+          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
         finally fs.close()
       } else if (Files.isDirectory(p) && name == DvStore.DvDir) {
         val fs = Files.list(p)
@@ -2788,7 +2792,7 @@ object ManifestLake {
           .filter(f => f.getFileName.toString.endsWith(".dv"))
           .filterNot(f => referencedDvs.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
-          .foreach { f => Files.delete(f); reclaimed += 1 }
+          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
         finally fs.close()
       }
     } finally top.close()
@@ -2809,15 +2813,17 @@ object ManifestLake {
       protectedVersions.foreach(walk)
       seen.toSet
     }
-    val st2 = Files.list(mdir)
-    try st2.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-          !protectedSet.contains(n.drop(1).toLong)
-      }
-      .foreach(p => Files.deleteIfExists(p))
-    finally st2.close()
+    if (!dryRun) {
+      val st2 = Files.list(mdir)
+      try st2.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            !protectedSet.contains(n.drop(1).toLong)
+        }
+        .foreach(p => Files.deleteIfExists(p))
+      finally st2.close()
+    }
     reclaimed
   }
 

@@ -125,4 +125,25 @@ class CdfSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("copy-on-write")), e.toString)
     } finally q.stop()
   }
+
+  test("CDF stream with streamStartingVersion=latest tails only new changes") {
+    val dir = tmp("cdf_tail")
+    mkLake(dir)                                                    // v1: skipped
+    val ckpt = Files.createTempDirectory("cdf_tail_ckpt").toString
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("streamStartingVersion", "latest").load()
+      .writeStream.format("memory").queryName("cdf_tail_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_tail_sink").count() == 0L,
+        "latest = no backfill of the pre-start history")
+      ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 5)
+      q.processAllAvailable()
+      val rows = spark.table("cdf_tail_sink")
+        .select($"_change_type").distinct().collect().map(_.getString(0)).toSeq
+      assert(spark.table("cdf_tail_sink").count() == 5L && rows == Seq("delete"))
+    } finally q.stop()
+  }
 }

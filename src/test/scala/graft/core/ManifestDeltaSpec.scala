@@ -140,6 +140,33 @@ class ManifestDeltaSpec extends SparkSpec {
       Files.exists(Paths.get(dir).resolve(f))))
   }
 
+  test("vacuum dry run reports exactly what the real run then reclaims, touching nothing") {
+    val dir = Files.createTempDirectory("mdeltadry").resolve("lake").toString
+    ManifestLake.append(spark, dir, docs(0, 100), "source", maxRecordsPerFile = 16L)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 1024L)
+    val filesBefore = Files.walk(Paths.get(dir)).count()
+    val wouldReclaim = ManifestLake.vacuum(dir, keepVersions = 1,
+      graceMillis = 0L, dryRun = true)
+    assert(wouldReclaim > 0L, "the compacted-away fragments are reclaimable")
+    assert(Files.walk(Paths.get(dir)).count() == filesBefore,
+      "dry run must not delete anything")
+    assert(ManifestLake.versions(dir) == Vector(1L, 2L),
+      "dry run must not retire manifests either")
+    val reclaimed = ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(reclaimed == wouldReclaim,
+      s"real run ($reclaimed) must reclaim what the dry run reported ($wouldReclaim)")
+    assert(ManifestLake.read(spark, dir).count() == 100L)
+
+    // the SQL face: CALL vacuum(dry_run => true)
+    spark.conf.set("spark.sql.catalog.graft_dry", classOf[GraftCatalog].getName)
+    ManifestLake.append(spark, dir, docs(100, 120), "source", maxRecordsPerFile = 16L)
+    ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 2048L)
+    val viaSql = spark.sql(s"CALL graft_dry.vacuum(path => '$dir', " +
+      "keep_versions => 1, grace_millis => 0, dry_run => true)").head().getLong(0)
+    assert(viaSql > 0L)
+    assert(ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L) == viaSql)
+  }
+
   test("hand-crafted chain resolves exactly: add, replace, remove, re-sort") {
     val root = Files.createTempDirectory("mdeltahand")
     val mdir = root.resolve("_manifests")
