@@ -508,10 +508,23 @@ private[core] object GraftProcedures {
       val s = SparkSession.active
       val dir = str(input, 0)
       val pred = org.apache.spark.sql.functions.expr(str(input, 1))
-      // "col = expr" pairs, ';'-separated; only the FIRST '=' splits,
-      // so the expr side may itself compare ("flag = doc_id = 3" is
-      // nonsense SQL anyway — Spark's parser rejects it downstream)
-      val sets = str(input, 2).split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+      // "col = expr" pairs, split on ';' OUTSIDE single-quoted SQL
+      // literals (so `text = concat(text, '; suffix')` stays whole);
+      // only the FIRST '=' of each pair splits, so the expr side may
+      // itself compare
+      def splitAssignments(raw: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        val sb = new StringBuilder
+        var inQuote = false
+        raw.foreach {
+          case '\'' => inQuote = !inQuote; sb.append('\'')
+          case ';' if !inQuote => out += sb.toString; sb.clear()
+          case ch => sb.append(ch)
+        }
+        out += sb.toString
+        out.result()
+      }
+      val sets = splitAssignments(str(input, 2)).map(_.trim).filter(_.nonEmpty)
         .map { a =>
           val i = a.indexOf('=')
           require(i > 0, s"malformed assignment '$a' — expected 'col = expr'")

@@ -96,9 +96,18 @@ private[core] final class CdfFilePartition(
 private[core] final case class GraftCdfTable(dir: String,
                                              window: Option[(Long, Long)])
     extends Table with SupportsRead {
-  private[core] val snap: ManifestLake.Snapshot =
-    ManifestLake.latestSnapshot(dir).getOrElse(throw new IllegalStateException(
-      s"no committed manifest in $dir"))
+  // a batch window binds the WINDOW-END snapshot (so the schema, and
+  // with it column order, matches readChangeFeed's — a post-window
+  // ADD COLUMNS must not leak into an older window's feed); streams
+  // bind latest, their windows only ever extend forward from it
+  private[core] val snap: ManifestLake.Snapshot = window match {
+    case Some((_, to)) => ManifestLake.snapshotAt(dir, to).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$to of $dir is missing (retired by vacuum?) — " +
+          "the change feed must run inside the retention window"))
+    case None => ManifestLake.latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+  }
   private[core] val lakeSchema: StructType =
     snap.schema.getOrElse(throw new IllegalStateException(
       s"lake $dir has no committed schema — the change feed requires one"))
@@ -216,11 +225,16 @@ private[graft] final case class GraftCdfScan(table: GraftCdfTable,
             "the change feed must run inside the retention window"))
     var idx = -1
     def nextIdx(): Int = { idx += 1; idx }
+    // carry cur → prev so each version's manifest resolves ONCE per
+    // window, not twice (chains re-resolve per parse — see the Scala
+    // twin's identical walk)
+    var prev: ManifestLake.Snapshot =
+      if (from == 0) ManifestLake.Snapshot(0L, Vector.empty) else snapAt(from)
     ((from + 1) to to).toArray.flatMap { v =>
       val cur = snapAt(v)
-      val prev = if (v == 1)
-        ManifestLake.Snapshot(0L, Vector.empty) else snapAt(v - 1)
-      GraftCdf.legsOf(table.dir, v, prev, cur).flatMap {
+      val legsPrev = prev
+      prev = cur
+      GraftCdf.legsOf(table.dir, v, legsPrev, cur).flatMap {
         case (changeType, files, dvs) if dvs.isEmpty =>
           val pfs = files.map(pfOf)
           FilePartition.getFilePartitions(spark, pfs,

@@ -627,23 +627,35 @@ object ManifestLake {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
-    val fullLines = files.sorted.map(f =>
-      encodeFileLine(f, rows, buckets, dvs, stats, blooms))
     val delta: Option[Vector[String]] = parent match {
       case Some(p) if asVersion % ManifestCheckpointEvery != 0L &&
           asVersion == p.version + 1 &&
           Files.exists(manifestPath(root, p.version)) =>
-        val newByPath = fullLines.iterator
-          .map(l => l.takeWhile(_ != '\t') -> l).toMap
-        val parentByPath = p.files.iterator.map(f =>
-          f -> encodeFileLine(f, p.rows, p.buckets, p.dvs, p.stats, p.blooms))
-          .toMap
-        val removed = p.files.filterNot(newByPath.contains).sorted.map("-" + _)
-        val addedOrChanged = fullLines.filter { l =>
-          parentByPath.get(l.takeWhile(_ != '\t')).forall(_ != l)
-        }.map("+" + _)
+        // change detection compares per-file STATE, not re-encoded
+        // lines: unchanged files inherit their metadata objects through
+        // commitLoop (latest.stats ++ staged...), so these are cheap
+        // pointer-or-value equalities — commit CPU is O(live) pointer
+        // checks + O(changed) encoding, never O(live) string building.
+        // (A commit path that REBUILDS identical metadata instead of
+        // inheriting merely re-states the file in the delta — larger,
+        // still correct. BigDecimal bounds compare by VALUE, so "5" vs
+        // "5.0" counts as unchanged and resolution keeps the parent's
+        // line — semantically identical.)
+        val fileSet = files.toSet
+        val parentSet = p.files.toSet
+        def unchanged(f: String): Boolean =
+          rows.get(f) == p.rows.get(f) &&
+            buckets.get(f) == p.buckets.get(f) &&
+            dvs.get(f) == p.dvs.get(f) &&
+            stats.get(f) == p.stats.get(f) &&
+            blooms.get(f) == p.blooms.get(f)
+        val removed = p.files.filterNot(fileSet).sorted.map("-" + _)
+        val addedOrChanged = files.sorted.collect {
+          case f if !parentSet.contains(f) || !unchanged(f) =>
+            "+" + encodeFileLine(f, rows, buckets, dvs, stats, blooms)
+        }
         val body = removed ++ addedOrChanged
-        if (body.length < fullLines.length) Some(body) else None
+        if (body.length < files.length) Some(body) else None
       case _ => None
     }
     val headers = (Vector(s"#op:$op", s"#ts:$tsMillis") ++
@@ -651,7 +663,8 @@ object ManifestLake {
       schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" } ++
       props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" }
-    val fileLines = delta.getOrElse(fullLines)
+    val fileLines = delta.getOrElse(files.sorted.map(f =>
+      encodeFileLine(f, rows, buckets, dvs, stats, blooms)))
     Files.write(tmp, (headers ++ fileLines).asJava)
     try {
       try { Files.createLink(manifestPath(root, asVersion), tmp); true }
@@ -771,6 +784,7 @@ object ManifestLake {
                          writeOptions: Map[String, String],
                          bucket: Option[(String, Int)] = None)
       : (Vector[String], Map[String, Int]) = {
+    requirePartitionColEncodable(partitionCol)
     val stage = root.resolve(s".stage_${UUID.randomUUID()}")
     val (toWrite, dirCols) = bucket match {
       case Some((bcol, n)) =>
@@ -1058,12 +1072,25 @@ object ManifestLake {
     * The writer path (`df.write.format("graft")`) remains the
     * data-first alternative; the two converge on identical manifests
     * after the first append. */
+  /** Manifest file lines start "<partitionCol>=..." and delta bodies
+    * use leading '-'/'+' as edit markers (headers use '#'): a partition
+    * column whose NAME begins with one of those would make every
+    * delta-resolved snapshot misparse its own file lines — rejected at
+    * every write entry point, like [[FileStats.encoded]]'s reserved
+    * markers. */
+  private def requirePartitionColEncodable(partitionCol: String): Unit =
+    require(!partitionCol.startsWith("-") && !partitionCol.startsWith("+") &&
+      !partitionCol.startsWith("#"),
+      s"partition column '$partitionCol' starts with a manifest marker " +
+        "character ('-', '+', '#') — rename or alias it before writing")
+
   def create(dir: String, schema: org.apache.spark.sql.types.StructType,
              partitionCol: String,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
              bucketBy: Option[(String, Int)] = None,
              deleteMode: Option[String] = None): Snapshot = {
+    requirePartitionColEncodable(partitionCol)
     deleteMode.foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
     require(schema.fieldNames.contains(partitionCol),
@@ -1105,6 +1132,15 @@ object ManifestLake {
     * file already satisfies — flipping them would lie about the data,
     * so the catalog refuses them before this is ever called. */
   def setProperties(dir: String, kvs: Map[String, String]): Snapshot = {
+    // enforced HERE, not just at the catalog: a direct caller flipping
+    // bucketN/partitionCol would lie about every committed file's
+    // placement — wrong joins, not an error
+    val mutable = Set(PropDeleteMode)
+    val illegal = kvs.keySet -- mutable
+    require(illegal.isEmpty,
+      s"only ${mutable.mkString(", ")} can be altered; " +
+        s"structural properties are contracts over committed data: " +
+        illegal.mkString(", "))
     kvs.get(PropDeleteMode).foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
     commitLoop(Paths.get(dir)) {
@@ -1930,6 +1966,12 @@ object ManifestLake {
     * set-union; a commit that replaced an affected file, or a racing
     * DV write on the same file, aborts loudly — re-run.
     *
+    * The predicate must be DETERMINISTIC (the SQL UPDATE rule): the
+    * matched set feeds two actions (position sidecars, then image
+    * staging) through a persisted frame, and a lost cache partition
+    * re-evaluates the filter — a `rand()`-shaped predicate could then
+    * desynchronize deletes from images.
+    *
     * Returns the number of rows updated. */
   def updateWhereDv(s: SparkSession, dir: String,
                     predicate: org.apache.spark.sql.Column,
@@ -2131,10 +2173,13 @@ object ManifestLake {
     // WHAT changed per commit is [[GraftCdf.legsOf]]'s single dispatch
     // — shared with the DSv2 batch and streaming change-feed faces, so
     // the three materializations can never disagree on the rows
+    var prevSnap: Snapshot =
+      if (fromExclusive == 0) Snapshot(0L, Vector.empty) else snap(fromExclusive)
     val legs: Seq[DataFrame] =
       ((fromExclusive + 1) to toInclusive).flatMap { v =>
         val cur = snap(v)
-        val prev = if (v == 1) Snapshot(0L, Vector.empty) else snap(v - 1)
+        val prev = prevSnap
+        prevSnap = cur
         GraftCdf.legsOf(dir, v, prev, cur).flatMap { case (t, files, dvs) =>
           val base: Option[DataFrame] =
             if (dvs.isEmpty) Some(rowsOf(files))
