@@ -186,6 +186,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       properties.keySet().asScala
         .filterNot(k => k == "statsCols" || k == "bloomCols" ||
           k == "bucketCol" || k == "bucketN" || k == "write.delete.mode" ||
+          k == "enableChangeDataFeed" ||
           reserved.contains(k.toLowerCase(java.util.Locale.ROOT)))
         .toSeq.sorted
     }
@@ -193,7 +194,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       s"unknown TBLPROPERTIES: ${unknownProps.mkString(", ")} — supported: " +
         "statsCols, bloomCols (comma-separated column lists), " +
         "bucketCol + bucketN (hash-bucket layout for storage-partitioned joins), " +
-        "write.delete.mode (copy-on-write | merge-on-read)")
+        "write.delete.mode (copy-on-write | merge-on-read), " +
+        "enableChangeDataFeed (true | false)")
     val bucketBy = (Option(properties.get("bucketCol")),
         Option(properties.get("bucketN")).flatMap(_.toIntOption)) match {
       case (Some(c), Some(n)) => Some((c.trim, n))
@@ -204,7 +206,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     ManifestLake.create(dir, schema, partitionCol,
       statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"),
       bucketBy = bucketBy,
-      deleteMode = Option(properties.get("write.delete.mode")).map(_.trim))
+      deleteMode = Option(properties.get("write.delete.mode")).map(_.trim),
+      cdfEnabled = Option(properties.get("enableChangeDataFeed")).map(_.trim))
     loadTable(ident)
   }
 
@@ -222,13 +225,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // one mutable property: how DELETE mutates is an operational
     // choice, unlike the structural props every committed file
     // already satisfies (partitionCol / bucket layout refuse below)
+    val mutableProps = Set("write.delete.mode", "enableChangeDataFeed")
     val (propSets, rest) = changes.partition {
-      case p: SetProperty => p.property == "write.delete.mode"
+      case p: SetProperty => mutableProps.contains(p.property)
       case _              => false
     }
     if (propSets.nonEmpty) {
       ManifestLake.setProperties(dir, propSets.map {
-        case p: SetProperty => "write.delete.mode" -> p.value.trim
+        case p: SetProperty => p.property -> p.value.trim
       }.toMap)
       if (rest.isEmpty) return loadTable(ident)
     }

@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - stream: `spark.readStream.format("graft")
   *     .option("readChangeFeed","true")` — offsets are manifest
   *     versions (exactly the plain stream's), each micro-batch emits
-  *     its window's row-level changes. A copy-on-write mutation FAILS
-  *     the stream by construction (no row-level record exists) — the
-  *     strict complement of the plain stream's silent-skip contract.
+  *     its window's row-level changes. A copy-on-write mutation on a
+  *     lake WITHOUT `enableChangeDataFeed` FAILS the stream by
+  *     construction (no row-level record exists) — the strict
+  *     complement of the plain stream's silent-skip contract; with the
+  *     property set, COW DML writes `_cdf/` sidecars at commit time
+  *     and the feed serves them like any other leg.
   *
   * Planning is change-proportional: insert/postimage legs read only
   * the files their commit added; delete/preimage legs are single-file
@@ -36,11 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
 private[core] object GraftCdf {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+  /** Leg-type sentinel for commit-time change sidecars (`_cdf/`
+    * files): their `_change_type` is STORED per row, not a leg-wide
+    * constant, and their partition column is a plain data column. */
+  val CdcLegType = "__cdc_sidecar"
 
   def cdfSchema(lake: StructType): StructType =
     StructType(lake.fields :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
-      StructField(CommitVersionCol, LongType, nullable = false))
+      StructField(CommitVersionCol, LongType, nullable = false) :+
+      // nullable: pre-`#ts:` manifests have no commit wall time
+      StructField(CommitTimestampCol, TimestampType, nullable = true))
 
   /** (changeType, files, curDv, prevDv) legs of one commit — the same
     * dispatch [[ManifestLake.readChangeFeed]] runs, factored so the
@@ -68,12 +78,22 @@ private[core] object GraftCdf {
          else Seq(("update_preimage", diff.keys.toVector.sorted, diff))) ++
           (if (added.isEmpty) Nil
            else Seq(("update_postimage", added, Map.empty[String, (String, Option[String])])))
+      case "delete" | "update" | "merge" if cur.cdfEnabled =>
+        // a CDF-enabled lake's copy-on-write DML wrote its change
+        // record as `_cdf/` sidecars in the same commit: serve those
+        // (the change type is STORED per row — the sentinel leg type
+        // tells readers to take it from the file, not a constant). No
+        // sidecars = the mutation changed no row (e.g. an assignment
+        // that left every image bit-identical) — an empty leg, exactly
+        if (cur.cdfFiles.isEmpty) Nil
+        else Seq((CdcLegType, cur.cdfFiles, Map.empty[String, (String, Option[String])]))
       case "delete" | "update" | "merge" | "restore" =>
         throw new IllegalStateException(
           s"change feed over $dir hit a copy-on-write '${cur.op}' commit at " +
             s"v$v, which records no row-level change — declare " +
-            "write.delete.mode=merge-on-read / use the DV DML for CDF-able " +
-            "mutations, or diff snapshots")
+            "write.delete.mode=merge-on-read / use the DV DML, or set " +
+            "enableChangeDataFeed=true BEFORE mutating so copy-on-write " +
+            "DML writes commit-time change sidecars, or diff snapshots")
       case _ => // append / batch / create / addcols / setprops
         val added = cur.files.filterNot(
           (if (v == 1) Set.empty[String] else prev.files.toSet))
@@ -86,10 +106,13 @@ private[core] object GraftCdf {
 /** One CDF split: a leg's files plus its constant columns and, for
   * position legs, the commit's and parent's sidecar paths (null =
   * none). Position legs are always single-file (row indexes are
-  * file-absolute). */
+  * file-absolute). `tsMicros` is the commit's wall time (null on
+  * pre-`#ts:` manifests); a [[GraftCdf.CdcLegType]] split reads
+  * commit-time change sidecars, whose change type is stored per row. */
 private[core] final class CdfFilePartition(
     idx: Int, fs: Array[PartitionedFile],
     val changeType: String, val commitVersion: Long,
+    val tsMicros: java.lang.Long,
     val dvCur: String, val dvPrev: String)
     extends FilePartition(idx, fs)
 
@@ -178,7 +201,9 @@ private[graft] final case class GraftCdfScan(table: GraftCdfTable,
   // carries a copy because its splits are built outside any GraftScan)
   private def partitionValueRow(file: String): InternalRow = {
     val part = partitionFields
-    if (part.isEmpty) InternalRow.empty
+    // change sidecars are unpartitioned (their partition column is a
+    // plain data column) — no directory value to decode
+    if (part.isEmpty || file.startsWith(ManifestLake.CdfDir + "/")) InternalRow.empty
     else {
       val raw = GraftLake.unescapePartitionValue(
         file.takeWhile(_ != '/').dropWhile(_ != '=').drop(1))
@@ -234,18 +259,20 @@ private[graft] final case class GraftCdfScan(table: GraftCdfTable,
       val cur = snapAt(v)
       val legsPrev = prev
       prev = cur
+      val ts: java.lang.Long =
+        cur.tsMillis.map(m => java.lang.Long.valueOf(m * 1000L)).orNull
       GraftCdf.legsOf(table.dir, v, legsPrev, cur).flatMap {
         case (changeType, files, dvs) if dvs.isEmpty =>
           val pfs = files.map(pfOf)
           FilePartition.getFilePartitions(spark, pfs,
             FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
             .map(fp => new CdfFilePartition(nextIdx(), fp.files,
-              changeType, v, null, null))
+              changeType, v, ts, null, null))
         case (changeType, files, dvs) =>
           files.map { f =>
             val (curDv, prevDv) = dvs(f)
             new CdfFilePartition(nextIdx(), Array(pfOf(f)),
-              changeType, v, curDv, prevDv.orNull)
+              changeType, v, ts, curDv, prevDv.orNull)
           }
       }
     }
@@ -298,31 +325,78 @@ private[graft] final case class GraftCdfScan(table: GraftCdfTable,
     }
     val idxField = StructField(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+    // commit-time change sidecars: unpartitioned, full lake columns as
+    // data plus the STORED change type — a third factory with no
+    // partition schema (the generic mkFactory recipe would interleave
+    // the partition fields this leg doesn't have)
+    val cdcSchema = StructType(table.lakeSchema.fields :+
+      StructField(GraftCdf.ChangeTypeCol, StringType, nullable = false))
+    def mkCdcFactory(): ParquetPartitionReaderFactory = {
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, cdcSchema.json)
+      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, cdcSchema.json)
+      hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+      ParquetWriteSupport.setSchema(cdcSchema, hadoopConf)
+      hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+        sqlConf.isParquetBinaryAsString)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+      hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+        sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
+      hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+        sqlConf.getConf(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID))
+      ParquetPartitionReaderFactory(
+        spark.sessionState.conf,
+        spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hadoopConf)),
+        cdcSchema,
+        cdcSchema,
+        StructType(Nil),
+        Array.empty[Filter],
+        None,
+        new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    }
     new CdfReaderFactory(
       plain = mkFactory(dataSchema),
       withIdx = mkFactory(StructType(dataSchema.fields :+ idxField)),
+      cdc = mkCdcFactory(),
       lakeDir = table.dir,
       conf = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())),
-      // physical layouts the two factories emit (requested ++ part)
+      // physical layouts the factories emit (requested ++ part)
       plainPhysical = StructType(dataSchema.fields ++ part),
       idxPhysical = StructType((dataSchema.fields :+ idxField) ++ part),
+      cdcPhysical = cdcSchema,
       idxPos = dataSchema.length,
       out = readSchema())
   }
 }
 
 /** Wraps the stock parquet readers: appends the leg's constant
-  * `_change_type`/`_commit_version` columns, permutes into the output
-  * order, and — on position legs — keeps exactly the rows whose
-  * file-absolute index is in the commit's sidecar DIFF (in cur, not in
-  * prev), loading the delete-proportional blobs once per split. */
+  * `_change_type`/`_commit_version`/`_commit_timestamp` columns,
+  * permutes into the output order, and — on position legs — keeps
+  * exactly the rows whose file-absolute index is in the commit's
+  * sidecar DIFF (in cur, not in prev), loading the delete-proportional
+  * blobs once per split. [[GraftCdf.CdcLegType]] splits read `_cdf/`
+  * change sidecars through the `cdc` factory instead: their change
+  * type is a STORED column (taken from the file, not the constants). */
 private[core] final class CdfReaderFactory(
     plain: PartitionReaderFactory, withIdx: PartitionReaderFactory,
+    cdc: PartitionReaderFactory,
     lakeDir: String,
     conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
-    plainPhysical: StructType, idxPhysical: StructType, idxPos: Int,
+    plainPhysical: StructType, idxPhysical: StructType,
+    cdcPhysical: StructType, idxPos: Int,
     out: StructType)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.PartitionReader
@@ -330,13 +404,18 @@ private[core] final class CdfReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   private def projection(physical: StructType): UnsafeProjection = {
-    // joined row = physical fields then [changeType, commitVersion]
+    // joined row = physical fields then [changeType, commitVersion,
+    // commitTimestamp]; a physical schema that CARRIES the change type
+    // (cdc sidecars) binds it from the file instead of the constant
     val byName = physical.fieldNames.zipWithIndex.toMap
     val n = physical.length
     UnsafeProjection.create(out.fields.map { f =>
       f.name match {
-        case GraftCdf.ChangeTypeCol => BoundReference(n, StringType, nullable = false)
+        case GraftCdf.ChangeTypeCol if !byName.contains(GraftCdf.ChangeTypeCol) =>
+          BoundReference(n, StringType, nullable = false)
         case GraftCdf.CommitVersionCol => BoundReference(n + 1, LongType, nullable = false)
+        case GraftCdf.CommitTimestampCol =>
+          BoundReference(n + 2, TimestampType, nullable = true)
         case other => BoundReference(byName(other),
           physical(byName(other)).dataType, physical(byName(other)).nullable)
       }
@@ -346,9 +425,18 @@ private[core] final class CdfReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val c = partition.asInstanceOf[CdfFilePartition]
     val consts = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(c.changeType), c.commitVersion))
+      UTF8String.fromString(c.changeType), c.commitVersion,
+      if (c.tsMicros == null) null else c.tsMicros.longValue()))
     val joined = new JoinedRow
-    if (c.dvCur == null) {
+    if (c.changeType == GraftCdf.CdcLegType) {
+      val inner = cdc.createReader(partition)
+      val proj = projection(cdcPhysical)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = proj(joined(inner.get(), consts))
+        override def close(): Unit = inner.close()
+      }
+    } else if (c.dvCur == null) {
       val inner = plain.createReader(partition)
       val proj = projection(plainPhysical)
       new PartitionReader[InternalRow] {

@@ -106,7 +106,8 @@ object ManifestLake {
                             rows: Map[String, Long] = Map.empty,
                             props: Map[String, String] = Map.empty,
                             buckets: Map[String, Int] = Map.empty,
-                            dvs: Map[String, DvStore.Dv] = Map.empty) {
+                            dvs: Map[String, DvStore.Dv] = Map.empty,
+                            cdfFiles: Vector[String] = Vector.empty) {
     /** Rows a read of `f` actually emits: footer count minus its
       * deletion vector. Exact — DV counts are exact, so COUNT(*) and
       * LIMIT-prefix planning stay manifest-answerable under deletes. */
@@ -124,6 +125,15 @@ object ManifestLake {
       * sidecars, cost ∝ deleted rows; Iceberg's `write.delete.mode`). */
     def declaredDeleteMode: String =
       props.getOrElse(PropDeleteMode, "copy-on-write")
+    /** Delta's `delta.enableChangeDataFeed`: when true, COPY-ON-WRITE
+      * mutations (delete/update/merge — Scala and SQL alike) write
+      * commit-time change sidecars under `_cdf/`, referenced by the
+      * same CAS commit's `#cdf:` headers, so [[readChangeFeed]] and
+      * the DSv2/stream faces serve row-level changes for BOTH mutation
+      * modes. Default false: COW DML stays sidecar-free (no extra
+      * write cost) and a CDF read over such a commit fails loudly, as
+      * before. */
+    def cdfEnabled: Boolean = props.get(PropCdfEnabled).contains("true")
     /** Declared hash-bucket layout `(col, numBuckets)` — the secondary
       * clustering that lets storage-partitioned joins run on the KEY
       * column (doc_id-shaped), not just the partition directory. Set
@@ -144,6 +154,14 @@ object ManifestLake {
   private[core] val PropBucketN = "bucketN"
   private[core] val PropDeleteMode = "write.delete.mode"
   private[core] val DeleteModes = Set("copy-on-write", "merge-on-read")
+  private[core] val PropCdfEnabled = "enableChangeDataFeed"
+  /** Commit-time change sidecars live here (Delta's `_change_data`):
+    * UNPARTITIONED parquet carrying the lake's columns plus a stored
+    * `_change_type`, referenced per-commit by `#cdf:` headers — never
+    * by the `files` ledger, so plain reads/time travel never see them
+    * and vacuum reclaims them with their manifest's retirement. */
+  private[core] val CdfDir = "_cdf"
+  private[core] val CdfTypeCol = "_change_type"
 
   /** One min/max endpoint of a tracked column: numeric (BigDecimal so
     * int64 keys compare exactly — a double would corrupt ids past
@@ -516,6 +534,13 @@ object ManifestLake {
         val i = kv.indexOf('=')
         if (i <= 0) None else Some(kv.take(i) -> kv.drop(i + 1))
     }.flatten.toMap
+    // "#cdf:<relpath>" = THIS commit's change sidecars (per-commit,
+    // like #op — never chained or carried forward). Only entries under
+    // _cdf/ are honored (the hostile-manifest rule: a stray header can
+    // never make the change feed open an arbitrary path).
+    val cdf = headers.collect {
+      case h if h.startsWith("#cdf:" + CdfDir + "/") => h.stripPrefix("#cdf:")
+    }
     val parsed = fileLines.map { l =>
       val segs = l.split('\t')
       val sts = Vector.newBuilder[FileStats]
@@ -581,14 +606,19 @@ object ManifestLake {
       parsed.collect { case (p, _, _, Some(n), _, _) => p -> n }.toMap,
       props,
       parsed.collect { case (p, _, _, _, Some(b), _) => p -> b }.toMap,
-      parsed.collect { case (p, _, _, _, _, Some(d)) => p -> d }.toMap)
+      parsed.collect { case (p, _, _, _, _, Some(d)) => p -> d }.toMap,
+      cdf)
   }
 
   /** One manifest file line: path + its rows/bucket/dv/stats/bloom
-    * segments. Deterministic in its inputs — the delta encoder diffs
-    * parent-vs-new LINES (strings compare by value; FileBloom's bit
-    * array would not), so "unchanged file" must re-encode to the
-    * byte-identical line it was parsed from. */
+    * segments. Change detection in [[tryCommit]] compares per-file
+    * STATE maps (rows/buckets/dvs/stats/blooms — cheap pointer-or-value
+    * equalities), NOT re-encoded lines, so byte-identical re-encoding
+    * is not load-bearing: a commit path that rebuilds semantically
+    * identical metadata merely re-states the file in the delta (larger,
+    * still correct). The one caveat is FileBloom's `Array[Long]`, which
+    * compares by REFERENCE inside case-class equality — rebuilt-but-
+    * equal blooms count as changed (noted at the tryCommit call site). */
   private def encodeFileLine(f: String,
                              rows: Map[String, Long],
                              buckets: Map[String, Int],
@@ -623,7 +653,8 @@ object ManifestLake {
                         props: Map[String, String],
                         buckets: Map[String, Int],
                         dvs: Map[String, DvStore.Dv],
-                        parent: Option[Snapshot]): Boolean = {
+                        parent: Option[Snapshot],
+                        cdfFiles: Vector[String]): Boolean = {
     val mdir = root.resolve(ManifestDir)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s".tmp_${UUID.randomUUID()}")
@@ -662,7 +693,8 @@ object ManifestLake {
       delta.flatMap(_ => parent.map(p => s"#base:${p.version}")).toVector ++
       schema.map(sc => s"#schema:${sc.json}").toVector) ++
       txns.toVector.sorted.map { case (app, b) => s"#txn:$app:$b" } ++
-      props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" }
+      props.toVector.sorted.map { case (k, v) => s"#prop:$k=$v" } ++
+      cdfFiles.sorted.map(f => s"#cdf:$f")
     val fileLines = delta.getOrElse(files.sorted.map(f =>
       encodeFileLine(f, rows, buckets, dvs, stats, blooms)))
     Files.write(tmp, (headers ++ fileLines).asJava)
@@ -687,7 +719,8 @@ object ManifestLake {
                                   rows: Map[String, Long] = Map.empty,
                                   props: Option[Map[String, String]] = None,
                                   buckets: Map[String, Int] = Map.empty,
-                                  dvs: Option[Map[String, DvStore.Dv]] = None)
+                                  dvs: Option[Map[String, DvStore.Dv]] = None,
+                                  cdf: Vector[String] = Vector.empty)
 
   private def commitLoop(root: Path)(
       intent: Option[Snapshot] => Option[Ledger]): Option[Snapshot] = {
@@ -697,7 +730,7 @@ object ManifestLake {
       intent(latest) match {
         case None => return latest
         case Some(Ledger(files, txns, stats, op, schema, blooms, rows, propsOpt,
-            newBuckets, dvsOpt)) =>
+            newBuckets, dvsOpt, cdf)) =>
           val fileSet = files.toSet
           val live = stats.view.filterKeys(fileSet).toMap
           val liveBlooms = blooms.view.filterKeys(fileSet).toMap
@@ -721,9 +754,9 @@ object ManifestLake {
           val next = latest.map(_.version + 1).getOrElse(1L)
           val ts = System.currentTimeMillis()
           if (tryCommit(root, next, files, txns, live, op, schema, liveBlooms, ts,
-              liveRows, props, liveBuckets, liveDvs, latest))
+              liveRows, props, liveBuckets, liveDvs, latest, cdf))
             return Some(Snapshot(next, files.sorted, txns, live, op, schema,
-              liveBlooms, Some(ts), liveRows, props, liveBuckets, liveDvs))
+              liveBlooms, Some(ts), liveRows, props, liveBuckets, liveDvs, cdf))
       }
       attempt += 1
     }
@@ -833,6 +866,103 @@ object ManifestLake {
     } finally parts.close()
     deleteTree(stage)
     (moved.result(), bucketOf.result())
+  }
+
+  /** Stage a CHANGE frame (lake columns + a stored [[CdfTypeCol]]) as
+    * unpartitioned parquet sidecars under `_cdf/` (Delta's
+    * `_change_data`): dot-prefixed staging, then collision-free UUID
+    * moves — invisible to everything until the same CAS commit's
+    * `#cdf:` headers name them. The partition column rides as a plain
+    * DATA column (sidecars are commit-scoped change records, never
+    * scanned by partition), and the change-type rides IN the file so
+    * one commit's mixed pre/post/insert record is one write. */
+  private def stageCdfFiles(s: SparkSession, root: Path,
+                            changes: DataFrame): Vector[String] = {
+    val stage = root.resolve(s".stage_${UUID.randomUUID()}")
+    changes.write.parquet(stage.toString)
+    val dest = root.resolve(CdfDir)
+    Files.createDirectories(dest)
+    val moved = Vector.newBuilder[String]
+    val fs = Files.list(stage)
+    try fs.iterator().asScala.foreach { f =>
+      val n = f.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val unique = s"${UUID.randomUUID()}-$n"
+        Files.move(f, dest.resolve(unique))
+        moved += s"$CdfDir/$unique"
+      }
+    } finally fs.close()
+    deleteTree(stage)
+    moved.result()
+  }
+
+  /** The change record of a COPY-ON-WRITE rewrite reconstructed as an
+    * exact MULTISET diff of removed-vs-added rows — the commit-time
+    * half of CDF for the SQL DML paths (ReplaceData hands the engine
+    * whole rewritten groups with no per-row change marker, so the diff
+    * is the only exact record; the Scala DML paths know their matched
+    * rows directly and never come here). Rows the rewrite carried
+    * unchanged cancel in the diff; duplicates are handled by count.
+    * Labels: an `update` commit's net-removed rows are its
+    * `update_preimage`s and net-added its `update_postimage`s — exact,
+    * because a COW UPDATE's added-minus-removed is precisely the
+    * updated images (caveat, documented: an assignment that leaves a
+    * row bit-identical cancels and emits nothing, where the MoR path
+    * emits a no-op pre/post pair). `delete`/`merge` commits use
+    * net-change labels `delete`/`insert` (Iceberg's changelog-scan
+    * semantics): a SQL MERGE's file contents cannot attribute an added
+    * row to its matched clause, so pairing updates would be a guess —
+    * consumers needing exact three-way merge labels use the Scala
+    * [[merge]], which records them directly. One affected-proportional
+    * shuffle (group-by over the lake's columns); removed rows read
+    * through the pre-commit snapshot's deletion vectors so rows a
+    * prior DV delete removed never re-report. */
+  private def cdfDiff(s: SparkSession, dir: String, snap: Snapshot,
+                      removed: Set[String], added: Vector[String],
+                      op: String): Vector[String] = {
+    val root = Paths.get(dir)
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"lake $dir has $PropCdfEnabled but no committed schema — the " +
+        "change-record diff needs one"))
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    schema.fields.foreach { f =>
+      if (hasMap(f.dataType))
+        throw new IllegalStateException(
+          s"$PropCdfEnabled cannot record a copy-on-write '$op' over map " +
+            s"column '${f.name}' (maps are not comparable) — use the " +
+            "merge-on-read DML, whose change record is positional")
+    }
+    val names = schema.fieldNames.toIndexedSeq
+    def emptyDf: DataFrame = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val reader = s.read.option("basePath", dir).schema(schema)
+    val rem = (if (removed.isEmpty) emptyDf
+               else lakeFiles(s, dir, snap, removed.toVector.sorted, reader)
+                 .select(names.map(col): _*))
+      .withColumn("__graft_w", lit(1L))
+    val add = (if (added.isEmpty) emptyDf
+               else reader.parquet(added.map(f => s"$dir/$f"): _*)
+                 .select(names.map(col): _*))
+      .withColumn("__graft_w", lit(-1L))
+    val (preType, postType) = op match {
+      case "update" => ("update_preimage", "update_postimage")
+      case _        => ("delete", "insert")
+    }
+    val changes = rem.unionByName(add)
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("__graft_w")).as("__graft_n"))
+      .filter(col("__graft_n") =!= 0L)
+      .withColumn(CdfTypeCol,
+        when(col("__graft_n") > 0, lit(preType)).otherwise(lit(postType)))
+      .withColumn("__graft_rep",
+        explode(array_repeat(lit(1), abs(col("__graft_n")).cast("int"))))
+      .select((names :+ CdfTypeCol).map(col): _*)
+    stageCdfFiles(s, root, changes)
   }
 
   /** `input_file_name()` → the lake-relative "<col>=<v>/<file>" key.
@@ -1089,10 +1219,13 @@ object ManifestLake {
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
              bucketBy: Option[(String, Int)] = None,
-             deleteMode: Option[String] = None): Snapshot = {
+             deleteMode: Option[String] = None,
+             cdfEnabled: Option[String] = None): Snapshot = {
     requirePartitionColEncodable(partitionCol)
     deleteMode.foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
+    cdfEnabled.foreach(v => require(v == "true" || v == "false",
+      s"$PropCdfEnabled must be 'true' or 'false', got '$v'"))
     require(schema.fieldNames.contains(partitionCol),
       s"partitionCol '$partitionCol' is not a column of the declared schema")
     bucketBy.foreach { case (c, n) =>
@@ -1116,7 +1249,8 @@ object ManifestLake {
        else Map.empty) ++
       bucketBy.map { case (c, n) =>
         Map(PropBucketCol -> c, PropBucketN -> n.toString) }.getOrElse(Map.empty) ++
-      deleteMode.map(m => Map(PropDeleteMode -> m)).getOrElse(Map.empty)
+      deleteMode.map(m => Map(PropDeleteMode -> m)).getOrElse(Map.empty) ++
+      cdfEnabled.map(v => Map(PropCdfEnabled -> v)).getOrElse(Map.empty)
     commitLoop(root) {
       case Some(_) => throw new IllegalStateException(
         s"lake $dir was concurrently created — CREATE TABLE refuses to replace it")
@@ -1135,7 +1269,7 @@ object ManifestLake {
     // enforced HERE, not just at the catalog: a direct caller flipping
     // bucketN/partitionCol would lie about every committed file's
     // placement — wrong joins, not an error
-    val mutable = Set(PropDeleteMode)
+    val mutable = Set(PropDeleteMode, PropCdfEnabled)
     val illegal = kvs.keySet -- mutable
     require(illegal.isEmpty,
       s"only ${mutable.mkString(", ")} can be altered; " +
@@ -1143,6 +1277,8 @@ object ManifestLake {
         illegal.mkString(", "))
     kvs.get(PropDeleteMode).foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
+    kvs.get(PropCdfEnabled).foreach(v => require(v == "true" || v == "false",
+      s"$PropCdfEnabled must be 'true' or 'false', got '$v'"))
     commitLoop(Paths.get(dir)) {
       case None => throw new IllegalStateException(
         s"no committed manifest in $dir — nothing to alter")
@@ -1487,6 +1623,36 @@ object ManifestLake {
       val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
         .toSeq.distinct.sorted
       val newBlooms = buildBlooms(s, dir, newFiles, bloomCols, newRows)
+
+      // CDF-enabled lakes record the merge's EXACT three-way change
+      // record (the attribution the SQL-path diff cannot reconstruct):
+      // matched lake rows = `update_preimage` (a key matching N rows
+      // replaces all N — N preimages, one postimage, faithfully), the
+      // matching update rows = `update_postimage`, the rest = `insert`.
+      // All three legs are delta-proportional joins the merge's own
+      // accounting already pays for in shape.
+      val cdfStaged: Vector[String] =
+        if (!snap.cdfEnabled) Vector.empty
+        else {
+          val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          val affectedKeys =
+            if (affected.isEmpty) None
+            else Some(lakeFiles(s, dir, snap, affected, reader)
+              .select(keyCols.map(col): _*).distinct())
+          val pre = affectedKeys.map(_ =>
+            lakeFiles(s, dir, snap, affected, reader)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+              .join(keys, keyCols, "left_semi")
+              .withColumn(CdfTypeCol, lit("update_preimage")))
+          val post = affectedKeys.map(ks => aligned.join(ks, keyCols, "left_semi")
+            .withColumn(CdfTypeCol, lit("update_postimage")))
+          val ins = affectedKeys.fold(aligned)(ks =>
+            aligned.join(ks, keyCols, "left_anti"))
+            .withColumn(CdfTypeCol, lit("insert"))
+          stageCdfFiles(s, root,
+            (pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _))
+        }
+
       beforeCommit()
       commitLoop(root) {
         case None => throw new IllegalStateException(s"manifest vanished from $dir")
@@ -1500,7 +1666,7 @@ object ManifestLake {
             latest.schema,
             latest.blooms -- removedSet ++ newBlooms,
             latest.rows -- removedSet ++ newRows,
-            buckets = keptBuckets ++ stagedPair._2))
+            buckets = keptBuckets ++ stagedPair._2, cdf = cdfStaged))
       }
       // rows removed = affected-file rows before minus survivor rows
       // after; both from metadata (manifest rows: / the commit's own
@@ -1555,6 +1721,12 @@ object ManifestLake {
     val bloomCols = snap.blooms.valuesIterator.flatten.map(_.col)
       .toSeq.distinct.sorted
     val newBlooms = buildBlooms(s, dir, added, bloomCols, newRows)
+    // CDF-enabled lakes reconstruct the SQL rewrite's change record as
+    // an exact removed-vs-added multiset diff — see [[cdfDiff]]
+    val cdfStaged: Vector[String] =
+      if (snap.cdfEnabled && Set("delete", "update", "merge").contains(op))
+        cdfDiff(s, dir, snap, removed, added, op)
+      else Vector.empty
     beforeCommitReplace()
     commitLoop(root) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
@@ -1568,7 +1740,7 @@ object ManifestLake {
           latest.schema,
           latest.blooms -- removed ++ newBlooms,
           latest.rows -- removed ++ newRows,
-          buckets = addedBuckets))
+          buckets = addedBuckets, cdf = cdfStaged))
     }.get
   }
 
@@ -1714,6 +1886,22 @@ object ManifestLake {
     require(affected.forall(snap.files.contains),
       s"detection scan returned files outside the snapshot: $affected")
 
+    // CDF-enabled lakes record the commit's change rows directly: the
+    // matched rows (the complement of the survivors below, read through
+    // the same DV-filtered view) land as a `delete` sidecar in the same
+    // CAS commit, so the change feed serves copy-on-write deletes
+    // exactly like merge-on-read ones. One extra delta-proportional
+    // read of the affected files; nothing when the property is off.
+    val cdfStaged: Vector[String] =
+      if (!snap.cdfEnabled) Vector.empty
+      else {
+        val cdfReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+        stageCdfFiles(s, root,
+          lakeFiles(s, dir, snap, affected, cdfReader)
+            .filter(coalesce(predicate, lit(false)))
+            .withColumn(CdfTypeCol, lit("delete")))
+      }
+
     // rewrite the affected files' survivors in ONE distributed job:
     // keep rows where the predicate is NOT true. !pred alone would
     // DROP rows where pred evaluates NULL (!NULL is NULL, filtered
@@ -1772,7 +1960,7 @@ object ManifestLake {
           latest.schema,
           latest.blooms -- removedSet ++ newBlooms,
           latest.rows -- removedSet ++ newRows,
-          buckets = newBuckets))
+          buckets = newBuckets, cdf = cdfStaged))
     }
     // deleted = affected rows before minus survivor rows after, both
     // from metadata (manifest rows: / the commit's own footer pass)
@@ -1987,6 +2175,27 @@ object ManifestLake {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
+    // ENFORCE the determinism contract documented above (Spark's own
+    // DML rule): the matched frame feeds two actions, and a lost cache
+    // partition re-evaluates the filter — a rand()-shaped predicate or
+    // assignment could silently desynchronize the position sidecars
+    // from the appended images. Checked by analyzing against an empty
+    // frame of the committed schema (analysis only, no data touched);
+    // an expression that doesn't resolve here is left for the real
+    // read to reject.
+    snap.schema.foreach { sc =>
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+      def requireDet(c: org.apache.spark.sql.Column, what: String): Unit = {
+        val det =
+          try empty.select(c.as("__graft_det")).queryExecution.analyzed
+            .expressions.forall(_.deterministic)
+          catch { case _: org.apache.spark.sql.AnalysisException => true }
+        require(det, s"$what must be deterministic, got: $c")
+      }
+      requireDet(predicate, "UPDATE predicate")
+      assignments.foreach { case (c, e) => requireDet(e, s"UPDATE SET '$c'") }
+    }
     val scanFiles = candidatesOf match {
       case Some(f) =>
         val c = f(snap)
@@ -2125,19 +2334,27 @@ object ManifestLake {
     *    `update_postimage`;
     *  - compaction / rebucket / metadata commits emit nothing (no
     *    logical row changed);
-    *  - a copy-on-write delete/update/merge/restore in the window
-    *    REFUSES loudly: COW rewrites don't record which rows changed,
-    *    and reconstructing them from removed-vs-added file diffs would
-    *    mis-report duplicates. Declare
-    *    `write.delete.mode=merge-on-read` / use the DV DML for
-    *    CDF-able mutations.
+    *  - on a lake with `enableChangeDataFeed=true`, copy-on-write
+    *    delete/update/merge commits serve the `_cdf/` change sidecars
+    *    they wrote at commit time (exact multiset diff for the SQL
+    *    ReplaceData paths, directly-recorded matched rows for the
+    *    Scala DML — see [[cdfDiff]] for the labeling rules);
+    *  - a copy-on-write delete/update/merge WITHOUT the property (and
+    *    `restore` always) REFUSES loudly: no row-level record exists,
+    *    and reconstructing one after the fact from removed-vs-added
+    *    file diffs would need the pre-rewrite files, which vacuum may
+    *    have reclaimed. Declare `write.delete.mode=merge-on-read`, use
+    *    the DV DML, or set `enableChangeDataFeed=true` before
+    *    mutating.
     * Output columns: the lake's (window-end schema, older files
-    * null-fill) + `_change_type` + `_commit_version`. Cost ∝ changed
-    * rows: sidecar diffs are driver-side byte-sized reads, position
-    * filtering broadcasts only the diff, and only files holding
-    * changes are opened. Requires the window's manifests (and for
-    * preimages, the pre-rewrite data files) to still exist — run CDF
-    * inside the retention window, exactly like [[readChanges]]. */
+    * null-fill) + `_change_type` + `_commit_version` +
+    * `_commit_timestamp` (the commit's `#ts:` wall time; null only on
+    * pre-ts manifests). Cost ∝ changed rows: sidecar diffs are
+    * driver-side byte-sized reads, position filtering broadcasts only
+    * the diff, and only files holding changes are opened. Requires the
+    * window's manifests (and for preimages, the pre-rewrite data
+    * files) to still exist — run CDF inside the retention window,
+    * exactly like [[readChanges]]. */
   def readChangeFeed(s: SparkSession, dir: String,
                      fromExclusive: Long, toInclusive: Long): DataFrame = {
     require(fromExclusive <= toInclusive,
@@ -2173,6 +2390,23 @@ object ManifestLake {
     // WHAT changed per commit is [[GraftCdf.legsOf]]'s single dispatch
     // — shared with the DSv2 batch and streaming change-feed faces, so
     // the three materializations can never disagree on the rows
+    // commit-time sidecars (`_cdf/`, CDF-enabled COW DML) carry the
+    // change type as a STORED column and the partition column as plain
+    // data — read them under the window-end schema so post-window ADD
+    // COLUMNS null-fill like every other leg
+    def cdcRowsOf(files: Vector[String]): DataFrame = {
+      val sc = endSchema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has change sidecars but no committed schema"))
+      val full = org.apache.spark.sql.types.StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(CdfTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      s.read.schema(full).parquet(files.map(f => s"$dir/$f"): _*)
+        .select((sc.fieldNames :+ CdfTypeCol).toIndexedSeq.map(col): _*)
+    }
+    def tsCol(ms: Option[Long]): org.apache.spark.sql.Column = ms match {
+      case Some(m) => lit(new java.sql.Timestamp(m))
+      case None    => lit(null).cast(org.apache.spark.sql.types.TimestampType)
+    }
     var prevSnap: Snapshot =
       if (fromExclusive == 0) Snapshot(0L, Vector.empty) else snap(fromExclusive)
     val legs: Seq[DataFrame] =
@@ -2182,7 +2416,9 @@ object ManifestLake {
         prevSnap = cur
         GraftCdf.legsOf(dir, v, prev, cur).flatMap { case (t, files, dvs) =>
           val base: Option[DataFrame] =
-            if (dvs.isEmpty) Some(rowsOf(files))
+            if (t == GraftCdf.CdcLegType) Some(cdcRowsOf(files))
+            else if (dvs.isEmpty)
+              Some(rowsOf(files).withColumn("_change_type", lit(t)))
             else {
               val diff = dvs.flatMap { case (f, (c, p)) =>
                 val now = DvStore.read(dir, c, conf)
@@ -2191,16 +2427,18 @@ object ManifestLake {
                 val fresh = now.filterNot(DvStore.contains(before, _))
                 if (fresh.isEmpty) None else Some(f -> fresh)
               }
-              if (diff.isEmpty) None else Some(rowsAt(diff))
+              if (diff.isEmpty) None
+              else Some(rowsAt(diff).withColumn("_change_type", lit(t)))
             }
-          base.map(_.withColumn("_change_type", lit(t))
-            .withColumn("_commit_version", lit(v)))
+          base.map(_.withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", tsCol(cur.tsMillis)))
         }
       }
     legs.reduceOption(_ unionByName _).getOrElse(
       read(s, dir, Some(snap(toInclusive))).filter(lit(false))
         .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L)))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp", tsCol(None)))
   }
 
   /** The file-set half of [[readChanges]] — the files ADDED by
@@ -2814,6 +3052,9 @@ object ManifestLake {
     // ledger) are reclaimable garbage like unreferenced parquet
     val referencedDvs: Set[String] =
       protectedSnaps.flatMap(_.dvs.valuesIterator.map(_.path)).toSet
+    // change sidecars are per-commit records: they live exactly as
+    // long as the manifest whose `#cdf:` headers name them
+    val referencedCdf: Set[String] = protectedSnaps.flatMap(_.cdfFiles).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -2836,6 +3077,14 @@ object ManifestLake {
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".dv"))
           .filterNot(f => referencedDvs.contains(s"$name/${f.getFileName}"))
+          .filter(oldEnough)
+          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
+        finally fs.close()
+      } else if (Files.isDirectory(p) && name == CdfDir) {
+        val fs = Files.list(p)
+        try fs.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .filterNot(f => referencedCdf.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
           .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
         finally fs.close()

@@ -126,6 +126,194 @@ class CdfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enableChangeDataFeed: COW delete ≡ MoR delete feed; SQL UPDATE diff ≡ MoR update feed") {
+    // two identical lakes; one mutates merge-on-read, one copy-on-write
+    // with the CDF property set — the change FEEDS must agree row for
+    // row on (columns, change_type), though the mechanics differ
+    // completely (DV position diff vs commit-time sidecar).
+    val mor = tmp("cdf_mor"); val cow = tmp("cdf_cow")
+    mkLake(mor); mkLake(cow)
+    ManifestLake.setProperties(cow, Map("enableChangeDataFeed" -> "true")) // v2: silent
+    def feedOf(dir: String, from: Long, to: Long): Set[(Long, String, Long, String)] =
+      ManifestLake.readChangeFeed(spark, dir, from, to)
+        .select($"doc_id", $"source", $"n_chars", $"_change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+
+    // DELETE: Scala COW path records matched rows directly
+    ManifestLake.deleteWhereDv(spark, mor, $"doc_id" % 10 === 3)     // mor v2
+    ManifestLake.deleteWhere(spark, cow, $"doc_id" % 10 === 3)       // cow v3
+    val morDel = feedOf(mor, 1L, 2L); val cowDel = feedOf(cow, 2L, 3L)
+    assert(morDel == cowDel && cowDel.size == 20,
+      s"mor-only=${(morDel -- cowDel).take(3)} cow-only=${(cowDel -- morDel).take(3)}")
+    assert(ManifestLake.latestSnapshot(cow).get.cdfFiles.nonEmpty &&
+      ManifestLake.latestSnapshot(cow).get.cdfFiles.forall(_.startsWith("_cdf/")))
+
+    // UPDATE: the SQL ReplaceData path reconstructs pre/post images by
+    // exact multiset diff (the assignment must CHANGE the row — a
+    // bit-identical image cancels; documented)
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    ManifestLake.updateWhereDv(spark, mor, $"doc_id" % 50 === 7,
+      Seq("n_chars" -> ($"n_chars" + 100000L)))                      // mor v3
+    spark.sql(s"UPDATE graft.`$cow` SET n_chars = n_chars + 100000 " +
+      "WHERE doc_id % 50 = 7")                                       // cow v4
+    val morUpd = feedOf(mor, 2L, 3L); val cowUpd = feedOf(cow, 3L, 4L)
+    assert(morUpd == cowUpd && cowUpd.count(_._4 == "update_preimage") == 4 &&
+      cowUpd.count(_._4 == "update_postimage") == 4,
+      s"mor-only=${(morUpd -- cowUpd).take(3)} cow-only=${(cowUpd -- morUpd).take(3)}")
+
+    // the DSv2 batch face serves the sidecar legs identically, and
+    // carries the commit wall time
+    val v = ManifestLake.latestSnapshot(cow).get.version
+    val dsv2 = spark.read.format("graft").option("path", cow)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", v.toString).load()
+    val twin = ManifestLake.readChangeFeed(spark, cow, 0L, v)
+    assert(dsv2.schema.fieldNames.toSeq == twin.schema.fieldNames.toSeq)
+    def typed(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, String, Long)] =
+      df.select($"doc_id", $"source", $"n_chars", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSet
+    val a = typed(dsv2); val b = typed(twin)
+    assert(a == b, s"dsv2-only=${(a -- b).take(3)} twin-only=${(b -- a).take(3)}")
+    assert(dsv2.filter($"_commit_timestamp".isNull).count() == 0,
+      "every commit carries #ts — the feed's _commit_timestamp is non-null")
+    // _commit_timestamp agrees with the manifest's wall time per version
+    val tsByV = (1L to v).map(x =>
+      x -> ManifestLake.snapshotAt(cow, x).get.tsMillis.get).toMap
+    twin.select($"_commit_version", $"_commit_timestamp").distinct().collect()
+      .foreach(r => assert(r.getTimestamp(1).getTime == tsByV(r.getLong(0))))
+  }
+
+  test("Scala merge with CDF records the exact three-way change record") {
+    val dir = tmp("cdf_merge")
+    mkLake(dir)
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true"))
+    // 3 updates hit existing keys (10, 11, 12), 2 are fresh inserts
+    val updates = spark.range(0, 5).select(
+      (when($"id" < 3, $"id" + 10).otherwise($"id" + 9000)).as("doc_id"),
+      lit("s0").as("source"), lit(-5L).as("n_chars"))
+    ManifestLake.merge(spark, dir, updates, Seq("doc_id"))           // v3
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val feed = ManifestLake.readChangeFeed(spark, dir, v - 1, v)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 3L, "update_postimage" -> 3L,
+      "insert" -> 2L), byType.toString)
+    // preimages carry the OLD values, postimages the update's
+    assert(feed.filter($"_change_type" === "update_preimage" && $"doc_id" === 10)
+      .head().getAs[Long]("n_chars") == 100L)
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .select($"n_chars").distinct().head().getLong(0) == -5L)
+  }
+
+  test("CDF sidecars: invisible to plain reads/time travel, vacuumed with their manifest") {
+    val dir = tmp("cdf_vac")
+    mkLake(dir)
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true"))
+    val before = ManifestLake.read(spark, dir).count()
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" < 10)             // v3: sidecar
+    assert(ManifestLake.read(spark, dir).count() == before - 10,
+      "sidecar rows must not leak into the plain read")
+    val sidecars = ManifestLake.latestSnapshot(dir).get.cdfFiles
+    assert(sidecars.nonEmpty)
+    def onDisk(f: String): Boolean =
+      Files.exists(java.nio.file.Paths.get(dir).resolve(f))
+    assert(sidecars.forall(onDisk))
+    // while v3 is protected the sidecars stay (grace 0 = age no bar)
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(sidecars.forall(onDisk), "protected version keeps its change record")
+    // push v3 out of retention: its sidecars are reclaimed garbage
+    ManifestLake.append(spark, dir, spark.range(5000, 5001)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                       // v4
+    ManifestLake.append(spark, dir, spark.range(5001, 5002)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                       // v5
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(sidecars.forall(f => !onDisk(f)),
+      "retired version's change record is reclaimed")
+  }
+
+  test("CDF stream survives a default-mode DELETE FROM when the property is set") {
+    val dir = tmp("cdf_cowstream")
+    mkLake(dir)
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true"))
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val ckpt = Files.createTempDirectory("cdf_cow_ckpt").toString
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdf_cow_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // default write.delete.mode IS copy-on-write — exactly the
+      // combination that used to kill the stream by construction
+      assert(ManifestLake.latestSnapshot(dir).get.declaredDeleteMode ==
+        "copy-on-write")
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id % 10 = 3")
+      q.processAllAvailable()
+      val byType = spark.table("cdf_cow_sink")
+        .groupBy($"_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("insert" -> 200L, "delete" -> 20L), byType.toString)
+    } finally q.stop()
+  }
+
+  test("checkpointed CDF stream fails loudly when its next offset was vacuumed; a fresh start resumes") {
+    val dir = tmp("cdf_vacstream")
+    mkLake(dir)                                                      // v1
+    val ckpt = Files.createTempDirectory("cdf_vs_ckpt").toString
+    // a FILE sink: the memory sink refuses checkpoint recovery, and the
+    // whole point here is the restart path
+    val out = Files.createTempDirectory("cdf_vs_out").toString
+    def startSink() = spark.readStream.format("graft").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startSink()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 200L)
+    // advance history PAST a full-manifest checkpoint (every 16th
+    // version) with cheap metadata commits, so vacuum can genuinely
+    // retire the checkpointed offset's manifest: a protected delta
+    // only pins its #base chain down to the nearest checkpoint —
+    // versions below v16 then fall out entirely
+    (2 to 16).foreach { i =>
+      ManifestLake.setProperties(dir, Map("write.delete.mode" ->
+        (if (i % 2 == 0) "merge-on-read" else "copy-on-write")))     // v2..v16
+    }
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" < 3)            // v17
+    ManifestLake.vacuum(dir, keepVersions = 1, graceMillis = 0L)
+    assert(ManifestLake.snapshotAt(dir, 1L).isEmpty, "v1 must be retired")
+    // the restart must FAIL with the named error, never silently skip
+    // the vacuumed window
+    val q2 = startSink()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("retired by vacuum")), e.toString)
+    q2.stop()
+    // a FRESH start (new checkpoint) inside the retention window resumes
+    val ckpt2 = Files.createTempDirectory("cdf_vs_ckpt2").toString
+    val latest = ManifestLake.latestSnapshot(dir).get.version
+    val q3 = spark.readStream.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("streamStartingVersion", latest.toString).load()
+      .writeStream.format("memory").queryName("cdf_vs_sink3")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val rows = spark.table("cdf_vs_sink3")
+      assert(rows.count() == 3L && rows.select($"_change_type").distinct()
+        .head().getString(0) == "delete",
+        "the fresh start serves the retained window's changes")
+    } finally q3.stop()
+  }
+
   test("CDF stream with streamStartingVersion=latest tails only new changes") {
     val dir = tmp("cdf_tail")
     mkLake(dir)                                                    // v1: skipped

@@ -334,6 +334,18 @@ class DvSpec extends SparkSpec {
       ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
         Seq("nope" -> lit(1L)))
     }
+    // the determinism contract is ENFORCED, not just documented: the
+    // matched frame feeds two actions through a persisted frame, and a
+    // recomputed rand() predicate/assignment would desynchronize the
+    // position sidecars from the appended images
+    intercept[IllegalArgumentException] {
+      ManifestLake.updateWhereDv(spark, dir, rand() > 0.5,
+        Seq("n_chars" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
+        Seq("n_chars" -> (rand() * 100).cast("long")))
+    }
     // concurrent append rebases (set-union keeps both)
     val n = ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 5,
       Seq("n_chars" -> lit(-5L)), () => {
