@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.ManifestLake
+
+/** TWO-JVM commit-race probe — the lake's cross-PROCESS writer-safety
+  * claim, exercised for real instead of asserted: every prior race pin
+  * (LayoutSpec's `beforeCommit` seams) runs two THREADS in one JVM,
+  * where `Files.createLink`'s CAS could in principle be masked by
+  * in-process serialization. The reference's writers are genuinely
+  * separate OS processes coordinating only through shared state
+  * (island_worker.py:72-99 `FOR UPDATE SKIP LOCKED`;
+  * server/async_processing_server.py:223-321 queue leases) — this
+  * probe is the lake-side equivalent: two child JVMs, one lake
+  * directory, no coordination except the manifest CAS itself.
+  *
+  * `runMain graft.ProbeTwoProcess drive <workDir>` creates a declared
+  * lake (stats + bloom on doc_id — the heavy-metadata production
+  * config, so rebases carry real payloads), then launches two child
+  * JVMs with plain `java -cp` (the forked run's own classpath):
+  *  - worker A: 12 exactly-once appends (`appendBatch`, its own appId);
+  *  - worker B: 9 appends under a second appId, interleaved with
+  *    compactions and a long-grace `vacuum` — the full mix of
+  *    set-union rebases (appends), replace rebases (compaction), and
+  *    concurrent reclaim the cluster story depends on.
+  * Both workers log every commit's (worker, batch, version) to stdout.
+  *
+  * The driver then asserts, from the artifacts alone:
+  *  1. both processes exit 0 — every commit landed through CAS retries;
+  *  2. the version chain is CONTIGUOUS 1..latest — no version lost or
+  *     double-claimed (the CAS's no-replace guarantee across JVMs);
+  *  3. the committed version sets INTERLEAVE — the race actually
+  *     happened (a serialized run would prove nothing);
+  *  4. exactly-once content: every (worker, batch) group reads back
+  *     exactly its written row count, no batch missing or doubled,
+  *     total row census == Σ manifest `rows:` (metadata stayed exact
+  *     through racing compaction);
+  *  5. txn high-waters carry both appIds at their final batch ids;
+  *  6. skipping metadata never eroded: every live file still tracks
+  *     stats AND bloom on doc_id after racing compactions;
+  *  7. the concurrent vacuum (grace = 1 h) reclaimed nothing a reader
+  *     or the racing writer needed — implied by 4 (content exact), and
+  *     its staged-dir walk ran against live staging.
+  * Prints one JSON line per check plus a final PASS/FAIL. */
+object ProbeTwoProcess {
+
+  private val RowsPerBatch = 500L
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "worker" :: lake :: id :: n :: style :: Nil => worker(lake, id, n.toInt, style)
+    case "drive" :: work :: Nil => drive(work)
+    case other => sys.error(s"usage: drive <workDir> | worker <lake> <id> <n> <style>; got $other")
+  }
+
+  private def session(tag: String): SparkSession =
+    SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName(s"graft-2proc-$tag").getOrCreate()
+
+  private def batchDf(s: SparkSession, id: String, b: Int) = {
+    import s.implicits._
+    val base = (id.hashCode.toLong & 0xffffL) * 10000000L + b * 10000L
+    s.range(0, RowsPerBatch).select(
+      ($"id" + base).as("doc_id"),
+      concat(lit("s"), ($"id" % 4).cast("string")).as("source"),
+      lit(id).as("worker"),
+      lit(b.toLong).as("batch"))
+  }
+
+  /** One writer process: `style=append` is pure appends; `style=mixed`
+    * interleaves every third step with compact + long-grace vacuum. */
+  private def worker(lake: String, id: String, n: Int, style: String): Unit = {
+    val s = session(id)
+    s.sparkContext.setLogLevel("ERROR")
+    (0 until n).foreach { b =>
+      if (style == "mixed" && b % 3 == 2) {
+        ManifestLake.compact(s, lake, "source", targetRecordsPerFile = 1024L * 1024)
+        ManifestLake.vacuum(lake, keepVersions = 2, graceMillis = 3600L * 1000)
+      }
+      val snap = ManifestLake.appendBatch(s, lake, batchDf(s, id, b), "source",
+        appId = id, batchId = b.toLong, maxRecordsPerFile = 128L)
+      println(s"""{"commit":{"worker":"$id","batch":$b,"version":${snap.version}}}""")
+    }
+    s.stop()
+  }
+
+  private def drive(work: String): Unit = {
+    val root = Paths.get(work)
+    Files.createDirectories(root)
+    val lake = root.resolve(s"twoproc_lake_${java.util.UUID.randomUUID()}").toString
+    val s = session("drive")
+    s.sparkContext.setLogLevel("ERROR")
+    val schema = batchDf(s, "w1", 0).schema
+    ManifestLake.create(lake, schema, "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+
+    // child JVMs on this process's own classpath + module opens
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    def spawn(id: String, n: Int, style: String): (Process, java.io.File) = {
+      val log = root.resolve(s"$id.log").toFile
+      val cmd = (Seq(javaBin, "-Xmx3g", "-cp", cp) ++
+        // getInputArguments splits "--add-opens X" into two entries on
+        // some JVMs and keeps "--add-opens=X" whole on others — pass
+        // through verbatim either way, plus the known-needed set
+        opens.toSeq ++ jdk17Opens ++
+        Seq("graft.ProbeTwoProcess", "worker", lake, id, n.toString, style))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(root.toFile)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val t0 = System.nanoTime()
+    val (p1, log1) = spawn("w1", 12, "append")
+    val (p2, log2) = spawn("w2", 9, "mixed")
+    val rc1 = p1.waitFor(); val rc2 = p2.waitFor()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    def commits(f: java.io.File): Seq[(String, Long, Long)] = {
+      val re = """\{"commit":\{"worker":"(\w+)","batch":(\d+),"version":(\d+)\}\}""".r
+      scala.io.Source.fromFile(f).getLines().collect {
+        case re(w, b, v) => (w, b.toLong, v.toLong)
+      }.toSeq
+    }
+    val c1 = commits(log1); val c2 = commits(log2)
+    val checks = scala.collection.mutable.ListBuffer.empty[(String, Boolean, String)]
+    checks += (("exit_codes", rc1 == 0 && rc2 == 0, s"w1=$rc1 w2=$rc2"))
+
+    val snap = ManifestLake.latestSnapshot(lake).get
+    // versions on disk may have a vacuumed prefix; CONTIGUITY of the
+    // surviving suffix + the commit logs' full coverage is the claim
+    val vs = ManifestLake.versions(lake).sorted
+    val contiguous = vs.zip(vs.drop(1)).forall { case (a, b) => b == a + 1 } &&
+      vs.lastOption.contains(snap.version)
+    checks += (("version_chain_contiguous", contiguous,
+      s"${vs.headOption.getOrElse(-1L)}..${vs.lastOption.getOrElse(-1L)} (${vs.length} manifests)"))
+
+    // the race really happened: the two workers' committed versions
+    // interleave (each worker's max exceeds the other's min)
+    val interleaved = c1.nonEmpty && c2.nonEmpty &&
+      c1.map(_._3).max > c2.map(_._3).min && c2.map(_._3).max > c1.map(_._3).min
+    checks += (("commits_interleaved", interleaved,
+      s"w1=[${c1.map(_._3).min},${c1.map(_._3).max}] w2=[${c2.map(_._3).min},${c2.map(_._3).max}]"))
+
+    // exactly-once content: every batch present exactly once at its
+    // exact row count; nothing else in the lake
+    import s.implicits._
+    val byBatch = ManifestLake.read(s, lake)
+      .groupBy($"worker", $"batch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = ((0 until 12).map(b => ("w1", b.toLong)) ++
+      (0 until 9).map(b => ("w2", b.toLong))).map(_ -> RowsPerBatch).toMap
+    checks += (("exactly_once_content", byBatch == expected,
+      s"${byBatch.size} groups, expected ${expected.size}"))
+
+    val censusTotal = snap.files.flatMap(snap.netRows).sum
+    val readTotal = ManifestLake.read(s, lake).count()
+    checks += (("rows_census_exact",
+      censusTotal == readTotal && readTotal == 21L * RowsPerBatch &&
+        snap.rows.keySet == snap.files.toSet,
+      s"census=$censusTotal read=$readTotal"))
+
+    checks += (("txn_highwaters", snap.txns.get("w1").contains(11L) &&
+      snap.txns.get("w2").contains(8L), snap.txns.toString))
+
+    val indexed = snap.files.forall(f =>
+      snap.stats.get(f).exists(_.exists(_.col == "doc_id")) &&
+        snap.blooms.get(f).exists(_.exists(_.col == "doc_id")))
+    checks += (("skipping_index_intact", indexed, s"${snap.files.length} files"))
+
+    checks.foreach { case (k, ok, detail) =>
+      println(s"""{"check":"$k","pass":$ok,"detail":"$detail"}""")
+    }
+    val pass = checks.forall(_._2)
+    println(s"""{"probe":"two_process_commits","pass":$pass,"wall_sec":$wallSec,"versions":${snap.version}}""")
+    s.stop()
+    if (!pass) sys.exit(1)
+  }
+
+  private def jdk17Opens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+}
