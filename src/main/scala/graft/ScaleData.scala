@@ -65,6 +65,42 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     println(s"SCALED embeddings x$factor -> $dst (rows=" +
       spark.read.parquet(s"$dst/embeddings.parquet").count() + ")")
+
+    // Relational core (the q01–q26 probe family): replicate
+    // customer/orders/lineitem with CONSISTENT key offsets — replica
+    // k's orderkeys shift by k·10^8 and custkeys by k·10^6, applied to
+    // BOTH sides of each foreign key, so every replica joins exactly
+    // like the original (join fan-out, group cardinalities, and
+    // selectivities all scale by FACTOR, never explode). Non-key
+    // columns ride unchanged: the relational aggregates don't need
+    // text decorrelation. Dimension tables (region/nation/supplier/
+    // part) and events copy through unscaled — the probe queries
+    // treat them as broadcast dims.
+    val orderOff = 100000000L; val custOff = 1000000L
+    def scaleKeyed(table: String, keyOffsets: Map[String, Long]): Unit = {
+      val t = spark.read.parquet(s"$src/$table.parquet")
+      val reps = (0 until factor).map { k =>
+        if (k == 0) t
+        else keyOffsets.foldLeft(t) { case (df, (c, off)) =>
+          df.withColumn(c, col(c) + lit(k * off))
+        }
+      }
+      reps.reduce(_ unionByName _).repartition(8)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"SCALED $table x$factor -> $dst (rows=" +
+        spark.read.parquet(s"$dst/$table.parquet").count() + ")")
+    }
+    scaleKeyed("customer", Map("c_custkey" -> custOff))
+    scaleKeyed("orders", Map("o_orderkey" -> orderOff, "o_custkey" -> custOff))
+    scaleKeyed("lineitem", Map("l_orderkey" -> orderOff))
+    Seq("region", "nation", "supplier", "part", "events").foreach { t =>
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      if (java.nio.file.Files.exists(from)) {
+        spark.read.parquet(from.toString).write.mode("overwrite")
+          .parquet(s"$dst/$t.parquet")
+        println(s"COPIED $t -> $dst")
+      }
+    }
     spark.stop()
   }
 }
