@@ -867,7 +867,18 @@ object Plans {
         |identical post state. The group filter's key scan is the one
         |corpus-proportional term; ManifestLake.merge's manifest-side
         |detection avoids even that, which is why it stays the
-        |streaming spelling.""".stripMargin)
+        |streaming spelling.""".stripMargin,
+    "q173_cow_change_feed" ->
+      """CDF over copy-on-write commits: with enableChangeDataFeed set,
+        |every COW mutation writes its change record as _cdf/ sidecars
+        |in the same CAS commit — the Scala DML records its matched
+        |rows directly, the SQL ReplaceData paths reconstruct an exact
+        |removed-vs-added multiset diff (ONE affected-proportional
+        |group-by; carried rows cancel, duplicates count). The feed
+        |then reads sidecar bytes only — change-proportional at any
+        |lake size — and MoR vs COW mutations of the same logical
+        |change are multiset-identical by pin. The plan shown is the
+        |final aggregate; the interesting work is commit-time.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")

@@ -1758,14 +1758,16 @@ object Similarity extends Serializable {
     "q115_hard_negatives" -> qHardNegatives,
     "q119_ivf_delta_assign" -> qIvfDeltaAssign,
     "q134_ann_operating_point" -> qAnnOperatingPoint,
-    // deliberately ABSENT from [[oracles]]: the graph build is
-    // procedural, so the driver records the rows-only check; the
-    // recall claim is spec-pinned (SimilaritySpec), q134 oracles the
-    // same operating point relationally, q136 oracles the build-side
-    // ledger, and q155 oracles the serve-side probe ledger (plus the
-    // spec's serve-containment fence) — the graph walk is the only
-    // unreplayed step
-    "q135_hnsw_ann" -> qHnswAnn,
+    // q135 (qHnswAnn, the HNSW beam serve) is deliberately NOT in the
+    // driver catalog at all (r11 verdict ask #7, option b): the greedy
+    // beam walk is the engine's ONE formally-fenced procedural step —
+    // no SQL oracle can replay it, and carrying a permanent rows-only
+    // row misstates the gate. The operator itself is fully built and
+    // pinned from every side: SimilaritySpec (recall@6 ≥ 0.95 floor vs
+    // brute force, build determinism, lake round-trip identity,
+    // serve containment), q136 oracles the build-side ledger, q155 the
+    // serve-side probe ledger, q134 the same operating point
+    // relationally. See COVERAGE.md "fenced procedural step".
     "q136_hnsw_delta" -> qHnswDelta,
     "q155_hnsw_serve_ledger" -> qHnswServeLedger,
     "q144_pq_compress" -> qPqCompress,
