@@ -314,6 +314,63 @@ class CdfSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("reconstruction law: folding the feed from v0 rebuilds the table's exact multiset") {
+    // THE invariant a change feed exists to provide: a downstream
+    // materialized view maintained purely from the feed (insert → add,
+    // delete/update_preimage → remove, update_postimage → add) must
+    // equal the table itself — across a mixed history of every
+    // mutation mechanic the lake has (MoR and COW, Scala and SQL,
+    // merge, compaction interleaved and invisible).
+    val dir = tmp("cdf_law")
+    mkLake(dir)                                                      // v1 insert
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true")) // v2
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 7 === 1)      // v3 MoR delete
+    ManifestLake.deleteWhere(spark, dir, $"doc_id" % 11 === 2)       // v4 COW delete
+    spark.sql(s"UPDATE graft.`$dir` SET n_chars = n_chars + 7 " +
+      "WHERE doc_id % 5 = 3")                                        // v5 COW SQL update
+    ManifestLake.compact(spark, dir, "source",
+      targetRecordsPerFile = 1024L * 1024)                           // v6 invisible
+    ManifestLake.updateWhereDv(spark, dir, $"doc_id" % 13 === 4,
+      Seq("n_chars" -> ($"n_chars" - 3L)))                           // v7 MoR update
+    val upserts = spark.range(0, 8).select(
+      (when($"id" < 4, $"id" * 9 + 9).otherwise($"id" + 7000)).as("doc_id"),
+      lit("s1").as("source"), lit(-7L).as("n_chars"))
+    ManifestLake.merge(spark, dir, upserts, Seq("doc_id"))           // v8 merge
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id % 17 = 6")     // v9 COW SQL delete
+    ManifestLake.appendBatch(spark, dir, spark.range(8000, 8020)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 2).as("n_chars")), "source", appId = "law", batchId = 0L) // v10
+    val v = ManifestLake.latestSnapshot(dir).get.version
+
+    type K = (Long, String, Long)
+    val folded = scala.collection.mutable.Map.empty[K, Int].withDefaultValue(0)
+    ManifestLake.readChangeFeed(spark, dir, 0L, v)
+      .select($"doc_id", $"source", $"n_chars", $"_change_type", $"_commit_version")
+      .collect()
+      .sortBy(_.getLong(4)) // fold in commit order; within-version order is multiset-neutral
+      .foreach { r =>
+        val k: K = (r.getLong(0), r.getString(1), r.getLong(2))
+        r.getString(3) match {
+          case "insert" | "update_postimage" => folded(k) += 1
+          case "delete" | "update_preimage" =>
+            assert(folded(k) > 0, s"feed removes a row the fold doesn't hold: $k")
+            folded(k) -= 1
+          case other => fail(s"unexpected change type $other")
+        }
+      }
+    val table = ManifestLake.read(spark, dir)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .view.mapValues(_.length).toMap
+    val rebuilt = folded.filter(_._2 > 0).toMap
+    assert(rebuilt == table,
+      s"fold-only=${(rebuilt.toSet -- table.toSet).take(3)} " +
+        s"table-only=${(table.toSet -- rebuilt.toSet).take(3)}")
+    assert(table.nonEmpty && table.values.sum.toLong ==
+      ManifestLake.read(spark, dir).count())
+  }
+
   test("CDF stream with streamStartingVersion=latest tails only new changes") {
     val dir = tmp("cdf_tail")
     mkLake(dir)                                                    // v1: skipped
