@@ -458,7 +458,43 @@ object ManifestLake {
     finally lines.close()
   }
 
+  /** Parsed-manifest cache. A committed manifest file is IMMUTABLE —
+    * the hard-link CAS only ever CREATES `vN`, vacuum only ever
+    * deletes it — so a parse is reusable for the file's whole life.
+    * Every version-walking surface re-parses the same manifests
+    * (`$history`/`$files` census per version, CDF window resolution,
+    * time-travel lookups, the commit loop's latest-read per attempt),
+    * and each parse of a delta manifest re-reads its whole `#base:`
+    * chain — without a cache a 30-version census costs O(30 × chain)
+    * file reads, at object-storage latency the dominant term. Entries
+    * validate (size, mtime) on hit, so even a hand-rewritten manifest
+    * (hostile-manifest tests) re-parses; bounded LRU keeps the
+    * worst-case footprint at [[ManifestCacheMax]] snapshots. */
+  private val ManifestCacheMax = 64
+  private final case class CachedManifest(
+      size: Long, mtime: java.nio.file.attribute.FileTime, snap: Snapshot)
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CachedManifest](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CachedManifest]): Boolean =
+          size() > ManifestCacheMax
+      })
+
   private def parseManifest(root: Path, v: Long): Snapshot = {
+    val p = manifestPath(root, v)
+    val key = p.toAbsolutePath.toString
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val hit = manifestCache.get(key)
+    if (hit != null && hit.size == attrs.size &&
+        hit.mtime == attrs.lastModifiedTime) return hit.snap
+    val parsed = parseManifestUncached(root, v)
+    manifestCache.put(key, CachedManifest(attrs.size, attrs.lastModifiedTime, parsed))
+    parsed
+  }
+
+  private def parseManifestUncached(root: Path, v: Long): Snapshot = {
     val lines = Files.readAllLines(manifestPath(root, v))
       .asScala.filter(_.nonEmpty).toVector
     // "#txn:<appId>:<batchId>" header lines carry writer high-waters and
