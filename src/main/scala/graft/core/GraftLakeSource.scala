@@ -38,6 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    append commits in (starting, ending], compaction/delete commits
   *    invisible — [[ManifestLake.changedFiles]], the same rule
   *    `readChanges` uses, so the two surfaces cannot drift
+  *  - `startingTimestamp`/`endingTimestamp` — the same windows
+  *    addressed by commit wall time (epoch millis or ISO-8601): start
+  *    = first commit at-or-after the instant (inclusive), end = last
+  *    commit at-or-before; each endpoint takes version OR timestamp
+  *    form. Applies to plain CDC and `readChangeFeed` batch alike
   *
   * Scale design: planning never lists directories — the manifest names
   * the files, and `SupportsPushDownFilters` routes the query's
@@ -244,8 +249,34 @@ private[core] object GraftLake {
   def resolve(options: CaseInsensitiveStringMap): Table = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a 'path' option"))
-    val starting = Option(options.get("startingVersion")).map(_.toLong)
-    val ending = Option(options.get("endingVersion")).map(_.toLong)
+    val startingV = Option(options.get("startingVersion")).map(_.toLong)
+    val endingV = Option(options.get("endingVersion")).map(_.toLong)
+    // timestamp-addressed CDC/CDF windows (Delta's startingTimestamp/
+    // endingTimestamp; epoch millis or ISO-8601): the start resolves
+    // to the first commit AT OR AFTER the instant (included — our
+    // startingVersion is exclusive, so it binds one below), the end to
+    // the last commit at or before it. Each endpoint takes version OR
+    // timestamp form, never both.
+    def tsMillisOf(raw: String): Long =
+      raw.toLongOption.getOrElse(java.time.Instant.parse(raw).toEpochMilli)
+    val startingTs = Option(options.get("startingTimestamp")).map { raw =>
+      val ms = tsMillisOf(raw)
+      ManifestLake.firstVersionAtOrAfter(dir, ms).map(_ - 1).getOrElse(
+        throw new IllegalStateException(s"$dir @ ${ms}ms: every retained " +
+          "timestamped commit is earlier — nothing for the window to start at"))
+    }
+    val endingTs = Option(options.get("endingTimestamp")).map { raw =>
+      val ms = tsMillisOf(raw)
+      ManifestLake.snapshotAsOfTimestamp(dir, ms).map(_.version).getOrElse(
+        throw new IllegalStateException(s"$dir @ ${ms}ms: every retained " +
+          "timestamped commit is later — nothing for the window to end at"))
+    }
+    require(startingV.isEmpty || startingTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    require(endingV.isEmpty || endingTs.isEmpty,
+      "endingVersion and endingTimestamp are mutually exclusive")
+    val starting = startingV.orElse(startingTs)
+    val ending = endingV.orElse(endingTs)
     // exclusivity is checked BEFORE any resolution work, so a
     // conflicting request gets the right error instead of whatever a
     // wasted timestamp scan throws first
@@ -264,7 +295,8 @@ private[core] object GraftLake {
     }
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong).orElse(tsAsOf)
     require(starting.isDefined == ending.isDefined,
-      "CDC read needs BOTH startingVersion and endingVersion")
+      "CDC read needs BOTH a start and an end " +
+        "(startingVersion|startingTimestamp + endingVersion|endingTimestamp)")
     require(starting.isEmpty || versionAsOf.isEmpty,
       "versionAsOf/timestampAsOf and a CDC window are mutually exclusive")
     // readChangeFeed=true widens the schema with _change_type /

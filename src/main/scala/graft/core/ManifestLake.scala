@@ -404,6 +404,17 @@ object ManifestLake {
       .flatMap(v => snapshotAt(dir, v))
   }
 
+  /** [[snapshotAsOfTimestamp]]'s window-START complement (Delta's
+    * `startingTimestamp` rule): the LOWEST retained version whose
+    * commit wall time is ≥ `tsMillis` — the first commit a
+    * timestamp-addressed CDC/CDF window must include. Header-only
+    * reads, ascending, stops at the first qualifying version (same
+    * skew argument as the AS-OF scan, mirrored). None = every
+    * retained timestamped commit is earlier. */
+  private[core] def firstVersionAtOrAfter(dir: String, tsMillis: Long): Option[Long] =
+    versions(dir).sorted
+      .find(v => commitTs(Paths.get(dir), v).exists(_ >= tsMillis))
+
   /** The `#ts` header of one manifest, reading header lines only —
     * O(headers), not O(files). None = pre-ts manifest, malformed
     * value, or a manifest vacuumed between listing and read. */

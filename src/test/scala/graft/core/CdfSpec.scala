@@ -314,6 +314,59 @@ class CdfSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("timestamp-addressed windows: startingTimestamp/endingTimestamp ≡ their version window") {
+    val dir = tmp("cdf_tswin")
+    mkLake(dir)                                                      // v1
+    Thread.sleep(5)
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 10 === 3)     // v2
+    Thread.sleep(5)
+    ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 4,
+      Seq("n_chars" -> lit(-1L)))                                    // v3
+    Thread.sleep(5)
+    ManifestLake.append(spark, dir, spark.range(900, 910)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                       // v4
+    def ts(v: Long): Long = ManifestLake.snapshotAt(dir, v).get.tsMillis.get
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select($"doc_id", $"_change_type", $"_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // start = first commit at-or-after ts(v2) INCLUSIVE; end = last
+    // commit at-or-before ts(v3) — exactly the (1, 3] version window
+    val byTs = spark.read.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", ts(2).toString)
+      .option("endingTimestamp", ts(3).toString).load()
+    val byV = spark.read.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3").load()
+    assert(rows(byTs) == rows(byV) && rows(byTs).nonEmpty)
+    // ISO-8601 form resolves identically
+    val iso = java.time.Instant.ofEpochMilli(ts(2)).toString
+    val byIso = spark.read.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", iso)
+      .option("endingTimestamp",
+        java.time.Instant.ofEpochMilli(ts(3)).toString).load()
+    assert(rows(byIso) == rows(byV))
+    // the plain CDC read takes the same options: (ts(v4), ts(v4)] = v4's adds
+    val cdc = spark.read.format("graft").option("path", dir)
+      .option("startingTimestamp", ts(4).toString)
+      .option("endingTimestamp", ts(4).toString).load()
+    assert(cdc.count() == 10L)
+    // mixing forms on ONE endpoint refuses; an out-of-range start refuses
+    intercept[Exception] {
+      spark.read.format("graft").option("path", dir)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", ts(2).toString)
+        .option("endingVersion", "3").load()
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("path", dir)
+        .option("startingTimestamp", (ts(4) + 60000L).toString)
+        .option("endingTimestamp", (ts(4) + 120000L).toString).load().count()
+    }
+  }
+
   test("reconstruction law: folding the feed from v0 rebuilds the table's exact multiset") {
     // THE invariant a change feed exists to provide: a downstream
     // materialized view maintained purely from the feed (insert → add,
