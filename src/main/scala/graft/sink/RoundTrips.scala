@@ -1040,6 +1040,103 @@ object RoundTrips {
        FROM legs GROUP BY change_type, source
        ORDER BY change_type, source"""
 
+  /** q174 — incremental MATERIALIZED-VIEW maintenance from the change
+    * feed: the lake-side productization of the reference's "derived
+    * pending work" discipline (recompute derived state from CHANGE
+    * SETS, never from the corpus — maintain_database.py's whole
+    * incremental loop), and the operator the q173 reconstruction law
+    * exists to license. A keyed row-wise view (σ filter + π projection
+    * over the source lake) is built once, the source then mutates
+    * through BOTH mechanics (MoR delete, default-mode COW SQL UPDATE),
+    * and maintenance applies ONLY the feed window: drop every affected
+    * key (delete/preimage keys ∪ incoming keys — a postimage that now
+    * FAILS the view filter leaves the view, the classic incremental-
+    * view edge), then insert the transform of the incoming rows that
+    * pass. Cost ∝ changed rows at any lake size: the feed reads
+    * sidecar/DV-diff bytes, the view-side delete is a keyed MoR DML
+    * (bloom-pruned, position sidecars), the insert is delta-sized.
+    * Invariant (returned as `invariant_ok`, and the DuckDB oracle
+    * replays the aggregate): after maintenance the view lake is
+    * row-identical to the transform recomputed from the final source —
+    * incremental ≡ full, the only definition of "maintained". */
+  def qIncrementalViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_ivm_src_").toString
+    val view = freshDir("graft_ivm_view_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, src,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                     // src v1
+    graft.core.ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                         // src v2
+    // the view: even-length docs, projected to (doc_id, source, n_chars)
+    def transform(rows: DataFrame): DataFrame = rows
+      .filter(length($"text") % 2 === 0)
+      .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+    graft.core.ManifestLake.append(s, view,
+      transform(graft.core.ManifestLake.read(s, src)), "source",
+      maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
+      bloomCols = Seq("doc_id"))
+    val builtAt = graft.core.ManifestLake.latestSnapshot(src).get.version
+    // source mutates through both mechanics; the update flips text
+    // length parity for some rows, so postimages both ENTER and LEAVE
+    // the view (the edge a naive upsert-only maintainer gets wrong)
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 19 === 0) // v3
+    s.conf.set("spark.sql.catalog.graft_ivm",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_ivm.`$src` SET text = concat(text, ' xx') " +
+      "WHERE doc_id % 23 = 7")                                       // v4 (COW)
+    val nowAt = graft.core.ManifestLake.latestSnapshot(src).get.version
+
+    // maintenance from the WINDOW alone
+    val feed = graft.core.ManifestLake.readChangeFeed(s, src, builtAt, nowAt)
+      .persist()
+    try {
+      val incoming = feed.filter(
+        $"_change_type" === "insert" || $"_change_type" === "update_postimage")
+      val affectedKeys = feed.select($"doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (affectedKeys.nonEmpty) {
+        graft.core.ManifestLake.deleteWhereDv(s, view,
+          $"doc_id".isin(affectedKeys: _*))
+        val adds = transform(incoming.select($"doc_id", $"text", $"source"))
+        if (!adds.isEmpty)
+          graft.core.ManifestLake.append(s, view, adds, "source",
+            maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
+            bloomCols = Seq("doc_id"))
+      }
+      // incremental ≡ full recompute, row for row
+      val maintained = graft.core.ManifestLake.read(s, view)
+        .select($"doc_id", $"source", $"n_chars")
+      val recomputed = transform(graft.core.ManifestLake.read(s, src))
+      val identical = maintained.exceptAll(recomputed).isEmpty &&
+        recomputed.exceptAll(maintained).isEmpty
+      maintained
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("invariant_ok", lit(identical))
+        .orderBy($"source")
+    } finally { feed.unpersist(); () }
+  }
+
+  val qIncrementalViewRoundTripSql: String =
+    """WITH mutated AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 23 = 7 THEN text || ' xx' ELSE text END AS text,
+                source
+         FROM documents WHERE doc_id % 19 <> 0),
+       view AS (
+         SELECT doc_id, source, len(text) AS n_chars
+         FROM mutated WHERE len(text) % 2 = 0)
+       SELECT source, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              TRUE AS invariant_ok
+       FROM view GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2333,6 +2430,7 @@ object RoundTrips {
     "q171_mor_update" -> qMorUpdateRoundTrip,
     "q172_change_feed" -> qChangeFeedRoundTrip,
     "q173_cow_change_feed" -> qCowChangeFeedRoundTrip,
+    "q174_incremental_view" -> qIncrementalViewRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2368,6 +2466,7 @@ object RoundTrips {
     "q171_mor_update" -> qMorUpdateRoundTripSql,
     "q172_change_feed" -> qChangeFeedRoundTripSql,
     "q173_cow_change_feed" -> qCowChangeFeedRoundTripSql,
+    "q174_incremental_view" -> qIncrementalViewRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }
