@@ -543,8 +543,75 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object Clone extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "Zero-copy CLONE: hard-link the source snapshot (latest, or " +
+        "version) into a brand-new independent lake — O(files) metadata, " +
+        "no data bytes move; history/txns/CDF start fresh at the clone"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("NULL").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val snap = ManifestLake.clone(str(input, 0), str(input, 1), v)
+      one(Result(
+        StructType(Seq(StructField("cloned_version", LongType, nullable = false),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+        InternalRow(snap.version, snap.files.length,
+          snap.files.flatMap(snap.netRows).sum)))
+    }
+  }
+
+  private object AddConstraint extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the " +
+        "existing corpus in one scan, then enforces the predicate " +
+        "row-wise on every future write path (NULL passes, FALSE " +
+        "violates — SQL CHECK; spell NOT NULL as 'col IS NOT NULL')"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("check", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val snap = ManifestLake.addConstraint(SparkSession.active,
+        str(input, 0), str(input, 1), str(input, 2))
+      one(Result(
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("n_constraints", IntegerType, nullable = false))),
+        InternalRow(snap.version, snap.constraints.length)))
+    }
+  }
+
+  private object DropConstraint extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String =
+      "ALTER TABLE DROP CONSTRAINT name — metadata-only; refuses an " +
+        "unknown name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val snap = ManifestLake.dropConstraint(str(input, 0), str(input, 1))
+      one(Result(
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("n_constraints", IntegerType, nullable = false))),
+        InternalRow(snap.version, snap.constraints.length)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
       "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
-      "update_vectors" -> UpdateVectors)
+      "update_vectors" -> UpdateVectors, "clone" -> Clone,
+      "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint)
 }

@@ -143,6 +143,14 @@ object ManifestLake {
       c <- props.get(PropBucketCol)
       n <- props.get(PropBucketN).flatMap(_.toIntOption) if n > 0
     } yield (c, n)
+    /** CHECK constraints (`constraint.<name>` props — Delta's
+      * `delta.constraints.*` shape): name → SQL predicate, enforced
+      * row-wise on every write path. Sorted for deterministic error
+      * ordering. */
+    def constraints: Seq[(String, String)] = props.iterator.collect {
+      case (k, v) if k.startsWith(PropConstraintPrefix) =>
+        (k.stripPrefix(PropConstraintPrefix), v)
+    }.toSeq.sortBy(_._1)
     private def csvProp(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   }
@@ -153,6 +161,7 @@ object ManifestLake {
   private[core] val PropBucketCol = "bucketCol"
   private[core] val PropBucketN = "bucketN"
   private[core] val PropDeleteMode = "write.delete.mode"
+  private[core] val PropConstraintPrefix = "constraint."
   private[core] val DeleteModes = Set("copy-on-write", "merge-on-read")
   private[core] val PropCdfEnabled = "enableChangeDataFeed"
   /** Commit-time change sidecars live here (Delta's `_change_data`):
@@ -1337,6 +1346,119 @@ object ManifestLake {
     }.get
   }
 
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — Delta's
+    * constraint surface. Validates the EXISTING corpus in one
+    * pushdown-pruned scan (a constraint the lake already violates
+    * refuses, counting the casualties — Delta's rule), requires the
+    * expression deterministic (it re-evaluates on every write and
+    * every task retry), then commits `constraint.<name>` as a table
+    * property. From that commit on, every write path enforces it
+    * row-wise inside the staged write ([[withCheckConstraints]]):
+    * Scala append/appendBatch — and with them the DSv2 `INSERT INTO`
+    * and the streaming sink, which route through them — MoR UPDATE
+    * images, merge-staged rows, and the SQL copy-on-write
+    * UPDATE/MERGE rewrites (validated at [[commitReplace]]). SQL
+    * CHECK null semantics throughout: NULL passes, only FALSE
+    * violates — so an append that legally omits a referenced column
+    * (additive evolution; readers null-fill) passes by the same rule
+    * the read applies. NOT NULL is spelled `col IS NOT NULL`.
+    *
+    * The validation scan races a concurrent append by design (the
+    * property commit rebases over it without re-scanning): add
+    * constraints in a write-quiet window, exactly Delta's operational
+    * guidance. */
+  def addConstraint(s: SparkSession, dir: String, name: String,
+                    checkExpr: String): Snapshot = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!checkExpr.contains('\n') && !checkExpr.contains('\r'),
+      "constraint expression must be single-line (it rides a manifest header)")
+    val snap = latestSnapshot(dir).getOrElse(throw new IllegalStateException(
+      s"no committed manifest in $dir — nothing to constrain"))
+    require(!snap.props.contains(PropConstraintPrefix + name),
+      s"constraint '$name' already exists on $dir — drop it first")
+    val parsed = expr(checkExpr)
+    snap.schema.foreach { sc =>
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+      val det =
+        try empty.filter(parsed).queryExecution.analyzed
+          .expressions.forall(_.deterministic)
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      require(det,
+        s"constraint '$name' must be deterministic, got: $checkExpr")
+    }
+    val violations = read(s, dir, Some(snap))
+      .filter(!coalesce(parsed, lit(true))).count()
+    if (violations > 0L) throw new IllegalStateException(
+      s"cannot add constraint '$name' CHECK ($checkExpr): $violations " +
+        "existing row(s) violate it")
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (latest.props.get(PropConstraintPrefix + name).contains(checkExpr)) None
+        else Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
+          latest.schema, latest.blooms, latest.rows,
+          props = Some(latest.props + (PropConstraintPrefix + name -> checkExpr)),
+          buckets = latest.buckets))
+    }.get
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT` — metadata-only; refuses an
+    * unknown name (a typo'd drop that silently "succeeds" leaves the
+    * operator believing enforcement stopped). */
+  def dropConstraint(dir: String, name: String): Snapshot = {
+    val key = PropConstraintPrefix + name
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(s"no committed manifest in $dir")
+      case Some(latest) =>
+        require(latest.props.contains(key), s"no constraint '$name' on $dir")
+        Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
+          latest.schema, latest.blooms, latest.rows,
+          props = Some(latest.props - key), buckets = latest.buckets))
+    }.get
+  }
+
+  /** CHECK-constraint write guard (Delta's `CheckDeltaInvariant`
+    * shape): wraps the outgoing projection so every row evaluates the
+    * lake's constraints INSIDE the staged write itself — codegen'd
+    * with the write projection, single-pass, no second scan — and
+    * fails the job at the FIRST violating row (at 100 TB you do not
+    * finish staging a doomed batch) with the violated constraint's
+    * name, its expression, and the row rendered into the error. The
+    * guard rides the first output column (`when(ok, c).otherwise(
+    * raise_error(...))`), which the staged write must materialize for
+    * every row, so Catalyst cannot prune it away. A referenced column
+    * the frame legally omits (additive evolution) evaluates as NULL,
+    * and NULL passes — SQL standard CHECK, matching the read-side
+    * null-fill. */
+  private[core] def withCheckConstraints(df: DataFrame,
+                                         cons: Seq[(String, String)]): DataFrame = {
+    if (cons.isEmpty) return df
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val exprs = cons.map { case (n, sqlText) => (n, sqlText, expr(sqlText)) }
+    val present =
+      df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parser = df.sparkSession.sessionState.sqlParser
+    val missing = cons.flatMap { case (_, sqlText) =>
+      parser.parseExpression(sqlText).collect {
+        case ua: UnresolvedAttribute => ua.name
+      }
+    }.distinct.filterNot(c => present.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    val checkable = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    val ok = exprs.map { case (_, _, e) => coalesce(e, lit(true)) }.reduce(_ && _)
+    val firstViolated = coalesce(exprs.map { case (n, sqlText, e) =>
+      when(!coalesce(e, lit(true)), lit(s"$n CHECK ($sqlText)"))
+    }: _*)
+    val msg = concat(lit("graft constraint violated: "), firstViolated,
+      lit(" by row "),
+      substring(to_json(struct(df.columns.toIndexedSeq.map(col): _*)), 1, 400))
+    val guard = df.columns.head
+    checkable
+      .withColumn(guard, when(ok, col(guard)).otherwise(raise_error(msg)))
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** `ALTER TABLE ... ADD COLUMNS` — the explicit spelling of the
     * evolution appends already perform implicitly: commit the widened
     * schema (existing fields first, adds after — exactly
@@ -1389,8 +1511,9 @@ object ManifestLake {
     val effStats = (statsCols ++ pre.toSeq.flatMap(_.declaredStatsCols)).distinct
     val effBlooms = (bloomCols ++ pre.toSeq.flatMap(_.declaredBloomCols)).distinct
     val bucket = effectiveBucket(dir, pre, bucketBy)
-    val (staged, stagedBuckets) =
-      stageFiles(s, root, df, partitionCol, maxRecordsPerFile, writeOptions, bucket)
+    val (staged, stagedBuckets) = stageFiles(s, root,
+      withCheckConstraints(df, pre.map(_.constraints).getOrElse(Nil)),
+      partitionCol, maxRecordsPerFile, writeOptions, bucket)
     val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
     val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
     commitLoop(root) { latest =>
@@ -1463,8 +1586,10 @@ object ManifestLake {
     }
     val effStats = (statsCols ++ already.toSeq.flatMap(_.declaredStatsCols)).distinct
     val effBlooms = (bloomCols ++ already.toSeq.flatMap(_.declaredBloomCols)).distinct
-    val (staged, stagedBuckets) = stageFiles(s, root, df, partitionCol,
-      maxRecordsPerFile, Map.empty, already.flatMap(_.declaredBucket))
+    val (staged, stagedBuckets) = stageFiles(s, root,
+      withCheckConstraints(df, already.map(_.constraints).getOrElse(Nil)),
+      partitionCol, maxRecordsPerFile, Map.empty,
+      already.flatMap(_.declaredBucket))
     // stats and blooms built OUTSIDE the commit loop (one scan of the
     // staged files, a CAS retry must not re-run it); a duplicate batch
     // detected inside the loop discards them with the staged files —
@@ -1657,7 +1782,8 @@ object ManifestLake {
       // aligned to the committed schema — parquet binds by name, the
       // alignment just keeps file layouts uniform)
       val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      val stagedPair = stageFiles(s, root, aligned, partitionCol,
+      val stagedPair = stageFiles(s, root,
+        withCheckConstraints(aligned, snap.constraints), partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
       val staged = stagedPair._1
 
@@ -1762,6 +1888,26 @@ object ManifestLake {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
+    // SQL COW UPDATE/MERGE rewrites route through connector writers,
+    // not stageFiles, so CHECK constraints validate HERE: one
+    // delta-sized scan of only the ADDED files (survivors passed when
+    // the constraint was added; DELETE/compaction rewrites cannot
+    // introduce a violation and skip the scan). A violation discards
+    // the staged rewrite and fails before the commit loop runs.
+    val cons = snap.constraints
+    if (cons.nonEmpty && Set("update", "merge").contains(op) && added.nonEmpty) {
+      val df = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+        .parquet(added.map(f => s"$dir/$f"): _*)
+      val violating = cons.map { case (_, sqlText) =>
+        !coalesce(expr(sqlText), lit(true)) }.reduce(_ || _)
+      val bad = df.filter(violating).limit(1).collect()
+      if (bad.nonEmpty) {
+        added.foreach(f => Files.deleteIfExists(root.resolve(f)))
+        throw new IllegalStateException(
+          s"graft constraint violated: SQL $op rewrote row ${bad.head} " +
+            s"failing ${cons.map { case (n, e) => s"$n CHECK ($e)" }.mkString(" or ")}")
+      }
+    }
     val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
       .toSeq.distinct.sorted
     val (newStats, newRows) = footerMetaAll(s, root, added, statsCols)
@@ -2299,7 +2445,8 @@ object ManifestLake {
       val uniformBlooms = snap.files
         .map(f => snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
         .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq.sorted
-      val (staged, stagedBuckets) = stageFiles(s, root, updatedImage, partitionCol,
+      val (staged, stagedBuckets) = stageFiles(s, root,
+        withCheckConstraints(updatedImage, snap.constraints), partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
       val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, uniformStats)
       val stagedBlooms = buildBlooms(s, dir, staged, uniformBlooms, stagedRows)
@@ -3049,6 +3196,87 @@ object ManifestLake {
         latest.map(_.txns).getOrElse(Map.empty),
         target.stats, "restore", target.schema, target.blooms, target.rows,
         buckets = target.buckets, dvs = Some(target.dvs)))
+    }.get
+  }
+
+  /** Zero-copy CLONE (Delta's `CREATE TABLE ... CLONE`, at an optional
+    * `VERSION AS OF`): materialize `srcDir`'s snapshot as a brand-new,
+    * fully INDEPENDENT lake at `dstDir` without copying a data byte.
+    * Every data file and DV sidecar in the snapshot is HARD-LINKED
+    * into the clone at its relative path — an O(files) metadata
+    * operation at any data size (the same no-replace link primitive
+    * the manifest CAS rides), valid because committed bytes are
+    * immutable by construction: no commit path ever writes a data or
+    * DV file in place (appends stage fresh names, compaction/COW
+    * rewrite to fresh names, MoR writes fresh sidecars), so two lakes
+    * sharing inodes can never observe each other's mutations. Either
+    * side may then append/DML/compact/vacuum freely: removal is
+    * unlink, and a shared inode survives until its LAST referent
+    * unlinks it, so `vacuum` on one side can never corrupt the other
+    * (pinned in CloneSpec). A cross-filesystem destination degrades
+    * to per-file copy — same contract, no longer zero-copy. (On an
+    * object store, the same design point is manifest-level absolute
+    * references; on a filesystem lake, links ARE that reference,
+    * with the kernel refcounting lifetime.)
+    *
+    * The clone's history starts fresh at v1 (op "clone"): per-file
+    * metadata (schema, declared layout props, stats/blooms/rows/
+    * buckets, deletion vectors) carries over verbatim — the skipping
+    * index and MoR state survive the clone — but source HISTORY does
+    * not (time travel below the clone point belongs to the source,
+    * Delta's model exactly), streaming `#txn` high-waters do not
+    * (exactly-once is per-DESTINATION: carrying them would make a
+    * writer redirected at the clone silently SKIP batches it never
+    * delivered here), and `#cdf` change-sidecar references do not
+    * (change records are per-commit history). Refuses a destination
+    * that already holds a committed lake — CLONE creates, never
+    * merges; a crash-interrupted clone may be safely re-run (links
+    * already present are kept, the manifest commits last). */
+  def clone(srcDir: String, dstDir: String,
+            versionAsOf: Option[Long] = None): Snapshot = {
+    val srcRoot = Paths.get(srcDir)
+    val dstRoot = Paths.get(dstDir)
+    require(srcRoot.toAbsolutePath.normalize != dstRoot.toAbsolutePath.normalize,
+      s"clone source and destination are the same directory: $srcDir")
+    val snap = versionAsOf match {
+      case Some(v) => snapshotAt(srcDir, v).getOrElse(
+        throw new IllegalStateException(
+          s"cannot clone $srcDir at v$v: that manifest is gone (retired " +
+            "by vacuum) or was never committed"))
+      case None => latestSnapshot(srcDir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed manifest in $srcDir — nothing to clone"))
+    }
+    require(versions(dstDir).isEmpty,
+      s"clone destination $dstDir already holds a committed lake — " +
+        "CLONE creates, never merges")
+    Files.createDirectories(dstRoot)
+    val payload =
+      snap.files ++ snap.dvs.valuesIterator.map(_.path).toVector.distinct
+    payload.foreach { f =>
+      val from = srcRoot.resolve(f)
+      val to = dstRoot.resolve(f)
+      if (!Files.exists(from)) throw new IllegalStateException(
+        s"cannot clone $srcDir at v${snap.version}: its file $f was " +
+          "already vacuumed — clone from a retained version")
+      Files.createDirectories(to.getParent)
+      if (!Files.exists(to)) {
+        try Files.createLink(to, from)
+        catch {
+          // cross-device (EXDEV) or a filesystem without links: copy
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(from, to)
+        }
+      }
+    }
+    commitLoop(dstRoot) {
+      case Some(existing) => throw new IllegalStateException(
+        s"clone destination $dstDir gained a commit mid-clone " +
+          s"(v${existing.version}) — aborting; clone into a fresh directory")
+      case None => Some(Ledger(snap.files, Map.empty, snap.stats, "clone",
+        snap.schema, snap.blooms, snap.rows, props = Some(snap.props),
+        buckets = snap.buckets, dvs = Some(snap.dvs)))
     }.get
   }
 

@@ -1137,6 +1137,132 @@ object RoundTrips {
        FROM view GROUP BY source
        ORDER BY source"""
 
+  /** q175 — zero-copy CLONE ([[graft.core.ManifestLake.clone]],
+    * Delta's `CREATE TABLE ... CLONE`): hard-link the source snapshot
+    * into a brand-new independent lake — O(files) metadata at any
+    * data size, no data bytes move, per-file stats/blooms/DVs carry
+    * verbatim. The script clones a DV-mutated lake, then attacks the
+    * shared inodes from BOTH sides: the SOURCE compacts (rewriting
+    * every surviving file) and vacuums with zero grace — unlinking
+    * every original the clone still references — while the CLONE
+    * applies its own further DV delete. The returned per-source
+    * aggregate reads the clone AFTER the source-side unlinks, so a
+    * clone that copied references instead of link-owning them would
+    * lose every row and break the hash; `invariant_ok` pins the
+    * reverse direction (the clone's delete stayed invisible to the
+    * source). At 100 TB this is the dev/test-sandbox and
+    * snapshot-export primitive: clone cost is file COUNT, storage
+    * cost is shared until either side diverges. */
+  def qCloneRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_clone_src_").toString
+    val dst = freshDir("graft_clone_dst_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, src,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))          // v1
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 17 === 0) // v2
+    graft.core.ManifestLake.clone(src, dst)                         // dst v1
+    // source moves on: compaction rewrites every surviving file and
+    // purges the DV; zero-grace vacuum then UNLINKS every original
+    // the clone still references — only the clone's links keep them
+    graft.core.ManifestLake.compact(s, src, "source",
+      targetRecordsPerFile = 1024L * 1024)                          // src v3
+    graft.core.ManifestLake.vacuum(src, keepVersions = 1, graceMillis = 0L)
+    // clone diverges independently
+    graft.core.ManifestLake.deleteWhereDv(s, dst, length($"text") % 11 === 3)
+    val srcRows = graft.core.ManifestLake.read(s, src).count()
+    val expectSrc = docs.filter($"doc_id" % 17 =!= 0).count()
+    graft.core.ManifestLake.read(s, dst)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .withColumn("invariant_ok", lit(srcRows == expectSrc))
+      .orderBy($"source")
+  }
+
+  val qCloneRoundTripSql: String =
+    """WITH cloned AS (
+         SELECT * FROM documents
+         WHERE doc_id % 17 <> 0 AND len(text) % 11 <> 3)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+              TRUE AS invariant_ok
+       FROM cloned GROUP BY source
+       ORDER BY source"""
+
+  /** q176 — CHECK constraints ([[graft.core.ManifestLake
+    * .addConstraint]], Delta's constraint surface): `constraint.*`
+    * table properties enforced ROW-WISE inside every staged write
+    * (codegen'd guard in the write projection — no second scan; SQL
+    * CHECK null semantics), with add-time validation of the existing
+    * corpus. The script adds two constraints, lands a passing delta,
+    * then fires a violating append AND a violating MoR UPDATE — both
+    * must refuse naming the constraint, committing NOTHING (version
+    * pinned unchanged). The final per-source aggregate replays in
+    * DuckDB as corpus ∪ passing delta: a leaked violating row or a
+    * lost passing row breaks the hash; `invariant_ok` carries the
+    * two refusals. At 100 TB this is the schema-quality gate writ
+    * row-level: a bad batch dies at its FIRST violating row instead
+    * of after staging terabytes. */
+  def qConstraintsRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_cons_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.addConstraint(s, lake,
+      "ids_bounded", "doc_id < 50000000")                           // v2
+    graft.core.ManifestLake.addConstraint(s, lake,
+      "source_present", "source IS NOT NULL")                       // v3
+    val delta = docs.filter($"doc_id" % 13 === 1)
+      .withColumn("doc_id", $"doc_id" + 10000000L)
+    graft.core.ManifestLake.append(s, lake, delta, "source",
+      maxRecordsPerFile = 256L)                                     // v4: passes
+    def violates(name: String)(work: => Unit): Boolean =
+      try { work; false }
+      catch {
+        case t: Throwable =>
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .exists(e => Option(e.getMessage).exists(_.contains(name)))
+      }
+    val vBefore = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    val appendRefused = violates("ids_bounded") {
+      graft.core.ManifestLake.append(s, lake,
+        delta.withColumn("doc_id", $"doc_id" + 100000000L), "source")
+    }
+    val updateRefused = violates("ids_bounded") {
+      graft.core.ManifestLake.updateWhereDv(s, lake, $"doc_id" % 13 === 2,
+        Seq("doc_id" -> ($"doc_id" + 100000000L)))
+      ()
+    }
+    val vAfter = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    graft.core.ManifestLake.read(s, lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .withColumn("invariant_ok",
+        lit(appendRefused && updateRefused && vAfter == vBefore))
+      .orderBy($"source")
+  }
+
+  val qConstraintsRoundTripSql: String =
+    """WITH final AS (
+         SELECT doc_id, text, source FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, text, source FROM documents
+         WHERE doc_id % 13 = 1)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+              TRUE AS invariant_ok
+       FROM final GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2431,6 +2557,8 @@ object RoundTrips {
     "q172_change_feed" -> qChangeFeedRoundTrip,
     "q173_cow_change_feed" -> qCowChangeFeedRoundTrip,
     "q174_incremental_view" -> qIncrementalViewRoundTrip,
+    "q175_clone" -> qCloneRoundTrip,
+    "q176_constraints" -> qConstraintsRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2467,6 +2595,8 @@ object RoundTrips {
     "q172_change_feed" -> qChangeFeedRoundTripSql,
     "q173_cow_change_feed" -> qCowChangeFeedRoundTripSql,
     "q174_incremental_view" -> qIncrementalViewRoundTripSql,
+    "q175_clone" -> qCloneRoundTripSql,
+    "q176_constraints" -> qConstraintsRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -1,0 +1,157 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CHECK constraints ([[ManifestLake.addConstraint]] /
+  * [[ManifestLake.withCheckConstraints]]): Delta's constraint surface.
+  * The contract pinned here: every write path enforces (append,
+  * appendBatch, MoR update images, merge rows, SQL INSERT, SQL COW
+  * UPDATE), enforcement is row-wise inside the staged write (no second
+  * scan), NULL passes / FALSE violates (SQL CHECK), a violating write
+  * commits NOTHING, and add-time validation scans the existing corpus.
+  */
+class ConstraintSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("lake").toString
+
+  private def mkLake(dir: String, n: Long = 100L): Unit = {
+    import spark.implicits._
+    val df = spark.range(0, n)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, df, "source", statsCols = Seq("doc_id"))
+  }
+
+  private def rows(doc0: Long, nChars: Long, n: Long = 5L) = {
+    import spark.implicits._
+    spark.range(doc0, doc0 + n)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(nChars).as("n_chars"))
+  }
+
+  private def msgs(t: Throwable): List[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toList
+
+  test("append enforces; the violating batch commits NOTHING; drop lifts it") {
+    import spark.implicits._
+    val dir = tmp("cons_append")
+    mkLake(dir)
+    ManifestLake.addConstraint(spark, dir, "chars_nonneg", "n_chars >= 0")
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    ManifestLake.append(spark, dir, rows(1000, 7), "source")      // passes
+    val e = intercept[Throwable](
+      ManifestLake.append(spark, dir, rows(2000, -1), "source"))
+    assert(msgs(e).exists(m => m.contains("chars_nonneg") &&
+      m.contains("CHECK (n_chars >= 0)")), msgs(e).mkString("\n"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.version == v + 1, "the violating append must not commit")
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 0L)
+    ManifestLake.dropConstraint(dir, "chars_nonneg")
+    ManifestLake.append(spark, dir, rows(2000, -1), "source")     // now legal
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 5L)
+  }
+
+  test("NULL passes, FALSE violates; an append omitting the referenced column passes") {
+    import spark.implicits._
+    val dir = tmp("cons_null")
+    // doc_id 1.. so every existing n_chars = id*10 is strictly positive
+    val seed = spark.range(1, 100)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, seed, "source", statsCols = Seq("doc_id"))
+    ManifestLake.addConstraint(spark, dir, "chars_pos", "n_chars > 0")
+    // explicit NULL in the referenced column: SQL CHECK passes it
+    val withNull = spark.range(3000, 3005)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(null).cast("long").as("n_chars"))
+    ManifestLake.append(spark, dir, withNull, "source")
+    // a frame that legally OMITS n_chars (additive-evolution read
+    // contract null-fills): same rule, passes
+    val omitted = spark.range(4000, 4005)
+      .select($"id".as("doc_id"), lit("s0").as("source"))
+    ManifestLake.append(spark, dir, omitted, "source")
+    assert(ManifestLake.read(spark, dir)
+      .filter($"doc_id" >= 3000).count() == 10L)
+  }
+
+  test("add-time validation scans the corpus and refuses with the casualty count") {
+    val dir = tmp("cons_existing")
+    mkLake(dir)  // doc_id 0..99
+    val e = intercept[IllegalStateException](
+      ManifestLake.addConstraint(spark, dir, "big_ids", "doc_id >= 50"))
+    assert(e.getMessage.contains("50 existing row(s)"), e.getMessage)
+    assert(ManifestLake.latestSnapshot(dir).get.constraints.isEmpty)
+  }
+
+  test("MoR update images and merge rows are checked; nondeterministic constraints refuse") {
+    import spark.implicits._
+    val dir = tmp("cons_dml")
+    mkLake(dir)
+    ManifestLake.addConstraint(spark, dir, "chars_cap", "n_chars < 100000")
+    val e1 = intercept[Throwable](ManifestLake.updateWhereDv(spark, dir,
+      $"doc_id" === 3, Seq("n_chars" -> lit(100000L))))
+    assert(msgs(e1).exists(_.contains("chars_cap")), msgs(e1).mkString("\n"))
+    assert(ManifestLake.read(spark, dir)
+      .filter($"n_chars" >= 100000).count() == 0L)
+    val bad = Seq((7L, "s1", 999999L)).toDF("doc_id", "source", "n_chars")
+    val e2 = intercept[Throwable](
+      ManifestLake.merge(spark, dir, bad, Seq("doc_id")))
+    assert(msgs(e2).exists(_.contains("chars_cap")), msgs(e2).mkString("\n"))
+    val e3 = intercept[IllegalArgumentException](
+      ManifestLake.addConstraint(spark, dir, "flaky", "rand() < 0.5"))
+    assert(e3.getMessage.contains("deterministic"))
+  }
+
+  test("SQL surface: INSERT and copy-on-write UPDATE enforce; CALL manages the lifecycle") {
+    import spark.implicits._
+    val dir = tmp("cons_sql")
+    mkLake(dir)
+    spark.conf.set("spark.sql.catalog.graft_cons",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"CALL graft_cons.add_constraint(path => '$dir', " +
+      "name => 'chars_nonneg', check => 'n_chars >= 0')")
+    assert(ManifestLake.latestSnapshot(dir).get.constraints ==
+      Seq("chars_nonneg" -> "n_chars >= 0"))
+    spark.sql(s"INSERT INTO graft_cons.`$dir` VALUES (900, 's0', 5)")
+    val e1 = intercept[Throwable](
+      spark.sql(s"INSERT INTO graft_cons.`$dir` VALUES (901, 's0', -5)"))
+    assert(msgs(e1).exists(_.contains("chars_nonneg")), msgs(e1).mkString("\n"))
+    val vBefore = ManifestLake.latestSnapshot(dir).get.version
+    val e2 = intercept[Throwable](
+      spark.sql(s"UPDATE graft_cons.`$dir` SET n_chars = -1 WHERE doc_id = 3"))
+    assert(msgs(e2).exists(_.contains("chars_nonneg")), msgs(e2).mkString("\n"))
+    assert(ManifestLake.latestSnapshot(dir).get.version == vBefore,
+      "the violating SQL UPDATE must not commit")
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 0L)
+    spark.sql(s"CALL graft_cons.drop_constraint(path => '$dir', " +
+      "name => 'chars_nonneg')")
+    spark.sql(s"UPDATE graft_cons.`$dir` SET n_chars = -1 WHERE doc_id = 3")
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 1L)
+  }
+
+  test("constraints survive clone and keep enforcing there; CALL clone round-trips") {
+    import spark.implicits._
+    val src = tmp("cons_clone_src")
+    mkLake(src)
+    ManifestLake.addConstraint(spark, src, "chars_nonneg", "n_chars >= 0")
+    val dst = Files.createTempDirectory("cons_clone_dst").resolve("lake").toString
+    spark.conf.set("spark.sql.catalog.graft_consc",
+      classOf[GraftCatalog].getName)
+    val out = spark.sql(s"CALL graft_consc.clone(source => '$src', " +
+      s"target => '$dst')").collect().head
+    assert(out.getAs[Long]("n_rows") == 100L)
+    assert(ManifestLake.latestSnapshot(dst).get.constraints ==
+      Seq("chars_nonneg" -> "n_chars >= 0"))
+    val e = intercept[Throwable](
+      ManifestLake.append(spark, dst, rows(5000, -3), "source"))
+    assert(msgs(e).exists(_.contains("chars_nonneg")), msgs(e).mkString("\n"))
+  }
+}
