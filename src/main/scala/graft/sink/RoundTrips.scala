@@ -1263,6 +1263,71 @@ object RoundTrips {
        FROM final GROUP BY source
        ORDER BY source"""
 
+  /** q177 — SCD TYPE-2 history build from the change feed
+    * ([[graft.core.ManifestLake.scd2]]): the warehouse
+    * "slowly changing dimension" materialization — one row per
+    * VERSION of each key with `[valid_from, valid_to)` commit bounds
+    * and `is_current` — derived from CHANGE SETS alone (one
+    * feed-sized window shuffle; the corpus is never snapshotted or
+    * pairwise-diffed). The script mutates a CDF-enabled lake through
+    * BOTH mutation mechanics (MoR DV delete, default-mode COW SQL
+    * UPDATE), so the history table must fuse sidecar-diff deletes
+    * with commit-time COW change files into one interval chain:
+    * deleted docs close at the delete commit, updated docs close
+    * their v1 interval and open a current one at the update commit,
+    * untouched docs stay current from v1. The per-(source,
+    * is_current) aggregate sums ids, chars AND both interval bounds,
+    * so a mis-paired open/close (the classic SCD2 off-by-one) breaks
+    * the hash, not just a row count. At 100 TB: cost ∝ changed rows,
+    * and the dimension maintains incrementally by feeding later
+    * windows through the same operator. */
+  def qScd2RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_scd2_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(lake,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 19 === 0) // v3
+    s.conf.set("spark.sql.catalog.graft_scd2",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_scd2.`$lake` SET text = concat(text, ' xx') " +
+      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
+    val v = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    graft.core.ManifestLake.scd2(s, lake, 0L, v, Seq("doc_id"))
+      .groupBy($"source", $"is_current")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"),
+        sum($"valid_from").as("sum_from"),
+        sum(coalesce($"valid_to", lit(0L))).as("sum_to"))
+      .orderBy($"source", $"is_current")
+  }
+
+  val qScd2RoundTripSql: String =
+    """WITH scd AS (
+         SELECT source, doc_id, len(text) AS n, 1 AS vfrom, 3 AS vto,
+                FALSE AS is_current
+         FROM documents WHERE doc_id % 19 = 0
+         UNION ALL
+         SELECT source, doc_id, len(text), 1, 4, FALSE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 = 7
+         UNION ALL
+         SELECT source, doc_id, len(text) + 3, 4, 0, TRUE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 = 7
+         UNION ALL
+         SELECT source, doc_id, len(text), 1, 0, TRUE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 <> 7)
+       SELECT source, is_current, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n) AS BIGINT) AS sum_chars,
+              CAST(SUM(vfrom) AS BIGINT) AS sum_from,
+              CAST(SUM(vto) AS BIGINT) AS sum_to
+       FROM scd GROUP BY source, is_current
+       ORDER BY source, is_current"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2559,6 +2624,7 @@ object RoundTrips {
     "q174_incremental_view" -> qIncrementalViewRoundTrip,
     "q175_clone" -> qCloneRoundTrip,
     "q176_constraints" -> qConstraintsRoundTrip,
+    "q177_scd2" -> qScd2RoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2597,6 +2663,7 @@ object RoundTrips {
     "q174_incremental_view" -> qIncrementalViewRoundTripSql,
     "q175_clone" -> qCloneRoundTripSql,
     "q176_constraints" -> qConstraintsRoundTripSql,
+    "q177_scd2" -> qScd2RoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

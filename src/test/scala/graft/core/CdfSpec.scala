@@ -444,4 +444,44 @@ class CdfSpec extends SparkSpec {
       assert(spark.table("cdf_tail_sink").count() == 5L && rows == Seq("delete"))
     } finally q.stop()
   }
+
+  test("scd2: update chains, delete, and delete-then-reinsert pair intervals exactly") {
+    val dir = tmp("cdf_scd2")
+    def row(id: Long, chars: Long) = spark.range(id, id + 1)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(chars).as("n_chars"))
+    // v1: three keys
+    ManifestLake.append(spark, dir,
+      row(1, 10).union(row(2, 20)).union(row(3, 30)), "source",
+      statsCols = Seq("doc_id"))
+    // v2: update key 1 (close [1,2), open [2,...))
+    ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
+      Seq("n_chars" -> lit(11L)))
+    // v3: delete key 2 (close [1,3))
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" === 2)
+    // v4: REINSERT key 2 (a second, disjoint interval for one key)
+    ManifestLake.append(spark, dir, row(2, 22), "source")
+    // v5: update key 1 AGAIN (three-interval chain)
+    ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 1,
+      Seq("n_chars" -> lit(12L)))
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val got = ManifestLake.scd2(spark, dir, 0L, v, Seq("doc_id"))
+      .select($"doc_id", $"n_chars", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, 1L, 2L, false),   // key 1: v1 image, replaced at v2
+      (1L, 11L, 2L, 5L, false),   //        v2 image, replaced at v5
+      (1L, 12L, 5L, -1L, true),   //        v5 image, live
+      (2L, 20L, 1L, 3L, false),   // key 2: deleted at v3
+      (2L, 22L, 4L, -1L, true),   //        reinserted at v4, live
+      (3L, 30L, 1L, -1L, true)),  // key 3: untouched
+      got.toString)
+    // the current slice of the history table == the lake itself
+    val current = ManifestLake.scd2(spark, dir, 0L, v, Seq("doc_id"))
+      .filter($"is_current").select($"doc_id", $"n_chars")
+    val live = ManifestLake.read(spark, dir).select($"doc_id", $"n_chars")
+    assert(current.exceptAll(live).isEmpty && live.exceptAll(current).isEmpty)
+  }
 }
