@@ -381,14 +381,21 @@ private[core] object GraftProcedures {
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("target_records", LongType).build(),
       ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("NULL").build(),
+      ProcedureParameter.in("only_partitions", StringType)
         .defaultValue("NULL").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val s = SparkSession.active
       val (dir, pc) = lakeOf(input)
       val target = input.getLong(1)
       val clusterBy = if (input.isNullAt(2)) None else Some(str(input, 2))
+      // `OPTIMIZE ... WHERE`: CSV of partition directory names
+      // (col=value) scoping the rewrite to just those partitions
+      val only = if (input.isNullAt(3)) None
+        else Some(str(input, 3).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val before = ManifestLake.latestSnapshot(dir).get.files.length
-      ManifestLake.compact(s, dir, pc, target, clusterBy = clusterBy)
+      ManifestLake.compact(s, dir, pc, target, clusterBy = clusterBy,
+        onlyPartitions = only)
       val after = ManifestLake.latestSnapshot(dir).get
       one(Result(
         StructType(Seq(StructField("version", LongType, nullable = false),

@@ -461,7 +461,24 @@ private[core] final case class GraftLakeTable(
     * also stays with the Scala API — the provider needs a committed
     * schema+layout to bind a table at all. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // Delta's idempotent-write options: a writer that passes BOTH
+    // `txnAppId` and `txnVersion` rides the same per-app `#txn`
+    // high-water the streaming sink uses, so a retried batch job
+    // (orchestrator re-run, speculative duplicate) commits ONCE —
+    // the re-delivery sees version <= high-water and stages nothing.
+    val opts = info.options()
+    val txn: Option[(String, Long)] =
+      (Option(opts.get("txnAppId")), Option(opts.get("txnVersion"))) match {
+        case (Some(a), Some(v)) =>
+          val ver = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"txnVersion must be a long, got '$v'"))
+          Some((a, ver))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "idempotent writes need BOTH txnAppId and txnVersion (one " +
+            "alone silently loses the exactly-once guarantee)")
+      }
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -477,12 +494,20 @@ private[core] final case class GraftLakeTable(
                 .map(_.col).toSeq.distinct.sorted
               val bloomCols = snap.blooms.valuesIterator.flatten
                 .map(_.col).toSeq.distinct.sorted
-              ManifestLake.append(data.sparkSession, dir, data, pc,
-                statsCols = statsCols, bloomCols = bloomCols)
+              txn match {
+                case Some((app, ver)) =>
+                  ManifestLake.appendBatch(data.sparkSession, dir, data, pc,
+                    appId = app, batchId = ver,
+                    statsCols = statsCols, bloomCols = bloomCols)
+                case None =>
+                  ManifestLake.append(data.sparkSession, dir, data, pc,
+                    statsCols = statsCols, bloomCols = bloomCols)
+              }
               ()
             }
         }
     }
+  }
 }
 
 private[core] object GraftLakeTable {

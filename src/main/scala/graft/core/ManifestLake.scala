@@ -2019,8 +2019,9 @@ object ManifestLake {
     * files; txn high-waters and the committed schema ride through.
     * The commit is tagged `#op:delete`, which [[readChanges]] SKIPS —
     * rewritten survivors are not new rows; consumers that must
-    * propagate deletions re-sync from a full read (Delta's CDF is the
-    * richer answer; out of scope). Concurrent appends rebase fine
+    * propagate deletions use the change feed ([[readChangeFeed]];
+    * with `enableChangeDataFeed` set, even this COW path records its
+    * row-level changes as commit-time sidecars). Concurrent appends rebase fine
     * (set-union keeps them); a concurrent commit that already
     * replaced an affected file (a compaction, or another delete)
     * aborts THIS delete with a named error rather than silently
@@ -2916,9 +2917,10 @@ object ManifestLake {
     * any partition whose inputs a faster compactor already replaced. */
   def compact(s: SparkSession, dir: String, partitionCol: String,
               targetRecordsPerFile: Long, maxConcurrent: Int = 8,
-              clusterBy: Option[String] = None): Seq[CompactStat] =
+              clusterBy: Option[String] = None,
+              onlyPartitions: Option[Set[String]] = None): Seq[CompactStat] =
     compact(s, dir, partitionCol, targetRecordsPerFile, maxConcurrent, () => (),
-      clusterBy)
+      clusterBy, onlyPartitions)
 
   /** Test seam: `beforeCommit` runs after the rewrites finish and
     * before the commit loop starts — the window a concurrent writer's
@@ -2938,7 +2940,8 @@ object ManifestLake {
   private[core] def compact(s: SparkSession, dir: String, partitionCol: String,
                             targetRecordsPerFile: Long, maxConcurrent: Int,
                             beforeCommit: () => Unit,
-                            clusterBy: Option[String]): Seq[CompactStat] = {
+                            clusterBy: Option[String],
+                            onlyPartitions: Option[Set[String]]): Seq[CompactStat] = {
     require(targetRecordsPerFile > 0,
       s"targetRecordsPerFile must be positive: $targetRecordsPerFile")
     val root = Paths.get(dir)
@@ -2951,9 +2954,27 @@ object ManifestLake {
     // every SPJ plan relies on. Untagged files (SQL copy-on-write
     // rewrites) form their own per-partition cell and stay untagged.
     val bucketed = snap.declaredBucket.isDefined
-    val byUnit: Map[(String, Option[Int]), Vector[String]] =
+    val allUnits: Map[(String, Option[Int]), Vector[String]] =
       snap.files.groupBy(f => (f.takeWhile(_ != '/'),
         if (bucketed) snap.buckets.get(f) else None))
+    // `OPTIMIZE ... WHERE`: scope maintenance to named partition
+    // directories (`col=value`, the Hive-escaped form the `$partitions`
+    // metadata table reports) — footer reads, rewrites and the commit
+    // delta are all proportional to the SCOPED partitions, which is
+    // the whole point at 100 TB (compact today's landing partition,
+    // not the lake). A name matching nothing refuses loudly: a typo'd
+    // maintenance job that silently no-ops leaves small files forever.
+    val byUnit: Map[(String, Option[Int]), Vector[String]] =
+      onlyPartitions match {
+        case None => allUnits
+        case Some(keep) =>
+          val present = allUnits.keysIterator.map(_._1).toSet
+          val unknown = keep -- present
+          require(unknown.isEmpty,
+            s"unknown partition(s) ${unknown.mkString(", ")} — expected " +
+              s"directory names like ${present.take(3).mkString(", ")}")
+          allUnits.view.filterKeys { case (p, _) => keep(p) }.toMap
+      }
     // Snapshot-consistent row counts from the manifest files' parquet
     // FOOTERS, keyed by the directory name the manifest already
     // carries — metadata reads, no Spark job, and no re-formatting of

@@ -198,7 +198,7 @@ class LayoutSpec extends SparkSpec {
       beforeCommit = () => {
         ManifestLake.append(spark, dir, late.repartition($"source"), "source",
           maxRecordsPerFile = 5L); ()
-      }, clusterBy = None)
+      }, clusterBy = None, onlyPartitions = None)
     assert(stats.forall(st => st.filesBefore == 20 && st.filesAfter == 1), stats)
 
     val back = ManifestLake.read(spark, dir)
@@ -875,7 +875,7 @@ class LayoutSpec extends SparkSpec {
         ManifestLake.append(spark, dir, docs(500, 520), "source",
           bloomCols = Seq("doc_id")); ()
       },
-      clusterBy = None)
+      clusterBy = None, onlyPartitions = None)
     val snap = ManifestLake.latestSnapshot(dir).get
     assert(snap.op == "compact")
     assert(snap.files.forall(f =>
@@ -2543,5 +2543,74 @@ class LayoutSpec extends SparkSpec {
       spark.range(1000, 1010).select($"id".as("doc_id"), lit("r0").as("source"),
         lit(0L).as("v")), "source", "rowsapp", 1L)
     pin(400, "appendBatch")
+  }
+
+  test("DSv2 idempotent writes: txnAppId+txnVersion dedupe a retried batch job") {
+    val dir = Files.createTempDirectory("mdsv2txn").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 20).select($"id".as("doc_id"), lit("p0").as("source")),
+      "source", statsCols = Seq("doc_id"))
+    val batch = spark.range(100, 110)
+      .select($"id".as("doc_id"), lit("p0").as("source"))
+    def write(ver: Long): Unit = batch.write.format("graft")
+      .option("path", dir).option("txnAppId", "nightly")
+      .option("txnVersion", ver.toString).mode("append").save()
+    write(1L)
+    assert(ManifestLake.read(spark, dir).count() == 30)
+    // the orchestrator re-runs the same job version: no-op, no version burned
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    write(1L)
+    assert(ManifestLake.read(spark, dir).count() == 30, "retry must dedupe")
+    assert(ManifestLake.latestSnapshot(dir).get.version == v)
+    // the NEXT job version lands, and the high-water advances
+    write(2L)
+    assert(ManifestLake.read(spark, dir).count() == 40)
+    assert(ManifestLake.latestSnapshot(dir).get.txns.get("nightly").contains(2L))
+    // one option without the other refuses loudly
+    val e = intercept[Exception] {
+      batch.write.format("graft").option("path", dir)
+        .option("txnAppId", "nightly").mode("append").save()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("txnVersion"))))
+  }
+
+  test("scoped compaction: OPTIMIZE WHERE touches only the named partitions") {
+    val dir = Files.createTempDirectory("mscoped").resolve("lake").toString
+    val docs = spark.range(0, 300).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 3).cast("string")).as("source"))
+    ManifestLake.append(spark, dir, docs.repartition($"source"), "source",
+      maxRecordsPerFile = 7L, statsCols = Seq("doc_id"))
+    val before = ManifestLake.latestSnapshot(dir).get
+    val stats = ManifestLake.compact(spark, dir, "source",
+      targetRecordsPerFile = 50L, onlyPartitions = Some(Set("source=s1")))
+    // only s1 was rewritten...
+    assert(stats.map(_.partition) == Seq("s1"))
+    val after = ManifestLake.latestSnapshot(dir).get
+    val s0Files = before.files.filter(_.startsWith("source=s0"))
+    val s2Files = before.files.filter(_.startsWith("source=s2"))
+    assert(s0Files.forall(after.files.contains) &&
+      s2Files.forall(after.files.contains),
+      "out-of-scope partitions' files must ride through untouched")
+    assert(after.files.count(_.startsWith("source=s1")) == 2)
+    // ...content intact everywhere
+    assert(ManifestLake.read(spark, dir).count() == 300)
+    // an unknown partition name refuses loudly instead of no-opping
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.compact(spark, dir, "source", targetRecordsPerFile = 50L,
+        onlyPartitions = Some(Set("source=zz")))
+    }
+    assert(e.getMessage.contains("unknown partition"))
+    // SQL face: CALL compact(only_partitions => ...) scopes identically
+    spark.conf.set("spark.sql.catalog.graft_scoped",
+      classOf[GraftCatalog].getName)
+    val out = spark.sql(s"CALL graft_scoped.compact(path => '$dir', " +
+      "target_records => 50, only_partitions => 'source=s2')").collect().head
+    assert(ManifestLake.latestSnapshot(dir).get.files
+      .count(_.startsWith("source=s2")) == 2, out.toString)
+    assert(ManifestLake.latestSnapshot(dir).get.files
+      .count(_.startsWith("source=s0")) == 15,
+      "s0 must still be untouched after the scoped CALL")
   }
 }
