@@ -107,4 +107,78 @@ object Cbo {
     val r = if (d.broadcast) broadcast(right) else right
     (left.join(r, keys), d)
   }
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS`: run [[columnStats]] over
+    * the lake's current snapshot and PERSIST the result as `analyze.*`
+    * table properties in one metadata commit — so every later session
+    * (and every later plan) reads the measurement for free instead of
+    * re-paying the scan. The commit stamps the snapshot VERSION the
+    * scan measured (`analyze.version`): consumers can compare it
+    * against the live version to judge staleness, exactly Delta's
+    * ANALYZE model (stats describe a point in history; the operator
+    * re-runs after major mutations, it is not auto-maintained).
+    * Column names carrying `=`, tab or newline cannot ride a manifest
+    * header and refuse by name. */
+  def analyze(s: org.apache.spark.sql.SparkSession, dir: String,
+              withNdv: Boolean = true): TableStats = {
+    val snap = ManifestLake.latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    val stats = columnStats(ManifestLake.read(s, dir, Some(snap)), withNdv)
+    stats.cols.keysIterator.foreach { c =>
+      require(!c.contains('=') && !c.contains('\t') && !c.contains('\n'),
+        s"column name '$c' cannot ride a manifest property — alias it")
+    }
+    val kvs = Map(
+      "analyze.version" -> snap.version.toString,
+      "analyze.nRows" -> stats.nRows.toString) ++
+      stats.cols.map { case (c, cs) =>
+        s"analyze.col.$c" -> s"${cs.nonNull},${cs.ndv},${cs.sumBytes}"
+      }
+    ManifestLake.persistAnalyze(dir, kvs)
+    stats
+  }
+
+  /** The persisted half of [[analyze]]: `(measured-at version, stats)`
+    * from the latest snapshot's `analyze.*` properties — pure manifest
+    * metadata, no file opened, no job run. None = never analyzed. */
+  def persistedStats(dir: String): Option[(Long, TableStats)] = {
+    val snap = ManifestLake.latestSnapshot(dir).getOrElse(return None)
+    for {
+      v <- snap.props.get("analyze.version").flatMap(_.toLongOption)
+      n <- snap.props.get("analyze.nRows").flatMap(_.toLongOption)
+    } yield (v, TableStats(n, snap.props.iterator.collect {
+      case (k, value) if k.startsWith("analyze.col.") =>
+        val parts = value.split(",")
+        k.stripPrefix("analyze.col.") -> ColStats(
+          parts(0).toLong, parts(1).toLong, parts(2).toLong)
+    }.toMap))
+  }
+
+  /** [[statsJoin]] driven by PERSISTED stats: the broadcast decision
+    * costs a manifest parse instead of a measurement scan — the shape
+    * that matters when the same dimension lake joins in hundreds of
+    * queries a day. Falls back to the live single-pass measurement
+    * when the lake was never analyzed (and tells you, via
+    * `fromPersisted`). Persisted estimates describe the analyzed
+    * version — re-run [[analyze]] after mutations that materially
+    * change the lake's size; the 10x decision band absorbs drift in
+    * between. */
+  final case class LakeJoinDecision(broadcast: Boolean, estimatedBytes: Long,
+                                    thresholdBytes: Long, fromPersisted: Boolean,
+                                    analyzedVersion: Option[Long])
+  def statsJoinLake(left: DataFrame, s: org.apache.spark.sql.SparkSession,
+                    rightDir: String, keys: Seq[String],
+                    thresholdBytes: Long = DefaultBroadcastBytes)
+      : (DataFrame, LakeJoinDecision) = {
+    val right = ManifestLake.read(s, rightDir)
+    val (est, persisted, ver) = persistedStats(rightDir) match {
+      case Some((v, st)) => (st.estimatedBytes, true, Some(v))
+      case None => (columnStats(right, withNdv = false).estimatedBytes,
+        false, None)
+    }
+    val d = LakeJoinDecision(est <= thresholdBytes, est, thresholdBytes,
+      persisted, ver)
+    val r = if (d.broadcast) broadcast(right) else right
+    (left.join(r, keys), d)
+  }
 }

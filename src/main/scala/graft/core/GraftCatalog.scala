@@ -616,9 +616,34 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object Analyze extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "ANALYZE TABLE: one measurement pass (n_rows, per-column " +
+        "non-null/NDV/byte widths) persisted as analyze.* properties — " +
+        "later sessions' broadcast decisions read the manifest instead " +
+        "of re-scanning; with_ndv => false skips the exact-NDV Expand"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("with_ndv", BooleanType)
+        .defaultValue("true").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = str(input, 0)
+      val stats = Cbo.analyze(SparkSession.active, dir, input.getBoolean(1))
+      one(Result(
+        StructType(Seq(StructField("n_rows", LongType, nullable = false),
+          StructField("estimated_bytes", LongType, nullable = false),
+          StructField("n_columns", IntegerType, nullable = false))),
+        InternalRow(stats.nRows, stats.estimatedBytes, stats.cols.size)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
       "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
       "update_vectors" -> UpdateVectors, "clone" -> Clone,
-      "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint)
+      "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint,
+      "analyze" -> Analyze)
 }

@@ -1404,6 +1404,27 @@ object ManifestLake {
     }.get
   }
 
+  /** Persist ANALYZE output ([[Cbo.analyze]]) as `analyze.*` table
+    * properties in one metadata commit, REPLACING any earlier analyze
+    * generation wholesale (mixing two generations' columns would let a
+    * dropped column's stale stats linger). Package-private: the only
+    * writer is [[Cbo.analyze]], which stamps the snapshot version the
+    * scan measured so consumers can judge staleness. */
+  private[core] def persistAnalyze(dir: String,
+                                   kvs: Map[String, String]): Snapshot = {
+    require(kvs.keysIterator.forall(_.startsWith("analyze.")),
+      "persistAnalyze writes only analyze.* properties")
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(
+        s"no committed manifest in $dir — nothing to analyze")
+      case Some(latest) =>
+        val cleared = latest.props.filterNot(_._1.startsWith("analyze."))
+        Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
+          latest.schema, latest.blooms, latest.rows,
+          props = Some(cleared ++ kvs), buckets = latest.buckets))
+    }.get
+  }
+
   /** `ALTER TABLE ... DROP CONSTRAINT` — metadata-only; refuses an
     * unknown name (a typo'd drop that silently "succeeds" leaves the
     * operator believing enforcement stopped). */

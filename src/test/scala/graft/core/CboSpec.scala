@@ -96,4 +96,45 @@ class CboSpec extends SparkSpec {
     assert(st.estimatedBytes ==
       (100 * ((800.0 / 100 + 8) + (180.0 / 90 + 8) + 16)).toLong)
   }
+
+  test("analyze persists stats in the manifest; statsJoinLake decides without a scan") {
+    import java.nio.file.Files
+    val dim = Files.createTempDirectory("cbo_analyze").resolve("lake").toString
+    val rows = spark.range(0, 500)
+      .select($"id".as("doc_id"), lit("p0").as("source"),
+        concat(lit("label_"), $"id").as("label"))
+    ManifestLake.append(spark, dim, rows, "source", statsCols = Seq("doc_id"))
+    // never analyzed: live fallback, and the decision says so
+    val fact = spark.range(0, 5000).select($"id".as("doc_id"),
+      ($"id" * 3).as("v"))
+    val (_, d0) = Cbo.statsJoinLake(fact, spark, dim, Seq("doc_id"))
+    assert(!d0.fromPersisted && d0.broadcast)
+    // analyze: one pass, persisted as a metadata commit
+    val live = Cbo.analyze(spark, dim)
+    val (v, persisted) = Cbo.persistedStats(dim).get
+    assert(persisted == live && v == 1L,
+      s"persisted stats must replay the measurement exactly: $persisted vs $live")
+    assert(ManifestLake.latestSnapshot(dim).get.version == 2L)
+    // a second session's join decision is manifest-only and broadcast
+    val (joined, d1) = Cbo.statsJoinLake(fact, spark, dim, Seq("doc_id"))
+    assert(d1.fromPersisted && d1.analyzedVersion.contains(1L) &&
+      d1.estimatedBytes == live.estimatedBytes && d1.broadcast)
+    joined.collect()
+    val hasBhj = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBhj, joined.queryExecution.executedPlan.toString)
+    // re-analyze REPLACES the generation (no stale column lingers)
+    ManifestLake.append(spark, dim, rows.withColumn("doc_id", $"doc_id" + 1000),
+      "source")
+    Cbo.analyze(spark, dim, withNdv = false)
+    val (v2, again) = Cbo.persistedStats(dim).get
+    assert(v2 == 3L && again.nRows == 1000L && again.cols("doc_id").ndv == 0L)
+    // SQL face
+    spark.conf.set("spark.sql.catalog.graft_cbo",
+      classOf[GraftCatalog].getName)
+    val out = spark.sql(
+      s"CALL graft_cbo.analyze(path => '$dim')").collect().head
+    assert(out.getAs[Long]("n_rows") == 1000L &&
+      out.getAs[Int]("n_columns") == 3)
+  }
 }
