@@ -43,12 +43,14 @@ private[core] object GraftMetadata {
   val FilesSuffix   = "$files"
   val PartitionsSuffix = "$partitions"
   val DetailSuffix  = "$detail"
+  val PropertiesSuffix = "$properties"
 
   sealed abstract class Kind
   case object History extends Kind
   case object FilesMeta extends Kind
   case object PartitionsMeta extends Kind
   case object DetailMeta extends Kind
+  case object PropertiesMeta extends Kind
 
   /** Split a catalog identifier name into (lake dir, metadata kind) if
     * it carries a reserved suffix. A real directory whose name ends in
@@ -63,7 +65,31 @@ private[core] object GraftMetadata {
       Some((name.dropRight(HistorySuffix.length), History))
     else if (name.endsWith(FilesSuffix))
       Some((name.dropRight(FilesSuffix.length), FilesMeta))
+    else if (name.endsWith(PropertiesSuffix))
+      Some((name.dropRight(PropertiesSuffix.length), PropertiesMeta))
     else None
+
+  /** `$properties` — `SHOW TBLPROPERTIES`: every table property of
+    * the (possibly version-addressed) snapshot as (key, value) rows —
+    * declared layout, write.delete.mode, enableChangeDataFeed, CHECK
+    * constraints (`constraint.*`) and persisted ANALYZE stats
+    * (`analyze.*`), off one manifest parse. */
+  val propertiesSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  def propertiesRows(dir: String, versionAsOf: Option[Long]): Array[InternalRow] = {
+    val snap = versionAsOf match {
+      case Some(v) => ManifestLake.snapshotAt(dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $dir is gone (retired by vacuum) or never existed"))
+      case None => ManifestLake.latestSnapshot(dir).getOrElse(
+        throw new IllegalStateException(s"no committed manifest in $dir"))
+    }
+    snap.props.toArray.sortBy(_._1).map { case (k, v) =>
+      InternalRow(utf8(k), utf8(v))
+    }
+  }
 
   val historySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -252,6 +278,7 @@ private[core] final case class GraftMetadataTable(
       case GraftMetadata.FilesMeta      => GraftMetadata.FilesSuffix
       case GraftMetadata.PartitionsMeta => GraftMetadata.PartitionsSuffix
       case GraftMetadata.DetailMeta     => GraftMetadata.DetailSuffix
+      case GraftMetadata.PropertiesMeta => GraftMetadata.PropertiesSuffix
     }
     s"graft_meta_$dir$suffix"
   }
@@ -261,6 +288,7 @@ private[core] final case class GraftMetadataTable(
     case GraftMetadata.FilesMeta      => GraftMetadata.filesSchema
     case GraftMetadata.PartitionsMeta => GraftMetadata.partitionsSchema
     case GraftMetadata.DetailMeta     => GraftMetadata.detailSchema
+    case GraftMetadata.PropertiesMeta => GraftMetadata.propertiesSchema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -277,6 +305,8 @@ private[core] final case class GraftMetadataTable(
             GraftMetadata.partitionsRows(dir, versionAsOf)
           case GraftMetadata.DetailMeta     =>
             GraftMetadata.detailRows(dir, versionAsOf)
+          case GraftMetadata.PropertiesMeta =>
+            GraftMetadata.propertiesRows(dir, versionAsOf)
         }
         override def description(): String = name()
       }

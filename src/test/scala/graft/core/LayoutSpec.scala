@@ -2416,6 +2416,28 @@ class LayoutSpec extends SparkSpec {
     assert(v1d.getLong(0) == 200L)
   }
 
+  test("$properties metadata table: SHOW TBLPROPERTIES incl. constraints and analyze stats") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("mprops").resolve("lake").toString
+    ManifestLake.append(spark, dir,
+      spark.range(0, 100).select($"id".as("doc_id"), lit("p0").as("source")),
+      "source", statsCols = Seq("doc_id"), bucketBy = Some(("doc_id", 4)))
+    ManifestLake.addConstraint(spark, dir, "ids_nonneg", "doc_id >= 0")
+    Cbo.analyze(spark, dir, withNdv = false)
+    val props = spark.sql(s"SELECT * FROM graft.`$dir$$properties`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("constraint.ids_nonneg") == "doc_id >= 0")
+    assert(props("bucketCol") == "doc_id" && props("bucketN") == "4")
+    assert(props("analyze.nRows") == "100" &&
+      props.contains("analyze.col.doc_id"))
+    // version-addressed: before the constraint there were no
+    // constraint.* rows
+    val v1 = spark.sql(
+      s"SELECT key FROM graft.`$dir$$properties` VERSION AS OF 1")
+      .collect().map(_.getString(0))
+    assert(!v1.exists(_.startsWith("constraint.")), v1.mkString(","))
+  }
+
   test("manifest limit pushdown: LIMIT n opens a row-covering file prefix, not the lake") {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     val dir = Files.createTempDirectory("mlimit").resolve("lake").toString
