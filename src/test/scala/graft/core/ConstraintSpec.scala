@@ -137,6 +137,34 @@ class ConstraintSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 1L)
   }
 
+  test("the streaming sink enforces constraints per micro-batch; the stream fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = tmp("cons_stream")
+    mkLake(dir, n = 10L)
+    ManifestLake.addConstraint(spark, dir, "chars_nonneg", "n_chars >= 0")
+    val ckpt = java.nio.file.Files.createTempDirectory("cons_stream_ckpt").toString
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("appId", "consStream").start()
+    try {
+      ms.addData((100L, "s0", 5L))
+      q.processAllAvailable()
+      assert(ManifestLake.read(spark, dir).count() == 11L)
+      ms.addData((101L, "s0", -5L))
+      val e = intercept[Throwable](q.processAllAvailable())
+      assert(msgs(e).exists(_.contains("chars_nonneg")) ||
+        q.exception.exists(ex => msgs(ex).exists(_.contains("chars_nonneg"))),
+        msgs(e).mkString("\n"))
+    } finally q.stop()
+    // the violating micro-batch committed nothing
+    assert(ManifestLake.read(spark, dir).count() == 11L)
+    assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 0L)
+  }
+
   test("constraints survive clone and keep enforcing there; CALL clone round-trips") {
     import spark.implicits._
     val src = tmp("cons_clone_src")
