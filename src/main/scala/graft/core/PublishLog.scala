@@ -1,0 +1,145 @@
+package graft.core
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-lake atomic publish — snapshot-consistent MULTI-lake reads.
+  *
+  * A single lake's manifest makes one table's commits atomic; a
+  * training pipeline consumes SEVERAL tables whose versions must
+  * cohere (the reference's writers update scores, islands and status
+  * rows inside one database transaction — consumers never observe a
+  * half-updated pair). The lake-side equivalent is a VERSION VECTOR:
+  * writers commit each lake independently (normal CAS commits), then
+  * publish the vector `{lakeDir -> version}` as one atomic record;
+  * consumers who need cross-lake consistency resolve every read
+  * through the CURRENT publish and see either the old vector or the
+  * new one, never a mix. This is deliberately NOT a cross-lake
+  * write-lock or two-phase commit: lakes stay independently writable
+  * and readable (single-lake readers are unaffected), coordination
+  * costs one tiny file per publish, and the publish itself is the
+  * same `link(2)` CAS the manifests ride — no new trust anywhere.
+  *
+  * Retention contract: a published version pins NOTHING by itself —
+  * `vacuum` on a member lake can retire manifests the vector still
+  * names. Operate with vacuum retention covering the publish lag
+  * (exactly Delta's time-travel retention trade); a read through a
+  * vector whose version was vacuumed fails LOUDLY naming the lake and
+  * version, never serves a silently different snapshot. PublishSpec
+  * pins the race, refusal and consistency invariants.
+  *
+  * Format: `coordDir/_publish/v{N}` — one text file per publish,
+  * `#ts:<millis>` header plus `<lakeDir>\t<version>` lines. Like
+  * manifests, records are immutable once committed.
+  */
+object PublishLog {
+
+  private val PublishDir = "_publish"
+  private val MaxRetries = 64
+
+  private def pubPath(root: Path, v: Long): Path =
+    root.resolve(PublishDir).resolve(f"v$v%012d")
+
+  /** Every committed publish sequence number, ascending. */
+  def versions(coordDir: String): Vector[Long] = {
+    val d = Paths.get(coordDir).resolve(PublishDir)
+    if (!Files.isDirectory(d)) Vector.empty
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).toVector.sorted
+      finally st.close()
+    }
+  }
+
+  /** Atomically publish a version vector. Each named version must be a
+    * COMMITTED, still-retained manifest of its lake at publish time —
+    * publishing a version nobody can read would arm a delayed failure.
+    * Racing publishers CAS on the sequence number; the loser retries
+    * on the next number (publishes are independent records, so unlike
+    * manifest commits there is nothing to rebase). Returns the
+    * committed sequence number. */
+  def publish(coordDir: String, versions0: Map[String, Long]): Long = {
+    require(versions0.nonEmpty, "publish needs at least one (lake, version)")
+    versions0.foreach { case (dir, v) =>
+      require(!dir.contains('\t') && !dir.contains('\n'),
+        s"lake path '$dir' cannot ride a publish record")
+      require(ManifestLake.snapshotAt(dir, v).isDefined,
+        s"cannot publish $dir@v$v: that manifest is gone (retired by " +
+          "vacuum) or was never committed")
+    }
+    val root = Paths.get(coordDir)
+    Files.createDirectories(root.resolve(PublishDir))
+    val body: java.util.List[String] =
+      (Vector(s"#ts:${System.currentTimeMillis()}") ++
+        versions0.toVector.sortBy(_._1).map { case (d, v) => s"$d\t$v" }).asJava
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val next = versions(coordDir).maxOption.getOrElse(0L) + 1L
+      val tmp = Files.createTempFile(root, ".pub_", ".tmp")
+      Files.write(tmp, body)
+      try {
+        try { Files.createLink(pubPath(root, next), tmp); return next }
+        catch { case _: FileAlreadyExistsException => () }
+      } finally Files.deleteIfExists(tmp)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"publish on $coordDir lost the CAS race $MaxRetries times")
+  }
+
+  /** The current (highest) published vector, or None before the first
+    * publish. */
+  def current(coordDir: String): Option[(Long, Map[String, Long])] =
+    versions(coordDir).maxOption.map(v => (v, vectorAt(coordDir, v)))
+
+  /** A specific published vector; fails loudly if that record was
+    * never committed. */
+  def vectorAt(coordDir: String, seq: Long): Map[String, Long] = {
+    val p = pubPath(Paths.get(coordDir), seq)
+    require(Files.exists(p), s"no publish v$seq in $coordDir")
+    Files.readAllLines(p).asScala.iterator
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l =>
+        val i = l.lastIndexOf('\t')
+        l.take(i) -> l.drop(i + 1).toLong
+      }.toMap
+  }
+
+  /** Read `lakeDir` AT the current published vector — the consistent
+    * multi-lake read. Two `readPublished` calls against the same
+    * publish sequence observe one coherent vector regardless of
+    * concurrent lake commits or newer publishes. Fails loudly when
+    * the lake is not in the vector, or when its published manifest
+    * was vacuumed (retention must cover the publish lag). */
+  def readPublished(s: SparkSession, coordDir: String,
+                    lakeDir: String): DataFrame = {
+    val (seq, vec) = current(coordDir).getOrElse(
+      throw new IllegalStateException(s"nothing published in $coordDir"))
+    readAt(s, coordDir, seq, vec, lakeDir)
+  }
+
+  /** [[readPublished]] pinned to an explicit publish sequence — the
+    * form a multi-read consumer uses: resolve `current` once, then
+    * read every member lake at that one sequence. */
+  def readPublishedAt(s: SparkSession, coordDir: String, seq: Long,
+                      lakeDir: String): DataFrame =
+    readAt(s, coordDir, seq, vectorAt(coordDir, seq), lakeDir)
+
+  private def readAt(s: SparkSession, coordDir: String, seq: Long,
+                     vec: Map[String, Long], lakeDir: String): DataFrame = {
+    val v = vec.getOrElse(lakeDir, throw new IllegalArgumentException(
+      s"lake $lakeDir is not in publish v$seq of $coordDir " +
+        s"(members: ${vec.keys.toVector.sorted.mkString(", ")})"))
+    val snap = ManifestLake.snapshotAt(lakeDir, v).getOrElse(
+      throw new IllegalStateException(
+        s"publish v$seq of $coordDir names $lakeDir@v$v, but that " +
+          "manifest was retired by vacuum — raise vacuum retention to " +
+          "cover the publish lag"))
+    ManifestLake.read(s, lakeDir, Some(snap))
+  }
+}

@@ -1328,6 +1328,84 @@ object RoundTrips {
        FROM scd GROUP BY source, is_current
        ORDER BY source, is_current"""
 
+  /** q178 — cross-lake atomic publish ([[graft.core.PublishLog]]):
+    * the lake-side answer to the reference's multi-table database
+    * transactions — writers commit each lake independently, then CAS
+    * one VERSION VECTOR; a consumer pinned to a publish sequence sees
+    * every member lake at that one coherent instant, never a
+    * half-updated pair, even while both lakes mutate underneath. The
+    * script publishes {docs, derived-stats} at generation 1, mutates
+    * BOTH (MoR delete on docs; keyed merge regenerating the stats
+    * lake), publishes generation 2, and emits the docs aggregate
+    * through BOTH publishes — the seq-1 rows are read AFTER the
+    * mutations landed, so a publish that leaked the new versions (or
+    * a read that resolved `latest` instead of the vector) breaks the
+    * hash. `invariant_ok` additionally pins the cross-lake law: at
+    * each publish, the stats lake equals the recompute from the docs
+    * lake AT THE SAME SEQUENCE (exceptAll both ways). Coordination
+    * cost at 100 TB: one tiny immutable file per publish; member
+    * lakes stay independently writable and single-lake readers are
+    * untouched. */
+  def qPublishRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coord = freshDir("graft_pub_coord_").toString
+    val docsLake = freshDir("graft_pub_docs_").toString
+    val statsLake = freshDir("graft_pub_stats_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, docsLake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // docs v1
+    def derive(from: DataFrame): DataFrame = from.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("sum_chars"))
+    graft.core.ManifestLake.append(s, statsLake,
+      derive(graft.core.ManifestLake.read(s, docsLake)), "source")  // stats v1
+    val seq1 = graft.core.PublishLog.publish(coord,
+      Map(docsLake -> 1L, statsLake -> 1L))
+    // both lakes mutate AFTER the publish
+    graft.core.ManifestLake.deleteWhereDv(s, docsLake, $"doc_id" % 17 === 0) // v2
+    graft.core.ManifestLake.merge(s, statsLake,
+      derive(graft.core.ManifestLake.read(s, docsLake)), Seq("source")) // v2
+    val seq2 = graft.core.PublishLog.publish(coord,
+      Map(docsLake -> 2L, statsLake -> 2L))
+    def docsAt(seq: Long): DataFrame =
+      graft.core.PublishLog.readPublishedAt(s, coord, seq, docsLake)
+    def statsAt(seq: Long): DataFrame =
+      graft.core.PublishLog.readPublishedAt(s, coord, seq, statsLake)
+    // the cross-lake law at each publish: stats ≡ recompute from the
+    // SAME sequence's docs
+    val coherent = Seq(seq1, seq2).forall { q =>
+      val want = derive(docsAt(q))
+      val got = statsAt(q).select($"source", $"n_docs", $"sum_chars")
+      got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+    }
+    Seq(seq1, seq2).map { q =>
+      docsAt(q).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum(length($"text")).as("sum_chars"))
+        .withColumn("publish_seq", lit(q))
+    }.reduce(_ unionAll _)
+      .withColumn("invariant_ok", lit(coherent))
+      .select($"publish_seq", $"source", $"n_docs", $"sum_ids",
+        $"sum_chars", $"invariant_ok")
+      .orderBy($"publish_seq", $"source")
+  }
+
+  val qPublishRoundTripSql: String =
+    """WITH both_pubs AS (
+         SELECT 1 AS publish_seq, source, doc_id, len(text) AS n
+         FROM documents
+         UNION ALL
+         SELECT 2, source, doc_id, len(text)
+         FROM documents WHERE doc_id % 17 <> 0)
+       SELECT publish_seq, source, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n) AS BIGINT) AS sum_chars,
+              TRUE AS invariant_ok
+       FROM both_pubs GROUP BY publish_seq, source
+       ORDER BY publish_seq, source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2625,6 +2703,7 @@ object RoundTrips {
     "q175_clone" -> qCloneRoundTrip,
     "q176_constraints" -> qConstraintsRoundTrip,
     "q177_scd2" -> qScd2RoundTrip,
+    "q178_publish" -> qPublishRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2664,6 +2743,7 @@ object RoundTrips {
     "q175_clone" -> qCloneRoundTripSql,
     "q176_constraints" -> qConstraintsRoundTripSql,
     "q177_scd2" -> qScd2RoundTripSql,
+    "q178_publish" -> qPublishRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

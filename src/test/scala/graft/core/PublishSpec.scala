@@ -1,0 +1,92 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Cross-lake atomic publish ([[PublishLog]]): the invariants that
+  * make a version vector trustworthy — atomicity under racing
+  * publishers, snapshot consistency across member lakes while both
+  * mutate, and loud failure (never a silently different snapshot)
+  * when a published version left retention or the vector. */
+class PublishSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("lake").toString
+
+  private def mkLake(dir: String, n: Long, tag: String): Unit = {
+    import spark.implicits._
+    val df = spark.range(0, n)
+      .select($"id".as("doc_id"), lit(tag).as("source"), ($"id" * 10).as("v"))
+    ManifestLake.append(spark, dir, df, "source", statsCols = Seq("doc_id"))
+  }
+
+  test("consistent pair: a consumer pinned to one publish never sees a half-updated vector") {
+    import spark.implicits._
+    val coord = Files.createTempDirectory("pub_pair").toString
+    val docs = tmp("pub_docs"); val stats = tmp("pub_stats")
+    mkLake(docs, 100, "d")                                      // docs v1
+    mkLake(stats, 10, "s")                                      // stats v1
+    val seq1 = PublishLog.publish(coord,
+      Map(docs -> 1L, stats -> 1L))
+    assert(seq1 == 1L)
+    // both lakes move on — docs gets a delete, stats a full new generation
+    ManifestLake.deleteWhereDv(spark, docs, $"doc_id" < 50)     // docs v2
+    mkLake(stats, 5, "s2")                                      // stats v2
+    // a consumer that resolved publish 1 reads BOTH lakes pre-mutation
+    assert(PublishLog.readPublishedAt(spark, coord, seq1, docs).count() == 100L)
+    assert(PublishLog.readPublishedAt(spark, coord, seq1, stats).count() == 10L)
+    // current == still the old vector until someone publishes anew
+    assert(PublishLog.readPublished(spark, coord, docs).count() == 100L)
+    val seq2 = PublishLog.publish(coord, Map(docs -> 2L, stats -> 2L))
+    assert(seq2 == 2L)
+    assert(PublishLog.readPublished(spark, coord, docs).count() == 50L)
+    assert(PublishLog.readPublished(spark, coord, stats).count() == 15L)
+    // the old vector remains readable (auditable history)
+    assert(PublishLog.readPublishedAt(spark, coord, seq1, docs).count() == 100L)
+  }
+
+  test("racing publishers: every publish lands exactly once, sequence contiguous") {
+    val coord = Files.createTempDirectory("pub_race").toString
+    val l = tmp("pub_race_lake")
+    mkLake(l, 10, "r")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val seqs = try Await.result(
+      Future.sequence((1 to 16).map(_ => Future(
+        PublishLog.publish(coord, Map(l -> 1L))))),
+      Duration.Inf) finally pool.shutdown()
+    assert(seqs.toSet == (1L to 16L).toSet,
+      s"16 racing publishes must claim 16 distinct contiguous seqs: $seqs")
+    assert(PublishLog.versions(coord) == (1L to 16L).toVector)
+  }
+
+  test("refusals are loud: unknown member, uncommitted version, vacuumed version") {
+    import spark.implicits._
+    val coord = Files.createTempDirectory("pub_refuse").toString
+    val l = tmp("pub_refuse_lake"); val other = tmp("pub_refuse_other")
+    mkLake(l, 20, "x")
+    // publishing a version that does not exist refuses up front
+    val e1 = intercept[IllegalArgumentException](
+      PublishLog.publish(coord, Map(l -> 9L)))
+    assert(e1.getMessage.contains("never committed"), e1.getMessage)
+    PublishLog.publish(coord, Map(l -> 1L))
+    // reading a lake outside the vector names the members
+    mkLake(other, 5, "y")
+    val e2 = intercept[IllegalArgumentException](
+      PublishLog.readPublished(spark, coord, other))
+    assert(e2.getMessage.contains("not in publish"), e2.getMessage)
+    // vacuum retires the published version -> loud failure, not a
+    // silently newer snapshot
+    ManifestLake.deleteWhereDv(spark, l, $"doc_id" < 5)         // v2
+    ManifestLake.compact(spark, l, "source", targetRecordsPerFile = 1024L * 1024) // v3
+    ManifestLake.vacuum(l, keepVersions = 1, graceMillis = 0L)
+    val e3 = intercept[IllegalStateException](
+      PublishLog.readPublished(spark, coord, l))
+    assert(e3.getMessage.contains("retired by vacuum"), e3.getMessage)
+  }
+}
