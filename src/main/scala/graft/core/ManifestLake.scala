@@ -2343,6 +2343,94 @@ object ManifestLake {
     updates.map { case (f, _, c) => c - snap.dvs.get(f).fold(0L)(_.count) }.sum
   }
 
+  /** Keyed merge-on-read DELETE — [[deleteWhereDv]] driven by a KEY
+    * FRAME instead of a predicate: the GDPR / incremental-maintenance
+    * shape ("delete exactly these ids"), fully distributed — the key
+    * set never collects to the driver and never becomes an `isin`
+    * literal (whose expression tree grows with the key count).
+    * Detection is a LEFT SEMI join of the pruned candidate scan
+    * against the distinct keys (AQE broadcasts small key sets);
+    * candidate pruning reuses [[merge]]'s rules — the exact per-file
+    * key-set probe (stats overlap + bloom confirmation) when the
+    * single key column is tracked and the key set is
+    * driver-collectable (bounded at 100 k — bounded driver state, not
+    * corpus-proportional), else the min/max envelope, else the full
+    * file list. Cost ∝ files holding matches + deleted-row varints.
+    * Commit/race semantics are [[deleteWhereDv]]'s verbatim: sidecar
+    * union, set-union rebase over appends, loud abort when a racing
+    * commit replaced or re-vectored a touched file. */
+  def deleteKeysDv(s: SparkSession, dir: String, keys: DataFrame,
+                   keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "keyed delete needs at least one key column")
+    val root = Paths.get(dir)
+    val snap = latestSnapshot(dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest in $dir"))
+    snap.schema.foreach { sc =>
+      val missing = keyCols.filterNot(sc.fieldNames.contains)
+      require(missing.isEmpty,
+        s"key columns ${missing.mkString(",")} not in the lake schema")
+    }
+    val keyFrame = keys.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      val MaxDriverKeys = 100000
+      val candidates: Vector[String] = keyCols match {
+        case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+          val sample = keyFrame.limit(MaxDriverKeys + 1).collect().map(_.get(0))
+          if (sample.isEmpty) Vector.empty
+          else if (sample.length <= MaxDriverKeys)
+            pruneFilesForKeys(snap, k, sample.toIndexedSeq)
+          else {
+            val env = keyFrame.agg(min(col(k)), max(col(k))).head()
+            snap.schema.map(_(k).dataType) match {
+              case Some(_: org.apache.spark.sql.types.NumericType) =>
+                pruneFiles(snap, k,
+                  BigDecimal(env.get(0).toString), BigDecimal(env.get(1).toString))
+              case Some(org.apache.spark.sql.types.StringType) =>
+                pruneFilesString(snap, k, env.getString(0), env.getString(1))
+              case _ => snap.files
+            }
+          }
+        case _ => snap.files
+      }
+      if (candidates.isEmpty) return 0L
+      val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+      val raw = reader.parquet(candidates.map(f => s"$dir/$f"): _*)
+        .withColumn("__graft_dv_path", col("_metadata.file_path"))
+        .withColumn("__graft_dv_idx", col("_metadata.row_index"))
+      val alive = dvDeletedPredicate(s, dir, snap, candidates).fold(raw)(deleted =>
+        raw.filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
+      val relOf = udf((p: String) => relFromUri(p))
+      val matched = alive.join(keyFrame, keyCols, "left_semi")
+        .select(relOf(col("__graft_dv_path")).as("f"),
+          col("__graft_dv_idx").as("i"))
+      val updates = writeDvSidecars(s, dir, snap, matched)
+      if (updates.isEmpty) return 0L
+      require(updates.forall(u => snap.files.contains(u._1)),
+        s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
+      val touched = updates.map(_._1).toSet
+      commitLoop(root) {
+        case None => throw new IllegalStateException(s"manifest vanished from $dir")
+        case Some(latest) =>
+          if (!touched.forall(latest.files.contains))
+            throw new IllegalStateException(
+              "a concurrent commit replaced files this DV delete targeted — " +
+                "re-run deleteKeysDv against the new snapshot")
+          touched.foreach { f =>
+            if (latest.dvs.get(f) != snap.dvs.get(f))
+              throw new IllegalStateException(
+                "a concurrent DV delete touched the same files — " +
+                  "re-run deleteKeysDv against the new snapshot")
+          }
+          Some(Ledger(latest.files, latest.txns, latest.stats, "delete-dv",
+            latest.schema, latest.blooms, latest.rows,
+            dvs = Some(latest.dvs ++ updates.map { case (f, rel, c) =>
+              f -> DvStore.Dv(rel, c) })))
+      }
+      updates.map { case (f, _, c) => c - snap.dvs.get(f).fold(0L)(_.count) }.sum
+    } finally { keyFrame.unpersist(); () }
+  }
+
   /** Merge-on-read targeted UPDATE — [[deleteWhereDv]]'s update twin
     * (Delta's DV-enabled UPDATE): matched rows are DV-deleted in place
     * and their updated images appended as fresh files, in ONE atomic

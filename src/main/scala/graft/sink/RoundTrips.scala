@@ -1094,17 +1094,17 @@ object RoundTrips {
     try {
       val incoming = feed.filter(
         $"_change_type" === "insert" || $"_change_type" === "update_postimage")
-      val affectedKeys = feed.select($"doc_id").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      if (affectedKeys.nonEmpty) {
-        graft.core.ManifestLake.deleteWhereDv(s, view,
-          $"doc_id".isin(affectedKeys: _*))
-        val adds = transform(incoming.select($"doc_id", $"text", $"source"))
-        if (!adds.isEmpty)
-          graft.core.ManifestLake.append(s, view, adds, "source",
-            maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
-            bloomCols = Seq("doc_id"))
-      }
+      // fully distributed maintenance: the affected-key set stays a
+      // FRAME (deleteKeysDv semi-joins it against the bloom-pruned
+      // candidate scan) — no driver collect, no isin literal whose
+      // expression tree grows with the delta
+      graft.core.ManifestLake.deleteKeysDv(s, view,
+        feed.select($"doc_id"), Seq("doc_id"))
+      val adds = transform(incoming.select($"doc_id", $"text", $"source"))
+      if (!adds.isEmpty)
+        graft.core.ManifestLake.append(s, view, adds, "source",
+          maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
+          bloomCols = Seq("doc_id"))
       // incremental ≡ full recompute, row for row
       val maintained = graft.core.ManifestLake.read(s, view)
         .select($"doc_id", $"source", $"n_chars")

@@ -413,6 +413,45 @@ class DvSpec extends SparkSpec {
     assert(read.filter($"n_chars" === -1L).count() == 5L)
   }
 
+  test("deleteKeysDv: key-frame MoR delete, distributed, manifest-pruned, idempotent") {
+    import spark.implicits._
+    val dir = tmp("dv_keys")
+    val df = spark.range(0, 400)
+      .select($"id".as("doc_id"), lit("s0").as("source"), ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, df.repartitionByRange(8, $"doc_id"),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    // hide a file whose range can't hold the keys: detection opening
+    // it anyway would throw file-not-found — the "never opened" pin
+    val far = snap.files.find(f => snap.stats(f)
+      .exists(st => st.col == "doc_id" && ManifestLake.Bound.cmp(
+        st.min, ManifestLake.Bound.Num(BigDecimal(200))).exists(_ > 0))).get
+    val src = Paths.get(dir).resolve(far)
+    val hidden = Paths.get(dir).resolve(far + ".hidden")
+    Files.move(src, hidden)
+    val keys = spark.range(0, 30).select($"id".as("doc_id"))
+      .union(spark.range(5000, 5010).select($"id".as("doc_id"))) // misses ok
+    try {
+      assert(ManifestLake.deleteKeysDv(spark, dir, keys, Seq("doc_id")) == 30L)
+      // idempotent: the same keys again delete nothing, burn nothing
+      val v = ManifestLake.latestSnapshot(dir).get.version
+      assert(ManifestLake.deleteKeysDv(spark, dir, keys, Seq("doc_id")) == 0L)
+      assert(ManifestLake.latestSnapshot(dir).get.version == v)
+      // empty key frame: no-op without a commit
+      assert(ManifestLake.deleteKeysDv(spark, dir,
+        keys.filter($"doc_id" < 0), Seq("doc_id")) == 0L)
+      assert(ManifestLake.latestSnapshot(dir).get.version == v)
+    } finally Files.move(hidden, src)
+    val read = ManifestLake.read(spark, dir)
+    assert(read.count() == 370L)
+    assert(read.filter($"doc_id" < 30).count() == 0L)
+    assert(ManifestLake.latestSnapshot(dir).get.op == "delete-dv")
+    // the keyed delete is row-exact through the change feed too
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, v)
+    assert(feed.filter($"_change_type" === "delete").count() == 30L)
+  }
+
   test("write.delete.mode=merge-on-read routes SQL DELETE FROM through DVs") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graft_mor", classOf[GraftCatalog].getName)
