@@ -445,15 +445,28 @@ private[core] object GraftProcedures {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
-      ProcedureParameter.in("version", LongType).build())
+      ProcedureParameter.in("version", LongType).defaultValue("NULL").build(),
+      ProcedureParameter.in("timestamp", LongType).defaultValue("NULL").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = str(input, 0)
-      val committed = ManifestLake.restore(dir, input.getLong(1))
+      // exactly one addressing form, like the CDC window options
+      val (restoredTo, committed) = (input.isNullAt(1), input.isNullAt(2)) match {
+        case (false, true) =>
+          (input.getLong(1), ManifestLake.restore(dir, input.getLong(1)))
+        case (true, false) =>
+          val target = ManifestLake.snapshotAsOfTimestamp(dir, input.getLong(2))
+            .getOrElse(throw new IllegalStateException(
+              s"cannot restore $dir to timestamp ${input.getLong(2)}: every " +
+                "retained commit is later (or undated)"))
+          (target.version, ManifestLake.restore(dir, target.version))
+        case _ => throw new IllegalArgumentException(
+          "restore takes exactly one of version or timestamp (epoch millis)")
+      }
       one(Result(
         StructType(Seq(StructField("restored_to", LongType, nullable = false),
           StructField("committed_version", LongType, nullable = false),
           StructField("n_files", IntegerType, nullable = false))),
-        InternalRow(input.getLong(1), committed.version, committed.files.length)))
+        InternalRow(restoredTo, committed.version, committed.files.length)))
     }
   }
 

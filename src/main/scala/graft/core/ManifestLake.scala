@@ -3378,6 +3378,20 @@ object ManifestLake {
     }.get
   }
 
+  /** `RESTORE TABLE ... TO TIMESTAMP AS OF` — [[restore]] addressed by
+    * commit wall time, resolved with exactly [[snapshotAsOfTimestamp]]'s
+    * rule (highest retained version whose `#ts` ≤ the instant; the
+    * skew argument there applies verbatim). Refuses when every
+    * retained timestamped commit is later than the instant — a
+    * restore "to before the lake existed" has no defined content. */
+  def restoreToTimestamp(dir: String, tsMillis: Long): Snapshot = {
+    val target = snapshotAsOfTimestamp(dir, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $dir to timestamp $tsMillis: every retained " +
+          "commit is later (or undated)"))
+    restore(dir, target.version)
+  }
+
   /** Zero-copy CLONE (Delta's `CREATE TABLE ... CLONE`, at an optional
     * `VERSION AS OF`): materialize `srcDir`'s snapshot as a brand-new,
     * fully INDEPENDENT lake at `dstDir` without copying a data byte.

@@ -1962,6 +1962,10 @@ class LayoutSpec extends SparkSpec {
     ManifestLake.deleteWhere(spark, dir, $"doc_id" < 30L)             // v3
     assert(ManifestLake.read(spark, dir).count() == 40L)
 
+    // exactly-one-addressing-form refusal (version XOR timestamp)
+    val eBoth = intercept[Exception](spark.sql(
+      s"CALL graft.restore(path => '$dir', version => 2, timestamp => 5)").head())
+    assert(eBoth.getMessage.contains("exactly one"), eBoth.getMessage)
     val row = spark.sql(s"CALL graft.restore(path => '$dir', version => 2)").head()
     assert(row.getLong(0) == 2L && row.getLong(1) == 4L)
     val v4 = ManifestLake.latestSnapshot(dir).get
@@ -2062,6 +2066,19 @@ class LayoutSpec extends SparkSpec {
       java.util.Arrays.asList("#op:append", "source=s0/f1.parquet"))
     assert(ManifestLake.snapshotAt(dir2.toString, 1).get.tsMillis.isEmpty)
     assert(ManifestLake.snapshotAsOfTimestamp(dir2.toString, Long.MaxValue).isEmpty)
+
+    // RESTORE TO TIMESTAMP rides the same resolution: back to the v1
+    // instant, committed as a NEW version (Scala and CALL face)
+    val r = ManifestLake.restoreToTimestamp(dir, ts1)
+    assert(r.version == 3L && r.op == "restore")
+    assert(ManifestLake.read(spark, dir).count() == 50L)
+    val row = spark.sql(s"CALL graft.restore(path => '$dir', " +
+      s"timestamp => ${ts2 + 1000})").head()
+    assert(row.getAs[Long]("restored_to") == 2L)
+    assert(ManifestLake.read(spark, dir).count() == 80L)
+    val eEarly = intercept[Exception](
+      ManifestLake.restoreToTimestamp(dir, ts1 - 1))
+    assert(eEarly.getMessage.contains("every retained"), eEarly.getMessage)
   }
 
   test("row-level SQL: UPDATE rebases over a concurrent append — zero rows lost") {
