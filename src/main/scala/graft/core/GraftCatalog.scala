@@ -186,7 +186,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       properties.keySet().asScala
         .filterNot(k => k == "statsCols" || k == "bloomCols" ||
           k == "bucketCol" || k == "bucketN" || k == "write.delete.mode" ||
-          k == "enableChangeDataFeed" ||
+          k == "enableChangeDataFeed" || k.startsWith("constraint.") ||
           reserved.contains(k.toLowerCase(java.util.Locale.ROOT)))
         .toSeq.sorted
     }
@@ -195,7 +195,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         "statsCols, bloomCols (comma-separated column lists), " +
         "bucketCol + bucketN (hash-bucket layout for storage-partitioned joins), " +
         "write.delete.mode (copy-on-write | merge-on-read), " +
-        "enableChangeDataFeed (true | false)")
+        "enableChangeDataFeed (true | false), " +
+        "constraint.<name> (CHECK predicate, enforced on every write)")
     val bucketBy = (Option(properties.get("bucketCol")),
         Option(properties.get("bucketN")).flatMap(_.toIntOption)) match {
       case (Some(c), Some(n)) => Some((c.trim, n))
@@ -207,7 +208,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       statsCols = csvProp("statsCols"), bloomCols = csvProp("bloomCols"),
       bucketBy = bucketBy,
       deleteMode = Option(properties.get("write.delete.mode")).map(_.trim),
-      cdfEnabled = Option(properties.get("enableChangeDataFeed")).map(_.trim))
+      cdfEnabled = Option(properties.get("enableChangeDataFeed")).map(_.trim),
+      constraints = {
+        import scala.jdk.CollectionConverters._
+        properties.asScala.collect {
+          case (k, v) if k.startsWith("constraint.") =>
+            k.stripPrefix("constraint.") -> v
+        }.toMap
+      })
     loadTable(ident)
   }
 

@@ -1276,8 +1276,19 @@ object ManifestLake {
              bloomCols: Seq[String] = Nil,
              bucketBy: Option[(String, Int)] = None,
              deleteMode: Option[String] = None,
-             cdfEnabled: Option[String] = None): Snapshot = {
+             cdfEnabled: Option[String] = None,
+             constraints: Map[String, String] = Map.empty): Snapshot = {
     requirePartitionColEncodable(partitionCol)
+    // DDL-declared CHECK constraints: the lake is empty, so add-time
+    // validation is trivially satisfied — only the name/expression
+    // hygiene rules apply (the same ones addConstraint enforces)
+    constraints.foreach { case (n, e) =>
+      require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
+        s"constraint name must be [A-Za-z0-9_]+, got '$n'")
+      require(!e.contains('\n') && !e.contains('\r'),
+        s"constraint '$n' expression must be single-line")
+      expr(e) // must parse
+    }
     deleteMode.foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
     cdfEnabled.foreach(v => require(v == "true" || v == "false",
@@ -1306,7 +1317,8 @@ object ManifestLake {
       bucketBy.map { case (c, n) =>
         Map(PropBucketCol -> c, PropBucketN -> n.toString) }.getOrElse(Map.empty) ++
       deleteMode.map(m => Map(PropDeleteMode -> m)).getOrElse(Map.empty) ++
-      cdfEnabled.map(v => Map(PropCdfEnabled -> v)).getOrElse(Map.empty)
+      cdfEnabled.map(v => Map(PropCdfEnabled -> v)).getOrElse(Map.empty) ++
+      constraints.map { case (n, e) => (PropConstraintPrefix + n) -> e }
     commitLoop(root) {
       case Some(_) => throw new IllegalStateException(
         s"lake $dir was concurrently created — CREATE TABLE refuses to replace it")

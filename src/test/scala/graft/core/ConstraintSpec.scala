@@ -165,6 +165,30 @@ class ConstraintSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).filter($"n_chars" < 0).count() == 0L)
   }
 
+  test("CREATE TABLE declares constraints via TBLPROPERTIES; first INSERT already enforces") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_cddl",
+      classOf[GraftCatalog].getName)
+    val dir = tmp("cons_ddl")
+    spark.sql(s"CREATE TABLE graft_cddl.`$dir` " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (source) " +
+      "TBLPROPERTIES('statsCols'='doc_id', " +
+      "'constraint.chars_nonneg'='n_chars >= 0')")
+    assert(ManifestLake.latestSnapshot(dir).get.constraints ==
+      Seq("chars_nonneg" -> "n_chars >= 0"))
+    spark.sql(s"INSERT INTO graft_cddl.`$dir` VALUES (1, 's0', 5)")
+    val e = intercept[Throwable](
+      spark.sql(s"INSERT INTO graft_cddl.`$dir` VALUES (2, 's0', -5)"))
+    assert(msgs(e).exists(_.contains("chars_nonneg")), msgs(e).mkString("\n"))
+    assert(ManifestLake.read(spark, dir).count() == 1L)
+    // a malformed declaration refuses the CREATE itself
+    val e2 = intercept[Throwable](spark.sql(
+      s"CREATE TABLE graft_cddl.`${tmp("cons_ddl2")}` (a BIGINT, s STRING) " +
+        "PARTITIONED BY (s) TBLPROPERTIES('constraint.bad name'='a > 0')"))
+    assert(msgs(e2).exists(_.contains("[A-Za-z0-9_]")), msgs(e2).mkString("\n"))
+  }
+
   test("constraints survive clone and keep enforcing there; CALL clone round-trips") {
     import spark.implicits._
     val src = tmp("cons_clone_src")
