@@ -2069,11 +2069,14 @@ class LayoutSpec extends SparkSpec {
 
     // RESTORE TO TIMESTAMP rides the same resolution: back to the v1
     // instant, committed as a NEW version (Scala and CALL face)
+    Thread.sleep(5) // the restore commit must carry a wall time > ts2
     val r = ManifestLake.restoreToTimestamp(dir, ts1)
     assert(r.version == 3L && r.op == "restore")
     assert(ManifestLake.read(spark, dir).count() == 50L)
+    // the exact v2 boundary (inclusive) resolves to v2, not the
+    // just-committed v3 whose wall time is later
     val row = spark.sql(s"CALL graft.restore(path => '$dir', " +
-      s"timestamp => ${ts2 + 1000})").head()
+      s"timestamp => $ts2)").head()
     assert(row.getAs[Long]("restored_to") == 2L)
     assert(ManifestLake.read(spark, dir).count() == 80L)
     val eEarly = intercept[Exception](
