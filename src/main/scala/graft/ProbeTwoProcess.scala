@@ -53,7 +53,11 @@ object ProbeTwoProcess {
   def main(args: Array[String]): Unit = args.toList match {
     case "worker" :: lake :: id :: n :: style :: Nil => worker(lake, id, n.toInt, style)
     case "drive" :: work :: Nil => drive(work)
-    case other => sys.error(s"usage: drive <workDir> | worker <lake> <id> <n> <style>; got $other")
+    case "pubworker" :: coord :: lake :: id :: n :: Nil =>
+      pubWorker(coord, lake, id, n.toInt)
+    case "drivepub" :: work :: Nil => drivePublish(work)
+    case other => sys.error(
+      s"usage: drive <workDir> | drivepub <workDir> | worker ... | pubworker ...; got $other")
   }
 
   private def session(tag: String): SparkSession =
@@ -195,4 +199,83 @@ object ProbeTwoProcess {
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** One publisher process: n CAS publishes of {lake -> 1} against the
+    * shared coordinator — no Spark session, the publish primitive is
+    * pure filesystem (exactly what runs on a driver at scale). */
+  private def pubWorker(coord: String, lake: String, id: String, n: Int): Unit = {
+    // start barrier: JVM startup dwarfs a publish, so without a gate
+    // the two processes would serialize and the probe would race
+    // nothing — spin until the driver drops the go-file
+    val go = Paths.get(coord).resolveSibling("go")
+    while (!Files.exists(go)) Thread.sleep(5)
+    (0 until n).foreach { i =>
+      val seq = graft.core.PublishLog.publish(coord, Map(lake -> 1L))
+      println(s"""{"pub":{"worker":"$id","i":$i,"seq":$seq}}""")
+    }
+  }
+
+  /** Two-PROCESS publish race ([[graft.core.PublishLog]]): the thread
+    * race in PublishSpec could in principle be masked by in-JVM
+    * serialization; two child JVMs CAS-ing the same coordinator pin
+    * the `link(2)` no-replace claim at the process level, like the
+    * manifest race in `drive`. Asserts: both exit 0, the 2×100 publishes
+    * (released together by a go-file barrier, so the processes
+    * genuinely overlap) claim exactly the contiguous sequences 1..200
+    * with no duplicate or gap, both workers' claims interleave, and every record parses
+    * back to the exact vector. */
+  private def drivePublish(work: String): Unit = {
+    val root = Paths.get(work)
+    Files.createDirectories(root)
+    val coord = root.resolve(s"pub_coord_${java.util.UUID.randomUUID()}").toString
+    val lake = root.resolve(s"pub_lake_${java.util.UUID.randomUUID()}").toString
+    val s = session("drivepub")
+    s.sparkContext.setLogLevel("ERROR")
+    ManifestLake.append(s, lake, batchDf(s, "seed", 0), "source")
+    s.stop()
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    def spawn(id: String, n: Int): (Process, java.io.File) = {
+      val log = root.resolve(s"pub_$id.log").toFile
+      val cmd = (Seq(javaBin, "-Xmx512m", "-cp", cp) ++
+        opens.toSeq ++ jdk17Opens ++
+        Seq("graft.ProbeTwoProcess", "pubworker", coord, lake, id, n.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(root.toFile); pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val (p1, log1) = spawn("p1", 100)
+    val (p2, log2) = spawn("p2", 100)
+    Thread.sleep(4000) // let both JVMs reach the barrier
+    Files.createFile(Paths.get(coord).resolveSibling("go"))
+    val rc1 = p1.waitFor(); val rc2 = p2.waitFor()
+    def seqs(f: java.io.File): Seq[(String, Long)] = {
+      val re = """\{"pub":\{"worker":"(\w+)","i":\d+,"seq":(\d+)\}\}""".r
+      scala.io.Source.fromFile(f).getLines().collect {
+        case re(w, q) => (w, q.toLong)
+      }.toSeq
+    }
+    val c1 = seqs(log1); val c2 = seqs(log2)
+    val all = (c1 ++ c2).map(_._2)
+    val checks = Seq(
+      ("exit_codes", rc1 == 0 && rc2 == 0, s"p1=$rc1 p2=$rc2"),
+      ("contiguous_exactly_once", all.sorted == (1L to 200L),
+        s"claimed=${all.length} distinct=${all.distinct.length} " +
+          s"max=${all.max}"),
+      ("interleaved",
+        c1.map(_._2).max > c2.map(_._2).min && c2.map(_._2).max > c1.map(_._2).min,
+        s"p1=[${c1.map(_._2).min},${c1.map(_._2).max}] " +
+          s"p2=[${c2.map(_._2).min},${c2.map(_._2).max}]"),
+      ("records_parse", (1L to 200L).forall(q =>
+        graft.core.PublishLog.vectorAt(coord, q) == Map(lake -> 1L)), ""))
+    checks.foreach { case (name, ok, detail) =>
+      println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
+    }
+    println(s"""{"probe":"two_process_publish","pass":${checks.forall(_._2)}}""")
+  }
 }

@@ -361,6 +361,12 @@ private[core] object GraftProcedures {
     override def rows(): Array[InternalRow] = Array(row)
   }
 
+  private final case class Rows(out: StructType, all: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = all
+  }
+
   private def one(scan: Scan): java.util.Iterator[Scan] =
     java.util.Collections.singletonList(scan).iterator()
 
@@ -582,10 +588,12 @@ private[core] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("source", StringType).build(),
       ProcedureParameter.in("target", StringType).build(),
-      ProcedureParameter.in("version", LongType).defaultValue("NULL").build())
+      ProcedureParameter.in("version", LongType).defaultValue("NULL").build(),
+      ProcedureParameter.in("timestamp", LongType).defaultValue("NULL").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val v = if (input.isNullAt(2)) None else Some(input.getLong(2))
-      val snap = ManifestLake.clone(str(input, 0), str(input, 1), v)
+      val ts = if (input.isNullAt(3)) None else Some(input.getLong(3))
+      val snap = ManifestLake.clone(str(input, 0), str(input, 1), v, ts)
       one(Result(
         StructType(Seq(StructField("cloned_version", LongType, nullable = false),
           StructField("n_files", IntegerType, nullable = false),
@@ -661,10 +669,63 @@ private[core] object GraftProcedures {
     }
   }
 
+  private object Publish extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "Atomically publish a cross-lake version VECTOR at the coordinator " +
+        "path: versions is 'lakeDir=version,lakeDir=version,...' (the " +
+        "LAST '=' of each pair splits, so paths containing '=' work); " +
+        "consumers then read via publish_current for snapshot-consistent " +
+        "multi-lake reads"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("coordinator", StringType).build(),
+      ProcedureParameter.in("versions", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val vec = str(input, 1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map { pair =>
+          val i = pair.lastIndexOf('=')
+          require(i > 0, s"malformed pair '$pair' — expected lakeDir=version")
+          pair.take(i) -> pair.drop(i + 1).trim.toLong
+        }.toMap
+      val seq = PublishLog.publish(str(input, 0), vec)
+      one(Result(
+        StructType(Seq(StructField("publish_seq", LongType, nullable = false),
+          StructField("n_lakes", IntegerType, nullable = false))),
+        InternalRow(seq, vec.size)))
+    }
+  }
+
+  private object PublishCurrent extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish_current"
+    override def description(): String =
+      "The coordinator's current published vector as (publish_seq, lake, " +
+        "version) rows — resolve once, then read every member lake at " +
+        "that one sequence"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("coordinator", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (seq, vec) = PublishLog.current(str(input, 0)).getOrElse(
+        throw new IllegalStateException(
+          s"nothing published in ${str(input, 0)}"))
+      one(Rows(
+        StructType(Seq(StructField("publish_seq", LongType, nullable = false),
+          StructField("lake", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        vec.toArray.sortBy(_._1).map { case (d, v) =>
+          InternalRow(seq, UTF8String.fromString(d), v)
+        }))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
       "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
       "update_vectors" -> UpdateVectors, "clone" -> Clone,
       "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint,
-      "analyze" -> Analyze)
+      "analyze" -> Analyze, "publish" -> Publish,
+      "publish_current" -> PublishCurrent)
 }

@@ -3438,17 +3438,24 @@ object ManifestLake {
     * merges; a crash-interrupted clone may be safely re-run (links
     * already present are kept, the manifest commits last). */
   def clone(srcDir: String, dstDir: String,
-            versionAsOf: Option[Long] = None): Snapshot = {
+            versionAsOf: Option[Long] = None,
+            timestampAsOf: Option[Long] = None): Snapshot = {
     val srcRoot = Paths.get(srcDir)
     val dstRoot = Paths.get(dstDir)
     require(srcRoot.toAbsolutePath.normalize != dstRoot.toAbsolutePath.normalize,
       s"clone source and destination are the same directory: $srcDir")
-    val snap = versionAsOf match {
-      case Some(v) => snapshotAt(srcDir, v).getOrElse(
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "clone takes at most one of versionAsOf / timestampAsOf")
+    val snap = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => snapshotAt(srcDir, v).getOrElse(
         throw new IllegalStateException(
           s"cannot clone $srcDir at v$v: that manifest is gone (retired " +
             "by vacuum) or was never committed"))
-      case None => latestSnapshot(srcDir).getOrElse(
+      case (_, Some(ts)) => snapshotAsOfTimestamp(srcDir, ts).getOrElse(
+        throw new IllegalStateException(
+          s"cannot clone $srcDir at timestamp $ts: every retained " +
+            "commit is later (or undated)"))
+      case _ => latestSnapshot(srcDir).getOrElse(
         throw new IllegalStateException(
           s"no committed manifest in $srcDir — nothing to clone"))
     }

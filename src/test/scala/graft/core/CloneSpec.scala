@@ -74,6 +74,26 @@ class CloneSpec extends SparkSpec {
     assert(ManifestLake.read(spark, src).count() == 100L)
   }
 
+  test("timestamp-addressed clone resolves by the TIMESTAMP AS OF rule; both forms refuse") {
+    import spark.implicits._
+    val src = tmp("clone_ts_src")
+    mkLake(src)                                                  // v1
+    val ts1 = ManifestLake.latestSnapshot(src).get.tsMillis.get
+    Thread.sleep(5)
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" < 100)      // v2
+    val snap = ManifestLake.clone(src, tmp("clone_ts_dst"),
+      timestampAsOf = Some(ts1))
+    assert(snap.rows.values.sum == 200L && snap.dvs.isEmpty,
+      "the ts1 instant must resolve to v1, before the delete")
+    val e1 = intercept[IllegalArgumentException](ManifestLake.clone(
+      src, tmp("clone_ts_dst2"), versionAsOf = Some(1L),
+      timestampAsOf = Some(ts1)))
+    assert(e1.getMessage.contains("at most one"))
+    val e2 = intercept[IllegalStateException](ManifestLake.clone(
+      src, tmp("clone_ts_dst3"), timestampAsOf = Some(ts1 - 100000)))
+    assert(e2.getMessage.contains("every retained"))
+  }
+
   test("independence: source mutation + vacuum cannot touch the clone, and vice versa") {
     import spark.implicits._
     val src = tmp("clone_indep_src")

@@ -65,6 +65,27 @@ class PublishSpec extends SparkSpec {
     assert(PublishLog.versions(coord) == (1L to 16L).toVector)
   }
 
+  test("SQL face: CALL publish commits the vector, publish_current serves it as rows") {
+    val coord = Files.createTempDirectory("pub_sql").toString
+    val a = tmp("pub_sql_a"); val b = tmp("pub_sql_b")
+    mkLake(a, 30, "a"); mkLake(b, 40, "b")
+    spark.conf.set("spark.sql.catalog.graft_pub",
+      classOf[GraftCatalog].getName)
+    val out = spark.sql(s"CALL graft_pub.publish(coordinator => '$coord', " +
+      s"versions => '$a=1,$b=1')").collect().head
+    assert(out.getAs[Long]("publish_seq") == 1L &&
+      out.getAs[Int]("n_lakes") == 2)
+    val rows = spark.sql(
+      s"CALL graft_pub.publish_current(coordinator => '$coord')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSet == Set((1L, a, 1L), (1L, b, 1L)), rows.mkString(","))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft_pub.publish(coordinator => '$coord', versions => 'junk')")
+      .collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("malformed"))))
+  }
+
   test("refusals are loud: unknown member, uncommitted version, vacuumed version") {
     import spark.implicits._
     val coord = Files.createTempDirectory("pub_refuse").toString
