@@ -2806,6 +2806,65 @@ object ManifestLake {
         col("__graft_scd_to").isNull.as("is_current")): _*)
   }
 
+  /** Incremental [[scd2]] maintenance: extend an EXISTING history
+    * table by one later feed window instead of recomputing from v0 —
+    * the operator that makes the SCD2 build a maintainable derived
+    * table (the engine's recompute-from-change-sets discipline applied
+    * to its own history product). `history` must be the scd2 output
+    * for some window ending at `fromExclusive`; the result is
+    * row-identical to `scd2(0, toInclusive)` (the q179 oracle's law).
+    *
+    * Mechanics, all window-sized: a key's FIRST window event, when it
+    * is a close (delete/update_preimage), closes the history's live
+    * interval at that version; every open in the window starts an
+    * interval exactly as in [[scd2]] (the lead pairing handles
+    * in-window close/open chains). Cost: the feed legs ∝ changed rows,
+    * one window shuffle over the feed, one key-equi join against the
+    * history (broadcast when the window is small — the common case);
+    * the history is never re-derived. */
+  def scd2Increment(s: SparkSession, dir: String, history: DataFrame,
+                    fromExclusive: Long, toInclusive: Long,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Increment needs at least one key column")
+    val feed = readChangeFeed(s, dir, fromExclusive, toInclusive)
+    val opened = when(col(GraftCdf.ChangeTypeCol)
+      .isin("insert", "update_postimage"), lit(1)).otherwise(lit(0))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(GraftCdf.CommitVersionCol), col("__graft_scd_open"))
+    // a key whose first window event CLOSES ends the history's live row
+    val firstCloses = feed
+      .withColumn("__graft_scd_open", opened)
+      .withColumn("__graft_scd_rn", row_number().over(wFirst))
+      .filter(col("__graft_scd_rn") === 1 && col("__graft_scd_open") === 0)
+      .select(keyCols.map(col) :+
+        col(GraftCdf.CommitVersionCol).as("__graft_scd_close_at"): _*)
+    val closedHist = history.join(firstCloses, keyCols, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__graft_scd_close_at").isNotNull,
+          col("__graft_scd_close_at")).otherwise(col("valid_to")))
+      .withColumn("is_current",
+        col("is_current") && col("__graft_scd_close_at").isNull)
+      .drop("__graft_scd_close_at")
+    // intervals opened INSIDE the window pair among themselves exactly
+    // as in the full build
+    val windowIntervals = {
+      val metaCols = Set(GraftCdf.ChangeTypeCol, GraftCdf.CommitVersionCol,
+        GraftCdf.CommitTimestampCol)
+      val dataCols = feed.columns.filterNot(metaCols.contains)
+      feed
+        .withColumn("__graft_scd_open", opened)
+        .withColumn("__graft_scd_to",
+          lead(col(GraftCdf.CommitVersionCol), 1).over(wFirst))
+        .filter(col("__graft_scd_open") === 1)
+        .select(dataCols.map(col).toIndexedSeq ++ Seq(
+          col(GraftCdf.CommitVersionCol).as("valid_from"),
+          col("__graft_scd_to").as("valid_to"),
+          col("__graft_scd_to").isNull.as("is_current")): _*)
+    }
+    closedHist.unionByName(windowIntervals)
+  }
+
   /** The file-set half of [[readChanges]] — the files ADDED by
     * append/batch commits in (`fromExclusive`, `toInclusive`],
     * compact/delete commits invisible. ONE definition shared by the

@@ -1406,6 +1406,80 @@ object RoundTrips {
        FROM both_pubs GROUP BY publish_seq, source
        ORDER BY publish_seq, source"""
 
+  /** q179 — INCREMENTAL SCD2 maintenance ([[graft.core.ManifestLake
+    * .scd2Increment]]): q177's history table, maintained instead of
+    * rebuilt — the existing history plus ONE later feed window must
+    * reproduce the full-rebuild history row-for-row (the law
+    * `increment(scd2(0,mid), (mid,end]) ≡ scd2(0,end)`, also pinned
+    * per split point in CdfSpec). The script builds the history up to
+    * the MoR delete, then applies the COW SQL update and maintains
+    * through the window alone: feed legs ∝ changed rows, one
+    * window-sized shuffle, one key join against the history — the
+    * history is never re-derived, which is the whole point at 100 TB
+    * (a multi-year dimension table maintained by day-sized windows).
+    * The returned aggregate is q177's exactly, but produced by the
+    * incremental path; `invariant_ok` carries the ≡-full-rebuild
+    * proof (exceptAll both ways). */
+  def qScd2IncrementRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_scd2inc_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(lake,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 19 === 0) // v3
+    val mid = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    val history = graft.core.ManifestLake.scd2(s, lake, 0L, mid,
+      Seq("doc_id")).persist()
+    s.conf.set("spark.sql.catalog.graft_scd2i",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_scd2i.`$lake` SET text = concat(text, ' xx') " +
+      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
+    val v = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    try {
+      val inc = graft.core.ManifestLake.scd2Increment(s, lake, history,
+        mid, v, Seq("doc_id")).persist()
+      try {
+        val full = graft.core.ManifestLake.scd2(s, lake, 0L, v, Seq("doc_id"))
+        val identical = inc.exceptAll(full).isEmpty &&
+          full.exceptAll(inc).isEmpty
+        inc.groupBy($"source", $"is_current")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"doc_id").as("sum_ids"),
+            sum(length($"text")).as("sum_chars"),
+            sum($"valid_from").as("sum_from"),
+            sum(coalesce($"valid_to", lit(0L))).as("sum_to"))
+          .withColumn("invariant_ok", lit(identical))
+          .orderBy($"source", $"is_current")
+      } finally { inc.unpersist(); () }
+    } finally { history.unpersist(); () }
+  }
+
+  val qScd2IncrementRoundTripSql: String =
+    """WITH scd AS (
+         SELECT source, doc_id, len(text) AS n, 1 AS vfrom, 3 AS vto,
+                FALSE AS is_current
+         FROM documents WHERE doc_id % 19 = 0
+         UNION ALL
+         SELECT source, doc_id, len(text), 1, 4, FALSE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 = 7
+         UNION ALL
+         SELECT source, doc_id, len(text) + 3, 4, 0, TRUE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 = 7
+         UNION ALL
+         SELECT source, doc_id, len(text), 1, 0, TRUE
+         FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 23 <> 7)
+       SELECT source, is_current, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n) AS BIGINT) AS sum_chars,
+              CAST(SUM(vfrom) AS BIGINT) AS sum_from,
+              CAST(SUM(vto) AS BIGINT) AS sum_to,
+              TRUE AS invariant_ok
+       FROM scd GROUP BY source, is_current
+       ORDER BY source, is_current"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2704,6 +2778,7 @@ object RoundTrips {
     "q176_constraints" -> qConstraintsRoundTrip,
     "q177_scd2" -> qScd2RoundTrip,
     "q178_publish" -> qPublishRoundTrip,
+    "q179_scd2_increment" -> qScd2IncrementRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2744,6 +2819,7 @@ object RoundTrips {
     "q176_constraints" -> qConstraintsRoundTripSql,
     "q177_scd2" -> qScd2RoundTripSql,
     "q178_publish" -> qPublishRoundTripSql,
+    "q179_scd2_increment" -> qScd2IncrementRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

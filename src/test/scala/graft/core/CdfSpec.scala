@@ -483,5 +483,16 @@ class CdfSpec extends SparkSpec {
       .filter($"is_current").select($"doc_id", $"n_chars")
     val live = ManifestLake.read(spark, dir).select($"doc_id", $"n_chars")
     assert(current.exceptAll(live).isEmpty && live.exceptAll(current).isEmpty)
+
+    // incremental maintenance ≡ the full rebuild at EVERY split point
+    // of the same 5-version history (update chains, delete, reinsert)
+    val full = ManifestLake.scd2(spark, dir, 0L, v, Seq("doc_id"))
+    (1L until v).foreach { mid =>
+      val hist = ManifestLake.scd2(spark, dir, 0L, mid, Seq("doc_id"))
+      val inc = ManifestLake.scd2Increment(spark, dir, hist, mid, v,
+        Seq("doc_id"))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"split at v$mid must reproduce the full history")
+    }
   }
 }
