@@ -1280,14 +1280,32 @@ object ManifestLake {
              constraints: Map[String, String] = Map.empty): Snapshot = {
     requirePartitionColEncodable(partitionCol)
     // DDL-declared CHECK constraints: the lake is empty, so add-time
-    // validation is trivially satisfied — only the name/expression
-    // hygiene rules apply (the same ones addConstraint enforces)
+    // validation is trivially satisfied — the name/expression hygiene
+    // rules apply (the same ones addConstraint enforces), PLUS every
+    // referenced column must resolve against the DECLARED schema.
+    // Without that, a typo'd column name is accepted and then never
+    // enforces: the write guard null-fills attributes missing from
+    // the incoming frame (additive-evolution contract) and NULL
+    // passes SQL CHECK — the typo would be masked forever.
+    val declared =
+      schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     constraints.foreach { case (n, e) =>
       require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
         s"constraint name must be [A-Za-z0-9_]+, got '$n'")
       require(!e.contains('\n') && !e.contains('\r'),
         s"constraint '$n' expression must be single-line")
       expr(e) // must parse
+      val unknownRefs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e)
+        .collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }
+        .distinct
+        .filterNot(r => declared.contains(r.toLowerCase(java.util.Locale.ROOT)))
+      require(unknownRefs.isEmpty,
+        s"constraint '$n' CHECK ($e) references column(s) not in the " +
+          s"declared schema: ${unknownRefs.mkString(", ")}")
     }
     deleteMode.foreach(m => require(DeleteModes.contains(m),
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
@@ -1375,10 +1393,17 @@ object ManifestLake {
     * (additive evolution; readers null-fill) passes by the same rule
     * the read applies. NOT NULL is spelled `col IS NOT NULL`.
     *
-    * The validation scan races a concurrent append by design (the
-    * property commit rebases over it without re-scanning): add
-    * constraints in a write-quiet window, exactly Delta's operational
-    * guidance. */
+    * The validation scan is race-safe: when the property commit finds
+    * it was rebased over concurrent commits, it re-scans exactly the
+    * files those commits added (delta-proportional) and refuses if any
+    * violating row slipped in — so the constraint only ever commits
+    * against a corpus it validated. */
+  /** Test seam (the [[beforeCommitReplace]] pattern): runs between
+    * [[addConstraint]]'s validation scan and its property commit — the
+    * window a concurrent append must be caught in. Production value is
+    * a no-op; specs that swap it in restore it in a finally. */
+  @volatile private[core] var beforeConstraintCommit: () => Unit = () => ()
+
   def addConstraint(s: SparkSession, dir: String, name: String,
                     checkExpr: String): Snapshot = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
@@ -1405,14 +1430,39 @@ object ManifestLake {
     if (violations > 0L) throw new IllegalStateException(
       s"cannot add constraint '$name' CHECK ($checkExpr): $violations " +
         "existing row(s) violate it")
+    beforeConstraintCommit()
     commitLoop(Paths.get(dir)) {
       case None => throw new IllegalStateException(s"manifest vanished from $dir")
       case Some(latest) =>
         if (latest.props.get(PropConstraintPrefix + name).contains(checkExpr)) None
-        else Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
-          latest.schema, latest.blooms, latest.rows,
-          props = Some(latest.props + (PropConstraintPrefix + name -> checkExpr)),
-          buckets = latest.buckets))
+        else {
+          // the validation scan saw `snap`; a rebase means concurrent
+          // commits landed in between. Their appended/rewritten files
+          // were never validated, so re-scan exactly those before the
+          // constraint commits — otherwise an in-flight append of
+          // violating rows and the constraint could both commit,
+          // leaving the lake violating its own committed property
+          // (Delta's conflict checker aborts the txn here; re-scanning
+          // the delta is strictly kinder and delta-proportional).
+          // DV-only changes to files both snapshots share only REMOVE
+          // rows and cannot introduce a violation.
+          if (latest.version != snap.version) {
+            val fresh = latest.files.filterNot(snap.files.toSet)
+            if (fresh.nonEmpty) {
+              val late = lakeFiles(s, dir, latest, fresh,
+                latest.schema.foldLeft(s.read.option("basePath", dir))(_ schema _))
+                .filter(!coalesce(parsed, lit(true))).count()
+              if (late > 0L) throw new IllegalStateException(
+                s"cannot add constraint '$name' CHECK ($checkExpr): a " +
+                  s"concurrent commit (v${snap.version}→v${latest.version}) " +
+                  s"added $late violating row(s)")
+            }
+          }
+          Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
+            latest.schema, latest.blooms, latest.rows,
+            props = Some(latest.props + (PropConstraintPrefix + name -> checkExpr)),
+            buckets = latest.buckets))
+        }
     }.get
   }
 
@@ -2889,7 +2939,9 @@ object ManifestLake {
       // their added files; emitting them would re-deliver carried rows,
       // so merge is CDC-invisible too (consumers needing row-level
       // change records use [[readChangeFeed]], which is exact for
-      // merge-on-read mutations and refuses COW ones). restore
+      // merge-on-read mutations and — on lakes with
+      // enableChangeDataFeed=true — for COW DML via commit-time
+      // `_cdf/` sidecars; COW DML without the property refuses). restore
       // re-publishes files whose rows a consumer already received when
       // they were FIRST committed — emitting them would deliver every
       // restored row twice.
@@ -3484,7 +3536,8 @@ object ManifestLake {
     * with the kernel refcounting lifetime.)
     *
     * The clone's history starts fresh at v1 (op "clone"): per-file
-    * metadata (schema, declared layout props, stats/blooms/rows/
+    * metadata (schema, declared layout props — minus `analyze.*`,
+    * whose version stamp is source-relative — stats/blooms/rows/
     * buckets, deletion vectors) carries over verbatim — the skipping
     * index and MoR state survive the clone — but source HISTORY does
     * not (time travel below the clone point belongs to the source,
@@ -3531,13 +3584,28 @@ object ManifestLake {
         s"cannot clone $srcDir at v${snap.version}: its file $f was " +
           "already vacuumed — clone from a retained version")
       Files.createDirectories(to.getParent)
+      // crash-rerun safety: a destination file left by an earlier
+      // interrupted clone is adopted only if its size matches the
+      // source — a hard link is atomic (always matches), but a legacy
+      // or foreign partial copy must be redone, never committed over
+      if (Files.exists(to) && Files.size(to) != Files.size(from))
+        Files.delete(to)
       if (!Files.exists(to)) {
         try Files.createLink(to, from)
         catch {
-          // cross-device (EXDEV) or a filesystem without links: copy
+          // cross-device (EXDEV) or a filesystem without links:
+          // degrade to a copy — staged to a temp name and atomically
+          // renamed into place, so a crash mid-copy can never leave a
+          // truncated file under the final name for a re-run to adopt
           case _: UnsupportedOperationException |
                _: java.nio.file.FileSystemException =>
-            Files.copy(from, to)
+            val tmp = Files.createTempFile(to.getParent, ".clone_", ".tmp")
+            try {
+              Files.copy(from, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              Files.move(tmp, to,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            } finally { Files.deleteIfExists(tmp); () }
         }
       }
     }
@@ -3545,8 +3613,14 @@ object ManifestLake {
       case Some(existing) => throw new IllegalStateException(
         s"clone destination $dstDir gained a commit mid-clone " +
           s"(v${existing.version}) — aborting; clone into a fresh directory")
+      // analyze.* props do NOT carry over: analyze.version refers to
+      // the SOURCE's version numbering, meaningless against the
+      // clone's fresh v1 history — carrying it would make
+      // Cbo.persistedStats staleness judgment on the clone a lie.
+      // A clone wanting CBO stats re-runs ANALYZE (one scan).
       case None => Some(Ledger(snap.files, Map.empty, snap.stats, "clone",
-        snap.schema, snap.blooms, snap.rows, props = Some(snap.props),
+        snap.schema, snap.blooms, snap.rows,
+        props = Some(snap.props.filterNot(_._1.startsWith("analyze."))),
         buckets = snap.buckets, dvs = Some(snap.dvs)))
     }.get
   }

@@ -206,4 +206,93 @@ class ConstraintSpec extends SparkSpec {
       ManifestLake.append(spark, dst, rows(5000, -3), "source"))
     assert(msgs(e).exists(_.contains("chars_nonneg")), msgs(e).mkString("\n"))
   }
+
+  test("CREATE-time constraints resolve against the declared schema: a typo'd column refuses") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // a misspelled column would otherwise be accepted and then NEVER
+    // enforce (the write guard null-fills missing attributes and NULL
+    // passes SQL CHECK) — the typo must die at CREATE
+    val e = intercept[Throwable](ManifestLake.create(
+      tmp("cons_typo"), schema, "source",
+      constraints = Map("chars_nonneg" -> "n_charss >= 0")))
+    assert(msgs(e).exists(m => m.contains("n_charss") &&
+      m.contains("not in the declared schema")), msgs(e).mkString("\n"))
+    // the same expression over the REAL column is accepted, and
+    // expressions composing functions over declared columns resolve
+    ManifestLake.create(tmp("cons_ok"), schema, "source",
+      constraints = Map(
+        "chars_nonneg" -> "n_chars >= 0",
+        "src_shape" -> "length(source) > 0 AND doc_id IS NOT NULL"))
+    // ...and the SQL TBLPROPERTIES path refuses the same typo
+    spark.conf.set("spark.sql.catalog.graft_ctypo",
+      classOf[GraftCatalog].getName)
+    val e2 = intercept[Throwable](spark.sql(
+      s"CREATE TABLE graft_ctypo.`${tmp("cons_typo2")}` (a BIGINT, s STRING) " +
+        "PARTITIONED BY (s) TBLPROPERTIES('constraint.pos'='aa > 0')"))
+    assert(msgs(e2).exists(_.contains("not in the declared schema")),
+      msgs(e2).mkString("\n"))
+  }
+
+  test("addConstraint re-validates files a concurrent commit added: the race cannot commit a violated constraint") {
+    import spark.implicits._
+    val dir = tmp("cons_race")
+    mkLake(dir)
+    // a concurrent append lands AFTER the validation scan, BEFORE the
+    // property commit — with violating rows the constraint must refuse
+    ManifestLake.beforeConstraintCommit = () => {
+      ManifestLake.beforeConstraintCommit = () => () // fire once
+      ManifestLake.append(spark, dir, rows(9000, -7), "source")
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        ManifestLake.addConstraint(spark, dir, "chars_nonneg", "n_chars >= 0"))
+      assert(e.getMessage.contains("concurrent commit") &&
+        e.getMessage.contains("violating"), e.getMessage)
+      assert(ManifestLake.latestSnapshot(dir).get.constraints.isEmpty,
+        "the refused constraint must not be committed")
+    } finally ManifestLake.beforeConstraintCommit = () => ()
+    // with a CLEAN concurrent append the constraint still commits
+    // (delta re-scan passes; the rebase is not itself a failure)
+    ManifestLake.beforeConstraintCommit = () => {
+      ManifestLake.beforeConstraintCommit = () => ()
+      ManifestLake.append(spark, dir, rows(9100, 7), "source")
+    }
+    try {
+      ManifestLake.deleteWhereDv(spark, dir, $"doc_id" >= 9000 && $"doc_id" < 9100)
+      ManifestLake.addConstraint(spark, dir, "chars_nonneg", "n_chars >= 0")
+      assert(ManifestLake.latestSnapshot(dir).get.constraints ==
+        Seq("chars_nonneg" -> "n_chars >= 0"))
+    } finally ManifestLake.beforeConstraintCommit = () => ()
+  }
+
+  test("clone strips analyze.* props (source-relative staleness) and redoes size-mismatched partial copies") {
+    import spark.implicits._
+    val src = tmp("cons_anlz_src")
+    mkLake(src)
+    Cbo.analyze(spark, src)
+    assert(ManifestLake.latestSnapshot(src).get.props.keys
+      .exists(_.startsWith("analyze.")), "precondition: source analyzed")
+    val dst = Files.createTempDirectory("cons_anlz_dst").resolve("lake").toString
+    // simulate a crash-interrupted NON-atomic copy from a prior run: a
+    // truncated file already sits at one destination path — the re-run
+    // must redo it, not adopt it
+    val srcSnap = ManifestLake.latestSnapshot(src).get
+    val f0 = srcSnap.files.head
+    val to = java.nio.file.Paths.get(dst).resolve(f0)
+    Files.createDirectories(to.getParent)
+    Files.write(to, Array[Byte](1, 2, 3)) // truncated garbage
+    ManifestLake.clone(src, dst)
+    val cloned = ManifestLake.latestSnapshot(dst).get
+    assert(!cloned.props.keys.exists(_.startsWith("analyze.")),
+      s"analyze.* must not survive clone: ${cloned.props}")
+    assert(Cbo.persistedStats(dst).isEmpty,
+      "the clone must force a fresh ANALYZE, not serve source-relative stats")
+    assert(Files.size(to) ==
+      Files.size(java.nio.file.Paths.get(src).resolve(f0)),
+      "the truncated leftover must be redone, not adopted")
+    assert(ManifestLake.read(spark, dst).count() == 100L)
+  }
 }

@@ -1146,7 +1146,10 @@ class LayoutSpec extends SparkSpec {
     def batch(lo: Long, hi: Long) = spark.range(lo, hi)
       .select($"id".as("doc_id"), lit("p0").as("source"))
     ManifestLake.append(spark, dir, batch(0, 50), "source", statsCols = Seq("doc_id"))
-    val q = spark.readStream.format("graft").option("path", dir).load()
+    // append-only CDC consumer: opts INTO skipping change commits
+    // (the strict default is pinned in its own test below)
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("skipChangeCommits", "true").load()
       .writeStream.format("memory").queryName("graft_src_sink")
       .option("checkpointLocation", ckpt).outputMode("append").start()
     try {
@@ -1202,14 +1205,16 @@ class LayoutSpec extends SparkSpec {
       s"window pruning kept ${keptWin.length} of ${win.length}")
   }
 
-  test("DSv2 streaming source: skipChangeCommits=false fails loudly on row removal") {
+  test("DSv2 streaming source: change commits fail loudly BY DEFAULT (Delta parity); skipChangeCommits=true opts into skipping") {
     val dir = Files.createTempDirectory("mstrict").resolve("lake").toString
     def batch(lo: Long, hi: Long) = spark.range(lo, hi)
       .select($"id".as("doc_id"), lit("p0").as("source"))
     ManifestLake.append(spark, dir, batch(0, 50), "source")
     val ckpt = Files.createTempDirectory("mstrict_ckpt").toString
-    val q = spark.readStream.format("graft").option("path", dir)
-      .option("skipChangeCommits", "false").load()
+    // NO option: the default is strict — skipChangeCommits=false, the
+    // same default Delta gives the same-named option. A ported
+    // pipeline never silently loses its delivery guarantee.
+    val q = spark.readStream.format("graft").option("path", dir).load()
       .writeStream.format("memory").queryName("graft_strict_sink")
       .option("checkpointLocation", ckpt).outputMode("append").start()
     try {
@@ -1221,7 +1226,7 @@ class LayoutSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("graft_strict_sink").count() == 60)
       // a data-removing commit fails the stream instead of silently
-      // skipping (the default contract skips; strict consumers opt in)
+      // skipping — without the consumer ever asking for strictness
       ManifestLake.deleteWhere(spark, dir, $"doc_id" === 10L)
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
@@ -1231,6 +1236,19 @@ class LayoutSpec extends SparkSpec {
         Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
       assert(msgs(e).exists(_.contains("skipChangeCommits=false")), e.toString)
     } finally q.stop()
+    // append-only CDC consumers OPT INTO skipping: the same window
+    // (which now holds a delete commit) drains clean with the option
+    // set, delivering only the appended rows
+    val ckpt2 = Files.createTempDirectory("mstrict_ckpt2").toString
+    val q2 = spark.readStream.format("graft").option("path", dir)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("graft_skip_sink")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_skip_sink").count() == 60,
+        "skip mode must deliver the appends and skip the delete commit")
+    } finally q2.stop()
     // an invalid option value refuses at resolve time
     intercept[Exception] {
       spark.readStream.format("graft").option("path", dir)
