@@ -495,4 +495,55 @@ class CdfSpec extends SparkSpec {
         s"split at v$mid must reproduce the full history")
     }
   }
+
+  /** Carries q174's law outside its benched path: a keyed σπ view
+    * maintained from ONE feed window (deleteKeysDv affected keys, then
+    * append the passing postimages/inserts) must equal the transform
+    * recomputed from the final source, row for row — through BOTH
+    * mutation mechanics, including postimages that parity-flip INTO
+    * and OUT OF the view filter (the edge a naive upsert-only
+    * maintainer gets wrong). */
+  test("incremental view maintenance from the feed ≡ full recompute") {
+    val src = tmp("cdf_ivm_src"); val view = tmp("cdf_ivm_view")
+    mkLake(src)                                                    // v1
+    ManifestLake.setProperties(src, Map("enableChangeDataFeed" -> "true")) // v2
+    // view: rows whose n_chars lands in even 20-buckets, projected
+    def transform(rows: org.apache.spark.sql.DataFrame) = rows
+      .filter(($"n_chars" / 10) % 2 === 0)
+      .select($"doc_id", $"source", ($"n_chars" * 2).as("n2"))
+    ManifestLake.append(spark, view, transform(ManifestLake.read(spark, src)),
+      "source", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val builtAt = ManifestLake.latestSnapshot(src).get.version
+    // both mechanics; the update's +10 flips (n_chars/10) parity, so
+    // postimages ENTER and LEAVE the view
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 19 === 0)   // v3
+    spark.conf.set("spark.sql.catalog.graft_ivmspec",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"UPDATE graft_ivmspec.`$src` SET n_chars = n_chars + 10 " +
+      "WHERE doc_id % 7 = 3")                                      // v4 (COW)
+    val nowAt = ManifestLake.latestSnapshot(src).get.version
+    val feed = ManifestLake.readChangeFeed(spark, src, builtAt, nowAt)
+    ManifestLake.deleteKeysDv(spark, view, feed.select($"doc_id"),
+      Seq("doc_id"))
+    val adds = transform(feed.filter($"_change_type" === "insert" ||
+        $"_change_type" === "update_postimage")
+      .select($"doc_id", $"source", $"n_chars"))
+    if (!adds.isEmpty)
+      ManifestLake.append(spark, view, adds, "source",
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val maintained = ManifestLake.read(spark, view)
+      .select($"doc_id", $"source", $"n2")
+    val recomputed = transform(ManifestLake.read(spark, src))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "incremental maintenance must equal the full recompute, row for row")
+    // the flip edge actually fired both ways in this history
+    val updatedKeys = feed.filter($"_change_type" === "update_postimage")
+      .select($"doc_id")
+    val entered = transform(ManifestLake.read(spark, src)
+      .join(updatedKeys, Seq("doc_id"), "left_semi")).count()
+    val updated = updatedKeys.count()
+    assert(updated > 0 && entered > 0 && entered < updated,
+      s"want postimages both inside and outside the view: $entered/$updated")
+  }
 }

@@ -48,6 +48,39 @@ class PublishSpec extends SparkSpec {
     assert(PublishLog.readPublishedAt(spark, coord, seq1, docs).count() == 100L)
   }
 
+  /** Carries q178's law outside its benched path: a derived lake
+    * published alongside its source must equal the recompute from the
+    * source AT THE SAME publish sequence (exceptAll both ways, every
+    * sequence) — even though both lakes mutate between publishes. */
+  test("derived lake coheres with its source at every publish sequence") {
+    import spark.implicits._
+    val coord = Files.createTempDirectory("pub_cohere").toString
+    val docs = tmp("pub_co_docs"); val stats = tmp("pub_co_stats")
+    mkLake(docs, 200, "d")                                       // docs v1
+    def derive(from: org.apache.spark.sql.DataFrame) = from
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"),
+        sum($"v").as("sum_v"))
+    ManifestLake.append(spark, stats,
+      derive(ManifestLake.read(spark, docs)), "source")          // stats v1
+    val seq1 = PublishLog.publish(coord, Map(docs -> 1L, stats -> 1L))
+    // both lakes mutate after the publish; stats regenerates by merge
+    ManifestLake.deleteWhereDv(spark, docs, $"doc_id" % 17 === 0) // docs v2
+    ManifestLake.merge(spark, stats,
+      derive(ManifestLake.read(spark, docs)), Seq("source"))     // stats v2
+    val seq2 = PublishLog.publish(coord, Map(docs -> 2L, stats -> 2L))
+    Seq(seq1, seq2).foreach { q =>
+      val want = derive(PublishLog.readPublishedAt(spark, coord, q, docs))
+      val got = PublishLog.readPublishedAt(spark, coord, q, stats)
+        .select($"source", $"n_docs", $"sum_v")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"publish seq $q must serve stats ≡ derive(docs) at that sequence")
+    }
+    // and the law is NOT vacuous: the two sequences' stats differ
+    val s1 = PublishLog.readPublishedAt(spark, coord, seq1, stats)
+    val s2 = PublishLog.readPublishedAt(spark, coord, seq2, stats)
+    assert(!s1.exceptAll(s2).isEmpty, "the mutation must be visible at seq2")
+  }
+
   test("racing publishers: every publish lands exactly once, sequence contiguous") {
     val coord = Files.createTempDirectory("pub_race").toString
     val l = tmp("pub_race_lake")
