@@ -464,15 +464,20 @@ private[core] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = str(input, 0)
       // exactly one addressing form, like the CDC window options
+      // the SparkSession overload: on CDF-enabled lakes the restore
+      // commit records its change as sidecars (plain metadata-only
+      // restore otherwise)
       val (restoredTo, committed) = (input.isNullAt(1), input.isNullAt(2)) match {
         case (false, true) =>
-          (input.getLong(1), ManifestLake.restore(dir, input.getLong(1)))
+          (input.getLong(1),
+            ManifestLake.restore(SparkSession.active, dir, input.getLong(1)))
         case (true, false) =>
           val target = ManifestLake.snapshotAsOfTimestamp(dir, input.getLong(2))
             .getOrElse(throw new IllegalStateException(
               s"cannot restore $dir to timestamp ${input.getLong(2)}: every " +
                 "retained commit is later (or undated)"))
-          (target.version, ManifestLake.restore(dir, target.version))
+          (target.version,
+            ManifestLake.restore(SparkSession.active, dir, target.version))
         case _ => throw new IllegalArgumentException(
           "restore takes exactly one of version or timestamp (epoch millis)")
       }

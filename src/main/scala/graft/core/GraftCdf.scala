@@ -78,13 +78,15 @@ private[core] object GraftCdf {
          else Seq(("update_preimage", diff.keys.toVector.sorted, diff))) ++
           (if (added.isEmpty) Nil
            else Seq(("update_postimage", added, Map.empty[String, (String, Option[String])])))
-      case "delete" | "update" | "merge" if cur.cdfEnabled =>
-        // a CDF-enabled lake's copy-on-write DML wrote its change
-        // record as `_cdf/` sidecars in the same commit: serve those
-        // (the change type is STORED per row — the sentinel leg type
-        // tells readers to take it from the file, not a constant). No
-        // sidecars = the mutation changed no row (e.g. an assignment
-        // that left every image bit-identical) — an empty leg, exactly
+      case "delete" | "update" | "merge" | "restore" if cur.cdfEnabled =>
+        // a CDF-enabled lake's copy-on-write DML — and its RESTORE
+        // (whose change record is the snapshot multiset diff) — wrote
+        // its change record as `_cdf/` sidecars in the same commit:
+        // serve those (the change type is STORED per row — the
+        // sentinel leg type tells readers to take it from the file,
+        // not a constant). No sidecars = the commit changed no row
+        // (e.g. an assignment that left every image bit-identical, or
+        // a content-identical restore) — an empty leg, exactly
         if (cur.cdfFiles.isEmpty) Nil
         else Seq((CdcLegType, cur.cdfFiles, Map.empty[String, (String, Option[String])]))
       case "delete" | "update" | "merge" | "restore" =>
@@ -93,7 +95,8 @@ private[core] object GraftCdf {
             s"v$v, which records no row-level change — declare " +
             "write.delete.mode=merge-on-read / use the DV DML, or set " +
             "enableChangeDataFeed=true BEFORE mutating so copy-on-write " +
-            "DML writes commit-time change sidecars, or diff snapshots")
+            "DML (and restore) writes commit-time change sidecars, or " +
+            "diff snapshots")
       case _ => // append / batch / create / addcols / setprops
         val added = cur.files.filterNot(
           (if (v == 1) Set.empty[String] else prev.files.toSet))

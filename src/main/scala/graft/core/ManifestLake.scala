@@ -976,7 +976,27 @@ object ManifestLake {
   private def cdfDiff(s: SparkSession, dir: String, snap: Snapshot,
                       removed: Set[String], added: Vector[String],
                       op: String): Vector[String] = {
-    val root = Paths.get(dir)
+    val schema = cdfComparableSchema(dir, snap, op)
+    val names = schema.fieldNames.toIndexedSeq
+    val reader = s.read.option("basePath", dir).schema(schema)
+    val rem = if (removed.isEmpty) emptyOf(s, schema)
+              else lakeFiles(s, dir, snap, removed.toVector.sorted, reader)
+                .select(names.map(col): _*)
+    val add = if (added.isEmpty) emptyOf(s, schema)
+              else reader.parquet(added.map(f => s"$dir/$f"): _*)
+                .select(names.map(col): _*)
+    val (preType, postType) = op match {
+      case "update" => ("update_preimage", "update_postimage")
+      case _        => ("delete", "insert")
+    }
+    stageCdfMultisetDiff(s, Paths.get(dir), names, rem, add, preType, postType)
+  }
+
+  /** The CDF multiset-diff guardrail: the snapshot must have a
+    * committed schema and no map-typed column (maps are not
+    * comparable, so a removed-vs-added diff over them is undefined). */
+  private def cdfComparableSchema(dir: String, snap: Snapshot, op: String)
+      : org.apache.spark.sql.types.StructType = {
     val schema = snap.schema.getOrElse(throw new IllegalStateException(
       s"lake $dir has $PropCdfEnabled but no committed schema — the " +
         "change-record diff needs one"))
@@ -993,22 +1013,24 @@ object ManifestLake {
             s"column '${f.name}' (maps are not comparable) — use the " +
             "merge-on-read DML, whose change record is positional")
     }
-    val names = schema.fieldNames.toIndexedSeq
-    def emptyDf: DataFrame = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val reader = s.read.option("basePath", dir).schema(schema)
-    val rem = (if (removed.isEmpty) emptyDf
-               else lakeFiles(s, dir, snap, removed.toVector.sorted, reader)
-                 .select(names.map(col): _*))
-      .withColumn("__graft_w", lit(1L))
-    val add = (if (added.isEmpty) emptyDf
-               else reader.parquet(added.map(f => s"$dir/$f"): _*)
-                 .select(names.map(col): _*))
-      .withColumn("__graft_w", lit(-1L))
-    val (preType, postType) = op match {
-      case "update" => ("update_preimage", "update_postimage")
-      case _        => ("delete", "insert")
-    }
+    schema
+  }
+
+  private def emptyOf(s: SparkSession,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Stage `rem − add` as change sidecars: rows net-removed get
+    * `preType`, net-added `postType`; rows carried unchanged cancel,
+    * duplicates are handled by count. One affected-proportional
+    * shuffle (group-by over the lake's columns). */
+  private def stageCdfMultisetDiff(s: SparkSession, root: Path,
+                                   names: IndexedSeq[String],
+                                   rem0: DataFrame, add0: DataFrame,
+                                   preType: String, postType: String)
+      : Vector[String] = {
+    val rem = rem0.withColumn("__graft_w", lit(1L))
+    val add = add0.withColumn("__graft_w", lit(-1L))
     val changes = rem.unionByName(add)
       .groupBy(names.map(col): _*)
       .agg(sum(col("__graft_w")).as("__graft_n"))
@@ -1019,6 +1041,40 @@ object ManifestLake {
         explode(array_repeat(lit(1), abs(col("__graft_n")).cast("int"))))
       .select((names :+ CdfTypeCol).map(col): _*)
     stageCdfFiles(s, root, changes)
+  }
+
+  /** The change record of a RESTORE on a CDF-enabled lake: the exact
+    * multiset diff current-snapshot → target-snapshot (rows the
+    * restore logically deletes get `delete`, rows it re-publishes
+    * `insert` — Iceberg's changelog-scan labels, the same ones the COW
+    * delete/merge sidecars use). Pruned to the files whose
+    * (membership, DV-state) DIFFERS between the two snapshots — a file
+    * both snapshots carry with the same DV contributes the same
+    * multiset on both sides and never opens — and each side reads
+    * through ITS OWN deletion vectors, so rows a prior DV delete
+    * removed never re-report. Cost ∝ rows in mutated files, which for
+    * a restore is the inherent minimum (its change record IS the
+    * snapshot diff). */
+  private def cdfRestoreDiff(s: SparkSession, dir: String,
+                             cur: Snapshot, target: Snapshot)
+      : Vector[String] = {
+    val schema = cdfComparableSchema(dir, cur, "restore")
+    val names = schema.fieldNames.toIndexedSeq
+    val reader = s.read.option("basePath", dir).schema(schema)
+    val curSet = cur.files.toSet; val tgtSet = target.files.toSet
+    val remFiles = cur.files.filter(f =>
+      !tgtSet.contains(f) || target.dvs.get(f) != cur.dvs.get(f))
+    val addFiles = target.files.filter(f =>
+      !curSet.contains(f) || cur.dvs.get(f) != target.dvs.get(f))
+    if (remFiles.isEmpty && addFiles.isEmpty) return Vector.empty
+    val rem = if (remFiles.isEmpty) emptyOf(s, schema)
+              else lakeFiles(s, dir, cur, remFiles, reader)
+                .select(names.map(col): _*)
+    val add = if (addFiles.isEmpty) emptyOf(s, schema)
+              else lakeFiles(s, dir, target, addFiles, reader)
+                .select(names.map(col): _*)
+    stageCdfMultisetDiff(s, Paths.get(dir), names, rem, add,
+      "delete", "insert")
   }
 
   /** `input_file_name()` → the lake-relative "<col>=<v>/<file>" key.
@@ -2705,9 +2761,13 @@ object ManifestLake {
     *    they wrote at commit time (exact multiset diff for the SQL
     *    ReplaceData paths, directly-recorded matched rows for the
     *    Scala DML — see [[cdfDiff]] for the labeling rules);
-    *  - a copy-on-write delete/update/merge WITHOUT the property (and
-    *    `restore` always) REFUSES loudly: no row-level record exists,
-    *    and reconstructing one after the fact from removed-vs-added
+    *  - on a CDF-enabled lake, a `restore` committed through the
+    *    SparkSession [[restore]] overload serves its sidecars too —
+    *    the snapshot multiset diff ([[cdfRestoreDiff]]), so feeds and
+    *    CDF streams ride THROUGH a restore;
+    *  - a copy-on-write delete/update/merge or restore WITHOUT the
+    *    property REFUSES loudly: no row-level record exists, and
+    *    reconstructing one after the fact from removed-vs-added
     *    file diffs would need the pre-rewrite files, which vacuum may
     *    have reclaimed. Declare `write.delete.mode=merge-on-read`, use
     *    the DV DML, or set `enableChangeDataFeed=true` before
@@ -3489,6 +3549,20 @@ object ManifestLake {
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot restore $dir to v$toVersion: ${missing.length} of its data " +
         s"files were vacuumed — first: ${missing.take(3).mkString(", ")}")
+    // a CDF-enabled lake's restore must record its row-level change
+    // (downstream IVM/SCD2 consumers ride the feed through it) — that
+    // needs a Spark job, so this metadata-only entry refuses any
+    // content-CHANGING restore and directs to the SparkSession
+    // overload. A content-identical restore records nothing and stays
+    // metadata-only.
+    latestSnapshot(dir).foreach { cur =>
+      if (cur.cdfEnabled && cur.version != toVersion &&
+          (cur.files != target.files || cur.dvs != target.dvs))
+        throw new IllegalStateException(
+          s"restore of $dir to v$toVersion changes rows on a lake with " +
+            s"$PropCdfEnabled=true — use restore(spark, dir, toVersion), " +
+            "which records the change as commit-time sidecars")
+    }
     commitLoop(root) { latest =>
       if (latest.exists(_.version == toVersion)) None // already there
       // dvs are the target's EXACT set (Some, not inherit): restoring
@@ -3498,6 +3572,48 @@ object ManifestLake {
         latest.map(_.txns).getOrElse(Map.empty),
         target.stats, "restore", target.schema, target.blooms, target.rows,
         buckets = target.buckets, dvs = Some(target.dvs)))
+    }.get
+  }
+
+  /** [[restore]] with a change record: on a lake with
+    * `enableChangeDataFeed=true`, the restore commit carries its
+    * row-level change as `_cdf/` sidecars — the exact
+    * current→target multiset diff ([[cdfRestoreDiff]]: reverted
+    * deletions re-report as `insert`, reverted inserts/updates as
+    * `delete`/`insert` pairs) — so [[readChangeFeed]] windows and CDF
+    * streams ride THROUGH a restore instead of dying, and a
+    * feed-maintained view (q174's discipline) stays maintainable
+    * across one. On a lake without the property this is exactly the
+    * metadata-only [[restore]]. The diff races a concurrent commit by
+    * aborting (the sidecars describe the snapshot they diffed; a
+    * rebase would publish a stale record) — re-run on conflict. */
+  def restore(s: SparkSession, dir: String, toVersion: Long): Snapshot = {
+    val cur = latestSnapshot(dir).getOrElse(throw new IllegalStateException(
+      s"no committed manifest in $dir — nothing to restore"))
+    if (!cur.cdfEnabled || cur.version == toVersion)
+      return restore(dir, toVersion)
+    val root = Paths.get(dir)
+    val target = snapshotAt(dir, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $dir to v$toVersion: that manifest is gone " +
+          "(vacuumed) or was never committed"))
+    val missing = (target.files ++ target.dvs.valuesIterator.map(_.path))
+      .filterNot(f => Files.exists(root.resolve(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $dir to v$toVersion: ${missing.length} of its data " +
+        s"files were vacuumed — first: ${missing.take(3).mkString(", ")}")
+    val cdfStaged = cdfRestoreDiff(s, dir, cur, target)
+    commitLoop(root) {
+      case None => throw new IllegalStateException(s"manifest vanished from $dir")
+      case Some(latest) =>
+        if (latest.version == toVersion) None // already there
+        else if (latest.version != cur.version) throw new IllegalStateException(
+          s"a concurrent commit landed on $dir during the restore's " +
+            s"change-record diff (v${cur.version}→v${latest.version}) — " +
+            "re-run restore against the new snapshot")
+        else Some(Ledger(target.files, latest.txns,
+          target.stats, "restore", target.schema, target.blooms, target.rows,
+          buckets = target.buckets, dvs = Some(target.dvs), cdf = cdfStaged))
     }.get
   }
 
@@ -3513,6 +3629,17 @@ object ManifestLake {
         s"cannot restore $dir to timestamp $tsMillis: every retained " +
           "commit is later (or undated)"))
     restore(dir, target.version)
+  }
+
+  /** [[restoreToTimestamp]] with a change record — the CDF-aware
+    * [[restore]] overload, addressed by commit wall time. */
+  def restoreToTimestamp(s: SparkSession, dir: String,
+                         tsMillis: Long): Snapshot = {
+    val target = snapshotAsOfTimestamp(dir, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $dir to timestamp $tsMillis: every retained " +
+          "commit is later (or undated)"))
+    restore(s, dir, target.version)
   }
 
   /** Zero-copy CLONE (Delta's `CREATE TABLE ... CLONE`, at an optional

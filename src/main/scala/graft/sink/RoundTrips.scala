@@ -1451,6 +1451,79 @@ object RoundTrips {
        FROM scd GROUP BY source, is_current
        ORDER BY source, is_current"""
 
+  /** q180 — change data feed ACROSS a RESTORE
+    * ([[graft.core.ManifestLake.restore]]'s SparkSession overload): a
+    * restore logically mutates every reverted row, so on a CDF-enabled
+    * lake the restore commit records its change as `_cdf/` sidecars —
+    * the exact current→target snapshot multiset diff (reverted updates
+    * re-report as delete+insert pairs, reverted deletes as inserts) —
+    * and downstream feed consumers (the IVM/SCD2 discipline of
+    * q174/q179) ride THROUGH the restore instead of dying at it. The
+    * script mutates through both mechanics (MoR delete, COW SQL
+    * UPDATE), restores to the pre-mutation version, and aggregates the
+    * FULL feed window spanning all three commits; the DuckDB oracle
+    * replays every leg from raw parquet. Cost: the diff opens only
+    * files whose (membership, DV-state) differs between the two
+    * snapshots — for a restore, the inherent minimum (its change
+    * record IS the snapshot diff); the feed read is sidecar bytes.
+    * Laws (stream-drain ≡ batch, fold-through-restore ≡ table,
+    * refusal without the property) are pinned in CdfSpec's restore
+    * test. */
+  def qCdfRestoreRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_cdfres_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, lake,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(lake,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 19 === 0) // v3
+    s.conf.set("spark.sql.catalog.graft_cdfres",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_cdfres.`$lake` SET text = concat(text, ' xx') " +
+      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
+    graft.core.ManifestLake.restore(s, lake, 2L)                    // v5
+    val v = graft.core.ManifestLake.latestSnapshot(lake).get.version
+    graft.core.ManifestLake.readChangeFeed(s, lake, 2L, v)
+      .groupBy($"_change_type".as("change_type"), $"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"text")).as("sum_chars"))
+      .orderBy($"change_type", $"source")
+  }
+
+  val qCdfRestoreRoundTripSql: String =
+    """WITH alive AS (
+         SELECT * FROM documents WHERE doc_id % 19 <> 0),
+       legs AS (
+         -- v3 MoR delete
+         SELECT 'delete' AS change_type, source, doc_id, len(text) AS n
+         FROM documents WHERE doc_id % 19 = 0
+         UNION ALL
+         -- v4 COW update pre/post images
+         SELECT 'update_preimage', source, doc_id, len(text)
+         FROM alive WHERE doc_id % 23 = 7
+         UNION ALL
+         SELECT 'update_postimage', source, doc_id, len(text) + 3
+         FROM alive WHERE doc_id % 23 = 7
+         UNION ALL
+         -- v5 restore to v2: updated images leave...
+         SELECT 'delete', source, doc_id, len(text) + 3
+         FROM alive WHERE doc_id % 23 = 7
+         UNION ALL
+         -- ...deleted rows and original images come back
+         SELECT 'insert', source, doc_id, len(text)
+         FROM documents WHERE doc_id % 19 = 0
+         UNION ALL
+         SELECT 'insert', source, doc_id, len(text)
+         FROM alive WHERE doc_id % 23 = 7)
+       SELECT change_type, source, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n) AS BIGINT) AS sum_chars
+       FROM legs GROUP BY change_type, source
+       ORDER BY change_type, source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2750,6 +2823,7 @@ object RoundTrips {
     "q177_scd2" -> qScd2RoundTrip,
     "q178_publish" -> qPublishRoundTrip,
     "q179_scd2_increment" -> qScd2IncrementRoundTrip,
+    "q180_cdf_restore" -> qCdfRestoreRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2791,6 +2865,7 @@ object RoundTrips {
     "q177_scd2" -> qScd2RoundTripSql,
     "q178_publish" -> qPublishRoundTripSql,
     "q179_scd2_increment" -> qScd2IncrementRoundTripSql,
+    "q180_cdf_restore" -> qCdfRestoreRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -394,6 +394,10 @@ class CdfSpec extends SparkSpec {
     ManifestLake.appendBatch(spark, dir, spark.range(8000, 8020)
       .select($"id".as("doc_id"), lit("s0").as("source"),
         ($"id" * 2).as("n_chars")), "source", appId = "law", batchId = 0L) // v10
+    ManifestLake.restore(spark, dir, 5L)                             // v11 restore
+    ManifestLake.appendBatch(spark, dir, spark.range(9000, 9010)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 3).as("n_chars")), "source", appId = "law", batchId = 1L) // v12
     val v = ManifestLake.latestSnapshot(dir).get.version
 
     type K = (Long, String, Long)
@@ -422,6 +426,73 @@ class CdfSpec extends SparkSpec {
         s"table-only=${(table.toSet -- rebuilt.toSet).take(3)}")
     assert(table.nonEmpty && table.values.sum.toLong ==
       ManifestLake.read(spark, dir).count())
+  }
+
+  test("restore on a CDF-enabled lake records the snapshot diff; feeds and streams ride through") {
+    val dir = tmp("cdf_restore")
+    mkLake(dir)                                                    // v1
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true")) // v2
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 10 === 3)   // v3: -20 rows
+    spark.sql(s"UPDATE graft.`$dir` SET n_chars = n_chars + 100000 " +
+      "WHERE doc_id % 50 = 7")                                     // v4: 4 rows
+    // the METADATA-ONLY restore refuses while content differs — it
+    // cannot record the change a CDF consumer depends on
+    val e = intercept[IllegalStateException](ManifestLake.restore(dir, 2L))
+    assert(e.getMessage.contains("enableChangeDataFeed") &&
+      e.getMessage.contains("restore(spark"), e.getMessage)
+    // the SparkSession overload records the diff as sidecars
+    val snap5 = ManifestLake.restore(spark, dir, 2L)               // v5
+    assert(snap5.op == "restore" && snap5.cdfFiles.nonEmpty &&
+      snap5.cdfFiles.forall(_.startsWith("_cdf/")))
+    // content restored exactly
+    val now = ManifestLake.read(spark, dir).select($"doc_id", $"n_chars")
+    val then2 = ManifestLake.read(spark, dir,
+      ManifestLake.snapshotAt(dir, 2L)).select($"doc_id", $"n_chars")
+    assert(now.exceptAll(then2).isEmpty && then2.exceptAll(now).isEmpty)
+    // the restore window's legs are the exact logical diff: the 4
+    // updated images leave (`delete`), the 20 deleted rows and the 4
+    // original images come back (`insert`)
+    val legs = ManifestLake.readChangeFeed(spark, dir, 4L, 5L)
+      .select($"doc_id", $"n_chars", $"_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(legs.count(_._3 == "delete") == 4 &&
+      legs.filter(_._3 == "delete").forall(_._2 >= 100000),
+      legs.filter(_._3 == "delete").mkString(", "))
+    val ins = legs.filter(_._3 == "insert")
+    assert(ins.length == 24, s"${ins.length}: ${ins.take(6).mkString(", ")}")
+    assert(ins.count(_._1 % 10 == 3) == 20 &&
+      ins.count(t => t._1 % 50 == 7 && t._2 < 100000) == 4)
+    // a CDF stream drains THROUGH the restore instead of dying
+    val ckpt = Files.createTempDirectory("cdf_restore_ckpt").toString
+    val q = spark.readStream.format("graft").option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdf_restore_sink")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdf_restore_sink")
+        .groupBy($"_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = ManifestLake.readChangeFeed(spark, dir, 0L, 5L)
+        .groupBy($"_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally { q.stop(); spark.catalog.dropTempView("cdf_restore_sink") }
+    // a content-identical restore through the overload is a no-op
+    // commit path (already-there rule), not an empty sidecar commit
+    assert(ManifestLake.restore(spark, dir, 5L).version == 5L)
+    // ...and on a lake WITHOUT the property, the overload is exactly
+    // the metadata-only restore: no sidecars, the feed still refuses
+    val plain = tmp("cdf_restore_plain")
+    mkLake(plain)                                                  // v1
+    ManifestLake.deleteWhere(spark, plain, $"doc_id" % 10 === 3)   // v2 COW
+    val r = ManifestLake.restore(spark, plain, 1L)                 // v3
+    assert(r.op == "restore" && r.cdfFiles.isEmpty)
+    val e2 = intercept[IllegalStateException](
+      ManifestLake.readChangeFeed(spark, plain, 2L, 3L).collect())
+    assert(e2.getMessage.contains("restore") ||
+      e2.getMessage.contains("copy-on-write"), e2.getMessage)
   }
 
   test("CDF stream with streamStartingVersion=latest tails only new changes") {
