@@ -56,8 +56,13 @@ object ProbeTwoProcess {
     case "pubworker" :: coord :: lake :: id :: n :: Nil =>
       pubWorker(coord, lake, id, n.toInt)
     case "drivepub" :: work :: Nil => drivePublish(work)
+    case "pubvacwriter" :: coord :: lake :: n :: Nil =>
+      pubVacWriter(coord, lake, n.toInt)
+    case "pubvacvacuum" :: lake :: stop :: Nil => pubVacVacuum(lake, stop)
+    case "drivepubvac" :: work :: Nil => drivePublishVacuum(work)
     case other => sys.error(
-      s"usage: drive <workDir> | drivepub <workDir> | worker ... | pubworker ...; got $other")
+      s"usage: drive <workDir> | drivepub <workDir> | drivepubvac <workDir> " +
+        s"| worker ... | pubworker ... | pubvacwriter ... | pubvacvacuum ...; got $other")
   }
 
   private def session(tag: String): SparkSession =
@@ -277,5 +282,132 @@ object ProbeTwoProcess {
       println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
     }
     println(s"""{"probe":"two_process_publish","pass":${checks.forall(_._2)}}""")
+  }
+
+  /** One writer+publisher process: the production pattern — commit a
+    * batch, publish the fresh version — repeated n times while a
+    * second process vacuums underneath. */
+  private def pubVacWriter(coord: String, lake: String, n: Int): Unit = {
+    val s = session("pubvacw")
+    s.sparkContext.setLogLevel("ERROR")
+    (0 until n).foreach { b =>
+      // periodic compaction commits a FULL manifest (its rewrite makes
+      // the delta body larger than the snapshot), breaking the delta
+      // #base chain — without it every manifest would survive as chain
+      // substrate and the probe could never observe retirement
+      if (b % 4 == 3)
+        ManifestLake.compact(s, lake, "source", targetRecordsPerFile = 1024L * 1024)
+      val snap = ManifestLake.appendBatch(s, lake, batchDf(s, "pw", b),
+        "source", appId = "pw", batchId = b.toLong, maxRecordsPerFile = 128L)
+      val seq = graft.core.PublishLog.publish(coord, Map(lake -> snap.version))
+      println(s"""{"pubvac":{"i":$b,"seq":$seq,"version":${snap.version}}}""")
+    }
+    s.stop()
+  }
+
+  /** The racing vacuum process: aggressive version retention
+    * (keepVersions=1) in a tight loop until the stop-file drops. The
+    * 30 s grace keeps the concurrent writer's staged-but-uncommitted
+    * files safe (the documented operator contract); manifest
+    * RETIREMENT is not grace-gated, so the publish pin is the only
+    * thing standing between the loop and the published versions. */
+  private def pubVacVacuum(lake: String, stop: String): Unit = {
+    var loops = 0
+    while (!Files.exists(Paths.get(stop))) {
+      ManifestLake.vacuum(lake, keepVersions = 1, graceMillis = 30000L)
+      loops += 1
+      Thread.sleep(20)
+    }
+    println(s"""{"vacloops":$loops}""")
+  }
+
+  /** Two-PROCESS publish-vs-vacuum race: a writer process commits and
+    * publishes 12 generations while a second process loops an
+    * aggressive `vacuum` (keepVersions=1) against the same lake. The
+    * lake declares `publish.coord` + `publish.retain=2`, so the pin
+    * computed inside each racing vacuum census is all that keeps
+    * published manifests alive. Asserts: both exit 0, the vacuum loop
+    * genuinely overlapped the writer (≥3 iterations), versions BELOW
+    * the retain window were actually retired (the vacuum wasn't
+    * vacuous), and the newest `publish.retain` publishes read back
+    * row-exact AFTER the dust settles — every currently-published
+    * read stayed serveable through the race. */
+  private def drivePublishVacuum(work: String): Unit = {
+    val root = Paths.get(work)
+    Files.createDirectories(root)
+    val uuid = java.util.UUID.randomUUID()
+    val coord = root.resolve(s"pubvac_coord_$uuid").toString
+    val lake = root.resolve(s"pubvac_lake_$uuid").toString
+    val stop = root.resolve(s"pubvac_stop_$uuid").toString
+    val s = session("drivepubvac")
+    s.sparkContext.setLogLevel("ERROR")
+    ManifestLake.append(s, lake, batchDf(s, "seed", 0), "source") // v1
+    ManifestLake.setProperties(lake, Map(
+      "publish.coord" -> coord, "publish.retain" -> "2"))         // v2
+    graft.core.PublishLog.publish(coord, Map(lake -> 2L))
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    def spawn(tag: String, xmx: String, args: Seq[String]): (Process, java.io.File) = {
+      val log = root.resolve(s"pubvac_$tag.log").toFile
+      val cmd = (Seq(javaBin, s"-Xmx$xmx", "-cp", cp) ++
+        opens.toSeq ++ jdk17Opens ++
+        Seq("graft.ProbeTwoProcess") ++ args)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(root.toFile); pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val rounds = 12
+    val (vp, vlog) = spawn("vac", "512m", Seq("pubvacvacuum", lake, stop))
+    val (wp, wlog) = spawn("writer", "3g",
+      Seq("pubvacwriter", coord, lake, rounds.toString))
+    val rcW = wp.waitFor()
+    Files.createFile(Paths.get(stop))
+    val rcV = vp.waitFor()
+
+    val pubRe = """\{"pubvac":\{"i":(\d+),"seq":(\d+),"version":(\d+)\}\}""".r
+    val pubs = scala.io.Source.fromFile(wlog).getLines().collect {
+      case pubRe(i, q, v) => (i.toInt, q.toLong, v.toLong)
+    }.toVector.sortBy(_._2)
+    val loopsRe = """\{"vacloops":(\d+)\}""".r
+    val loops = scala.io.Source.fromFile(vlog).getLines().collectFirst {
+      case loopsRe(n) => n.toInt
+    }.getOrElse(0)
+    // one settled vacuum after the race: the racing loop may have
+    // exited mid-history, so retirement-below-the-window is asserted
+    // against a census that saw the final publishes
+    ManifestLake.vacuum(lake, keepVersions = 1, graceMillis = 30000L)
+    val retain = 2
+    val newest = pubs.takeRight(retain)
+    val serveable = newest.map { case (i, seq, v) =>
+      val expected = RowsPerBatch * (2 + i) // seed + batches 0..i
+      val got = try graft.core.PublishLog
+        .readPublishedAt(s, coord, seq, lake).count()
+      catch { case e: Exception => -1L }
+      (seq, v, expected, got)
+    }
+    val liveVersions = ManifestLake.versions(lake).toSet
+    val pinnedNow = newest.map(_._3).toSet
+    val retiredBelow = pubs.dropRight(retain).map(_._3)
+      .count(v => !liveVersions.contains(v))
+    val checks = Seq(
+      ("exit_codes", rcW == 0 && rcV == 0, s"writer=$rcW vacuum=$rcV"),
+      ("vacuum_overlapped", loops >= 3, s"loops=$loops"),
+      ("published_reads_serveable",
+        serveable.forall(t => t._3 == t._4) && serveable.nonEmpty,
+        serveable.map(t => s"seq${t._1}@v${t._2}:${t._4}/${t._3}").mkString(" ")),
+      ("pinned_manifests_alive", pinnedNow.subsetOf(liveVersions),
+        s"pinned=$pinnedNow live=${liveVersions.toVector.sorted.takeRight(6)}"),
+      ("unpinned_actually_retired", retiredBelow > 0,
+        s"retired=$retiredBelow of ${pubs.length - retain} below the window"))
+    checks.foreach { case (name, ok, detail) =>
+      println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
+    }
+    println(s"""{"probe":"two_process_publish_vacuum","pass":${checks.forall(_._2)}}""")
+    s.stop()
   }
 }

@@ -233,7 +233,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // one mutable property: how DELETE mutates is an operational
     // choice, unlike the structural props every committed file
     // already satisfies (partitionCol / bucket layout refuse below)
-    val mutableProps = Set("write.delete.mode", "enableChangeDataFeed")
+    val mutableProps = Set("write.delete.mode", "enableChangeDataFeed",
+      "publish.coord", "publish.retain")
     val (propSets, rest) = changes.partition {
       case p: SetProperty => mutableProps.contains(p.property)
       case _              => false

@@ -164,6 +164,13 @@ object ManifestLake {
   private[core] val PropConstraintPrefix = "constraint."
   private[core] val DeleteModes = Set("copy-on-write", "merge-on-read")
   private[core] val PropCdfEnabled = "enableChangeDataFeed"
+  /** Publish-aware retention (the [[PublishLog]] trade closed): a lake
+    * that declares its coordinator directory here has [[vacuum]]
+    * protect every version the newest [[PropPublishRetain]] (default
+    * 2) publish vectors name for it — so automated retention can never
+    * retire a manifest the CURRENT cross-lake snapshot still serves. */
+  private[core] val PropPublishCoord = "publish.coord"
+  private[core] val PropPublishRetain = "publish.retain"
   /** Commit-time change sidecars live here (Delta's `_change_data`):
     * UNPARTITIONED parquet carrying the lake's columns plus a stored
     * `_change_type`, referenced per-commit by `#cdf:` headers — never
@@ -1411,7 +1418,8 @@ object ManifestLake {
     // enforced HERE, not just at the catalog: a direct caller flipping
     // bucketN/partitionCol would lie about every committed file's
     // placement — wrong joins, not an error
-    val mutable = Set(PropDeleteMode, PropCdfEnabled)
+    val mutable = Set(PropDeleteMode, PropCdfEnabled,
+      PropPublishCoord, PropPublishRetain)
     val illegal = kvs.keySet -- mutable
     require(illegal.isEmpty,
       s"only ${mutable.mkString(", ")} can be altered; " +
@@ -1421,6 +1429,12 @@ object ManifestLake {
       s"$PropDeleteMode must be one of ${DeleteModes.mkString(", ")}, got '$m'"))
     kvs.get(PropCdfEnabled).foreach(v => require(v == "true" || v == "false",
       s"$PropCdfEnabled must be 'true' or 'false', got '$v'"))
+    kvs.get(PropPublishRetain).foreach(v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"$PropPublishRetain must be a positive integer, got '$v'"))
+    kvs.get(PropPublishCoord).foreach(v =>
+      require(v.nonEmpty && !v.contains('\n') && !v.contains('\r'),
+        s"$PropPublishCoord cannot ride a manifest property: '$v'"))
     commitLoop(Paths.get(dir)) {
       case None => throw new IllegalStateException(
         s"no committed manifest in $dir — nothing to alter")
@@ -3785,7 +3799,28 @@ object ManifestLake {
         .map(_.drop(1).toLong).toVector
       finally st.close()
     }
-    val protectedVersions = allVersions.filter(v => v >= keepFrom || retainedByTime(v))
+    // publish-aware retention: a lake that declared its coordinator
+    // (`publish.coord`) keeps every version the newest
+    // `publish.retain` (default 2) publish vectors name for it — so
+    // automated retention can never make the CURRENT (or the
+    // one-before, covering an in-flight consumer that resolved it)
+    // cross-lake snapshot unreadable. Resolution is by normalized
+    // absolute path: the vector records the path the publisher used,
+    // which need not be spelled identically to this vacuum's `dir`.
+    val pinnedByPublish: Set[Long] = latest.props.get(PropPublishCoord) match {
+      case None => Set.empty
+      case Some(coord) =>
+        val k = latest.props.get(PropPublishRetain)
+          .flatMap(_.toIntOption).getOrElse(2)
+        val me = root.toAbsolutePath.normalize
+        PublishLog.versions(coord).takeRight(k).flatMap { seq =>
+          PublishLog.vectorAt(coord, seq).collectFirst {
+            case (d, v) if Paths.get(d).toAbsolutePath.normalize == me => v
+          }
+        }.toSet
+    }
+    val protectedVersions = allVersions.filter(v =>
+      v >= keepFrom || retainedByTime(v) || pinnedByPublish.contains(v))
     // Protection reads the RESOLVED snapshot of each protected version
     // (a delta manifest's raw body is only its edit list — scanning it
     // for paths would silently unprotect every file the delta inherits

@@ -23,13 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * costs one tiny file per publish, and the publish itself is the
   * same `link(2)` CAS the manifests ride — no new trust anywhere.
   *
-  * Retention contract: a published version pins NOTHING by itself —
-  * `vacuum` on a member lake can retire manifests the vector still
-  * names. Operate with vacuum retention covering the publish lag
-  * (exactly Delta's time-travel retention trade); a read through a
-  * vector whose version was vacuumed fails LOUDLY naming the lake and
-  * version, never serves a silently different snapshot. PublishSpec
-  * pins the race, refusal and consistency invariants.
+  * Retention contract: a published version pins nothing by itself,
+  * BUT a member lake that declares `publish.coord=<coordDir>` (and
+  * optionally `publish.retain=K`, default 2) has its `vacuum` protect
+  * every version the newest K publish vectors name for it — so
+  * automated retention can never make the CURRENT cross-lake snapshot
+  * unreadable. A lake that opts out (no property) keeps the bare
+  * trade: operate with vacuum retention covering the publish lag; a
+  * read through a vector whose version was vacuumed fails LOUDLY
+  * naming the lake and version, never serves a silently different
+  * snapshot. PublishSpec pins the race, refusal, consistency and
+  * retention invariants.
   *
   * Format: `coordDir/_publish/v{N}` — one text file per publish,
   * `#ts:<millis>` header plus `<lakeDir>\t<version>` lines. Like

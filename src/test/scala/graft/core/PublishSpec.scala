@@ -119,6 +119,55 @@ class PublishSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("malformed"))))
   }
 
+  test("publish-aware vacuum: publish.coord pins published versions; opted-out lakes keep the loud-failure trade") {
+    import spark.implicits._
+    def build(prefix: String): String = {
+      val d = tmp(prefix)
+      mkLake(d, 100, "a")                                        // v1
+      ManifestLake.append(spark, d, spark.range(100, 150)
+        .select($"id".as("doc_id"), lit("a").as("source"),
+          ($"id" * 10).as("v")), "source")                       // v2
+      d
+    }
+    // OPTED-IN lake: declares its coordinator; aggressive vacuum must
+    // keep the published version whole (manifest AND files)
+    val coord = Files.createTempDirectory("pub_vac").toString
+    val pinned = build("pub_vac_pin")
+    ManifestLake.setProperties(pinned,
+      Map("publish.coord" -> coord, "publish.retain" -> "1"))    // v3
+    val seq = PublishLog.publish(coord, Map(pinned -> 2L))
+    ManifestLake.compact(spark, pinned, "source",
+      targetRecordsPerFile = 1024L * 1024)                       // v4: old files unreferenced
+    val reclaimedPinned =
+      ManifestLake.vacuum(pinned, keepVersions = 1, graceMillis = 0L)
+    // the published read survives the vacuum, exact to the row
+    assert(PublishLog.readPublishedAt(spark, coord, seq, pinned)
+      .count() == 150L)
+    assert(ManifestLake.snapshotAt(pinned, 2L).isDefined,
+      "the published manifest must survive")
+    // OPTED-OUT control: same shape, no property — the same vacuum
+    // retires the published version and the read fails LOUDLY
+    val coord2 = Files.createTempDirectory("pub_vac2").toString
+    val loose = build("pub_vac_loose")
+    val seq2 = PublishLog.publish(coord2, Map(loose -> 2L))
+    ManifestLake.compact(spark, loose, "source",
+      targetRecordsPerFile = 1024L * 1024)                       // v3
+    ManifestLake.vacuum(loose, keepVersions = 1, graceMillis = 0L)
+    val e = intercept[IllegalStateException](
+      PublishLog.readPublishedAt(spark, coord2, seq2, loose))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // the pin is WINDOWED: after publish.retain newer publishes, the
+    // old version unpins and a later vacuum may retire it
+    val seqB = PublishLog.publish(coord, Map(pinned -> 4L))
+    assert(seqB > seq)
+    ManifestLake.vacuum(pinned, keepVersions = 1, graceMillis = 0L)
+    assert(ManifestLake.snapshotAt(pinned, 2L).isEmpty,
+      "retain=1 must unpin v2 once a newer publish supersedes it")
+    assert(PublishLog.readPublishedAt(spark, coord, seqB, pinned)
+      .count() == 150L)
+    assert(reclaimedPinned >= 0L)
+  }
+
   test("refusals are loud: unknown member, uncommitted version, vacuumed version") {
     import spark.implicits._
     val coord = Files.createTempDirectory("pub_refuse").toString
