@@ -245,7 +245,29 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       }.toMap)
       if (rest.isEmpty) return loadTable(ident)
     }
-    val adds = rest.map {
+    // RENAME/DROP COLUMN are metadata-only via COLUMN MAPPING
+    // (ManifestLake.renameColumn/dropColumn — Delta's name mode): the
+    // committed bytes keep their physical names, the catalog serves
+    // the logical ones. Type changes keep refusing: they would
+    // reinterpret committed bytes, which no mapping can fix.
+    import org.apache.spark.sql.connector.catalog.TableChange.{DeleteColumn, RenameColumn}
+    val (mapping, adds0) = rest.partition {
+      case _: RenameColumn | _: DeleteColumn => true
+      case _                                 => false
+    }
+    mapping.foreach {
+      case r: RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
+        ManifestLake.renameColumn(dir, r.fieldNames.head, r.newName)
+      case d: DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
+        ManifestLake.dropColumn(dir, d.fieldNames.head)
+      case _ => ()
+    }
+    if (mapping.nonEmpty && adds0.isEmpty) return loadTable(ident)
+    val adds = adds0.map {
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
@@ -261,8 +283,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
             new MetadataBuilder().putString("comment", c).build())
             .getOrElse(Metadata.empty))
       case other => throw new UnsupportedOperationException(
-        s"graft lakes only support ALTER TABLE ... ADD COLUMNS (got: $other) — " +
-          "renames/drops/type changes would reinterpret committed bytes")
+        s"graft lakes support ALTER TABLE ADD COLUMNS / RENAME COLUMN / " +
+          s"DROP COLUMN / SET TBLPROPERTIES (got: $other) — type changes " +
+          "would reinterpret committed bytes")
     }
     ManifestLake.addColumns(dir, adds)
     loadTable(ident)

@@ -143,7 +143,17 @@ private[core] final case class GraftCdfTable(dir: String,
       .orElse(snap.declaredPartitionCol)
 
   override def name(): String = s"graft-cdf:$dir"
-  override val schema: StructType = GraftCdf.cdfSchema(lakeSchema)
+  // column mapping: the feed serves RENAMED columns under their
+  // logical names (a pure rename of this positional schema). DROPPED
+  // columns refuse on the DSv2 face — the readers materialize rows
+  // positionally under the full physical schema, and silently
+  // SERVING a dropped column would leak hidden bytes. The Scala
+  // [[ManifestLake.readChangeFeed]] twin projects them away.
+  require(snap.droppedCols.isEmpty,
+    s"the DSv2 change feed over $dir cannot serve a lake with DROPPED " +
+      "columns — use ManifestLake.readChangeFeed, which hides them")
+  override val schema: StructType = GraftCdf.cdfSchema(StructType(
+    lakeSchema.fields.map(f => f.copy(name = snap.logicalName(f.name)))))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)

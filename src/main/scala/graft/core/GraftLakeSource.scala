@@ -341,9 +341,24 @@ private[core] final case class GraftLakeTable(
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  override val schema: StructType = snap.schema.getOrElse(throw new IllegalStateException(
-    s"lake $dir has no committed schema — the SQL surface requires one " +
-      "(read it via ManifestLake.read)"))
+  /** The committed (PHYSICAL) schema — what parquet footers, manifest
+    * stats/blooms and partition directories are keyed on. */
+  private[core] val physSchema: StructType =
+    snap.schema.getOrElse(throw new IllegalStateException(
+      s"lake $dir has no committed schema — the SQL surface requires one " +
+        "(read it via ManifestLake.read)"))
+
+  /** Column-mapping name bridges (identity on unmapped lakes): the
+    * TABLE schema Spark sees is logical; everything file- or
+    * manifest-keyed stays physical, translated at the scan/write
+    * boundary. */
+  private[core] def toPhysName(n: String): String =
+    physOfLogical.getOrElse(n, n)
+  private[core] def toLogicalName(n: String): String =
+    snap.renames.getOrElse(n, n)
+  private val physOfLogical: Map[String, String] = snap.renames.map(_.swap)
+
+  override val schema: StructType = snap.logicalSchema.getOrElse(physSchema)
 
   // no backticks/dots: Spark re-parses table names into attribute
   // paths in several error/DML flows, and exotic characters turn a
@@ -357,10 +372,14 @@ private[core] final case class GraftLakeTable(
   /** Partition column = the one schema field no data file carries
     * (layout is `<col>=<v>/<file>` — recovered from the first file's
     * path, or from the CREATE TABLE declaration for a lake that has
-    * no files yet). */
+    * no files yet). PHYSICAL name (directory names carry it);
+    * [[partitionColLogical]] is the user-facing spelling. */
   val partitionCol: Option[String] =
-    files.headOption.map(_.takeWhile(_ != '=')).filter(schema.fieldNames.contains)
+    files.headOption.map(_.takeWhile(_ != '='))
+      .filter(physSchema.fieldNames.contains)
       .orElse(snap.declaredPartitionCol)
+  private[core] val partitionColLogical: Option[String] =
+    partitionCol.map(toLogicalName)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def longOpt(k: String): Option[Long] =
@@ -627,6 +646,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
       (f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType))
     if (!integral) return false
+    val physCol = table.toPhysName(colName) // stats key on physical names
     val files = table.files
     // deletion vectors silently reduce a file's contribution and may
     // have removed the extremes the stats describe — the coverage
@@ -640,7 +660,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     val metas = files.map { f =>
       for {
         rows <- table.snap.rows.get(f)
-        st <- table.snap.stats.getOrElse(f, Vector.empty).find(_.col == colName)
+        st <- table.snap.stats.getOrElse(f, Vector.empty).find(_.col == physCol)
         nulls <- st.nulls
         mn <- Some(st.min).collect { case Bound.Num(v) => v }
         mx <- Some(st.max).collect { case Bound.Num(v) => v }
@@ -687,7 +707,11 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
     * a residual (pruning selects files, rows still filter in-engine),
     * so an unsupported shape is merely un-pruned, never wrong. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // filters arrive with LOGICAL column names; pruning consults
+    // manifest stats/blooms/partition directories keyed on PHYSICAL
+    // names — translate once here (identity on unmapped lakes)
     pushed = filters.filter(prunable)
+      .map(GraftPrune.mapRefs(_, table.toPhysName))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -735,7 +759,7 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
       agg.groupByExpressions.toSeq match {
         case Seq() => Some(Seq((None, table.files)))
         case Seq(g) =>
-          named(g).filter(n => table.partitionCol.contains(n) &&
+          named(g).filter(n => table.partitionColLogical.contains(n) &&
               table.schema.fields.exists(f =>
                 f.name == n && f.dataType == StringType))
             .map { _ =>
@@ -753,8 +777,9 @@ private[core] class GraftScanBuilder(table: GraftLakeTable,
       }
     def bound(files: Vector[String], col: String, wantMin: Boolean)
         : Option[BigDecimal] = {
+      val physCol = table.toPhysName(col) // stats key on physical names
       val per = files.map(f =>
-        table.snap.stats.getOrElse(f, Vector.empty).find(_.col == col))
+        table.snap.stats.getOrElse(f, Vector.empty).find(_.col == physCol))
       if (per.isEmpty || per.exists(_.isEmpty)) None // untracked file → unknown
       else {
         val bs = per.flatten.map(st => if (wantMin) st.min else st.max)
@@ -945,6 +970,32 @@ private[core] object GraftPrune {
     case _          => None
   }
 
+  /** Rewrite a filter's attribute references through `m` — the
+    * column-mapping bridge (logical filter from Spark → physical names
+    * the manifest stats/blooms/partition directories are keyed on).
+    * Shapes outside the prunable set pass through unchanged, which is
+    * SAFE: [[survives]] keeps any file whose referenced column has no
+    * stats, and the residual filter still evaluates row-wise above the
+    * scan — an untranslated name merely un-prunes. */
+  def mapRefs(f: Filter, m: String => String): Filter = f match {
+    case EqualTo(a, v)            => EqualTo(m(a), v)
+    case EqualNullSafe(a, v)      => EqualNullSafe(m(a), v)
+    case GreaterThan(a, v)        => GreaterThan(m(a), v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m(a), v)
+    case LessThan(a, v)           => LessThan(m(a), v)
+    case LessThanOrEqual(a, v)    => LessThanOrEqual(m(a), v)
+    case In(a, vs)                => In(m(a), vs)
+    case IsNull(a)                => IsNull(m(a))
+    case IsNotNull(a)             => IsNotNull(m(a))
+    case StringStartsWith(a, v)   => StringStartsWith(m(a), v)
+    case StringEndsWith(a, v)     => StringEndsWith(m(a), v)
+    case StringContains(a, v)     => StringContains(m(a), v)
+    case And(l, r)                => And(mapRefs(l, m), mapRefs(r, m))
+    case Or(l, r)                 => Or(mapRefs(l, m), mapRefs(r, m))
+    case Not(c)                   => Not(mapRefs(c, m))
+    case other                    => other
+  }
+
   /** A filter is usable for manifest pruning when it constrains ONE
     * column with comparable literal bounds. Everything is returned as
     * a residual (pruning selects files, rows still filter in-engine),
@@ -1083,8 +1134,11 @@ private[graft] final case class GraftScan(
     * only — a filter shape the rules can't use leaves the file set
     * unchanged. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val statsCols = table.snap.stats.valuesIterator.flatten.map(_.col).toSeq.distinct
-    val bloomCols = table.snap.blooms.valuesIterator.flatten.map(_.col).toSeq.distinct
+    // advertise LOGICAL names — Spark resolves them against readSchema
+    val statsCols = table.snap.stats.valuesIterator.flatten.map(_.col)
+      .toSeq.distinct.map(table.toLogicalName)
+    val bloomCols = table.snap.blooms.valuesIterator.flatten.map(_.col)
+      .toSeq.distinct.map(table.toLogicalName)
     // only columns this scan OUTPUTS — Spark resolves these refs
     // against the scan's projection, and a pruned-away column would
     // fail analysis of the enclosing join
@@ -1098,15 +1152,18 @@ private[graft] final case class GraftScan(
         // skippable column instead (bloom beats stats beats partition):
         // the rule then emits a plain single-attribute IN, which
         // translates and prunes files through the point-lookup rules.
-        (bloomCols.iterator ++ statsCols ++ table.partitionCol.iterator)
+        (bloomCols.iterator ++ statsCols ++ table.partitionColLogical.iterator)
           .filter(out.contains).take(1).toSeq
-      else (table.partitionCol.iterator ++ statsCols ++ bloomCols)
+      else (table.partitionColLogical.iterator ++ statsCols ++ bloomCols)
         .toSeq.distinct.filter(out.contains)
     cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
   override def filter(filters: Array[Filter]): Unit = {
+    // runtime filters reference LOGICAL names → physical for the
+    // manifest survival rules
     val usable = filters.filter(GraftPrune.prunable)
+      .map(GraftPrune.mapRefs(_, table.toPhysName))
     if (usable.nonEmpty)
       runtimeKept = runtimeKept.filter(f => usable.forall(
         GraftPrune.survives(table.snap, table.partitionCol, f, _)))
@@ -1130,8 +1187,16 @@ private[graft] final case class GraftScan(
     StructType(required.fields.filterNot(part.contains) ++ part)
   }
 
+  // `required` carries LOGICAL names — match the partition column by
+  // its logical spelling (≡ physical on unmapped lakes)
   private def partitionFields: Array[StructField] =
-    table.partitionCol.toArray.flatMap(c => required.fields.filter(_.name == c))
+    table.partitionColLogical.toArray.flatMap(c =>
+      required.fields.filter(_.name == c))
+
+  /** A required (logical-named) field under its PHYSICAL name — what
+    * parquet footers carry. Positional rows make the rename free. */
+  private def physField(f: StructField): StructField =
+    f.copy(name = table.toPhysName(f.name))
 
   override def description(): String =
     s"GraftLake ${table.name()} prunedFiles=${keptFiles.length}/$totalFiles " +
@@ -1192,7 +1257,8 @@ private[graft] final case class GraftScan(
   private def spjBucket: Option[(String, Int)] =
     if (rowLevel || !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
     else table.snap.declaredBucket.filter { case (c, _) =>
-      required.fieldNames.contains(c) && effectiveFiles.nonEmpty &&
+      required.fieldNames.contains(table.toLogicalName(c)) &&
+        effectiveFiles.nonEmpty &&
         effectiveFiles.forall(table.snap.buckets.contains)
     }
 
@@ -1203,7 +1269,9 @@ private[graft] final case class GraftScan(
     spjBucket match {
       case Some((c, n)) =>
         val ids = effectiveFiles.iterator.map(table.snap.buckets).toSet
-        new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), ids.size)
+        // report the LOGICAL spelling — Spark binds it to readSchema
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, table.toLogicalName(c))), ids.size)
       case None =>
         val keys =
           if (spjKeyed) effectiveFiles.iterator.map(_.takeWhile(_ != '/')).toSet
@@ -1303,14 +1371,19 @@ private[graft] final case class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
-    val part = partitionFields
-    val readData = StructType(required.fields.filterNot(part.contains))
+    // the parquet layer sees PHYSICAL names throughout (what footers
+    // carry); `required`/readSchema stay logical — rows are positional,
+    // so the boundary is free
+    val part = partitionFields.map(physField)
+    val readData = StructType(
+      required.fields.filterNot(partitionFields.contains).map(physField))
     // full data schema = committed schema minus the partition column —
     // what the files actually carry (evolution-era files null-fill)
     val dataSchema = StructType(
-      table.schema.fields.filterNot(f => table.partitionCol.contains(f.name)))
+      table.physSchema.fields.filterNot(f => table.partitionCol.contains(f.name)))
     // only data-column filters reach the parquet reader (partition
     // columns don't exist in the files); file pruning already used all
+    // — `pushed` already carries physical names
     val dataCols = dataSchema.fieldNames.toSet
     val dataFilters = pushed.filter(_.references.forall(dataCols.contains))
     // The reader factory expects the conf ParquetScan prepares: the

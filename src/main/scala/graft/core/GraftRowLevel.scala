@@ -104,7 +104,12 @@ private[core] final class GraftReplaceBatchWrite(
     val partitionCol = table.partitionCol.getOrElse(
       throw new IllegalStateException(
         s"lake ${table.dir} has no partitioned files — nothing to rewrite"))
-    val dataSchema = StructType(schema.fields.filterNot(_.name == partitionCol))
+    // the operation's row schema arrives with LOGICAL names; rewritten
+    // files must carry PHYSICAL ones (rows are positional — the rename
+    // is free). partitionCol is already physical.
+    val physSchema = StructType(
+      schema.fields.map(f => f.copy(name = table.toPhysName(f.name))))
+    val dataSchema = StructType(physSchema.fields.filterNot(_.name == partitionCol))
     // the writer-side conf ParquetFileFormat.prepareWrite assembles:
     // write-support class + catalyst schema + the format flags the
     // write support reads back
@@ -132,8 +137,8 @@ private[core] final class GraftReplaceBatchWrite(
     // placement rule as the stager — and the commit tags the written
     // files, so an UPDATE/MERGE no longer degrades SPJ coverage
     val bucket = table.snap.declaredBucket
-      .filter { case (c, _) => schema.fieldNames.contains(c) }
-    GraftWriterFactory(table.dir, partitionCol, schema,
+      .filter { case (c, _) => physSchema.fieldNames.contains(c) }
+    GraftWriterFactory(table.dir, partitionCol, physSchema,
       new SerializableConfiguration(conf), bucket)
   }
 

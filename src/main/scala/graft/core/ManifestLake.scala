@@ -151,6 +151,48 @@ object ManifestLake {
       case (k, v) if k.startsWith(PropConstraintPrefix) =>
         (k.stripPrefix(PropConstraintPrefix), v)
     }.toSeq.sortBy(_._1)
+    /** COLUMN MAPPING (Delta's column-mapping name mode, props-encoded):
+      * `colmap.<physical>=<logical>` renames a committed column
+      * METADATA-ONLY — `schema` (and every manifest-internal structure:
+      * stats, blooms, partition directories, bucket declarations,
+      * constraint expressions) stays keyed on PHYSICAL names, the
+      * names the parquet bytes actually carry; the logical name exists
+      * only at the API boundary ([[ManifestLake.read]]'s output, write
+      * entry translation, the DSv2 table schema). `coldrop.<physical>`
+      * hides a committed column from reads without touching a byte —
+      * time travel to a pre-drop version still serves it (that
+      * snapshot has no coldrop prop). */
+    def renames: Map[String, String] = props.iterator.collect {
+      case (k, v) if k.startsWith(PropColMapPrefix) =>
+        (k.stripPrefix(PropColMapPrefix), v)
+    }.toMap
+    def droppedCols: Set[String] = props.iterator.collect {
+      case (k, _) if k.startsWith(PropColDropPrefix) =>
+        k.stripPrefix(PropColDropPrefix)
+    }.toSet
+    def mappingActive: Boolean = props.keysIterator.exists(k =>
+      k.startsWith(PropColMapPrefix) || k.startsWith(PropColDropPrefix))
+    /** The physical column's user-facing name (itself when unmapped). */
+    def logicalName(physical: String): String =
+      renames.getOrElse(physical, physical)
+    /** The user-facing name's physical column, None for unknown or
+      * dropped names. Rename/add refusals guarantee a logical name
+      * never collides with a different column's physical name, so the
+      * rename map wins and the fallthrough is safe. */
+    def physicalName(logical: String): Option[String] = {
+      val viaMap = renames.collectFirst { case (p, l) if l == logical => p }
+      viaMap.orElse(schema.flatMap(_.fieldNames.find(_ == logical))
+        .filterNot(p => droppedCols.contains(p) || renames.contains(p)))
+    }
+    /** The user-facing schema: committed (physical) schema with
+      * renames applied and dropped columns hidden, order preserved. */
+    def logicalSchema: Option[org.apache.spark.sql.types.StructType] =
+      schema.map { sc =>
+        if (!mappingActive) sc
+        else org.apache.spark.sql.types.StructType(sc.fields.toIndexedSeq
+          .filterNot(f => droppedCols.contains(f.name))
+          .map(f => f.copy(name = logicalName(f.name))))
+      }
     private def csvProp(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   }
@@ -171,6 +213,9 @@ object ManifestLake {
     * retire a manifest the CURRENT cross-lake snapshot still serves. */
   private[core] val PropPublishCoord = "publish.coord"
   private[core] val PropPublishRetain = "publish.retain"
+  /** Column-mapping props — see [[Snapshot.renames]]. */
+  private[core] val PropColMapPrefix = "colmap."
+  private[core] val PropColDropPrefix = "coldrop."
   /** Commit-time change sidecars live here (Delta's `_change_data`):
     * UNPARTITIONED parquet carrying the lake's columns plus a stored
     * `_change_type`, referenced per-commit by `#cdf:` headers — never
@@ -1519,8 +1564,8 @@ object ManifestLake {
           if (latest.version != snap.version) {
             val fresh = latest.files.filterNot(snap.files.toSet)
             if (fresh.nonEmpty) {
-              val late = lakeFiles(s, dir, latest, fresh,
-                latest.schema.foldLeft(s.read.option("basePath", dir))(_ schema _))
+              val late = toLogical(latest, lakeFiles(s, dir, latest, fresh,
+                latest.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)))
                 .filter(!coalesce(parsed, lit(true))).count()
               if (late > 0L) throw new IllegalStateException(
                 s"cannot add constraint '$name' CHECK ($checkExpr): a " +
@@ -1586,19 +1631,30 @@ object ManifestLake {
     * and NULL passes — SQL standard CHECK, matching the read-side
     * null-fill. */
   private[core] def withCheckConstraints(df: DataFrame,
-                                         cons: Seq[(String, String)]): DataFrame = {
+                                         cons: Seq[(String, String)],
+                                         renames: Map[String, String] = Map.empty)
+      : DataFrame = {
     if (cons.isEmpty) return df
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val exprs = cons.map { case (n, sqlText) => (n, sqlText, expr(sqlText)) }
+    // column mapping: the staged frame carries PHYSICAL names, but a
+    // constraint added after a RENAME references the logical name —
+    // alias each renamed physical column under its logical name so
+    // both spellings resolve (never a null-fill masking enforcement)
+    val aliased = renames.foldLeft(df) { case (d, (p, l)) =>
+      if (d.columns.contains(p) && !d.columns.contains(l))
+        d.withColumn(l, col(p))
+      else d
+    }
     val present =
-      df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      aliased.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val parser = df.sparkSession.sessionState.sqlParser
     val missing = cons.flatMap { case (_, sqlText) =>
       parser.parseExpression(sqlText).collect {
         case ua: UnresolvedAttribute => ua.name
       }
     }.distinct.filterNot(c => present.contains(c.toLowerCase(java.util.Locale.ROOT)))
-    val checkable = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    val checkable = missing.foldLeft(aliased)((d, c) => d.withColumn(c, lit(null)))
     val ok = exprs.map { case (_, _, e) => coalesce(e, lit(true)) }.reduce(_ && _)
     val firstViolated = coalesce(exprs.map { case (n, sqlText, e) =>
       when(!coalesce(e, lit(true)), lit(s"$n CHECK ($sqlText)"))
@@ -1629,9 +1685,14 @@ object ManifestLake {
       case Some(latest) =>
         val cur = latest.schema.getOrElse(throw new IllegalStateException(
           s"lake $dir has no committed schema — ALTER needs one"))
-        val clash = adds.map(_.name).filter(cur.fieldNames.contains)
+        // clashes with PHYSICAL names cover dropped columns too (the
+        // committed schema keeps them); clashes with LOGICAL names
+        // keep physicalName resolution unambiguous under renames
+        val taken = cur.fieldNames.toSet ++ latest.renames.values
+        val clash = adds.map(_.name).filter(taken.contains)
         if (clash.nonEmpty) throw new IllegalArgumentException(
-          s"column(s) already exist: ${clash.mkString(", ")}")
+          s"column(s) already exist (as a live, renamed, or dropped " +
+            s"column): ${clash.mkString(", ")}")
         val dup = adds.groupBy(_.name).collect { case (n, fs) if fs.length > 1 => n }
         if (dup.nonEmpty) throw new IllegalArgumentException(
           s"duplicate column(s) in ADD: ${dup.mkString(", ")}")
@@ -1641,12 +1702,196 @@ object ManifestLake {
     }.get
   }
 
+  /** physical→logical VIEW of a lake frame (no-op when unmapped):
+    * dropped columns hidden, renamed columns served under their
+    * logical names. A pure column-level Project — filter pushdown and
+    * column pruning pass through it. */
+  private[core] def toLogical(snap: Snapshot, df: DataFrame): DataFrame =
+    if (!snap.mappingActive) df
+    else {
+      val dropped = snap.droppedCols.filter(df.columns.contains).toSeq
+      val ren = snap.renames.filter { case (p, _) => df.columns.contains(p) }
+      df.drop(dropped: _*).withColumnsRenamed(ren)
+    }
+
+  /** logical→physical, for user frames about to be staged: the bytes
+    * written always carry PHYSICAL names, whatever the column is
+    * called today — one name per column across every file generation. */
+  private[core] def toPhysical(snap: Snapshot, df: DataFrame): DataFrame =
+    if (!snap.mappingActive) df
+    else df.withColumnsRenamed(
+      snap.renames.collect { case (p, l) if df.columns.contains(l) => (l, p) })
+
+  /** A user-facing column-name argument (partitionCol, keyCols,
+    * statsCols, clusterBy...) resolved to its physical column.
+    * Physical names pass through unchanged (internal callers hand
+    * them around), which is unambiguous because rename/add refuse any
+    * logical name colliding with a different column's physical name.
+    * A DROPPED column's name refuses — it names nothing. */
+  private[core] def physicalColName(snap: Snapshot, name: String): String =
+    if (!snap.mappingActive) name
+    else snap.renames.collectFirst { case (p, l) if l == name => p }
+      .getOrElse {
+        require(!snap.droppedCols.contains(name),
+          s"column '$name' was dropped — it no longer names a column " +
+            "(time travel to a pre-drop version still serves it)")
+        name
+      }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — METADATA-ONLY via
+    * column mapping (Delta's name-mode analogue): one `colmap.*`
+    * property commit, zero bytes rewritten. The committed (physical)
+    * schema, every manifest structure (stats, blooms, partition
+    * directories, bucket declaration) and every parquet footer keep
+    * the original name; reads, writes and the DSv2/SQL faces
+    * translate at the boundary, across ALL file generations. Renaming
+    * back to the physical name drops the mapping entry. Refuses:
+    * unknown/dropped source column; a target name already in use
+    * (logically or physically — resolution must stay unambiguous);
+    * names a manifest property line cannot carry; a column referenced
+    * by a CHECK constraint (Delta's rule — the stored expression text
+    * would silently dangle). */
+  def renameColumn(dir: String, from: String, to: String): Snapshot = {
+    require(to.nonEmpty && !to.contains('\n') && !to.contains('\r'),
+      s"cannot rename to '$to': the name cannot ride a manifest property")
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(s"no committed manifest in $dir")
+      case Some(latest) =>
+        val sc = latest.schema.getOrElse(throw new IllegalStateException(
+          s"lake $dir has no committed schema — RENAME COLUMN needs one"))
+        val phys = latest.physicalName(from).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$from' on $dir (dropped or never committed) — " +
+              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+        require(!phys.contains('=') && !phys.contains('\n') && !phys.contains('\r'),
+          s"physical column '$phys' cannot key a manifest property — " +
+            "alias it at write time instead")
+        if (latest.logicalName(phys) == to) None // already named `to`
+        else {
+          val takenLogical = latest.logicalSchema.get.fieldNames.toSet
+          require(!takenLogical.contains(to),
+            s"cannot rename '$from' to '$to': a column named '$to' exists")
+          require(!sc.fieldNames.exists(p => p != phys && p == to),
+            s"cannot rename '$from' to '$to': '$to' is the physical name " +
+              "of another committed column (possibly dropped) — pick a " +
+              "name never used by this lake")
+          constraintsReferencing(latest, phys).foreach { n =>
+            throw new IllegalStateException(
+              s"cannot rename '$from': CHECK constraint '$n' references " +
+                "it — drop the constraint first and re-add it under the " +
+                "new name")
+          }
+          val newProps =
+            if (to == phys) latest.props - (PropColMapPrefix + phys)
+            else latest.props + (PropColMapPrefix + phys -> to)
+          Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
+            latest.schema, latest.blooms, latest.rows,
+            props = Some(newProps), buckets = latest.buckets))
+        }
+    }.get
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — METADATA-ONLY: one `coldrop.*`
+    * property commit hides the committed bytes from reads; time
+    * travel to any pre-drop version still serves them (that snapshot
+    * carries no drop marker), exactly Delta's column-mapping DROP.
+    * Refuses: the partition or bucket column (structural — file
+    * placement is derived from them), the last visible column, a
+    * column referenced by a CHECK constraint, unknown/already-dropped
+    * names. The physical name stays reserved forever (re-ADDing it
+    * refuses): committed bytes still carry it, and a new column under
+    * the same physical name would resurrect them. */
+  def dropColumn(dir: String, name: String): Snapshot = {
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(s"no committed manifest in $dir")
+      case Some(latest) =>
+        latest.schema.getOrElse(throw new IllegalStateException(
+          s"lake $dir has no committed schema — DROP COLUMN needs one"))
+        val phys = latest.physicalName(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$name' on $dir (dropped or never committed) — " +
+              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+        require(!phys.contains('=') && !phys.contains('\n') && !phys.contains('\r'),
+          s"physical column '$phys' cannot key a manifest property")
+        val partCol = latest.declaredPartitionCol
+          .orElse(latest.files.headOption.map(_.takeWhile(_ != '=')))
+        require(!partCol.contains(phys),
+          s"cannot drop '$name': it is the partition column — file " +
+            "placement derives from it")
+        require(!latest.declaredBucket.exists(_._1 == phys),
+          s"cannot drop '$name': it is the bucket column — co-location " +
+            "derives from it")
+        require(latest.logicalSchema.get.fields.length > 1,
+          s"cannot drop '$name': it is the last visible column")
+        constraintsReferencing(latest, phys).foreach { n =>
+          throw new IllegalStateException(
+            s"cannot drop '$name': CHECK constraint '$n' references it — " +
+              "drop the constraint first")
+        }
+        Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
+          latest.schema, latest.blooms, latest.rows,
+          props = Some(latest.props
+            + (PropColDropPrefix + phys -> "true")
+            - (PropColMapPrefix + phys)),
+          buckets = latest.buckets))
+    }.get
+  }
+
+  /** Names of CHECK constraints whose expression references the
+    * physical column `phys` — under its physical OR current logical
+    * name (constraints added before a rename store the old spelling,
+    * ones added after store the new). */
+  private def constraintsReferencing(snap: Snapshot,
+                                     phys: String): Option[String] = {
+    val names = Set(phys, snap.logicalName(phys))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    snap.constraints.collectFirst {
+      case (n, e) if org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        }.exists(names.contains) => n
+    }
+  }
+
   def append(s: SparkSession, dir: String, df: DataFrame, partitionCol: String,
              maxRecordsPerFile: Long = 1024 * 1024,
              writeOptions: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             bucketBy: Option[(String, Int)] = None): Snapshot = {
+             bucketBy: Option[(String, Int)] = None): Snapshot =
+    latestSnapshot(dir).filter(_.mappingActive) match {
+      // column mapping: user frames and column args arrive in LOGICAL
+      // terms; staged bytes always carry PHYSICAL names (one name per
+      // column across every file generation)
+      case Some(sn) =>
+        requireNoDropped(sn, df, dir)
+        append0(s, dir, toPhysical(sn, df),
+          physicalColName(sn, partitionCol), maxRecordsPerFile, writeOptions,
+          statsCols.map(physicalColName(sn, _)),
+          bloomCols.map(physicalColName(sn, _)),
+          bucketBy.map { case (c, n) => (physicalColName(sn, c), n) })
+      case None => append0(s, dir, df, partitionCol, maxRecordsPerFile,
+        writeOptions, statsCols, bloomCols, bucketBy)
+    }
+
+  /** A write frame naming a DROPPED column refuses: the name no longer
+    * names a column, and silently writing bytes into the hidden
+    * physical slot would "resurrect" it for time travel only. */
+  private def requireNoDropped(sn: Snapshot, df: DataFrame, dir: String): Unit = {
+    val bad = df.columns.filter(sn.droppedCols.contains)
+    require(bad.isEmpty,
+      s"column(s) ${bad.mkString(", ")} were dropped from $dir — they no " +
+        "longer exist (time travel to a pre-drop version still serves them)")
+  }
+
+  private def append0(s: SparkSession, dir: String, df: DataFrame,
+             partitionCol: String,
+             maxRecordsPerFile: Long,
+             writeOptions: Map[String, String],
+             statsCols: Seq[String],
+             bloomCols: Seq[String],
+             bucketBy: Option[(String, Int)]): Snapshot = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     // fail a type flip BEFORE staging any bytes (racing commits are
@@ -1665,7 +1910,8 @@ object ManifestLake {
     val effBlooms = (bloomCols ++ pre.toSeq.flatMap(_.declaredBloomCols)).distinct
     val bucket = effectiveBucket(dir, pre, bucketBy)
     val (staged, stagedBuckets) = stageFiles(s, root,
-      withCheckConstraints(df, pre.map(_.constraints).getOrElse(Nil)),
+      withCheckConstraints(df, pre.map(_.constraints).getOrElse(Nil),
+        pre.map(_.renames).getOrElse(Map.empty)),
       partitionCol, maxRecordsPerFile, writeOptions, bucket)
     val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
     val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
@@ -1725,7 +1971,25 @@ object ManifestLake {
                   appId: String, batchId: Long,
                   maxRecordsPerFile: Long = 1024 * 1024,
                   statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Snapshot = {
+                  bloomCols: Seq[String] = Nil): Snapshot =
+    latestSnapshot(dir).filter(_.mappingActive) match {
+      // column mapping: translate at the boundary, exactly [[append]]
+      case Some(sn) =>
+        requireNoDropped(sn, df, dir)
+        appendBatch0(s, dir, toPhysical(sn, df),
+          physicalColName(sn, partitionCol), appId, batchId, maxRecordsPerFile,
+          statsCols.map(physicalColName(sn, _)),
+          bloomCols.map(physicalColName(sn, _)))
+      case None => appendBatch0(s, dir, df, partitionCol, appId, batchId,
+        maxRecordsPerFile, statsCols, bloomCols)
+    }
+
+  private def appendBatch0(s: SparkSession, dir: String, df: DataFrame,
+                  partitionCol: String,
+                  appId: String, batchId: Long,
+                  maxRecordsPerFile: Long,
+                  statsCols: Seq[String],
+                  bloomCols: Seq[String]): Snapshot = {
     require(!appId.contains('\n'), "appId must be single-line")
     val root = Paths.get(dir)
     Files.createDirectories(root)
@@ -1740,7 +2004,8 @@ object ManifestLake {
     val effStats = (statsCols ++ already.toSeq.flatMap(_.declaredStatsCols)).distinct
     val effBlooms = (bloomCols ++ already.toSeq.flatMap(_.declaredBloomCols)).distinct
     val (staged, stagedBuckets) = stageFiles(s, root,
-      withCheckConstraints(df, already.map(_.constraints).getOrElse(Nil)),
+      withCheckConstraints(df, already.map(_.constraints).getOrElse(Nil),
+        already.map(_.renames).getOrElse(Map.empty)),
       partitionCol, maxRecordsPerFile, Map.empty,
       already.flatMap(_.declaredBucket))
     // stats and blooms built OUTSIDE the commit loop (one scan of the
@@ -1822,7 +2087,22 @@ object ManifestLake {
     * contract as [[deleteWhere]]. */
   def merge(s: SparkSession, dir: String, updates: DataFrame,
             keyCols: Seq[String]): MergeStats =
-    merge(s, dir, updates, keyCols, () => ())
+    latestSnapshot(dir).filter(_.mappingActive) match {
+      // column mapping: translate at the boundary, exactly [[append]];
+      // dropped physical columns null-fill (the logical updates frame
+      // cannot carry them, but merge's column-alignment contract is
+      // over the committed physical schema)
+      case Some(sn) =>
+        requireNoDropped(sn, updates, dir)
+        val phys0 = toPhysical(sn, updates)
+        val phys = sn.schema.toSeq.flatMap(_.fields)
+          .filter(f => sn.droppedCols.contains(f.name) &&
+            !phys0.columns.contains(f.name))
+          .foldLeft(phys0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        merge(s, dir, phys, keyCols.map(physicalColName(sn, _)), () => ())
+      case None => merge(s, dir, updates, keyCols, () => ())
+    }
 
   /** Test seam, as for deleteWhere/compact: `beforeCommit` runs after
     * the rewrites and staged writes, before the commit loop — the
@@ -1936,7 +2216,7 @@ object ManifestLake {
       // alignment just keeps file layouts uniform)
       val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       val stagedPair = stageFiles(s, root,
-        withCheckConstraints(aligned, snap.constraints), partitionCol,
+        withCheckConstraints(aligned, snap.constraints, snap.renames), partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
       val staged = stagedPair._1
 
@@ -2049,8 +2329,16 @@ object ManifestLake {
     // the staged rewrite and fails before the commit loop runs.
     val cons = snap.constraints
     if (cons.nonEmpty && Set("update", "merge").contains(op) && added.nonEmpty) {
-      val df = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+      val raw = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
         .parquet(added.map(f => s"$dir/$f"): _*)
+      // column mapping: a constraint added after a RENAME references
+      // the logical name — alias it over the physical column so both
+      // spellings resolve (the withCheckConstraints rule)
+      val df = snap.renames.foldLeft(raw) { case (d, (p, l)) =>
+        if (d.columns.contains(p) && !d.columns.contains(l))
+          d.withColumn(l, col(p))
+        else d
+      }
       val violating = cons.map { case (_, sqlText) =>
         !coalesce(expr(sqlText), lit(true)) }.reduce(_ || _)
       val bad = df.filter(violating).limit(1).collect()
@@ -2101,9 +2389,13 @@ object ManifestLake {
     // per-file inference, and files written before a column was added
     // null-fill it — Delta-style evolution without mergeSchema's
     // every-footer planning cost. Pre-schema manifests fall back to
-    // inference.
+    // inference. Column mapping applies LAST (toLogical is a pure
+    // Project — pushdown passes through): the physical read serves
+    // renamed columns under their logical names and hides dropped
+    // ones, per THIS snapshot's mapping — so time travel to a
+    // pre-rename version serves the old names, exactly Delta.
     val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-    lakeFiles(s, dir, snap, snap.files, reader)
+    toLogical(snap, lakeFiles(s, dir, snap, snap.files, reader))
   }
 
   /** EVERY Scala-side read of lake data files routes here: parquet of
@@ -2224,7 +2516,9 @@ object ManifestLake {
     }
     if (scanFiles.isEmpty) return 0L
     val detectReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-    val affectedAbs = lakeFiles(s, dir, snap, scanFiles, detectReader)
+    // the predicate is user-facing: evaluate on the LOGICAL view
+    // (identity on unmapped lakes); input_file_name rides through
+    val affectedAbs = toLogical(snap, lakeFiles(s, dir, snap, scanFiles, detectReader))
       .filter(predicate)
       .select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toVector
@@ -2243,9 +2537,12 @@ object ManifestLake {
       if (!snap.cdfEnabled) Vector.empty
       else {
         val cdfReader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+        // filter on the logical view (user predicate), store PHYSICAL
+        // names — sidecars read back under the committed schema
         stageCdfFiles(s, root,
-          lakeFiles(s, dir, snap, affected, cdfReader)
-            .filter(coalesce(predicate, lit(false)))
+          toPhysical(snap,
+            toLogical(snap, lakeFiles(s, dir, snap, affected, cdfReader))
+              .filter(coalesce(predicate, lit(false))))
             .withColumn(CdfTypeCol, lit("delete")))
       }
 
@@ -2274,8 +2571,9 @@ object ManifestLake {
         snap.dvs.get(f).fold(0L)(_.count)).sum
     val (newFiles, newBuckets): (Vector[String], Map[String, Int]) = {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      val survivors = lakeFiles(s, dir, snap, affected, reader)
-        .filter(!coalesce(predicate, lit(false)))
+      val survivors = toPhysical(snap,
+        toLogical(snap, lakeFiles(s, dir, snap, affected, reader))
+          .filter(!coalesce(predicate, lit(false))))
       stageFiles(s, root, survivors, partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
     }
@@ -2440,8 +2738,11 @@ object ManifestLake {
     val alive = dvDeletedPredicate(s, dir, snap, scanFiles).fold(raw)(deleted =>
       raw.filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
     val relOf = udf((p: String) => relFromUri(p))
-    // SQL DELETE rule: NULL predicate = not deleted (coalesce false)
-    val matched = alive.filter(coalesce(predicate, lit(false)))
+    // SQL DELETE rule: NULL predicate = not deleted (coalesce false).
+    // The predicate is user-facing — evaluate it on the LOGICAL view
+    // (toLogical keeps the __graft position columns, which are not
+    // mapped); positions are physical either way.
+    val matched = toLogical(snap, alive).filter(coalesce(predicate, lit(false)))
       .select(relOf(col("__graft_dv_path")).as("f"), col("__graft_dv_idx").as("i"))
 
     val updates = writeDvSidecars(s, dir, snap, matched)
@@ -2494,6 +2795,16 @@ object ManifestLake {
   def deleteKeysDv(s: SparkSession, dir: String, keys: DataFrame,
                    keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "keyed delete needs at least one key column")
+    latestSnapshot(dir).filter(_.mappingActive).foreach { sn =>
+      // column mapping: translate at the boundary, exactly [[append]]
+      return deleteKeysDv0(s, dir, toPhysical(sn, keys),
+        keyCols.map(physicalColName(sn, _)))
+    }
+    deleteKeysDv0(s, dir, keys, keyCols)
+  }
+
+  private def deleteKeysDv0(s: SparkSession, dir: String, keys: DataFrame,
+                   keyCols: Seq[String]): Long = {
     val root = Paths.get(dir)
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
@@ -2618,7 +2929,9 @@ object ManifestLake {
     // frame of the committed schema (analysis only, no data touched);
     // an expression that doesn't resolve here is left for the real
     // read to reject.
-    snap.schema.foreach { sc =>
+    // predicate/assignments are user-facing — analyze them against the
+    // LOGICAL schema (≡ committed schema on unmapped lakes)
+    snap.logicalSchema.foreach { sc =>
       val empty = s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
       def requireDet(c: org.apache.spark.sql.Column, what: String): Unit = {
@@ -2648,8 +2961,11 @@ object ManifestLake {
       raw.filter(!deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
     val relOf = udf((p: String) => relFromUri(p))
     // matched rows feed BOTH legs (positions -> sidecars, images ->
-    // new files); persist so detection scans the candidates once
-    val matchedRows = alive.filter(coalesce(predicate, lit(false)))
+    // new files); persist so detection scans the candidates once.
+    // The frame is LOGICALIZED first: predicate and assignments are
+    // user-facing; the image converts back to physical before staging.
+    val matchedRows = toLogical(snap, alive)
+      .filter(coalesce(predicate, lit(false)))
       .withColumn("__graft_dv_f", relOf(col("__graft_dv_path")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2659,20 +2975,22 @@ object ManifestLake {
       require(updates.forall(u => snap.files.contains(u._1)),
         s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
 
-      val dataCols = raw.columns.filterNot(_.startsWith("__graft_dv_"))
-      val updatedImage = assignments.foldLeft(
+      // image built on the LOGICAL view (assignment names/exprs are
+      // user-facing), converted back to PHYSICAL for staging
+      val dataCols = matchedRows.columns.filterNot(_.startsWith("__graft_dv_"))
+      val updatedImage = toPhysical(snap, assignments.foldLeft(
         matchedRows.select(dataCols.toIndexedSeq.map(col): _*)) {
         case (df, (c, e)) =>
           require(dataCols.contains(c), s"UPDATE SET targets unknown column '$c'")
           df.withColumn(c, e)
-      }
+      })
       // a type flip would silently corrupt every older file's
       // interpretation under the committed schema — refuse by name
       val origTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
       updatedImage.schema.fields.foreach { f =>
         origTypes.get(f.name).filter(_ != f.dataType).foreach { dt =>
           throw new IllegalStateException(
-            s"UPDATE SET type flip on '${f.name}': committed " +
+            s"UPDATE SET type flip on '${snap.logicalName(f.name)}': committed " +
               s"${dt.simpleString}, assigned ${f.dataType.simpleString}")
         }
       }
@@ -2688,7 +3006,7 @@ object ManifestLake {
         .map(f => snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
         .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq.sorted
       val (staged, stagedBuckets) = stageFiles(s, root,
-        withCheckConstraints(updatedImage, snap.constraints), partitionCol,
+        withCheckConstraints(updatedImage, snap.constraints, snap.renames), partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
       val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, uniformStats)
       val stagedBlooms = buildBlooms(s, dir, staged, uniformBlooms, stagedRows)
@@ -2750,10 +3068,11 @@ object ManifestLake {
     if (added.isEmpty) read(s, dir).filter(lit(false))
     else {
       // read under the window-end's committed schema so deltas spanning
-      // a column addition present uniformly (older files null-fill)
+      // a column addition present uniformly (older files null-fill);
+      // the window-end snapshot's column mapping applies, like read()
       val reader = snap(toInclusive).schema
         .foldLeft(s.read.option("basePath", dir))(_ schema _)
-      reader.parquet(added.map(f => s"$dir/$f"): _*)
+      toLogical(snap(toInclusive), reader.parquet(added.map(f => s"$dir/$f"): _*))
     }
   }
 
@@ -2874,11 +3193,17 @@ object ManifestLake {
             .withColumn("_commit_timestamp", tsCol(cur.tsMillis)))
         }
       }
-    legs.reduceOption(_ unionByName _).getOrElse(
-      read(s, dir, Some(snap(toInclusive))).filter(lit(false))
-        .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L))
-        .withColumn("_commit_timestamp", tsCol(None)))
+    legs.reduceOption(_ unionByName _)
+      // window-end column mapping, like read(): renamed columns serve
+      // logical names, dropped ones hide; the _change_type/_commit_*
+      // columns are never mapped (empty fallback: read() is already
+      // logical)
+      .map(toLogical(snap(toInclusive), _))
+      .getOrElse(
+        read(s, dir, Some(snap(toInclusive))).filter(lit(false))
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+          .withColumn("_commit_timestamp", tsCol(None)))
   }
 
   /** SCD TYPE-2 dimension materialization from the change feed: turn
@@ -3148,11 +3473,13 @@ object ManifestLake {
   def readPoint(s: SparkSession, dir: String, col0: String, value: Any): DataFrame = {
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val kept = pruneFilesPoint(snap, col0, value)
+    val phys = physicalColName(snap, col0) // stats key on physical names
+    val kept = pruneFilesPoint(snap, phys, value)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      lakeFiles(s, dir, snap, kept, reader).filter(col(col0) === lit(value))
+      toLogical(snap,
+        lakeFiles(s, dir, snap, kept, reader).filter(col(phys) === lit(value)))
     }
   }
 
@@ -3184,12 +3511,14 @@ object ManifestLake {
                              hiLit: org.apache.spark.sql.Column): DataFrame = {
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val kept = pruneFilesBound(snap, statsCol, lo, hi)
+    val phys = physicalColName(snap, statsCol) // stats key on physical names
+    val kept = pruneFilesBound(snap, phys, lo, hi)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
       val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-      lakeFiles(s, dir, snap, kept, reader)
-        .filter(col(statsCol) >= loLit && col(statsCol) <= hiLit)
+      toLogical(snap,
+        lakeFiles(s, dir, snap, kept, reader)
+          .filter(col(phys) >= loLit && col(phys) <= hiLit))
     }
   }
 
@@ -3224,9 +3553,13 @@ object ManifestLake {
   def compact(s: SparkSession, dir: String, partitionCol: String,
               targetRecordsPerFile: Long, maxConcurrent: Int = 8,
               clusterBy: Option[String] = None,
-              onlyPartitions: Option[Set[String]] = None): Seq[CompactStat] =
-    compact(s, dir, partitionCol, targetRecordsPerFile, maxConcurrent, () => (),
-      clusterBy, onlyPartitions)
+              onlyPartitions: Option[Set[String]] = None): Seq[CompactStat] = {
+    // column mapping: name args arrive in user (logical) terms
+    val m = latestSnapshot(dir).filter(_.mappingActive)
+    def phys(c: String): String = m.fold(c)(physicalColName(_, c))
+    compact(s, dir, phys(partitionCol), targetRecordsPerFile, maxConcurrent,
+      () => (), clusterBy.map(phys), onlyPartitions)
+  }
 
   /** Test seam: `beforeCommit` runs after the rewrites finish and
     * before the commit loop starts — the window a concurrent writer's

@@ -1524,6 +1524,63 @@ object RoundTrips {
        FROM legs GROUP BY change_type, source
        ORDER BY change_type, source"""
 
+  /** q181 — COLUMN MAPPING ([[graft.core.ManifestLake.renameColumn]] /
+    * [[graft.core.ManifestLake.dropColumn]], Delta's column-mapping
+    * name mode): RENAME and DROP COLUMN as METADATA-ONLY commits —
+    * zero bytes rewritten, the physical name lives in the parquet
+    * footers and every manifest structure forever, the logical name
+    * exists only at the API/SQL boundary. The script writes
+    * generation 1, renames `text`→`body`, writes generation 2 UNDER
+    * THE NEW NAME (its files still carry the physical name — one name
+    * per column across all generations), SQL-updates through the
+    * logical name on a CDF-enabled lake (sidecars included), drops
+    * `n_chars`, and aggregates the final logical view; the DuckDB
+    * oracle replays everything from raw parquet. Era-correct time
+    * travel, write-side refusals and the SQL DDL face are pinned in
+    * ColumnMappingSpec. At 100 TB this is the whole point: renaming a
+    * column on a petabyte lake is one property commit, not a rewrite. */
+  def qColumnMappingRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_colmap_lake_").toString
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 0).repartition($"source"), "source",
+      maxRecordsPerFile = 64L, statsCols = Seq("doc_id"))           // v1: gen-1
+    graft.core.ManifestLake.setProperties(lake,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.renameColumn(lake, "text", "body")      // v3: props only
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text".as("body"), $"source", $"n_chars")
+        .repartition($"source"), "source",
+      maxRecordsPerFile = 64L, statsCols = Seq("doc_id"))           // v4: gen-2
+    s.conf.set("spark.sql.catalog.graft_colmap",
+      classOf[graft.core.GraftCatalog].getName)
+    // SQL DML through the LOGICAL name; the COW rewrite stages
+    // physical bytes and the CDF sidecar records the change
+    s.sql(s"UPDATE graft_colmap.`$lake` SET body = concat(body, ' yy') " +
+      "WHERE doc_id % 31 = 11")                                     // v5
+    graft.core.ManifestLake.dropColumn(lake, "n_chars")             // v6: props only
+    graft.core.ManifestLake.read(s, lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum(length($"body")).as("sum_body"))
+      .orderBy($"source")
+  }
+
+  val qColumnMappingRoundTripSql: String =
+    """WITH mutated AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 31 = 11 THEN text || ' yy' ELSE text END AS body
+         FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(len(body)) AS BIGINT) AS sum_body
+       FROM mutated GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2824,6 +2881,7 @@ object RoundTrips {
     "q178_publish" -> qPublishRoundTrip,
     "q179_scd2_increment" -> qScd2IncrementRoundTrip,
     "q180_cdf_restore" -> qCdfRestoreRoundTrip,
+    "q181_column_mapping" -> qColumnMappingRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2866,6 +2924,7 @@ object RoundTrips {
     "q178_publish" -> qPublishRoundTripSql,
     "q179_scd2_increment" -> qScd2IncrementRoundTripSql,
     "q180_cdf_restore" -> qCdfRestoreRoundTripSql,
+    "q181_column_mapping" -> qColumnMappingRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

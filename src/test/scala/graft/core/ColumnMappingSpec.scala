@@ -1,0 +1,226 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Column mapping ([[ManifestLake.renameColumn]] /
+  * [[ManifestLake.dropColumn]]) — Delta's column-mapping name mode:
+  * RENAME and DROP are metadata-only property commits; parquet bytes,
+  * manifest stats/blooms, partition directories and bucket
+  * declarations keep the PHYSICAL name forever, and the logical name
+  * exists only at the API boundary. Pinned here: both file
+  * generations read under the new name, writes land physical, time
+  * travel serves era-correct names, DROP hides without deleting,
+  * every DML face translates, and the refusal matrix. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("lake").toString
+
+  private def mkLake(dir: String): Unit = {
+    val df = spark.range(0, 100)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, dir, df, "source",
+      maxRecordsPerFile = 32L, statsCols = Seq("doc_id", "n_chars"))
+  }
+
+  test("RENAME is metadata-only: both file generations read under the new name; writes land physical") {
+    val dir = tmp("cm_rename")
+    mkLake(dir)                                                   // v1: gen-1 files
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    ManifestLake.renameColumn(dir, "n_chars", "chars")            // v2: props only
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.toSet == filesBefore, "no byte rewritten")
+    assert(v2.op == "alter" && v2.renames == Map("n_chars" -> "chars"))
+    // gen-2 append UNDER THE NEW NAME
+    ManifestLake.append(spark, dir, spark.range(100, 150)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("chars")), "source", maxRecordsPerFile = 32L,
+      statsCols = Seq("doc_id", "chars"))                         // v3
+    val snap = ManifestLake.latestSnapshot(dir).get
+    // the read serves BOTH generations under the logical name
+    val out = ManifestLake.read(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "chars", "source"))
+    assert(out.count() == 150L)
+    assert(out.agg(sum($"chars")).head().getLong(0) ==
+      (0L until 150L).map(_ * 10).sum)
+    // the staged gen-2 bytes carry the PHYSICAL name (footer proof)
+    val gen2 = snap.files.filterNot(filesBefore.contains)
+    assert(gen2.nonEmpty)
+    val footer = spark.read.parquet(s"$dir/${gen2.head}")
+    assert(footer.columns.contains("n_chars") && !footer.columns.contains("chars"),
+      footer.columns.mkString(","))
+    // and the manifest's skipping stats stayed keyed on the physical
+    // name — a logical-name range read still prunes through them
+    val hits = ManifestLake.readWhere(spark, dir, "chars", 100, 200)
+    assert(hits.columns.contains("chars"))
+    assert(hits.select($"doc_id").as[Long].collect().sorted.toSeq == (10L to 20L))
+    // time travel BELOW the rename serves the era's name (Delta's rule)
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    assert(old.columns.toSeq == Seq("doc_id", "n_chars", "source"))
+    // rename BACK to the physical name drops the mapping entry
+    ManifestLake.renameColumn(dir, "chars", "n_chars")
+    assert(!ManifestLake.latestSnapshot(dir).get.mappingActive)
+    assert(ManifestLake.read(spark, dir).columns.contains("n_chars"))
+  }
+
+  test("DROP hides committed bytes from reads but not from time travel; re-ADD of the physical name refuses") {
+    val dir = tmp("cm_drop")
+    mkLake(dir)                                                   // v1
+    ManifestLake.dropColumn(dir, "n_chars")                       // v2
+    val out = ManifestLake.read(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "source"))
+    assert(out.count() == 100L)
+    // time travel to the pre-drop version still serves the column
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    assert(old.columns.contains("n_chars"))
+    assert(old.agg(sum($"n_chars")).head().getLong(0) ==
+      (0L until 100L).map(_ * 10).sum)
+    // appends no longer carry it; reads stay clean
+    ManifestLake.append(spark, dir, spark.range(100, 120)
+      .select($"id".as("doc_id"), lit("s0").as("source")), "source")
+    assert(ManifestLake.read(spark, dir).count() == 120L)
+    // the physical name stays reserved: re-ADD refuses (committed
+    // bytes still carry it and would resurrect)
+    val e = intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq(org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType))))
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    // dropped names no longer name a column for writes either
+    val e2 = intercept[Exception](ManifestLake.append(spark, dir,
+      spark.range(0, 1).select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(1L).as("n_chars")), "source"))
+    assert(e2.getMessage != null)
+  }
+
+  test("every Scala DML face translates: DV delete/update, keyed delete, merge, feed, constraints") {
+    val dir = tmp("cm_dml")
+    mkLake(dir)                                                   // v1
+    ManifestLake.setProperties(dir, Map("enableChangeDataFeed" -> "true")) // v2
+    ManifestLake.renameColumn(dir, "n_chars", "chars")            // v3
+    // MoR delete with a predicate over the LOGICAL name
+    val del = ManifestLake.deleteWhereDv(spark, dir, $"chars" > 900)
+    assert(del == 9L) // chars 910..990
+    assert(ManifestLake.read(spark, dir).count() == 91L)
+    // MoR update assigning the LOGICAL name from the LOGICAL name
+    val upd = ManifestLake.updateWhereDv(spark, dir, $"doc_id" === 5L,
+      Seq("chars" -> ($"chars" + 1000000L)))
+    assert(upd == 1L)
+    assert(ManifestLake.read(spark, dir).filter($"chars" > 1000000L)
+      .select($"doc_id").as[Long].head() == 5L)
+    // the change feed serves the logical name
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val feed = ManifestLake.readChangeFeed(spark, dir, 3L, v)
+    assert(feed.columns.contains("chars") && !feed.columns.contains("n_chars"))
+    assert(feed.filter($"_change_type" === "delete").count() == 9L)
+    // keyed MoR delete with a LOGICAL-named key frame
+    val removed = ManifestLake.deleteKeysDv(spark, dir,
+      spark.range(0, 3).select($"id".as("doc_id")), Seq("doc_id"))
+    assert(removed == 3L)
+    // merge with a LOGICAL-shaped updates frame
+    val stats0 = ManifestLake.merge(spark, dir, spark.range(10, 12)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(7L).as("chars")), Seq("doc_id"))
+    assert(stats0.rowsUpdated + stats0.rowsInserted == 2L)
+    assert(ManifestLake.read(spark, dir)
+      .filter($"doc_id".isin(10L, 11L) && $"chars" === 7L).count() == 2L)
+    // COW delete with a logical predicate
+    ManifestLake.deleteWhere(spark, dir, $"chars" === 7L)
+    assert(ManifestLake.read(spark, dir).filter($"chars" === 7L).count() == 0L)
+    // a constraint added AFTER the rename references the logical name
+    // and enforces on writes (which stage physical bytes)
+    ManifestLake.addConstraint(spark, dir, "chars_nonneg", "chars >= 0")
+    val e = intercept[Throwable](ManifestLake.append(spark, dir,
+      spark.range(500, 505).select($"id".as("doc_id"),
+        lit("s0").as("source"), lit(-1L).as("chars")), "source"))
+    def msgs(t: Throwable): List[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toList
+    assert(msgs(e).exists(_.contains("chars_nonneg")), msgs(e).mkString("\n"))
+    // ...and now the column cannot be renamed or dropped from under it
+    val e2 = intercept[IllegalStateException](
+      ManifestLake.renameColumn(dir, "chars", "nchars2"))
+    assert(e2.getMessage.contains("chars_nonneg"), e2.getMessage)
+    val e3 = intercept[IllegalStateException](
+      ManifestLake.dropColumn(dir, "chars"))
+    assert(e3.getMessage.contains("chars_nonneg"), e3.getMessage)
+  }
+
+  test("SQL face: ALTER TABLE RENAME/DROP COLUMN; SELECT, INSERT, UPDATE, DELETE all translate; time travel era-correct") {
+    val dir = tmp("cm_sql")
+    mkLake(dir)                                                   // v1
+    spark.conf.set("spark.sql.catalog.graft_cm", classOf[GraftCatalog].getName)
+    def t = s"graft_cm.`$dir`"
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN n_chars TO chars")   // v2
+    // SELECT under the new name, across the pre-rename generation
+    assert(spark.sql(s"SELECT sum(chars) AS s FROM $t").head().getLong(0) ==
+      (0L until 100L).map(_ * 10).sum)
+    // filters on the renamed column still PRUNE through the physical
+    // stats: a range touching one narrow slice must not break; and the
+    // values must be exact
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE chars BETWEEN 100 AND 200")
+      .head().getLong(0) == 11L)
+    // INSERT under the new name; the staged bytes carry the physical
+    spark.sql(s"INSERT INTO $t VALUES (100, 's0', 1000)")         // v3
+    assert(spark.sql(s"SELECT chars FROM $t WHERE doc_id = 100").head().getLong(0) == 1000L)
+    // COW UPDATE and DELETE with logical-name predicates/assignments
+    spark.sql(s"UPDATE $t SET chars = chars + 1 WHERE doc_id = 100") // v4
+    assert(spark.sql(s"SELECT chars FROM $t WHERE doc_id = 100").head().getLong(0) == 1001L)
+    spark.sql(s"DELETE FROM $t WHERE chars = 1001")               // v5
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 100L)
+    // time travel BELOW the rename serves the era's name
+    val old = spark.read.format("graft").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(old.columns.contains("n_chars") && !old.columns.contains("chars"))
+    // aggregate pushdown stays manifest-exact (doc_id 100 was deleted)
+    assert(spark.sql(s"SELECT max(doc_id) AS m FROM $t").head().getLong(0) == 99L)
+    // DROP COLUMN hides it from SQL reads; VERSION AS OF still has it
+    spark.sql(s"ALTER TABLE $t DROP COLUMN chars")                // v6
+    assert(!spark.sql(s"SELECT * FROM $t").columns.contains("chars"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 100L)
+    val preDrop = spark.read.format("graft").option("path", dir)
+      .option("versionAsOf", "5").load()
+    assert(preDrop.columns.contains("chars"))
+    // type changes keep refusing (the mapping cannot reinterpret bytes)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN doc_id TYPE INT"))
+    assert(e.getMessage != null)
+  }
+
+  test("refusal matrix: clashes, structural columns, unknown names") {
+    val dir = tmp("cm_refuse")
+    mkLake(dir)
+    // rename to an existing logical name
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, "n_chars", "doc_id"))
+    // unknown source column
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, "nope", "x"))
+    // rename, then rename ANOTHER column to the first's physical name
+    ManifestLake.renameColumn(dir, "n_chars", "chars")
+    val e = intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, "doc_id", "n_chars"))
+    assert(e.getMessage.contains("physical"), e.getMessage)
+    // ADD COLUMNS under a name equal to a renamed column's LOGICAL name
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq(org.apache.spark.sql.types.StructField("chars",
+        org.apache.spark.sql.types.LongType))))
+    // the old name no longer resolves after the rename
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, "n_chars", "x"))
+    // partition / bucket / last-column drops refuse
+    intercept[IllegalArgumentException](ManifestLake.dropColumn(dir, "source"))
+    ManifestLake.dropColumn(dir, "chars")
+    intercept[IllegalArgumentException](ManifestLake.dropColumn(dir, "chars"))
+    // doc_id + source remain; dropping doc_id is fine, then source is
+    // both partition col AND last column — refused twice over
+    ManifestLake.dropColumn(dir, "doc_id")
+    intercept[IllegalArgumentException](ManifestLake.dropColumn(dir, "source"))
+  }
+}
