@@ -608,6 +608,29 @@ class CdfSpec extends SparkSpec {
     assert(maintained.exceptAll(recomputed).isEmpty &&
       recomputed.exceptAll(maintained).isEmpty,
       "incremental maintenance must equal the full recompute, row for row")
+    // ...and the discipline survives a RESTORE of the source (q180's
+    // whole purpose): the restore commit's sidecar diff feeds the SAME
+    // maintenance loop — no reset to a full recompute
+    ManifestLake.restore(spark, src, 2L)
+    val v2end = ManifestLake.latestSnapshot(src).get.version
+    val feed2 = ManifestLake.readChangeFeed(spark, src, nowAt, v2end)
+    ManifestLake.deleteKeysDv(spark, view, feed2.select($"doc_id"),
+      Seq("doc_id"))
+    val adds2 = transform(feed2.filter($"_change_type" === "insert" ||
+        $"_change_type" === "update_postimage")
+      .select($"doc_id", $"source", $"n_chars"))
+    if (!adds2.isEmpty)
+      ManifestLake.append(spark, view, adds2, "source",
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val maintained2 = ManifestLake.read(spark, view)
+      .select($"doc_id", $"source", $"n2")
+    val recomputed2 = transform(ManifestLake.read(spark, src))
+    assert(maintained2.exceptAll(recomputed2).isEmpty &&
+      recomputed2.exceptAll(maintained2).isEmpty,
+      "maintenance through a RESTORE must equal the full recompute")
+    assert(recomputed2.count() == transform(ManifestLake.read(spark, src,
+      ManifestLake.snapshotAt(src, 2L))).count(),
+      "the restore actually reverted the source (the leg is not vacuous)")
     // the flip edge actually fired both ways in this history
     val updatedKeys = feed.filter($"_change_type" === "update_postimage")
       .select($"doc_id")

@@ -193,6 +193,58 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("SPJ survives a renamed bucket key: co-located join still plans zero shuffles under the logical name") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def walk(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s => (if (s.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+          s.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val a = tmp("cm_spj_a"); val b = tmp("cm_spj_b")
+    val docs = spark.range(0, 500)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, a, docs, "source", bucketBy = Some(("doc_id", 8)))
+    ManifestLake.append(spark, b,
+      docs.select($"doc_id", $"source", ($"n_chars" * 2).as("score2")),
+      "source", bucketBy = Some(("doc_id", 8)))
+    // rename the BUCKET KEY on one side: the manifest keeps the
+    // physical bucket declaration; the scan must report the LOGICAL
+    // spelling so Spark can still match the join keys
+    ManifestLake.renameColumn(a, "doc_id", "key_id")
+    spark.conf.set("spark.sql.catalog.graft_cmspj",
+      classOf[GraftCatalog].getName)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"SELECT a.key_id, a.n_chars, b.score2 FROM graft_cmspj.`$a` a " +
+          s"JOIN graft_cmspj.`$b` b ON a.key_id = b.doc_id")
+      val n = shuffles(df)
+      assert(n == 0,
+        s"renamed-bucket-key join must stay zero-shuffle, saw $n")
+      val rows = df.collect()
+      assert(rows.length == 500 && rows.forall(r =>
+        r.getAs[Long]("score2") == 2L * r.getAs[Long]("n_chars")))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("refusal matrix: clashes, structural columns, unknown names") {
     val dir = tmp("cm_refuse")
     mkLake(dir)
