@@ -250,10 +250,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // committed bytes keep their physical names, the catalog serves
     // the logical ones. Type changes keep refusing: they would
     // reinterpret committed bytes, which no mapping can fix.
-    import org.apache.spark.sql.connector.catalog.TableChange.{DeleteColumn, RenameColumn}
+    import org.apache.spark.sql.connector.catalog.TableChange.{DeleteColumn, RenameColumn, UpdateColumnType}
     val (mapping, adds0) = rest.partition {
-      case _: RenameColumn | _: DeleteColumn => true
-      case _                                 => false
+      case _: RenameColumn | _: DeleteColumn | _: UpdateColumnType => true
+      case _                                                       => false
     }
     mapping.foreach {
       case r: RenameColumn =>
@@ -264,6 +264,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(d.fieldNames.length == 1,
           s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
         ManifestLake.dropColumn(dir, d.fieldNames.head)
+      case t: UpdateColumnType =>
+        // TYPE WIDENING only — widenColumn refuses anything lossy
+        require(t.fieldNames.length == 1,
+          s"nested ALTER COLUMN TYPE is not supported: ${t.fieldNames.mkString(".")}")
+        ManifestLake.widenColumn(dir, t.fieldNames.head, t.newDataType)
       case _ => ()
     }
     if (mapping.nonEmpty && adds0.isEmpty) return loadTable(ident)

@@ -1837,6 +1837,77 @@ object ManifestLake {
     }.get
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN col TYPE <wider>` — TYPE WIDENING
+    * (Delta 4.0's type-widening feature): a LOSSLESS upcast is
+    * METADATA-ONLY — the committed schema's field widens, no byte is
+    * rewritten, and every reader upcasts old files at scan time
+    * (Spark's parquet readers, vectorized and row, upcast
+    * int32→int64, float→double, short→int and same-scale decimal
+    * precision growth natively — probed on this engine's exact read
+    * path). The safe set is exactly the lossless one:
+    * byte→short/int/long, short→int/long, int→long, float→double,
+    * decimal(p,s)→decimal(p'≥p, s) — anything else (narrowing,
+    * scale changes, int→float, string flips) still REFUSES: it would
+    * reinterpret committed bytes, which no metadata can fix.
+    *
+    * Two structural refusals: the BUCKET column (bucket placement
+    * hashes the value WITH its type — Murmur3(int 5) ≠ Murmur3(long
+    * 5), so a widened bucket key would silently break co-location and
+    * with it every SPJ join) and unknown/dropped names. The PARTITION
+    * column may widen: placement is by rendered string, identical
+    * across integer widths. Manifest min/max stats are numeric
+    * (BigDecimal) and blooms hash every integer kind through its Long
+    * value ([[BloomHash.canonical]]), so the skipping index stays
+    * exact across the widening. Writers append the WIDENED type from
+    * then on (a narrower frame refuses at schema evolution — cast
+    * before appending). */
+  def widenColumn(dir: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Snapshot = {
+    commitLoop(Paths.get(dir)) {
+      case None => throw new IllegalStateException(s"no committed manifest in $dir")
+      case Some(latest) =>
+        val sc = latest.schema.getOrElse(throw new IllegalStateException(
+          s"lake $dir has no committed schema — ALTER COLUMN TYPE needs one"))
+        val phys = latest.physicalName(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$name' on $dir (dropped or never committed) — " +
+              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+        val from = sc(sc.fieldIndex(phys)).dataType
+        if (from == to) None
+        else {
+          require(isSafeWidening(from, to),
+            s"cannot change '$name' from ${from.simpleString} to " +
+              s"${to.simpleString}: only lossless widenings " +
+              "(byte/short/int→long chain, float→double, same-scale " +
+              "decimal precision growth) are metadata-only — anything " +
+              "else would reinterpret committed bytes")
+          require(!latest.declaredBucket.exists(_._1 == phys),
+            s"cannot widen '$name': it is the bucket column — bucket " +
+              "placement hashes the value WITH its type, so widening " +
+              "would silently break co-location (rebucket first)")
+          val widened = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+            if (f.name == phys) f.copy(dataType = to) else f))
+          Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
+            Some(widened), latest.blooms, latest.rows,
+            buckets = latest.buckets))
+        }
+    }.get
+  }
+
+  private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
+
   /** Names of CHECK constraints whose expression references the
     * physical column `phys` — under its physical OR current logical
     * name (constraints added before a rename store the old spelling,

@@ -1581,6 +1581,52 @@ object RoundTrips {
        FROM mutated GROUP BY source
        ORDER BY source"""
 
+  /** q182 — TYPE WIDENING ([[graft.core.ManifestLake.widenColumn]],
+    * Delta 4.0's type-widening feature): `ALTER COLUMN ... TYPE
+    * <wider>` as ONE metadata commit — generation-1 files carry
+    * int32, the widening commits the schema change without touching a
+    * byte, generation 2 lands int64 values ABOVE Int.MaxValue
+    * (impossible pre-widen), and one scan reads both generations
+    * upcast (Spark's parquet readers, vectorized and row, upcast
+    * natively — probed). Manifest range stats are numeric and blooms
+    * hash integer kinds through Long, so the skipping index survives
+    * the widening exactly (pinned in TypeWideningSpec with the SQL
+    * DDL face and the refusal matrix: narrowing, lossy flips, the
+    * bucket column). At 100 TB: an id column outgrowing int32 is a
+    * metadata commit, not a petabyte rewrite. */
+  def qTypeWideningRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_widen_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"source", $"n_chars".cast("int").as("n_chars"))
+        .repartition($"source"), "source",
+      maxRecordsPerFile = 64L, statsCols = Seq("doc_id", "n_chars")) // v1: int32
+    graft.core.ManifestLake.widenColumn(lake, "n_chars",
+      org.apache.spark.sql.types.LongType)                           // v2: props only
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"source",
+          ($"n_chars" + 3000000000L).as("n_chars"))
+        .repartition($"source"), "source",
+      maxRecordsPerFile = 64L, statsCols = Seq("doc_id", "n_chars")) // v3: int64
+    graft.core.ManifestLake.read(s, lake)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qTypeWideningRoundTripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars
+                            ELSE n_chars + 3000000000 END) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2882,6 +2928,7 @@ object RoundTrips {
     "q179_scd2_increment" -> qScd2IncrementRoundTrip,
     "q180_cdf_restore" -> qCdfRestoreRoundTrip,
     "q181_column_mapping" -> qColumnMappingRoundTrip,
+    "q182_type_widening" -> qTypeWideningRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2925,6 +2972,7 @@ object RoundTrips {
     "q179_scd2_increment" -> qScd2IncrementRoundTripSql,
     "q180_cdf_restore" -> qCdfRestoreRoundTripSql,
     "q181_column_mapping" -> qColumnMappingRoundTripSql,
+    "q182_type_widening" -> qTypeWideningRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

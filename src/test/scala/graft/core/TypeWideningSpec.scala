@@ -1,0 +1,131 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** TYPE WIDENING ([[ManifestLake.widenColumn]] — Delta 4.0's
+  * type-widening feature): a lossless upcast is one metadata commit;
+  * old files upcast at scan time on both parquet reader paths. Pinned
+  * here: cross-generation reads (including values exceeding the old
+  * type's range), era-correct time travel, the skipping index
+  * surviving the widening (range stats AND bloom point lookups),
+  * the SQL DDL face, and the refusal matrix (narrowing, lossy flips,
+  * the bucket column). */
+class TypeWideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("lake").toString
+
+  test("int→long widening is metadata-only: both generations read; gen-2 exceeds int range; skipping survives") {
+    val dir = tmp("tw_core")
+    val gen1 = spark.range(0, 100)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).cast("int").as("n_chars"))
+    ManifestLake.append(spark, dir, gen1, "source",
+      maxRecordsPerFile = 32L, statsCols = Seq("n_chars"),
+      bloomCols = Seq("n_chars"))                                 // v1: int32 files
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    ManifestLake.widenColumn(dir, "n_chars", LongType)            // v2: props only
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.toSet == filesBefore, "no byte rewritten")
+    assert(v2.schema.get("n_chars").dataType == LongType)
+    // gen-2 carries values ABOVE Int.MaxValue — impossible pre-widen
+    val big = 3_000_000_000L
+    ManifestLake.append(spark, dir, spark.range(100, 110)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        (lit(big) + $"id").as("n_chars")), "source",
+      statsCols = Seq("n_chars"), bloomCols = Seq("n_chars"))     // v3
+    val out = ManifestLake.read(spark, dir)
+    assert(out.schema("n_chars").dataType == LongType)
+    assert(out.count() == 110L)
+    assert(out.agg(sum($"n_chars")).head().getLong(0) ==
+      (0L until 100L).map(_ * 10).sum + (100L until 110L).map(big + _).sum)
+    // range-stats pruning stays exact across the width change (int-era
+    // stats answer a long-range probe)
+    val hits = ManifestLake.readWhere(spark, dir, "n_chars",
+      BigDecimal(100), BigDecimal(200))
+    assert(hits.select($"doc_id").as[Long].collect().sorted.toSeq == (10L to 20L))
+    // bloom point lookup: a LONG probe finds rows bloomed as int32
+    // (BloomHash canonicalizes integer kinds through Long)
+    val pt = ManifestLake.readPoint(spark, dir, "n_chars", 500L)
+    assert(pt.select($"doc_id").as[Long].collect().toSeq == Seq(50L))
+    // time travel BELOW the widening serves the era's type
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    assert(old.schema("n_chars").dataType == IntegerType)
+    // appending the NARROW type after the widening refuses loudly
+    // (schema evolution's type-conflict rule — cast before appending)
+    val e = intercept[Exception](ManifestLake.append(spark, dir,
+      spark.range(0, 1).select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(1).cast("int").as("n_chars")), "source"))
+    assert(e.getMessage != null)
+    // ...and widening composes with RENAME (both metadata features)
+    ManifestLake.renameColumn(dir, "n_chars", "chars")
+    assert(ManifestLake.read(spark, dir).agg(max($"chars")).head().getLong(0) ==
+      big + 109L)
+  }
+
+  test("SQL face: ALTER COLUMN TYPE BIGINT widens; narrowing and lossy flips refuse; bucket column refuses") {
+    val dir = tmp("tw_sql")
+    spark.conf.set("spark.sql.catalog.graft_tw", classOf[GraftCatalog].getName)
+    ManifestLake.append(spark, dir, spark.range(0, 60)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 1.5f).cast("float").as("score"),
+        ($"id" * 10).cast("int").as("n_chars")), "source")
+    def t = s"graft_tw.`$dir`"
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN n_chars TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE DOUBLE")
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.schema.get("n_chars").dataType == LongType)
+    assert(snap.schema.get("score").dataType == DoubleType)
+    assert(spark.sql(s"SELECT sum(n_chars) AS s FROM $t").head().getLong(0) ==
+      (0L until 60L).map(_ * 10).sum)
+    assert(math.abs(spark.sql(s"SELECT sum(score) AS s FROM $t").head().getDouble(0) -
+      (0 until 60).map(_ * 1.5).sum) < 1e-6)
+    def msgs(th: Throwable): Seq[String] =
+      Iterator.iterate(th)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    // narrowing refuses — Spark's analyzer catches it before the
+    // catalog (NOT_SUPPORTED_CHANGE_COLUMN); our widenColumn guards
+    // the Scala path with its own message
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN n_chars TYPE INT"))
+    assert(msgs(e1).exists(m => m.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      m.contains("lossless")), e1.toString)
+    val e1b = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir, "n_chars", IntegerType))
+    assert(e1b.getMessage.contains("lossless"), e1b.getMessage)
+    // lossy flip refuses (either layer)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN source TYPE BIGINT"))
+    assert(msgs(e2).nonEmpty, e2.toString)
+    val e2b = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir, "doc_id", DoubleType))
+    assert(e2b.getMessage.contains("lossless"), e2b.getMessage)
+    // bucket column refuses (type-sensitive placement hash)
+    val dir2 = tmp("tw_bucket")
+    ManifestLake.append(spark, dir2, spark.range(0, 50)
+      .select($"id".cast("int").as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("v")), "source", bucketBy = Some(("doc_id", 4)))
+    val e3 = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir2, "doc_id", LongType))
+    assert(e3.getMessage.contains("bucket"), e3.getMessage)
+    // decimal precision growth at the same scale widens; scale change refuses
+    val dir3 = tmp("tw_dec")
+    ManifestLake.append(spark, dir3, spark.range(0, 10)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).cast("decimal(5,1)").as("amt")), "source")
+    ManifestLake.widenColumn(dir3, "amt", DecimalType(12, 1))
+    assert(ManifestLake.read(spark, dir3).agg(sum($"amt")).head()
+      .getDecimal(0).doubleValue() == (0 until 10).map(_ * 10.0).sum)
+    val e4 = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir3, "amt", DecimalType(12, 3)))
+    assert(e4.getMessage.contains("lossless"), e4.getMessage)
+  }
+}
