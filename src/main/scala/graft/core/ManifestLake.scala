@@ -3299,6 +3299,92 @@ object ManifestLake {
     * driver state. Assumes keys are snapshot-unique (the [[merge]]
     * contract — two live rows per key have no well-defined interval
     * chain). */
+  /** One maintenance step of a STREAMING MATERIALIZED VIEW — q174's
+    * incremental-view discipline packaged crash-safe: `batch` is one
+    * change-feed window (the CDF stream's micro-batch), and the step
+    * (1) gates on the VIEW's `#txn` high-water — a redelivered batch
+    * whose append already committed must not run at all, or its
+    * key-delete would remove the rows that very append restored;
+    * (2) DV-deletes every key the window touched (delete/preimage
+    * keys ∪ incoming keys — a postimage that now FAILS the view
+    * filter leaves the view); (3) appends `transform` of the
+    * inserts/postimages EXACTLY-ONCE via [[appendBatch]]'s batch-id
+    * dedup. Crash anywhere and the redelivery converges: before the
+    * delete → reruns identically; between delete and append → the
+    * re-delete is idempotent (same keys, already vectored) and the
+    * append lands; after the append → the gate skips. Returns whether
+    * the step applied (false = high-water skip). */
+  def maintainViewBatch(s: SparkSession, viewDir: String,
+                        keyCols: Seq[String],
+                        transform: DataFrame => DataFrame,
+                        appId: String, batchId: Long,
+                        batch: DataFrame,
+                        viewPartitionCol: String,
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil): Boolean = {
+    if (latestSnapshot(viewDir).exists(_.txns.get(appId).exists(_ >= batchId)))
+      return false
+    val b = batch.persist()
+    try {
+      deleteKeysDv(s, viewDir, b.select(keyCols.map(col): _*), keyCols)
+      // exact MULTI-COMMIT window fold: the naive "insert every
+      // insert/postimage" would re-insert rows a LATER commit in the
+      // SAME window deleted (the backfill window, spanning the whole
+      // history, always hits this). Per key, only rows from the key's
+      // LAST commit in the window count, and only if that commit
+      // ADDED them — a key whose last touch is a delete/preimage
+      // contributes nothing. One window-sized join, never corpus-sized.
+      val lastV = b.groupBy(keyCols.map(col): _*)
+        .agg(max(col("_commit_version")).as("__graft_mv_v"))
+      val finalAdds = b.filter(col(CdfTypeCol) === "insert" ||
+          col(CdfTypeCol) === "update_postimage")
+        .join(lastV, keyCols)
+        .filter(col("_commit_version") === col("__graft_mv_v"))
+        .drop("__graft_mv_v")
+      val adds = transform(finalAdds)
+      appendBatch(s, viewDir, adds, viewPartitionCol, appId, batchId,
+        statsCols = statsCols, bloomCols = bloomCols)
+      true
+    } finally { b.unpersist(); () }
+  }
+
+  /** STREAMING MATERIALIZED VIEW: a CDF stream over `srcDir` drives
+    * [[maintainViewBatch]] into `viewDir` — the lake-side `CREATE
+    * MATERIALIZED VIEW ... AS transform(src)` with exactly-once
+    * maintenance and no driver state beyond the stream checkpoint.
+    * The view lake must exist (CREATE it with the transform's schema;
+    * the stream backfills the whole change history into it — an empty
+    * view converges to transform(src) on the first drain, and every
+    * later micro-batch costs ∝ its window's changed rows). The
+    * checkpoint and `appId` are a PAIR: restarting from the same
+    * checkpoint resumes exactly-once; a fresh checkpoint needs a
+    * fresh appId (batch ids restart at 0, and the view's high-water
+    * for the old appId would gate them out — the same contract as
+    * redirecting any exactly-once writer). Rides THROUGH restores on
+    * CDF-enabled sources (the restore sidecars feed the same loop —
+    * CdfSpec pins it). */
+  def maintainView(s: SparkSession, srcDir: String, viewDir: String,
+                   keyCols: Seq[String],
+                   transform: DataFrame => DataFrame,
+                   appId: String, checkpointDir: String,
+                   viewPartitionCol: String,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graft").option("path", srcDir)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainViewBatch(s, viewDir, keyCols, transform, appId, id, batch,
+          viewPartitionCol, statsCols, bloomCols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def scd2(s: SparkSession, dir: String,
            fromExclusive: Long, toInclusive: Long,
            keyCols: Seq[String]): DataFrame = {

@@ -1627,6 +1627,76 @@ object RoundTrips {
        FROM documents GROUP BY source
        ORDER BY source"""
 
+  /** q183 — STREAMING MATERIALIZED VIEW
+    * ([[graft.core.ManifestLake.maintainView]]): q174's incremental
+    * discipline packaged as a self-driving stream — a CDF stream over
+    * the source lake feeds exactly-once maintenance steps
+    * (high-water-gated deleteKeysDv + appendBatch) into a view lake.
+    * The source mutates through BOTH mechanics BEFORE the stream ever
+    * starts, so the backfill window spans insert→delete/update chains
+    * — the multi-commit fold edge (per key, only the LAST commit's
+    * adds count) a naive maintainer resurrects deleted rows on. One
+    * AvailableNow drain converges the empty view to transform(src);
+    * the aggregate replays in DuckDB. Exactly-once laws (redelivery
+    * gating, stale-replay safety, maintenance THROUGH a restore) are
+    * pinned in CdfSpec's streaming-view test. At 100 TB each
+    * micro-batch costs ∝ its window's changed rows; the view is never
+    * recomputed. */
+  def qStreamingViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_smv_src_").toString
+    val view = freshDir("graft_smv_view_").toString
+    val ckpt = freshDir("graft_smv_ckpt_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+    graft.core.ManifestLake.append(s, src,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 19 === 0) // v3
+    s.conf.set("spark.sql.catalog.graft_smv",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_smv.`$src` SET text = concat(text, ' xx') " +
+      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
+    def transform(rows: DataFrame): DataFrame = rows
+      .filter(length($"text") % 2 === 0)
+      .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+    graft.core.ManifestLake.create(view,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType))), "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val q = graft.core.ManifestLake.maintainView(s, src, view,
+      Seq("doc_id"), transform, "graft-smv", ckpt, "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    q.awaitTermination(300000)
+    graft.core.ManifestLake.read(s, view)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"doc_id").as("sum_ids"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val qStreamingViewRoundTripSql: String =
+    """WITH mutated AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 23 = 7 THEN text || ' xx' ELSE text END AS text,
+                source
+         FROM documents WHERE doc_id % 19 <> 0),
+       view AS (
+         SELECT doc_id, source, len(text) AS n_chars
+         FROM mutated WHERE len(text) % 2 = 0)
+       SELECT source, COUNT(*) AS n_rows,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM view GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -2929,6 +2999,7 @@ object RoundTrips {
     "q180_cdf_restore" -> qCdfRestoreRoundTrip,
     "q181_column_mapping" -> qColumnMappingRoundTrip,
     "q182_type_widening" -> qTypeWideningRoundTrip,
+    "q183_streaming_view" -> qStreamingViewRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -2973,6 +3044,7 @@ object RoundTrips {
     "q180_cdf_restore" -> qCdfRestoreRoundTripSql,
     "q181_column_mapping" -> qColumnMappingRoundTripSql,
     "q182_type_widening" -> qTypeWideningRoundTripSql,
+    "q183_streaming_view" -> qStreamingViewRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

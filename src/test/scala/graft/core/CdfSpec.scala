@@ -567,6 +567,81 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  /** The streaming materialized view ([[ManifestLake.maintainView]]):
+    * a CDF stream drives exactly-once maintenance steps into a view
+    * lake. Pinned: backfill convergence from an EMPTY view (the
+    * multi-commit window fold — insert-then-delete of one key inside
+    * one window must not resurrect), maintenance through MoR + COW
+    * mutations AND a restore, redelivery idempotence (the same
+    * batch id applied twice is a no-op), and the fresh-checkpoint/
+    * same-appId contract (gated out — stale replay can never corrupt
+    * the view). */
+  test("streaming materialized view: exactly-once maintenance converges through mutations and restore") {
+    val src = tmp("mv_src"); val view = tmp("mv_view")
+    mkLake(src)                                                    // v1
+    ManifestLake.setProperties(src, Map("enableChangeDataFeed" -> "true")) // v2
+    spark.conf.set("spark.sql.catalog.graft_mv", classOf[GraftCatalog].getName)
+    // mutate BEFORE the view exists: the backfill window spans
+    // insert→delete/update chains, the fold edge the naive maintainer
+    // resurrects rows on
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 10 === 3)   // v3
+    spark.sql(s"UPDATE graft_mv.`$src` SET n_chars = n_chars + 5 " +
+      "WHERE doc_id % 20 = 6")                                     // v4 (COW, parity flip)
+    def transform(rows: org.apache.spark.sql.DataFrame) = rows
+      .filter($"n_chars" % 2 === 0)
+      .select($"doc_id", $"source", ($"n_chars" * 2).as("n2"))
+    // empty view lake with the transform's schema
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n2",
+        org.apache.spark.sql.types.LongType))), "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    def drain(): Unit = {
+      val q = ManifestLake.maintainView(spark, src, view, Seq("doc_id"),
+        transform, "mv", ckpt, "source", statsCols = Seq("doc_id"),
+        bloomCols = Seq("doc_id"))
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    def assertConverged(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view).select($"doc_id", $"source", $"n2")
+      val want = transform(ManifestLake.read(spark, src))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$tag: view must equal transform(src), row for row")
+    }
+    drain()
+    assertConverged("backfill from empty")
+    // live mutations + a RESTORE, then another drain
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 7 === 2)    // v5
+    ManifestLake.restore(spark, src, 4L)                           // v6 (reverts v5)
+    spark.sql(s"UPDATE graft_mv.`$src` SET n_chars = n_chars + 1 " +
+      "WHERE doc_id % 13 = 1")                                     // v7
+    drain()
+    assertConverged("through MoR + restore + COW")
+    // redelivery idempotence: re-apply the LAST batch id with a
+    // representative window — the high-water gate must no-op
+    val hw = ManifestLake.latestSnapshot(view).get.txns("mv")
+    val before = ManifestLake.read(spark, view).count()
+    val vNow = ManifestLake.latestSnapshot(src).get.version
+    val window = ManifestLake.readChangeFeed(spark, src, 4L, vNow)
+    assert(!ManifestLake.maintainViewBatch(spark, view, Seq("doc_id"),
+      transform, "mv", hw, window, "source"),
+      "a redelivered batch id must be gated out")
+    assert(ManifestLake.read(spark, view).count() == before,
+      "the gated redelivery must not touch the view")
+    assertConverged("after gated redelivery")
+    // fresh checkpoint + SAME appId: every replayed batch id is under
+    // the high-water — gated out, the view cannot be corrupted
+    val ckpt2 = Files.createTempDirectory("mv_ckpt2").toString
+    val q2 = ManifestLake.maintainView(spark, src, view, Seq("doc_id"),
+      transform, "mv", ckpt2, "source")
+    assert(q2.awaitTermination(120000))
+    assertConverged("stale replay gated by the high-water")
+  }
+
   /** Carries q174's law outside its benched path: a keyed σπ view
     * maintained from ONE feed window (deleteKeysDv affected keys, then
     * append the passing postimages/inserts) must equal the transform
