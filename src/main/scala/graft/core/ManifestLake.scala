@@ -1044,14 +1044,25 @@ object ManifestLake {
     stageCdfMultisetDiff(s, Paths.get(dir), names, rem, add, preType, postType)
   }
 
-  /** The CDF multiset-diff guardrail: the snapshot must have a
-    * committed schema and no map-typed column (maps are not
-    * comparable, so a removed-vs-added diff over them is undefined). */
+  /** The CDF multiset-diff guardrail, and its schema: the snapshot
+    * must have a committed schema and no map-typed VISIBLE column
+    * (maps are not comparable, so a removed-vs-added diff over them
+    * is undefined). Coldrop-hidden columns are PROJECTED OUT of the
+    * diff: COW rewrites build their files from the logical schema
+    * (the dropped physical column is absent and null-fills on read),
+    * so diffing over it would make every carried-unchanged row in a
+    * rewritten file differ (value vs null) and emit a spurious
+    * pre/post pair — and the hidden column is invisible to every
+    * feed consumer anyway (toLogical drops it at read). Physical
+    * names are kept for the visible fields (sidecars store physical
+    * bytes like data files; renames apply at read). */
   private def cdfComparableSchema(dir: String, snap: Snapshot, op: String)
       : org.apache.spark.sql.types.StructType = {
-    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+    val committed = snap.schema.getOrElse(throw new IllegalStateException(
       s"lake $dir has $PropCdfEnabled but no committed schema — the " +
         "change-record diff needs one"))
+    val schema = org.apache.spark.sql.types.StructType(
+      committed.fields.filterNot(f => snap.droppedCols.contains(f.name)))
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => true
       case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
@@ -4058,24 +4069,32 @@ object ManifestLake {
     // needs a Spark job, so this metadata-only entry refuses any
     // content-CHANGING restore and directs to the SparkSession
     // overload. A content-identical restore records nothing and stays
-    // metadata-only.
-    latestSnapshot(dir).foreach { cur =>
-      if (cur.cdfEnabled && cur.version != toVersion &&
-          (cur.files != target.files || cur.dvs != target.dvs))
-        throw new IllegalStateException(
-          s"restore of $dir to v$toVersion changes rows on a lake with " +
-            s"$PropCdfEnabled=true — use restore(spark, dir, toVersion), " +
-            "which records the change as commit-time sidecars")
-    }
+    // metadata-only. The refusal is evaluated against the snapshot the
+    // CAS actually lands on (inside the commit loop), not a pre-read
+    // one: a concurrent enableChangeDataFeed=true or data commit
+    // between a check-outside and the CAS would otherwise let a
+    // content-changing restore commit WITHOUT sidecars, and later
+    // feed windows spanning it would refuse even though the overload
+    // contract says they ride through.
     commitLoop(root) { latest =>
       if (latest.exists(_.version == toVersion)) None // already there
-      // dvs are the target's EXACT set (Some, not inherit): restoring
-      // past a DV delete must resurrect its rows, so the newer DV
-      // entry on a shared file must not ride along
-      else Some(Ledger(target.files,
-        latest.map(_.txns).getOrElse(Map.empty),
-        target.stats, "restore", target.schema, target.blooms, target.rows,
-        buckets = target.buckets, dvs = Some(target.dvs)))
+      else {
+        latest.foreach { cur =>
+          if (cur.cdfEnabled &&
+              (cur.files != target.files || cur.dvs != target.dvs))
+            throw new IllegalStateException(
+              s"restore of $dir to v$toVersion changes rows on a lake with " +
+                s"$PropCdfEnabled=true — use restore(spark, dir, toVersion), " +
+                "which records the change as commit-time sidecars")
+        }
+        // dvs are the target's EXACT set (Some, not inherit): restoring
+        // past a DV delete must resurrect its rows, so the newer DV
+        // entry on a shared file must not ride along
+        Some(Ledger(target.files,
+          latest.map(_.txns).getOrElse(Map.empty),
+          target.stats, "restore", target.schema, target.blooms, target.rows,
+          buckets = target.buckets, dvs = Some(target.dvs)))
+      }
     }.get
   }
 

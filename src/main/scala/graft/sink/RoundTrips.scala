@@ -1673,7 +1673,14 @@ object RoundTrips {
     val q = graft.core.ManifestLake.maintainView(s, src, view,
       Seq("doc_id"), transform, "graft-smv", ckpt, "source",
       statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
-    q.awaitTermination(300000)
+    // a timed-out drain would leave the query running and the read
+    // below seeing a partially maintained view — fail loudly instead
+    // of letting the oracle report a confusing hash mismatch
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(
+        "streaming view drain did not finish within 300 s")
+    }
     graft.core.ManifestLake.read(s, view)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_rows"),

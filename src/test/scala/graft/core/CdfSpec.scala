@@ -207,6 +207,48 @@ class CdfSpec extends SparkSpec {
       .select($"n_chars").distinct().head().getLong(0) == -5L)
   }
 
+  test("CDF diff after DROP COLUMN: COW DML and restore emit no spurious records for carried rows") {
+    // A COW rewrite builds its files from the LOGICAL schema — the
+    // coldrop-hidden physical column is absent and null-fills on read.
+    // The multiset diff must therefore run over VISIBLE columns only:
+    // diffing the hidden column would make every carried-unchanged row
+    // in a rewritten file differ (old value vs null) and emit a
+    // spurious pre/post pair per carried row.
+    val dir = tmp("cdf_coldrop")
+    mkLake(dir)                                                      // v1
+    ManifestLake.setProperties(dir,
+      Map("enableChangeDataFeed" -> "true"))                         // v2
+    ManifestLake.dropColumn(dir, "n_chars")                          // v3 (metadata)
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    // COW UPDATE: 5 matched rows (1,41,81,121,161), files of 32 rows —
+    // every rewritten file carries ~27 unchanged rows that must cancel
+    spark.sql(s"UPDATE graft.`$dir` SET source = concat(source, 'u') " +
+      "WHERE doc_id % 40 = 1")                                       // v4 (COW)
+    val upd = ManifestLake.readChangeFeed(spark, dir, 3L, 4L)
+    assert(!upd.columns.contains("n_chars"),
+      "the dropped column must not surface in the feed")
+    val byType = upd.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 5L, "update_postimage" -> 5L),
+      s"carried rows leaked into the diff: $byType")
+    assert(upd.filter($"_change_type" === "update_postimage")
+      .select($"source").distinct().collect().map(_.getString(0)).toSet
+      == Set("s1u"))
+    // RESTORE across the post-drop rewrite: same hazard, same law —
+    // the snapshot diff is exactly the 5 updated rows flipping back
+    ManifestLake.restore(spark, dir, 3L)                             // v5
+    val res = ManifestLake.readChangeFeed(spark, dir, 4L, 5L)
+    val resByType = res.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resByType == Map("delete" -> 5L, "insert" -> 5L),
+      s"carried rows leaked into the restore diff: $resByType")
+    assert(res.filter($"_change_type" === "insert")
+      .select($"source").distinct().collect().map(_.getString(0)).toSet
+      == Set("s1"))
+    // the reconstruction law still holds over the whole history
+    assert(ManifestLake.read(spark, dir).count() == 200L)
+  }
+
   test("CDF sidecars: invisible to plain reads/time travel, vacuumed with their manifest") {
     val dir = tmp("cdf_vac")
     mkLake(dir)
