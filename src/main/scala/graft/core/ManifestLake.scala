@@ -3396,6 +3396,293 @@ object ManifestLake {
       .trigger(trigger)
       .start()
 
+  /** Gated keyed REPLACE — the single-commit primitive under
+    * [[maintainAggViewBatch]]: DV-delete every live lake row whose key
+    * matches `keys`, append `rows` as fresh files, and bump the app's
+    * `#txn` high-water, all in ONE CAS. The atomicity is what makes a
+    * read-modify-write maintainer crash-safe: the step's output
+    * depends on the CURRENT lake state (unlike [[maintainViewBatch]],
+    * whose adds derive from the batch alone), so a two-commit
+    * delete-then-append would strand a redelivered batch between them
+    * — the recompute would read a lake whose matched rows are already
+    * gone and fold the delta into nothing. Here a crash anywhere
+    * before the CAS leaves the lake untouched (staged files and
+    * sidecars are unreferenced garbage the vacuum census reclaims)
+    * and the redelivery recomputes identically; after the CAS the
+    * gate skips. Detection cost is [[deleteKeysDv]]'s (pruned scan
+    * semi-joined against the distinct keys); the commit races like
+    * [[updateWhereDv]] (loud abort when a concurrent commit replaced
+    * or re-vectored a touched file). An EMPTY step (no keys, no rows)
+    * still commits the txn bump, so exactly-once bookkeeping stays
+    * monotonic across empty feed windows. Returns false iff the gate
+    * skipped (the batch had already committed). */
+  def replaceKeysBatch(s: SparkSession, dir: String, keys: DataFrame,
+                       rows: DataFrame, keyCols: Seq[String],
+                       appId: String, batchId: Long, partitionCol: String,
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil): Boolean = {
+    require(keyCols.nonEmpty, "keyed replace needs at least one key column")
+    require(!appId.contains('\n'), "appId must be single-line")
+    val root = Paths.get(dir)
+    latestSnapshot(dir) match {
+      case None =>
+        // empty lake: nothing to delete — the replace degenerates to
+        // the idempotent batch append (which creates the manifest)
+        appendBatch(s, dir, rows, partitionCol, appId, batchId,
+          statsCols = statsCols, bloomCols = bloomCols)
+        true
+      case Some(sn0) if sn0.mappingActive =>
+        // column mapping: translate at the boundary, exactly [[append]]
+        requireNoDropped(sn0, rows, dir)
+        replaceKeysBatch0(s, dir, root, sn0, toPhysical(sn0, keys),
+          toPhysical(sn0, rows), keyCols.map(physicalColName(sn0, _)),
+          appId, batchId, physicalColName(sn0, partitionCol),
+          statsCols.map(physicalColName(sn0, _)),
+          bloomCols.map(physicalColName(sn0, _)))
+      case Some(sn0) =>
+        replaceKeysBatch0(s, dir, root, sn0, keys, rows, keyCols,
+          appId, batchId, partitionCol, statsCols, bloomCols)
+    }
+  }
+
+  private def replaceKeysBatch0(s: SparkSession, dir: String, root: Path,
+                                snap: Snapshot, keys: DataFrame,
+                                rows: DataFrame, keyCols: Seq[String],
+                                appId: String, batchId: Long,
+                                partitionCol: String,
+                                statsCols: Seq[String],
+                                bloomCols: Seq[String]): Boolean = {
+    if (snap.txns.get(appId).exists(_ >= batchId)) return false
+    snap.schema.foreach { sc =>
+      val missing = keyCols.filterNot(sc.fieldNames.contains)
+      require(missing.isEmpty,
+        s"key columns ${missing.mkString(",")} not in the lake schema")
+    }
+    val keyFrame = keys.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      // detection — [[deleteKeysDv]]'s pruning rules verbatim: exact
+      // per-file key-set probe when the single key column is tracked
+      // and driver-collectable, else the min/max envelope, else all
+      val MaxDriverKeys = 100000
+      val candidates: Vector[String] = keyCols match {
+        case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+          val sample = keyFrame.limit(MaxDriverKeys + 1).collect().map(_.get(0))
+          if (sample.isEmpty) Vector.empty
+          else if (sample.length <= MaxDriverKeys)
+            pruneFilesForKeys(snap, k, sample.toIndexedSeq)
+          else {
+            val env = keyFrame.agg(min(col(k)), max(col(k))).head()
+            snap.schema.map(_(k).dataType) match {
+              case Some(_: org.apache.spark.sql.types.NumericType) =>
+                pruneFiles(snap, k,
+                  BigDecimal(env.get(0).toString), BigDecimal(env.get(1).toString))
+              case Some(org.apache.spark.sql.types.StringType) =>
+                pruneFilesString(snap, k, env.getString(0), env.getString(1))
+              case _ => snap.files
+            }
+          }
+        case _ => snap.files
+      }
+      val updates: Seq[(String, String, Long)] =
+        if (candidates.isEmpty) Vector.empty
+        else {
+          val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
+          val raw = reader.parquet(candidates.map(f => s"$dir/$f"): _*)
+            .withColumn("__graft_dv_path", col("_metadata.file_path"))
+            .withColumn("__graft_dv_idx", col("_metadata.row_index"))
+          val alive = dvDeletedPredicate(s, dir, snap, candidates).fold(raw)(
+            deleted => raw.filter(
+              !deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
+          val relOf = udf((p: String) => relFromUri(p))
+          val matched = alive.join(keyFrame, keyCols, "left_semi")
+            .select(relOf(col("__graft_dv_path")).as("f"),
+              col("__graft_dv_idx").as("i"))
+          writeDvSidecars(s, dir, snap, matched)
+        }
+      require(updates.forall(u => snap.files.contains(u._1)),
+        s"detection scan returned files outside the snapshot: ${updates.map(_._1).take(3).toSeq}")
+
+      // staging — [[appendBatch]]'s rules: evolve-checked schema,
+      // CHECK constraints, declared layout, uniform skipping metadata
+      evolveSchema(snap.schema, rows.schema)
+      snap.declaredPartitionCol.filter(_ != partitionCol).foreach { d =>
+        throw new IllegalArgumentException(
+          s"lake $dir was declared PARTITIONED BY ($d); cannot replace " +
+            s"partitioned by '$partitionCol'")
+      }
+      val effStats = (statsCols ++ snap.declaredStatsCols).distinct
+      val effBlooms = (bloomCols ++ snap.declaredBloomCols).distinct
+      val (staged, stagedBuckets) = stageFiles(s, root,
+        withCheckConstraints(rows, snap.constraints, snap.renames),
+        partitionCol, maxRecordsPerFile = 1024 * 1024, Map.empty,
+        snap.declaredBucket)
+      val (stagedStats, stagedRows) = footerMetaAll(s, root, staged, effStats)
+      val stagedBlooms = buildBlooms(s, dir, staged, effBlooms, stagedRows)
+
+      var duplicate = false
+      val touched = updates.map(_._1).toSet
+      commitLoop(root) {
+        case None => throw new IllegalStateException(s"manifest vanished from $dir")
+        case Some(latest) =>
+          if (latest.txns.get(appId).exists(_ >= batchId)) { duplicate = true; None }
+          else {
+            if (!touched.forall(latest.files.contains))
+              throw new IllegalStateException(
+                "a concurrent commit replaced files this keyed replace " +
+                  "targeted — re-run against the new snapshot")
+            touched.foreach { f =>
+              if (latest.dvs.get(f) != snap.dvs.get(f))
+                throw new IllegalStateException(
+                  "a concurrent DV delete touched the same files — " +
+                    "re-run against the new snapshot")
+            }
+            Some(Ledger(latest.files ++ staged,
+              latest.txns + (appId -> batchId),
+              latest.stats ++ stagedStats, "replace-keys",
+              Some(evolveSchema(latest.schema, rows.schema)),
+              latest.blooms ++ stagedBlooms,
+              latest.rows ++ stagedRows,
+              buckets = stagedBuckets,
+              dvs = Some(latest.dvs ++ updates.map { case (f, rel, c) =>
+                f -> DvStore.Dv(rel, c) })))
+          }
+      }
+      if (duplicate) staged.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      !duplicate
+    } finally { keyFrame.unpersist(); () }
+  }
+
+  /** One aggregate of an incrementally maintained GROUP-BY view:
+    * `out` is the view column, `func` the fold (`count` = COUNT(*),
+    * `sum` = SUM(`inCol`)). Both are RETRACTABLE — an insert adds,
+    * a delete subtracts, so the view folds forward from change sets
+    * alone (min/max are not: retracting the current extreme needs a
+    * rescan, which is exactly the recompute this view exists to
+    * avoid — refused at construction). SUM's null contract: NULL
+    * values contribute nothing, and a group whose values are all
+    * NULL renders 0, not SQL's NULL (the fold cannot distinguish
+    * "no non-null value yet" from "sum happens to be zero" without
+    * tracking a per-column non-null count; oracle with
+    * `coalesce(sum(x), 0)`). */
+  final case class AggSpec(out: String, func: String, inCol: String = "") {
+    require(func == "count" || func == "sum",
+      s"unsupported aggregate '$func' — incremental maintenance needs a " +
+        "retractable fold (count, sum); min/max need a rescan on retraction")
+    require(func == "count" || inCol.nonEmpty,
+      s"sum aggregate '$out' needs an input column")
+  }
+
+  /** One maintenance step of an AGGREGATE materialized view —
+    * `groupBy(dims).agg(count/sum …)` maintained from one change-feed
+    * window. Unlike [[maintainViewBatch]]'s keyed row-wise fold (last
+    * commit per key wins), aggregate deltas are ADDITIVE across the
+    * window: each feed record contributes `+1`/`+x` (insert,
+    * update_postimage) or `-1`/`-x` (delete, update_preimage), and an
+    * insert-then-delete chain nets zero — so the fold is one
+    * window-sized groupBy, no per-commit ordering. The step then
+    * reads the CURRENT view rows for the touched groups (delta-sized
+    * semi-join; AQE broadcasts the keys), folds `current ⊕ delta`
+    * null-safely on the dims (a NULL dim is a group like any other),
+    * drops groups whose row count reaches zero, and lands the result
+    * through [[replaceKeysBatch]] — delete-old + insert-new + `#txn`
+    * bump in ONE commit, which is what makes this read-modify-write
+    * crash-safe under at-least-once delivery (see there). A group
+    * whose count would go NEGATIVE fails loudly: the feed window is
+    * not anchored at the view's high-water (e.g. a stream started
+    * mid-history against a non-empty view). Cost ∝ changed groups,
+    * never view or corpus size. Returns false iff the gate skipped. */
+  def maintainAggViewBatch(s: SparkSession, viewDir: String,
+                           dims: Seq[String], aggs: Seq[AggSpec],
+                           appId: String, batchId: Long,
+                           batch: DataFrame,
+                           viewPartitionCol: String,
+                           statsCols: Seq[String] = Nil,
+                           bloomCols: Seq[String] = Nil): Boolean = {
+    require(dims.nonEmpty, "an aggregate view needs at least one dimension")
+    require(aggs.nonEmpty, "an aggregate view needs at least one aggregate")
+    val liveness = aggs.find(_.func == "count").getOrElse(throw
+      new IllegalArgumentException(
+        "aggregate view needs a count aggregate — group liveness " +
+          "(when does a group leave the view?) is derived from it")).out
+    require(aggs.map(_.out).distinct.size == aggs.size,
+      "aggregate output names must be distinct")
+    if (latestSnapshot(viewDir).exists(_.txns.get(appId).exists(_ >= batchId)))
+      return false
+    val b = batch.persist()
+    try {
+      val sign = when(col(CdfTypeCol).isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      val deltaCols = aggs.map {
+        case AggSpec(out, "count", _) => sum(sign).as(out)
+        case AggSpec(out, _, c) => sum(sign * coalesce(col(c), lit(0))).as(out)
+      }
+      val delta = b.groupBy(dims.map(col): _*)
+        .agg(deltaCols.head, deltaCols.tail: _*)
+      val keys = delta.select(dims.map(col): _*)
+      val cur = read(s, viewDir).join(keys, dims, "left_semi")
+      // null-safe fold on the dims: usingColumns-joins match with
+      // plain equality, which would strand a NULL-dim group's current
+      // row and duplicate the group
+      val curP = cur.select(dims.map(d => col(d).as(s"__graft_ck_$d")) ++
+        aggs.map(a => col(a.out).as(s"__graft_cv_${a.out}")): _*)
+      val dP = delta.select(dims.map(d => col(d).as(s"__graft_dk_$d")) ++
+        aggs.map(a => col(a.out).as(s"__graft_dv_${a.out}")): _*)
+      val cond = dims.map(d => col(s"__graft_ck_$d") <=> col(s"__graft_dk_$d"))
+        .reduce(_ && _)
+      val folded = curP.join(dP, cond, "full_outer").select(
+        dims.map(d =>
+          coalesce(col(s"__graft_ck_$d"), col(s"__graft_dk_$d")).as(d)) ++
+        aggs.map(a => (coalesce(col(s"__graft_cv_${a.out}"), lit(0)) +
+          coalesce(col(s"__graft_dv_${a.out}"), lit(0))).as(a.out)): _*)
+      val newRows = folded
+        .withColumn(liveness, when(col(liveness) < 0, raise_error(concat(
+          lit("maintainAggView: negative group count for "),
+          to_json(struct(dims.map(col): _*)),
+          lit(" — the feed window is not anchored at the view's " +
+            "high-water (stream started mid-history?)"))))
+          .otherwise(col(liveness)))
+        .filter(col(liveness) > 0)
+      replaceKeysBatch(s, viewDir, keys, newRows, dims, appId, batchId,
+        viewPartitionCol, statsCols, bloomCols)
+    } finally { b.unpersist(); () }
+  }
+
+  /** STREAMING AGGREGATE MATERIALIZED VIEW: a CDF stream over `srcDir`
+    * drives [[maintainAggViewBatch]] into `viewDir` — the lake-side
+    * `CREATE MATERIALIZED VIEW v AS SELECT dims, count(*), sum(x)
+    * FROM src GROUP BY dims` with exactly-once incremental
+    * maintenance (the always-on dashboard aggregates, reference
+    * server/dashboard.py:126-149, kept fresh by folding change sets
+    * instead of recomputing on every page load). Contract matches
+    * [[maintainView]]: pre-create the view lake with the aggregate
+    * schema; the first drain backfills the whole change history (an
+    * empty view converges to the full GROUP BY); checkpoint and
+    * `appId` pair for exactly-once; rides through restores on
+    * CDF-enabled sources. Each micro-batch costs ∝ its window's
+    * CHANGED GROUPS — at 100 TB the view never sees the corpus, only
+    * the day's deltas. */
+  def maintainAggView(s: SparkSession, srcDir: String, viewDir: String,
+                      dims: Seq[String], aggs: Seq[AggSpec],
+                      appId: String, checkpointDir: String,
+                      viewPartitionCol: String,
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graft").option("path", srcDir)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainAggViewBatch(s, viewDir, dims, aggs, appId, id, batch,
+          viewPartitionCol, statsCols, bloomCols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def scd2(s: SparkSession, dir: String,
            fromExclusive: Long, toInclusive: Long,
            keyCols: Seq[String]): DataFrame = {

@@ -1704,6 +1704,83 @@ object RoundTrips {
        FROM view GROUP BY source
        ORDER BY source"""
 
+  /** q184 — AGGREGATE MATERIALIZED VIEW
+    * ([[graft.core.ManifestLake.maintainAggView]]): the GROUP-BY view
+    * — `SELECT source, count(*), sum(n_chars) FROM src GROUP BY
+    * source` — maintained INCREMENTALLY from the change feed: each
+    * feed record folds `+1/+x` (insert, postimage) or `-1/-x`
+    * (delete, preimage) into its group, and the touched groups land
+    * through a single-commit keyed replace (delete-old + insert-new +
+    * `#txn` bump in one CAS — the atomicity that makes the
+    * read-modify-write fold crash-safe, unlike q183's batch-derived
+    * row-wise adds). These are exactly the reference dashboard's
+    * always-on aggregates (server/dashboard.py:126-149), which it
+    * recomputes on every page load; here they fold forward from
+    * change sets. The source mutates through MoR delete, COW update,
+    * and a RESTORE (reverting a second delete) before and between two
+    * drains, so the fold rides every mechanic; the final view replays
+    * in DuckDB as the GROUP BY over the mutated table. Exactly-once
+    * laws (redelivery, stale replay, group extinction, the
+    * negative-count refusal) are pinned in CdfSpec. At 100 TB each
+    * micro-batch costs ∝ its window's CHANGED GROUPS — the view never
+    * sees the corpus. */
+  def qAggViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_amv_src_").toString
+    val view = freshDir("graft_amv_view_").toString
+    val ckpt = freshDir("graft_amv_ckpt_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, src,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 19 === 0) // v3
+    s.conf.set("spark.sql.catalog.graft_amv",
+      classOf[graft.core.GraftCatalog].getName)
+    s.sql(s"UPDATE graft_amv.`$src` SET n_chars = n_chars + 7 " +
+      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
+    val aggs = Seq(graft.core.ManifestLake.AggSpec("n_docs", "count"),
+      graft.core.ManifestLake.AggSpec("sum_chars", "sum", "n_chars"))
+    graft.core.ManifestLake.create(view,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_chars",
+          org.apache.spark.sql.types.LongType))), "source",
+      statsCols = Seq("source"))
+    def drain(): Unit = {
+      val q = graft.core.ManifestLake.maintainAggView(s, src, view,
+        Seq("source"), aggs, "graft-amv", ckpt, "source",
+        statsCols = Seq("source"))
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "aggregate view drain did not finish within 300 s")
+      }
+    }
+    drain()                                       // backfill: v1–v4 window
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 31 === 4) // v5
+    graft.core.ManifestLake.restore(s, src, 4L)                     // v6 (reverts v5)
+    drain()                                       // incremental: v5–v6 window
+    graft.core.ManifestLake.read(s, view)
+      .select($"source", $"n_docs", $"sum_chars")
+      .orderBy($"source")
+  }
+
+  val qAggViewRoundTripSql: String =
+    """WITH mutated AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 23 = 7 THEN n_chars + 7 ELSE n_chars END
+                  AS n_chars
+         FROM documents WHERE doc_id % 19 <> 0)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+       FROM mutated GROUP BY source
+       ORDER BY source"""
+
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
     * dimension): documents land with two DECORRELATED dimensions
@@ -3007,6 +3084,7 @@ object RoundTrips {
     "q181_column_mapping" -> qColumnMappingRoundTrip,
     "q182_type_widening" -> qTypeWideningRoundTrip,
     "q183_streaming_view" -> qStreamingViewRoundTrip,
+    "q184_agg_view" -> qAggViewRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -3052,6 +3130,7 @@ object RoundTrips {
     "q181_column_mapping" -> qColumnMappingRoundTripSql,
     "q182_type_widening" -> qTypeWideningRoundTripSql,
     "q183_streaming_view" -> qStreamingViewRoundTripSql,
+    "q184_agg_view" -> qAggViewRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -757,4 +757,98 @@ class CdfSpec extends SparkSpec {
     assert(updated > 0 && entered > 0 && entered < updated,
       s"want postimages both inside and outside the view: $entered/$updated")
   }
+
+  /** The aggregate materialized view ([[ManifestLake.maintainAggView]]):
+    * a GROUP-BY view maintained by folding feed deltas (insert/
+    * postimage adds, delete/preimage subtracts) through the
+    * single-commit [[ManifestLake.replaceKeysBatch]]. Pinned: the
+    * maintained view ≡ the GROUP BY recomputed from the source at
+    * EVERY drain point — through MoR delete, COW update (a pre/post
+    * pair whose count delta is zero but sum delta isn't), a restore,
+    * and a group deleted to extinction (its row must LEAVE the view);
+    * redelivery idempotence; stale-replay gating under a fresh
+    * checkpoint; and the negative-count refusal for a feed window not
+    * anchored at the view's high-water. */
+  test("aggregate view: delta-fold maintenance ≡ GROUP BY recompute through mutations, restore, group exit") {
+    val src = tmp("amv_src"); val view = tmp("amv_view")
+    mkLake(src)                                                      // v1
+    ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                         // v2
+    spark.conf.set("spark.sql.catalog.graft_amv",
+      classOf[GraftCatalog].getName)
+    // mutate BEFORE the view exists — the backfill spans chains
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 10 === 3)     // v3
+    spark.sql(s"UPDATE graft_amv.`$src` SET n_chars = n_chars + 5 " +
+      "WHERE doc_id % 20 = 6")                                       // v4 (COW; count Δ=0, sum Δ≠0)
+    val aggs = Seq(ManifestLake.AggSpec("n_docs", "count"),
+      ManifestLake.AggSpec("sum_chars", "sum", "n_chars"))
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_chars",
+        org.apache.spark.sql.types.LongType))), "source",
+      statsCols = Seq("source"))
+    val ckpt = Files.createTempDirectory("amv_ckpt").toString
+    def drain(): Unit = {
+      val q = ManifestLake.maintainAggView(spark, src, view, Seq("source"),
+        aggs, "amv", ckpt, "source", statsCols = Seq("source"))
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    def assertConverged(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view)
+        .select($"source", $"n_docs", $"sum_chars")
+      val want = ManifestLake.read(spark, src).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$tag: view must equal the GROUP BY recompute, row for row")
+    }
+    drain()
+    assertConverged("backfill from empty")
+    // live mutations, a restore, and a group driven to extinction
+    ManifestLake.append(spark, src, spark.range(9000, 9005)
+      .select($"id".as("doc_id"), lit("s2").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                       // v5: new group s2
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 7 === 2)      // v6
+    ManifestLake.restore(spark, src, 5L)                             // v7 (reverts v6)
+    spark.sql(s"UPDATE graft_amv.`$src` SET n_chars = n_chars + 1 " +
+      "WHERE doc_id % 13 = 1")                                       // v8 (COW)
+    ManifestLake.deleteWhereDv(spark, src, $"source" === "s2")       // v9: s2 → extinct
+    drain()
+    assertConverged("through append + MoR + restore + COW + group exit")
+    assert(ManifestLake.read(spark, view)
+      .filter($"source" === "s2").count() == 0,
+      "a group deleted to extinction must leave the view")
+    // redelivery idempotence: the high-water gate must no-op
+    val hw = ManifestLake.latestSnapshot(view).get.txns("amv")
+    val before = ManifestLake.read(spark, view).collect().toSet
+    val vNow = ManifestLake.latestSnapshot(src).get.version
+    val window = ManifestLake.readChangeFeed(spark, src, 4L, vNow)
+    assert(!ManifestLake.maintainAggViewBatch(spark, view, Seq("source"),
+      aggs, "amv", hw, window, "source"),
+      "a redelivered batch id must be gated out")
+    assert(ManifestLake.read(spark, view).collect().toSet == before,
+      "the gated redelivery must not touch the view")
+    // fresh checkpoint + SAME appId: stale replay gated out
+    val ckpt2 = Files.createTempDirectory("amv_ckpt2").toString
+    val q2 = ManifestLake.maintainAggView(spark, src, view, Seq("source"),
+      aggs, "amv", ckpt2, "source")
+    assert(q2.awaitTermination(120000))
+    assertConverged("stale replay gated by the high-water")
+    // a window NOT anchored at the view's high-water fails loudly:
+    // three stacked deletes of every s0 row drive the count negative
+    val bogus1 = ManifestLake.read(spark, src).filter($"source" === "s0")
+      .withColumn("_change_type", lit("delete"))
+    val bogus = bogus1.union(bogus1).union(bogus1)
+    val ex = intercept[Throwable] {
+      ManifestLake.maintainAggViewBatch(spark, view, Seq("source"), aggs,
+        "amv-unanchored", 0L, bogus, "source")
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("negative group count"), messages(ex))
+    assertConverged("refused fold must not touch the view")
+  }
 }
