@@ -60,9 +60,13 @@ object ProbeTwoProcess {
       pubVacWriter(coord, lake, n.toInt)
     case "pubvacvacuum" :: lake :: stop :: Nil => pubVacVacuum(lake, stop)
     case "drivepubvac" :: work :: Nil => drivePublishVacuum(work)
+    case "pubhistwriter" :: coord :: lake :: n :: Nil =>
+      pubHistWriter(coord, lake, n.toInt)
+    case "drivepubhist" :: work :: Nil => drivePublishHistorical(work)
     case other => sys.error(
       s"usage: drive <workDir> | drivepub <workDir> | drivepubvac <workDir> " +
-        s"| worker ... | pubworker ... | pubvacwriter ... | pubvacvacuum ...; got $other")
+        s"| drivepubhist <workDir> | worker ... | pubworker ... | " +
+        s"pubvacwriter ... | pubvacvacuum ...; got $other")
   }
 
   private def session(tag: String): SparkSession =
@@ -319,6 +323,135 @@ object ProbeTwoProcess {
       Thread.sleep(20)
     }
     println(s"""{"vacloops":$loops}""")
+  }
+
+  /** The historical-publish writer: appends generations, and at every
+    * step publishes an OLD version (latest − 4) — under the racing
+    * keepVersions=1 vacuum those are exactly the retirement
+    * candidates, so the publish's pre-check/CAS/verify handshake is
+    * genuinely exercised: a publish either THROWS loudly (pre-check
+    * found the manifest gone, or the post-CAS verify retracted the
+    * vector) or RETURNS SUCCESS — in which case the immediate pinned
+    * read must be row-exact. Logs every outcome. */
+  private def pubHistWriter(coord: String, lake: String, n: Int): Unit = {
+    val s = session("pubhistw")
+    s.sparkContext.setLogLevel("ERROR")
+    (0 until n).foreach { b =>
+      if (b % 4 == 3)
+        ManifestLake.compact(s, lake, "source", targetRecordsPerFile = 1024L * 1024)
+      val snap = ManifestLake.appendBatch(s, lake, batchDf(s, "ph", b),
+        "source", appId = "ph", batchId = b.toLong, maxRecordsPerFile = 128L)
+      val target = math.max(2L, snap.version - 4)
+      val outcome = try {
+        val seq = graft.core.PublishLog.publish(coord, Map(lake -> target))
+        // SUCCESS must mean immediately serveable, row-exact
+        val got = graft.core.PublishLog.readPublishedAt(s, coord, seq, lake).count()
+        s""""seq":$seq,"version":$target,"rows":$got"""
+      } catch {
+        case e: Exception =>
+          s""""refused":true,"kind":"${e.getClass.getSimpleName}""""
+      }
+      println(s"""{"pubhist":{"i":$b,$outcome}}""")
+    }
+    s.stop()
+  }
+
+  /** Two-PROCESS HISTORICAL-publish-vs-vacuum race — the r13 TOCTOU
+    * scope note closed: publishing an OLD version concurrently with an
+    * in-flight vacuum could previously land a vector whose manifest
+    * had just retired (armed-but-broken: fails loudly at read, but the
+    * publish RETURNED SUCCESS). The handshake (vacuum `_vacuum.intent`
+    * marker + post-delete retraction sweep; publish post-CAS re-verify
+    * + tombstone) guarantees: every publish that returns success is
+    * immediately serveable and is NEVER later retracted while inside
+    * the retain window; every armed-but-broken vector is tombstoned so
+    * no consumer can pin it. Asserts exactly that from the artifacts. */
+  private def drivePublishHistorical(work: String): Unit = {
+    val root = Paths.get(work)
+    Files.createDirectories(root)
+    val uuid = java.util.UUID.randomUUID()
+    val coord = root.resolve(s"pubhist_coord_$uuid").toString
+    val lake = root.resolve(s"pubhist_lake_$uuid").toString
+    val stop = root.resolve(s"pubhist_stop_$uuid").toString
+    val s = session("drivepubhist")
+    s.sparkContext.setLogLevel("ERROR")
+    ManifestLake.append(s, lake, batchDf(s, "seed", 0), "source") // v1
+    ManifestLake.setProperties(lake, Map(
+      "publish.coord" -> coord, "publish.retain" -> "3"))         // v2
+    graft.core.PublishLog.publish(coord, Map(lake -> 2L))
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    def spawn(tag: String, xmx: String, args: Seq[String]): (Process, java.io.File) = {
+      val log = root.resolve(s"pubhist_$tag.log").toFile
+      val cmd = (Seq(javaBin, s"-Xmx$xmx", "-cp", cp) ++
+        opens.toSeq ++ jdk17Opens ++
+        Seq("graft.ProbeTwoProcess") ++ args)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(root.toFile); pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val rounds = 16
+    val (vp, vlog) = spawn("vac", "512m", Seq("pubvacvacuum", lake, stop))
+    val (wp, wlog) = spawn("writer", "3g",
+      Seq("pubhistwriter", coord, lake, rounds.toString))
+    val rcW = wp.waitFor()
+    Files.createFile(Paths.get(stop))
+    val rcV = vp.waitFor()
+
+    val okRe = """\{"pubhist":\{"i":(\d+),"seq":(\d+),"version":(\d+),"rows":(\d+)\}\}""".r
+    val refRe = """\{"pubhist":\{"i":(\d+),"refused":true.*""".r
+    var succ = Vector.empty[(Int, Long, Long, Long)]
+    var refused = 0
+    scala.io.Source.fromFile(wlog).getLines().foreach {
+      case okRe(i, q, v, r) => succ :+= ((i.toInt, q.toLong, v.toLong, r.toLong))
+      case refRe(_)         => refused += 1
+      case _                => ()
+    }
+    val loopsRe = """\{"vacloops":(\d+)\}""".r
+    val loops = scala.io.Source.fromFile(vlog).getLines().collectFirst {
+      case loopsRe(n) => n.toInt
+    }.getOrElse(0)
+    // every SUCCESS read back row-exact at publish time: version v
+    // holds seed + batches 0..(v-3) (v2 = seed+props; batch b commits
+    // at version... compactions shift it, so assert against the
+    // logged read instead: rows > 0 and divisible by RowsPerBatch)
+    val immediate = succ.forall(t => t._4 > 0 && t._4 % RowsPerBatch == 0)
+    // no succeeded vector is retracted while inside the FINAL retain
+    // window; out-of-window retractions are the honest tombstone of a
+    // legitimately-retired snapshot
+    val live = graft.core.PublishLog.liveVersions(coord)
+    val window = live.takeRight(3).toSet
+    val violations = succ.filter(t =>
+      graft.core.PublishLog.isRetracted(coord, t._2) && window.contains(t._2))
+    // the newest in-window successes still read row-exact NOW
+    val finalReads = succ.filter(t => window.contains(t._2)).map { t =>
+      val got = try graft.core.PublishLog
+        .readPublishedAt(s, coord, t._2, lake).count()
+      catch { case _: Exception => -1L }
+      (t._2, t._4, got)
+    }
+    val checks = Seq(
+      ("exit_codes", rcW == 0 && rcV == 0, s"writer=$rcW vacuum=$rcV"),
+      ("vacuum_overlapped", loops >= 3, s"loops=$loops"),
+      ("race_not_vacuous", succ.nonEmpty && (refused > 0 || loops > 50),
+        s"succ=${succ.length} refused=$refused loops=$loops"),
+      ("success_immediately_serveable", immediate && succ.nonEmpty,
+        succ.map(t => s"i${t._1}:${t._4}").mkString(" ")),
+      ("no_inwindow_success_retracted", violations.isEmpty,
+        s"violations=${violations.map(_._2)}"),
+      ("inwindow_success_still_exact",
+        finalReads.forall { case (_, atPublish, now) => now == atPublish },
+        finalReads.map(t => s"seq${t._1}:${t._3}/${t._2}").mkString(" ")))
+    checks.foreach { case (name, ok, detail) =>
+      println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
+    }
+    println(s"""{"probe":"two_process_publish_historical","pass":${checks.forall(_._2)}}""")
+    s.stop()
   }
 
   /** Two-PROCESS publish-vs-vacuum race: a writer process commits and

@@ -227,52 +227,39 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * corrupt every older file's interpretation — same rule as
     * write-side evolution). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, SetProperty}
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn, RenameColumn, SetProperty, UpdateColumnType}
     val dir = dirOf(ident)
-    // `SET TBLPROPERTIES('write.delete.mode'='merge-on-read')` — the
-    // one mutable property: how DELETE mutates is an operational
-    // choice, unlike the structural props every committed file
-    // already satisfies (partitionCol / bucket layout refuse below)
-    val mutableProps = Set("write.delete.mode", "enableChangeDataFeed",
-      "publish.coord", "publish.retain")
-    val (propSets, rest) = changes.partition {
-      case p: SetProperty => mutableProps.contains(p.property)
-      case _              => false
-    }
-    if (propSets.nonEmpty) {
-      ManifestLake.setProperties(dir, propSets.map {
-        case p: SetProperty => p.property -> p.value.trim
-      }.toMap)
-      if (rest.isEmpty) return loadTable(ident)
-    }
-    // RENAME/DROP COLUMN are metadata-only via COLUMN MAPPING
-    // (ManifestLake.renameColumn/dropColumn — Delta's name mode): the
-    // committed bytes keep their physical names, the catalog serves
-    // the logical ones. Type changes keep refusing: they would
-    // reinterpret committed bytes, which no mapping can fix.
-    import org.apache.spark.sql.connector.catalog.TableChange.{DeleteColumn, RenameColumn, UpdateColumnType}
-    val (mapping, adds0) = rest.partition {
-      case _: RenameColumn | _: DeleteColumn | _: UpdateColumnType => true
-      case _                                                       => false
-    }
-    mapping.foreach {
+    // One ALTER TABLE statement = ONE manifest commit: every change is
+    // translated up front and [[ManifestLake.alterSchema]] validates
+    // and folds the whole list inside a single commit loop — a
+    // refusal mid-list (e.g. the second rename collides) aborts the
+    // statement with nothing committed. Semantics per change kind:
+    // - SET TBLPROPERTIES: the mutable operational props only
+    //   (write.delete.mode, enableChangeDataFeed, publish.*);
+    //   structural props are contracts over committed data.
+    // - RENAME/DROP COLUMN: metadata-only via COLUMN MAPPING (Delta's
+    //   name mode), including NESTED struct-field paths (path-keyed
+    //   mapping entries) — committed bytes keep their physical names,
+    //   the catalog serves the logical ones.
+    // - ALTER COLUMN TYPE: lossless TYPE WIDENING only (top-level —
+    //   a nested widening would have to rewrite the struct column's
+    //   committed type in place, refused until probed).
+    // - ADD COLUMNS: additive evolution; existing files null-fill.
+    val alterations: Seq[ManifestLake.TableAlteration] = changes.map {
+      case p: SetProperty =>
+        ManifestLake.AlterSetProps(Map(p.property -> p.value.trim))
       case r: RenameColumn =>
-        require(r.fieldNames.length == 1,
-          s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
-        ManifestLake.renameColumn(dir, r.fieldNames.head, r.newName)
+        if (r.fieldNames.length == 1)
+          ManifestLake.AlterRenameColumn(r.fieldNames.head, r.newName)
+        else ManifestLake.AlterRenameNested(r.fieldNames.toSeq, r.newName)
       case d: DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
-        ManifestLake.dropColumn(dir, d.fieldNames.head)
+        if (d.fieldNames.length == 1)
+          ManifestLake.AlterDropColumn(d.fieldNames.head)
+        else ManifestLake.AlterDropNested(d.fieldNames.toSeq)
       case t: UpdateColumnType =>
-        // TYPE WIDENING only — widenColumn refuses anything lossy
         require(t.fieldNames.length == 1,
           s"nested ALTER COLUMN TYPE is not supported: ${t.fieldNames.mkString(".")}")
-        ManifestLake.widenColumn(dir, t.fieldNames.head, t.newDataType)
-      case _ => ()
-    }
-    if (mapping.nonEmpty && adds0.isEmpty) return loadTable(ident)
-    val adds = adds0.map {
+        ManifestLake.AlterWidenColumn(t.fieldNames.head, t.newDataType)
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
@@ -282,17 +269,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(a.isNullable,
           s"ADD COLUMNS ${a.fieldNames.head} NOT NULL is impossible: every " +
             "pre-existing row null-fills the new column")
-        StructField(a.fieldNames.head, a.dataType,
+        ManifestLake.AlterAddColumns(Seq(StructField(a.fieldNames.head,
+          a.dataType,
           nullable = true, // pre-existing rows HAVE no value — nullable by physics
           metadata = Option(a.comment()).map(c =>
             new MetadataBuilder().putString("comment", c).build())
-            .getOrElse(Metadata.empty))
+            .getOrElse(Metadata.empty))))
       case other => throw new UnsupportedOperationException(
         s"graft lakes support ALTER TABLE ADD COLUMNS / RENAME COLUMN / " +
-          s"DROP COLUMN / SET TBLPROPERTIES (got: $other) — type changes " +
-          "would reinterpret committed bytes")
+          s"DROP COLUMN / ALTER COLUMN TYPE (widening) / SET TBLPROPERTIES " +
+          s"(got: $other)")
     }
-    ManifestLake.addColumns(dir, adds)
+    ManifestLake.alterSchema(dir, alterations)
     loadTable(ident)
   }
 

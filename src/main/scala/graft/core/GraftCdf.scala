@@ -149,11 +149,14 @@ private[core] final case class GraftCdfTable(dir: String,
   // positionally under the full physical schema, and silently
   // SERVING a dropped column would leak hidden bytes. The Scala
   // [[ManifestLake.readChangeFeed]] twin projects them away.
-  require(snap.droppedCols.isEmpty,
+  require(snap.droppedCols.isEmpty && snap.nestedDrops.isEmpty,
     s"the DSv2 change feed over $dir cannot serve a lake with DROPPED " +
-      "columns — use ManifestLake.readChangeFeed, which hides them")
+      "columns (top-level or nested) — use ManifestLake.readChangeFeed, " +
+      "which hides them")
   override val schema: StructType = GraftCdf.cdfSchema(StructType(
-    lakeSchema.fields.map(f => f.copy(name = snap.logicalName(f.name)))))
+    lakeSchema.fields.map(f => f.copy(name = snap.logicalName(f.name),
+      dataType = ManifestLake.nestedLogicalType(snap, f.dataType,
+        Seq(f.name))))))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)

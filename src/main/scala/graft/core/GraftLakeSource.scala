@@ -1195,8 +1195,11 @@ private[graft] final case class GraftScan(
 
   /** A required (logical-named) field under its PHYSICAL name — what
     * parquet footers carry. Positional rows make the rename free. */
+  // physical names at EVERY nesting level (rows are positional, so
+  // renaming names in the requested schema is free; nested-pruned
+  // shapes keep their shape — only names map)
   private def physField(f: StructField): StructField =
-    f.copy(name = table.toPhysName(f.name))
+    ManifestLake.physReadField(table.snap, f)
 
   override def description(): String =
     s"GraftLake ${table.name()} prunedFiles=${keptFiles.length}/$totalFiles " +

@@ -105,10 +105,15 @@ private[core] final class GraftReplaceBatchWrite(
       throw new IllegalStateException(
         s"lake ${table.dir} has no partitioned files — nothing to rewrite"))
     // the operation's row schema arrives with LOGICAL names; rewritten
-    // files must carry PHYSICAL ones (rows are positional — the rename
-    // is free). partitionCol is already physical.
+    // files must carry PHYSICAL ones — at EVERY nesting level (rows
+    // are positional — the rename is free). A nested-DROPPED leaf is
+    // absent from the logical rows, so rewritten files clip it and
+    // by-name nested reads null-fill — the same carried-value
+    // contract as a top-level drop, and the CDF multiset diff
+    // compares over the clipped shape. partitionCol is already
+    // physical.
     val physSchema = StructType(
-      schema.fields.map(f => f.copy(name = table.toPhysName(f.name))))
+      schema.fields.map(f => ManifestLake.physReadField(table.snap, f)))
     val dataSchema = StructType(physSchema.fields.filterNot(_.name == partitionCol))
     // the writer-side conf ParquetFileFormat.prepareWrite assembles:
     // write-support class + catalyst schema + the format flags the

@@ -163,13 +163,36 @@ object ManifestLake {
       * time travel to a pre-drop version still serves it (that
       * snapshot has no coldrop prop). */
     def renames: Map[String, String] = props.iterator.collect {
-      case (k, v) if k.startsWith(PropColMapPrefix) =>
+      case (k, v) if k.startsWith(PropColMapPrefix)
+          && !k.stripPrefix(PropColMapPrefix).contains('.') =>
         (k.stripPrefix(PropColMapPrefix), v)
     }.toMap
     def droppedCols: Set[String] = props.iterator.collect {
-      case (k, _) if k.startsWith(PropColDropPrefix) =>
+      case (k, _) if k.startsWith(PropColDropPrefix)
+          && !k.stripPrefix(PropColDropPrefix).contains('.') =>
         k.stripPrefix(PropColDropPrefix)
     }.toSet
+    /** NESTED column mapping: a dotted `colmap.`/`coldrop.` key is a
+      * PHYSICAL FIELD PATH through struct columns (`root.mid.leaf` —
+      * every segment the physical name; the DDL refuses segment names
+      * containing '.', so the encoding is unambiguous). The value of a
+      * nested rename is the field's new LEAF name; drops hide the
+      * whole subtree. Same era rules as top-level mapping: the props
+      * live per-snapshot, so time travel is automatically correct. */
+    def nestedRenames: Map[Seq[String], String] = props.iterator.collect {
+      case (k, v) if k.startsWith(PropColMapPrefix)
+          && k.stripPrefix(PropColMapPrefix).contains('.') =>
+        (k.stripPrefix(PropColMapPrefix).split('.').toSeq, v)
+    }.toMap
+    def nestedDrops: Set[Seq[String]] = props.iterator.collect {
+      case (k, _) if k.startsWith(PropColDropPrefix)
+          && k.stripPrefix(PropColDropPrefix).contains('.') =>
+        k.stripPrefix(PropColDropPrefix).split('.').toSeq
+    }.toSet
+    /** Top-level physical columns with nested mapping beneath them. */
+    def nestedRoots: Set[String] =
+      nestedRenames.keysIterator.map(_.head).toSet ++
+        nestedDrops.iterator.map(_.head)
     def mappingActive: Boolean = props.keysIterator.exists(k =>
       k.startsWith(PropColMapPrefix) || k.startsWith(PropColDropPrefix))
     /** The physical column's user-facing name (itself when unmapped). */
@@ -191,7 +214,9 @@ object ManifestLake {
         if (!mappingActive) sc
         else org.apache.spark.sql.types.StructType(sc.fields.toIndexedSeq
           .filterNot(f => droppedCols.contains(f.name))
-          .map(f => f.copy(name = logicalName(f.name))))
+          .map(f => f.copy(name = logicalName(f.name),
+            dataType = ManifestLake.nestedLogicalType(this, f.dataType,
+              Seq(f.name)))))
       }
     private def csvProp(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -879,6 +904,30 @@ object ManifestLake {
     * exact DataType — a type flip silently corrupts every older file's
     * interpretation, so it fails the commit with the column named. The
     * committed schema is the union, existing fields first. */
+  /** Structural type equality ignoring nullability at every level —
+    * the comparison schema evolution and the nested-mapping boundary
+    * use: nullability is a property of the DATA an expression
+    * happened to produce (a rebuilt struct's fields are nullable even
+    * when the committed ones weren't), not of the bytes' layout, so
+    * it must never fail a commit the way a genuine type flip does. */
+  private[core] def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+    case (x: org.apache.spark.sql.types.StructType,
+          y: org.apache.spark.sql.types.StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall {
+        case (f, g) => f.name == g.name &&
+          sameTypeIgnoreNullability(f.dataType, g.dataType) }
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      sameTypeIgnoreNullability(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      sameTypeIgnoreNullability(x.keyType, y.keyType) &&
+        sameTypeIgnoreNullability(x.valueType, y.valueType)
+    case _ => a == b
+  }
+
   private[core] def evolveSchema(committed: Option[org.apache.spark.sql.types.StructType],
                                  incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
@@ -889,7 +938,7 @@ object ManifestLake {
         val curByName = cur.fields.map(f => f.name -> f).toMap
         val drift = incoming.fields.flatMap { f =>
           curByName.get(f.name) match {
-            case Some(c) if c.dataType != f.dataType =>
+            case Some(c) if !sameTypeIgnoreNullability(c.dataType, f.dataType) =>
               Some(s"${f.name}: committed ${c.dataType.simpleString}, incoming ${f.dataType.simpleString}")
             case _ => None
           }
@@ -1062,7 +1111,9 @@ object ManifestLake {
       s"lake $dir has $PropCdfEnabled but no committed schema — the " +
         "change-record diff needs one"))
     val schema = org.apache.spark.sql.types.StructType(
-      committed.fields.filterNot(f => snap.droppedCols.contains(f.name)))
+      committed.fields.filterNot(f => snap.droppedCols.contains(f.name))
+        .map(f => f.copy(dataType = clipNestedDrops(snap, f.dataType,
+          Seq(f.name)))))
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => true
       case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
@@ -1470,10 +1521,30 @@ object ManifestLake {
     * ones (partitionCol, bucket layout) are contracts every committed
     * file already satisfies — flipping them would lie about the data,
     * so the catalog refuses them before this is ever called. */
-  def setProperties(dir: String, kvs: Map[String, String]): Snapshot = {
-    // enforced HERE, not just at the catalog: a direct caller flipping
-    // bucketN/partitionCol would lie about every committed file's
-    // placement — wrong joins, not an error
+  def setProperties(dir: String, kvs: Map[String, String]): Snapshot =
+    alterSchema(dir, Seq(AlterSetProps(kvs)))
+
+  /** One schema/property change of an ALTER TABLE statement — the
+    * units [[alterSchema]] folds into a SINGLE commit so a multi-change
+    * statement is all-or-nothing (a refusal mid-list must not leave
+    * earlier changes committed). */
+  sealed trait TableAlteration
+  final case class AlterSetProps(kvs: Map[String, String]) extends TableAlteration
+  final case class AlterRenameColumn(from: String, to: String) extends TableAlteration
+  final case class AlterDropColumn(name: String) extends TableAlteration
+  final case class AlterWidenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType) extends TableAlteration
+  final case class AlterAddColumns(
+      adds: Seq[org.apache.spark.sql.types.StructField]) extends TableAlteration
+  /** NESTED field rename/drop — `path` is the user-facing (logical)
+    * field path through struct columns, e.g. Seq("meta", "lang"). */
+  final case class AlterRenameNested(path: Seq[String], to: String) extends TableAlteration
+  final case class AlterDropNested(path: Seq[String]) extends TableAlteration
+
+  // enforced HERE, not just at the catalog: a direct caller flipping
+  // bucketN/partitionCol would lie about every committed file's
+  // placement — wrong joins, not an error
+  private def validateMutableProps(kvs: Map[String, String]): Unit = {
     val mutable = Set(PropDeleteMode, PropCdfEnabled,
       PropPublishCoord, PropPublishRetain)
     val illegal = kvs.keySet -- mutable
@@ -1491,14 +1562,36 @@ object ManifestLake {
     kvs.get(PropPublishCoord).foreach(v =>
       require(v.nonEmpty && !v.contains('\n') && !v.contains('\r'),
         s"$PropPublishCoord cannot ride a manifest property: '$v'"))
+  }
+
+  /** One `ALTER TABLE` statement as ONE commit: every change validates
+    * against and folds into the same snapshot view sequentially
+    * (statement order — a rename's new name is visible to the next
+    * change), and the folded (props, schema) pair lands in a single
+    * CAS. A refusal anywhere aborts the whole statement with nothing
+    * committed; on a CAS retry the fold re-validates against the new
+    * snapshot. Changes that individually no-op fold to identity; an
+    * all-no-op statement commits nothing. */
+  def alterSchema(dir: String, changes: Seq[TableAlteration]): Snapshot = {
+    require(changes.nonEmpty, "ALTER needs at least one change")
+    changes.foreach {
+      case AlterSetProps(kvs) => validateMutableProps(kvs)
+      case _                  => ()
+    }
     commitLoop(Paths.get(dir)) {
       case None => throw new IllegalStateException(
         s"no committed manifest in $dir — nothing to alter")
       case Some(latest) =>
-        if (kvs.forall { case (k, v) => latest.props.get(k).contains(v) }) None
-        else Some(Ledger(latest.files, latest.txns, latest.stats, "setprops",
-          latest.schema, latest.blooms, latest.rows,
-          props = Some(latest.props ++ kvs), buckets = latest.buckets))
+        val folded = changes.foldLeft(latest)((s, c) => applyAlteration(dir, s, c))
+        if (folded.props == latest.props && folded.schema == latest.schema &&
+            folded.stats == latest.stats && folded.blooms == latest.blooms) None
+        else {
+          val op = if (changes.forall(_.isInstanceOf[AlterSetProps])) "setprops"
+                   else "alter"
+          Some(Ledger(latest.files, latest.txns, folded.stats, op,
+            folded.schema, folded.blooms, latest.rows,
+            props = Some(folded.props), buckets = latest.buckets))
+        }
     }.get
   }
 
@@ -1690,48 +1783,159 @@ object ManifestLake {
   def addColumns(dir: String,
                  adds: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
     require(adds.nonEmpty, "ADD COLUMNS requires at least one column")
-    val root = Paths.get(dir)
-    commitLoop(root) {
-      case None => throw new IllegalStateException(s"no committed manifest in $dir")
-      case Some(latest) =>
-        val cur = latest.schema.getOrElse(throw new IllegalStateException(
-          s"lake $dir has no committed schema — ALTER needs one"))
-        // clashes with PHYSICAL names cover dropped columns too (the
-        // committed schema keeps them); clashes with LOGICAL names
-        // keep physicalName resolution unambiguous under renames
-        val taken = cur.fieldNames.toSet ++ latest.renames.values
-        val clash = adds.map(_.name).filter(taken.contains)
-        if (clash.nonEmpty) throw new IllegalArgumentException(
-          s"column(s) already exist (as a live, renamed, or dropped " +
-            s"column): ${clash.mkString(", ")}")
-        val dup = adds.groupBy(_.name).collect { case (n, fs) if fs.length > 1 => n }
-        if (dup.nonEmpty) throw new IllegalArgumentException(
-          s"duplicate column(s) in ADD: ${dup.mkString(", ")}")
-        Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
-          Some(org.apache.spark.sql.types.StructType(cur.fields ++ adds)),
-          latest.blooms, latest.rows))
-    }.get
+    alterSchema(dir, Seq(AlterAddColumns(adds)))
+  }
+
+  /** A physical type with NESTED DROPS under `prefix` clipped away —
+    * the shape post-drop writers stage and the CDF multiset diff
+    * compares (physical leaf names kept). Identity when no nested
+    * entry lives under the prefix. Paths never cross arrays/maps (the
+    * DDL refuses them), so only struct chains recurse. */
+  private[core] def clipNestedDrops(snap: Snapshot,
+                                    dt: org.apache.spark.sql.types.DataType,
+                                    prefix: Seq[String])
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType
+        if snap.nestedDrops.exists(_.startsWith(prefix)) =>
+      org.apache.spark.sql.types.StructType(st.fields.toIndexedSeq
+        .filterNot(f => snap.nestedDrops.contains(prefix :+ f.name))
+        .map(f => f.copy(
+          dataType = clipNestedDrops(snap, f.dataType, prefix :+ f.name))))
+    case other => other
+  }
+
+  /** A physical type with nested drops clipped AND nested renames
+    * applied — the user-facing shape of a struct column. */
+  private[core] def nestedLogicalType(snap: Snapshot,
+                                      dt: org.apache.spark.sql.types.DataType,
+                                      prefix: Seq[String])
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType
+        if snap.nestedDrops.exists(_.startsWith(prefix)) ||
+          snap.nestedRenames.keysIterator.exists(_.startsWith(prefix)) =>
+      org.apache.spark.sql.types.StructType(st.fields.toIndexedSeq
+        .filterNot(f => snap.nestedDrops.contains(prefix :+ f.name))
+        .map { f =>
+          val p = prefix :+ f.name
+          f.copy(name = snap.nestedRenames.getOrElse(p, f.name),
+            dataType = nestedLogicalType(snap, f.dataType, p))
+        })
+    case other => other
+  }
+
+  /** A LOGICAL (possibly nested-pruned) field translated back to
+    * physical nested names for the parquet layer, walking the
+    * committed physical type alongside — the DSv2 scan's requested
+    * schema must carry the names footers do, at every nesting level.
+    * The logical field's SHAPE is kept (nested schema pruning may
+    * have dropped leaves); only names map. */
+  private[core] def physReadField(snap: Snapshot,
+                                  logical: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types.{StructField, StructType, ArrayType, DataType}
+    val physRoot = snap.physicalName(logical.name).getOrElse(logical.name)
+    def rec(lt: DataType, pt: DataType, prefix: Seq[String]): DataType =
+      (lt, pt) match {
+        case (ls: StructType, ps: StructType)
+            if snap.nestedRenames.keysIterator.exists(_.startsWith(prefix)) ||
+              snap.nestedDrops.exists(_.startsWith(prefix)) =>
+          StructType(ls.fields.toIndexedSeq.map { lf =>
+            val pf = ps.fields.find { p =>
+              val pp = prefix :+ p.name
+              !snap.nestedDrops.contains(pp) &&
+                snap.nestedRenames.getOrElse(pp, p.name) == lf.name
+            }.getOrElse(throw new IllegalStateException(
+              s"no physical field for '${lf.name}' under " +
+                s"${prefix.mkString(".")} — mapping out of sync"))
+            StructField(pf.name, rec(lf.dataType, pf.dataType, prefix :+ pf.name),
+              lf.nullable, lf.metadata)
+          })
+        case _ => lt
+      }
+    val physType = snap.schema.flatMap(_.fields.find(_.name == physRoot))
+      .map(f => rec(logical.dataType, f.dataType, Seq(physRoot)))
+      .getOrElse(logical.dataType)
+    logical.copy(name = physRoot, dataType = physType)
+  }
+
+  /** Rebuild a LOGICAL struct column as its COMMITTED PHYSICAL shape
+    * for staging: renamed leaves back under physical names, dropped
+    * leaves re-inserted as typed NULLs at their committed positions —
+    * so every file generation carries the identical physical struct
+    * and by-name nested reads never diverge. NULL struct rows stay
+    * NULL. */
+  private def rebuildPhysicalStruct(snap: Snapshot,
+                                    c: org.apache.spark.sql.Column,
+                                    dt: org.apache.spark.sql.types.DataType,
+                                    prefix: Seq[String])
+      : org.apache.spark.sql.Column = dt match {
+    case st: org.apache.spark.sql.types.StructType
+        if snap.nestedDrops.exists(_.startsWith(prefix)) ||
+          snap.nestedRenames.keysIterator.exists(_.startsWith(prefix)) =>
+      val parts = st.fields.toIndexedSeq.map { f =>
+        val p = prefix :+ f.name
+        if (snap.nestedDrops.contains(p)) lit(null).cast(f.dataType).as(f.name)
+        else {
+          val child = c.getField(snap.nestedRenames.getOrElse(p, f.name))
+          rebuildPhysicalStruct(snap, child, f.dataType, p).as(f.name)
+        }
+      }
+      when(c.isNull, lit(null).cast(st)).otherwise(struct(parts: _*))
+    case _ => c
   }
 
   /** physical→logical VIEW of a lake frame (no-op when unmapped):
     * dropped columns hidden, renamed columns served under their
-    * logical names. A pure column-level Project — filter pushdown and
-    * column pruning pass through it. */
+    * logical names; struct columns with NESTED mapping rebuild
+    * (dropped subtrees clipped via `dropFields`, leaves renamed by a
+    * positional cast). A pure column-level Project on unnested lakes
+    * — filter pushdown and column pruning pass through it; nested
+    * mapping costs a per-row struct rebuild on the mapped roots
+    * only. */
   private[core] def toLogical(snap: Snapshot, df: DataFrame): DataFrame =
     if (!snap.mappingActive) df
     else {
-      val dropped = snap.droppedCols.filter(df.columns.contains).toSeq
-      val ren = snap.renames.filter { case (p, _) => df.columns.contains(p) }
-      df.drop(dropped: _*).withColumnsRenamed(ren)
+      val nested = snap.nestedRoots.filter(df.columns.contains).toSeq.sorted
+      val n = nested.foldLeft(df) { (d, r) =>
+        val physType = d.schema(d.schema.fieldIndex(r)).dataType
+        val dropsUnder = snap.nestedDrops.filter(_.head == r)
+          .map(_.tail.mkString(".")).toSeq.sorted
+        val clipped = dropsUnder.foldLeft(col(r))((c, p) => c.dropFields(p))
+        val target = nestedLogicalType(snap, physType, Seq(r))
+        d.withColumn(r, clipped.cast(target))
+      }
+      val dropped = snap.droppedCols.filter(n.columns.contains).toSeq
+      val ren = snap.renames.filter { case (p, _) => n.columns.contains(p) }
+      n.drop(dropped: _*).withColumnsRenamed(ren)
     }
 
   /** logical→physical, for user frames about to be staged: the bytes
     * written always carry PHYSICAL names, whatever the column is
-    * called today — one name per column across every file generation. */
-  private[core] def toPhysical(snap: Snapshot, df: DataFrame): DataFrame =
-    if (!snap.mappingActive) df
-    else df.withColumnsRenamed(
+    * called today — one name per column across every file generation.
+    * Struct columns with nested mapping rebuild to the full COMMITTED
+    * shape (nested-dropped leaves as typed NULLs) after an exact
+    * logical-type check — nested evolution under a mapped root would
+    * otherwise silently misbind by position. */
+  private[core] def toPhysical(snap: Snapshot, df: DataFrame): DataFrame = {
+    if (!snap.mappingActive) return df
+    val renamed = df.withColumnsRenamed(
       snap.renames.collect { case (p, l) if df.columns.contains(l) => (l, p) })
+    snap.nestedRoots.filter(renamed.columns.contains).toSeq.sorted
+      .foldLeft(renamed) { (d, r) =>
+        val committed = snap.schema.flatMap(_.fields.find(_.name == r))
+          .getOrElse(throw new IllegalStateException(
+            s"nested mapping under '$r' but no committed field"))
+        val have = d.schema(d.schema.fieldIndex(r)).dataType
+        val logicalT = nestedLogicalType(snap, committed.dataType, Seq(r))
+        require(sameTypeIgnoreNullability(have, logicalT),
+          s"struct column '${snap.logicalName(r)}' must match the table's " +
+            s"logical type exactly (${logicalT.simpleString}), got " +
+            s"${have.simpleString} — nested evolution under a mapped " +
+            "struct column is not supported")
+        d.withColumn(r,
+          rebuildPhysicalStruct(snap, col(r), committed.dataType, Seq(r)))
+      }
+  }
 
   /** A user-facing column-name argument (partitionCol, keyCols,
     * statsCols, clusterBy...) resolved to its physical column.
@@ -1762,44 +1966,279 @@ object ManifestLake {
     * names a manifest property line cannot carry; a column referenced
     * by a CHECK constraint (Delta's rule — the stored expression text
     * would silently dangle). */
-  def renameColumn(dir: String, from: String, to: String): Snapshot = {
-    require(to.nonEmpty && !to.contains('\n') && !to.contains('\r'),
-      s"cannot rename to '$to': the name cannot ride a manifest property")
-    commitLoop(Paths.get(dir)) {
-      case None => throw new IllegalStateException(s"no committed manifest in $dir")
-      case Some(latest) =>
-        val sc = latest.schema.getOrElse(throw new IllegalStateException(
-          s"lake $dir has no committed schema — RENAME COLUMN needs one"))
-        val phys = latest.physicalName(from).getOrElse(
-          throw new IllegalArgumentException(
-            s"no column '$from' on $dir (dropped or never committed) — " +
-              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
-        require(!phys.contains('=') && !phys.contains('\n') && !phys.contains('\r'),
-          s"physical column '$phys' cannot key a manifest property — " +
-            "alias it at write time instead")
-        if (latest.logicalName(phys) == to) None // already named `to`
-        else {
-          val takenLogical = latest.logicalSchema.get.fieldNames.toSet
-          require(!takenLogical.contains(to),
-            s"cannot rename '$from' to '$to': a column named '$to' exists")
-          require(!sc.fieldNames.exists(p => p != phys && p == to),
-            s"cannot rename '$from' to '$to': '$to' is the physical name " +
-              "of another committed column (possibly dropped) — pick a " +
-              "name never used by this lake")
-          constraintsReferencing(latest, phys).foreach { n =>
-            throw new IllegalStateException(
-              s"cannot rename '$from': CHECK constraint '$n' references " +
-                "it — drop the constraint first and re-add it under the " +
-                "new name")
-          }
-          val newProps =
-            if (to == phys) latest.props - (PropColMapPrefix + phys)
-            else latest.props + (PropColMapPrefix + phys -> to)
-          Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
-            latest.schema, latest.blooms, latest.rows,
-            props = Some(newProps), buckets = latest.buckets))
+  def renameColumn(dir: String, from: String, to: String): Snapshot =
+    alterSchema(dir, Seq(AlterRenameColumn(from, to)))
+
+  /** `ALTER TABLE ... RENAME COLUMN root.path TO to` — NESTED field
+    * rename, metadata-only via a PATH-KEYED mapping entry
+    * (`colmap.root.mid.leaf = to`; every segment the physical name).
+    * Committed bytes keep their nested names; reads rebuild the
+    * mapped struct roots at the boundary (a positional cast — order,
+    * types and data untouched), writes translate back. `path` is the
+    * user-facing spelling: segments resolve through the CURRENT
+    * mapping, so renaming a field then addressing it by its new path
+    * works. Paths resolve through STRUCT chains only — fields inside
+    * arrays/maps are not addressable (no per-element identity to key
+    * a property on). */
+  def renameColumn(dir: String, path: Seq[String], to: String): Snapshot =
+    alterSchema(dir, Seq(
+      if (path.length == 1) AlterRenameColumn(path.head, to)
+      else AlterRenameNested(path, to)))
+
+  /** NESTED `DROP COLUMN root.path` — one `coldrop.root.mid.leaf`
+    * property commit hides the committed subtree from reads without
+    * touching a byte; time travel to a pre-drop version still serves
+    * it. Post-drop writers stage the full committed struct with the
+    * dropped leaf as a typed NULL, so every file generation carries
+    * one physical shape. Refusal matrix mirrors the top-level drop
+    * (last visible field of its struct, constraint-referenced root,
+    * unknown/already-dropped paths). */
+  def dropColumn(dir: String, path: Seq[String]): Snapshot =
+    alterSchema(dir, Seq(
+      if (path.length == 1) AlterDropColumn(path.head)
+      else AlterDropNested(path)))
+
+  /** Resolve a user-facing (logical) nested field path to its
+    * committed PHYSICAL path. Returns (physical path, resolved leaf
+    * field, parent struct, parent physical prefix). Refuses unknown
+    * or dropped segments and paths crossing non-struct types. */
+  private def resolveNestedPath(dir: String, snap: Snapshot, path: Seq[String])
+      : (Seq[String], org.apache.spark.sql.types.StructField,
+         org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(path.length >= 2,
+      s"nested path needs at least two segments: ${path.mkString(".")}")
+    val sc = snap.schema.getOrElse(throw new IllegalStateException(
+      s"lake $dir has no committed schema — nested ALTER needs one"))
+    val rootPhys = snap.physicalName(path.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '${path.head}' on $dir (dropped or never committed) — " +
+          s"columns: ${snap.logicalSchema.get.fieldNames.mkString(", ")}"))
+    var prefix: Vector[String] = Vector(rootPhys)
+    var curType: org.apache.spark.sql.types.DataType =
+      sc(sc.fieldIndex(rootPhys)).dataType
+    var parent: StructType = null
+    var field: StructField = null
+    path.tail.foreach { seg =>
+      curType match {
+        case st: StructType =>
+          val hit = st.fields.find { f =>
+            val p = prefix :+ f.name
+            !snap.nestedDrops.contains(p) &&
+              snap.nestedRenames.getOrElse(p, f.name) == seg
+          }.getOrElse(throw new IllegalArgumentException(
+            s"no field '$seg' under '${prefix.mkString(".")}' on $dir " +
+              "(dropped or never committed)"))
+          parent = st; field = hit
+          prefix = prefix :+ hit.name; curType = hit.dataType
+        case other => throw new IllegalArgumentException(
+          s"nested path ${path.mkString(".")} crosses a non-struct type " +
+            s"(${other.simpleString}) — only struct chains are addressable " +
+            "(fields inside arrays/maps have no per-element identity to " +
+            "key a mapping on)")
+      }
+    }
+    prefix.foreach(s => require(!s.contains('.') && !s.contains('=') &&
+      !s.contains('\n') && !s.contains('\r'),
+      s"physical field '$s' cannot key a manifest property path — " +
+        "alias it at write time instead"))
+    (prefix, field, parent)
+  }
+
+  /** One [[TableAlteration]] validated against and folded into a
+    * snapshot VIEW — the unit [[alterSchema]] folds. Pure: returns the
+    * updated view (props/schema only), throws to abort the whole
+    * statement. No-op changes return the view unchanged. */
+  private def applyAlteration(dir: String, latest: Snapshot,
+                              change: TableAlteration): Snapshot = change match {
+    case AlterSetProps(kvs) =>
+      latest.copy(props = latest.props ++ kvs)
+
+    case AlterRenameColumn(from, to) =>
+      require(to.nonEmpty && !to.contains('\n') && !to.contains('\r') &&
+        !to.contains('.'),
+        s"cannot rename to '$to': the name cannot ride a manifest property " +
+          "(and a dotted name would be ambiguous with a nested field path)")
+      val sc = latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — RENAME COLUMN needs one"))
+      val phys = latest.physicalName(from).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' on $dir (dropped or never committed) — " +
+            s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+      require(!phys.contains('=') && !phys.contains('\n') &&
+        !phys.contains('\r') && !phys.contains('.'),
+        s"physical column '$phys' cannot key a manifest property — " +
+          "alias it at write time instead")
+      if (latest.logicalName(phys) == to) latest // already named `to`
+      else {
+        val takenLogical = latest.logicalSchema.get.fieldNames.toSet
+        require(!takenLogical.contains(to),
+          s"cannot rename '$from' to '$to': a column named '$to' exists")
+        require(!sc.fieldNames.exists(p => p != phys && p == to),
+          s"cannot rename '$from' to '$to': '$to' is the physical name " +
+            "of another committed column (possibly dropped) — pick a " +
+            "name never used by this lake")
+        constraintsReferencing(latest, phys).foreach { n =>
+          throw new IllegalStateException(
+            s"cannot rename '$from': CHECK constraint '$n' references " +
+              "it — drop the constraint first and re-add it under the " +
+              "new name")
         }
-    }.get
+        latest.copy(props =
+          if (to == phys) latest.props - (PropColMapPrefix + phys)
+          else latest.props + (PropColMapPrefix + phys -> to))
+      }
+
+    case AlterDropColumn(name) =>
+      latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — DROP COLUMN needs one"))
+      val phys = latest.physicalName(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' on $dir (dropped or never committed) — " +
+            s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+      require(!phys.contains('=') && !phys.contains('\n') &&
+        !phys.contains('\r') && !phys.contains('.'),
+        s"physical column '$phys' cannot key a manifest property")
+      val partCol = latest.declaredPartitionCol
+        .orElse(latest.files.headOption.map(_.takeWhile(_ != '=')))
+      require(!partCol.contains(phys),
+        s"cannot drop '$name': it is the partition column — file " +
+          "placement derives from it")
+      require(!latest.declaredBucket.exists(_._1 == phys),
+        s"cannot drop '$name': it is the bucket column — co-location " +
+          "derives from it")
+      require(latest.logicalSchema.get.fields.length > 1,
+        s"cannot drop '$name': it is the last visible column")
+      constraintsReferencing(latest, phys).foreach { n =>
+        throw new IllegalStateException(
+          s"cannot drop '$name': CHECK constraint '$n' references it — " +
+            "drop the constraint first")
+      }
+      latest.copy(props = latest.props
+        + (PropColDropPrefix + phys -> "true")
+        - (PropColMapPrefix + phys))
+
+    case AlterWidenColumn(name, to) =>
+      val sc = latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — ALTER COLUMN TYPE needs one"))
+      val phys = latest.physicalName(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' on $dir (dropped or never committed) — " +
+            s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
+      val from = sc(sc.fieldIndex(phys)).dataType
+      if (from == to) latest
+      else {
+        require(isSafeWidening(from, to),
+          s"cannot change '$name' from ${from.simpleString} to " +
+            s"${to.simpleString}: only lossless widenings " +
+            "(byte/short/int→long chain, byte/short/int→double, " +
+            "integral→decimal(p,0), float→double, date→timestamp_ntz, " +
+            "same-scale decimal precision growth) are metadata-only — " +
+            "anything else would reinterpret or round committed bytes")
+        require(!latest.declaredBucket.exists(_._1 == phys),
+          s"cannot widen '$name': it is the bucket column — bucket " +
+            "placement hashes the value WITH its type, so widening " +
+            "would silently break co-location (rebucket first)")
+        // the PARTITION column renders into directory names: integer
+        // widths render identically, but a class-changing widening
+        // (int→double "5"→"5.0", date→timestamp) would scatter one
+        // logical value across differently-rendered directories
+        val partCol = latest.declaredPartitionCol
+          .orElse(latest.files.headOption.map(_.takeWhile(_ != '=')))
+        if (partCol.contains(phys)) {
+          import org.apache.spark.sql.types._
+          val renderStable = (from, to) match {
+            case (ByteType | ShortType | IntegerType,
+                  ShortType | IntegerType | LongType) => true
+            case _ => false
+          }
+          require(renderStable,
+            s"cannot widen partition column '$name' from " +
+              s"${from.simpleString} to ${to.simpleString}: file placement " +
+              "renders the value, and the widened rendering differs")
+        }
+        val stats2 =
+          if (statsSurvive(from, to)) latest.stats
+          else latest.stats.view.mapValues(_.filterNot(_.col == phys))
+            .filter(_._2.nonEmpty).toMap
+        val blooms2 =
+          if (bloomsSurvive(from, to)) latest.blooms
+          else latest.blooms.view.mapValues(_.filterNot(_.col == phys))
+            .filter(_._2.nonEmpty).toMap
+        latest.copy(
+          schema = Some(org.apache.spark.sql.types.StructType(
+            sc.fields.map(f =>
+              if (f.name == phys) f.copy(dataType = to) else f))),
+          stats = stats2, blooms = blooms2)
+      }
+
+    case AlterAddColumns(adds) =>
+      val cur = latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — ALTER needs one"))
+      // clashes with PHYSICAL names cover dropped columns too (the
+      // committed schema keeps them); clashes with LOGICAL names
+      // keep physicalName resolution unambiguous under renames
+      val taken = cur.fieldNames.toSet ++ latest.renames.values
+      val clash = adds.map(_.name).filter(taken.contains)
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"column(s) already exist (as a live, renamed, or dropped " +
+          s"column): ${clash.mkString(", ")}")
+      val dup = adds.groupBy(_.name).collect { case (n, fs) if fs.length > 1 => n }
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"duplicate column(s) in ADD: ${dup.mkString(", ")}")
+      latest.copy(schema = Some(
+        org.apache.spark.sql.types.StructType(cur.fields ++ adds)))
+
+    case AlterRenameNested(path, to) =>
+      require(to.nonEmpty && !to.contains('\n') && !to.contains('\r') &&
+        !to.contains('.') && !to.contains('='),
+        s"cannot rename to '$to': the name cannot ride a manifest property " +
+          "path")
+      val (physPath, _, parentSt) = resolveNestedPath(dir, latest, path)
+      val parentPrefix = physPath.init
+      val current = latest.nestedRenames.getOrElse(physPath, physPath.last)
+      if (current == to) latest // already named `to`
+      else {
+        val siblings = parentSt.fields.filterNot(_.name == physPath.last)
+        val takenLogical = siblings.toSeq
+          .filterNot(f => latest.nestedDrops.contains(parentPrefix :+ f.name))
+          .map(f => latest.nestedRenames.getOrElse(parentPrefix :+ f.name, f.name))
+          .toSet
+        require(!takenLogical.contains(to),
+          s"cannot rename '${path.mkString(".")}' to '$to': a sibling " +
+            s"field named '$to' exists")
+        require(!siblings.exists(_.name == to),
+          s"cannot rename '${path.mkString(".")}' to '$to': '$to' is the " +
+            "physical name of another committed field (possibly dropped) — " +
+            "pick a name never used at this level")
+        constraintsReferencing(latest, physPath.head).foreach { n =>
+          throw new IllegalStateException(
+            s"cannot rename '${path.mkString(".")}': CHECK constraint '$n' " +
+              "references its root column — drop the constraint first and " +
+              "re-add it under the new name")
+        }
+        val key = PropColMapPrefix + physPath.mkString(".")
+        latest.copy(props =
+          if (to == physPath.last) latest.props - key
+          else latest.props + (key -> to))
+      }
+
+    case AlterDropNested(path) =>
+      val (physPath, _, parentSt) = resolveNestedPath(dir, latest, path)
+      val parentPrefix = physPath.init
+      val visible = parentSt.fields.count(f =>
+        !latest.nestedDrops.contains(parentPrefix :+ f.name))
+      require(visible > 1,
+        s"cannot drop '${path.mkString(".")}': it is the last visible " +
+          "field of its struct — drop the whole column instead")
+      constraintsReferencing(latest, physPath.head).foreach { n =>
+        throw new IllegalStateException(
+          s"cannot drop '${path.mkString(".")}': CHECK constraint '$n' " +
+            "references its root column — drop the constraint first")
+      }
+      latest.copy(props = latest.props
+        + (PropColDropPrefix + physPath.mkString(".") -> "true")
+        - (PropColMapPrefix + physPath.mkString(".")))
   }
 
   /** `ALTER TABLE ... DROP COLUMN` — METADATA-ONLY: one `coldrop.*`
@@ -1812,41 +2251,8 @@ object ManifestLake {
     * names. The physical name stays reserved forever (re-ADDing it
     * refuses): committed bytes still carry it, and a new column under
     * the same physical name would resurrect them. */
-  def dropColumn(dir: String, name: String): Snapshot = {
-    commitLoop(Paths.get(dir)) {
-      case None => throw new IllegalStateException(s"no committed manifest in $dir")
-      case Some(latest) =>
-        latest.schema.getOrElse(throw new IllegalStateException(
-          s"lake $dir has no committed schema — DROP COLUMN needs one"))
-        val phys = latest.physicalName(name).getOrElse(
-          throw new IllegalArgumentException(
-            s"no column '$name' on $dir (dropped or never committed) — " +
-              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
-        require(!phys.contains('=') && !phys.contains('\n') && !phys.contains('\r'),
-          s"physical column '$phys' cannot key a manifest property")
-        val partCol = latest.declaredPartitionCol
-          .orElse(latest.files.headOption.map(_.takeWhile(_ != '=')))
-        require(!partCol.contains(phys),
-          s"cannot drop '$name': it is the partition column — file " +
-            "placement derives from it")
-        require(!latest.declaredBucket.exists(_._1 == phys),
-          s"cannot drop '$name': it is the bucket column — co-location " +
-            "derives from it")
-        require(latest.logicalSchema.get.fields.length > 1,
-          s"cannot drop '$name': it is the last visible column")
-        constraintsReferencing(latest, phys).foreach { n =>
-          throw new IllegalStateException(
-            s"cannot drop '$name': CHECK constraint '$n' references it — " +
-              "drop the constraint first")
-        }
-        Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
-          latest.schema, latest.blooms, latest.rows,
-          props = Some(latest.props
-            + (PropColDropPrefix + phys -> "true")
-            - (PropColMapPrefix + phys)),
-          buckets = latest.buckets))
-    }.get
-  }
+  def dropColumn(dir: String, name: String): Snapshot =
+    alterSchema(dir, Seq(AlterDropColumn(name)))
 
   /** `ALTER TABLE ... ALTER COLUMN col TYPE <wider>` — TYPE WIDENING
     * (Delta 4.0's type-widening feature): a LOSSLESS upcast is
@@ -1873,50 +2279,84 @@ object ManifestLake {
     * then on (a narrower frame refuses at schema evolution — cast
     * before appending). */
   def widenColumn(dir: String, name: String,
-                  to: org.apache.spark.sql.types.DataType): Snapshot = {
-    commitLoop(Paths.get(dir)) {
-      case None => throw new IllegalStateException(s"no committed manifest in $dir")
-      case Some(latest) =>
-        val sc = latest.schema.getOrElse(throw new IllegalStateException(
-          s"lake $dir has no committed schema — ALTER COLUMN TYPE needs one"))
-        val phys = latest.physicalName(name).getOrElse(
-          throw new IllegalArgumentException(
-            s"no column '$name' on $dir (dropped or never committed) — " +
-              s"columns: ${latest.logicalSchema.get.fieldNames.mkString(", ")}"))
-        val from = sc(sc.fieldIndex(phys)).dataType
-        if (from == to) None
-        else {
-          require(isSafeWidening(from, to),
-            s"cannot change '$name' from ${from.simpleString} to " +
-              s"${to.simpleString}: only lossless widenings " +
-              "(byte/short/int→long chain, float→double, same-scale " +
-              "decimal precision growth) are metadata-only — anything " +
-              "else would reinterpret committed bytes")
-          require(!latest.declaredBucket.exists(_._1 == phys),
-            s"cannot widen '$name': it is the bucket column — bucket " +
-              "placement hashes the value WITH its type, so widening " +
-              "would silently break co-location (rebucket first)")
-          val widened = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
-            if (f.name == phys) f.copy(dataType = to) else f))
-          Some(Ledger(latest.files, latest.txns, latest.stats, "alter",
-            Some(widened), latest.blooms, latest.rows,
-            buckets = latest.buckets))
-        }
-    }.get
-  }
+                  to: org.apache.spark.sql.types.DataType): Snapshot =
+    alterSchema(dir, Seq(AlterWidenColumn(name, to)))
 
+  /** The LOSSLESS widening set — Delta 4.0's table, restricted to what
+    * is provably exact on THIS engine's read paths (both probed:
+    * vectorized and row parquet readers upcast all of these natively):
+    * - integral chain byte→short→int→long;
+    * - byte/short/int → double (every int32 < 2^53 — exact in a
+    *   double; long→double REFUSES: values above 2^53 round);
+    * - byte/short/int/long → decimal(p, 0) with p big enough for the
+    *   source's full range (scale 0 ONLY: manifest range stats store
+    *   parquet's UNSCALED decimal values, and at scale 0 unscaled ≡
+    *   value, so old integral stats and new decimal stats share one
+    *   unit — a scaled target would mix units and corrupt pruning);
+    * - float → double;
+    * - decimal(p,s) → decimal(p'≥p, s) — same-scale precision growth
+    *   (scale growth REFUSES for the same unscaled-units reason,
+    *   although the reader itself could rescale);
+    * - date → timestamp_ntz (midnight embedding; the column's range
+    *   stats are STRIPPED at the widening commit — epoch-day and
+    *   epoch-micros units are incomparable, see [[statsSurvive]]).
+    * Everything else refuses: it would reinterpret or round committed
+    * bytes (int→float rounds above 2^24; string flips reinterpret). */
   private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
                              to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
+    def digits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 19; case _ => Int.MaxValue
+    }
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType)            => true
       case (IntegerType, LongType)                        => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType | LongType, t: DecimalType) =>
+        // max digit counts: 127→3, 32767→5, 2147483647→10,
+        // 9223372036854775807→19 — each strictly under 10^p−1
+        t.scale == 0 && t.precision >= digits(from)
       case (FloatType, DoubleType)                        => true
+      case (DateType, TimestampNTZType)                   => true
       case (f: DecimalType, t: DecimalType) =>
         t.scale == f.scale && t.precision >= f.precision
       case _ => false
     }
+  }
+
+  /** Do a column's committed RANGE STATS survive this widening?
+    * Stats are Num(BigDecimal) for every numeric kind and decimal
+    * stats store scale-0 unscaled ≡ value, so all numeric→numeric
+    * widenings in the safe set share one unit. date→timestamp_ntz
+    * does not: old stats are epoch DAYS, new files' are epoch MICROS
+    * — the widening commit strips the column's stats (files stay
+    * conservatively un-pruned until a compaction rebuilds them under
+    * the new type). */
+  private def statsSurvive(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean =
+    (from, to) match {
+      case (org.apache.spark.sql.types.DateType,
+            org.apache.spark.sql.types.TimestampNTZType) => false
+      case _ => true
+    }
+
+  /** Do a column's committed BLOOM entries survive? Only when both
+    * kinds canonicalize identically — the integral chain hashes
+    * through Long ([[BloomHash.canonical]]). A widened fractional/
+    * decimal/timestamp probe is already INELIGIBLE
+    * ([[bloomProbeEligible]] gates on the committed type), so stale
+    * entries could never fire wrongly — stripping them just stops
+    * dead bytes riding every manifest. */
+  private def bloomsSurvive(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    integral(from) && integral(to)
   }
 
   /** Names of CHECK constraints whose expression references the
@@ -4574,6 +5014,16 @@ object ManifestLake {
   /** `dryRun = true` reports what a real run WOULD reclaim (same
     * census, same cutoffs) and touches nothing — the audit step before
     * an aggressive retention change (Delta's `VACUUM ... DRY RUN`). */
+  /** The vacuum's half of the vacuum/publish handshake (see
+    * [[PublishLog.publish]]'s post-CAS re-verify): on a lake that
+    * declared `publish.coord`, the vacuum lands this marker BEFORE
+    * reading the publish pins, and a publisher's post-CAS verify
+    * waits out a fresh marker before trusting its members — each side
+    * records its intent before checking the other's, so a publish
+    * that returns success can never lose a member to a racing
+    * retention pass. */
+  private[core] val VacuumIntentMarker = "_vacuum.intent"
+
   def vacuum(dir: String, keepVersions: Int = 2,
              graceMillis: Long = DefaultVacuumGraceMillis,
              retainMillis: Long = 0L,
@@ -4581,6 +5031,17 @@ object ManifestLake {
     val root = Paths.get(dir)
     val latest = latestSnapshot(dir).getOrElse(return 0L)
     val mdir = root.resolve(ManifestDir)
+    val coordOpt = latest.props.get(PropPublishCoord)
+    val marker = root.resolve(VacuumIntentMarker)
+    val useMarker = coordOpt.isDefined && !dryRun
+    if (useMarker) {
+      try Files.createFile(marker)
+      catch { case _: FileAlreadyExistsException =>
+        Files.setLastModifiedTime(marker,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      }
+    }
+    try {
     val keepFrom = latest.version - math.max(1, keepVersions) + 1
     val retainCutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
     def manifestTs(v: Long): Option[Long] =
@@ -4603,13 +5064,15 @@ object ManifestLake {
     // cross-lake snapshot unreadable. Resolution is by normalized
     // absolute path: the vector records the path the publisher used,
     // which need not be spelled identically to this vacuum's `dir`.
-    val pinnedByPublish: Set[Long] = latest.props.get(PropPublishCoord) match {
+    // (read AFTER the intent marker landed — the handshake's ordering —
+    // and over LIVE vectors only: a retracted vector pins nothing)
+    val pinnedByPublish: Set[Long] = coordOpt match {
       case None => Set.empty
       case Some(coord) =>
         val k = latest.props.get(PropPublishRetain)
           .flatMap(_.toIntOption).getOrElse(2)
         val me = root.toAbsolutePath.normalize
-        PublishLog.versions(coord).takeRight(k).flatMap { seq =>
+        PublishLog.liveVersions(coord).takeRight(k).flatMap { seq =>
           PublishLog.vectorAt(coord, seq).collectFirst {
             case (d, v) if Paths.get(d).toAbsolutePath.normalize == me => v
           }
@@ -4685,6 +5148,7 @@ object ManifestLake {
       protectedVersions.foreach(walk)
       seen.toSet
     }
+    val retiredNow = scala.collection.mutable.Set.empty[Long]
     if (!dryRun) {
       val st2 = Files.list(mdir)
       try st2.iterator().asScala
@@ -4693,10 +5157,33 @@ object ManifestLake {
           n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
             !protectedSet.contains(n.drop(1).toLong)
         }
-        .foreach(p => Files.deleteIfExists(p))
+        .foreach { p =>
+          if (Files.deleteIfExists(p))
+            retiredNow += p.getFileName.toString.drop(1).toLong
+        }
       finally st2.close()
     }
+    // POST-DELETE RETRACTION SWEEP (the vacuum's second half of the
+    // handshake): a vector whose CAS landed after this vacuum's pin
+    // read but whose publisher's verify ran before these deletes would
+    // otherwise be armed-but-broken. Any live vector naming a version
+    // of THIS lake retired in THIS run is tombstoned — its publisher's
+    // own verify either already threw (never returned success) or will
+    // find the retraction; no consumer can pin it.
+    if (!dryRun) coordOpt.foreach { coord =>
+      val me = root.toAbsolutePath.normalize
+      PublishLog.liveVersions(coord).foreach { seq =>
+        try {
+          PublishLog.vectorAt(coord, seq).foreach { case (d, v) =>
+            if (Paths.get(d).toAbsolutePath.normalize == me &&
+                retiredNow.contains(v))
+              PublishLog.retract(coord, seq)
+          }
+        } catch { case _: IllegalStateException => () } // raced retraction
+      }
+    }
     reclaimed
+    } finally { if (useMarker) { Files.deleteIfExists(marker); () } }
   }
 
   private def deleteTree(p: Path): Unit =

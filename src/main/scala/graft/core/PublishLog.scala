@@ -44,10 +44,22 @@ object PublishLog {
   private val PublishDir = "_publish"
   private val MaxRetries = 64
 
+  /** How long a member lake's `_vacuum.intent` marker is trusted as
+    * "a vacuum is deleting right now": [[publish]] waits for a fresh
+    * marker to clear before its post-CAS re-verify; a marker older
+    * than this is a crashed vacuum's leftover (no deletes in flight)
+    * and is ignored rather than bricking publishes forever. */
+  private[core] val VacuumIntentStaleMillis: Long = 15L * 60 * 1000
+
   private def pubPath(root: Path, v: Long): Path =
     root.resolve(PublishDir).resolve(f"v$v%012d")
 
-  /** Every committed publish sequence number, ascending. */
+  private def tombPath(root: Path, v: Long): Path =
+    root.resolve(PublishDir).resolve(f"v$v%012d.retracted")
+
+  /** Every committed publish sequence number, ascending — INCLUDING
+    * retracted ones (sequence numbers are never reused; consumers use
+    * [[liveVersions]]). */
   def versions(coordDir: String): Vector[Long] = {
     val d = Paths.get(coordDir).resolve(PublishDir)
     if (!Files.isDirectory(d)) Vector.empty
@@ -60,6 +72,18 @@ object PublishLog {
     }
   }
 
+  /** Whether publish `seq` was RETRACTED: its CAS landed but the
+    * post-commit re-verify found a member manifest already retired (a
+    * racing vacuum) — the vector was tombstoned so no consumer can pin
+    * it. */
+  def isRetracted(coordDir: String, seq: Long): Boolean =
+    Files.exists(tombPath(Paths.get(coordDir), seq))
+
+  /** Sequence numbers consumers may resolve: committed and NOT
+    * retracted. */
+  def liveVersions(coordDir: String): Vector[Long] =
+    versions(coordDir).filterNot(isRetracted(coordDir, _))
+
   /** Atomically publish a version vector. Each named version must be a
     * COMMITTED, still-retained manifest of its lake at publish time —
     * publishing a version nobody can read would arm a delayed failure.
@@ -67,6 +91,11 @@ object PublishLog {
     * on the next number (publishes are independent records, so unlike
     * manifest commits there is nothing to rebase). Returns the
     * committed sequence number. */
+  /** Test seam: runs between the publish CAS and the post-commit
+    * re-verify — the window a racing vacuum must be caught in.
+    * Production value is a no-op. */
+  @volatile private[core] var beforePublishVerify: () => Unit = () => ()
+
   def publish(coordDir: String, versions0: Map[String, Long]): Long = {
     require(versions0.nonEmpty, "publish needs at least one (lake, version)")
     versions0.foreach { case (dir, v) =>
@@ -87,7 +116,40 @@ object PublishLog {
       val tmp = Files.createTempFile(root, ".pub_", ".tmp")
       Files.write(tmp, body)
       try {
-        try { Files.createLink(pubPath(root, next), tmp); return next }
+        try {
+          Files.createLink(pubPath(root, next), tmp)
+          beforePublishVerify()
+          // POST-CAS RE-VERIFY — the publisher's half of the
+          // vacuum/publish handshake (the vacuum's half is its
+          // `_vacuum.intent` marker + pin recheck, ManifestLake.vacuum):
+          // the pre-check above ran against a snapshot a concurrent
+          // vacuum may have retired between check and CAS. Each side
+          // lands its intent record BEFORE checking the other's, so
+          // every interleaving is caught by at least one of them:
+          // - a vacuum whose deletes finished before this verify →
+          //   snapshotAt fails here → the vector is TOMBSTONED and the
+          //   publish throws (never returned success);
+          // - a vacuum whose intent marker is live here → wait it out
+          //   (its pin recheck sees this vector, or its deletes finish
+          //   and the verify below catches them);
+          // - a vacuum whose marker lands after this verify → its pin
+          //   recheck runs later still, sees this vector, and keeps
+          //   every version it names.
+          // Net: a publish that RETURNS SUCCESS stays serveable forever
+          // (modulo the lake's own publish.retain window).
+          versions0.foreach { case (dir, v) =>
+            awaitNoVacuumIntent(dir)
+            if (ManifestLake.snapshotAt(dir, v).isEmpty) {
+              retract(coordDir, next)
+              throw new IllegalStateException(
+                s"publish v$next of $coordDir RETRACTED: $dir@v$v was " +
+                  "retired by a racing vacuum between the pre-check and " +
+                  "the commit — the vector is tombstoned, no consumer " +
+                  "can pin it; re-publish against a live version")
+            }
+          }
+          return next
+        }
         catch { case _: FileAlreadyExistsException => () }
       } finally Files.deleteIfExists(tmp)
       attempt += 1
@@ -96,16 +158,49 @@ object PublishLog {
       s"publish on $coordDir lost the CAS race $MaxRetries times")
   }
 
-  /** The current (highest) published vector, or None before the first
-    * publish. */
+  /** Wait (bounded) for a member lake's fresh `_vacuum.intent` marker
+    * to clear: while it stands, an in-flight vacuum may be mid-delete
+    * and its pin recheck may predate our CAS — verifying under it
+    * could pass an instant before the delete. A marker older than
+    * [[VacuumIntentStaleMillis]] is a crashed vacuum's leftover and is
+    * ignored. */
+  private def awaitNoVacuumIntent(lakeDir: String): Unit = {
+    val marker = Paths.get(lakeDir).resolve(ManifestLake.VacuumIntentMarker)
+    val deadline = System.currentTimeMillis() + 30000L
+    while (Files.exists(marker) &&
+        (try System.currentTimeMillis() -
+           Files.getLastModifiedTime(marker).toMillis < VacuumIntentStaleMillis
+         catch { case _: java.io.IOException => false }) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(20L)
+    }
+  }
+
+  /** Tombstone a committed publish record (idempotent): consumers
+    * skip it ([[liveVersions]]/[[current]]) and [[vectorAt]] refuses
+    * loudly. Written by the publisher's post-CAS verify and by a
+    * vacuum whose post-delete sweep finds a vector naming a version
+    * it just retired. */
+  private[core] def retract(coordDir: String, seq: Long): Unit = {
+    val p = tombPath(Paths.get(coordDir), seq)
+    try { Files.createFile(p); () }
+    catch { case _: FileAlreadyExistsException => () }
+  }
+
+  /** The current (highest LIVE) published vector, or None before the
+    * first publish — retracted vectors are skipped. */
   def current(coordDir: String): Option[(Long, Map[String, Long])] =
-    versions(coordDir).maxOption.map(v => (v, vectorAt(coordDir, v)))
+    liveVersions(coordDir).maxOption.map(v => (v, vectorAt(coordDir, v)))
 
   /** A specific published vector; fails loudly if that record was
-    * never committed. */
+    * never committed or was RETRACTED. */
   def vectorAt(coordDir: String, seq: Long): Map[String, Long] = {
     val p = pubPath(Paths.get(coordDir), seq)
     require(Files.exists(p), s"no publish v$seq in $coordDir")
+    if (isRetracted(coordDir, seq))
+      throw new IllegalStateException(
+        s"publish v$seq of $coordDir was RETRACTED: a member manifest " +
+          "died mid-flight (racing vacuum) — resolve current() instead")
     Files.readAllLines(p).asScala.iterator
       .filterNot(l => l.isEmpty || l.startsWith("#"))
       .map { l =>

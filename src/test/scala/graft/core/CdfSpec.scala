@@ -207,6 +207,63 @@ class CdfSpec extends SparkSpec {
       .select($"n_chars").distinct().head().getLong(0) == -5L)
   }
 
+  /** THE PERMANENT CONTRACT for SQL MERGE's change record (pinned, not
+    * a gap): ReplaceData hands the engine whole rewritten file groups
+    * with no per-row clause marker, so file contents CANNOT attribute
+    * an added row to its WHEN clause — pairing pre/postimages would be
+    * a guess. The SQL MERGE feed therefore uses Iceberg's
+    * changelog-scan NET labels (`delete`/`insert`), diverging from
+    * Delta's clause-exact `update_pre/postimage`; consumers needing
+    * the exact three-way record use the Scala [[ManifestLake.merge]],
+    * which knows its matched rows directly. The two records are
+    * information-equivalent modulo attribution — relabeling the Scala
+    * record's update images to net labels reproduces the SQL feed
+    * row for row, which is exactly what this test pins. */
+  test("SQL MERGE CDF contract: net delete/insert labels ≡ the Scala three-way record modulo attribution") {
+    val a = tmp("cdf_mrg_scala"); val b = tmp("cdf_mrg_sql")
+    mkLake(a); mkLake(b)
+    ManifestLake.setProperties(a, Map("enableChangeDataFeed" -> "true"))
+    ManifestLake.setProperties(b, Map("enableChangeDataFeed" -> "true"))
+    // 3 updates hit existing keys (10, 11, 12), 2 are fresh inserts
+    val updates = spark.range(0, 5).select(
+      (when($"id" < 3, $"id" + 10).otherwise($"id" + 9000)).as("doc_id"),
+      lit("s0").as("source"), lit(-5L).as("n_chars"))
+    ManifestLake.merge(spark, a, updates, Seq("doc_id"))             // a v3
+    spark.conf.set("spark.sql.catalog.graft_mrg",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"MERGE INTO graft_mrg.`$b` g USING " +
+      "(SELECT id + 10 AS doc_id, 's0' AS source, -5L AS n_chars " +
+      " FROM range(0, 3) " +
+      " UNION ALL SELECT id + 9003, 's0', -5L FROM range(0, 2)) s " +
+      "ON g.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")                              // b v3
+    def feedOf(dir: String): Seq[(Long, String, Long, String)] =
+      ManifestLake.readChangeFeed(spark, dir, 2L, 3L)
+        .select($"doc_id", $"source", $"n_chars", $"_change_type")
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3)))
+    val sqlFeed = feedOf(b)
+    // (a) the SQL labels are exactly the net pair
+    assert(sqlFeed.map(_._4).toSet == Set("delete", "insert"),
+      sqlFeed.map(_._4).distinct.toString)
+    // (b) relabeling the Scala record reproduces the SQL feed as a
+    // multiset — the same rows change, only clause attribution differs
+    val relabeled = feedOf(a).map {
+      case (id, s, n, "update_preimage")  => (id, s, n, "delete")
+      case (id, s, n, "update_postimage") => (id, s, n, "insert")
+      case other                          => other
+    }
+    def ms(xs: Seq[(Long, String, Long, String)]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms(relabeled) == ms(sqlFeed),
+      s"scala-only=${(ms(relabeled).toSet -- ms(sqlFeed).toSet).take(3)} " +
+        s"sql-only=${(ms(sqlFeed).toSet -- ms(relabeled).toSet).take(3)}")
+    // (c) both tables converged to the same multiset (modulo key align)
+    assert(ManifestLake.read(spark, b).count() ==
+      ManifestLake.read(spark, a).count())
+  }
+
   test("CDF diff after DROP COLUMN: COW DML and restore emit no spurious records for carried rows") {
     // A COW rewrite builds its files from the LOGICAL schema — the
     // coldrop-hidden physical column is absent and null-fills on read.

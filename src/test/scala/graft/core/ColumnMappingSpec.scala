@@ -275,4 +275,174 @@ class ColumnMappingSpec extends SparkSpec {
     ManifestLake.dropColumn(dir, "doc_id")
     intercept[IllegalArgumentException](ManifestLake.dropColumn(dir, "source"))
   }
+
+  private def mkNestedLake(dir: String): Unit = {
+    val df = spark.range(0, 100).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+      struct(
+        concat(lit("l"), ($"id" % 3).cast("string")).as("lang"),
+        ($"id" * 2).as("score"),
+        concat(lit("x"), $"id".cast("string")).as("extra")).as("meta"))
+    ManifestLake.append(spark, dir, df, "source",
+      maxRecordsPerFile = 32L, statsCols = Seq("doc_id"))
+  }
+
+  test("NESTED rename/drop: metadata-only through struct paths; both generations read; writes land physical") {
+    val dir = tmp("cm_nested")
+    mkNestedLake(dir)                                             // v1
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    ManifestLake.renameColumn(dir, Seq("meta", "lang"), "language") // v2
+    ManifestLake.dropColumn(dir, Seq("meta", "extra"))              // v3
+    val v3 = ManifestLake.latestSnapshot(dir).get
+    assert(v3.files.toSet == filesBefore, "no byte rewritten")
+    assert(v3.nestedRenames == Map(Seq("meta", "lang") -> "language") &&
+      v3.nestedDrops == Set(Seq("meta", "extra")))
+    // the read serves the LOGICAL struct: renamed leaf, dropped leaf
+    // hidden, order and values intact
+    val out = ManifestLake.read(spark, dir)
+    val metaT = out.schema(out.schema.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("language", "score"), metaT.sql)
+    assert(out.select($"meta.language").distinct().count() == 3)
+    assert(out.agg(sum($"meta.score")).head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum)
+    // gen-2 append under the LOGICAL shape
+    ManifestLake.append(spark, dir, spark.range(100, 150).select(
+      $"id".as("doc_id"), lit("s0").as("source"),
+      struct(lit("l9").as("language"), ($"id" * 2).as("score")).as("meta")),
+      "source", maxRecordsPerFile = 32L)                          // v4
+    val all = ManifestLake.read(spark, dir)
+    assert(all.count() == 150L)
+    assert(all.agg(sum($"meta.score")).head().getLong(0) ==
+      (0L until 150L).map(_ * 2).sum)
+    // the staged gen-2 bytes carry PHYSICAL nested names, with the
+    // dropped leaf re-inserted as a typed NULL — one physical shape
+    // across every file generation
+    val gen2 = ManifestLake.latestSnapshot(dir).get.files
+      .filterNot(filesBefore.contains)
+    assert(gen2.nonEmpty)
+    val footer = spark.read.parquet(s"$dir/${gen2.head}")
+    val footMeta = footer.schema(footer.schema.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(footMeta.fieldNames.toSeq == Seq("lang", "score", "extra"),
+      footMeta.sql)
+    assert(footer.filter($"meta.extra".isNotNull).count() == 0,
+      "the dropped leaf lands as NULL in post-drop files")
+    // time travel is era-correct: v1 serves lang + extra with values
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    val oldMeta = old.schema(old.schema.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(oldMeta.fieldNames.toSeq == Seq("lang", "score", "extra"))
+    assert(old.filter($"meta.extra".isNull).count() == 0)
+    // rename chains address by the CURRENT logical path; renaming back
+    // to the physical name drops the mapping entry
+    ManifestLake.renameColumn(dir, Seq("meta", "language"), "lng") // v5
+    assert(ManifestLake.read(spark, dir).select($"meta.lng").count() == 150L)
+    ManifestLake.renameColumn(dir, Seq("meta", "lng"), "lang")     // v6
+    assert(ManifestLake.latestSnapshot(dir).get.nestedRenames.isEmpty)
+  }
+
+  test("NESTED mapping through SQL: ALTER/SELECT/UPDATE translate; the CDF diff stays exact over the clipped struct") {
+    val dir = tmp("cm_nested_sql")
+    mkNestedLake(dir)                                             // v1
+    ManifestLake.setProperties(dir,
+      Map("enableChangeDataFeed" -> "true"))                      // v2
+    spark.conf.set("spark.sql.catalog.graft_cmn",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft_cmn.`$dir` " +
+      "RENAME COLUMN meta.lang TO language")                      // v3
+    spark.sql(s"ALTER TABLE graft_cmn.`$dir` DROP COLUMN meta.extra") // v4
+    // SELECT under the logical nested name
+    val langs = spark.sql(
+      s"SELECT DISTINCT meta.language FROM graft_cmn.`$dir`").count()
+    assert(langs == 3L)
+    // COW UPDATE after the nested drop: rewritten files clip the
+    // dropped leaf, but the multiset diff compares the clipped shape —
+    // exactly the matched rows appear in the feed, carried rows cancel
+    spark.sql(s"UPDATE graft_cmn.`$dir` SET doc_id = doc_id + 1000 " +
+      "WHERE doc_id % 25 = 3")                                    // v5 (COW)
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val feed = ManifestLake.readChangeFeed(spark, dir, v - 1, v)
+    val byType = feed.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 4L, "update_postimage" -> 4L),
+      s"carried rows leaked into the nested-clipped diff: $byType")
+    // the feed serves the LOGICAL nested shape
+    assert(feed.select($"meta.language").distinct().count() <= 3)
+    // and the final corpus is intact under the logical view
+    val sumScore = ManifestLake.read(spark, dir)
+      .agg(sum($"meta.score")).head().getLong(0)
+    assert(sumScore == (0L until 100L).map(_ * 2).sum)
+  }
+
+  test("NESTED refusal matrix: arrays, last visible field, sibling clashes, dotted names") {
+    val dir = tmp("cm_nested_refuse")
+    val df = spark.range(0, 20).select(
+      $"id".as("doc_id"), lit("s0").as("source"),
+      struct(($"id" * 2).as("a"), ($"id" * 3).as("b")).as("pair"),
+      array(struct($"id".as("v"))).as("arr"))
+    ManifestLake.append(spark, dir, df, "source")
+    // paths through arrays are not addressable
+    val e1 = intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, Seq("arr", "v"), "w"))
+    assert(e1.getMessage.contains("non-struct"), e1.getMessage)
+    // unknown path / unknown root
+    intercept[IllegalArgumentException](
+      ManifestLake.dropColumn(dir, Seq("pair", "nope")))
+    intercept[IllegalArgumentException](
+      ManifestLake.dropColumn(dir, Seq("nope", "a")))
+    // sibling collision (logical and physical)
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, Seq("pair", "a"), "b"))
+    // dotted target name is ambiguous with a path
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, Seq("pair", "a"), "x.y"))
+    // last visible field of its struct: drop one, the second refuses
+    ManifestLake.dropColumn(dir, Seq("pair", "a"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestLake.dropColumn(dir, Seq("pair", "b")))
+    assert(e2.getMessage.contains("last visible"), e2.getMessage)
+    // a dropped path no longer resolves
+    intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(dir, Seq("pair", "a"), "c"))
+    // a CHECK constraint on the root refuses nested rename/drop
+    ManifestLake.addConstraint(spark, dir, "pos", "pair.b >= 0")
+    val e3 = intercept[IllegalStateException](
+      ManifestLake.renameColumn(dir, Seq("pair", "b"), "c"))
+    assert(e3.getMessage.contains("constraint"), e3.getMessage)
+  }
+
+  test("atomic ALTER: one statement is one commit — a mid-list refusal commits nothing") {
+    val dir = tmp("cm_atomic")
+    mkLake(dir)                                                   // v1
+    val v1 = ManifestLake.latestSnapshot(dir).get
+    // second change collides → the WHOLE statement aborts: no version
+    // bump, no mapping entry from the first change
+    intercept[IllegalArgumentException](ManifestLake.alterSchema(dir, Seq(
+      ManifestLake.AlterRenameColumn("n_chars", "w"),
+      ManifestLake.AlterRenameColumn("doc_id", "source"))))
+    val after = ManifestLake.latestSnapshot(dir).get
+    assert(after.version == v1.version && after.renames.isEmpty,
+      "a refused multi-change ALTER must commit nothing")
+    // sequential visibility inside one statement: rename then address
+    // the NEW name — one commit, both applied
+    ManifestLake.alterSchema(dir, Seq(
+      ManifestLake.AlterRenameColumn("n_chars", "w"),
+      ManifestLake.AlterWidenColumn("w", org.apache.spark.sql.types.LongType),
+      ManifestLake.AlterSetProps(Map("write.delete.mode" -> "merge-on-read"))))
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.version == v1.version + 1, "one statement = one commit")
+    assert(v2.renames == Map("n_chars" -> "w") &&
+      v2.declaredDeleteMode == "merge-on-read")
+    // the SQL face: a multi-column ADD with a clash commits nothing
+    spark.conf.set("spark.sql.catalog.graft_cma",
+      classOf[GraftCatalog].getName)
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_cma.`$dir` ADD COLUMNS (x BIGINT, doc_id BIGINT)"))
+    val v3 = ManifestLake.latestSnapshot(dir).get
+    assert(v3.version == v2.version &&
+      !v3.schema.get.fieldNames.contains("x"),
+      "a refused SQL ADD COLUMNS must commit nothing")
+  }
 }

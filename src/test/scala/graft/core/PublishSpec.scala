@@ -192,4 +192,50 @@ class PublishSpec extends SparkSpec {
       PublishLog.readPublished(spark, coord, l))
     assert(e3.getMessage.contains("retired by vacuum"), e3.getMessage)
   }
+
+  test("publish TOCTOU: a member retired mid-flight RETRACTS the vector — no consumer can ever pin it") {
+    import spark.implicits._
+    val coord = Files.createTempDirectory("pub_toctou").toString
+    // the lake deliberately OPTS OUT of publish pinning (no
+    // publish.coord property) so the seam's vacuum genuinely retires
+    // the version the in-flight publish names — the exact interleaving
+    // the post-CAS re-verify exists for
+    val l = tmp("pub_toctou_lake")
+    mkLake(l, 40, "x")                                             // v1
+    ManifestLake.deleteWhereDv(spark, l, $"doc_id" < 5)            // v2
+    ManifestLake.compact(spark, l, "source",
+      targetRecordsPerFile = 1024L * 1024)                         // v3
+    PublishLog.publish(coord, Map(l -> 3L))                        // seq 1
+    val before = PublishLog.versions(coord)
+    PublishLog.beforePublishVerify = () =>
+      ManifestLake.vacuum(l, keepVersions = 1, graceMillis = 0L)
+    try {
+      // publish the HISTORICAL v1: pre-check passes (v1 still live),
+      // the CAS lands, then the seam's vacuum retires v1 before the
+      // re-verify — the vector must be tombstoned and the publish
+      // must throw, never return success
+      val e = intercept[IllegalStateException](
+        PublishLog.publish(coord, Map(l -> 1L)))
+      assert(e.getMessage.contains("RETRACTED"), e.getMessage)
+    } finally PublishLog.beforePublishVerify = () => ()
+    val seqs = PublishLog.versions(coord)
+    val retracted = seqs.filterNot(before.contains)
+    assert(retracted.size == 1, s"exactly one new (retracted) record: $seqs")
+    val dead = retracted.head
+    // the tombstone is consumer-proof on every face:
+    assert(PublishLog.isRetracted(coord, dead))
+    assert(!PublishLog.liveVersions(coord).contains(dead))
+    // current() skips it back to the last good vector
+    assert(PublishLog.current(coord).map(_._1).contains(1L))
+    assert(PublishLog.readPublished(spark, coord, l).count() == 35L)
+    // pinning it explicitly refuses loudly
+    val e2 = intercept[IllegalStateException](
+      PublishLog.readPublishedAt(spark, coord, dead, l))
+    assert(e2.getMessage.contains("RETRACTED"), e2.getMessage)
+    // sequence numbers are never reused: the next publish lands ABOVE
+    // the tombstoned record
+    val seq3 = PublishLog.publish(coord, Map(l -> 3L))
+    assert(seq3 > dead, s"seq $seq3 must not reuse the tombstoned $dead")
+    assert(PublishLog.current(coord).map(_._1).contains(seq3))
+  }
 }

@@ -128,4 +128,98 @@ class TypeWideningSpec extends SparkSpec {
       ManifestLake.widenColumn(dir3, "amt", DecimalType(12, 3)))
     assert(e4.getMessage.contains("lossless"), e4.getMessage)
   }
+
+  /** The Delta-4.0 widening extensions, each verified on this engine's
+    * ACTUAL read paths (Scala + DSv2): int→double (every int32 < 2^53
+    * — exact), integral→decimal(p,0) (scale 0 only: manifest stats
+    * store unscaled decimal values, and only at scale 0 do the old
+    * integral and new decimal stats share a unit), date→timestamp_ntz
+    * (the column's range stats are STRIPPED — epoch-day vs
+    * epoch-micros units are incomparable; files stay conservatively
+    * un-pruned). Principled refusals: long→double (rounds above
+    * 2^53), int→float (rounds above 2^24), decimal scale growth
+    * (mixed unscaled units would corrupt pruning), class-changing
+    * widening of the PARTITION column (directory rendering differs). */
+  test("Delta-4.0 widening set: int→double, integral→decimal(p,0), date→timestamp_ntz; principled refusals") {
+    val dir = tmp("tw_wide")
+    ManifestLake.append(spark, dir, spark.range(0, 60)
+      .select($"id".cast("int").as("n"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        $"id".cast("int").as("k"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          $"id".cast("int")).as("d")), "source",
+      maxRecordsPerFile = 16L, statsCols = Seq("n", "k", "d"),
+      bloomCols = Seq("k"))                                        // v1
+    // int → double
+    ManifestLake.widenColumn(dir, "n", DoubleType)
+    // int → decimal(10, 0)
+    ManifestLake.widenColumn(dir, "k", DecimalType(10, 0))
+    // date → timestamp_ntz: the column's stats are stripped
+    val statsBefore = ManifestLake.latestSnapshot(dir).get.stats
+    assert(statsBefore.valuesIterator.flatten.exists(_.col == "d"))
+    ManifestLake.widenColumn(dir, "d", TimestampNTZType)
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(!snap.stats.valuesIterator.flatten.exists(_.col == "d"),
+      "date→timestamp_ntz must strip the column's range stats " +
+        "(epoch-day vs epoch-micros units)")
+    assert(snap.stats.valuesIterator.flatten.exists(_.col == "n"),
+      "numeric widenings keep their stats (BigDecimal units align)")
+    assert(!snap.blooms.valuesIterator.flatten.exists(_.col == "k"),
+      "integral→decimal strips the column's blooms (canonical hash " +
+        "changes kind)")
+    // gen-2 lands the WIDENED types, with values impossible pre-widen
+    ManifestLake.append(spark, dir, spark.range(60, 80)
+      .select(($"id" + 0.5).as("n"), lit("s0").as("source"),
+        $"id".cast("decimal(10,0)").as("k"),
+        lit(java.time.LocalDateTime.parse("2021-06-01T12:30:00"))
+          .cast(TimestampNTZType).as("d")),
+      "source", maxRecordsPerFile = 16L, statsCols = Seq("n", "k", "d")) // v+
+    // one scan reads BOTH generations upcast, on BOTH read paths
+    def checkRead(df: org.apache.spark.sql.DataFrame): Unit = {
+      assert(df.count() == 80L)
+      val sumN = df.agg(sum($"n")).head().getDouble(0)
+      assert(math.abs(sumN - ((0 until 60).map(_.toDouble).sum +
+        (60 until 80).map(_ + 0.5).sum)) < 1e-9, sumN.toString)
+      assert(df.agg(sum($"k")).head().getDecimal(0).longValueExact() ==
+        (0L until 80L).sum)
+      assert(df.filter($"d" === lit(java.time.LocalDateTime
+        .parse("2020-01-05T00:00:00")).cast(TimestampNTZType)).count() == 1,
+        "date-era rows serve as midnight timestamps")
+    }
+    checkRead(ManifestLake.read(spark, dir))
+    checkRead(spark.read.format("graft").option("path", dir).load())
+    // principled refusals
+    val eLong = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir, "source", DoubleType))
+    assert(eLong.getMessage.contains("lossless"))
+    val dir2 = tmp("tw_wide2")
+    ManifestLake.append(spark, dir2, spark.range(0, 10)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        $"id".cast("int").as("v")), "source")
+    // long→double rounds above 2^53; int→float above 2^24
+    assert(intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir2, "doc_id", DoubleType))
+      .getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir2, "v", FloatType))
+      .getMessage.contains("lossless"))
+    // integral→decimal with scale, or too-small precision, refuses
+    assert(intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir2, "v", DecimalType(12, 2)))
+      .getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir2, "v", DecimalType(9, 0)))
+      .getMessage.contains("lossless"))
+    // class-changing widening of the partition column refuses
+    val dir3 = tmp("tw_wide3")
+    ManifestLake.append(spark, dir3, spark.range(0, 10)
+      .select($"id".as("doc_id"), $"id".cast("int").as("part"),
+        lit(1L).as("v")), "part")
+    assert(intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir3, "part", DoubleType))
+      .getMessage.contains("partition"))
+    // ...while integral-chain widening of the partition column is fine
+    ManifestLake.widenColumn(dir3, "part", LongType)
+    assert(ManifestLake.read(spark, dir3).count() == 10L)
+  }
 }
