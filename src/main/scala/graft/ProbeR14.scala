@@ -200,6 +200,22 @@ object ProbeR14 {
         $"doc_id" % 89 === 7 && $"doc_id" < 1000000L,
         Seq("n_chars" -> ($"n_chars" + 2L)))
       val incR = drainRow(); val incA = drainAgg()
+      // convergence — the timings above are only meaningful if the
+      // drains actually maintained the views
+      val wantR = transform(ManifestLake.read(spark, lake))
+        .select($"doc_id", $"source", $"n2")
+      val gotR = ManifestLake.read(spark, rview)
+        .select($"doc_id", $"source", $"n2")
+      require(gotR.exceptAll(wantR).isEmpty && wantR.exceptAll(gotR).isEmpty,
+        s"$tag: row view did not converge")
+      val wantA = ManifestLake.read(spark, lake).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .select($"source", $"n_docs", $"sum_chars")
+      val gotA = ManifestLake.read(spark, aview)
+        .select($"source", $"n_docs", $"sum_chars")
+      require(gotA.exceptAll(wantA).isEmpty && wantA.exceptAll(gotA).isEmpty,
+        s"$tag: aggregate view did not converge")
       println(s"""{"leg":"views","tag":"$tag",""" +
         s""""backfillRowSec":$backfillR,"incRowSec":$incR,""" +
         s""""backfillAggSec":$backfillA,"incAggSec":$incA}""")
