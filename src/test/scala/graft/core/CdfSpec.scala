@@ -207,6 +207,74 @@ class CdfSpec extends SparkSpec {
       .select($"n_chars").distinct().head().getLong(0) == -5L)
   }
 
+  /** Aggregate-view hardening: MULTI-dimensional group keys including
+    * NULL dims (a NULL group key is a group like any other — the fold
+    * joins null-safely, where a usingColumns join would strand the
+    * current row and duplicate the group), and the documented SUM null
+    * contract (NULL values contribute nothing; an all-NULL group
+    * renders 0, not SQL's NULL — the retractable fold cannot
+    * distinguish "no non-null value yet" from "sum is zero"). */
+  test("aggregate view: multi-dim keys with NULL dims fold null-safely; SUM's null contract holds") {
+    val src = tmp("amv2_src"); val view = tmp("amv2_view")
+    // 60 rows over (source, grp) where grp is NULL for a third of rows
+    // and n_chars is NULL for grp=g1 entirely (the all-NULL-sum group)
+    val df = spark.range(0, 60).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+      when($"id" % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), ($"id" % 3).cast("string"))).as("grp"),
+      when($"id" % 3 === 1, lit(null).cast("long"))
+        .otherwise($"id" * 10).as("n_chars"))
+    ManifestLake.append(spark, src, df, "source",
+      maxRecordsPerFile = 16L, statsCols = Seq("doc_id"))            // v1
+    ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                         // v2
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 7 === 2)      // v3
+    ManifestLake.updateWhereDv(spark, src, $"doc_id" % 11 === 5,
+      Seq("n_chars" -> lit(999L)))                                   // v4
+    val aggs = Seq(ManifestLake.AggSpec("n_rows", "count"),
+      ManifestLake.AggSpec("sum_chars", "sum", "n_chars"))
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_chars",
+        org.apache.spark.sql.types.LongType))), "source")
+    val ckpt = Files.createTempDirectory("amv2_ckpt").toString
+    def drain(): Unit = {
+      val q = ManifestLake.maintainAggView(spark, src, view,
+        Seq("source", "grp"), aggs, "amv2", ckpt, "source")
+      assert(q.awaitTermination(120000))
+    }
+    def assertConverged(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view)
+        .select($"source", $"grp", $"n_rows", $"sum_chars")
+      val want = ManifestLake.read(spark, src).groupBy($"source", $"grp")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .select($"source", $"grp", $"n_rows", $"sum_chars")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$tag: view must equal the GROUP BY recompute (null dims and " +
+          "all-NULL sums included)")
+    }
+    drain(); assertConverged("backfill")
+    // the NULL-dim groups really exist and really folded
+    assert(ManifestLake.read(spark, view).filter($"grp".isNull).count() == 2,
+      "one NULL-grp group per source must be in the view")
+    // the all-NULL-sum group renders 0 (the documented contract)
+    val g1 = ManifestLake.read(spark, view).filter($"grp" === "g1")
+      .select($"sum_chars").collect().map(_.getLong(0))
+    assert(g1.nonEmpty && g1.forall(v => v == 0L || v == 999L * (v / 999L)),
+      s"g1 sums fold only the non-null updates: ${g1.toSeq}")
+    // keep mutating THROUGH the null-dim groups, drain, re-converge
+    ManifestLake.deleteWhereDv(spark, src, $"grp".isNull &&
+      $"doc_id" % 2 === 0)                                           // v5
+    drain(); assertConverged("after deleting inside the NULL-dim group")
+  }
+
   /** THE PERMANENT CONTRACT for SQL MERGE's change record (pinned, not
     * a gap): ReplaceData hands the engine whole rewritten file groups
     * with no per-row clause marker, so file contents CANNOT attribute
