@@ -3903,12 +3903,19 @@ object ManifestLake {
       // detection — [[deleteKeysDv]]'s pruning rules verbatim: exact
       // per-file key-set probe when the single key column is tracked
       // and driver-collectable, else the min/max envelope, else all
+      // NULL keys match NULL-SAFELY throughout: this is a REPLACE
+      // primitive (the aggregate view's dims may legitimately be NULL
+      // — a NULL group key is a group like any other), not a SQL join.
+      // Pruning falls back to the full file list when the key set
+      // carries a NULL (min/max stats exclude nulls, so a stats prune
+      // could drop the very files holding the NULL-key rows).
       val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
         case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
             snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
           val sample = keyFrame.limit(MaxDriverKeys + 1).collect().map(_.get(0))
           if (sample.isEmpty) Vector.empty
+          else if (sample.contains(null)) snap.files
           else if (sample.length <= MaxDriverKeys)
             pruneFilesForKeys(snap, k, sample.toIndexedSeq)
           else {
@@ -3935,7 +3942,11 @@ object ManifestLake {
             deleted => raw.filter(
               !deleted(col("__graft_dv_path"), col("__graft_dv_idx"))))
           val relOf = udf((p: String) => relFromUri(p))
-          val matched = alive.join(keyFrame, keyCols, "left_semi")
+          val kf = keyFrame.select(
+            keyCols.map(c => col(c).as(s"__graft_rk_$c")): _*)
+          val semiCond = keyCols.map(c => alive(c) <=> col(s"__graft_rk_$c"))
+            .reduce(_ && _)
+          val matched = alive.join(kf, semiCond, "left_semi")
             .select(relOf(col("__graft_dv_path")).as("f"),
               col("__graft_dv_idx").as("i"))
           writeDvSidecars(s, dir, snap, matched)
@@ -4060,10 +4071,16 @@ object ManifestLake {
       val delta = b.groupBy(dims.map(col): _*)
         .agg(deltaCols.head, deltaCols.tail: _*)
       val keys = delta.select(dims.map(col): _*)
-      val cur = read(s, viewDir).join(keys, dims, "left_semi")
-      // null-safe fold on the dims: usingColumns-joins match with
-      // plain equality, which would strand a NULL-dim group's current
-      // row and duplicate the group
+      // null-safe EVERYWHERE a dim crosses a join: a usingColumns join
+      // matches with plain equality, so a NULL-dim group's current row
+      // would never join — the semi-join would miss it (a later delete
+      // folds against nothing and goes negative) and the outer fold
+      // would duplicate the group
+      val viewDf = read(s, viewDir)
+      val keysSemi = keys.select(dims.map(d => col(d).as(s"__graft_k_$d")): _*)
+      val semiCond = dims.map(d => viewDf(d) <=> col(s"__graft_k_$d"))
+        .reduce(_ && _)
+      val cur = viewDf.join(keysSemi, semiCond, "left_semi")
       val curP = cur.select(dims.map(d => col(d).as(s"__graft_ck_$d")) ++
         aggs.map(a => col(a.out).as(s"__graft_cv_${a.out}")): _*)
       val dP = delta.select(dims.map(d => col(d).as(s"__graft_dk_$d")) ++
