@@ -743,11 +743,105 @@ private[core] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.maintain_agg_view(src, view, dims, aggs, app_id,
+    * checkpoint)` — the SQL spelling of `CREATE MATERIALIZED VIEW v AS
+    * SELECT dims, count(*), sum(x) FROM src GROUP BY dims` plus one
+    * maintenance drain: creates the view lake on first call (its
+    * schema derived by ANALYZING the aggregate against the source's
+    * logical schema — sum result types come from Spark, not guessed),
+    * then runs one AvailableNow drain of
+    * [[ManifestLake.maintainAggView]] — the first call backfills the
+    * whole change history, every later call folds only the windows
+    * committed since (exactly-once via app_id + checkpoint, which must
+    * travel as a pair). `aggs` is a CSV of `out:count` / `out:sum:in`.
+    * The view partitions by `partition_col` (default: the first dim —
+    * must never be NULL; file placement renders it). */
+  private object MaintainAggView extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "maintain_agg_view"
+    override def description(): String =
+      "Create-if-absent and drain an AGGREGATE materialized view: fold " +
+        "the source lake's change feed into view_path exactly-once; " +
+        "aggs = CSV of out:count / out:sum:in"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("src_path", StringType).build(),
+      ProcedureParameter.in("view_path", StringType).build(),
+      ProcedureParameter.in("dims", StringType).build(),
+      ProcedureParameter.in("aggs", StringType).build(),
+      ProcedureParameter.in("app_id", StringType).build(),
+      ProcedureParameter.in("checkpoint", StringType).build(),
+      ProcedureParameter.in("partition_col", StringType)
+        .defaultValue("NULL").build(),
+      ProcedureParameter.in("timeout_sec", LongType)
+        .defaultValue("600").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val src = str(input, 0); val view = str(input, 1)
+      val dims = str(input, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(dims.nonEmpty, "dims must name at least one column")
+      val aggs = str(input, 3).split(",").map(_.trim).filter(_.nonEmpty)
+        .toSeq.map { spec =>
+          spec.split(":").map(_.trim) match {
+            case Array(out, "count")   => ManifestLake.AggSpec(out, "count")
+            case Array(out, "sum", in) => ManifestLake.AggSpec(out, "sum", in)
+            case _ => throw new IllegalArgumentException(
+              s"bad agg spec '$spec' — want out:count or out:sum:in")
+          }
+        }
+      val appId = str(input, 4); val ckpt = str(input, 5)
+      val partCol = if (input.isNullAt(6)) dims.head else str(input, 6)
+      require(dims.contains(partCol),
+        s"partition_col '$partCol' must be one of the dims")
+      if (ManifestLake.latestSnapshot(view).isEmpty) {
+        // derive the view schema by ANALYZING the aggregate against an
+        // empty frame of the source's LOGICAL schema — count is long,
+        // sum's result type is whatever Spark's sum returns for the
+        // input column (long→long, double→double, decimal widens)
+        val srcSchema = ManifestLake.latestSnapshot(src)
+          .flatMap(_.logicalSchema).getOrElse(throw new IllegalStateException(
+            s"source lake $src has no committed schema"))
+        val missing = (dims ++ aggs.collect {
+          case a if a.func == "sum" => a.inCol
+        }).filterNot(srcSchema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"column(s) ${missing.mkString(", ")} not in the source schema " +
+            s"(${srcSchema.fieldNames.mkString(", ")})")
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val empty = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), srcSchema)
+        val probeAggs = aggs.map {
+          case ManifestLake.AggSpec(out, "count", _) =>
+            count(lit(1)).as(out)
+          case ManifestLake.AggSpec(out, _, in) => sum(col(in)).as(out)
+        }
+        val derived = empty.groupBy(dims.map(col): _*)
+          .agg(probeAggs.head, probeAggs.tail: _*).schema
+        ManifestLake.create(view, derived, partCol, statsCols = dims)
+      }
+      val q = ManifestLake.maintainAggView(s, src, view, dims, aggs,
+        appId, ckpt, partCol, statsCols = dims)
+      val timeoutSec = input.getLong(7)
+      if (!q.awaitTermination(timeoutSec * 1000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"aggregate view drain did not finish within $timeoutSec s")
+      }
+      val snap = ManifestLake.latestSnapshot(view).get
+      one(Result(
+        StructType(Seq(StructField("view_version", LongType, nullable = false),
+          StructField("groups", LongType, nullable = false))),
+        InternalRow(snap.version,
+          ManifestLake.read(s, view).count())))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
       "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
       "update_vectors" -> UpdateVectors, "clone" -> Clone,
       "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint,
       "analyze" -> Analyze, "publish" -> Publish,
-      "publish_current" -> PublishCurrent)
+      "publish_current" -> PublishCurrent,
+      "maintain_agg_view" -> MaintainAggView)
 }

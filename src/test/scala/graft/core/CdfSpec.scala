@@ -275,6 +275,53 @@ class CdfSpec extends SparkSpec {
     drain(); assertConverged("after deleting inside the NULL-dim group")
   }
 
+  /** The SQL face of the aggregate view: one CALL creates the view
+    * lake (schema DERIVED by analyzing the aggregate against the
+    * source's logical schema) and drains it; later CALLs fold only the
+    * windows committed since — `CREATE MATERIALIZED VIEW` plus
+    * `REFRESH` in one procedure. */
+  test("CALL graft.maintain_agg_view: create-if-absent + exactly-once refresh through the SQL face") {
+    val src = tmp("amvp_src"); val view = tmp("amvp_view")
+    val ckpt = Files.createTempDirectory("amvp_ckpt").toString
+    mkLake(src)                                                      // v1
+    ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                         // v2
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 9 === 4)      // v3
+    spark.conf.set("spark.sql.catalog.graft_amvp",
+      classOf[GraftCatalog].getName)
+    def call(): org.apache.spark.sql.Row = spark.sql(
+      s"CALL graft_amvp.maintain_agg_view('$src', '$view', 'source', " +
+        "'n_docs:count,sum_chars:sum:n_chars', 'amvp', " +
+        s"'$ckpt')").head()
+    def assertConverged(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view)
+        .select($"source", $"n_docs", $"sum_chars")
+      val want = ManifestLake.read(spark, src).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .select($"source", $"n_docs", $"sum_chars")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, tag)
+    }
+    val r1 = call() // creates the view lake, backfills v1–v3
+    assertConverged("first CALL backfills")
+    assert(r1.getLong(1) == 2L, s"two source groups, got ${r1.getLong(1)}")
+    // the derived schema used Spark's aggregate result types
+    val vs = ManifestLake.latestSnapshot(view).get.schema.get
+    assert(vs("n_docs").dataType == org.apache.spark.sql.types.LongType &&
+      vs("sum_chars").dataType == org.apache.spark.sql.types.LongType, vs.sql)
+    // later mutations + a second CALL = an incremental REFRESH
+    ManifestLake.updateWhereDv(spark, src, $"doc_id" % 5 === 1,
+      Seq("n_chars" -> ($"n_chars" + 1000L)))                        // v4
+    call()
+    assertConverged("second CALL refreshes incrementally")
+    // a third CALL with no new commits is a no-op (gated, still green)
+    val before = ManifestLake.latestSnapshot(view).get.version
+    call()
+    assertConverged("idle CALL is safe")
+    assert(ManifestLake.latestSnapshot(view).get.version <= before + 1,
+      "an idle refresh must not rebuild the view")
+  }
+
   /** THE PERMANENT CONTRACT for SQL MERGE's change record (pinned, not
     * a gap): ReplaceData hands the engine whole rewritten file groups
     * with no per-row clause marker, so file contents CANNOT attribute
