@@ -261,20 +261,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"nested ALTER COLUMN TYPE is not supported: ${t.fieldNames.mkString(".")}")
         ManifestLake.AlterWidenColumn(t.fieldNames.head, t.newDataType)
       case a: AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
         require(a.position() == null,
           "FIRST/AFTER positioning is not supported — new columns append " +
             "(existing files null-fill; order is part of the committed schema)")
         require(a.isNullable,
-          s"ADD COLUMNS ${a.fieldNames.head} NOT NULL is impossible: every " +
-            "pre-existing row null-fills the new column")
-        ManifestLake.AlterAddColumns(Seq(StructField(a.fieldNames.head,
-          a.dataType,
+          s"ADD COLUMNS ${a.fieldNames.mkString(".")} NOT NULL is " +
+            "impossible: every pre-existing row null-fills the new column")
+        val fld = StructField(a.fieldNames.last, a.dataType,
           nullable = true, // pre-existing rows HAVE no value — nullable by physics
           metadata = Option(a.comment()).map(c =>
             new MetadataBuilder().putString("comment", c).build())
-            .getOrElse(Metadata.empty))))
+            .getOrElse(Metadata.empty))
+        if (a.fieldNames.length == 1) ManifestLake.AlterAddColumns(Seq(fld))
+        else ManifestLake.AlterAddNested(a.fieldNames.init.toSeq, fld)
       case other => throw new UnsupportedOperationException(
         s"graft lakes support ALTER TABLE ADD COLUMNS / RENAME COLUMN / " +
           s"DROP COLUMN / ALTER COLUMN TYPE (widening) / SET TBLPROPERTIES " +

@@ -1540,6 +1540,10 @@ object ManifestLake {
     * field path through struct columns, e.g. Seq("meta", "lang"). */
   final case class AlterRenameNested(path: Seq[String], to: String) extends TableAlteration
   final case class AlterDropNested(path: Seq[String]) extends TableAlteration
+  /** NESTED ADD — append `field` to the struct at (logical)
+    * `parentPath`; existing files null-fill the new leaf on read. */
+  final case class AlterAddNested(parentPath: Seq[String],
+      field: org.apache.spark.sql.types.StructField) extends TableAlteration
 
   // enforced HERE, not just at the catalog: a direct caller flipping
   // bucketN/partitionCol would lie about every committed file's
@@ -1784,6 +1788,22 @@ object ManifestLake {
                  adds: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
     require(adds.nonEmpty, "ADD COLUMNS requires at least one column")
     alterSchema(dir, Seq(AlterAddColumns(adds)))
+  }
+
+  /** NESTED `ADD COLUMNS (parent.path.newField TYPE)` — append fields
+    * to the struct at `parentPath`, metadata-only: the committed
+    * struct type widens, no byte moves, and existing files NULL-FILL
+    * the new leaf on read (parquet's by-name nested resolution — the
+    * same physics as a top-level add, one level down). Writers from
+    * then on must carry the new struct shape (a frame with the old
+    * shape refuses loudly at schema evolution — null the leaf
+    * explicitly). Refusals mirror the top-level add: NOT NULL fields,
+    * names already used at that level physically (dropped leaves
+    * included — resurrection) or logically, non-struct parents. */
+  def addColumns(dir: String, parentPath: Seq[String],
+                 adds: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
+    require(adds.nonEmpty, "ADD COLUMNS requires at least one field")
+    alterSchema(dir, adds.map(f => AlterAddNested(parentPath, f)))
   }
 
   /** A physical type with NESTED DROPS under `prefix` clipped away —
@@ -2222,6 +2242,71 @@ object ManifestLake {
           if (to == physPath.last) latest.props - key
           else latest.props + (key -> to))
       }
+
+    case AlterAddNested(parentPath, field) =>
+      import org.apache.spark.sql.types.{StructField, StructType}
+      require(parentPath.nonEmpty, "nested ADD needs a parent path")
+      val sc = latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — nested ADD COLUMNS needs one"))
+      require(field.nullable,
+        s"ADD COLUMNS ${(parentPath :+ field.name).mkString(".")} NOT NULL " +
+          "is impossible: every pre-existing row null-fills the new field")
+      require(field.name.nonEmpty && !field.name.contains('.') &&
+        !field.name.contains('=') && !field.name.contains('\n') &&
+        !field.name.contains('\r'),
+        s"field name '${field.name}' cannot ride a manifest property path")
+      // resolve the PARENT (logical → physical); must be a struct
+      val (parentPhysPath, parentType) =
+        if (parentPath.length == 1) {
+          val rootPhys = latest.physicalName(parentPath.head).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column '${parentPath.head}' on $dir (dropped or never " +
+                "committed)"))
+          (Seq(rootPhys), sc(sc.fieldIndex(rootPhys)).dataType)
+        } else {
+          val (pp, f, _) = resolveNestedPath(dir, latest, parentPath)
+          (pp, f.dataType)
+        }
+      val parentSt = parentType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"cannot ADD a field under '${parentPath.mkString(".")}': it is " +
+            s"a ${other.simpleString}, not a struct")
+      }
+      // collisions: physical sibling names cover DROPPED leaves too
+      // (committed bytes still carry them — a new field under the same
+      // physical name would resurrect them), logical names keep path
+      // resolution unambiguous
+      val takenPhys = parentSt.fieldNames.toSet
+      val takenLogical = parentSt.fields.toSeq
+        .filterNot(f => latest.nestedDrops.contains(parentPhysPath :+ f.name))
+        .map(f => latest.nestedRenames
+          .getOrElse(parentPhysPath :+ f.name, f.name)).toSet
+      require(!takenPhys.contains(field.name) &&
+        !takenLogical.contains(field.name),
+        s"field '${field.name}' already exists under " +
+          s"'${parentPath.mkString(".")}' (as a live, renamed, or dropped " +
+          "field)")
+      // rebuild the committed schema with the leaf APPENDED to its
+      // parent struct (the evolveSchema union order, one level down)
+      def insert(dt: org.apache.spark.sql.types.DataType,
+                 prefix: Seq[String]): org.apache.spark.sql.types.DataType =
+        dt match {
+          case st: StructType if prefix == parentPhysPath =>
+            StructType(st.fields :+ field)
+          case st: StructType if parentPhysPath.startsWith(prefix) =>
+            StructType(st.fields.map { f =>
+              if (parentPhysPath.lift(prefix.length).contains(f.name))
+                f.copy(dataType = insert(f.dataType, prefix :+ f.name))
+              else f
+            })
+          case other => other
+        }
+      latest.copy(schema = Some(StructType(sc.fields.map { f =>
+        if (f.name == parentPhysPath.head)
+          f.copy(dataType = insert(f.dataType, Seq(f.name)))
+        else f
+      })))
 
     case AlterDropNested(path) =>
       val (physPath, _, parentSt) = resolveNestedPath(dir, latest, path)

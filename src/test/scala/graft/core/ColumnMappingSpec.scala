@@ -413,6 +413,70 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e3.getMessage.contains("constraint"), e3.getMessage)
   }
 
+  test("NESTED ADD COLUMNS: metadata-only; old files null-fill the new leaf; composes with rename/drop") {
+    val dir = tmp("cm_nested_add")
+    mkNestedLake(dir)                                             // v1
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    spark.conf.set("spark.sql.catalog.graft_cma2",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft_cma2.`$dir` " +
+      "ADD COLUMNS (meta.rank BIGINT)")                           // v2: props/schema only
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.toSet == filesBefore, "no byte rewritten")
+    val metaT = v2.schema.get(v2.schema.get.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("lang", "score", "extra", "rank"))
+    // old files NULL-FILL the new leaf, on BOTH read paths
+    assert(ManifestLake.read(spark, dir)
+      .filter($"meta.rank".isNotNull).count() == 0)
+    assert(spark.read.format("graft").option("path", dir).load()
+      .filter($"meta.rank".isNotNull).count() == 0)
+    // gen-2 append under the NEW shape; one scan serves both
+    ManifestLake.append(spark, dir, spark.range(100, 120).select(
+      $"id".as("doc_id"), lit("s0").as("source"),
+      struct(lit("l9").as("lang"), ($"id" * 2).as("score"),
+        lit("x").as("extra"), ($"id" % 5).as("rank")).as("meta")),
+      "source", maxRecordsPerFile = 32L)                          // v3
+    val all = ManifestLake.read(spark, dir)
+    assert(all.count() == 120L &&
+      all.filter($"meta.rank".isNotNull).count() == 20L)
+    // an OLD-shaped frame refuses loudly (writers must carry the leaf)
+    val e0 = intercept[IllegalStateException](
+      ManifestLake.append(spark, dir, spark.range(0, 1).select(
+        $"id".as("doc_id"), lit("s0").as("source"),
+        struct(lit("l0").as("lang"), $"id".as("score"),
+          lit("x").as("extra")).as("meta")), "source"))
+    assert(e0.getMessage.contains("schema evolution"), e0.getMessage)
+    // time travel is era-correct: v1 has no 'rank'
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    assert(!old.schema(old.schema.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("rank"))
+    // composes with the mapping DDL: rename the new leaf, drop another
+    ManifestLake.renameColumn(dir, Seq("meta", "rank"), "tier")    // v4
+    ManifestLake.dropColumn(dir, Seq("meta", "extra"))             // v5
+    assert(ManifestLake.read(spark, dir)
+      .agg(sum($"meta.tier")).head().getLong(0) ==
+      (100L until 120L).map(_ % 5).sum)
+    // refusal matrix: sibling collision (live, renamed, and DROPPED —
+    // the physical name stays reserved), NOT NULL, non-struct parent
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq("meta"), Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType))))
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq("meta"), Seq(org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.LongType))))
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq("meta"), Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq("meta"), Seq(org.apache.spark.sql.types.StructField("nn",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    intercept[IllegalArgumentException](ManifestLake.addColumns(dir,
+      Seq("doc_id"), Seq(org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType))))
+  }
+
   test("atomic ALTER: one statement is one commit — a mid-list refusal commits nothing") {
     val dir = tmp("cm_atomic")
     mkLake(dir)                                                   // v1
