@@ -241,9 +241,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     //   name mode), including NESTED struct-field paths (path-keyed
     //   mapping entries) — committed bytes keep their physical names,
     //   the catalog serves the logical ones.
-    // - ALTER COLUMN TYPE: lossless TYPE WIDENING only (top-level —
-    //   a nested widening would have to rewrite the struct column's
-    //   committed type in place, refused until probed).
+    // - ALTER COLUMN TYPE: lossless TYPE WIDENING only, top-level and
+    //   nested struct-leaf paths alike (readers upcast old pages at
+    //   scan time on both parquet paths — probed).
     // - ADD COLUMNS: additive evolution; existing files null-fill.
     val alterations: Seq[ManifestLake.TableAlteration] = changes.map {
       case p: SetProperty =>
@@ -257,9 +257,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           ManifestLake.AlterDropColumn(d.fieldNames.head)
         else ManifestLake.AlterDropNested(d.fieldNames.toSeq)
       case t: UpdateColumnType =>
-        require(t.fieldNames.length == 1,
-          s"nested ALTER COLUMN TYPE is not supported: ${t.fieldNames.mkString(".")}")
-        ManifestLake.AlterWidenColumn(t.fieldNames.head, t.newDataType)
+        if (t.fieldNames.length == 1)
+          ManifestLake.AlterWidenColumn(t.fieldNames.head, t.newDataType)
+        else ManifestLake.AlterWidenNested(t.fieldNames.toSeq, t.newDataType)
       case a: AddColumn =>
         require(a.position() == null,
           "FIRST/AFTER positioning is not supported — new columns append " +

@@ -1544,6 +1544,10 @@ object ManifestLake {
     * `parentPath`; existing files null-fill the new leaf on read. */
   final case class AlterAddNested(parentPath: Seq[String],
       field: org.apache.spark.sql.types.StructField) extends TableAlteration
+  /** NESTED type widening — widen the struct leaf at (logical) `path`
+    * to a lossless supertype; readers upcast old files at scan time. */
+  final case class AlterWidenNested(path: Seq[String],
+      to: org.apache.spark.sql.types.DataType) extends TableAlteration
 
   // enforced HERE, not just at the catalog: a direct caller flipping
   // bucketN/partitionCol would lie about every committed file's
@@ -2308,6 +2312,44 @@ object ManifestLake {
         else f
       })))
 
+    case AlterWidenNested(path, to) =>
+      import org.apache.spark.sql.types.StructType
+      val sc = latest.schema.getOrElse(throw new IllegalStateException(
+        s"lake $dir has no committed schema — ALTER COLUMN TYPE needs one"))
+      val (physPath, leaf, _) = resolveNestedPath(dir, latest, path)
+      val from = leaf.dataType
+      if (from == to) latest
+      else {
+        require(isSafeWidening(from, to),
+          s"cannot change '${path.mkString(".")}' from ${from.simpleString} " +
+            s"to ${to.simpleString}: only lossless widenings " +
+            "(byte/short/int→long chain, byte/short/int→double, " +
+            "integral→decimal(p,0), float→double, date→timestamp_ntz, " +
+            "same-scale decimal precision growth) are metadata-only — " +
+            "anything else would reinterpret or round committed bytes")
+        // nested leaves are never partition/bucket columns and the
+        // manifest's stats/blooms are keyed on TOP-LEVEL columns only,
+        // so no skipping metadata needs stripping — the rewrite is
+        // purely the committed type, one level down
+        def widen(dt: org.apache.spark.sql.types.DataType,
+                  prefix: Seq[String]): org.apache.spark.sql.types.DataType =
+          dt match {
+            case st: StructType => StructType(st.fields.map { f =>
+              val p = prefix :+ f.name
+              if (p == physPath) f.copy(dataType = to)
+              else if (physPath.startsWith(p))
+                f.copy(dataType = widen(f.dataType, p))
+              else f
+            })
+            case other => other
+          }
+        latest.copy(schema = Some(StructType(sc.fields.map { f =>
+          if (f.name == physPath.head)
+            f.copy(dataType = widen(f.dataType, Seq(f.name)))
+          else f
+        })))
+      }
+
     case AlterDropNested(path) =>
       val (physPath, _, parentSt) = resolveNestedPath(dir, latest, path)
       val parentPrefix = physPath.init
@@ -2366,6 +2408,20 @@ object ManifestLake {
   def widenColumn(dir: String, name: String,
                   to: org.apache.spark.sql.types.DataType): Snapshot =
     alterSchema(dir, Seq(AlterWidenColumn(name, to)))
+
+  /** NESTED `ALTER COLUMN parent.leaf TYPE <wider>` — the struct
+    * leaf's committed type widens in one metadata commit; readers
+    * upcast old files' nested pages at scan time (same reader
+    * machinery as the top-level widening, probed in
+    * TypeWideningSpec). Nested leaves are never partition/bucket
+    * columns and manifest skipping metadata is keyed on top-level
+    * columns only, so nothing strips. Writers carry the widened type
+    * from then on (narrower frames refuse at schema evolution). */
+  def widenColumn(dir: String, path: Seq[String],
+                  to: org.apache.spark.sql.types.DataType): Snapshot =
+    alterSchema(dir, Seq(
+      if (path.length == 1) AlterWidenColumn(path.head, to)
+      else AlterWidenNested(path, to)))
 
   /** The LOSSLESS widening set — Delta 4.0's table, restricted to what
     * is provably exact on THIS engine's read paths (both probed:

@@ -222,4 +222,62 @@ class TypeWideningSpec extends SparkSpec {
     ManifestLake.widenColumn(dir3, "part", LongType)
     assert(ManifestLake.read(spark, dir3).count() == 10L)
   }
+
+  /** NESTED widening: a struct LEAF's committed type widens in one
+    * metadata commit — old files' nested int32 pages upcast at scan
+    * time exactly like top-level columns (same reader machinery, here
+    * probed one level down, on both read paths and through the SQL
+    * DDL face). Composes with nested rename (address by the current
+    * logical path); lossy nested flips refuse. */
+  test("NESTED ALTER COLUMN TYPE: struct leaves widen metadata-only; both generations read; lossy refuses") {
+    val dir = tmp("tw_nested")
+    spark.conf.set("spark.sql.catalog.graft_twn", classOf[GraftCatalog].getName)
+    ManifestLake.append(spark, dir, spark.range(0, 40).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+      struct($"id".cast("int").as("n"),
+        concat(lit("t"), $"id".cast("string")).as("tag")).as("meta")),
+      "source", maxRecordsPerFile = 16L, statsCols = Seq("doc_id"))  // v1
+    val filesBefore = ManifestLake.latestSnapshot(dir).get.files.toSet
+    spark.sql(s"ALTER TABLE graft_twn.`$dir` " +
+      "ALTER COLUMN meta.n TYPE BIGINT")                             // v2
+    val v2 = ManifestLake.latestSnapshot(dir).get
+    assert(v2.files.toSet == filesBefore, "no byte rewritten")
+    assert(v2.schema.get(v2.schema.get.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n")
+      .dataType == LongType)
+    // gen-2 lands int64 leaf values ABOVE Int.MaxValue
+    ManifestLake.append(spark, dir, spark.range(40, 50).select(
+      $"id".as("doc_id"), lit("s0").as("source"),
+      struct(($"id" + 3000000000L).as("n"),
+        concat(lit("t"), $"id".cast("string")).as("tag")).as("meta")),
+      "source", maxRecordsPerFile = 16L)                             // v3
+    def checkRead(df: org.apache.spark.sql.DataFrame): Unit = {
+      assert(df.count() == 50L)
+      assert(df.agg(sum($"meta.n")).head().getLong(0) ==
+        (0L until 40L).sum + (40L until 50L).map(_ + 3000000000L).sum)
+    }
+    checkRead(ManifestLake.read(spark, dir))
+    checkRead(spark.read.format("graft").option("path", dir).load())
+    // a narrower frame refuses at evolution (writers carry the wide type)
+    val e0 = intercept[IllegalStateException](
+      ManifestLake.append(spark, dir, spark.range(0, 1).select(
+        $"id".as("doc_id"), lit("s0").as("source"),
+        struct($"id".cast("int").as("n"), lit("t").as("tag")).as("meta")),
+        "source"))
+    assert(e0.getMessage.contains("schema evolution"), e0.getMessage)
+    // composes with nested rename: widen via the CURRENT logical path
+    ManifestLake.renameColumn(dir, Seq("meta", "tag"), "label")      // v4
+    intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir, Seq("meta", "label"), LongType)) // lossy
+    // lossy nested flips refuse with the widening message
+    val e1 = intercept[IllegalArgumentException](
+      ManifestLake.widenColumn(dir, Seq("meta", "n"), IntegerType))
+    assert(e1.getMessage.contains("lossless"), e1.getMessage)
+    // era-correct: v1 still serves the int leaf
+    val old = ManifestLake.read(spark, dir, ManifestLake.snapshotAt(dir, 1L))
+    assert(old.schema(old.schema.fieldIndex("meta")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n")
+      .dataType == IntegerType)
+  }
 }
