@@ -5255,21 +5255,31 @@ object ManifestLake {
     // long as the manifest whose `#cdf:` headers name them
     val referencedCdf: Set[String] = protectedSnaps.flatMap(_.cdfFiles).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMillis)
+    // a racing writer deletes its own .stage_ dir (and a racing vacuum
+    // may reclaim a candidate) between our listing and this stat — a
+    // vanished path is simply nothing to reclaim, never a crash
     def oldEnough(p: Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis <= cutoff
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     var reclaimed = 0L
     val top = Files.list(root)
     try top.iterator().asScala.foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(".stage_")) {
-        if (oldEnough(p)) { if (!dryRun) deleteTree(p); reclaimed += 1 }
+        if (oldEnough(p)) {
+          if (!dryRun) {
+            try deleteTree(p)
+            catch { case _: java.io.IOException => () } // vanished mid-walk
+          }
+          reclaimed += 1
+        }
       } else if (Files.isDirectory(p) && name.contains("=")) {
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .filterNot(f => referenced.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
-          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
+          .foreach { f => if (!dryRun) { Files.deleteIfExists(f); () }; reclaimed += 1 }
         finally fs.close()
       } else if (Files.isDirectory(p) && name == DvStore.DvDir) {
         val fs = Files.list(p)
@@ -5277,7 +5287,7 @@ object ManifestLake {
           .filter(f => f.getFileName.toString.endsWith(".dv"))
           .filterNot(f => referencedDvs.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
-          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
+          .foreach { f => if (!dryRun) { Files.deleteIfExists(f); () }; reclaimed += 1 }
         finally fs.close()
       } else if (Files.isDirectory(p) && name == CdfDir) {
         val fs = Files.list(p)
@@ -5285,7 +5295,7 @@ object ManifestLake {
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .filterNot(f => referencedCdf.contains(s"$name/${f.getFileName}"))
           .filter(oldEnough)
-          .foreach { f => if (!dryRun) Files.delete(f); reclaimed += 1 }
+          .foreach { f => if (!dryRun) { Files.deleteIfExists(f); () }; reclaimed += 1 }
         finally fs.close()
       }
     } finally top.close()
@@ -5312,8 +5322,18 @@ object ManifestLake {
       try st2.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            !protectedSet.contains(n.drop(1).toLong)
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) && {
+            val v = n.drop(1).toLong
+            // the retention PREDICATE re-evaluates on this FRESH
+            // listing — membership in the census-time protected set
+            // alone would retire any version committed DURING the
+            // vacuum (it post-dates the census, so it was in neither
+            // allVersions nor protectedSet): a racing writer's
+            // just-committed manifest would vanish, silently losing
+            // the commit. v >= keepFrom covers every late commit
+            // (they are all above the census latest).
+            v < keepFrom && !protectedSet.contains(v) && !retainedByTime(v)
+          }
         }
         .foreach { p =>
           if (Files.deleteIfExists(p))
