@@ -97,6 +97,21 @@ private[core] object GraftCdf {
             "enableChangeDataFeed=true BEFORE mutating so copy-on-write " +
             "DML (and restore) writes commit-time change sidecars, or " +
             "diff snapshots")
+      case "replace-keys" =>
+        // the keyed REPLACE ([[ManifestLake.replaceKeysBatch]], the
+        // aggregate-view maintainer's single-CAS primitive): its DV
+        // additions retract the replaced rows, its appended files carry
+        // their successors. Falling through to the append default would
+        // serve the inserts and silently DROP the retractions — a CDF
+        // consumer chained on a maintained view would see new group
+        // rows appear while the rows they replaced never leave.
+        val diff = dvDiff
+        val added = cur.files.filterNot(prev.files.toSet)
+        (if (diff.isEmpty) Nil
+         else Seq(("delete", diff.keys.toVector.sorted, diff))) ++
+          (if (added.isEmpty) Nil
+           else Seq(("insert", added,
+             Map.empty[String, (String, Option[String])])))
       case _ => // append / batch / create / addcols / setprops
         val added = cur.files.filterNot(
           (if (v == 1) Set.empty[String] else prev.files.toSet))

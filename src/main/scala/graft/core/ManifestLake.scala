@@ -162,32 +162,57 @@ object ManifestLake {
       * hides a committed column from reads without touching a byte —
       * time travel to a pre-drop version still serves it (that
       * snapshot has no coldrop prop). */
+    /** Whether a dotted `colmap.`/`coldrop.` key is a NESTED field
+      * path, not a legacy TOP-LEVEL mapping of a physical column whose
+      * name itself contains '.'. Pre-nested-DDL builds only refused
+      * '=', '\n', '\r' in column names, so such keys can legally exist
+      * on older lakes — re-reading them as nested paths would silently
+      * stop applying the rename/drop (or worse, misapply it under an
+      * unrelated struct root). The disambiguation is against the
+      * COMMITTED schema: a key that names a whole committed column is
+      * top-level; otherwise it is nested only when its root segment is
+      * a committed STRUCT column. New-build DDL refuses '.' in every
+      * segment, so post-change lakes never reach the fallback. */
+    private def nestedKeyPath(k: String): Option[Seq[String]] =
+      if (!k.contains('.')) None
+      else if (schema.exists(_.fieldNames.contains(k))) None
+      else {
+        val root = k.takeWhile(_ != '.')
+        if (schema.exists(sc => sc.fieldNames.contains(root) &&
+            sc(root).dataType
+              .isInstanceOf[org.apache.spark.sql.types.StructType]))
+          Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            k.split('.')))
+        else None
+      }
     def renames: Map[String, String] = props.iterator.collect {
       case (k, v) if k.startsWith(PropColMapPrefix)
-          && !k.stripPrefix(PropColMapPrefix).contains('.') =>
+          && nestedKeyPath(k.stripPrefix(PropColMapPrefix)).isEmpty =>
         (k.stripPrefix(PropColMapPrefix), v)
     }.toMap
     def droppedCols: Set[String] = props.iterator.collect {
       case (k, _) if k.startsWith(PropColDropPrefix)
-          && !k.stripPrefix(PropColDropPrefix).contains('.') =>
+          && nestedKeyPath(k.stripPrefix(PropColDropPrefix)).isEmpty =>
         k.stripPrefix(PropColDropPrefix)
     }.toSet
     /** NESTED column mapping: a dotted `colmap.`/`coldrop.` key is a
       * PHYSICAL FIELD PATH through struct columns (`root.mid.leaf` —
       * every segment the physical name; the DDL refuses segment names
-      * containing '.', so the encoding is unambiguous). The value of a
-      * nested rename is the field's new LEAF name; drops hide the
-      * whole subtree. Same era rules as top-level mapping: the props
-      * live per-snapshot, so time travel is automatically correct. */
-    def nestedRenames: Map[Seq[String], String] = props.iterator.collect {
-      case (k, v) if k.startsWith(PropColMapPrefix)
-          && k.stripPrefix(PropColMapPrefix).contains('.') =>
-        (k.stripPrefix(PropColMapPrefix).split('.').toSeq, v)
+      * containing '.', so the encoding is unambiguous — see
+      * [[nestedKeyPath]] for the legacy dotted-top-level fallback).
+      * The value of a nested rename is the field's new LEAF name;
+      * drops hide the whole subtree. Same era rules as top-level
+      * mapping: the props live per-snapshot, so time travel is
+      * automatically correct. */
+    def nestedRenames: Map[Seq[String], String] = props.iterator.flatMap {
+      case (k, v) if k.startsWith(PropColMapPrefix) =>
+        nestedKeyPath(k.stripPrefix(PropColMapPrefix)).map(_ -> v)
+      case _ => None
     }.toMap
-    def nestedDrops: Set[Seq[String]] = props.iterator.collect {
-      case (k, _) if k.startsWith(PropColDropPrefix)
-          && k.stripPrefix(PropColDropPrefix).contains('.') =>
-        k.stripPrefix(PropColDropPrefix).split('.').toSeq
+    def nestedDrops: Set[Seq[String]] = props.iterator.flatMap {
+      case (k, _) if k.startsWith(PropColDropPrefix) =>
+        nestedKeyPath(k.stripPrefix(PropColDropPrefix))
+      case _ => None
     }.toSet
     /** Top-level physical columns with nested mapping beneath them. */
     def nestedRoots: Set[String] =
@@ -5182,6 +5207,12 @@ object ManifestLake {
     * retention pass. */
   private[core] val VacuumIntentMarker = "_vacuum.intent"
 
+  /** Test seam: runs at the top of each delete-phase lease check with
+    * the phase name, BEFORE the marker's age is read — PublishSpec
+    * ages the marker here to pin the two-sided-lease abort. Production
+    * value is a no-op. */
+  @volatile private[core] var beforeVacuumPhase: String => Unit = _ => ()
+
   def vacuum(dir: String, keepVersions: Int = 2,
              graceMillis: Long = DefaultVacuumGraceMillis,
              retainMillis: Long = 0L,
@@ -5202,11 +5233,37 @@ object ManifestLake {
     try {
     val keepFrom = latest.version - math.max(1, keepVersions) + 1
     val retainCutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
+    // vanished-path tolerant: a CONCURRENT vacuum may retire a manifest
+    // between a listing and this read — an undatable manifest is
+    // treated as inside the window (kept; deleteIfExists makes the
+    // double-delete harmless), never a crash
     def manifestTs(v: Long): Option[Long] =
-      Files.readAllLines(manifestPath(root, v)).asScala
+      try Files.readAllLines(manifestPath(root, v)).asScala
         .find(_.startsWith("#ts:")).map(_.drop(4).toLong)
+      catch { case _: java.io.IOException => None }
     def retainedByTime(v: Long): Boolean =
       retainMillis > 0L && manifestTs(v).forall(_ >= retainCutoff)
+    /** TWO-SIDED LEASE (the suspended-vacuum hole): a publisher stops
+      * trusting this vacuum's `_vacuum.intent` marker
+      * [[PublishLog.VacuumIntentStaleMillis]] after its mtime — so a
+      * vacuum SUSPENDED past that window (VM pause, cgroup freeze)
+      * must not wake up and resume deleting under a lease the other
+      * side already stopped honoring. Re-checked before every delete
+      * phase; a stale (or vanished) marker aborts the sweep loudly
+      * with nothing further deleted. */
+    def requireLeaseFresh(phase: String): Unit = if (useMarker) {
+      beforeVacuumPhase(phase)
+      val age = try System.currentTimeMillis() -
+        Files.getLastModifiedTime(marker).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue }
+      if (age >= PublishLog.VacuumIntentStaleMillis)
+        throw new IllegalStateException(
+          s"vacuum of $dir ABORTED before its $phase phase: its " +
+            s"$VacuumIntentMarker marker is ${age / 1000}s old — " +
+            "publishers stop honoring the lease after " +
+            s"${PublishLog.VacuumIntentStaleMillis / 1000}s, so a " +
+            "suspended vacuum must not resume deleting; re-run it")
+    }
     val allVersions: Vector[Long] = {
       val st = Files.list(mdir)
       try st.iterator().asScala.map(_.getFileName.toString)
@@ -5231,8 +5288,14 @@ object ManifestLake {
           .flatMap(_.toIntOption).getOrElse(2)
         val me = root.toAbsolutePath.normalize
         PublishLog.liveVersions(coord).takeRight(k).flatMap { seq =>
-          PublishLog.vectorAt(coord, seq).collectFirst {
+          // a vector RETRACTED between the listing and this read pins
+          // nothing — skip it, don't crash the vacuum
+          try PublishLog.vectorAt(coord, seq).collectFirst {
             case (d, v) if Paths.get(d).toAbsolutePath.normalize == me => v
+          }
+          catch {
+            case _: IllegalStateException | _: IllegalArgumentException =>
+              None
           }
         }.toSet
     }
@@ -5262,6 +5325,7 @@ object ManifestLake {
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.io.IOException => false }
     var reclaimed = 0L
+    requireLeaseFresh("data-file sweep")
     val top = Files.list(root)
     try top.iterator().asScala.foreach { p =>
       val name = p.getFileName.toString
@@ -5274,6 +5338,7 @@ object ManifestLake {
           reclaimed += 1
         }
       } else if (Files.isDirectory(p) && name.contains("=")) {
+        requireLeaseFresh(s"data-file sweep ($name)")
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
@@ -5282,6 +5347,7 @@ object ManifestLake {
           .foreach { f => if (!dryRun) { Files.deleteIfExists(f); () }; reclaimed += 1 }
         finally fs.close()
       } else if (Files.isDirectory(p) && name == DvStore.DvDir) {
+        requireLeaseFresh("DV sweep")
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".dv"))
@@ -5290,6 +5356,7 @@ object ManifestLake {
           .foreach { f => if (!dryRun) { Files.deleteIfExists(f); () }; reclaimed += 1 }
         finally fs.close()
       } else if (Files.isDirectory(p) && name == CdfDir) {
+        requireLeaseFresh("CDF sweep")
         val fs = Files.list(p)
         try fs.iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
@@ -5318,6 +5385,7 @@ object ManifestLake {
     }
     val retiredNow = scala.collection.mutable.Set.empty[Long]
     if (!dryRun) {
+      requireLeaseFresh("manifest retirement")
       val st2 = Files.list(mdir)
       try st2.iterator().asScala
         .filter { p =>

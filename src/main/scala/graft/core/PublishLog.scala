@@ -138,7 +138,21 @@ object PublishLog {
           // Net: a publish that RETURNS SUCCESS stays serveable forever
           // (modulo the lake's own publish.retain window).
           versions0.foreach { case (dir, v) =>
-            awaitNoVacuumIntent(dir)
+            if (!awaitNoVacuumIntent(dir)) {
+              // deadline expired with the member's marker still FRESH:
+              // a long-running vacuum may be mid-delete and its pin
+              // read may predate this CAS — verifying under the live
+              // marker could pass an instant before the delete, and a
+              // success here must stay serveable FOREVER. Fail the
+              // publish instead (tombstoned, so no consumer pins it).
+              retract(coordDir, next)
+              throw new IllegalStateException(
+                s"publish v$next of $coordDir RETRACTED: a vacuum on " +
+                  s"$dir held its ${ManifestLake.VacuumIntentMarker} " +
+                  "marker past the verify deadline — verifying under a " +
+                  "live marker could race its deletes; re-publish once " +
+                  "the vacuum finishes")
+            }
             if (ManifestLake.snapshotAt(dir, v).isEmpty) {
               retract(coordDir, next)
               throw new IllegalStateException(
@@ -158,22 +172,31 @@ object PublishLog {
       s"publish on $coordDir lost the CAS race $MaxRetries times")
   }
 
+  /** How long [[publish]]'s post-CAS verify waits for a member's
+    * fresh `_vacuum.intent` marker to clear before FAILING the publish
+    * (it never verifies under a live marker — see the caller). Test
+    * seam: PublishSpec shortens it to pin the refusal. */
+  @volatile private[core] var AwaitIntentDeadlineMillis: Long = 30000L
+
   /** Wait (bounded) for a member lake's fresh `_vacuum.intent` marker
     * to clear: while it stands, an in-flight vacuum may be mid-delete
     * and its pin recheck may predate our CAS — verifying under it
     * could pass an instant before the delete. A marker older than
     * [[VacuumIntentStaleMillis]] is a crashed vacuum's leftover and is
-    * ignored. */
-  private def awaitNoVacuumIntent(lakeDir: String): Unit = {
+    * ignored. Returns false iff the deadline expired with the marker
+    * still fresh — the caller must then FAIL the publish, not verify
+    * under it. */
+  private def awaitNoVacuumIntent(lakeDir: String): Boolean = {
     val marker = Paths.get(lakeDir).resolve(ManifestLake.VacuumIntentMarker)
-    val deadline = System.currentTimeMillis() + 30000L
-    while (Files.exists(marker) &&
-        (try System.currentTimeMillis() -
-           Files.getLastModifiedTime(marker).toMillis < VacuumIntentStaleMillis
-         catch { case _: java.io.IOException => false }) &&
-        System.currentTimeMillis() < deadline) {
+    val deadline = System.currentTimeMillis() + AwaitIntentDeadlineMillis
+    def fresh(): Boolean = Files.exists(marker) &&
+      (try System.currentTimeMillis() -
+         Files.getLastModifiedTime(marker).toMillis < VacuumIntentStaleMillis
+       catch { case _: java.io.IOException => false })
+    while (fresh() && System.currentTimeMillis() < deadline) {
       Thread.sleep(20L)
     }
+    !fresh()
   }
 
   /** Tombstone a committed publish record (idempotent): consumers

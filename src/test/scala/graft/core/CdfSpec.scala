@@ -1023,4 +1023,48 @@ class CdfSpec extends SparkSpec {
     assert(messages(ex).contains("negative group count"), messages(ex))
     assertConverged("refused fold must not touch the view")
   }
+
+  /** A `replace-keys` commit ([[ManifestLake.replaceKeysBatch]] — the
+    * aggregate-view maintainer's single-CAS delete+append) must emit
+    * BOTH halves on the change feed: a `delete` leg for the replaced
+    * rows (its DV additions) and an `insert` leg for their successors.
+    * Before this pin it fell through the append default, serving the
+    * inserts and silently dropping the retractions — a CDF consumer
+    * CHAINED on a maintained view (a view over a view) would fold
+    * wrong change sets. Pinned on both faces (Scala twin + DSv2). */
+  test("replace-keys commits emit delete+insert legs — chained CDF consumers fold exactly") {
+    val dir = tmp("cdf_rk")
+    ManifestLake.append(spark, dir,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), "k")     // v1
+    // replace groups a,b: a gets a successor row, b goes extinct
+    val applied = ManifestLake.replaceKeysBatch(spark, dir,
+      Seq("a", "b").toDF("k"), Seq(("a", 100L)).toDF("k", "v"),
+      Seq("k"), "rk-cdf", 0L, "k")
+    assert(applied)                                                  // v2
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, v)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
+      df.select($"k", $"v", $"_change_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows(feed) == Set(("a", 1L, "delete"), ("b", 2L, "delete"),
+      ("a", 100L, "insert")),
+      s"replace-keys must retract the replaced rows AND insert the new: ${rows(feed)}")
+    val dsv2 = spark.read.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", v.toString)
+      .load()
+    assert(rows(dsv2) == rows(feed), "DSv2 face must agree with the twin")
+    // the chained-consumer law: folding the full feed from zero
+    // reproduces the lake state exactly
+    val folded = ManifestLake.readChangeFeed(spark, dir, 0L, v)
+      .groupBy($"k").agg(
+        sum(when($"_change_type".isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L)).as("n"),
+        sum(when($"_change_type".isin("insert", "update_postimage"), $"v")
+          .otherwise(-$"v")).as("sv"))
+      .filter($"n" > 0).select($"k", $"sv".as("v"))
+    val state = ManifestLake.read(spark, dir).select($"k", $"v")
+    assert(folded.exceptAll(state).isEmpty && state.exceptAll(folded).isEmpty,
+      "feed-fold must reproduce the lake state")
+  }
 }

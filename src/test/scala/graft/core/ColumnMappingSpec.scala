@@ -509,4 +509,41 @@ class ColumnMappingSpec extends SparkSpec {
       !v3.schema.get.fieldNames.contains("x"),
       "a refused SQL ADD COLUMNS must commit nothing")
   }
+
+  /** LEGACY dotted prop keys: pre-nested-DDL builds only refused '=',
+    * '\n', '\r' in column names, so a lake may legally carry
+    * `colmap.a.b=x` for a TOP-LEVEL physical column literally named
+    * "a.b". Reinterpreting every dotted key as a nested field path
+    * would silently stop applying that rename (or misroute it under an
+    * unrelated struct root). The disambiguation is schema-driven:
+    * whole-key match → top-level; root-is-struct → nested; otherwise
+    * top-level fallback. Pure parse pin over hand-built snapshots. */
+  test("legacy dotted colmap/coldrop keys on non-struct roots stay TOP-LEVEL mappings") {
+    import org.apache.spark.sql.types._
+    // a lake whose physical column is literally named "a.b"
+    val dottedCol = StructType(Seq(
+      StructField("a.b", LongType), StructField("k", StringType)))
+    val s1 = ManifestLake.Snapshot(1L, Vector.empty,
+      schema = Some(dottedCol),
+      props = Map("colmap.a.b" -> "x", "coldrop.a.b" -> ""))
+    assert(s1.renames == Map("a.b" -> "x") && s1.nestedRenames.isEmpty,
+      s"whole-key schema match must stay top-level: ${s1.nestedRenames}")
+    assert(s1.droppedCols == Set("a.b") && s1.nestedDrops.isEmpty)
+    // same key, but "a" IS a committed struct column → nested wins
+    val structRoot = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("b", LongType)))),
+      StructField("k", StringType)))
+    val s2 = ManifestLake.Snapshot(1L, Vector.empty,
+      schema = Some(structRoot), props = Map("colmap.a.b" -> "x"))
+    assert(s2.nestedRenames == Map(Seq("a", "b") -> "x") &&
+      s2.renames.isEmpty)
+    // root neither a whole column nor a struct: a legacy top-level
+    // mapping whose column was since widened away — keep it top-level
+    // (inert), never misroute it under an unrelated root
+    val plainRoot = StructType(Seq(
+      StructField("a", LongType), StructField("k", StringType)))
+    val s3 = ManifestLake.Snapshot(1L, Vector.empty,
+      schema = Some(plainRoot), props = Map("colmap.a.b" -> "x"))
+    assert(s3.nestedRenames.isEmpty && s3.renames == Map("a.b" -> "x"))
+  }
 }

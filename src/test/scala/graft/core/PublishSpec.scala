@@ -238,4 +238,93 @@ class PublishSpec extends SparkSpec {
     assert(seq3 > dead, s"seq $seq3 must not reuse the tombstoned $dead")
     assert(PublishLog.current(coord).map(_._1).contains(seq3))
   }
+
+  /** A fresh `_vacuum.intent` marker that outlasts the verify deadline
+    * must FAIL the publish (tombstoned), never verify under it: a
+    * vacuum running longer than the publisher is willing to wait may
+    * be mid-delete with a pin read that predates this CAS — returning
+    * success and letting the vacuum's sweep retract later would break
+    * "a publish that RETURNS SUCCESS stays serveable forever". */
+  test("publish under a long-lived fresh vacuum marker FAILS loudly instead of verifying under it") {
+    val coord = Files.createTempDirectory("pub_deadline").toString
+    val l = tmp("pub_deadline_lake")
+    mkLake(l, 20, "x")                                             // v1
+    val marker = java.nio.file.Paths.get(l)
+      .resolve(ManifestLake.VacuumIntentMarker)
+    Files.createFile(marker) // a live vacuum's fresh lease
+    val before = PublishLog.versions(coord)
+    val old = PublishLog.AwaitIntentDeadlineMillis
+    PublishLog.AwaitIntentDeadlineMillis = 250L
+    try {
+      val e = intercept[IllegalStateException](
+        PublishLog.publish(coord, Map(l -> 1L)))
+      assert(e.getMessage.contains("RETRACTED") &&
+        e.getMessage.contains("marker"), e.getMessage)
+      // the CASed record is tombstoned — no consumer can pin it
+      val newSeqs = PublishLog.versions(coord).filterNot(before.contains)
+      assert(newSeqs.size == 1 && PublishLog.isRetracted(coord, newSeqs.head))
+      assert(PublishLog.current(coord).isEmpty)
+      // marker cleared (vacuum done) → the re-publish goes through
+      Files.delete(marker)
+      val seq = PublishLog.publish(coord, Map(l -> 1L))
+      assert(PublishLog.current(coord).map(_._1).contains(seq))
+    } finally {
+      PublishLog.AwaitIntentDeadlineMillis = old
+      Files.deleteIfExists(marker); ()
+    }
+  }
+
+  /** TWO-SIDED LEASE: a vacuum SUSPENDED past
+    * [[PublishLog.VacuumIntentStaleMillis]] (VM pause, cgroup freeze)
+    * resumes into a world where publishers already stopped honoring
+    * its marker — it must abort its sweep before deleting anything,
+    * not resume the delete phase under a dead lease. The seam ages the
+    * marker right before the first delete-phase check, simulating the
+    * suspension. */
+  test("two-sided lease: a vacuum whose own marker went stale aborts with nothing deleted") {
+    import spark.implicits._
+    val coord = Files.createTempDirectory("pub_lease").toString
+    val l = tmp("pub_lease_lake")
+    mkLake(l, 40, "x")                                             // v1
+    ManifestLake.setProperties(l, Map("publish.coord" -> coord))   // v2
+    ManifestLake.deleteWhereDv(spark, l, $"doc_id" < 10)           // v3
+    ManifestLake.compact(spark, l, "source",
+      targetRecordsPerFile = 1024L * 1024)                         // v4: v1 files now garbage
+    val root = java.nio.file.Paths.get(l)
+    def census(): Set[String] = {
+      val w = Files.walk(root)
+      try {
+        val it = w.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.toString
+          if (n.endsWith(".parquet") || n.endsWith(".dv") ||
+              n.contains("_manifest")) b += root.relativize(p).toString
+        }
+        b.result()
+      } finally w.close()
+    }
+    val before = census()
+    val marker = root.resolve(ManifestLake.VacuumIntentMarker)
+    var aged = false
+    ManifestLake.beforeVacuumPhase = _ => if (!aged && Files.exists(marker)) {
+      aged = true
+      Files.setLastModifiedTime(marker,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - PublishLog.VacuumIntentStaleMillis
+            - 1000L))
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        ManifestLake.vacuum(l, keepVersions = 1, graceMillis = 0L))
+      assert(e.getMessage.contains("ABORTED"), e.getMessage)
+      assert(aged, "the seam must actually have fired")
+      assert(census() == before,
+        "an aborted sweep must not have deleted a single file")
+      assert(!Files.exists(marker), "the stale marker is released on abort")
+    } finally ManifestLake.beforeVacuumPhase = _ => ()
+    // a re-run with a fresh lease completes and reclaims
+    assert(ManifestLake.vacuum(l, keepVersions = 1, graceMillis = 0L) > 0L)
+    assert(ManifestLake.read(spark, l).count() == 30L)
+  }
 }
