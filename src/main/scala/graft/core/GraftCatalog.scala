@@ -752,7 +752,10 @@ private[core] object GraftProcedures {
     * [[ManifestLake.maintainAggView]] — the first call backfills the
     * whole change history, every later call folds only the windows
     * committed since (exactly-once via app_id + checkpoint, which must
-    * travel as a pair). `aggs` is a CSV of `out:count` / `out:sum:in`.
+    * travel as a pair). `aggs` is a CSV of `out:count` /
+    * `out:{sum|avg|min|max}:in` — min/max ride the group-scoped
+    * rescan-on-retraction fold, avg is sum/count sugar, and sum/avg
+    * render SQL NULL for an all-NULL group.
     * The view partitions by `partition_col` (default: the first dim —
     * must never be NULL; file placement renders it). */
   private object MaintainAggView extends UnboundProcedure with BoundProcedure {
@@ -760,7 +763,7 @@ private[core] object GraftProcedures {
     override def description(): String =
       "Create-if-absent and drain an AGGREGATE materialized view: fold " +
         "the source lake's change feed into view_path exactly-once; " +
-        "aggs = CSV of out:count / out:sum:in"
+        "aggs = CSV of out:count / out:{sum|avg|min|max}:in"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -782,10 +785,13 @@ private[core] object GraftProcedures {
       val aggs = str(input, 3).split(",").map(_.trim).filter(_.nonEmpty)
         .toSeq.map { spec =>
           spec.split(":").map(_.trim) match {
-            case Array(out, "count")   => ManifestLake.AggSpec(out, "count")
-            case Array(out, "sum", in) => ManifestLake.AggSpec(out, "sum", in)
+            case Array(out, "count") => ManifestLake.AggSpec(out, "count")
+            case Array(out, f, in)
+                if Set("sum", "avg", "min", "max").contains(f) =>
+              ManifestLake.AggSpec(out, f, in)
             case _ => throw new IllegalArgumentException(
-              s"bad agg spec '$spec' — want out:count or out:sum:in")
+              s"bad agg spec '$spec' — want out:count or " +
+                "out:{sum|avg|min|max}:in")
           }
         }
       val appId = str(input, 4); val ckpt = str(input, 5)
@@ -801,17 +807,21 @@ private[core] object GraftProcedures {
           .flatMap(_.logicalSchema).getOrElse(throw new IllegalStateException(
             s"source lake $src has no committed schema"))
         val missing = (dims ++ aggs.collect {
-          case a if a.func == "sum" => a.inCol
+          case a if a.func != "count" => a.inCol
         }).filterNot(srcSchema.fieldNames.contains)
         require(missing.isEmpty,
           s"column(s) ${missing.mkString(", ")} not in the source schema " +
             s"(${srcSchema.fieldNames.mkString(", ")})")
-        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        import org.apache.spark.sql.functions.{avg, col, count, lit, max, min, sum}
         val empty = s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), srcSchema)
         val probeAggs = aggs.map {
           case ManifestLake.AggSpec(out, "count", _) =>
             count(lit(1)).as(out)
+          case ManifestLake.AggSpec(out, "avg", in) =>
+            avg(col(in).cast("double")).as(out)
+          case ManifestLake.AggSpec(out, "min", in) => min(col(in)).as(out)
+          case ManifestLake.AggSpec(out, "max", in) => max(col(in)).as(out)
           case ManifestLake.AggSpec(out, _, in) => sum(col(in)).as(out)
         }
         val derived = empty.groupBy(dims.map(col): _*)

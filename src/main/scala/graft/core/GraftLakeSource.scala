@@ -353,7 +353,12 @@ private[core] final case class GraftLakeTable(
     * manifest-keyed stays physical, translated at the scan/write
     * boundary. */
   private[core] def toPhysName(n: String): String =
-    physOfLogical.getOrElse(n, n)
+    physOfLogical.getOrElse(n,
+      // DOTTED names are nested leaf paths (nested data skipping:
+      // Spark pushes struct-leaf filters with the dot-joined path);
+      // resolve each segment through the nested rename map so pruning
+      // finds the PHYSICAL leaf path the manifest stats are keyed on
+      if (n.contains('.')) ManifestLake.physicalStatsPath(snap, n) else n)
   private[core] def toLogicalName(n: String): String =
     snap.renames.getOrElse(n, n)
   private val physOfLogical: Map[String, String] = snap.renames.map(_.swap)

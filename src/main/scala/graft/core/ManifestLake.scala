@@ -970,8 +970,43 @@ object ManifestLake {
         }
         if (drift.nonEmpty) throw new IllegalStateException(
           s"schema evolution rejected (type flips): ${drift.mkString("; ")}")
-        val newFields = incoming.fields.filterNot(f => curByName.contains(f.name))
-        StructType(cur.fields ++ newFields)
+        // NULLABILITY RELAXES, never tightens: once any committed file
+        // may hold a NULL, the manifest schema must say nullable —
+        // the DSv2 readers bind the committed flags into codegen
+        // (UnsafeProjection skips the null check on nullable=false),
+        // so a schema that understates nullability reads NULL slots as
+        // garbage zeros, silently. Same deep-merge for struct leaves,
+        // array elements and map values.
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+        def relax(c: DataType, i: DataType): DataType = (c, i) match {
+          case (cs: StructType, is: StructType) =>
+            val iBy = is.fields.map(f => f.name -> f).toMap
+            StructType(cs.fields.map { cf =>
+              iBy.get(cf.name).fold(cf)(f => cf.copy(
+                dataType = relax(cf.dataType, f.dataType),
+                nullable = cf.nullable || f.nullable))
+            })
+          case (ca: ArrayType, ia: ArrayType) =>
+            ArrayType(relax(ca.elementType, ia.elementType),
+              ca.containsNull || ia.containsNull)
+          case (cm: MapType, im: MapType) =>
+            MapType(relax(cm.keyType, im.keyType),
+              relax(cm.valueType, im.valueType),
+              cm.valueContainsNull || im.valueContainsNull)
+          case _ => c
+        }
+        val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+        val merged = cur.fields.map { cf =>
+          incomingByName.get(cf.name).fold(cf)(f => cf.copy(
+            dataType = relax(cf.dataType, f.dataType),
+            nullable = cf.nullable || f.nullable))
+        }
+        // ADDED columns are nullable by construction: every file
+        // committed BEFORE the add null-fills them on read
+        val newFields = incoming.fields
+          .filterNot(f => curByName.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(merged ++ newFields)
     }
   }
 
@@ -1513,7 +1548,23 @@ object ManifestLake {
         s"bucket column '$c' is not a column of the declared schema")
       require(n > 0, s"bucketN must be positive, got $n")
     }
-    val unknown = (statsCols ++ bloomCols).filterNot(schema.fieldNames.contains)
+    // statsCols may be DOTTED paths through struct columns (nested-leaf
+    // data skipping: parquet footers key per-leaf stats by exactly that
+    // path); blooms stay top-level (built from a column scan, and
+    // equality probes on struct leaves are not a skipping target)
+    def resolvesToLeaf(name: String): Boolean = {
+      def walk(dt: org.apache.spark.sql.types.DataType,
+               segs: List[String]): Boolean = (dt, segs) match {
+        case (_, Nil) => true
+        case (st: org.apache.spark.sql.types.StructType, h :: t) =>
+          st.fields.find(_.name == h).exists(f => walk(f.dataType, t))
+        case _ => false
+      }
+      schema.fieldNames.contains(name) ||
+        (name.contains('.') && walk(schema, name.split('.').toList))
+    }
+    val unknown = statsCols.filterNot(resolvesToLeaf) ++
+      bloomCols.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
       s"declared stats/bloom columns not in the schema: ${unknown.mkString(", ")}")
     val root = Paths.get(dir)
@@ -2002,6 +2053,47 @@ object ManifestLake {
         name
       }
 
+  /** A user-facing (possibly DOTTED) stats path resolved to its
+    * PHYSICAL dotted leaf path — the key parquet footers carry and the
+    * manifest's nested-leaf skipping stats are stored under. Identity
+    * when unmapped; a whole-key top-level match (legacy dotted column
+    * names) wins over path interpretation, mirroring
+    * [[Snapshot.nestedKeyPath]]'s disambiguation; an unresolvable
+    * segment passes the name through unchanged (pruning then simply
+    * finds no stats — conservative, never wrong). */
+  private[core] def physicalStatsPath(snap: Snapshot, name: String): String =
+    if (!snap.mappingActive || !name.contains('.') ||
+        snap.schema.exists(_.fieldNames.contains(name)))
+      physicalColName(snap, name)
+    else {
+      val segs = name.split('.').toIndexedSeq
+      val physRoot = physicalColName(snap, segs.head)
+      var prefix = Seq(physRoot)
+      var dt: Option[org.apache.spark.sql.types.DataType] =
+        snap.schema.flatMap(_.fields.find(_.name == physRoot)).map(_.dataType)
+      val out = Seq.newBuilder[String]
+      out += physRoot
+      var ok = true
+      segs.tail.foreach { lseg =>
+        dt match {
+          case Some(st: org.apache.spark.sql.types.StructType) if ok =>
+            st.fields.find { p =>
+              val pp = prefix :+ p.name
+              !snap.nestedDrops.contains(pp) &&
+                snap.nestedRenames.getOrElse(pp, p.name) == lseg
+            } match {
+              case Some(pf) =>
+                out += pf.name
+                prefix = prefix :+ pf.name
+                dt = Some(pf.dataType)
+              case None => ok = false
+            }
+          case _ => ok = false
+        }
+      }
+      if (ok) out.result().mkString(".") else name
+    }
+
   /** `ALTER TABLE ... RENAME COLUMN from TO to` — METADATA-ONLY via
     * column mapping (Delta's name-mode analogue): one `colmap.*`
     * property commit, zero bytes rewritten. The committed (physical)
@@ -2352,10 +2444,11 @@ object ManifestLake {
             "integral→decimal(p,0), float→double, date→timestamp_ntz, " +
             "same-scale decimal precision growth) are metadata-only — " +
             "anything else would reinterpret or round committed bytes")
-        // nested leaves are never partition/bucket columns and the
-        // manifest's stats/blooms are keyed on TOP-LEVEL columns only,
-        // so no skipping metadata needs stripping — the rewrite is
-        // purely the committed type, one level down
+        // nested leaves are never partition/bucket columns, but they
+        // CAN carry declared skipping stats (dotted statsCols) — strip
+        // them exactly where the widening changes the parquet
+        // encoding, the same rule as the top-level widen; blooms stay
+        // top-level, nothing to strip there
         def widen(dt: org.apache.spark.sql.types.DataType,
                   prefix: Seq[String]): org.apache.spark.sql.types.DataType =
           dt match {
@@ -2368,11 +2461,16 @@ object ManifestLake {
             })
             case other => other
           }
+        val dotted = physPath.mkString(".")
+        val stats2 =
+          if (statsSurvive(from, to)) latest.stats
+          else latest.stats.view.mapValues(_.filterNot(_.col == dotted))
+            .filter(_._2.nonEmpty).toMap
         latest.copy(schema = Some(StructType(sc.fields.map { f =>
           if (f.name == physPath.head)
             f.copy(dataType = widen(f.dataType, Seq(f.name)))
           else f
-        })))
+        })), stats = stats2)
       }
 
     case AlterDropNested(path) =>
@@ -2556,7 +2654,7 @@ object ManifestLake {
         requireNoDropped(sn, df, dir)
         append0(s, dir, toPhysical(sn, df),
           physicalColName(sn, partitionCol), maxRecordsPerFile, writeOptions,
-          statsCols.map(physicalColName(sn, _)),
+          statsCols.map(physicalStatsPath(sn, _)),
           bloomCols.map(physicalColName(sn, _)),
           bucketBy.map { case (c, n) => (physicalColName(sn, c), n) })
       case None => append0(s, dir, df, partitionCol, maxRecordsPerFile,
@@ -2666,7 +2764,7 @@ object ManifestLake {
         requireNoDropped(sn, df, dir)
         appendBatch0(s, dir, toPhysical(sn, df),
           physicalColName(sn, partitionCol), appId, batchId, maxRecordsPerFile,
-          statsCols.map(physicalColName(sn, _)),
+          statsCols.map(physicalStatsPath(sn, _)),
           bloomCols.map(physicalColName(sn, _)))
       case None => appendBatch0(s, dir, df, partitionCol, appId, batchId,
         maxRecordsPerFile, statsCols, bloomCols)
@@ -4043,7 +4141,7 @@ object ManifestLake {
         replaceKeysBatch0(s, dir, root, sn0, toPhysical(sn0, keys),
           toPhysical(sn0, rows), keyCols.map(physicalColName(sn0, _)),
           appId, batchId, physicalColName(sn0, partitionCol),
-          statsCols.map(physicalColName(sn0, _)),
+          statsCols.map(physicalStatsPath(sn0, _)),
           bloomCols.map(physicalColName(sn0, _)))
       case Some(sn0) =>
         replaceKeysBatch0(s, dir, root, sn0, keys, rows, keyCols,
@@ -4171,23 +4269,53 @@ object ManifestLake {
   }
 
   /** One aggregate of an incrementally maintained GROUP-BY view:
-    * `out` is the view column, `func` the fold (`count` = COUNT(*),
-    * `sum` = SUM(`inCol`)). Both are RETRACTABLE — an insert adds,
-    * a delete subtracts, so the view folds forward from change sets
-    * alone (min/max are not: retracting the current extreme needs a
-    * rescan, which is exactly the recompute this view exists to
-    * avoid — refused at construction). SUM's null contract: NULL
-    * values contribute nothing, and a group whose values are all
-    * NULL renders 0, not SQL's NULL (the fold cannot distinguish
-    * "no non-null value yet" from "sum happens to be zero" without
-    * tracking a per-column non-null count; oracle with
-    * `coalesce(sum(x), 0)`). */
+    * `out` is the view column, `func` the fold:
+    *  - `count` — COUNT(*), the group-liveness aggregate (a group
+    *    leaves the view when it reaches 0);
+    *  - `sum` — SUM(inCol) with SQL's NULL contract: NULL values
+    *    contribute nothing and a group whose live values are ALL NULL
+    *    renders NULL, not 0 — a hidden `__graft_nn_<out>` non-null
+    *    count rides in the view to tell "no non-null value" apart
+    *    from "sum happens to be zero";
+    *  - `avg` — AVG(inCol) as double: pure sugar over a hidden raw
+    *    sum + non-null count (`__graft_sum_<out>`, `__graft_nn_<out>`),
+    *    NULL when the group's live values are all NULL;
+    *  - `min` / `max` — MIN/MAX(inCol): inserts fold forward
+    *    (`least`/`greatest` with the stored extreme); a retraction
+    *    that TOUCHES the group's current extreme cannot be folded
+    *    (min/max are not retractable) and instead triggers a rescan of
+    *    THAT GROUP ONLY against the source at the window end — cost ∝
+    *    the group's rows, never the view or corpus
+    *    ([[maintainAggViewBatch]] needs `srcDir` for the rescan leg).
+    *    This is the reference's single most load-bearing aggregate —
+    *    the per-channel `MAX(publishtime)` high-water mark driving
+    *    incremental ingest (maintain_database.py:289-306, SURVEY A1).
+    * count/sum/avg are RETRACTABLE — an insert adds, a delete
+    * subtracts, so they fold from change sets alone. */
   final case class AggSpec(out: String, func: String, inCol: String = "") {
-    require(func == "count" || func == "sum",
-      s"unsupported aggregate '$func' — incremental maintenance needs a " +
-        "retractable fold (count, sum); min/max need a rescan on retraction")
+    require(Set("count", "sum", "avg", "min", "max").contains(func),
+      s"unsupported aggregate '$func' — want count, sum, avg, min or max")
     require(func == "count" || inCol.nonEmpty,
-      s"sum aggregate '$out' needs an input column")
+      s"$func aggregate '$out' needs an input column")
+    /** Hidden per-group non-null count (sum/avg) — the state that
+      * makes SQL's all-NULL-group-renders-NULL contract foldable. */
+    private[core] def nnCol: String = s"__graft_nn_$out"
+    /** Hidden per-group raw sum (avg). */
+    private[core] def sumCol: String = s"__graft_sum_$out"
+    /** The view's hidden state columns for this aggregate. */
+    private[core] def stateCols: Seq[String] = func match {
+      case "sum" => Seq(nnCol)
+      case "avg" => Seq(sumCol, nnCol)
+      case _     => Nil
+    }
+  }
+
+  /** A maintained aggregate view WITHOUT its hidden fold-state columns
+    * (`__graft_nn_*` / `__graft_sum_*`) — the user-facing face of a
+    * [[maintainAggView]] lake. */
+  def readAggView(s: SparkSession, viewDir: String): DataFrame = {
+    val df = read(s, viewDir)
+    df.drop(df.columns.filter(_.startsWith("__graft_")).toIndexedSeq: _*)
   }
 
   /** One maintenance step of an AGGREGATE materialized view —
@@ -4215,7 +4343,8 @@ object ManifestLake {
                            batch: DataFrame,
                            viewPartitionCol: String,
                            statsCols: Seq[String] = Nil,
-                           bloomCols: Seq[String] = Nil): Boolean = {
+                           bloomCols: Seq[String] = Nil,
+                           srcDir: Option[String] = None): Boolean = {
     require(dims.nonEmpty, "an aggregate view needs at least one dimension")
     require(aggs.nonEmpty, "an aggregate view needs at least one aggregate")
     val liveness = aggs.find(_.func == "count").getOrElse(throw
@@ -4224,15 +4353,36 @@ object ManifestLake {
           "(when does a group leave the view?) is derived from it")).out
     require(aggs.map(_.out).distinct.size == aggs.size,
       "aggregate output names must be distinct")
+    val extremes = aggs.filter(a => a.func == "min" || a.func == "max")
+    require(extremes.isEmpty || srcDir.nonEmpty,
+      "min/max aggregates need srcDir — a retraction that touches a " +
+        "group's current extreme rescans THAT GROUP against the source")
     if (latestSnapshot(viewDir).exists(_.txns.get(appId).exists(_ >= batchId)))
       return false
+    val stateCols = aggs.flatMap(_.stateCols)
+    val outCols = dims ++ aggs.map(_.out) ++ stateCols
     val b = batch.persist()
     try {
       val sign = when(col(CdfTypeCol).isin("insert", "update_postimage"),
         lit(1L)).otherwise(lit(-1L))
-      val deltaCols = aggs.map {
-        case AggSpec(out, "count", _) => sum(sign).as(out)
-        case AggSpec(out, _, c) => sum(sign * coalesce(col(c), lit(0))).as(out)
+      // per-group window delta: additive for count/sum/avg (plus the
+      // non-null count that carries SQL's NULL contract), and for
+      // min/max the INSERT-side extreme (foldable forward) plus the
+      // RETRACTED-side extreme (decides whether the fold is safe)
+      val deltaCols: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
+        case AggSpec(out, "count", _) => Seq(sum(sign).as(out))
+        case a @ AggSpec(out, "sum", c) => Seq(
+          sum(sign * coalesce(col(c), lit(0))).as(out),
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(a.nnCol))
+        case a @ AggSpec(_, "avg", c) => Seq(
+          sum(sign * coalesce(col(c).cast("double"), lit(0.0))).as(a.sumCol),
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(a.nnCol))
+        case AggSpec(out, "min", c) => Seq(
+          min(when(sign === 1L, col(c))).as(s"__graft_ins_$out"),
+          min(when(sign === -1L, col(c))).as(s"__graft_ret_$out"))
+        case AggSpec(out, "max", c) => Seq(
+          max(when(sign === 1L, col(c))).as(s"__graft_ins_$out"),
+          max(when(sign === -1L, col(c))).as(s"__graft_ret_$out"))
       }
       val delta = b.groupBy(dims.map(col): _*)
         .agg(deltaCols.head, deltaCols.tail: _*)
@@ -4247,25 +4397,157 @@ object ManifestLake {
       val semiCond = dims.map(d => viewDf(d) <=> col(s"__graft_k_$d"))
         .reduce(_ && _)
       val cur = viewDf.join(keysSemi, semiCond, "left_semi")
-      val curP = cur.select(dims.map(d => col(d).as(s"__graft_ck_$d")) ++
-        aggs.map(a => col(a.out).as(s"__graft_cv_${a.out}")): _*)
+      // hidden state columns may be absent on a freshly created view —
+      // the first write evolves them in; synthesize typed NULLs so the
+      // presence check below stays uniform (an EXISTING row with NULL
+      // state predates this upgrade and refuses loudly in the fold)
+      def curState(c: String): org.apache.spark.sql.Column =
+        if (cur.columns.contains(c)) col(c)
+        else lit(null).cast(
+          if (c.startsWith("__graft_sum_")) "double" else "bigint")
+      val curP = cur.select(
+        dims.map(d => col(d).as(s"__graft_ck_$d")) ++
+        aggs.map(a => col(a.out).as(s"__graft_cv_${a.out}")) ++
+        stateCols.map(c => curState(c).as(s"__graft_cv_$c")) :+
+        lit(true).as("__graft_cur"): _*)
+      val dNames = delta.columns.filterNot(dims.contains).toIndexedSeq
       val dP = delta.select(dims.map(d => col(d).as(s"__graft_dk_$d")) ++
-        aggs.map(a => col(a.out).as(s"__graft_dv_${a.out}")): _*)
+        dNames.map(c => col(c).as(s"__graft_dv_$c")): _*)
       val cond = dims.map(d => col(s"__graft_ck_$d") <=> col(s"__graft_dk_$d"))
         .reduce(_ && _)
-      val folded = curP.join(dP, cond, "full_outer").select(
+      val joined = curP.join(dP, cond, "full_outer")
+      def cv(c: String) = col(s"__graft_cv_$c")
+      def dv(c: String) = col(s"__graft_dv_$c")
+      val present = coalesce(col("__graft_cur"), lit(false))
+      def zeroFor(c: String): org.apache.spark.sql.Column =
+        if (c.startsWith("__graft_sum_")) lit(0.0) else lit(0L)
+      def curStateChecked(c: String): org.apache.spark.sql.Column =
+        when(!present, zeroFor(c)).otherwise(
+          when(cv(c).isNull, raise_error(lit(
+            s"maintainAggView: view row is missing fold state '$c' — " +
+              "the view predates the SQL-NULL/avg upgrade; rebuild it " +
+              "(fresh view dir + checkpoint)"))).otherwise(cv(c)))
+      // raw fold (state space, not yet rendered): count and the hidden
+      // nn/sum states add; min/max fold the stored extreme with the
+      // insert-side extreme, and flag a RESCAN when a retraction ties
+      // or passes the fold candidate — only a source rescan can then
+      // know the next extreme (the retracted value may have been the
+      // last holder of the current one)
+      def minCand(out: String) = least(cv(out), dv(s"__graft_ins_$out"))
+      def maxCand(out: String) = greatest(cv(out), dv(s"__graft_ins_$out"))
+      val rescanFlag: org.apache.spark.sql.Column =
+        if (extremes.isEmpty) lit(false)
+        else extremes.map { a =>
+          val ret = dv(s"__graft_ret_${a.out}")
+          val cand = if (a.func == "min") minCand(a.out) else maxCand(a.out)
+          ret.isNotNull && (cand.isNull ||
+            (if (a.func == "min") ret <= cand else ret >= cand))
+        }.reduce(_ || _)
+      val rawCols: Seq[org.apache.spark.sql.Column] =
         dims.map(d =>
           coalesce(col(s"__graft_ck_$d"), col(s"__graft_dk_$d")).as(d)) ++
-        aggs.map(a => (coalesce(col(s"__graft_cv_${a.out}"), lit(0)) +
-          coalesce(col(s"__graft_dv_${a.out}"), lit(0))).as(a.out)): _*)
-      val newRows = folded
-        .withColumn(liveness, when(col(liveness) < 0, raise_error(concat(
-          lit("maintainAggView: negative group count for "),
+        aggs.map {
+          case AggSpec(out, "count", _) =>
+            (coalesce(cv(out), lit(0L)) + coalesce(dv(out), lit(0L))).as(out)
+          case AggSpec(out, "sum", _) =>
+            (coalesce(cv(out), lit(0)) + coalesce(dv(out), lit(0))).as(out)
+          case AggSpec(out, "avg", _) =>
+            // rendered below from the folded state; placeholder keeps
+            // column order stable
+            lit(null).cast("double").as(out)
+          case AggSpec(out, "min", _) => minCand(out).as(out)
+          case AggSpec(out, "max", _) => maxCand(out).as(out)
+        } ++
+        stateCols.map(c =>
+          (curStateChecked(c) + coalesce(dv(c), zeroFor(c))).as(c)) :+
+        rescanFlag.as("__graft_rescan")
+      val folded = joined.select(rawCols: _*)
+      // rendering: negative liveness/nn refuse loudly (a feed window
+      // not anchored at the view's high-water), an all-NULL group's
+      // sum/avg render SQL NULL (nn == 0), avg = raw sum / nn
+      def nnChecked(a: AggSpec): org.apache.spark.sql.Column =
+        when(col(a.nnCol) < 0, raise_error(concat(
+          lit(s"maintainAggView: negative non-null count for '${a.out}' in "),
           to_json(struct(dims.map(col): _*)),
           lit(" — the feed window is not anchored at the view's " +
             "high-water (stream started mid-history?)"))))
-          .otherwise(col(liveness)))
+          .otherwise(col(a.nnCol))
+      val renderCols: Seq[org.apache.spark.sql.Column] =
+        dims.map(col) ++
+        aggs.map {
+          case AggSpec(out, "count", _) =>
+            when(col(out) < 0, raise_error(concat(
+              lit("maintainAggView: negative group count for "),
+              to_json(struct(dims.map(col): _*)),
+              lit(" — the feed window is not anchored at the view's " +
+                "high-water (stream started mid-history?)"))))
+              .otherwise(col(out)).as(out)
+          case a @ AggSpec(out, "sum", _) =>
+            when(nnChecked(a) === 0, lit(null)).otherwise(col(out)).as(out)
+          case a @ AggSpec(out, "avg", _) =>
+            when(nnChecked(a) === 0, lit(null).cast("double"))
+              .otherwise(col(a.sumCol) / col(a.nnCol)).as(out)
+          case AggSpec(out, _, _) => col(out).as(out)
+        } ++ stateCols.map(col)
+      val foldedOut = folded.filter(!col("__graft_rescan"))
+        .select(renderCols: _*)
         .filter(col(liveness) > 0)
+      // RESCAN leg — the groups whose current extreme a retraction
+      // touched: recompute EVERY aggregate of those groups exactly
+      // from the source AT THE WINDOW END (the batch's max commit
+      // version; later commits in the window changed no row, or the
+      // feed would carry them). Group-scoped: the keys push down as an
+      // EqualNullSafe disjunction (file skipping prunes on dim stats),
+      // falling back to a semi-join past the literal cap. Cost ∝ the
+      // touched groups' rows — never the view or corpus.
+      val rescanRows: Option[DataFrame] =
+        if (extremes.isEmpty) None
+        else {
+          val MaxPushKeys = 1000
+          val krows = folded.filter(col("__graft_rescan"))
+            .select(dims.map(col): _*).limit(MaxPushKeys + 1).collect()
+          if (krows.isEmpty) None
+          else {
+            val srcD = srcDir.get
+            val endV = b.agg(max(col("_commit_version"))).head().getLong(0)
+            val srcSnap = snapshotAt(srcD, endV).getOrElse(
+              throw new IllegalStateException(
+                s"min/max rescan needs $srcD@v$endV, which was retired " +
+                  "by vacuum — retention must cover the maintenance lag"))
+            val srcAll = read(s, srcD, Some(srcSnap))
+            val scoped =
+              if (krows.length <= MaxPushKeys)
+                srcAll.filter(krows.toIndexedSeq.map(r =>
+                  dims.zipWithIndex.map { case (d, i) =>
+                    col(d) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _))
+              else {
+                val kf = folded.filter(col("__graft_rescan")).select(
+                  dims.map(d => col(d).as(s"__graft_rk_$d")): _*)
+                val c2 = dims.map(d => srcAll(d) <=> col(s"__graft_rk_$d"))
+                  .reduce(_ && _)
+                srcAll.join(kf, c2, "left_semi")
+              }
+            val exact: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
+              case AggSpec(out, "count", _) => Seq(count(lit(1)).as(out))
+              case a @ AggSpec(out, "sum", c) => Seq(sum(col(c)).as(out),
+                count(col(c)).as(a.nnCol))
+              case a @ AggSpec(out, "avg", c) => Seq(
+                avg(col(c).cast("double")).as(out),
+                coalesce(sum(col(c).cast("double")), lit(0.0)).as(a.sumCol),
+                count(col(c)).as(a.nnCol))
+              case AggSpec(out, "min", c) => Seq(min(col(c)).as(out))
+              case AggSpec(out, "max", c) => Seq(max(col(c)).as(out))
+            }
+            Some(scoped.groupBy(dims.map(col): _*)
+              .agg(exact.head, exact.tail: _*)
+              .select(outCols.map(col): _*))
+          }
+        }
+      val newRows = rescanRows.fold(foldedOut) { r =>
+        val casted = r.select(foldedOut.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        foldedOut.unionByName(casted)
+      }
       replaceKeysBatch(s, viewDir, keys, newRows, dims, appId, batchId,
         viewPartitionCol, statsCols, bloomCols)
     } finally { b.unpersist(); () }
@@ -4299,7 +4581,7 @@ object ManifestLake {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         maintainAggViewBatch(s, viewDir, dims, aggs, appId, id, batch,
-          viewPartitionCol, statsCols, bloomCols)
+          viewPartitionCol, statsCols, bloomCols, srcDir = Some(srcDir))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -1746,22 +1746,41 @@ object RoundTrips {
     * negative-count refusal) are pinned in CdfSpec. At 100 TB each
     * micro-batch costs ∝ its window's CHANGED GROUPS — the view never
     * sees the corpus. */
+  /** q184's fixture, built ONCE per (JVM, sf dir) — the mutated source
+    * lake (append → CDF on → MoR delete → COW update) is scaffolding;
+    * with it outside the timed region the row measures the VIEW
+    * MAINTENANCE choreography itself (backfill fold + incremental fold
+    * + single-CAS keyed replace), so a real agg-view regression is
+    * visible above the corpus-build floor — the same treatment q178
+    * got in r14. Re-invocations add one delete+restore pair to the
+    * source history (net zero rows, version-relative restore); every
+    * view value is invocation-invariant, so the oracle hash never
+    * drifts. */
+  private val amvFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def qAggViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = freshDir("graft_amv_src_").toString
+    val src = amvFixture.computeIfAbsent(dir, _ => {
+      val src0 = freshDir("graft_amv_src_").toString
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+      graft.core.ManifestLake.append(s, src0,
+        docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+        statsCols = Seq("doc_id"))                                  // v1
+      graft.core.ManifestLake.setProperties(src0,
+        Map("enableChangeDataFeed" -> "true"))                      // v2
+      graft.core.ManifestLake.deleteWhereDv(s, src0, $"doc_id" % 19 === 0) // v3
+      s.conf.set("spark.sql.catalog.graft_amv",
+        classOf[graft.core.GraftCatalog].getName)
+      s.sql(s"UPDATE graft_amv.`$src0` SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 23 = 7").collect()                          // v4 (COW)
+      src0
+    })
+    // timed region: the maintenance choreography — a fresh view
+    // backfills the whole change history, then folds one
+    // delete+restore window incrementally
     val view = freshDir("graft_amv_view_").toString
     val ckpt = freshDir("graft_amv_ckpt_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
-    graft.core.ManifestLake.append(s, src,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"))                                    // v1
-    graft.core.ManifestLake.setProperties(src,
-      Map("enableChangeDataFeed" -> "true"))                        // v2
-    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 19 === 0) // v3
-    s.conf.set("spark.sql.catalog.graft_amv",
-      classOf[graft.core.GraftCatalog].getName)
-    s.sql(s"UPDATE graft_amv.`$src` SET n_chars = n_chars + 7 " +
-      "WHERE doc_id % 23 = 7")                                      // v4 (COW)
     val aggs = Seq(graft.core.ManifestLake.AggSpec("n_docs", "count"),
       graft.core.ManifestLake.AggSpec("sum_chars", "sum", "n_chars"))
     graft.core.ManifestLake.create(view,
@@ -1775,7 +1794,7 @@ object RoundTrips {
       statsCols = Seq("source"))
     def drain(): Unit = {
       val q = graft.core.ManifestLake.maintainAggView(s, src, view,
-        Seq("source"), aggs, "graft-amv", ckpt, "source",
+        Seq("source"), aggs, s"graft-amv-$view", ckpt, "source",
         statsCols = Seq("source"))
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -1783,11 +1802,12 @@ object RoundTrips {
           "aggregate view drain did not finish within 300 s")
       }
     }
-    drain()                                       // backfill: v1–v4 window
-    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 31 === 4) // v5
-    graft.core.ManifestLake.restore(s, src, 4L)                     // v6 (reverts v5)
-    drain()                                       // incremental: v5–v6 window
-    graft.core.ManifestLake.read(s, view)
+    drain()                                       // backfill
+    val preV = graft.core.ManifestLake.latestSnapshot(src).get.version
+    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 31 === 4)
+    graft.core.ManifestLake.restore(s, src, preV) // reverts the delete
+    drain()                                       // incremental window
+    graft.core.ManifestLake.readAggView(s, view)
       .select($"source", $"n_docs", $"sum_chars")
       .orderBy($"source")
   }
@@ -1799,7 +1819,95 @@ object RoundTrips {
                   AS n_chars
          FROM documents WHERE doc_id % 19 <> 0)
        SELECT source, COUNT(*) AS n_docs,
-              CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM mutated GROUP BY source
+       ORDER BY source"""
+
+  /** q186 — MIN/MAX/AVG AGGREGATE VIEW with group-scoped rescan
+    * ([[graft.core.ManifestLake.AggSpec]] beyond count/sum): the
+    * reference's single most load-bearing aggregate IS a MAX — the
+    * per-channel `MAX(publishtime)` high-water mark that drives
+    * incremental ingest (maintain_database.py:289-306, SURVEY A1);
+    * `max_id` here is that query's exact shape (MAX(doc_id) GROUP BY
+    * source), maintained incrementally. Inserts fold forward
+    * (least/greatest with the stored extreme); the MoR delete OF each
+    * group's current max row forces the RESCAN leg — only a
+    * group-scoped recompute against the source at the window end can
+    * know the next extreme (delta-keyed, pushed down as an
+    * EqualNullSafe disjunction so file skipping prunes; cost ∝ the
+    * touched groups' rows, never the corpus). The COW update moving
+    * each group's MINIMUM up retracts a tied extreme the other way.
+    * AVG rides as hidden raw-sum + non-null-count sugar; SUM/AVG
+    * render SQL NULL for an all-NULL group (CdfSpec pins those legs).
+    * BOTH drains run through the SQL face — `CALL
+    * graft.maintain_agg_view` derives the view schema (including
+    * min/max/avg result types) on first call and refreshes
+    * exactly-once after. */
+  def qMinMaxAggViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = freshDir("graft_amv3_src_").toString
+    val view = freshDir("graft_amv3_view_").toString
+    val ckpt = freshDir("graft_amv3_ckpt_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, src,
+      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+      statsCols = Seq("doc_id"))                                    // v1
+    graft.core.ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                        // v2
+    s.conf.set("spark.sql.catalog.graft_amv3",
+      classOf[graft.core.GraftCatalog].getName)
+    def call(): Unit = {
+      s.sql(s"CALL graft_amv3.maintain_agg_view('$src', '$view', " +
+        "'source', 'n_docs:count,sum_chars:sum:n_chars," +
+        "avg_chars:avg:n_chars,min_chars:min:n_chars,max_id:max:doc_id', " +
+        s"'graft-amv3', '$ckpt')").collect()
+      ()
+    }
+    call()        // CREATE MV (schema derived) + backfill
+    // MoR-delete each group's CURRENT MAX row — the fold alone cannot
+    // know the next extreme; the refresh must take the rescan leg
+    val maxIds = graft.core.ManifestLake.read(s, src).groupBy($"source")
+      .agg(max($"doc_id").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.core.ManifestLake.deleteWhereDv(s, src,
+      maxIds.map { case (s0, m) => $"source" === s0 && $"doc_id" === m }
+        .reduce(_ || _))                                            // v3
+    // COW-update each group's MINIMUM n_chars up — a tied-extreme
+    // retraction on the min side (ties update together, like the SQL)
+    val mins = graft.core.ManifestLake.read(s, src).groupBy($"source")
+      .agg(min($"n_chars").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    s.sql(s"UPDATE graft_amv3.`$src` SET n_chars = n_chars + 100000 " +
+      s"WHERE ${mins.map { case (s0, m) =>
+        s"(source = '$s0' AND n_chars = $m)" }.mkString(" OR ")}")
+      .collect()                                                    // v4 (COW)
+    call()        // REFRESH: rescan legs for every group
+    graft.core.ManifestLake.readAggView(s, view)
+      .select($"source", $"n_docs", $"sum_chars", $"avg_chars",
+        $"min_chars", $"max_id")
+      .orderBy($"source")
+  }
+
+  val qMinMaxAggViewRoundTripSql: String =
+    """WITH maxes AS (
+         SELECT source, MAX(doc_id) AS m FROM documents GROUP BY source),
+       after_delete AS (
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d LEFT JOIN maxes x
+           ON d.source = x.source AND d.doc_id = x.m
+         WHERE x.m IS NULL),
+       mins AS (
+         SELECT source, MIN(n_chars) AS mn FROM after_delete GROUP BY source),
+       mutated AS (
+         SELECT a.doc_id, a.source,
+                CASE WHEN a.n_chars = m.mn THEN a.n_chars + 100000
+                     ELSE a.n_chars END AS n_chars
+         FROM after_delete a JOIN mins m ON a.source = m.source)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              AVG(n_chars) AS avg_chars,
+              CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+              CAST(MAX(doc_id) AS BIGINT) AS max_id
        FROM mutated GROUP BY source
        ORDER BY source"""
 
@@ -1852,6 +1960,94 @@ object RoundTrips {
                             ELSE n_chars + 1000000 END) AS BIGINT) AS sum_chars
        FROM documents GROUP BY source
        ORDER BY source"""
+
+  /** q187 — NESTED-LEAF DATA SKIPPING through rename + widen
+    * (dotted `statsCols`, [[graft.core.ManifestLake.physicalStatsPath]]):
+    * the reference's JSON snippet fields (sql/schema.sql:38,61, queried
+    * via `->>` at server/dashboard.py:164) become struct leaves the
+    * moment `from_json` is applied — and at 100 TB a `WHERE meta.ts >
+    * X` that cannot prune is a full corpus scan. Here the leaf
+    * `meta.nc` is declared in statsCols, so parquet's per-leaf footer
+    * stats land in the manifest keyed by the dotted PHYSICAL path;
+    * generation 1 lands range-clustered on it, then the leaf is
+    * RENAMED (`meta.nc` → `meta.chars`) and WIDENED (int → long),
+    * metadata-only, and generation 2 appends under the logical shape
+    * (+1,000,000 offset so the eras occupy disjoint ranges). Each
+    * range leg filters on the RENAMED, WIDENED leaf through the DSv2
+    * face — the logical path walks back to the physical stats key —
+    * and emits its content aggregate plus the oracle-pinned `pruned`
+    * boolean (a wrongly-skipped file loses rows and breaks the hash;
+    * un-pruned legs break the boolean). Plan-identity with the Scala
+    * prune API and the DDL refusal/strip matrix are pinned in
+    * NestedSkippingSpec. */
+  def qNestedSkippingRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lake = freshDir("graft_nskip_lake_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"source",
+          struct($"n_chars".cast("int").as("nc")).as("meta"))
+        .repartitionByRange(8, $"meta.nc"), "source",
+      statsCols = Seq("meta.nc", "doc_id"))                          // v1
+    graft.core.ManifestLake.alterSchema(lake, Seq(
+      graft.core.ManifestLake.AlterRenameNested(Seq("meta", "nc"), "chars"),
+      graft.core.ManifestLake.AlterWidenNested(Seq("meta", "chars"),
+        org.apache.spark.sql.types.LongType)))                      // v2: props only
+    graft.core.ManifestLake.append(s, lake,
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"source",
+          struct(($"n_chars" + 1000000L).as("chars")).as("meta"))
+        .repartitionByRange(8, $"meta.chars"), "source",
+      statsCols = Seq("meta.chars", "doc_id"))                      // v3: logical shape
+    val snap = graft.core.ManifestLake.latestSnapshot(lake).get
+    // integer-arithmetic range bounds, replayable exactly in SQL
+    val m = docs.filter($"doc_id" % 2 === 0)
+      .agg(max($"n_chars")).head().getLong(0)
+    val legs = Seq(
+      ("gen1_low", m / 10, m / 5),
+      ("gen1_high", m - m / 5, m),
+      ("gen2_mid", 1000000L + m / 3, 1000000L + m / 2))
+    val lakeDf = s.read.format("graft").load(lake)
+    legs.map { case (tag, lo, hi) =>
+      // the filter is on the RENAMED+WIDENED leaf; pruning must walk
+      // the logical path back to the physical stats key "meta.nc"
+      val opened = graft.core.ManifestLake.pruneFiles(snap, "meta.nc",
+        BigDecimal(lo), BigDecimal(hi)).length
+      lakeDf.filter($"meta.chars" >= lo && $"meta.chars" <= hi)
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_ids"),
+          sum($"meta.chars").as("sum_chars"))
+        .withColumn("range_tag", lit(tag))
+        .withColumn("pruned", lit(opened < snap.files.length))
+    }.reduce(_ unionByName _)
+      .select($"range_tag", $"n_docs", $"sum_ids", $"sum_chars", $"pruned")
+      .orderBy($"range_tag")
+  }
+
+  val qNestedSkippingRoundTripSql: String =
+    """WITH m AS (
+         SELECT MAX(n_chars) AS m FROM documents WHERE doc_id % 2 = 0),
+       leaves AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN n_chars
+                     ELSE n_chars + 1000000 END AS chars
+         FROM documents),
+       legs AS (
+         SELECT 'gen1_low' AS range_tag, m // 10 AS lo, m // 5 AS hi FROM m
+         UNION ALL
+         SELECT 'gen1_high', m - m // 5, m FROM m
+         UNION ALL
+         SELECT 'gen2_mid', 1000000 + m // 3, 1000000 + m // 2 FROM m)
+       SELECT g.range_tag,
+              COUNT(l.doc_id) AS n_docs,
+              CAST(SUM(l.doc_id) AS BIGINT) AS sum_ids,
+              CAST(SUM(l.chars) AS BIGINT) AS sum_chars,
+              TRUE AS pruned
+       FROM legs g LEFT JOIN leaves l
+         ON l.chars >= g.lo AND l.chars <= g.hi
+       GROUP BY g.range_tag
+       ORDER BY g.range_tag"""
 
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one
@@ -3158,6 +3354,8 @@ object RoundTrips {
     "q183_streaming_view" -> qStreamingViewRoundTrip,
     "q184_agg_view" -> qAggViewRoundTrip,
     "q185_nested_ddl" -> qNestedDdlRoundTrip,
+    "q186_minmax_agg_view" -> qMinMaxAggViewRoundTrip,
+    "q187_nested_skipping" -> qNestedSkippingRoundTrip,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTrip,
     "q141_bloom_lookup" -> qBloomLookupRoundTrip)
 
@@ -3205,6 +3403,8 @@ object RoundTrips {
     "q183_streaming_view" -> qStreamingViewRoundTripSql,
     "q184_agg_view" -> qAggViewRoundTripSql,
     "q185_nested_ddl" -> qNestedDdlRoundTripSql,
+    "q186_minmax_agg_view" -> qMinMaxAggViewRoundTripSql,
+    "q187_nested_skipping" -> qNestedSkippingRoundTripSql,
     "q138_clustered_compaction" -> qClusteredCompactionRoundTripSql,
     "q141_bloom_lookup" -> qBloomLookupRoundTripSql)
 }

@@ -210,10 +210,10 @@ class CdfSpec extends SparkSpec {
   /** Aggregate-view hardening: MULTI-dimensional group keys including
     * NULL dims (a NULL group key is a group like any other — the fold
     * joins null-safely, where a usingColumns join would strand the
-    * current row and duplicate the group), and the documented SUM null
+    * current row and duplicate the group), and SUM's SQL NULL
     * contract (NULL values contribute nothing; an all-NULL group
-    * renders 0, not SQL's NULL — the retractable fold cannot
-    * distinguish "no non-null value yet" from "sum is zero"). */
+    * renders SQL NULL — the hidden `__graft_nn_*` non-null count
+    * distinguishes "no non-null value yet" from "sum is zero"). */
   test("aggregate view: multi-dim keys with NULL dims fold null-safely; SUM's null contract holds") {
     val src = tmp("amv2_src"); val view = tmp("amv2_view")
     // 60 rows over (source, grp) where grp is NULL for a third of rows
@@ -253,8 +253,7 @@ class CdfSpec extends SparkSpec {
       val got = ManifestLake.read(spark, view)
         .select($"source", $"grp", $"n_rows", $"sum_chars")
       val want = ManifestLake.read(spark, src).groupBy($"source", $"grp")
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("sum_chars"))
         .select($"source", $"grp", $"n_rows", $"sum_chars")
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"$tag: view must equal the GROUP BY recompute (null dims and " +
@@ -264,11 +263,14 @@ class CdfSpec extends SparkSpec {
     // the NULL-dim groups really exist and really folded
     assert(ManifestLake.read(spark, view).filter($"grp".isNull).count() == 2,
       "one NULL-grp group per source must be in the view")
-    // the all-NULL-sum group renders 0 (the documented contract)
+    // SQL-NULL contract: the grp=g1 values are all NULL except the 999
+    // updates — the group whose surviving values are ALL NULL renders
+    // SQL NULL (not 0), the one holding a live 999 renders 999
     val g1 = ManifestLake.read(spark, view).filter($"grp" === "g1")
-      .select($"sum_chars").collect().map(_.getLong(0))
-    assert(g1.nonEmpty && g1.forall(v => v == 0L || v == 999L * (v / 999L)),
-      s"g1 sums fold only the non-null updates: ${g1.toSeq}")
+      .select($"sum_chars").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(g1.toSet == Set(None, Some(999L)),
+      s"g1 sums: one all-NULL group (NULL) + one updated (999): ${g1.toSeq}")
     // keep mutating THROUGH the null-dim groups, drain, re-converge
     ManifestLake.deleteWhereDv(spark, src, $"grp".isNull &&
       $"doc_id" % 2 === 0)                                           // v5
@@ -971,9 +973,10 @@ class CdfSpec extends SparkSpec {
     def assertConverged(tag: String): Unit = {
       val got = ManifestLake.read(spark, view)
         .select($"source", $"n_docs", $"sum_chars")
+      // SQL-NULL contract: an all-NULL group's SUM renders NULL, so
+      // the recompute needs no COALESCE shim anymore
       val want = ManifestLake.read(spark, src).groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum($"n_chars"), lit(0L)).as("sum_chars"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         s"$tag: view must equal the GROUP BY recompute, row for row")
     }
@@ -1066,5 +1069,148 @@ class CdfSpec extends SparkSpec {
     val state = ManifestLake.read(spark, dir).select($"k", $"v")
     assert(folded.exceptAll(state).isEmpty && state.exceptAll(folded).isEmpty,
       "feed-fold must reproduce the lake state")
+  }
+
+  /** MIN/MAX/AVG aggregate views and the SQL-NULL SUM contract
+    * ([[ManifestLake.AggSpec]]): inserts fold forward
+    * (least/greatest); a retraction that TOUCHES a group's current
+    * extreme triggers a rescan of THAT GROUP ONLY against the source
+    * at the window end; AVG is hidden-sum/non-null-count sugar; and a
+    * group whose live values are ALL NULL renders SQL NULL for
+    * sum/avg/min/max (the hidden `__graft_nn_*` state tells "no
+    * non-null value" apart from "sum is zero"). Convergence is pinned
+    * against the full GROUP BY recompute at every drain — through a
+    * delete OF the max row (the rescan leg), a COW update moving a
+    * minimum (pre-image retraction ties the extreme), an all-NULL
+    * group's birth, partial death and extinction, and a restore. */
+  test("min/max/avg aggregate view: group-scoped rescan on extreme retraction + SQL-NULL rendering") {
+    val src = tmp("amv2_src"); val view = tmp("amv2_view")
+    mkLake(src)                                                      // v1
+    ManifestLake.setProperties(src,
+      Map("enableChangeDataFeed" -> "true"))                         // v2
+    spark.conf.set("spark.sql.catalog.graft_amv2",
+      classOf[GraftCatalog].getName)
+    val aggs = Seq(ManifestLake.AggSpec("n_docs", "count"),
+      ManifestLake.AggSpec("sum_chars", "sum", "n_chars"),
+      ManifestLake.AggSpec("avg_chars", "avg", "n_chars"),
+      ManifestLake.AggSpec("min_chars", "min", "n_chars"),
+      ManifestLake.AggSpec("max_id", "max", "doc_id"))
+    // the view is created with the VISIBLE schema only — the first
+    // drain must evolve the hidden state columns in
+    import org.apache.spark.sql.types._
+    ManifestLake.create(view, StructType(Seq(
+      StructField("source", StringType), StructField("n_docs", LongType),
+      StructField("sum_chars", LongType), StructField("avg_chars", DoubleType),
+      StructField("min_chars", LongType), StructField("max_id", LongType))),
+      "source", statsCols = Seq("source"))
+    val ckpt = Files.createTempDirectory("amv2_ckpt").toString
+    def drain(): Unit = {
+      val q = ManifestLake.maintainAggView(spark, src, view, Seq("source"),
+        aggs, "amv2", ckpt, "source", statsCols = Seq("source"))
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    def assertConverged(tag: String): Unit = {
+      val face = ManifestLake.readAggView(spark, view)
+      assert(!face.columns.exists(_.startsWith("__graft_")),
+        "readAggView must hide the fold state")
+      val got = face.select($"source", $"n_docs", $"sum_chars",
+        $"avg_chars", $"min_chars", $"max_id")
+      val want = ManifestLake.read(spark, src).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          avg($"n_chars".cast("double")).as("avg_chars"),
+          min($"n_chars").as("min_chars"), max($"doc_id").as("max_id"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$tag: view must equal the GROUP BY recompute, row for row — " +
+          s"got=${got.orderBy($"source").collect().take(4).toSeq} " +
+          s"want=${want.orderBy($"source").collect().take(4).toSeq}")
+    }
+    drain(); assertConverged("backfill from empty")
+    // RESCAN leg: delete exactly the row holding each group's current
+    // max_id — a pure fold would keep the dead extreme forever
+    val maxIds = ManifestLake.read(spark, src).groupBy($"source")
+      .agg(max($"doc_id").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    ManifestLake.deleteWhereDv(spark, src,
+      maxIds.map { case (s0, m) => $"source" === s0 && $"doc_id" === m }
+        .reduce(_ || _))                                             // v3
+    drain(); assertConverged("delete of the max row → group rescan")
+    // a COW update that moves each group's MINIMUM up: the pre-image
+    // retraction ties min_chars, rescan again (and sum/avg refold)
+    val minChars = ManifestLake.read(spark, src).groupBy($"source")
+      .agg(min($"n_chars").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.sql(s"UPDATE graft_amv2.`$src` SET n_chars = n_chars + 100000 " +
+      s"WHERE ${minChars.map { case (s0, m) =>
+        s"(source = '$s0' AND n_chars = $m)" }.mkString(" OR ")}")   // v4 (COW)
+    drain(); assertConverged("COW update moving the minimum")
+    // SQL-NULL: a new group whose n_chars are ALL NULL — count is
+    // live, sum/avg/min render NULL; then partial death (no rescan:
+    // null retractions never touch an extreme) and full extinction
+    ManifestLake.append(spark, src, spark.range(9000, 9006)
+      .select($"id".as("doc_id"), lit("sN").as("source"),
+        lit(null).cast("long").as("n_chars")), "source")             // v5
+    drain()
+    assertConverged("all-NULL group birth")
+    val sn = ManifestLake.readAggView(spark, view).filter($"source" === "sN")
+      .select($"n_docs", $"sum_chars", $"avg_chars", $"min_chars", $"max_id")
+      .head()
+    assert(sn.getLong(0) == 6L && sn.isNullAt(1) && sn.isNullAt(2) &&
+      sn.isNullAt(3) && sn.getLong(4) == 9005L,
+      s"all-NULL group must render SQL NULL for sum/avg/min: $sn")
+    ManifestLake.deleteWhereDv(spark, src,
+      $"source" === "sN" && $"doc_id" < 9003)                        // v6
+    drain(); assertConverged("all-NULL group partial death")
+    ManifestLake.deleteWhereDv(spark, src, $"source" === "sN")       // v7
+    drain(); assertConverged("extinction")
+    assert(ManifestLake.readAggView(spark, view)
+      .filter($"source" === "sN").count() == 0,
+      "a group deleted to extinction must leave the view")
+    // ride a restore: revert the extinction, the feed's restore
+    // sidecars re-insert the NULL rows and the fold re-births the group
+    ManifestLake.restore(spark, src, 6L)                             // v8
+    drain(); assertConverged("restore re-birth")
+    // min/max WITHOUT srcDir refuses at the batch face
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.maintainAggViewBatch(spark, view, Seq("source"), aggs,
+        "amv2-nosrc", 999L, ManifestLake.read(spark, src).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(99L)), "source")
+    }
+    assert(e.getMessage.contains("srcDir"), e.getMessage)
+  }
+
+  /** The nullability-understatement corruption, pinned end-to-end: a
+    * lake whose first append carried a NON-NULLABLE column must serve
+    * later NULL values of that column AS NULLS on every face. Before
+    * the evolveSchema relaxation fix, the manifest kept
+    * `nullable=false` forever and the DSv2 readers (plain scan and
+    * change feed alike) bound that flag into codegen — NULL slots came
+    * back as garbage zeros with no error anywhere. */
+  test("a null append RELAXES committed nullability — DSv2 faces serve NULL, never garbage zero") {
+    val dir = tmp("cdf_nullable")
+    // spark.range arithmetic is non-nullable → committed nullable=false
+    ManifestLake.append(spark, dir, spark.range(0, 5)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        ($"id" * 10).as("n_chars")), "source")                       // v1
+    assert(!ManifestLake.latestSnapshot(dir).get.schema.get("n_chars").nullable)
+    ManifestLake.append(spark, dir, spark.range(5, 8)
+      .select($"id".as("doc_id"), lit("s0").as("source"),
+        lit(null).cast("long").as("n_chars")), "source")             // v2
+    assert(ManifestLake.latestSnapshot(dir).get.schema.get("n_chars").nullable,
+      "the nullable append must relax the committed flag")
+    val v = ManifestLake.latestSnapshot(dir).get.version
+    // plain DSv2 scan
+    val scan = spark.read.format("graft").option("path", dir).load()
+    assert(scan.filter($"n_chars".isNull).count() == 3L,
+      "the plain scan must serve the NULLs as NULLs")
+    assert(scan.filter($"n_chars" === 0L).count() == 1L,
+      "…and exactly doc 0 actually holds zero")
+    // DSv2 change feed
+    val feed = spark.read.format("graft").option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", v.toString)
+      .load()
+    assert(feed.filter($"n_chars".isNull).count() == 3L,
+      "the change feed must serve the NULLs as NULLs")
   }
 }

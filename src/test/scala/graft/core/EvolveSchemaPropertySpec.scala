@@ -70,6 +70,41 @@ class EvolveSchemaPropertySpec extends AnyFunSuite {
     }, "preservation+additivity")
   }
 
+  /** Nullability RELAXES and never tightens: the committed flag is
+    * bound into DSv2 codegen (UnsafeProjection skips the null check on
+    * nullable=false), so a manifest that understates nullability after
+    * a nullable append would read NULL slots as garbage zeros —
+    * silently. Pinned: false∨true → true on shared names (deep, incl.
+    * struct leaves), true never reverts to false, and ADDED columns
+    * are nullable by construction (pre-add files null-fill them). */
+  test("nullability relaxes, never tightens; added columns are always nullable") {
+    val cNN = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("x", DoubleType, nullable = false))), nullable = false),
+      StructField("arr", ArrayType(LongType, containsNull = false))))
+    val iN = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("s", StructType(Seq(
+        StructField("x", DoubleType, nullable = true))), nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = true)),
+      StructField("fresh", StringType, nullable = false)))
+    val out = ManifestLake.evolveSchema(Some(cNN), iN)
+    assert(out("a").nullable, "top-level false∨true must relax")
+    assert(out("s").nullable &&
+      out("s").dataType.asInstanceOf[StructType]("x").nullable,
+      "struct shells and leaves must relax")
+    assert(out("arr").dataType.asInstanceOf[ArrayType].containsNull,
+      "array element nullability must relax")
+    assert(out("fresh").nullable,
+      "an added column is nullable by construction — old files null-fill")
+    // the reverse direction: a non-null append NEVER tightens
+    val back = ManifestLake.evolveSchema(Some(out), cNN)
+    assert(back("a").nullable && back("s").nullable &&
+      back("arr").dataType.asInstanceOf[ArrayType].containsNull,
+      "nullability must never tighten back")
+  }
+
   test("rejects exactly the type flips") {
     val flippedPair: Gen[(StructType, StructType)] = for {
       committed <- schemaGen.suchThat(_.fields.nonEmpty)
