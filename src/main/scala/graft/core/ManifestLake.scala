@@ -4435,9 +4435,14 @@ object ManifestLake {
       // last holder of the current one)
       def minCand(out: String) = least(cv(out), dv(s"__graft_ins_$out"))
       def maxCand(out: String) = greatest(cv(out), dv(s"__graft_ins_$out"))
+      // an EXTINCT group (folded count 0 — an extinction wave deleting
+      // every row) never rescans: it is leaving the view regardless,
+      // and the rescan would read the source only to find nothing
+      val foldedAlive = (coalesce(cv(liveness), lit(0L)) +
+        coalesce(dv(liveness), lit(0L))) > 0
       val rescanFlag: org.apache.spark.sql.Column =
         if (extremes.isEmpty) lit(false)
-        else extremes.map { a =>
+        else foldedAlive && extremes.map { a =>
           val ret = dv(s"__graft_ret_${a.out}")
           val cand = if (a.func == "min") minCand(a.out) else maxCand(a.out)
           ret.isNotNull && (cand.isNull ||
@@ -4503,7 +4508,7 @@ object ManifestLake {
       val rescanRows: Option[DataFrame] =
         if (extremes.isEmpty) None
         else {
-          val MaxPushKeys = 1000
+          val MaxPushKeys = 10000
           val krows = folded.filter(col("__graft_rescan"))
             .select(dims.map(col): _*).limit(MaxPushKeys + 1).collect()
           if (krows.isEmpty) None
@@ -4515,18 +4520,31 @@ object ManifestLake {
                 s"min/max rescan needs $srcD@v$endV, which was retired " +
                   "by vacuum — retention must cover the maintenance lag"))
             val srcAll = read(s, srcD, Some(srcSnap))
-            val scoped =
-              if (krows.length <= MaxPushKeys)
+            // group-scoped source read, best pushdown shape first: a
+            // single non-null dim pushes ONE In filter (stats/bloom/
+            // partition pruning all fire); multi-dim or NULL-bearing
+            // key sets push an EqualNullSafe disjunction while small;
+            // past the caps, a null-safe semi-join (full scan, still
+            // one pass — the extinction-wave worst case)
+            val singleDimVals: Option[IndexedSeq[Any]] =
+              if (dims.length == 1 && krows.length <= MaxPushKeys &&
+                  !krows.exists(_.isNullAt(0)))
+                Some(krows.toIndexedSeq.map(_.get(0)))
+              else None
+            val scoped = singleDimVals match {
+              case Some(vals) =>
+                srcAll.filter(col(dims.head).isin(vals: _*))
+              case None if krows.length <= 200 =>
                 srcAll.filter(krows.toIndexedSeq.map(r =>
                   dims.zipWithIndex.map { case (d, i) =>
                     col(d) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _))
-              else {
+              case None =>
                 val kf = folded.filter(col("__graft_rescan")).select(
                   dims.map(d => col(d).as(s"__graft_rk_$d")): _*)
                 val c2 = dims.map(d => srcAll(d) <=> col(s"__graft_rk_$d"))
                   .reduce(_ && _)
                 srcAll.join(kf, c2, "left_semi")
-              }
+            }
             val exact: Seq[org.apache.spark.sql.Column] = aggs.flatMap {
               case AggSpec(out, "count", _) => Seq(count(lit(1)).as(out))
               case a @ AggSpec(out, "sum", c) => Seq(sum(col(c)).as(out),
