@@ -148,18 +148,37 @@ object Bench {
     val failedJson = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Durable per-query artifact: {med, min, first, gc_ms} for every
+    // query — the shape a round-over-round verdict needs (one hot pass
+    // can't dominate when med AND min are both recorded). The stdout
+    // tail window (~2000 chars, below) can't fit this, so it lives as
+    // a file next to the run; commit it as BENCH_r{N}_local.json.
+    val detailFile = "BENCH_DETAIL_LAST.json"
+    val detailJson = results.map { case (k, med, mn, first, g) =>
+      s"""  "$k":{"med":$med,"min":$mn,"first":$first,"gc_ms":$g}"""
+    }.mkString(
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"cpus":"$cpus","sf":"$sfDir","failed":$failedJson,"queries":{\n""",
+      ",\n", "\n}}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
+      detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $detailFile: $e") }
     // The harness that records this run keeps only the LAST ~2000 chars
     // of output; with 90+ queries the detailed line above no longer fits
-    // (BENCH_r03's per-query seconds were truncated away). Re-print the
-    // same contract-shaped JSON compactly — short `qNN` keys, 2-decimal
-    // seconds, gc as one total — sized to survive the tail window. Both
-    // lines parse under the documented {"metric",...,"queries",...}
-    // contract; this one is last so truncation favors it.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    // compact values are the MEDIANS ({med,min} detail is on the
-    // verbose line above — the compact line must fit the tail window)
+    // (BENCH_r03's per-query seconds were truncated away, and by r14
+    // even the qNN/2-decimal compact form overflowed — the head of the
+    // line was cut and the JSON stopped parsing). Re-print the contract
+    // JSON maximally compact: numeric keys (the qNN prefix's digits),
+    // 1-decimal medians ({med,min,first} precision lives in the detail
+    // file), failures and the detail pointer ahead of the map. Sized:
+    // 187 queries ≈ 1.8 kB — inside the window with headroom.
+    def shortKey(name: String): String =
+      name.takeWhile(_ != '_').dropWhile(!_.isDigit).dropWhile(_ == '0') match {
+        case "" => "0"
+        case s  => s
+      }
     val qsShort = results.map { case (k, med, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + f"$med%.2f"
+      "\"" + shortKey(k) + "\":" + f"$med%.1f"
     }.mkString("{", ",", "}")
     val failedShort = failedSet.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val gcTotal = results.map(_._5).sum
@@ -167,7 +186,7 @@ object Bench {
     // not trail the compact JSON (BENCH_r04 had `parsed: null` because
     // the driver reads the LAST stdout line as the summary).
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"queries":$qsShort,"gc_total_ms":$gcTotal,"failed":$failedShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"gc_total_ms":$gcTotal,"failed":$failedShort,"detail":"$detailFile","queries":$qsShort,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
