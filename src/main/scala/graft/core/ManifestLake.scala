@@ -2936,7 +2936,8 @@ object ManifestLake {
       val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
         case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
-            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) ||
+            partitionColOf(snap).contains(k) =>
           val sample = keys.limit(MaxDriverKeys + 1).collect().map(_.get(0))
           if (sample.isEmpty) Vector.empty
           else if (sample.length <= MaxDriverKeys)
@@ -3604,7 +3605,8 @@ object ManifestLake {
       val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
         case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
-            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) ||
+            partitionColOf(snap).contains(k) =>
           val sample = keyFrame.limit(MaxDriverKeys + 1).collect().map(_.get(0))
           if (sample.isEmpty) Vector.empty
           else if (sample.length <= MaxDriverKeys)
@@ -4176,7 +4178,8 @@ object ManifestLake {
       val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
         case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
-            snap.blooms.valuesIterator.flatten.exists(_.col == k) =>
+            snap.blooms.valuesIterator.flatten.exists(_.col == k) ||
+            partitionColOf(snap).contains(k) =>
           val sample = keyFrame.limit(MaxDriverKeys + 1).collect().map(_.get(0))
           if (sample.isEmpty) Vector.empty
           else if (sample.contains(null)) snap.files
@@ -4392,7 +4395,38 @@ object ManifestLake {
       // would never join — the semi-join would miss it (a later delete
       // folds against nothing and goes negative) and the outer fold
       // would duplicate the group
-      val viewDf = read(s, viewDir)
+      //
+      // the CURRENT-rows fetch is FILE-PRUNED through the manifest on
+      // the leading dim (stats + bloom layers): a fixed 10-group churn
+      // must open ~10 view files, not the whole view — pruning on
+      // dims.head alone is sound for multi-dim views (a file holding
+      // none of the touched leading-dim values can hold no touched
+      // group; NULL keys make pruneFilesForKeys keep everything)
+      val viewDf = latestSnapshot(viewDir) match {
+        case Some(snapV) if snapV.files.nonEmpty =>
+          val physK = physicalColName(snapV, dims.head)
+          val tracked =
+            snapV.stats.valuesIterator.flatten.exists(_.col == physK) ||
+              snapV.blooms.valuesIterator.flatten.exists(_.col == physK) ||
+              partitionColOf(snapV).contains(physK)
+          val MaxDriverKeys = 100000
+          val sample =
+            if (tracked) keys.select(col(dims.head)).distinct()
+              .limit(MaxDriverKeys + 1).collect().map(_.get(0))
+            else Array.empty[Any]
+          if (!tracked || sample.isEmpty || sample.length > MaxDriverKeys)
+            read(s, viewDir, Some(snapV))
+          else {
+            val kept = pruneFilesForKeys(snapV, physK, sample.toIndexedSeq)
+            if (kept.isEmpty) read(s, viewDir, Some(snapV)).filter(lit(false))
+            else {
+              val reader = snapV.schema.foldLeft(
+                s.read.option("basePath", viewDir))(_ schema _)
+              toLogical(snapV, lakeFiles(s, viewDir, snapV, kept, reader))
+            }
+          }
+        case _ => read(s, viewDir)
+      }
       val keysSemi = keys.select(dims.map(d => col(d).as(s"__graft_k_$d")): _*)
       val semiCond = dims.map(d => viewDf(d) <=> col(s"__graft_k_$d"))
         .reduce(_ && _)
@@ -4520,12 +4554,15 @@ object ManifestLake {
                 s"min/max rescan needs $srcD@v$endV, which was retired " +
                   "by vacuum — retention must cover the maintenance lag"))
             val srcAll = read(s, srcD, Some(srcSnap))
-            // group-scoped source read, best pushdown shape first: a
-            // single non-null dim pushes ONE In filter (stats/bloom/
-            // partition pruning all fire); multi-dim or NULL-bearing
-            // key sets push an EqualNullSafe disjunction while small;
-            // past the caps, a null-safe semi-join (full scan, still
-            // one pass — the extinction-wave worst case)
+            // group-scoped source read, best pruning shape first: a
+            // single non-null dim prunes the FILE LIST through the
+            // manifest (stats + bloom layers, [[pruneFilesForKeys]] —
+            // the same index deleteKeysDv probes) and opens only the
+            // survivors with the In filter re-applied for row-group
+            // skipping; multi-dim or NULL-bearing key sets push an
+            // EqualNullSafe disjunction while small; past the caps, a
+            // null-safe semi-join (full scan, still one pass — the
+            // worst case)
             val singleDimVals: Option[IndexedSeq[Any]] =
               if (dims.length == 1 && krows.length <= MaxPushKeys &&
                   !krows.exists(_.isNullAt(0)))
@@ -4533,7 +4570,16 @@ object ManifestLake {
               else None
             val scoped = singleDimVals match {
               case Some(vals) =>
-                srcAll.filter(col(dims.head).isin(vals: _*))
+                val phys = physicalColName(srcSnap, dims.head)
+                val kept = pruneFilesForKeys(srcSnap, phys, vals)
+                if (kept.isEmpty) srcAll.filter(lit(false))
+                else {
+                  val reader = srcSnap.schema.foldLeft(
+                    s.read.option("basePath", srcD))(_ schema _)
+                  toLogical(srcSnap,
+                    lakeFiles(s, srcD, srcSnap, kept, reader))
+                    .filter(col(dims.head).isin(vals: _*))
+                }
               case None if krows.length <= 200 =>
                 srcAll.filter(krows.toIndexedSeq.map(r =>
                   dims.zipWithIndex.map { case (d, i) =>
@@ -4771,6 +4817,14 @@ object ManifestLake {
     * O(|files| · |keys|) worst case with early exit per file — the
     * MERGE detection planner's workhorse, exact for clustered AND
     * scattered deltas alike. */
+  /** The lake's partition column, derived like the DSv2 table does:
+    * the declared property, else the first file path's directory key
+    * when it names a schema column. */
+  private[core] def partitionColOf(snap: Snapshot): Option[String] =
+    snap.declaredPartitionCol.orElse(
+      snap.files.headOption.map(_.takeWhile(_ != '='))
+        .filter(c => snap.schema.exists(_.fieldNames.contains(c))))
+
   private[core] def pruneFilesForKeys(snap: Snapshot, col: String,
                                       keyVals: Seq[Any]): Vector[String] = {
     def toBound(v: Any): Option[Bound] = v match {
@@ -4783,12 +4837,23 @@ object ManifestLake {
     if (bounds.exists(_.isEmpty)) return snap.files
     val bs = bounds.flatten.toIndexedSeq
     val bloomEligible = keyVals.headOption.exists(bloomProbeEligible(snap, col, _))
+    // PARTITION-DIRECTORY layer: a partition column is
+    // directory-encoded, never stored in the file — it has no footer
+    // stats or blooms, so without this layer a partition-keyed probe
+    // degrades to the full file list. Escaped like the writer escapes
+    // (survives()'s rule), exact-match per key.
+    val partDirs: Option[Set[String]] =
+      if (!partitionColOf(snap).contains(col)) None
+      else Some(keyVals.map(v => s"$col=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))).toSet)
     snap.files.filter { f =>
       val rangeOk = snap.stats.getOrElse(f, Vector.empty).find(_.col == col) match {
         case Some(st) => bs.exists(b => st.overlaps(b, b))
         case None     => true
       }
-      rangeOk && (!bloomEligible ||
+      val partOk = partDirs.forall(_.contains(f.takeWhile(_ != '/')))
+      rangeOk && partOk && (!bloomEligible ||
         (snap.blooms.getOrElse(f, Vector.empty).find(_.col == col) match {
           case Some(bf) => keyVals.exists(bf.mightContain)
           case None     => true
