@@ -4916,7 +4916,7 @@ object ManifestLake {
   def readPoint(s: SparkSession, dir: String, col0: String, value: Any): DataFrame = {
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val phys = physicalColName(snap, col0) // stats key on physical names
+    val phys = physicalStatsPath(snap, col0) // stats key on physical names
     val kept = pruneFilesPoint(snap, phys, value)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {
@@ -4954,7 +4954,8 @@ object ManifestLake {
                              hiLit: org.apache.spark.sql.Column): DataFrame = {
     val snap = latestSnapshot(dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest in $dir"))
-    val phys = physicalColName(snap, statsCol) // stats key on physical names
+    val phys = physicalStatsPath(snap, statsCol) // stats key on (possibly
+    // dotted) physical names — nested leaves prune too
     val kept = pruneFilesBound(snap, phys, lo, hi)
     if (kept.isEmpty) read(s, dir, Some(snap)).filter(lit(false))
     else {

@@ -1179,6 +1179,52 @@ class CdfSpec extends SparkSpec {
     assert(e.getMessage.contains("srcDir"), e.getMessage)
   }
 
+  /** STRING min/max: the fold (least/greatest — UTF8 order) and the
+    * rescan (min/max aggregates) agree with the recompute on a string
+    * value column, through a delete OF the current extremes. */
+  test("min/max aggregate view over a STRING column: fold and rescan agree with the recompute") {
+    val src = tmp("amv_str_src"); val view = tmp("amv_str_view")
+    ManifestLake.append(spark, src, spark.range(0, 60).select(
+      $"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+      concat(lit("w"), lpad(($"id" * 37 % 100).cast("string"), 2, "0"))
+        .as("word")), "source", statsCols = Seq("doc_id"))          // v1
+    ManifestLake.setProperties(src, Map("enableChangeDataFeed" -> "true"))
+    import org.apache.spark.sql.types._
+    ManifestLake.create(view, StructType(Seq(
+      StructField("source", StringType), StructField("n", LongType),
+      StructField("wmin", StringType), StructField("wmax", StringType))),
+      "source", statsCols = Seq("source"))
+    val aggs = Seq(ManifestLake.AggSpec("n", "count"),
+      ManifestLake.AggSpec("wmin", "min", "word"),
+      ManifestLake.AggSpec("wmax", "max", "word"))
+    val ckpt = Files.createTempDirectory("amv_str_ckpt").toString
+    def drain(): Unit = {
+      val q = ManifestLake.maintainAggView(spark, src, view, Seq("source"),
+        aggs, "amv-str", ckpt, "source", statsCols = Seq("source"))
+      assert(q.awaitTermination(120000))
+    }
+    def converged(tag: String): Unit = {
+      val got = ManifestLake.readAggView(spark, view)
+        .select($"source", $"n", $"wmin", $"wmax")
+      val want = ManifestLake.read(spark, src).groupBy($"source")
+        .agg(count(lit(1)).as("n"), min($"word").as("wmin"),
+          max($"word").as("wmax"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, tag)
+    }
+    drain(); converged("string backfill")
+    // delete every row holding a group's current min OR max word —
+    // both extremes retract, the rescan finds the next ones
+    val ext = ManifestLake.read(spark, src).groupBy($"source")
+      .agg(min($"word").as("lo"), max($"word").as("hi")).collect()
+      .flatMap(r => Seq((r.getString(0), r.getString(1)),
+        (r.getString(0), r.getString(2))))
+    ManifestLake.deleteWhereDv(spark, src,
+      ext.map { case (s0, w) => $"source" === s0 && $"word" === w }
+        .reduce(_ || _))                                             // v3
+    drain(); converged("string extreme retraction → rescan")
+  }
+
   /** The nullability-understatement corruption, pinned end-to-end: a
     * lake whose first append carried a NON-NULLABLE column must serve
     * later NULL values of that column AS NULLS on every face. Before

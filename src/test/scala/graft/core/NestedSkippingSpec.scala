@@ -134,6 +134,28 @@ class NestedSkippingSpec extends SparkSpec {
     assert(ManifestLake.read(spark, dir).count() == 100L)
   }
 
+  test("readWhere prunes on a nested leaf, through a rename") {
+    val dir = tmp("nested_readwhere")
+    val docs = spark.range(0, 1000).select(
+      $"id".as("doc_id"),
+      struct(($"id" * 10).as("ts")).as("meta"),
+      lit("all").as("source"))
+    ManifestLake.append(spark, dir,
+      docs.repartitionByRange(10, $"meta.ts"), "source",
+      statsCols = Seq("meta.ts"))
+    val got = ManifestLake.readWhere(spark, dir, "meta.ts",
+      BigDecimal(2500), BigDecimal(2600))
+    assert(got.count() == 11 &&
+      got.select(sum($"meta.ts")).head().getLong(0) == (2500L to 2600L by 10).sum)
+    // after a rename, the LOGICAL path prunes to the same answer
+    ManifestLake.alterSchema(dir, Seq(
+      ManifestLake.AlterRenameNested(Seq("meta", "ts"), "when")))
+    val got2 = ManifestLake.readWhere(spark, dir, "meta.when",
+      BigDecimal(2500), BigDecimal(2600))
+    assert(got2.count() == 11 &&
+      got2.select(sum($"meta.when")).head().getLong(0) == (2500L to 2600L by 10).sum)
+  }
+
   test("create() accepts dotted statsCols that resolve to a leaf, refuses the rest") {
     import org.apache.spark.sql.types._
     val ok = tmp("nested_create_ok")
