@@ -2327,8 +2327,13 @@ object ManifestLake {
       val dup = adds.groupBy(_.name).collect { case (n, fs) if fs.length > 1 => n }
       if (dup.nonEmpty) throw new IllegalArgumentException(
         s"duplicate column(s) in ADD: ${dup.mkString(", ")}")
-      latest.copy(schema = Some(
-        org.apache.spark.sql.types.StructType(cur.fields ++ adds)))
+      // added columns are NULLABLE by construction: every file
+      // committed before the add null-fills them on read, and a
+      // committed nullable=false is bound into DSv2 codegen — the
+      // NULL slots would read as garbage zeros (same law as
+      // evolveSchema's)
+      latest.copy(schema = Some(org.apache.spark.sql.types.StructType(
+        cur.fields ++ adds.map(_.copy(nullable = true)))))
 
     case AlterRenameNested(path, to) =>
       require(to.nonEmpty && !to.contains('\n') && !to.contains('\r') &&

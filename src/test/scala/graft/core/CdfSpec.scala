@@ -1258,5 +1258,17 @@ class CdfSpec extends SparkSpec {
       .load()
     assert(feed.filter($"n_chars".isNull).count() == 3L,
       "the change feed must serve the NULLs as NULLs")
+    // the DDL face of the same law: a metadata-only ADD COLUMNS lands
+    // NULLABLE even if declared NOT NULL — every pre-add file
+    // null-fills the new column, and a committed nullable=false would
+    // read those slots as garbage zeros
+    ManifestLake.alterSchema(dir, Seq(ManifestLake.AlterAddColumns(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = false)))))
+    assert(ManifestLake.latestSnapshot(dir).get.schema.get("extra").nullable,
+      "ADD COLUMNS must commit nullable (old files null-fill)")
+    assert(spark.read.format("graft").option("path", dir).load()
+      .filter($"extra".isNull).count() == 8L,
+      "every pre-add row must serve NULL for the added column")
   }
 }
