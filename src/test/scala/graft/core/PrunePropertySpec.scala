@@ -100,4 +100,34 @@ class PrunePropertySpec extends SparkSpec {
     // an untranslatable-only predicate claims nothing rather than lying
     assert(ManifestLake.selfCandidates(spark, snap, $"doc_id" % 17 === 0).isEmpty)
   }
+
+  /** The PARTITION-DIRECTORY layer of [[ManifestLake.pruneFilesForKeys]]
+    * (r15): a partition column is directory-encoded — never stored in
+    * the file, so it can carry no footer stats or blooms — and without
+    * this layer every partition-keyed probe (keyed deletes, the
+    * agg-view current-rows fetch, the min/max rescan) degraded to the
+    * full file list. Pinned: exact per-key escaped-dir match, Hive
+    * escaping parity with the writer, NULL keys and non-partition
+    * columns stay conservative (full list). */
+  test("pruneFilesForKeys: partition-directory layer keeps exactly the touched partitions") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val dirs = Seq("a", "b", "c d", "x:y").map(escapePathName)
+    val files = dirs.toVector.map(d => s"g=$d/f.parquet")
+    val snap = ManifestLake.Snapshot(1L, files,
+      schema = Some(StructType(Seq(
+        StructField("g", StringType), StructField("v", LongType)))),
+      props = Map("partitionCol" -> "g"))
+    assert(ManifestLake.pruneFilesForKeys(snap, "g", Seq("a")) ==
+      files.take(1))
+    // values needing Hive escaping match their escaped directories
+    assert(ManifestLake.pruneFilesForKeys(snap, "g", Seq("c d", "x:y"))
+      .toSet == files.drop(2).toSet)
+    // an unknown key keeps nothing (no directory can hold it)
+    assert(ManifestLake.pruneFilesForKeys(snap, "g", Seq("zz")).isEmpty)
+    // a NULL key bails to the full list (conservative, never wrong)
+    assert(ManifestLake.pruneFilesForKeys(snap, "g", Seq("a", null)) == files)
+    // a NON-partition column without stats stays conservative too
+    assert(ManifestLake.pruneFilesForKeys(snap, "v", Seq(5L)) == files)
+  }
 }
