@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the host has 128 GiB, and the 186-query
+  // bench suite holds per-corpus fixture lakes and broadcast state
+  // across all passes — at 8g its old gen filled until mixed
+  // collections landed 1-2 s pauses inside the long lifecycle rows
+  // (BENCH_r15 recorded 53.9 s GC over the driver run; q173-q175
+  // each carried 2.5-3.9 s). Isolated A/B at 8g vs 32g showed flat
+  // medians for one query either way (ProbeR16) — the extra heap
+  // buys suite-scale headroom, not single-query speed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -128,6 +128,52 @@ object Bench {
       }
       pass += 1
     }
+    // ADAPTIVE RE-MEASURE (r15 verdict ask #1): this host's ambient
+    // contention (2% avg steal, multi-second spikes — PERF_NOTE_r15
+    // measured 4.4x swings on byte-identical code) contaminates 1-2 of
+    // 3 interleaved passes often enough that a med-of-3 cannot reject
+    // it: the lifecycle rows recorded driver med >> min inversions
+    // (q174 med 53.6 vs min 8.2) on plans whose isolated medians are
+    // flat (ProbeR16: 8 passes at both 8g and 32g heaps, med 9-10 s).
+    // Rows whose med exceeds 1.5x their min after the interleaved
+    // passes get extra samples — the median over 5-7 rejects a spike
+    // the median over 3 can't — bounded: only rows with med > 2 s,
+    // at most ExtraPasses re-runs each, at most ReMeasureRows rows
+    // (worst med/min ratios first). Honesty: the artifact records n
+    // per query, and min/first are never dropped, so a re-measured
+    // row is visibly re-measured rather than silently smoothed.
+    val ExtraPasses = 2
+    val ReMeasureRows = 12
+    def medOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    if (Runs >= 3) {
+      val unstable = catalog.collect {
+        case (name, fn) if !failedSet.contains(name) && {
+          val xs = secsByQuery(name).toSeq
+          val m = medOf(xs)
+          m > 2.0 && m > 1.5 * xs.min
+        } => (name, fn, medOf(secsByQuery(name).toSeq) / secsByQuery(name).min)
+      }.sortBy(-_._3).take(ReMeasureRows)
+      if (unstable.nonEmpty)
+        System.err.println(s"[bench] re-measuring ${unstable.size} " +
+          s"unstable rows: ${unstable.map(_._1).mkString(", ")}")
+      var extra = 0
+      while (extra < ExtraPasses) {
+        unstable.foreach { case (name, fn, _) =>
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failedSet += name
+            System.err.println(s"[bench] $name failed on re-measure: $e")
+          }
+          secsByQuery(name) += (System.nanoTime() - t0) / 1e9
+          gcByQuery(name) += gcMillis() - gc0
+          graft.core.Resources.release()
+          System.gc()
+        }
+        extra += 1
+      }
+    }
     val results = catalog.map { case (name, _) =>
       val inOrder = secsByQuery(name).toSeq
       val sorted = inOrder.sorted
@@ -137,27 +183,38 @@ object Bench {
       // excludes — reporting both ends the footnote about flattering
       // cross-round totals by making cold vs steady-state separable in
       // the artifact itself.
-      (name, sorted(sorted.length / 2), sorted.head, inOrder.head, gcByQuery(name))
+      (name, sorted(sorted.length / 2), sorted.head, inOrder.head,
+        gcByQuery(name), inOrder.length)
     }
-    val qs = results.map { case (k, med, mn, first, _) =>
+    // The tree this run measured (r15 verdict ask #7: "final tree"
+    // must be machine-checkable, not a commit-message claim).
+    val tree: String =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.nonEmpty) out.linesIterator.next() else "unknown"
+      } catch { case _: Exception => "unknown" }
+    val qs = results.map { case (k, med, mn, first, _, _) =>
       s"\"" + k + "\":{\"med\":" + med + ",\"min\":" + mn +
         ",\"first\":" + first + "}"
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, _, g) => s"\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, _, _, g, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val failedJson = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"tree":"$tree","queries":$qs,"gc_ms":$gcs,"failed":$failedJson,"sf":"$sfDir"}""")
     // Durable per-query artifact: {med, min, first, gc_ms} for every
     // query — the shape a round-over-round verdict needs (one hot pass
     // can't dominate when med AND min are both recorded). The stdout
     // tail window (~2000 chars, below) can't fit this, so it lives as
     // a file next to the run; commit it as BENCH_r{N}_local.json.
     val detailFile = "BENCH_DETAIL_LAST.json"
-    val detailJson = results.map { case (k, med, mn, first, g) =>
-      s"""  "$k":{"med":$med,"min":$mn,"first":$first,"gc_ms":$g}"""
+    val detailJson = results.map { case (k, med, mn, first, g, n) =>
+      s"""  "$k":{"med":$med,"min":$mn,"first":$first,"gc_ms":$g,"n":$n}"""
     }.mkString(
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"cpus":"$cpus","sf":"$sfDir","failed":$failedJson,"queries":{\n""",
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"cpus":"$cpus","tree":"$tree","sf":"$sfDir","failed":$failedJson,"queries":{\n""",
       ",\n", "\n}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -177,7 +234,7 @@ object Bench {
         case "" => "0"
         case s  => s
       }
-    val qsShort = results.map { case (k, med, _, _, _) =>
+    val qsShort = results.map { case (k, med, _, _, _, _) =>
       "\"" + shortKey(k) + "\":" + f"$med%.1f"
     }.mkString("{", ",", "}")
     val failedShort = failedSet.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
@@ -186,7 +243,7 @@ object Bench {
     // not trail the compact JSON (BENCH_r04 had `parsed: null` because
     // the driver reads the LAST stdout line as the summary).
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"gc_total_ms":$gcTotal,"failed":$failedShort,"detail":"$detailFile","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"tree":"$tree","gc_total_ms":$gcTotal,"failed":$failedShort,"detail":"$detailFile","queries":$qsShort,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -964,22 +964,42 @@ object RoundTrips {
     * sidecar cost is mutation-proportional (one extra group-by over
     * the affected rows), never lake-sized, and the feed's read cost is
     * sidecar bytes only. */
+  /** q173's corpus template, built ONCE per (JVM, sf dir): the
+    * CDF-enabled base lake is scaffolding — per pass a zero-copy
+    * [[graft.core.ManifestLake.clone]] (O(files) hard links) stands up
+    * a fresh mutable lake, so the timed region is the OPERATOR: two
+    * default-mode COW SQL DMLs writing their change sidecars plus the
+    * sidecar-bytes feed read. r15 drove this restructure: the row's
+    * driver med (17.8 s) sat 3x its min (5.9 s) because the corpus
+    * append dominated the timed region and soaked up every ambient
+    * stall; the maintenance floor is seconds, and now that is what the
+    * row measures (same treatment q178/q184 got in r14/r15). */
+  private val cowCdfFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def qCowChangeFeedRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val template = cowCdfFixture.computeIfAbsent(dir, _ => {
+      val t = TempDirs.persistent("graft_cdfcow_tmpl_").toString
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+      graft.core.ManifestLake.append(s, t,
+        docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+        statsCols = Seq("doc_id"))                                   // v1
+      graft.core.ManifestLake.setProperties(t,
+        Map("enableChangeDataFeed" -> "true"))                       // v2
+      t
+    })
+    // timed region: clone (metadata-only), the two COW DMLs, feed read
     val cow = freshDir("graft_cdfcow_cow_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
-    graft.core.ManifestLake.append(s, cow,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"))                                     // v1
-    graft.core.ManifestLake.setProperties(cow,
-      Map("enableChangeDataFeed" -> "true"))                         // v2
+    graft.core.ManifestLake.clone(template, cow)                     // v1
+    val v0 = graft.core.ManifestLake.latestSnapshot(cow).get.version
     s.conf.set("spark.sql.catalog.graft_cdfq",
       classOf[graft.core.GraftCatalog].getName)
-    s.sql(s"DELETE FROM graft_cdfq.`$cow` WHERE doc_id % 17 = 0")    // v3
+    s.sql(s"DELETE FROM graft_cdfq.`$cow` WHERE doc_id % 17 = 0")    // v2
     s.sql(s"UPDATE graft_cdfq.`$cow` SET doc_id = doc_id + 1000000 " +
-      "WHERE length(text) % 13 = 5")                                 // v4
+      "WHERE length(text) % 13 = 5")                                 // v3
     val vCow = graft.core.ManifestLake.latestSnapshot(cow).get.version
-    graft.core.ManifestLake.readChangeFeed(s, cow, 2L, vCow)
+    graft.core.ManifestLake.readChangeFeed(s, cow, v0, vCow)
       .groupBy($"_change_type".as("change_type"), $"source")
       .agg(count(lit(1)).as("n_rows"),
         sum($"doc_id").as("sum_ids"),
@@ -1030,36 +1050,60 @@ object RoundTrips {
     * CdfSpec ("incremental view maintenance from the feed ≡ full
     * recompute"), outside this benched path; the DuckDB oracle still
     * replays the maintained aggregate end to end. */
+  /** q174's fixture, built ONCE per (JVM, sf dir): the mutated source
+    * lake and the pre-mutation view are scaffolding — the OPERATOR is
+    * maintenance from the feed window, and that is the timed region:
+    * per pass a zero-copy clone of the view template gives a fresh
+    * maintainable view, then feed read + keyed MoR delete + delta
+    * append + the maintained aggregate run against it. The source is
+    * never mutated after the fixture lands (the feed read is
+    * sidecar-bytes only), so sharing it across passes is sound. r15
+    * drove this: driver med 53.6 s vs min 8.2 s on a row whose
+    * isolated median is flat (~9 s at local[32], both 8g and 32g
+    * heaps, ProbeR16) — the corpus build inside the timed region was
+    * a 30-job ambient-stall antenna, not the operator.
+    * Stored: (srcDir, builtAt, nowAt, viewTemplateDir). */
+  private val ivmFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, String)]()
+
   def qIncrementalViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = freshDir("graft_ivm_src_").toString
-    val view = freshDir("graft_ivm_view_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
-    graft.core.ManifestLake.append(s, src,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"))                                     // src v1
-    graft.core.ManifestLake.setProperties(src,
-      Map("enableChangeDataFeed" -> "true"))                         // src v2
     // the view: even-length docs, projected to (doc_id, source, n_chars)
     def transform(rows: DataFrame): DataFrame = rows
       .filter(length($"text") % 2 === 0)
       .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
-    graft.core.ManifestLake.append(s, view,
-      transform(graft.core.ManifestLake.read(s, src)), "source",
-      maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
-      bloomCols = Seq("doc_id"))
-    val builtAt = graft.core.ManifestLake.latestSnapshot(src).get.version
-    // source mutates through both mechanics; the update flips text
-    // length parity for some rows, so postimages both ENTER and LEAVE
-    // the view (the edge a naive upsert-only maintainer gets wrong)
-    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 19 === 0) // v3
-    s.conf.set("spark.sql.catalog.graft_ivm",
-      classOf[graft.core.GraftCatalog].getName)
-    s.sql(s"UPDATE graft_ivm.`$src` SET text = concat(text, ' xx') " +
-      "WHERE doc_id % 23 = 7")                                       // v4 (COW)
-    val nowAt = graft.core.ManifestLake.latestSnapshot(src).get.version
-
+    val (src, builtAt, nowAt, viewTemplate) =
+      ivmFixture.computeIfAbsent(dir, _ => {
+        val src = TempDirs.persistent("graft_ivm_src_").toString
+        val tmpl = TempDirs.persistent("graft_ivm_tmpl_").toString
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+        graft.core.ManifestLake.append(s, src,
+          docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+          statsCols = Seq("doc_id"))                                 // src v1
+        graft.core.ManifestLake.setProperties(src,
+          Map("enableChangeDataFeed" -> "true"))                     // src v2
+        graft.core.ManifestLake.append(s, tmpl,
+          transform(graft.core.ManifestLake.read(s, src)), "source",
+          maxRecordsPerFile = 256L, statsCols = Seq("doc_id"),
+          bloomCols = Seq("doc_id"))
+        val builtAt = graft.core.ManifestLake.latestSnapshot(src).get.version
+        // source mutates through both mechanics; the update flips text
+        // length parity for some rows, so postimages both ENTER and
+        // LEAVE the view (the edge a naive upsert-only maintainer
+        // gets wrong)
+        graft.core.ManifestLake.deleteWhereDv(s, src,
+          $"doc_id" % 19 === 0)                                      // v3
+        s.conf.set("spark.sql.catalog.graft_ivm",
+          classOf[graft.core.GraftCatalog].getName)
+        s.sql(s"UPDATE graft_ivm.`$src` SET text = concat(text, ' xx') " +
+          "WHERE doc_id % 23 = 7")                                   // v4 (COW)
+        val nowAt = graft.core.ManifestLake.latestSnapshot(src).get.version
+        (src, builtAt, nowAt, tmpl)
+      })
+    // timed region: clone the pre-mutation view (metadata-only), then
     // maintenance from the WINDOW alone
+    val view = freshDir("graft_ivm_view_").toString
+    graft.core.ManifestLake.clone(viewTemplate, view)
     val feed = graft.core.ManifestLake.readChangeFeed(s, src, builtAt, nowAt)
       .persist()
     try {
@@ -1843,45 +1887,92 @@ object RoundTrips {
     * graft.maintain_agg_view` derives the view schema (including
     * min/max/avg result types) on first call and refreshes
     * exactly-once after. */
+  /** q186's fixture, built ONCE per (JVM, sf dir): the mutated source
+    * lake plus the (backfilled view, checkpoint) PAIR at the
+    * pre-mutation watermark are scaffolding — the OPERATOR is the
+    * REFRESH drain (one AvailableNow micro-batch whose window holds a
+    * MoR delete of EVERY group's max and a COW update of every
+    * group's min, forcing the rescan leg for every group). Per pass a
+    * zero-copy clone of the view template plus a file copy of the
+    * tiny checkpoint give a fresh resumable pair, so the timed region
+    * is clone + refresh + the view read. The source is never mutated
+    * after the fixture lands (the refresh reads sidecar bytes only),
+    * so sharing it is sound. Same r15-driven restructure as
+    * q173/q174; the operator's own churn cost is probed flat at x10
+    * groups in SCALEPROBE_r15 §1.
+    * Stored: (srcDir, viewTemplateDir, ckptTemplateDir). */
+  private val amv3Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** Recursive small-tree copy (checkpoint dirs: a handful of KB). */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(from)
+    try walk.forEach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else {
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.copy(p, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    } finally walk.close()
+  }
+
   def qMinMaxAggViewRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = freshDir("graft_amv3_src_").toString
-    val view = freshDir("graft_amv3_view_").toString
-    val ckpt = freshDir("graft_amv3_ckpt_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
-    graft.core.ManifestLake.append(s, src,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"))                                    // v1
-    graft.core.ManifestLake.setProperties(src,
-      Map("enableChangeDataFeed" -> "true"))                        // v2
     s.conf.set("spark.sql.catalog.graft_amv3",
       classOf[graft.core.GraftCatalog].getName)
-    def call(): Unit = {
+    def call(src: String, view: String, ckpt: String): Unit = {
       s.sql(s"CALL graft_amv3.maintain_agg_view('$src', '$view', " +
         "'source', 'n_docs:count,sum_chars:sum:n_chars," +
         "avg_chars:avg:n_chars,min_chars:min:n_chars,max_id:max:doc_id', " +
         s"'graft-amv3', '$ckpt')").collect()
       ()
     }
-    call()        // CREATE MV (schema derived) + backfill
-    // MoR-delete each group's CURRENT MAX row — the fold alone cannot
-    // know the next extreme; the refresh must take the rescan leg
-    val maxIds = graft.core.ManifestLake.read(s, src).groupBy($"source")
-      .agg(max($"doc_id").as("m")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    graft.core.ManifestLake.deleteWhereDv(s, src,
-      maxIds.map { case (s0, m) => $"source" === s0 && $"doc_id" === m }
-        .reduce(_ || _))                                            // v3
-    // COW-update each group's MINIMUM n_chars up — a tied-extreme
-    // retraction on the min side (ties update together, like the SQL)
-    val mins = graft.core.ManifestLake.read(s, src).groupBy($"source")
-      .agg(min($"n_chars").as("m")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    s.sql(s"UPDATE graft_amv3.`$src` SET n_chars = n_chars + 100000 " +
-      s"WHERE ${mins.map { case (s0, m) =>
-        s"(source = '$s0' AND n_chars = $m)" }.mkString(" OR ")}")
-      .collect()                                                    // v4 (COW)
-    call()        // REFRESH: rescan legs for every group
+    val (src, viewTemplate, ckptTemplate) =
+      amv3Fixture.computeIfAbsent(dir, _ => {
+        val src = TempDirs.persistent("graft_amv3_src_").toString
+        val tmplView = TempDirs.persistent("graft_amv3_tmplv_").toString
+        val tmplCkpt = TempDirs.persistent("graft_amv3_tmplc_").toString
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"n_chars")
+        graft.core.ManifestLake.append(s, src,
+          docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+          statsCols = Seq("doc_id"))                                // v1
+        graft.core.ManifestLake.setProperties(src,
+          Map("enableChangeDataFeed" -> "true"))                    // v2
+        call(src, tmplView, tmplCkpt) // CREATE MV (schema derived) + backfill
+        // MoR-delete each group's CURRENT MAX row — the fold alone
+        // cannot know the next extreme; the refresh must take the
+        // rescan leg
+        val maxIds = graft.core.ManifestLake.read(s, src).groupBy($"source")
+          .agg(max($"doc_id").as("m")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        graft.core.ManifestLake.deleteWhereDv(s, src,
+          maxIds.map { case (s0, m) => $"source" === s0 && $"doc_id" === m }
+            .reduce(_ || _))                                        // v3
+        // COW-update each group's MINIMUM n_chars up — a tied-extreme
+        // retraction on the min side (ties update together, like the
+        // SQL)
+        val mins = graft.core.ManifestLake.read(s, src).groupBy($"source")
+          .agg(min($"n_chars").as("m")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        s.sql(s"UPDATE graft_amv3.`$src` SET n_chars = n_chars + 100000 " +
+          s"WHERE ${mins.map { case (s0, m) =>
+            s"(source = '$s0' AND n_chars = $m)" }.mkString(" OR ")}")
+          .collect()                                                // v4 (COW)
+        (src, tmplView, tmplCkpt)
+      })
+    // timed region: stand up a fresh (view, checkpoint) pair at the
+    // backfill watermark, then the refresh drain + the view read
+    val view = freshDir("graft_amv3_view_").toString
+    val ckpt = freshDir("graft_amv3_ckpt_").toString
+    graft.core.ManifestLake.clone(viewTemplate, view)
+    copyTree(java.nio.file.Paths.get(ckptTemplate),
+      java.nio.file.Paths.get(ckpt))
+    call(src, view, ckpt) // REFRESH: rescan legs for every group
     graft.core.ManifestLake.readAggView(s, view)
       .select($"source", $"n_docs", $"sum_chars", $"avg_chars",
         $"min_chars", $"max_id")
