@@ -459,9 +459,24 @@ private[core] object GraftProcedures {
       val deleted = ManifestLake.vacuum(dir,
         keepVersions = input.getInt(1), graceMillis = input.getLong(2),
         retainMillis = input.getLong(3), dryRun = input.getBoolean(4))
+      // surface WHY retention was limited (r15 verdict ask #8): the
+      // registered-maintainer floor and who holds it, so an operator
+      // seeing less reclaimed than expected can act (wait for the view
+      // to drain, or deregister a decommissioned maintainer) instead
+      // of guessing. NULLs when no maintainer is registered.
+      val regs = ManifestLake.maintainers(dir)
+      val floor = regs.map(_.highWater).minOption
+      val who =
+        if (regs.isEmpty) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(
+          regs.map(m => s"${m.appId}@${m.viewDir}:hw=${m.highWater}")
+            .mkString("; "))
       one(Result(
-        StructType(Seq(StructField("files_deleted", LongType, nullable = false))),
-        InternalRow(deleted)))
+        StructType(Seq(
+          StructField("files_deleted", LongType, nullable = false),
+          StructField("maintainer_pin_floor", LongType, nullable = true),
+          StructField("maintainers", StringType, nullable = true))),
+        InternalRow(deleted, floor.map(Long.box).orNull, who)))
     }
   }
 

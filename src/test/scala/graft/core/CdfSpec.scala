@@ -858,6 +858,129 @@ class CdfSpec extends SparkSpec {
     assertConverged("stale replay gated by the high-water")
   }
 
+  /** The vacuum/maintenance coupling (r16): a registered maintainer's
+    * high-water pins every LATER source version — manifests, data
+    * files, DVs and change sidecars — so aggressive retention can
+    * never strand a lagging view's next feed window or its min/max
+    * rescan; once the view drains, the pin advances and retention
+    * proceeds. The SQL face surfaces who pinned what. */
+  test("maintainer registry: vacuum keeps a lagging view's window; retire proceeds after the drain") {
+    val src = tmp("maint_src"); val view = tmp("maint_view")
+    mkLake(src)                                                    // v1
+    ManifestLake.setProperties(src, Map("enableChangeDataFeed" -> "true")) // v2
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType))), "source")
+    val ckpt = Files.createTempDirectory("maint_ckpt").toString
+    def transform(rows: org.apache.spark.sql.DataFrame) =
+      rows.select($"doc_id", $"source", $"n_chars")
+    def drain(): Unit = {
+      val q = ManifestLake.maintainView(spark, src, view, Seq("doc_id"),
+        transform, "maint-app", ckpt, "source")
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    drain() // backfill: registry lands with the window's max version
+    val reg0 = ManifestLake.maintainers(src)
+    assert(reg0.map(m => (m.appId, m.viewDir)) ==
+      Vector(("maint-app", view)), s"got $reg0")
+    val hw0 = reg0.head.highWater
+    assert(hw0 >= 1L, "backfill must record the drained window's end")
+    // source moves on while the view LAGS: MoR delete + COW update
+    ManifestLake.deleteWhereDv(spark, src, $"doc_id" % 10 === 3)   // v3
+    spark.conf.set("spark.sql.catalog.graft_maint",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"UPDATE graft_maint.`$src` SET n_chars = n_chars + 5 " +
+      "WHERE doc_id % 20 = 6")                                     // v4 (COW)
+    val vNow = ManifestLake.latestSnapshot(src).get.version
+    // aggressive retention against the lagging view: every version
+    // above hw0 is pinned — nothing the lagging window needs goes
+    val reclaimedLagging = ManifestLake.vacuum(src, keepVersions = 1,
+      graceMillis = 0L)
+    assert(reclaimedLagging == 0L,
+      s"a lagging maintainer must pin the whole window (reclaimed " +
+        s"$reclaimedLagging)")
+    // the lagging window is still fully consumable (sidecars + DV
+    // diffs + the COW originals all survived the sweep)
+    val lagWindow = ManifestLake.readChangeFeed(spark, src, hw0, vNow)
+    assert(lagWindow.count() > 0, "the lagging feed window must read")
+    // the SQL face names the pin: floor + who holds it
+    val row = spark.sql(s"CALL graft_maint.vacuum(path => '$src', " +
+      "keep_versions => 1, grace_millis => 0)").collect().head
+    assert(row.getLong(row.fieldIndex("maintainer_pin_floor")) == hw0)
+    assert(row.getString(row.fieldIndex("maintainers"))
+      .contains("maint-app"), s"got $row")
+    // the view drains: the pin advances to the new high-water
+    drain()
+    assert(ManifestLake.maintainers(src).head.highWater == vNow)
+    // exceptAll is POSITIONAL — read the view under the transform's
+    // column order (the lake commits its partition column last)
+    assert(transform(ManifestLake.read(spark, view)).exceptAll(
+      transform(ManifestLake.read(spark, src))).isEmpty, "view converged")
+    // retire now proceeds: the COW-superseded originals fall out
+    val reclaimedDrained = ManifestLake.vacuum(src, keepVersions = 1,
+      graceMillis = 0L)
+    assert(reclaimedDrained > 0L,
+      "after the drain, retention must actually retire the history")
+    // a malformed registry record fails the vacuum LOUDLY — never
+    // silently unprotects
+    val bad = java.nio.file.Paths.get(src).resolve("_maintainers")
+      .resolve("broken")
+    Files.write(bad, "not-a-record\n".getBytes)
+    val e = intercept[IllegalStateException] {
+      ManifestLake.vacuum(src, keepVersions = 1, graceMillis = 0L)
+    }
+    assert(e.getMessage.contains("malformed maintainer"))
+    Files.delete(bad)
+    // decommission: deregister releases the pin
+    ManifestLake.deregisterMaintainer(src, "maint-app")
+    assert(ManifestLake.maintainers(src).isEmpty)
+  }
+
+  /** Decimal AVG/SUM state honesty (r16): the fold refuses DECIMAL
+    * input columns loudly at construction — its double (avg) /
+    * fixed-precision re-add (sum) state would silently diverge from
+    * SQL decimal semantics over long histories. */
+  test("aggregate view: DECIMAL sum/avg inputs refuse loudly at construction") {
+    val src = tmp("dec_src"); val view = tmp("dec_view")
+    val df = spark.range(0, 50)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), ($"id" % 2).cast("string")).as("source"),
+        ($"id" * 10).cast("decimal(20,2)").as("amount"))
+    ManifestLake.append(spark, src, df, "source")                  // v1
+    ManifestLake.setProperties(src, Map("enableChangeDataFeed" -> "true")) // v2
+    val v = ManifestLake.latestSnapshot(src).get.version
+    val window = ManifestLake.readChangeFeed(spark, src, 0L, v)
+    Seq("sum", "avg").foreach { f =>
+      val e = intercept[IllegalArgumentException] {
+        ManifestLake.maintainAggViewBatch(spark, view, Seq("source"),
+          Seq(ManifestLake.AggSpec("n", "count"),
+            ManifestLake.AggSpec("agg_amount", f, "amount")),
+          "dec-app", 0L, window, "source")
+      }
+      assert(e.getMessage.contains("DECIMAL"), s"$f: ${e.getMessage}")
+    }
+    // the documented escape hatch folds fine: cast to double upstream
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_amount",
+        org.apache.spark.sql.types.DoubleType))), "source")
+    assert(ManifestLake.maintainAggViewBatch(spark, view, Seq("source"),
+      Seq(ManifestLake.AggSpec("n", "count"),
+        ManifestLake.AggSpec("sum_amount", "sum", "amount_d")),
+      "dec-app", 0L,
+      window.withColumn("amount_d", $"amount".cast("double")), "source"))
+    val got = ManifestLake.readAggView(spark, view)
+      .orderBy($"source").collect()
+    assert(got.map(_.getLong(got.head.fieldIndex("n"))).sum == 50L)
+  }
+
   /** Carries q174's law outside its benched path: a keyed σπ view
     * maintained from ONE feed window (deleteKeysDv affected keys, then
     * append the passing postimages/inserts) must equal the transform
