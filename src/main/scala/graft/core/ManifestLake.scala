@@ -1396,8 +1396,13 @@ object ManifestLake {
     }
     val colsV = cols.toVector
     val k = BloomK
-    val df = s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
-      .select(input_file_name().as("_bloom_file") +: colsV.map(col): _*)
+    val raw = s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
+    // a dotted name is a struct-leaf path UNLESS a top-level field
+    // carries that exact name — same precedence as the stats keying
+    def leafCol(name: String): org.apache.spark.sql.Column =
+      if (raw.schema.fieldNames.contains(name)) col(s"`$name`") else col(name)
+    val df = raw
+      .select(input_file_name().as("_bloom_file") +: colsV.map(leafCol): _*)
     val bWords = s.sparkContext.broadcast(words)
     import s.implicits._
     // j == -1 rows carry the per-file ROW COUNT the scan actually saw —
@@ -1548,10 +1553,11 @@ object ManifestLake {
         s"bucket column '$c' is not a column of the declared schema")
       require(n > 0, s"bucketN must be positive, got $n")
     }
-    // statsCols may be DOTTED paths through struct columns (nested-leaf
-    // data skipping: parquet footers key per-leaf stats by exactly that
-    // path); blooms stay top-level (built from a column scan, and
-    // equality probes on struct leaves are not a skipping target)
+    // statsCols AND bloomCols may be DOTTED paths through struct
+    // columns (nested-leaf data skipping + point lookup: parquet
+    // footers key per-leaf stats by exactly that path, and the bloom
+    // build scans the leaf column directly — the shape every
+    // from_json corpus needs for `meta.request_id = 'x'` probes)
     def resolvesToLeaf(name: String): Boolean = {
       def walk(dt: org.apache.spark.sql.types.DataType,
                segs: List[String]): Boolean = (dt, segs) match {
@@ -1563,8 +1569,7 @@ object ManifestLake {
       schema.fieldNames.contains(name) ||
         (name.contains('.') && walk(schema, name.split('.').toList))
     }
-    val unknown = statsCols.filterNot(resolvesToLeaf) ++
-      bloomCols.filterNot(schema.fieldNames.contains)
+    val unknown = (statsCols ++ bloomCols).filterNot(resolvesToLeaf)
     require(unknown.isEmpty,
       s"declared stats/bloom columns not in the schema: ${unknown.mkString(", ")}")
     val root = Paths.get(dir)
@@ -2450,10 +2455,10 @@ object ManifestLake {
             "same-scale decimal precision growth) are metadata-only — " +
             "anything else would reinterpret or round committed bytes")
         // nested leaves are never partition/bucket columns, but they
-        // CAN carry declared skipping stats (dotted statsCols) — strip
-        // them exactly where the widening changes the parquet
-        // encoding, the same rule as the top-level widen; blooms stay
-        // top-level, nothing to strip there
+        // CAN carry declared skipping stats (dotted statsCols) AND
+        // point-lookup blooms (dotted bloomCols, r16) — strip both
+        // exactly where the widening changes the parquet encoding,
+        // the same rule as the top-level widen
         def widen(dt: org.apache.spark.sql.types.DataType,
                   prefix: Seq[String]): org.apache.spark.sql.types.DataType =
           dt match {
@@ -2471,11 +2476,15 @@ object ManifestLake {
           if (statsSurvive(from, to)) latest.stats
           else latest.stats.view.mapValues(_.filterNot(_.col == dotted))
             .filter(_._2.nonEmpty).toMap
+        val blooms2 =
+          if (bloomsSurvive(from, to)) latest.blooms
+          else latest.blooms.view.mapValues(_.filterNot(_.col == dotted))
+            .filter(_._2.nonEmpty).toMap
         latest.copy(schema = Some(StructType(sc.fields.map { f =>
           if (f.name == physPath.head)
             f.copy(dataType = widen(f.dataType, Seq(f.name)))
           else f
-        })), stats = stats2)
+        })), stats = stats2, blooms = blooms2)
       }
 
     case AlterDropNested(path) =>
@@ -2660,7 +2669,7 @@ object ManifestLake {
         append0(s, dir, toPhysical(sn, df),
           physicalColName(sn, partitionCol), maxRecordsPerFile, writeOptions,
           statsCols.map(physicalStatsPath(sn, _)),
-          bloomCols.map(physicalColName(sn, _)),
+          bloomCols.map(physicalStatsPath(sn, _)),
           bucketBy.map { case (c, n) => (physicalColName(sn, c), n) })
       case None => append0(s, dir, df, partitionCol, maxRecordsPerFile,
         writeOptions, statsCols, bloomCols, bucketBy)
@@ -2770,7 +2779,7 @@ object ManifestLake {
         appendBatch0(s, dir, toPhysical(sn, df),
           physicalColName(sn, partitionCol), appId, batchId, maxRecordsPerFile,
           statsCols.map(physicalStatsPath(sn, _)),
-          bloomCols.map(physicalColName(sn, _)))
+          bloomCols.map(physicalStatsPath(sn, _)))
       case None => appendBatch0(s, dir, df, partitionCol, appId, batchId,
         maxRecordsPerFile, statsCols, bloomCols)
     }
@@ -4160,7 +4169,7 @@ object ManifestLake {
           toPhysical(sn0, rows), keyCols.map(physicalColName(sn0, _)),
           appId, batchId, physicalColName(sn0, partitionCol),
           statsCols.map(physicalStatsPath(sn0, _)),
-          bloomCols.map(physicalColName(sn0, _)))
+          bloomCols.map(physicalStatsPath(sn0, _)))
       case Some(sn0) =>
         replaceKeysBatch0(s, dir, root, sn0, keys, rows, keyCols,
           appId, batchId, partitionCol, statsCols, bloomCols)
@@ -4938,7 +4947,22 @@ object ManifestLake {
     * purely subtractive. Shared by [[pruneFilesPoint]] and the SQL
     * surface's point pruning ([[GraftLake]]). */
   private[core] def bloomProbeEligible(snap: Snapshot, col: String, value: Any): Boolean = {
-    val colType = snap.schema.flatMap(_.fields.find(_.name == col)).map(_.dataType)
+    // dotted = a struct-leaf path (nested blooms, r16), resolved by
+    // walking the committed schema; a top-level field whose NAME
+    // contains a literal dot wins over the walk, matching the stats
+    // keying convention throughout
+    def leafType(sc: org.apache.spark.sql.types.StructType)
+        : Option[org.apache.spark.sql.types.DataType] =
+      sc.fields.find(_.name == col).map(_.dataType).orElse {
+        if (!col.contains('.')) None
+        else col.split('.').toList.foldLeft(
+          Option(sc: org.apache.spark.sql.types.DataType)) {
+          case (Some(st: org.apache.spark.sql.types.StructType), seg) =>
+            st.fields.find(_.name == seg).map(_.dataType)
+          case _ => None
+        }
+      }
+    val colType = snap.schema.flatMap(leafType)
     import org.apache.spark.sql.types._
     (value, colType) match {
       case (_: Long | _: Int | _: Short | _: Byte,

@@ -2075,32 +2075,43 @@ object RoundTrips {
     import s.implicits._
     val lake = freshDir("graft_nskip_lake_").toString
     val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    // a second, HIGH-CARDINALITY string leaf (meta.rid — the
+    // from_json request-id shape) carries a declared nested BLOOM:
+    // range-clustered on meta.nc, the rid values interleave across
+    // files, so only the bloom layer can collapse a point probe
     graft.core.ManifestLake.append(s, lake,
       docs.filter($"doc_id" % 2 === 0)
         .select($"doc_id", $"source",
-          struct($"n_chars".cast("int").as("nc")).as("meta"))
+          struct($"n_chars".cast("int").as("nc"),
+            concat(lit("req-"), $"doc_id").as("rid")).as("meta"))
         .repartitionByRange(8, $"meta.nc"), "source",
-      statsCols = Seq("meta.nc", "doc_id"))                          // v1
+      statsCols = Seq("meta.nc", "doc_id"),
+      bloomCols = Seq("meta.rid"))                                   // v1
     graft.core.ManifestLake.alterSchema(lake, Seq(
       graft.core.ManifestLake.AlterRenameNested(Seq("meta", "nc"), "chars"),
       graft.core.ManifestLake.AlterWidenNested(Seq("meta", "chars"),
-        org.apache.spark.sql.types.LongType)))                      // v2: props only
+        org.apache.spark.sql.types.LongType),
+      graft.core.ManifestLake.AlterRenameNested(Seq("meta", "rid"),
+        "request_id")))                                             // v2: props only
     graft.core.ManifestLake.append(s, lake,
       docs.filter($"doc_id" % 2 === 1)
         .select($"doc_id", $"source",
-          struct(($"n_chars" + 1000000L).as("chars")).as("meta"))
+          struct(($"n_chars" + 1000000L).as("chars"),
+            concat(lit("req-"), $"doc_id").as("request_id")).as("meta"))
         .repartitionByRange(8, $"meta.chars"), "source",
-      statsCols = Seq("meta.chars", "doc_id"))                      // v3: logical shape
+      statsCols = Seq("meta.chars", "doc_id"),
+      bloomCols = Seq("meta.rid"))                                  // v3: logical shape
     val snap = graft.core.ManifestLake.latestSnapshot(lake).get
     // integer-arithmetic range bounds, replayable exactly in SQL
-    val m = docs.filter($"doc_id" % 2 === 0)
-      .agg(max($"n_chars")).head().getLong(0)
+    val mm = docs.filter($"doc_id" % 2 === 0)
+      .agg(max($"n_chars"), max($"doc_id")).head()
+    val m = mm.getLong(0); val probeId = mm.getLong(1)
     val legs = Seq(
       ("gen1_low", m / 10, m / 5),
       ("gen1_high", m - m / 5, m),
       ("gen2_mid", 1000000L + m / 3, 1000000L + m / 2))
     val lakeDf = s.read.format("graft").load(lake)
-    legs.map { case (tag, lo, hi) =>
+    val rangeLegs = legs.map { case (tag, lo, hi) =>
       // the filter is on the RENAMED+WIDENED leaf; pruning must walk
       // the logical path back to the physical stats key "meta.nc"
       val opened = graft.core.ManifestLake.pruneFiles(snap, "meta.nc",
@@ -2112,6 +2123,21 @@ object RoundTrips {
         .withColumn("range_tag", lit(tag))
         .withColumn("pruned", lit(opened < snap.files.length))
     }.reduce(_ unionByName _)
+    // POINT-LOOKUP leg (r16, nested blooms): the needle probe on the
+    // RENAMED string leaf — the dotted bloom (keyed "meta.rid", the
+    // physical path) is what collapses "open the whole lake" to the
+    // ~1 file that can contain the value; the range layer is blind
+    // here (rid is unclustered and untracked by stats)
+    val pointKept = graft.core.ManifestLake.pruneFilesPoint(
+      snap, "meta.rid", s"req-$probeId").length
+    val pointLeg = lakeDf
+      .filter($"meta.request_id" === s"req-$probeId")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_ids"),
+        sum($"meta.chars").as("sum_chars"))
+      .withColumn("range_tag", lit("point_rid"))
+      .withColumn("pruned", lit(pointKept < snap.files.length))
+    rangeLegs.unionByName(pointLeg)
       .select($"range_tag", $"n_docs", $"sum_ids", $"sum_chars", $"pruned")
       .orderBy($"range_tag")
   }
@@ -2138,7 +2164,14 @@ object RoundTrips {
        FROM legs g LEFT JOIN leaves l
          ON l.chars >= g.lo AND l.chars <= g.hi
        GROUP BY g.range_tag
-       ORDER BY g.range_tag"""
+       UNION ALL
+       SELECT 'point_rid', COUNT(*),
+              CAST(SUM(doc_id) AS BIGINT),
+              CAST(SUM(n_chars) AS BIGINT),
+              TRUE
+       FROM documents
+       WHERE doc_id = (SELECT MAX(doc_id) FROM documents WHERE doc_id % 2 = 0)
+       ORDER BY range_tag"""
 
   /** q153 — TWO-dimensional clustered compaction (the full Delta
     * `OPTIMIZE ... ZORDER BY (x, y)` shape, extending q138's one

@@ -156,6 +156,75 @@ class NestedSkippingSpec extends SparkSpec {
       got2.select(sum($"meta.when")).head().getLong(0) == (2500L to 2600L by 10).sum)
   }
 
+  /** NESTED-LEAF BLOOMS (r16): dotted bloomCols build per-file point-
+    * lookup filters from the struct leaf — the shape a `from_json`
+    * corpus needs for `meta.request_id = 'x'` probes, where the leaf
+    * is high-cardinality and UNCLUSTERED so range stats keep every
+    * file. Pinned: manifest keying under the dotted path, Scala
+    * readPoint and DSv2 pushed-equality prune sets identical, the
+    * probe survives a nested RENAME (physical-path keying), and an
+    * encoding-changing WIDEN strips exactly that leaf's blooms. */
+  test("dotted bloomCols: struct-leaf point lookup prunes files, survives rename, widen strips") {
+    val dir = tmp("nested_bloom")
+    // request ids INTERLEAVED across files (hash layout): every file's
+    // range covers every probe, so the bloom is the only subtractive
+    // layer — the honest shape for this index
+    val docs = spark.range(0, 1000).select(
+      $"id".as("doc_id"),
+      struct(concat(lit("req-"), $"id".cast("string")).as("rid"),
+        ($"id" % 7).cast("int").as("sev")).as("meta"),
+      when($"id" % 2 === 0, "even").otherwise("odd").as("source"))
+    ManifestLake.append(spark, dir, docs.repartition(8), "source",
+      maxRecordsPerFile = 128L,
+      statsCols = Seq("doc_id"),
+      bloomCols = Seq("meta.rid", "meta.sev"))
+    val snap = ManifestLake.latestSnapshot(dir).get
+    assert(snap.blooms.valuesIterator.flatten.exists(_.col == "meta.rid"),
+      "leaf blooms must land in the manifest under the dotted path")
+    assert(snap.files.length > 4, s"want a multi-file lake, got ${snap.files.length}")
+    // Scala face: the point prune collapses the file list
+    val kept = ManifestLake.pruneFilesPoint(snap, "meta.rid", "req-500")
+    assert(kept.nonEmpty && kept.length < snap.files.length,
+      s"bloom must prune: kept ${kept.length} of ${snap.files.length}")
+    assert(ManifestLake.readPoint(spark, dir, "meta.rid", "req-500")
+      .count() == 1L)
+    // an absent value keeps (almost) nothing — false positives are
+    // allowed by the filter's contract, wrong rows are not
+    assert(ManifestLake.readPoint(spark, dir, "meta.rid", "req-no-such")
+      .count() == 0L)
+    // DSv2: pushed equality on the leaf consults the same blooms
+    val q = spark.read.format("graft").load(dir)
+      .filter($"meta.rid" === "req-500")
+    val scan = scanOf(q)
+    assert(scan.keptFiles == kept,
+      s"DSv2 kept ${scan.keptFiles.length}, Scala prune says ${kept.length}")
+    assert(q.count() == 1L)
+    // RENAME the leaf: blooms key on the physical path — the probe
+    // under the new logical name prunes identically
+    ManifestLake.alterSchema(dir, Seq(
+      ManifestLake.AlterRenameNested(Seq("meta", "rid"), "request_id")))
+    val snapR = ManifestLake.latestSnapshot(dir).get
+    assert(ManifestLake.readPoint(spark, dir, "meta.request_id", "req-500")
+      .count() == 1L)
+    val q2 = spark.read.format("graft").load(dir)
+      .filter($"meta.request_id" === "req-500")
+    assert(scanOf(q2).keptFiles == kept,
+      "bloom pruning must survive a nested RENAME")
+    // WIDEN meta.sev int→double: the parquet encoding changes, so THAT
+    // leaf's blooms strip (stale int-hashes would false-negative a
+    // double probe) while meta.rid's survive untouched
+    ManifestLake.alterSchema(dir, Seq(
+      ManifestLake.AlterWidenNested(Seq("meta", "sev"),
+        org.apache.spark.sql.types.DoubleType)))
+    val snapW = ManifestLake.latestSnapshot(dir).get
+    assert(!snapW.blooms.valuesIterator.flatten.exists(_.col == "meta.sev"),
+      "an encoding-changing widen must strip the widened leaf's blooms")
+    assert(snapW.blooms.valuesIterator.flatten.exists(_.col == "meta.rid"),
+      "...and leave the other leaf's blooms alone")
+    assert(ManifestLake.readPoint(spark, dir, "meta.request_id", "req-500")
+      .count() == 1L)
+  }
+
   test("create() accepts dotted statsCols that resolve to a leaf, refuses the rest") {
     import org.apache.spark.sql.types._
     val ok = tmp("nested_create_ok")
@@ -173,5 +242,21 @@ class NestedSkippingSpec extends SparkSpec {
         "source", statsCols = Seq("meta.nope"))
     }
     assert(e.getMessage.contains("meta.nope"), e.getMessage)
+    // bloomCols follow the same rule (dotted leaf ok, unknown refuses)
+    val okB = tmp("nested_create_okb")
+    ManifestLake.create(okB, StructType(Seq(
+      StructField("source", StringType),
+      StructField("meta", StructType(Seq(StructField("rid", StringType)))))),
+      "source", bloomCols = Seq("meta.rid"))
+    assert(ManifestLake.latestSnapshot(okB).get
+      .declaredBloomCols == Seq("meta.rid"))
+    val badB = tmp("nested_create_badb")
+    val eb = intercept[IllegalArgumentException] {
+      ManifestLake.create(badB, StructType(Seq(
+        StructField("source", StringType),
+        StructField("meta", StructType(Seq(StructField("rid", StringType)))))),
+        "source", bloomCols = Seq("meta.nope"))
+    }
+    assert(eb.getMessage.contains("meta.nope"), eb.getMessage)
   }
 }
