@@ -453,12 +453,15 @@ private[core] object GraftProcedures {
       ProcedureParameter.in("retain_millis", LongType)
         .defaultValue("0").build(),
       ProcedureParameter.in("dry_run", BooleanType)
-        .defaultValue("false").build())
+        .defaultValue("false").build(),
+      ProcedureParameter.in("maintainer_stale_millis", LongType)
+        .defaultValue("0").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = str(input, 0)
       val deleted = ManifestLake.vacuum(dir,
         keepVersions = input.getInt(1), graceMillis = input.getLong(2),
-        retainMillis = input.getLong(3), dryRun = input.getBoolean(4))
+        retainMillis = input.getLong(3), dryRun = input.getBoolean(4),
+        maintainerStaleMillis = input.getLong(5))
       // surface WHY retention was limited (r15 verdict ask #8): the
       // registered-maintainer floor and who holds it, so an operator
       // seeing less reclaimed than expected can act (wait for the view

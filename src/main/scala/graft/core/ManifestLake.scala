@@ -5733,10 +5733,19 @@ object ManifestLake {
     * value is a no-op. */
   @volatile private[core] var beforeVacuumPhase: String => Unit = _ => ()
 
+  /** `maintainerStaleMillis` — the operator's escape hatch from an
+    * ABANDONED maintainer (see [[registerMaintainer]]): 0 (default)
+    * honors every registered record — protective, a paused view is
+    * still a view; a positive value IGNORES records whose heartbeat
+    * is older than the window, so a decommissioned-but-never-
+    * deregistered maintainer stops pinning retention once the
+    * operator explicitly says how stale is dead. Never automatic:
+    * the default can strand nothing. */
   def vacuum(dir: String, keepVersions: Int = 2,
              graceMillis: Long = DefaultVacuumGraceMillis,
              retainMillis: Long = 0L,
-             dryRun: Boolean = false): Long = {
+             dryRun: Boolean = false,
+             maintainerStaleMillis: Long = 0L): Long = {
     val root = Paths.get(dir)
     val latest = latestSnapshot(dir).getOrElse(return 0L)
     val mdir = root.resolve(ManifestDir)
@@ -5826,8 +5835,13 @@ object ManifestLake {
     // view's next feed window and its min/max rescan can never be
     // stranded by retention. Read AFTER the intent marker landed,
     // like the publish pins.
-    val maintainerFloor: Option[Long] = maintainers(dir)
-      .map(_.highWater).minOption
+    val maintainerFloor: Option[Long] = {
+      val cutoff =
+        if (maintainerStaleMillis <= 0L) Long.MinValue
+        else System.currentTimeMillis() - maintainerStaleMillis
+      maintainers(dir).filter(_.heartbeatMillis >= cutoff)
+        .map(_.highWater).minOption
+    }
     def pinnedByMaintainer(v: Long): Boolean =
       maintainerFloor.exists(v > _)
     val protectedVersions = allVersions.filter(v =>

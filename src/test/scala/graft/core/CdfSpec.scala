@@ -935,6 +935,27 @@ class CdfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("malformed maintainer"))
     Files.delete(bad)
+    // the staleness escape hatch: an ABANDONED maintainer (old
+    // heartbeat) keeps pinning under the protective default, and
+    // stops pinning only when the operator names a staleness window.
+    // Fresh COW garbage first (superseded originals referenced only
+    // by pre-latest versions), then an ancient-heartbeat lagger.
+    spark.sql(s"UPDATE graft_maint.`$src` SET n_chars = n_chars + 1 " +
+      "WHERE doc_id % 31 = 3")
+    ManifestLake.registerMaintainer(src, "maint-app", view, 2L) // re-lag
+    val regFile = java.nio.file.Paths.get(src).resolve("_maintainers")
+      .resolve("maint-app")
+    val aged = Files.readAllLines(regFile).toArray.map(_.toString).map {
+      case l if l.startsWith("ts:") => "ts:1000"
+      case l => l
+    }
+    Files.write(regFile, aged.mkString("\n").getBytes)
+    assert(ManifestLake.vacuum(src, keepVersions = 1, graceMillis = 0L,
+      dryRun = true, maintainerStaleMillis = 0L) == 0L,
+      "the protective default honors even an ancient heartbeat")
+    assert(ManifestLake.vacuum(src, keepVersions = 1, graceMillis = 0L,
+      dryRun = true, maintainerStaleMillis = 60000L) > 0L,
+      "an explicit staleness window releases an abandoned maintainer's pin")
     // decommission: deregister releases the pin
     ManifestLake.deregisterMaintainer(src, "maint-app")
     assert(ManifestLake.maintainers(src).isEmpty)
