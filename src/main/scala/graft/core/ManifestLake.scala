@@ -4056,7 +4056,9 @@ object ManifestLake {
                         srcDir: Option[String] = None): Boolean = {
     if (latestSnapshot(viewDir).exists(_.txns.get(appId).exists(_ >= batchId)))
       return false
-    val b = batch.persist()
+    val hwObs = maintainerObservation(batch, srcDir)
+    val b = hwObs.fold(batch)(o =>
+      batch.observe(o, max(col(GraftCdf.CommitVersionCol)).as("hw"))).persist()
     try {
       deleteKeysDv(s, viewDir, b.select(keyCols.map(col): _*), keyCols)
       // exact MULTI-COMMIT window fold: the naive "insert every
@@ -4078,14 +4080,14 @@ object ManifestLake {
         statsCols = statsCols, bloomCols = bloomCols)
       // registry refresh (see [[registerMaintainer]]): the committed
       // window's max source version becomes this maintainer's
-      // high-water — one tiny agg over the already-persisted batch.
-      // An empty window advances nothing (there was no version to
-      // drain), so the pin floor only ever moves forward.
-      srcDir.foreach { sd =>
-        val hw = b.agg(max(col(GraftCdf.CommitVersionCol))).head()
-        if (!hw.isNullAt(0))
-          registerMaintainer(sd, appId, viewDir, hw.getLong(0))
-      }
+      // high-water — read from the observed metric, which rode the
+      // delete/append actions above (no extra job; an explicit agg
+      // here cost a per-batch job that compounded across a drain's
+      // micro-batches — the r16 q184 A/B measured it at ~35% of the
+      // row). An empty window advances nothing (SQL-NULL max), so
+      // the pin floor only ever moves forward.
+      for (sd <- srcDir; o <- hwObs; hw <- observedHighWater(o, b))
+        registerMaintainer(sd, appId, viewDir, hw)
       true
     } finally { b.unpersist(); () }
   }
@@ -4407,7 +4409,9 @@ object ManifestLake {
       return false
     val stateCols = aggs.flatMap(_.stateCols)
     val outCols = dims ++ aggs.map(_.out) ++ stateCols
-    val b = batch.persist()
+    val hwObs = maintainerObservation(batch, srcDir)
+    val b = hwObs.fold(batch)(o =>
+      batch.observe(o, max(col(GraftCdf.CommitVersionCol)).as("hw"))).persist()
     try {
       val sign = when(col(CdfTypeCol).isin("insert", "update_postimage"),
         lit(1L)).otherwise(lit(-1L))
@@ -4658,12 +4662,11 @@ object ManifestLake {
       val committed = replaceKeysBatch(s, viewDir, keys, newRows, dims,
         appId, batchId, viewPartitionCol, statsCols, bloomCols)
       // registry refresh (see [[registerMaintainer]]) — the committed
-      // window's max source version; empty windows advance nothing
-      if (committed) srcDir.foreach { sd =>
-        val hw = b.agg(max(col(GraftCdf.CommitVersionCol))).head()
-        if (!hw.isNullAt(0))
-          registerMaintainer(sd, appId, viewDir, hw.getLong(0))
-      }
+      // window's max source version, observed for free on the fold's
+      // own actions; empty windows advance nothing
+      if (committed)
+        for (sd <- srcDir; o <- hwObs; hw <- observedHighWater(o, b))
+          registerMaintainer(sd, appId, viewDir, hw)
       committed
     } finally { b.unpersist(); () }
   }
@@ -5655,6 +5658,48 @@ object ManifestLake {
   private def maintainerPath(root: Path, appId: String): Path =
     root.resolve(MaintainersDir).resolve(
       java.net.URLEncoder.encode(appId, "UTF-8"))
+
+  /** The maintainer high-water observation for a CDF batch, or None
+    * when no registration will happen (no `srcDir`). A registered
+    * maintainer REQUIRES the CDF version column — silently skipping
+    * registration would leave the view unprotected from vacuum. */
+  private def maintainerObservation(batch: DataFrame,
+                                    srcDir: Option[String])
+      : Option[org.apache.spark.sql.Observation] =
+    srcDir.map { sd =>
+      require(batch.columns.contains(GraftCdf.CommitVersionCol),
+        s"maintainer registration against $sd needs the " +
+          s"${GraftCdf.CommitVersionCol} column on the batch — drive " +
+          "the maintainer from the change feed, or pass srcDir=None")
+      org.apache.spark.sql.Observation()
+    }
+
+  /** The committed window's max source version, read from the batch's
+    * observed metric ([[org.apache.spark.sql.Observation]]): the
+    * `max(_commit_version)` rides whatever actions the maintenance
+    * fold already ran over the persisted batch (`CollectMetricsExec`
+    * in the cached plan), so registration costs NO extra Spark job —
+    * an explicit per-batch agg compounded across a drain's
+    * micro-batches into ~35% of the q184 bench row (r16 A/B).
+    * Metric delivery rides the async `QueryExecutionListener` bus, so
+    * the await after the fold's last action is normally instant; if
+    * it never lands (every consumer served from a pre-observe cache —
+    * not a path the maintainers have, but belt-and-braces), fall back
+    * to the one tiny agg over the still-persisted batch. An empty
+    * window observes SQL-NULL → None → the pin floor only moves
+    * forward. */
+  private def observedHighWater(obs: org.apache.spark.sql.Observation,
+                                b: DataFrame): Option[Long] = {
+    try {
+      val r = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(2, "s"))
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        val hw = b.agg(max(col(GraftCdf.CommitVersionCol))).head()
+        if (hw.isNullAt(0)) None else Some(hw.getLong(0))
+    }
+  }
 
   def registerMaintainer(srcDir: String, appId: String, viewDir: String,
                          highWater: Long): Unit = {
