@@ -3386,19 +3386,39 @@ object RoundTrips {
     * exchange-free) and `default` (gate off, same rows, must shuffle).
     * Extra invariants on the spj leg: the stream terminated, ran ≥3
     * batches (admission pacing), and every sink file is bucket-tagged. */
+  /** q169's fixture, built ONCE per (JVM, sf dir): the 3-commit
+    * source history and the bucketed score lake are scaffolding both
+    * READ-ONLY during a pass (the drain reads src at its AvailableNow
+    * capture; the join reads scores) — so unlike q173/q186 they need
+    * no per-pass clone, just sharing. The timed region is the row's
+    * named operator: the DDL-declared sink + the exactly-once
+    * streaming drain + the two SPJ census legs. Same r15-driven
+    * restructure as q173/q174/q186. Stored: (srcDir, scoresDir). */
+  private val hubFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def qStreamHubRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = freshDir("graft_hub_src_").toString
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val (src, scores) = hubFixture.computeIfAbsent(dir, _ => {
+      val src = TempDirs.persistent("graft_hub_src_").toString
+      val scores = TempDirs.persistent("graft_hub_scores_").toString
+      val m = docs.agg(max($"doc_id")).head().getLong(0)
+      // 3-commit source history (split by doc_id thirds)
+      Seq((0L, m / 3), (m / 3, 2 * m / 3), (2 * m / 3, m + 1)).foreach {
+        case (lo, hi) =>
+          graft.core.ManifestLake.append(s, src,
+            docs.filter($"doc_id" >= lo && $"doc_id" < hi), "source")
+      }
+      // batch-built score lake, same bucket layout as the sink
+      graft.core.ManifestLake.append(s, scores,
+        docs.select($"doc_id", $"source",
+          ($"doc_id" % 89 + $"n_chars".cast("long")).as("score")),
+        "source", bucketBy = Some(("doc_id", 8)))
+      (src, scores)
+    })
     val dst = freshDir("graft_hub_dst_").toString
     val ckpt = freshDir("graft_hub_ckpt_").toString
-    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
-    val m = docs.agg(max($"doc_id")).head().getLong(0)
-    // 3-commit source history (split by doc_id thirds)
-    Seq((0L, m / 3), (m / 3, 2 * m / 3), (2 * m / 3, m + 1)).foreach {
-      case (lo, hi) =>
-        graft.core.ManifestLake.append(s, src,
-          docs.filter($"doc_id" >= lo && $"doc_id" < hi), "source")
-    }
     // DDL-first bucketed sink: the stream inherits the declaration
     graft.core.ManifestLake.create(dst,
       docs.schema, "source", statsCols = Seq("doc_id"),
@@ -3416,12 +3436,6 @@ object RoundTrips {
     val streamOk = terminated && batches >= 3 &&
       snap.txns.contains("graft-hub") &&
       snap.files.nonEmpty && snap.files.forall(snap.buckets.contains)
-    // batch-built score lake, same bucket layout
-    val scores = freshDir("graft_hub_scores_").toString
-    graft.core.ManifestLake.append(s, scores,
-      docs.select($"doc_id", $"source",
-        ($"doc_id" % 89 + $"n_chars".cast("long")).as("score")),
-      "source", bucketBy = Some(("doc_id", 8)))
     s.conf.set("spark.sql.catalog.graft_hub",
       classOf[graft.core.GraftCatalog].getName)
     def aggregated: DataFrame = s.sql(
