@@ -4706,6 +4706,177 @@ object ManifestLake {
       .trigger(trigger)
       .start()
 
+  /** The JOINED frame a join view's transform sees — `facts` aliased
+    * `f`, the CURRENT dim lake aliased `d`, inner-joined on
+    * `f.fkCol = d.dimPkCol` (plain SQL equality: a NULL foreign key
+    * matches nothing, exactly the SQL INNER JOIN the view mirrors;
+    * duplicate dim keys multiply rows exactly as SQL would — pk
+    * uniqueness is the usual dimension contract, not enforced here).
+    * Shared by BOTH maintainers of a join view so they can never
+    * disagree on the join's shape: the FACT side is
+    * [[maintainView]] over the fact lake's feed with
+    * `transform = joinViewTransform(s, dimDir, fk, pk, project)`;
+    * the DIM side is [[maintainJoinViewDim]]. Both recompute against
+    * the dim lake's CURRENT rows — cross-lake version pinning does
+    * not exist (two lakes, two version clocks), so the contract is
+    * CONVERGENCE: after both feeds drain, the view equals the join
+    * of the current lakes (the q188 oracle's law). */
+  def joinViewTransform(s: SparkSession, dimDir: String, fkCol: String,
+                        dimPkCol: String,
+                        project: DataFrame => DataFrame)
+      : DataFrame => DataFrame =
+    facts => project(facts.alias("f").join(read(s, dimDir).alias("d"),
+      col(s"f.$fkCol") === col(s"d.$dimPkCol"), "inner"))
+
+  /** DIM-SIDE maintenance step of a JOIN-SHAPED MATERIALIZED VIEW —
+    * the denormalization view `SELECT ... FROM fact f JOIN dim d ON
+    * f.fk = d.pk`, keyed by the fact's `factKeyCols` (the reference
+    * serves exactly this shape per page load: transcripts joined to
+    * their channel/source rows, server/dashboard.py:126-149; here it
+    * is a maintained product). The fact side needs no new machinery —
+    * its changed rows re-derive through [[maintainViewBatch]] with
+    * [[joinViewTransform]] — but a DIM change invalidates view rows
+    * the fact feed never mentions: every fact row whose foreign key
+    * the window touched. This step re-derives exactly those.
+    *
+    * Per batch, all window-sized: the window's DISTINCT non-null dim
+    * keys; the AFFECTED fact rows fetched with the file set pruned on
+    * the fact lake's `fkCol` stats/bloom/partition layers (the
+    * aggregate view's fetch rules: exact per-file probe when tracked
+    * and ≤100k driver keys, else a semi-join against the full scan —
+    * a 10-key dim churn opens ~the files holding those keys, never
+    * the fact corpus); the recompute `transform(affected)` — the
+    * shared [[joinViewTransform]] supplies the `⋈ dim CURRENT`, so
+    * the two maintainers pass the SAME closure and cannot disagree
+    * on the join; one [[replaceKeysBatch]] CAS (delete affected keys +
+    * append recomputed rows + txn bump, atomically — a dim DELETE
+    * recomputes to zero rows for its orphaned facts, so their view
+    * rows vanish in the same commit). Exactly-once via the appId
+    * txn gate; an empty or no-op window still bumps (monotonic
+    * bookkeeping). A fact lake not yet seeded is an empty step, not
+    * an error — loading dims before facts is the normal order.
+    * Registration against `dimDir` rides the batch's observed
+    * high-water metric like every maintainer. Returns false iff the
+    * gate skipped. */
+  def maintainJoinViewDimBatch(s: SparkSession, viewDir: String,
+                               factDir: String, factKeyCols: Seq[String],
+                               fkCol: String, dimPkCol: String,
+                               transform: DataFrame => DataFrame,
+                               appId: String, batchId: Long,
+                               batch: DataFrame,
+                               viewPartitionCol: String,
+                               statsCols: Seq[String] = Nil,
+                               bloomCols: Seq[String] = Nil,
+                               dimDir: String): Boolean = {
+    require(factKeyCols.nonEmpty, "join view needs fact key columns")
+    require(latestSnapshot(viewDir).nonEmpty,
+      s"join view lake $viewDir must exist — CREATE it with the " +
+        "view schema before starting the maintainers")
+    if (latestSnapshot(viewDir).exists(_.txns.get(appId).exists(_ >= batchId)))
+      return false
+    val hwObs = maintainerObservation(batch, Some(dimDir))
+    val b = hwObs.fold(batch)(o =>
+      batch.observe(o, max(col(GraftCdf.CommitVersionCol)).as("hw"))).persist()
+    try {
+      val touched = b.select(col(dimPkCol))
+        .filter(col(dimPkCol).isNotNull).distinct()
+      val affected: Option[DataFrame] = latestSnapshot(factDir) match {
+        case Some(snapF) if snapF.files.nonEmpty =>
+          // fact fetch file-pruned on fkCol — the aggregate view's
+          // current-rows rules (tracked probe / driver cap / semi
+          // fallback), but with PLAIN equality: nulls were dropped
+          // above because SQL inner-join equality never matches them
+          val physK = physicalColName(snapF, fkCol)
+          val tracked =
+            snapF.stats.valuesIterator.flatten.exists(_.col == physK) ||
+              snapF.blooms.valuesIterator.flatten.exists(_.col == physK) ||
+              partitionColOf(snapF).contains(physK)
+          val MaxDriverKeys = 100000
+          val sample =
+            if (tracked) touched.limit(MaxDriverKeys + 1).collect()
+              .map(_.get(0))
+            else Array.empty[Any]
+          val factsAll =
+            if (!tracked || sample.length > MaxDriverKeys)
+              read(s, factDir, Some(snapF))
+            else if (sample.isEmpty)
+              read(s, factDir, Some(snapF)).filter(lit(false))
+            else {
+              val kept = pruneFilesForKeys(snapF, physK, sample.toIndexedSeq)
+              if (kept.isEmpty)
+                read(s, factDir, Some(snapF)).filter(lit(false))
+              else {
+                val reader = snapF.schema.foldLeft(
+                  s.read.option("basePath", factDir))(_ schema _)
+                toLogical(snapF, lakeFiles(s, factDir, snapF, kept, reader))
+              }
+            }
+          Some(factsAll.join(
+            touched.select(col(dimPkCol).as("__graft_jv_pk")),
+            col(fkCol) === col("__graft_jv_pk"), "left_semi"))
+        case _ => None // fact lake not seeded yet: empty step
+      }
+      val aff = affected.map(_.persist())
+      try {
+        // unseeded fact lake: txn-bump-only step with view-schema
+        // empties — the transform never sees a keys-only frame
+        val emptyView = read(s, viewDir).filter(lit(false))
+        val keysDf = aff.fold(
+          emptyView.select(factKeyCols.map(col): _*))(
+          _.select(factKeyCols.map(col): _*))
+        val rowsDf = aff.fold(emptyView)(transform)
+        val committed = replaceKeysBatch(s, viewDir, keysDf, rowsDf,
+          factKeyCols, appId, batchId, viewPartitionCol, statsCols,
+          bloomCols)
+        if (committed) {
+          // unseeded path: no action traversed the batch, so the
+          // observed metric never fired — one tiny explicit agg
+          // (bootstrap-only) instead of eating the await timeout
+          val hw: Option[Long] =
+            if (aff.isEmpty) {
+              val r = b.agg(max(col(GraftCdf.CommitVersionCol))).head()
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            } else hwObs.flatMap(observedHighWater(_, b))
+          hw.foreach(registerMaintainer(dimDir, appId, viewDir, _))
+        }
+        committed
+      } finally { aff.foreach(_.unpersist()); () }
+    } finally { b.unpersist(); () }
+  }
+
+  /** STREAMING dim-side maintainer of a join view: a CDF stream over
+    * `dimDir` drives [[maintainJoinViewDimBatch]] into `viewDir`.
+    * Pair it with [[maintainView]] over the fact lake using
+    * [[joinViewTransform]] and a DISTINCT appId/checkpoint — two
+    * exactly-once writers, one view, converging on the join of the
+    * current lakes after both drain (drive the drains serially; the
+    * single-CAS keyed replace makes any interleaving converge, since
+    * every step re-derives its touched keys against CURRENT state).
+    * Same checkpoint/appId pairing contract as [[maintainView]]. */
+  def maintainJoinViewDim(s: SparkSession, dimDir: String, viewDir: String,
+                          factDir: String, factKeyCols: Seq[String],
+                          fkCol: String, dimPkCol: String,
+                          transform: DataFrame => DataFrame,
+                          appId: String, checkpointDir: String,
+                          viewPartitionCol: String,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graft").option("path", dimDir)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainJoinViewDimBatch(s, viewDir, factDir, factKeyCols, fkCol,
+          dimPkCol, transform, appId, id, batch, viewPartitionCol,
+          statsCols, bloomCols, dimDir = dimDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def scd2(s: SparkSession, dir: String,
            fromExclusive: Long, toInclusive: Long,
            keyCols: Seq[String]): DataFrame = {

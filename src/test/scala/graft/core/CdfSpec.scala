@@ -1415,4 +1415,107 @@ class CdfSpec extends SparkSpec {
       .filter($"extra".isNull).count() == 8L,
       "every pre-add row must serve NULL for the added column")
   }
+
+  /** JOIN-SHAPED MATERIALIZED VIEW (fact ⋈ dim, r16): the fact side
+    * is [[ManifestLake.maintainView]] with the shared
+    * [[ManifestLake.joinViewTransform]]; the dim side is
+    * [[ManifestLake.maintainJoinViewDim]] re-deriving every fact row
+    * whose foreign key the window touched. Laws: convergence to the
+    * SQL inner join of the CURRENT lakes through dim
+    * insert/update/delete and fact churn (insert appears, update
+    * propagates, delete orphans vanish — including facts the fact
+    * feed never mentioned); dim-before-fact load order is an empty
+    * step, not an error; redelivered batch ids are gated out. */
+  test("join view: both maintainers converge to the inner join through dim churn") {
+    val fact = tmp("jv_fact"); val dim = tmp("jv_dim")
+    val view = tmp("jv_view")
+    val fckpt = Files.createTempDirectory("jv_fckpt").toString
+    val dckpt = Files.createTempDirectory("jv_dckpt").toString
+    // dim FIRST (facts not seeded yet): k0..k2 with a value column
+    ManifestLake.append(spark, dim, spark.range(0, 3)
+      .select(concat(lit("k"), $"id".cast("string")).as("k"),
+        ($"id" * 100).as("v"), lit("p").as("p")), "p")             // dim v1
+    ManifestLake.setProperties(dim, Map("enableChangeDataFeed" -> "true"))
+    val project: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      j => j.select(col("f.doc_id").as("doc_id"), col("f.k").as("k"),
+        col("f.n").as("n"), col("d.v").as("v"))
+    val transform = ManifestLake.joinViewTransform(spark, dim, "k", "k", project)
+    ManifestLake.create(view, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))), "k",
+      statsCols = Seq("doc_id"))
+    def drainDim(): Unit = {
+      val q = ManifestLake.maintainJoinViewDim(spark, dim, view, fact,
+        Seq("doc_id"), "k", "k", transform, "jv-dim", dckpt, "k")
+      assert(q.awaitTermination(120000), "dim drain must terminate")
+    }
+    def drainFact(): Unit = {
+      val q = ManifestLake.maintainView(spark, fact, view, Seq("doc_id"),
+        transform, "jv-fact", fckpt, "k", statsCols = Seq("doc_id"))
+      assert(q.awaitTermination(120000), "fact drain must terminate")
+    }
+    def assertJoin(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view)
+        .select($"doc_id", $"k", $"n", $"v")
+      val want = project(ManifestLake.read(spark, fact).alias("f")
+        .join(ManifestLake.read(spark, dim).alias("d"),
+          col("f.k") === col("d.k"), "inner"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$tag: view must equal the inner join, row for row")
+    }
+    // dim-before-fact: the dim drain on an unseeded fact lake is an
+    // EMPTY STEP that still bumps the txn (loading dims first is the
+    // normal order, not an error)
+    drainDim()
+    assert(ManifestLake.latestSnapshot(view).get.txns.contains("jv-dim"),
+      "the empty step must still bump the dim maintainer's txn")
+    assert(ManifestLake.read(spark, view).isEmpty)
+    // facts: doc 0..19 over k0..k3 — k3 rows are ORPHANS (no dim row)
+    ManifestLake.append(spark, fact, spark.range(0, 20)
+      .select($"id".as("doc_id"),
+        concat(lit("k"), ($"id" % 4).cast("string")).as("k"),
+        ($"id" * 7).as("n")), "k",
+      maxRecordsPerFile = 4L, statsCols = Seq("doc_id"))           // fact v1
+    ManifestLake.setProperties(fact, Map("enableChangeDataFeed" -> "true"))
+    drainFact()
+    assertJoin("fact backfill (orphan k3 rows excluded by the inner join)")
+    // dim churn in ONE window: UPDATE k1's value, DELETE k2 (its fact
+    // rows must vanish though the fact feed never mentions them),
+    // INSERT k3 (the pre-existing orphans must APPEAR)
+    ManifestLake.updateWhereDv(spark, dim, col("k") === "k1",
+      Seq("v" -> lit(111L)))
+    ManifestLake.deleteWhereDv(spark, dim, col("k") === "k2")
+    ManifestLake.append(spark, dim, Seq(("k3", 300L, "p"))
+      .toDF("k", "v", "p"), "p")
+    drainDim()
+    assertJoin("dim churn: update propagated, orphans appeared, k2 vanished")
+    assert(ManifestLake.read(spark, view).filter($"k" === "k2").isEmpty,
+      "k2's view rows must be gone")
+    assert(ManifestLake.read(spark, view).filter($"k" === "k3").count() == 5L,
+      "k3's orphans must have appeared")
+    assert(ManifestLake.read(spark, view).filter($"k" === "k1" && $"v" =!= 111L).isEmpty,
+      "k1's new value must have propagated")
+    // fact churn drains through the fact side against the churned dim
+    ManifestLake.deleteWhereDv(spark, fact, col("doc_id") < 4)
+    ManifestLake.append(spark, fact, Seq((100L, "k3", 9L))
+      .toDF("doc_id", "k", "n"), "k")
+    drainFact()
+    assertJoin("fact churn against the churned dim")
+    // redelivery: the dim maintainer's high-water gates a replayed id
+    val hw = ManifestLake.latestSnapshot(view).get.txns("jv-dim")
+    val before = ManifestLake.read(spark, view).count()
+    val dv = ManifestLake.latestSnapshot(dim).get.version
+    val window = ManifestLake.readChangeFeed(spark, dim, 0L, dv)
+    assert(!ManifestLake.maintainJoinViewDimBatch(spark, view, fact,
+      Seq("doc_id"), "k", "k", transform, "jv-dim", hw, window, "k",
+      dimDir = dim), "a redelivered dim batch id must be gated out")
+    assert(ManifestLake.read(spark, view).count() == before,
+      "the gated redelivery must not touch the view")
+  }
 }
