@@ -142,6 +142,71 @@ object ProbeR16Scale {
     println(s"""{"probe":"registry_release","live_after_drained_vacuum":${afterDrain.length}}""")
     assert(afterDrain.length < afterLag.length,
       "advancing the high-water must release retention")
+    // ---- 3. join-view dim-side churn: FIXED 5-key churn at ×10 ----
+    // fact corpus AND ×10 dim cardinality (rows-per-key fixed). The
+    // 100 TB claim: a K-key dim change re-derives K keys' fact rows,
+    // fetched through the fk-pruned file set — cost follows the
+    // touched keys' rows, NOT the corpus. Kept-file census via the
+    // public per-key point prune (the batch's key-set prune follows
+    // the same stats layer).
+    def jvProbe(tag: String, rows: Long, groups: Int): Unit = {
+      val factD = Paths.get(work).resolve(s"jv_fact_$tag").toString
+      val dimD = Paths.get(work).resolve(s"jv_dim_$tag").toString
+      val viewD = Paths.get(work).resolve(s"jv_view_$tag").toString
+      val facts = spark.range(0, rows).select(
+        $"id".as("doc_id"),
+        concat(lit("g"), ($"id" % groups).cast("string")).as("fk"),
+        ($"id" % 4).cast("string").as("p"),
+        ($"id" * 3).as("n"))
+      ManifestLake.append(spark, factD,
+        facts.repartitionByRange(16, $"fk"), "p",
+        maxRecordsPerFile = 800L, statsCols = Seq("fk"))
+      ManifestLake.setProperties(factD,
+        Map("enableChangeDataFeed" -> "true"))
+      ManifestLake.append(spark, dimD, spark.range(0, groups).select(
+        concat(lit("g"), $"id".cast("string")).as("fk"),
+        ($"id" * 100).as("v"), lit("p").as("p")), "p")
+      ManifestLake.setProperties(dimD,
+        Map("enableChangeDataFeed" -> "true"))
+      val project: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        j => j.select(col("f.doc_id").as("doc_id"), col("f.fk").as("fk"),
+          col("f.p").as("p"), col("f.n").as("n"), col("d.v").as("v"))
+      val transform = ManifestLake.joinViewTransform(
+        spark, dimD, "fk", "fk", project)
+      import org.apache.spark.sql.types._
+      ManifestLake.create(viewD, StructType(Seq(
+        StructField("doc_id", LongType), StructField("fk", StringType),
+        StructField("p", StringType), StructField("n", LongType),
+        StructField("v", LongType))), "p", statsCols = Seq("doc_id"))
+      val curF = ManifestLake.latestSnapshot(factD).get.version
+      ManifestLake.maintainViewBatch(spark, viewD, Seq("doc_id"),
+        transform, "jvp-fact", 0L,
+        ManifestLake.readChangeFeed(spark, factD, 0L, curF), "p",
+        statsCols = Seq("doc_id"), srcDir = Some(factD))
+      val keys = (0 until 5).map(i => "g" + (i * (groups / 5)))
+      ManifestLake.updateWhereDv(spark, dimD, col("fk").isin(keys: _*),
+        Seq("v" -> (col("v") + 1L)))
+      val dv = ManifestLake.latestSnapshot(dimD).get.version
+      val w = ManifestLake.readChangeFeed(spark, dimD, dv - 1, dv)
+      val (_, tStep) = time(ManifestLake.maintainJoinViewDimBatch(spark,
+        viewD, factD, Seq("doc_id"), "fk", "fk", transform, "jvp-dim",
+        0L, w, "p", statsCols = Seq("doc_id"), dimDir = dimD))
+      val snapF = ManifestLake.latestSnapshot(factD).get
+      val keptUnion = keys.flatMap(k =>
+        ManifestLake.pruneFilesPoint(snapF, "fk", k)).distinct
+      // select by NAME: the lake serves the partition column last
+      // (directory-encoded), so positional exceptAll would lie
+      val got = ManifestLake.read(spark, viewD)
+        .select(col("doc_id"), col("fk"), col("p"), col("n"), col("v"))
+      val want = project(ManifestLake.read(spark, factD).alias("f")
+        .join(ManifestLake.read(spark, dimD).alias("d"),
+          col("f.fk") === col("d.fk"), "inner"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"join view must equal the recompute at $tag")
+      println(s"""{"probe":"joinview_dim_churn","scale":"$tag","fact_rows":$rows,"fact_files":${snapF.files.length},"kept_files":${keptUnion.length},"step_sec":$tStep}""")
+    }
+    jvProbe("x1", 50000L, 200)
+    jvProbe("x10", 500000L, 2000)
     println("PROBE_R16_OK")
     spark.stop()
   }

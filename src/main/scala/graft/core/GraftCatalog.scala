@@ -863,6 +863,105 @@ private[core] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.maintain_join_view(fact, dim, view, fact_key, fk,
+    * dim_pk, view_cols, app_id, fact_ckpt, dim_ckpt, partition_col)`
+    * — the SQL spelling of `CREATE MATERIALIZED VIEW v AS SELECT
+    * cols FROM fact f JOIN dim d ON f.fk = d.pk` plus one maintenance
+    * drain of BOTH feeds (fact then dim, serially — two exactly-once
+    * writers under `app_id-fact`/`app_id-dim`, each paired with its
+    * checkpoint). `view_cols` is a CSV of `f.col` / `d.col`
+    * references (aliased to the leaf name — names must not collide);
+    * first call derives the view schema by ANALYZING the projection
+    * against empty frames of both lakes' logical schemas and creates
+    * the view, later calls fold only the windows committed since.
+    * The join is plain SQL INNER equality — see
+    * [[ManifestLake.joinViewTransform]]. */
+  private object MaintainJoinView extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "maintain_join_view"
+    override def description(): String =
+      "Create-if-absent and drain a JOIN-shaped materialized view " +
+        "(fact JOIN dim ON fact.fk = dim.pk): both change feeds fold " +
+        "into view_path exactly-once; view_cols = CSV of f.col / d.col"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("fact_path", StringType).build(),
+      ProcedureParameter.in("dim_path", StringType).build(),
+      ProcedureParameter.in("view_path", StringType).build(),
+      ProcedureParameter.in("fact_key", StringType).build(),
+      ProcedureParameter.in("fk", StringType).build(),
+      ProcedureParameter.in("dim_pk", StringType).build(),
+      ProcedureParameter.in("view_cols", StringType).build(),
+      ProcedureParameter.in("app_id", StringType).build(),
+      ProcedureParameter.in("fact_checkpoint", StringType).build(),
+      ProcedureParameter.in("dim_checkpoint", StringType).build(),
+      ProcedureParameter.in("partition_col", StringType).build(),
+      ProcedureParameter.in("timeout_sec", LongType)
+        .defaultValue("600").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val fact = str(input, 0); val dim = str(input, 1)
+      val view = str(input, 2)
+      val factKey = str(input, 3).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(factKey.nonEmpty, "fact_key must name at least one column")
+      val fk = str(input, 4); val pk = str(input, 5)
+      val refs = str(input, 6).split(",").map(_.trim).filter(_.nonEmpty)
+        .toSeq.map { c =>
+          c.split("\\.", 2) match {
+            case Array(side, name) if side == "f" || side == "d" =>
+              (side, name)
+            case _ => throw new IllegalArgumentException(
+              s"bad view column '$c' — want f.col or d.col")
+          }
+        }
+      require(refs.map(_._2).distinct.size == refs.size,
+        "view column names collide — a column may appear once " +
+          "(leaf names are the view names)")
+      require(factKey.forall(k => refs.contains(("f", k))),
+        s"view_cols must carry the fact key (${factKey.mkString(",")})")
+      val appId = str(input, 7)
+      val fckpt = str(input, 8); val dckpt = str(input, 9)
+      val partCol = str(input, 10)
+      require(refs.exists(_._2 == partCol),
+        s"partition_col '$partCol' must be one of the view columns")
+      import org.apache.spark.sql.functions.col
+      val project: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        j => j.select(refs.map { case (sd, n) => col(s"$sd.$n").as(n) }: _*)
+      val transform = ManifestLake.joinViewTransform(s, dim, fk, pk, project)
+      if (ManifestLake.latestSnapshot(view).isEmpty) {
+        def logical(dir: String): StructType =
+          ManifestLake.latestSnapshot(dir).flatMap(_.logicalSchema)
+            .getOrElse(throw new IllegalStateException(
+              s"lake $dir has no committed schema"))
+        def empty(sc: StructType) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        val derived = project(empty(logical(fact)).alias("f")
+          .join(empty(logical(dim)).alias("d"),
+            col(s"f.$fk") === col(s"d.$pk"), "inner")).schema
+        ManifestLake.create(view, derived, partCol, statsCols = factKey)
+      }
+      val timeoutSec = input.getLong(11)
+      def await(q: org.apache.spark.sql.streaming.StreamingQuery,
+                tag: String): Unit =
+        if (!q.awaitTermination(timeoutSec * 1000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            s"join view $tag drain did not finish within $timeoutSec s")
+        }
+      await(ManifestLake.maintainView(s, fact, view, factKey, transform,
+        s"$appId-fact", fckpt, partCol, statsCols = factKey), "fact")
+      await(ManifestLake.maintainJoinViewDim(s, dim, view, fact, factKey,
+        fk, pk, transform, s"$appId-dim", dckpt, partCol,
+        statsCols = factKey), "dim")
+      val snap = ManifestLake.latestSnapshot(view).get
+      one(Result(
+        StructType(Seq(StructField("view_version", LongType, nullable = false),
+          StructField("rows", LongType, nullable = false))),
+        InternalRow(snap.version, ManifestLake.read(s, view).count())))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] =
     Map("compact" -> Compact, "vacuum" -> Vacuum, "restore" -> Restore,
       "rebucket" -> Rebucket, "delete_vectors" -> DeleteVectors,
@@ -870,5 +969,6 @@ private[core] object GraftProcedures {
       "add_constraint" -> AddConstraint, "drop_constraint" -> DropConstraint,
       "analyze" -> Analyze, "publish" -> Publish,
       "publish_current" -> PublishCurrent,
-      "maintain_agg_view" -> MaintainAggView)
+      "maintain_agg_view" -> MaintainAggView,
+      "maintain_join_view" -> MaintainJoinView)
 }

@@ -324,6 +324,61 @@ class CdfSpec extends SparkSpec {
       "an idle refresh must not rebuild the view")
   }
 
+  /** The join view's SQL face: one CALL = create-if-absent (schema
+    * ANALYZED from the projection over both lakes' logical schemas) +
+    * one drain of BOTH feeds under paired appIds/checkpoints. */
+  test("CALL graft.maintain_join_view: create-if-absent + both-feed refresh through the SQL face") {
+    val fact = tmp("jvp_fact"); val dim = tmp("jvp_dim")
+    val view = tmp("jvp_view")
+    val fckpt = Files.createTempDirectory("jvp_fckpt").toString
+    val dckpt = Files.createTempDirectory("jvp_dckpt").toString
+    mkLake(fact)                                                     // f v1
+    ManifestLake.setProperties(fact,
+      Map("enableChangeDataFeed" -> "true"))                         // f v2
+    ManifestLake.append(spark, dim, Seq(("s0", 10L, "p"), ("s1", 20L, "p"))
+      .toDF("source", "w", "p"), "p")                                // d v1
+    ManifestLake.setProperties(dim,
+      Map("enableChangeDataFeed" -> "true"))                         // d v2
+    spark.conf.set("spark.sql.catalog.graft_jvp",
+      classOf[GraftCatalog].getName)
+    def call(): org.apache.spark.sql.Row = spark.sql(
+      s"CALL graft_jvp.maintain_join_view('$fact', '$dim', '$view', " +
+        "'doc_id', 'source', 'source', " +
+        "'f.doc_id,f.source,f.n_chars,d.w', 'jvp', " +
+        s"'$fckpt', '$dckpt', 'source')").head()
+    def assertJoin(tag: String): Unit = {
+      val got = ManifestLake.read(spark, view)
+        .select($"doc_id", $"source", $"n_chars", $"w")
+      val want = ManifestLake.read(spark, fact).alias("f")
+        .join(ManifestLake.read(spark, dim).alias("d"),
+          col("f.source") === col("d.source"), "inner")
+        .select(col("f.doc_id"), col("f.source"), col("f.n_chars"),
+          col("d.w"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, tag)
+    }
+    val r1 = call()
+    assertJoin("first CALL creates + backfills both sides")
+    assert(r1.getLong(1) == 200L, s"200 joined rows, got ${r1.getLong(1)}")
+    val vs = ManifestLake.latestSnapshot(view).get.schema.get
+    assert(vs("w").dataType == org.apache.spark.sql.types.LongType &&
+      vs.fieldNames.toSeq == Seq("doc_id", "source", "n_chars", "w"), vs.sql)
+    // churn BOTH sides, one CALL refreshes both feeds
+    ManifestLake.deleteWhereDv(spark, fact, $"doc_id" % 10 === 0)    // f v3
+    ManifestLake.updateWhereDv(spark, dim, $"source" === "s1",
+      Seq("w" -> lit(99L)))                                          // d v3
+    call()
+    assertJoin("second CALL refreshes fact AND dim increments")
+    assert(ManifestLake.read(spark, view)
+      .filter($"source" === "s1" && $"w" =!= 99L).isEmpty,
+      "the dim update must have propagated")
+    // bad projection refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft_jvp.maintain_join_view('$fact', '$dim', '$view', " +
+        "'doc_id', 'source', 'source', 'f.doc_id,x.w', 'jvp2', " +
+        s"'$fckpt', '$dckpt', 'source')").head())
+    assert(e.getMessage.contains("f.col or d.col"), e.getMessage)
+  }
+
   /** THE PERMANENT CONTRACT for SQL MERGE's change record (pinned, not
     * a gap): ReplaceData hands the engine whole rewritten file groups
     * with no per-row clause marker, so file contents CANNOT attribute
