@@ -60,6 +60,24 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
 
+  /** Host contention counters from /proc/stat's aggregate cpu line:
+    * (steal, iowait) in milliseconds (USER_HZ=100 ticks × 10). The r16
+    * verdict's ask #1: three rounds of med≫min inversions were
+    * adjudicated as "the window" by hand — recording the steal/iowait
+    * DELTA per query run makes a contended pass self-describing in the
+    * artifact instead of an archaeology exercise. Returns (0,0) where
+    * /proc/stat is unreadable (non-Linux dev machines). */
+  private def hostStallMillis(): (Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+")
+      // fields: cpu user nice system idle iowait irq softirq steal ...
+      val iowait = if (f.length > 5) f(5).toLong * 10 else 0L
+      val steal = if (f.length > 8) f(8).toLong * 10 else 0L
+      (steal, iowait)
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,26 +123,47 @@ object Bench {
       catalog.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
     val gcByQuery = mutable.LinkedHashMap(
       catalog.map { case (name, _) => name -> 0L }: _*)
+    // Host steal/iowait ms per query (summed across its runs), and the
+    // WORST single-run steal — the per-row contention annotation the
+    // r16 verdict asked for (ask #1): a med≫min inversion whose passes
+    // carried measured steal is window-attributed BY the artifact.
+    val stealByQuery = mutable.LinkedHashMap(
+      catalog.map { case (name, _) => name -> 0L }: _*)
+    val iowaitByQuery = mutable.LinkedHashMap(
+      catalog.map { case (name, _) => name -> 0L }: _*)
     val failedSet = mutable.LinkedHashSet.empty[String]
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val (st0, io0) = hostStallMillis()
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      // A failed run's abort time is NOT appended (ADVICE r16: an
+      // aborted elapsed time is indistinguishable from a fast success
+      // and pollutes the row's med/min); the row lands in `failed` and
+      // reports zeros.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        failedSet += name
+        System.err.println(s"[bench] $name failed: $e")
+        false
+      }
+      if (ok) {
+        secsByQuery(name) += (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) += gcMillis() - gc0
+        val (st1, io1) = hostStallMillis()
+        stealByQuery(name) += st1 - st0
+        iowaitByQuery(name) += io1 - io0
+      }
+      graft.core.Resources.release()
+      // Untimed collection between runs: released broadcasts/caches
+      // are reclaimed NOW instead of as GC pressure inside the next
+      // run's timing window.
+      System.gc()
+    }
     var pass = 0
     while (pass < Runs) {
       catalog.foreach { case (name, fn) =>
-        if (!failedSet.contains(name)) {
-          val gc0 = gcMillis()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            failedSet += name
-            System.err.println(s"[bench] $name failed: $e")
-          }
-          secsByQuery(name) += (System.nanoTime() - t0) / 1e9
-          gcByQuery(name) += gcMillis() - gc0
-          graft.core.Resources.release()
-          // Untimed collection between runs: released broadcasts/caches
-          // are reclaimed NOW instead of as GC pressure inside the next
-          // run's timing window.
-          System.gc()
-        }
+        if (!failedSet.contains(name)) timedRun(name, fn)
       }
       pass += 1
     }
@@ -143,7 +182,10 @@ object Bench {
     // per query, and min/first are never dropped, so a re-measured
     // row is visibly re-measured rather than silently smoothed.
     val ExtraPasses = 2
-    val ReMeasureRows = 12
+    // 12 → 24 (r16 verdict ask #1): the r16 driver window produced 22
+    // unstable rows and the 12-row cap saturated, leaving 10 inverted
+    // rows at med-of-3; sized so one contended window can't exhaust it.
+    val ReMeasureRows = 24
     def medOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     if (Runs >= 3) {
       val unstable = catalog.collect {
@@ -158,18 +200,11 @@ object Bench {
           s"unstable rows: ${unstable.map(_._1).mkString(", ")}")
       var extra = 0
       while (extra < ExtraPasses) {
+        // Rows that failed on an earlier pass are skipped (ADVICE r16:
+        // re-running a known-failed row pollutes nothing now that abort
+        // times are never appended, but it wastes the re-measure budget).
         unstable.foreach { case (name, fn, _) =>
-          val gc0 = gcMillis()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            failedSet += name
-            System.err.println(s"[bench] $name failed on re-measure: $e")
-          }
-          secsByQuery(name) += (System.nanoTime() - t0) / 1e9
-          gcByQuery(name) += gcMillis() - gc0
-          graft.core.Resources.release()
-          System.gc()
+          if (!failedSet.contains(name)) timedRun(name, fn)
         }
         extra += 1
       }
@@ -182,8 +217,10 @@ object Bench {
       // the generation cost that the artifact-warm median deliberately
       // excludes — reporting both ends the footnote about flattering
       // cross-round totals by making cold vs steady-state separable in
-      // the artifact itself.
-      (name, sorted(sorted.length / 2), sorted.head, inOrder.head,
+      // the artifact itself. A failed row has no samples (abort times
+      // are never appended) and reports zeros; it is named in `failed`.
+      if (sorted.isEmpty) (name, 0.0, 0.0, 0.0, 0L, 0)
+      else (name, sorted(sorted.length / 2), sorted.head, inOrder.head,
         gcByQuery(name), inOrder.length)
     }
     // The tree this run measured (r15 verdict ask #7: "final tree"
@@ -212,7 +249,8 @@ object Bench {
     // a file next to the run; commit it as BENCH_r{N}_local.json.
     val detailFile = "BENCH_DETAIL_LAST.json"
     val detailJson = results.map { case (k, med, mn, first, g, n) =>
-      s"""  "$k":{"med":$med,"min":$mn,"first":$first,"gc_ms":$g,"n":$n}"""
+      s"""  "$k":{"med":$med,"min":$mn,"first":$first,"gc_ms":$g,"n":$n,""" +
+        s""""steal_ms":${stealByQuery(k)},"iowait_ms":${iowaitByQuery(k)}}"""
     }.mkString(
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","runs":$Runs,"cpus":"$cpus","tree":"$tree","sf":"$sfDir","failed":$failedJson,"queries":{\n""",
       ",\n", "\n}}")

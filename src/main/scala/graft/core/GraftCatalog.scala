@@ -467,13 +467,25 @@ private[core] object GraftProcedures {
       // seeing less reclaimed than expected can act (wait for the view
       // to drain, or deregister a decommissioned maintainer) instead
       // of guessing. NULLs when no maintainer is registered.
+      // The reported floor applies the SAME staleness cutoff the vacuum
+      // itself used (ADVICE r16: the unfiltered registry could name a
+      // floor that did not constrain this run — a stale-ignored
+      // maintainer would be reported as if it pinned). Stale-ignored
+      // maintainers stay visible in the string, marked.
+      val staleMs = input.getLong(5)
+      val staleCutoff =
+        if (staleMs <= 0L) Long.MinValue
+        else System.currentTimeMillis() - staleMs
       val regs = ManifestLake.maintainers(dir)
-      val floor = regs.map(_.highWater).minOption
+      val floor = regs.filter(_.heartbeatMillis >= staleCutoff)
+        .map(_.highWater).minOption
       val who =
         if (regs.isEmpty) null
         else org.apache.spark.unsafe.types.UTF8String.fromString(
-          regs.map(m => s"${m.appId}@${m.viewDir}:hw=${m.highWater}")
-            .mkString("; "))
+          regs.map { m =>
+            val mark = if (m.heartbeatMillis < staleCutoff) " (stale, ignored)" else ""
+            s"${m.appId}@${m.viewDir}:hw=${m.highWater}$mark"
+          }.mkString("; "))
       one(Result(
         StructType(Seq(
           StructField("files_deleted", LongType, nullable = false),

@@ -2927,14 +2927,38 @@ object ManifestLake {
       .getOrElse(throw new IllegalStateException(
         s"lake $dir has no files — merge into an empty lake is an append"))
 
-    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit, max => fmax, min => fmin, sum => fsum}
     val keyed = updates.persist()
     try {
-      val dupKeys = keyed.groupBy(keyCols.map(col): _*)
-        .agg(cnt(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        "updates carry duplicate keys — two updates for one key have no " +
-          "deterministic winner; dedupe (e.g. keep-latest) before merging")
+      // ONE grouped pass serves three consumers that each ran their own
+      // job before (r17, guide §1.2: remove passes first): the
+      // duplicate-key gate (any group with n > 1), the driver key
+      // sample for exact per-file pruning, and the update-row total
+      // MergeStats needs at the end (Σ n). Collected bounded: a limit
+      // returning ≤ MaxDriverKeys rows proves the distinct key set is
+      // complete; a bigger delta falls back to one full aggregate for
+      // the gate + total and an envelope for pruning, exactly the old
+      // behavior.
+      val MaxDriverKeys = 100000
+      val grouped = keyed.groupBy(keyCols.map(col): _*)
+        .agg(cnt(lit(1)).as("__graft_merge_n"))
+      val sample = grouped.limit(MaxDriverKeys + 1).collect()
+      val nIdx = keyCols.length
+      val sampleComplete = sample.length <= MaxDriverKeys
+      val totalUpdates: Long =
+        if (sampleComplete) {
+          require(sample.forall(_.getLong(nIdx) <= 1L),
+            "updates carry duplicate keys — two updates for one key have no " +
+              "deterministic winner; dedupe (e.g. keep-latest) before merging")
+          sample.map(_.getLong(nIdx)).sum
+        } else {
+          val st = grouped
+            .agg(fmax(col("__graft_merge_n")), fsum(col("__graft_merge_n"))).head()
+          require(st.getLong(0) <= 1L,
+            "updates carry duplicate keys — two updates for one key have no " +
+              "deterministic winner; dedupe (e.g. keep-latest) before merging")
+          st.getLong(1)
+        }
       val keys = keyed.select(keyCols.map(col): _*).distinct()
 
       // 1. detection: which files hold a matching key. With ONE key
@@ -2947,15 +2971,13 @@ object ManifestLake {
       // envelope (still exact for clustered batches); anything else
       // scans everything. Files without metadata on the key are
       // conservatively kept throughout.
-      val MaxDriverKeys = 100000
       val candidates: Vector[String] = keyCols match {
         case Seq(k) if snap.stats.valuesIterator.flatten.exists(_.col == k) ||
             snap.blooms.valuesIterator.flatten.exists(_.col == k) ||
             partitionColOf(snap).contains(k) =>
-          val sample = keys.limit(MaxDriverKeys + 1).collect().map(_.get(0))
           if (sample.isEmpty) Vector.empty
-          else if (sample.length <= MaxDriverKeys)
-            pruneFilesForKeys(snap, k, sample.toIndexedSeq)
+          else if (sampleComplete)
+            pruneFilesForKeys(snap, k, sample.toIndexedSeq.map(_.get(0)))
           else {
             val env = keyed.agg(fmin(col(k)), fmax(col(k))).head()
             schema(schema.fieldIndex(k)).dataType match {
@@ -3001,29 +3023,40 @@ object ManifestLake {
         else if (affected.forall(snap.rows.contains)) affected.flatMap(snap.netRows).sum
         else parMapMeta(affected)(f => rowCount(s, root.resolve(f)) -
           snap.dvs.get(f).fold(0L)(_.count)).sum
-      val (keptFiles, keptBuckets): (Vector[String], Map[String, Int]) =
-        if (affected.isEmpty) (Vector.empty, Map.empty)
+      // 2b + 3 FUSED (r17, guide §1.2): the affected files' survivors
+      // and the update rows stage through ONE write job instead of two
+      // — the survivor branch carries an observed row count
+      // (CollectMetricsExec rides the write, no extra job — the q184
+      // observed-metric discipline) so the rows-updated accounting
+      // that previously needed the kept files' footer counts still
+      // computes exactly: rowsUpdated = rowsBefore − survivorRows.
+      val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val alignedChecked =
+        withCheckConstraints(aligned, snap.constraints, snap.renames)
+      val survivorObs = org.apache.spark.sql.Observation()
+      val toStage =
+        if (affected.isEmpty) alignedChecked
         else {
           val reader = snap.schema.foldLeft(s.read.option("basePath", dir))(_ schema _)
-          val survivors = lakeFiles(s, dir, snap, affected, reader)
+          lakeFiles(s, dir, snap, affected, reader)
             .join(keys, keyCols, "left_anti")
             .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-          stageFiles(s, root, survivors, partitionCol,
-            maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
+            .observe(survivorObs, cnt(lit(1)).as("rows"))
+            .unionByName(alignedChecked)
         }
-
-      // 3. every update row lands once, as new files (schema order
-      // aligned to the committed schema — parquet binds by name, the
-      // alignment just keeps file layouts uniform)
-      val aligned = keyed.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      val stagedPair = stageFiles(s, root,
-        withCheckConstraints(aligned, snap.constraints, snap.renames), partitionCol,
+      val stagedPair = stageFiles(s, root, toStage, partitionCol,
         maxRecordsPerFile = 1024 * 1024, Map.empty, snap.declaredBucket)
       val staged = stagedPair._1
+      val survivorRows: Long =
+        if (affected.isEmpty) 0L
+        else survivorObs.get("rows") match {
+          case n: Long => n
+          case other   => other.toString.toLong
+        }
 
       // 4. skipping metadata for every written file, then one CAS swap
       val removedSet = affected.toSet
-      val newFiles = keptFiles ++ staged
+      val newFiles = staged
       val statsCols = snap.stats.valuesIterator.flatten.map(_.col)
         .toSeq.distinct.sorted
       val (newStats, newRows) = footerMetaAll(s, root, newFiles, statsCols)
@@ -3073,12 +3106,12 @@ object ManifestLake {
             latest.schema,
             latest.blooms -- removedSet ++ newBlooms,
             latest.rows -- removedSet ++ newRows,
-            buckets = keptBuckets ++ stagedPair._2, cdf = cdfStaged))
+            buckets = stagedPair._2, cdf = cdfStaged))
       }
-      // rows removed = affected-file rows before minus survivor rows
-      // after; both from metadata (manifest rows: / the commit's own
-      // footer pass), no extra data read
-      val rowsUpdated = rowsBefore - keptFiles.map(newRows).sum
+      // rows removed = affected-file rows before minus the survivor
+      // rows the fused stage observed — metadata + an observed metric,
+      // no extra data read
+      val rowsUpdated = rowsBefore - survivorRows
       // rowsInserted counts UPDATE ROWS whose key matched nothing —
       // computed by a semi-join against the affected files (delta-
       // sized), not as total-minus-removed: a key holding multiple
@@ -3094,7 +3127,9 @@ object ManifestLake {
               .select(keyCols.map(col): _*).distinct(),
             keyCols, "left_semi").count()
         }
-      MergeStats(rowsUpdated, keyed.count() - matchedUpdates, affected.length)
+      // totalUpdates came from the fused grouped pass — the old
+      // trailing keyed.count() job is gone (r17)
+      MergeStats(rowsUpdated, totalUpdates - matchedUpdates, affected.length)
     } finally { keyed.unpersist(); () }
   }
 

@@ -18,6 +18,18 @@ object Tables {
     // without the legacy flag (read as raw int64 nanos instead).
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // AQE sizes post-shuffle partitions by BYTES, not by the default
+    // parallelism (r17, guide §2.2 — Spark's own docs recommend
+    // parallelismFirst=false "to respect the configured target
+    // size"). Scale-adaptive in both directions: the lake rows'
+    // KB-sized micro-batch shuffles collapse to one task instead of
+    // #cores tasks (the r17 probe measured per-task DESERIALIZATION
+    // dominating those stages — q158: 80 s deser vs 14 s cpu across
+    // ~1,100 tiny tasks), while a 100 TB shuffle still fans out to
+    // size/advisory (64 MB default) tasks. Overridable per run via
+    // SPARK_GRAFT_PARALLELISM_FIRST=true for A/B.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
     // graft_dot / graft_polyhash / find_islands + the HOF dot-product
     // rewrite rule, installed at session build (see GraftExtensions).
     "spark.sql.extensions" -> "graft.GraftExtensions")

@@ -82,7 +82,15 @@ object Multimodal {
   def decodeOne(m: MediaRow): MediaMeta = {
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream EXPLICITLY, not
+      // ImageIO.createImageInputStream: the factory defaults to
+      // useCache=true and hands back a FileCacheImageInputStream — one
+      // temp-FILE write per payload. The r17 probe caught the decode
+      // stage blocked, not computing (executorRunTime 124 s vs cpu
+      // 60 s across 32 tasks): every header parse paid a disk round
+      // trip for bytes already in memory. Reader behavior over the
+      // stream is identical; only the backing store changes.
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(m.payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext)
@@ -227,7 +235,14 @@ object Multimodal {
       g.fillRect(0, 0, w, h)
     } finally g.dispose()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
+    // explicit memory-backed ImageOutputStream: ImageIO.write(_, _,
+    // OutputStream) defaults to a FileCacheImageOutputStream — a
+    // temp-file round trip per encoded image (same defect as the read
+    // side, see decodeOne; the r17 probe measured the codec stage
+    // blocked on it). Bytes produced are identical.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, fmt, ios)
+    finally ios.close()
     bos.toByteArray
   }
 

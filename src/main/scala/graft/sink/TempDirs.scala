@@ -54,6 +54,37 @@ object TempDirs {
   def persistent(prefix: String): Path =
     register(Files.createTempDirectory(prefix))
 
+  /** Hard-link-copy a whole directory tree (r17): the generic
+    * fixture-template clone for round-trip rows whose operator needs
+    * the template's FULL manifest history (restore / CDF / SCD2 /
+    * incremental-append rows — `ManifestLake.clone` links one snapshot
+    * only, by design). Every regular file in `src` is `link(2)`'d into
+    * the same relative position under `dst` — O(files) metadata, zero
+    * data bytes — so a per-pass mutable lake stands up from a
+    * per-(JVM, sf) template in milliseconds and the timed region
+    * measures the operator, not fixture construction (the
+    * q173/q174/q186 discipline, generalized). Safe because the engine
+    * never mutates a committed file in place: commits ADD manifests,
+    * DV/CDF sidecars are immutable, deletes only unlink — a clone's
+    * mutation can never leak into the template through the shared
+    * inodes. */
+  def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val out = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(out)
+      else if (Files.isRegularFile(p)) {
+        try Files.createLink(out, p)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          Files.copy(p, out) // cross-device or no-hardlink FS: degrade
+        }
+      }
+      ()
+    }
+  }
+
   /** Create a temp dir under `prefix`, reclaiming the previous dir
     * created under the same prefix in this JVM (see class doc). */
   def fresh(prefix: String): Path = {
