@@ -1274,7 +1274,11 @@ object ManifestLake {
     * -storage latency (tens of ms/open) a serial loop over a large
     * lake's footers would take minutes. 16 concurrent opens is
     * comfortably below any filesystem/S3 connection limit. */
-  private val MetaReadConcurrency = 16
+  // 16 → 32 (r17): the footer pass is a pure-metadata driver pool —
+  // local NVMe and object stores both serve 32 concurrent ~8 KB footer
+  // reads comfortably, and every commit path (append/merge/compact)
+  // waits on this pool before its CAS. Bounded; not data-path.
+  private val MetaReadConcurrency = 32
   private def parMapMeta[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.length <= 1) xs.map(f)
     else {
