@@ -134,6 +134,23 @@ private[core] final class CdfFilePartition(
     val dvCur: String, val dvPrev: String)
     extends FilePartition(idx, fs)
 
+/** A PACKED position leg (r17): many DV'd files in one split, each
+  * carrying its own (cur, prevOrNull) sidecar pair keyed by the file's
+  * lake-relative path. Position legs were single-file splits before —
+  * correct, but a MoR delete whose predicate touches every file of a
+  * small-file lake then plans one task PER FILE (the r17 q184 census:
+  * 242-task scan stages over KB windows, re-run per downstream stage
+  * once the micro-batch was persisted). The reader chains one inner
+  * single-file reader per packed file, so row indexes stay
+  * file-absolute and each file's own sidecars apply — same rows, ~32×
+  * fewer tasks at the openCost packing bound. */
+private[core] final class CdfDvPackedFilePartition(
+    idx: Int, fs: Array[PartitionedFile],
+    val changeType: String, val commitVersion: Long,
+    val tsMicros: java.lang.Long,
+    val dvByRel: Map[String, (String, String)])
+    extends FilePartition(idx, fs)
+
 private[core] final case class GraftCdfTable(dir: String,
                                              window: Option[(Long, Long)])
     extends Table with SupportsRead {
@@ -295,16 +312,33 @@ private[graft] final case class GraftCdfScan(table: GraftCdfTable,
       GraftCdf.legsOf(table.dir, v, legsPrev, cur).flatMap {
         case (changeType, files, dvs) if dvs.isEmpty =>
           val pfs = files.map(pfOf)
+          // charge openCostInBytes per file exactly as Spark's own
+          // maxSplitBytes overload does — without it a small-file leg
+          // degenerates to one task per file (see GraftScan.planFiles)
+          val openCost = spark.sessionState.conf.filesOpenCostInBytes
           FilePartition.getFilePartitions(spark, pfs,
-            FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
+            FilePartition.maxSplitBytes(spark,
+              pfs.map(_.length + openCost).sum))
             .map(fp => new CdfFilePartition(nextIdx(), fp.files,
               changeType, v, ts, null, null))
         case (changeType, files, dvs) =>
-          files.map { f =>
-            val (curDv, prevDv) = dvs(f)
-            new CdfFilePartition(nextIdx(), Array(pfOf(f)),
-              changeType, v, ts, curDv, prevDv.orNull)
-          }
+          // pack DV'd files like any other leg (openCost-charged, see
+          // above); each packed split carries its files' own sidecar
+          // pairs and the reader applies them file by file
+          val pfs = files.map(pfOf)
+          val openCost = spark.sessionState.conf.filesOpenCostInBytes
+          FilePartition.getFilePartitions(spark, pfs,
+            FilePartition.maxSplitBytes(spark,
+              pfs.map(_.length + openCost).sum))
+            .map { fp =>
+              val m = fp.files.map { pf =>
+                val rel = ManifestLake.relFromUri(pf.filePath.toString)
+                val (curDv, prevDv) = dvs(rel)
+                rel -> (curDv, prevDv.orNull)
+              }.toMap
+              new CdfDvPackedFilePartition(nextIdx(), fp.files,
+                changeType, v, ts, m)
+            }
       }
     }
   }
@@ -454,6 +488,10 @@ private[core] final class CdfReaderFactory(
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case p: CdfDvPackedFilePartition => return packedDvReader(p)
+      case _ => ()
+    }
     val c = partition.asInstanceOf[CdfFilePartition]
     val consts = new GenericInternalRow(Array[Any](
       UTF8String.fromString(c.changeType), c.commitVersion,
@@ -497,6 +535,57 @@ private[core] final class CdfReaderFactory(
         override def get(): InternalRow = row
         override def close(): Unit = inner.close()
       }
+    }
+  }
+
+  /** Reader for a PACKED position leg: one inner single-file reader per
+    * packed file, opened sequentially, each filtered through ITS file's
+    * sidecar diff — row indexes stay file-absolute because every inner
+    * reader sees a single-file split from offset 0. */
+  private def packedDvReader(p: CdfDvPackedFilePartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val consts = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.changeType), p.commitVersion,
+      if (p.tsMicros == null) null else p.tsMicros.longValue()))
+    val joined = new JoinedRow
+    val proj = projection(idxPhysical)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var fileIdx = 0
+      private var inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = _
+      private var cur: Array[Long] = _
+      private var prev: Array[Long] = _
+      private var row: InternalRow = _
+      private def openNext(): Boolean = {
+        if (fileIdx >= p.files.length) return false
+        val pf = p.files(fileIdx); fileIdx += 1
+        val (dvCur, dvPrev) = p.dvByRel(ManifestLake.relFromUri(pf.filePath.toString))
+        cur = DvStore.read(lakeDir, dvCur, conf.value.value)
+        prev = if (dvPrev == null) Array.empty[Long]
+               else DvStore.read(lakeDir, dvPrev, conf.value.value)
+        inner = withIdx.createReader(new FilePartition(p.index, Array(pf)))
+        true
+      }
+      override def next(): Boolean = {
+        var more = true
+        while (more) {
+          if (inner == null) {
+            if (!openNext()) more = false
+          } else {
+            while (inner.next()) {
+              val r = inner.get()
+              val i = r.getLong(idxPos)
+              if (DvStore.contains(cur, i) && !DvStore.contains(prev, i)) {
+                row = proj(joined(r, consts))
+                return true
+              }
+            }
+            inner.close(); inner = null
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = if (inner != null) inner.close()
     }
   }
 }

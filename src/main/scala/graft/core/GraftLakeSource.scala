@@ -1314,9 +1314,18 @@ private[graft] final case class GraftScan(
     def toSplits(fs: Vector[String]): Seq[FilePartition] = {
       val pfs = fs.map(pfOf)
       // Spark's bin-packing: many small lake files → bounded task count
-      // (openCostInBytes-aware), one big file → row-group splits
+      // (openCostInBytes-aware), one big file → row-group splits.
+      // The total handed to maxSplitBytes must charge openCostInBytes
+      // PER FILE exactly as Spark's own PartitionDirectory overload
+      // does (`_.getLen + openCostInBytes`): without it, a small-file
+      // window's bytesPerCore rounds down to openCost itself and the
+      // packing loop closes a split on EVERY file — one task per file,
+      // which the r17 q184 stage census measured as 161–242-task scan
+      // stages over KB-sized micro-batch windows.
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
       FilePartition.getFilePartitions(
-        spark, pfs, FilePartition.maxSplitBytes(spark, pfs.map(_.length).sum))
+        spark, pfs,
+        FilePartition.maxSplitBytes(spark, pfs.map(_.length + openCost).sum))
     }
     // DV'd files become SINGLE-FILE splits (never bin-packed, never
     // row-group split): their reader must know which sidecar applies
@@ -1328,13 +1337,16 @@ private[graft] final case class GraftScan(
         case Some(k) => new KeyedFilePartition(nextIdx(), fp.files, k)
         case None    => new FilePartition(nextIdx(), fp.files)
       } }
-      val dvp = dvd.map { f =>
-        val dv = table.snap.dvs(f)
+      // DV'd files bin-pack too (one sidecar PER FILE inside the split,
+      // applied file-by-file by the reader — see [[HasPackedDv]])
+      val dvp = toSplits(dvd).map { fp =>
+        val m = fp.files.map { pf =>
+          val rel = ManifestLake.relFromUri(pf.filePath.toString)
+          rel -> table.snap.dvs(rel).path
+        }.toMap
         key match {
-          case Some(k) =>
-            new KeyedDvFilePartition(nextIdx(), Array(pfOf(f)), k, dv.path, dv.count)
-          case None =>
-            new DvFilePartition(nextIdx(), Array(pfOf(f)), dv.path, dv.count)
+          case Some(k) => new KeyedDvPackedFilePartition(nextIdx(), fp.files, k, m)
+          case None    => new DvPackedFilePartition(nextIdx(), fp.files, m)
         }
       }
       packed ++ dvp
@@ -1487,24 +1499,25 @@ private[core] final class KeyedFilePartition(
   override def partitionKey(): InternalRow = key
 }
 
-/** A split that carries its file's deletion vector (always single-file
-  * — row indexes are file-absolute, so one sidecar per split). */
-private[core] sealed trait HasDv {
-  def dvRel: String
-  def dvCount: Long
+/** PACKED DV'd splits (r17): many DV'd files per split, each with its
+  * own sidecar, keyed by lake-relative path — the reader chains one
+  * single-file inner reader per file so row indexes stay file-absolute.
+  * Before, every DV'd file was its own task: a MoR delete touching all
+  * files of a small-file lake made every later scan plan one task per
+  * file (the CDF twin measured this as 242-task KB-window stages). */
+private[core] sealed trait HasPackedDv {
+  def dvByRel: Map[String, String]
 }
 
-private[core] final class DvFilePartition(
+private[core] final class DvPackedFilePartition(
     idx: Int, fs: Array[PartitionedFile],
-    override val dvRel: String, override val dvCount: Long)
-    extends FilePartition(idx, fs) with HasDv
+    override val dvByRel: Map[String, String])
+    extends FilePartition(idx, fs) with HasPackedDv
 
-/** DV'd split under storage-partitioned planning: keeps its key so SPJ
-  * co-location survives a pending merge-on-read delete. */
-private[core] final class KeyedDvFilePartition(
+private[core] final class KeyedDvPackedFilePartition(
     idx: Int, fs: Array[PartitionedFile], key: InternalRow,
-    override val dvRel: String, override val dvCount: Long)
-    extends FilePartition(idx, fs) with HasDv
+    override val dvByRel: Map[String, String])
+    extends FilePartition(idx, fs) with HasPackedDv
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1530,31 +1543,56 @@ private[core] final class DvFilteringReaderFactory(
   // internally; only batch-level transfer is lost, until compaction)
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
+  private def dvProjection(): org.apache.spark.sql.catalyst.expressions.UnsafeProjection = {
+    val out = withIdx.zipWithIndex.filter(_._2 != idxPos)
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      out.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, f.dataType, f.nullable)
+      })
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case d: HasDv =>
-        val inner = dvInner.createReader(partition)
-        val positions = DvStore.read(lakeDir, d.dvRel, conf.value.value)
-        val out = withIdx.zipWithIndex.filter(_._2 != idxPos)
-        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-          out.map { case (f, i) =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i, f.dataType, f.nullable)
-          })
+      case p: HasPackedDv =>
+        // packed DV split: one inner single-file reader per file,
+        // opened sequentially, each filtered through ITS sidecar —
+        // row indexes stay file-absolute
+        val fp = partition.asInstanceOf[FilePartition]
+        val proj = dvProjection()
         new PartitionReader[InternalRow] {
+          private var fileIdx = 0
+          private var inner: PartitionReader[InternalRow] = _
+          private var positions: Array[Long] = _
           private var cur: InternalRow = _
+          private def openNext(): Boolean = {
+            if (fileIdx >= fp.files.length) return false
+            val pf = fp.files(fileIdx); fileIdx += 1
+            val rel = ManifestLake.relFromUri(pf.filePath.toString)
+            positions = DvStore.read(lakeDir, p.dvByRel(rel), conf.value.value)
+            inner = dvInner.createReader(new FilePartition(fp.index, Array(pf)))
+            true
+          }
           override def next(): Boolean = {
-            while (inner.next()) {
-              val r = inner.get()
-              if (!DvStore.contains(positions, r.getLong(idxPos))) {
-                cur = proj(r)
-                return true
+            var more = true
+            while (more) {
+              if (inner == null) {
+                if (!openNext()) more = false
+              } else {
+                while (inner.next()) {
+                  val r = inner.get()
+                  if (!DvStore.contains(positions, r.getLong(idxPos))) {
+                    cur = proj(r)
+                    return true
+                  }
+                }
+                inner.close(); inner = null
               }
             }
             false
           }
           override def get(): InternalRow = cur
-          override def close(): Unit = inner.close()
+          override def close(): Unit = if (inner != null) inner.close()
         }
       case _ => clean.createReader(partition)
     }

@@ -543,6 +543,32 @@ class DvSpec extends SparkSpec {
     assert(ManifestLake.readChangeFeed(spark, dir, 0L, 5L).count() == 232L)
   }
 
+  test("packed DV splits: many DV'd small files plan far fewer tasks, rows exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dv_packed").resolve("lake").toString
+    val docs = spark.range(0, 640).select(
+      $"id".as("doc_id"), concat(lit("s"), ($"id" % 4)).as("source"))
+    // ~40 tiny files, every one of which the delete then vectors
+    ManifestLake.append(spark, dir, docs, "source", maxRecordsPerFile = 16L)
+    ManifestLake.deleteWhereDv(spark, dir, $"doc_id" % 5 === 0)
+    spark.conf.set("spark.sql.catalog.graft_dvp",
+      classOf[GraftCatalog].getName)
+    val df = spark.sql(s"SELECT doc_id FROM graft_dvp.`$dir`")
+    assert(df.count() == 512L)
+    assert(df.agg(org.apache.spark.sql.functions.sum($"doc_id")).head().getLong(0) ==
+      (0L until 640L).filter(_ % 5 != 0).sum)
+    // the scan packs DV'd files instead of planning one task per file
+    val nFiles = ManifestLake.latestSnapshot(dir).get.files.length
+    val nParts = df.rdd.getNumPartitions
+    assert(nFiles >= 36, s"fixture did not fragment: $nFiles files")
+    assert(nParts * 3 <= nFiles,
+      s"DV'd scan did not pack: $nParts partitions over $nFiles files")
+    // the CDF position leg packs the same way and stays exact
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, 2L)
+    assert(feed.count() == 128L)
+    assert(feed.select($"_change_type").distinct().head().getString(0) == "delete")
+  }
+
   test("DvStore codec round-trips and unions") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = Files.createTempDirectory("dv_codec").toString
