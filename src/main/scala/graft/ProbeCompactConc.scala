@@ -30,22 +30,25 @@ object ProbeCompactConc {
     val docs = graft.core.Tables.documents(s, sfDir)
       .select($"doc_id", $"text", $"source")
 
-    def leg(conc: Int): Double = {
+    def leg(conc: Int, dv: Boolean): Double = {
       val lake = java.nio.file.Files
         .createTempDirectory(s"graft_probe_compact_$conc").toString
       graft.core.ManifestLake.append(s, lake,
         docs.repartition($"source"), "source", maxRecordsPerFile = 16L)
+      if (dv) graft.core.ManifestLake.deleteWhereDv(s, lake, $"doc_id" % 17 === 0)
       val t0 = System.nanoTime()
       graft.core.ManifestLake.compact(s, lake, "source",
         targetRecordsPerFile = 64L, maxConcurrent = conc)
       (System.nanoTime() - t0) / 1e9
     }
     // warm-up
-    leg(8)
+    leg(8, dv = false)
     var p = 0
     while (p < passes) {
-      Seq(1, 8, 20).foreach { c =>
-        println(f"[probeCC] pass $p conc $c%2d: ${leg(c)}%.2f s")
+      Seq(false, true).foreach { dv =>
+        Seq(1, 8).foreach { c =>
+          println(f"[probeCC] pass $p dv $dv%-5s conc $c%2d: ${leg(c, dv)}%.2f s")
+        }
       }
       p += 1
     }

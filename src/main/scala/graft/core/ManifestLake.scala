@@ -5493,13 +5493,24 @@ object ManifestLake {
     // pre-loop snapshot; a swap the rebase later abandons just has its
     // filters dropped by the commit's live-file filter. (The footer
     // stat jobs below stay inside the loop: those are metadata reads.)
-    val rebuiltBlooms: Map[String, Vector[FileBloom]] = swaps.flatMap { sw =>
-      val uniform = sw.olds.map(f =>
-          snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
-        .reduceOption(_ intersect _).getOrElse(Set.empty)
-      if (uniform.isEmpty) Map.empty[String, Vector[FileBloom]]
-      else buildBlooms(s, dir, sw.news, uniform.toSeq.sorted)
-    }.toMap
+    // ONE bloom-build job per distinct tracked-column SET, not one per
+    // swapped partition (r17, guide §1.2 #1): a 20-partition compaction
+    // of a uniformly-bloomed lake previously ran 20 tiny sequential
+    // scan+collect jobs here — same per-file filters, 1/20th the
+    // driver round-trips. Per-file sizing/keys are unchanged
+    // (buildBlooms works file-wise; grouping only batches the scan).
+    val rebuiltBlooms: Map[String, Vector[FileBloom]] = swaps
+      .map { sw =>
+        val uniform = sw.olds.map(f =>
+            snap.blooms.getOrElse(f, Vector.empty).map(_.col).toSet)
+          .reduceOption(_ intersect _).getOrElse(Set.empty)
+        (uniform, sw.news)
+      }
+      .filter(_._1.nonEmpty)
+      .groupBy(_._1)
+      .flatMap { case (uniform, group) =>
+        buildBlooms(s, dir, group.flatMap(_._2).toVector, uniform.toSeq.sorted)
+      }
 
     // ONE commit for all swaps, rebased on whatever committed since our
     // snapshot. Per swapped partition: drop our olds, add our news, and
